@@ -1,38 +1,553 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 (+ the LLM-pipeline
+north-star set); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
+every SQL-expressible query (hash-checked at sf0.01). Queries whose
+semantics are not ANSI-SQL-expressible (seeded MinHash/SimHash LSH,
+approx sketches, hyperplane LSH probes) intentionally have no oracle →
+rows-only check.
 """
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datalake_local_spark.session import load_tables
+from datalake_local_spark.operators import aggregates as agg
+from datalake_local_spark.operators import asof, flagship, joins, scalars, setops, windows
+from datalake_local_spark.llm import dedup, similarity, text, multimodal
+from datalake_local_spark.streaming import event_windows
+
+_stream_counter = itertools.count()
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir)
+    return [tables[n] for n in names]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    li, o, c, n, r = _t(
+        spark, "/root/testdata/sf0.001", "lineitem", "orders", "customer", "nation", "region"
+    )
+    return flagship.revenue_by_month_region(li, o, c, n, r)
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_flagship(spark, sf):
+    return flagship.revenue_by_month_region(
+        *_t(spark, sf, "lineitem", "orders", "customer", "nation", "region")
+    )
+
+
+def _q_streaming_tumbling(spark, sf):
+    name = f"stream_tumbling_{next(_stream_counter)}"
+    return event_windows.run_streaming_tumbling(spark, sf, minutes=10, query_name=name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # flagship + joins (SURVEY §2.3)
+        "flagship_revenue_month_region": _q_flagship,
+        "join_inner": lambda s, d: joins.inner_join_order_customer(*_t(s, d, "orders", "customer")),
+        "join_left_agg": lambda s, d: joins.left_join_customer_orders(*_t(s, d, "customer", "orders")),
+        "join_semi": lambda s, d: joins.semi_join_customers_with_orders(*_t(s, d, "customer", "orders")),
+        "join_anti": lambda s, d: joins.anti_join_customers_without_orders(*_t(s, d, "customer", "orders")),
+        "join_broadcast": lambda s, d: joins.broadcast_join_lineitem_part(*_t(s, d, "lineitem", "part")),
+        "join_composite_theta": lambda s, d: joins.composite_key_join_orders_lineitem(*_t(s, d, "orders", "lineitem")),
+        "join_theta_pairs": lambda s, d: joins.theta_join_nation_pairs(*_t(s, d, "nation")),
+        "join_asof": lambda s, d: asof.asof_latest_event_before_order(*_t(s, d, "orders", "events")),
+        # aggregations (SURVEY §2.4)
+        "agg_pricing_summary": lambda s, d: agg.pricing_summary(*_t(s, d, "lineitem")),
+        "agg_order_stats": lambda s, d: agg.order_stats_by_priority(*_t(s, d, "orders")),
+        "agg_rollup": lambda s, d: agg.rollup_returnflag_linestatus(*_t(s, d, "lineitem")),
+        "agg_cube": lambda s, d: agg.cube_status_priority(*_t(s, d, "orders")),
+        "agg_grouping_sets": lambda s, d: (_t(s, d, "events") and agg.grouping_sets_events(s)),
+        "agg_approx_distinct": lambda s, d: agg.approx_distinct_parts(*_t(s, d, "lineitem")),
+        "agg_monthly_rollup": lambda s, d: agg.monthly_rollup(*_t(s, d, "orders")),
+        # windows (SURVEY §2.5 + A6)
+        "window_rank": lambda s, d: windows.rank_orders_per_customer(*_t(s, d, "orders")),
+        "window_lag_lead": lambda s, d: windows.lag_lead_order_dates(*_t(s, d, "orders")),
+        "window_running": lambda s, d: windows.running_revenue_per_customer(*_t(s, d, "orders")),
+        "window_topk_per_group": lambda s, d: windows.top_k_orders_per_customer(*_t(s, d, "orders")),
+        "window_relative": lambda s, d: windows.relative_value_per_user(*_t(s, d, "events")),
+        # set ops / sort / limit
+        "setop_intersect": lambda s, d: setops.customers_active_both_years(*_t(s, d, "orders")),
+        "setop_except": lambda s, d: setops.customers_active_only_first_year(*_t(s, d, "orders")),
+        "setop_union": lambda s, d: setops.union_high_value_entities(*_t(s, d, "customer", "supplier")),
+        "sort_limit_topn": lambda s, d: setops.top_orders_global(*_t(s, d, "orders")),
+        # scalar function families
+        "scalar_string_funcs": lambda s, d: scalars.string_functions_part(*_t(s, d, "part")),
+        "scalar_date_funcs": lambda s, d: scalars.date_functions_orders(*_t(s, d, "orders")),
+        "scalar_json_extract": lambda s, d: scalars.json_functions_events(*_t(s, d, "events")),
+        "scalar_json_agg": lambda s, d: scalars.json_aggregate_events(*_t(s, d, "events")),
+        "scalar_array_funcs": lambda s, d: scalars.array_functions_embeddings(*_t(s, d, "embeddings")),
+        # dedup family (north star)
+        "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
+        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_candidates(*_t(s, d, "documents")),
+        "dedup_simhash": lambda s, d: dedup.simhash_near_dup_pairs(*_t(s, d, "documents")),
+        # similarity search (north star)
+        "sim_cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(*_t(s, d, "embeddings")),
+        "sim_cosine_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(*_t(s, d, "embeddings")),
+        "sim_label_centroids": lambda s, d: similarity.embedding_centroids_by_label(*_t(s, d, "embeddings")),
+        # text analysis (north star)
+        "text_token_stats": lambda s, d: text.token_stats(*_t(s, d, "documents")),
+        "text_quality": lambda s, d: text.quality_scores(*_t(s, d, "documents")),
+        "text_lang_id": lambda s, d: text.language_id(*_t(s, d, "documents")),
+        "text_fingerprint": lambda s, d: text.fingerprints(*_t(s, d, "documents")),
+        "text_source_profile": lambda s, d: text.source_lang_profile(*_t(s, d, "documents")),
+        # multimodal plumbing (north star)
+        "mm_decode_metadata": lambda s, d: multimodal.decode_image_metadata(*_t(s, d, "documents")),
+        "mm_payload_profile": lambda s, d: multimodal.payload_size_profile(*_t(s, d, "documents")),
+        # event-time windows / streaming (SURVEY §2.6)
+        "events_tumbling": lambda s, d: event_windows.tumbling_window_counts(*_t(s, d, "events")),
+        "events_sliding": lambda s, d: event_windows.sliding_window_counts(*_t(s, d, "events")),
+        "events_sessionize": lambda s, d: event_windows.sessionize_batch(*_t(s, d, "events")),
+        "streaming_tumbling": _q_streaming_tumbling,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) + to_minutes(CAST(floor(minute(ts)/10)*10 AS BIGINT)) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_revenue_month_region": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   r_name AS region_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        """,
+        "join_inner": """
+            SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "join_left_agg": """
+            SELECT c_custkey, c_name,
+                   count(o_orderkey) AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1, 2
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "join_broadcast": """
+            SELECT p_brand,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "join_composite_theta": """
+            SELECT o_orderstatus,
+                   count(*) AS n_shipped_after_order,
+                   round(avg(CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS DOUBLE)), 4)
+                       AS avg_ship_delay_days
+            FROM lineitem JOIN orders
+              ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
+            GROUP BY 1
+        """,
+        "join_theta_pairs": """
+            SELECT n1.n_name AS nation_a, n2.n_name AS nation_b,
+                   n1.n_regionkey AS region_key
+            FROM nation n1 JOIN nation n2
+              ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+        """,
+        "join_asof": """
+            SELECT o_orderkey, o_custkey, o_orderdate, max(e.ts) AS asof_event_ts
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+            GROUP BY 1, 2, 3
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "agg_order_stats": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   round(avg(o_totalprice), 4) AS avg_price,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price,
+                   count(DISTINCT o_custkey) AS n_customers
+            FROM orders GROUP BY 1
+        """,
+        "agg_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "agg_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "agg_grouping_sets": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """,
+        "agg_monthly_rollup": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   o_orderstatus AS orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   round(avg(o_totalprice), 4) AS avg_price,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM orders GROUP BY 1, 2
+        """,
+        "window_rank": """
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice, 2) AS totalprice,
+                   CAST(row_number() OVER w AS INTEGER) AS rn,
+                   CAST(rank() OVER w AS INTEGER) AS rnk,
+                   CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "window_lag_lead": """
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   lag(o_orderdate, 1) OVER w AS prev_orderdate,
+                   lead(o_orderdate, 1) OVER w AS next_orderdate,
+                   CAST(date_diff('day', CAST(lag(o_orderdate, 1) OVER w AS DATE),
+                                  CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "window_running": """
+            SELECT o_orderkey, o_custkey,
+                   round(sum(o_totalprice) OVER w, 2) AS running_total,
+                   count(*) OVER w AS running_n
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "window_topk_per_group": """
+            SELECT o_custkey, o_orderkey, totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       round(o_totalprice, 2) AS totalprice,
+                       CAST(row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "window_relative": """
+            SELECT event_id, user_id, ts,
+                   round(value, 4) AS value,
+                   round(CASE WHEN fv <> 0 THEN value / fv END, 6) AS value_relative
+            FROM (
+                SELECT *, first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+                FROM events
+            )
+        """,
+        "setop_intersect": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+            INTERSECT
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+        """,
+        "setop_except": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+            EXCEPT
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+        """,
+        "setop_union": """
+            SELECT c_name AS name, round(c_acctbal, 2) AS acctbal, 'customer' AS kind
+            FROM customer WHERE c_acctbal > 5000
+            UNION ALL
+            SELECT s_name AS name, round(s_acctbal, 2) AS acctbal, 'supplier' AS kind
+            FROM supplier WHERE s_acctbal > 5000
+        """,
+        "sort_limit_topn": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+        """,
+        "scalar_string_funcs": """
+            SELECT p_partkey,
+                   lower(p_name) AS name_lower,
+                   upper(p_brand) AS brand_upper,
+                   substring(p_type, 1, 5) AS type_prefix,
+                   CAST(length(p_name) AS INTEGER) AS name_len,
+                   regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+                   regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                   translate(p_brand, '#', '_') AS brand_clean,
+                   trim(concat('  ', p_brand, '  ')) AS trimmed_brand,
+                   concat_ws('|', p_brand, p_type) AS brand_type
+            FROM part
+        """,
+        "scalar_date_funcs": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   CAST(month(o_orderdate) AS INTEGER) AS order_month_num,
+                   CAST(dayofmonth(o_orderdate) AS INTEGER) AS order_day,
+                   CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+                   CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                   CAST(o_orderdate AS DATE) AS order_date,
+                   strftime(o_orderdate, '%Y-%m') AS ym_label
+            FROM orders
+        """,
+        "scalar_json_extract": """
+            SELECT event_id, event_type,
+                   CAST(props->>'$.k' AS BIGINT) AS prop_k,
+                   CAST(floor(CAST(props->>'$.k' AS BIGINT) / 10) AS BIGINT) AS k_bucket
+            FROM events
+        """,
+        "scalar_json_agg": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+                   max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+            FROM events GROUP BY 1
+        """,
+        "scalar_array_funcs": """
+            SELECT vec_id, label,
+                   CAST(len(embedding) AS INTEGER) AS dim,
+                   round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+                   round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS squared_norm,
+                   round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) / 8.0, 6) AS mean_first8
+            FROM embeddings
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS fingerprint,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH docs AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+        """,
+        "sim_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ),
+            pairs AS (
+                SELECT q.query_id, e.vec_id AS corpus_id,
+                       round(
+                         list_sum(list_transform(list_zip(q.qe, e.embedding),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                         6) AS cosine
+                FROM q, embeddings e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, corpus_id, cosine, rank FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
+                FROM pairs
+            ) WHERE rank <= 5
+        """,
+        "sim_label_centroids": """
+            WITH per_dim AS (
+                SELECT label, pos, avg(CAST(v AS DOUBLE)) AS mean_v FROM (
+                    SELECT label,
+                           generate_subscripts(embedding, 1) AS pos,
+                           unnest(embedding) AS v
+                    FROM embeddings
+                ) GROUP BY 1, 2
+            ),
+            cent AS (
+                SELECT label, round(sqrt(sum(mean_v * mean_v)), 6) AS centroid_norm,
+                       CAST(count(*) AS INTEGER) AS dim
+                FROM per_dim GROUP BY 1
+            )
+            SELECT c.label, n.n_vectors, c.dim, c.centroid_norm
+            FROM cent c JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1) n
+              ON c.label = n.label
+        """,
+        "text_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len(string_split({_NORM}, ' ')) AS INTEGER) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+                   CAST(len(list_distinct(string_split({_NORM}, ' '))) AS INTEGER) AS n_distinct_tokens,
+                   round(CAST(len(list_distinct(string_split({_NORM}, ' '))) AS DOUBLE)
+                         / len(string_split({_NORM}, ' ')), 6) AS distinct_ratio
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+                SELECT doc_id, {_NORM} AS norm,
+                       string_split({_NORM}, ' ') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(norm) AS INTEGER) AS n_chars_norm,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   round(CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks), 6) AS mean_token_len,
+                   round(CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+                         / len(toks), 6) AS stopword_ratio,
+                   round(CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+                         / length(norm), 6) AS alpha_ratio
+            FROM t
+        """,
+        "text_lang_id": f"""
+            WITH t AS (
+                SELECT doc_id, lang, concat(' ', {_NORM}, ' ') AS padded FROM documents
+            ),
+            v AS (
+                SELECT doc_id, lang,
+                       (CASE WHEN contains(padded, ' the ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' and ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' of ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' is ') THEN 1 ELSE 0 END) AS en,
+                       (CASE WHEN contains(padded, ' el ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' la ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' de ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' que ') THEN 1 ELSE 0 END) AS es,
+                       (CASE WHEN contains(padded, ' der ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' die ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' und ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' ist ') THEN 1 ELSE 0 END) AS de,
+                       (CASE WHEN contains(padded, ' le ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' les ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' des ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' est ') THEN 1 ELSE 0 END) AS fr
+                FROM t
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                        WHEN en = greatest(en, es, de, fr) THEN 'en'
+                        WHEN es = greatest(en, es, de, fr) THEN 'es'
+                        WHEN de = greatest(en, es, de, fr) THEN 'de'
+                        ELSE 'fr' END AS lang_guess,
+                   CAST(greatest(en, es, de, fr) AS INTEGER) AS vote_score
+            FROM v
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id,
+                   md5({_NORM}) AS fingerprint,
+                   substring(md5({_NORM}), 1, 4) AS shard_key,
+                   CAST(length({_NORM}) AS INTEGER) AS n_chars_norm
+            FROM documents
+        """,
+        "text_source_profile": """
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY 1, 2
+        """,
+        "mm_decode_metadata": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+                   CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
+                   CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS height,
+                   CAST(octet_length(encode(text)) % 3 + 1 AS INTEGER) AS channels,
+                   'fakeimg' AS format
+            FROM documents
+        """,
+        "mm_payload_profile": """
+            SELECT source,
+                   count(*) AS n_assets,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   round(avg(octet_length(encode(text))), 4) AS avg_bytes,
+                   CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
+            FROM documents GROUP BY 1
+        """,
+        "events_tumbling": _TUMBLING_ORACLE,
+        "events_sliding": """
+            WITH b AS (
+                SELECT value,
+                       date_trunc('hour', ts) + to_minutes(CAST(floor(minute(ts)/5)*5 AS BIGINT)) AS slide_start
+                FROM events
+            ),
+            w AS (
+                SELECT value, slide_start - to_minutes(CAST(o * 5 AS BIGINT)) AS win_start
+                FROM b, (VALUES (0), (1)) t(o)
+            )
+            SELECT win_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM w GROUP BY 1
+        """,
+        "events_sessionize": """
+            WITH lagged AS (
+                SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ),
+            flagged AS (
+                SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+                               WHEN epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                               ELSE 0 END AS new_s
+                FROM lagged
+            ),
+            sess AS (
+                SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   round(sum(value), 2) AS session_value
+            FROM sess GROUP BY 1, 2
+        """,
+        "streaming_tumbling": _TUMBLING_ORACLE,
+    }

@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline query suite at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Queries are forced with ``.count()`` (full plan execution, no driver-side
+result transfer). The suite covers each operator family once: multi-join
+agg, scan-agg, broadcast join, window top-k, as-of join, exact + MinHash
+dedup, cosine top-k, text scoring, sessionization, streaming.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from datalake_local_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "flagship_revenue_month_region",
+    "agg_pricing_summary",
+    "agg_monthly_rollup",
+    "join_broadcast",
+    "join_asof",
+    "window_topk_per_group",
+    "window_relative",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality",
+    "text_token_stats",
+    "events_sessionize",
+    "streaming_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="datalake-local-spark-bench")
+    qs = entrymod.queries()
+
+    # warm the JVM/codegen once with the cheapest query so per-query times
+    # measure the plan, not first-call JIT
+    qs["agg_order_stats"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,284 @@
+"""Deduplication operators over the ``documents`` table.
+
+Scale design (100 TB of text):
+- exact dedup: one shuffle on a fingerprint of normalized text — never on
+  the text itself (group keys stay ~16 bytes).
+- MinHash + LSH banding: per-doc signature computed in a single projection
+  (higher-order array functions, JVM-side, no Python); candidate pairs come
+  from equi-joins on (band, band_hash) buckets — the only shuffle key — so
+  cost is O(candidates), never O(n²).
+- SimHash: 64-bit fingerprint per doc; near-dup candidates via banding the
+  fingerprint into 16-bit chunks (hamming-LSH), verified with bit_count
+  (popcount) on XOR — all integer ops in codegen.
+- n-gram Jaccard: exact token-set similarity via token-inverted-index
+  equi-join; bounded by restricting to a candidate window (at scale the
+  MinHash pass supplies the candidates, this verifies them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Normalization shared by every dedup operator: lowercase + collapse
+#: whitespace. Matches the oracle SQL exactly.
+def _norm_text(col):
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup on normalized text: keep the lowest doc_id per group,
+    report group size. Grouping on md5(text) keeps the shuffle key small at
+    scale; md5 is also what the oracle computes."""
+    return (
+        documents.select(
+            F.md5(_norm_text(F.col("text"))).alias("fingerprint"),
+            "doc_id",
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingles(col, n: int = 3):
+    """Word n-gram shingles as a distinct array — built from split +
+    transform/slice, no UDF."""
+    tokens = F.split(_norm_text(col), " ")
+    k = F.size(tokens) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        )
+    )
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature in the scalable formulation: explode
+    shingles ONCE, hash each shingle under `num_hashes` seeds, and take
+    per-doc minima in a single groupBy (map-side partial aggregation, so
+    the shuffle carries num_hashes longs per doc — never the shingles).
+
+    The naive alternative — num_hashes × array_min(transform(shingles)) in
+    one projection — recomputes the shingle pipeline per seed once Catalyst
+    collapses projections; at 50k docs that was ~16× redundant work.
+    """
+    exploded = documents.select(
+        "doc_id", F.explode(_shingles(F.col("text"), shingle_n)).alias("shingle")
+    )
+    # one transform = one compact codegen loop producing all seed-hashes;
+    # the aggregate side is num_hashes trivial `min(hashes[i])` expressions
+    # (16 separate min(xxhash64(...)) aggs JIT-compiled to ~17 s of codegen)
+    hashed = exploded.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.xxhash64("shingle", i),
+        ).alias("hashes"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        F.array(*[F.min(F.col("hashes")[i]) for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    1. signatures (see above);
+    2. band each signature into `bands` chunks, hash each chunk;
+    3. equi-join docs sharing any (band_id, band_hash) bucket → candidates;
+    4. verify candidates with EXACT shingle Jaccard (array_intersect /
+       union sizes) and threshold.
+
+    The only shuffles are the band-bucket join and the final distinct —
+    no all-pairs comparison anywhere, which is what makes this the 100 TB
+    path. Deterministic (seeded xxhash64), but not ANSI-SQL-expressible →
+    driver records rows-only correctness; the exact-Jaccard companion
+    (ngram_jaccard_pairs) is the hash-checked oracle query.
+    """
+    rows_per_band = num_hashes // bands
+    # persist: the signature table feeds BOTH sides of the self-join —
+    # without it Spark recomputes the shingle+aggregate subtree twice
+    sigs = minhash_signatures(documents, num_hashes, shingle_n).persist()
+    # band rows carry ONLY (doc_id, band_id, band_hash) — the candidate
+    # join shuffles ids, never text or shingle arrays
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact-Jaccard verification only for surviving candidates: fetch the
+    # shingle arrays by joining back against a one-pass shingle projection
+    shingle_sets = documents.select(
+        "doc_id", _shingles(F.col("text"), shingle_n).alias("shingles")
+    ).persist()
+    cand = (
+        cand.join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def ngram_token_jaccard_pairs(
+    documents: DataFrame, max_doc_id: int = 100, threshold: float = 0.8
+) -> DataFrame:
+    """Exact token-set Jaccard via inverted-index equi-join (the
+    SQL-expressible verifier; oracle-checked).
+
+    distinct tokens per doc → self-join on token → |∩| per pair →
+    jaccard = |∩| / (|A| + |B| - |∩|). Restricted to doc_id < max_doc_id
+    for the correctness harness; at scale the candidate set comes from
+    MinHash-LSH instead of a full self-join.
+    """
+    docs = documents.filter(F.col("doc_id") < max_doc_id)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(_norm_text(F.col("text")), " "))).alias("token")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, computed without Python UDFs:
+
+    token hashes (xxhash64) → per-bit ±1 contributions aggregated via a
+    higher-order fold over an array of bit positions. Fingerprint =
+    sign-bit vector packed into a long.
+    """
+    tokens = F.array_distinct(F.split(_norm_text(F.col("text")), " "))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # For each bit position, count tokens with that bit set minus tokens
+    # with it clear; the simhash bit is 1 when the balance is positive.
+    bit_cols = []
+    for b in range(bits):
+        balance = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        # shiftleft wraps at bit 63 (sign bit) — exactly the packing we want
+        bit_cols.append(
+            F.when(balance > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    fingerprint = bit_cols[0]
+    for c in bit_cols[1:]:
+        fingerprint = fingerprint.bitwiseOR(c)
+    return documents.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame, max_hamming: int = 4, band_bits: int = 16
+) -> DataFrame:
+    """Hamming-LSH over SimHash fingerprints: band the 64-bit fingerprint
+    into 16-bit chunks; docs sharing any exact chunk are candidates
+    (guaranteed to catch all pairs with hamming < 64/band_bits * ... —
+    pigeonhole: any pair with < 4 differing chunks shares one); verify with
+    popcount(xor) <= max_hamming."""
+    fps = simhash_fingerprints(documents)
+    n_bands = 64 // band_bits
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.chunk")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

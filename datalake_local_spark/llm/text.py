@@ -1,0 +1,105 @@
+"""Text-analysis operators over ``documents(doc_id, text, lang, source,
+n_chars)``: language-ID heuristic, quality scoring, token counting,
+document fingerprinting.
+
+All pure Catalyst column expressions (regexp/length/split/md5) — zero
+Python in the executor path, so these run at parquet-scan speed and every
+one has an exact ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def _norm_text(col):
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (word-pieces and punctuation as separate tokens) + distinct ratio."""
+    ws_tokens = F.split(_norm_text(F.col("text")), " ")
+    bpe_ish = F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)")
+    return documents.select(
+        "doc_id",
+        F.size(ws_tokens).alias("n_tokens"),
+        F.size(bpe_ish).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(ws_tokens)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(ws_tokens)) / F.size(ws_tokens), 6).alias("distinct_ratio"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length, mean token length, stopword
+    ratio, alpha ratio — the standard cheap pre-filters of a training-data
+    pipeline."""
+    norm = _norm_text(F.col("text"))
+    tokens = F.split(norm, " ")
+    n_tokens = F.size(tokens)
+    stopwords = ["the", "a", "and", "of", "to", "in", "is"]
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(stopwords)))
+    n_alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
+    return documents.select(
+        "doc_id",
+        F.length(norm).alias("n_chars_norm"),
+        n_tokens.alias("n_tokens"),
+        F.round((F.length(norm) - n_tokens + 1) / n_tokens, 6).alias("mean_token_len"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_alpha / F.length(norm), 6).alias("alpha_ratio"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Deterministic stopword-vote language heuristic. Real pipelines use a
+    trained classifier (fastText et al., not in this container); the
+    operator contract — text in, (lang_guess, confidence-score) out, pure
+    projection — is what matters at scale."""
+    padded = F.concat(F.lit(" "), _norm_text(F.col("text")), F.lit(" "))
+
+    def votes(words):
+        score = F.lit(0)
+        for w in words:
+            score = score + F.when(padded.contains(f" {w} "), 1).otherwise(0)
+        return score
+
+    en = votes(["the", "and", "of", "is"])
+    es = votes(["el", "la", "de", "que"])
+    de = votes(["der", "die", "und", "ist"])
+    fr = votes(["le", "les", "des", "est"])
+    best = F.greatest(en, es, de, fr)
+    guess = (
+        F.when(best == 0, "und")
+        .when(en == best, "en")
+        .when(es == best, "es")
+        .when(de == best, "de")
+        .otherwise("fr")
+    )
+    return documents.select(
+        "doc_id", "lang", guess.alias("lang_guess"), best.alias("vote_score")
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (content identity —
+    oracle-checkable) plus a cheap sortable prefix key for range-based
+    sharding of a 100 TB dedup table."""
+    norm = _norm_text(F.col("text"))
+    md5 = F.md5(norm)
+    return documents.select(
+        "doc_id",
+        md5.alias("fingerprint"),
+        F.substring(md5, 1, 4).alias("shard_key"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+def source_lang_profile(documents: DataFrame) -> DataFrame:
+    """Corpus profiling rollup: per (source, lang) doc counts and length
+    stats — the monitoring query a pipeline runs after every stage."""
+    return documents.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -1,0 +1,121 @@
+"""Aggregation suite (SURVEY.md §2.4 A1-A10).
+
+The Cube semantic layer declares count/sum/avg/min/max measures grouped by
+symbol × time grain (StockMarkets.js:12-127); Trino adds distinct aggs,
+rollup/cube/grouping sets, approx_count_distinct. All are Catalyst built-ins
+with map-side partial aggregation — the scale property that matters: a
+groupBy over 100 TB shuffles only the partial aggregate states, not rows.
+
+Every computed column is aliased (and doubles rounded) so results hash-match
+the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: the canonical multi-measure scan-agg."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def order_stats_by_priority(orders: DataFrame) -> DataFrame:
+    """Full basic-measure family incl. exact distinct (A1-A5, A10)."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+def rollup_returnflag_linestatus(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP hierarchy totals; NULL group labels coalesced for stable
+    oracle comparison."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+def cube_status_priority(orders: DataFrame) -> DataFrame:
+    """CUBE over two dims — all 4 grouping combinations."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def grouping_sets_events(spark: SparkSession) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (Trino-surface parity). Expects the
+    ``events`` temp view registered by session.load_tables."""
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(user_id % 10 AS STRING), 'ALL') AS user_bucket,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """
+    )
+
+
+def approx_distinct_parts(lineitem: DataFrame) -> DataFrame:
+    """HLL approximate distinct (A10). No exact oracle — DuckDB's sketch
+    differs — so the driver records a rows-only check; the companion exact
+    query `agg_order_stats` covers countDistinct correctness."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.round(F.percentile_approx("l_extendedprice", 0.5, 10000), 0).alias("approx_median_price"),
+    )
+
+
+def monthly_rollup(orders: DataFrame) -> DataFrame:
+    """A8: the Cube `stock_markets_monthly` materialization shape —
+    month-grain rollup as a reusable aggregate."""
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            F.col("o_orderstatus").alias("orderstatus"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )

@@ -1,0 +1,87 @@
+"""Scalar function families (SURVEY.md §2.5): string/regex, date/time,
+JSON, array. These are the ingestion pipeline's regex/sanitize family
+(assets.py:172-211, 294-344) re-expressed as native Catalyst expressions —
+JVM-side, codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def string_functions_part(part: DataFrame) -> DataFrame:
+    """regexp_extract / replace, case, trim, substring, translate over
+    part names — the S5 regex-parser family as column expressions."""
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.translate("p_brand", "#", "_").alias("brand_clean"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed_brand"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def date_functions_orders(orders: DataFrame) -> DataFrame:
+    """Date/time family: the reference's timestamp-regex inference
+    (assets.py:294-301) becomes native to_timestamp/date_trunc/extract."""
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month_num"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym_label"),
+    )
+
+
+def json_functions_events(events: DataFrame) -> DataFrame:
+    """JSON family over events.props (S6 surface: the README-declared JSON
+    assets the reference never implemented — closed here natively)."""
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    ).withColumn("k_bucket", F.floor(F.col("prop_k") / 10))
+
+
+def json_aggregate_events(events: DataFrame) -> DataFrame:
+    """Extract-then-aggregate: JSON props feeding a grouped measure."""
+    return (
+        events.withColumn("prop_k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("prop_k"), 4).alias("avg_k"),
+            F.max("prop_k").alias("max_k"),
+        )
+    )
+
+
+def array_functions_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Array family over array<float> embeddings: element access, slicing,
+    and higher-order aggregate (dot-with-self = squared L2 norm) — all
+    JVM-side, no UDF."""
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return embeddings.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(vec[0], 6).alias("first_component"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x),
+            6,
+        ).alias("squared_norm"),
+        F.round(
+            F.aggregate(F.slice(vec, 1, 8), F.lit(0.0), lambda acc, x: acc + x) / F.lit(8.0),
+            6,
+        ).alias("mean_first8"),
+    )

@@ -1,0 +1,111 @@
+"""SparkSession + testdata table registry.
+
+The reference exposes its tables through a Trino catalog over Postgres
+(trino/conf/trino/catalog/my_catalog.properties:1-4); here the warehouse is
+native Spark — tables are Parquet scans registered as temp views, so every
+query gets Catalyst pushdown/pruning for free.
+
+Scale notes (100 TB): the same code runs unchanged on a cluster master; the
+only local-mode specifics are the shuffle-partition count (set ≈ cores here,
+≈ 2-3× total cores on a cluster) and driver memory. AQE is enabled so
+partition coalescing / skew-join splitting re-tunes at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables that are bounded (catalog-sized) even at 100 TB scale —
+#: always safe to broadcast. customer/part/supplier grow with SF, so they are
+#: NOT in this list; AQE decides for them based on runtime size.
+BOUNDED_DIMS = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "datalake_local_spark", cpus: str | None = None) -> SparkSession:
+    """Build a local session tuned for the test harness.
+
+    On a real cluster you would drop ``master`` and memory settings and keep
+    only the SQL configs (AQE, UTC timezone, Arrow).
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply session-level configs that matter for oracle parity on a session
+    we did not build (the driver passes its own)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # The driver-generated testdata stores TIMESTAMP(NANOS) which the Spark
+    # parquet reader rejects by default; read nanos as long and convert.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that tolerates TIMESTAMP(NANOS) columns: nanos come in
+    as longs (legacy conf above) and are converted to proper timestamps
+    (integer division — no double rounding). Timestamp filters then apply
+    post-scan; at scale, rewrite such data to µs-precision parquet once and
+    regain native pushdown."""
+    ns_cols = [
+        f.name
+        for f in pq.read_schema(path)
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata parquet as a temp view; return name → DataFrame.
+
+    Plain ``spark.read.parquet`` scans: Catalyst pushes predicates and prunes
+    columns into the parquet reader (verify with ``.explain`` → PushedFilters
+    / ReadSchema), which is exactly the pushdown the reference got from the
+    Trino postgresql connector.
+    """
+    configure(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = _read_parquet(spark, path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,107 @@
+"""Event-time window operators over ``events(event_id, ts, user_id,
+event_type, value, props)``.
+
+Batch and streaming variants share the same logical shape; the streaming
+ones add watermarks for bounded state. Scale notes: tumbling/sliding
+windows shuffle on (window, key) — state per open window only; the
+sessionizer's batch form is two window functions over one (user) shuffle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def tumbling_window_counts(events: DataFrame, minutes: int = 10) -> DataFrame:
+    """Tumbling event-time window aggregate (batch form of the streaming
+    query below — identical results on static input)."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes").alias("win"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(events: DataFrame, length_min: int = 10, slide_min: int = 5) -> DataFrame:
+    """Sliding window: each event lands in length/slide windows."""
+    return (
+        events.groupBy(F.window("ts", f"{length_min} minutes", f"{slide_min} minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization, batch form: lag → new-session flag →
+    running sum = session id → per-session aggregate. One shuffle on
+    user_id shared by both windows."""
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap_s = gap_minutes * 60
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1, 0).over(w) > gap_s, 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum(
+            F.when(F.lag("ts", 1).over(w).isNull(), 1).otherwise(F.col("new_session"))
+        ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+def run_streaming_tumbling(
+    spark: SparkSession, sf_dir: str, minutes: int = 10, query_name: str = "stream_tumbling"
+) -> DataFrame:
+    """Drive the tumbling aggregate through an ACTUAL Structured Streaming
+    query: parquet file source → watermark → windowed agg → memory sink,
+    with availableNow so the batch of files is consumed to completion
+    synchronously. Returns the sink contents (equals the batch form)."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file streams need a directory source; glob-filter to the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # testdata stores TIMESTAMP(NANOS) → read as long, convert (session.py)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = stream.withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy(F.window("ts", f"{minutes} minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return spark.table(query_name)

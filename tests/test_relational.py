@@ -1,0 +1,66 @@
+"""Plan-quality + semantics tests for the relational operator library.
+
+Value correctness is covered by the DuckDB oracle harness
+(tools/check_oracle.py / the driver's t2); these tests assert the things
+the oracle can't see: physical-plan properties (broadcast, pushdown) and
+operator invariants.
+"""
+
+from pyspark.sql import functions as F
+
+from datalake_local_spark.operators import aggregates as agg
+from datalake_local_spark.operators import flagship, joins, setops, windows
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_bounded_dims(tables):
+    df = flagship.revenue_by_month_region(
+        tables["lineitem"], tables["orders"], tables["customer"], tables["nation"], tables["region"]
+    )
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan, "nation/region should be broadcast"
+
+
+def test_filter_pushdown_reaches_parquet(tables):
+    df = tables["lineitem"].filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _physical_plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in plan
+
+def test_column_pruning_reaches_parquet(tables):
+    df = tables["lineitem"].select("l_orderkey", "l_quantity")
+    plan = _physical_plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_semi_plus_anti_partition_customers(tables):
+    semi = joins.semi_join_customers_with_orders(tables["customer"], tables["orders"]).count()
+    anti = joins.anti_join_customers_without_orders(tables["customer"], tables["orders"]).count()
+    assert semi + anti == tables["customer"].count()
+
+
+def test_rollup_total_row_matches_count(tables):
+    out = agg.rollup_returnflag_linestatus(tables["lineitem"])
+    total = out.filter((F.col("returnflag") == "ALL") & (F.col("linestatus") == "ALL")).collect()
+    assert total[0]["n_rows"] == tables["lineitem"].count()
+
+
+def test_topk_per_group_bounded(tables):
+    out = windows.top_k_orders_per_customer(tables["orders"], k=3)
+    worst = out.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert worst <= 3
+
+
+def test_intersect_except_disjoint(tables):
+    both = setops.customers_active_both_years(tables["orders"])
+    only_first = setops.customers_active_only_first_year(tables["orders"])
+    assert both.intersect(only_first).count() == 0
+
+
+def test_top_orders_sorted_desc(tables):
+    rows = setops.top_orders_global(tables["orders"], n=10).collect()
+    prices = [r["totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    assert len(rows) == 10

@@ -1,0 +1,122 @@
+"""Local stand-in for the driver's t2 correctness gate: run every
+``queries()`` entry at a given SF dir, run the matching ``oracle_sql()``
+in DuckDB over the same parquet, and compare row-count + column names/
+types + order-insensitive values (exact for non-floats, tiny epsilon for
+floats since both sides round explicitly).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from datalake_local_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object and df[c].map(
+            lambda v: v is None or hasattr(v, "toordinal"), na_action="ignore"
+        ).all():
+            try:
+                df[c] = pd.to_datetime(df[c])
+            except (ValueError, TypeError):
+                pass
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, spark_df, oracle_df) -> list[str]:
+    problems = []
+    s = normalize(spark_df)
+    o = normalize(oracle_df)
+    if len(s) != len(o):
+        problems.append(f"rowcount spark={len(s)} oracle={len(o)}")
+        return problems
+    if list(s.columns) != list(o.columns):
+        problems.append(f"columns spark={list(s.columns)} oracle={list(o.columns)}")
+        return problems
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+            sn = sv.astype(float)
+            on = ov.astype(float)
+            bad = ~(
+                (sn.isna() & on.isna())
+                | ((sn - on).abs() <= 1e-9 + 1e-9 * on.abs().fillna(0))
+            )
+        else:
+            bad = ~((sv.isna() & ov.isna()) | (sv.astype(str) == ov.astype(str)))
+        if bad.any():
+            i = bad.idxmax()
+            problems.append(
+                f"col {c}: {int(bad.sum())} mismatches, first at row {i}: "
+                f"spark={sv[i]!r} oracle={ov[i]!r}"
+            )
+        # dtype-kind check (loose — driver compares schemas)
+        if sv.dtype.kind != ov.dtype.kind and {sv.dtype.kind, ov.dtype.kind} != {"i", "O"}:
+            problems.append(f"col {c}: dtype spark={sv.dtype} oracle={ov.dtype}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(cpus="8")
+    con = duck_con(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error {str(e)[:300]}")
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL  {name}: " + " | ".join(problems[:4]))
+            failed.append(name)
+        else:
+            print(f"OK    {name}: {len(sdf)} rows")
+    spark.stop()
+    print(f"\n{len(failed)} failures: {failed}" if failed else "\nall green")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
