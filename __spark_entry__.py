@@ -18,7 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datalake_local_spark.session import load_tables
 from datalake_local_spark.operators import aggregates as agg
-from datalake_local_spark.operators import asof, flagship, joins, scalars, setops, windows
+from datalake_local_spark.operators import (
+    asof,
+    flagship,
+    joins,
+    scalars,
+    semantic,
+    setops,
+    tpch,
+    windows,
+)
 from datalake_local_spark.llm import dedup, similarity, text, multimodal
 from datalake_local_spark.streaming import event_windows
 
@@ -106,6 +115,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (north star)
         "mm_decode_metadata": lambda s, d: multimodal.decode_image_metadata(*_t(s, d, "documents")),
         "mm_payload_profile": lambda s, d: multimodal.payload_size_profile(*_t(s, d, "documents")),
+        # TPC-H-style depth + pivot/unpivot/sampling/percentiles
+        "tpch_shipping_priority": lambda s, d: tpch.shipping_priority(*_t(s, d, "lineitem", "orders", "customer")),
+        "tpch_local_supplier_volume": lambda s, d: tpch.local_supplier_volume(
+            *_t(s, d, "lineitem", "orders", "customer", "supplier", "nation", "region")
+        ),
+        "tpch_returned_items": lambda s, d: tpch.returned_item_losses(*_t(s, d, "lineitem", "orders", "customer")),
+        "tpch_big_spenders": lambda s, d: tpch.big_spender_segments(*_t(s, d, "orders", "customer")),
+        "pivot_status_by_priority": lambda s, d: tpch.pivot_status_by_priority(*_t(s, d, "orders")),
+        "unpivot_order_measures": lambda s, d: tpch.unpivot_order_measures(*_t(s, d, "orders")),
+        "sample_deterministic": lambda s, d: tpch.deterministic_sample_stats(*_t(s, d, "orders")),
+        "agg_exact_percentiles": lambda s, d: tpch.exact_percentiles(*_t(s, d, "orders")),
+        # semantic-layer façade (Cube schema contract)
+        "semantic_ohlcv_daily": lambda s, d: semantic.ohlcv_daily(*_t(s, d, "events")),
+        "semantic_prediction_join": lambda s, d: semantic.prediction_vs_actual(*_t(s, d, "events")),
         # event-time windows / streaming (SURVEY §2.6)
         "events_tumbling": lambda s, d: event_windows.tumbling_window_counts(*_t(s, d, "events")),
         "events_sliding": lambda s, d: event_windows.sliding_window_counts(*_t(s, d, "events")),
@@ -511,6 +534,114 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(octet_length(encode(text))), 4) AS avg_bytes,
                    CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
             FROM documents GROUP BY 1
+        """,
+        "tpch_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority, revenue FROM (
+                SELECT l_orderkey, o_orderdate, o_orderpriority,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+                  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+                  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+                GROUP BY 1, 2, 3
+            ) ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_local_supplier_volume": """
+            SELECT n_name AS nation,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "tpch_returned_items": """
+            SELECT c_custkey, c_name, c_mktsegment, lost_revenue FROM (
+                SELECT c_custkey, c_name, c_mktsegment,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE l_returnflag = 'R'
+                GROUP BY 1, 2, 3
+            ) ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_big_spenders": """
+            WITH totals AS (
+                SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY 1
+            ),
+            a AS (SELECT avg(spend) AS avg_spend FROM totals)
+            SELECT c_mktsegment,
+                   count(*) AS n_big_spenders,
+                   round(sum(spend), 2) AS total_spend
+            FROM totals, a
+            JOIN customer ON o_custkey = c_custkey
+            WHERE spend > 2 * avg_spend
+            GROUP BY 1
+        """,
+        "pivot_status_by_priority": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY 1
+        """,
+        "unpivot_order_measures": """
+            WITH wide AS (
+                SELECT o_orderpriority,
+                       round(min(o_totalprice), 2) AS min_price,
+                       round(max(o_totalprice), 2) AS max_price,
+                       round(avg(o_totalprice), 2) AS avg_price
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderpriority, 'min_price' AS measure, min_price AS value FROM wide
+            UNION ALL
+            SELECT o_orderpriority, 'max_price', max_price FROM wide
+            UNION ALL
+            SELECT o_orderpriority, 'avg_price', avg_price FROM wide
+        """,
+        "sample_deterministic": """
+            SELECT o_orderstatus,
+                   count(*) AS n_sampled,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders WHERE o_orderkey % 10 = 0 GROUP BY 1
+        """,
+        "agg_exact_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+            FROM orders GROUP BY 1
+        """,
+        "semantic_ohlcv_daily": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   event_type AS symbol,
+                   count(*) AS n,
+                   round(sum(value), 4) AS value_sum,
+                   round(avg(value), 4) AS value_avg,
+                   round(min(value), 4) AS value_min,
+                   round(max(value), 4) AS value_max
+            FROM events GROUP BY 1, 2
+        """,
+        "semantic_prediction_join": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       event_type AS symbol,
+                       avg(value) AS value_avg
+                FROM events GROUP BY 1, 2
+            ),
+            pred AS (
+                SELECT day + INTERVAL 1 DAY AS day, symbol,
+                       value_avg AS value_predicted
+                FROM daily
+            )
+            SELECT d.day, d.symbol,
+                   round(d.value_avg, 4) AS value_avg,
+                   round(p.value_predicted, 4) AS value_predicted,
+                   round(d.value_avg - p.value_predicted, 4) AS prediction_error
+            FROM daily d LEFT JOIN pred p ON d.day = p.day AND d.symbol = p.symbol
         """,
         "events_tumbling": _TUMBLING_ORACLE,
         "events_sliding": """
