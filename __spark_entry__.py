@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_json_extract": lambda s, d: scalars.json_functions_events(*_t(s, d, "events")),
         "scalar_json_agg": lambda s, d: scalars.json_aggregate_events(*_t(s, d, "events")),
         "scalar_array_funcs": lambda s, d: scalars.array_functions_embeddings(*_t(s, d, "embeddings")),
+        "scalar_map_funcs": lambda s, d: scalars.map_functions_events(*_t(s, d, "events")),
         # dedup family (north star)
         "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
@@ -380,6 +381,14 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS squared_norm,
                    round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) / 8.0, 6) AS mean_first8
             FROM embeddings
+        """,
+        "scalar_map_funcs": """
+            SELECT event_id,
+                   CAST(props->>'$.k' AS BIGINT) AS k_value,
+                   CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+                   array_to_string(list_sort(json_keys(props)), ',') AS key_list,
+                   json_extract(props, '$.k') IS NOT NULL AS has_k
+            FROM events
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint,

@@ -66,6 +66,19 @@ def json_aggregate_events(events: DataFrame) -> DataFrame:
     )
 
 
+def map_functions_events(events: DataFrame) -> DataFrame:
+    """Map family: typed map from JSON props (from_json → map<string,long>),
+    key/value access — the MapType surface of SURVEY §2.5."""
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return events.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("key_list"),
+        F.map_contains_key(m, "k").alias("has_k"),
+    )
+
+
 def array_functions_embeddings(embeddings: DataFrame) -> DataFrame:
     """Array family over array<float> embeddings: element access, slicing,
     and higher-order aggregate (dot-with-self = squared L2 norm) — all

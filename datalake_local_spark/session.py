@@ -41,15 +41,23 @@ BOUNDED_DIMS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def get_spark(app_name: str = "datalake_local_spark", cpus: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "datalake_local_spark",
+    cpus: str | None = None,
+    warehouse_dir: str | None = None,
+) -> SparkSession:
     """Build a local session tuned for the test harness.
 
     On a real cluster you would drop ``master`` and memory settings and keep
-    only the SQL configs (AQE, UTC timezone, Arrow).
+    only the SQL configs (AQE, UTC timezone, Arrow). ``warehouse_dir`` must
+    be set at build time — it is immutable once the session exists.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder
+    if warehouse_dir is not None:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,69 @@
+"""Landing-zone discovery — the reference's object-store namespace scan
+(SURVEY §2.1 S1/S2, assets.py:24-39: list MinIO buckets skipping
+``configuration``, recursive object listing) over a directory landing zone.
+
+Returns the inventory as a DataFrame so discovery itself is queryable
+(filter by extension = P2, exclude configuration = P1), and feeds the
+type-dispatched ingest loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+EXCLUDED_BUCKETS = ("configuration",)  # P1 (assets.py:31, 145)
+
+
+def discover_landing(spark: SparkSession, landing_root: str) -> DataFrame:
+    """One row per object: (bucket, path, name, ext, size_bytes).
+
+    Driver-side directory walk (the landing *inventory* is catalog-sized
+    even when the data is 100 TB); the object *contents* are only ever read
+    by distributed sources.
+    """
+    rows = []
+    if os.path.isdir(landing_root):
+        for bucket in sorted(os.listdir(landing_root)):
+            bpath = os.path.join(landing_root, bucket)
+            if not os.path.isdir(bpath) or bucket in EXCLUDED_BUCKETS:
+                continue
+            for dirpath, _dirs, files in os.walk(bpath):  # S2 recursive
+                for fname in sorted(files):
+                    fpath = os.path.join(dirpath, fname)
+                    ext = os.path.splitext(fname)[1].lstrip(".").lower()
+                    rows.append((bucket, fpath, fname, ext, os.path.getsize(fpath)))
+    return spark.createDataFrame(
+        rows, "bucket string, path string, name string, ext string, size_bytes long"
+    )
+
+
+def ingest_landing(spark: SparkSession, landing_root: str) -> dict[str, int]:
+    """Type-dispatched ingest of a whole landing zone (the reference's two
+    Dagster jobs unified): .csv → semi-structured line pipeline, .jsonl/.json
+    → JSON source, .xlsx → Excel (when openpyxl present). Returns
+    table→rowcount. Idempotent: provenance + IF-NOT-EXISTS semantics via
+    InfoCatalog."""
+    from datalake_local_spark.catalog import InfoCatalog
+    from datalake_local_spark.functions.sanitize import fix_string, sanitize_db_name
+    from datalake_local_spark.sources import csv_lines, json_source
+    from datalake_local_spark.sources.excel import HAS_XLSX, ingest_excel_dir
+
+    catalog = InfoCatalog(spark)
+    written: dict[str, int] = {}
+    inventory = discover_landing(spark, landing_root).collect()
+    for row in inventory:
+        db = fix_string(row["bucket"])
+        table = sanitize_db_name(fix_string(os.path.splitext(row["name"])[0]))
+        if row["ext"] == "csv":
+            df = csv_lines.ingest_csv_lines(spark, row["path"])
+            fqn = catalog.save_ingested(df, db, table)
+            written[fqn] = spark.table(fqn).count()
+        elif row["ext"] in ("json", "jsonl"):
+            json_source.ingest_json(spark, row["path"], db, table, catalog=catalog)
+            written[f"{db}.{table}"] = spark.table(f"{db}.{table}").count()
+    if HAS_XLSX:
+        for fqn in ingest_excel_dir(spark, landing_root, catalog):
+            written[fqn] = spark.table(fqn).count()
+    return written

@@ -40,7 +40,13 @@ def stream_csv_ingest(
     stream = reader.csv(landing_dir)
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
+        if "." in target_table:
+            db = target_table.split(".", 1)[0]
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
         df.write.mode("append").format("parquet").saveAsTable(target_table)
+        # invalidate the cached file index so concurrent readers in the
+        # main session see the appended files immediately
+        spark.catalog.refreshTable(target_table)
 
     return (
         stream.writeStream.foreachBatch(write_batch)

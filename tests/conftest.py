@@ -17,10 +17,8 @@ def spark(tmp_path_factory):
     import os
 
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = "4g"
-    session = (
-        get_spark(app_name="datalake-local-spark-tests", cpus="4")
-        .builder.config("spark.sql.warehouse.dir", str(warehouse))
-        .getOrCreate()
+    session = get_spark(
+        app_name="datalake-local-spark-tests", cpus="4", warehouse_dir=str(warehouse)
     )
     yield session
     session.stop()

@@ -74,6 +74,27 @@ def test_catalog_provenance_and_audit(spark):
     assert spark.table(fqn).count() == 5
 
 
+def test_landing_discovery_and_dispatch(spark, tmp_path):
+    from datalake_local_spark.sources import landing
+
+    root = tmp_path / "landing"
+    (root / "granja%uno").mkdir(parents=True)
+    (root / "configuration").mkdir()  # P1: must be excluded
+    (root / "granja%uno" / "ventas.csv").write_text(
+        "1/2/2024 Venta Animales: 5 Documento salida: 10\n"
+    )
+    (root / "granja%uno" / "extra.jsonl").write_text('{"a": 7}\n')
+    (root / "configuration" / "skip.csv").write_text("x\n")
+
+    inv = landing.discover_landing(spark, str(root)).collect()
+    assert {r["bucket"] for r in inv} == {"granja%uno"}
+    assert {r["ext"] for r in inv} == {"csv", "jsonl"}
+
+    written = landing.ingest_landing(spark, str(root))
+    assert written == {"granjaporcentaje_uno.ventas": 1, "granjaporcentaje_uno.extra": 1}
+    assert spark.table("granjaporcentaje_uno.ventas").collect()[0]["n_animales"] == 5
+
+
 def test_excel_gated_when_openpyxl_missing(spark, tmp_path):
     if excel.HAS_XLSX:
         pytest.skip("openpyxl present; gating path not applicable")
