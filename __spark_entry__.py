@@ -22,6 +22,7 @@ from datalake_local_spark.operators import (
     asof,
     flagship,
     joins,
+    merge,
     scalars,
     semantic,
     setops,
@@ -58,6 +59,67 @@ def _q_flagship(spark, sf):
 def _q_streaming_tumbling(spark, sf):
     name = f"stream_tumbling_{next(_stream_counter)}"
     return event_windows.run_streaming_tumbling(spark, sf, minutes=10, query_name=name)
+
+
+def _q_streaming_sessionize(spark, sf):
+    name = f"stream_sessions_{next(_stream_counter)}"
+    return event_windows.run_streaming_sessionize(spark, sf, gap_minutes=30, query_name=name)
+
+
+def _q_streaming_stateful(spark, sf):
+    name = f"stream_stateful_{next(_stream_counter)}"
+    return event_windows.run_streaming_stateful_counter(spark, sf, query_name=name)
+
+
+def _q_merge_upsert(spark, sf):
+    """MERGE: corrected rows (10% of keys, price uplift, status 'U') +
+    brand-new rows (shifted keys), upserted into orders, then profiled."""
+    from pyspark.sql import functions as F
+
+    (orders,) = _t(spark, sf, "orders")
+    corrections = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = corrections.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    source = corrections.unionByName(inserts)
+    merged = merge.merge_upsert(
+        orders.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
+        ),
+        source,
+        ["o_orderkey"],
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _q_scd2(spark, sf):
+    """SCD2: customer segment changes for every 10th customer become new
+    versions; output the versioned history with validity windows."""
+    from pyspark.sql import functions as F
+
+    (customer,) = _t(spark, sf, "customer")
+    current = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("date").alias("effective_from"),
+    )
+    updates = (
+        customer.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.lit("WHOLESALE").alias("c_mktsegment"),
+            F.lit("2021-01-01").cast("date").alias("effective_from"),
+        )
+    )
+    return merge.scd2_apply(current, updates, "c_custkey", ["c_mktsegment"], "effective_from")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -134,7 +196,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": lambda s, d: event_windows.tumbling_window_counts(*_t(s, d, "events")),
         "events_sliding": lambda s, d: event_windows.sliding_window_counts(*_t(s, d, "events")),
         "events_sessionize": lambda s, d: event_windows.sessionize_batch(*_t(s, d, "events")),
+        "events_salted_agg": lambda s, d: merge.salted_two_phase_agg(*_t(s, d, "events")),
         "streaming_tumbling": _q_streaming_tumbling,
+        "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_stateful_counter": _q_streaming_stateful,
+        # table maintenance (MERGE / SCD2 — Delta/Iceberg ops emulated)
+        "merge_upsert": _q_merge_upsert,
+        "scd2_versions": _q_scd2,
     }
 
 
@@ -690,4 +758,84 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY 1, 2
         """,
         "streaming_tumbling": _TUMBLING_ORACLE,
+        "events_salted_agg": """
+            SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "streaming_sessionize": """
+            WITH lagged AS (
+                SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ),
+            flagged AS (
+                SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+                               WHEN epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                               ELSE 0 END AS new_s
+                FROM lagged
+            ),
+            sess AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   round(sum(value), 2) AS session_value
+            FROM sess GROUP BY user_id, session_seq
+        """,
+        "streaming_stateful_counter": """
+            SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "merge_upsert": """
+            WITH base AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+                FROM orders
+            ),
+            corrections AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       round(o_totalprice * 1.1, 2) AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 100 = 0
+            ),
+            source AS (
+                SELECT * FROM corrections
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM corrections
+            ),
+            merged AS (
+                SELECT b.* FROM base b
+                WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = b.o_orderkey)
+                UNION ALL
+                SELECT * FROM source
+            )
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM merged GROUP BY 1
+        """,
+        "scd2_versions": """
+            WITH current AS (
+                SELECT c_custkey, c_mktsegment, DATE '2020-01-01' AS effective_from
+                FROM customer
+            ),
+            updates AS (
+                SELECT c_custkey, 'WHOLESALE' AS c_mktsegment, DATE '2021-01-01' AS effective_from
+                FROM customer WHERE c_custkey % 10 = 0
+            ),
+            history AS (
+                SELECT * FROM current
+                UNION ALL
+                SELECT u.* FROM updates u
+                LEFT JOIN current c ON u.c_custkey = c.c_custkey
+                WHERE c.c_custkey IS NULL OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+            )
+            SELECT c_custkey, c_mktsegment, effective_from,
+                   lead(effective_from, 1) OVER (PARTITION BY c_custkey ORDER BY effective_from) AS valid_to,
+                   lead(effective_from, 1) OVER (PARTITION BY c_custkey ORDER BY effective_from) IS NULL AS is_current
+            FROM history
+        """,
     }

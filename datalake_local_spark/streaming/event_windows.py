@@ -67,6 +67,105 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def run_streaming_sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, query_name: str = "stream_sessions"
+) -> DataFrame:
+    """Gap-based sessionization as an ACTUAL streaming query using the
+    native ``session_window`` operator (watermark-bounded state; sessions
+    merge as events arrive). On static input with availableNow this equals
+    the batch lag/cumsum form minus the session ordinal."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end", "session_value")
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return spark.table(query_name)
+
+
+def run_streaming_stateful_counter(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_stateful"
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count + running value sum maintained in explicit
+    state across micro-batches — the escape hatch for operators the built-in
+    window/aggregation surface can't express (SURVEY §2.6 net-new).
+
+    State per key is two numbers → bounded; at scale state lives in the
+    checkpointed state store partitioned by user_id.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    output_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return spark.table(query_name)
+
+
 def run_streaming_tumbling(
     spark: SparkSession, sf_dir: str, minutes: int = 10, query_name: str = "stream_tumbling"
 ) -> DataFrame:
