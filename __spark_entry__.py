@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, d: dedup.simhash_near_dup_pairs(*_t(s, d, "documents")),
         # similarity search (north star)
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(*_t(s, d, "embeddings")),
+        "sim_cosine_topk_vectorized": lambda s, d: similarity.cosine_topk_vectorized(*_t(s, d, "embeddings")),
         "sim_cosine_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(*_t(s, d, "embeddings")),
         "sim_label_centroids": lambda s, d: similarity.embedding_centroids_by_label(*_t(s, d, "embeddings")),
         # text analysis (north star)
@@ -209,6 +210,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ------------------------------------------------------------- oracle SQL
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_COSINE_TOPK_ORACLE = """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ),
+            pairs AS (
+                SELECT q.query_id, e.vec_id AS corpus_id,
+                       round(
+                         list_sum(list_transform(list_zip(q.qe, e.embedding),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                         6) AS cosine
+                FROM q, embeddings e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, corpus_id, cosine, rank FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
+                FROM pairs
+            ) WHERE rank <= 5
+        """
 
 _TUMBLING_ORACLE = """
 SELECT date_trunc('hour', ts) + to_minutes(CAST(floor(minute(ts)/10)*10 AS BIGINT)) AS win_start,
@@ -484,26 +506,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
         """,
-        "sim_cosine_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)
-            ),
-            pairs AS (
-                SELECT q.query_id, e.vec_id AS corpus_id,
-                       round(
-                         list_sum(list_transform(list_zip(q.qe, e.embedding),
-                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                         / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                            * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-                         6) AS cosine
-                FROM q, embeddings e WHERE e.vec_id <> q.query_id
-            )
-            SELECT query_id, corpus_id, cosine, rank FROM (
-                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
-                FROM pairs
-            ) WHERE rank <= 5
-        """,
+        "sim_cosine_topk": _COSINE_TOPK_ORACLE,
+        "sim_cosine_topk_vectorized": _COSINE_TOPK_ORACLE,
         "sim_label_centroids": """
             WITH per_dim AS (
                 SELECT label, pos, avg(CAST(v AS DOUBLE)) AS mean_v FROM (

@@ -69,6 +69,12 @@ def test_lsh_topk_subset_of_bruteforce_universe(tables):
         assert brute_scores[(r["query_id"], r["corpus_id"])] == r["cosine"]
 
 
+def test_vectorized_cosine_equals_sql_fold(tables):
+    a = sorted(tuple(r) for r in similarity.cosine_topk_bruteforce(tables["embeddings"]).collect())
+    b = sorted(tuple(r) for r in similarity.cosine_topk_vectorized(tables["embeddings"]).collect())
+    assert a == b
+
+
 def test_centroid_output_shape(tables):
     rows = similarity.embedding_centroids_by_label(tables["embeddings"]).collect()
     assert all(r["dim"] == 64 for r in rows)
