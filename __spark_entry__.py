@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": lambda s, d: text.language_id(*_t(s, d, "documents")),
         "text_fingerprint": lambda s, d: text.fingerprints(*_t(s, d, "documents")),
         "text_source_profile": lambda s, d: text.source_lang_profile(*_t(s, d, "documents")),
+        "text_top_bigrams": lambda s, d: text.top_bigrams_per_lang(*_t(s, d, "documents")),
+        "sim_quantize_int8": lambda s, d: similarity.quantize_int8_profile(*_t(s, d, "embeddings")),
         # multimodal plumbing (north star)
         "mm_decode_metadata": lambda s, d: multimodal.decode_image_metadata(*_t(s, d, "documents")),
         "mm_payload_profile": lambda s, d: multimodal.payload_size_profile(*_t(s, d, "documents")),
@@ -598,6 +600,44 @@ def oracle_sql() -> dict[str, str]:
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY 1, 2
+        """,
+        "text_top_bigrams": f"""
+            WITH d AS (
+                SELECT lang, string_split({_NORM}, ' ') AS toks FROM documents
+            ),
+            e AS (
+                SELECT lang, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                FROM d
+            ),
+            c AS (SELECT lang, bigram, count(*) AS n FROM e GROUP BY 1, 2)
+            SELECT lang, bigram, n, CAST(rank AS INTEGER) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+                FROM c
+            ) WHERE rank <= 5
+        """,
+        "sim_quantize_int8": """
+            WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, ve,
+                       list_max(list_transform(ve, x -> abs(x))) AS absmax
+                FROM v
+            ),
+            q AS (
+                SELECT vec_id, ve, absmax, absmax / 127.0 AS scale,
+                       list_transform(ve, x -> CAST(round(x / (absmax / 127.0)) AS INTEGER)) AS qv
+                FROM s
+            )
+            SELECT vec_id,
+                   round(absmax, 6) AS abs_max,
+                   round(scale, 6) AS scale,
+                   round(list_max(list_transform(list_zip(ve, qv),
+                         p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale))), 6) AS max_recon_err,
+                   CAST(len(list_filter(qv, x -> x = 0)) AS INTEGER) AS n_zero_codes
+            FROM q
         """,
         "mm_decode_metadata": """
             SELECT doc_id,

@@ -42,15 +42,17 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 def _shingles(col, n: int = 3):
     """Word n-gram shingles as a distinct array — built from split +
-    transform/slice, no UDF."""
+    transform/slice, no UDF. Guarded for docs shorter than n tokens:
+    Spark's sequence(1, 0) yields a DESCENDING [1, 0] (not empty), which
+    would make slice() throw on index 0."""
     tokens = F.split(_norm_text(col), " ")
     k = F.size(tokens) - (n - 1)
-    return F.array_distinct(
+    return F.when(k >= 1, F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
         )
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:

@@ -182,6 +182,29 @@ def cosine_topk_lsh(
     )
 
 
+def quantize_int8_profile(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization profile: per-vector scale =
+    max|x| / 127, plus reconstruction-error stats — the storage-shrink
+    (4×) every 100 TB vector corpus applies before ANN. Pure array
+    expressions; the quantized array itself would be the stored column."""
+    vec = _as_double(F.col("embedding"))
+    absmax = F.array_max(F.transform(vec, F.abs))
+    scale = absmax / F.lit(127.0)
+    quant = F.transform(vec, lambda x: F.round(x / scale).cast("int"))
+    recon_err = F.array_max(
+        F.zip_with(vec, quant, lambda x, q: F.abs(x - q.cast("double") * scale))
+    )
+    return embeddings.select(
+        "vec_id",
+        F.round(absmax, 6).alias("abs_max"),
+        F.round(scale, 6).alias("scale"),
+        F.round(recon_err, 6).alias("max_recon_err"),
+        F.aggregate(quant, F.lit(0), lambda acc, q: acc + F.when(q == 0, 1).otherwise(0)).alias(
+            "n_zero_codes"
+        ),
+    )
+
+
 def embedding_centroids_by_label(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     """Per-label centroid via positional explode + re-aggregate — the
     building block for IVF coarse quantization. posexplode shuffles

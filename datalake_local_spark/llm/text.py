@@ -94,6 +94,33 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+def top_bigrams_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Corpus n-gram frequency profile: top-k word bigrams per language.
+    Bigrams built positionally (sequence + slice — no UDF), counted with
+    map-side partial agg, top-k per group via window (never a global sort).
+    The vocabulary-profile query every corpus QA pipeline runs."""
+    from pyspark.sql import Window as W
+
+    tokens = F.split(_norm_text(F.col("text")), " ")
+    n_pairs = F.size(tokens) - 1
+    # guard: sequence(1, 0) in Spark is descending [1, 0], not empty
+    bigrams = F.when(n_pairs >= 1, F.transform(
+        F.sequence(F.lit(1), F.greatest(n_pairs, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    counts = (
+        documents.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "bigram", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def source_lang_profile(documents: DataFrame) -> DataFrame:
     """Corpus profiling rollup: per (source, lang) doc counts and length
     stats — the monitoring query a pipeline runs after every stage."""
