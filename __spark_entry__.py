@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_grouping_sets": lambda s, d: (_t(s, d, "events") and agg.grouping_sets_events(s)),
         "agg_approx_distinct": lambda s, d: agg.approx_distinct_parts(*_t(s, d, "lineitem")),
         "agg_monthly_rollup": lambda s, d: agg.monthly_rollup(*_t(s, d, "orders")),
+        "agg_argmax": lambda s, d: agg.argmax_aggregates(*_t(s, d, "orders")),
+        "agg_conditional": lambda s, d: agg.conditional_aggregates(*_t(s, d, "lineitem")),
+        "null_handling": lambda s, d: agg.null_handling_orders(*_t(s, d, "orders", "customer")),
+        "window_range_frame": lambda s, d: windows.range_frame_weekly_revenue(*_t(s, d, "orders")),
         # windows (SURVEY §2.5 + A6)
         "window_rank": lambda s, d: windows.rank_orders_per_customer(*_t(s, d, "orders")),
         "window_lag_lead": lambda s, d: windows.lag_lead_order_dates(*_t(s, d, "orders")),
@@ -360,6 +364,42 @@ def oracle_sql() -> dict[str, str]:
                    round(min(o_totalprice), 2) AS min_price,
                    round(max(o_totalprice), 2) AS max_price
             FROM orders GROUP BY 1, 2
+        """,
+        "agg_argmax": """
+            SELECT o_orderpriority,
+                   arg_max(o_orderkey, o_totalprice) AS priciest_orderkey,
+                   arg_min(o_orderkey, o_totalprice) AS cheapest_orderkey,
+                   round(max(o_totalprice), 2) AS max_price,
+                   round(min(o_totalprice), 2) AS min_price
+            FROM orders GROUP BY 1
+        """,
+        "agg_conditional": """
+            SELECT l_linestatus,
+                   count(*) AS n_rows,
+                   count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+                   count(*) FILTER (WHERE l_quantity > 30) AS n_big,
+                   round(coalesce(sum(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 0.0), 2)
+                       AS returned_value,
+                   round(avg(l_discount) FILTER (WHERE l_quantity > 30), 6) AS avg_disc_big
+            FROM lineitem GROUP BY 1
+        """,
+        "null_handling": """
+            SELECT o_orderkey,
+                   coalesce(big_name, '(small)') AS display_name,
+                   big_name IS NULL AS is_small,
+                   CASE WHEN big_name IS NOT NULL THEN 'BIG' ELSE 'SMALL' END AS tier,
+                   nullif(o_orderstatus, 'O') AS status_or_null
+            FROM orders LEFT JOIN (
+                SELECT c_custkey, c_name AS big_name FROM customer WHERE c_acctbal > 7000
+            ) b ON o_custkey = b.c_custkey
+        """,
+        "window_range_frame": """
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   round(sum(o_totalprice) OVER w, 2) AS trailing_7d_revenue,
+                   count(*) OVER w AS trailing_7d_orders
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         """,
         "window_rank": """
             SELECT o_orderkey, o_custkey,

@@ -103,6 +103,49 @@ def approx_distinct_parts(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def argmax_aggregates(orders: DataFrame) -> DataFrame:
+    """min_by/max_by (arg-extremum) + first/last-in-order aggregates: per
+    priority, which order carries the extreme price. One pass, no window."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_orderkey"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+def conditional_aggregates(lineitem: DataFrame) -> DataFrame:
+    """Filtered/conditional aggregation: count_if + sum(CASE) measures —
+    several filtered measures in ONE scan instead of N filtered scans."""
+    returned = F.col("l_returnflag") == "R"
+    big = F.col("l_quantity") > 30
+    return lineitem.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(returned).alias("n_returned"),
+        F.count_if(big).alias("n_big"),
+        F.round(F.sum(F.when(returned, F.col("l_extendedprice")).otherwise(0.0)), 2).alias(
+            "returned_value"
+        ),
+        F.round(F.avg(F.when(big, F.col("l_discount"))), 6).alias("avg_disc_big"),
+    )
+
+
+def null_handling_orders(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """NULL-handling surface over a null-producing left join: coalesce,
+    nullif, nvl2-style flags, and null-safe equality."""
+    big_customers = customer.filter(F.col("c_acctbal") > 7000).select(
+        "c_custkey", F.col("c_name").alias("big_name")
+    )
+    joined = orders.join(big_customers, orders.o_custkey == big_customers.c_custkey, "left")
+    return joined.select(
+        "o_orderkey",
+        F.coalesce("big_name", F.lit("(small)")).alias("display_name"),
+        F.col("big_name").isNull().alias("is_small"),
+        F.when(F.col("big_name").isNotNull(), "BIG").otherwise("SMALL").alias("tier"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+    )
+
+
 def monthly_rollup(orders: DataFrame) -> DataFrame:
     """A8: the Cube `stock_markets_monthly` materialization shape —
     month-grain rollup as a reusable aggregate."""

@@ -71,6 +71,27 @@ def top_k_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def range_frame_weekly_revenue(orders: DataFrame) -> DataFrame:
+    """RANGE frame: per order, revenue of the same customer's orders in
+    the trailing 7 days (value-based frame over epoch seconds — rows
+    frames count rows, range frames bound by ORDER BY value distance)."""
+    # NTZ timestamps can't cast straight to long; hop via TIMESTAMP (session
+    # is pinned UTC, so the epoch is unambiguous)
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d_revenue"),
+        F.count("*").over(w).alias("trailing_7d_orders"),
+    )
+
+
 def relative_value_per_user(events: DataFrame) -> DataFrame:
     """A6 `*_relative`: each event's value relative to the user's first
     event value (value / first(value) over user ordered by ts) — the Cube
