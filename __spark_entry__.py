@@ -21,6 +21,7 @@ from datalake_local_spark.operators import aggregates as agg
 from datalake_local_spark.operators import (
     asof,
     flagship,
+    grouped_pandas,
     joins,
     merge,
     scalars,
@@ -181,6 +182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": lambda s, d: text.fingerprints(*_t(s, d, "documents")),
         "text_source_profile": lambda s, d: text.source_lang_profile(*_t(s, d, "documents")),
         "text_top_bigrams": lambda s, d: text.top_bigrams_per_lang(*_t(s, d, "documents")),
+        "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
+        "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
         "sim_quantize_int8": lambda s, d: similarity.quantize_int8_profile(*_t(s, d, "embeddings")),
         # multimodal plumbing (north star)
         "mm_decode_metadata": lambda s, d: multimodal.decode_image_metadata(*_t(s, d, "documents")),
@@ -678,6 +681,17 @@ def oracle_sql() -> dict[str, str]:
                          p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale))), 6) AS max_recon_err,
                    CAST(len(list_filter(qv, x -> x = 0)) AS INTEGER) AS n_zero_codes
             FROM q
+        """,
+        "pandas_grouped_zscore": """
+            SELECT doc_id, lang,
+                   round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                         / stddev_samp(n_chars) OVER (PARTITION BY lang), 4) AS z_chars
+            FROM documents
+        """,
+        "pandas_scalar_logistic": """
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-((n_chars - 250.0) / 100.0))), 6) AS quality_sigmoid
+            FROM documents
         """,
         "mm_decode_metadata": """
             SELECT doc_id,

@@ -1,0 +1,104 @@
+"""Table-format abstraction: Delta/Iceberg when their jars are present,
+plain Parquet managed tables otherwise — with snapshot versioning and
+time-travel emulated on the Parquet path so the *capabilities* (versioned
+writes, read-as-of, rollback) exist in every runtime.
+
+The north star names "DataFrame read/write + Delta/Iceberg table ops" as
+the approach; this runtime ships no format jars, so:
+
+- ``preferred_format()`` probes availability (import-try, never a hard dep);
+- ``SnapshotTable`` keeps every write as ``<table>__v<n>`` plus a
+  ``<table>__snapshots`` manifest (version, ts, op, rowcount) — exactly the
+  metadata a format's transaction log records — and exposes
+  ``read(version=...)``, ``latest()``, ``rollback(version)``;
+- on Delta/Iceberg the same API maps to native ``VERSION AS OF`` /
+  snapshot-id reads (left as the documented upgrade path).
+
+Scale notes: version manifests are rows, not files-on-driver; old versions
+are whole immutable tables (storage-heavy but simple — a real format dedups
+at file level, which is why the upgrade path exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def delta_available() -> bool:
+    try:  # pragma: no cover - environment probe
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:  # pragma: no cover - environment probe
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def preferred_format(spark: SparkSession) -> str:
+    if delta_available():
+        return "delta"
+    if iceberg_available(spark):
+        return "iceberg"
+    return "parquet"
+
+
+class SnapshotTable:
+    """Versioned managed table with time travel, format-agnostic."""
+
+    def __init__(self, spark: SparkSession, database: str, name: str):
+        self.spark = spark
+        self.db = database
+        self.name = name
+        self.fmt = preferred_format(spark)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        self._manifest = f"{database}.{name}__snapshots"
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._manifest} "
+            "(version INT, op STRING, n_rows LONG, ts TIMESTAMP) USING PARQUET"
+        )
+
+    def _versions(self) -> list[int]:
+        return [
+            r["version"]
+            for r in self.spark.table(self._manifest).select("version").distinct().collect()
+        ]
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return max(vs) if vs else None
+
+    def write(self, df: DataFrame, op: str = "overwrite") -> int:
+        """Append a new immutable version; returns its number."""
+        version = (self.latest_version() or 0) + 1
+        fqn = f"{self.db}.{self.name}__v{version}"
+        df.write.mode("overwrite").format("parquet").saveAsTable(fqn)
+        n = self.spark.table(fqn).count()
+        self.spark.createDataFrame(
+            [(version, op, n)], "version int, op string, n_rows long"
+        ).withColumn("ts", F.current_timestamp()).write.mode("append").insertInto(
+            self._manifest
+        )
+        return version
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Time travel: read a specific version (default latest)."""
+        version = version if version is not None else self.latest_version()
+        if version is None:
+            raise ValueError(f"{self.db}.{self.name} has no snapshots")
+        return self.spark.table(f"{self.db}.{self.name}__v{version}")
+
+    def rollback(self, version: int) -> int:
+        """Restore an old version as the new latest (non-destructive —
+        records a new snapshot pointing at the old data)."""
+        return self.write(self.read(version), op=f"rollback_to_{version}")
+
+    def history(self) -> DataFrame:
+        return self.spark.table(self._manifest).orderBy("version")
