@@ -21,6 +21,7 @@ from datalake_local_spark.operators import aggregates as agg
 from datalake_local_spark.operators import (
     asof,
     flagship,
+    funnel,
     grouped_pandas,
     joins,
     merge,
@@ -207,6 +208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": lambda s, d: event_windows.sliding_window_counts(*_t(s, d, "events")),
         "events_sessionize": lambda s, d: event_windows.sessionize_batch(*_t(s, d, "events")),
         "events_salted_agg": lambda s, d: merge.salted_two_phase_agg(*_t(s, d, "events")),
+        "events_funnel": lambda s, d: funnel.funnel_click_to_purchase(*_t(s, d, "events")),
+        "events_retention": lambda s, d: funnel.retention_cohorts(*_t(s, d, "events")),
+        "window_distribution": lambda s, d: funnel.ranking_distribution_functions(*_t(s, d, "orders")),
+        "agg_collect_sorted": lambda s, d: funnel.collect_sorted_arrays(*_t(s, d, "orders")),
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_stateful_counter": _q_streaming_stateful,
@@ -859,6 +864,56 @@ def oracle_sql() -> dict[str, str]:
         "events_salted_agg": """
             SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "events_funnel": """
+            WITH first_click AS (
+                SELECT user_id, min(ts) AS first_click_ts
+                FROM events WHERE event_type = 'click' GROUP BY 1
+            ),
+            converted AS (
+                SELECT DISTINCT f.user_id FROM first_click f
+                JOIN events p ON p.user_id = f.user_id
+                 AND p.event_type = 'purchase'
+                 AND p.ts >= f.first_click_ts
+                 AND epoch(p.ts) - epoch(f.first_click_ts) <= 3600
+            )
+            SELECT (SELECT count(*) FROM first_click) AS n_clicked,
+                   (SELECT count(*) FROM converted) AS n_converted,
+                   round(CAST((SELECT count(*) FROM converted) AS DOUBLE)
+                         / (SELECT count(*) FROM first_click), 6) AS conversion_rate
+        """,
+        "events_retention": """
+            WITH user_days AS (
+                SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+                FROM events
+            ),
+            cohorts AS (
+                SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY 1
+            )
+            SELECT c.cohort_day,
+                   CAST(date_diff('day', CAST(c.cohort_day AS DATE), CAST(u.day AS DATE)) AS INTEGER)
+                       AS day_offset,
+                   count(DISTINCT u.user_id) AS n_active
+            FROM user_days u JOIN cohorts c ON u.user_id = c.user_id
+            GROUP BY 1, 2
+        """,
+        "window_distribution": """
+            SELECT o_orderkey, o_custkey,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume,
+                   first_value(o_orderkey) OVER wf AS cheapest_key,
+                   last_value(o_orderkey) OVER wf AS priciest_key,
+                   nth_value(o_orderkey, 2) OVER wf AS second_cheapest_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+                   wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            """,
+        "agg_collect_sorted": """
+            SELECT o_orderpriority,
+                   array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+                   CAST(len(list_distinct(list(o_custkey))) AS INTEGER) AS n_customers
+            FROM orders GROUP BY 1
         """,
         "streaming_sessionize": """
             WITH lagged AS (

@@ -1,0 +1,93 @@
+"""Product-analytics operators over the events stream: funnel conversion,
+cohort retention, and the remaining ranking-function family
+(percent_rank / cume_dist / nth_value). The query shapes an events table
+exists to answer.
+
+Scale notes: funnel and retention both reduce events to one row per
+(user, stage/day) BEFORE any join — the shuffles carry user-grain rows,
+not raw events; conversion windows are applied as join predicates on the
+already-reduced sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def funnel_click_to_purchase(events: DataFrame, within_hours: int = 1) -> DataFrame:
+    """Two-stage funnel: per user, first click and whether a purchase
+    followed within the window; rolled up to funnel totals."""
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    max_delay = within_hours * 3600
+    converted = (
+        first_click.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("first_click_ts"))
+            & (
+                F.col("p_ts").cast("timestamp").cast("long")
+                - F.col("first_click_ts").cast("timestamp").cast("long")
+                <= max_delay
+            ),
+            "left_semi",
+        )
+    )
+    return first_click.agg(
+        F.count("*").alias("n_clicked"),
+    ).join(converted.agg(F.count("*").alias("n_converted"))).select(
+        "n_clicked",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_clicked"), 6).alias("conversion_rate"),
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted by
+    day-offset of later activity. Events reduce to distinct (user, day)
+    first; the cohort join is user-grain."""
+    user_days = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(cohorts, "user_id")
+        .withColumn(
+            "day_offset",
+            F.datediff(F.col("day").cast("date"), F.col("cohort_day").cast("date")),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+def ranking_distribution_functions(orders: DataFrame) -> DataFrame:
+    """The remaining ranking family: percent_rank, cume_dist, nth_value —
+    per customer over price order."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(frame).alias("cheapest_key"),
+        F.last("o_orderkey").over(frame).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(frame).alias("second_cheapest_key"),
+    )
+
+
+def collect_sorted_arrays(orders: DataFrame) -> DataFrame:
+    """Deterministic collection aggregates: sorted distinct arrays —
+    collect_set order is nondeterministic, so sort before exposing."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.size(F.collect_set("o_custkey")).alias("n_customers"),
+    )

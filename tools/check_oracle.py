@@ -38,6 +38,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray",
+            na_action="ignore",
+        ).any():
+            df[c] = df[c].map(
+                lambda v: str(list(v)) if v is not None else None, na_action="ignore"
+            )
+        elif df[c].dtype == object and df[c].map(
             lambda v: v is None or hasattr(v, "toordinal"), na_action="ignore"
         ).all():
             try:
