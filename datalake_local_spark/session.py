@@ -77,9 +77,22 @@ def configure(spark: SparkSession) -> SparkSession:
     we did not build (the driver passes its own)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     # The driver-generated testdata stores TIMESTAMP(NANOS) which the Spark
     # parquet reader rejects by default; read nanos as long and convert.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Right-size shuffles when running under a session we didn't build
+    # (e.g. the driver's): the Spark default of 200 over-parallelizes local
+    # runs; AQE coalesces, but a sane ceiling avoids tiny-task overhead.
+    try:
+        defaultism = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if defaultism >= 200:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            )
+    except Exception:
+        pass
     return spark
 
 
