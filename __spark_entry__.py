@@ -166,6 +166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_json_agg": lambda s, d: scalars.json_aggregate_events(*_t(s, d, "events")),
         "scalar_array_funcs": lambda s, d: scalars.array_functions_embeddings(*_t(s, d, "embeddings")),
         "scalar_map_funcs": lambda s, d: scalars.map_functions_events(*_t(s, d, "events")),
+        "scalar_string_funcs2": lambda s, d: scalars.string_functions_extended(*_t(s, d, "part")),
+        "calendar_spine_daily": lambda s, d: scalars.calendar_spine_daily_orders(*_t(s, d, "orders")),
+        "agg_statistics": lambda s, d: agg.statistical_aggregates(*_t(s, d, "lineitem")),
+        "agg_histogram": lambda s, d: agg.price_histogram(*_t(s, d, "orders")),
         # dedup family (north star)
         "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
@@ -529,6 +533,53 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(json_keys(props)), ',') AS key_list,
                    json_extract(props, '$.k') IS NOT NULL AS has_k
             FROM events
+        """,
+        "scalar_string_funcs2": """
+            SELECT p_partkey,
+                   upper(substring(p_name, 1, 1)) || substring(p_name, 2) AS name_ucfirst,
+                   lpad(p_brand, 12, '*') AS brand_padded,
+                   reverse(p_brand) AS brand_reversed,
+                   split_part(p_type, ' ', 1) AS type_field1,
+                   CAST(levenshtein(p_brand, 'Brand#1') AS INTEGER) AS brand_edit_dist,
+                   repeat('-', p_size % 5 + 1) AS size_bar,
+                   format('{}/{}', p_brand, p_type) AS brand_slash_type
+            FROM part
+        """,
+        "calendar_spine_daily": """
+            WITH bounds AS (
+                SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                       CAST(max(o_orderdate) AS DATE) AS hi
+                FROM orders
+            ),
+            spine AS (
+                SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+                FROM bounds
+            ),
+            daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n, sum(o_totalprice) AS v
+                FROM orders GROUP BY 1
+            )
+            SELECT s.day,
+                   coalesce(n, 0) AS n_orders,
+                   round(coalesce(v, 0.0), 2) AS order_value
+            FROM spine s LEFT JOIN daily d ON s.day = d.day
+        """,
+        "agg_statistics": """
+            SELECT l_linestatus,
+                   count(*) AS n,
+                   round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+                   round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+                   round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+                   round(var_samp(l_quantity), 4) AS qty_var
+            FROM lineitem GROUP BY 1
+        """,
+        "agg_histogram": """
+            WITH bounds AS (
+                SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+            )
+            SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10)) AS BIGINT), 9) AS bin,
+                   count(*) AS n_orders
+            FROM orders, bounds GROUP BY 1
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint,

@@ -146,6 +146,37 @@ def null_handling_orders(orders: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+def statistical_aggregates(lineitem: DataFrame) -> DataFrame:
+    """Statistical aggregate family: correlation, covariance, stddev,
+    variance — one pass, map-side partial states (sum/sum² moments)."""
+    return lineitem.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    )
+
+
+def price_histogram(orders: DataFrame, bins: int = 10) -> DataFrame:
+    """Equal-width histogram via arithmetic binning (floor over the global
+    min/max, broadcast as a 1-row bound) — the distributed form of
+    width_bucket; bin edges computed once, counts are one groupBy."""
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.join(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / bins)
+            ),
+            F.lit(bins - 1).cast("long"),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").alias("n_orders"))
+
+
 def monthly_rollup(orders: DataFrame) -> DataFrame:
     """A8: the Cube `stock_markets_monthly` materialization shape —
     month-grain rollup as a reusable aggregate."""

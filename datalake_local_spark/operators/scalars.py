@@ -27,6 +27,45 @@ def string_functions_part(part: DataFrame) -> DataFrame:
     )
 
 
+def string_functions_extended(part: DataFrame) -> DataFrame:
+    """Second string family: padding, reversal, field extraction, edit
+    distance — the remaining Trino-surface string functions."""
+    return part.select(
+        "p_partkey",
+        F.concat(
+            F.upper(F.substring("p_name", 1, 1)), F.expr("substring(p_name, 2)")
+        ).alias("name_ucfirst"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.reverse("p_brand").alias("brand_reversed"),
+        F.expr("split_part(p_type, ' ', 1)").alias("type_field1"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).alias("brand_edit_dist"),
+        F.repeat(F.lit("-"), F.col("p_size") % 5 + 1).alias("size_bar"),
+        F.format_string("%s/%s", "p_brand", "p_type").alias("brand_slash_type"),
+    )
+
+
+def calendar_spine_daily_orders(orders: DataFrame) -> DataFrame:
+    """Gap-filling via calendar spine: generate every day in the data's
+    range (sequence + explode — a generated dimension, no data shuffle),
+    left-join daily order counts so zero-order days appear explicitly.
+    The standard time-series densification pattern."""
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("v")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("v", F.lit(0.0)), 2).alias("order_value"),
+    )
+
+
 def date_functions_orders(orders: DataFrame) -> DataFrame:
     """Date/time family: the reference's timestamp-regex inference
     (assets.py:294-301) becomes native to_timestamp/date_trunc/extract."""
