@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_composite_theta": lambda s, d: joins.composite_key_join_orders_lineitem(*_t(s, d, "orders", "lineitem")),
         "join_theta_pairs": lambda s, d: joins.theta_join_nation_pairs(*_t(s, d, "nation")),
         "join_asof": lambda s, d: asof.asof_latest_event_before_order(*_t(s, d, "orders", "events")),
+        "join_range_bucketized": lambda s, d: asof.range_join_bucketized(*_t(s, d, "events")),
+        "events_forward_fill": lambda s, d: event_windows.forward_fill_values(*_t(s, d, "events")),
         # aggregations (SURVEY §2.4)
         "agg_pricing_summary": lambda s, d: agg.pricing_summary(*_t(s, d, "lineitem")),
         "agg_order_stats": lambda s, d: agg.order_stats_by_priority(*_t(s, d, "orders")),
@@ -320,6 +322,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN events e
               ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
             GROUP BY 1, 2, 3
+        """,
+        "join_range_bucketized": """
+            WITH anchors AS (
+                SELECT event_id AS anchor_id, user_id AS anchor_user, ts AS anchor_ts
+                FROM events WHERE event_type = 'signup'
+            )
+            SELECT a.anchor_id, a.anchor_user, a.anchor_ts,
+                   count(e.event_id) AS n_following
+            FROM anchors a LEFT JOIN events e
+              ON e.user_id = a.anchor_user
+             AND e.ts > a.anchor_ts
+             AND epoch(e.ts) <= epoch(a.anchor_ts) + 3600
+            GROUP BY 1, 2, 3
+        """,
+        "events_forward_fill": """
+            SELECT event_id, user_id, ts,
+                   round(CASE WHEN event_type <> 'error' THEN value END, 4) AS sparse_value,
+                   round(last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_value
+            FROM events
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

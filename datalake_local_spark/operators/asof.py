@@ -20,6 +20,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def range_join_bucketized(events: DataFrame, window_minutes: int = 60) -> DataFrame:
+    """Band/range join the 100 TB way: for every signup event, count the
+    same user's events in the following hour.
+
+    The naive form is a theta join (ts BETWEEN anchor AND anchor+1h) —
+    nested-loop, quadratic. Here the time axis is bucketized to
+    window-width buckets; each probe event maps to its bucket AND the
+    previous one (any [t, t+w] window spans at most 2 buckets), turning the
+    join into a pure EQUI-join on (user, bucket) with the precise range
+    predicate applied during the probe. Hash shuffle, never nested-loop.
+    """
+    w_s = window_minutes * 60
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    anchors = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id").alias("anchor_user"),
+        F.col("ts").alias("anchor_ts"),
+        epoch.alias("anchor_epoch"),
+        (epoch / w_s).cast("long").alias("bucket"),
+    )
+    probes = (
+        events.select(
+            F.col("user_id").alias("p_user"),
+            epoch.alias("p_epoch"),
+            F.col("event_id").alias("p_id"),
+            F.explode(
+                F.array(
+                    (epoch / w_s).cast("long"),
+                    (epoch / w_s).cast("long") - 1,
+                )
+            ).alias("bucket"),
+        )
+        .dropDuplicates(["p_id", "bucket"])
+    )
+    hits = (
+        anchors.join(
+            probes,
+            (anchors.bucket == probes.bucket)
+            & (F.col("anchor_user") == F.col("p_user"))
+            & (F.col("p_epoch") > F.col("anchor_epoch"))
+            & (F.col("p_epoch") <= F.col("anchor_epoch") + w_s),
+        )
+        .groupBy("anchor_id")
+        .agg(F.count("*").alias("n_following"))
+    )
+    return (
+        anchors.select("anchor_id", "anchor_user", "anchor_ts")
+        .join(hits, "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "anchor_user",
+            "anchor_ts",
+            F.coalesce("n_following", F.lit(0)).alias("n_following"),
+        )
+    )
+
+
 def asof_latest_event_before_order(orders: DataFrame, events: DataFrame) -> DataFrame:
     ev = events.select(F.col("user_id").alias("ev_user"), F.col("ts").alias("ev_ts"))
     return (

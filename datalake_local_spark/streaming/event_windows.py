@@ -42,6 +42,26 @@ def sliding_window_counts(events: DataFrame, length_min: int = 10, slide_min: in
     )
 
 
+def forward_fill_values(events: DataFrame) -> DataFrame:
+    """Time-series forward fill: sparse measurements (here: `value` is
+    considered missing on error events) carried forward per user via
+    last-non-null over an ordered window (IGNORE NULLS) — one shuffle on
+    the user key, streamed in sort order."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sparse = F.when(F.col("event_type") != "error", F.col("value"))
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(sparse, 4).alias("sparse_value"),
+        F.round(F.last(sparse, ignorenulls=True).over(w), 4).alias("filled_value"),
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization, batch form: lag → new-session flag →
     running sum = session id → per-session aggregate. One shuffle on
