@@ -59,6 +59,30 @@ def test_intersect_except_disjoint(tables):
     assert both.intersect(only_first).count() == 0
 
 
+def test_bucketized_range_join_avoids_nested_loop(tables):
+    """The whole point of the bucketized range join: the physical plan
+    must be hash-based (broadcast/sort-merge/shuffled-hash), never a
+    BroadcastNestedLoopJoin, because the range predicate rides on an
+    equi-join prefix."""
+    from datalake_local_spark.operators.asof import range_join_bucketized
+
+    plan = _physical_plan(range_join_bucketized(tables["events"]))
+    assert "NestedLoop" not in plan
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+
+
+def test_funnel_reduces_before_join(tables):
+    """Funnel conversion must aggregate events to user grain before the
+    stage join — the plan should show partial aggregation below the join."""
+    from datalake_local_spark.operators.funnel import funnel_click_to_purchase
+
+    out = funnel_click_to_purchase(tables["events"]).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert 0 <= row["n_converted"] <= row["n_clicked"]
+    assert row["conversion_rate"] is None or 0.0 <= row["conversion_rate"] <= 1.0
+
+
 def test_top_orders_sorted_desc(tables):
     rows = setops.top_orders_global(tables["orders"], n=10).collect()
     prices = [r["totalprice"] for r in rows]
