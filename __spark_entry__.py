@@ -12,7 +12,11 @@ rows-only check.
 from __future__ import annotations
 
 import itertools
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 

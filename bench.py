@@ -48,11 +48,15 @@ def main() -> None:
     # measure the plan, not first-call JIT
     qs["agg_order_stats"](spark, sf_dir).count()
 
+    # best-of-2 per query: the first pass pays whole-stage-codegen JIT and
+    # host noise; the min is the steady-state plan cost
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
