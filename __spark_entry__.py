@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(*_t(s, d, "embeddings")),
         "sim_cosine_topk_vectorized": lambda s, d: similarity.cosine_topk_vectorized(*_t(s, d, "embeddings")),
         "sim_cosine_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(*_t(s, d, "embeddings")),
+        "sim_cosine_topk_lsh_multiprobe": lambda s, d: similarity.cosine_topk_lsh_multiprobe(*_t(s, d, "embeddings")),
         "sim_label_centroids": lambda s, d: similarity.embedding_centroids_by_label(*_t(s, d, "embeddings")),
         # text analysis (north star)
         "text_token_stats": lambda s, d: text.token_stats(*_t(s, d, "documents")),

@@ -205,6 +205,58 @@ def quantize_int8_profile(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def cosine_topk_lsh_multiprobe(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 5,
+    planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe hyperplane LSH: each query probes its own bucket AND the
+    `planes` buckets at hamming distance 1 (one sign bit flipped) — the
+    standard recall boost that trades probes (planes+1 per query) for a
+    much larger effective candidate set without touching corpus layout.
+
+    Corpus cost is unchanged (hashed once, bucket-partitioned at scale);
+    only the tiny broadcast query side explodes. Recall vs single-probe is
+    asserted in tests; still approximate → rows-only check.
+    """
+    bucketed = lsh_bucket_ids(embeddings, planes, dim)
+    corpus = bucketed.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("bucket").alias("cbucket"),
+        _as_double(F.col("embedding")).alias("cvec"),
+    )
+    probe_buckets = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(planes)]
+    )
+    queries = (
+        bucketed.filter(F.col("vec_id").isin(list(query_ids)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(probe_buckets).alias("qbucket"),
+            _as_double(F.col("embedding")).alias("qvec"),
+        )
+    )
+    pairs = corpus.join(
+        F.broadcast(queries),
+        (F.col("cbucket") == F.col("qbucket")) & (F.col("corpus_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "corpus_id",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), 6
+        ).alias("cosine"),
+    ).dropDuplicates(["query_id", "corpus_id"])
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def embedding_centroids_by_label(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     """Per-label centroid via positional explode + re-aggregate — the
     building block for IVF coarse quantization. posexplode shuffles

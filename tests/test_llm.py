@@ -75,6 +75,26 @@ def test_vectorized_cosine_equals_sql_fold(tables):
     assert a == b
 
 
+def test_multiprobe_recall_at_least_single_probe(tables):
+    """Multi-probe must (a) return only exact scores and (b) recall at
+    least as many true top-5 neighbors as single-probe, per query."""
+    brute = similarity.cosine_topk_bruteforce(tables["embeddings"], k=5)
+    truth: dict = {}
+    for r in brute.collect():
+        truth.setdefault(r["query_id"], set()).add(r["corpus_id"])
+
+    def recall(df):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        return {q: len(truth[q] & got.get(q, set())) for q in truth}
+
+    single = recall(similarity.cosine_topk_lsh(tables["embeddings"], k=5))
+    multi = recall(similarity.cosine_topk_lsh_multiprobe(tables["embeddings"], k=5))
+    for q in truth:
+        assert multi[q] >= single[q]
+
+
 def test_centroid_output_shape(tables):
     rows = similarity.embedding_centroids_by_label(tables["embeddings"]).collect()
     assert all(r["dim"] == 64 for r in rows)
