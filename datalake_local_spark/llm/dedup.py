@@ -105,9 +105,13 @@ def minhash_lsh_candidates(
     (ngram_jaccard_pairs) is the hash-checked oracle query.
     """
     rows_per_band = num_hashes // bands
-    # persist: the signature table feeds BOTH sides of the self-join —
-    # without it Spark recomputes the shingle+aggregate subtree twice
-    sigs = minhash_signatures(documents, num_hashes, shingle_n).persist()
+    # localCheckpoint (eager): the signature table feeds BOTH sides of the
+    # self-join — without materialization Spark recomputes the
+    # shingle+aggregate subtree twice. Unlike .persist(), the checkpointed
+    # blocks are reclaimed by the ContextCleaner once the returned plan is
+    # garbage-collected, so repeated invocations in a long-lived session
+    # (bench, correctness harness) don't accumulate cached blocks.
+    sigs = minhash_signatures(documents, num_hashes, shingle_n).localCheckpoint()
     # band rows carry ONLY (doc_id, band_id, band_hash) — the candidate
     # join shuffles ids, never text or shingle arrays
     banded = sigs.select(
@@ -141,9 +145,10 @@ def minhash_lsh_candidates(
     )
     # exact-Jaccard verification only for surviving candidates: fetch the
     # shingle arrays by joining back against a one-pass shingle projection
+    # same cleanup rationale as sigs above: checkpoint, don't persist
     shingle_sets = documents.select(
         "doc_id", _shingles(F.col("text"), shingle_n).alias("shingles")
-    ).persist()
+    ).localCheckpoint()
     cand = (
         cand.join(
             shingle_sets.select(
@@ -241,13 +246,21 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    documents: DataFrame, max_hamming: int = 4, band_bits: int = 16
+    documents: DataFrame, max_hamming: int = 4, band_bits: int = 8
 ) -> DataFrame:
     """Hamming-LSH over SimHash fingerprints: band the 64-bit fingerprint
-    into 16-bit chunks; docs sharing any exact chunk are candidates
-    (guaranteed to catch all pairs with hamming < 64/band_bits * ... —
-    pigeonhole: any pair with < 4 differing chunks shares one); verify with
-    popcount(xor) <= max_hamming."""
+    into ``64/band_bits`` chunks; docs sharing any exact chunk are
+    candidates; verify with popcount(xor) <= max_hamming.
+
+    Recall guarantee (pigeonhole): with B bands, any pair with hamming
+    distance <= B-1 differs in at most B-1 chunks, so at least one chunk
+    matches exactly and the pair is generated as a candidate. The default
+    (band_bits=8 → 8 bands) therefore guarantees full recall for
+    hamming <= 7, comfortably covering the max_hamming=4 filter. With
+    band_bits=16 (4 bands) the guarantee drops to hamming <= 3 — a pair at
+    distance exactly 4 with one differing bit per chunk would be missed —
+    so callers narrowing bands below max_hamming+1 trade recall for fewer
+    candidates."""
     fps = simhash_fingerprints(documents)
     n_bands = 64 // band_bits
     banded = fps.select(

@@ -101,13 +101,20 @@ def cosine_topk_vectorized(
             sims = (c_mat / c_den) @ q_norm.T  # (batch, |Q|)
             out_q, out_c, out_s = [], [], []
             for j, qid in enumerate(q_ids):
-                col = sims[:, j]
+                # Local pruning must use the SAME ordering as the final
+                # global window — (round(cosine,6) DESC, corpus_id ASC) —
+                # otherwise a row that rounds equal to the k-th score but
+                # has a smaller corpus_id could be pruned here yet
+                # rightfully win globally (rounding-tie divergence vs the
+                # brute-force baseline and the oracle).
+                col = np.round(sims[:, j], 6)
                 mask = c_ids != qid
                 idx = np.nonzero(mask)[0]
-                top = idx[np.argsort(-col[idx], kind="stable")[: k]]
+                order = np.lexsort((c_ids[idx], -col[idx]))
+                top = idx[order[:k]]
                 out_q.extend([qid] * len(top))
                 out_c.extend(c_ids[top])
-                out_s.extend(np.round(col[top], 6))
+                out_s.extend(col[top])
             yield pd.DataFrame(
                 {"query_id": out_q, "corpus_id": out_c, "cosine": out_s}
             )

@@ -31,8 +31,11 @@ def range_join_bucketized(events: DataFrame, window_minutes: int = 60) -> DataFr
     join into a pure EQUI-join on (user, bucket) with the precise range
     predicate applied during the probe. Hash shuffle, never nested-loop.
     """
-    w_s = window_minutes * 60
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # microsecond-precision epoch: cast('long') would truncate to whole
+    # seconds and diverge from the oracle's full-precision timestamp
+    # comparison on sub-second data (DuckDB epoch() is exact DOUBLE).
+    w_s = window_minutes * 60 * 1_000_000
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     anchors = events.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("anchor_id"),
         F.col("user_id").alias("anchor_user"),

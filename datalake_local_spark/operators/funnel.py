@@ -26,15 +26,17 @@ def funnel_click_to_purchase(events: DataFrame, within_hours: int = 1) -> DataFr
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
     )
-    max_delay = within_hours * 3600
+    # micros-precision delay window (cast('long') truncates to seconds
+    # and would diverge from the oracle on sub-second timestamps)
+    max_delay = within_hours * 3600 * 1_000_000
     converted = (
         first_click.join(
             purchases,
             (F.col("user_id") == F.col("p_user"))
             & (F.col("p_ts") >= F.col("first_click_ts"))
             & (
-                F.col("p_ts").cast("timestamp").cast("long")
-                - F.col("first_click_ts").cast("timestamp").cast("long")
+                F.unix_micros(F.col("p_ts").cast("timestamp"))
+                - F.unix_micros(F.col("first_click_ts").cast("timestamp"))
                 <= max_delay
             ),
             "left_semi",

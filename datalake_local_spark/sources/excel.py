@@ -54,27 +54,40 @@ def read_sheet(spark: SparkSession, xlsx_path: str, sheet_name: str) -> DataFram
         [None if (v is None or str(v) in NULLISH or str(v) == "nan") else str(v) for v in row]
         for row in pdf.itertuples(index=False, name=None)
     ]
+    from datetime import date, datetime
+
+    from pyspark.sql import types as T
+
     schema = infer_column_types(rows, columns)
-    typed_rows = []
-    for row in rows:
-        out = []
-        for v, field in zip(row, schema.fields):
-            if v is None:
-                out.append(None)
-            elif field.dataType.typeName() == "long":
-                out.append(int(v))
-            elif field.dataType.typeName() == "date":
-                from datetime import date
 
-                out.append(date.fromisoformat(v))
-            elif field.dataType.typeName() == "timestamp":
-                from datetime import datetime
+    def _convert(v, type_name):
+        if v is None:
+            return None
+        if type_name == "long":
+            return int(v)
+        if type_name == "date":
+            return date.fromisoformat(v)
+        if type_name == "timestamp":
+            return datetime.fromisoformat(v)
+        return v
 
-                out.append(datetime.fromisoformat(v))
-            else:
-                out.append(v)
-        typed_rows.append(out)
-    return spark.createDataFrame(typed_rows, schema)
+    # Columnar conversion with best-effort degradation: the type was
+    # inferred from the FIRST non-null cell (reference semantics,
+    # assets.py:294-301), so a mixed column ('123' then 'abc') would make
+    # the strict converter raise and abort the whole ingest. Instead, any
+    # column whose cells don't all parse falls back to varchar — matching
+    # the compat path's best-effort intent — and the row loop never aborts.
+    fields = list(schema.fields)
+    cols: list[list] = []
+    for j, field in enumerate(fields):
+        raw = [row[j] for row in rows]
+        try:
+            cols.append([_convert(v, field.dataType.typeName()) for v in raw])
+        except (ValueError, TypeError):
+            fields[j] = T.StructField(field.name, T.StringType(), True)
+            cols.append(raw)
+    typed_rows = [list(t) for t in zip(*cols)] if cols else []
+    return spark.createDataFrame(typed_rows, T.StructType(fields))
 
 
 def ingest_excel_dir(

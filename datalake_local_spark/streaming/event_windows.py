@@ -67,11 +67,14 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     running sum = session id → per-session aggregate. One shuffle on
     user_id shared by both windows."""
     w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    gap_s = gap_minutes * 60
+    # micros-precision gap (cast('long') truncates to whole seconds and
+    # would diverge from the oracle's exact epoch() on sub-second data)
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     flagged = events.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1, 0).over(w) > gap_s, 1
+            ts_us - F.lag(ts_us, 1, 0).over(w) > gap_us, 1
         ).otherwise(0),
     ).withColumn(
         "session_seq",
