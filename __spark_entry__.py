@@ -202,6 +202,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "tpch_returned_items": lambda s, d: tpch.returned_item_losses(*_t(s, d, "lineitem", "orders", "customer")),
         "tpch_big_spenders": lambda s, d: tpch.big_spender_segments(*_t(s, d, "orders", "customer")),
+        "tpch_forecast_revenue": lambda s, d: tpch.forecast_revenue(*_t(s, d, "lineitem")),
+        "tpch_promo_revenue": lambda s, d: tpch.promo_revenue(*_t(s, d, "lineitem", "part")),
+        "tpch_top_supplier": lambda s, d: tpch.top_supplier(*_t(s, d, "lineitem", "supplier")),
+        "tpch_large_orders": lambda s, d: tpch.large_orders(*_t(s, d, "lineitem", "orders", "customer")),
+        "tpch_volume_shipping": lambda s, d: tpch.volume_shipping(
+            *_t(s, d, "lineitem", "orders", "customer", "supplier", "nation")
+        ),
+        "tpch_small_qty_revenue": lambda s, d: tpch.small_quantity_revenue(*_t(s, d, "lineitem", "part")),
+        "dedup_embedding_cosine": lambda s, d: similarity.embedding_near_dup_pairs(*_t(s, d, "embeddings")),
         "pivot_status_by_priority": lambda s, d: tpch.pivot_status_by_priority(*_t(s, d, "orders")),
         "unpivot_order_measures": lambda s, d: tpch.unpivot_order_measures(*_t(s, d, "orders")),
         "sample_deterministic": lambda s, d: tpch.deterministic_sample_stats(*_t(s, d, "orders")),
@@ -232,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, d: dedup.simhash_near_dup_pairs(*_t(s, d, "documents")),
         "sim_cosine_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(*_t(s, d, "embeddings")),
         "sim_cosine_topk_lsh_multiprobe": lambda s, d: similarity.cosine_topk_lsh_multiprobe(*_t(s, d, "embeddings")),
+        "sim_cosine_topk_ivf": lambda s, d: similarity.cosine_topk_ivf(*_t(s, d, "embeddings")),
     }
 
 
@@ -843,6 +853,95 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             WHERE spend > 2 * avg_spend
             GROUP BY 1
+        """,
+        "tpch_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+              AND l_shipdate <  TIMESTAMP '1997-07-01'
+        """,
+        "tpch_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey AS suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "tpch_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING round(sum(l_quantity), 2) > 200.0
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS totalprice, total_qty
+            FROM big
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY totalprice DESC, o_orderkey LIMIT 50
+        """,
+        "tpch_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_small_qty_revenue": """
+            WITH li AS (
+                SELECT l.* FROM lineitem l
+                WHERE EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1')
+            ),
+            a AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut FROM li GROUP BY 1)
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_items
+            FROM li JOIN a USING (l_partkey)
+            WHERE l_quantity < qty_cut
+        """,
+        "dedup_embedding_cosine": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                FROM embeddings
+            ),
+            n AS (
+                SELECT vec_id, ve,
+                       sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm
+                FROM v
+            )
+            SELECT vec_a, vec_b, cosine FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       round(list_sum(list_transform(list_zip(a.ve, b.ve),
+                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                             / (a.nrm * b.nrm), 6) AS cosine
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.4
         """,
         "pivot_status_by_priority": """
             SELECT o_orderpriority,

@@ -264,6 +264,112 @@ def cosine_topk_lsh_multiprobe(
     )
 
 
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact): all (a, b) with
+    cosine(a, b) >= threshold, a < b. The SQL-expressible verifier of the
+    embedding-dedup family — oracle hash-checked.
+
+    Scale path: this exact self-join is O(n²) dot products and exists as
+    the verification kernel; at 100 TB the candidate pairs come from the
+    hyperplane-LSH bucketing (lsh_bucket_ids — docs sharing a sign bucket),
+    exactly like minhash_lsh_candidates supplies candidates for the exact
+    Jaccard verifier. Norms are computed once per side before the join, so
+    the join itself is one zip_with dot product per surviving pair."""
+    sides = embeddings.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("vec"),
+    ).withColumn("nrm", _norm(F.col("vec")))
+    a = sides.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    b = sides.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer.
+
+    1. fit KMeans (pyspark.ml, fixed seed) on the corpus — at 100 TB this
+       trains on a sample and the model is a tiny broadcast artifact;
+    2. assign every corpus vector to its nearest centroid (one distributed
+       ``model.transform`` pass — the 'inverted lists', which at scale are
+       written as the partitioning column so a probe is partition pruning);
+    3. each query probes its ``nprobe`` nearest centroids (query side is
+       bounded → centroid ranking happens driver-side on the collected
+       model); candidates = union of probed lists;
+    4. exact cosine re-rank of candidates, window top-k.
+
+    Scanned fraction ≈ nprobe / n_centroids. Approximate (a true neighbor
+    assigned to an unprobed centroid is missed) → rows-only correctness;
+    recall vs brute force is asserted in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("features", array_to_vector(F.col("vec")))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid_id"
+    ).fit(corpus)
+    # model.transform keeps all columns; select what the probe join needs
+    assigned = model.transform(corpus).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("centroid_id"),
+        F.col("vec").alias("cvec"),
+    )
+    centers = np.array([c for c in model.clusterCenters()], dtype=np.float64)
+
+    q_rows = (
+        embeddings.filter(F.col("vec_id").isin(list(query_ids)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        d2 = ((centers - qv) ** 2).sum(axis=1)
+        for cid in np.argsort(d2, kind="stable")[:nprobe]:
+            probe_rows.append((int(r["vec_id"]), int(cid), [float(x) for x in qv]))
+    probes = spark.createDataFrame(
+        probe_rows, schema="query_id long, centroid_id int, qvec array<double>"
+    )
+    pairs = assigned.join(
+        F.broadcast(probes),
+        (assigned.centroid_id == probes.centroid_id) & (F.col("corpus_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "corpus_id",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), 6
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def embedding_centroids_by_label(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     """Per-label centroid via positional explode + re-aggregate — the
     building block for IVF coarse quantization. posexplode shuffles

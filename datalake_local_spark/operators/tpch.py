@@ -129,6 +129,149 @@ def deterministic_sample_stats(orders: DataFrame, modulus: int = 10) -> DataFram
     )
 
 
+def forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """Q6 shape: revenue increase from eliminating small-quantity discounts
+    in a ship-year. Pure scan + filter + global agg — the query exists to
+    prove every predicate reaches the parquet scan (PushedFilters shows
+    shipdate/discount/quantity) and nothing shuffles but one partial-agg
+    row per task."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q14 shape: fraction of one month's revenue from PROMO parts.
+    part is the broadcast side (SF-bounded dim); conditional sum, no
+    second pass."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Q15 shape: supplier(s) with maximum revenue in a quarter. The
+    'WHERE total = (SELECT max(...))' correlated form becomes a window max
+    over the aggregated (supplier-grain, tiny) relation — one shuffle for
+    the agg, a second over 100 rows, never a re-scan of lineitem."""
+    from pyspark.sql import Window as W
+
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    best = rev.withColumn("max_rev", F.max("total_revenue").over(W.partitionBy())).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return (
+        best.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name", "total_revenue")
+    )
+
+
+def large_orders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame, min_qty: float = 200.0) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds a threshold, with
+    customer context, top 50 by price. The HAVING reduces lineitem to
+    order-grain BEFORE the joins — the joins carry only qualifying keys."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Q7 shape: cross-border revenue by (supplier nation, customer
+    nation, year). nation joins twice under two aliases — both broadcast;
+    the inequality keeps only cross-border flows."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        # round(4), not round(2): the term has at most 4 exact decimals, so
+        # the true group sum is never ON a 4-decimal rounding boundary —
+        # engine tie-breaking (Spark HALF_UP on shortest-repr vs DuckDB
+        # binary-value) can therefore never diverge. At round(2) ~0.5% of
+        # groups land on an exact .xx5 half-cent and flip.
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1") -> DataFrame:
+    """Q17 shape: revenue from lineitems below 20% of their part's average
+    quantity. The correlated scalar subquery decorrelates into a per-part
+    aggregate joined back — the per-part side is part-grain (small), so
+    the second pass over lineitem is the only big scan."""
+    brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    avg_qty = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_cut"))
+    return (
+        li.join(F.broadcast(avg_qty.withColumnRenamed("l_partkey", "a_partkey")),
+                F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def exact_percentiles(orders: DataFrame) -> DataFrame:
     """Exact percentile (continuous interpolation) per group — the exact
     counterpart of percentile_approx; at 100 TB use the approx version

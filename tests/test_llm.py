@@ -135,3 +135,65 @@ def test_multimodal_real_decoder_is_gated(tables):
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(tables["documents"])
+
+
+def test_simhash_banding_full_recall_within_guarantee(tables):
+    """The 8-band default guarantees candidate generation for every pair
+    with hamming <= 7 — verify against brute-force popcount over all
+    fingerprint pairs (bounded window)."""
+    docs = tables["documents"].filter(F.col("doc_id") < 200)
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs).collect()}
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_dup_pairs(docs, max_hamming=7).collect()
+    }
+    ids = sorted(fps)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 7
+    }
+    assert expected == found
+
+
+def test_embedding_near_dup_matches_numpy_bruteforce(tables):
+    import numpy as np
+
+    rows = tables["embeddings"].select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nrm @ nrm.T
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if round(sims[i, j], 6) >= 0.4:
+                lo, hi = sorted((int(ids[i]), int(ids[j])))
+                expected.add((lo, hi))
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_pairs(tables["embeddings"], threshold=0.4).collect()
+    }
+    assert got == expected
+
+
+def test_ivf_topk_deterministic_and_recalls_bruteforce(tables):
+    """IVF is approximate but seeded: two runs agree exactly, results come
+    from the brute-force universe, and recall at nprobe=4/16 stays useful."""
+    a = similarity.cosine_topk_ivf(tables["embeddings"]).collect()
+    b = similarity.cosine_topk_ivf(tables["embeddings"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 15 and all(r["rank"] <= 5 for r in a)
+    bf = {
+        (r["query_id"], r["corpus_id"])
+        for r in similarity.cosine_topk_bruteforce(tables["embeddings"]).collect()
+    }
+    ivf = {(r["query_id"], r["corpus_id"]) for r in a}
+    # weakly-clustered synthetic vectors: scanning nprobe/n_centroids = 25%
+    # of the corpus keeps only a fraction of the exact neighbors (0.8 on
+    # the sf0.01 vectors, ~0.33 here) — assert the floor, not the mean
+    assert len(bf & ivf) / len(bf) >= 0.3
+
+    full = similarity.cosine_topk_ivf(tables["embeddings"], n_centroids=4, nprobe=4)
+    assert {(r["query_id"], r["corpus_id"]) for r in full.collect()} == bf  # probe-all == exact
