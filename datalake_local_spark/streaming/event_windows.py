@@ -10,9 +10,29 @@ sessionizer's batch form is two window functions over one (user) shuffle.
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: str = "8"):
+    """Size stateful-streaming shuffle partitions to the state, not the
+    batch default: each state-store partition pays checkpoint/commit I/O
+    per micro-batch, so 32 partitions for a (window × event_type)-grain
+    aggregate is ~4× pure overhead. The partition count is pinned into the
+    checkpoint at first start, so it must be set before ``start()``; these
+    queries use fresh checkpoints, making the override safe. At production
+    scale, size this to key cardinality ÷ target state-per-partition
+    instead (and keep it stable across restarts — it cannot change under
+    an existing checkpoint)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def tumbling_window_counts(events: DataFrame, minutes: int = 10) -> DataFrame:
@@ -119,7 +139,7 @@ def run_streaming_sessionize(
         )
         .select("user_id", "n_events", "session_start", "session_end", "session_value")
     )
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -175,7 +195,7 @@ def run_streaming_stateful_counter(
     out = stream.groupBy("user_id").applyInPandasWithState(
         update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
         q = (
             out.writeStream.outputMode("update")
             .format("memory")
@@ -215,7 +235,7 @@ def run_streaming_tumbling(
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value")
     )
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
