@@ -14,8 +14,9 @@ each workbook executor-side. The per-sheet parse below is exactly the
 kernel that mapInPandas variant would call; driver-side iteration is fine
 for the reference's actual workload (a handful of sheets per cron tick).
 
-Gated on openpyxl (not in this container) — importable either way, tests
-skip when absent.
+Parser selection: pandas/openpyxl when installed, else the stdlib
+SpreadsheetML parser (sources/xlsx_native.py) — Excel ingestion works in
+either environment; both produce the same stringified-cell contract.
 """
 
 from __future__ import annotations
@@ -40,19 +41,41 @@ except ImportError:
     HAS_XLSX = False
 
 
+def _sheet_raw(xlsx_path: str, sheet_name: str) -> tuple[list[str], list[list[str | None]]]:
+    """(columns, stringified rows) via pandas/openpyxl when available,
+    else the stdlib SpreadsheetML parser."""
+    if HAS_XLSX:
+        import pandas as pd
+
+        pdf = pd.read_excel(xlsx_path, sheet_name=sheet_name, dtype=str)
+        return [str(c) for c in pdf.columns], [
+            list(row) for row in pdf.itertuples(index=False, name=None)
+        ]
+    from datalake_local_spark.sources import xlsx_native
+
+    with open(xlsx_path, "rb") as f:
+        return xlsx_native.parse_xlsx(f.read())[sheet_name]
+
+
+def _list_sheets(xlsx_path: str) -> list[str]:
+    if HAS_XLSX:
+        import pandas as pd
+
+        return list(pd.ExcelFile(xlsx_path).sheet_names)
+    from datalake_local_spark.sources import xlsx_native
+
+    with open(xlsx_path, "rb") as f:
+        return xlsx_native.sheet_names(f.read())
+
+
 def read_sheet(spark: SparkSession, xlsx_path: str, sheet_name: str) -> DataFrame:
     """Parse one sheet with the reference's stringify-then-infer semantics
     (assets.py:220-250): cells stringified, nullish sentinels → NULL,
     first-non-null typing."""
-    if not HAS_XLSX:
-        raise NotImplementedError("openpyxl not installed; Excel ingestion unavailable")
-    import pandas as pd
-
-    pdf = pd.read_excel(xlsx_path, sheet_name=sheet_name, dtype=str)
-    columns = [str(c) for c in pdf.columns]
+    columns, raw_rows = _sheet_raw(xlsx_path, sheet_name)
     rows = [
         [None if (v is None or str(v) in NULLISH or str(v) == "nan") else str(v) for v in row]
-        for row in pdf.itertuples(index=False, name=None)
+        for row in raw_rows
     ]
     from datetime import date, datetime
 
@@ -90,16 +113,22 @@ def read_sheet(spark: SparkSession, xlsx_path: str, sheet_name: str) -> DataFram
     return spark.createDataFrame(typed_rows, T.StructType(fields))
 
 
+def xlsx_long_form(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Distributed (executor-side) xlsx parse of a landing tree into the
+    schema-stable long form (path, sheet, row_idx, column, value) — the
+    100 TB variant of the per-sheet loop below. See
+    sources/xlsx_native.read_xlsx_distributed."""
+    from datalake_local_spark.sources import xlsx_native
+
+    return xlsx_native.read_xlsx_distributed(spark, landing_dir)
+
+
 def ingest_excel_dir(
     spark: SparkSession, landing_dir: str, catalog: InfoCatalog | None = None
 ) -> list[str]:
     """Bucket-per-subdirectory landing zone (S1/S2): each subdir of
     ``landing_dir`` is a database, each sheet of each .xlsx a table named
     ``<file>_<sheet>`` (sanitized; assets.py:53-61). Returns FQNs written."""
-    if not HAS_XLSX:
-        raise NotImplementedError("openpyxl not installed; Excel ingestion unavailable")
-    import pandas as pd
-
     catalog = catalog or InfoCatalog(spark)
     written: list[str] = []
     for bucket in sorted(os.listdir(landing_dir)):
@@ -112,7 +141,7 @@ def ingest_excel_dir(
                 continue
             fpath = os.path.join(bucket_path, fname)
             stem = os.path.splitext(fname)[0]
-            for sheet in pd.ExcelFile(fpath).sheet_names:
+            for sheet in _list_sheets(fpath):
                 df = read_sheet(spark, fpath, sheet)
                 if df.isEmpty():  # P3 empty-frame guard (assets.py:226,247)
                     continue

@@ -95,8 +95,108 @@ def test_landing_discovery_and_dispatch(spark, tmp_path):
     assert spark.table("granjaporcentaje_uno.ventas").collect()[0]["n_animales"] == 5
 
 
-def test_excel_gated_when_openpyxl_missing(spark, tmp_path):
-    if excel.HAS_XLSX:
-        pytest.skip("openpyxl present; gating path not applicable")
-    with pytest.raises(NotImplementedError):
-        excel.ingest_excel_dir(spark, str(tmp_path))
+def _write_minimal_xlsx(path, sheets):
+    """Hand-rolled SpreadsheetML writer (tests only): sheets is
+    {name: (header, rows)}; strings go inline, ints/floats as numbers."""
+    import zipfile
+
+    def cell_xml(ref, v):
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    def col_letter(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(ord("A") + r) + s
+        return s
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rid_ns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    with zipfile.ZipFile(path, "w") as zf:
+        sheet_tags, rel_tags = [], []
+        for i, name in enumerate(sheets, 1):
+            sheet_tags.append(f'<sheet name="{name}" sheetId="{i}" r:id="rId{i}"/>')
+            rel_tags.append(
+                f'<Relationship Id="rId{i}" Target="worksheets/sheet{i}.xml" '
+                'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet"/>'
+            )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook {ns} {rid_ns}><sheets>{"".join(sheet_tags)}</sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            + "".join(rel_tags)
+            + "</Relationships>",
+        )
+        for i, (name, (header, rows)) in enumerate(sheets.items(), 1):
+            all_rows = [header] + rows
+            body = "".join(
+                "<row r=\"%d\">%s</row>"
+                % (ri + 1, "".join(cell_xml(f"{col_letter(ci)}{ri + 1}", v) for ci, v in enumerate(row)))
+                for ri, row in enumerate(all_rows)
+            )
+            zf.writestr(
+                f"xl/worksheets/sheet{i}.xml",
+                f"<worksheet {ns}><sheetData>{body}</sheetData></worksheet>",
+            )
+
+
+def test_native_xlsx_parse_and_ingest(spark, tmp_path):
+    """Full Excel entry point without openpyxl: stdlib parse → stringify →
+    infer → managed tables (the reference's Insert_excel_tables shape)."""
+    from datalake_local_spark.sources import xlsx_native
+
+    bucket = tmp_path / "granja uno"
+    bucket.mkdir()
+    fpath = bucket / "ventas 2024.xlsx"
+    _write_minimal_xlsx(
+        fpath,
+        {
+            "resumen": (
+                ["animales", "precio", "fecha", "nota"],
+                [[5, 12.5, "2024-01-02", "ok"], [7, 9.25, "2024-01-03", None]],
+            ),
+            "vacia": (["a"], []),
+        },
+    )
+    parsed = xlsx_native.parse_xlsx(fpath.read_bytes())
+    assert parsed["resumen"][0] == ["animales", "precio", "fecha", "nota"]
+    assert parsed["resumen"][1][0] == ["5", "12.5", "2024-01-02", "ok"]
+
+    df = excel.read_sheet(spark, str(fpath), "resumen")
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    assert types == {"animales": "long", "precio": "string", "fecha": "date", "nota": "string"}
+    assert df.count() == 2
+
+    written = excel.ingest_excel_dir(spark, str(tmp_path))
+    assert written == ["granja_uno.ventas_2024_resumen"]  # empty sheet skipped
+    assert spark.table("granja_uno.ventas_2024_resumen").count() == 2
+
+
+def test_excel_mixed_type_column_degrades_to_string(spark, tmp_path):
+    """A column whose first cell parses as int but later cells don't must
+    fall back to varchar instead of aborting the ingest (compat
+    best-effort semantics)."""
+    fpath = tmp_path / "m.xlsx"
+    _write_minimal_xlsx(fpath, {"s": (["k", "v"], [[1, 123], [2, "abc"]])})
+    df = excel.read_sheet(spark, str(fpath), "s")
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    assert types == {"k": "long", "v": "string"}
+    assert [r["v"] for r in df.orderBy("k").collect()] == ["123", "abc"]
+
+
+def test_xlsx_distributed_long_form(spark, tmp_path):
+    fpath = tmp_path / "w.xlsx"
+    _write_minimal_xlsx(fpath, {"s1": (["a", "b"], [[1, "x"], [2, "y"]])})
+    out = excel.xlsx_long_form(spark, str(tmp_path))
+    rows = {(r["sheet"], r["row_idx"], r["column"]): r["value"] for r in out.collect()}
+    assert rows[("s1", 0, "a")] == "1" and rows[("s1", 1, "b")] == "y"
