@@ -77,6 +77,16 @@ def _q_streaming_stateful(spark, sf):
     return event_windows.run_streaming_stateful_counter(spark, sf, query_name=name)
 
 
+def _q_streaming_dedup(spark, sf):
+    name = f"stream_dedup_{next(_stream_counter)}"
+    return event_windows.run_streaming_dedup(spark, sf, query_name=name)
+
+
+def _q_streaming_stream_join(spark, sf):
+    name = f"stream_join_{next(_stream_counter)}"
+    return event_windows.run_streaming_stream_join(spark, sf, query_name=name)
+
+
 def _q_merge_upsert(spark, sf):
     """MERGE: corrected rows (10% of keys, price uplift, status 'U') +
     brand-new rows (shifted keys), upserted into orders, then profiled."""
@@ -236,6 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_stateful_counter": _q_streaming_stateful,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_stream_join": _q_streaming_stream_join,
         # rows-only checks last (seeded-hash / sketch semantics — no ANSI
         # oracle by design), so a bounded correctness sweep spends its
         # budget on the hash-verified queries first
@@ -1125,6 +1137,17 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_counter": """
             SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1
+        """,
+        "streaming_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_stream_join": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+            FROM events c JOIN events p
+              ON p.user_id = c.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts > c.ts
+             AND p.ts <= c.ts + INTERVAL 60 MINUTES
         """,
         "merge_upsert": """
             WITH base AS (

@@ -209,6 +209,113 @@ def run_streaming_stateful_counter(
     return spark.table(query_name)
 
 
+def run_streaming_dedup(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup"
+) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicatesWithinWatermark`` on a
+    business key — the streaming counterpart of exact dedup (at-least-once
+    sources re-deliver; the op suppresses re-deliveries while the key is
+    inside the watermark, so state stays bounded, unlike plain
+    dropDuplicates whose state grows forever). Output restricted to the
+    key columns → deterministic, equals batch DISTINCT on static input."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return spark.table(query_name)
+
+
+def run_streaming_stream_join(
+    spark: SparkSession, sf_dir: str, within_minutes: int = 60, query_name: str = "stream_join"
+) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: clicks
+    joined to the same user's purchases within the following hour. Both
+    sides carry watermarks so the join state expires (the unbounded-state
+    trap of stream-stream joins); the time-range predicate bounds how long
+    a click waits for a matching purchase. On static input with
+    availableNow this equals the batch theta-join — oracle-checked."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if isinstance(schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return s
+
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    # the range condition must be direct timestamp-interval arithmetic so
+    # Spark's unsupported-operation check recognizes it as an event-time
+    # bound and can expire join state (micros-exact, same as the oracle)
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+    return spark.table(query_name)
+
+
 def run_streaming_tumbling(
     spark: SparkSession, sf_dir: str, minutes: int = 10, query_name: str = "stream_tumbling"
 ) -> DataFrame:

@@ -55,3 +55,29 @@ def test_file_ingest_exactly_once(spark, tmp_path):
     out = spark.table("stream_test.ingested")
     assert out.count() == 3
     assert out.agg(F.countDistinct("id")).collect()[0][0] == 3
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, tables):
+    out = event_windows.run_streaming_dedup(spark, SF_DIR, query_name="t_dedup_eq")
+    batch = tables["events"].select("user_id", "event_type").distinct()
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
+
+
+def test_streaming_stream_join_equals_batch_theta(spark, tables):
+    out = event_windows.run_streaming_stream_join(spark, SF_DIR, query_name="t_ssj_eq")
+    ev = tables["events"]
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("u"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    batch = c.join(
+        p,
+        (F.col("u") == F.col("pu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 60 MINUTES")),
+    ).select("click_id", "purchase_id", F.col("u").alias("user_id"))
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
