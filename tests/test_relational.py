@@ -88,3 +88,49 @@ def test_top_orders_sorted_desc(tables):
     prices = [r["totalprice"] for r in rows]
     assert prices == sorted(prices, reverse=True)
     assert len(rows) == 10
+
+
+def test_forecast_revenue_pushes_every_predicate(tables):
+    """Q6 is a pure pushdown scan: shipdate/discount/quantity must all
+    reach the parquet source, and only the two payload columns are read."""
+    from datalake_local_spark.operators import tpch
+
+    plan = _physical_plan(tpch.forecast_revenue(tables["lineitem"]))
+    assert "PushedFilters" in plan
+    for col in ("l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters")[1].split("]")[0], col
+
+
+def test_promo_revenue_broadcasts_part(tables):
+    from datalake_local_spark.operators import tpch
+
+    plan = _physical_plan(tpch.promo_revenue(tables["lineitem"], tables["part"]))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_volume_shipping_broadcasts_both_nation_aliases(tables):
+    from datalake_local_spark.operators import tpch
+
+    plan = _physical_plan(
+        tpch.volume_shipping(
+            tables["lineitem"], tables["orders"], tables["customer"],
+            tables["supplier"], tables["nation"],
+        )
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_large_orders_aggregates_before_join(tables):
+    """The HAVING reduction must sit below the orders join in the plan:
+    the first join input is the aggregated order-grain side, not raw
+    lineitem rows."""
+    from datalake_local_spark.operators import tpch
+
+    plan = _physical_plan(
+        tpch.large_orders(tables["lineitem"], tables["orders"], tables["customer"])
+    )
+    first_join = min(
+        [i for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+         if (i := plan.find(j)) >= 0] or [len(plan)]
+    )
+    assert "HashAggregate" in plan[first_join:], "aggregate must feed the join"
