@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family (north star)
         "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
+        "dedup_components": lambda s, d: dedup.duplicate_components(*_t(s, d, "documents")),
         # similarity search (north star)
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(*_t(s, d, "embeddings")),
         "sim_cosine_topk_vectorized": lambda s, d: similarity.cosine_topk_vectorized(*_t(s, d, "embeddings")),
@@ -662,6 +663,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS reached FROM docs
+                UNION
+                SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+            )
+            SELECT node AS doc_id,
+                   min(reached) AS component_id,
+                   min(reached) = node AS is_canonical
+            FROM reach GROUP BY node
         """,
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "sim_cosine_topk_vectorized": _COSINE_TOPK_ORACLE,

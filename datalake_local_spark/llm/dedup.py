@@ -240,6 +240,86 @@ def ngram_token_jaccard_pairs(
     )
 
 
+def duplicate_components(
+    documents: DataFrame,
+    max_doc_id: int = 100,
+    threshold: float = 0.8,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — the step
+    after pair generation: pairs (a,b),(b,c) collapse into one duplicate
+    CLUSTER with a canonical representative (min doc_id), which is what a
+    training-data pipeline actually deletes against.
+
+    Spark has no native iterative-graph operator, so this is min-label
+    propagation as a driver-controlled loop of DataFrame joins: each
+    iteration every node takes min(own label, neighbors' labels); fixpoint
+    after O(graph diameter) rounds. The label table is one row per doc
+    (never edges²); per-iteration persist/unpersist alternation keeps
+    lineage and cache bounded. At 100 TB: same loop with the label table
+    written to a checkpoint dir per round (large-diameter graphs converge
+    faster with the alternating large-star/small-star variant, same
+    skeleton). Deterministic → DuckDB recursive-CTE oracle hash-checks it.
+    """
+    pairs = ngram_token_jaccard_pairs(documents, max_doc_id, threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        documents.filter(F.col("doc_id") < max_doc_id)
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                labels.join(edges, labels.doc_id == edges.src)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("component_id").alias("neighbor_component"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component_id"),
+                        F.coalesce(F.col("neighbor_component"), F.col("component_id")),
+                    ).alias("component_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.component_id") != F.col("o.component_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(f"no fixpoint after {max_iterations} iterations")
+        # materialize (distributed) before the finally releases the label
+        # cache the plan hangs off; lineage truncation also frees the
+        # O(iterations)-deep join chain. A terminal localCheckpoint is
+        # safe — the earlier-documented Catalyst-blinding concern applies
+        # to checkpointed subtrees *re-entering* optimization-sensitive
+        # joins, not to a finished result.
+        return labels.select(
+            "doc_id",
+            "component_id",
+            (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+        ).localCheckpoint()
+    finally:
+        edges.unpersist()
+        labels.unpersist()
+
+
 def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document, computed without Python UDFs:
 

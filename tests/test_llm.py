@@ -197,3 +197,23 @@ def test_ivf_topk_deterministic_and_recalls_bruteforce(tables):
 
     full = similarity.cosine_topk_ivf(tables["embeddings"], n_centroids=4, nprobe=4)
     assert {(r["query_id"], r["corpus_id"]) for r in full.collect()} == bf  # probe-all == exact
+
+
+def test_duplicate_components_invariants(tables):
+    """Every near-dup pair's endpoints share a component; each component
+    id is the minimum of its members (canonical representative)."""
+    from collections import defaultdict
+
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.duplicate_components(tables["documents"]).collect()
+    }
+    pairs = dedup.ngram_token_jaccard_pairs(tables["documents"], 100, 0.8).collect()
+    assert pairs, "testdata should contain near-dup pairs below doc_id 100"
+    for r in pairs:
+        assert comp[r["doc_a"]] == comp[r["doc_b"]]
+    members = defaultdict(set)
+    for d, c in comp.items():
+        members[c].add(d)
+    for c, ms in members.items():
+        assert c == min(ms)
