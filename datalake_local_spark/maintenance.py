@@ -1,0 +1,120 @@
+"""Table-maintenance operators — the OPTIMIZE / CLUSTER BY / partition
+refresh surface of a lakehouse (BASELINE.json north star: "DataFrame
+read/write + Delta/Iceberg table ops", emulated on plain parquet the way
+formats.SnapshotTable emulates snapshots).
+
+Scale rationale:
+- small-file compaction: streaming/cron ingest (the reference writes one
+  object per tick, assets.py:70-74) accumulates files whose per-file open
+  cost dominates scans; compaction rewrites to ~target-sized files.
+- clustered write: repartitionByRange + sortWithinPartitions gives every
+  parquet file a narrow min/max envelope on the cluster columns, so
+  predicate scans skip whole files/row-groups (the poor man's Z-order —
+  single-dimension-dominant, which covers time-series and key-range
+  queries; true multi-dim interleaving slots into the same write path).
+- dynamic partition overwrite: incremental refresh of a derived table
+  touches ONLY the partitions present in the update — the 100 TB
+  alternative to full-table rewrites for late-arriving data.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def data_file_stats(path: str) -> list[dict]:
+    """Per-file (path, bytes) for a parquet directory — driver-side
+    metadata listing only (no data read)."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out.append({"path": p, "bytes": os.path.getsize(p)})
+    return out
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """OPTIMIZE-style compaction: rewrite a parquet directory into
+    ~target-sized files. Returns {files_before, files_after, bytes}.
+
+    The rewrite is a plain scan → repartition(ceil(bytes/target)) →
+    overwrite; at scale, run per partition-directory so only small-file
+    partitions rewrite (and take a snapshot first — formats.SnapshotTable
+    — for rollback)."""
+    before = data_file_stats(path)
+    total = sum(f["bytes"] for f in before)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    # write to a sibling tmp dir then swap: the source of a self-overwrite
+    # cannot be read lazily while being truncated
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    after = data_file_stats(path)
+    return {"files_before": len(before), "files_after": len(after), "bytes": total}
+
+
+def write_clustered(
+    df: DataFrame, path: str, cluster_cols: list[str], n_files: int = 8
+) -> None:
+    """CLUSTER BY emulation: range-partition on the cluster columns and
+    sort within each output file, so parquet min/max statistics on those
+    columns are tight per file → scans with predicates on them skip
+    non-matching files entirely."""
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def clustered_file_ranges(path: str, column: str) -> list[tuple]:
+    """Per-file (min, max) of ``column`` from parquet footer statistics —
+    the evidence data skipping acts on. Footer-only read via pyarrow."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in data_file_stats(path):
+        md = pq.ParquetFile(f["path"]).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            ranges.append((lo, hi))
+    return ranges
+
+
+def overwrite_changed_partitions(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    partition_col: str,
+) -> int:
+    """Incremental refresh: INSERT OVERWRITE only the partitions present
+    in ``updates`` (dynamic partitionOverwriteMode) — untouched partitions
+    keep their files. Returns the number of partitions replaced."""
+    n_parts = updates.select(partition_col).distinct().count()
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        updates.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    return n_parts

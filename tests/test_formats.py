@@ -29,3 +29,64 @@ def test_snapshot_rollback_non_destructive(spark):
     assert t.read(version=2).count() == 10  # old version still readable
     ops = [r["op"] for r in t.history().collect()]
     assert ops == ["overwrite", "overwrite", "rollback_to_1"]
+
+
+def test_compaction_reduces_file_count_preserves_data(spark, tmp_path):
+    from datalake_local_spark import maintenance
+
+    path = str(tmp_path / "frag")
+    src = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    src.repartition(64).write.parquet(path)  # fragment: 64 tiny files
+    before_sum = spark.read.parquet(path).agg(F.sum("v")).collect()[0][0]
+    stats = maintenance.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 60
+    assert stats["files_after"] == 1
+    after = spark.read.parquet(path)
+    assert after.count() == 10_000
+    assert after.agg(F.sum("v")).collect()[0][0] == before_sum
+
+
+def test_clustered_write_yields_tight_disjoint_ranges(spark, tmp_path):
+    """Range-clustered files must have nearly disjoint min/max envelopes
+    on the cluster column (the property file skipping relies on); an
+    unclustered write of the same data has every file spanning ~the whole
+    domain."""
+    from datalake_local_spark import maintenance
+
+    df = spark.range(0, 50_000).withColumn(
+        "k", (F.col("id") * 2654435761 % 50_000).cast("long")
+    )
+    clustered = str(tmp_path / "clustered")
+    maintenance.write_clustered(df, clustered, ["k"], n_files=8)
+    ranges = sorted(maintenance.clustered_file_ranges(clustered, "k"))
+    assert len(ranges) == 8
+    spans = [hi - lo for lo, hi in ranges]
+    assert max(spans) < 50_000 / 4  # each file covers a narrow slice
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert lo_next >= hi_prev  # range partitioning → no overlap
+
+    unclustered = str(tmp_path / "unclustered")
+    df.repartition(8).write.parquet(unclustered)
+    u_spans = [hi - lo for lo, hi in maintenance.clustered_file_ranges(unclustered, "k")]
+    assert min(u_spans) > 50_000 / 2  # every unclustered file spans the domain
+
+
+def test_overwrite_changed_partitions_only(spark, tmp_path):
+    from datalake_local_spark import maintenance
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS maint_t")
+    spark.sql("DROP TABLE IF EXISTS maint_t.daily")
+    base = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01"), (3, 30.0, "2024-01-02")],
+        "id long, v double, day string",
+    )
+    base.write.partitionBy("day").saveAsTable("maint_t.daily")
+    updates = spark.createDataFrame(
+        [(3, 99.0, "2024-01-02"), (4, 40.0, "2024-01-02")], "id long, v double, day string"
+    )
+    n = maintenance.overwrite_changed_partitions(spark, "maint_t.daily", updates, "day")
+    assert n == 1
+    rows = {(r["id"], r["v"], r["day"]) for r in spark.table("maint_t.daily").collect()}
+    # 2024-01-01 untouched; 2024-01-02 fully replaced by the update set
+    assert rows == {(1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01"),
+                    (3, 99.0, "2024-01-02"), (4, 40.0, "2024-01-02")}
