@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(*_t(s, d, "embeddings")),
         "sim_cosine_topk_lsh_multiprobe": lambda s, d: similarity.cosine_topk_lsh_multiprobe(*_t(s, d, "embeddings")),
         "sim_cosine_topk_ivf": lambda s, d: similarity.cosine_topk_ivf(*_t(s, d, "embeddings")),
+        "agg_approx_percentiles": lambda s, d: tpch.approx_percentiles(*_t(s, d, "orders")),
     }
 
 

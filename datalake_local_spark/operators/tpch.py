@@ -280,3 +280,15 @@ def exact_percentiles(orders: DataFrame) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
     )
+
+
+def approx_percentiles(orders: DataFrame, accuracy: int = 1000) -> DataFrame:
+    """Sketch percentiles (Greenwald-Khanna): single mergeable pass, the
+    100 TB path for quantiles — exact percentile must buffer each group.
+    Deterministic for fixed input+accuracy but sketch-specific → rows-only
+    correctness; error vs the exact operator is bounded in tests."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile_approx("o_totalprice", 0.5, accuracy), 4).alias("median_price"),
+        F.round(F.percentile_approx("o_totalprice", 0.9, accuracy), 4).alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )

@@ -134,3 +134,16 @@ def test_large_orders_aggregates_before_join(tables):
          if (i := plan.find(j)) >= 0] or [len(plan)]
     )
     assert "HashAggregate" in plan[first_join:], "aggregate must feed the join"
+
+
+def test_approx_percentiles_within_sketch_error(tables):
+    from datalake_local_spark.operators import tpch
+
+    exact = {r["o_orderpriority"]: r for r in tpch.exact_percentiles(tables["orders"]).collect()}
+    approx = {r["o_orderpriority"]: r for r in tpch.approx_percentiles(tables["orders"]).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        for col in ("median_price", "p90_price"):
+            # GK guarantees a rank error <= n/accuracy; translate to a
+            # loose value tolerance on this distribution
+            assert abs(exact[k][col] - approx[k][col]) / exact[k][col] < 0.05

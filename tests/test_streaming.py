@@ -81,3 +81,74 @@ def test_streaming_stream_join_equals_batch_theta(spark, tables):
     ).select("click_id", "purchase_id", F.col("u").alias("user_id"))
     assert out.count() == batch.count()
     assert out.exceptAll(batch).count() == 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Real watermark semantics: with append-mode windowed aggregation and
+    maxFilesPerTrigger=1, a second micro-batch carrying an event far older
+    than the advanced watermark must NOT resurrect its (already closed)
+    window. The reference has no notion of this; it is the §2.6 net-new
+    late-data contract."""
+    import os
+    import time
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, value double"
+
+    def write_file(name, rows, mtime):
+        # the streaming file source lists the root flat — stage the write
+        # then move the single part-file in as <name>.parquet
+        import glob
+        import shutil
+
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = str(src / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t + dt.timedelta(minutes=minutes)
+
+    # batch 1: events 10:00-12:00 → watermark 11:30 takes effect in batch 2
+    # (the watermark lags one micro-batch: computed from prior batches)
+    write_file("b1", [(1, ts(0), 1.0), (2, ts(60), 1.0), (3, ts(120), 1.0)], time.time() - 2000)
+    # batch 2 runs under wm=11:30 → emits+evicts the closed 10:00 window
+    write_file("b2", [(6, ts(125), 1.0)], time.time() - 1000)
+    # batch 3: event at 10:05 is far below the watermark → dropped
+    write_file("b3", [(4, ts(5), 100.0), (5, ts(130), 1.0)], time.time())
+
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.sum("value").alias("total"))
+        .select(F.col("win.start").alias("win_start"), "total")
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("late_drop_test")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    out = {r["win_start"]: r["total"] for r in spark.table("late_drop_test").collect()}
+    # the 10:00 window was emitted (closed) with only event 1 — the late
+    # value=100 arrival after eviction must not appear anywhere
+    assert out.get(ts(0)) == 1.0
+    assert all(v < 100 for v in out.values())
