@@ -202,6 +202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": lambda s, d: text.top_bigrams_per_lang(*_t(s, d, "documents")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
+        "pandas_udaf_geomean": lambda s, d: grouped_pandas.geometric_mean_udaf(*_t(s, d, "orders")),
+        "udtf_top_tokens": lambda s, d: grouped_pandas.top_tokens_udtf(*_t(s, d, "documents")),
         "sim_quantize_int8": lambda s, d: similarity.quantize_int8_profile(*_t(s, d, "embeddings")),
         # multimodal plumbing (north star)
         "mm_decode_metadata": lambda s, d: multimodal.decode_image_metadata(*_t(s, d, "documents")),
@@ -840,6 +842,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    round(1.0 / (1.0 + exp(-((n_chars - 250.0) / 100.0))), 6) AS quality_sigmoid
             FROM documents
+        """,
+        "pandas_udaf_geomean": """
+            SELECT o_orderpriority,
+                   round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price
+            FROM orders GROUP BY 1
+        """,
+        "udtf_top_tokens": f"""
+            WITH d AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks
+                FROM documents WHERE doc_id < 50
+            ),
+            e AS (SELECT doc_id, unnest(toks) AS token FROM d),
+            c AS (SELECT doc_id, token, count(*) AS n FROM e GROUP BY 1, 2)
+            SELECT doc_id, token, n, CAST(rank AS INTEGER) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY n DESC, token) AS rank
+                FROM c
+            ) WHERE rank <= 3
         """,
         "mm_decode_metadata": """
             SELECT doc_id,

@@ -61,3 +61,49 @@ def logistic_quality_score(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.round(_logistic_udf()(raw), 6).alias("quality_sigmoid"),
     )
+
+
+def geometric_mean_udaf(orders: DataFrame) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the UDAF surface (§2.7): a custom
+    aggregate Spark lacks natively (geometric mean), Arrow-batched per
+    group. Partial aggregation does NOT apply to grouped-agg pandas UDFs
+    (each group's values ship to one executor), so this surface is for
+    bounded groups; unbounded keys should decompose into algebraic pieces
+    (here: exp(avg(ln x)) — the oracle's formulation) instead."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.round(geo_mean("o_totalprice"), 4).alias("geo_mean_price"))
+    )
+
+
+def top_tokens_udtf(documents: DataFrame, max_doc_id: int = 50, k: int = 3) -> DataFrame:
+    """Python UDTF (Spark 4) — the table-function surface (§2.7): one
+    document row in → its top-k (token, count) rows out, consumed via
+    ``lateralJoin`` (the reference's semi-structured 'Key: N' extraction,
+    assets.py:187, is the same one-to-many shape). Row-at-a-time Python
+    by nature → demonstrates the API on a bounded slice; the hot-path
+    equivalent is split + explode + window (which the oracle uses)."""
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string, n bigint, rank int")
+    class TopTokens:
+        def eval(self, doc_id, text):
+            counts = Counter((text or "").lower().split())
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            for i, (tok, n) in enumerate(ranked[:k], start=1):
+                yield doc_id, tok, n, i
+
+    docs = documents.filter(F.col("doc_id") < max_doc_id).select(
+        F.col("doc_id").alias("in_doc_id"), "text"
+    )
+    return docs.lateralJoin(
+        TopTokens(F.col("in_doc_id").outer(), F.col("text").outer())
+    ).select("doc_id", "token", "n", "rank")
