@@ -77,6 +77,20 @@ def _q_streaming_stateful(spark, sf):
     return event_windows.run_streaming_stateful_counter(spark, sf, query_name=name)
 
 
+def _q_streaming_sliding(spark, sf):
+    name = f"stream_sliding_{next(_stream_counter)}"
+    return event_windows.run_streaming_sliding(spark, sf, query_name=name)
+
+
+def _q_profile_orders(spark, sf):
+    from datalake_local_spark import maintenance
+
+    (orders,) = _t(spark, sf, "orders")
+    return maintenance.profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
 def _q_streaming_dedup(spark, sf):
     name = f"stream_dedup_{next(_stream_counter)}"
     return event_windows.run_streaming_dedup(spark, sf, query_name=name)
@@ -243,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table maintenance (MERGE / SCD2 — Delta/Iceberg ops emulated)
         "merge_upsert": _q_merge_upsert,
         "scd2_versions": _q_scd2,
+        "profile_orders": _q_profile_orders,
         # streaming queries late (oracle-backed but each spins a streaming
         # engine + checkpoint — keep the cheap verified queries first for a
         # bounded correctness sweep)
@@ -251,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_counter": _q_streaming_stateful,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_stream_join": _q_streaming_stream_join,
+        "streaming_sliding": _q_streaming_sliding,
         # rows-only checks last (seeded-hash / sketch semantics — no ANSI
         # oracle by design), so a bounded correctness sweep spends its
         # budget on the hash-verified queries first
@@ -296,6 +312,21 @@ SELECT date_trunc('hour', ts) + to_minutes(CAST(floor(minute(ts)/10)*10 AS BIGIN
        round(sum(value), 2) AS sum_value
 FROM events
 GROUP BY 1, 2
+"""
+
+
+_SLIDING_ORACLE = """
+    WITH b AS (
+        SELECT value,
+               date_trunc('hour', ts) + to_minutes(CAST(floor(minute(ts)/5)*5 AS BIGINT)) AS slide_start
+        FROM events
+    ),
+    w AS (
+        SELECT value, slide_start - to_minutes(CAST(o * 5 AS BIGINT)) AS win_start
+        FROM b, (VALUES (0), (1)) t(o)
+    )
+    SELECT win_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM w GROUP BY 1
 """
 
 
@@ -1076,19 +1107,8 @@ def oracle_sql() -> dict[str, str]:
             FROM daily d LEFT JOIN pred p ON d.day = p.day AND d.symbol = p.symbol
         """,
         "events_tumbling": _TUMBLING_ORACLE,
-        "events_sliding": """
-            WITH b AS (
-                SELECT value,
-                       date_trunc('hour', ts) + to_minutes(CAST(floor(minute(ts)/5)*5 AS BIGINT)) AS slide_start
-                FROM events
-            ),
-            w AS (
-                SELECT value, slide_start - to_minutes(CAST(o * 5 AS BIGINT)) AS win_start
-                FROM b, (VALUES (0), (1)) t(o)
-            )
-            SELECT win_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
-            FROM w GROUP BY 1
-        """,
+        "events_sliding": _SLIDING_ORACLE,
+        "streaming_sliding": _SLIDING_ORACLE,
         "events_sessionize": """
             WITH lagged AS (
                 SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -1196,6 +1216,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "profile_orders": """
+            SELECT 'o_orderkey' AS "column",
+                   round(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey',
+                   round(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6),
+                   count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus',
+                   round(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6),
+                   count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice',
+                   round(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6),
+                   count(DISTINCT o_totalprice),
+                   CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+            FROM orders
         """,
         "streaming_stream_join": """
             SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id

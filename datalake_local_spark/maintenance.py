@@ -118,3 +118,37 @@ def overwrite_changed_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
     return n_parts
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style column profile: one output row per column with null
+    fraction, distinct count, min/max (stringified). The stats a catalog
+    keeps for optimizer costing and a data-quality gate checks on ingest.
+
+    One pass, one job: every column's aggregates are computed in a single
+    wide aggregation (partial/map-side combined), then unpivoted with
+    stack() — never one scan per column (the naive ANALYZE trap at
+    100 TB). exact countDistinct is used here because the profile is
+    per-ingest-batch; swap approx_count_distinct for full-history
+    profiles."""
+    cols = columns or df.columns
+    total = F.count(F.lit(1))
+    aggs = []
+    for c in cols:
+        aggs.extend(
+            [
+                F.round(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) / total, 6).alias(f"{c}__nullfrac"),
+                F.countDistinct(F.col(c)).alias(f"{c}__ndv"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nullfrac`, `{c}__ndv`, `{c}__min`, `{c}__max`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args})"
+        ).alias("column", "null_frac", "n_distinct", "min_value", "max_value")
+    )

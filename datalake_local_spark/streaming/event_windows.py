@@ -209,6 +209,47 @@ def run_streaming_stateful_counter(
     return spark.table(query_name)
 
 
+def run_streaming_sliding(
+    spark: SparkSession,
+    sf_dir: str,
+    length_min: int = 10,
+    slide_min: int = 5,
+    query_name: str = "stream_sliding",
+) -> DataFrame:
+    """Sliding event-time window as a streaming query — each event lands
+    in length/slide overlapping windows; state per open window, expired by
+    the watermark. Equals the batch sliding aggregate on static input."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", f"{length_min} minutes", f"{slide_min} minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "n_events", "sum_value")
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return spark.table(query_name)
+
+
 def run_streaming_dedup(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup"
 ) -> DataFrame:
