@@ -152,3 +152,49 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             f"stack({len(cols)}, {stack_args})"
         ).alias("column", "null_frac", "n_distinct", "min_value", "max_value")
     )
+
+
+def _morton_code(x_col, y_col, bits: int = 8):
+    """Bit-interleaved (Morton / Z-order) code of two bucketized columns —
+    pure shift/mask expressions, whole-stage-codegen friendly."""
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        xbit = F.shiftrightunsigned(x_col.cast("long"), i).bitwiseAND(F.lit(1))
+        ybit = F.shiftrightunsigned(y_col.cast("long"), i).bitwiseAND(F.lit(1))
+        code = code.bitwiseOR(F.shiftleft(xbit, 2 * i)).bitwiseOR(
+            F.shiftleft(ybit, 2 * i + 1)
+        )
+    return code
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_x: str, col_y: str, n_files: int = 16, bits: int = 8
+) -> None:
+    """Z-order clustering on TWO dimensions: bucketize each column to
+    2^bits buckets (min/max from one metadata-grade aggregate — the same
+    stats a catalog already keeps), interleave the bucket bits into a
+    Morton code, then range-partition + sort on it. Every output file
+    covers a small SQUARE of (x, y) space, so predicates on EITHER column
+    skip most files — single-column clustering gets tight x-envelopes but
+    every file spans all of y."""
+    lo_hi = df.agg(
+        F.min(col_x).alias("xlo"), F.max(col_x).alias("xhi"),
+        F.min(col_y).alias("ylo"), F.max(col_y).alias("yhi"),
+    ).collect()[0]
+    span = (1 << bits) - 1
+    bx = F.least(
+        F.lit(span),
+        ((F.col(col_x) - lo_hi["xlo"]) * span / max(lo_hi["xhi"] - lo_hi["xlo"], 1)).cast("long"),
+    )
+    by = F.least(
+        F.lit(span),
+        ((F.col(col_y) - lo_hi["ylo"]) * span / max(lo_hi["yhi"] - lo_hi["ylo"], 1)).cast("long"),
+    )
+    (
+        df.withColumn("__z", _morton_code(bx, by, bits))
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -90,3 +90,41 @@ def test_overwrite_changed_partitions_only(spark, tmp_path):
     # 2024-01-01 untouched; 2024-01-02 fully replaced by the update set
     assert rows == {(1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01"),
                     (3, 99.0, "2024-01-02"), (4, 40.0, "2024-01-02")}
+
+
+def test_profile_table_reports_nulls_and_ranges(spark):
+    from datalake_local_spark import maintenance
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id long, s string"
+    )
+    prof = {r["column"]: r for r in maintenance.profile_table(df).collect()}
+    assert prof["id"]["null_frac"] == 0.0 and prof["id"]["n_distinct"] == 4
+    assert prof["id"]["min_value"] == "1" and prof["id"]["max_value"] == "4"
+    assert prof["s"]["null_frac"] == 0.5 and prof["s"]["n_distinct"] == 2
+
+
+def test_zorder_files_bound_both_dimensions(spark, tmp_path):
+    """Z-ordered files must cover small rectangles of (x, y) space —
+    every file's span on BOTH columns well under the domain — while
+    x-only clustering leaves y spanning ~the whole domain per file."""
+    from datalake_local_spark import maintenance
+
+    df = (
+        spark.range(0, 40_000)
+        .withColumn("x", (F.col("id") * 2654435761 % 10_000).cast("long"))
+        .withColumn("y", (F.col("id") * 40503 % 10_000).cast("long"))
+    )
+    zpath = str(tmp_path / "zorder")
+    maintenance.write_zordered(df, zpath, "x", "y", n_files=16)
+    x_spans = [hi - lo for lo, hi in maintenance.clustered_file_ranges(zpath, "x")]
+    y_spans = [hi - lo for lo, hi in maintenance.clustered_file_ranges(zpath, "y")]
+    assert len(x_spans) == 16
+    # 16 files ≈ 4×4 grid of squares → typical span ≈ domain/4
+    assert sorted(x_spans)[len(x_spans) // 2] <= 10_000 / 2
+    assert sorted(y_spans)[len(y_spans) // 2] <= 10_000 / 2
+
+    xpath = str(tmp_path / "xonly")
+    maintenance.write_clustered(df, xpath, ["x"], n_files=16)
+    y_only = [hi - lo for lo, hi in maintenance.clustered_file_ranges(xpath, "y")]
+    assert min(y_only) > 10_000 * 0.8  # x-clustering leaves y unbounded
