@@ -91,6 +91,11 @@ def _q_profile_orders(spark, sf):
     )
 
 
+def _q_streaming_fbu(spark, sf):
+    name = f"fbu_{next(_stream_counter)}"
+    return event_windows.run_streaming_foreachbatch_upsert(spark, sf, query_name=name)
+
+
 def _q_streaming_dedup(spark, sf):
     name = f"stream_dedup_{next(_stream_counter)}"
     return event_windows.run_streaming_dedup(spark, sf, query_name=name)
@@ -267,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_stream_join": _q_streaming_stream_join,
         "streaming_sliding": _q_streaming_sliding,
+        "streaming_foreachbatch_upsert": _q_streaming_fbu,
         # rows-only checks last (seeded-hash / sketch semantics — no ANSI
         # oracle by design), so a bounded correctness sweep spends its
         # budget on the hash-verified queries first
@@ -1216,6 +1222,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_foreachbatch_upsert": """
+            SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1
         """,
         "profile_orders": """
             SELECT 'o_orderkey' AS "column",

@@ -357,6 +357,65 @@ def run_streaming_stream_join(
     return spark.table(query_name)
 
 
+def run_streaming_foreachbatch_upsert(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_fbu"
+) -> DataFrame:
+    """foreachBatch sink — the streaming write path into managed tables
+    (the reference's S7 JDBC sink + D3 INSERT loop, streaming-shaped and
+    batched): each micro-batch's per-user delta is merged into an
+    accumulating aggregate table (read-modify-overwrite with a terminal
+    localCheckpoint so the overwrite never reads its own truncated
+    source). Final table state equals the one-shot batch aggregate —
+    oracle-checked. At scale the merge step is merge.merge_upsert against
+    a keyed table / MERGE INTO on a lakehouse format; the accumulate-
+    reaggregate shape here is the format-agnostic equivalent."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    table = f"stream_sink_{query_name}"
+    spark.sql("CREATE DATABASE IF NOT EXISTS stream_sink")
+    spark.sql(f"DROP TABLE IF EXISTS stream_sink.{table}")
+
+    def upsert_batch(batch_df, batch_id):
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.sum("value").alias("raw_value")
+        )
+        if spark.catalog.tableExists(f"stream_sink.{table}"):
+            combined = (
+                spark.table(f"stream_sink.{table}")
+                .unionByName(delta)
+                .groupBy("user_id")
+                .agg(F.sum("n_events").alias("n_events"), F.sum("raw_value").alias("raw_value"))
+            )
+        else:
+            combined = delta
+        combined.localCheckpoint().write.mode("overwrite").saveAsTable(
+            f"stream_sink.{table}"
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return spark.table(f"stream_sink.{table}").select(
+        "user_id", "n_events", F.round("raw_value", 2).alias("total_value")
+    )
+
+
 def run_streaming_tumbling(
     spark: SparkSession, sf_dir: str, minutes: int = 10, query_name: str = "stream_tumbling"
 ) -> DataFrame:
