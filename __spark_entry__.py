@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_spine_daily": lambda s, d: scalars.calendar_spine_daily_orders(*_t(s, d, "orders")),
         "agg_statistics": lambda s, d: agg.statistical_aggregates(*_t(s, d, "lineitem")),
         "agg_histogram": lambda s, d: agg.price_histogram(*_t(s, d, "orders")),
+        "agg_equidepth_histogram": lambda s, d: agg.equidepth_histogram(*_t(s, d, "orders")),
         # dedup family (north star)
         "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
@@ -283,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_lsh_multiprobe": lambda s, d: similarity.cosine_topk_lsh_multiprobe(*_t(s, d, "embeddings")),
         "sim_cosine_topk_ivf": lambda s, d: similarity.cosine_topk_ivf(*_t(s, d, "embeddings")),
         "agg_approx_percentiles": lambda s, d: tpch.approx_percentiles(*_t(s, d, "orders")),
+        "text_chunk_rolling_hash": lambda s, d: text.chunk_documents_rolling_hash(*_t(s, d, "documents")),
     }
 
 
@@ -677,6 +679,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10)) AS BIGINT), 9) AS bin,
                    count(*) AS n_orders
             FROM orders, bounds GROUP BY 1
+        """,
+        "agg_equidepth_histogram": """
+            WITH cuts AS (
+                SELECT quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+                FROM orders
+            )
+            SELECT CAST(len(list_filter(c, x -> o_totalprice > x)) AS INTEGER) AS bucket,
+                   count(*) AS n_orders
+            FROM orders, cuts GROUP BY 1
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint,

@@ -130,3 +130,64 @@ def source_lang_profile(documents: DataFrame) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+def chunk_documents_rolling_hash(
+    documents: DataFrame, window: int = 16, mask_bits: int = 6, min_chunk: int = 32, max_chunk: int = 512
+) -> DataFrame:
+    """Content-defined chunking (Rabin-Karp style rolling hash): split each
+    document at positions where the rolling hash of the trailing `window`
+    bytes has `mask_bits` low zero bits — boundaries depend on CONTENT,
+    not offsets, so an insertion early in a document shifts at most one
+    chunk (the property that makes chunk-level dedup robust, vs fixed-size
+    chunking where one edit invalidates every later chunk).
+
+    Sequential per-document scan → Arrow-batched mapInPandas kernel (the
+    sanctioned Python path; a per-character fold is not expressible as an
+    efficient column expression). Deterministic; chunks reassemble to the
+    exact document (asserted in tests). Rows-only correctness entry.
+
+    At 100 TB: this is the map side of chunk-level dedup — chunks flow
+    into exact_dedup on chunk_hash; only boundaries + hashes shuffle.
+    """
+    BASE, MOD = 257, (1 << 61) - 1
+    mask = (1 << mask_bits) - 1
+    pow_w = pow(BASE, window - 1, MOD)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            doc_ids, idxs, texts, hashes = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                h, start, idx = 0, 0, 0
+                boundaries = []
+                for i, b in enumerate(data):
+                    h = (h * BASE + b) % MOD
+                    if i >= window:
+                        h = (h - data[i - window] * pow_w * BASE) % MOD
+                    length = i + 1 - start
+                    if (length >= min_chunk and (h & mask) == 0) or length >= max_chunk:
+                        boundaries.append(i + 1)
+                        start = i + 1
+                if start < len(data):
+                    boundaries.append(len(data))
+                start = 0
+                for end in boundaries:
+                    chunk = data[start:end].decode("utf-8", errors="surrogateescape")
+                    doc_ids.append(doc_id)
+                    idxs.append(idx)
+                    texts.append(chunk)
+                    import hashlib
+
+                    hashes.append(hashlib.md5(data[start:end]).hexdigest())
+                    idx += 1
+                    start = end
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "chunk_idx": idxs, "chunk_text": texts, "chunk_hash": hashes}
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, chunk_idx long, chunk_text string, chunk_hash string"
+    )

@@ -193,3 +193,25 @@ def monthly_rollup(orders: DataFrame) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+def equidepth_histogram(orders: DataFrame, buckets: int = 10) -> DataFrame:
+    """Equi-depth (equal-height) histogram: bucket boundaries at exact
+    quantiles, then per-bucket counts — the histogram shape optimizers
+    keep for selectivity estimation (complements the equi-width
+    price_histogram). Two passes: a tiny exact-percentile aggregate
+    (bounded output: buckets-1 doubles, broadcast back), then one scan
+    assigning each row its bucket via a fold over the cutoff array —
+    no per-row UDF, no sort of the data itself."""
+    qs = [i / buckets for i in range(1, buckets)]
+    cutoffs = orders.agg(
+        F.expr(f"percentile(o_totalprice, array({','.join(str(q) for q in qs)}))").alias("cuts")
+    )
+    bucketed = orders.join(F.broadcast(cutoffs)).select(
+        F.aggregate(
+            F.col("cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("o_totalprice") > c, 1).otherwise(0),
+        ).alias("bucket")
+    )
+    return bucketed.groupBy("bucket").agg(F.count("*").alias("n_orders"))
