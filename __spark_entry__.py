@@ -243,6 +243,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *_t(s, d, "lineitem", "orders", "customer", "supplier", "nation")
         ),
         "tpch_small_qty_revenue": lambda s, d: tpch.small_quantity_revenue(*_t(s, d, "lineitem", "part")),
+        "tpch_market_share": lambda s, d: tpch.market_share(
+            *_t(s, d, "lineitem", "orders", "customer", "supplier", "nation", "region")
+        ),
+        "tpch_order_distribution": lambda s, d: tpch.customer_order_distribution(*_t(s, d, "orders", "customer")),
+        "tpch_disjunctive_revenue": lambda s, d: tpch.disjunctive_revenue(*_t(s, d, "lineitem", "part")),
+        "tpch_sales_opportunity": lambda s, d: tpch.global_sales_opportunity(*_t(s, d, "orders", "customer")),
         "dedup_embedding_cosine": lambda s, d: similarity.embedding_near_dup_pairs(*_t(s, d, "embeddings")),
         "pivot_status_by_priority": lambda s, d: tpch.pivot_status_by_priority(*_t(s, d, "orders")),
         "unpivot_order_measures": lambda s, d: tpch.unpivot_order_measures(*_t(s, d, "orders")),
@@ -715,6 +721,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+        """,
+        "tpch_market_share": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region   ON n2.n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+            GROUP BY 1
+        """,
+        "tpch_order_distribution": """
+            SELECT c_count, count(*) AS n_customers FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY 1
+            ) GROUP BY 1
+        """,
+        "tpch_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_sales_opportunity": """
+            WITH a AS (
+                SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+            ),
+            eligible AS (
+                SELECT c.* FROM customer c, a WHERE c.c_acctbal > a.avg_bal
+            )
+            SELECT c_custkey % 7 AS cntrycode,
+                   count(*) AS n_custs,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM eligible e
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = e.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1
         """,
         "dedup_components": f"""
             WITH RECURSIVE docs AS (

@@ -272,6 +272,100 @@ def small_quantity_revenue(lineitem: DataFrame, part: DataFrame, brand: str = "B
     )
 
 
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+) -> DataFrame:
+    """Q8 shape: one nation's share of revenue per year within one
+    region's market for one part type — conditional-sum ratio over a
+    six-way join; both nation aliases and region broadcast."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = nation.select(F.col("n_nationkey").alias("cn_key"), "n_regionkey")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+    )
+
+
+def customer_order_distribution(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Q13 shape: distribution of customers by order count (including
+    zero-order customers via left join) — the two-level aggregation:
+    per-customer count, then count of customers per count."""
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_customers"))
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q19 shape: revenue under OR-of-ANDs predicates (brand × size ×
+    quantity bands). The disjunction stays one scan — Catalyst pushes the
+    common join key and evaluates the OR during the probe; no union of
+    three scans."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    p1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (
+        F.col("l_quantity").between(1, 11)
+    )
+    p2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (
+        F.col("l_quantity").between(10, 20)
+    )
+    p3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & (
+        F.col("l_quantity").between(20, 30)
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(p1 | p2 | p3)
+        .agg(F.round(F.sum(rev), 4).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def global_sales_opportunity(
+    orders: DataFrame, customer: DataFrame, inactive_since: str = "2000-01-01"
+) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no RECENT orders
+    (lapsed high-value accounts), grouped by a derived country code
+    (custkey mod as the stand-in) — anti join against a date-filtered
+    order set after an aggregate-derived balance filter."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    eligible = customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= inactive_since)
+    no_orders = eligible.join(
+        recent, eligible.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy((F.col("c_custkey") % 7).alias("cntrycode")).agg(
+        F.count("*").alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
 def exact_percentiles(orders: DataFrame) -> DataFrame:
     """Exact percentile (continuous interpolation) per group — the exact
     counterpart of percentile_approx; at 100 TB use the approx version
