@@ -128,3 +128,27 @@ def test_zorder_files_bound_both_dimensions(spark, tmp_path):
     maintenance.write_clustered(df, xpath, ["x"], n_files=16)
     y_only = [hi - lo for lo, hi in maintenance.clustered_file_ranges(xpath, "y")]
     assert min(y_only) > 10_000 * 0.8  # x-clustering leaves y unbounded
+
+
+def test_multi_format_roundtrip_orc_json_csv(spark, tmp_path):
+    """Source/sink parity beyond parquet: the same frame round-trips
+    through ORC (columnar, native), JSON lines, and headered CSV with
+    values intact — the formats a landing zone actually delivers."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, 3.5)], "id long, s string, v double"
+    )
+    expected = {(r["id"], r["s"], r["v"]) for r in df.collect()}
+
+    orc = str(tmp_path / "t.orc")
+    df.write.orc(orc)
+    assert {(r["id"], r["s"], r["v"]) for r in spark.read.orc(orc).collect()} == expected
+
+    js = str(tmp_path / "t.json")
+    df.write.json(js)
+    back = spark.read.json(js, schema="id long, s string, v double")
+    assert {(r["id"], r["s"], r["v"]) for r in back.collect()} == expected
+
+    csv = str(tmp_path / "t.csv")
+    df.write.option("header", "true").csv(csv)
+    back = spark.read.option("header", "true").csv(csv, schema="id long, s string, v double")
+    assert {(r["id"], r["s"], r["v"]) for r in back.collect()} == expected
