@@ -242,3 +242,44 @@ def test_chunking_reassembles_and_is_content_defined(tables, spark):
     h2 = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
     # the edit may invalidate the first chunk(s) but most survive
     assert len(h1 & h2) / len(h1) >= 0.5
+
+
+def test_vectorized_topk_rounding_tie_prefers_smaller_corpus_id(spark):
+    """Regression: two corpus vectors whose cosines ROUND equal at 6dp
+    (but differ in raw float) must rank by corpus_id — per-batch pruning
+    on the unrounded score used to discard the rightful winner."""
+    import math
+
+    def on_angle(cos_val):
+        return [float(cos_val), float(math.sqrt(1 - cos_val * cos_val))]
+
+    rows = [
+        (0, [1.0, 0.0]),            # query
+        (10, on_angle(0.5000004)),  # unrounded higher, larger id
+        (5, on_angle(0.4999996)),   # rounds to the same 0.5, smaller id
+        (20, on_angle(0.1)),        # filler
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bf = similarity.cosine_topk_bruteforce(df, query_ids=(0,), k=1).collect()
+    vec = similarity.cosine_topk_vectorized(df, query_ids=(0,), k=1).collect()
+    assert [(r["corpus_id"], r["cosine"]) for r in bf] == [(5, 0.5)]
+    assert [(r["corpus_id"], r["cosine"]) for r in vec] == [(5, 0.5)]
+
+
+def test_minhash_cache_reuses_then_evicts_on_dataset_change(spark, tables):
+    """The persisted-intermediate registry must reuse entries for the same
+    source and evict them when a different dataset is processed (bounded
+    executor cache residency)."""
+    from datalake_local_spark.session import load_tables
+
+    dedup._plan_cache.clear()
+    dedup.minhash_lsh_candidates(tables["documents"]).count()
+    keys_a = set(dedup._plan_cache)
+    assert len(keys_a) == 2  # sigs + shingle_sets
+    dedup.minhash_lsh_candidates(tables["documents"]).count()
+    assert set(dedup._plan_cache) == keys_a  # same source → reused, not re-added
+
+    other = load_tables(spark, "/root/testdata/sf0.01")["documents"]
+    dedup.minhash_lsh_candidates(other).count()
+    keys_b = set(dedup._plan_cache)
+    assert len(keys_b) == 2 and keys_b.isdisjoint(keys_a)  # old source evicted

@@ -152,3 +152,25 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # value=100 arrival after eviction must not appear anywhere
     assert out.get(ts(0)) == 1.0
     assert all(v < 100 for v in out.values())
+
+
+def test_range_join_subsecond_precision(spark):
+    """Regression: the bucketized range join must compare event times at
+    microsecond precision — an event exactly 1h+1µs after the anchor is
+    OUT, one at 1h-1µs is IN (whole-second truncation got both wrong)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 100, "signup", t0, 0.0),
+        (2, 100, "click", t0 + dt.timedelta(hours=1, microseconds=-1), 0.0),
+        (3, 100, "click", t0 + dt.timedelta(hours=1, microseconds=1), 0.0),
+        (4, 100, "click", t0 + dt.timedelta(microseconds=1), 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    from datalake_local_spark.operators.asof import range_join_bucketized
+
+    out = {r["anchor_id"]: r["n_following"] for r in range_join_bucketized(ev).collect()}
+    assert out == {1: 2}  # events 2 and 4 in-window; 3 is 1µs too late
