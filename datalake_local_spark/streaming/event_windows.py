@@ -384,6 +384,15 @@ def run_streaming_foreachbatch_upsert(
     table = f"stream_sink_{query_name}"
     spark.sql("CREATE DATABASE IF NOT EXISTS stream_sink")
     spark.sql(f"DROP TABLE IF EXISTS stream_sink.{table}")
+    # DROP only clears THIS session's catalog: a leftover location from an
+    # earlier session (in-memory Derby catalog, same warehouse dir) still
+    # fails saveAsTable with LOCATION_ALREADY_EXISTS — clear it too
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, "stream_sink.db", table), ignore_errors=True)
 
     def upsert_batch(batch_df, batch_id):
         delta = batch_df.groupBy("user_id").agg(
