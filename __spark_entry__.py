@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (north star)
         "mm_decode_metadata": lambda s, d: multimodal.decode_image_metadata(*_t(s, d, "documents")),
         "mm_payload_profile": lambda s, d: multimodal.payload_size_profile(*_t(s, d, "documents")),
+        "mm_resize_metadata": lambda s, d: multimodal.resize_images(*_t(s, d, "documents")).drop("resized_payload"),
+        "mm_frame_sample": lambda s, d: multimodal.sample_video_frames(*_t(s, d, "documents")).drop("frame_hash"),
         # TPC-H-style depth + pivot/unpivot/sampling/percentiles
         "tpch_shipping_priority": lambda s, d: tpch.shipping_priority(*_t(s, d, "lineitem", "orders", "customer")),
         "tpch_local_supplier_volume": lambda s, d: tpch.local_supplier_volume(
@@ -983,6 +985,46 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(octet_length(encode(text))), 4) AS avg_bytes,
                    CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
             FROM documents GROUP BY 1
+        """,
+        "mm_resize_metadata": """
+            WITH g AS (
+                SELECT doc_id,
+                       octet_length(encode(text)) % 640 + 16 AS w,
+                       octet_length(encode(text)) % 480 + 16 AS h
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, w, h,
+                       least(least(64.0 / w, 64.0 / h), 1.0) AS scale
+                FROM g
+            )
+            SELECT doc_id,
+                   CAST(w AS INTEGER) AS orig_w,
+                   CAST(h AS INTEGER) AS orig_h,
+                   CAST(greatest(CAST(floor(w * scale) AS BIGINT), 1) AS INTEGER) AS new_w,
+                   CAST(greatest(CAST(floor(h * scale) AS BIGINT), 1) AS INTEGER) AS new_h
+            FROM s
+        """,
+        "mm_frame_sample": """
+            WITH v AS (
+                SELECT doc_id,
+                       octet_length(encode(text)) % 100 + 1 AS total_frames
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, total_frames,
+                       greatest(total_frames // 4, 1) AS step
+                FROM v
+            ),
+            e AS (
+                SELECT doc_id, total_frames,
+                       unnest(generate_series(0, total_frames - 1, step)) AS idx
+                FROM p
+            )
+            SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx,
+                   CAST(total_frames AS INTEGER) AS total_frames
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn FROM e)
+            WHERE rn <= 4
         """,
         "tpch_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority, revenue FROM (

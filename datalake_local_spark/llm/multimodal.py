@@ -111,3 +111,75 @@ def payload_size_profile(documents: DataFrame) -> DataFrame:
             F.max("byte_len").alias("max_bytes"),
         )
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, orig_w int, orig_h int, new_w int, new_h int, resized_payload binary"
+)
+
+
+def resize_images(documents: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Aspect-preserving resize kernel over binary payloads (mapInPandas).
+
+    The geometry (fit-within-box scale, floor, min 1px) is the real
+    contract; the pixel resample is a deterministic fake (payload bytes
+    truncated/cycled to the new byte budget) because no codec exists in
+    this container — a real kernel swaps ONLY the inner two lines for
+    PIL/cv2 calls. Output carries the resized bytes next to the metadata;
+    queries that only need dimensions must prune the binary column
+    (ReadSchema-checked pattern, see payload_size_profile)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            byte_len = pdf["payload"].map(len)
+            w = (byte_len % 640 + 16).astype("int64")  # same fake geometry as decode
+            h = (byte_len % 480 + 16).astype("int64")
+            scale = pd.concat([target_w / w, target_h / h], axis=1).min(axis=1).clip(upper=1.0)
+            new_w = (w * scale).astype("int64").clip(lower=1)
+            new_h = (h * scale).astype("int64").clip(lower=1)
+            out_bytes = [
+                bytes((p * (tw * th // max(len(p), 1) + 1))[: tw * th])
+                for p, tw, th in zip(pdf["payload"], new_w, new_h)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_w": w.astype("int32"),
+                    "orig_h": h.astype("int32"),
+                    "new_w": new_w.astype("int32"),
+                    "new_h": new_h.astype("int32"),
+                    "resized_payload": out_bytes,
+                }
+            )
+
+    return attach_fake_payload(documents).mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def sample_video_frames(documents: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over fake 'video' payloads: one input row → up to
+    ``n_frames`` output rows at evenly spaced frame indices (the
+    frame_sample_plan schedule). The per-frame 'decode' is a slice hash —
+    the real kernel would seek+decode those frames only, which is the
+    point: sampled access, never a full decode."""
+    import hashlib
+
+    plan = frame_sample_plan(n_frames)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, fidxs, totals, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                total_frames = len(payload) % 100 + 1
+                for idx in plan(total_frames):
+                    doc_ids.append(doc_id)
+                    fidxs.append(idx)
+                    totals.append(total_frames)
+                    hashes.append(hashlib.md5(payload[idx : idx + 16]).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": fidxs,
+                 "total_frames": totals, "frame_hash": hashes}
+            )
+
+    return attach_fake_payload(documents).mapInPandas(
+        kernel, schema="doc_id bigint, frame_idx int, total_frames int, frame_hash string"
+    )

@@ -283,3 +283,28 @@ def test_minhash_cache_reuses_then_evicts_on_dataset_change(spark, tables):
     dedup.minhash_lsh_candidates(other).count()
     keys_b = set(dedup._plan_cache)
     assert len(keys_b) == 2 and keys_b.isdisjoint(keys_a)  # old source evicted
+
+
+def test_resize_bytes_budget_and_aspect(tables):
+    rows = multimodal.resize_images(tables["documents"].limit(30)).collect()
+    import math
+
+    for r in rows:
+        assert 1 <= r["new_w"] <= 64 and 1 <= r["new_h"] <= 64
+        assert len(r["resized_payload"]) == r["new_w"] * r["new_h"]
+        scale = min(64 / r["orig_w"], 64 / r["orig_h"], 1.0)
+        assert r["new_w"] == max(1, math.floor(r["orig_w"] * scale))
+        assert r["new_h"] == max(1, math.floor(r["orig_h"] * scale))
+
+
+def test_frame_sampling_schedule(tables):
+    rows = multimodal.sample_video_frames(tables["documents"].limit(30)).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        idxs = sorted(r["frame_idx"] for r in doc_rows)
+        total = doc_rows[0]["total_frames"]
+        assert len(idxs) <= 4 and all(0 <= i < total for i in idxs)
+        step = max(total // 4, 1)
+        assert idxs == list(range(0, total, step))[:4]
