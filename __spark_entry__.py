@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_composite_theta": lambda s, d: joins.composite_key_join_orders_lineitem(*_t(s, d, "orders", "lineitem")),
         "join_theta_pairs": lambda s, d: joins.theta_join_nation_pairs(*_t(s, d, "nation")),
         "join_asof": lambda s, d: asof.asof_latest_event_before_order(*_t(s, d, "orders", "events")),
+        "join_asof_merge": lambda s, d: asof.asof_join_merge_asof(*_t(s, d, "orders", "events")),
         "join_range_bucketized": lambda s, d: asof.range_join_bucketized(*_t(s, d, "events")),
         "events_forward_fill": lambda s, d: event_windows.forward_fill_values(*_t(s, d, "events")),
         # aggregations (SURVEY §2.4)
@@ -201,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_array_funcs": lambda s, d: scalars.array_functions_embeddings(*_t(s, d, "embeddings")),
         "scalar_map_funcs": lambda s, d: scalars.map_functions_events(*_t(s, d, "events")),
         "scalar_string_funcs2": lambda s, d: scalars.string_functions_extended(*_t(s, d, "part")),
+        "scalar_math_funcs": lambda s, d: scalars.math_functions_lineitem(*_t(s, d, "lineitem")),
         "calendar_spine_daily": lambda s, d: scalars.calendar_spine_daily_orders(*_t(s, d, "orders")),
         "agg_statistics": lambda s, d: agg.statistical_aggregates(*_t(s, d, "lineitem")),
         "agg_histogram": lambda s, d: agg.price_histogram(*_t(s, d, "orders")),
@@ -331,6 +333,13 @@ GROUP BY 1, 2
 """
 
 
+_ASOF_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_orderdate, max(e.ts) AS asof_event_ts
+    FROM orders o LEFT JOIN events e
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    GROUP BY 1, 2, 3
+"""
+
 _SLIDING_ORACLE = """
     WITH b AS (
         SELECT value,
@@ -401,12 +410,8 @@ def oracle_sql() -> dict[str, str]:
             FROM nation n1 JOIN nation n2
               ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
         """,
-        "join_asof": """
-            SELECT o_orderkey, o_custkey, o_orderdate, max(e.ts) AS asof_event_ts
-            FROM orders o LEFT JOIN events e
-              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
-            GROUP BY 1, 2, 3
-        """,
+        "join_asof": _ASOF_ORACLE,
+        "join_asof_merge": _ASOF_ORACLE,
         "join_range_bucketized": """
             WITH anchors AS (
                 SELECT event_id AS anchor_id, user_id AS anchor_user, ts AS anchor_ts
@@ -651,6 +656,19 @@ def oracle_sql() -> dict[str, str]:
                    repeat('-', p_size % 5 + 1) AS size_bar,
                    format('{}/{}', p_brand, p_type) AS brand_slash_type
             FROM part
+        """,
+        "scalar_math_funcs": """
+            SELECT l_orderkey, l_linenumber,
+                   round(sqrt(l_extendedprice), 6) AS price_sqrt,
+                   round(pow(l_discount, 2), 6) AS disc_sq,
+                   round(ln(l_extendedprice), 6) AS price_ln,
+                   round(exp(l_discount), 6) AS disc_exp,
+                   abs(l_quantity - 25) AS qty_dev,
+                   CAST(sign(l_quantity - 25) AS INTEGER) AS qty_side,
+                   CAST(ceil(l_tax) AS BIGINT) AS tax_ceil,
+                   CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+                   l_orderkey % 7 AS key_mod7
+            FROM lineitem
         """,
         "calendar_spine_daily": """
             WITH bounds AS (

@@ -80,6 +80,43 @@ def range_join_bucketized(events: DataFrame, window_minutes: int = 60) -> DataFr
     )
 
 
+def asof_join_merge_asof(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """As-of join, grouped-pandas form: ``pd.merge_asof`` per entity-key
+    group via cogrouped ``applyInPandas`` — the alternative documented in
+    SCALE.md for DENSE per-key event streams, where the equi-join +
+    max-filter form (asof_latest_event_before_order) would materialize
+    |orders_per_key| × |events_per_key| probe pairs before aggregating.
+    Here each group is merged in O(n log n) locally; the shuffle carries
+    each side once, partitioned by the key.
+
+    Same semantics as the join+agg form (latest event at-or-before the
+    order date, null when none) — both hash-match the same oracle."""
+    import pandas as pd
+
+    def merge_group(key, odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        odf = odf.sort_values("o_orderdate", kind="stable")
+        if len(edf) == 0:
+            odf["asof_event_ts"] = pd.NaT
+            return odf[["o_orderkey", "o_custkey", "o_orderdate", "asof_event_ts"]]
+        edf = edf.sort_values("ts", kind="stable")
+        merged = pd.merge_asof(
+            odf, edf[["ts"]].assign(asof_event_ts=edf["ts"]),
+            left_on="o_orderdate", right_on="ts", direction="backward",
+        )
+        return merged[["o_orderkey", "o_custkey", "o_orderdate", "asof_event_ts"]]
+
+    o = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    e = events.select("user_id", "ts")
+    return (
+        o.groupBy("o_custkey")
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(
+            merge_group,
+            schema="o_orderkey long, o_custkey long, o_orderdate timestamp, asof_event_ts timestamp",
+        )
+    )
+
+
 def asof_latest_event_before_order(orders: DataFrame, events: DataFrame) -> DataFrame:
     ev = events.select(F.col("user_id").alias("ev_user"), F.col("ts").alias("ev_ts"))
     return (

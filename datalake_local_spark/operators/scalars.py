@@ -137,3 +137,21 @@ def array_functions_embeddings(embeddings: DataFrame) -> DataFrame:
             6,
         ).alias("mean_first8"),
     )
+
+
+def math_functions_lineitem(lineitem: DataFrame) -> DataFrame:
+    """Math scalar family (§2.5): sqrt/pow/ln/exp/abs/sign/ceil/floor/mod
+    — all JVM codegen builtins, one projection."""
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("disc_exp"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("qty_side"),
+        F.ceil("l_tax").cast("long").alias("tax_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
