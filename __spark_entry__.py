@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_map_funcs": lambda s, d: scalars.map_functions_events(*_t(s, d, "events")),
         "scalar_string_funcs2": lambda s, d: scalars.string_functions_extended(*_t(s, d, "part")),
         "scalar_math_funcs": lambda s, d: scalars.math_functions_lineitem(*_t(s, d, "lineitem")),
+        "scalar_bitwise_funcs": lambda s, d: scalars.bitwise_functions_lineitem(*_t(s, d, "lineitem")),
         "calendar_spine_daily": lambda s, d: scalars.calendar_spine_daily_orders(*_t(s, d, "orders")),
         "agg_statistics": lambda s, d: agg.statistical_aggregates(*_t(s, d, "lineitem")),
         "agg_histogram": lambda s, d: agg.price_histogram(*_t(s, d, "orders")),
@@ -295,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_ivf": lambda s, d: similarity.cosine_topk_ivf(*_t(s, d, "embeddings")),
         "agg_approx_percentiles": lambda s, d: tpch.approx_percentiles(*_t(s, d, "orders")),
         "text_chunk_rolling_hash": lambda s, d: text.chunk_documents_rolling_hash(*_t(s, d, "documents")),
+        "events_ewma": lambda s, d: grouped_pandas.ewma_per_user(*_t(s, d, "events")),
     }
 
 
@@ -668,6 +670,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(l_tax) AS BIGINT) AS tax_ceil,
                    CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
                    l_orderkey % 7 AS key_mod7
+            FROM lineitem
+        """,
+        "scalar_bitwise_funcs": """
+            SELECT l_orderkey, l_linenumber,
+                   l_orderkey & 255 AS key_and,
+                   l_orderkey | 4096 AS key_or,
+                   xor(l_orderkey, l_partkey) AS key_xor_part,
+                   l_orderkey << 2 AS key_shl2,
+                   l_orderkey >> 3 AS key_shr3,
+                   CAST(bit_count(l_orderkey) AS INTEGER) AS key_popcount
             FROM lineitem
         """,
         "calendar_spine_daily": """

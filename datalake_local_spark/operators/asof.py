@@ -9,9 +9,9 @@ order date. Implemented as equi-join on the key + max-filter aggregation:
 Scale design: the equi-part (user_id = custkey) drives the shuffle, so this
 is a plain hash join at any scale; the temporal predicate is applied during
 the probe. For dense per-key event streams (where join-then-aggregate
-explodes), the alternative is `applyInPandas` with `pd.merge_asof` per key
-bucket — kept in streaming/event_windows.py's sessionizer family as the
-pattern reference.
+explodes), `asof_join_merge_asof` below runs `pd.merge_asof` per key group
+via cogrouped applyInPandas — O(n log n) per group, each side shuffled
+once. Both forms hash-match the same oracle.
 """
 
 from __future__ import annotations

@@ -107,3 +107,21 @@ def top_tokens_udtf(documents: DataFrame, max_doc_id: int = 50, k: int = 3) -> D
     return docs.lateralJoin(
         TopTokens(F.col("in_doc_id").outer(), F.col("text").outer())
     ).select("doc_id", "token", "n", "rank")
+
+
+def ewma_per_user(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Exponentially weighted moving average of `value` per user over
+    event time — the sequential time-series smoother (y_t = (1-a)y_{t-1}
+    + a·x_t) that has no efficient closed-form column expression, so it
+    runs as a per-key applyInPandas kernel: one shuffle on user_id, one
+    ordered pass per group. Rows-only correctness (recurrence pinned by a
+    pure-python reference in tests)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        pdf["ewma"] = pdf["value"].ewm(alpha=alpha, adjust=False).mean().round(6)
+        return pdf[["event_id", "user_id", "ts", "value", "ewma"]]
+
+    return events.select("event_id", "user_id", "ts", "value").groupBy("user_id").applyInPandas(
+        kernel, schema="event_id long, user_id long, ts timestamp, value double, ewma double"
+    )

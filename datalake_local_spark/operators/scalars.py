@@ -155,3 +155,19 @@ def math_functions_lineitem(lineitem: DataFrame) -> DataFrame:
         F.floor("l_extendedprice").cast("long").alias("price_floor"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
     )
+
+
+def bitwise_functions_lineitem(lineitem: DataFrame) -> DataFrame:
+    """Bitwise scalar family (§2.5): and/or/xor/shift/popcount — integer
+    codegen ops (the building blocks the SimHash/Z-order operators use)."""
+    k = F.col("l_orderkey")
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(4096)).alias("key_or"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("key_xor_part"),
+        F.shiftleft(k, 2).alias("key_shl2"),
+        F.shiftright(k, 3).alias("key_shr3"),
+        F.bit_count(k).alias("key_popcount"),
+    )

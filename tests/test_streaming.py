@@ -174,3 +174,24 @@ def test_range_join_subsecond_precision(spark):
 
     out = {r["anchor_id"]: r["n_following"] for r in range_join_bucketized(ev).collect()}
     assert out == {1: 2}  # events 2 and 4 in-window; 3 is 1µs too late
+
+
+def test_ewma_matches_recurrence(tables):
+    """EWMA kernel must follow y_t = (1-a)·y_{t-1} + a·x_t exactly
+    (adjust=False), verified against a pure-python recurrence per user."""
+    from datalake_local_spark.operators import grouped_pandas
+
+    rows = grouped_pandas.ewma_per_user(tables["events"], alpha=0.3).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for user_rows in list(by_user.values())[:20]:
+        user_rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        y = None
+        for r in user_rows:
+            y = r["value"] if y is None else 0.7 * y + 0.3 * r["value"]
+            assert abs(r["ewma"] - round(y, 6)) < 1e-9
+            # keep the reference recurrence unrounded; only compare rounded
+            checked += 1
+    assert checked > 50
