@@ -37,6 +37,41 @@ def ingest_json(
     return df
 
 
+def ingest_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+) -> tuple[DataFrame, DataFrame]:
+    """Robust JSON ingest: PERMISSIVE parse with an explicit schema plus a
+    corrupt-record column; returns (clean, quarantine). Malformed lines
+    never abort the batch and never silently disappear — they land in the
+    quarantine frame with their raw text for replay/inspection (the
+    data-quality contract a 100 TB landing zone needs: one bad producer
+    must not poison or halt the whole ingest).
+
+    The corrupt column must NOT be in the user schema (Spark requirement);
+    it is added here and stripped from the clean output."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    # copy: StructType.add mutates in place and would alter the caller's
+    full = T.StructType(list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)])
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # corrupt-record extraction requires materializing beyond the
+        # corrupt column alone (Spark disallows that projection) — cache
+        # once, split twice
+        .cache()
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return clean, quarantine
+
+
 def parse_props_column(
     events: DataFrame, schema: str = "k BIGINT", column: str = "props"
 ) -> DataFrame:

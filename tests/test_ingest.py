@@ -200,3 +200,19 @@ def test_xlsx_distributed_long_form(spark, tmp_path):
     out = excel.xlsx_long_form(spark, str(tmp_path))
     rows = {(r["sheet"], r["row_idx"], r["column"]): r["value"] for r in out.collect()}
     assert rows[("s1", 0, "a")] == "1" and rows[("s1", 1, "b")] == "y"
+
+
+def test_json_quarantine_splits_bad_lines(spark, tmp_path):
+    src = tmp_path / "data.jsonl"
+    src.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        'this is not json\n'
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": "NOT_A_NUMBER_&_unclosed\n'
+    )
+    clean, quarantine = json_source.ingest_json_with_quarantine(
+        spark, str(src), "id long, v string"
+    )
+    assert {(r["id"], r["v"]) for r in clean.collect()} == {(1, "ok"), (2, "also ok")}
+    bad = [r["raw_line"] for r in quarantine.collect()]
+    assert len(bad) == 2 and any("not json" in b for b in bad)
