@@ -152,14 +152,15 @@ def forecast_revenue(lineitem: DataFrame) -> DataFrame:
 
 def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """Q14 shape: fraction of one month's revenue from PROMO parts.
-    part is the broadcast side (SF-bounded dim); conditional sum, no
+    part is SF-scaled, so no explicit broadcast hint — AQE picks
+    broadcast at small SF and sort-merge at scale; conditional sum, no
     second pass."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.filter(
             (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -189,8 +190,9 @@ def top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
     best = rev.withColumn("max_rev", F.max("total_revenue").over(W.partitionBy())).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
+    # broadcast the max-revenue rows (≈1 row), not SF-scaled supplier
     return (
-        best.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        supplier.join(F.broadcast(best), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.col("s_suppkey").alias("suppkey"), "s_name", "total_revenue")
     )
 
@@ -256,13 +258,15 @@ def volume_shipping(
 def small_quantity_revenue(lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1") -> DataFrame:
     """Q17 shape: revenue from lineitems below 20% of their part's average
     quantity. The correlated scalar subquery decorrelates into a per-part
-    aggregate joined back — the per-part side is part-grain (small), so
-    the second pass over lineitem is the only big scan."""
+    aggregate joined back. Both the brand-filtered part projection and
+    the per-part aggregate are part-grain, i.e. SF-scaled — no explicit
+    broadcast hints; AQE broadcasts them while they fit and falls back
+    to shuffled joins at scale."""
     brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
-    li = lineitem.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    li = lineitem.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
     avg_qty = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_cut"))
     return (
-        li.join(F.broadcast(avg_qty.withColumnRenamed("l_partkey", "a_partkey")),
+        li.join(avg_qty.withColumnRenamed("l_partkey", "a_partkey"),
                 F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
@@ -325,7 +329,8 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """Q19 shape: revenue under OR-of-ANDs predicates (brand × size ×
     quantity bands). The disjunction stays one scan — Catalyst pushes the
     common join key and evaluates the OR during the probe; no union of
-    three scans."""
+    three scans. part is SF-scaled — join strategy left to AQE, no
+    broadcast hint."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     p1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (
         F.col("l_quantity").between(1, 11)
@@ -337,7 +342,7 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         F.col("l_quantity").between(20, 30)
     )
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(p1 | p2 | p3)
         .agg(F.round(F.sum(rev), 4).alias("revenue"), F.count("*").alias("n_items"))
     )

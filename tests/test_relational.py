@@ -101,11 +101,21 @@ def test_forecast_revenue_pushes_every_predicate(tables):
         assert col in plan.split("PushedFilters")[1].split("]")[0], col
 
 
-def test_promo_revenue_broadcasts_part(tables):
+def test_no_broadcast_hint_on_sf_scaled_relations(tables):
+    """part/lineitem/orders grow with SF: a hard broadcast hint on them is
+    an OOM at scale. The three Q14/Q17/Q19 shapes must carry NO explicit
+    hint — join strategy is AQE's call (it still broadcasts at tiny SF,
+    which is fine; the hint in the logical plan is what's forbidden)."""
     from datalake_local_spark.operators import tpch
 
-    plan = _physical_plan(tpch.promo_revenue(tables["lineitem"], tables["part"]))
-    assert "BroadcastHashJoin" in plan
+    dfs = [
+        tpch.promo_revenue(tables["lineitem"], tables["part"]),
+        tpch.small_quantity_revenue(tables["lineitem"], tables["part"]),
+        tpch.disjunctive_revenue(tables["lineitem"], tables["part"]),
+    ]
+    for df in dfs:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, analyzed[:500]
 
 
 def test_volume_shipping_broadcasts_both_nation_aliases(tables):
