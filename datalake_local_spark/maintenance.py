@@ -58,8 +58,13 @@ def compact_small_files(
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
     import shutil
 
-    shutil.rmtree(path)
+    # swap via rename-aside so every failure point leaves a recoverable
+    # directory: old data survives (as __old) until the new one is live
+    old_aside = path.rstrip("/") + "__old"
+    shutil.rmtree(old_aside, ignore_errors=True)
+    os.rename(path, old_aside)
     os.rename(tmp, path)
+    shutil.rmtree(old_aside)
     after = data_file_stats(path)
     return {"files_before": len(before), "files_after": len(after), "bytes": total}
 
@@ -109,12 +114,18 @@ def overwrite_changed_partitions(
 ) -> int:
     """Incremental refresh: INSERT OVERWRITE only the partitions present
     in ``updates`` (dynamic partitionOverwriteMode) — untouched partitions
-    keep their files. Returns the number of partitions replaced."""
+    keep their files. Returns the number of partitions replaced.
+
+    insertInto is POSITIONAL (partition column last in the table schema),
+    so ``updates`` is realigned to the target's column order by name
+    first — a caller whose column order differs would otherwise silently
+    write values into the wrong columns."""
     n_parts = updates.select(partition_col).distinct().count()
+    aligned = updates.select(*spark.table(table).columns)
     old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        updates.write.mode("overwrite").insertInto(table)
+        aligned.write.mode("overwrite").insertInto(table)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
     return n_parts

@@ -9,30 +9,45 @@ sessionizer's batch form is two window functions over one (user) shuffle.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import tempfile
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
-@contextmanager
-def _stream_shuffle_partitions(spark: SparkSession, n: str = "8"):
-    """Size stateful-streaming shuffle partitions to the state, not the
-    batch default: each state-store partition pays checkpoint/commit I/O
-    per micro-batch, so 32 partitions for a (window × event_type)-grain
-    aggregate is ~4× pure overhead. The partition count is pinned into the
-    checkpoint at first start, so it must be set before ``start()``; these
-    queries use fresh checkpoints, making the override safe. At production
-    scale, size this to key cardinality ÷ target state-per-partition
-    instead (and keep it stable across restarts — it cannot change under
-    an existing checkpoint)."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n)
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+def _stream_session(spark: SparkSession, shuffle_partitions: str = "8") -> SparkSession:
+    """Child session (shared SparkContext + catalog, private SQLConf) for
+    one streaming run — streaming-specific conf never leaks into batch
+    queries planned concurrently in the caller's session.
+
+    Shuffle partitions are sized to the state, not the batch default:
+    each state-store partition pays checkpoint/commit I/O per
+    micro-batch, so 32 partitions for a (window × event_type)-grain
+    aggregate is ~4× pure overhead. The partition count is pinned into
+    the checkpoint at first start; these queries use fresh checkpoints,
+    making the setting safe. At production scale, size it to key
+    cardinality ÷ target state-per-partition instead (and keep it stable
+    across restarts — it cannot change under an existing checkpoint)."""
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+    # testdata stores TIMESTAMP(NANOS); read as long + convert (session.py)
+    sub.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return sub
+
+
+def _open_events_stream(sub: SparkSession, sf_dir: str, glob: str = "events.parquet") -> DataFrame:
+    """File-source stream over one parquet table (directory source +
+    pathGlobFilter), with the nanos→timestamp conversion applied."""
+    from pyspark.sql import types as T
+
+    schema_path = sf_dir if any(ch in glob for ch in "*?[") else f"{sf_dir}/{glob}"
+    schema = sub.read.parquet(schema_path).schema
+    stream = sub.readStream.schema(schema).option("pathGlobFilter", glob).parquet(sf_dir)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
 
 
 def tumbling_window_counts(events: DataFrame, minutes: int = 10) -> DataFrame:
@@ -117,17 +132,8 @@ def run_streaming_sessionize(
     native ``session_window`` operator (watermark-bounded state; sessions
     merge as events arrive). On static input with availableNow this equals
     the batch lag/cumsum form minus the session ordinal."""
-    from pyspark.sql import types as T
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    sub = _stream_session(spark)
+    stream = _open_events_stream(sub, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("win"), "user_id")
@@ -139,7 +145,7 @@ def run_streaming_sessionize(
         )
         .select("user_id", "n_events", "session_start", "session_end", "session_value")
     )
-    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
+    with tempfile.TemporaryDirectory() as ckpt:
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -150,7 +156,7 @@ def run_streaming_sessionize(
         )
         q.awaitTermination(120)
         q.stop()
-    return spark.table(query_name)
+    return sub.table(query_name)
 
 
 def run_streaming_stateful_counter(
@@ -164,18 +170,10 @@ def run_streaming_stateful_counter(
     State per key is two numbers → bounded; at scale state lives in the
     checkpointed state store partitioned by user_id.
     """
-    from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    sub = _stream_session(spark)
+    stream = _open_events_stream(sub, sf_dir)
 
     output_schema = "user_id bigint, n_events bigint, total_value double"
     state_schema = "n bigint, total double"
@@ -195,7 +193,7 @@ def run_streaming_stateful_counter(
     out = stream.groupBy("user_id").applyInPandasWithState(
         update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
+    with tempfile.TemporaryDirectory() as ckpt:
         q = (
             out.writeStream.outputMode("update")
             .format("memory")
@@ -206,7 +204,7 @@ def run_streaming_stateful_counter(
         )
         q.awaitTermination(120)
         q.stop()
-    return spark.table(query_name)
+    return sub.table(query_name)
 
 
 def run_streaming_sliding(
@@ -219,24 +217,15 @@ def run_streaming_sliding(
     """Sliding event-time window as a streaming query — each event lands
     in length/slide overlapping windows; state per open window, expired by
     the watermark. Equals the batch sliding aggregate on static input."""
-    from pyspark.sql import types as T
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    sub = _stream_session(spark)
+    stream = _open_events_stream(sub, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", f"{length_min} minutes", f"{slide_min} minutes").alias("win"))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("win.start").alias("win_start"), "n_events", "sum_value")
     )
-    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
+    with tempfile.TemporaryDirectory() as ckpt:
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -247,7 +236,7 @@ def run_streaming_sliding(
         )
         q.awaitTermination(120)
         q.stop()
-    return spark.table(query_name)
+    return sub.table(query_name)
 
 
 def run_streaming_dedup(
@@ -259,24 +248,15 @@ def run_streaming_dedup(
     inside the watermark, so state stays bounded, unlike plain
     dropDuplicates whose state grows forever). Output restricted to the
     key columns → deterministic, equals batch DISTINCT on static input."""
-    from pyspark.sql import types as T
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    sub = _stream_session(spark)
+    stream = _open_events_stream(sub, sf_dir)
     deduped = (
         stream.withWatermark("ts", "1 hour")
         .select("user_id", "event_type", "ts")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
+    with tempfile.TemporaryDirectory() as ckpt:
         q = (
             deduped.writeStream.outputMode("append")
             .format("memory")
@@ -287,7 +267,7 @@ def run_streaming_dedup(
         )
         q.awaitTermination(120)
         q.stop()
-    return spark.table(query_name)
+    return sub.table(query_name)
 
 
 def run_streaming_stream_join(
@@ -299,20 +279,10 @@ def run_streaming_stream_join(
     trap of stream-stream joins); the time-range predicate bounds how long
     a click waits for a matching purchase. On static input with
     availableNow this equals the batch theta-join — oracle-checked."""
-    from pyspark.sql import types as T
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sub = _stream_session(spark)
 
     def _stream():
-        s = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        if isinstance(schema["ts"].dataType, T.LongType):
-            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return s
+        return _open_events_stream(sub, sf_dir)
 
     clicks = (
         _stream()
@@ -343,7 +313,7 @@ def run_streaming_stream_join(
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
-    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
+    with tempfile.TemporaryDirectory() as ckpt:
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -354,64 +324,77 @@ def run_streaming_stream_join(
         )
         q.awaitTermination(180)
         q.stop()
-    return spark.table(query_name)
+    return sub.table(query_name)
 
 
 def run_streaming_foreachbatch_upsert(
-    spark: SparkSession, sf_dir: str, query_name: str = "stream_fbu"
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_fbu",
+    source_glob: str = "events.parquet",
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 8,
 ) -> DataFrame:
     """foreachBatch sink — the streaming write path into managed tables
     (the reference's S7 JDBC sink + D3 INSERT loop, streaming-shaped and
-    batched): each micro-batch's per-user delta is merged into an
-    accumulating aggregate table (read-modify-overwrite with a terminal
-    localCheckpoint so the overwrite never reads its own truncated
-    source). Final table state equals the one-shot batch aggregate —
-    oracle-checked. At scale the merge step is merge.merge_upsert against
-    a keyed table / MERGE INTO on a lakehouse format; the accumulate-
-    reaggregate shape here is the format-agnostic equivalent."""
-    from pyspark.sql import types as T
+    batched). The sink table is PARTITIONED by ``bucket = user_id %
+    n_buckets``; each micro-batch merges its per-user delta into ONLY the
+    buckets its users hash to (read touched buckets via partition
+    pruning, re-aggregate, dynamic-partition-overwrite them back).
+    Untouched bucket directories keep their files byte-for-byte — per-
+    batch cost is O(touched state), not O(table), so a long-running
+    stream no longer degrades with table size. A terminal localCheckpoint
+    keeps the overwrite from lazily reading its own truncated source.
+    Final table state equals the one-shot batch aggregate —
+    oracle-checked. On a lakehouse format the same step is MERGE INTO;
+    bucket-partitioned dynamic overwrite is the format-agnostic
+    equivalent (maintenance.overwrite_changed_partitions)."""
+    from datalake_local_spark.maintenance import overwrite_changed_partitions
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    sub = _stream_session(spark)
+    stream = _open_events_stream(sub, sf_dir, glob=source_glob)
 
     table = f"stream_sink_{query_name}"
-    spark.sql("CREATE DATABASE IF NOT EXISTS stream_sink")
-    spark.sql(f"DROP TABLE IF EXISTS stream_sink.{table}")
-    # DROP only clears THIS session's catalog: a leftover location from an
-    # earlier session (in-memory Derby catalog, same warehouse dir) still
-    # fails saveAsTable with LOCATION_ALREADY_EXISTS — clear it too
-    import os
-    import shutil
-    from urllib.parse import urlparse
+    full_name = f"stream_sink.{table}"
+    sub.sql("CREATE DATABASE IF NOT EXISTS stream_sink")
+    fresh_start = checkpoint_dir is None or not os.path.exists(checkpoint_dir)
+    if fresh_start:
+        sub.sql(f"DROP TABLE IF EXISTS {full_name}")
+        # DROP only clears THIS catalog: a leftover location from an
+        # earlier session (in-memory Derby catalog, same warehouse dir)
+        # still fails saveAsTable with LOCATION_ALREADY_EXISTS — clear it
+        import shutil
+        from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(os.path.join(wh, "stream_sink.db", table), ignore_errors=True)
+        wh = urlparse(sub.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, "stream_sink.db", table), ignore_errors=True)
 
     def upsert_batch(batch_df, batch_id):
-        delta = batch_df.groupBy("user_id").agg(
-            F.count("*").alias("n_events"), F.sum("value").alias("raw_value")
+        ss = batch_df.sparkSession
+        delta = (
+            batch_df.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("raw_value"))
+            .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int"))
         )
-        if spark.catalog.tableExists(f"stream_sink.{table}"):
-            combined = (
-                spark.table(f"stream_sink.{table}")
-                .unionByName(delta)
-                .groupBy("user_id")
-                .agg(F.sum("n_events").alias("n_events"), F.sum("raw_value").alias("raw_value"))
-            )
-        else:
-            combined = delta
-        combined.localCheckpoint().write.mode("overwrite").saveAsTable(
-            f"stream_sink.{table}"
+        if not ss.catalog.tableExists(full_name):
+            delta.write.mode("overwrite").partitionBy("bucket").saveAsTable(full_name)
+            return
+        touched = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+        combined = (
+            ss.table(full_name)
+            .filter(F.col("bucket").isin(touched))  # partition-pruned read
+            .unionByName(delta)
+            .groupBy("user_id", "bucket")
+            .agg(F.sum("n_events").alias("n_events"), F.sum("raw_value").alias("raw_value"))
         )
+        overwrite_changed_partitions(ss, full_name, combined.localCheckpoint(), "bucket")
 
-    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
+    ckpt_ctx = (
+        tempfile.TemporaryDirectory()
+        if checkpoint_dir is None
+        else contextlib.nullcontext(checkpoint_dir)
+    )
+    with ckpt_ctx as ckpt:
         q = (
             stream.writeStream.foreachBatch(upsert_batch)
             .option("checkpointLocation", ckpt)
@@ -420,7 +403,7 @@ def run_streaming_foreachbatch_upsert(
         )
         q.awaitTermination(120)
         q.stop()
-    return spark.table(f"stream_sink.{table}").select(
+    return sub.table(full_name).select(
         "user_id", "n_events", F.round("raw_value", 2).alias("total_value")
     )
 
@@ -432,26 +415,14 @@ def run_streaming_tumbling(
     query: parquet file source → watermark → windowed agg → memory sink,
     with availableNow so the batch of files is consumed to completion
     synchronously. Returns the sink contents (equals the batch form)."""
-    from pyspark.sql import types as T
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file streams need a directory source; glob-filter to the events table
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # testdata stores TIMESTAMP(NANOS) → read as long, convert (session.py)
-    if isinstance(schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    stream = stream.withWatermark("ts", "1 hour")
+    sub = _stream_session(spark)
+    stream = _open_events_stream(sub, sf_dir).withWatermark("ts", "1 hour")
     agg = (
         stream.groupBy(F.window("ts", f"{minutes} minutes").alias("win"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value")
     )
-    with tempfile.TemporaryDirectory() as ckpt, _stream_shuffle_partitions(spark):
+    with tempfile.TemporaryDirectory() as ckpt:
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -462,4 +433,4 @@ def run_streaming_tumbling(
         )
         q.awaitTermination(120)
         q.stop()
-    return spark.table(query_name)
+    return sub.table(query_name)

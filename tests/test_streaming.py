@@ -195,3 +195,70 @@ def test_ewma_matches_recurrence(tables):
             # keep the reference recurrence unrounded; only compare rounded
             checked += 1
     assert checked > 50
+
+
+def test_foreachbatch_upsert_touches_only_delta_buckets(spark, tmp_path):
+    """Second incremental run (same checkpoint, new file whose users all
+    hash to a subset of buckets) must leave untouched bucket partitions'
+    data files byte-identical — the O(delta) sink property."""
+    import os
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    def listing(table_path):
+        out = {}
+        for root, _dirs, files in os.walk(table_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    def write_single_file(df, dest):
+        tmp = tmp_path / "w"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        shutil.move(str(tmp / part), dest)
+        shutil.rmtree(tmp)
+
+    write_single_file(events, str(src / "batch1.parquet"))
+    out1 = event_windows.run_streaming_foreachbatch_upsert(
+        spark, str(src), query_name="t_fbu_buckets",
+        source_glob="*.parquet", checkpoint_dir=str(ckpt), n_buckets=4,
+    )
+    base = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out1.collect()}
+
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    table_path = os.path.join(wh, "stream_sink.db", "stream_sink_t_fbu_buckets")
+    before = listing(table_path)
+
+    # second file: only users hashing to bucket 1
+    write_single_file(
+        events.filter(F.pmod(F.col("user_id"), F.lit(4)) == 1), str(src / "batch2.parquet")
+    )
+    out2 = event_windows.run_streaming_foreachbatch_upsert(
+        spark, str(src), query_name="t_fbu_buckets",
+        source_glob="*.parquet", checkpoint_dir=str(ckpt), n_buckets=4,
+    )
+    after = listing(table_path)
+
+    untouched_before = {p: v for p, v in before.items() if "bucket=1" not in p}
+    untouched_after = {p: v for p, v in after.items() if "bucket=1" not in p}
+    assert untouched_before == untouched_after, "non-delta buckets must keep their files"
+    assert any("bucket=1" in p for p in set(after) - set(before)), "bucket 1 rewritten"
+
+    # values: bucket-1 users doubled, everyone else unchanged
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out2.collect()}
+    for uid, (n, v) in base.items():
+        if uid % 4 == 1:
+            assert got[uid][0] == 2 * n
+        else:
+            assert got[uid] == (n, v)
+    shutil.rmtree(table_path, ignore_errors=True)
