@@ -208,6 +208,7 @@ _CERTIFY_FIRST = [
     "streaming_stream_join",
     "streaming_sliding",
     "streaming_foreachbatch_upsert",
+    "mm_decode_real_headers",
     # rows-only by design (no ANSI oracle) but still get a driver rows row
     "sim_cosine_topk_ivf",
     "agg_approx_percentiles",
@@ -299,6 +300,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_metadata": lambda s, d: multimodal.decode_image_metadata(*_t(s, d, "documents")),
         "mm_payload_profile": lambda s, d: multimodal.payload_size_profile(*_t(s, d, "documents")),
         "mm_resize_metadata": lambda s, d: multimodal.resize_images(*_t(s, d, "documents")).drop("resized_payload"),
+        "mm_decode_real_headers": lambda s, d: multimodal.decode_synthesized_real_headers(*_t(s, d, "documents")),
         "mm_frame_sample": lambda s, d: multimodal.sample_video_frames(*_t(s, d, "documents")).drop("frame_hash"),
         # TPC-H-style depth + pivot/unpivot/sampling/percentiles
         "tpch_shipping_priority": lambda s, d: tpch.shipping_priority(*_t(s, d, "lineitem", "orders", "customer")),
@@ -1082,6 +1084,13 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(octet_length(encode(text))), 4) AS avg_bytes,
                    CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
             FROM documents GROUP BY 1
+        """,
+        "mm_decode_real_headers": """
+            SELECT doc_id,
+                   CAST(n_chars % 600 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 400 + 1 AS INTEGER) AS height,
+                   'gif' AS format
+            FROM documents
         """,
         "mm_resize_metadata": """
             WITH g AS (

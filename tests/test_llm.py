@@ -130,11 +130,52 @@ def test_multimodal_decode_matches_payload_len(tables):
         assert r["channels"] in (1, 2, 3)
 
 
-def test_multimodal_real_decoder_is_gated(tables):
-    import pytest
+def _png_bytes(w, h, color_type=2):
+    import struct
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_real(tables["documents"])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + bytes([8, color_type, 0, 0, 0])
+        + b"\x00" * 4  # CRC (unchecked by the header parser)
+    )
+
+
+def _jpeg_bytes(w, h, ncomp=3):
+    import struct
+
+    return (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"  # APP0, skipped
+        + b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])  # SOF0
+        + struct.pack(">HH", h, w)
+        + bytes([ncomp])
+    )
+
+
+def test_real_image_header_decode(spark):
+    """decode_image_real parses actual PNG/GIF/JPEG/BMP container headers
+    (stdlib struct, no codec) to correct width/height/format/channels."""
+    import struct
+
+    payloads = [
+        (1, _png_bytes(1, 1, color_type=2)),  # 1x1 RGB PNG
+        (2, _png_bytes(640, 480, color_type=6)),  # RGBA PNG
+        (3, b"GIF89a" + struct.pack("<HH", 3, 2) + b"\x00" * 4),
+        (4, _jpeg_bytes(320, 240)),
+        (5, b"BM" + bytes(16) + struct.pack("<ii", 7, -5)),
+        (6, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in multimodal.decode_image_real(df).collect()}
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == ("png", 1, 1, 3)
+    assert (rows[2]["format"], rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == ("png", 640, 480, 4)
+    assert (rows[3]["format"], rows[3]["width"], rows[3]["height"]) == ("gif", 3, 2)
+    assert (rows[4]["format"], rows[4]["width"], rows[4]["height"], rows[4]["channels"]) == ("jpeg", 320, 240, 3)
+    assert (rows[5]["format"], rows[5]["width"], rows[5]["height"]) == ("bmp", 7, 5)
+    assert rows[6]["format"] == "unknown" and rows[6]["width"] is None
 
 
 def test_simhash_banding_full_recall_within_guarantee(tables):
