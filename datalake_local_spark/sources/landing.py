@@ -16,13 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 EXCLUDED_BUCKETS = ("configuration",)  # P1 (assets.py:31, 145)
 
 
-def discover_landing(spark: SparkSession, landing_root: str) -> DataFrame:
-    """One row per object: (bucket, path, name, ext, size_bytes).
-
-    Driver-side directory walk (the landing *inventory* is catalog-sized
-    even when the data is 100 TB); the object *contents* are only ever read
-    by distributed sources.
-    """
+def _discover_local(landing_root: str) -> list[tuple]:
     rows = []
     if os.path.isdir(landing_root):
         for bucket in sorted(os.listdir(landing_root)):
@@ -34,6 +28,56 @@ def discover_landing(spark: SparkSession, landing_root: str) -> DataFrame:
                     fpath = os.path.join(dirpath, fname)
                     ext = os.path.splitext(fname)[1].lstrip(".").lower()
                     rows.append((bucket, fpath, fname, ext, os.path.getsize(fpath)))
+    return rows
+
+
+def _discover_hadoop(spark: SparkSession, landing_root: str) -> list[tuple]:
+    """URI-root discovery via the Hadoop FileSystem API — the same call
+    path serves file://, s3a://, abfss://, gs://: the object-store landing
+    zone the reference runs on MinIO (docker-compose.yml:4-19) needs only
+    the s3a endpoint/credentials conf
+    (spark.hadoop.fs.s3a.endpoint / .access.key / .secret.key /
+    .path.style.access=true); no code change."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(landing_root)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    rows = []
+    if not fs.exists(root):
+        return rows
+    buckets = sorted(
+        (st.getPath() for st in fs.listStatus(root) if st.isDirectory()),
+        key=lambda p: p.getName(),
+    )
+    for bpath in buckets:
+        bucket = bpath.getName()
+        if bucket in EXCLUDED_BUCKETS:
+            continue
+        it = fs.listFiles(bpath, True)  # S2 recursive
+        files = []
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath()
+            name = p.getName()
+            ext = os.path.splitext(name)[1].lstrip(".").lower()
+            files.append((bucket, p.toString(), name, ext, st.getLen()))
+        rows.extend(sorted(files, key=lambda r: r[1]))
+    return rows
+
+
+def discover_landing(spark: SparkSession, landing_root: str) -> DataFrame:
+    """One row per object: (bucket, path, name, ext, size_bytes).
+
+    ``landing_root`` may be a plain local directory or ANY Hadoop
+    filesystem URI (file://, s3a://, ...) — URI roots go through the
+    Hadoop FileSystem client, matching the reference's MinIO bucket
+    model. Driver-side listing (the landing *inventory* is catalog-sized
+    even when the data is 100 TB); the object *contents* are only ever
+    read by distributed sources.
+    """
+    if "://" in landing_root or landing_root.startswith("file:/"):
+        rows = _discover_hadoop(spark, landing_root)
+    else:
+        rows = _discover_local(landing_root)
     return spark.createDataFrame(
         rows, "bucket string, path string, name string, ext string, size_bytes long"
     )

@@ -95,6 +95,37 @@ def test_landing_discovery_and_dispatch(spark, tmp_path):
     assert spark.table("granjaporcentaje_uno.ventas").collect()[0]["n_animales"] == 5
 
 
+def test_landing_discovery_from_uri_root(spark, tmp_path):
+    """URI roots (file:// here; s3a:// config-identically) route through
+    the Hadoop FileSystem client and must yield the same inventory and
+    ingest results as the plain-path walk."""
+    from datalake_local_spark.sources import landing
+
+    root = tmp_path / "landing_uri"
+    (root / "farm_a" / "nested").mkdir(parents=True)
+    (root / "configuration").mkdir()
+    (root / "farm_a" / "ventas.csv").write_text(
+        "1/2/2024 Venta Animales: 5 Documento salida: 10\n"
+    )
+    (root / "farm_a" / "nested" / "extra.jsonl").write_text('{"a": 7}\n')
+    (root / "configuration" / "skip.csv").write_text("x\n")
+
+    uri_root = f"file://{root}"
+    inv = landing.discover_landing(spark, uri_root).collect()
+    assert {r["bucket"] for r in inv} == {"farm_a"}
+    assert {r["ext"] for r in inv} == {"csv", "jsonl"}  # nested file found (S2)
+    assert all(r["path"].startswith("file:") for r in inv)
+
+    plain = landing.discover_landing(spark, str(root)).collect()
+    assert {(r["bucket"], r["name"], r["size_bytes"]) for r in inv} == {
+        (r["bucket"], r["name"], r["size_bytes"]) for r in plain
+    }
+
+    written = landing.ingest_landing(spark, uri_root)
+    assert written == {"farm_a.ventas": 1, "farm_a.extra": 1}
+    assert spark.table("farm_a.ventas").collect()[0]["n_animales"] == 5
+
+
 def _write_minimal_xlsx(path, sheets):
     """Hand-rolled SpreadsheetML writer (tests only): sheets is
     {name: (header, rows)}; strings go inline, ints/floats as numbers."""
