@@ -247,3 +247,32 @@ def test_json_quarantine_splits_bad_lines(spark, tmp_path):
     assert {(r["id"], r["v"]) for r in clean.collect()} == {(1, "ok"), (2, "also ok")}
     bad = [r["raw_line"] for r in quarantine.collect()]
     assert len(bad) == 2 and any("not json" in b for b in bad)
+
+
+def test_sql_shell_executes_statements(spark, tables):
+    """The SQL endpoint façade: two statements driven through the REPL
+    programmatically (the reference's interactive-JDBC role)."""
+    import io
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import sql_shell
+
+    tables["orders"].createOrReplaceTempView("orders_shell")
+    script = io.StringIO(
+        "SELECT count(*) AS n FROM orders_shell;\n"
+        "SELECT o_orderpriority, count(*) AS n FROM orders_shell\n"
+        "GROUP BY 1 ORDER BY 1 LIMIT 2;\n"
+        "\\q\n"
+    )
+    out = io.StringIO()
+    sql_shell.repl(spark, instream=script, outstream=out)
+    text = out.getvalue()
+    expected_n = tables["orders"].count()
+    assert f"{expected_n}" in text and "(1 row)" in text
+    assert "o_orderpriority" in text and "(2 rows)" in text
+
+    cols, rows = sql_shell.run_statement(spark, "SELECT 1 AS one, NULL AS nothing")
+    assert cols == ["one", "nothing"] and rows == [(1, None)]
+    rendered = sql_shell.format_table(cols, rows)
+    assert "NULL" in rendered

@@ -1,0 +1,158 @@
+"""Interactive SQL shell — the engine's stand-in for the reference's
+primary UX: Trino's JDBC endpoint at :8060 with DataGrip/BI clients
+(reference trino/conf/trino/config.properties:1-15, README.md:52-76).
+
+Three ways to get the same ``spark.sql`` surface interactively:
+
+1. This REPL (zero extra processes)::
+
+       python tools/sql_shell.py [--sf-dir /root/testdata/sf0.01] [--cpus 8]
+
+   Registers the testdata tables as views, then reads ``;``-terminated
+   statements with readline editing/history (~/.datalake_sql_history),
+   prints aligned result tables. Meta-commands: ``\\d`` (list tables),
+   ``\\d name`` (describe), ``\\q`` (quit).
+
+2. Spark Thrift JDBC server (real JDBC, for DataGrip/Metabase/beeline —
+   the closest drop-in for the Trino endpoint)::
+
+       $SPARK_HOME/sbin/start-thriftserver.sh \\
+           --master local[*] \\
+           --conf spark.sql.warehouse.dir=/root/repo/spark-warehouse \\
+           --hiveconf hive.server2.thrift.port=10000
+       # then: beeline -u jdbc:hive2://localhost:10000
+       # or JDBC URL jdbc:hive2://host:10000 in any BI tool
+
+3. Spark Connect (gRPC, for remote DataFrame/SQL clients)::
+
+       $SPARK_HOME/sbin/start-connect-server.sh --master local[*]
+       # then: SparkSession.builder.remote("sc://localhost:15002")
+
+All three execute through the same Catalyst/AQE path as the library
+operators; auth for the thrift endpoint comes from Hive/Spark conf
+(hive.server2.authentication), standing in for Trino's password file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import atexit
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HISTORY_FILE = os.path.expanduser("~/.datalake_sql_history")
+MAX_ROWS = 200
+
+
+def run_statement(spark, sql: str) -> tuple[list[str], list[tuple]]:
+    """Execute one SQL statement; returns (column_names, rows). DDL/DML
+    statements return their (possibly empty) result the same way —
+    exactly the ``%sql`` contract of the reference's Jupyter startup
+    (aio/conf/ipython/startup/00-prettytables.py:42-62)."""
+    df = spark.sql(sql)
+    rows = df.limit(MAX_ROWS + 1).collect()
+    return list(df.columns), [tuple(r) for r in rows]
+
+
+def format_table(columns: list[str], rows: list[tuple], max_rows: int = MAX_ROWS) -> str:
+    """Aligned ASCII table (psql-ish) with a truncation marker."""
+    shown = rows[:max_rows]
+    cells = [[("NULL" if v is None else str(v)) for v in r] for r in shown]
+    widths = [
+        max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+        for i, c in enumerate(columns)
+    ]
+    sep = "-+-".join("-" * w for w in widths)
+    out = [
+        " | ".join(c.ljust(w) for c, w in zip(columns, widths)),
+        sep,
+    ]
+    out += [" | ".join(v.ljust(w) for v, w in zip(row, widths)) for row in cells]
+    note = f"({len(shown)} row{'s' if len(shown) != 1 else ''})"
+    if len(rows) > max_rows:
+        note = f"({max_rows}+ rows, truncated)"
+    out.append(note)
+    return "\n".join(out)
+
+
+def _meta(spark, cmd: str) -> str:
+    parts = cmd.split()
+    if parts[0] == "\\d" and len(parts) == 1:
+        cols, rows = run_statement(spark, "SHOW TABLES")
+        return format_table(cols, rows)
+    if parts[0] == "\\d" and len(parts) == 2:
+        cols, rows = run_statement(spark, f"DESCRIBE TABLE {parts[1]}")
+        return format_table(cols, rows)
+    return f"unknown meta-command: {cmd} (try \\d, \\d <table>, \\q)"
+
+
+def repl(spark, instream=None, outstream=None) -> None:
+    """Statement loop: accumulates input until ';', executes, prints.
+    ``instream``/``outstream`` default to stdin/stdout (injectable for
+    tests)."""
+    inp = instream or sys.stdin
+    out = outstream or sys.stdout
+    interactive = instream is None and sys.stdin.isatty()
+    if interactive:
+        try:
+            import readline
+
+            if os.path.exists(HISTORY_FILE):
+                readline.read_history_file(HISTORY_FILE)
+            atexit.register(readline.write_history_file, HISTORY_FILE)
+        except ImportError:
+            pass
+
+    buf: list[str] = []
+    while True:
+        prompt = "sql> " if not buf else "...> "
+        if interactive:
+            try:
+                line = input(prompt)
+            except (EOFError, KeyboardInterrupt):
+                print(file=out)
+                return
+        else:
+            line = inp.readline()
+            if not line:
+                return
+            line = line.rstrip("\n")
+        stripped = line.strip()
+        if not buf and stripped.startswith("\\"):
+            if stripped == "\\q":
+                return
+            print(_meta(spark, stripped), file=out)
+            continue
+        buf.append(line)
+        if stripped.endswith(";"):
+            stmt = "\n".join(buf).strip().rstrip(";")
+            buf = []
+            if not stmt:
+                continue
+            try:
+                cols, rows = run_statement(spark, stmt)
+                print(format_table(cols, rows), file=out)
+            except Exception as exc:  # surface analysis errors, keep looping
+                print(f"ERROR: {exc}", file=out)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="SQL shell over the Spark engine")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    args = ap.parse_args()
+
+    from datalake_local_spark.session import get_spark, load_tables
+
+    spark = get_spark(app_name="datalake-sql-shell", cpus=str(args.cpus))
+    tables = load_tables(spark, args.sf_dir)
+    print(f"Registered views from {args.sf_dir}: {', '.join(sorted(tables))}")
+    print("Terminate statements with ';'.  \\d lists tables, \\q quits.")
+    repl(spark)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
