@@ -157,3 +157,55 @@ def test_approx_percentiles_within_sketch_error(tables):
             # GK guarantees a rank error <= n/accuracy; translate to a
             # loose value tolerance on this distribution
             assert abs(exact[k][col] - approx[k][col]) / exact[k][col] < 0.05
+
+
+def test_salting_balances_skewed_shuffle(spark):
+    """Deliberate skew: 95% of rows share one key. Shuffling on the bare
+    key sends them all to ONE reduce partition (the straggler that kills
+    a 1000-executor job); shuffling on (key, salt) bounds every
+    partition near the mean. salted_two_phase_agg's phase 1 rides the
+    balanced layout; its result equals the naive agg (oracle-checked as
+    events_salted_agg)."""
+    from datalake_local_spark.operators import merge
+
+    n, n_parts = 40_000, 8
+    skewed = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 20 != 0, F.lit("hot")).otherwise(
+                F.concat(F.lit("cold_"), (F.col("id") % 97).cast("string"))
+            ).alias("event_type"),
+            F.col("id").alias("event_id"),
+            (F.col("id") % 100 / 10.0).alias("value"),
+        )
+    )
+
+    def max_partition_rows(df, *cols):
+        counts = (
+            df.repartition(n_parts, *[F.col(c) for c in cols])
+            .select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in counts)
+
+    # salt granularity must exceed reducer count by enough that hashing
+    # (key, salt) groups into partitions balances — 64 salts over 8 parts
+    salted = skewed.withColumn("salt", F.col("event_id") % 64)
+    naive_max = max_partition_rows(skewed, "event_type")
+    salted_max = max_partition_rows(salted, "event_type", "salt")
+    assert naive_max >= 0.95 * n, "hot key must concentrate in one partition"
+    assert salted_max <= 2 * n / n_parts, "salted layout must be near-balanced"
+
+    agg_rows = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in merge.salted_two_phase_agg(skewed).collect()
+    }
+    direct = {
+        r["event_type"]: (r["n"], r["v"])
+        for r in skewed.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    }
+    assert agg_rows == direct
