@@ -20,20 +20,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Persisted intermediates keyed by (kind, source-files, params).
-#: Re-invocation with the same source reuses the SAME persisted DataFrame
-#: (the steady-state fast path: signatures computed once per session per
-#: dataset); a call against a different source evicts that source's
-#: entries first, so executor cache residency is bounded to one dataset's
-#: worth instead of growing per invocation.
+#: Persisted intermediates keyed by (kind, plan-fingerprint, source-files,
+#: params). Re-invocation with the same plan reuses the SAME persisted
+#: DataFrame (the steady-state fast path: signatures computed once per
+#: session per dataset); a call against a different source evicts that
+#: source's entries first, so executor cache residency is bounded to one
+#: dataset's worth instead of growing per invocation.
 _plan_cache: dict[tuple, DataFrame] = {}
+
+
+def _plan_fingerprint(df: DataFrame) -> tuple:
+    """Identity of a cached intermediate: the analyzed plan's semantic
+    hash (so documents.filter(...) over the same files never hits the
+    full-table entry) plus the owning session's UUID (so a stopped-and-
+    recreated session misses instead of returning frames bound to a dead
+    session)."""
+    qe = df._jdf.queryExecution()
+    try:
+        session_id = df.sparkSession._jsparkSession.sessionUUID()
+    except Exception:
+        session_id = id(df.sparkSession)
+    return (qe.analyzed().semanticHash(), str(session_id))
 
 
 def _cached(key: tuple, builder) -> DataFrame:
     if key not in _plan_cache:
-        src = key[1]
-        for stale in [k for k in _plan_cache if k[1] != src]:
-            _plan_cache.pop(stale).unpersist()
+        src = key[2]
+        for stale in [k for k in _plan_cache if k[2] != src]:
+            try:
+                _plan_cache.pop(stale).unpersist()
+            except Exception:
+                pass  # entry belonged to a stopped session
         _plan_cache[key] = builder().persist()
     return _plan_cache[key]
 
@@ -127,13 +144,15 @@ def minhash_lsh_candidates(
     # shingle+aggregate subtree twice. (localCheckpoint was tried and
     # rejected: the RDD-backed leaf hides statistics/columnar structure
     # from Catalyst and made the candidate join ~40× slower at sf0.1.)
-    # cache key = source parquet files; a non-file-backed input (in-memory
-    # test frames) has no stable identity → skip the registry rather than
-    # risk a key collision returning another dataset's signatures
+    # cache key = plan fingerprint (semantic hash + session) over the
+    # source parquet files; a non-file-backed input (in-memory test
+    # frames) has no stable file identity → skip the registry rather
+    # than risk a key collision returning another dataset's signatures
     src = tuple(sorted(documents.inputFiles()))
+    fp = _plan_fingerprint(documents) if src else None
     if src:
         sigs = _cached(
-            ("minhash_sigs", src, num_hashes, shingle_n),
+            ("minhash_sigs", fp, src, num_hashes, shingle_n),
             lambda: minhash_signatures(documents, num_hashes, shingle_n),
         )
     else:
@@ -174,7 +193,9 @@ def minhash_lsh_candidates(
     _shingle_plan = lambda: documents.select(  # noqa: E731
         "doc_id", _shingles(F.col("text"), shingle_n).alias("shingles")
     )
-    shingle_sets = _cached(("shingle_sets", src, shingle_n), _shingle_plan) if src else _shingle_plan()
+    shingle_sets = (
+        _cached(("shingle_sets", fp, src, shingle_n), _shingle_plan) if src else _shingle_plan()
+    )
     cand = (
         cand.join(
             shingle_sets.select(

@@ -127,7 +127,15 @@ def read_xlsx_distributed(spark, landing_dir: str):
             for path, content in zip(pdf["path"], pdf["content"]):
                 for sheet, (header, rows) in parse_xlsx(bytes(content)).items():
                     for i, row in enumerate(rows):
-                        for col, v in zip(header, row):
+                        # rows wider than the header keep their trailing
+                        # cells under generated col_N names (parse_xlsx
+                        # contract: long rows keep their width)
+                        names = (
+                            header + [f"col_{j}" for j in range(len(header), len(row))]
+                            if len(row) > len(header)
+                            else header
+                        )
+                        for col, v in zip(names, row):
                             paths.append(path)
                             sheets.append(sheet)
                             row_idxs.append(i)

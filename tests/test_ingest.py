@@ -233,6 +233,19 @@ def test_xlsx_distributed_long_form(spark, tmp_path):
     assert rows[("s1", 0, "a")] == "1" and rows[("s1", 1, "b")] == "y"
 
 
+def test_xlsx_distributed_keeps_ragged_trailing_cells(spark, tmp_path):
+    """Rows wider than the header must keep trailing cells (generated
+    col_N names) in the long form — parse_xlsx's width contract."""
+    fpath = tmp_path / "ragged.xlsx"
+    _write_minimal_xlsx(
+        fpath, {"s1": (["a", "b"], [[1, "x", "overflow", 9], [2, "y"]])}
+    )
+    out = excel.xlsx_long_form(spark, str(tmp_path))
+    rows = {(r["row_idx"], r["column"]): r["value"] for r in out.collect()}
+    assert rows[(0, "col_2")] == "overflow" and rows[(0, "col_3")] == "9"
+    assert (1, "col_2") not in rows
+
+
 def test_json_quarantine_splits_bad_lines(spark, tmp_path):
     src = tmp_path / "data.jsonl"
     src.write_text(

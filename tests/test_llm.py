@@ -344,6 +344,14 @@ def test_minhash_cache_reuses_then_evicts_on_dataset_change(spark, tables):
     dedup.minhash_lsh_candidates(tables["documents"]).count()
     assert set(dedup._plan_cache) == keys_a  # same source → reused, not re-added
 
+    # a FILTERED frame over the same parquet files must get its own cache
+    # entries (plan fingerprint in the key), never the full-table frames
+    filtered = tables["documents"].filter(F.col("doc_id") < 100)
+    n_filtered = dedup.minhash_lsh_candidates(filtered).count()
+    assert set(dedup._plan_cache) > keys_a
+    n_full = dedup.minhash_lsh_candidates(tables["documents"]).count()
+    assert n_filtered <= n_full
+
     other = load_tables(spark, "/root/testdata/sf0.01")["documents"]
     dedup.minhash_lsh_candidates(other).count()
     keys_b = set(dedup._plan_cache)
