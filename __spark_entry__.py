@@ -209,6 +209,11 @@ _CERTIFY_FIRST = [
     "streaming_sliding",
     "streaming_foreachbatch_upsert",
     "mm_decode_real_headers",
+    "text_unigram_logprob",
+    "text_contamination",
+    "text_pack_sequences",
+    "text_quality_gate",
+    "agg_mad_outliers",
     # rows-only by design (no ANSI oracle) but still get a driver rows row
     "sim_cosine_topk_ivf",
     "agg_approx_percentiles",
@@ -291,6 +296,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": lambda s, d: text.fingerprints(*_t(s, d, "documents")),
         "text_source_profile": lambda s, d: text.source_lang_profile(*_t(s, d, "documents")),
         "text_top_bigrams": lambda s, d: text.top_bigrams_per_lang(*_t(s, d, "documents")),
+        "text_unigram_logprob": lambda s, d: text.unigram_logprob(*_t(s, d, "documents")),
+        "text_contamination": lambda s, d: text.benchmark_contamination(*_t(s, d, "documents")),
+        "text_pack_sequences": lambda s, d: text.pack_sequences(*_t(s, d, "documents")),
+        "text_quality_gate": lambda s, d: text.quality_gate(*_t(s, d, "documents")),
+        "agg_mad_outliers": lambda s, d: agg.mad_outliers(*_t(s, d, "events")),
+        "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
         "pandas_udaf_geomean": lambda s, d: grouped_pandas.geometric_mean_udaf(*_t(s, d, "orders")),
@@ -1015,6 +1026,110 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
                 FROM c
             ) WHERE rank <= 5
+        """,
+        "text_unigram_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+            ),
+            freqs AS (SELECT token, count(*) AS n_tok FROM toks GROUP BY 1),
+            tot AS (SELECT sum(n_tok) AS total FROM freqs),
+            scored AS (
+                SELECT doc_id, log10(CAST(n_tok AS DOUBLE) / total) AS logp
+                FROM toks JOIN freqs USING (token), tot
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(logp), 6) AS mean_logp,
+                   round(min(logp), 6) AS min_logp
+            FROM scored GROUP BY 1
+        """,
+        "text_contamination": f"""
+            WITH d AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 7),
+                              i -> array_to_string(toks[i:i+7], ' '))) AS gram
+                FROM d WHERE len(toks) >= 8
+            ),
+            bench AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id IN (0, 1, 2, 3, 4)
+            ),
+            hits AS (
+                SELECT g.doc_id, count(*) AS n
+                FROM grams g JOIN bench b ON g.gram = b.gram
+                GROUP BY 1
+            )
+            SELECT doc_id,
+                   coalesce(n, 0) AS n_contaminated_grams,
+                   coalesce(n, 0) > 0 AS is_contaminated,
+                   doc_id IN (0, 1, 2, 3, 4) AS is_benchmark
+            FROM documents LEFT JOIN hits USING (doc_id)
+        """,
+        "text_pack_sequences": f"""
+            WITH toks AS (
+                SELECT doc_id, len(string_split({_NORM}, ' ')) AS n_tokens
+                FROM documents
+            ),
+            binned AS (
+                SELECT doc_id, n_tokens,
+                       CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            / 512) AS BIGINT) AS bin_id
+                FROM toks
+            )
+            SELECT bin_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM binned GROUP BY 1
+        """,
+        "text_quality_gate": f"""
+            WITH t AS (
+                SELECT doc_id, {_NORM} AS norm, string_split({_NORM}, ' ') AS toks
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_len,
+                       CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+                           / len(toks) AS stop_ratio,
+                       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+                FROM t
+            )
+            SELECT doc_id,
+                   n_tokens >= 5 AND n_tokens <= 100000 AS ok_n_tokens,
+                   mean_len >= 2.0 AND mean_len <= 12.0 AS ok_mean_token_len,
+                   stop_ratio >= 0.0005 AS ok_stopwords,
+                   distinct_ratio >= 0.1 AS ok_repetition,
+                   (n_tokens >= 5 AND n_tokens <= 100000)
+                       AND (mean_len >= 2.0 AND mean_len <= 12.0)
+                       AND stop_ratio >= 0.0005
+                       AND distinct_ratio >= 0.1 AS keep
+            FROM m
+        """,
+        "agg_mad_outliers": """
+            WITH med AS (
+                SELECT event_type, median(value) AS median_value
+                FROM events GROUP BY 1
+            ),
+            dev AS (
+                SELECT e.event_type, e.value, m.median_value,
+                       abs(e.value - m.median_value) AS abs_dev
+                FROM events e JOIN med m USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, any_value(median_value) AS median_value,
+                       median(abs_dev) AS mad
+                FROM dev GROUP BY 1
+            )
+            SELECT d.event_type,
+                   count(*) AS n_events,
+                   round(any_value(m.median_value), 6) AS median_value,
+                   round(any_value(m.mad), 6) AS mad,
+                   CAST(sum(CASE WHEN d.abs_dev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev d JOIN mad m ON d.event_type = m.event_type
+            GROUP BY 1
         """,
         "sim_quantize_int8": """
             WITH v AS (

@@ -35,6 +35,13 @@ BENCH_QUERIES = [
     "text_token_stats",
     "events_sessionize",
     "streaming_tumbling",
+    # round-3 heavy tail: six-way join ratio, iterative connected
+    # components, IVF ANN, stream-stream join, blocked near-dup GEMM
+    "tpch_market_share",
+    "dedup_components",
+    "sim_cosine_topk_ivf",
+    "streaming_stream_join",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -469,3 +469,30 @@ def embedding_centroids_by_label(embeddings: DataFrame, dim: int = 64) -> DataFr
         )
         .select("label", "n_vectors", "dim", "centroid_norm")
     )
+
+
+def random_projection_profile(
+    embeddings: DataFrame, out_dim: int = 16, dim: int = 64, seed: int = 7
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-dim float vectors →
+    ``out_dim`` via a seeded Gaussian matrix scaled by 1/sqrt(out_dim) —
+    the 4× storage/compute shrink applied before ANN indexing at corpus
+    scale (norms are preserved in expectation; distortion bound tested).
+
+    Emits a per-vector profile (orig/projected norm + ratio) instead of
+    the raw projected array so the check is compact; the projection
+    itself is the ``proj`` expression — pure JVM-side fold, no UDF.
+    Seeded + deterministic, but the matrix is engine-side state → no
+    ANSI oracle (rows-only check; distortion asserted in tests)."""
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+    vec = _as_double(F.col("embedding"))
+    proj = F.array(
+        *[_dot(vec, F.array(*[F.lit(float(v)) for v in row])) for row in mat]
+    )
+    return embeddings.select(
+        "vec_id",
+        F.round(_norm(vec), 6).alias("orig_norm"),
+        F.round(_norm(proj), 6).alias("proj_norm"),
+        F.round(_norm(proj) / _norm(vec), 6).alias("norm_ratio"),
+    )

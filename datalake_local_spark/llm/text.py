@@ -191,3 +191,140 @@ def chunk_documents_rolling_hash(
     return documents.select("doc_id", "text").mapInPandas(
         kernel, schema="doc_id long, chunk_idx long, chunk_text string, chunk_hash string"
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus unigram language-model score per document — the cheap
+    perplexity proxy a training-data pipeline uses to rank/filter text
+    (the real thing swaps the unigram table for a KenLM binary; the data
+    flow is identical).
+
+    Two passes, both shuffle-lean at 100 TB:
+    1. token → corpus frequency (explode + groupBy token; map-side
+       combine keeps the shuffle at vocab grain, not token occurrences);
+    2. re-join each doc's tokens to the frequency table (vocab-sized —
+       broadcastable for real vocabularies) and aggregate
+       mean/min log10 p(token) per doc.
+    """
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
+    )
+    freqs = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
+    # corpus total folded into the (vocab-grain) freq table — a window
+    # over the aggregate, never a second corpus scan or a driver action
+    freqs = freqs.withColumn("total", F.sum("n_tok").over(W.partitionBy()))
+    scored = toks.join(F.broadcast(freqs), "token").select(
+        "doc_id", F.log10(F.col("n_tok") / F.col("total")).alias("logp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("logp"), 6).alias("mean_logp"),
+        F.round(F.min("logp"), 6).alias("min_logp"),
+    )
+
+
+def benchmark_contamination(documents: DataFrame, benchmark_ids: tuple = (0, 1, 2, 3, 4), n: int = 8) -> DataFrame:
+    """Benchmark-contamination detection: flag documents sharing any
+    word n-gram with a benchmark set (the decontamination step every
+    training corpus runs against eval suites; n=13 in the GPT-3 paper,
+    n=8 here to suit the short synthetic docs).
+
+    The benchmark n-gram set is tiny (eval suites are ~10⁵ grams) →
+    broadcast; each corpus doc explodes to distinct n-grams, semi-joins
+    the broadcast set, and aggregates hit counts — one scan of the
+    corpus, no doc×doc comparison."""
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(F.split(_norm_text(F.col("text")), " ")) >= n,
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(
+                                F.size(F.split(_norm_text(F.col("text")), " ")) - (n - 1),
+                                F.lit(1),
+                            ),
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.split(_norm_text(F.col("text")), " "), i, n)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("gram"),
+    )
+    bench_grams = (
+        grams(documents.filter(F.col("doc_id").isin(list(benchmark_ids))))
+        .select("gram")
+        .distinct()
+    )
+    doc_grams = grams(documents)
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram").groupBy("doc_id").agg(
+        F.count("*").alias("n_contaminated_grams")
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("is_contaminated"),
+            F.col("doc_id").isin(list(benchmark_ids)).alias("is_benchmark"),
+        )
+    )
+
+
+def pack_sequences(documents: DataFrame, target_tokens: int = 512) -> DataFrame:
+    """Greedy sequence packing: assign documents (in doc_id order) to
+    fixed-budget context windows by running token count — the
+    "concatenate-then-split" batching step of LLM pre-training data
+    prep. bin = floor((cumsum_before_doc) / target): deterministic, one
+    window pass; at scale the cumsum runs per shard (partition by a
+    shard key, pack within shards — append the shard id to the bin)."""
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        "doc_id", F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    binned = toks.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / target_tokens)).alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def quality_gate(documents: DataFrame) -> DataFrame:
+    """Rule-based keep/drop gate (Gopher-style): each rule is a boolean
+    column so downstream can audit WHY a doc dropped; `keep` is the
+    conjunction. Pure expressions → scan-speed at 100 TB."""
+    norm = _norm_text(F.col("text"))
+    tokens = F.split(norm, " ")
+    n_tokens = F.size(tokens)
+    mean_len = (F.length(norm) - n_tokens + 1) / n_tokens
+    stopwords = ["the", "a", "and", "of", "to", "in", "is"]
+    stop_ratio = F.size(F.filter(tokens, lambda t: t.isin(stopwords))) / n_tokens
+    distinct_ratio = F.size(F.array_distinct(tokens)) / n_tokens
+    rules = {
+        "ok_n_tokens": (n_tokens >= 5) & (n_tokens <= 100000),
+        "ok_mean_token_len": (mean_len >= 2.0) & (mean_len <= 12.0),
+        "ok_stopwords": stop_ratio >= 0.0005,
+        "ok_repetition": distinct_ratio >= 0.1,
+    }
+    keep = None
+    cols = [F.col("doc_id")]
+    for name, expr in rules.items():
+        cols.append(expr.alias(name))
+        keep = expr if keep is None else (keep & expr)
+    cols.append(keep.alias("keep"))
+    return documents.select(*cols)

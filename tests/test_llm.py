@@ -381,3 +381,37 @@ def test_frame_sampling_schedule(tables):
         assert len(idxs) <= 4 and all(0 <= i < total for i in idxs)
         step = max(total // 4, 1)
         assert idxs == list(range(0, total, step))[:4]
+
+
+def test_random_projection_distortion_bounded(tables):
+    """JL with out_dim=16 preserves norms in expectation: the mean norm
+    ratio across vectors must sit near 1 and no vector may collapse or
+    blow up beyond loose distortion bounds."""
+    rows = similarity.random_projection_profile(tables["embeddings"]).collect()
+    ratios = [r["norm_ratio"] for r in rows]
+    assert len(rows) == tables["embeddings"].count()
+    mean = sum(ratios) / len(ratios)
+    assert 0.9 < mean < 1.1
+    assert all(0.3 < r < 2.5 for r in ratios)
+
+
+def test_contamination_marks_benchmark_docs(tables):
+    """Benchmark docs contaminate themselves (every long-enough one must
+    be flagged), and flags are consistent with gram counts."""
+    rows = text.benchmark_contamination(tables["documents"]).collect()
+    for r in rows:
+        assert r["is_contaminated"] == (r["n_contaminated_grams"] > 0)
+        if r["is_benchmark"]:
+            assert r["is_contaminated"]
+
+
+def test_pack_sequences_respects_budget(tables):
+    """Every bin except possibly the last stays within one doc of the
+    512-token budget (greedy continuous fill: a bin closes only once its
+    cumulative tokens cross the target)."""
+    rows = sorted(
+        text.pack_sequences(tables["documents"]).collect(), key=lambda r: r["bin_id"]
+    )
+    assert sum(r["n_docs"] for r in rows) == tables["documents"].count()
+    for r in rows[:-1]:
+        assert r["total_tokens"] >= 512 - 100  # bins fill before closing
