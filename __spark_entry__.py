@@ -210,6 +210,11 @@ _CERTIFY_FIRST = [
     "streaming_foreachbatch_upsert",
     "mm_decode_real_headers",
     "text_unigram_logprob",
+    "text_vocab_oov",
+    "tpch_priority_late",
+    "tpch_product_profit",
+    "tpch_waiting_supplier",
+    "tpch_supplier_part_counts",
     "text_contamination",
     "text_pack_sequences",
     "text_quality_gate",
@@ -297,6 +302,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_profile": lambda s, d: text.source_lang_profile(*_t(s, d, "documents")),
         "text_top_bigrams": lambda s, d: text.top_bigrams_per_lang(*_t(s, d, "documents")),
         "text_unigram_logprob": lambda s, d: text.unigram_logprob(*_t(s, d, "documents")),
+        "text_vocab_oov": lambda s, d: text.vocab_oov_profile(*_t(s, d, "documents")),
+        "tpch_priority_late": lambda s, d: tpch.priority_late_count(*_t(s, d, "lineitem", "orders")),
+        "tpch_product_profit": lambda s, d: tpch.product_profit(
+            *_t(s, d, "lineitem", "orders", "supplier", "nation", "part")
+        ),
+        "tpch_waiting_supplier": lambda s, d: tpch.waiting_supplier(*_t(s, d, "lineitem", "orders", "supplier")),
+        "tpch_supplier_part_counts": lambda s, d: tpch.supplier_part_counts(*_t(s, d, "lineitem", "part", "supplier")),
         "text_contamination": lambda s, d: text.benchmark_contamination(*_t(s, d, "documents")),
         "text_pack_sequences": lambda s, d: text.pack_sequences(*_t(s, d, "documents")),
         "text_quality_gate": lambda s, d: text.quality_gate(*_t(s, d, "documents")),
@@ -1041,6 +1053,87 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(logp), 6) AS mean_logp,
                    round(min(logp), 6) AS min_logp
             FROM scored GROUP BY 1
+        """,
+        "text_vocab_oov": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+            ),
+            freqs AS (SELECT token, count(*) AS n_tok FROM toks GROUP BY 1),
+            vocab AS (
+                SELECT token FROM (
+                    SELECT token, row_number() OVER (ORDER BY n_tok DESC, token) AS rank
+                    FROM freqs
+                ) WHERE rank <= 100
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS oov_ratio
+            FROM toks t LEFT JOIN vocab v ON t.token = v.token
+            GROUP BY 1
+        """,
+        "tpch_priority_late": """
+            SELECT o_orderpriority, count(*) AS n_late_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+            )
+            GROUP BY 1
+        """,
+        "tpch_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.5 * p_retailprice * l_quantity), 4) AS profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey AND contains(p_name, 'a')
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        "tpch_waiting_supplier": """
+            WITH per_os AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                                THEN 1 ELSE 0 END) AS is_late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supps,
+                       sum(is_late) AS n_late_supps
+                FROM per_os GROUP BY 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM per_os
+            JOIN per_order USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE is_late = 1 AND n_supps >= 2 AND n_late_supps = 1
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "tpch_supplier_part_counts": """
+            WITH pairs AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ),
+            kept AS (
+                SELECT p.* FROM pairs p
+                WHERE p.l_suppkey NOT IN (
+                    SELECT s_suppkey FROM supplier WHERE contains(s_name, '7')
+                )
+            )
+            SELECT p_brand,
+                   substring(p_type, 1, 5) AS type_prefix,
+                   p_size % 10 AS size_band,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM kept JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2, 3
         """,
         "text_contamination": f"""
             WITH d AS (

@@ -328,3 +328,33 @@ def quality_gate(documents: DataFrame) -> DataFrame:
         keep = expr if keep is None else (keep & expr)
     cols.append(keep.alias("keep"))
     return documents.select(*cols)
+
+
+def vocab_oov_profile(documents: DataFrame, vocab_size: int = 100) -> DataFrame:
+    """Tokenizer-vocabulary induction + out-of-vocabulary profiling: the
+    top ``vocab_size`` corpus tokens by frequency (deterministic
+    tie-break on token) form the vocab; each document reports its OOV
+    token count/ratio — the coverage check run before committing to a
+    tokenizer. Frequency table is vocab-grain → broadcast for the
+    membership probe; corpus scanned twice (freq pass + probe pass), no
+    all-pairs anything."""
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
+    )
+    freqs = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
+    ranked = freqs.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("n_tok").desc(), F.col("token")))
+    )
+    vocab = ranked.filter(F.col("rank") <= vocab_size).select("token")
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("oov_ratio"),
+    )

@@ -391,3 +391,112 @@ def approx_percentiles(orders: DataFrame, accuracy: int = 1000) -> DataFrame:
         F.round(F.percentile_approx("o_totalprice", 0.9, accuracy), 4).alias("p90_price"),
         F.count("*").alias("n_orders"),
     )
+
+
+def priority_late_count(lineitem: DataFrame, orders: DataFrame, late_days: int = 30) -> DataFrame:
+    """Q4 shape: per-priority count of orders having AT LEAST ONE late
+    lineitem (EXISTS-correlated subquery → left-semi join; the semi join
+    stops probing an order on first match, never multiplying rows).
+    'Late' = shipped more than ``late_days`` after the order date."""
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_fragment: str = "a",
+) -> DataFrame:
+    """Q9 shape: profit by supplier nation × order year for parts whose
+    name matches a fragment. The reference schema has no partsupp, so
+    supply cost is derived (half retail price × quantity) — the shape
+    (filtered part dim joined into a 4-way fact join, derived measure,
+    two-level group) is Q9's. Filter on part BEFORE the join: the
+    fragment prunes the build side early."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cost = 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    parts = part.filter(F.col("p_name").contains(name_fragment)).select("p_partkey", "p_retailprice")
+    return (
+        lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.round(F.sum(rev - cost), 4).alias("profit"))
+    )
+
+
+def waiting_supplier(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame, late_days: int = 30, k: int = 20
+) -> DataFrame:
+    """Q21 shape: suppliers who were the ONLY late supplier on a
+    multi-supplier order. The classic EXISTS(other supplier) AND NOT
+    EXISTS(other LATE supplier) double-correlation decorrelates into one
+    (order, supplier)-grain aggregate + one order-grain aggregate:
+    n_supps >= 2 (the EXISTS) and n_late_supps == 1 (the NOT EXISTS,
+    given this supplier is late) — two shuffles total, no correlated
+    re-scans."""
+    li = lineitem.join(orders.select("o_orderkey", "o_orderdate"),
+                       F.col("l_orderkey") == F.col("o_orderkey"))
+    per_os = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")).cast("int")
+            ).alias("is_late")
+        )
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum("is_late").alias("n_late_supps"),
+    )
+    culprits = (
+        per_os.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1)),
+            "l_orderkey",
+        )
+    )
+    return (
+        culprits.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )
+
+
+def supplier_part_counts(lineitem: DataFrame, part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Q16 shape: how many distinct suppliers serve each (brand, type
+    prefix, size band), excluding a supplier blocklist (the NOT IN
+    subquery → anti join). The observed (part, supplier) pairs come from
+    lineitem (stand-in for partsupp) — distinct-pair reduction FIRST, so
+    the join and count-distinct run at pair grain, not lineitem grain."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    blocked = supplier.filter(F.col("s_name").contains("7")).select(
+        F.col("s_suppkey").alias("b_suppkey")
+    )
+    kept = pairs.join(
+        blocked, F.col("l_suppkey") == F.col("b_suppkey"), "left_anti"
+    )
+    return (
+        kept.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            (F.col("p_size") % 10).alias("size_band"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
