@@ -1514,7 +1514,8 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS symbol,
                    count(*) AS n,
                    round(sum(value), 4) AS value_sum,
-                   round(avg(value), 4) AS value_avg,
+                   ((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 200 + count(*))
+                    // (2 * count(*))) / 10000.0 AS value_avg,
                    round(min(value), 4) AS value_min,
                    round(max(value), 4) AS value_max
             FROM events GROUP BY 1, 2
@@ -1523,18 +1524,18 @@ def oracle_sql() -> dict[str, str]:
             WITH daily AS (
                 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                        event_type AS symbol,
-                       avg(value) AS value_avg
+                       (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 200 + count(*))
+                           // (2 * count(*)) AS avg_e4
                 FROM events GROUP BY 1, 2
             ),
             pred AS (
-                SELECT day + INTERVAL 1 DAY AS day, symbol,
-                       value_avg AS value_predicted
+                SELECT day + INTERVAL 1 DAY AS day, symbol, avg_e4 AS pred_e4
                 FROM daily
             )
             SELECT d.day, d.symbol,
-                   round(d.value_avg, 4) AS value_avg,
-                   round(p.value_predicted, 4) AS value_predicted,
-                   round(d.value_avg - p.value_predicted, 4) AS prediction_error
+                   d.avg_e4 / 10000.0 AS value_avg,
+                   p.pred_e4 / 10000.0 AS value_predicted,
+                   (d.avg_e4 - p.pred_e4) / 10000.0 AS prediction_error
             FROM daily d LEFT JOIN pred p ON d.day = p.day AND d.symbol = p.symbol
         """,
         "events_tumbling": _TUMBLING_ORACLE,

@@ -47,23 +47,52 @@ def cube_query(
     return table.groupBy(*dims).agg(*aggs)
 
 
+def _cents(col: Column) -> Column:
+    """2-decimal money value → exact integer cents (value is generated
+    with 2 decimals; round() clears the float representation noise)."""
+    return F.round(col * 100).cast("long")
+
+
+#: round-half-up of (sum_cents / n) to 4 decimals, entirely in BIGINT
+#: arithmetic: float averaging ties at the 4th decimal (e.g. 307.03/8 =
+#: 38.37875 exactly) and Spark (shortest-repr HALF_UP) vs DuckDB (binary
+#: value) then disagree by one ulp-of-rounding. Integer fixed-point is
+#: engine-independent by construction.
+_AVG_E4 = "(sum_cents * 200 + n) div (2 * n)"
+
+
 def ohlcv_daily(events: DataFrame) -> DataFrame:
     """The reference's whole analytical purpose — OHLCV aggregation by
     symbol × time grain (StockMarkets.js measures/dimensions) — over the
-    events table (event_type ≙ symbol, value ≙ price, day grain)."""
-    return cube_query(
-        events,
-        measures={
-            "n": ("count", "*"),
-            "value_sum": ("sum", "value"),
-            "value_avg": ("avg", "value"),
-            "value_min": ("min", "value"),
-            "value_max": ("max", "value"),
-        },
-        dimensions={
-            "day": F.date_trunc("day", F.col("ts")),
-            "symbol": "event_type",
-        },
+    events table (event_type ≙ symbol, value ≙ price, day grain).
+
+    The average is computed in exact cents fixed-point (see _AVG_E4):
+    money averages are the one measure where binary-float rounding
+    diverges between engines at decimal tie points."""
+    agg = (
+        events.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type").alias("symbol"),
+            "value",
+            _cents(F.col("value")).alias("cents"),
+        )
+        .groupBy("day", "symbol")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.sum("cents").alias("sum_cents"),
+            F.round(F.min("value"), 4).alias("value_min"),
+            F.round(F.max("value"), 4).alias("value_max"),
+        )
+    )
+    return agg.select(
+        "day",
+        "symbol",
+        "n",
+        "value_sum",
+        (F.expr(_AVG_E4) / 10000.0).alias("value_avg"),
+        "value_min",
+        "value_max",
     )
 
 
@@ -75,22 +104,28 @@ def prediction_vs_actual(events: DataFrame) -> DataFrame:
     The 'prediction' here is the previous day's daily average (a naive
     persistence forecast) so the query is self-contained on testdata.
     """
-    daily = events.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.col("event_type").alias("symbol"),
-    ).agg(F.avg("value").alias("value_avg"))
+    daily = (
+        events.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type").alias("symbol"),
+            _cents(F.col("value")).alias("cents"),
+        )
+        .groupBy("day", "symbol")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+        .select("day", "symbol", F.expr(_AVG_E4).alias("avg_e4"))
+    )
     pred = daily.select(
         F.date_add(F.col("day").cast("date"), 1).cast("timestamp").alias("day"),
         "symbol",
-        F.col("value_avg").alias("value_predicted"),
+        F.col("avg_e4").alias("pred_e4"),
     )
     return (
         daily.join(pred, ["day", "symbol"], "left")
         .select(
             "day",
             "symbol",
-            F.round("value_avg", 4).alias("value_avg"),
-            F.round("value_predicted", 4).alias("value_predicted"),
-            F.round(F.col("value_avg") - F.col("value_predicted"), 4).alias("prediction_error"),
+            (F.col("avg_e4") / 10000.0).alias("value_avg"),
+            (F.col("pred_e4") / 10000.0).alias("value_predicted"),
+            ((F.col("avg_e4") - F.col("pred_e4")) / 10000.0).alias("prediction_error"),
         )
     )
