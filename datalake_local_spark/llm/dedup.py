@@ -285,14 +285,21 @@ def duplicate_components(
     pairs = ngram_token_jaccard_pairs(documents, max_doc_id, threshold).select(
         "doc_a", "doc_b"
     )
+    # the label/edge tables are node/edge-grain (small relative to the
+    # corpus); coalesce keeps each iteration's task count proportional to
+    # them rather than spark.sql.shuffle.partitions — per-round fixed
+    # overhead dominated the loop at bench scale otherwise. At 100 TB,
+    # size the coalesce to edge-table partitions, not 1.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .coalesce(1)
         .persist()
     )
     labels = (
         documents.filter(F.col("doc_id") < max_doc_id)
         .select("doc_id", F.col("doc_id").alias("component_id"))
+        .coalesce(1)
         .persist()
     )
     try:
@@ -301,6 +308,7 @@ def duplicate_components(
                 labels.join(edges, labels.doc_id == edges.src)
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("component_id").alias("neighbor_component"))
+                .coalesce(1)
             )
             new_labels = (
                 labels.join(neighbor_min, "doc_id", "left")
@@ -311,6 +319,7 @@ def duplicate_components(
                         F.coalesce(F.col("neighbor_component"), F.col("component_id")),
                     ).alias("component_id"),
                 )
+                .coalesce(1)
                 .persist()
             )
             changed = (

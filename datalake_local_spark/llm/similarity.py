@@ -399,9 +399,16 @@ def cosine_topk_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    corpus = embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("vec")
-    ).withColumn("features", array_to_vector(F.col("vec")))
+    # KMeans iterates over the corpus ~20 times: persist the featurized
+    # frame so iterations hit cache, not the parquet scan + conversion;
+    # coalesce keeps per-iteration task counts proportional to data size
+    # (at 100 TB the training input is a sample — same persist pattern)
+    corpus = (
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+        .withColumn("features", array_to_vector(F.col("vec")))
+        .coalesce(4)
+        .persist()
+    )
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid_id"
     ).fit(corpus)
