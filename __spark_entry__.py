@@ -211,6 +211,8 @@ _CERTIFY_FIRST = [
     "mm_decode_real_headers",
     "text_unigram_logprob",
     "text_vocab_oov",
+    "text_pmi_pairs",
+    "sample_stratified",
     "tpch_priority_late",
     "tpch_product_profit",
     "tpch_waiting_supplier",
@@ -303,6 +305,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": lambda s, d: text.top_bigrams_per_lang(*_t(s, d, "documents")),
         "text_unigram_logprob": lambda s, d: text.unigram_logprob(*_t(s, d, "documents")),
         "text_vocab_oov": lambda s, d: text.vocab_oov_profile(*_t(s, d, "documents")),
+        "text_pmi_pairs": lambda s, d: text.token_pmi_pairs(*_t(s, d, "documents")),
+        "sample_stratified": lambda s, d: tpch.stratified_sample_stats(*_t(s, d, "orders")),
         "tpch_priority_late": lambda s, d: tpch.priority_late_count(*_t(s, d, "lineitem", "orders")),
         "tpch_product_profit": lambda s, d: tpch.product_profit(
             *_t(s, d, "lineitem", "orders", "supplier", "nation", "part")
@@ -1071,6 +1075,53 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
                          / count(*), 6) AS oov_ratio
             FROM toks t LEFT JOIN vocab v ON t.token = v.token
+            GROUP BY 1
+        """,
+        "text_pmi_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ),
+            uni AS (
+                SELECT token, count(*) AS n_uni FROM (
+                    SELECT unnest(t) AS token FROM toks
+                ) GROUP BY 1
+            ),
+            tot_u AS (SELECT CAST(sum(n_uni) AS DOUBLE) AS tot FROM uni),
+            pairs AS (
+                SELECT tok_a, tok_b, count(*) AS n_pair FROM (
+                    SELECT t[i] AS tok_a, t[i+1] AS tok_b
+                    FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+                    WHERE len(t) >= 2
+                ) GROUP BY 1, 2
+            ),
+            tot_p AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS tot FROM pairs),
+            scored AS (
+                SELECT p.tok_a, p.tok_b, p.n_pair,
+                       round(log10((p.n_pair / tp.tot)
+                             / ((a.n_uni / tu.tot) * (b.n_uni / tu.tot))), 6) AS pmi
+                FROM pairs p
+                JOIN uni a ON p.tok_a = a.token
+                JOIN uni b ON p.tok_b = b.token, tot_u tu, tot_p tp
+                WHERE p.n_pair >= 10
+            )
+            SELECT tok_a, tok_b, n_pair, pmi, CAST(rank AS INTEGER) AS rank FROM (
+                SELECT *, row_number() OVER (ORDER BY pmi DESC, tok_a, tok_b) AS rank
+                FROM scored
+            ) WHERE rank <= 20
+        """,
+        "sample_stratified": """
+            WITH ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_orderstatus
+                    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+                ) AS rn
+                FROM orders
+            )
+            SELECT o_orderstatus,
+                   count(*) AS n_sampled,
+                   round(avg(o_totalprice), 4) AS avg_price,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM ranked WHERE rn <= 100
             GROUP BY 1
         """,
         "tpch_priority_late": """

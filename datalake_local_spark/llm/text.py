@@ -358,3 +358,72 @@ def vocab_oov_profile(documents: DataFrame, vocab_size: int = 100) -> DataFrame:
             F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)) / F.count("*"), 6
         ).alias("oov_ratio"),
     )
+
+
+def token_pmi_pairs(documents: DataFrame, k: int = 20, min_pair_count: int = 10) -> DataFrame:
+    """Corpus collocation mining: top-k ADJACENT token pairs by PMI
+    (pointwise mutual information) — the statistical phrase detector
+    (word2vec-style phrase merging, quality auditing) over a corpus.
+
+    PMI(a,b) = log10( p(a,b) / (p(a)·p(b)) ) with p from corpus counts.
+    Shuffle profile at 100 TB: one explode→count per unigram table, one
+    per adjacent-pair table (both map-side combined, vocab-grain), then
+    a vocab-sized broadcast join to attach marginals. No doc×doc or
+    token×token blowup — pairs are ADJACENT only, so the pair table is
+    ≤ token count."""
+    from pyspark.sql import Window as W
+
+    tokens = F.split(_norm_text(F.col("text")), " ")
+    n_pairs_in_doc = F.size(tokens) - 1
+    bigrams = F.when(
+        n_pairs_in_doc >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_pairs_in_doc, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(tokens, i).alias("tok_a"),
+                F.element_at(tokens, i + 1).alias("tok_b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<tok_a:string,tok_b:string>>"))
+
+    uni = (
+        documents.select(F.explode(tokens).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_uni"))
+        .withColumn("total_uni", F.sum("n_uni").over(W.partitionBy()))
+    )
+    pair_counts = (
+        documents.select(F.explode(bigrams).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_pair"))
+        .withColumn("total_pair", F.sum("n_pair").over(W.partitionBy()))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    a_side = uni.select(
+        F.col("token").alias("tok_a"),
+        F.col("n_uni").alias("n_a"),
+        F.col("total_uni").alias("tot_u"),
+    )
+    b_side = uni.select(F.col("token").alias("tok_b"), F.col("n_uni").alias("n_b"))
+    scored = (
+        pair_counts.join(F.broadcast(a_side), "tok_a")
+        .join(F.broadcast(b_side), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            F.round(
+                F.log10(
+                    (F.col("n_pair") / F.col("total_pair"))
+                    / ((F.col("n_a") / F.col("tot_u")) * (F.col("n_b") / F.col("tot_u")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = W.orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

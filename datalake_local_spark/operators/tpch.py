@@ -500,3 +500,25 @@ def supplier_part_counts(lineitem: DataFrame, part: DataFrame, supplier: DataFra
         )
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+def stratified_sample_stats(orders: DataFrame, per_group: int = 100) -> DataFrame:
+    """Stratified fixed-size sampling: exactly ``per_group`` rows per
+    stratum (order status), chosen by ranking on a content hash — the
+    deterministic, engine-portable alternative to TABLESAMPLE when every
+    stratum needs representation (rare-class QA sampling at corpus
+    scale). One window shuffle on the stratum key; md5 keeps the rank
+    order identical across engines."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    sampled = orders.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= per_group
+    )
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
