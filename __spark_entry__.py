@@ -213,6 +213,8 @@ _CERTIFY_FIRST = [
     "text_vocab_oov",
     "text_pmi_pairs",
     "sample_stratified",
+    "events_sequence_patterns",
+    "sql_interactive",
     "tpch_priority_late",
     "tpch_product_profit",
     "tpch_waiting_supplier",
@@ -228,6 +230,25 @@ _CERTIFY_FIRST = [
     "events_ewma",
     # round-3 additions (new queries, never had any check)
 ]
+
+
+#: One ANSI string executed verbatim by BOTH spark.sql() and the DuckDB
+#: oracle — the interactive `%sql` surface (reference ipython startup
+#: 00-prettytables.py:42-62) demonstrated as a first-class query.
+_INTERACTIVE_SQL = """
+    SELECT n_name AS nation,
+           count(DISTINCT c_custkey) AS n_customers,
+           round(sum(o_totalprice), 2) AS total_order_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def _q_sql_interactive(spark, sf):
+    load_tables(spark, sf)  # registers the temp views spark.sql reads
+    return spark.sql(_INTERACTIVE_SQL)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -307,6 +328,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_oov": lambda s, d: text.vocab_oov_profile(*_t(s, d, "documents")),
         "text_pmi_pairs": lambda s, d: text.token_pmi_pairs(*_t(s, d, "documents")),
         "sample_stratified": lambda s, d: tpch.stratified_sample_stats(*_t(s, d, "orders")),
+        "events_sequence_patterns": lambda s, d: funnel.sequence_pattern_counts(*_t(s, d, "events")),
+        "sql_interactive": _q_sql_interactive,
         "tpch_priority_late": lambda s, d: tpch.priority_late_count(*_t(s, d, "lineitem", "orders")),
         "tpch_product_profit": lambda s, d: tpch.product_profit(
             *_t(s, d, "lineitem", "orders", "supplier", "nation", "part")
@@ -1109,6 +1132,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 20
         """,
+        "events_sequence_patterns": """
+            WITH seq AS (
+                SELECT user_id,
+                       string_agg(substring(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id) AS s
+                FROM events GROUP BY 1
+            )
+            SELECT user_id,
+                   CAST(length(s) AS INTEGER) AS n_events,
+                   regexp_matches(s, 'c.*p') AS click_then_purchase,
+                   regexp_matches(s, 'pe') AS error_right_after_purchase,
+                   CAST(length(regexp_extract(s, '(c+)', 1)) AS INTEGER) AS first_click_streak
+            FROM seq
+        """,
+        "sql_interactive": _INTERACTIVE_SQL,
         "sample_stratified": """
             WITH ranked AS (
                 SELECT *, row_number() OVER (

@@ -93,3 +93,32 @@ def collect_sorted_arrays(orders: DataFrame) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
         F.size(F.collect_set("o_custkey")).alias("n_customers"),
     )
+
+
+def sequence_pattern_counts(events: DataFrame) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection (Spark has no
+    native row-pattern operator): per user, events collapse into an
+    ordered type string (one char per event type) and regex classifiers
+    run over it — 'did a click eventually convert', 'error directly
+    after purchase', longest click streak. One (user)-keyed shuffle;
+    the per-user sequence string is bounded by the user's event count;
+    patterns evaluate JVM-side (regexp), no UDF."""
+    first_letter = F.substring(F.col("event_type"), 1, 1)
+    seq = (
+        events.select("user_id", "ts", "event_id", first_letter.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "c"))
+                ), lambda s: s["c"])
+            ).alias("seq")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").alias("n_events"),
+        F.col("seq").rlike("c.*p").alias("click_then_purchase"),
+        F.col("seq").rlike("pe").alias("error_right_after_purchase"),
+        F.length(F.regexp_extract("seq", "(c+)", 1)).alias("first_click_streak"),
+    )
