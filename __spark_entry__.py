@@ -215,6 +215,7 @@ _CERTIFY_FIRST = [
     "sample_stratified",
     "events_sequence_patterns",
     "sql_interactive",
+    "pipeline_corpus_prep",
     "tpch_priority_late",
     "tpch_product_profit",
     "tpch_waiting_supplier",
@@ -330,6 +331,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": lambda s, d: tpch.stratified_sample_stats(*_t(s, d, "orders")),
         "events_sequence_patterns": lambda s, d: funnel.sequence_pattern_counts(*_t(s, d, "events")),
         "sql_interactive": _q_sql_interactive,
+        "pipeline_corpus_prep": lambda s, d: __import__(
+            "datalake_local_spark.llm.pipeline", fromlist=["prepare_corpus"]
+        ).prepare_corpus(*_t(s, d, "documents")),
         "tpch_priority_late": lambda s, d: tpch.priority_late_count(*_t(s, d, "lineitem", "orders")),
         "tpch_product_profit": lambda s, d: tpch.product_profit(
             *_t(s, d, "lineitem", "orders", "supplier", "nation", "part")
@@ -1147,6 +1151,38 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
         """,
         "sql_interactive": _INTERACTIVE_SQL,
+        "pipeline_corpus_prep": f"""
+            WITH m AS (
+                SELECT doc_id, {_NORM} AS norm, string_split({_NORM}, ' ') AS toks
+                FROM documents
+            ),
+            gated AS (
+                SELECT doc_id, norm, len(toks) AS n_tokens FROM m
+                WHERE len(toks) >= 5 AND len(toks) <= 100000
+                  AND CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+                  AND CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+                      / len(toks) >= 0.0005
+                  AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.1
+            ),
+            canonical AS (
+                SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(norm)
+            ),
+            survivors AS (
+                SELECT g.doc_id, g.n_tokens FROM gated g
+                JOIN canonical c ON g.doc_id = c.doc_id
+            ),
+            binned AS (
+                SELECT doc_id, n_tokens,
+                       CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            / 512) AS BIGINT) AS bin_id
+                FROM survivors
+            )
+            SELECT bin_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM binned GROUP BY 1
+        """,
         "sample_stratified": """
             WITH ranked AS (
                 SELECT *, row_number() OVER (
