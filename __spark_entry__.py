@@ -35,7 +35,7 @@ from datalake_local_spark.operators import (
     tpch,
     windows,
 )
-from datalake_local_spark.llm import dedup, similarity, text, multimodal
+from datalake_local_spark.llm import dedup, pipeline as llm_pipeline, similarity, text, multimodal
 from datalake_local_spark.streaming import event_windows
 
 _stream_counter = itertools.count()
@@ -331,9 +331,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": lambda s, d: tpch.stratified_sample_stats(*_t(s, d, "orders")),
         "events_sequence_patterns": lambda s, d: funnel.sequence_pattern_counts(*_t(s, d, "events")),
         "sql_interactive": _q_sql_interactive,
-        "pipeline_corpus_prep": lambda s, d: __import__(
-            "datalake_local_spark.llm.pipeline", fromlist=["prepare_corpus"]
-        ).prepare_corpus(*_t(s, d, "documents")),
+        "pipeline_corpus_prep": lambda s, d: llm_pipeline.prepare_corpus(*_t(s, d, "documents")),
         "tpch_priority_late": lambda s, d: tpch.priority_late_count(*_t(s, d, "lineitem", "orders")),
         "tpch_product_profit": lambda s, d: tpch.product_profit(
             *_t(s, d, "lineitem", "orders", "supplier", "nation", "part")
