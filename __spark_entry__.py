@@ -1170,16 +1170,17 @@ def oracle_sql() -> dict[str, str]:
                 JOIN canonical c ON g.doc_id = c.doc_id
             ),
             binned AS (
-                SELECT doc_id, n_tokens,
-                       CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                SELECT doc_id, doc_id % 8 AS shard_id, n_tokens,
+                       CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 8
+                            ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                             / 512) AS BIGINT) AS bin_id
                 FROM survivors
             )
-            SELECT bin_id, count(*) AS n_docs,
+            SELECT shard_id, bin_id, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
-            FROM binned GROUP BY 1
+            FROM binned GROUP BY 1, 2
         """,
         "sample_stratified": """
             WITH ranked AS (
@@ -1284,20 +1285,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pack_sequences": f"""
             WITH toks AS (
-                SELECT doc_id, len(string_split({_NORM}, ' ')) AS n_tokens
+                SELECT doc_id, doc_id % 8 AS shard_id,
+                       len(string_split({_NORM}, ' ')) AS n_tokens
                 FROM documents
             ),
             binned AS (
-                SELECT doc_id, n_tokens,
-                       CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                SELECT doc_id, shard_id, n_tokens,
+                       CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard_id
+                            ORDER BY doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                             / 512) AS BIGINT) AS bin_id
                 FROM toks
             )
-            SELECT bin_id, count(*) AS n_docs,
+            SELECT shard_id, bin_id, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
-            FROM binned GROUP BY 1
+            FROM binned GROUP BY 1, 2
         """,
         "text_quality_gate": f"""
             WITH t AS (

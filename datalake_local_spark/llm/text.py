@@ -206,15 +206,15 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
        broadcastable for real vocabularies) and aggregate
        mean/min log10 p(token) per doc.
     """
-    from pyspark.sql import Window as W
-
     toks = documents.select(
         "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
     )
     freqs = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
-    # corpus total folded into the (vocab-grain) freq table — a window
-    # over the aggregate, never a second corpus scan or a driver action
-    freqs = freqs.withColumn("total", F.sum("n_tok").over(W.partitionBy()))
+    # corpus total via a tree-reduced scalar aggregate broadcast back —
+    # never a partitionBy() window (that moves the whole freq table to
+    # one partition) and never a second corpus scan or driver action
+    totals = freqs.agg(F.sum("n_tok").alias("total"))
+    freqs = freqs.crossJoin(F.broadcast(totals))
     scored = toks.join(F.broadcast(freqs), "token").select(
         "doc_id", F.log10(F.col("n_tok") / F.col("total")).alias("logp")
     )
@@ -278,25 +278,32 @@ def benchmark_contamination(documents: DataFrame, benchmark_ids: tuple = (0, 1, 
     )
 
 
-def pack_sequences(documents: DataFrame, target_tokens: int = 512) -> DataFrame:
-    """Greedy sequence packing: assign documents (in doc_id order) to
-    fixed-budget context windows by running token count — the
-    "concatenate-then-split" batching step of LLM pre-training data
-    prep. bin = floor((cumsum_before_doc) / target): deterministic, one
-    window pass; at scale the cumsum runs per shard (partition by a
-    shard key, pack within shards — append the shard id to the bin)."""
+def pack_sequences(
+    documents: DataFrame, target_tokens: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """Greedy sequence packing: assign documents (in doc_id order within
+    a shard) to fixed-budget context windows by running token count —
+    the "concatenate-then-split" batching step of LLM pre-training data
+    prep. bin = floor(cumsum_before_doc / target), cumsum SHARDED by
+    doc_id % n_shards so the prefix-sum window is partitioned (a global
+    orderBy window would single-partition the corpus); packing quality
+    is unaffected — every shard's bins fill to the same budget, and a
+    training run consumes bins, not a global order."""
     from pyspark.sql import Window as W
 
     toks = documents.select(
-        "doc_id", F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_tokens")
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard_id"),
+        F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_tokens"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    w = W.partitionBy("shard_id").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
     binned = toks.select(
         "doc_id",
+        "shard_id",
         "n_tokens",
         (F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / target_tokens)).alias("bin_id"),
     )
-    return binned.groupBy("bin_id").agg(
+    return binned.groupBy("shard_id", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
@@ -386,20 +393,22 @@ def token_pmi_pairs(documents: DataFrame, k: int = 20, min_pair_count: int = 10)
         ),
     ).otherwise(F.array().cast("array<struct<tok_a:string,tok_b:string>>"))
 
-    uni = (
-        documents.select(F.explode(tokens).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("n_uni"))
-        .withColumn("total_uni", F.sum("n_uni").over(W.partitionBy()))
+    # totals via tree-reduced scalar aggregates broadcast back — a
+    # partitionBy() window would single-partition the vocab-/pair-grain
+    # tables, which at corpus scale are large
+    uni = documents.select(F.explode(tokens).alias("token")).groupBy("token").agg(
+        F.count("*").alias("n_uni")
     )
-    pair_counts = (
+    uni = uni.crossJoin(F.broadcast(uni.agg(F.sum("n_uni").alias("total_uni"))))
+    raw_pairs = (
         documents.select(F.explode(bigrams).alias("p"))
         .select("p.tok_a", "p.tok_b")
         .groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("n_pair"))
-        .withColumn("total_pair", F.sum("n_pair").over(W.partitionBy()))
-        .filter(F.col("n_pair") >= min_pair_count)
     )
+    pair_counts = raw_pairs.crossJoin(
+        F.broadcast(raw_pairs.agg(F.sum("n_pair").alias("total_pair")))
+    ).filter(F.col("n_pair") >= min_pair_count)
     a_side = uni.select(
         F.col("token").alias("tok_a"),
         F.col("n_uni").alias("n_a"),
@@ -422,8 +431,9 @@ def token_pmi_pairs(documents: DataFrame, k: int = 20, min_pair_count: int = 10)
             ).alias("pmi"),
         )
     )
+    # global top-k via orderBy().limit() → TakeOrderedAndProject (each
+    # partition contributes its local top-k; no single-partition window
+    # over the full pair table); the rank window then runs over k rows
+    topk = scored.orderBy(F.col("pmi").desc(), "tok_a", "tok_b").limit(k)
     w = W.orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
