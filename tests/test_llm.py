@@ -418,3 +418,22 @@ def test_pack_sequences_respects_budget(tables):
         shard_rows.sort(key=lambda r: r["bin_id"])
         for r in shard_rows[:-1]:
             assert r["total_tokens"] >= 512 - 100  # bins fill before closing
+
+
+def test_unigram_logprob_bounds(tables):
+    """Unigram log-probs are negative (p<1) and per-doc token counts
+    reconcile with the token-stats operator."""
+    lp = {r["doc_id"]: r for r in text.unigram_logprob(tables["documents"]).collect()}
+    ts = {r["doc_id"]: r["n_tokens"] for r in text.token_stats(tables["documents"]).collect()}
+    assert set(lp) == set(ts)
+    for doc_id, r in lp.items():
+        assert r["n_tokens"] == ts[doc_id]
+        assert r["min_logp"] <= r["mean_logp"] < 0
+
+
+def test_pmi_rank_and_counts(tables):
+    rows = text.token_pmi_pairs(tables["documents"]).collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, len(rows) + 1)
+    )
+    assert all(r["n_pair"] >= 10 for r in rows)

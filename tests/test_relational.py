@@ -209,3 +209,20 @@ def test_salting_balances_skewed_shuffle(spark):
         .collect()
     }
     assert agg_rows == direct
+
+
+def test_sequence_patterns_invariants(tables):
+    from datalake_local_spark.operators import funnel
+
+    rows = funnel.sequence_pattern_counts(tables["events"]).collect()
+    total = sum(r["n_events"] for r in rows)
+    assert total == tables["events"].count()
+    for r in rows:
+        assert 0 <= r["first_click_streak"] <= r["n_events"]
+
+
+def test_mad_outliers_invariants(tables):
+    out = agg.mad_outliers(tables["events"]).collect()
+    assert sum(r["n_events"] for r in out) == tables["events"].count()
+    for r in out:
+        assert r["mad"] >= 0 and 0 <= r["n_outliers"] <= r["n_events"]
