@@ -216,6 +216,7 @@ _CERTIFY_FIRST = [
     "events_sequence_patterns",
     "sql_interactive",
     "pipeline_corpus_prep",
+    "dq_orders_integrity",
     "tpch_priority_late",
     "tpch_product_profit",
     "tpch_waiting_supplier",
@@ -245,6 +246,12 @@ _INTERACTIVE_SQL = """
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
 """
+
+
+def _dq_integrity(spark, sf):
+    from datalake_local_spark.operators import quality
+
+    return quality.integrity_report(*_t(spark, sf, "orders", "customer"))
 
 
 def _q_sql_interactive(spark, sf):
@@ -332,6 +339,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sequence_patterns": lambda s, d: funnel.sequence_pattern_counts(*_t(s, d, "events")),
         "sql_interactive": _q_sql_interactive,
         "pipeline_corpus_prep": lambda s, d: llm_pipeline.prepare_corpus(*_t(s, d, "documents")),
+        "dq_orders_integrity": lambda s, d: _dq_integrity(s, d),
         "tpch_priority_late": lambda s, d: tpch.priority_late_count(*_t(s, d, "lineitem", "orders")),
         "tpch_product_profit": lambda s, d: tpch.product_profit(
             *_t(s, d, "lineitem", "orders", "supplier", "nation", "part")
@@ -1149,6 +1157,32 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
         """,
         "sql_interactive": _INTERACTIVE_SQL,
+        "dq_orders_integrity": """
+            WITH one_pass AS (
+                SELECT
+                    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+                    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+                    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+                    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+                FROM orders
+            ),
+            dups AS (
+                SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS duplicate_orderkeys
+                FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 1)
+            ),
+            orphans AS (
+                SELECT count(*) AS orphan_custkeys FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            )
+            SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+                SELECT 'null_orderkey' AS rule, null_orderkey AS n_violations FROM one_pass
+                UNION ALL SELECT 'null_custkey', null_custkey FROM one_pass
+                UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM one_pass
+                UNION ALL SELECT 'bad_status', bad_status FROM one_pass
+                UNION ALL SELECT 'duplicate_orderkeys', duplicate_orderkeys FROM dups
+                UNION ALL SELECT 'orphan_custkeys', orphan_custkeys FROM orphans
+            )
+        """,
         "pipeline_corpus_prep": f"""
             WITH m AS (
                 SELECT doc_id, {_NORM} AS norm, string_split({_NORM}, ' ') AS toks

@@ -226,3 +226,27 @@ def test_mad_outliers_invariants(tables):
     assert sum(r["n_events"] for r in out) == tables["events"].count()
     for r in out:
         assert r["mad"] >= 0 and 0 <= r["n_outliers"] <= r["n_events"]
+
+
+def test_integrity_report_catches_planted_violations(spark, tables):
+    from datalake_local_spark.operators import quality
+
+    clean = {r["rule"]: r for r in quality.integrity_report(
+        tables["orders"], tables["customer"]).collect()}
+    assert all(r["passed"] for r in clean.values())
+
+    bad = spark.createDataFrame(
+        [
+            (None, 1, "F", 10.0),          # null orderkey
+            (1, 1, "F", 10.0), (1, 1, "F", 10.0),  # duplicate key
+            (2, 99_999_999, "O", 5.0),     # orphan custkey
+            (3, 1, "X", -4.0),             # bad status AND nonpositive price
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    rep = {r["rule"]: r["n_violations"] for r in quality.integrity_report(
+        bad, tables["customer"]).collect()}
+    assert rep["null_orderkey"] == 1
+    assert rep["duplicate_orderkeys"] == 1
+    assert rep["orphan_custkeys"] == 1
+    assert rep["bad_status"] == 1 and rep["nonpositive_price"] == 1
