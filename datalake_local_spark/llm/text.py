@@ -437,3 +437,52 @@ def token_pmi_pairs(documents: DataFrame, k: int = 20, min_pair_count: int = 10)
     topk = scored.orderBy(F.col("pmi").desc(), "tok_a", "tok_b").limit(k)
     w = W.orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
     return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def frequent_tokens_sketch(documents: DataFrame, k: int = 32, capacity: int = 256) -> DataFrame:
+    """Heavy hitters via Misra-Gries mergeable summaries — the bounded-
+    memory alternative to an exact token groupBy when the vocabulary
+    itself is too large to shuffle (URL/token/entity frequency over a
+    100 TB corpus).
+
+    Each task runs an MG summary of ``capacity`` counters over ITS
+    partition (streamed Arrow batches, state carried across batches in
+    the generator — memory is O(capacity), never O(vocab)); summaries
+    merge by summing estimates per token (the standard mergeable-
+    summaries result: estimates only undercount, total undercount
+    ≤ n/(capacity+1) across all partitions, so every token with true
+    frequency > n/(capacity+1) survives). Output: top-k by merged
+    estimate. Sketch semantics → rows-only registry entry; the
+    undercount bound and heavy-hitter completeness are pytest-asserted
+    against exact counts."""
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < capacity:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        yield pd.DataFrame(
+            {"token": list(counters), "est": list(counters.values())}
+        )
+
+    summaries = toks.mapInPandas(mg_partition, schema="token string, est long")
+    merged = summaries.groupBy("token").agg(F.sum("est").alias("est"))
+    topk = merged.orderBy(F.col("est").desc(), "token").limit(k)
+    w = W.orderBy(F.col("est").desc(), "token")
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))

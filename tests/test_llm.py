@@ -437,3 +437,30 @@ def test_pmi_rank_and_counts(tables):
         range(1, len(rows) + 1)
     )
     assert all(r["n_pair"] >= 10 for r in rows)
+
+
+def test_frequent_tokens_sketch_guarantees(tables):
+    """Misra-Gries guarantees: estimates never exceed true counts, the
+    total undercount per token is bounded by n/(capacity+1), and every
+    heavy hitter (true freq above that bound) appears in a top-k that
+    can hold it."""
+    capacity = 64
+    exact = {
+        r["token"]: r["n"]
+        for r in tables["documents"]
+        .select(F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_total = sum(exact.values())
+    bound = n_total / (capacity + 1)
+    sketch = {
+        r["token"]: r["est"]
+        for r in text.frequent_tokens_sketch(tables["documents"], k=1000, capacity=capacity).collect()
+    }
+    for tok, est in sketch.items():
+        assert est <= exact[tok], "MG estimates must undercount"
+        assert exact[tok] - est <= bound, "undercount exceeds MG bound"
+    heavy = {t for t, n in exact.items() if n > bound}
+    assert heavy <= set(sketch), "every heavy hitter must survive the sketch"
