@@ -1,10 +1,14 @@
 """Text-analysis operators over ``documents(doc_id, text, lang, source,
-n_chars)``: language-ID heuristic, quality scoring, token counting,
-document fingerprinting.
+n_chars)``: language-ID heuristic, quality scoring/gating, token
+counting, fingerprinting, unigram-LM scoring, vocab/OOV, PMI
+collocations, contamination checks, sequence packing.
 
-All pure Catalyst column expressions (regexp/length/split/md5) — zero
-Python in the executor path, so these run at parquet-scan speed and every
-one has an exact ANSI-SQL oracle.
+The default is pure Catalyst column expressions (regexp/length/split/
+md5) — no executor Python, parquet-scan speed, exact ANSI-SQL oracles.
+The two exceptions are inherently sequential per-unit algorithms that
+go through Arrow-batched ``mapInPandas``: content-defined chunking
+(per-character rolling hash) and the Misra-Gries frequent-items sketch
+(bounded counter state per partition).
 """
 
 from __future__ import annotations
