@@ -350,6 +350,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": lambda s, d: text.pack_sequences(*_t(s, d, "documents")),
         "text_quality_gate": lambda s, d: text.quality_gate(*_t(s, d, "documents")),
         "agg_mad_outliers": lambda s, d: agg.mad_outliers(*_t(s, d, "events")),
+        "agg_trend_regression": lambda s, d: agg.trend_regression(*_t(s, d, "events")),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
@@ -1361,6 +1362,14 @@ def oracle_sql() -> dict[str, str]:
                        AND stop_ratio >= 0.0005
                        AND distinct_ratio >= 0.1 AS keep
             FROM m
+        """,
+        "agg_trend_regression": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(regr_slope(value, epoch(ts) / 3600.0), 6) AS slope_per_hour,
+                   round(avg(value), 4) AS mean_value,
+                   round(regr_r2(value, epoch(ts) / 3600.0), 6) AS r2
+            FROM events GROUP BY 1
         """,
         "agg_mad_outliers": """
             WITH med AS (

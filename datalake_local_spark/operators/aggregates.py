@@ -245,3 +245,27 @@ def mad_outliers(events: DataFrame) -> DataFrame:
             (F.col("abs_dev") > 3 * 1.4826 * F.col("mad")).cast("long")
         ).alias("n_outliers"),
     )
+
+
+def trend_regression(events: DataFrame) -> DataFrame:
+    """Per-series linear trend: least-squares slope and R² of value
+    against event-time (hours since epoch), per event_type — drift/trend
+    detection over metric streams. Single grouped aggregate using the
+    SQL regression aggregates (regr_*): one shuffle at series grain,
+    partial-aggregated map-side like any sum.
+
+    The epoch-0 intercept is deliberately NOT reported: extrapolating
+    ~490k hours outside the data range amplifies engine-level float
+    noise into the 4th decimal (and the value is physically
+    meaningless); the series mean is the stable level statistic."""
+    x = F.unix_timestamp("ts") / 3600.0
+    return (
+        events.select("event_type", F.col("value").alias("y"), x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("regr_slope(y, x)"), 6).alias("slope_per_hour"),
+            F.round(F.avg("y"), 4).alias("mean_value"),
+            F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+        )
+    )
