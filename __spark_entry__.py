@@ -157,65 +157,18 @@ def _q_scd2(spark, sf):
     return merge.scd2_apply(current, updates, "c_custkey", ["c_mktsegment"], "effective_from")
 
 
-# Certification-window rotation (round 3): the driver oracle-checks the
-# FIRST 50 ``queries()`` entries each round. Rounds 1-2 certified 55 distinct
-# names; the 58 never-certified entries are promoted into the first-50 window
-# here. Entries already independently re-verified by the round-2 judge
-# (VERDICT.md: 18 green re-runs) are the ones deferred past slot 50, so the
-# union of driver-certified names over rounds 1-3 covers every query that has
-# not had an independent check.
+# Certification-window rotation (round 4): the driver oracle-checks the
+# FIRST 50 ``queries()`` entries each round (CORRECTNESS_r03 confirmed the cap
+# is exactly 50, so the list below is kept <= 50 — overflow names would ship
+# uncertified). Union of driver-green names over rounds 1-3 = 105 of the 133
+# registered queries; the 28 never-driver-certified names (12 judge-verified
+# round 3, 11 judge-verified round 2, 5 rows-only) are promoted into the
+# window here, followed by round-4 additions. Once CORRECTNESS_r04 lands,
+# every registered query has a driver row.
 _CERTIFY_FIRST = [
-    # never driver-certified, not judge-re-verified -> must land in slots 1-50
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_source_profile",
-    "pandas_grouped_zscore",
-    "pandas_scalar_logistic",
-    "sim_quantize_int8",
-    "mm_decode_metadata",
-    "mm_payload_profile",
-    "mm_resize_metadata",
-    "tpch_shipping_priority",
-    "tpch_local_supplier_volume",
-    "tpch_returned_items",
-    "tpch_big_spenders",
-    "tpch_forecast_revenue",
-    "tpch_promo_revenue",
-    "tpch_top_supplier",
-    "tpch_large_orders",
-    "tpch_volume_shipping",
-    "tpch_small_qty_revenue",
-    "tpch_market_share",
-    "tpch_order_distribution",
-    "tpch_disjunctive_revenue",
-    "tpch_sales_opportunity",
-    "dedup_embedding_cosine",
-    "unpivot_order_measures",
-    "sample_deterministic",
-    "agg_exact_percentiles",
-    "semantic_ohlcv_daily",
-    "events_tumbling",
-    "events_sliding",
-    "events_sessionize",
-    "events_salted_agg",
-    "events_retention",
-    "window_distribution",
-    "agg_collect_sorted",
-    "profile_orders",
-    "streaming_sessionize",
-    "streaming_stateful_counter",
-    "streaming_stream_join",
-    "streaming_sliding",
-    "streaming_foreachbatch_upsert",
-    "mm_decode_real_headers",
-    "text_unigram_logprob",
-    "text_vocab_oov",
-    "text_pmi_pairs",
-    "sample_stratified",
-    "events_sequence_patterns",
-    "sql_interactive",
-    "pipeline_corpus_prep",
+    # never driver-certified (judge-green r2/r3, but no CORRECTNESS row yet)
+    "text_token_stats",
+    "text_top_bigrams",
     "dq_orders_integrity",
     "tpch_priority_late",
     "tpch_product_profit",
@@ -225,12 +178,26 @@ _CERTIFY_FIRST = [
     "text_pack_sequences",
     "text_quality_gate",
     "agg_mad_outliers",
+    "agg_trend_regression",
+    "pandas_udaf_geomean",
+    "udtf_top_tokens",
+    "mm_frame_sample",
+    "pivot_status_by_priority",
+    "semantic_prediction_join",
+    "events_funnel",
+    "merge_upsert",
+    "scd2_versions",
+    "streaming_tumbling",
+    "streaming_dedup",
     # rows-only by design (no ANSI oracle) but still get a driver rows row
+    "sim_random_projection",
     "sim_cosine_topk_ivf",
     "agg_approx_percentiles",
     "text_chunk_rolling_hash",
     "events_ewma",
-    # round-3 additions (new queries, never had any check)
+    "text_frequent_tokens",
+    # round-4 additions (new queries, never had any check) — appended below
+    # as they are implemented; total must stay <= 50.
 ]
 
 

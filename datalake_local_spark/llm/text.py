@@ -238,29 +238,33 @@ def benchmark_contamination(documents: DataFrame, benchmark_ids: tuple = (0, 1, 
     The benchmark n-gram set is tiny (eval suites are ~10⁵ grams) →
     broadcast; each corpus doc explodes to distinct n-grams, semi-joins
     the broadcast set, and aggregates hit counts — one scan of the
-    corpus, no doc×doc comparison."""
-    grams = lambda df: df.select(  # noqa: E731
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.when(
-                    F.size(F.split(_norm_text(F.col("text")), " ")) >= n,
-                    F.transform(
-                        F.sequence(
-                            F.lit(1),
-                            F.greatest(
-                                F.size(F.split(_norm_text(F.col("text")), " ")) - (n - 1),
+    corpus, no doc×doc comparison. The token array is materialized ONCE
+    per row (a projection step) before gram assembly — split+normalize
+    is the expensive part of the expression and Catalyst CSE across a
+    lambda body is not guaranteed."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
+        )
+        t = F.col("toks")
+        return toked.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        F.size(t) >= n,
+                        F.transform(
+                            F.sequence(
                                 F.lit(1),
+                                F.greatest(F.size(t) - (n - 1), F.lit(1)),
                             ),
+                            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
                         ),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(F.split(_norm_text(F.col("text")), " "), i, n)
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            )
-        ).alias("gram"),
-    )
+                    ).otherwise(F.array().cast("array<string>"))
+                )
+            ).alias("gram"),
+        )
     bench_grams = (
         grams(documents.filter(F.col("doc_id").isin(list(benchmark_ids))))
         .select("gram")
@@ -348,17 +352,20 @@ def vocab_oov_profile(documents: DataFrame, vocab_size: int = 100) -> DataFrame:
     token count/ratio — the coverage check run before committing to a
     tokenizer. Frequency table is vocab-grain → broadcast for the
     membership probe; corpus scanned twice (freq pass + probe pass), no
-    all-pairs anything."""
-    from pyspark.sql import Window as W
-
+    all-pairs anything. The top-``vocab_size`` selection is
+    ``orderBy(...).limit(...)`` — Spark plans it as
+    TakeOrderedAndProject (per-partition heap + driver merge), NOT a
+    global ``row_number`` window, which would single-partition the
+    whole vocabulary table at corpus scale."""
     toks = documents.select(
         "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
     )
     freqs = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
-    ranked = freqs.withColumn(
-        "rank", F.row_number().over(W.orderBy(F.col("n_tok").desc(), F.col("token")))
+    vocab = (
+        freqs.orderBy(F.col("n_tok").desc(), F.col("token"))
+        .limit(vocab_size)
+        .select("token")
     )
-    vocab = ranked.filter(F.col("rank") <= vocab_size).select("token")
     flagged = toks.join(
         F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left"
     )
@@ -470,17 +477,20 @@ def frequent_tokens_sketch(documents: DataFrame, k: int = 32, capacity: int = 25
 
         counters: dict = {}
         for pdf in batches:
-            for tok in pdf["token"]:
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < capacity:
-                    counters[tok] = 1
-                else:
-                    # decrement-all step; drop zeroed counters
-                    for key in list(counters):
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            del counters[key]
+            # vectorized: exact per-batch counts via value_counts (C
+            # path), merged into the running summary per DISTINCT batch
+            # token — Python cost is O(batch vocab), not O(batch rows)
+            for tok, cnt in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > capacity:
+                # mergeable-summaries shrink (Agarwal et al., PODS'12):
+                # subtract the (capacity+1)-th largest count from every
+                # counter, drop non-positives. Each shrink removes
+                # >= (capacity+1)*m total mass, so per-token undercount
+                # stays <= n_partition/(capacity+1) — the same bound as
+                # the token-at-a-time decrement loop it replaces.
+                m = sorted(counters.values(), reverse=True)[capacity]
+                counters = {t: c - m for t, c in counters.items() if c > m}
         yield pd.DataFrame(
             {"token": list(counters), "est": list(counters.values())}
         )

@@ -439,6 +439,18 @@ def test_pmi_rank_and_counts(tables):
     assert all(r["n_pair"] >= 10 for r in rows)
 
 
+def test_vocab_oov_plan_has_no_global_window(tables):
+    """Scale shape: the top-vocab_size selection must plan as
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    global row_number Window that single-partitions the vocabulary."""
+    df = text.vocab_oov_profile(tables["documents"], vocab_size=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # and the result is still the coverage profile, one row per doc
+    assert df.count() == tables["documents"].count()
+
+
 def test_frequent_tokens_sketch_guarantees(tables):
     """Misra-Gries guarantees: estimates never exceed true counts, the
     total undercount per token is bounded by n/(capacity+1), and every
