@@ -394,6 +394,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_approx_percentiles": lambda s, d: tpch.approx_percentiles(*_t(s, d, "orders")),
         "text_chunk_rolling_hash": lambda s, d: text.chunk_documents_rolling_hash(*_t(s, d, "documents")),
         "events_ewma": lambda s, d: grouped_pandas.ewma_per_user(*_t(s, d, "events")),
+        # rows-only AND partition-layout-dependent: MG estimates vary with
+        # partitioning/row order (docstring); only sketch invariants are
+        # stable, asserted in tests/test_llm.py
         "text_frequent_tokens": lambda s, d: text.frequent_tokens_sketch(*_t(s, d, "documents")),
     }
 

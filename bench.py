@@ -42,6 +42,13 @@ BENCH_QUERIES = [
     "sim_cosine_topk_ivf",
     "streaming_stream_join",
     "dedup_embedding_cosine",
+    # round-4: the corpus-pipeline path gets a perf trendline — composed
+    # gate→dedup→pack plan, PMI collocations, sequence-pattern windows,
+    # n-gram benchmark-contamination join
+    "pipeline_corpus_prep",
+    "text_pmi_pairs",
+    "events_sequence_patterns",
+    "text_contamination",
 ]
 
 

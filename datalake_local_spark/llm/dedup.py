@@ -43,14 +43,38 @@ def _plan_fingerprint(df: DataFrame) -> tuple:
     return (qe.analyzed().semanticHash(), str(session_id))
 
 
+#: Hard cap on registry entries: distinct plan fingerprints over the SAME
+#: files (one per filter predicate) would otherwise accumulate persisted
+#: frames without bound. 8 comfortably holds the working set (sigs +
+#: shingle_sets for a full table plus a few filtered variants); beyond
+#: that the oldest entry is evicted FIFO.
+_PLAN_CACHE_MAX = 8
+
+
 def _cached(key: tuple, builder) -> DataFrame:
     if key not in _plan_cache:
+        # eagerly drop entries bound to a stopped session — their persisted
+        # blocks are already gone and the keys would never match again
+        # (fingerprint includes the session UUID)
+        for k in list(_plan_cache):
+            try:
+                dead = _plan_cache[k].sparkSession._jsparkSession.sparkContext().isStopped()
+            except Exception:
+                dead = True
+            if dead:
+                _plan_cache.pop(k, None)
         src = key[2]
         for stale in [k for k in _plan_cache if k[2] != src]:
             try:
                 _plan_cache.pop(stale).unpersist()
             except Exception:
                 pass  # entry belonged to a stopped session
+        while len(_plan_cache) >= _PLAN_CACHE_MAX:
+            oldest = next(iter(_plan_cache))
+            try:
+                _plan_cache.pop(oldest).unpersist()
+            except Exception:
+                pass
         _plan_cache[key] = builder().persist()
     return _plan_cache[key]
 
@@ -261,93 +285,215 @@ def ngram_token_jaccard_pairs(
     )
 
 
+#: Target rows per task for the component loop's node/edge-grain frames;
+#: num_partitions defaults to ceil(edge_rows / this), so bench-scale
+#: graphs run single-task (per-round fixed overhead dominated otherwise)
+#: while a 100 TB pair graph fans out automatically.
+_COMPONENT_ROWS_PER_PARTITION = 2_000_000
+
+
 def duplicate_components(
     documents: DataFrame,
     max_doc_id: int = 100,
     threshold: float = 0.8,
     max_iterations: int = 25,
+    pairs: DataFrame | None = None,
+    num_partitions: int | None = None,
+    algorithm: str = "label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph — the step
     after pair generation: pairs (a,b),(b,c) collapse into one duplicate
     CLUSTER with a canonical representative (min doc_id), which is what a
     training-data pipeline actually deletes against.
 
-    Spark has no native iterative-graph operator, so this is min-label
-    propagation as a driver-controlled loop of DataFrame joins: each
-    iteration every node takes min(own label, neighbors' labels); fixpoint
-    after O(graph diameter) rounds. The label table is one row per doc
-    (never edges²); per-iteration persist/unpersist alternation keeps
-    lineage and cache bounded. At 100 TB: same loop with the label table
-    written to a checkpoint dir per round (large-diameter graphs converge
-    faster with the alternating large-star/small-star variant, same
-    skeleton). Deterministic → DuckDB recursive-CTE oracle hash-checks it.
+    ``pairs`` is injectable: by default the exact-Jaccard self-join
+    (bounded to ``max_doc_id`` — the correctness-harness feed), but at
+    scale callers pass ``minhash_lsh_candidates(documents)`` so the
+    component step runs over LSH candidates with no all-pairs join
+    anywhere. When pairs are injected the node universe is ALL of
+    ``documents`` (no ``max_doc_id`` bound).
+
+    ``algorithm``:
+      * ``"label"`` — min-label propagation as a driver-controlled loop
+        of DataFrame joins; each iteration every node takes
+        min(own label, neighbors' labels); fixpoint after O(diameter)
+        rounds. Deterministic → DuckDB recursive-CTE oracle hash-checks
+        the registered query.
+      * ``"star"`` — alternating large-star/small-star (Kiveris et al.,
+        "Connected Components in MapReduce and Beyond", SoCC'14):
+        fixpoint in O(log d) rounds, the production choice for
+        long-diameter graphs. Same output contract.
+
+    ``num_partitions`` sizes every per-iteration frame; default derives
+    from the edge count (edge tables are node/edge-grain, small relative
+    to the corpus — task count should track THEM, not
+    spark.sql.shuffle.partitions). ``stats`` (optional dict) receives
+    ``rounds`` / ``n_edges`` / ``num_partitions`` for observability.
     """
-    pairs = ngram_token_jaccard_pairs(documents, max_doc_id, threshold).select(
-        "doc_a", "doc_b"
-    )
-    # the label/edge tables are node/edge-grain (small relative to the
-    # corpus); coalesce keeps each iteration's task count proportional to
-    # them rather than spark.sql.shuffle.partitions — per-round fixed
-    # overhead dominated the loop at bench scale otherwise. At 100 TB,
-    # size the coalesce to edge-table partitions, not 1.
+    import math
+
+    if pairs is None:
+        pair_src = ngram_token_jaccard_pairs(documents, max_doc_id, threshold)
+        nodes = documents.filter(F.col("doc_id") < max_doc_id)
+    else:
+        pair_src = pairs
+        nodes = documents
+    pair_df = pair_src.select("doc_a", "doc_b").persist()
+    n_pairs = pair_df.count()
+    P = num_partitions or max(1, math.ceil(2 * n_pairs / _COMPONENT_ROWS_PER_PARTITION))
+    if stats is not None:
+        stats.update({"n_edges": 2 * n_pairs, "num_partitions": P})
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .coalesce(1)
-        .persist()
-    )
-    labels = (
-        documents.filter(F.col("doc_id") < max_doc_id)
-        .select("doc_id", F.col("doc_id").alias("component_id"))
-        .coalesce(1)
+        pair_df.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pair_df.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .coalesce(P)
         .persist()
     )
     try:
-        for _ in range(max_iterations):
-            neighbor_min = (
-                labels.join(edges, labels.doc_id == edges.src)
-                .groupBy(F.col("dst").alias("doc_id"))
-                .agg(F.min("component_id").alias("neighbor_component"))
-                .coalesce(1)
-            )
-            new_labels = (
-                labels.join(neighbor_min, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("component_id"),
-                        F.coalesce(F.col("neighbor_component"), F.col("component_id")),
-                    ).alias("component_id"),
-                )
-                .coalesce(1)
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.component_id") != F.col("o.component_id"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(f"no fixpoint after {max_iterations} iterations")
-        # materialize (distributed) before the finally releases the label
-        # cache the plan hangs off; lineage truncation also frees the
-        # O(iterations)-deep join chain. A terminal localCheckpoint is
-        # safe — the earlier-documented Catalyst-blinding concern applies
-        # to checkpointed subtrees *re-entering* optimization-sensitive
-        # joins, not to a finished result.
-        return labels.select(
-            "doc_id",
-            "component_id",
-            (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
-        ).localCheckpoint()
+        if algorithm == "star":
+            return _components_star(nodes, edges, P, max_iterations, stats)
+        if algorithm != "label":
+            raise ValueError(f"unknown algorithm {algorithm!r}")
+        return _components_label_propagation(nodes, edges, P, max_iterations, stats)
     finally:
         edges.unpersist()
-        labels.unpersist()
+        pair_df.unpersist()
+
+
+def _components_label_propagation(
+    nodes: DataFrame, edges: DataFrame, P: int, max_iterations: int, stats: dict | None
+) -> DataFrame:
+    """Min-label propagation loop; one row per node per round, lineage and
+    cache bounded by per-iteration persist/unpersist alternation."""
+    # per-round localCheckpoint (eager) — each round's plan references the
+    # previous labels frame TWICE (via neighbor_min and the left join), so
+    # without truncation the logical plan doubles per round: 2^rounds nodes
+    # put Catalyst analysis OOM around diameter ~12. Checkpointing keeps
+    # every round's plan O(1) and caches the round's rows in one job. The
+    # Catalyst-blinding caveat (RDD leaf hides stats) doesn't bite: both
+    # join sides are node/edge-grain frames already sized by `P`.
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id")).coalesce(
+        P
+    ).localCheckpoint()
+    for rounds in range(1, max_iterations + 1):
+        neighbor_min = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component_id").alias("neighbor_component"))
+            .coalesce(P)
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("neighbor_component"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .coalesce(P)
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"no fixpoint after {max_iterations} iterations")
+    if stats is not None:
+        stats["rounds"] = rounds
+    return labels.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    ).localCheckpoint()
+
+
+def _components_star(
+    nodes: DataFrame, edges: DataFrame, P: int, max_iterations: int, stats: dict | None
+) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al., SoCC'14).
+
+    large-star: every node u links each LARGER neighbor v to
+    m = min(N(u) ∪ {u}). small-star: on the larger→smaller orientation,
+    every node u relinks its smaller neighbors (and itself) to the
+    minimum. Both preserve connectivity; the composition contracts long
+    paths geometrically, so fixpoint arrives in O(log d) rounds where
+    label propagation needs O(d). At fixpoint the edge set is a star
+    forest rooted at each component's min node.
+    """
+    # per-round localCheckpoint for the same reason as label propagation —
+    # each round's plan references `cur` several times (sym, mins, both
+    # star joins), so lineage grows ~5× per round without truncation
+    cur = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .coalesce(P)
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for rounds in range(1, max_iterations + 1):
+        sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = directed.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = directed.join(mins2, "u")
+        new = (
+            joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(joined.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .coalesce(P)
+            .localCheckpoint()
+        )
+        # one-job fixpoint probe: (row count, order-independent hash) of
+        # the canonical larger→smaller edge set. bit_xor (not sum) —
+        # xor never overflows under ANSI mode, and the rows are
+        # distinct so pair-cancellation can't collide two edge sets
+        # of equal cardinality except by xxhash64 coincidence
+        row = new.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        sig = (row["n"], row["h"])
+        cur = new
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"no fixpoint after {max_iterations} iterations")
+    if stats is not None:
+        stats["rounds"] = rounds
+    roots = cur.groupBy(F.col("u").alias("doc_id")).agg(F.min("v").alias("root"))
+    return (
+        nodes.select("doc_id")
+        .join(roots, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("root", F.col("doc_id")).alias("component_id"),
+            F.col("root").isNull().alias("is_canonical"),
+        )
+        .localCheckpoint()
+    )
 
 
 def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:

@@ -465,7 +465,15 @@ def frequent_tokens_sketch(documents: DataFrame, k: int = 32, capacity: int = 25
     frequency > n/(capacity+1) survives). Output: top-k by merged
     estimate. Sketch semantics → rows-only registry entry; the
     undercount bound and heavy-hitter completeness are pytest-asserted
-    against exact counts."""
+    against exact counts.
+
+    NOT run-reproducible: estimates (hence est/rank, and possibly the
+    row set at the k boundary) depend on partition layout and
+    intra-partition row order — a different partitioning of the same
+    data may legally return different est values. Only the sketch
+    invariants (row count ≤ k, undercount ≤ n/(capacity+1), every
+    token with true freq > n/(capacity+1) present) are stable across
+    layouts, and those are exactly what the tests assert."""
     from pyspark.sql import Window as W
 
     toks = documents.select(

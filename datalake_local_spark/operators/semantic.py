@@ -57,7 +57,13 @@ def _cents(col: Column) -> Column:
 #: arithmetic: float averaging ties at the 4th decimal (e.g. 307.03/8 =
 #: 38.37875 exactly) and Spark (shortest-repr HALF_UP) vs DuckDB (binary
 #: value) then disagree by one ulp-of-rounding. Integer fixed-point is
-#: engine-independent by construction.
+#: engine-independent by construction — FOR NONNEGATIVE sum_cents only:
+#: Spark `div` truncates toward zero while DuckDB `//` floors, so a
+#: negative sum would diverge by 1 at e4 between the engines. The events
+#: generator produces prices > 0 (value ∈ (0, 1000)), so the assumption
+#: holds for every registered query; a signed-money caller would need
+#: sign-safe half-up ((2*s + sign(s)*n) div (2*n) with floor-div
+#: semantics pinned on both engines) before reusing this expression.
 _AVG_E4 = "(sum_cents * 200 + n) div (2 * n)"
 
 

@@ -284,6 +284,84 @@ def test_duplicate_components_invariants(tables):
         assert c == min(ms)
 
 
+def test_components_star_equivalent_to_label(tables):
+    """Alternating large-star/small-star must produce byte-identical
+    component assignments to min-label propagation on the same pair graph."""
+    label = sorted(
+        tuple(r) for r in dedup.duplicate_components(tables["documents"]).collect()
+    )
+    star = sorted(
+        tuple(r)
+        for r in dedup.duplicate_components(tables["documents"], algorithm="star").collect()
+    )
+    assert label == star
+
+
+def test_components_star_fewer_rounds_on_chain(spark):
+    """On a long-diameter chain graph the star variant must reach fixpoint
+    in strictly fewer rounds than label propagation (O(log d) vs O(d))."""
+    n = 12
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    s_label: dict = {}
+    s_star: dict = {}
+    out_label = dedup.duplicate_components(
+        docs, pairs=pairs, max_iterations=50, stats=s_label
+    ).collect()
+    out_star = dedup.duplicate_components(
+        docs, pairs=pairs, algorithm="star", max_iterations=50, stats=s_star
+    ).collect()
+    assert all(r["component_id"] == 0 for r in out_label)
+    assert all(r["component_id"] == 0 for r in out_star)
+    assert s_star["rounds"] < s_label["rounds"]
+    assert s_label["n_edges"] == 2 * (n - 1)
+
+
+def test_components_over_lsh_candidate_feed(tables):
+    """The scale path: components driven by MinHash-LSH candidate pairs
+    (no all-pairs join anywhere) over the FULL document set, with an
+    explicit partition count."""
+    docs = tables["documents"]
+    cand = dedup.minhash_lsh_candidates(docs, jaccard_threshold=0.5)
+    stats: dict = {}
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.duplicate_components(
+            docs, pairs=cand, num_partitions=2, stats=stats
+        ).collect()
+    }
+    assert stats["num_partitions"] == 2
+    assert len(comp) == docs.count()  # injected pairs → node universe is ALL docs
+    pair_rows = cand.collect()
+    assert pair_rows, "LSH should find near-dup candidates in testdata"
+    for r in pair_rows:
+        assert comp[r["doc_a"]] == comp[r["doc_b"]]
+
+
+def test_plan_cache_bounded(spark):
+    """Distinct plan fingerprints over the same source files must not
+    accumulate persisted frames beyond _PLAN_CACHE_MAX (FIFO eviction)."""
+    saved = dict(dedup._plan_cache)
+    dedup._plan_cache.clear()
+    try:
+        src = ("file:///same/source.parquet",)
+        for i in range(dedup._PLAN_CACHE_MAX + 3):
+            dedup._cached(("test_kind", ("fp", i), src), lambda: spark.range(1))
+        assert len(dedup._plan_cache) <= dedup._PLAN_CACHE_MAX
+    finally:
+        for df in dedup._plan_cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        dedup._plan_cache.clear()
+        dedup._plan_cache.update(saved)
+
+
 def test_chunking_reassembles_and_is_content_defined(tables, spark):
     """Chunks must reassemble byte-exactly to the document; a prefix
     insertion must leave later chunk hashes mostly intact (the
