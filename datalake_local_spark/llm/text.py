@@ -206,9 +206,14 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     Two passes, both shuffle-lean at 100 TB:
     1. token → corpus frequency (explode + groupBy token; map-side
        combine keeps the shuffle at vocab grain, not token occurrences);
-    2. re-join each doc's tokens to the frequency table (vocab-sized —
-       broadcastable for real vocabularies) and aggregate
-       mean/min log10 p(token) per doc.
+    2. re-join each doc's tokens to the frequency table and aggregate
+       mean/min log10 p(token) per doc. The join carries NO broadcast
+       hint: a web-scale vocabulary (URLs, typos, numerals) is 10^8-10^9
+       distinct tokens — tens of GB, not broadcastable — so the
+       scale-safe default is a plain shuffle join on `token`; AQE
+       converts it to a broadcast join at runtime when the freq table
+       really is small (as at bench SF), without forcing an OOM-or-die
+       build at corpus scale.
     """
     toks = documents.select(
         "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
@@ -219,7 +224,7 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     # one partition) and never a second corpus scan or driver action
     totals = freqs.agg(F.sum("n_tok").alias("total"))
     freqs = freqs.crossJoin(F.broadcast(totals))
-    scored = toks.join(F.broadcast(freqs), "token").select(
+    scored = toks.join(freqs, "token").select(
         "doc_id", F.log10(F.col("n_tok") / F.col("total")).alias("logp")
     )
     return scored.groupBy("doc_id").agg(
@@ -384,48 +389,67 @@ def token_pmi_pairs(documents: DataFrame, k: int = 20, min_pair_count: int = 10)
     (word2vec-style phrase merging, quality auditing) over a corpus.
 
     PMI(a,b) = log10( p(a,b) / (p(a)·p(b)) ) with p from corpus counts.
-    Shuffle profile at 100 TB: one explode→count per unigram table, one
-    per adjacent-pair table (both map-side combined, vocab-grain), then
-    a vocab-sized broadcast join to attach marginals. No doc×doc or
-    token×token blowup — pairs are ADJACENT only, so the pair table is
-    ≤ token count."""
+    Shuffle profile at 100 TB: the corpus is tokenized and exploded
+    ONCE — each token occurrence becomes a struct (tok_a = tokens[i],
+    tok_b = tokens[i+1], NULL at doc end), so a single map-side-combined
+    groupBy(tok_a, tok_b) yields BOTH grains: pair counts are the
+    non-NULL-tok_b rows and unigram counts are sum(n) grouped by tok_a
+    (every occurrence appears exactly once as tok_a, doc-end marker
+    included). The two derivations share an identical aggregate-exchange
+    subtree, so Catalyst's ReuseExchange/AQE runs the scan + tokenize +
+    shuffle once. The unigram marginals are semi-join-PRUNED to tokens
+    that survive ``min_pair_count`` BEFORE the broadcast hint: the full
+    vocab of a web corpus is 10^8-10^9 rows (not broadcastable), but the
+    surviving-pair token set is bounded by the pair table the query
+    already keeps, so the pruned broadcast is genuinely small. No
+    doc×doc or token×token blowup — pairs are ADJACENT only, so the
+    pair table is ≤ token count."""
     from pyspark.sql import Window as W
 
-    tokens = F.split(_norm_text(F.col("text")), " ")
-    n_pairs_in_doc = F.size(tokens) - 1
-    bigrams = F.when(
-        n_pairs_in_doc >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_pairs_in_doc, F.lit(1))),
-            lambda i: F.struct(
-                F.element_at(tokens, i).alias("tok_a"),
-                F.element_at(tokens, i + 1).alias("tok_b"),
-            ),
+    # materialize the token array in its own projection so the lambda
+    # below indexes a bound column — referencing the split() expression
+    # from inside transform() would re-tokenize the document once per
+    # element (O(len^2) per doc)
+    toked = documents.select(F.split(_norm_text(F.col("text")), " ").alias("toks"))
+    t = F.col("toks")
+    # F.get is 0-based and yields NULL past the array end (no ANSI
+    # error), so the doc-end marker falls out of the same expression.
+    occ = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 1),
+        lambda i: F.struct(
+            F.get(t, i).alias("tok_a"),
+            F.get(t, i + 1).alias("tok_b"),
         ),
-    ).otherwise(F.array().cast("array<struct<tok_a:string,tok_b:string>>"))
-
+    )
+    counts = (
+        toked.select(F.explode(occ).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n"))
+    )
     # totals via tree-reduced scalar aggregates broadcast back — a
     # partitionBy() window would single-partition the vocab-/pair-grain
     # tables, which at corpus scale are large
-    uni = documents.select(F.explode(tokens).alias("token")).groupBy("token").agg(
-        F.count("*").alias("n_uni")
-    )
+    uni = counts.groupBy(F.col("tok_a").alias("token")).agg(F.sum("n").alias("n_uni"))
     uni = uni.crossJoin(F.broadcast(uni.agg(F.sum("n_uni").alias("total_uni"))))
-    raw_pairs = (
-        documents.select(F.explode(bigrams).alias("p"))
-        .select("p.tok_a", "p.tok_b")
-        .groupBy("tok_a", "tok_b")
-        .agg(F.count("*").alias("n_pair"))
+    raw_pairs = counts.filter(F.col("tok_b").isNotNull()).select(
+        "tok_a", "tok_b", F.col("n").alias("n_pair")
     )
     pair_counts = raw_pairs.crossJoin(
         F.broadcast(raw_pairs.agg(F.sum("n_pair").alias("total_pair")))
     ).filter(F.col("n_pair") >= min_pair_count)
-    a_side = uni.select(
+    surviving = (
+        pair_counts.select(F.col("tok_a").alias("token"))
+        .union(pair_counts.select(F.col("tok_b").alias("token")))
+        .distinct()
+    )
+    pruned = uni.join(surviving, "token", "left_semi")
+    a_side = pruned.select(
         F.col("token").alias("tok_a"),
         F.col("n_uni").alias("n_a"),
         F.col("total_uni").alias("tot_u"),
     )
-    b_side = uni.select(F.col("token").alias("tok_b"), F.col("n_uni").alias("n_b"))
+    b_side = pruned.select(F.col("token").alias("tok_b"), F.col("n_uni").alias("n_b"))
     scored = (
         pair_counts.join(F.broadcast(a_side), "tok_a")
         .join(F.broadcast(b_side), "tok_b")

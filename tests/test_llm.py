@@ -554,3 +554,57 @@ def test_frequent_tokens_sketch_guarantees(tables):
         assert exact[tok] - est <= bound, "undercount exceeds MG bound"
     heavy = {t for t, n in exact.items() if n > bound}
     assert heavy <= set(sketch), "every heavy hitter must survive the sketch"
+
+
+def _broadcast_hint_subtrees(df):
+    """Collect the toString of every ResolvedHint node in the analyzed
+    logical plan (analyzed, not optimized — hints are erased later)."""
+    out = []
+
+    def walk(node):
+        if node.nodeName() == "ResolvedHint":
+            out.append(node.toString())
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
+
+
+def test_unigram_logprob_no_vocab_broadcast_hint(tables):
+    """Scale shape (r4 verdict flag): the token→frequency join must NOT
+    carry a broadcast hint — a web-scale vocab is 10^8-10^9 tokens, tens
+    of GB. The only hint allowed is the scalar corpus-total crossJoin;
+    AQE may still broadcast at runtime when the table is actually small,
+    which is the point."""
+    hints = _broadcast_hint_subtrees(text.unigram_logprob(tables["documents"]))
+    assert len(hints) == 1, f"expected only the scalar-totals hint, got {len(hints)}"
+    assert "Join" not in hints[0]  # the hinted subtree is the global aggregate
+
+
+def test_pmi_broadcasts_are_pruned_and_scan_is_shared(tables):
+    """Scale shape (r4 verdict flag): every broadcast hint in the PMI
+    plan must be either a scalar total (global Aggregate build side) or
+    a marginal table semi-join-PRUNED to tokens surviving
+    min_pair_count — never the full unigram vocab. And the single
+    tokenize+explode shuffle must be reused across the unigram and pair
+    derivations (ReusedExchange), not recomputed."""
+    import re
+
+    df = text.token_pmi_pairs(tables["documents"])
+    hints = _broadcast_hint_subtrees(df)
+    semi = [h for h in hints if "LeftSemi" in h]
+    assert len(semi) == 2, "a_side and b_side must be pruned via left_semi before the hint"
+    for h in hints:
+        if "LeftSemi" in h:
+            continue
+        # remaining hints must be scalar totals: global aggregate
+        # (empty grouping list) directly under the hint
+        child = h.splitlines()[1]
+        assert re.search(r"\+\- Aggregate \[(sum|count)\(", child), (
+            "non-pruned broadcast hint must be a scalar total, got: " + child
+        )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, "pair-grain shuffle must be computed once and reused"
