@@ -51,31 +51,61 @@ def _plan_fingerprint(df: DataFrame) -> tuple:
 _PLAN_CACHE_MAX = 8
 
 
+#: Observability counters for the plan-fingerprint registry (mirrors the
+#: ``stats`` dict of duplicate_components): a FIFO eviction silently
+#: unpersists a frame some caller may still hold — correct (it lazily
+#: recomputes) but worth surfacing, so operators of a long-lived session
+#: can see hit/evict churn instead of guessing.
+_plan_cache_stats = {"hits": 0, "misses": 0, "evicted": 0, "dead_swept": 0, "source_rotated": 0}
+
+
+def plan_cache_stats() -> dict:
+    """Snapshot of the signature-registry counters (hits, misses,
+    evicted = FIFO capacity evictions, dead_swept = stopped-session
+    sweeps, source_rotated = different-source-table flushes)."""
+    return dict(_plan_cache_stats)
+
+
 def _cached(key: tuple, builder) -> DataFrame:
     if key not in _plan_cache:
         # eagerly drop entries bound to a stopped session — their persisted
         # blocks are already gone and the keys would never match again
-        # (fingerprint includes the session UUID)
+        # (fingerprint includes the session UUID). A probe EXCEPTION is
+        # treated as dead, but the entry may really be live (transient
+        # py4j hiccup) — try unpersist before popping so a live entry's
+        # blocks are released rather than leaked; harmless on a truly
+        # dead session.
         for k in list(_plan_cache):
+            entry = _plan_cache[k]
             try:
-                dead = _plan_cache[k].sparkSession._jsparkSession.sparkContext().isStopped()
+                dead = entry.sparkSession._jsparkSession.sparkContext().isStopped()
             except Exception:
                 dead = True
             if dead:
+                try:
+                    entry.unpersist()
+                except Exception:
+                    pass
                 _plan_cache.pop(k, None)
+                _plan_cache_stats["dead_swept"] += 1
         src = key[2]
         for stale in [k for k in _plan_cache if k[2] != src]:
             try:
                 _plan_cache.pop(stale).unpersist()
             except Exception:
                 pass  # entry belonged to a stopped session
+            _plan_cache_stats["source_rotated"] += 1
         while len(_plan_cache) >= _PLAN_CACHE_MAX:
             oldest = next(iter(_plan_cache))
             try:
                 _plan_cache.pop(oldest).unpersist()
             except Exception:
                 pass
+            _plan_cache_stats["evicted"] += 1
+        _plan_cache_stats["misses"] += 1
         _plan_cache[key] = builder().persist()
+    else:
+        _plan_cache_stats["hits"] += 1
     return _plan_cache[key]
 
 #: Normalization shared by every dedup operator: lowercase + collapse
@@ -288,7 +318,9 @@ def ngram_token_jaccard_pairs(
 #: Target rows per task for the component loop's node/edge-grain frames;
 #: num_partitions defaults to ceil(edge_rows / this), so bench-scale
 #: graphs run single-task (per-round fixed overhead dominated otherwise)
-#: while a 100 TB pair graph fans out automatically.
+#: while a 100 TB pair graph fans out: coalesce alone only bounds the
+#: count from ABOVE, so duplicate_components also raises
+#: spark.sql.shuffle.partitions to P for the loop when P exceeds it.
 _COMPONENT_ROWS_PER_PARTITION = 2_000_000
 
 
@@ -312,7 +344,12 @@ def duplicate_components(
     scale callers pass ``minhash_lsh_candidates(documents)`` so the
     component step runs over LSH candidates with no all-pairs join
     anywhere. When pairs are injected the node universe is ALL of
-    ``documents`` (no ``max_doc_id`` bound).
+    ``documents`` (no ``max_doc_id`` bound), and edges are SEMI-JOINED
+    against that universe first: the two algorithms agree only when
+    every pair endpoint is a known node (label propagation ignores
+    foreign endpoints; star would merge through them and could even
+    elect a foreign id as component_id), so edges touching unknown ids
+    are dropped rather than silently diverging.
 
     ``algorithm``:
       * ``"label"`` — min-label propagation as a driver-controlled loop
@@ -328,8 +365,13 @@ def duplicate_components(
     ``num_partitions`` sizes every per-iteration frame; default derives
     from the edge count (edge tables are node/edge-grain, small relative
     to the corpus — task count should track THEM, not
-    spark.sql.shuffle.partitions). ``stats`` (optional dict) receives
-    ``rounds`` / ``n_edges`` / ``num_partitions`` for observability.
+    spark.sql.shuffle.partitions). The loop's coalesce(P) can only
+    REDUCE partition counts, so when the derived P exceeds the session's
+    spark.sql.shuffle.partitions the loop runs with that conf raised to
+    P (restored on exit) — otherwise a 100 TB pair graph's parallelism
+    would silently stay capped at the shuffle default. ``stats``
+    (optional dict) receives ``rounds`` / ``n_edges`` /
+    ``num_partitions`` for observability.
     """
     import math
 
@@ -339,7 +381,13 @@ def duplicate_components(
     else:
         pair_src = pairs
         nodes = documents
-    pair_df = pair_src.select("doc_a", "doc_b").persist()
+    pair_df = pair_src.select("doc_a", "doc_b")
+    if pairs is not None:
+        # enforce the endpoint ⊆ nodes precondition (see docstring)
+        ids_a = nodes.select(F.col("doc_id").alias("doc_a"))
+        ids_b = nodes.select(F.col("doc_id").alias("doc_b"))
+        pair_df = pair_df.join(ids_a, "doc_a", "left_semi").join(ids_b, "doc_b", "left_semi")
+    pair_df = pair_df.persist()
     n_pairs = pair_df.count()
     P = num_partitions or max(1, math.ceil(2 * n_pairs / _COMPONENT_ROWS_PER_PARTITION))
     if stats is not None:
@@ -350,15 +398,36 @@ def duplicate_components(
         .coalesce(P)
         .persist()
     )
+    spark = documents.sparkSession
+    shuffle_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     try:
+        if P > shuffle_conf:
+            spark.conf.set("spark.sql.shuffle.partitions", str(P))
         if algorithm == "star":
             return _components_star(nodes, edges, P, max_iterations, stats)
         if algorithm != "label":
             raise ValueError(f"unknown algorithm {algorithm!r}")
         return _components_label_propagation(nodes, edges, P, max_iterations, stats)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_conf))
         edges.unpersist()
         pair_df.unpersist()
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Eagerly release a localCheckpoint'd frame's cached blocks.
+
+    ``DataFrame.unpersist()`` does not reach checkpointed RDD blocks, so
+    without this each fixpoint round's node/edge-grain cache would live
+    until the ContextCleaner GCs the dropped reference — peak storage
+    O(rounds) copies instead of 2. The analyzed plan of a
+    localCheckpoint'd frame is a ``LogicalRDD`` whose ``rdd`` field IS
+    the checkpointed RDD; unpersist it directly, falling back to the
+    ContextCleaner if the plan shape ever changes."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _components_label_propagation(
@@ -401,6 +470,7 @@ def _components_label_propagation(
             .filter(F.col("n.component_id") != F.col("o.component_id"))
             .count()
         )
+        _release_checkpoint(labels)  # old round's blocks, no longer referenced
         labels = new_labels
         if changed == 0:
             break
@@ -408,11 +478,13 @@ def _components_label_propagation(
         raise RuntimeError(f"no fixpoint after {max_iterations} iterations")
     if stats is not None:
         stats["rounds"] = rounds
-    return labels.select(
+    result = labels.select(
         "doc_id",
         "component_id",
         (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
     ).localCheckpoint()
+    _release_checkpoint(labels)
+    return result
 
 
 def _components_star(
@@ -470,21 +542,29 @@ def _components_star(
         # the canonical larger→smaller edge set. bit_xor (not sum) —
         # xor never overflows under ANSI mode, and the rows are
         # distinct so pair-cancellation can't collide two edge sets
-        # of equal cardinality except by xxhash64 coincidence
+        # of equal cardinality except by xxhash64 coincidence. The
+        # (rare, first) signature match is CONFIRMED with one exact
+        # exceptAll before stopping — counts are equal and rows are
+        # distinct, so an empty difference proves set equality; a
+        # hash-collision false positive can therefore never stop the
+        # loop early with unmerged components.
         row = new.agg(
             F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
         ).first()
         sig = (row["n"], row["h"])
+        prev = cur
         cur = new
-        if sig == prev_sig:
+        if sig == prev_sig and new.exceptAll(prev).count() == 0:
+            _release_checkpoint(prev)
             break
+        _release_checkpoint(prev)
         prev_sig = sig
     else:
         raise RuntimeError(f"no fixpoint after {max_iterations} iterations")
     if stats is not None:
         stats["rounds"] = rounds
     roots = cur.groupBy(F.col("u").alias("doc_id")).agg(F.min("v").alias("root"))
-    return (
+    result = (
         nodes.select("doc_id")
         .join(roots, "doc_id", "left")
         .select(
@@ -494,6 +574,8 @@ def _components_star(
         )
         .localCheckpoint()
     )
+    _release_checkpoint(cur)
+    return result
 
 
 def simhash_fingerprints(documents: DataFrame, bits: int = 64) -> DataFrame:

@@ -608,3 +608,35 @@ def test_pmi_broadcasts_are_pruned_and_scan_is_shared(tables):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, "pair-grain shuffle must be computed once and reused"
+
+
+def test_plan_cache_eviction_order_and_stats(spark):
+    """FIFO eviction must drop the OLDEST fingerprint first, and the
+    registry counters must account for every hit / miss / eviction so a
+    long-lived session can observe churn (r4 advice: an evicted frame a
+    caller still holds silently recomputes — make it visible)."""
+    saved = dict(dedup._plan_cache)
+    base = dedup.plan_cache_stats()
+    dedup._plan_cache.clear()
+    try:
+        src = ("file:///same/source.parquet",)
+        key = lambda i: ("test_kind", ("fp", i), src)
+        for i in range(dedup._PLAN_CACHE_MAX):
+            dedup._cached(key(i), lambda: spark.range(1))
+        dedup._cached(key(0), lambda: spark.range(1))  # hit, refreshes nothing (FIFO, not LRU)
+        dedup._cached(key(dedup._PLAN_CACHE_MAX), lambda: spark.range(1))  # evicts key(0)
+        assert key(0) not in dedup._plan_cache, "oldest entry must be evicted first"
+        assert key(1) in dedup._plan_cache
+        assert key(dedup._PLAN_CACHE_MAX) in dedup._plan_cache
+        delta = {k: v - base[k] for k, v in dedup.plan_cache_stats().items()}
+        assert delta["hits"] == 1
+        assert delta["misses"] == dedup._PLAN_CACHE_MAX + 1
+        assert delta["evicted"] == 1
+    finally:
+        for df in dedup._plan_cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        dedup._plan_cache.clear()
+        dedup._plan_cache.update(saved)
