@@ -123,6 +123,25 @@ def xlsx_long_form(spark: SparkSession, landing_dir: str) -> DataFrame:
     return xlsx_native.read_xlsx_distributed(spark, landing_dir)
 
 
+def ingest_excel_file(
+    spark: SparkSession, xlsx_path: str, db: str, catalog: InfoCatalog | None = None
+) -> list[str]:
+    """Ingest every non-empty sheet of ONE workbook into ``db`` as tables
+    named ``<file>_<sheet>`` (sanitized; assets.py:53-61). Works with or
+    without openpyxl (stdlib SpreadsheetML parser otherwise). Returns the
+    FQNs written."""
+    catalog = catalog or InfoCatalog(spark)
+    written: list[str] = []
+    stem = os.path.splitext(os.path.basename(xlsx_path))[0]
+    for sheet in _list_sheets(xlsx_path):
+        df = read_sheet(spark, xlsx_path, sheet)
+        if df.isEmpty():  # P3 empty-frame guard (assets.py:226,247)
+            continue
+        table = sanitize_db_name(f"{fix_string(stem)}_{fix_string(sheet)}")
+        written.append(catalog.save_ingested(df, db, table))
+    return written
+
+
 def ingest_excel_dir(
     spark: SparkSession, landing_dir: str, catalog: InfoCatalog | None = None
 ) -> list[str]:
@@ -139,12 +158,7 @@ def ingest_excel_dir(
         for fname in sorted(os.listdir(bucket_path)):
             if not fname.endswith(".xlsx"):  # P2 extension predicate
                 continue
-            fpath = os.path.join(bucket_path, fname)
-            stem = os.path.splitext(fname)[0]
-            for sheet in _list_sheets(fpath):
-                df = read_sheet(spark, fpath, sheet)
-                if df.isEmpty():  # P3 empty-frame guard (assets.py:226,247)
-                    continue
-                table = sanitize_db_name(f"{fix_string(stem)}_{fix_string(sheet)}")
-                written.append(catalog.save_ingested(df, db, table))
+            written.extend(
+                ingest_excel_file(spark, os.path.join(bucket_path, fname), db, catalog)
+            )
     return written

@@ -92,7 +92,7 @@ def ingest_landing(spark: SparkSession, landing_root: str) -> dict[str, int]:
     from datalake_local_spark.catalog import InfoCatalog
     from datalake_local_spark.functions.sanitize import fix_string, sanitize_db_name
     from datalake_local_spark.sources import csv_lines, json_source
-    from datalake_local_spark.sources.excel import HAS_XLSX, ingest_excel_dir
+    from datalake_local_spark.sources.excel import ingest_excel_file
 
     catalog = InfoCatalog(spark)
     written: dict[str, int] = {}
@@ -107,7 +107,17 @@ def ingest_landing(spark: SparkSession, landing_root: str) -> dict[str, int]:
         elif row["ext"] in ("json", "jsonl"):
             json_source.ingest_json(spark, row["path"], db, table, catalog=catalog)
             written[f"{db}.{table}"] = spark.table(f"{db}.{table}").count()
-    if HAS_XLSX:
-        for fqn in ingest_excel_dir(spark, landing_root, catalog):
-            written[fqn] = spark.table(fqn).count()
+        elif row["ext"] == "xlsx":
+            # sheet parsing opens the file locally; file:// inventory
+            # paths map back to plain paths (a remote object store would
+            # route through sources.xlsx_native.read_xlsx_distributed's
+            # binaryFile scan instead — this loop is the catalog-sized
+            # driver dispatch, not the data path)
+            local = row["path"]
+            if local.startswith("file:"):
+                from urllib.parse import unquote, urlparse
+
+                local = unquote(urlparse(local).path)
+            for fqn in ingest_excel_file(spark, local, db, catalog):
+                written[fqn] = spark.table(fqn).count()
     return written

@@ -289,3 +289,91 @@ def test_sql_shell_executes_statements(spark, tables):
     assert cols == ["one", "nothing"] and rows == [(1, None)]
     rendered = sql_shell.format_table(cols, rows)
     assert "NULL" in rendered
+
+
+def test_landing_to_query_oracle_parity(spark, tmp_path):
+    """End-to-end seam (r4 verdict #3): a multi-format landing drop
+    (jsonl + xlsx + sale-line csv) ingested via ``ingest_landing`` from a
+    file:// URI root, then §2 queries (aggregate, join, window) run over
+    the INGESTED managed tables and checked against DuckDB on the same
+    generated data. The pieces are unit-tested individually; this pins
+    the composition — discovery naming, sanitization, type inference and
+    provenance writes all sit between the drop and the query."""
+    import duckdb
+    import pandas as pd
+
+    from datalake_local_spark.sources import landing
+
+    statuses = ["open", "shipped", "returned"]
+    orders = [
+        {"order_id": i, "cust_id": i % 12, "amount": (i * 37) % 500 + 1, "status": statuses[i % 3]}
+        for i in range(60)
+    ]
+    segments = ["retail", "corp", "gov"]
+    customers = [(c, segments[c % 3]) for c in range(12)]
+
+    root = tmp_path / "landing_e2e"
+    (root / "e2e_sales").mkdir(parents=True)
+    (root / "e2e_farm").mkdir()
+    (root / "configuration").mkdir()
+    (root / "e2e_sales" / "orders.jsonl").write_text(
+        "\n".join(
+            f'{{"order_id": {o["order_id"]}, "cust_id": {o["cust_id"]}, '
+            f'"amount": {o["amount"]}, "status": "{o["status"]}"}}'
+            for o in orders
+        )
+        + "\n"
+    )
+    _write_minimal_xlsx(
+        root / "e2e_sales" / "customers.xlsx",
+        {"clientes": (["cust_id", "segment"], [list(c) for c in customers])},
+    )
+    (root / "e2e_farm" / "ventas.csv").write_text(
+        "1/2/2024 Venta Animales: 5 Documento salida: 10\n"
+        "3/4/2024 Venta Animales: 7 Documento salida: 11\n"
+        "RECRIASIN\n"
+        "5/6/2024 Venta Animales: 9 Documento salida: 12\n"
+    )
+    (root / "configuration" / "skip.csv").write_text("x\n")
+
+    written = landing.ingest_landing(spark, f"file://{root}")
+    assert written["e2e_sales.orders"] == 60
+    assert written["e2e_sales.customers_clientes"] == 12
+    assert written["e2e_farm.ventas"] == 2  # sentinel early-stop (P5)
+    assert spark.sql("SELECT SUM(n_animales) AS s FROM e2e_farm.ventas").first()["s"] == 12
+
+    con = duckdb.connect()
+    con.register("orders", pd.DataFrame(orders))
+    con.register("customers", pd.DataFrame(customers, columns=["cust_id", "segment"]))
+
+    cases = {
+        # A-family aggregate over an ingested table
+        "agg": (
+            "SELECT status, COUNT(*) AS n_orders, SUM(amount) AS revenue "
+            "FROM {o} GROUP BY status ORDER BY status",
+        ),
+        # J-family join: jsonl-ingested fact × xlsx-ingested dim
+        "join": (
+            "SELECT c.segment, COUNT(*) AS n, SUM(o.amount) AS revenue "
+            "FROM {o} o JOIN {c} c ON o.cust_id = c.cust_id "
+            "GROUP BY c.segment ORDER BY c.segment",
+        ),
+        # §2.5 ranking window over the join
+        "window": (
+            "SELECT * FROM (SELECT c.segment, o.order_id, o.amount, "
+            "ROW_NUMBER() OVER (PARTITION BY c.segment ORDER BY o.amount DESC, o.order_id) AS rn "
+            "FROM {o} o JOIN {c} c ON o.cust_id = c.cust_id) WHERE rn <= 2 "
+            "ORDER BY segment, rn",
+        ),
+    }
+    for name, (sql,) in cases.items():
+        got = [
+            tuple(r)
+            for r in spark.sql(
+                sql.format(o="e2e_sales.orders", c="e2e_sales.customers_clientes")
+            ).collect()
+        ]
+        want = [
+            tuple(r) for r in con.execute(sql.format(o="orders", c="customers")).fetchall()
+        ]
+        assert got == want, f"{name}: spark={got} oracle={want}"
