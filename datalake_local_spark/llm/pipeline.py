@@ -7,11 +7,11 @@ Each stage is the already-tested operator; the composition proves the
 operators chain without materialization barriers (one logical plan end
 to end, so Catalyst pushes the quality-gate predicates into the scan
 that feeds dedup). The SQL-expressible stages make the whole pipeline
-oracle-checkable; the near-dup (MinHash) stage is deliberately NOT in
-this chain because its seeded-hash semantics have no ANSI oracle — at
-production it slots between dedup and packing (same DataFrame-in/
-DataFrame-out contract, see dedup.minhash_lsh_candidates +
-dedup.duplicate_components).
+oracle-checkable; the near-dup (MinHash) stage is OFF by default
+because its seeded-hash semantics have no ANSI oracle — pass
+``near_dedup=True`` to slot it between exact dedup and packing (LSH
+candidates → connected components → keep each component's canonical
+doc), which is the production 100 TB path.
 """
 
 from __future__ import annotations
@@ -22,13 +22,25 @@ from pyspark.sql import functions as F
 from datalake_local_spark.llm.text import _norm_text, quality_gate, pack_sequences
 
 
-def prepare_corpus(documents: DataFrame, target_tokens: int = 512) -> DataFrame:
-    """Run the SQL-expressible corpus-prep chain; returns per-bin packing
-    stats of the SURVIVING corpus plus stage-attrition columns.
+def prepare_corpus(
+    documents: DataFrame,
+    target_tokens: int = 512,
+    near_dedup: bool = False,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Run the corpus-prep chain; returns per-bin packing stats of the
+    SURVIVING corpus.
 
     1. quality gate: drop documents failing any rule;
     2. exact dedup: keep the lowest doc_id per normalized-text group;
-    3. pack survivors into ``target_tokens`` context windows.
+    3. (``near_dedup=True``) near-dup removal: MinHash-LSH candidate
+       pairs → connected components (star, O(log d) rounds) → keep only
+       each component's canonical (min doc_id) member. Runs AFTER exact
+       dedup so the LSH stage shingles each distinct text once;
+    4. pack survivors into ``target_tokens`` context windows.
+
+    ``stats`` (with ``near_dedup``) receives the component loop's
+    ``rounds`` / ``n_edges`` / ``num_partitions``.
     """
     kept_ids = quality_gate(documents).filter(F.col("keep")).select("doc_id")
     gated = documents.join(kept_ids, "doc_id", "left_semi")
@@ -39,4 +51,16 @@ def prepare_corpus(documents: DataFrame, target_tokens: int = 512) -> DataFrame:
         .select("doc_id")
     )
     survivors = documents.join(canonical, "doc_id", "left_semi")
+    if near_dedup:
+        from datalake_local_spark.llm import dedup
+
+        components = dedup.duplicate_components(
+            survivors,
+            pairs=dedup.minhash_lsh_candidates(survivors),
+            algorithm="star",
+            stats=stats,
+        )
+        survivors = survivors.join(
+            components.filter(F.col("is_canonical")).select("doc_id"), "doc_id", "left_semi"
+        )
     return pack_sequences(survivors, target_tokens)

@@ -640,3 +640,41 @@ def test_plan_cache_eviction_order_and_stats(spark):
                 pass
         dedup._plan_cache.clear()
         dedup._plan_cache.update(saved)
+
+
+def test_pipeline_near_dedup_flag(tables):
+    """near_dedup=True must remove exactly the non-canonical members of
+    the LSH-candidate components computed over the exact-dedup survivors
+    — the scale path (LSH → star components → keep canonical) wired
+    end-to-end through the flagship pipeline — while the default path's
+    packing output stays byte-identical to the oracle-checked chain."""
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    docs = tables["documents"]
+    base_docs = (
+        llm_pipeline.prepare_corpus(docs).agg(F.sum("n_docs")).first()[0]
+    )
+    stats: dict = {}
+    nd_docs = (
+        llm_pipeline.prepare_corpus(docs, near_dedup=True, stats=stats)
+        .agg(F.sum("n_docs"))
+        .first()[0]
+    )
+    # independently recompute the expected survivor set from the operators
+    kept = text.quality_gate(docs).filter(F.col("keep")).select("doc_id")
+    gated = docs.join(kept, "doc_id", "left_semi")
+    canonical = (
+        gated.select(F.md5(dedup._norm_text(F.col("text"))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(canonical, "doc_id", "left_semi")
+    comps = dedup.duplicate_components(
+        survivors, pairs=dedup.minhash_lsh_candidates(survivors), algorithm="label"
+    )
+    expected = comps.filter(F.col("is_canonical")).count()
+    assert base_docs == survivors.count()
+    assert nd_docs == expected  # star-in-pipeline ≡ label-out-of-pipeline
+    assert nd_docs <= base_docs
+    assert stats["rounds"] >= 1 and stats["num_partitions"] >= 1
