@@ -35,7 +35,14 @@ from datalake_local_spark.operators import (
     tpch,
     windows,
 )
-from datalake_local_spark.llm import dedup, pipeline as llm_pipeline, similarity, text, multimodal
+from datalake_local_spark.llm import (
+    dedup,
+    pipeline as llm_pipeline,
+    relevance,
+    similarity,
+    text,
+    multimodal,
+)
 from datalake_local_spark.streaming import event_windows
 
 _stream_counter = itertools.count()
@@ -168,6 +175,10 @@ def _q_scd2(spark, sf):
 _CERTIFY_FIRST = [
     # new in round 5
     "pipeline_corpus_prep_neardup",  # rows-only: seeded MinHash chain
+    "dedup_components_chain",  # rows-only: full-table LSH→star chain
+    "text_tfidf_top_terms",  # TF-IDF per-doc top terms
+    "text_bm25_search",  # BM25 query scoring
+    "pipeline_weighted_sample",  # deterministic md5 corpus mixing
     # implementation changed in round 5 — re-certify
     "text_pmi_pairs",  # single-pass tokenization + pruned broadcasts
     "text_unigram_logprob",  # broadcast hint dropped (AQE decides)
@@ -268,6 +279,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
         "dedup_components": lambda s, d: dedup.duplicate_components(*_t(s, d, "documents")),
+        # rows-only (seeded MinHash feed): the full-table LSH→star chain,
+        # the production composition bench.py scale-probes at sf0.1
+        "dedup_components_chain": lambda s, d: dedup.duplicate_components(
+            _t(s, d, "documents")[0],
+            pairs=dedup.minhash_lsh_candidates(_t(s, d, "documents")[0]),
+            algorithm="star",
+        ),
         # similarity search (north star)
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(*_t(s, d, "embeddings")),
         "sim_cosine_topk_vectorized": lambda s, d: similarity.cosine_topk_vectorized(*_t(s, d, "embeddings")),
@@ -286,6 +304,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sequence_patterns": lambda s, d: funnel.sequence_pattern_counts(*_t(s, d, "events")),
         "sql_interactive": _q_sql_interactive,
         "pipeline_corpus_prep": lambda s, d: llm_pipeline.prepare_corpus(*_t(s, d, "documents")),
+        "pipeline_weighted_sample": lambda s, d: llm_pipeline.weighted_source_sample(
+            *_t(s, d, "documents")
+        ),
+        "text_tfidf_top_terms": lambda s, d: relevance.tfidf_top_terms(*_t(s, d, "documents")),
+        "text_bm25_search": lambda s, d: relevance.bm25_scores(*_t(s, d, "documents")),
         # rows-only (seeded MinHash has no ANSI oracle): the production
         # scale path — quality gate → exact dedup → LSH candidates →
         # star components → keep canonical → pack — as one chain
@@ -1099,6 +1122,70 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (ORDER BY pmi DESC, tok_a, tok_b) AS rank
                 FROM scored
             ) WHERE rank <= 20
+        """,
+        "text_tfidf_top_terms": f"""
+            WITH tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM (
+                    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+                ) GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.token,
+                       round((CAST(t.tf AS DOUBLE) / d.dl)
+                             * log10(CAST(n.n_docs AS DOUBLE) / f.df), 6) AS tfidf
+                FROM tf t JOIN dl d USING (doc_id) JOIN df f USING (token), n
+            )
+            SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tfidf FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "text_bm25_search": f"""
+            WITH tf_all AS (
+                SELECT doc_id, token, count(*) AS tf FROM (
+                    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+                ) GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf_all GROUP BY 1),
+            toks AS (
+                SELECT t.doc_id, t.token, t.tf, d.dl
+                FROM tf_all t JOIN dl d USING (doc_id)
+                WHERE t.token IN ('data', 'learning', 'model')
+            ),
+            df AS (SELECT token, count(*) AS df FROM toks GROUP BY 1),
+            scalars AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(CAST(len(string_split({_NORM}, ' ')) AS DOUBLE)) AS avgdl
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(sum(log10(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                             * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1 - 0.75
+                                + 0.75 * t.dl / s.avgdl))), 6) AS bm25,
+                   count(*) AS n_matched_terms
+            FROM toks t JOIN df f USING (token), scalars s
+            GROUP BY 1
+            ORDER BY bm25 DESC, doc_id LIMIT 20
+        """,
+        "pipeline_weighted_sample": """
+            WITH decided AS (
+                SELECT source,
+                       CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+                            WHEN 'src2' THEN 0.0 ELSE 0.5 END AS DOUBLE) AS rate,
+                       (substring(md5(concat_ws(':', CAST(doc_id AS VARCHAR), source)), 1, 8)
+                        <= CASE source WHEN 'src0' THEN 'ffffffff' WHEN 'src1' THEN '3fffffff'
+                           WHEN 'src2' THEN '' ELSE '7fffffff' END) AS kept
+                FROM documents
+            )
+            SELECT source, rate, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   round(avg(CAST(CASE WHEN kept THEN 1 ELSE 0 END AS DOUBLE)), 6)
+                       AS realized_rate
+            FROM decided GROUP BY 1, 2 ORDER BY 1
         """,
         "events_sequence_patterns": """
             WITH seq AS (

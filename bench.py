@@ -52,6 +52,37 @@ BENCH_QUERIES = [
 ]
 
 
+def _bench_components_chain(spark, sf_dir: str) -> tuple[float, dict]:
+    """r4 verdict #5: scale-probe the LSH→components chain over the FULL
+    documents table — candidates from MinHash-LSH feeding the star
+    component loop, multi-partition. Asserts the O(log d) round bound and
+    that the loop really fans out beyond one partition."""
+    import math
+
+    from datalake_local_spark.llm import dedup
+    from datalake_local_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    stats: dict = {}
+    t0 = time.perf_counter()
+    out = dedup.duplicate_components(
+        docs,
+        pairs=dedup.minhash_lsh_candidates(docs),
+        algorithm="star",
+        num_partitions=4,
+        stats=stats,
+    )
+    n_rows = out.count()
+    dt = round(time.perf_counter() - t0, 3)
+    assert n_rows == docs.count(), "every node must receive a component"
+    # star contracts geometrically: diameter <= n_edges, so rounds must
+    # stay within log2(diameter)+2 even on adversarial chain graphs
+    bound = math.log2(max(2, stats["n_edges"])) + 2
+    assert stats["rounds"] <= bound, f"rounds {stats['rounds']} > log2 bound {bound}"
+    assert stats["num_partitions"] > 1, "chain must run multi-partition"
+    return dt, stats
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -71,6 +102,14 @@ def main() -> None:
             qs[name](spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
+    # LSH→components chain probe (best-of-2 like the suite; the first
+    # pass pays signature codegen + the registry cache fill)
+    chain_stats: dict = {}
+    for _ in range(2):
+        dt, chain_stats = _bench_components_chain(spark, sf_dir)
+        times["dedup_components_chain"] = min(
+            times.get("dedup_components_chain", dt), dt
+        )
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -80,6 +119,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "components_chain": chain_stats,
             }
         )
     )

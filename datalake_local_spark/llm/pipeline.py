@@ -64,3 +64,50 @@ def prepare_corpus(
             components.filter(F.col("is_canonical")).select("doc_id"), "doc_id", "left_semi"
         )
     return pack_sequences(survivors, target_tokens)
+
+
+def weighted_source_sample(
+    documents: DataFrame, weights: dict[str, float] | None = None, default_rate: float = 0.5
+) -> DataFrame:
+    """Deterministic corpus mixing — keep each document with its source's
+    target rate (the "data mixture" step of LLM pre-training: up-weight
+    books/wiki, down-sample web). The keep/drop decision is a pure
+    function of (doc_id, source) via md5, so the sample is reproducible
+    run-to-run and engine-to-engine with NO RNG state: a doc is kept iff
+    the first 8 hex chars of md5(doc_id || ':' || source) sort below the
+    rate's hex threshold (lexicographic lowercase-hex compare ==
+    numeric compare — exactly portable to the ANSI oracle).
+
+    Returns the per-source audit the pipeline operator owes its caller:
+    (source, rate, n_docs, n_kept, realized_rate). Scan-speed: one pass,
+    token-free, aggregate at source grain; at 100 TB the decision column
+    is codegen'd into the scan.
+    """
+    weights = weights if weights is not None else {"src0": 1.0, "src1": 0.25, "src2": 0.0}
+
+    def thr(rate: float) -> str:
+        n = max(0, min(int(rate * (1 << 32)), 1 << 32) - 1)
+        return format(n, "08x") if rate > 0 else ""
+
+    rate_col = F.lit(default_rate)
+    thr_col = F.lit(thr(default_rate))
+    for src, rate in sorted(weights.items()):
+        rate_col = F.when(F.col("source") == src, F.lit(rate)).otherwise(rate_col)
+        thr_col = F.when(F.col("source") == src, F.lit(thr(rate))).otherwise(thr_col)
+    decided = documents.select(
+        "source",
+        rate_col.alias("rate"),
+        (
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("source"))), 1, 8)
+            <= thr_col
+        ).alias("kept"),
+    )
+    return (
+        decided.groupBy("source", "rate")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.round(F.avg(F.col("kept").cast("double")), 6).alias("realized_rate"),
+        )
+        .orderBy("source")
+    )

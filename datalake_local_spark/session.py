@@ -78,9 +78,16 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    # The driver-generated testdata stores TIMESTAMP(NANOS) which the Spark
-    # parquet reader rejects by default; read nanos as long and convert.
+    # The driver-generated testdata has carried two timestamp encodings
+    # across rounds: TIMESTAMP(NANOS) (rejected by the parquet reader by
+    # default — read nanos as long and convert in _read_parquet) and
+    # naive micros (isAdjustedToUTC=false, which Spark 3.4+ infers as
+    # TIMESTAMP_NTZ — unusable for streaming watermarks and a semantics
+    # change for every oracle). Disable NTZ inference so naive micros
+    # read as TIMESTAMP interpreted in the UTC session zone — the same
+    # values DuckDB sees.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Right-size shuffles when running under a session we didn't build
     # (e.g. the driver's): the Spark default of 200 over-parallelizes local
     # runs; AQE coalesces, but a sane ceiling avoids tiny-task overhead.

@@ -32,8 +32,12 @@ def _stream_session(spark: SparkSession, shuffle_partitions: str = "8") -> Spark
     across restarts — it cannot change under an existing checkpoint)."""
     sub = spark.newSession()
     sub.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
-    # testdata stores TIMESTAMP(NANOS); read as long + convert (session.py)
+    # timestamp-encoding tolerance, same two confs as session.configure():
+    # nanos read as long + converted; naive micros read as TIMESTAMP in
+    # the UTC session zone (NTZ would break withWatermark)
     sub.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sub.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    sub.conf.set("spark.sql.session.timeZone", "UTC")
     return sub
 
 

@@ -678,3 +678,19 @@ def test_pipeline_near_dedup_flag(tables):
     assert nd_docs == expected  # star-in-pipeline ≡ label-out-of-pipeline
     assert nd_docs <= base_docs
     assert stats["rounds"] >= 1 and stats["num_partitions"] >= 1
+
+
+def test_tfidf_and_bm25_scale_shapes(tables):
+    """The df-table join in TF-IDF must not carry a broadcast hint (same
+    web-scale-vocab lesson as unigram_logprob); BM25's only hints are the
+    tiny query-term df table and the scalar (n_docs, avgdl) aggregate,
+    and its token filter must reach below the tf aggregate."""
+    from datalake_local_spark.llm import relevance
+
+    hints = _broadcast_hint_subtrees(relevance.tfidf_top_terms(tables["documents"]))
+    assert len(hints) == 1  # only the scalar n_docs crossJoin
+
+    bdf = relevance.bm25_scores(tables["documents"])
+    assert len(_broadcast_hint_subtrees(bdf)) == 2  # term-df + scalars
+    plan = bdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "token IN" in plan or "token#" in plan  # filter survived pushdown
