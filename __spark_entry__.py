@@ -179,6 +179,9 @@ _CERTIFY_FIRST = [
     "text_tfidf_top_terms",  # TF-IDF per-doc top terms
     "text_bm25_search",  # BM25 query scoring
     "pipeline_weighted_sample",  # deterministic md5 corpus mixing
+    "text_dup_ngrams",  # corpus-internal duplicate n-gram profile
+    "events_transition_matrix",  # Markov event-type transitions
+    "sim_pca_project",  # rows-only: tree-aggregated Gram → PCA
     # implementation changed in round 5 — re-certify
     "text_pmi_pairs",  # single-pass tokenization + pruned broadcasts
     "text_unigram_logprob",  # broadcast hint dropped (AQE decides)
@@ -309,6 +312,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_tfidf_top_terms": lambda s, d: relevance.tfidf_top_terms(*_t(s, d, "documents")),
         "text_bm25_search": lambda s, d: relevance.bm25_scores(*_t(s, d, "documents")),
+        "text_dup_ngrams": lambda s, d: text.duplicate_ngram_profile(*_t(s, d, "documents")),
+        "events_transition_matrix": lambda s, d: funnel.event_transition_matrix(
+            *_t(s, d, "events")
+        ),
+        # rows-only (driver-side eigendecomposition of the tree-aggregated
+        # Gram matrix; no ANSI oracle) — invariant-tested in test_llm.py
+        "sim_pca_project": lambda s, d: similarity.pca_project(*_t(s, d, "embeddings")),
         # rows-only (seeded MinHash has no ANSI oracle): the production
         # scale path — quality gate → exact dedup → LSH candidates →
         # star components → keep canonical → pack — as one chain
@@ -1170,6 +1180,38 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t JOIN df f USING (token), scalars s
             GROUP BY 1
             ORDER BY bm25 DESC, doc_id LIMIT 20
+        """,
+        "text_dup_ngrams": f"""
+            WITH toked AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+                FROM toked, unnest(generate_series(1, len(t) - 7)) AS g(i)
+                WHERE len(t) >= 8
+            ),
+            dfp AS (SELECT gram, count(*) AS df FROM grams GROUP BY 1)
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+                   round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS dup_fraction
+            FROM grams JOIN dfp USING (gram) GROUP BY 1
+        """,
+        "events_transition_matrix": """
+            WITH pairs AS (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+                FROM events
+            ),
+            counts AS (
+                SELECT event_type, next_type, count(*) AS n_transitions
+                FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT event_type, next_type, n_transitions,
+                   round(CAST(n_transitions AS DOUBLE)
+                         / sum(n_transitions) OVER (PARTITION BY event_type), 6) AS prob
+            FROM counts
         """,
         "pipeline_weighted_sample": """
             WITH decided AS (

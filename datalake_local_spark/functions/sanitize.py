@@ -45,18 +45,15 @@ _SPECIAL = {
 
 
 def fix_string(value: str) -> str:
-    """Normalize a bucket/file/sheet name into an identifier-safe string."""
-    out = []
-    for ch in value:
-        if ch in _SPECIAL:
-            out.append(_SPECIAL[ch])
-        elif ch.isalnum() or ch == "_":
-            out.append(ch)
-        else:
-            out.append("_")
-    text = "".join(out)
-    # transliterate any remaining accents (á→a …), then drop non-ASCII
+    """Normalize a bucket/file/sheet name into an identifier-safe string.
+
+    Order matters for idempotency: NFKD-transliterate FIRST (á→a, and
+    compatibility characters like U+1F100 '🄀' decompose to "0."), THEN
+    filter to [A-Za-z0-9_] — filtering before normalization let
+    decomposition re-introduce non-identifier ASCII (hypothesis-found)."""
+    text = "".join(_SPECIAL.get(ch, ch) for ch in value)
     text = unicodedata.normalize("NFKD", text).encode("ascii", "ignore").decode("ascii")
+    text = "".join(ch if (ch.isalnum() or ch == "_") else "_" for ch in text)
     text = re.sub(r"_+", "_", text)
     return text.strip("_") or "_"
 

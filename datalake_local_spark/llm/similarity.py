@@ -503,3 +503,78 @@ def random_projection_profile(
         F.round(_norm(proj), 6).alias("proj_norm"),
         F.round(_norm(proj) / _norm(vec), 6).alias("norm_ratio"),
     )
+
+
+def pca_project(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """PCA projection of the embedding column to ``k`` components — the
+    dimensionality-reduction step before cheap ANN / clustering /
+    whitening in an embedding pipeline.
+
+    Scale path: the d×d Gram matrix and mean are tree-aggregated as
+    PARTIAL sums per Arrow batch (mapInPandas — one (count, sum, X'X)
+    row per batch, BLAS inside), then combined on the driver where the
+    d×d eigendecomposition is O(d³) scalar work (d=64 here; driver-side
+    by design — no iterative distributed eigensolver needed below
+    d≈10⁴). The k×d component matrix ships back in the closure and the
+    projection itself is one batched GEMM per Arrow batch. Shuffle
+    profile: NOTHING shuffles but the per-batch partials (a few KB each);
+    the projection is map-only. Deterministic: components get a sign
+    convention (largest-|coefficient| element positive), so the output
+    is stable run-to-run → rows-only correctness with invariant tests
+    (orthonormality, captured variance ordering, reconstruction bound).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        embeddings.select("embedding")
+        .mapInPandas(partials, schema="n long, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    G = np.zeros((d, d))
+    for p in parts:
+        s += np.asarray(p["s"])
+        G += np.asarray(p["g"]).reshape(d, d)
+    mu = s / n
+    cov = G / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k×d
+    # sign convention: largest-|coefficient| element of each component >= 0
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    explained = [float(evals[o]) for o in order]
+
+    def project(batches):
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            P = (X - mu) @ comps.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "components": [np.round(r, 6).tolist() for r in P],
+                }
+            )
+
+    out = embeddings.select("vec_id", "embedding").mapInPandas(
+        project, schema="vec_id long, components array<double>"
+    )
+    return out.withColumn(
+        "explained_variance", F.lit([round(e, 6) for e in explained])
+    )

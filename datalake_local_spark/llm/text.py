@@ -532,3 +532,50 @@ def frequent_tokens_sketch(documents: DataFrame, k: int = 32, capacity: int = 25
     topk = merged.orderBy(F.col("est").desc(), "token").limit(k)
     w = W.orderBy(F.col("est").desc(), "token")
     return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def duplicate_ngram_profile(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Corpus-internal duplication profile: for each document, the
+    fraction of its distinct word n-grams that also occur in ANOTHER
+    document — the memorization-risk / boilerplate signal (CCNet's
+    duplicated-content filters, Lee et al.'s "Deduplicating Training
+    Data" substring-dup measure at n-gram granularity).
+
+    Shuffle profile at 100 TB: distinct grams per doc (doc-local, no
+    shuffle) → gram-grain document-frequency aggregate (map-side
+    combined) → join df back to the (doc, gram) pairs as a plain shuffle
+    join — NO broadcast hint: the gram table of a web corpus is larger
+    than its vocabulary, and a doc's gram set is corpus-unbounded.
+    Output is doc-grain. Documents shorter than ``n`` tokens have no
+    grams and are absent from the output (their dup fraction is
+    undefined, not zero)."""
+    toked = documents.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
+    )
+    t = F.col("toks")
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(t) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("gram"),
+    )
+    df_tbl = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        grams.join(df_tbl, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)) / F.count("*"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -122,3 +122,39 @@ def sequence_pattern_counts(events: DataFrame) -> DataFrame:
         F.col("seq").rlike("pe").alias("error_right_after_purchase"),
         F.length(F.regexp_extract("seq", "(c+)", 1)).alias("first_click_streak"),
     )
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix between event types: for each
+    observed (event_type → next event_type) pair within a user's
+    time-ordered stream, the transition count and probability — the
+    behavioral-model summary (next-event prediction baselines, anomaly
+    detection on improbable transitions).
+
+    Scale shape: the lead() window partitions by user_id (user-grain,
+    never global); the matrix itself is |types|² rows, so the final
+    probability window over event_type is a handful of rows per
+    partition. Ties inside a user's stream order by (ts, event_id) for
+    determinism."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    w_type = W.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w_type), 6
+        ).alias("prob"),
+    )

@@ -694,3 +694,29 @@ def test_tfidf_and_bm25_scale_shapes(tables):
     assert len(_broadcast_hint_subtrees(bdf)) == 2  # term-df + scalars
     plan = bdf._jdf.queryExecution().optimizedPlan().toString()
     assert "token IN" in plan or "token#" in plan  # filter survived pushdown
+
+
+def test_pca_project_invariants(tables):
+    """PCA guarantees on the tree-aggregated-Gram path: orthonormal
+    components (via the projection's covariance being diagonal with the
+    reported eigenvalues), descending explained variance, captured
+    variance ≤ total variance, deterministic output."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    rows = similarity.pca_project(emb, k=4).collect()
+    ev = rows[0]["explained_variance"]
+    assert all(ev[i] >= ev[i + 1] for i in range(len(ev) - 1))
+    P = np.array([r["components"] for r in rows])
+    # projections are centered and decorrelated: cov(P) ≈ diag(ev)
+    C = np.cov(P.T, bias=True)
+    assert np.allclose(np.diag(C), ev, rtol=1e-3, atol=1e-4)
+    off = C - np.diag(np.diag(C))
+    assert np.abs(off).max() < 1e-4
+    X = np.stack([np.asarray(r["embedding"], dtype=float) for r in emb.collect()])
+    total_var = float(np.var(X, axis=0).sum())
+    assert sum(ev) <= total_var + 1e-6
+    rows2 = similarity.pca_project(emb, k=4).collect()
+    assert {r["vec_id"]: r["components"] for r in rows2} == {
+        r["vec_id"]: r["components"] for r in rows
+    }
