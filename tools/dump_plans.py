@@ -60,6 +60,25 @@ SHOWCASE = {
         "BroadcastNestedLoopJoin anywhere; shuffle carries O(n·B) rows, "
         "never O(n²) pairs."
     ),
+    "text_pmi_pairs": (
+        "Single-pass PMI (round 5): ONE tokenize+explode shuffle feeds both "
+        "the unigram and pair grains (ReusedExchange in the executed plan); "
+        "the marginal broadcasts are semi-join-PRUNED to tokens surviving "
+        "min_pair_count — the full vocab is never hinted. Top-k via "
+        "TakeOrderedAndProject, never a global window."
+    ),
+    "text_tfidf_top_terms": (
+        "TF-IDF (round 5): token-grain df aggregate joined back to the "
+        "(doc, token) pairs WITHOUT a broadcast hint (web-scale vocab "
+        "discipline — AQE decides); ranking window partitions by doc_id, "
+        "never global."
+    ),
+    "text_bm25_search": (
+        "BM25 (round 5): the query-term filter is pushed below the tf "
+        "aggregate so only matching-term rows shuffle; the only broadcast "
+        "hints are the |terms|-row df table and the scalar (n_docs, avgdl) "
+        "aggregate. Global top-k via TakeOrderedAndProject."
+    ),
 }
 
 SKEW_EPILOGUE = """
