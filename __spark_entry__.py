@@ -182,6 +182,8 @@ _CERTIFY_FIRST = [
     "text_dup_ngrams",  # corpus-internal duplicate n-gram profile
     "events_transition_matrix",  # Markov event-type transitions
     "sim_pca_project",  # rows-only: tree-aggregated Gram → PCA
+    "scalar_variant_funcs",  # Spark 4 VARIANT parse/extract
+    "sim_cosine_topk_ivf",  # re-certify behind the index registry
     # implementation changed in round 5 — re-certify
     "text_pmi_pairs",  # single-pass tokenization + pruned broadcasts
     "text_unigram_logprob",  # broadcast hint dropped (AQE decides)
@@ -269,6 +271,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_date_funcs": lambda s, d: scalars.date_functions_orders(*_t(s, d, "orders")),
         "scalar_json_extract": lambda s, d: scalars.json_functions_events(*_t(s, d, "events")),
         "scalar_json_agg": lambda s, d: scalars.json_aggregate_events(*_t(s, d, "events")),
+        "scalar_variant_funcs": lambda s, d: scalars.variant_functions_events(
+            *_t(s, d, "events")
+        ),
         "scalar_array_funcs": lambda s, d: scalars.array_functions_embeddings(*_t(s, d, "embeddings")),
         "scalar_map_funcs": lambda s, d: scalars.map_functions_events(*_t(s, d, "events")),
         "scalar_string_funcs2": lambda s, d: scalars.string_functions_extended(*_t(s, d, "part")),
@@ -749,6 +754,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(*) AS n_events,
                    round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+                   max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+            FROM events GROUP BY 1
+        """,
+        "scalar_variant_funcs": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN props->>'$.missing' IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_missing,
+                   round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+                   min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
                    max(CAST(props->>'$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY 1
         """,

@@ -377,3 +377,43 @@ def test_landing_to_query_oracle_parity(spark, tmp_path):
             tuple(r) for r in con.execute(sql.format(o="orders", c="customers")).fetchall()
         ]
         assert got == want, f"{name}: spark={got} oracle={want}"
+
+
+def test_python_datasource_xlsx_matches_distributed_reader(spark, tmp_path):
+    """Spark 4 Python DataSource (format('xlsx')) must produce the same
+    long-form cells as the binaryFile+mapInPandas path — two routes, one
+    contract — and must parallelize by file (one partition per book)."""
+    from datalake_local_spark.sources import pyds
+
+    root = tmp_path / "pyds_zone"
+    (root / "sub").mkdir(parents=True)
+    _write_minimal_xlsx(
+        root / "book1.xlsx",
+        {"s1": (["a", "b"], [[1, "x"], [2, "y"]]), "s2": (["c"], [[3]])},
+    )
+    _write_minimal_xlsx(root / "sub" / "book2.xlsx", {"only": (["d"], [[4], [5]])})
+
+    pyds.register(spark)
+    via_pyds = spark.read.format("xlsx").load(str(root))
+    assert via_pyds.rdd.getNumPartitions() == 2  # one per workbook
+    cells_pyds = {
+        (r["sheet"], r["row_idx"], r["column"], r["value"]) for r in via_pyds.collect()
+    }
+    from datalake_local_spark.sources import xlsx_native
+
+    cells_dist = {
+        (r["sheet"], r["row_idx"], r["column"], r["value"])
+        for r in xlsx_native.read_xlsx_distributed(spark, str(root)).collect()
+    }
+    assert cells_pyds == cells_dist
+    assert len(cells_pyds) == 4 + 1 + 2  # book1.s1 4 cells, s2 1, book2 2
+
+    # column pruning + filter compose above the source
+    vals = (
+        spark.read.format("xlsx")
+        .load(str(root))
+        .filter("sheet = 'only'")
+        .select("value")
+        .collect()
+    )
+    assert sorted(r["value"] for r in vals) == ["4", "5"]
