@@ -184,6 +184,7 @@ _CERTIFY_FIRST = [
     "sim_pca_project",  # rows-only: tree-aggregated Gram → PCA
     "scalar_variant_funcs",  # Spark 4 VARIANT parse/extract
     "sim_cosine_topk_ivf",  # re-certify behind the index registry
+    "sql_recursive_spine",  # Spark 4 recursive CTE month spine
     # implementation changed in round 5 — re-certify
     "text_pmi_pairs",  # single-pass tokenization + pruned broadcasts
     "text_unigram_logprob",  # broadcast hint dropped (AQE decides)
@@ -215,6 +216,35 @@ def _dq_integrity(spark, sf):
     from datalake_local_spark.operators import quality
 
     return quality.integrity_report(*_t(spark, sf, "orders", "customer"))
+
+
+def _q_recursive_spine(spark, sf):
+    """Spark 4 recursive CTE (WITH RECURSIVE, UNION ALL + bounded
+    predicate): generate the full month spine across the orders history
+    and gap-fill monthly revenue with zeros — the engine-native form of
+    the calendar-spine pattern (calendar_spine_daily builds the same
+    spine with sequence(); this one exercises the recursion surface the
+    reference gets from Trino/Postgres recursive CTEs)."""
+    load_tables(spark, sf)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT to_date('1995-01-01')
+            UNION ALL
+            SELECT add_months(m, 1) FROM months WHERE m < to_date('2001-08-01')
+        ),
+        rev AS (
+            SELECT to_date(date_trunc('month', o_orderdate)) AS m,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT months.m AS month_start,
+               coalesce(rev.revenue, 0.0) AS revenue,
+               coalesce(rev.n_orders, 0) AS n_orders
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        """
+    )
 
 
 def _q_sql_interactive(spark, sf):
@@ -311,6 +341,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": lambda s, d: tpch.stratified_sample_stats(*_t(s, d, "orders")),
         "events_sequence_patterns": lambda s, d: funnel.sequence_pattern_counts(*_t(s, d, "events")),
         "sql_interactive": _q_sql_interactive,
+        "sql_recursive_spine": _q_recursive_spine,
         "pipeline_corpus_prep": lambda s, d: llm_pipeline.prepare_corpus(*_t(s, d, "documents")),
         "pipeline_weighted_sample": lambda s, d: llm_pipeline.weighted_source_sample(
             *_t(s, d, "documents")
@@ -1259,6 +1290,23 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
         """,
         "sql_interactive": _INTERACTIVE_SQL,
+        "sql_recursive_spine": """
+            WITH RECURSIVE months(m) AS (
+                SELECT DATE '1995-01-01'
+                UNION ALL
+                SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '2001-08-01'
+            ),
+            rev AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                       round(sum(o_totalprice), 2) AS revenue,
+                       count(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT CAST(months.m AS DATE) AS month_start,
+                   coalesce(rev.revenue, 0.0) AS revenue,
+                   coalesce(rev.n_orders, 0) AS n_orders
+            FROM months LEFT JOIN rev ON CAST(months.m AS DATE) = rev.m
+        """,
         "dq_orders_integrity": """
             WITH one_pass AS (
                 SELECT
