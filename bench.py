@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "text_pmi_pairs",
     "events_sequence_patterns",
     "text_contamination",
+    # round-5 tail: TF-IDF (vocab-join discipline), corpus-internal
+    # duplicate n-grams (gram-grain df join), IVF probe behind the
+    # build-once index registry
+    "text_tfidf_top_terms",
+    "text_dup_ngrams",
 ]
 
 

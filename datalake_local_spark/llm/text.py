@@ -542,13 +542,15 @@ def duplicate_ngram_profile(documents: DataFrame, n: int = 8) -> DataFrame:
     Data" substring-dup measure at n-gram granularity).
 
     Shuffle profile at 100 TB: distinct grams per doc (doc-local, no
-    shuffle) → gram-grain document-frequency aggregate (map-side
-    combined) → join df back to the (doc, gram) pairs as a plain shuffle
-    join — NO broadcast hint: the gram table of a web corpus is larger
-    than its vocabulary, and a doc's gram set is corpus-unbounded.
-    Output is doc-grain. Documents shorter than ``n`` tokens have no
-    grams and are absent from the output (their dup fraction is
-    undefined, not zero)."""
+    shuffle), HASHED to 8-byte xxhash64 keys before anything shuffles —
+    the standard shingle-hashing trick: the ~50-byte gram strings never
+    leave the scan task, the df aggregate and the df→pairs join both
+    move fixed-width longs (a 2⁻⁶⁴-per-pair collision risk, far below
+    any corpus-scale concern). The join carries NO broadcast hint: the
+    gram table of a web corpus is larger than its vocabulary. Output is
+    doc-grain. Documents shorter than ``n`` tokens have no grams and are
+    absent from the output (their dup fraction is undefined, not
+    zero)."""
     toked = documents.select(
         "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
     )
@@ -561,15 +563,15 @@ def duplicate_ngram_profile(documents: DataFrame, n: int = 8) -> DataFrame:
                     F.size(t) >= n,
                     F.transform(
                         F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
-                        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, n))),
                     ),
-                ).otherwise(F.array().cast("array<string>"))
+                ).otherwise(F.array().cast("array<bigint>"))
             )
-        ).alias("gram"),
+        ).alias("gram_h"),
     )
-    df_tbl = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    df_tbl = grams.groupBy("gram_h").agg(F.count("*").alias("df"))
     return (
-        grams.join(df_tbl, "gram")
+        grams.join(df_tbl, "gram_h")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
