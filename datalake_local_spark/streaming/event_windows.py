@@ -211,6 +211,80 @@ def run_streaming_stateful_counter(
     return sub.table(query_name)
 
 
+def run_streaming_transform_with_state(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_tws"
+) -> DataFrame:
+    """The same per-user running counter as ``run_streaming_stateful_counter``
+    on Spark 4's ``transformWithStateInPandas`` — the successor stateful
+    API (SPARK-40434 groupState → StatefulProcessor): typed state
+    handles (getValueState), explicit init/close lifecycle, timers, and
+    the RocksDB state store (required by the API; at scale that is also
+    the right provider — state spills to disk instead of executor heap,
+    with changelog checkpointing). Output contract matches the
+    applyInPandasWithState version row-for-row.
+
+    ENV-GATED: the API's driver worker needs ``google.protobuf``, which
+    this container lacks (no pip) — callers get an explicit ImportError
+    instead of an opaque worker crash; the gated test skips without it.
+    The applyInPandasWithState twin above is the driver-certified
+    surface (oracle: streaming_stateful_counter)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf (absent here); "
+            "use run_streaming_stateful_counter (applyInPandasWithState) instead"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    sub = _stream_session(spark)
+    sub.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = _open_events_stream(sub, sf_dir)
+
+    class RunningCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCounter(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return sub.table(query_name)
+
+
 def run_streaming_sliding(
     spark: SparkSession,
     sf_dir: str,

@@ -262,3 +262,34 @@ def test_foreachbatch_upsert_touches_only_delta_buckets(spark, tmp_path):
         else:
             assert got[uid] == (n, v)
     shutil.rmtree(table_path, ignore_errors=True)
+
+
+def test_transform_with_state_gated_or_equivalent(spark):
+    """Spark 4 transformWithStateInPandas surface: runs and matches the
+    applyInPandasWithState twin where google.protobuf exists; raises the
+    explicit gate error here (no pip in this container)."""
+    import pytest
+
+    from datalake_local_spark.streaming import event_windows
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="google.protobuf"):
+            event_windows.run_streaming_transform_with_state(
+                spark, "/root/testdata/sf0.001", query_name="tws_gate"
+            )
+        return
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in event_windows.run_streaming_transform_with_state(
+            spark, "/root/testdata/sf0.001", query_name="tws_live"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in event_windows.run_streaming_stateful_counter(
+            spark, "/root/testdata/sf0.001", query_name="tws_twin"
+        ).collect()
+    }
+    assert got == want
