@@ -185,6 +185,7 @@ _CERTIFY_FIRST = [
     "scalar_variant_funcs",  # Spark 4 VARIANT parse/extract
     "sim_cosine_topk_ivf",  # re-certify behind the index registry
     "sql_recursive_spine",  # Spark 4 recursive CTE month spine
+    "text_zipf_profile",  # Zipf-law regression over top-k vocab
     # implementation changed in round 5 — re-certify
     "text_pmi_pairs",  # single-pass tokenization + pruned broadcasts
     "text_unigram_logprob",  # broadcast hint dropped (AQE decides)
@@ -349,6 +350,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": lambda s, d: relevance.tfidf_top_terms(*_t(s, d, "documents")),
         "text_bm25_search": lambda s, d: relevance.bm25_scores(*_t(s, d, "documents")),
         "text_dup_ngrams": lambda s, d: text.duplicate_ngram_profile(*_t(s, d, "documents")),
+        "text_zipf_profile": lambda s, d: text.zipf_profile(*_t(s, d, "documents")),
         "events_transition_matrix": lambda s, d: funnel.event_transition_matrix(
             *_t(s, d, "events")
         ),
@@ -1242,6 +1244,24 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                          / count(*), 6) AS dup_fraction
             FROM grams JOIN dfp USING (gram) GROUP BY 1
+        """,
+        "text_zipf_profile": f"""
+            WITH freqs AS (
+                SELECT token, count(*) AS n FROM (
+                    SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+                ) GROUP BY 1 ORDER BY n DESC, token LIMIT 100
+            ),
+            ranked AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM freqs
+            )
+            SELECT count(*) AS n_ranks,
+                   round(regr_slope(log10(CAST(n AS DOUBLE)),
+                                    log10(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+                   round(regr_intercept(log10(CAST(n AS DOUBLE)),
+                                        log10(CAST(rank AS DOUBLE))), 6) AS zipf_intercept,
+                   round(regr_r2(log10(CAST(n AS DOUBLE)),
+                                 log10(CAST(rank AS DOUBLE))), 6) AS zipf_r2
+            FROM ranked
         """,
         "events_transition_matrix": """
             WITH pairs AS (

@@ -581,3 +581,36 @@ def duplicate_ngram_profile(documents: DataFrame, n: int = 8) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+def zipf_profile(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: regress
+    log10(freq) on log10(rank) for the top-k tokens and report
+    slope/intercept/R² (natural corpora sit near slope -1; a corpus
+    whose slope drifts is a red flag for template spam or synthetic
+    text — the distributional QA check next to the quality gate).
+
+    Shuffle profile: one vocab-grain count (map-side combined), top-k
+    via orderBy+limit (TakeOrderedAndProject), the rank window over k
+    rows, and a scalar regr_* aggregate — nothing global-windowed at
+    corpus grain."""
+    from pyspark.sql import Window as W
+
+    freqs = (
+        documents.select(F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(k)
+    )
+    ranked = freqs.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("n").desc(), "token"))
+    )
+    lx = F.log10(F.col("rank").cast("double"))
+    ly = F.log10(F.col("n").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_ranks"),
+        F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ly, lx), 6).alias("zipf_r2"),
+    )

@@ -720,3 +720,30 @@ def test_pca_project_invariants(tables):
     assert {r["vec_id"]: r["components"] for r in rows2} == {
         r["vec_id"]: r["components"] for r in rows
     }
+
+
+def test_weighted_sample_monotone_and_exact(spark, tables):
+    """Deterministic mixing guarantees: raising a source's rate only ADDS
+    documents (threshold grows, md5 keys are fixed → kept sets nest);
+    rate 1.0 keeps everything, rate 0.0 keeps nothing; realized rates
+    land near targets on 500+ docs."""
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    docs = tables["documents"]
+
+    def kept_count(rate):
+        out = llm_pipeline.weighted_source_sample(
+            docs, weights={}, default_rate=rate
+        ).collect()
+        return sum(r["n_kept"] for r in out), sum(r["n_docs"] for r in out)
+
+    total = None
+    prev = 0
+    for rate in (0.0, 0.25, 0.5, 0.75, 1.0):
+        kept, total = kept_count(rate)
+        assert kept >= prev, "kept set must grow with the rate"
+        prev = kept
+    assert kept_count(0.0)[0] == 0
+    assert kept_count(1.0)[0] == total
+    kept_half, _ = kept_count(0.5)
+    assert abs(kept_half / total - 0.5) < 0.1  # md5 uniformity at n=500
