@@ -420,10 +420,20 @@ def _release_checkpoint(df: DataFrame) -> None:
     until the ContextCleaner GCs the dropped reference — peak storage
     O(rounds) copies instead of 2. The analyzed plan of a
     localCheckpoint'd frame is a ``LogicalRDD`` whose ``rdd`` field IS
-    the checkpointed RDD; unpersist it directly, falling back to the
-    ContextCleaner if the plan shape ever changes."""
+    the checkpointed RDD — possibly under a projection (e.g. a
+    ``drop()`` over the checkpoint), so walk the analyzed plan to every
+    LogicalRDD leaf; fall back to the ContextCleaner if the plan shape
+    ever changes."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() == "LogicalRDD":
+                node.rdd().unpersist(False)
+                continue
+            it = node.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
     except Exception:
         pass
 
@@ -450,6 +460,9 @@ def _components_label_propagation(
             .agg(F.min("component_id").alias("neighbor_component"))
             .coalesce(P)
         )
+        # carry the previous label through the checkpoint so convergence
+        # detection is a filter-count on the CACHED frame — no extra
+        # old-vs-new join job per round
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -458,18 +471,16 @@ def _components_label_propagation(
                     F.col("component_id"),
                     F.coalesce(F.col("neighbor_component"), F.col("component_id")),
                 ).alias("component_id"),
+                F.col("component_id").alias("prev_component_id"),
             )
             .coalesce(P)
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
+        changed = new_labels.filter(
+            F.col("component_id") != F.col("prev_component_id")
+        ).count()
         _release_checkpoint(labels)  # old round's blocks, no longer referenced
-        labels = new_labels
+        labels = new_labels.drop("prev_component_id")
         if changed == 0:
             break
     else:
