@@ -186,6 +186,7 @@ _CERTIFY_FIRST = [
     "sim_cosine_topk_ivf",  # re-certify behind the index registry
     "sql_recursive_spine",  # Spark 4 recursive CTE month spine
     "text_zipf_profile",  # Zipf-law regression over top-k vocab
+    "dedup_incremental",  # new-batch vs existing-corpus dedup
     # implementation changed in round 5 — re-certify
     "text_pmi_pairs",  # single-pass tokenization + pruned broadcasts
     "text_unigram_logprob",  # broadcast hint dropped (AQE decides)
@@ -318,6 +319,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
         "dedup_components": lambda s, d: dedup.duplicate_components(*_t(s, d, "documents")),
+        "dedup_incremental": lambda s, d: dedup.incremental_exact_dedup(*_t(s, d, "documents")),
         # rows-only (seeded MinHash feed): the full-table LSH→star chain,
         # the production composition bench.py scale-probes at sf0.1
         "dedup_components_chain": lambda s, d: dedup.duplicate_components(
@@ -1244,6 +1246,24 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                          / count(*), 6) AS dup_fraction
             FROM grams JOIN dfp USING (gram) GROUP BY 1
+        """,
+        "dedup_incremental": f"""
+            WITH fps AS (
+                SELECT doc_id, source, md5({_NORM}) AS fingerprint FROM documents
+            ),
+            existing AS (SELECT DISTINCT fingerprint FROM fps WHERE doc_id < 250),
+            incoming AS (SELECT * FROM fps WHERE doc_id >= 250),
+            firsts AS (
+                SELECT fingerprint, min(doc_id) AS first_doc_id
+                FROM incoming GROUP BY 1
+            )
+            SELECT i.doc_id, i.source, i.fingerprint,
+                   CASE WHEN e.fingerprint IS NOT NULL THEN 'dup_of_existing'
+                        WHEN i.doc_id != f.first_doc_id THEN 'dup_within_batch'
+                        ELSE 'unique' END AS status
+            FROM incoming i
+            LEFT JOIN existing e USING (fingerprint)
+            JOIN firsts f USING (fingerprint)
         """,
         "text_zipf_profile": f"""
             WITH freqs AS (

@@ -670,3 +670,47 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_exact_dedup(documents: DataFrame, split_doc_id: int = 250) -> DataFrame:
+    """Incremental-crawl dedup: classify each INCOMING document (doc_id ≥
+    ``split_doc_id``) against the EXISTING corpus (doc_id < split) and
+    within its own batch — the production shape of dedup once a corpus
+    is live: every new crawl lands against an index of prior
+    fingerprints, not against itself alone.
+
+    Statuses: ``dup_of_existing`` (fingerprint already in the corpus),
+    ``dup_within_batch`` (first seen in this batch by a smaller incoming
+    doc_id), ``unique`` (keep). Shuffle profile at 100 TB: both sides
+    reduce to 16-byte md5 grain before the join; the existing side is
+    fingerprint-DISTINCT (index-sized, typically ≪ corpus), the join is
+    a plain equi-join AQE may broadcast when the index fits; the
+    within-batch rule is one batch-grain aggregate — no corpus×batch
+    blowup anywhere."""
+    fp = F.md5(_norm_text(F.col("text")))
+    existing = (
+        documents.filter(F.col("doc_id") < split_doc_id)
+        .select(fp.alias("fingerprint"))
+        .distinct()
+    )
+    incoming = documents.filter(F.col("doc_id") >= split_doc_id).select(
+        "doc_id", "source", fp.alias("fingerprint")
+    )
+    first_in_batch = incoming.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("first_doc_id")
+    )
+    return (
+        incoming.join(
+            existing.withColumn("in_existing", F.lit(True)), "fingerprint", "left"
+        )
+        .join(first_in_batch, "fingerprint")
+        .select(
+            "doc_id",
+            "source",
+            "fingerprint",
+            F.when(F.col("in_existing"), "dup_of_existing")
+            .when(F.col("doc_id") != F.col("first_doc_id"), "dup_within_batch")
+            .otherwise("unique")
+            .alias("status"),
+        )
+    )
