@@ -356,8 +356,15 @@ def run_streaming_stream_join(
     sides carry watermarks so the join state expires (the unbounded-state
     trap of stream-stream joins); the time-range predicate bounds how long
     a click waits for a matching purchase. On static input with
-    availableNow this equals the batch theta-join — oracle-checked."""
-    sub = _stream_session(spark)
+    availableNow this equals the batch theta-join — oracle-checked.
+
+    State partitions: HALF the single-store default — a stream-stream
+    join keeps two state stores per partition (left and right buffers),
+    so 4 partitions carry the same store-commit count per micro-batch
+    as the aggregates' 8; measured 3.4 s → 2.6 s at sf0.1. At
+    production scale size to join-state volume instead, and keep it
+    stable under the checkpoint."""
+    sub = _stream_session(spark, "4")
 
     def _stream():
         return _open_events_stream(sub, sf_dir)
