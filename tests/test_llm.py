@@ -747,3 +747,28 @@ def test_weighted_sample_monotone_and_exact(spark, tables):
     assert kept_count(1.0)[0] == total
     kept_half, _ = kept_count(0.5)
     assert abs(kept_half / total - 0.5) < 0.1  # md5 uniformity at n=500
+
+
+def test_ivf_index_registry_reuses_and_bounds(tables):
+    """The IVF index must be built once per (source, params) and reused
+    across probes; the registry stays bounded (FIFO) when many parameter
+    variants are requested."""
+    emb = tables["embeddings"]
+    saved = dict(similarity._IVF_CACHE)
+    similarity._IVF_CACHE.clear()
+    try:
+        a1, c1 = similarity._ivf_index(emb, 16, 42)
+        a2, c2 = similarity._ivf_index(emb, 16, 42)
+        assert a1 is a2, "same params must reuse the cached index"
+        assert (c1 == c2).all()
+        for k in (4, 8, 12, 16, 20):
+            similarity._ivf_index(emb, k, 42)
+        assert len(similarity._IVF_CACHE) <= similarity._IVF_CACHE_MAX
+    finally:
+        for df, _ in similarity._IVF_CACHE.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        similarity._IVF_CACHE.clear()
+        similarity._IVF_CACHE.update(saved)
