@@ -578,14 +578,19 @@ def pca_project(embeddings: DataFrame, k: int = 8) -> DataFrame:
     import pandas as pd
 
     def partials(batches):
+        # accumulate across ALL Arrow batches of the partition and emit
+        # ONE partial row — the driver then combines partition-count
+        # rows (a few KB each), not rows/batch-size rows: at corpus
+        # scale per-batch partials would be GBs of driver transfer
+        n_acc, s_acc, g_acc = 0, None, None
         for pdf in batches:
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n_acc += len(X)
+            s_acc = X.sum(axis=0) if s_acc is None else s_acc + X.sum(axis=0)
+            g_acc = X.T @ X if g_acc is None else g_acc + X.T @ X
+        if n_acc:
             yield pd.DataFrame(
-                {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0).tolist()],
-                    "g": [(X.T @ X).ravel().tolist()],
-                }
+                {"n": [n_acc], "s": [s_acc.tolist()], "g": [g_acc.ravel().tolist()]}
             )
 
     parts = (
