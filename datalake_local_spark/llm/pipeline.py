@@ -81,7 +81,10 @@ def weighted_source_sample(
     Returns the per-source audit the pipeline operator owes its caller:
     (source, rate, n_docs, n_kept, realized_rate). Scan-speed: one pass,
     token-free, aggregate at source grain; at 100 TB the decision column
-    is codegen'd into the scan.
+    is codegen'd into the scan. The CASE chain suits the usual handful
+    of named mixtures; with thousands of sources, broadcast-join a
+    (source, rate, threshold) dim table instead — same decision
+    expression, rate column from the join.
     """
     weights = weights if weights is not None else {"src0": 1.0, "src1": 0.25, "src2": 0.0}
 
