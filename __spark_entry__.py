@@ -187,6 +187,7 @@ _CERTIFY_FIRST = [
     "sql_recursive_spine",  # Spark 4 recursive CTE month spine
     "text_zipf_profile",  # Zipf-law regression over top-k vocab
     "dedup_incremental",  # new-batch vs existing-corpus dedup
+    "agg_hll_sketch_rollup",  # rows-only: mergeable HLL distinct rollup
     # implementation changed in round 5 — re-certify
     "text_pmi_pairs",  # single-pass tokenization + pruned broadcasts
     "text_unigram_logprob",  # broadcast hint dropped (AQE decides)
@@ -445,6 +446,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle by design), so a bounded correctness sweep spends its
         # budget on the hash-verified queries first
         "agg_approx_distinct": lambda s, d: agg.approx_distinct_parts(*_t(s, d, "lineitem")),
+        # rows-only (DataSketches HLL is approximate; error bound tested)
+        "agg_hll_sketch_rollup": lambda s, d: agg.hll_sketch_rollup(*_t(s, d, "events")),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_candidates(*_t(s, d, "documents")),
         "dedup_simhash": lambda s, d: dedup.simhash_near_dup_pairs(*_t(s, d, "documents")),
         "sim_cosine_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(*_t(s, d, "embeddings")),

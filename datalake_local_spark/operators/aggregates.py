@@ -269,3 +269,35 @@ def trend_regression(events: DataFrame) -> DataFrame:
             F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
         )
     )
+
+
+def hll_sketch_rollup(events: DataFrame) -> DataFrame:
+    """Mergeable HLL sketches (Spark 4 Apache DataSketches surface): per
+    event_type a binary HLL sketch of distinct users, then the
+    TYPE-SKETCHES themselves are merged (hll_union_agg) into the global
+    distinct-user estimate — the two-level pattern that makes sketches
+    the 100 TB answer for distinct-count rollups: partial sketches are
+    a few KB each and re-aggregable along any dimension without
+    re-reading the data (store them in a daily rollup table; any date
+    range is a union of sketches, never a rescan).
+
+    Approximate (~1.6% at lgConfigK=12) → rows-only driver check; the
+    error bound vs exact distinct counts is asserted in tests."""
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sketch"),
+        F.count("*").alias("n_events"),
+    )
+    global_row = per_type.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.hll_sketch_estimate("sketch").alias("distinct_users"),
+            "n_events",
+        )
+        .unionByName(global_row)
+        .orderBy("event_type")
+    )
