@@ -188,6 +188,8 @@ _CERTIFY_FIRST = [
     "text_zipf_profile",  # Zipf-law regression over top-k vocab
     "dedup_incremental",  # new-batch vs existing-corpus dedup
     "agg_hll_sketch_rollup",  # rows-only: mergeable HLL distinct rollup
+    "text_langid_confusion",  # classifier-stage accuracy audit
+    "tpch_rfm_segments",  # window-free RFM quartile segmentation
     # implementation changed in round 5 — re-certify
     "text_pmi_pairs",  # single-pass tokenization + pruned broadcasts
     "text_unigram_logprob",  # broadcast hint dropped (AQE decides)
@@ -354,6 +356,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_search": lambda s, d: relevance.bm25_scores(*_t(s, d, "documents")),
         "text_dup_ngrams": lambda s, d: text.duplicate_ngram_profile(*_t(s, d, "documents")),
         "text_zipf_profile": lambda s, d: text.zipf_profile(*_t(s, d, "documents")),
+        "text_langid_confusion": lambda s, d: text.langid_confusion(*_t(s, d, "documents")),
+        "tpch_rfm_segments": lambda s, d: tpch.rfm_segments(*_t(s, d, "orders")),
         "events_transition_matrix": lambda s, d: funnel.event_transition_matrix(
             *_t(s, d, "events")
         ),
@@ -1089,6 +1093,86 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_guess,
                    CAST(greatest(en, es, de, fr) AS INTEGER) AS vote_score
             FROM v
+        """,
+        "text_langid_confusion": f"""
+            WITH t AS (
+                SELECT doc_id, lang, concat(' ', {_NORM}, ' ') AS padded FROM documents
+            ),
+            v AS (
+                SELECT doc_id, lang,
+                       (CASE WHEN contains(padded, ' the ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' and ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' of ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' is ') THEN 1 ELSE 0 END) AS en,
+                       (CASE WHEN contains(padded, ' el ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' la ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' de ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' que ') THEN 1 ELSE 0 END) AS es,
+                       (CASE WHEN contains(padded, ' der ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' die ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' und ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' ist ') THEN 1 ELSE 0 END) AS de,
+                       (CASE WHEN contains(padded, ' le ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' les ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' des ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' est ') THEN 1 ELSE 0 END) AS fr
+                FROM t
+            ),
+            preds AS (
+                SELECT lang,
+                       CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                            WHEN en = greatest(en, es, de, fr) THEN 'en'
+                            WHEN es = greatest(en, es, de, fr) THEN 'es'
+                            WHEN de = greatest(en, es, de, fr) THEN 'de'
+                            ELSE 'fr' END AS lang_guess
+                FROM v
+            ),
+            cells AS (
+                SELECT lang, lang_guess, count(*) AS n_docs
+                FROM preds GROUP BY 1, 2
+            )
+            SELECT lang, lang_guess, n_docs,
+                   round(CAST(n_docs AS DOUBLE)
+                         / sum(n_docs) OVER (PARTITION BY lang), 6) AS share_of_lang,
+                   (lang = lang_guess) AS is_correct
+            FROM cells
+        """,
+        "tpch_rfm_segments": """
+            WITH per_cust AS (
+                SELECT o_custkey, max(o_orderdate) AS last_order,
+                       count(*) AS frequency,
+                       round(sum(o_totalprice), 2) AS monetary
+                FROM orders GROUP BY 1
+            ),
+            q AS (
+                SELECT quantile_cont(frequency, 0.25) AS frequency_q1,
+                       quantile_cont(frequency, 0.5) AS frequency_q2,
+                       quantile_cont(frequency, 0.75) AS frequency_q3,
+                       quantile_cont(monetary, 0.25) AS monetary_q1,
+                       quantile_cont(monetary, 0.5) AS monetary_q2,
+                       quantile_cont(monetary, 0.75) AS monetary_q3,
+                       quantile_cont(epoch(last_order), 0.25) AS recency_q1,
+                       quantile_cont(epoch(last_order), 0.5) AS recency_q2,
+                       quantile_cont(epoch(last_order), 0.75) AS recency_q3
+                FROM per_cust
+            ),
+            scored AS (
+                SELECT CASE WHEN epoch(last_order) <= recency_q1 THEN 1
+                            WHEN epoch(last_order) <= recency_q2 THEN 2
+                            WHEN epoch(last_order) <= recency_q3 THEN 3
+                            ELSE 4 END AS r_bucket,
+                       CASE WHEN frequency <= frequency_q1 THEN 1
+                            WHEN frequency <= frequency_q2 THEN 2
+                            WHEN frequency <= frequency_q3 THEN 3
+                            ELSE 4 END AS f_bucket,
+                       CASE WHEN monetary <= monetary_q1 THEN 1
+                            WHEN monetary <= monetary_q2 THEN 2
+                            WHEN monetary <= monetary_q3 THEN 3
+                            ELSE 4 END AS m_bucket
+                FROM per_cust, q
+            )
+            SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_customers
+            FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "text_fingerprint": f"""
             SELECT doc_id,

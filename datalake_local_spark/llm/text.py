@@ -614,3 +614,23 @@ def zipf_profile(documents: DataFrame, k: int = 100) -> DataFrame:
         F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(ly, lx), 6).alias("zipf_r2"),
     )
+
+
+def langid_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of labeled ``lang`` vs
+    the heuristic's ``lang_guess`` plus per-cell share of the true
+    label's row — the accuracy audit any classifier-backed pipeline
+    stage owes its operators (fastText in production, same contract).
+    Label-grain aggregate; the share window runs over |langs|² rows."""
+    from pyspark.sql import Window as W
+
+    preds = language_id(documents)
+    cells = preds.groupBy("lang", "lang_guess").agg(F.count("*").alias("n_docs"))
+    w = W.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share_of_lang"),
+        (F.col("lang") == F.col("lang_guess")).alias("is_correct"),
+    )

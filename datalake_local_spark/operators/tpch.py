@@ -522,3 +522,50 @@ def stratified_sample_stats(orders: DataFrame, per_group: int = 100) -> DataFram
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation without a global ranking window: the
+    recency / frequency / monetary quartile THRESHOLDS are exact
+    percentile scalar aggregates (tree-reduced, broadcast back), and
+    each customer buckets by comparison — the scale-safe form of the
+    classic ntile() formulation, whose global orderBy window
+    single-partitions the customer table at 100 TB. Output is the
+    segment-grain distribution (≤ 4³ rows)."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    q = per_cust.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"{c}_q{int(p * 4)}")
+            for c in ("frequency", "monetary")
+            for p in (0.25, 0.5, 0.75)
+        ],
+        *[
+            F.percentile(F.unix_timestamp("last_order"), F.lit(p)).alias(
+                f"recency_q{int(p * 4)}"
+            )
+            for p in (0.25, 0.5, 0.75)
+        ],
+    )
+
+    def bucket(col, pre):
+        return (
+            F.when(col <= F.col(f"{pre}_q1"), 1)
+            .when(col <= F.col(f"{pre}_q2"), 2)
+            .when(col <= F.col(f"{pre}_q3"), 3)
+            .otherwise(4)
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(q)).select(
+        bucket(F.unix_timestamp("last_order"), "recency").alias("r_bucket"),
+        bucket(F.col("frequency"), "frequency").alias("f_bucket"),
+        bucket(F.col("monetary"), "monetary").alias("m_bucket"),
+    )
+    return (
+        scored.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )
