@@ -79,6 +79,23 @@ SHOWCASE = {
         "hints are the |terms|-row df table and the scalar (n_docs, avgdl) "
         "aggregate. Global top-k via TakeOrderedAndProject."
     ),
+    "text_dup_ngrams": (
+        "Duplicate n-gram profile (round 5): grams are xxhash64-hashed "
+        "BEFORE anything shuffles — the df aggregate and the df→pairs join "
+        "both move fixed-width longs, never ~50-byte gram strings; no "
+        "broadcast hint on the gram-grain table."
+    ),
+    "dedup_incremental": (
+        "Incremental-crawl dedup (round 5): both sides reduce to md5 "
+        "fingerprint grain before the join; the existing-corpus side is "
+        "fingerprint-DISTINCT (index-sized) and carries no hint — AQE "
+        "broadcasts when it fits. No corpus×batch blowup."
+    ),
+    "tpch_rfm_segments": (
+        "RFM segmentation (round 5): quartile thresholds are exact "
+        "percentile SCALAR aggregates broadcast back; no global ntile() "
+        "window, so the customer table never single-partitions."
+    ),
 }
 
 SKEW_EPILOGUE = """
