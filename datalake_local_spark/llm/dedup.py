@@ -367,7 +367,11 @@ def duplicate_components(
     REDUCE partition counts, so when the derived P exceeds the session's
     spark.sql.shuffle.partitions the loop runs with that conf raised to
     P (restored on exit) — otherwise a 100 TB pair graph's parallelism
-    would silently stay capped at the shuffle default. ``stats``
+    would silently stay capped at the shuffle default. The raise is
+    visible to queries planned CONCURRENTLY in the same session while
+    the loop runs; it only ever increases parallelism (never correctness
+    -affecting), and callers needing isolation can run the loop under
+    ``spark.newSession()``. ``stats``
     (optional dict) receives ``rounds`` / ``n_edges`` /
     ``num_partitions`` for observability.
     """
