@@ -190,6 +190,7 @@ _CERTIFY_FIRST = [
     "agg_hll_sketch_rollup",  # rows-only: mergeable HLL distinct rollup
     "text_langid_confusion",  # classifier-stage accuracy audit
     "tpch_rfm_segments",  # window-free RFM quartile segmentation
+    "mm_audio_features",  # rows-only: PCM16 DSP feature kernel
     # implementation changed in round 5 — re-certify
     "text_pmi_pairs",  # single-pass tokenization + pruned broadcasts
     "text_unigram_logprob",  # broadcast hint dropped (AQE decides)
@@ -394,6 +395,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize_metadata": lambda s, d: multimodal.resize_images(*_t(s, d, "documents")).drop("resized_payload"),
         "mm_decode_real_headers": lambda s, d: multimodal.decode_synthesized_real_headers(*_t(s, d, "documents")),
         "mm_frame_sample": lambda s, d: multimodal.sample_video_frames(*_t(s, d, "documents")).drop("frame_hash"),
+        # rows-only (numpy FFT features have no ANSI oracle; DSP ground
+        # truth asserted in test_audio_pcm_features_physics)
+        "mm_audio_features": lambda s, d: multimodal.audio_pcm_features(
+            multimodal.synthesize_pcm_audio(_t(s, d, "documents")[0])
+        ),
         # TPC-H-style depth + pivot/unpivot/sampling/percentiles
         "tpch_shipping_priority": lambda s, d: tpch.shipping_priority(*_t(s, d, "lineitem", "orders", "customer")),
         "tpch_local_supplier_volume": lambda s, d: tpch.local_supplier_volume(

@@ -274,3 +274,78 @@ def sample_video_frames(documents: DataFrame, n_frames: int = 4) -> DataFrame:
     return attach_fake_payload(documents).mapInPandas(
         kernel, schema="doc_id bigint, frame_idx int, total_frames int, frame_hash string"
     )
+
+
+def synthesize_pcm_audio(documents: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Deterministic PCM16 audio payload per document: a pure sine whose
+    frequency/duration derive from (doc_id, n_chars) — raw PCM needs no
+    codec, so unlike image pixels the AUDIO math path is fully real in
+    this container. Stands in for decoded speech/music clips."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                freq = 100.0 + (int(doc_id) % 32) * 25.0  # 100..875 Hz
+                n = sample_rate // 4 + (int(n_chars) % 100)  # ~0.25 s
+                t = np.arange(n, dtype=np.float64) / sample_rate
+                wave = (0.5 * np.sin(2 * np.pi * freq * t) * 32767.0).astype("<i2")
+                payloads.append(wave.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
+def audio_pcm_features(
+    audio: DataFrame, sample_rate: int = 8000, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Audio feature extraction over raw PCM16 payloads: duration, RMS,
+    peak, zero-crossing rate, dominant frequency via a real FFT — the
+    pre-filter feature set of an audio training pipeline (silence / clip
+    / bandwidth gates), as an Arrow-batched numpy kernel.
+
+    Scale shape: map-only (no shuffle at all) — features are computed
+    where the payload bytes already are, and only the tiny typed feature
+    row leaves the task. At 100 TB the payload column never moves."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, durs, rmss, peaks, zcrs, doms = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                x = np.frombuffer(b[: len(b) - len(b) % 2], dtype="<i2").astype(np.float64)
+                ids.append(doc_id)
+                if len(x) == 0:
+                    durs.append(0.0); rmss.append(0.0); peaks.append(0.0)
+                    zcrs.append(0.0); doms.append(0.0)
+                    continue
+                xn = x / 32768.0
+                durs.append(round(len(x) / sample_rate, 6))
+                rmss.append(round(float(np.sqrt(np.mean(xn**2))), 6))
+                peaks.append(round(float(np.abs(xn).max()), 6))
+                zcrs.append(round(float(np.mean(np.abs(np.diff(np.signbit(xn))))), 6))
+                spec = np.abs(np.fft.rfft(xn))
+                spec[0] = 0.0  # ignore DC
+                doms.append(round(float(np.argmax(spec) * sample_rate / len(x)), 3))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "duration_s": durs,
+                    "rms": rmss,
+                    "peak": peaks,
+                    "zero_crossing_rate": zcrs,
+                    "dominant_freq_hz": doms,
+                }
+            )
+
+    return audio.select(id_col, payload_col).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, duration_s double, rms double, peak double, "
+            "zero_crossing_rate double, dominant_freq_hz double"
+        ),
+    )

@@ -772,3 +772,25 @@ def test_ivf_index_registry_reuses_and_bounds(tables):
                 pass
         similarity._IVF_CACHE.clear()
         similarity._IVF_CACHE.update(saved)
+
+
+def test_audio_pcm_features_physics(tables):
+    """DSP ground truth on the synthesized sine payloads: a pure sine of
+    amplitude 0.5 has RMS ≈ 0.5/√2 and peak ≈ 0.5; the FFT's dominant
+    bin recovers the synthesis frequency (100 + (doc_id % 32)·25 Hz)
+    within one bin; ZCR ≈ 2f/fs."""
+    import math
+
+    docs = tables["documents"].filter(F.col("doc_id") < 40)
+    audio = multimodal.synthesize_pcm_audio(docs)
+    rows = multimodal.audio_pcm_features(audio).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        f_true = 100.0 + (r["doc_id"] % 32) * 25.0
+        bin_hz = 1.0 / r["duration_s"]  # rfft resolution
+        assert abs(r["rms"] - 0.5 / math.sqrt(2)) < 0.01, r
+        # the max SAMPLE of a sine undershoots the amplitude by up to
+        # cos(pi / samples_per_cycle): at 875 Hz / 8 kHz that's ~0.94A
+        assert 0.45 <= r["peak"] <= 0.5 + 1e-6, r
+        assert abs(r["dominant_freq_hz"] - f_true) <= bin_hz + 1e-6, r
+        assert abs(r["zero_crossing_rate"] - 2 * f_true / 8000) < 0.01, r
