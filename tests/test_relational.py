@@ -272,3 +272,18 @@ def test_hll_sketch_rollup_error_bound(tables):
     for t, n in exact_per.items():
         assert abs(got[t] - n) / n < 0.05, (t, got[t], n)
     assert abs(got["ALL"] - exact_all) / exact_all < 0.05
+
+
+def test_rfm_segments_plan_has_no_window(tables):
+    """Scale shape: RFM buckets come from percentile scalar thresholds,
+    never a global ntile() window (which would single-partition the
+    customer table); and the result partitions sum to the customer
+    count."""
+    from datalake_local_spark.operators import tpch
+    from pyspark.sql import functions as F
+
+    df = tpch.rfm_segments(tables["orders"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    total = df.agg(F.sum("n_customers")).first()[0]
+    assert total == tables["orders"].select("o_custkey").distinct().count()
