@@ -52,9 +52,22 @@ class XlsxDataSource(DataSource):
 
 class XlsxReader(DataSourceReader):
     def __init__(self, options):
-        self.root = options.get("path")
-        if not self.root:
+        root = options.get("path")
+        if not root:
             raise ValueError("xlsx source requires a path: .load('/landing/dir')")
+        if root.startswith("file:"):
+            # map file:// URIs back to plain paths (os.walk on the URI
+            # string would silently yield ZERO partitions); other
+            # schemes are not supported by this driver-side lister
+            from urllib.parse import unquote, urlparse
+
+            root = unquote(urlparse(root).path)
+        elif "://" in root:
+            raise ValueError(
+                f"xlsx source lists local paths only (got {root!r}); for object "
+                "stores use xlsx_native.read_xlsx_distributed over binaryFile"
+            )
+        self.root = root
 
     def partitions(self) -> list[XlsxFilePartition]:
         # driver-side listing (catalog-sized, like sources/landing.py);

@@ -417,3 +417,21 @@ def test_python_datasource_xlsx_matches_distributed_reader(spark, tmp_path):
         .collect()
     )
     assert sorted(r["value"] for r in vals) == ["4", "5"]
+
+
+def test_python_datasource_xlsx_file_uri_and_remote_rejection(spark, tmp_path):
+    """file:// roots map to local paths (the URI string would silently
+    list nothing); non-file schemes fail loudly with the distributed
+    alternative named."""
+    from datalake_local_spark.sources import pyds
+
+    root = tmp_path / "pyds_uri"
+    root.mkdir()
+    _write_minimal_xlsx(root / "b.xlsx", {"s": (["a"], [[1]])})
+    pyds.register(spark)
+    rows = spark.read.format("xlsx").load(f"file://{root}").collect()
+    assert len(rows) == 1 and rows[0]["value"] == "1"
+    import pytest
+
+    with pytest.raises(Exception, match="local paths only"):
+        spark.read.format("xlsx").load("s3a://bucket/zone").collect()
