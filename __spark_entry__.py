@@ -191,6 +191,7 @@ _CERTIFY_FIRST = [
     "text_langid_confusion",  # classifier-stage accuracy audit
     "tpch_rfm_segments",  # window-free RFM quartile segmentation
     "mm_audio_features",  # rows-only: PCM16 DSP feature kernel
+    "text_corpus_qa_report",  # four QA operators composed, one plan
     # implementation changed in round 5 — re-certify
     "text_pmi_pairs",  # single-pass tokenization + pruned broadcasts
     "text_unigram_logprob",  # broadcast hint dropped (AQE decides)
@@ -358,6 +359,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_ngrams": lambda s, d: text.duplicate_ngram_profile(*_t(s, d, "documents")),
         "text_zipf_profile": lambda s, d: text.zipf_profile(*_t(s, d, "documents")),
         "text_langid_confusion": lambda s, d: text.langid_confusion(*_t(s, d, "documents")),
+        "text_corpus_qa_report": lambda s, d: text.corpus_qa_report(*_t(s, d, "documents")),
         "tpch_rfm_segments": lambda s, d: tpch.rfm_segments(*_t(s, d, "orders")),
         "events_transition_matrix": lambda s, d: funnel.event_transition_matrix(
             *_t(s, d, "events")
@@ -1179,6 +1181,84 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_customers
             FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "text_corpus_qa_report": f"""
+            WITH t AS (
+                SELECT doc_id, {_NORM} AS norm, string_split({_NORM}, ' ') AS toks
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS INTEGER) AS n_tokens,
+                       round(CAST(length(norm) - len(toks) + 1 AS DOUBLE) / len(toks), 6)
+                           AS mean_token_len,
+                       round(CAST(len(list_filter(toks,
+                             x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+                             / len(toks), 6) AS stopword_ratio,
+                       round(CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+                             / length(norm), 6) AS alpha_ratio
+                FROM t
+            ),
+            pad AS (
+                SELECT doc_id, lang, concat(' ', {_NORM}, ' ') AS padded FROM documents
+            ),
+            v AS (
+                SELECT doc_id, lang,
+                       (CASE WHEN contains(padded, ' the ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' and ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' of ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' is ') THEN 1 ELSE 0 END) AS en,
+                       (CASE WHEN contains(padded, ' el ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' la ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' de ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' que ') THEN 1 ELSE 0 END) AS es,
+                       (CASE WHEN contains(padded, ' der ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' die ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' und ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' ist ') THEN 1 ELSE 0 END) AS de,
+                       (CASE WHEN contains(padded, ' le ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' les ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' des ') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(padded, ' est ') THEN 1 ELSE 0 END) AS fr
+                FROM pad
+            ),
+            lid AS (
+                SELECT doc_id, lang,
+                       (lang = CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                               WHEN en = greatest(en, es, de, fr) THEN 'en'
+                               WHEN es = greatest(en, es, de, fr) THEN 'es'
+                               WHEN de = greatest(en, es, de, fr) THEN 'de'
+                               ELSE 'fr' END) AS langid_agrees
+                FROM v
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+                FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+                WHERE len(toks) >= 8
+            ),
+            dfp AS (SELECT gram, count(*) AS df FROM grams GROUP BY 1),
+            dup AS (
+                SELECT doc_id,
+                       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                             / count(*), 6) AS dup_fraction
+                FROM grams JOIN dfp USING (gram) GROUP BY 1
+            ),
+            toks2 AS (
+                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+            ),
+            freqs AS (SELECT token, count(*) AS n_tok FROM toks2 GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS total FROM freqs),
+            lm AS (
+                SELECT doc_id, round(avg(log10(CAST(n_tok AS DOUBLE) / total)), 6)
+                           AS mean_logp
+                FROM toks2 JOIN freqs USING (token), tot GROUP BY 1
+            )
+            SELECT q.doc_id, q.n_tokens, q.mean_token_len, q.stopword_ratio,
+                   q.alpha_ratio, lid.lang, lid.langid_agrees,
+                   dup.dup_fraction, lm.mean_logp
+            FROM q JOIN lid USING (doc_id)
+            LEFT JOIN dup USING (doc_id)
+            JOIN lm USING (doc_id)
         """,
         "text_fingerprint": f"""
             SELECT doc_id,

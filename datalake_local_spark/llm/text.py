@@ -634,3 +634,27 @@ def langid_confusion(documents: DataFrame) -> DataFrame:
         F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share_of_lang"),
         (F.col("lang") == F.col("lang_guess")).alias("is_correct"),
     )
+
+
+def corpus_qa_report(documents: DataFrame) -> DataFrame:
+    """The per-document corpus-QA report a data curator actually reads:
+    quality heuristics + language-ID agreement + corpus-internal
+    duplication + unigram-LM score, one row per doc — four already-
+    oracle-checked operators composed into ONE logical plan (each part
+    is doc-grain, so every join is a doc_id equi-join Catalyst plans as
+    a shared-shuffle merge; no operator-boundary materialization).
+    ``dup_fraction`` is NULL for docs too short to carry an 8-gram —
+    preserved as NULL (undefined, not zero)."""
+    q = quality_scores(documents).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio"
+    )
+    lid = language_id(documents).select(
+        "doc_id", "lang", (F.col("lang") == F.col("lang_guess")).alias("langid_agrees")
+    )
+    dup = duplicate_ngram_profile(documents).select("doc_id", "dup_fraction")
+    lm = unigram_logprob(documents).select("doc_id", "mean_logp")
+    return (
+        q.join(lid, "doc_id")
+        .join(dup, "doc_id", "left")
+        .join(lm, "doc_id")
+    )
