@@ -365,8 +365,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *_t(s, d, "events")
         ),
         # rows-only (driver-side eigendecomposition of the tree-aggregated
-        # Gram matrix; no ANSI oracle) — invariant-tested in test_llm.py
-        "sim_pca_project": lambda s, d: similarity.pca_project(*_t(s, d, "embeddings")),
+        # Gram matrix; no ANSI oracle) — invariant-tested in test_llm.py.
+        # Registered as the FLAT scalar form (vec_id, component_idx,
+        # component_value, explained_variance): the array form is not
+        # canonicalizable by the correctness driver (r5 ERR).
+        "sim_pca_project": lambda s, d: similarity.pca_project_flat(*_t(s, d, "embeddings")),
         # rows-only (seeded MinHash has no ANSI oracle): the production
         # scale path — quality gate → exact dedup → LSH candidates →
         # star components → keep canonical → pack — as one chain

@@ -17,6 +17,9 @@ Scale design (100 TB of text):
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -322,6 +325,47 @@ def ngram_token_jaccard_pairs(
 _COMPONENT_ROWS_PER_PARTITION = 2_000_000
 
 
+_SHUFFLE_RAISE_LOCK = threading.Lock()
+#: session-uuid → [depth, saved-conf]: reference-counted so OVERLAPPING
+#: raises in one session (threads, or a component loop nested inside a
+#: pipeline) restore the ORIGINAL value exactly once, when the last
+#: raiser exits — a plain save/restore pair races: the inner caller
+#: would snapshot the outer caller's raised value and leave it behind.
+_SHUFFLE_RAISE_STATE: dict[str, list] = {}
+
+
+@contextmanager
+def _raised_shuffle_partitions(spark, P: int):
+    """Raise ``spark.sql.shuffle.partitions`` to at least ``P`` for the
+    duration of the block; reentrant and thread-safe within the process.
+    The raise is visible to queries planned CONCURRENTLY in the same
+    session while the block runs; it only ever increases parallelism
+    (never correctness-affecting), and callers needing full isolation
+    can run under ``spark.newSession()``."""
+    conf_key = "spark.sql.shuffle.partitions"
+    try:
+        sess = str(spark._jsparkSession.sessionUUID())
+    except Exception:
+        sess = str(id(spark))
+    with _SHUFFLE_RAISE_LOCK:
+        state = _SHUFFLE_RAISE_STATE.get(sess)
+        if state is None:
+            state = [0, int(spark.conf.get(conf_key))]
+            _SHUFFLE_RAISE_STATE[sess] = state
+        state[0] += 1
+        if P > int(spark.conf.get(conf_key)):
+            spark.conf.set(conf_key, str(P))
+    try:
+        yield
+    finally:
+        with _SHUFFLE_RAISE_LOCK:
+            state = _SHUFFLE_RAISE_STATE[sess]
+            state[0] -= 1
+            if state[0] == 0:
+                del _SHUFFLE_RAISE_STATE[sess]
+                spark.conf.set(conf_key, str(state[1]))
+
+
 def duplicate_components(
     documents: DataFrame,
     max_doc_id: int = 100,
@@ -366,12 +410,11 @@ def duplicate_components(
     spark.sql.shuffle.partitions). The loop's coalesce(P) can only
     REDUCE partition counts, so when the derived P exceeds the session's
     spark.sql.shuffle.partitions the loop runs with that conf raised to
-    P (restored on exit) — otherwise a 100 TB pair graph's parallelism
-    would silently stay capped at the shuffle default. The raise is
-    visible to queries planned CONCURRENTLY in the same session while
-    the loop runs; it only ever increases parallelism (never correctness
-    -affecting), and callers needing isolation can run the loop under
-    ``spark.newSession()``. ``stats``
+    P (restored via the reference-counted ``_raised_shuffle_partitions``
+    — overlapping loops in one session restore the pre-raise value
+    exactly once, when the last one exits) — otherwise a 100 TB pair
+    graph's parallelism would silently stay capped at the shuffle
+    default. ``stats``
     (optional dict) receives ``rounds`` / ``n_edges`` /
     ``num_partitions`` for observability.
     """
@@ -401,17 +444,14 @@ def duplicate_components(
         .persist()
     )
     spark = documents.sparkSession
-    shuffle_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     try:
-        if P > shuffle_conf:
-            spark.conf.set("spark.sql.shuffle.partitions", str(P))
-        if algorithm == "star":
-            return _components_star(nodes, edges, P, max_iterations, stats)
-        if algorithm != "label":
-            raise ValueError(f"unknown algorithm {algorithm!r}")
-        return _components_label_propagation(nodes, edges, P, max_iterations, stats)
+        with _raised_shuffle_partitions(spark, P):
+            if algorithm == "star":
+                return _components_star(nodes, edges, P, max_iterations, stats)
+            if algorithm != "label":
+                raise ValueError(f"unknown algorithm {algorithm!r}")
+            return _components_label_propagation(nodes, edges, P, max_iterations, stats)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_conf))
         edges.unpersist()
         pair_df.unpersist()
 

@@ -25,18 +25,24 @@ from pyspark.sql import functions as F
 from datalake_local_spark.llm.text import _norm_text
 
 
-def _doc_tokens(documents: DataFrame) -> DataFrame:
-    """(doc_id, token, tf, dl): term frequency per doc + doc length,
-    from ONE tokenize+explode (the groupBy carries doc+token grain with
-    map-side combine; dl is recovered as sum(tf) over the doc — no
-    second corpus scan)."""
-    tf = (
+def _term_freqs(documents: DataFrame) -> DataFrame:
+    """(doc_id, token, tf): term frequency per doc from ONE
+    tokenize+explode (doc+token grain, map-side combine)."""
+    return (
         documents.select(
             "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
         )
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
+
+
+def _doc_tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, token, tf, dl): term frequency per doc + doc length,
+    from ONE tokenize+explode (the groupBy carries doc+token grain with
+    map-side combine; dl is recovered as sum(tf) over the doc — no
+    second corpus scan)."""
+    tf = _term_freqs(documents)
     w_dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return tf.join(w_dl, "doc_id")
 
@@ -84,19 +90,40 @@ def bm25_scores(
     """Top-k documents for ``query_terms`` by BM25.
 
     idf = log10(1 + (N - df + 0.5)/(df + 0.5)); score = Σ_terms
-    idf·tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)). The exploded token
-    stream is filtered to the query terms BEFORE any shuffle (the filter
-    reaches the scan side), so the aggregate carries only
-    matching-term rows — a 3-term query over 100 TB shuffles 3·|matching
-    docs| rows, not the corpus. avgdl and N are scalar aggregates
-    broadcast back; df for the query terms is a tiny (≤ |terms|) table.
+    idf·tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)). Exactly two scan
+    branches in the executed plan (r5 paid three): (a) the FULL
+    (doc, token, tf) aggregate — needed regardless, since ``dl`` is
+    sum(tf) per doc and ``n_docs``/``avgdl`` re-aggregate that same
+    doc-grain table, with AQE ReuseExchange executing it once for both
+    consumers; (b) a query-term-filtered branch where the ``isin``
+    pushes below the partial aggregate, so its shuffle carries only
+    3·|matching docs| rows, and its exchange is likewise reused between
+    the scoring join and the df table. Verified in
+    test_bm25_plan_two_scans_with_reuse. df for the query terms is a
+    tiny (≤ |terms|) table.
     """
     terms = [t.lower() for t in query_terms]
-    toks = _doc_tokens(documents).filter(F.col("token").isin(terms))
-    df_tbl = toks.groupBy("token").agg(F.count("*").alias("df"))
-    scalars = documents.select(
-        F.size(F.split(_norm_text(F.col("text")), " ")).alias("_dl")
-    ).agg(F.count("*").alias("n_docs"), F.avg("_dl").alias("avgdl"))
+    # explicit up-front null-key filter: the dl join infers
+    # isnotnull(doc_id) on ITS branches, which would otherwise make them
+    # canonically different from the df/avgdl aggregate branches and
+    # defeat exchange reuse (a null doc_id could never score anyway)
+    tf = _term_freqs(documents.filter(F.col("doc_id").isNotNull()))
+    w_dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    q_tf = tf.filter(F.col("token").isin(terms))
+    toks = q_tf.join(w_dl, "doc_id")
+    # df straight off the filtered tf (no dl join needed): q_tf and w_dl
+    # each appear twice as IDENTICAL subtrees, so AQE's ReuseExchange
+    # executes each once — two documents scans at runtime (one filtered
+    # partial-agg branch, one full token aggregate), down from three.
+    # the tf-consuming aggregate keeps the subtree's output columns
+    # identical to the scoring branch; count(*) would let column pruning
+    # drop tf and plan a distinct-style aggregate that defeats the
+    # exchange reuse (df itself is unaffected: tf ≥ 1 per (doc, token)
+    # row, so summing the sign counts exactly the docs containing token)
+    df_tbl = q_tf.groupBy("token").agg(
+        F.sum(F.least(F.col("tf"), F.lit(1))).alias("df")
+    )
+    scalars = w_dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     idf = F.log10(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )

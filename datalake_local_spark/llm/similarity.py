@@ -410,11 +410,33 @@ def _build_ivf_index(embeddings: DataFrame, n_centroids: int, seed: int):
     return assigned, centers, corpus
 
 
+def _file_sig(uri: str):
+    """(uri, size, mtime_ns) identity for a cache key: same file NAME
+    rewritten in place (same session) must MISS, not return an index
+    built on the old bytes. Local file:// URIs stat the filesystem;
+    remote schemes fall back to name-only identity (documented
+    immutable-input assumption — object stores are
+    write-once-per-key in the landing layout this repo models)."""
+    from urllib.parse import unquote, urlparse
+
+    import os
+
+    p = urlparse(uri)
+    if p.scheme in ("file", ""):
+        try:
+            st = os.stat(unquote(p.path) if p.scheme else uri)
+            return (uri, st.st_size, st.st_mtime_ns)
+        except OSError:
+            return (uri, None, None)
+    return (uri, None, None)
+
+
 def _ivf_index(embeddings: DataFrame, n_centroids: int, seed: int):
-    """Return (inverted-lists frame, centers), cached per source dataset."""
+    """Return (inverted-lists frame, centers), cached per source dataset
+    (plan fingerprint + per-file (name, size, mtime) signatures)."""
     from datalake_local_spark.llm.dedup import _plan_fingerprint
 
-    src = tuple(sorted(embeddings.inputFiles()))
+    src = tuple(_file_sig(u) for u in sorted(embeddings.inputFiles()))
     if not src:  # in-memory frame: no stable identity → no registry
         assigned, centers, _corpus = _build_ivf_index(embeddings, n_centroids, seed)
         return assigned, centers
@@ -556,38 +578,64 @@ def random_projection_profile(
     )
 
 
-def pca_project(embeddings: DataFrame, k: int = 8) -> DataFrame:
-    """PCA projection of the embedding column to ``k`` components — the
-    dimensionality-reduction step before cheap ANN / clustering /
-    whitening in an embedding pipeline.
+_PCA_COMBINE_PARTITIONS = 32
+
+
+def _pca_fit(embeddings: DataFrame, k: int):
+    """Fit PCA over the embedding column; returns (mu, comps k×d,
+    explained-variance list).
 
     Scale path: the d×d Gram matrix and mean are tree-aggregated as
-    PARTIAL sums per Arrow batch (mapInPandas — one (count, sum, X'X)
-    row per batch, BLAS inside), then combined on the driver where the
-    d×d eigendecomposition is O(d³) scalar work (d=64 here; driver-side
-    by design — no iterative distributed eigensolver needed below
-    d≈10⁴). The k×d component matrix ships back in the closure and the
-    projection itself is one batched GEMM per Arrow batch. Shuffle
-    profile: NOTHING shuffles but the per-batch partials (a few KB each);
-    the projection is map-only. Deterministic: components get a sign
-    convention (largest-|coefficient| element positive), so the output
-    is stable run-to-run → rows-only correctness with invariant tests
-    (orthonormality, captured variance ordering, reconstruction bound).
-    """
+    PARTIAL sums per partition (mapInPandas — one (count, sum, X'X) row
+    per partition, BLAS inside), then ONE distributed combine level
+    (coalesce to ``_PCA_COMBINE_PARTITIONS`` and re-apply the same merge
+    kernel) bounds the driver transfer to O(32·d²) REGARDLESS of input
+    partition count — at 10⁵ input partitions the naive partial collect
+    would be ~GBs; the driver then reduces ≤32 rows and runs the d×d
+    eigendecomposition, O(d³) scalar work (d=64 here; driver-side by
+    design — no iterative distributed eigensolver needed below d≈10⁴).
+    Deterministic: components get a sign convention
+    (largest-|coefficient| element positive)."""
     import numpy as np
     import pandas as pd
 
+    schema = "n long, s array<double>, g array<double>"
+
+    def _acc(n_acc, s_acc, g_acc, n, s, g):
+        return (
+            n_acc + n,
+            s if s_acc is None else s_acc + s,
+            g if g_acc is None else g_acc + g,
+        )
+
     def partials(batches):
         # accumulate across ALL Arrow batches of the partition and emit
-        # ONE partial row — the driver then combines partition-count
-        # rows (a few KB each), not rows/batch-size rows: at corpus
-        # scale per-batch partials would be GBs of driver transfer
+        # ONE partial row — downstream then sees partition-count rows
+        # (a few KB each), not rows/batch-size rows
         n_acc, s_acc, g_acc = 0, None, None
         for pdf in batches:
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            n_acc += len(X)
-            s_acc = X.sum(axis=0) if s_acc is None else s_acc + X.sum(axis=0)
-            g_acc = X.T @ X if g_acc is None else g_acc + X.T @ X
+            n_acc, s_acc, g_acc = _acc(n_acc, s_acc, g_acc, len(X), X.sum(axis=0), X.T @ X)
+        if n_acc:
+            yield pd.DataFrame(
+                {"n": [n_acc], "s": [s_acc.tolist()], "g": [g_acc.ravel().tolist()]}
+            )
+
+    def merge(batches):
+        # same contract as `partials` but over already-partial rows:
+        # the distributed combine level (exact float add — associative
+        # up to fp reordering, same as any tree aggregate)
+        n_acc, s_acc, g_acc = 0, None, None
+        for pdf in batches:
+            for i in range(len(pdf)):
+                n_acc, s_acc, g_acc = _acc(
+                    n_acc,
+                    s_acc,
+                    g_acc,
+                    int(pdf["n"].iloc[i]),
+                    np.asarray(pdf["s"].iloc[i], dtype=np.float64),
+                    np.asarray(pdf["g"].iloc[i], dtype=np.float64),
+                )
         if n_acc:
             yield pd.DataFrame(
                 {"n": [n_acc], "s": [s_acc.tolist()], "g": [g_acc.ravel().tolist()]}
@@ -595,9 +643,13 @@ def pca_project(embeddings: DataFrame, k: int = 8) -> DataFrame:
 
     parts = (
         embeddings.select("embedding")
-        .mapInPandas(partials, schema="n long, s array<double>, g array<double>")
+        .mapInPandas(partials, schema=schema)
+        .coalesce(_PCA_COMBINE_PARTITIONS)
+        .mapInPandas(merge, schema=schema)
         .collect()
     )
+    if not parts:
+        raise ValueError("pca_project: empty embeddings input")
     n = sum(p["n"] for p in parts)
     d = len(parts[0]["s"])
     s = np.zeros(d)
@@ -616,6 +668,27 @@ def pca_project(embeddings: DataFrame, k: int = 8) -> DataFrame:
         if comps[i, j] < 0:
             comps[i] = -comps[i]
     explained = [float(evals[o]) for o in order]
+    return mu, comps, explained
+
+
+def pca_project(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """PCA projection of the embedding column to ``k`` components — the
+    dimensionality-reduction step before cheap ANN / clustering /
+    whitening in an embedding pipeline. Array-typed API form
+    (vec_id, components array, explained_variance array); the REGISTERED
+    driver-checked query is ``pca_project_flat`` (scalar columns — the
+    array form is not canonicalizable by the correctness driver).
+
+    The k×d component matrix from ``_pca_fit`` ships back in the
+    closure; the projection itself is one batched GEMM per Arrow batch,
+    map-only (nothing shuffles). Deterministic via the fit's sign
+    convention → rows-only correctness with invariant tests
+    (orthonormality, captured variance ordering, reconstruction bound).
+    """
+    import numpy as np
+    import pandas as pd
+
+    mu, comps, explained = _pca_fit(embeddings, k)
 
     def project(batches):
         for pdf in batches:
@@ -633,4 +706,41 @@ def pca_project(embeddings: DataFrame, k: int = 8) -> DataFrame:
     )
     return out.withColumn(
         "explained_variance", F.lit([round(e, 6) for e in explained])
+    )
+
+
+def pca_project_flat(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """Scalar-columns form of ``pca_project`` — one row per
+    (vector, component): (vec_id, component_idx, component_value,
+    explained_variance). This is the driver-certifiable registered
+    query: every column hashes/sorts as a scalar, unlike the array form.
+    Same fit (one tree-aggregated Gram pass, see ``_pca_fit``); the
+    explode happens inside the projection kernel, so it is still
+    map-only — k scalar rows per vector instead of one array row."""
+    import numpy as np
+    import pandas as pd
+
+    mu, comps, explained = _pca_fit(embeddings, k)
+    expl = np.round(np.asarray(explained, dtype=np.float64), 6)
+
+    def project(batches):
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            P = (X - mu) @ comps.T  # n×k
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "component_idx": np.tile(np.arange(k, dtype=np.int32), n),
+                    "component_value": np.round(P, 6).ravel(),
+                    "explained_variance": np.tile(expl, n),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        project,
+        schema=(
+            "vec_id long, component_idx int, "
+            "component_value double, explained_variance double"
+        ),
     )

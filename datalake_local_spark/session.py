@@ -120,6 +120,23 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+#: Memo of already-registered table dicts. Every ``queries()`` call goes
+#: through ``load_tables``; without this each call re-reads 10 parquet
+#: footers (pyarrow schema probe for nanos columns), re-sets the session
+#: confs and re-registers 10 temp views — pure fixed overhead. Keyed by
+#: sf_dir with the owning session held in the entry: a hit requires the
+#: SAME live session object (temp views are per-session state), anything
+#: else rebuilds. Bounded by the number of distinct sf_dirs.
+_TABLES_MEMO: dict[str, tuple[SparkSession, dict[str, DataFrame]]] = {}
+
+
+def _session_alive(spark: SparkSession) -> bool:
+    try:
+        return not spark._jsparkSession.sparkContext().isStopped()
+    except Exception:
+        return False
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata parquet as a temp view; return name → DataFrame.
 
@@ -127,7 +144,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     columns into the parquet reader (verify with ``.explain`` → PushedFilters
     / ReadSchema), which is exactly the pushdown the reference got from the
     Trino postgresql connector.
+
+    Memoized per (session, sf_dir): repeat calls return the registered
+    dict without re-touching the filesystem. The testdata parquet is
+    immutable within a run; call ``load_tables_fresh`` if files were
+    rewritten in place.
     """
+    key = os.path.abspath(sf_dir)
+    entry = _TABLES_MEMO.get(key)
+    if entry is not None:
+        owner, tables = entry
+        if owner is spark and _session_alive(spark):
+            return tables
+        _TABLES_MEMO.pop(key, None)
+    tables = load_tables_fresh(spark, sf_dir)
+    _TABLES_MEMO[key] = (spark, tables)
+    return tables
+
+
+def load_tables_fresh(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Uncached ``load_tables``: re-probe footers and re-register views."""
     configure(spark)
     out: dict[str, DataFrame] = {}
     for name in TABLES:

@@ -118,6 +118,16 @@ def ingest_landing(spark: SparkSession, landing_root: str) -> dict[str, int]:
                 from urllib.parse import unquote, urlparse
 
                 local = unquote(urlparse(local).path)
+            elif "://" in local:
+                # mirror sources.pyds.XlsxReader: reject remote schemes
+                # LOUDLY before open()/read_excel produces an opaque
+                # mid-ingest failure — s3a://abfss:// inventories route
+                # xlsx through the distributed binaryFile reader instead
+                raise ValueError(
+                    f"xlsx landing ingest opens files locally (got {local!r}); "
+                    "for object-store roots use "
+                    "xlsx_native.read_xlsx_distributed over binaryFile"
+                )
             for fqn in ingest_excel_file(spark, local, db, catalog):
                 written[fqn] = spark.table(fqn).count()
     return written

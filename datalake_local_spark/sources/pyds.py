@@ -44,7 +44,9 @@ class XlsxDataSource(DataSource):
         return "xlsx"
 
     def schema(self) -> str:
-        return "path string, sheet string, row_idx int, column string, value string"
+        # row_idx is LONG to match xlsx_native.read_xlsx_distributed's
+        # contract exactly — the two paths must unionByName without casts
+        return "path string, sheet string, row_idx long, column string, value string"
 
     def reader(self, schema) -> "XlsxReader":
         return XlsxReader(self.options)

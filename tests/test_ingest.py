@@ -407,6 +407,11 @@ def test_python_datasource_xlsx_matches_distributed_reader(spark, tmp_path):
     }
     assert cells_pyds == cells_dist
     assert len(cells_pyds) == 4 + 1 + 2  # book1.s1 4 cells, s2 1, book2 2
+    # "interchangeable" must hold at SCHEMA level too (unionByName-safe),
+    # not just collected values — row_idx long in both paths
+    assert (
+        via_pyds.schema == xlsx_native.read_xlsx_distributed(spark, str(root)).schema
+    )
 
     # column pruning + filter compose above the source
     vals = (

@@ -696,6 +696,25 @@ def test_tfidf_and_bm25_scale_shapes(tables):
     assert "token IN" in plan or "token#" in plan  # filter survived pushdown
 
 
+def test_bm25_plan_two_scans_with_reuse(tables):
+    """Single-scan-per-branch BM25 (r5 scanned documents three times):
+    the executed AQE plan must read documents exactly twice — the full
+    token aggregate (dl/avgdl) and the query-term-filtered branch — with
+    both shared subtrees collapsing to ReusedExchange."""
+    from datalake_local_spark.llm import relevance
+
+    bdf = relevance.bm25_scores(tables["documents"])
+    bdf.collect()
+    final = (
+        bdf._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert final.count("FileScan parquet") == 2
+    assert final.count("ReusedExchange") == 2
+
+
 def test_pca_project_invariants(tables):
     """PCA guarantees on the tree-aggregated-Gram path: orthonormal
     components (via the projection's covariance being diagonal with the
@@ -720,6 +739,52 @@ def test_pca_project_invariants(tables):
     assert {r["vec_id"]: r["components"] for r in rows2} == {
         r["vec_id"]: r["components"] for r in rows
     }
+
+
+def test_pca_flat_matches_array_form_and_empty_guard(spark, tables):
+    """The registered scalar form (vec_id, component_idx, value,
+    explained_variance) must carry exactly the array form's numbers —
+    same fit, exploded in the kernel — and the fit must fail loudly on
+    an empty input instead of IndexError."""
+    import pytest
+
+    emb = tables["embeddings"]
+    arr = {r["vec_id"]: r for r in similarity.pca_project(emb, k=4).collect()}
+    flat = similarity.pca_project_flat(emb, k=4)
+    assert [f.dataType.simpleString() for f in flat.schema.fields] == [
+        "bigint", "int", "double", "double",
+    ]
+    n_vecs = len(arr)
+    rows = flat.collect()
+    assert len(rows) == 4 * n_vecs
+    for r in rows:
+        a = arr[r["vec_id"]]
+        assert r["component_value"] == a["components"][r["component_idx"]]
+        assert r["explained_variance"] == a["explained_variance"][r["component_idx"]]
+    with pytest.raises(ValueError, match="empty"):
+        similarity.pca_project_flat(emb.filter(F.col("vec_id") < 0), k=4)
+
+
+def test_raised_shuffle_partitions_reentrant(spark):
+    """Overlapping raises restore the ORIGINAL conf exactly once when the
+    last raiser exits (the advisor's race: a nested caller snapshotting
+    the outer caller's raised value and leaving it behind)."""
+    from datalake_local_spark.llm.dedup import _raised_shuffle_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    big = int(before) + 64
+    with _raised_shuffle_partitions(spark, big):
+        assert spark.conf.get(key) == str(big)
+        with _raised_shuffle_partitions(spark, big + 16):
+            assert spark.conf.get(key) == str(big + 16)
+        # inner exit must NOT restore yet (outer raise still active)
+        assert spark.conf.get(key) == str(big + 16)
+    assert spark.conf.get(key) == before
+    # lower-than-current P never lowers the conf
+    with _raised_shuffle_partitions(spark, 1):
+        assert spark.conf.get(key) == before
+    assert spark.conf.get(key) == before
 
 
 def test_weighted_sample_monotone_and_exact(spark, tables):
