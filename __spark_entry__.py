@@ -164,44 +164,48 @@ def _q_scd2(spark, sf):
     return merge.scd2_apply(current, updates, "c_custkey", ["c_mktsegment"], "effective_from")
 
 
-# Certification-window rotation (round 5): the driver oracle-checks the
+# Certification-window rotation (round 6): the driver oracle-checks the
 # FIRST 50 ``queries()`` entries each round (cap confirmed in r3/r4).
-# After CORRECTNESS_r04 the union of driver-green names over rounds 1-4 is
-# 133/133 — every pre-r5 query has a driver row. This round's window
-# therefore holds (a) queries NEW in round 5 (must ship certified in the
-# same round) and (b) queries whose IMPLEMENTATION changed in round 5
-# (re-certify behind the rewrite); the rest of the 50 slots re-certify
-# high-traffic names.
+# After CORRECTNESS_r05 the union of driver rows over rounds 1-5 is
+# 150/150 (134 hash-green, 15 rows-only by design, 1 ERR — the r5
+# sim_pca_project array output, rewritten this round as the flat scalar
+# form). This round's window holds (a) queries NEW in round 6, (b)
+# queries whose IMPLEMENTATION changed in round 6, then re-certifies
+# high-traffic names (every queries() call now goes through the
+# memoized load_tables, so a broad re-certification slice rides along).
 _CERTIFY_FIRST = [
-    # new in round 5
-    "pipeline_corpus_prep_neardup",  # rows-only: seeded MinHash chain
-    "dedup_components_chain",  # rows-only: full-table LSH→star chain
-    "text_tfidf_top_terms",  # TF-IDF per-doc top terms
-    "text_bm25_search",  # BM25 query scoring
-    "pipeline_weighted_sample",  # deterministic md5 corpus mixing
-    "text_dup_ngrams",  # corpus-internal duplicate n-gram profile
-    "events_transition_matrix",  # Markov event-type transitions
-    "sim_pca_project",  # rows-only: tree-aggregated Gram → PCA
-    "scalar_variant_funcs",  # Spark 4 VARIANT parse/extract
-    "sim_cosine_topk_ivf",  # re-certify behind the index registry
-    "sql_recursive_spine",  # Spark 4 recursive CTE month spine
-    "text_zipf_profile",  # Zipf-law regression over top-k vocab
-    "dedup_incremental",  # new-batch vs existing-corpus dedup
-    "agg_hll_sketch_rollup",  # rows-only: mergeable HLL distinct rollup
-    "text_langid_confusion",  # classifier-stage accuracy audit
-    "tpch_rfm_segments",  # window-free RFM quartile segmentation
-    "mm_audio_features",  # rows-only: PCM16 DSP feature kernel
-    "text_corpus_qa_report",  # four QA operators composed, one plan
-    # implementation changed in round 5 — re-certify
-    "text_pmi_pairs",  # single-pass tokenization + pruned broadcasts
-    "text_unigram_logprob",  # broadcast hint dropped (AQE decides)
-    "dedup_components",  # endpoint semi-join, shuffle-conf raise, ckpt release
-    "pipeline_corpus_prep",  # default path must be unchanged by the flag
-    "dedup_minhash_lsh",  # plan-cache registry instrumentation
-    "dedup_ngram_jaccard",
+    # new in round 6
+    "pipeline_mixture_build",  # sampling→dedup→token-budget→packing, one plan
+    "pipeline_mixture_neardup",  # rows-only: + MinHash near-dedup stage
+    # implementation changed in round 6 — re-certify
+    "sim_pca_project",  # NOW the flat scalar form (r5 ERR closed)
+    "text_bm25_search",  # single-scan rewrite (dl/avgdl off shared agg)
+    "text_tfidf_top_terms",  # shares the refactored _term_freqs
+    "pipeline_weighted_sample",  # decision exprs refactored into _mixture_exprs
+    "dedup_components",  # reentrant shuffle-conf raise
+    "dedup_components_chain",  # rows-only: same loop, star path
+    "pipeline_corpus_prep_neardup",  # rows-only: components inside pipeline
+    "pipeline_corpus_prep",  # default path must be unchanged
+    "sim_cosine_topk_ivf",  # rows-only: cache key + file signatures
+    # high-traffic re-certification
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
-    # round-5 additions are appended here as they land; total <= 50.
+    "dedup_incremental",
+    "text_dup_ngrams",
+    "text_pmi_pairs",
+    "text_unigram_logprob",
+    "text_zipf_profile",
+    "text_langid_confusion",
+    "text_corpus_qa_report",
+    "events_transition_matrix",
+    "scalar_variant_funcs",
+    "sql_recursive_spine",
+    "agg_hll_sketch_rollup",
+    "tpch_rfm_segments",
+    "mm_audio_features",
+    # round-6 additions are appended here as they land; total <= 50.
 ]
 
 
@@ -353,6 +357,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_corpus_prep": lambda s, d: llm_pipeline.prepare_corpus(*_t(s, d, "documents")),
         "pipeline_weighted_sample": lambda s, d: llm_pipeline.weighted_source_sample(
             *_t(s, d, "documents")
+        ),
+        # the production mixture job end-to-end: weighted sampling →
+        # exact dedup → per-source token budget → packing, one plan
+        "pipeline_mixture_build": lambda s, d: llm_pipeline.pretraining_mixture(
+            *_t(s, d, "documents")
+        ),
+        # rows-only (seeded MinHash near-dedup slotted into the chain)
+        "pipeline_mixture_neardup": lambda s, d: llm_pipeline.pretraining_mixture(
+            *_t(s, d, "documents"), near_dedup=True
         ),
         "text_tfidf_top_terms": lambda s, d: relevance.tfidf_top_terms(*_t(s, d, "documents")),
         "text_bm25_search": lambda s, d: relevance.bm25_scores(*_t(s, d, "documents")),
@@ -1474,6 +1487,71 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_transitions AS DOUBLE)
                          / sum(n_transitions) OVER (PARTITION BY event_type), 6) AS prob
             FROM counts
+        """,
+        "pipeline_mixture_build": f"""
+            WITH sampled AS (
+                SELECT doc_id, source, {_NORM} AS norm
+                FROM documents
+                WHERE substring(md5(concat_ws(':', CAST(doc_id AS VARCHAR), source)), 1, 8)
+                      <= CASE source WHEN 'src0' THEN 'ffffffff' WHEN 'src1' THEN '3fffffff'
+                         WHEN 'src2' THEN '' ELSE '7fffffff' END
+            ),
+            canonical AS (
+                SELECT min(doc_id) AS doc_id FROM sampled GROUP BY md5(norm)
+            ),
+            surv AS (
+                SELECT s.doc_id, s.source,
+                       CAST(len(string_split(s.norm, ' ')) AS BIGINT) AS n_tokens,
+                       s.doc_id % 8 AS shard_id,
+                       CASE s.source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 600
+                            ELSE 1500 END AS budget_tokens
+                FROM sampled s JOIN canonical c ON s.doc_id = c.doc_id
+            ),
+            cum AS (
+                SELECT *, coalesce(sum(n_tokens) OVER (
+                           PARTITION BY source ORDER BY shard_id, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                FROM surv
+            ),
+            kept AS (SELECT * FROM cum WHERE cum_before + n_tokens <= budget_tokens),
+            packed AS (
+                SELECT source, shard_id,
+                       CAST(floor(coalesce(sum(n_tokens) OVER (
+                            PARTITION BY source, shard_id ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            / 512) AS BIGINT) AS bin_id
+                FROM kept
+            ),
+            spine AS (
+                SELECT source,
+                       CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+                            WHEN 'src2' THEN 0.0 ELSE 0.5 END AS DOUBLE) AS rate,
+                       CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 600
+                            ELSE 1500 END AS budget_tokens,
+                       count(*) AS n_docs
+                FROM documents GROUP BY 1
+            ),
+            a_samp AS (SELECT source, count(*) AS n_sampled FROM sampled GROUP BY 1),
+            a_surv AS (SELECT source, count(*) AS n_deduped FROM surv GROUP BY 1),
+            a_kept AS (
+                SELECT source, count(*) AS n_kept,
+                       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+                FROM kept GROUP BY 1
+            ),
+            a_bins AS (
+                SELECT source, count(*) AS n_bins
+                FROM (SELECT DISTINCT source, shard_id, bin_id FROM packed) GROUP BY 1
+            )
+            SELECT sp.source, sp.rate, sp.budget_tokens, sp.n_docs,
+                   coalesce(n_sampled, 0) AS n_sampled,
+                   coalesce(n_deduped, 0) AS n_deduped,
+                   coalesce(n_kept, 0) AS n_kept,
+                   coalesce(tokens_kept, 0) AS tokens_kept,
+                   coalesce(n_bins, 0) AS n_bins
+            FROM spine sp
+            LEFT JOIN a_samp USING (source) LEFT JOIN a_surv USING (source)
+            LEFT JOIN a_kept USING (source) LEFT JOIN a_bins USING (source)
+            ORDER BY 1
         """,
         "pipeline_weighted_sample": """
             WITH decided AS (

@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     # build-once index registry
     "text_tfidf_top_terms",
     "text_dup_ngrams",
+    # round-6: single-scan BM25 (shared-aggregate reuse) and the full
+    # mixture build (sampling → dedup → token budget → packing, one plan)
+    "text_bm25_search",
+    "pipeline_mixture_build",
 ]
 
 

@@ -66,6 +66,33 @@ def prepare_corpus(
     return pack_sequences(survivors, target_tokens)
 
 
+def mixture_threshold_hex(rate: float) -> str:
+    """Lowercase-hex keep-threshold for a sampling rate: a doc is kept
+    iff the first 8 hex chars of md5(doc_id || ':' || source) sort at or
+    below this (lexicographic lowercase-hex compare == numeric compare —
+    exactly portable to the ANSI oracle)."""
+    n = max(0, min(int(rate * (1 << 32)), 1 << 32) - 1)
+    return format(n, "08x") if rate > 0 else ""
+
+
+def _mixture_exprs(weights: dict[str, float], default_rate: float):
+    """(rate column, kept predicate) for deterministic per-source
+    sampling — shared by the audit (``weighted_source_sample``) and the
+    end-to-end mixture build so both make the SAME keep decision."""
+    rate_col = F.lit(default_rate)
+    thr_col = F.lit(mixture_threshold_hex(default_rate))
+    for src, rate in sorted(weights.items()):
+        rate_col = F.when(F.col("source") == src, F.lit(rate)).otherwise(rate_col)
+        thr_col = F.when(F.col("source") == src, F.lit(mixture_threshold_hex(rate))).otherwise(
+            thr_col
+        )
+    kept_col = (
+        F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("source"))), 1, 8)
+        <= thr_col
+    )
+    return rate_col, kept_col
+
+
 def weighted_source_sample(
     documents: DataFrame, weights: dict[str, float] | None = None, default_rate: float = 0.5
 ) -> DataFrame:
@@ -86,25 +113,11 @@ def weighted_source_sample(
     (source, rate, threshold) dim table instead — same decision
     expression, rate column from the join.
     """
-    weights = weights if weights is not None else {"src0": 1.0, "src1": 0.25, "src2": 0.0}
-
-    def thr(rate: float) -> str:
-        n = max(0, min(int(rate * (1 << 32)), 1 << 32) - 1)
-        return format(n, "08x") if rate > 0 else ""
-
-    rate_col = F.lit(default_rate)
-    thr_col = F.lit(thr(default_rate))
-    for src, rate in sorted(weights.items()):
-        rate_col = F.when(F.col("source") == src, F.lit(rate)).otherwise(rate_col)
-        thr_col = F.when(F.col("source") == src, F.lit(thr(rate))).otherwise(thr_col)
-    decided = documents.select(
-        "source",
-        rate_col.alias("rate"),
-        (
-            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("source"))), 1, 8)
-            <= thr_col
-        ).alias("kept"),
+    rate_col, kept_col = _mixture_exprs(
+        weights if weights is not None else {"src0": 1.0, "src1": 0.25, "src2": 0.0},
+        default_rate,
     )
+    decided = documents.select("source", rate_col.alias("rate"), kept_col.alias("kept"))
     return (
         decided.groupBy("source", "rate")
         .agg(
@@ -114,3 +127,161 @@ def weighted_source_sample(
         )
         .orderBy("source")
     )
+
+
+def pretraining_mixture(
+    documents: DataFrame,
+    weights: dict[str, float] | None = None,
+    token_budgets: dict[str, int] | None = None,
+    default_rate: float = 0.5,
+    default_budget: int = 1500,
+    target_tokens: int = 512,
+    n_shards: int = 8,
+    near_dedup: bool = False,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The actual pretraining-mixture build, end to end as ONE plan:
+
+        weighted source sampling → exact dedup → (optional MinHash
+        near-dedup) → per-source TOKEN BUDGET cap → sequence packing
+
+    and return the per-source audit a mixture job owes its caller:
+    (source, rate, budget_tokens, n_docs, n_sampled, n_deduped,
+    n_kept, tokens_kept, n_bins).
+
+    Budget semantics (deterministic, ANSI-portable): survivors are
+    ordered (shard_id, doc_id) within each source; a doc is kept iff
+    the token prefix-sum BEFORE it, over ALL survivors of its source in
+    that order, plus its own tokens fits ``budget_tokens`` — a pure
+    prefix rule (no "skip and retry smaller docs" — that running-kept
+    semantics is inherently sequential and not window-expressible).
+
+    Plan shape (the part that matters at 100 TB): ONE LEDGER, not a
+    join of per-stage subqueries. Every stage is a COLUMN on a single
+    pass over documents — ``sampled`` (md5 decision), ``canon`` (exact
+    dedup via a min-over-fingerprint window, no groupBy+semi-join),
+    ``kept`` (budget), ``bin_id`` (packing) — and the whole audit is
+    one conditional aggregate at source grain. A naive
+    filter-per-stage + join-the-audits version of this same function
+    scanned documents 12×; the ledger form scans it twice (the main
+    chain + the tiny shard-offset aggregate, whose broadcast join
+    supplies the cross-shard prefix). The budget prefix sum is NEVER a
+    single global window: per-(source, shard) windows plus a
+    (|sources| × n_shards)-row offset table, the same two-level trick
+    as ``pack_sequences``. With thousands of sources, swap the
+    rate/budget CASE chains for a broadcast-joined dim table (same
+    decision expressions). ``near_dedup=True`` adds the LSH →
+    star-components stage as one more ledger flag (seeded hashes →
+    rows-only correctness, so the REGISTERED oracle query runs with it
+    off).
+    """
+    from pyspark.sql import Window as W
+
+    weights = weights if weights is not None else {"src0": 1.0, "src1": 0.25, "src2": 0.0}
+    budgets = token_budgets if token_budgets is not None else {"src0": 10_000, "src1": 600}
+    rate_col, sampled_col = _mixture_exprs(weights, default_rate)
+    budget_col = F.lit(default_budget)
+    for src, b in sorted(budgets.items()):
+        budget_col = F.when(F.col("source") == src, F.lit(b)).otherwise(budget_col)
+
+    norm = _norm_text(F.col("text"))
+    base = documents.select(
+        "doc_id",
+        "source",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard_id"),
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+        F.md5(norm).alias("fp"),
+        sampled_col.alias("sampled"),
+        budget_col.alias("budget_tokens"),
+    )
+    # exact dedup as a window: the canonical survivor of a fingerprint
+    # group is its min SAMPLED doc_id (fp-partition window — same
+    # shuffle key as the groupBy form, zero joins)
+    w_fp = W.partitionBy("fp")
+    base = base.withColumn(
+        "canon",
+        F.col("sampled")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("sampled"), F.col("doc_id"))).over(w_fp)
+        ),
+    )
+    if near_dedup:
+        from datalake_local_spark.llm import dedup
+
+        survivors = documents.join(
+            base.filter(F.col("canon")).select("doc_id"), "doc_id", "left_semi"
+        )
+        components = dedup.duplicate_components(
+            survivors,
+            pairs=dedup.minhash_lsh_candidates(survivors),
+            algorithm="star",
+            stats=stats,
+        )
+        nd_keep = components.filter(F.col("is_canonical")).select(
+            "doc_id", F.lit(True).alias("_nd")
+        )
+        base = base.join(nd_keep, "doc_id", "left").withColumn(
+            "canon", F.col("canon") & F.coalesce(F.col("_nd"), F.lit(False))
+        ).drop("_nd")
+
+    # two-level budget prefix: in-shard conditional window + per-source
+    # shard offsets (tiny, broadcast)
+    w_in = W.partitionBy("source", "shard_id").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    canon_tokens = F.when(F.col("canon"), F.col("n_tokens")).otherwise(F.lit(0))
+    cum = base.withColumn(
+        "cum_in_shard", F.coalesce(F.sum(canon_tokens).over(w_in), F.lit(0))
+    )
+    shard_totals = base.groupBy("source", "shard_id").agg(
+        F.sum(canon_tokens).alias("shard_tokens")
+    )
+    w_off = W.partitionBy("source").orderBy("shard_id").rowsBetween(W.unboundedPreceding, -1)
+    offsets = shard_totals.select(
+        "source",
+        "shard_id",
+        F.coalesce(F.sum("shard_tokens").over(w_off), F.lit(0)).alias("shard_offset"),
+    )
+    cum = cum.join(F.broadcast(offsets), ["source", "shard_id"]).withColumn(
+        "cum_before", F.col("shard_offset") + F.col("cum_in_shard")
+    )
+    kept = F.col("canon") & (
+        F.col("cum_before") + F.col("n_tokens") <= F.col("budget_tokens")
+    )
+    ledger = cum.withColumn("kept", kept).withColumn(
+        "kcum",
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(F.lit(0))).over(w_in),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "bin_key",
+        F.when(
+            F.col("kept"),
+            F.concat_ws(
+                "-", F.col("shard_id"), F.floor(F.col("kcum") / F.lit(target_tokens))
+            ),
+        ),
+    )
+    audit = ledger.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+        F.sum(F.col("canon").cast("long")).alias("n_deduped"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "tokens_kept"
+        ),
+        F.count_distinct(F.col("bin_key")).alias("n_bins"),
+    )
+    return audit.select(
+        "source",
+        rate_col.alias("rate"),
+        budget_col.alias("budget_tokens"),
+        "n_docs",
+        "n_sampled",
+        "n_deduped",
+        "n_kept",
+        "tokens_kept",
+        "n_bins",
+    ).orderBy("source")

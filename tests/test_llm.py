@@ -814,6 +814,56 @@ def test_weighted_sample_monotone_and_exact(spark, tables):
     assert abs(kept_half / total - 0.5) < 0.1  # md5 uniformity at n=500
 
 
+def test_pretraining_mixture_budget_and_stage_monotonicity(spark, tables):
+    """The end-to-end mixture build must (a) never exceed any source's
+    token budget, (b) shrink monotonically through the stages
+    (docs ≥ sampled ≥ deduped ≥ kept), (c) actually BIND somewhere when
+    the budget is tight, (d) produce sane packing-bin counts, and
+    (e) be deterministic run-to-run."""
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    docs = tables["documents"]
+    tight = 120
+    rows = llm_pipeline.pretraining_mixture(
+        docs, weights={}, default_rate=1.0, token_budgets={}, default_budget=tight
+    ).collect()
+    assert rows, "every source must appear in the audit"
+    bound_somewhere = False
+    for r in rows:
+        assert r["tokens_kept"] <= r["budget_tokens"] == tight
+        assert r["n_docs"] >= r["n_sampled"] >= r["n_deduped"] >= r["n_kept"]
+        if r["n_kept"] < r["n_deduped"]:
+            bound_somewhere = True
+        if r["n_kept"] == 0:
+            assert r["n_bins"] == 0 and r["tokens_kept"] == 0
+        else:
+            assert 1 <= r["n_bins"] <= r["n_kept"]
+    assert bound_somewhere, "a 120-token budget must drop documents"
+    # rate 1.0 + unlimited budget: nothing dropped except exact dups
+    free = llm_pipeline.pretraining_mixture(
+        docs, weights={}, default_rate=1.0, token_budgets={}, default_budget=10**9
+    ).collect()
+    for r in free:
+        assert r["n_sampled"] == r["n_docs"]
+        assert r["n_kept"] == r["n_deduped"]
+    # near-dedup only ever removes further documents, budget still holds
+    nd = {
+        r["source"]: r
+        for r in llm_pipeline.pretraining_mixture(
+            docs, weights={}, default_rate=1.0, token_budgets={},
+            default_budget=tight, near_dedup=True,
+        ).collect()
+    }
+    for r in rows:
+        assert nd[r["source"]]["n_deduped"] <= r["n_deduped"]
+        assert nd[r["source"]]["tokens_kept"] <= tight
+    # deterministic: identical audit on re-run
+    rows2 = llm_pipeline.pretraining_mixture(
+        docs, weights={}, default_rate=1.0, token_budgets={}, default_budget=tight
+    ).collect()
+    assert rows == rows2
+
+
 def test_ivf_index_registry_reuses_and_bounds(tables):
     """The IVF index must be built once per (source, params) and reused
     across probes; the registry stays bounded (FIFO) when many parameter
