@@ -177,6 +177,8 @@ _CERTIFY_FIRST = [
     # new in round 6
     "pipeline_mixture_build",  # sampling→dedup→token-budget→packing, one plan
     "pipeline_mixture_neardup",  # rows-only: + MinHash near-dedup stage
+    "text_pii_scrub",  # PII count + mask + redacted fingerprint
+    "dedup_cross_source",  # near-dup leakage matrix between sources
     # implementation changed in round 6 — re-certify
     "sim_pca_project",  # NOW the flat scalar form (r5 ERR closed)
     "text_bm25_search",  # single-scan rewrite (dl/avgdl off shared agg)
@@ -329,6 +331,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
         "dedup_components": lambda s, d: dedup.duplicate_components(*_t(s, d, "documents")),
         "dedup_incremental": lambda s, d: dedup.incremental_exact_dedup(*_t(s, d, "documents")),
+        # near-dup leakage matrix between sources (exact-Jaccard feed →
+        # full oracle; at scale the feed is minhash_lsh_candidates)
+        "dedup_cross_source": lambda s, d: dedup.cross_source_contamination(
+            *_t(s, d, "documents")
+        ),
         # rows-only (seeded MinHash feed): the full-table LSH→star chain,
         # the production composition bench.py scale-probes at sf0.1
         "dedup_components_chain": lambda s, d: dedup.duplicate_components(
@@ -370,6 +377,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": lambda s, d: relevance.tfidf_top_terms(*_t(s, d, "documents")),
         "text_bm25_search": lambda s, d: relevance.bm25_scores(*_t(s, d, "documents")),
         "text_dup_ngrams": lambda s, d: text.duplicate_ngram_profile(*_t(s, d, "documents")),
+        # PII redaction pass (emails/phones/IPs counted + masked; the
+        # corpus carries no real PII, so a deterministic synthesizer
+        # injects it — same fixture pattern as mm_audio_features)
+        "text_pii_scrub": lambda s, d: text.pii_scrub(*_t(s, d, "documents")),
         "text_zipf_profile": lambda s, d: text.zipf_profile(*_t(s, d, "documents")),
         "text_langid_confusion": lambda s, d: text.langid_confusion(*_t(s, d, "documents")),
         "text_corpus_qa_report": lambda s, d: text.corpus_qa_report(*_t(s, d, "documents")),
@@ -1487,6 +1498,90 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_transitions AS DOUBLE)
                          / sum(n_transitions) OVER (PARTITION BY event_type), 6) AS prob
             FROM counts
+        """,
+        "dedup_cross_source": f"""
+            WITH docs AS (
+                SELECT doc_id, source, {_NORM} AS norm FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b,
+                       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+            ),
+            labeled AS (
+                SELECT p.doc_a, p.doc_b, p.jaccard,
+                       least(da.source, db.source) AS source_a,
+                       greatest(da.source, db.source) AS source_b
+                FROM pairs p
+                JOIN docs da ON p.doc_a = da.doc_id
+                JOIN docs db ON p.doc_b = db.doc_id
+            ),
+            nd AS (
+                SELECT source_a, source_b, count(*) AS n_cross_docs FROM (
+                    SELECT DISTINCT source_a, source_b, doc_id FROM (
+                        SELECT source_a, source_b, doc_a AS doc_id FROM labeled
+                        UNION ALL
+                        SELECT source_a, source_b, doc_b AS doc_id FROM labeled
+                    )
+                ) GROUP BY 1, 2
+            )
+            SELECT l.source_a, l.source_b, count(*) AS n_pairs, nd.n_cross_docs,
+                   round(sum(l.jaccard), 6) AS sum_jaccard
+            FROM labeled l JOIN nd USING (source_a, source_b)
+            GROUP BY 1, 2, nd.n_cross_docs
+        """,
+        "text_pii_scrub": r"""
+            WITH injected AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0
+                            THEN t2 || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                 || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' logged'
+                            ELSE t2 END AS text
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN doc_id % 11 = 0
+                                THEN t1 || ' call +1-555-'
+                                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                ELSE t1 END AS t2
+                    FROM (
+                        SELECT doc_id,
+                               CASE WHEN doc_id % 7 = 0
+                                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                         || '@example.com today'
+                                    ELSE text END AS t1
+                        FROM documents
+                    )
+                )
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                        '\+\d{1,2}-\d{3}-\d{4}')) AS INTEGER) AS n_phones,
+                   CAST(len(regexp_extract_all(text,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                        '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g'),
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS masked_fp,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                        + len(regexp_extract_all(text, '\+\d{1,2}-\d{3}-\d{4}'))
+                        + len(regexp_extract_all(text,
+                          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS pii_total
+            FROM injected
         """,
         "pipeline_mixture_build": f"""
             WITH sampled AS (

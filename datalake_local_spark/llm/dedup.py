@@ -316,6 +316,70 @@ def ngram_token_jaccard_pairs(
     )
 
 
+def cross_source_contamination(
+    documents: DataFrame,
+    max_doc_id: int = 100,
+    threshold: float = 0.8,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate LEAKAGE MATRIX between sources — which corpus
+    slices share content (web dump re-hosting books, two crawls of the
+    same site, eval data inside a training source). A mixture job reads
+    this before trusting per-source token budgets: duplicated mass
+    across sources silently double-weights it.
+
+    One row per unordered source pair (source_a <= source_b):
+    ``n_pairs`` near-dup pairs between them, ``n_cross_docs`` distinct
+    documents of the pair's sources involved, ``sum_jaccard`` (sum, not
+    mean: summing 6-decimal-grid values lands back ON the grid, so the
+    result is identical under any fp summation order — a MEAN of grid
+    values sits exactly on round-half boundaries and flips its 6th
+    decimal with partial-aggregation order; divide by n_pairs for the
+    mean). By
+    default the pair feed is the exact-Jaccard verifier (bounded window,
+    oracle-checked); at scale callers inject
+    ``minhash_lsh_candidates(documents)`` — same contract as
+    ``duplicate_components``. The source lookup joins the pair table
+    (pair-grain, small) against a two-column doc→source projection; the
+    matrix aggregate is |sources|² rows."""
+    if pairs is None:
+        pairs = ngram_token_jaccard_pairs(documents, max_doc_id, threshold)
+        meta = documents.filter(F.col("doc_id") < max_doc_id)
+    else:
+        meta = documents
+    meta = meta.select("doc_id", "source")
+    sa = meta.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = meta.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    labeled = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.least(F.col("src_a"), F.col("src_b")).alias("source_a"),
+            F.greatest(F.col("src_a"), F.col("src_b")).alias("source_b"),
+        )
+    )
+    docs_touched = labeled.select(
+        "source_a", "source_b", F.col("doc_a").alias("doc_id")
+    ).unionByName(labeled.select("source_a", "source_b", F.col("doc_b").alias("doc_id")))
+    n_docs = (
+        docs_touched.distinct()
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_cross_docs"))
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("jaccard"), 6).alias("sum_jaccard"),
+        )
+        .join(n_docs, ["source_a", "source_b"])
+        .select("source_a", "source_b", "n_pairs", "n_cross_docs", "sum_jaccard")
+    )
+
+
 #: Target rows per task for the component loop's node/edge-grain frames;
 #: num_partitions defaults to ceil(edge_rows / this), so bench-scale
 #: graphs run single-task (per-round fixed overhead dominated otherwise)

@@ -636,6 +636,83 @@ def langid_confusion(documents: DataFrame) -> DataFrame:
     )
 
 
+#: PII detection patterns — portable between Java regex (Spark) and RE2
+#: (DuckDB): no backreferences, no lookaround.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def synthesize_pii_text(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) with deterministic synthetic PII appended — the
+    same fixture pattern as ``multimodal.synthesize_pcm_audio``: the
+    testdata corpus carries no real PII, so the scrub operator gets a
+    deterministic, oracle-reproducible workload instead of a vacuous
+    all-zeros run. Every 7th doc gains an email, every 11th a phone
+    number, every 13th an IPv4 — pure string expressions, engine-
+    portable."""
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com today")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            t, F.lit(" call +1-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+        ),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            t,
+            F.lit(" host 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" logged"),
+        ),
+    ).otherwise(t)
+    return documents.select("doc_id", t.alias("text"))
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII detection + masking over the corpus — the redaction pass a
+    training-data pipeline runs before anything ships to a trainer:
+    count emails / phone numbers / IPv4s per document, mask each class
+    with a typed placeholder, and emit the masked-text fingerprint so
+    downstream dedup runs on the REDACTED text (two docs differing only
+    in PII collapse together).
+
+    All detection and masking is JVM-side regexp (regexp_count +
+    chained regexp_replace in one projection — scan-speed, no UDF, no
+    shuffle until the optional aggregate); at 100 TB this is a map-only
+    column transform. Patterns are RE2-safe so the DuckDB oracle runs
+    the very same expressions. In production the pattern set widens
+    (names/NER need a model pass — that stage would be a mapInPandas
+    kernel like the multimodal decoders); the plumbing here is the
+    contract."""
+    injected = synthesize_pii_text(documents)
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return injected.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(PII_IP_RE)).alias("n_ips"),
+        F.md5(masked).alias("masked_fp"),
+    ).withColumn(
+        "pii_total", (F.col("n_emails") + F.col("n_phones") + F.col("n_ips"))
+    )
+
+
 def corpus_qa_report(documents: DataFrame) -> DataFrame:
     """The per-document corpus-QA report a data curator actually reads:
     quality heuristics + language-ID agreement + corpus-internal

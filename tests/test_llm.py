@@ -864,6 +864,56 @@ def test_pretraining_mixture_budget_and_stage_monotonicity(spark, tables):
     assert rows == rows2
 
 
+def test_cross_source_contamination_consistency(tables):
+    """The leakage matrix must conserve the pair feed: Σ n_pairs equals
+    the feed's pair count, source pairs are canonically ordered, and an
+    injected LSH feed (the scale path) works over the full table."""
+    docs = tables["documents"]
+    feed = dedup.ngram_token_jaccard_pairs(docs)
+    mat = dedup.cross_source_contamination(docs).collect()
+    assert sum(r["n_pairs"] for r in mat) == feed.count()
+    for r in mat:
+        assert r["source_a"] <= r["source_b"]
+        assert 0 < r["n_cross_docs"] <= 2 * r["n_pairs"]
+        assert r["sum_jaccard"] >= 0.8 * r["n_pairs"] - 1e-6  # threshold floor
+    lsh_mat = dedup.cross_source_contamination(
+        docs, pairs=dedup.minhash_lsh_candidates(docs)
+    )
+    assert lsh_mat.count() > 0
+
+
+def test_pii_scrub_counts_and_masks(spark, tables):
+    """Counts must follow the deterministic injection rules exactly (one
+    email per 7th doc, phone per 11th, IP per 13th — the raw corpus has
+    none) and the masked text must contain ZERO remaining matches while
+    keeping the placeholders."""
+    import re
+
+    docs = tables["documents"]
+    out = {r["doc_id"]: r for r in text.pii_scrub(docs).collect()}
+    assert len(out) == docs.count()
+    for doc_id, r in out.items():
+        assert r["n_emails"] == (1 if doc_id % 7 == 0 else 0)
+        assert r["n_phones"] == (1 if doc_id % 11 == 0 else 0)
+        assert r["n_ips"] == (1 if doc_id % 13 == 0 else 0)
+        assert r["pii_total"] == r["n_emails"] + r["n_phones"] + r["n_ips"]
+    # independently verify masking on the synthesized text in Python
+    inj = {r["doc_id"]: r["text"] for r in text.synthesize_pii_text(docs).collect()}
+    email, phone, ip = text.PII_EMAIL_RE, text.PII_PHONE_RE, text.PII_IP_RE
+    probe = [d for d in inj if d % 7 == 0 or d % 11 == 0 or d % 13 == 0][:20]
+    for d in probe:
+        masked = re.sub(
+            ip, "<IP>", re.sub(phone, "<PHONE>", re.sub(email, "<EMAIL>", inj[d]))
+        )
+        assert not re.search(email, masked) and not re.search(phone, masked)
+        expect = (
+            ("<EMAIL>" in masked) == (d % 7 == 0)
+            and ("<PHONE>" in masked) == (d % 11 == 0)
+            and ("<IP>" in masked) == (d % 13 == 0)
+        )
+        assert expect, f"doc {d}: wrong placeholders in {masked[-80:]}"
+
+
 def test_ivf_index_registry_reuses_and_bounds(tables):
     """The IVF index must be built once per (source, params) and reused
     across probes; the registry stays bounded (FIFO) when many parameter
