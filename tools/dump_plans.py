@@ -74,10 +74,27 @@ SHOWCASE = {
         "never global."
     ),
     "text_bm25_search": (
-        "BM25 (round 5): the query-term filter is pushed below the tf "
-        "aggregate so only matching-term rows shuffle; the only broadcast "
-        "hints are the |terms|-row df table and the scalar (n_docs, avgdl) "
-        "aggregate. Global top-k via TakeOrderedAndProject."
+        "BM25 (rewritten round 6): documents is scanned exactly TWICE — "
+        "the full (doc, token, tf) aggregate (needed for dl and avgdl, "
+        "computed once and ReusedExchange'd between its two consumers) "
+        "and the query-term-filtered branch (isin pushed below the partial "
+        "aggregate, its exchange likewise reused between the scoring join "
+        "and the df table). r5 paid a third corpus re-tokenization for "
+        "avgdl. Global top-k via TakeOrderedAndProject."
+    ),
+    "pipeline_mixture_build": (
+        "Pretraining mixture (round 6): sampling decision, exact-dedup "
+        "canonical flag (min-over-fingerprint window), per-source token "
+        "budget and packing bins are COLUMNS on one ledger pass — 2 "
+        "documents scans total (main chain + tiny broadcast shard-offset "
+        "aggregate) vs 12 for a filter-per-stage + join-the-audits shape. "
+        "Budget prefix sums are per-(source, shard) windows + a broadcast "
+        "offset table; no global window, no per-stage semi-joins."
+    ),
+    "text_pii_scrub": (
+        "PII scrub (round 6): injection, three regexp_counts, chained "
+        "regexp_replace masking and the redacted md5 are ONE map-only "
+        "projection over the scan — no shuffle anywhere in the plan."
     ),
     "text_dup_ngrams": (
         "Duplicate n-gram profile (round 5): grams are xxhash64-hashed "
