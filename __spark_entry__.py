@@ -179,6 +179,7 @@ _CERTIFY_FIRST = [
     "pipeline_mixture_neardup",  # rows-only: + MinHash near-dedup stage
     "text_pii_scrub",  # PII count + mask + redacted fingerprint
     "dedup_cross_source",  # near-dup leakage matrix between sources
+    "dedup_semantic",  # rows-only: SemDeDup cluster-then-GEMM components
     # implementation changed in round 6 — re-certify
     "sim_pca_project",  # NOW the flat scalar form (r5 ERR closed)
     "text_bm25_search",  # single-scan rewrite (dl/avgdl off shared agg)
@@ -451,6 +452,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_disjunctive_revenue": lambda s, d: tpch.disjunctive_revenue(*_t(s, d, "lineitem", "part")),
         "tpch_sales_opportunity": lambda s, d: tpch.global_sales_opportunity(*_t(s, d, "orders", "customer")),
         "dedup_embedding_cosine": lambda s, d: similarity.embedding_near_dup_pairs(*_t(s, d, "embeddings")),
+        # rows-only (seeded KMeans coarse quantizer): SemDeDup-style
+        # cluster-then-exact-pairs semantic dedup → star components
+        "dedup_semantic": lambda s, d: similarity.semantic_dedup(*_t(s, d, "embeddings")),
         "pivot_status_by_priority": lambda s, d: tpch.pivot_status_by_priority(*_t(s, d, "orders")),
         "unpivot_order_measures": lambda s, d: tpch.unpivot_order_measures(*_t(s, d, "orders")),
         "sample_deterministic": lambda s, d: tpch.deterministic_sample_stats(*_t(s, d, "orders")),

@@ -527,6 +527,60 @@ def cosine_topk_ivf(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.42,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public arXiv paper): documents whose EMBEDDINGS
+    are near-identical are duplicates even when their text isn't
+    (translations, templated rewrites, boilerplate variants).
+
+    1. coarse-cluster with the build-once IVF quantizer
+       (``_ivf_index`` — same registry, so a mixture job probing ANN
+       and running semantic dedup trains KMeans once);
+    2. EXACT cosine pairs within each cluster: cluster grain is the
+       only shuffle key and each cluster is one float64 GEMM inside
+       ``applyInPandas`` — at 100 TB cluster size is controlled by
+       n_centroids (≈ n/k rows per task), the SemDeDup recipe;
+    3. pairs → star connected components (O(log d) rounds) → keep each
+       component's min vec_id.
+
+    Returns (vec_id, component_id, is_canonical). Pairs FOUND are
+    exact; recall is bounded by the clustering (a near-dup pair split
+    across centroids is missed — the SemDeDup trade-off, quantified in
+    the test against the exact all-pairs kernel). Seeded KMeans state →
+    rows-only correctness with invariant tests."""
+    import pandas as pd
+
+    from datalake_local_spark.llm import dedup as dedup_mod
+
+    assigned, _centers = _ivf_index(embeddings, n_centroids, seed)
+
+    def cluster_pairs(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        ids = pdf["corpus_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["cvec"]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, 6)
+        ia, ib = np.nonzero(sims >= threshold)
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]]})
+
+    pairs = assigned.groupBy("centroid_id").applyInPandas(
+        cluster_pairs, schema="doc_a long, doc_b long"
+    )
+    nodes = embeddings.select(F.col("vec_id").alias("doc_id"))
+    comps = dedup_mod.duplicate_components(nodes, pairs=pairs, algorithm="star")
+    return comps.select(
+        F.col("doc_id").alias("vec_id"), "component_id", "is_canonical"
+    )
+
+
 def embedding_centroids_by_label(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     """Per-label centroid via positional explode + re-aggregate — the
     building block for IVF coarse quantization. posexplode shuffles

@@ -864,6 +864,53 @@ def test_pretraining_mixture_budget_and_stage_monotonicity(spark, tables):
     assert rows == rows2
 
 
+def test_semantic_dedup_precision_and_components(tables):
+    """Cluster-bucketed semantic dedup: every emitted pair-derived merge
+    must be backed by an EXACT cosine >= threshold pair (precision 1.0);
+    within a cluster no qualifying pair is missed (recall 1.0 given the
+    clustering); components elect min-id canonicals; deterministic."""
+    emb = tables["embeddings"]
+    thr = 0.42
+    out = similarity.semantic_dedup(emb, threshold=thr).collect()
+    assert len(out) == emb.count()
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity._embedding_near_dup_pairs_theta(emb, thr).collect()
+    }
+    # union-find over exact pairs → true components
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in exact:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for comp_id, members in by_comp.items():
+        assert comp_id == min(m["vec_id"] for m in members)
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["vec_id"] == comp_id
+        # precision: every multi-member semantic component must sit inside
+        # ONE exact-pair component (cluster pairs are a subset of exact)
+        roots = {find(m["vec_id"]) for m in members}
+        assert len(roots) == 1 if len(members) > 1 else True
+    out2 = similarity.semantic_dedup(emb, threshold=thr).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # the clustering only LOSES pairs (recall < 1 across centroids), so
+    # semantic components can never merge more than exact components
+    n_exact_comps = len({find(v) for v in {x for p in exact for x in p}})
+    multi = [c for c, ms in by_comp.items() if len(ms) > 1]
+    assert len(multi) <= max(1, n_exact_comps)
+    assert multi, "dataset must produce at least one semantic duplicate group"
+
+
 def test_cross_source_contamination_consistency(tables):
     """The leakage matrix must conserve the pair feed: Σ n_pairs equals
     the feed's pair count, source pairs are canonically ordered, and an
