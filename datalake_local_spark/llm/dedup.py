@@ -111,6 +111,34 @@ def _cached(key: tuple, builder) -> DataFrame:
         _plan_cache_stats["hits"] += 1
     return _plan_cache[key]
 
+def _file_sig(uri: str):
+    """(uri, size, mtime_ns) identity for registry keys: the same file
+    NAME rewritten in place (same session) must MISS, not return a
+    persisted frame built on the old bytes. Local file:// URIs stat the
+    filesystem; remote schemes fall back to name-only identity (the
+    documented immutable-input assumption — object stores are
+    write-once-per-key in the landing layout this repo models)."""
+    from urllib.parse import unquote, urlparse
+
+    import os
+
+    p = urlparse(uri)
+    if p.scheme in ("file", ""):
+        try:
+            st = os.stat(unquote(p.path) if p.scheme else uri)
+            return (uri, st.st_size, st.st_mtime_ns)
+        except OSError:
+            return (uri, None, None)
+    return (uri, None, None)
+
+
+def source_signature(df: DataFrame) -> tuple:
+    """Stable identity of a DataFrame's backing files for cache keys:
+    sorted (uri, size, mtime_ns) triples; empty tuple for in-memory
+    frames (no stable identity → callers skip their registry)."""
+    return tuple(_file_sig(u) for u in sorted(df.inputFiles()))
+
+
 #: Normalization shared by every dedup operator: lowercase + collapse
 #: whitespace. Matches the oracle SQL exactly.
 def _norm_text(col):
@@ -200,10 +228,12 @@ def minhash_lsh_candidates(
     # rejected: the RDD-backed leaf hides statistics/columnar structure
     # from Catalyst and made the candidate join ~40× slower at sf0.1.)
     # cache key = plan fingerprint (semantic hash + session) over the
-    # source parquet files; a non-file-backed input (in-memory test
-    # frames) has no stable file identity → skip the registry rather
-    # than risk a key collision returning another dataset's signatures
-    src = tuple(sorted(documents.inputFiles()))
+    # source parquet files' (uri, size, mtime) signatures — an in-place
+    # rewrite misses instead of returning stale signatures; a
+    # non-file-backed input (in-memory test frames) has no stable file
+    # identity → skip the registry rather than risk a key collision
+    # returning another dataset's signatures
+    src = source_signature(documents)
     fp = _plan_fingerprint(documents) if src else None
     if src:
         sigs = _cached(

@@ -410,33 +410,13 @@ def _build_ivf_index(embeddings: DataFrame, n_centroids: int, seed: int):
     return assigned, centers, corpus
 
 
-def _file_sig(uri: str):
-    """(uri, size, mtime_ns) identity for a cache key: same file NAME
-    rewritten in place (same session) must MISS, not return an index
-    built on the old bytes. Local file:// URIs stat the filesystem;
-    remote schemes fall back to name-only identity (documented
-    immutable-input assumption — object stores are
-    write-once-per-key in the landing layout this repo models)."""
-    from urllib.parse import unquote, urlparse
-
-    import os
-
-    p = urlparse(uri)
-    if p.scheme in ("file", ""):
-        try:
-            st = os.stat(unquote(p.path) if p.scheme else uri)
-            return (uri, st.st_size, st.st_mtime_ns)
-        except OSError:
-            return (uri, None, None)
-    return (uri, None, None)
-
-
 def _ivf_index(embeddings: DataFrame, n_centroids: int, seed: int):
     """Return (inverted-lists frame, centers), cached per source dataset
-    (plan fingerprint + per-file (name, size, mtime) signatures)."""
-    from datalake_local_spark.llm.dedup import _plan_fingerprint
+    (plan fingerprint + per-file (name, size, mtime) signatures — see
+    ``dedup.source_signature``)."""
+    from datalake_local_spark.llm.dedup import _plan_fingerprint, source_signature
 
-    src = tuple(_file_sig(u) for u in sorted(embeddings.inputFiles()))
+    src = source_signature(embeddings)
     if not src:  # in-memory frame: no stable identity → no registry
         assigned, centers, _corpus = _build_ivf_index(embeddings, n_centroids, seed)
         return assigned, centers

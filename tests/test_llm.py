@@ -864,6 +864,35 @@ def test_pretraining_mixture_budget_and_stage_monotonicity(spark, tables):
     assert rows == rows2
 
 
+def test_plan_cache_misses_on_inplace_rewrite(spark, tmp_path):
+    """Registry keys fold (uri, size, mtime) signatures: rewriting the
+    same parquet path must MISS and recompute, not serve signatures
+    built on the old bytes (advisor finding on the IVF registry; the
+    dedup signature registry had the same hazard)."""
+    import time as _time
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i}") for i in range(30)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    d1 = spark.read.parquet(p)
+    sig1 = dedup.source_signature(d1)
+    dedup.minhash_lsh_candidates(d1).count()
+    m0 = dedup.plan_cache_stats()["misses"]
+    dedup.minhash_lsh_candidates(spark.read.parquet(p)).count()
+    assert dedup.plan_cache_stats()["misses"] == m0  # same bytes → hit
+    _time.sleep(0.05)  # ensure mtime_ns advances across filesystems
+    spark.createDataFrame(
+        [(i, f"totally different words here run {i} omega") for i in range(30)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    d2 = spark.read.parquet(p)
+    assert dedup.source_signature(d2) != sig1
+    dedup.minhash_lsh_candidates(d2).count()
+    assert dedup.plan_cache_stats()["misses"] > m0  # rewrite → miss
+
+
 def test_semantic_dedup_precision_and_components(tables):
     """Cluster-bucketed semantic dedup: every emitted pair-derived merge
     must be backed by an EXACT cosine >= threshold pair (precision 1.0);
