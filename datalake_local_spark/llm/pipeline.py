@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datalake_local_spark.llm.text import _norm_text, quality_gate, pack_sequences
+from datalake_local_spark.llm.text import (
+    _norm_text,
+    assign_pack_bins,
+    pack_sequences,
+    quality_gate,
+)
 
 
 def prepare_corpus(
@@ -285,3 +290,55 @@ def pretraining_mixture(
         "tokens_kept",
         "n_bins",
     ).orderBy("source")
+
+
+def write_corpus_shards(
+    documents: DataFrame,
+    path: str,
+    target_tokens: int = 512,
+    n_shards: int = 8,
+    compression: str = "zstd",
+) -> DataFrame:
+    """Materialize a prepared corpus as shard-partitioned parquet — the
+    DELIVERY step after the mixture build: each document lands in its
+    packing shard's directory with its bin assignment, so a trainer
+    streams ``shard_id=K/`` sequentially and reconstructs context
+    windows from (bin_id, doc_id) order without any further shuffle.
+
+    Returns the MANIFEST the delivery owes its consumer — one row per
+    shard read BACK from the written files (not from the pre-write
+    plan, so the manifest certifies what is actually on disk):
+    (shard_id, n_docs, n_bins, total_tokens, doc_checksum). The
+    checksum is bit_xor(xxhash64(doc_id)) — order-independent and
+    aggregate-friendly, so two deliveries of the same corpus compare
+    equal without sorting anything.
+
+    Scale notes: partitionBy("shard_id") writes one directory per
+    shard; within a task rows append in (bin_id, doc_id) order via a
+    partition-local sortWithinPartitions + repartition(shard) — no
+    global sort. Parquet + zstd is the trainer-facing format choice
+    (splittable, column-prunable: a token-counting re-audit reads two
+    columns, never the text)."""
+    binned = assign_pack_bins(documents, target_tokens, n_shards)
+    rows = (
+        documents.join(binned, "doc_id")
+        .repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "bin_id", "doc_id")
+    )
+    (
+        rows.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    written = documents.sparkSession.read.parquet(path)
+    return (
+        written.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("bin_id").alias("n_bins"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr("bit_xor(xxhash64(doc_id))").alias("doc_checksum"),
+        )
+        .orderBy("shard_id")
+    )

@@ -291,6 +291,29 @@ def benchmark_contamination(documents: DataFrame, benchmark_ids: tuple = (0, 1, 
     )
 
 
+def assign_pack_bins(
+    documents: DataFrame, target_tokens: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """Doc-grain packing assignment (doc_id, shard_id, n_tokens,
+    bin_id) — the shared core of ``pack_sequences`` (which aggregates
+    it to bin stats) and ``pipeline.write_corpus_shards`` (which
+    materializes the docs partitioned by shard)."""
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard_id"),
+        F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_tokens"),
+    )
+    w = W.partitionBy("shard_id").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    return toks.select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        (F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / target_tokens)).alias("bin_id"),
+    )
+
+
 def pack_sequences(
     documents: DataFrame, target_tokens: int = 512, n_shards: int = 8
 ) -> DataFrame:
@@ -302,20 +325,7 @@ def pack_sequences(
     orderBy window would single-partition the corpus); packing quality
     is unaffected — every shard's bins fill to the same budget, and a
     training run consumes bins, not a global order."""
-    from pyspark.sql import Window as W
-
-    toks = documents.select(
-        "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard_id"),
-        F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_tokens"),
-    )
-    w = W.partitionBy("shard_id").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    binned = toks.select(
-        "doc_id",
-        "shard_id",
-        "n_tokens",
-        (F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / target_tokens)).alias("bin_id"),
-    )
+    binned = assign_pack_bins(documents, target_tokens, n_shards)
     return binned.groupBy("shard_id", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

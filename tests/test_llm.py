@@ -864,6 +864,41 @@ def test_pretraining_mixture_budget_and_stage_monotonicity(spark, tables):
     assert rows == rows2
 
 
+def test_write_corpus_shards_manifest_and_determinism(spark, tables, tmp_path):
+    """The delivery step: shard-partitioned parquet on disk, manifest
+    read BACK from the files (certifies what was written), totals
+    conserve the input corpus, per-doc bin assignment matches
+    assign_pack_bins, and a re-delivery produces identical checksums."""
+    import os
+
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    docs = tables["documents"].limit(200)
+    path = str(tmp_path / "corpus")
+    man1 = llm_pipeline.write_corpus_shards(docs, path, n_shards=4).collect()
+    assert {r["shard_id"] for r in man1} <= set(range(4))
+    assert sum(r["n_docs"] for r in man1) == docs.count()
+    assert all(
+        e.name.startswith("shard_id=") for e in os.scandir(path) if e.is_dir()
+    )
+    # written rows carry the same bin assignment the packer computes
+    written = spark.read.parquet(path)
+    got = {
+        (r["doc_id"], r["shard_id"], r["bin_id"]) for r in written.collect()
+    }
+    expect = {
+        (r["doc_id"], r["shard_id"], r["bin_id"])
+        for r in text.assign_pack_bins(docs, 512, 4).collect()
+    }
+    assert got == expect
+    tok_total = written.agg(F.sum("n_tokens")).first()[0]
+    assert tok_total == sum(r["total_tokens"] for r in man1)
+    man2 = llm_pipeline.write_corpus_shards(
+        docs, str(tmp_path / "corpus2"), n_shards=4
+    ).collect()
+    assert sorted(map(tuple, man1)) == sorted(map(tuple, man2))
+
+
 def test_plan_cache_misses_on_inplace_rewrite(spark, tmp_path):
     """Registry keys fold (uri, size, mtime) signatures: rewriting the
     same parquet path must MISS and recompute, not serve signatures
