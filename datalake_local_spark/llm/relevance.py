@@ -50,16 +50,32 @@ def _doc_tokens(documents: DataFrame) -> DataFrame:
 def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     """Top-k terms per document by TF-IDF.
 
-    tf = term count / doc length; idf = log10(N / df). The df table is
-    token-grain (distinct doc per token counted in the same aggregate);
-    N is a tree-reduced scalar broadcast back. Ranking windows partition
-    by doc_id, so no single-partition window anywhere.
+    tf = term count / doc length; idf = log10(N / df). ONE scan of
+    documents in the executed plan (r5 paid four): every consumer —
+    the scoring branch, the per-doc length, the token-grain df table
+    and the N scalar — derives from the SAME (doc, token, tf)
+    aggregate, with the explicit isnotnull(doc_id) prefilter and
+    tf-consuming aggregates keeping the subtrees canonical-identical so
+    AQE ReuseExchange executes the tokenization once (the same
+    discipline as ``bm25_scores``; asserted in
+    test_tfidf_plan_single_scan). The df join back to the (doc, token)
+    pairs carries NO broadcast hint (web-scale vocab — AQE decides);
+    ranking windows partition by doc_id, so no single-partition window
+    anywhere.
     """
     from pyspark.sql import Window as W
 
-    toks = _doc_tokens(documents)
-    df_tbl = toks.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    tf = _term_freqs(documents.filter(F.col("doc_id").isNotNull()))
+    w_dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    toks = tf.join(w_dl, "doc_id")
+    df_tbl = tf.groupBy("token").agg(
+        F.sum(F.least(F.col("tf"), F.lit(1))).alias("df")
+    )
+    # dl-consuming count (sum of sign(dl>=1)): count(*) would let the
+    # optimizer rewrite this branch to DISTINCT doc_id, prune tf, and
+    # defeat the w_dl exchange reuse (dl >= 1 for every doc — split of
+    # even an empty normalized text yields one token row)
+    n_docs = w_dl.agg(F.sum(F.least(F.col("dl"), F.lit(1))).alias("n_docs"))
     scored = (
         toks.join(df_tbl, "token")
         .crossJoin(F.broadcast(n_docs))

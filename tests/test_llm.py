@@ -696,6 +696,24 @@ def test_tfidf_and_bm25_scale_shapes(tables):
     assert "token IN" in plan or "token#" in plan  # filter survived pushdown
 
 
+def test_tfidf_plan_single_scan(tables):
+    """TF-IDF tokenizes the corpus exactly ONCE (r5 paid four scans):
+    scoring branch, doc-length, df table and the N scalar all hang off
+    the same (doc, token, tf) aggregate via ReusedExchange."""
+    from datalake_local_spark.llm import relevance
+
+    df = relevance.tfidf_top_terms(tables["documents"])
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert final.count("FileScan parquet") == 1
+    assert final.count("ReusedExchange") == 3
+
+
 def test_bm25_plan_two_scans_with_reuse(tables):
     """Single-scan-per-branch BM25 (r5 scanned documents three times):
     the executed AQE plan must read documents exactly twice — the full

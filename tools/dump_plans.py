@@ -68,10 +68,12 @@ SHOWCASE = {
         "TakeOrderedAndProject, never a global window."
     ),
     "text_tfidf_top_terms": (
-        "TF-IDF (round 5): token-grain df aggregate joined back to the "
-        "(doc, token) pairs WITHOUT a broadcast hint (web-scale vocab "
-        "discipline — AQE decides); ranking window partitions by doc_id, "
-        "never global."
+        "TF-IDF (rewritten round 6): documents is scanned exactly ONCE — "
+        "scoring branch, doc-length, token-grain df and the N scalar all "
+        "hang off the same (doc, token, tf) aggregate via ReusedExchange "
+        "(r5 paid four corpus tokenizations). The df join back carries no "
+        "broadcast hint (web-scale vocab — AQE decides); ranking window "
+        "partitions by doc_id, never global."
     ),
     "text_bm25_search": (
         "BM25 (rewritten round 6): documents is scanned exactly TWICE — "
