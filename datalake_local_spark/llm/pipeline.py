@@ -168,9 +168,14 @@ def pretraining_mixture(
     ``kept`` (budget), ``bin_id`` (packing) — and the whole audit is
     one conditional aggregate at source grain. A naive
     filter-per-stage + join-the-audits version of this same function
-    scanned documents 12×; the ledger form scans it twice (the main
-    chain + the tiny shard-offset aggregate, whose broadcast join
-    supplies the cross-shard prefix). The budget prefix sum is NEVER a
+    scanned documents 12×; the ledger form scans it ONCE — the tiny
+    shard-offset aggregate (whose broadcast join supplies the
+    cross-shard prefix) rides the SAME fingerprint exchange via AQE
+    ReuseExchange, which is why budget_tokens attaches after the join
+    rather than in the base projection (a column only one branch
+    consumes would de-canonicalize the shared subtree — see
+    test_pretraining_mixture_budget_and_stage_monotonicity's plan
+    assertion). The budget prefix sum is NEVER a
     single global window: per-(source, shard) windows plus a
     (|sources| × n_shards)-row offset table, the same two-level trick
     as ``pack_sequences``. With thousands of sources, swap the
@@ -189,6 +194,11 @@ def pretraining_mixture(
     for src, b in sorted(budgets.items()):
         budget_col = F.when(F.col("source") == src, F.lit(b)).otherwise(budget_col)
 
+    # budget_tokens is NOT computed here: the shard-offset branch below
+    # aggregates this same subtree, and a column only the main chain
+    # consumes would make the two copies canonically different and
+    # defeat exchange reuse — it's a pure function of source, attached
+    # after the broadcast join
     norm = _norm_text(F.col("text"))
     base = documents.select(
         "doc_id",
@@ -197,7 +207,6 @@ def pretraining_mixture(
         F.size(F.split(norm, " ")).alias("n_tokens"),
         F.md5(norm).alias("fp"),
         sampled_col.alias("sampled"),
-        budget_col.alias("budget_tokens"),
     )
     # exact dedup as a window: the canonical survivor of a fingerprint
     # group is its min SAMPLED doc_id (fp-partition window — same
@@ -248,8 +257,10 @@ def pretraining_mixture(
         "shard_id",
         F.coalesce(F.sum("shard_tokens").over(w_off), F.lit(0)).alias("shard_offset"),
     )
-    cum = cum.join(F.broadcast(offsets), ["source", "shard_id"]).withColumn(
-        "cum_before", F.col("shard_offset") + F.col("cum_in_shard")
+    cum = (
+        cum.join(F.broadcast(offsets), ["source", "shard_id"])
+        .withColumn("cum_before", F.col("shard_offset") + F.col("cum_in_shard"))
+        .withColumn("budget_tokens", budget_col)
     )
     kept = F.col("canon") & (
         F.col("cum_before") + F.col("n_tokens") <= F.col("budget_tokens")

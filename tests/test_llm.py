@@ -880,6 +880,18 @@ def test_pretraining_mixture_budget_and_stage_monotonicity(spark, tables):
         docs, weights={}, default_rate=1.0, token_budgets={}, default_budget=tight
     ).collect()
     assert rows == rows2
+    # ledger plan: ONE documents scan, shard-offset branch rides the
+    # fingerprint exchange via ReusedExchange
+    mdf = llm_pipeline.pretraining_mixture(docs)
+    mdf.collect()
+    final = (
+        mdf._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert final.count("FileScan parquet") == 1
+    assert final.count("ReusedExchange") >= 1
 
 
 def test_write_corpus_shards_manifest_and_determinism(spark, tables, tmp_path):

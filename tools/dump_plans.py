@@ -87,11 +87,12 @@ SHOWCASE = {
     "pipeline_mixture_build": (
         "Pretraining mixture (round 6): sampling decision, exact-dedup "
         "canonical flag (min-over-fingerprint window), per-source token "
-        "budget and packing bins are COLUMNS on one ledger pass — 2 "
-        "documents scans total (main chain + tiny broadcast shard-offset "
-        "aggregate) vs 12 for a filter-per-stage + join-the-audits shape. "
-        "Budget prefix sums are per-(source, shard) windows + a broadcast "
-        "offset table; no global window, no per-stage semi-joins."
+        "budget and packing bins are COLUMNS on one ledger pass — ONE "
+        "documents scan total (the broadcast shard-offset aggregate rides "
+        "the same fingerprint exchange via ReusedExchange) vs 12 scans for "
+        "a filter-per-stage + join-the-audits shape. Budget prefix sums "
+        "are per-(source, shard) windows + a broadcast offset table; no "
+        "global window, no per-stage semi-joins."
     ),
     "text_pii_scrub": (
         "PII scrub (round 6): injection, three regexp_counts, chained "
