@@ -19,12 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datalake_local_spark.llm.text import (
-    _norm_text,
-    assign_pack_bins,
-    pack_sequences,
-    quality_gate,
-)
+from datalake_local_spark.llm.text import _norm_text, assign_pack_bins
 
 
 def prepare_corpus(
@@ -46,29 +41,75 @@ def prepare_corpus(
 
     ``stats`` (with ``near_dedup``) receives the component loop's
     ``rounds`` / ``n_edges`` / ``num_partitions``.
+
+    Plan shape (ledger-ized round 6, same output hashes): gate verdict
+    and exact-dedup canonical flag are COLUMNS on one pass (gate rules
+    from ``quality_rule_exprs`` — byte-identical predicates to the
+    audit operator; canonical via min-over-fingerprint window), and the
+    packing prefix is a conditional window over canon rows — ONE
+    documents scan in the executed plan where the join-per-stage form
+    paid three. The near-dup stage still scans once more for shingling
+    (it needs the raw text of survivors; rows-only path).
     """
-    kept_ids = quality_gate(documents).filter(F.col("keep")).select("doc_id")
-    gated = documents.join(kept_ids, "doc_id", "left_semi")
-    canonical = (
-        gated.select(F.md5(_norm_text(F.col("text"))).alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    from pyspark.sql import Window as W
+
+    from datalake_local_spark.llm.text import quality_rule_exprs
+
+    n_shards = 8  # pack_sequences' default shard count
+    _rules, keep = quality_rule_exprs()
+    norm = _norm_text(F.col("text"))
+    base = documents.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard_id"),
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+        F.md5(norm).alias("fp"),
+        keep.alias("gated"),
     )
-    survivors = documents.join(canonical, "doc_id", "left_semi")
+    w_fp = W.partitionBy("fp")
+    base = base.withColumn(
+        "canon",
+        F.col("gated")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("gated"), F.col("doc_id"))).over(w_fp)
+        ),
+    )
     if near_dedup:
         from datalake_local_spark.llm import dedup
 
+        survivors = documents.join(
+            base.filter(F.col("canon")).select("doc_id"), "doc_id", "left_semi"
+        )
         components = dedup.duplicate_components(
             survivors,
             pairs=dedup.minhash_lsh_candidates(survivors),
             algorithm="star",
             stats=stats,
         )
-        survivors = survivors.join(
-            components.filter(F.col("is_canonical")).select("doc_id"), "doc_id", "left_semi"
+        nd_keep = components.filter(F.col("is_canonical")).select(
+            "doc_id", F.lit(True).alias("_nd")
         )
-    return pack_sequences(survivors, target_tokens)
+        base = (
+            base.join(nd_keep, "doc_id", "left")
+            .withColumn("canon", F.col("canon") & F.coalesce(F.col("_nd"), F.lit(False)))
+            .drop("_nd")
+        )
+    w = W.partitionBy("shard_id").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    canon_tokens = F.when(F.col("canon"), F.col("n_tokens")).otherwise(F.lit(0))
+    binned = base.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum(canon_tokens).over(w), F.lit(0)) / target_tokens),
+    )
+    return (
+        binned.filter(F.col("canon"))
+        .groupBy("shard_id", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
 
 
 def mixture_threshold_hex(rate: float) -> str:

@@ -334,10 +334,12 @@ def pack_sequences(
     )
 
 
-def quality_gate(documents: DataFrame) -> DataFrame:
-    """Rule-based keep/drop gate (Gopher-style): each rule is a boolean
-    column so downstream can audit WHY a doc dropped; `keep` is the
-    conjunction. Pure expressions → scan-speed at 100 TB."""
+def quality_rule_exprs():
+    """(ordered rule-name → boolean Column dict, conjunction Column)
+    over the ``text`` column — the gate's single source of truth,
+    shared by ``quality_gate`` (audit frame) and the fused pipeline
+    ledgers (``pipeline.prepare_corpus``) so both apply byte-identical
+    predicates."""
     norm = _norm_text(F.col("text"))
     tokens = F.split(norm, " ")
     n_tokens = F.size(tokens)
@@ -352,10 +354,19 @@ def quality_gate(documents: DataFrame) -> DataFrame:
         "ok_repetition": distinct_ratio >= 0.1,
     }
     keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return rules, keep
+
+
+def quality_gate(documents: DataFrame) -> DataFrame:
+    """Rule-based keep/drop gate (Gopher-style): each rule is a boolean
+    column so downstream can audit WHY a doc dropped; `keep` is the
+    conjunction. Pure expressions → scan-speed at 100 TB."""
+    rules, keep = quality_rule_exprs()
     cols = [F.col("doc_id")]
     for name, expr in rules.items():
         cols.append(expr.alias(name))
-        keep = expr if keep is None else (keep & expr)
     cols.append(keep.alias("keep"))
     return documents.select(*cols)
 
