@@ -34,31 +34,39 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
-    """Heuristic quality scoring: length, mean token length, stopword
-    ratio, alpha ratio — the standard cheap pre-filters of a training-data
-    pipeline."""
+def _quality_exprs() -> dict:
+    """Ordered name → Column dict of the quality heuristics over the
+    ``text`` column — shared by ``quality_scores`` and the fused
+    ``corpus_qa_report`` projection."""
     norm = _norm_text(F.col("text"))
     tokens = F.split(norm, " ")
     n_tokens = F.size(tokens)
     stopwords = ["the", "a", "and", "of", "to", "in", "is"]
     n_stop = F.size(F.filter(tokens, lambda t: t.isin(stopwords)))
     n_alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
+    return {
+        "n_chars_norm": F.length(norm),
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round((F.length(norm) - n_tokens + 1) / n_tokens, 6),
+        "stopword_ratio": F.round(n_stop / n_tokens, 6),
+        "alpha_ratio": F.round(n_alpha / F.length(norm), 6),
+    }
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length, mean token length, stopword
+    ratio, alpha ratio — the standard cheap pre-filters of a training-data
+    pipeline."""
+    exprs = _quality_exprs()
     return documents.select(
-        "doc_id",
-        F.length(norm).alias("n_chars_norm"),
-        n_tokens.alias("n_tokens"),
-        F.round((F.length(norm) - n_tokens + 1) / n_tokens, 6).alias("mean_token_len"),
-        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
-        F.round(n_alpha / F.length(norm), 6).alias("alpha_ratio"),
+        "doc_id", *[c.alias(n) for n, c in exprs.items()]
     )
 
 
-def language_id(documents: DataFrame) -> DataFrame:
-    """Deterministic stopword-vote language heuristic. Real pipelines use a
-    trained classifier (fastText et al., not in this container); the
-    operator contract — text in, (lang_guess, confidence-score) out, pure
-    projection — is what matters at scale."""
+def _langid_exprs():
+    """(lang_guess Column, vote_score Column) of the stopword-vote
+    heuristic — shared by ``language_id`` and the fused
+    ``corpus_qa_report`` projection."""
     padded = F.concat(F.lit(" "), _norm_text(F.col("text")), F.lit(" "))
 
     def votes(words):
@@ -79,6 +87,15 @@ def language_id(documents: DataFrame) -> DataFrame:
         .when(de == best, "de")
         .otherwise("fr")
     )
+    return guess, best
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Deterministic stopword-vote language heuristic. Real pipelines use a
+    trained classifier (fastText et al., not in this container); the
+    operator contract — text in, (lang_guess, confidence-score) out, pure
+    projection — is what matters at scale."""
+    guess, best = _langid_exprs()
     return documents.select(
         "doc_id", "lang", guess.alias("lang_guess"), best.alias("vote_score")
     )
@@ -742,17 +759,27 @@ def corpus_qa_report(documents: DataFrame) -> DataFrame:
     is doc-grain, so every join is a doc_id equi-join Catalyst plans as
     a shared-shuffle merge; no operator-boundary materialization).
     ``dup_fraction`` is NULL for docs too short to carry an 8-gram —
-    preserved as NULL (undefined, not zero)."""
-    q = quality_scores(documents).select(
-        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio"
-    )
-    lid = language_id(documents).select(
-        "doc_id", "lang", (F.col("lang") == F.col("lang_guess")).alias("langid_agrees")
+    preserved as NULL (undefined, not zero).
+
+    The quality and language-ID parts are PURE projections, so they
+    fuse into one select (one scan, no doc_id self-join shuffle —
+    joining two map-only frames of the same table would shuffle both
+    for nothing); only the duplication and LM parts, which need
+    corpus-grain aggregates joined back, are separate branches."""
+    qex = _quality_exprs()
+    guess, _best = _langid_exprs()
+    q = documents.select(
+        "doc_id",
+        qex["n_tokens"].alias("n_tokens"),
+        qex["mean_token_len"].alias("mean_token_len"),
+        qex["stopword_ratio"].alias("stopword_ratio"),
+        qex["alpha_ratio"].alias("alpha_ratio"),
+        "lang",
+        (F.col("lang") == guess).alias("langid_agrees"),
     )
     dup = duplicate_ngram_profile(documents).select("doc_id", "dup_fraction")
     lm = unigram_logprob(documents).select("doc_id", "mean_logp")
     return (
-        q.join(lid, "doc_id")
-        .join(dup, "doc_id", "left")
+        q.join(dup, "doc_id", "left")
         .join(lm, "doc_id")
     )
