@@ -190,6 +190,8 @@ _CERTIFY_FIRST = [
     "pipeline_corpus_prep_neardup",  # rows-only: components inside pipeline
     "pipeline_corpus_prep",  # default path must be unchanged
     "sim_cosine_topk_ivf",  # rows-only: cache key + file signatures
+    "text_quality",  # refactored onto shared _quality_exprs
+    "text_lang_id",  # refactored onto shared _langid_exprs
     # high-traffic re-certification
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -585,7 +585,12 @@ def duplicate_ngram_profile(documents: DataFrame, n: int = 8) -> DataFrame:
     leave the scan task, the df aggregate and the df→pairs join both
     move fixed-width longs (a 2⁻⁶⁴-per-pair collision risk, far below
     any corpus-scale concern). The join carries NO broadcast hint: the
-    gram table of a web corpus is larger than its vocabulary. Output is
+    gram table of a web corpus is larger than its vocabulary. The plan
+    deliberately scans documents twice (df-aggregate branch + join
+    branch): the single-scan alternative — a count window partitioned
+    by gram_h — would funnel every occurrence of a hot boilerplate
+    gram through ONE task, and AQE can split skewed JOINS but not
+    skewed windows; two cheap scans buy a skew-robust join. Output is
     doc-grain. Documents shorter than ``n`` tokens have no grams and are
     absent from the output (their dup fraction is undefined, not
     zero)."""
