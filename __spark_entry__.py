@@ -180,6 +180,7 @@ _CERTIFY_FIRST = [
     "text_pii_scrub",  # PII count + mask + redacted fingerprint
     "dedup_cross_source",  # near-dup leakage matrix between sources
     "dedup_semantic",  # rows-only: SemDeDup cluster-then-GEMM components
+    "pipeline_train_split",  # md5-interval train/val/test assignment
     # implementation changed in round 6 — re-certify
     "sim_pca_project",  # NOW the flat scalar form (r5 ERR closed)
     "text_bm25_search",  # single-scan rewrite (dl/avgdl off shared agg)
@@ -376,6 +377,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (seeded MinHash near-dedup slotted into the chain)
         "pipeline_mixture_neardup": lambda s, d: llm_pipeline.pretraining_mixture(
             *_t(s, d, "documents"), near_dedup=True
+        ),
+        # deterministic md5-interval train/val/test assignment audit
+        "pipeline_train_split": lambda s, d: llm_pipeline.train_eval_split(
+            *_t(s, d, "documents")
         ),
         "text_tfidf_top_terms": lambda s, d: relevance.tfidf_top_terms(*_t(s, d, "documents")),
         "text_bm25_search": lambda s, d: relevance.bm25_scores(*_t(s, d, "documents")),
@@ -1504,6 +1509,27 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_transitions AS DOUBLE)
                          / sum(n_transitions) OVER (PARTITION BY event_type), 6) AS prob
             FROM counts
+        """,
+        "pipeline_train_split": f"""
+            WITH decided AS (
+                SELECT source,
+                       CASE WHEN substring(md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'split')), 1, 8)
+                                 < 'e6666666' THEN 'train'
+                            WHEN substring(md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'split')), 1, 8)
+                                 < 'f3333333' THEN 'val'
+                            ELSE 'test' END AS split,
+                       CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            agg AS (
+                SELECT source, split, count(*) AS n_docs,
+                       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                FROM decided GROUP BY 1, 2
+            )
+            SELECT source, split, n_docs, n_tokens,
+                   round(CAST(n_docs AS DOUBLE)
+                         / sum(n_docs) OVER (PARTITION BY source), 6) AS realized_fraction
+            FROM agg ORDER BY 1, 2
         """,
         "dedup_cross_source": f"""
             WITH docs AS (

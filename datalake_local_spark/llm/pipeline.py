@@ -344,6 +344,68 @@ def pretraining_mixture(
     ).orderBy("source")
 
 
+def train_eval_split(
+    documents: DataFrame,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split step every
+    training-data pipeline runs last, with the same no-RNG discipline
+    as ``weighted_source_sample``: a document's split is a pure
+    function of doc_id, so re-runs, backfills and engines agree
+    row-for-row and a document can NEVER migrate between splits when
+    the corpus grows (interval assignment on md5(doc_id || ':split'),
+    the salt keeping this hash independent of the sampling hash).
+
+    ``fractions`` maps split name → fraction in [0, 1], summing to ≤ 1
+    (any remainder falls into the LAST split, so the canonical
+    {train .9, val .05, test .05} covers exactly). Returns the
+    per-(source, split) audit: n_docs, n_tokens, realized_fraction —
+    one scan, aggregate at |sources|×|splits| grain; the assignment
+    expression itself is ``split_assign_expr`` for use as a column in
+    delivery jobs."""
+    fractions = (
+        fractions if fractions is not None else {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    assign = split_assign_expr(fractions)
+    n_tokens = F.size(F.split(_norm_text(F.col("text")), " "))
+    decided = documents.select(
+        "source", assign.alias("split"), n_tokens.alias("n_tokens")
+    )
+    from pyspark.sql import Window as W
+
+    w_src = W.partitionBy("source")
+    return (
+        decided.groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .withColumn(
+            "realized_fraction",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w_src), 6),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def split_assign_expr(fractions: dict[str, float]):
+    """Column assigning each doc_id a split name by md5-interval: the
+    first 8 hex chars of md5(doc_id || ':split') are uniform over the
+    32-bit hex grid; cumulative-fraction boundaries partition it via
+    LEXICOGRAPHIC lowercase-hex compare (== numeric compare — the same
+    portable trick as ``mixture_threshold_hex``, so the oracle is the
+    identical CASE chain). Order of ``fractions`` is the assignment
+    order; remainder mass goes to the last split."""
+    h = F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("split"))), 1, 8)
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        bound = format(min(int(cum * (1 << 32)), (1 << 32) - 1), "08x")
+        cond = h < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
 def write_corpus_shards(
     documents: DataFrame,
     path: str,

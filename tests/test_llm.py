@@ -894,6 +894,35 @@ def test_pretraining_mixture_budget_and_stage_monotonicity(spark, tables):
     assert final.count("ReusedExchange") >= 1
 
 
+def test_train_split_stable_and_exhaustive(spark, tables):
+    """Split assignment is a pure function of doc_id: every doc gets
+    exactly one split, fractions land near targets, and — the property
+    that matters operationally — assignments NEVER migrate when the
+    corpus grows (no RNG, no rank-based assignment)."""
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    docs = tables["documents"]
+    audit = llm_pipeline.train_eval_split(docs).collect()
+    assert sum(r["n_docs"] for r in audit) == docs.count()
+    by_split: dict = {}
+    for r in audit:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    total = sum(by_split.values())
+    assert set(by_split) <= {"train", "val", "test"}
+    assert abs(by_split["train"] / total - 0.90) < 0.05
+    # growth stability: the half-corpus assignment is a subset of the
+    # full-corpus assignment, row for row
+    assign = llm_pipeline.split_assign_expr({"train": 0.9, "val": 0.05, "test": 0.05})
+    full = {r["doc_id"]: r["s"] for r in docs.select("doc_id", assign.alias("s")).collect()}
+    half = {
+        r["doc_id"]: r["s"]
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", assign.alias("s"))
+        .collect()
+    }
+    assert all(full[d] == s for d, s in half.items())
+
+
 def test_write_corpus_shards_manifest_and_determinism(spark, tables, tmp_path):
     """The delivery step: shard-partitioned parquet on disk, manifest
     read BACK from the files (certifies what was written), totals
