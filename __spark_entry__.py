@@ -113,6 +113,11 @@ def _q_streaming_stream_join(spark, sf):
     return event_windows.run_streaming_stream_join(spark, sf, query_name=name)
 
 
+def _q_streaming_static_enrich(spark, sf):
+    name = f"stream_enrich_{next(_stream_counter)}"
+    return event_windows.run_streaming_static_enrich(spark, sf, query_name=name)
+
+
 def _q_merge_upsert(spark, sf):
     """MERGE: corrected rows (10% of keys, price uplift, status 'U') +
     brand-new rows (shifted keys), upserted into orders, then profiled."""
@@ -181,6 +186,7 @@ _CERTIFY_FIRST = [
     "dedup_cross_source",  # near-dup leakage matrix between sources
     "dedup_semantic",  # rows-only: SemDeDup cluster-then-GEMM components
     "pipeline_train_split",  # md5-interval train/val/test assignment
+    "streaming_static_enrich",  # stateless stream-static dim join
     # implementation changed in round 6 — re-certify
     "sim_pca_project",  # NOW the flat scalar form (r5 ERR closed)
     "text_bm25_search",  # single-scan rewrite (dl/avgdl off shared agg)
@@ -490,6 +496,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_counter": _q_streaming_stateful,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_stream_join": _q_streaming_stream_join,
+        "streaming_static_enrich": _q_streaming_static_enrich,
         "streaming_sliding": _q_streaming_sliding,
         "streaming_foreachbatch_upsert": _q_streaming_fbu,
         # rows-only checks last (seeded-hash / sketch semantics — no ANSI
@@ -2429,6 +2436,13 @@ def oracle_sql() -> dict[str, str]:
              AND c.event_type = 'click' AND p.event_type = 'purchase'
              AND p.ts > c.ts
              AND p.ts <= c.ts + INTERVAL 60 MINUTES
+        """,
+        "streaming_static_enrich": """
+            SELECT c_mktsegment, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1, 2
         """,
         "merge_upsert": """
             WITH base AS (

@@ -412,6 +412,44 @@ def run_streaming_stream_join(
     return sub.table(query_name)
 
 
+def run_streaming_static_enrich(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_static_enrich"
+) -> DataFrame:
+    """Stream-STATIC join — the enrichment pattern stream-stream joins
+    don't cover: each micro-batch of the events stream joins a static
+    dimension (customer → market segment) planned as a regular batch
+    relation, so the join is STATELESS (no watermarks, no join-state
+    stores — the static side is re-resolved per micro-batch, which is
+    also why a slowly-changing dim picks up updates between batches).
+    No broadcast hint: streaming plans skip AQE but the static side
+    still goes through the size-estimate broadcast rule — customer
+    broadcasts while it fits, shuffles when an SF-scaled deploy
+    outgrows the threshold. Aggregate output (segment × event_type) is
+    the oracle-checkable batch equivalent under availableNow."""
+    sub = _stream_session(spark)
+    stream = _open_events_stream(sub, sf_dir)
+    customer = sub.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(customer, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return sub.table(query_name)
+
+
 def run_streaming_foreachbatch_upsert(
     spark: SparkSession,
     sf_dir: str,

@@ -83,6 +83,25 @@ def test_streaming_stream_join_equals_batch_theta(spark, tables):
     assert out.exceptAll(batch).count() == 0
 
 
+def test_streaming_static_enrich_equals_batch_join(spark, tables):
+    """Stream-static join (stateless enrichment) under availableNow must
+    equal the batch join+aggregate over the same files."""
+    out = event_windows.run_streaming_static_enrich(spark, SF_DIR, query_name="t_sse_eq")
+    batch = (
+        tables["events"]
+        .join(
+            tables["customer"].select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            "user_id",
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Real watermark semantics: with append-mode windowed aggregation and
     maxFilesPerTrigger=1, a second micro-batch carrying an event far older
