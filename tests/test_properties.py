@@ -84,3 +84,45 @@ def test_inference_follows_first_non_null(rows):
             expected = {"bigint": "long", "varchar": "string", "date": "date",
                         "timestamp": "timestamp"}[identify_string_type(first)]
             assert field.dataType.typeName() == expected
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_mixture_threshold_hex_monotone_and_bounded(rate):
+    """Hex keep-thresholds must be 8 lowercase hex chars (or empty for
+    rate 0) and monotone in the rate — the lexicographic-compare
+    contract both the Spark expression and the DuckDB oracle rely on."""
+    from datalake_local_spark.llm.pipeline import mixture_threshold_hex
+
+    t = mixture_threshold_hex(rate)
+    if rate == 0.0:
+        assert t == ""
+    else:
+        assert len(t) == 8 and t == t.lower() and int(t, 16) < (1 << 32)
+    # monotone: a higher rate never sorts below a lower one
+    for other in (rate / 2, rate):
+        assert mixture_threshold_hex(other) <= t
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                          min_size=1, max_size=8),
+                  st.floats(min_value=0.0, max_value=1.0, allow_nan=False)),
+        min_size=1, max_size=6, unique_by=lambda kv: kv[0],
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_split_boundaries_partition_hex_space(fracs):
+    """split_assign_expr's cumulative boundaries must be non-decreasing
+    8-hex-char strings within the 32-bit grid regardless of the
+    fraction dict (clamped at the top) — every md5 prefix lands in
+    exactly one interval, so assignment is total and unambiguous."""
+    fractions = dict(fracs)
+    bounds = []
+    cum = 0.0
+    for name in list(fractions)[:-1]:
+        cum += fractions[name]
+        bounds.append(format(min(int(cum * (1 << 32)), (1 << 32) - 1), "08x"))
+    assert all(len(b) == 8 for b in bounds)
+    assert bounds == sorted(bounds)  # lexicographic == numeric on the grid
