@@ -507,11 +507,132 @@ def cosine_topk_ivf(
     )
 
 
+def _semantic_cluster_pairs(
+    assigned: DataFrame, threshold: float, max_block_rows: int
+) -> DataFrame:
+    """Within-cluster exact cosine pairs with BOUNDED per-task memory.
+
+    A hot cluster (boilerplate-heavy web corpora concentrate mass in few
+    centroids) must not become one |c|×|c| GEMM in a single task. Each
+    cluster of n rows is split into ``B = ceil(n / max_block_rows)``
+    id-blocks and every unordered block pair (i <= j) is its own
+    ``applyInPandas`` task keyed on (centroid_id, blk_a, blk_b) — the
+    same block decomposition proven in ``embedding_near_dup_pairs``,
+    applied inside the cluster. Per-task state is two
+    (<= max_block_rows × dim) panels and their (<= max_block_rows)²
+    float64 tile — constant in cluster size. Rows are replicated to
+    O(B) tasks, so the shuffle stays linear in n; the block-count
+    relation is one row per non-empty centroid (broadcast).
+
+    Zero-norm embeddings have no cosine direction; they are treated as
+    exact semantic duplicates of EACH OTHER (clamped norms keep them out
+    of every cosine pair, and deterministic chain/bridge edges merge them
+    into one component per cluster) instead of NaN-poisoning the tile.
+    Assumes threshold > 0 (a non-positive threshold would pair zero
+    vectors with everything)."""
+    import pandas as pd
+
+    blocks = (
+        assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "centroid_id",
+            F.ceil(F.col("n_rows") / F.lit(max_block_rows)).cast("int").alias("n_blk"),
+        )
+    )
+    tasks = (
+        blocks.select(
+            F.col("centroid_id").alias("t_cid"),
+            F.explode(F.sequence(F.lit(0), F.col("n_blk") - 1)).alias("blk_a"),
+            "n_blk",
+        )
+        .select(
+            "t_cid",
+            "blk_a",
+            F.explode(F.sequence(F.col("blk_a"), F.col("n_blk") - 1)).alias("blk_b"),
+        )
+    )
+    v = assigned.join(F.broadcast(blocks), "centroid_id").withColumn(
+        "blk", F.pmod(F.col("corpus_id"), F.col("n_blk")).cast("int")
+    )
+    a_side = v.join(
+        F.broadcast(tasks),
+        (F.col("centroid_id") == F.col("t_cid")) & (F.col("blk") == F.col("blk_a")),
+    ).select(
+        "centroid_id", "blk_a", "blk_b", F.lit(0).alias("side"), "corpus_id", "cvec"
+    )
+    b_side = v.join(
+        F.broadcast(tasks.filter(F.col("blk_a") != F.col("blk_b"))),
+        (F.col("centroid_id") == F.col("t_cid")) & (F.col("blk") == F.col("blk_b")),
+    ).select(
+        "centroid_id", "blk_a", "blk_b", F.lit(1).alias("side"), "corpus_id", "cvec"
+    )
+    both = a_side.unionByName(b_side)
+
+    def block_pairs(key, pdf):
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+        )
+        out = [empty]
+        same = key[1] == key[2]
+        a = pdf[pdf["side"] == 0]
+        ids_a = a["corpus_id"].to_numpy(dtype=np.int64)
+        mat_a = (
+            np.array(list(a["cvec"]), dtype=np.float64)
+            if len(a)
+            else np.zeros((0, 1))
+        )
+        if same:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            b = pdf[pdf["side"] == 1]
+            ids_b = b["corpus_id"].to_numpy(dtype=np.int64)
+            mat_b = (
+                np.array(list(b["cvec"]), dtype=np.float64)
+                if len(b)
+                else np.zeros((0, 1))
+            )
+        na = np.linalg.norm(mat_a, axis=1) if len(ids_a) else np.zeros(0)
+        nb = na if same else (np.linalg.norm(mat_b, axis=1) if len(ids_b) else np.zeros(0))
+        # zero-norm rows: chain within a block, bridge block minima across
+        # blocks — unique deterministic edges, merged cluster-wide by CC
+        za = np.sort(np.unique(ids_a[na == 0.0]))
+        if same:
+            if len(za) > 1:
+                out.append(pd.DataFrame({"doc_a": za[:-1], "doc_b": za[1:]}))
+        else:
+            zb = np.sort(np.unique(ids_b[nb == 0.0]))
+            if len(za) and len(zb):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": [min(int(za[0]), int(zb[0]))],
+                            "doc_b": [max(int(za[0]), int(zb[0]))],
+                        }
+                    )
+                )
+        if len(ids_a) and len(ids_b):
+            ma = mat_a / np.maximum(na, 1e-300)[:, None]
+            mb = ma if same else mat_b / np.maximum(nb, 1e-300)[:, None]
+            sims = np.round(ma @ mb.T, 6)
+            ia, ib = np.nonzero(sims >= threshold)
+            lo = np.minimum(ids_a[ia], ids_b[ib])
+            hi = np.maximum(ids_a[ia], ids_b[ib])
+            keep = (ids_a[ia] < ids_b[ib]) if same else (lo < hi)
+            out.append(pd.DataFrame({"doc_a": lo[keep], "doc_b": hi[keep]}))
+        return pd.concat(out, ignore_index=True)
+
+    return both.groupBy("centroid_id", "blk_a", "blk_b").applyInPandas(
+        block_pairs, schema="doc_a long, doc_b long"
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.42,
     n_centroids: int = 16,
     seed: int = 42,
+    max_block_rows: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -522,10 +643,10 @@ def semantic_dedup(
     1. coarse-cluster with the build-once IVF quantizer
        (``_ivf_index`` — same registry, so a mixture job probing ANN
        and running semantic dedup trains KMeans once);
-    2. EXACT cosine pairs within each cluster: cluster grain is the
-       only shuffle key and each cluster is one float64 GEMM inside
-       ``applyInPandas`` — at 100 TB cluster size is controlled by
-       n_centroids (≈ n/k rows per task), the SemDeDup recipe;
+    2. EXACT cosine pairs within each cluster via block-pair
+       decomposition (``_semantic_cluster_pairs``): per-task memory is
+       bounded by ``max_block_rows`` regardless of cluster size, so a
+       hot cluster fans out to more tasks instead of OOMing one;
     3. pairs → star connected components (O(log d) rounds) → keep each
        component's min vec_id.
 
@@ -534,26 +655,10 @@ def semantic_dedup(
     across centroids is missed — the SemDeDup trade-off, quantified in
     the test against the exact all-pairs kernel). Seeded KMeans state →
     rows-only correctness with invariant tests."""
-    import pandas as pd
-
     from datalake_local_spark.llm import dedup as dedup_mod
 
     assigned, _centers = _ivf_index(embeddings, n_centroids, seed)
-
-    def cluster_pairs(key, pdf):
-        if len(pdf) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        ids = pdf["corpus_id"].to_numpy(dtype=np.int64)
-        mat = np.array(list(pdf["cvec"]), dtype=np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = np.round(mat @ mat.T, 6)
-        ia, ib = np.nonzero(sims >= threshold)
-        keep = ids[ia] < ids[ib]
-        return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]]})
-
-    pairs = assigned.groupBy("centroid_id").applyInPandas(
-        cluster_pairs, schema="doc_a long, doc_b long"
-    )
+    pairs = _semantic_cluster_pairs(assigned, threshold, max_block_rows)
     nodes = embeddings.select(F.col("vec_id").alias("doc_id"))
     comps = dedup_mod.duplicate_components(nodes, pairs=pairs, algorithm="star")
     return comps.select(

@@ -175,11 +175,12 @@ def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 
 def top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
     """Q15 shape: supplier(s) with maximum revenue in a quarter. The
-    'WHERE total = (SELECT max(...))' correlated form becomes a window max
-    over the aggregated (supplier-grain, tiny) relation — one shuffle for
-    the agg, a second over 100 rows, never a re-scan of lineitem."""
-    from pyspark.sql import Window as W
-
+    'WHERE total = (SELECT max(...))' correlated form becomes agg(max) +
+    broadcast cross-join over the supplier-grain aggregate: the scalar
+    max is a partial-aggregating reduce (map-side combine, no single-
+    partition funnel — supplier is SF-scaled, so an unpartitioned window
+    here would pull the whole relation through one task at 100 TB), and
+    lineitem is never re-scanned."""
     rev = (
         lineitem.filter(
             (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
@@ -187,9 +188,9 @@ def top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
     )
-    best = rev.withColumn("max_rev", F.max("total_revenue").over(W.partitionBy())).filter(
-        F.col("total_revenue") == F.col("max_rev")
-    )
+    best = rev.crossJoin(
+        F.broadcast(rev.agg(F.max("total_revenue").alias("max_rev")))
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
     # broadcast the max-revenue rows (≈1 row), not SF-scaled supplier
     return (
         supplier.join(F.broadcast(best), F.col("l_suppkey") == F.col("s_suppkey"))

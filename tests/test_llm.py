@@ -1129,3 +1129,118 @@ def test_audio_pcm_features_physics(tables):
         assert 0.45 <= r["peak"] <= 0.5 + 1e-6, r
         assert abs(r["dominant_freq_hz"] - f_true) <= bin_hz + 1e-6, r
         assert abs(r["zero_crossing_rate"] - 2 * f_true / 8000) < 0.01, r
+
+
+def _brute_cosine_pairs(rows, threshold):
+    """numpy oracle: all (a, b), a < b, cosine >= threshold (zero-norm
+    rows excluded — they carry no direction)."""
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[2] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    keep = nrm > 0
+    ids, mat = ids[keep], mat[keep] / nrm[keep][:, None]
+    sims = np.round(mat @ mat.T, 6)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= threshold:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_semantic_cluster_pairs_hot_cluster_bounded(spark):
+    """A planted hot cluster (>=80% of vectors on one centroid) must fan
+    out to block-pair tasks with bounded per-task rows, and the emitted
+    pair set must be EXACTLY the brute-force within-cluster cosine pairs
+    regardless of max_block_rows."""
+    import math
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(11)
+    rows = []
+    # 96 vectors in centroid 0 (hot), 24 spread over centroids 1-3
+    for i in range(120):
+        cid = 0 if i < 96 else 1 + (i % 3)
+        base = [0.0] * 8
+        base[cid] = 1.0
+        vec = [b + rng.uniform(-0.05, 0.05) for b in base]
+        rows.append((i, cid, vec))
+    assigned = spark.createDataFrame(
+        rows, "corpus_id long, centroid_id int, cvec array<double>"
+    )
+    thr = 0.9
+    # within-cluster brute force: pairs only form inside a centroid
+    expect = set()
+    for cid in {r[1] for r in rows}:
+        expect |= _brute_cosine_pairs([r for r in rows if r[1] == cid], thr)
+
+    results = {}
+    for cap in (7, 16, 10**6):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in similarity._semantic_cluster_pairs(assigned, thr, cap).collect()
+        }
+        results[cap] = got
+        assert got == expect, f"cap={cap}: {got ^ expect}"
+    # hot cluster really fans out: 96 rows / cap 16 -> 6 blocks, and with
+    # dense ids pmod keeps every block at <= cap rows (the per-task bound)
+    cap = 16
+    n_blk = math.ceil(96 / cap)
+    assert n_blk == 6
+    blk_counts = (
+        assigned.filter(SF.col("centroid_id") == 0)
+        .groupBy(SF.pmod(SF.col("corpus_id"), SF.lit(n_blk)).alias("blk"))
+        .count()
+        .collect()
+    )
+    assert len(blk_counts) == n_blk
+    assert max(r["count"] for r in blk_counts) <= cap
+
+
+def test_semantic_cluster_pairs_zero_norm_vectors(spark):
+    """Zero-norm embeddings must not NaN-poison the kernel: they join no
+    cosine pair but ARE merged with each other (one component of zero
+    vectors per cluster), even when split across blocks."""
+    rows = []
+    for i in range(20):
+        vec = [0.0] * 4
+        if i not in (3, 7, 11):  # three zero vectors
+            vec[i % 4] = 1.0
+            vec[(i + 1) % 4] = 0.9
+        rows.append((i, 0, vec))
+    assigned = spark.createDataFrame(
+        rows, "corpus_id long, centroid_id int, cvec array<double>"
+    )
+    pairs = similarity._semantic_cluster_pairs(assigned, 0.95, max_block_rows=6)
+    got = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert len(got) == len(set(got))  # unique edges
+    expect_cos = _brute_cosine_pairs(rows, 0.95)
+    zero_edges = {e for e in got if {3, 7, 11} & set(e)}
+    cos_edges = set(got) - zero_edges
+    assert cos_edges == expect_cos
+    # zero vectors connect ONLY to each other, into one component
+    assert zero_edges and all(set(e) <= {3, 7, 11} for e in zero_edges)
+    parent = {3: 3, 7: 7, 11: 11}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in zero_edges:
+        parent[find(max(a, b))] = find(min(a, b))
+    assert len({find(x) for x in (3, 7, 11)}) == 1
+
+
+def test_semantic_dedup_block_cap_invariant(tables):
+    """End-to-end: semantic_dedup output is identical whether clusters run
+    as one GEMM or as many block-pair tasks."""
+    emb = tables["embeddings"]
+    a = sorted(map(tuple, similarity.semantic_dedup(emb, max_block_rows=8).collect()))
+    b = sorted(map(tuple, similarity.semantic_dedup(emb).collect()))
+    assert a == b
