@@ -112,10 +112,14 @@ def _cached(key: tuple, builder) -> DataFrame:
     return _plan_cache[key]
 
 def _file_sig(uri: str):
-    """(uri, size, mtime_ns) identity for registry keys: the same file
-    NAME rewritten in place (same session) must MISS, not return a
+    """(uri, size, mtime_ns, tail) identity for registry keys: the same
+    file NAME rewritten in place (same session) must MISS, not return a
     persisted frame built on the old bytes. Local file:// URIs stat the
-    filesystem; remote schemes fall back to name-only identity (the
+    filesystem AND fold in the file's last 256 bytes (for parquet that is
+    the footer-metadata tail — column-chunk offsets and statistics, so a
+    same-size rewrite on a coarse-mtime filesystem (1 s ticks on some
+    network mounts) still changes the signature; heuristic, not a full
+    content hash). Remote schemes fall back to name-only identity (the
     documented immutable-input assumption — object stores are
     write-once-per-key in the landing layout this repo models)."""
     from urllib.parse import unquote, urlparse
@@ -124,12 +128,20 @@ def _file_sig(uri: str):
 
     p = urlparse(uri)
     if p.scheme in ("file", ""):
+        path = unquote(p.path) if p.scheme else uri
         try:
-            st = os.stat(unquote(p.path) if p.scheme else uri)
-            return (uri, st.st_size, st.st_mtime_ns)
+            st = os.stat(path)
         except OSError:
-            return (uri, None, None)
-    return (uri, None, None)
+            return (uri, None, None, None)
+        try:
+            with open(path, "rb") as f:
+                if st.st_size > 256:
+                    f.seek(-256, os.SEEK_END)
+                tail = f.read(256)
+        except OSError:
+            tail = None
+        return (uri, st.st_size, st.st_mtime_ns, tail)
+    return (uri, None, None, None)
 
 
 def source_signature(df: DataFrame) -> tuple:

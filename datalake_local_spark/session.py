@@ -14,6 +14,8 @@ partition coalescing / skew-join splitting re-tunes at runtime.
 from __future__ import annotations
 
 import os
+import threading
+import weakref
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -124,10 +126,14 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
 #: through ``load_tables``; without this each call re-reads 10 parquet
 #: footers (pyarrow schema probe for nanos columns), re-sets the session
 #: confs and re-registers 10 temp views — pure fixed overhead. Keyed by
-#: sf_dir with the owning session held in the entry: a hit requires the
-#: SAME live session object (temp views are per-session state), anything
-#: else rebuilds. Bounded by the number of distinct sf_dirs.
-_TABLES_MEMO: dict[str, tuple[SparkSession, dict[str, DataFrame]]] = {}
+#: sf_dir with the owning session held WEAKLY (the DataFrames in the
+#: value still pin the JVM session, so dead entries are also swept
+#: eagerly on every call): a hit requires the SAME live session object
+#: (temp views are per-session state), anything else rebuilds. Guarded
+#: by a lock — ``queries()`` callables may run from threads. Bounded by
+#: the number of distinct sf_dirs.
+_TABLES_MEMO: dict[str, tuple["weakref.ref[SparkSession]", dict[str, DataFrame]]] = {}
+_TABLES_MEMO_LOCK = threading.Lock()
 
 
 def _session_alive(spark: SparkSession) -> bool:
@@ -146,19 +152,32 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     Trino postgresql connector.
 
     Memoized per (session, sf_dir): repeat calls return the registered
-    dict without re-touching the filesystem. The testdata parquet is
-    immutable within a run; call ``load_tables_fresh`` if files were
-    rewritten in place.
+    dict without re-touching the filesystem (``configure`` is still
+    re-applied on every hit — conf-only, cheap — so session-conf drift
+    between calls is re-asserted). The testdata parquet is immutable
+    within a run; call ``load_tables_fresh`` if files were rewritten in
+    place.
     """
     key = os.path.abspath(sf_dir)
-    entry = _TABLES_MEMO.get(key)
-    if entry is not None:
-        owner, tables = entry
-        if owner is spark and _session_alive(spark):
-            return tables
-        _TABLES_MEMO.pop(key, None)
+    with _TABLES_MEMO_LOCK:
+        # eager sweep: entries whose owning session died keep JVM-backed
+        # DataFrames reachable — drop them regardless of which key hit
+        for k in [
+            k
+            for k, (ref, _) in _TABLES_MEMO.items()
+            if (owner := ref()) is None or not _session_alive(owner)
+        ]:
+            _TABLES_MEMO.pop(k, None)
+        entry = _TABLES_MEMO.get(key)
+        if entry is not None:
+            owner, tables = entry[0](), entry[1]
+            if owner is spark:
+                configure(spark)
+                return tables
+            _TABLES_MEMO.pop(key, None)
     tables = load_tables_fresh(spark, sf_dir)
-    _TABLES_MEMO[key] = (spark, tables)
+    with _TABLES_MEMO_LOCK:
+        _TABLES_MEMO[key] = (weakref.ref(spark), tables)
     return tables
 
 

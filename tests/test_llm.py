@@ -1244,3 +1244,21 @@ def test_semantic_dedup_block_cap_invariant(tables):
     a = sorted(map(tuple, similarity.semantic_dedup(emb, max_block_rows=8).collect()))
     b = sorted(map(tuple, similarity.semantic_dedup(emb).collect()))
     assert a == b
+
+
+def test_file_sig_detects_same_size_same_mtime_rewrite(tmp_path):
+    """Coarse-mtime filesystems (1 s ticks) can produce identical
+    (size, mtime_ns) for an in-place rewrite; the content-tail component
+    must still change the signature."""
+    import os
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"a" * 1000)
+    st = os.stat(p)
+    sig1 = dedup._file_sig(str(p))
+    p.write_bytes(b"a" * 999 + b"b")  # same size, different bytes
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))  # force same mtime_ns
+    sig2 = dedup._file_sig(str(p))
+    assert os.stat(p).st_mtime_ns == st.st_mtime_ns
+    assert sig1 != sig2
+    assert sig1[:3] == sig2[:3]  # only the content tail differs

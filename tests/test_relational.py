@@ -287,3 +287,22 @@ def test_rfm_segments_plan_has_no_window(tables):
     assert "Window" not in plan
     total = df.agg(F.sum("n_customers")).first()[0]
     assert total == tables["orders"].select("o_custkey").distinct().count()
+
+
+def test_load_tables_memo_hit_reasserts_conf_and_sweeps(spark):
+    """Memo hits must re-apply configure() (conf drift between calls is
+    re-asserted) and the memo must hold its owner weakly enough that a
+    foreign-session entry is replaced, not served."""
+    from datalake_local_spark import session as sess
+
+    t1 = sess.load_tables(spark, "/root/testdata/sf0.001")
+    # drift a conf configure() owns, then hit the memo: must be restored
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    t2 = sess.load_tables(spark, "/root/testdata/sf0.001")
+    assert t2 is t1
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # entries are weakly keyed on the owning session object
+    key = __import__("os").path.abspath("/root/testdata/sf0.001")
+    with sess._TABLES_MEMO_LOCK:
+        ref, _ = sess._TABLES_MEMO[key]
+    assert ref() is spark
