@@ -1402,14 +1402,20 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 20
         """,
         "text_tfidf_top_terms": f"""
-            WITH tf AS (
+            WITH scorable AS (
+                -- contract (matches tfidf_top_terms): NULL-text docs
+                -- carry no terms and count toward neither rankings nor N
+                SELECT * FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            ),
+            tf AS (
                 SELECT doc_id, token, count(*) AS tf FROM (
-                    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+                    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM scorable
                 ) GROUP BY 1, 2
             ),
             dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
             df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-            n AS (SELECT count(*) AS n_docs FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM scorable),
             scored AS (
                 SELECT t.doc_id, t.token,
                        round((CAST(t.tf AS DOUBLE) / d.dl)
@@ -1423,9 +1429,15 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "text_bm25_search": f"""
-            WITH tf_all AS (
+            WITH scorable AS (
+                -- contract (matches bm25_scores): NULL-text docs carry
+                -- no terms and count toward neither N nor avgdl
+                SELECT * FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            ),
+            tf_all AS (
                 SELECT doc_id, token, count(*) AS tf FROM (
-                    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+                    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM scorable
                 ) GROUP BY 1, 2
             ),
             dl AS (SELECT doc_id, sum(tf) AS dl FROM tf_all GROUP BY 1),
@@ -1438,7 +1450,7 @@ def oracle_sql() -> dict[str, str]:
             scalars AS (
                 SELECT CAST(count(*) AS DOUBLE) AS n_docs,
                        avg(CAST(len(string_split({_NORM}, ' ')) AS DOUBLE)) AS avgdl
-                FROM documents
+                FROM scorable
             )
             SELECT doc_id,
                    round(sum(log10(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))

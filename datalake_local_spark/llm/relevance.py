@@ -62,10 +62,19 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     pairs carries NO broadcast hint (web-scale vocab — AQE decides);
     ranking windows partition by doc_id, so no single-partition window
     anywhere.
+
+    Contract: documents with NULL text (or NULL doc_id) are excluded —
+    they carry no terms, so they count toward neither the rankings nor
+    the N/df/avgdl statistics (the explicit filter makes visible what
+    split/explode would otherwise do silently; on a dirty corpus this
+    keeps idf stable instead of depending on how many unparseable rows
+    survived ingestion).
     """
     from pyspark.sql import Window as W
 
-    tf = _term_freqs(documents.filter(F.col("doc_id").isNotNull()))
+    tf = _term_freqs(
+        documents.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
     w_dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     toks = tf.join(w_dl, "doc_id")
     df_tbl = tf.groupBy("token").agg(
@@ -119,11 +128,16 @@ def bm25_scores(
     tiny (≤ |terms|) table.
     """
     terms = [t.lower() for t in query_terms]
-    # explicit up-front null-key filter: the dl join infers
+    # explicit up-front null filters: the dl join infers
     # isnotnull(doc_id) on ITS branches, which would otherwise make them
     # canonically different from the df/avgdl aggregate branches and
-    # defeat exchange reuse (a null doc_id could never score anyway)
-    tf = _term_freqs(documents.filter(F.col("doc_id").isNotNull()))
+    # defeat exchange reuse (a null doc_id could never score anyway).
+    # NULL-text docs are likewise excluded BY CONTRACT from N and avgdl
+    # (same rationale as tfidf_top_terms: no terms → not a scorable
+    # document; explicit here instead of implicit in split/explode)
+    tf = _term_freqs(
+        documents.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
     w_dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     q_tf = tf.filter(F.col("token").isin(terms))
     toks = q_tf.join(w_dl, "doc_id")
