@@ -16,10 +16,53 @@ doc), which is the production 100 TB path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datalake_local_spark.llm.text import _norm_text, assign_pack_bins
+
+#: Target token volume per (source, shard) budget-prefix window when the
+#: shard count is DERIVED (``n_shards=None``): ~100 M tokens ≈ 400 MB of
+#: text per window partition — a comfortable single-task slice. The
+#: pinned default of 8 stays the registered-query value (the keep-set
+#: depends on shard ordering, so deriving would move oracle hashes).
+_SHARD_TOKEN_VOLUME = 100_000_000
+
+#: Bytes of parquet-compressed corpus per whitespace token, deliberately
+#: LOW (text ≈ 5 chars/token at ~2.5× zstd compression → ~2 bytes/token)
+#: so the file-size estimate over-fans rather than under-fans.
+_BYTES_PER_TOKEN_EST = 2
+
+
+def _derive_n_shards(
+    documents: DataFrame, shard_token_volume: int | None = None
+) -> int:
+    """Data-derived shard count for the budget prefix windows: total
+    backing-file bytes → token estimate → ``ceil(est / volume)``,
+    floored at the pinned default of 8. Driver-side file stats only (no
+    Spark job — the mixture stays one scan). Sizing assumes worst-case
+    source skew (ONE source could own every byte), which is exactly the
+    case the fixed 8 breaks at scale: a 10 TB source would push
+    ~1.25 TB through each of 8 per-(source, shard) prefix windows,
+    where the derived count keeps every window near
+    ``_SHARD_TOKEN_VOLUME``. In-memory frames (no backing files) keep
+    the default."""
+    vol = shard_token_volume or _SHARD_TOKEN_VOLUME
+    import os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for u in documents.inputFiles():
+        p = urlparse(u)
+        if p.scheme in ("file", ""):
+            try:
+                total += os.stat(unquote(p.path) if p.scheme else u).st_size
+            except OSError:
+                pass
+    est_tokens = total // _BYTES_PER_TOKEN_EST
+    return max(8, math.ceil(est_tokens / vol)) if est_tokens else 8
 
 
 def prepare_corpus(
@@ -182,7 +225,7 @@ def pretraining_mixture(
     default_rate: float = 0.5,
     default_budget: int = 1500,
     target_tokens: int = 512,
-    n_shards: int = 8,
+    n_shards: int | None = 8,
     near_dedup: bool = False,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -225,8 +268,20 @@ def pretraining_mixture(
     star-components stage as one more ledger flag (seeded hashes →
     rows-only correctness, so the REGISTERED oracle query runs with it
     off).
+
+    ``n_shards``: the budget ordering (shard_id, doc_id) makes the
+    keep-set shard-count-dependent, so the default 8 is PINNED for
+    oracle stability; pass ``n_shards=None`` to derive it from the
+    source's backing-file volume (``_derive_n_shards`` — the 100 TB
+    path, where a fixed 8 would funnel terabytes through each prefix
+    window).
     """
     from pyspark.sql import Window as W
+
+    if n_shards is None:
+        n_shards = _derive_n_shards(documents)
+    if stats is not None:
+        stats["n_shards"] = n_shards
 
     weights = weights if weights is not None else {"src0": 1.0, "src1": 0.25, "src2": 0.0}
     budgets = token_budgets if token_budgets is not None else {"src0": 10_000, "src1": 600}

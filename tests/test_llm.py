@@ -1262,3 +1262,43 @@ def test_file_sig_detects_same_size_same_mtime_rewrite(tmp_path):
     assert os.stat(p).st_mtime_ns == st.st_mtime_ns
     assert sig1 != sig2
     assert sig1[:3] == sig2[:3]  # only the content tail differs
+
+
+def test_pretraining_mixture_derived_shards_fan_out(spark, tmp_path, monkeypatch):
+    """n_shards=None derives the shard count from backing-file volume: a
+    skew-heavy source (one source owns ~all bytes) fans out beyond the
+    pinned 8, shard-independent audit columns are unchanged, and the
+    per-source token budget still holds."""
+    from datalake_local_spark.llm import pipeline
+
+    rows = [
+        (i, "src0" if i < 590 else "src1", (f"tok{i} word ") * 60)
+        for i in range(600)
+    ]
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(p)
+    docs = spark.read.parquet(p)
+    monkeypatch.setattr(pipeline, "_SHARD_TOKEN_VOLUME", 500)
+    stats_d: dict = {}
+    derived = {
+        r["source"]: r
+        for r in pipeline.pretraining_mixture(docs, n_shards=None, stats=stats_d).collect()
+    }
+    assert stats_d["n_shards"] > 8, stats_d
+    stats_8: dict = {}
+    default = {
+        r["source"]: r
+        for r in pipeline.pretraining_mixture(docs, stats=stats_8).collect()
+    }
+    assert stats_8["n_shards"] == 8
+    assert set(derived) == set(default)
+    for s, row in derived.items():
+        # sampling and dedup are shard-count-independent stages
+        for c in ("n_docs", "n_sampled", "n_deduped", "rate", "budget_tokens"):
+            assert row[c] == default[s][c], (s, c)
+        assert row["tokens_kept"] <= row["budget_tokens"]
+    # in-memory frames (no backing files) keep the pinned default
+    mem = spark.createDataFrame(rows[:20], "doc_id long, source string, text string")
+    assert pipeline._derive_n_shards(mem) == 8
