@@ -696,41 +696,60 @@ def test_tfidf_and_bm25_scale_shapes(tables):
     assert "token IN" in plan or "token#" in plan  # filter survived pushdown
 
 
-def test_tfidf_plan_single_scan(tables):
-    """TF-IDF tokenizes the corpus exactly ONCE (r5 paid four scans):
-    scoring branch, doc-length, df table and the N scalar all hang off
-    the same (doc, token, tf) aggregate via ReusedExchange."""
-    from datalake_local_spark.llm import relevance
-
-    df = relevance.tfidf_top_terms(tables["documents"])
+def _final_plan(df) -> str:
+    """Executed AQE plan string, final plan only (the '== Initial Plan =='
+    section repeats every node pre-reuse). Scan-count assertions below
+    use <= bounds (the regression guard: MORE scans is the bug) and
+    reuse assertions use >= (evidence the sharing mechanism fired);
+    node-name strings ('FileScan parquet', 'ReusedExchange') are the
+    Spark 4.1 spellings — revisit both on engine upgrade."""
     df.collect()
-    final = (
+    return (
         df._jdf.queryExecution()
         .executedPlan()
         .toString()
         .split("+- == Initial Plan ==")[0]
     )
-    assert final.count("FileScan parquet") == 1
-    assert final.count("ReusedExchange") == 3
+
+
+def test_tfidf_plan_single_scan(tables):
+    """TF-IDF tokenizes the corpus ONCE (r5 paid four scans): scoring
+    branch, doc-length, df table and the N scalar all hang off the same
+    (doc, token, tf) aggregate via ReusedExchange."""
+    from datalake_local_spark.llm import relevance
+
+    final = _final_plan(relevance.tfidf_top_terms(tables["documents"]))
+    assert final.count("FileScan parquet") <= 1
+    assert final.count("ReusedExchange") >= 3
 
 
 def test_bm25_plan_two_scans_with_reuse(tables):
     """Single-scan-per-branch BM25 (r5 scanned documents three times):
-    the executed AQE plan must read documents exactly twice — the full
+    the executed AQE plan reads documents at most twice — the full
     token aggregate (dl/avgdl) and the query-term-filtered branch — with
     both shared subtrees collapsing to ReusedExchange."""
     from datalake_local_spark.llm import relevance
 
-    bdf = relevance.bm25_scores(tables["documents"])
-    bdf.collect()
-    final = (
-        bdf._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-        .split("+- == Initial Plan ==")[0]
-    )
-    assert final.count("FileScan parquet") == 2
-    assert final.count("ReusedExchange") == 2
+    final = _final_plan(relevance.bm25_scores(tables["documents"]))
+    assert final.count("FileScan parquet") <= 2
+    assert final.count("ReusedExchange") >= 2
+
+
+def test_train_split_plan_single_scan(tables):
+    """pipeline_train_split is one ledger pass: assignment, per-source
+    audit and fractions all ride a single documents scan."""
+    from datalake_local_spark.llm import pipeline
+
+    final = _final_plan(pipeline.train_eval_split(tables["documents"]))
+    assert final.count("FileScan parquet") <= 1
+
+
+def test_corpus_qa_report_plan_scan_bound(tables):
+    """corpus_qa_report executes at most 5 documents scans (r6 fused the
+    pure-projection halves, 6 → 5); future edits must not silently
+    re-inflate the scan count."""
+    final = _final_plan(text.corpus_qa_report(tables["documents"]))
+    assert final.count("FileScan parquet") <= 5
 
 
 def test_pca_project_invariants(tables):
@@ -882,15 +901,8 @@ def test_pretraining_mixture_budget_and_stage_monotonicity(spark, tables):
     assert rows == rows2
     # ledger plan: ONE documents scan, shard-offset branch rides the
     # fingerprint exchange via ReusedExchange
-    mdf = llm_pipeline.pretraining_mixture(docs)
-    mdf.collect()
-    final = (
-        mdf._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-        .split("+- == Initial Plan ==")[0]
-    )
-    assert final.count("FileScan parquet") == 1
+    final = _final_plan(llm_pipeline.pretraining_mixture(docs))
+    assert final.count("FileScan parquet") <= 1
     assert final.count("ReusedExchange") >= 1
 
 
