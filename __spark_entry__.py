@@ -419,6 +419,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": lambda s, d: relevance.tfidf_top_terms(*_t(s, d, "documents")),
         "text_bm25_search": lambda s, d: relevance.bm25_scores(*_t(s, d, "documents")),
         "text_dup_ngrams": lambda s, d: text.duplicate_ngram_profile(*_t(s, d, "documents")),
+        "text_repetition_signals": lambda s, d: text.repetition_signals(*_t(s, d, "documents")),
         # PII redaction pass (emails/phones/IPs counted + masked; the
         # corpus carries no real PII, so a deterministic synthesizer
         # injects it — same fixture pattern as mm_audio_features)
@@ -1505,6 +1506,48 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                          / count(*), 6) AS dup_fraction
             FROM grams JOIN dfp USING (gram) GROUP BY 1
+        """,
+        "text_repetition_signals": f"""
+            WITH toked AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ),
+            tagged AS (
+                SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toked
+                UNION ALL
+                SELECT doc_id, 2 AS n, array_to_string(t[i:i+1], ' ') AS gram
+                FROM toked, unnest(generate_series(1, len(t) - 1)) AS g(i)
+                WHERE len(t) >= 2
+                UNION ALL
+                SELECT doc_id, 5 AS n, array_to_string(t[i:i+4], ' ') AS gram
+                FROM toked, unnest(generate_series(1, len(t) - 4)) AS g(i)
+                WHERE len(t) >= 5
+            ),
+            counts AS (
+                SELECT doc_id, n, gram, count(*) AS c FROM tagged GROUP BY 1, 2, 3
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       sum(CASE WHEN n = 1 THEN c END) AS n_tokens,
+                       count(DISTINCT CASE WHEN n = 1 THEN gram END) AS n_types,
+                       max(CASE WHEN n = 2 THEN c END) AS top2,
+                       sum(CASE WHEN n = 2 THEN c END) AS tot2,
+                       sum(CASE WHEN n = 5 AND c >= 2 THEN c END) AS dup5,
+                       sum(CASE WHEN n = 5 THEN c END) AS tot5
+                FROM counts GROUP BY 1
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(n_tokens AS BIGINT) AS n_tokens,
+                       round(1.0 - CAST(n_types AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+                       round(coalesce(CAST(top2 AS DOUBLE) / tot2, 0), 6) AS top_2gram_frac,
+                       round(coalesce(CAST(dup5 AS DOUBLE) / tot5, 0), 6) AS dup_5gram_frac,
+                       coalesce(top2, 0) AS top2
+                FROM per_doc
+            )
+            SELECT doc_id, n_tokens, dup_token_frac, top_2gram_frac, dup_5gram_frac,
+                   (dup_token_frac > 0.5 OR (top2 >= 2 AND top_2gram_frac > 0.2)
+                    OR dup_5gram_frac > 0.15) AS is_repetitive
+            FROM sig
         """,
         "dedup_incremental": f"""
             WITH fps AS (

@@ -788,3 +788,102 @@ def corpus_qa_report(documents: DataFrame) -> DataFrame:
         q.join(dup, "doc_id", "left")
         .join(lm, "doc_id")
     )
+
+
+def _word_ngrams(t, n: int):
+    """Word n-grams of a token array as strings; empty array for docs
+    shorter than n tokens (sequence(1, 0) is DESCENDING in Spark, so the
+    k >= 1 guard is load-bearing — same pattern as dedup._shingles)."""
+    k = F.size(t) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher", App. A1 — public arXiv paper), the standard pretraining
+    quality gate against loops, boilerplate and keyword stuffing, adapted
+    to token granularity:
+
+    * ``dup_token_frac``    1 − types/tokens (type-token repetition);
+    * ``top_2gram_frac``    occurrences of the doc's most frequent
+      2-gram over all its 2-grams (Gopher's "fraction in most frequent
+      n-gram", n=2);
+    * ``dup_5gram_frac``    fraction of 5-gram positions whose gram
+      repeats within the doc (Gopher's "fraction in duplicate n-grams",
+      n=5);
+    * ``is_repetitive``     any threshold tripped (0.5 / 0.2 / 0.15 —
+      Gopher's 2-gram and dup-n-gram cutoffs, token-level; the 2-gram
+      rule also requires the top bigram to occur ≥ 2 times, since a
+      short non-repeating doc trivially has fraction 1/#bigrams).
+
+    Docs too short for an n-gram family score 0 for it (nothing can
+    repeat), not NULL — the gate must not pass short docs by accident.
+
+    Scale shape: every signal is DOC-LOCAL. One documents scan, one
+    explode of a tagged (n, gram) union (1/2/5-grams built in the same
+    projection), aggregates keyed on (doc_id, n, gram) then (doc_id) —
+    the doc_id prefix makes hot boilerplate grams irrelevant (no
+    corpus-grain gram key anywhere, unlike duplicate_ngram_profile which
+    is the cross-doc complement). Thresholds compare the ROUNDED
+    fractions so the flag is bit-identical to the ANSI oracle."""
+    t = F.col("t")
+
+    # single-arg lambda factory: a two-parameter lambda would make
+    # F.transform pass the ARRAY INDEX as the second argument, silently
+    # shadowing the captured n
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = (
+        documents.select(
+            "doc_id", F.split(_norm_text(F.col("text")), " ").alias("t")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.concat(
+                    *[F.transform(_word_ngrams(t, n), _tag(n)) for n in (1, 2, 5)]
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = tagged.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("n_tokens"),
+        F.count_distinct(F.when(F.col("n") == 1, F.col("gram"))).alias("n_types"),
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("top2"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("tot2"),
+        F.sum(F.when((F.col("n") == 5) & (F.col("c") >= 2), F.col("c"))).alias("dup5"),
+        F.sum(F.when(F.col("n") == 5, F.col("c"))).alias("tot5"),
+    )
+    sig = per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.lit(1.0) - F.col("n_types") / F.col("n_tokens"), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("top2") / F.col("tot2"), F.lit(0.0)), 6
+        ).alias("top_2gram_frac"),
+        F.round(
+            F.coalesce(F.col("dup5") / F.col("tot5"), F.lit(0.0)), 6
+        ).alias("dup_5gram_frac"),
+        F.coalesce(F.col("top2"), F.lit(0)).alias("_top2"),
+    )
+    # the 2-gram rule additionally requires the top bigram to actually
+    # REPEAT: for a doc with t bigrams and no repetition the fraction is
+    # trivially 1/t, which exceeds any threshold on short docs
+    return sig.withColumn(
+        "is_repetitive",
+        (F.col("dup_token_frac") > 0.5)
+        | ((F.col("_top2") >= 2) & (F.col("top_2gram_frac") > 0.2))
+        | (F.col("dup_5gram_frac") > 0.15),
+    ).drop("_top2")

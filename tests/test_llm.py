@@ -1314,3 +1314,32 @@ def test_pretraining_mixture_derived_shards_fan_out(spark, tmp_path, monkeypatch
     # in-memory frames (no backing files) keep the pinned default
     mem = spark.createDataFrame(rows[:20], "doc_id long, source string, text string")
     assert pipeline._derive_n_shards(mem) == 8
+
+
+def test_repetition_signals_ground_truth(spark):
+    """Hand-computed Gopher signals: a loop doc trips every threshold, a
+    clean doc none; short docs score 0 for absent n-gram families."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 10),          # 20 tokens, 2 types
+            (2, "the quick brown fox jumps over a lazy dog tonight"),
+            (3, "one two"),                 # too short for 5-grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_signals(docs).collect()}
+    loop = rows[1]
+    assert loop["n_tokens"] == 20
+    assert loop["dup_token_frac"] == 0.9          # 1 - 2/20
+    # 19 bigrams: 'spam ham' x10, 'ham spam' x9 -> top 10/19
+    assert loop["top_2gram_frac"] == round(10 / 19, 6)
+    assert loop["dup_5gram_frac"] == 1.0          # every 5-gram repeats
+    assert loop["is_repetitive"]
+    clean = rows[2]
+    assert clean["dup_token_frac"] == 0.0
+    assert clean["top_2gram_frac"] == round(1 / 9, 6)
+    assert clean["dup_5gram_frac"] == 0.0
+    assert not clean["is_repetitive"]
+    short = rows[3]
+    assert short["n_tokens"] == 2 and short["dup_5gram_frac"] == 0.0
+    assert not short["is_repetitive"]
