@@ -118,6 +118,19 @@ def _q_streaming_static_enrich(spark, sf):
     return event_windows.run_streaming_static_enrich(spark, sf, query_name=name)
 
 
+def _q_streaming_semi_join(spark, sf):
+    name = f"stream_semi_{next(_stream_counter)}"
+    return event_windows.run_streaming_semi_join(spark, sf, query_name=name)
+
+
+def _q_streaming_outer_join(spark, sf):
+    """rows-only BY DESIGN: outer emission near the stream tail depends
+    on how far the final watermark advances (withheld, not wrong) — the
+    semi variant carries the hash oracle for this join family."""
+    name = f"stream_outer_{next(_stream_counter)}"
+    return event_windows.run_streaming_outer_join(spark, sf, query_name=name)
+
+
 def _q_merge_upsert(spark, sf):
     """MERGE: corrected rows (10% of keys, price uplift, status 'U') +
     brand-new rows (shifted keys), upserted into orders, then profiled."""
@@ -526,6 +539,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_counter": _q_streaming_stateful,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_stream_join": _q_streaming_stream_join,
+        "streaming_semi_join": _q_streaming_semi_join,
+        "streaming_outer_join": _q_streaming_outer_join,
         "streaming_static_enrich": _q_streaming_static_enrich,
         "streaming_sliding": _q_streaming_sliding,
         "streaming_foreachbatch_upsert": _q_streaming_fbu,
@@ -2530,6 +2545,16 @@ def oracle_sql() -> dict[str, str]:
              AND c.event_type = 'click' AND p.event_type = 'purchase'
              AND p.ts > c.ts
              AND p.ts <= c.ts + INTERVAL 60 MINUTES
+        """,
+        "streaming_semi_join": """
+            SELECT c.event_id AS click_id, c.user_id,
+                   CAST(c.ts AS TIMESTAMP) AS click_ts
+            FROM events c
+            WHERE c.event_type = 'click' AND EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTES
+            )
         """,
         "streaming_static_enrich": """
             SELECT c_mktsegment, event_type,

@@ -348,6 +348,125 @@ def run_streaming_dedup(
     return sub.table(query_name)
 
 
+def _click_purchase_streams(sub: SparkSession, sf_dir: str, watermark: str = "2 hours"):
+    """The two sides every stream-stream join variant shares: clicks and
+    purchases split from the events stream, each with its own event-time
+    watermark so join state expires."""
+
+    def _stream():
+        return _open_events_stream(sub, sf_dir)
+
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks, purchases
+
+
+def _interval_join_cond(within_minutes: int):
+    """Same-user purchase within the following ``within_minutes``. The
+    range condition must be direct timestamp-interval arithmetic so
+    Spark's unsupported-operation check recognizes it as an event-time
+    bound and can expire join state (micros-exact, same as the oracle)."""
+    return (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+
+
+def run_streaming_semi_join(
+    spark: SparkSession, sf_dir: str, within_minutes: int = 60, query_name: str = "stream_semi"
+) -> DataFrame:
+    """LEFT SEMI stream-stream join: clicks that CONVERTED (a same-user
+    purchase within the following hour) — the streaming form of funnel
+    step filtering. A semi join emits the left row as soon as its first
+    match arrives and never emits unmatched rows, so unlike outer joins
+    its availableNow result does not depend on how far the final
+    watermark advances past the stream tail: on static input it equals
+    the batch LEFT SEMI theta-join exactly → hash oracle. State: left
+    rows buffer only until matched or expired by the event-time bound;
+    same 4-partition two-store sizing as the inner variant."""
+    sub = _stream_session(spark, "4")
+    clicks, purchases = _click_purchase_streams(sub, sf_dir)
+    joined = clicks.join(
+        purchases, _interval_join_cond(within_minutes), "left_semi"
+    ).select("click_id", F.col("c_user").alias("user_id"), "click_ts")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+    return sub.table(query_name)
+
+
+def run_streaming_outer_join(
+    spark: SparkSession, sf_dir: str, within_minutes: int = 60, query_name: str = "stream_outer"
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, with its converting
+    purchase when one exists within the hour. Matched pairs emit like
+    the inner join; an UNMATCHED click emits with NULL purchase only
+    once the global watermark proves no match can still arrive — i.e.
+    when its state expires. Consequence on a finite stream: clicks in
+    the TAIL (within watermark delay + join interval of the final
+    watermark) stay in state when the query drains and are NOT emitted
+    as unmatched — outer results near the stream end are withheld, not
+    wrong (they'd emit when more data advanced the watermark). That
+    emission-timing dependence is why this query is registered
+    rows-only (the semi variant carries the hash oracle); the pytest
+    invariants pin it: matched rows ≡ the inner join, every emitted
+    NULL row is a true batch non-match, and every batch non-match older
+    than the tail horizon IS emitted."""
+    sub = _stream_session(spark, "4")
+    clicks, purchases = _click_purchase_streams(sub, sf_dir)
+    joined = clicks.join(
+        purchases, _interval_join_cond(within_minutes), "left_outer"
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+    return sub.table(query_name)
+
+
 def run_streaming_stream_join(
     spark: SparkSession, sf_dir: str, within_minutes: int = 60, query_name: str = "stream_join"
 ) -> DataFrame:
@@ -365,38 +484,9 @@ def run_streaming_stream_join(
     production scale size to join-state volume instead, and keep it
     stable under the checkpoint."""
     sub = _stream_session(spark, "4")
-
-    def _stream():
-        return _open_events_stream(sub, sf_dir)
-
-    clicks = (
-        _stream()
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "2 hours")
-    )
-    purchases = (
-        _stream()
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "2 hours")
-    )
-    # the range condition must be direct timestamp-interval arithmetic so
-    # Spark's unsupported-operation check recognizes it as an event-time
-    # bound and can expire join state (micros-exact, same as the oracle)
+    clicks, purchases = _click_purchase_streams(sub, sf_dir)
     joined = clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") > F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
+        purchases, _interval_join_cond(within_minutes)
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
     with tempfile.TemporaryDirectory() as ckpt:
         q = (

@@ -83,6 +83,62 @@ def test_streaming_stream_join_equals_batch_theta(spark, tables):
     assert out.exceptAll(batch).count() == 0
 
 
+def _batch_click_purchase(tables):
+    ev = tables["events"]
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("u"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    cond = (
+        (F.col("u") == F.col("pu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 60 MINUTES"))
+    )
+    return c, p, cond
+
+
+def test_streaming_semi_join_equals_batch_semi(spark, tables):
+    """LEFT SEMI stream-stream join has no unmatched-tail dependence:
+    availableNow on static input must equal the batch semi join exactly."""
+    out = event_windows.run_streaming_semi_join(spark, SF_DIR, query_name="t_ssemi_eq")
+    c, p, cond = _batch_click_purchase(tables)
+    batch = {r["click_id"] for r in c.join(p, cond, "left_semi").collect()}
+    got = {r["click_id"] for r in out.collect()}
+    assert got == batch and len(out.collect()) == len(got)  # no dup emissions
+
+
+def test_streaming_outer_join_invariants(spark, tables):
+    """LEFT OUTER stream-stream join: matched rows equal the inner join;
+    every emitted NULL row is a true batch non-match; every batch
+    non-match strictly older than the tail horizon (final watermark -
+    join interval) IS emitted; no click emitted twice."""
+    out = event_windows.run_streaming_outer_join(spark, SF_DIR, query_name="t_souter_eq").collect()
+    c, p, cond = _batch_click_purchase(tables)
+    inner = {(r["click_id"], r["purchase_id"]) for r in c.join(p, cond).collect()}
+    matched = {(r["click_id"], r["purchase_id"]) for r in out if r["converted"]}
+    assert matched == inner
+    batch_unmatched = {r["click_id"] for r in c.join(p, cond, "left_anti").collect()}
+    emitted_unmatched = {r["click_id"] for r in out if not r["converted"]}
+    assert emitted_unmatched <= batch_unmatched
+    # tail horizon: global watermark ends at min(side maxima) - 2h delay;
+    # a left row is evictable once click_ts + 60min < that watermark
+    import datetime
+
+    cmax = c.agg(F.max("cts")).collect()[0][0]
+    pmax = p.agg(F.max("pts")).collect()[0][0]
+    horizon = min(cmax, pmax) - datetime.timedelta(hours=2, minutes=60)
+    must_emit = {
+        r["click_id"]
+        for r in c.join(p, cond, "left_anti").collect()
+        if r["cts"] < horizon - datetime.timedelta(minutes=1)
+    }
+    assert must_emit <= emitted_unmatched
+    ids = [r["click_id"] for r in out]
+    assert len(ids) == len(set(ids))
+
+
 def test_streaming_static_enrich_equals_batch_join(spark, tables):
     """Stream-static join (stateless enrichment) under availableNow must
     equal the batch join+aggregate over the same files."""
