@@ -474,6 +474,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pandas_udaf_geomean": lambda s, d: grouped_pandas.geometric_mean_udaf(*_t(s, d, "orders")),
         "udtf_top_tokens": lambda s, d: grouped_pandas.top_tokens_udtf(*_t(s, d, "documents")),
         "sim_quantize_int8": lambda s, d: similarity.quantize_int8_profile(*_t(s, d, "embeddings")),
+        "sim_quantize_dim_minmax": lambda s, d: similarity.quantize_embeddings_int8(*_t(s, d, "embeddings")),
         # multimodal plumbing (north star)
         "mm_decode_metadata": lambda s, d: multimodal.decode_image_metadata(*_t(s, d, "documents")),
         "mm_payload_profile": lambda s, d: multimodal.payload_size_profile(*_t(s, d, "documents")),
@@ -2091,6 +2092,36 @@ def oracle_sql() -> dict[str, str]:
                          p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale))), 6) AS max_recon_err,
                    CAST(len(list_filter(qv, x -> x = 0)) AS INTEGER) AS n_zero_codes
             FROM q
+        """,
+        "sim_quantize_dim_minmax": """
+            WITH dims AS (
+                SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS g(i)
+            ),
+            stats AS (
+                SELECT pos, min(v) AS d_min, max(v) AS d_max FROM dims GROUP BY 1
+            ),
+            qd AS (
+                SELECT vec_id, v, d_min, d_max,
+                       CASE WHEN d_max > d_min THEN
+                           greatest(0.0, least(255.0,
+                               floor((v - d_min) / ((d_max - d_min) / 255.0) + 0.5)))
+                       ELSE 0.0 END AS q
+                FROM dims JOIN stats USING (pos)
+            ),
+            ed AS (
+                SELECT vec_id, q,
+                       CASE WHEN d_max > d_min THEN
+                           v - (d_min + q * ((d_max - d_min) / 255.0))
+                       ELSE 0.0 END AS err
+                FROM qd
+            )
+            SELECT vec_id, CAST(count(*) AS BIGINT) AS dim,
+                   round(sqrt(sum(err * err)), 6) AS l2_err,
+                   round(max(abs(err)), 6) AS linf_err,
+                   round(avg(q), 6) AS mean_q
+            FROM ed GROUP BY 1
         """,
         "pandas_grouped_zscore": """
             SELECT doc_id, lang,

@@ -883,3 +883,63 @@ def pca_project_flat(embeddings: DataFrame, k: int = 8) -> DataFrame:
             "component_value double, explained_variance double"
         ),
     )
+
+
+def quantize_embeddings_int8(embeddings: DataFrame, levels: int = 255) -> DataFrame:
+    """CORPUS-CALIBRATED scalar uint8 quantization profile (the FAISS
+    ScalarQuantizer QT_8bit design, public): per-DIMENSION min/max over
+    the whole corpus maps each value to ``q = floor((v - min_d) /
+    scale_d + 0.5)`` with ``scale_d = (max_d - min_d) / levels``,
+    clamped to [0, levels]. Complementary to ``quantize_int8_profile``
+    (per-VECTOR symmetric scale, no corpus pass): the trained-stats
+    variant here needs a calibration aggregate but preserves
+    between-vector magnitude information, which per-vector scaling
+    destroys — the variant an ANN store actually serves.
+
+    Emits the per-vector reconstruction profile (what a curator checks
+    before switching the store over): L2 and L∞ reconstruction error of
+    ``min_d + q·scale_d`` and the mean quant level. floor(x + 0.5) is
+    used instead of round() on BOTH engines — Spark rounds HALF_UP,
+    DuckDB half-even, so round() would diverge exactly at the .5 grid
+    points; floor(+0.5) is bit-identical. Constant dimensions
+    (max == min) quantize to 0 with zero error by definition.
+
+    Scale shape: posexplode to (vec, dim) grain; the per-dim stats
+    aggregate is dim-grain (64 rows — map-side combined, broadcast back
+    on pos), and the error re-aggregate shuffles on vec_id. No driver
+    collect, no UDF — pure JVM-side expressions."""
+    dims = embeddings.select(
+        "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
+    )
+    stats = dims.groupBy("pos").agg(
+        F.min("v").alias("d_min"), F.max("v").alias("d_max")
+    )
+    scale = (F.col("d_max") - F.col("d_min")) / F.lit(float(levels))
+    q = F.when(
+        F.col("d_max") > F.col("d_min"),
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(float(levels)),
+                F.floor((F.col("v") - F.col("d_min")) / scale + F.lit(0.5)),
+            ),
+        ),
+    ).otherwise(F.lit(0.0))
+    err = F.when(
+        F.col("d_max") > F.col("d_min"),
+        F.col("v") - (F.col("d_min") + F.col("q") * scale),
+    ).otherwise(F.lit(0.0))
+    quantized = (
+        dims.join(F.broadcast(stats), "pos")
+        .withColumn("q", q)
+        .withColumn("err", err)
+    )
+    return (
+        quantized.groupBy("vec_id")
+        .agg(
+            F.count("*").alias("dim"),
+            F.round(F.sqrt(F.sum(F.col("err") * F.col("err"))), 6).alias("l2_err"),
+            F.round(F.max(F.abs(F.col("err"))), 6).alias("linf_err"),
+            F.round(F.avg("q"), 6).alias("mean_q"),
+        )
+    )

@@ -1343,3 +1343,31 @@ def test_repetition_signals_ground_truth(spark):
     short = rows[3]
     assert short["n_tokens"] == 2 and short["dup_5gram_frac"] == 0.0
     assert not short["is_repetitive"]
+
+
+def test_quantize_dim_minmax_error_bound(spark, tables):
+    """Corpus-calibrated uint8 quantization: per-dim error is bounded by
+    scale_d/2, so linf_err <= max_d(scale_d)/2; constant dims quantize
+    exactly; q levels live in [0, 255]."""
+    emb = tables["embeddings"]
+    rows = similarity.quantize_embeddings_int8(emb).collect()
+    assert len(rows) == emb.count()
+    # recompute per-dim scales
+    dims = emb.select(
+        F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double"))).alias("pos", "v")
+    )
+    stats = dims.groupBy("pos").agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()
+    max_half_scale = max((r["hi"] - r["lo"]) / 255.0 for r in stats) / 2.0
+    for r in rows:
+        assert 0.0 <= r["mean_q"] <= 255.0
+        assert r["linf_err"] <= max_half_scale + 1e-9, r
+    # planted: one constant dimension + one spanning dimension
+    planted = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 255.0]), (3, [1.0, 128.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings_int8(planted).collect()}
+    # dim 0 constant -> zero error; dim 1 integers on the 0..255 grid ->
+    # exact reconstruction, so every vector is error-free
+    assert all(out[i]["l2_err"] == 0.0 and out[i]["linf_err"] == 0.0 for i in (1, 2, 3))
+    assert out[2]["mean_q"] == round((0 + 255) / 2.0, 6)
