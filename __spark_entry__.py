@@ -398,6 +398,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(*_t(s, d, "embeddings")),
         "sim_cosine_topk_vectorized": lambda s, d: similarity.cosine_topk_vectorized(*_t(s, d, "embeddings")),
         "sim_label_centroids": lambda s, d: similarity.embedding_centroids_by_label(*_t(s, d, "embeddings")),
+        "sim_range_search": lambda s, d: similarity.cosine_range_search(*_t(s, d, "embeddings")),
         # text analysis (north star)
         "text_token_stats": lambda s, d: text.token_stats(*_t(s, d, "documents")),
         "text_quality": lambda s, d: text.quality_scores(*_t(s, d, "documents")),
@@ -1117,6 +1118,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "sim_cosine_topk_vectorized": _COSINE_TOPK_ORACLE,
+        "sim_range_search": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ),
+            pairs AS (
+                SELECT q.query_id, e.vec_id AS corpus_id,
+                       round(
+                         list_sum(list_transform(list_zip(q.qe, e.embedding),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                         6) AS cosine
+                FROM q, embeddings e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, corpus_id, cosine FROM pairs WHERE cosine >= 0.2
+        """,
         "sim_label_centroids": """
             WITH per_dim AS (
                 SELECT label, pos, avg(CAST(v AS DOUBLE)) AS mean_v FROM (

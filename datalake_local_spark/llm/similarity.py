@@ -943,3 +943,42 @@ def quantize_embeddings_int8(embeddings: DataFrame, levels: int = 255) -> DataFr
             F.round(F.avg("q"), 6).alias("mean_q"),
         )
     )
+
+
+def cosine_range_search(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    radius: float = 0.2,
+) -> DataFrame:
+    """Radius (range) search: ALL corpus vectors with cosine >= radius
+    of each query — the set-semantics complement of top-k (top-k bounds
+    the answer count, range search bounds the similarity; it is the
+    query shape behind near-dup audits and recall evaluation, where 'how
+    many neighbors above τ' matters more than 'the best k').
+
+    Exact and windowless: the bounded query side broadcasts, one corpus
+    pass scores the pairs, and the radius predicate filters — no
+    ranking, no per-query window, no truncation parameter to tune. At
+    100 TB the same predicate runs against the IVF-bucketed layout
+    (probe pruning, same trade as cosine_topk_ivf); this exact form is
+    the oracle-checkable baseline. Same round(6) fold arithmetic as
+    cosine_topk_bruteforce → hash parity with the ANSI oracle."""
+    corpus = embeddings.select(
+        F.col("vec_id").alias("corpus_id"), _as_double(F.col("embedding")).alias("cvec")
+    )
+    queries = embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qvec")
+    )
+    pairs = corpus.join(F.broadcast(queries), F.col("corpus_id") != F.col("query_id"))
+    return (
+        pairs.select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= radius)
+    )
