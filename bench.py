@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     # mixture build (sampling → dedup → token budget → packing, one plan)
     "text_bm25_search",
     "pipeline_mixture_build",
+    # round-7: Gopher repetition gate (tagged one-explode union),
+    # left-semi stream-stream join (stateful engine path), corpus-
+    # calibrated quantization (dim-grain stats + vec-grain re-agg)
+    "text_repetition_signals",
+    "streaming_semi_join",
+    "sim_quantize_dim_minmax",
 ]
 
 

@@ -116,6 +116,24 @@ SHOWCASE = {
         "percentile SCALAR aggregates broadcast back; no global ntile() "
         "window, so the customer table never single-partitions."
     ),
+    "tpch_top_supplier": (
+        "Q15 global max (round 7): the 'WHERE total = (SELECT max(...))' "
+        "form is agg(max) + BroadcastExchange cross-join — no "
+        "unpartitioned window, so the SF-scaled supplier-grain aggregate "
+        "never funnels through one task just to find a scalar."
+    ),
+    "text_repetition_signals": (
+        "Gopher repetition gate (round 7): ONE documents scan; the "
+        "1/2/5-gram families ride a single tagged explode, and every "
+        "aggregate is keyed by doc_id — hot boilerplate grams cannot "
+        "concentrate because no corpus-grain gram key exists in the plan."
+    ),
+    "sim_quantize_dim_minmax": (
+        "Corpus-calibrated quantization (round 7): the per-dimension "
+        "min/max calibration is a 64-row partial-aggregated shuffle "
+        "broadcast back onto the (vec, dim) grain; the error profile "
+        "re-aggregates on vec_id. No driver collect, no UDF."
+    ),
 }
 
 SKEW_EPILOGUE = """
