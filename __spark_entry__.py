@@ -226,6 +226,7 @@ _CERTIFY_FIRST = [
     "streaming_outer_join",  # rows-only: tail emission is watermark-gated
     "sim_quantize_dim_minmax",  # corpus-calibrated uint8 quantization
     "sim_range_search",  # exact cosine radius query
+    "sim_ivf_partitioned_probe",  # rows-only: partition-pruned disk IVF
     # implementation / registry changed in round 7 — re-certify
     "tpch_top_supplier",  # global max now agg + broadcast cross-join
     "dedup_semantic",  # rows-only: per-cluster GEMM now block-bounded
@@ -273,7 +274,6 @@ _CERTIFY_FIRST = [
     "sim_label_centroids",
     # start of the r3 cohort; the rest rotates in round 8+
     "text_fingerprint",
-    "text_source_profile",
     # total = 50 (window cap)
 ]
 
@@ -415,6 +415,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_vectorized": lambda s, d: similarity.cosine_topk_vectorized(*_t(s, d, "embeddings")),
         "sim_label_centroids": lambda s, d: similarity.embedding_centroids_by_label(*_t(s, d, "embeddings")),
         "sim_range_search": lambda s, d: similarity.cosine_range_search(*_t(s, d, "embeddings")),
+        # rows-only BY DESIGN: KMeans state (seeded) has no ANSI oracle;
+        # equivalence to cosine_topk_ivf + partition pruning pinned in tests
+        "sim_ivf_partitioned_probe": lambda s, d: similarity.ivf_partitioned_probe(
+            *_t(s, d, "embeddings")
+        ),
         # text analysis (north star)
         "text_token_stats": lambda s, d: text.token_stats(*_t(s, d, "documents")),
         "text_quality": lambda s, d: text.quality_scores(*_t(s, d, "documents")),

@@ -982,3 +982,129 @@ def cosine_range_search(
         )
         .filter(F.col("cosine") >= radius)
     )
+
+
+def write_ivf_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> dict:
+    """Materialize the IVF index as a PARTITIONED parquet layout — the
+    on-disk form of the claim the in-memory path only documents: the
+    inverted lists ARE the partitioning column, so probing a centroid is
+    directory-level partition pruning, not a filter over a full scan.
+
+    Layout: ``path/lists/centroid_id=<c>/…`` (vec rows) and
+    ``path/centers/`` (one row per centroid with its vector — the tiny
+    broadcast artifact a prober needs before touching the lists).
+    Returns a manifest {n_centroids, n_vectors, dim}. Deterministic for
+    a fixed seed. At 100 TB the same two writes run unchanged; list
+    files are additionally sorted by vec_id within partitions so scans
+    are sequential."""
+    assigned, centers = _ivf_index(embeddings, n_centroids, seed)
+    (
+        assigned.repartition("centroid_id")
+        .sortWithinPartitions("corpus_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+    spark = embeddings.sparkSession
+    center_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centers)
+    ]
+    spark.createDataFrame(
+        center_rows, schema="centroid_id int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+    n_vectors = assigned.count()
+    dim = len(centers[0]) if len(centers) else 0
+    return {"n_centroids": int(len(centers)), "n_vectors": int(n_vectors), "dim": dim}
+
+
+def probe_ivf_partitioned(
+    spark,
+    path: str,
+    query_vecs: dict[int, list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a ``write_ivf_partitioned`` layout: rank centroids
+    driver-side against the tiny centers table, then read ONLY the
+    probed ``centroid_id=`` directories — the scan carries
+    ``PartitionFilters`` on the partition column, so unprobed lists are
+    never opened (asserted via input_file_name in tests). Exact cosine
+    re-rank of the candidates, per-query window top-k — identical
+    arithmetic to ``cosine_topk_ivf``, which the equivalence test pins."""
+    centers = {
+        r["centroid_id"]: np.array(r["center"], dtype=np.float64)
+        for r in spark.read.parquet(f"{path}/centers").collect()
+    }
+    probe_rows = []
+    for qid, vec in query_vecs.items():
+        qv = np.array(vec, dtype=np.float64)
+        d2 = {cid: float(((c - qv) ** 2).sum()) for cid, c in centers.items()}
+        for cid in sorted(d2, key=lambda c: (d2[c], c))[:nprobe]:
+            probe_rows.append((int(qid), int(cid), [float(x) for x in qv]))
+    probes = spark.createDataFrame(
+        probe_rows, schema="query_id long, centroid_id int, qvec array<double>"
+    )
+    probed_cids = sorted({r[1] for r in probe_rows})
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid_id").isin(probed_cids)
+    )
+    pairs = lists.join(
+        F.broadcast(probes),
+        (lists.centroid_id == probes.centroid_id)
+        & (F.col("corpus_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "corpus_id",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def ivf_partitioned_probe(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2),
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end disk-layout path: build the partitioned IVF index ONCE
+    per source dataset (write-once keyed on file signatures + params,
+    like the in-memory registries) under the system temp dir, then
+    answer the probe from the pruned parquet layout. Output is
+    deterministic and — because the quantizer, probes and re-rank
+    arithmetic are shared — identical to ``cosine_topk_ivf`` at equal
+    parameters (pinned in tests). Approximate → rows-only correctness."""
+    import hashlib
+    import os
+    import tempfile
+
+    from datalake_local_spark.llm.dedup import source_signature
+
+    spark = embeddings.sparkSession
+    src = source_signature(embeddings)
+    key = hashlib.md5(repr((src, n_centroids, seed)).encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    if not src or not os.path.exists(os.path.join(path, "centers")):
+        write_ivf_partitioned(embeddings, path, n_centroids, seed)
+    q_vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(F.col("vec_id").isin(list(query_ids)))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    return probe_ivf_partitioned(spark, path, q_vecs, k, nprobe)

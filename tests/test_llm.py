@@ -1371,3 +1371,50 @@ def test_quantize_dim_minmax_error_bound(spark, tables):
     # exact reconstruction, so every vector is error-free
     assert all(out[i]["l2_err"] == 0.0 and out[i]["linf_err"] == 0.0 for i in (1, 2, 3))
     assert out[2]["mean_q"] == round((0 + 255) / 2.0, 6)
+
+
+def test_ivf_partitioned_layout_prunes_and_matches(spark, tables, tmp_path):
+    """The on-disk IVF layout must (a) answer probes identically to the
+    in-memory cosine_topk_ivf at equal params, (b) physically read ONLY
+    the probed centroid_id= directories (partition pruning), and (c)
+    actually exclude something (unprobed lists exist on disk)."""
+    import os
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "ivf")
+    manifest = similarity.write_ivf_partitioned(emb, path)
+    assert manifest["n_vectors"] == emb.count() and manifest["dim"] == 64
+    dirs = {d for d in os.listdir(f"{path}/lists") if d.startswith("centroid_id=")}
+    assert len(dirs) > 4  # enough lists for pruning to mean something
+
+    q_vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    }
+    got = similarity.probe_ivf_partitioned(spark, path, q_vecs, k=5, nprobe=4)
+    want = similarity.cosine_topk_ivf(emb, (0, 1, 2), k=5, nprobe=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # physical pruning: the files actually opened by the probe scan all
+    # live under probed centroid_id= directories, and not all lists
+    probed = spark.read.parquet(f"{path}/centers")  # recompute probe set
+    import numpy as np
+
+    centers = {r["centroid_id"]: np.array(r["center"]) for r in probed.collect()}
+    probe_cids = set()
+    for qv in q_vecs.values():
+        d2 = {c: float(((v - np.array(qv)) ** 2).sum()) for c, v in centers.items()}
+        probe_cids |= set(sorted(d2, key=lambda c: (d2[c], c))[:4])
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid_id").isin(sorted(probe_cids))
+    )
+    files = {r[0] for r in lists.select(F.input_file_name()).distinct().collect()}
+    touched_dirs = {f.split("/lists/")[1].split("/")[0] for f in files}
+    assert touched_dirs == {f"centroid_id={c}" for c in probe_cids} & dirs
+    assert touched_dirs < dirs  # strictly fewer than all lists
+    plan = lists._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # registry wrapper: write-once + identical output
+    reg = similarity.ivf_partitioned_probe(emb)
+    assert sorted(map(tuple, reg.collect())) == sorted(map(tuple, want.collect()))
