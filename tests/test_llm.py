@@ -1418,3 +1418,48 @@ def test_ivf_partitioned_layout_prunes_and_matches(spark, tables, tmp_path):
     # registry wrapper: write-once + identical output
     reg = similarity.ivf_partitioned_probe(emb)
     assert sorted(map(tuple, reg.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_repetition_signals_random_reference(spark):
+    """Seeded random corpus vs a pure-Python reference implementation of
+    the Gopher signals — exact agreement on every column."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(99)
+    vocab = ["alpha", "beta", "gamma", "delta", "x"]
+    docs = []
+    for i in range(60):
+        n = rng.randint(1, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    def ref(text):
+        toks = text.lower().split()
+        c1, c2, c5 = Counter(toks), Counter(), Counter()
+        for j in range(len(toks) - 1):
+            c2[" ".join(toks[j:j + 2])] += 1
+        for j in range(len(toks) - 4):
+            c5[" ".join(toks[j:j + 5])] += 1
+        n_tok, tot2, tot5 = len(toks), sum(c2.values()), sum(c5.values())
+        top2 = max(c2.values()) if c2 else 0
+        dup5 = sum(v for v in c5.values() if v >= 2)
+        d = {
+            "n_tokens": n_tok,
+            "dup_token_frac": round(1.0 - len(c1) / n_tok, 6),
+            "top_2gram_frac": round(top2 / tot2, 6) if tot2 else 0.0,
+            "dup_5gram_frac": round(dup5 / tot5, 6) if tot5 else 0.0,
+        }
+        d["is_repetitive"] = (
+            d["dup_token_frac"] > 0.5
+            or (top2 >= 2 and d["top_2gram_frac"] > 0.2)
+            or d["dup_5gram_frac"] > 0.15
+        )
+        return d
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text.repetition_signals(df).collect()}
+    assert len(got) == len(docs)
+    for doc_id, t in docs:
+        want = ref(t)
+        have = {k: got[doc_id][k] for k in want}
+        assert have == want, (doc_id, t, have, want)
