@@ -227,6 +227,7 @@ _CERTIFY_FIRST = [
     "sim_quantize_dim_minmax",  # corpus-calibrated uint8 quantization
     "sim_range_search",  # exact cosine radius query
     "sim_ivf_partitioned_probe",  # rows-only: partition-pruned disk IVF
+    "dq_batch_drift",  # batch-over-batch drift gate (tall metric table)
     # implementation / registry changed in round 7 — re-certify
     "tpch_top_supplier",  # global max now agg + broadcast cross-join
     "dedup_semantic",  # rows-only: per-cluster GEMM now block-bounded
@@ -272,9 +273,7 @@ _CERTIFY_FIRST = [
     "sim_cosine_topk",
     "sim_cosine_topk_vectorized",
     "sim_label_centroids",
-    # start of the r3 cohort; the rest rotates in round 8+
-    "text_fingerprint",
-    # total = 50 (window cap)
+    # the r3 cohort rotates in round 8+; total = 50 (window cap)
 ]
 
 
@@ -296,6 +295,12 @@ def _dq_integrity(spark, sf):
     from datalake_local_spark.operators import quality
 
     return quality.integrity_report(*_t(spark, sf, "orders", "customer"))
+
+
+def _dq_batch_drift(spark, sf):
+    from datalake_local_spark.operators import quality
+
+    return quality.batch_drift_report(*_t(spark, sf, "documents"))
 
 
 def _q_recursive_spine(spark, sf):
@@ -479,6 +484,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *_t(s, d, "documents"), near_dedup=True
         ),
         "dq_orders_integrity": lambda s, d: _dq_integrity(s, d),
+        "dq_batch_drift": lambda s, d: _dq_batch_drift(s, d),
         "tpch_priority_late": lambda s, d: tpch.priority_late_count(*_t(s, d, "lineitem", "orders")),
         "tpch_product_profit": lambda s, d: tpch.product_profit(
             *_t(s, d, "lineitem", "orders", "supplier", "nation", "part")
@@ -1872,6 +1878,61 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(rev.revenue, 0.0) AS revenue,
                    coalesce(rev.n_orders, 0) AS n_orders
             FROM months LEFT JOIN rev ON CAST(months.m AS DATE) = rev.m
+        """,
+        "dq_batch_drift": f"""
+            WITH base AS (
+                SELECT (doc_id >= 250) AS is_new,
+                       CASE WHEN text IS NULL THEN 1 ELSE 0 END AS null_text,
+                       coalesce(n_chars, 0) AS n_chars,
+                       coalesce(len(string_split({_NORM}, ' ')), 0) AS n_tokens,
+                       lang
+                FROM documents
+            ),
+            scal AS (
+                SELECT sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS old_n,
+                       sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS new_n,
+                       sum(CASE WHEN NOT is_new THEN null_text ELSE 0 END) AS old_nulls,
+                       sum(CASE WHEN is_new THEN null_text ELSE 0 END) AS new_nulls,
+                       sum(CASE WHEN NOT is_new THEN n_chars ELSE 0 END) AS old_chars,
+                       sum(CASE WHEN is_new THEN n_chars ELSE 0 END) AS new_chars,
+                       sum(CASE WHEN NOT is_new THEN n_tokens ELSE 0 END) AS old_toks,
+                       sum(CASE WHEN is_new THEN n_tokens ELSE 0 END) AS new_toks
+                FROM base
+            ),
+            derived AS (
+                SELECT CAST(old_n AS DOUBLE) AS rc_o, CAST(new_n AS DOUBLE) AS rc_n,
+                       round(CAST(old_nulls AS DOUBLE) / old_n, 6) AS nr_o,
+                       round(CAST(new_nulls AS DOUBLE) / new_n, 6) AS nr_n,
+                       round(CAST(old_chars AS DOUBLE) / old_n, 6) AS mc_o,
+                       round(CAST(new_chars AS DOUBLE) / new_n, 6) AS mc_n,
+                       round(CAST(old_toks AS DOUBLE) / old_n, 6) AS mt_o,
+                       round(CAST(new_toks AS DOUBLE) / new_n, 6) AS mt_n
+                FROM scal
+            ),
+            scal_rows AS (
+                SELECT 'row_count' AS metric, rc_o AS old_value, rc_n AS new_value FROM derived
+                UNION ALL SELECT 'null_text_rate', nr_o, nr_n FROM derived
+                UNION ALL SELECT 'mean_n_chars', mc_o, mc_n FROM derived
+                UNION ALL SELECT 'mean_n_tokens', mt_o, mt_n FROM derived
+            ),
+            langs AS (
+                SELECT lang,
+                       sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS o,
+                       sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS n
+                FROM base GROUP BY 1
+            ),
+            lang_row AS (
+                SELECT 'lang_l1_distance' AS metric,
+                       CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS old_value,
+                       CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS new_value,
+                       round(sum(abs(CAST(o AS DOUBLE) / (SELECT old_n FROM scal)
+                                     - CAST(n AS DOUBLE) / (SELECT new_n FROM scal))), 6) AS delta
+                FROM langs
+            )
+            SELECT metric, old_value, new_value,
+                   round(new_value - old_value, 6) AS delta
+            FROM scal_rows
+            UNION ALL SELECT * FROM lang_row
         """,
         "dq_orders_integrity": """
             WITH one_pass AS (

@@ -56,3 +56,85 @@ def integrity_report(orders: DataFrame, customer: DataFrame) -> DataFrame:
             "'orphan_custkeys', orphan_custkeys)"
         ).alias("rule", "n_violations")
     ).withColumn("passed", F.col("n_violations") == 0)
+
+
+def batch_drift_report(documents: DataFrame, split: int = 250) -> DataFrame:
+    """Batch-over-batch drift report — the data-ops gate a pipeline runs
+    before admitting a new crawl batch into the corpus: compare the
+    incoming batch (doc_id >= split, the same convention as
+    dedup.incremental_dedup) against the existing corpus on volume,
+    nulls, length and language mix, and emit one row per metric so the
+    report is alert-rule-friendly (threshold per metric name).
+
+    Metrics: row_count, null_text_rate, mean_n_chars, mean_n_tokens
+    (old/new/delta each), and lang_l1_distance — the L1 distance between
+    the two language distributions (0 = identical mix, 2 = disjoint),
+    with old/new carrying each side's distinct language count.
+
+    Plan shape: a shared flagged base projection feeds one scalar
+    conditional aggregate (single row, both sides in one pass) and one
+    lang-grain aggregate (|langs| rows, full-outer'd against itself via
+    conditional sums — no join). Two scan branches over documents; both
+    aggregates are map-side combined; nothing is keyed hotter than
+    ``lang``. Deterministic → exact ANSI oracle."""
+    toks = F.size(F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "))
+    base = documents.select(
+        (F.col("doc_id") >= split).alias("is_new"),
+        F.col("text").isNull().cast("int").alias("null_text"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+        F.coalesce(toks, F.lit(0)).alias("n_tokens"),
+        "lang",
+    )
+
+    def _side(cond, col):
+        return F.sum(F.when(cond, col).otherwise(F.lit(0)))
+
+    old, new = ~F.col("is_new"), F.col("is_new")
+    scal = base.agg(
+        _side(old, F.lit(1)).alias("old_n"),
+        _side(new, F.lit(1)).alias("new_n"),
+        _side(old, F.col("null_text")).alias("old_nulls"),
+        _side(new, F.col("null_text")).alias("new_nulls"),
+        _side(old, F.col("n_chars")).alias("old_chars"),
+        _side(new, F.col("n_chars")).alias("new_chars"),
+        _side(old, F.col("n_tokens")).alias("old_toks"),
+        _side(new, F.col("n_tokens")).alias("new_toks"),
+    )
+    langs = base.groupBy("lang").agg(
+        _side(old, F.lit(1)).alias("o"), _side(new, F.lit(1)).alias("n")
+    )
+    lang_frac = langs.crossJoin(F.broadcast(scal.select("old_n", "new_n"))).select(
+        "o",
+        "n",
+        F.abs(F.col("o") / F.col("old_n") - F.col("n") / F.col("new_n")).alias("d"),
+    )
+    lang_row = lang_frac.agg(
+        F.lit("lang_l1_distance").alias("metric"),
+        F.sum(F.when(F.col("o") > 0, 1).otherwise(0)).cast("double").alias("old_value"),
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).cast("double").alias("new_value"),
+        F.round(F.sum("d"), 6).alias("delta"),
+    )
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    # the four scalar metrics unpivot from the ONE aggregate row via
+    # stack() — a union of per-metric selects would replay the aggregate
+    # subtree once per metric
+    derived = scal.select(
+        F.col("old_n").cast("double").alias("rc_o"),
+        F.col("new_n").cast("double").alias("rc_n"),
+        r6(F.col("old_nulls") / F.col("old_n")).alias("nr_o"),
+        r6(F.col("new_nulls") / F.col("new_n")).alias("nr_n"),
+        r6(F.col("old_chars") / F.col("old_n")).alias("mc_o"),
+        r6(F.col("new_chars") / F.col("new_n")).alias("mc_n"),
+        r6(F.col("old_toks") / F.col("old_n")).alias("mt_o"),
+        r6(F.col("new_toks") / F.col("new_n")).alias("mt_n"),
+    )
+    scal_rows = derived.select(
+        F.expr(
+            "stack(4, "
+            "'row_count', rc_o, rc_n, "
+            "'null_text_rate', nr_o, nr_n, "
+            "'mean_n_chars', mc_o, mc_n, "
+            "'mean_n_tokens', mt_o, mt_n) AS (metric, old_value, new_value)"
+        )
+    ).withColumn("delta", r6(F.col("new_value") - F.col("old_value")))
+    return scal_rows.unionByName(lang_row)

@@ -306,3 +306,30 @@ def test_load_tables_memo_hit_reasserts_conf_and_sweeps(spark):
     with sess._TABLES_MEMO_LOCK:
         ref, _ = sess._TABLES_MEMO[key]
     assert ref() is spark
+
+
+def test_batch_drift_report_ground_truth(spark):
+    """Hand-computed drift on a planted corpus: batch doubles mean chars,
+    drops a language, adds a new one, introduces nulls."""
+    from datalake_local_spark.operators import quality
+
+    rows = []
+    for i in range(10):  # old: lang en, 4 tokens, 20 chars
+        rows.append((i, "a b c d", "en", 20))
+    for i in range(10, 14):  # old: lang fr
+        rows.append((i, "e f", "fr", 20))
+    for i in range(250, 258):  # new: en only, 40 chars, one null text
+        rows.append((i, None if i == 257 else "w x y z", "en", 40))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    out = {r["metric"]: r for r in quality.batch_drift_report(docs).collect()}
+    assert out["row_count"]["old_value"] == 14.0 and out["row_count"]["new_value"] == 8.0
+    assert out["null_text_rate"]["new_value"] == 0.125
+    assert out["mean_n_chars"]["old_value"] == 20.0 and out["mean_n_chars"]["new_value"] == 40.0
+    assert out["mean_n_chars"]["delta"] == 20.0
+    # tokens: old = (10*4 + 4*2)/14; new = (7*4 + 0)/8  (null -> 0 tokens)
+    assert out["mean_n_tokens"]["old_value"] == round(48 / 14, 6)
+    assert out["mean_n_tokens"]["new_value"] == round(28 / 8, 6)
+    lang = out["lang_l1_distance"]
+    assert lang["old_value"] == 2.0 and lang["new_value"] == 1.0  # fr dropped
+    # L1 = |10/14 - 8/8| + |4/14 - 0|
+    assert lang["delta"] == round(abs(10 / 14 - 1.0) + 4 / 14, 6)
