@@ -790,20 +790,6 @@ def corpus_qa_report(documents: DataFrame) -> DataFrame:
     )
 
 
-def _word_ngrams(t, n: int):
-    """Word n-grams of a token array as strings; empty array for docs
-    shorter than n tokens (sequence(1, 0) is DESCENDING in Spark, so the
-    k >= 1 guard is load-bearing — same pattern as dedup._shingles)."""
-    k = F.size(t) - (n - 1)
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def repetition_signals(documents: DataFrame) -> DataFrame:
     """Gopher-style within-document repetition filters (Rae et al. 2021,
     "Scaling Language Models: Methods, Analysis & Insights from Training
@@ -827,13 +813,28 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     repeat), not NULL — the gate must not pass short docs by accident.
 
     Scale shape: every signal is DOC-LOCAL. One documents scan, one
-    explode of a tagged (n, gram) union (1/2/5-grams built in the same
-    projection), aggregates keyed on (doc_id, n, gram) then (doc_id) —
-    the doc_id prefix makes hot boilerplate grams irrelevant (no
-    corpus-grain gram key anywhere, unlike duplicate_ngram_profile which
-    is the cross-doc complement). Thresholds compare the ROUNDED
+    explode of a tagged (n, gram-hash) union (1/2/5-grams built in the
+    same projection), aggregates keyed on (doc_id, n, gram_h) then
+    (doc_id) — the doc_id prefix makes hot boilerplate grams irrelevant
+    (no corpus-grain gram key anywhere, unlike duplicate_ngram_profile
+    which is the cross-doc complement). Grams are hashed to xxhash64 of
+    the token SLICE before anything shuffles (same trick as
+    duplicate_ngram_profile: ~8 bytes per key instead of the gram
+    string; within-doc counts are collision-exact up to 2⁻⁶⁴, far below
+    any corpus-scale concern — and array hashing sidesteps the
+    concat-boundary ambiguity entirely). Thresholds compare the ROUNDED
     fractions so the flag is bit-identical to the ANSI oracle."""
     t = F.col("t")
+
+    def _gram_hashes(col, n: int):
+        k = F.size(col) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.xxhash64(F.slice(col, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
 
     # single-arg lambda factory: a two-parameter lambda would make
     # F.transform pass the ARRAY INDEX as the second argument, silently
@@ -849,7 +850,7 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
             "doc_id",
             F.explode(
                 F.concat(
-                    *[F.transform(_word_ngrams(t, n), _tag(n)) for n in (1, 2, 5)]
+                    *[F.transform(_gram_hashes(t, n), _tag(n)) for n in (1, 2, 5)]
                 )
             ).alias("g"),
         )
