@@ -228,6 +228,7 @@ _CERTIFY_FIRST = [
     "sim_range_search",  # exact cosine radius query
     "sim_ivf_partitioned_probe",  # rows-only: partition-pruned disk IVF
     "dq_batch_drift",  # batch-over-batch drift gate (tall metric table)
+    "mm_video_metadata",  # real MP4 box round-trip (symbolic oracle)
     # implementation / registry changed in round 7 — re-certify
     "tpch_top_supplier",  # global max now agg + broadcast cross-join
     "dedup_semantic",  # rows-only: per-cluster GEMM now block-bounded
@@ -272,8 +273,7 @@ _CERTIFY_FIRST = [
     "agg_equidepth_histogram",
     "sim_cosine_topk",
     "sim_cosine_topk_vectorized",
-    "sim_label_centroids",
-    # the r3 cohort rotates in round 8+; total = 50 (window cap)
+    # sim_label_centroids + the r3 cohort rotate in round 8+; total = 50
 ]
 
 
@@ -508,6 +508,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_payload_profile": lambda s, d: multimodal.payload_size_profile(*_t(s, d, "documents")),
         "mm_resize_metadata": lambda s, d: multimodal.resize_images(*_t(s, d, "documents")).drop("resized_payload"),
         "mm_decode_real_headers": lambda s, d: multimodal.decode_synthesized_real_headers(*_t(s, d, "documents")),
+        "mm_video_metadata": lambda s, d: multimodal.video_metadata(*_t(s, d, "documents")),
         "mm_frame_sample": lambda s, d: multimodal.sample_video_frames(*_t(s, d, "documents")).drop("frame_hash"),
         # rows-only (numpy FFT features have no ANSI oracle; DSP ground
         # truth asserted in test_audio_pcm_features_physics)
@@ -2267,6 +2268,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(octet_length(encode(text))), 4) AS avg_bytes,
                    CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
             FROM documents GROUP BY 1
+        """,
+        "mm_video_metadata": """
+            SELECT doc_id,
+                   'mp4' AS format,
+                   'isom' AS brand,
+                   CAST(600 AS INTEGER) AS timescale,
+                   CAST((5 + doc_id % 20) * 600 AS BIGINT) AS duration_ticks,
+                   CAST(5 + doc_id % 20 AS DOUBLE) AS duration_s,
+                   CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks
+            FROM documents
         """,
         "mm_decode_real_headers": """
             SELECT doc_id,

@@ -349,3 +349,140 @@ def audio_pcm_features(
             "zero_crossing_rate double, dominant_freq_hz double"
         ),
     )
+
+
+def synthesize_mp4_video(documents: DataFrame) -> DataFrame:
+    """Deterministic minimal-but-VALID MP4 container per document —
+    ftyp + moov(mvhd + n×trak(tkhd)) boxes with real big-endian box
+    framing (ISO/IEC 14496-12 base media format, public spec). Like
+    ``synthesize_pcm_audio``, the container math needs no codec, so the
+    byte-level path is fully real in this container; only the media
+    samples are absent (a header-only MP4 is exactly what a metadata
+    pass reads anyway — players call this a 'faststart' moov probe).
+    duration_s = 5 + doc_id % 20 at timescale 600; tracks = 1 + doc_id % 2."""
+    import struct
+
+    def _box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                timescale = 600
+                duration = (5 + int(doc_id) % 20) * timescale
+                n_tracks = 1 + int(doc_id) % 2
+                ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom")
+                mvhd = _box(
+                    b"mvhd",
+                    bytes(4)  # version 0 + flags
+                    + struct.pack(">II", 0, 0)  # creation/modification
+                    + struct.pack(">II", timescale, duration)
+                    + struct.pack(">I", 0x00010000)  # rate 1.0
+                    + struct.pack(">H", 0x0100)  # volume
+                    + bytes(10)
+                    + bytes(36)  # identity matrix slot (zeros fine for probe)
+                    + bytes(24)
+                    + struct.pack(">I", n_tracks + 1),  # next_track_id
+                )
+                traks = b""
+                for tid in range(1, n_tracks + 1):
+                    tkhd = _box(
+                        b"tkhd",
+                        bytes(4)
+                        + struct.pack(">II", 0, 0)
+                        + struct.pack(">I", tid)
+                        + bytes(4)
+                        + struct.pack(">I", duration)
+                        + bytes(60),
+                    )
+                    traks += _box(b"trak", tkhd)
+                payloads.append(ftyp + _box(b"moov", mvhd + traks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
+def parse_mp4_header(b: bytes) -> tuple:
+    """Walk the top-level MP4 box structure (stdlib struct, no codec):
+    brand from ftyp, timescale/duration from moov/mvhd (version 0 or 1),
+    track count from moov/trak children. Returns (format, brand,
+    timescale, duration_ticks, n_tracks); non-MP4 or truncated input →
+    ('unknown', None, None, None, None)."""
+    import struct
+
+    def walk(buf, off, end):
+        while off + 8 <= end:
+            size, btype = struct.unpack(">I4s", buf[off : off + 8])
+            if size < 8 or off + size > end:
+                return
+            yield btype, off + 8, off + size
+            off += size
+
+    try:
+        brand = timescale = duration = None
+        n_tracks = 0
+        saw_moov = False
+        for btype, body, bend in walk(b, 0, len(b)):
+            if btype == b"ftyp" and bend - body >= 4:
+                brand = b[body : body + 4].decode("ascii", "replace")
+            elif btype == b"moov":
+                saw_moov = True
+                for ctype, cbody, cend in walk(b, body, bend):
+                    if ctype == b"mvhd" and cend - cbody >= 4:
+                        version = b[cbody]
+                        if version == 0 and cend - cbody >= 20:
+                            timescale, duration = struct.unpack(
+                                ">II", b[cbody + 12 : cbody + 20]
+                            )
+                        elif version == 1 and cend - cbody >= 32:
+                            timescale = struct.unpack(">I", b[cbody + 20 : cbody + 24])[0]
+                            duration = struct.unpack(">Q", b[cbody + 24 : cbody + 32])[0]
+                    elif ctype == b"trak":
+                        n_tracks += 1
+        if not saw_moov or timescale is None:
+            return ("unknown", None, None, None, None)
+        return ("mp4", brand, int(timescale), int(duration), n_tracks)
+    except Exception:
+        return ("unknown", None, None, None, None)
+
+
+VIDEO_SCHEMA = (
+    "doc_id bigint, format string, brand string, timescale int, "
+    "duration_ticks bigint, duration_s double, n_tracks int"
+)
+
+
+def decode_video_real(videos: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched real MP4 header decode: binary column in, typed
+    metadata out — the video twin of ``decode_image_real`` (payload
+    bytes never shuffle; the kernel is map-only)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_mp4_header(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": [r[0] for r in rows],
+                    "brand": [r[1] for r in rows],
+                    "timescale": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "duration_ticks": pd.array([r[3] for r in rows], dtype="Int64"),
+                    "duration_s": [
+                        (r[3] / r[2]) if r[2] else None for r in rows
+                    ],
+                    "n_tracks": pd.array([r[4] for r in rows], dtype="Int32"),
+                }
+            )
+
+    return videos.mapInPandas(kernel, schema=VIDEO_SCHEMA)
+
+
+def video_metadata(documents: DataFrame) -> DataFrame:
+    """Synthesize → parse round-trip over real MP4 container bytes; the
+    output is a pure function of doc_id, so the DuckDB oracle recomputes
+    it symbolically — proving the box writer and the box walker agree
+    byte-for-byte (the audio-physics pattern applied to video)."""
+    return decode_video_real(synthesize_mp4_video(documents))

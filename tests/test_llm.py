@@ -1463,3 +1463,37 @@ def test_repetition_signals_random_reference(spark):
         want = ref(t)
         have = {k: got[doc_id][k] for k in want}
         assert have == want, (doc_id, t, have, want)
+
+
+def test_mp4_header_parser_handcrafted(spark):
+    """parse_mp4_header on handcrafted boxes: v0 and v1 mvhd layouts,
+    track counting, truncated/garbage inputs -> unknown."""
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd_v0 = box(
+        b"mvhd",
+        bytes(4) + struct.pack(">II", 0, 0) + struct.pack(">II", 1000, 7000) + bytes(80),
+    )
+    mvhd_v1 = box(
+        b"mvhd",
+        bytes([1]) + bytes(3) + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 90000) + struct.pack(">Q", 450000) + bytes(80),
+    )
+    trak = box(b"trak", box(b"tkhd", bytes(84)))
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42")
+    v0 = ftyp + box(b"moov", mvhd_v0 + trak + trak)
+    v1 = ftyp + box(b"moov", mvhd_v1 + trak)
+    assert multimodal.parse_mp4_header(v0) == ("mp4", "mp42", 1000, 7000, 2)
+    assert multimodal.parse_mp4_header(v1) == ("mp4", "mp42", 90000, 450000, 1)
+    assert multimodal.parse_mp4_header(b"not a video")[0] == "unknown"
+    assert multimodal.parse_mp4_header(v0[:20])[0] == "unknown"  # truncated
+    assert multimodal.parse_mp4_header(b"")[0] == "unknown"
+
+    # round-trip through the Spark kernel on a planted frame
+    df = spark.createDataFrame([(1, bytearray(v0)), (2, b"junk")], "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in multimodal.decode_video_real(df).collect()}
+    assert rows[1]["format"] == "mp4" and rows[1]["duration_s"] == 7.0 and rows[1]["n_tracks"] == 2
+    assert rows[2]["format"] == "unknown" and rows[2]["timescale"] is None
