@@ -229,6 +229,7 @@ _CERTIFY_FIRST = [
     "sim_ivf_partitioned_probe",  # rows-only: partition-pruned disk IVF
     "dq_batch_drift",  # batch-over-batch drift gate (tall metric table)
     "mm_video_metadata",  # real MP4 box round-trip (symbolic oracle)
+    "mm_audio_metadata",  # real RIFF/WAVE round-trip (symbolic oracle)
     # implementation / registry changed in round 7 — re-certify
     "tpch_top_supplier",  # global max now agg + broadcast cross-join
     "dedup_semantic",  # rows-only: per-cluster GEMM now block-bounded
@@ -272,8 +273,8 @@ _CERTIFY_FIRST = [
     "agg_histogram",
     "agg_equidepth_histogram",
     "sim_cosine_topk",
-    "sim_cosine_topk_vectorized",
-    # sim_label_centroids + the r3 cohort rotate in round 8+; total = 50
+    # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
+    # rotate in round 8+; total = 50 (window cap)
 ]
 
 
@@ -509,6 +510,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize_metadata": lambda s, d: multimodal.resize_images(*_t(s, d, "documents")).drop("resized_payload"),
         "mm_decode_real_headers": lambda s, d: multimodal.decode_synthesized_real_headers(*_t(s, d, "documents")),
         "mm_video_metadata": lambda s, d: multimodal.video_metadata(*_t(s, d, "documents")),
+        "mm_audio_metadata": lambda s, d: multimodal.audio_metadata(*_t(s, d, "documents")),
         "mm_frame_sample": lambda s, d: multimodal.sample_video_frames(*_t(s, d, "documents")).drop("frame_hash"),
         # rows-only (numpy FFT features have no ANSI oracle; DSP ground
         # truth asserted in test_audio_pcm_features_physics)
@@ -2268,6 +2270,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(octet_length(encode(text))), 4) AS avg_bytes,
                    CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
             FROM documents GROUP BY 1
+        """,
+        "mm_audio_metadata": """
+            SELECT doc_id,
+                   'wav' AS format,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(16 AS INTEGER) AS bits_per_sample,
+                   CAST(2000 + n_chars % 100 AS BIGINT) AS n_samples,
+                   CAST(2000 + n_chars % 100 AS DOUBLE) / 8000 AS duration_s
+            FROM documents
         """,
         "mm_video_metadata": """
             SELECT doc_id,

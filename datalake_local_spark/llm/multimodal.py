@@ -486,3 +486,104 @@ def video_metadata(documents: DataFrame) -> DataFrame:
     it symbolically — proving the box writer and the box walker agree
     byte-for-byte (the audio-physics pattern applied to video)."""
     return decode_video_real(synthesize_mp4_video(documents))
+
+
+def synthesize_wav_audio(documents: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Wrap the deterministic sine payloads of ``synthesize_pcm_audio``
+    in a real RIFF/WAVE container (fmt + data chunks, little-endian —
+    the public WAVE format): same audio math, now with the header a real
+    ingest pipeline actually sees. n_samples = sample_rate/4 +
+    n_chars % 100, mono PCM16."""
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                freq = 100.0 + (int(doc_id) % 32) * 25.0
+                n = sample_rate // 4 + (int(n_chars) % 100)
+                t = np.arange(n, dtype=np.float64) / sample_rate
+                pcm = (0.5 * np.sin(2 * np.pi * freq * t) * 32767.0).astype("<i2").tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
+def parse_wav_header(b: bytes) -> tuple:
+    """RIFF/WAVE chunk walk (stdlib struct): (format, n_channels,
+    sample_rate, bits_per_sample, n_samples) from the fmt and data
+    chunks; anything malformed → ('unknown', None, None, None, None)."""
+    import struct
+
+    try:
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return ("unknown", None, None, None, None)
+        off, end = 12, min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
+        channels = rate = bits = data_len = None
+        while off + 8 <= end:
+            ctype = b[off : off + 4]
+            clen = struct.unpack("<I", b[off + 4 : off + 8])[0]
+            if off + 8 + clen > len(b):
+                break
+            if ctype == b"fmt " and clen >= 16:
+                _fmt, channels, rate, _bps, block, bits = struct.unpack(
+                    "<HHIIHH", b[off + 8 : off + 24]
+                )
+            elif ctype == b"data":
+                data_len = clen
+            off += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if channels is None or data_len is None:
+            return ("unknown", None, None, None, None)
+        n_samples = data_len // (channels * max(bits // 8, 1))
+        return ("wav", int(channels), int(rate), int(bits), int(n_samples))
+    except Exception:
+        return ("unknown", None, None, None, None)
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, format string, n_channels int, sample_rate int, "
+    "bits_per_sample int, n_samples bigint, duration_s double"
+)
+
+
+def decode_audio_real(audio: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched real WAV header decode — the audio twin of
+    ``decode_image_real``/``decode_video_real`` (map-only, payload bytes
+    never shuffle)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_wav_header(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": [r[0] for r in rows],
+                    "n_channels": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "sample_rate": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "bits_per_sample": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "n_samples": pd.array([r[4] for r in rows], dtype="Int64"),
+                    "duration_s": [
+                        (r[4] / r[2]) if r[2] else None for r in rows
+                    ],
+                }
+            )
+
+    return audio.mapInPandas(kernel, schema=AUDIO_META_SCHEMA)
+
+
+def audio_metadata(documents: DataFrame) -> DataFrame:
+    """Synthesize → parse round-trip over real RIFF/WAVE bytes; output
+    is a pure function of (doc_id, n_chars) → symbolic DuckDB oracle
+    (the mm_video_metadata pattern for audio containers)."""
+    return decode_audio_real(synthesize_wav_audio(documents))

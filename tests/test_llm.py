@@ -1497,3 +1497,32 @@ def test_mp4_header_parser_handcrafted(spark):
     rows = {r["doc_id"]: r for r in multimodal.decode_video_real(df).collect()}
     assert rows[1]["format"] == "mp4" and rows[1]["duration_s"] == 7.0 and rows[1]["n_tracks"] == 2
     assert rows[2]["format"] == "unknown" and rows[2]["timescale"] is None
+
+
+def test_wav_header_parser_handcrafted(spark):
+    """parse_wav_header on handcrafted RIFF chunks: stereo 44.1k/24-bit,
+    odd-length chunk word alignment, junk chunk skipping, garbage."""
+    import struct
+
+    def wav(channels, rate, bits, data, extra=b""):
+        fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * bits // 8, channels * bits // 8, bits)
+        body = (b"WAVE" + extra
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    stereo = wav(2, 44100, 24, bytes(6 * 100))  # 100 stereo 24-bit frames
+    assert multimodal.parse_wav_header(stereo) == ("wav", 2, 44100, 24, 100)
+    # a LIST chunk with odd length before fmt: walker must word-align
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    with_junk = wav(1, 8000, 16, bytes(32), extra=junk)
+    assert multimodal.parse_wav_header(with_junk) == ("wav", 1, 8000, 16, 16)
+    assert multimodal.parse_wav_header(b"RIFFxxxxAVI ")[0] == "unknown"
+    assert multimodal.parse_wav_header(b"")[0] == "unknown"
+
+    # synthesized round-trip agrees with the DSP physics inputs
+    docs = spark.createDataFrame([(3, 57)], "doc_id long, n_chars long")
+    row = multimodal.audio_metadata(docs).collect()[0]
+    assert (row["format"], row["n_channels"], row["sample_rate"], row["bits_per_sample"]) == ("wav", 1, 8000, 16)
+    assert row["n_samples"] == 2000 + 57 % 100
