@@ -71,11 +71,14 @@ def batch_drift_report(documents: DataFrame, split: int = 250) -> DataFrame:
     the two language distributions (0 = identical mix, 2 = disjoint),
     with old/new carrying each side's distinct language count.
 
-    Plan shape: a shared flagged base projection feeds one scalar
-    conditional aggregate (single row, both sides in one pass) and one
-    lang-grain aggregate (|langs| rows, full-outer'd against itself via
-    conditional sums — no join). Two scan branches over documents; both
-    aggregates are map-side combined; nothing is keyed hotter than
+    Plan shape: ONE pass over documents — every measure is first
+    aggregated at ``lang`` grain (conditional sums per side, map-side
+    combined), and the corpus-level scalars RE-aggregate that tiny
+    lang-grain table, so the two consumers (scalar metric rows and the
+    language-distance row) share the same exchange instead of
+    re-scanning the corpus per branch (the round-6 ReuseExchange
+    discipline applied at aggregation altitude: re-aggregate the
+    aggregate, don't re-read the base). Nothing is keyed hotter than
     ``lang``. Deterministic → exact ANSI oracle."""
     toks = F.size(F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "))
     base = documents.select(
@@ -90,18 +93,26 @@ def batch_drift_report(documents: DataFrame, split: int = 250) -> DataFrame:
         return F.sum(F.when(cond, col).otherwise(F.lit(0)))
 
     old, new = ~F.col("is_new"), F.col("is_new")
-    scal = base.agg(
-        _side(old, F.lit(1)).alias("old_n"),
-        _side(new, F.lit(1)).alias("new_n"),
-        _side(old, F.col("null_text")).alias("old_nulls"),
-        _side(new, F.col("null_text")).alias("new_nulls"),
-        _side(old, F.col("n_chars")).alias("old_chars"),
-        _side(new, F.col("n_chars")).alias("new_chars"),
-        _side(old, F.col("n_tokens")).alias("old_toks"),
-        _side(new, F.col("n_tokens")).alias("new_toks"),
-    )
     langs = base.groupBy("lang").agg(
-        _side(old, F.lit(1)).alias("o"), _side(new, F.lit(1)).alias("n")
+        _side(old, F.lit(1)).alias("o"),
+        _side(new, F.lit(1)).alias("n"),
+        _side(old, F.col("null_text")).alias("o_nulls"),
+        _side(new, F.col("null_text")).alias("n_nulls"),
+        _side(old, F.col("n_chars")).alias("o_chars"),
+        _side(new, F.col("n_chars")).alias("n_chars"),
+        _side(old, F.col("n_tokens")).alias("o_toks"),
+        _side(new, F.col("n_tokens")).alias("n_toks"),
+    )
+    # corpus scalars re-aggregate the lang-grain table (|langs| rows)
+    scal = langs.agg(
+        F.sum("o").alias("old_n"),
+        F.sum("n").alias("new_n"),
+        F.sum("o_nulls").alias("old_nulls"),
+        F.sum("n_nulls").alias("new_nulls"),
+        F.sum("o_chars").alias("old_chars"),
+        F.sum("n_chars").alias("new_chars"),
+        F.sum("o_toks").alias("old_toks"),
+        F.sum("n_toks").alias("new_toks"),
     )
     lang_frac = langs.crossJoin(F.broadcast(scal.select("old_n", "new_n"))).select(
         "o",

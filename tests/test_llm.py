@@ -1526,3 +1526,14 @@ def test_wav_header_parser_handcrafted(spark):
     row = multimodal.audio_metadata(docs).collect()[0]
     assert (row["format"], row["n_channels"], row["sample_rate"], row["bits_per_sample"]) == ("wav", 1, 8000, 16)
     assert row["n_samples"] == 2000 + 57 % 100
+
+
+def test_batch_drift_plan_scan_bound(tables):
+    """dq_batch_drift: scalars re-aggregate the lang-grain table, so the
+    executed plan reads documents at most twice with the lang exchange
+    reused (was 3 scans when scalars aggregated the base directly)."""
+    from datalake_local_spark.operators import quality
+
+    final = _final_plan(quality.batch_drift_report(tables["documents"]))
+    assert final.count("FileScan parquet") <= 2
+    assert final.count("ReusedExchange") >= 1
