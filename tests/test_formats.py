@@ -152,3 +152,63 @@ def test_multi_format_roundtrip_orc_json_csv(spark, tmp_path):
     df.write.option("header", "true").csv(csv)
     back = spark.read.option("header", "true").csv(csv, schema="id long, s string, v double")
     assert {(r["id"], r["s"], r["v"]) for r in back.collect()} == expected
+
+
+def test_bucketed_join_plans_without_pre_join_shuffle(spark, tables):
+    """Co-bucketed orders/lineitem join: the executed plan must read the
+    bucketed scans directly into the SortMergeJoin with NO exchange on
+    either join side (the only exchange in the query is the final
+    groupBy), and must match the plain-parquet join's results."""
+    from datalake_local_spark.operators import bucketing
+
+    bucketing.write_bucketed(tables["orders"], "b_orders", "o_orderkey", 8)
+    bucketing.write_bucketed(tables["lineitem"], "b_lineitem", "l_orderkey", 8)
+    # at sf0.001 AQE would BROADCAST the small side (also a fine plan);
+    # disable it here because the property under test is the
+    # shuffle-free SMJ that the bucketing buys at fact×fact scale
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        df = bucketing.bucketed_order_revenue(spark, "b_orders", "b_lineitem")
+        rows = {r["o_orderpriority"]: (r["revenue"], r["n_items"]) for r in df.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    final = (
+        df._jdf.queryExecution().executedPlan().toString().split("+- == Initial Plan ==")[0]
+    )
+    assert "SortMergeJoin" in final
+    assert "SelectedBucketsCount" in final  # bucket pruning metadata present
+    # exactly ONE hash exchange: the post-join groupBy; the join sides
+    # read buckets directly (this is the whole point of the layout)
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+    from pyspark.sql import functions as F
+
+    plain = (
+        tables["orders"].select("o_orderkey", "o_orderpriority")
+        .join(
+            tables["lineitem"].select(
+                "l_orderkey",
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"), F.count("*").alias("n_items"))
+    )
+    want = {r["o_orderpriority"]: (r["revenue"], r["n_items"]) for r in plain.collect()}
+    assert rows == want
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
