@@ -864,3 +864,69 @@ def incremental_exact_dedup(documents: DataFrame, split_doc_id: int = 250) -> Da
             .alias("status"),
         )
     )
+
+
+def write_band_index(
+    documents: DataFrame,
+    table: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    n_buckets: int = 8,
+) -> None:
+    """Materialize the MinHash BAND table as a catalog table BUCKETED on
+    the candidate join's keys — the layout SCALE.md promises for
+    repeated dedup runs ('write the signature table bucketed by
+    band_hash so repeated runs skip the shuffle'). Rows are
+    (doc_id, band_id, band_hash), bucketed on BOTH (band_id, band_hash):
+    bucket columns must equal the join's equi-key set for the scan
+    partitioning to satisfy the join requirement (bucketing on
+    band_hash alone still forced a full re-shuffle). The candidate
+    self-join over the persisted table then needs no shuffle on either
+    side (asserted in tests)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    (
+        banded.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "band_id", "band_hash")
+        .saveAsTable(table)
+    )
+
+
+def candidates_from_band_index(spark, table: str) -> DataFrame:
+    """LSH candidate pairs from a persisted ``write_band_index`` table:
+    the (band_id, band_hash) self-join reads the bucket files pairwise
+    — zero pre-join exchanges in the executed plan, so a recurring
+    dedup job pays a scan, not a shuffle, per run. Pairs are candidates
+    (exact-Jaccard verification still applies downstream, exactly as in
+    ``minhash_lsh_candidates`` step 4)."""
+    banded = spark.table(table)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -1537,3 +1537,45 @@ def test_batch_drift_plan_scan_bound(tables):
     final = _final_plan(quality.batch_drift_report(tables["documents"]))
     assert final.count("FileScan parquet") <= 2
     assert final.count("ReusedExchange") >= 1
+
+
+def test_band_index_bucketed_self_join_no_shuffle(spark, tables):
+    """The persisted band index: candidate pairs from the bucketed
+    catalog table equal the in-plan LSH candidate set, and the self-join
+    reads buckets directly — no exchange below the join (the recurring-
+    dedup layout SCALE.md promises)."""
+    from datalake_local_spark.llm import dedup as dd
+
+    docs = tables["documents"]
+    dd.write_band_index(docs, "b_bands")
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        cand = dd.candidates_from_band_index(spark, "b_bands")
+        got = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+        final = (
+            cand._jdf.queryExecution().executedPlan().toString()
+            .split("+- == Initial Plan ==")[0]
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "SortMergeJoin" in final and "SelectedBucketsCount" in final
+    # the ONLY exchange is the dropDuplicates above the join; both join
+    # inputs come straight off the bucketed files
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+    # parity with the in-plan path: same candidate universe (the
+    # verified minhash_lsh_candidates output is a subset after Jaccard)
+    verified = {
+        (r["doc_a"], r["doc_b"]) for r in dd.minhash_lsh_candidates(docs).collect()
+    }
+    assert verified <= got
+    spark.sql("DROP TABLE IF EXISTS b_bands")
