@@ -230,6 +230,7 @@ _CERTIFY_FIRST = [
     "dq_batch_drift",  # batch-over-batch drift gate (tall metric table)
     "mm_video_metadata",  # real MP4 box round-trip (symbolic oracle)
     "mm_audio_metadata",  # real RIFF/WAVE round-trip (symbolic oracle)
+    "events_interpolate_hourly",  # gap-fill linear interpolation, e6 fixed-point
     # implementation / registry changed in round 7 — re-certify
     "tpch_top_supplier",  # global max now agg + broadcast cross-join
     "dedup_semantic",  # rows-only: per-cluster GEMM now block-bounded
@@ -270,11 +271,10 @@ _CERTIFY_FIRST = [
     "scalar_bitwise_funcs",
     "calendar_spine_daily",
     "agg_statistics",
-    "agg_histogram",
     "agg_equidepth_histogram",
     "sim_cosine_topk",
-    # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
-    # rotate in round 8+; total = 50 (window cap)
+    # agg_histogram, sim_cosine_topk_vectorized, sim_label_centroids +
+    # the r3 cohort rotate in round 8+; total = 50 (window cap)
 ]
 
 
@@ -377,6 +377,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": lambda s, d: windows.running_revenue_per_customer(*_t(s, d, "orders")),
         "window_topk_per_group": lambda s, d: windows.top_k_orders_per_customer(*_t(s, d, "orders")),
         "window_relative": lambda s, d: windows.relative_value_per_user(*_t(s, d, "events")),
+        "events_interpolate_hourly": lambda s, d: windows.interpolate_hourly(*_t(s, d, "events")),
         # set ops / sort / limit
         "setop_intersect": lambda s, d: setops.customers_active_both_years(*_t(s, d, "orders")),
         "setop_except": lambda s, d: setops.customers_active_only_first_year(*_t(s, d, "orders")),
@@ -2517,6 +2518,53 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 4) AS value_min,
                    round(max(value), 4) AS value_max
             FROM events GROUP BY 1, 2
+        """,
+        "events_interpolate_hourly": """
+            WITH hourly AS (
+                SELECT event_type AS series,
+                       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                       count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+                FROM events GROUP BY 1, 2
+            ),
+            obs AS (
+                SELECT series, hour,
+                       (sum_cents * 200 + n) // (2 * n) AS avg_e4
+                FROM hourly
+            ),
+            spine AS (
+                SELECT series,
+                       unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+                FROM (SELECT series, min(hour) AS h0, max(hour) AS h1
+                      FROM obs GROUP BY 1)
+            ),
+            grid AS (
+                SELECT s.series, s.hour, o.avg_e4
+                FROM spine s LEFT JOIN obs o USING (series, hour)
+            ),
+            filled AS (
+                SELECT series, hour, avg_e4,
+                       last_value(avg_e4 IGNORE NULLS) OVER back AS pv,
+                       last_value(CASE WHEN avg_e4 IS NOT NULL THEN hour END IGNORE NULLS)
+                           OVER back AS ph,
+                       first_value(avg_e4 IGNORE NULLS) OVER fwd AS nv,
+                       first_value(CASE WHEN avg_e4 IS NOT NULL THEN hour END IGNORE NULLS)
+                           OVER fwd AS nh
+                FROM grid
+                WINDOW back AS (PARTITION BY series ORDER BY hour
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       fwd AS (PARTITION BY series ORDER BY hour
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT series, hour, (avg_e4 IS NOT NULL) AS observed,
+                   CAST(CASE WHEN avg_e4 IS NOT NULL THEN avg_e4 * 100
+                             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                                 ((pv * CAST(epoch(nh) - epoch(hour) AS BIGINT)
+                                   + nv * CAST(epoch(hour) - epoch(ph) AS BIGINT)) * 200
+                                  + CAST(epoch(nh) - epoch(ph) AS BIGINT))
+                                 // (2 * CAST(epoch(nh) - epoch(ph) AS BIGINT))
+                        END AS BIGINT) / 1000000.0 AS value
+            FROM filled
         """,
         "semantic_cube_request": """
             SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,

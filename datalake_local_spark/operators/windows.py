@@ -108,3 +108,88 @@ def relative_value_per_user(events: DataFrame) -> DataFrame:
             6,
         ).alias("value_relative"),
     )
+
+
+def interpolate_hourly(events: DataFrame) -> DataFrame:
+    """Time-series gap fill with LINEAR interpolation: per event_type, an
+    hourly grid between the series' first and last hour; hours with
+    observations carry their exact fixed-point average (the _AVG_E4
+    cents discipline from ``semantic.ohlcv_daily`` — float averaging
+    diverges between engines at decimal ties), and empty hours
+    interpolate linearly between the nearest observed hours on both
+    sides (edge gaps stay NULL rather than extrapolate).
+
+    Shapes: the observed aggregate is (type, hour) grain; the grid is
+    built with sequence() from each type's min/max (one tiny per-type
+    row exploded — never a driver loop); the fill uses two
+    ignoreNulls window passes (last_value backward, first_value
+    forward) partitioned BY TYPE — at 100 TB a single series' grid is
+    bounded by hours-per-year × years, so the per-type window partition
+    is small by construction even when the events table is not.
+    Interpolation arithmetic is a single deterministic expression over
+    exact inputs (integer e4 values and epoch seconds) → hash oracle."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        events.select(
+            F.col("event_type").alias("series"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            cents.alias("cents"),
+        )
+        .groupBy("series", "hour")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+        .select(
+            "series",
+            "hour",
+            F.expr("(sum_cents * 200 + n) div (2 * n)").alias("avg_e4"),
+        )
+    )
+    spine = (
+        hourly.groupBy("series")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "series",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    grid = spine.join(hourly, ["series", "hour"], "left")
+    w = W.partitionBy("series").orderBy("hour")
+    prev_v = F.last("avg_e4", ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    prev_h = F.last(F.when(F.col("avg_e4").isNotNull(), F.col("hour")), ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    next_v = F.first("avg_e4", ignorenulls=True).over(
+        w.rowsBetween(0, W.unboundedFollowing)
+    )
+    next_h = F.first(F.when(F.col("avg_e4").isNotNull(), F.col("hour")), ignorenulls=True).over(
+        w.rowsBetween(0, W.unboundedFollowing)
+    )
+    staged = grid.select(
+        "series",
+        "hour",
+        "avg_e4",
+        prev_v.alias("pv"),
+        next_v.alias("nv"),
+        (F.unix_timestamp(F.col("hour")) - F.unix_timestamp(prev_h)).alias("k"),
+        (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)).alias("m"),
+    )
+    # exact BIGINT fixed-point (half-up at e6): float interpolation would
+    # tie at the 6th decimal for rational fractions like k/m = 1/200 and
+    # Spark/DuckDB disagree on tie direction; integer arithmetic is
+    # engine-independent by construction (nonnegative values only —
+    # Spark div truncates, DuckDB // floors)
+    value_e6 = F.when(F.col("avg_e4").isNotNull(), F.col("avg_e4") * 100).otherwise(
+        F.when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.expr("((pv * (m - k) + nv * k) * 200 + m) div (2 * m)"),
+        )
+    )
+    return staged.select(
+        "series",
+        "hour",
+        F.col("avg_e4").isNotNull().alias("observed"),
+        (value_e6 / 1000000.0).alias("value"),
+    )

@@ -333,3 +333,28 @@ def test_batch_drift_report_ground_truth(spark):
     assert lang["old_value"] == 2.0 and lang["new_value"] == 1.0  # fr dropped
     # L1 = |10/14 - 8/8| + |4/14 - 0|
     assert lang["delta"] == round(abs(10 / 14 - 1.0) + 4 / 14, 6)
+
+
+def test_interpolate_hourly_ground_truth(spark):
+    """Planted series: observed hours keep their exact average, interior
+    gaps interpolate linearly (exact fixed-point), edge gaps stay NULL,
+    and the grid spans exactly [first, last] observed hour."""
+    from datetime import datetime
+
+    from datalake_local_spark.operators import windows as win
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 1, "A", 10.0),
+        (2, datetime(2024, 1, 1, 0, 45), 1, "A", 20.0),  # hour 0 avg 15.0
+        (3, datetime(2024, 1, 1, 4, 10), 1, "A", 35.0),  # hours 1-3 gap
+        (4, datetime(2024, 1, 1, 2, 0), 1, "B", 7.0),    # single point
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {(r["series"], r["hour"].hour): r for r in win.interpolate_hourly(ev).collect()}
+    a = [out[("A", h)] for h in range(5)]
+    assert [r["observed"] for r in a] == [True, False, False, False, True]
+    assert [r["value"] for r in a] == [15.0, 20.0, 25.0, 30.0, 35.0]
+    assert len([k for k in out if k[0] == "B"]) == 1
+    assert out[("B", 2)]["value"] == 7.0 and out[("B", 2)]["observed"]
