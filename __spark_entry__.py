@@ -231,6 +231,7 @@ _CERTIFY_FIRST = [
     "mm_video_metadata",  # real MP4 box round-trip (symbolic oracle)
     "mm_audio_metadata",  # real RIFF/WAVE round-trip (symbolic oracle)
     "events_interpolate_hourly",  # gap-fill linear interpolation, e6 fixed-point
+    "pipeline_decontaminate",  # eval-suite scrub audit (per-source)
     # implementation / registry changed in round 7 — re-certify
     "tpch_top_supplier",  # global max now agg + broadcast cross-join
     "dedup_semantic",  # rows-only: per-cluster GEMM now block-bounded
@@ -271,10 +272,9 @@ _CERTIFY_FIRST = [
     "scalar_bitwise_funcs",
     "calendar_spine_daily",
     "agg_statistics",
-    "agg_equidepth_histogram",
     "sim_cosine_topk",
-    # agg_histogram, sim_cosine_topk_vectorized, sim_label_centroids +
-    # the r3 cohort rotate in round 8+; total = 50 (window cap)
+    # agg_histogram, agg_equidepth_histogram, sim_cosine_topk_vectorized,
+    # sim_label_centroids + the r3 cohort rotate in round 8+; total = 50
 ]
 
 
@@ -442,6 +442,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interactive": _q_sql_interactive,
         "sql_recursive_spine": _q_recursive_spine,
         "pipeline_corpus_prep": lambda s, d: llm_pipeline.prepare_corpus(*_t(s, d, "documents")),
+        "pipeline_decontaminate": lambda s, d: llm_pipeline.decontaminate_corpus(*_t(s, d, "documents")),
         "pipeline_weighted_sample": lambda s, d: llm_pipeline.weighted_source_sample(
             *_t(s, d, "documents")
         ),
@@ -2073,6 +2074,39 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_suppkey) AS supplier_cnt
             FROM kept JOIN part ON l_partkey = p_partkey
             GROUP BY 1, 2, 3
+        """,
+        "pipeline_decontaminate": f"""
+            WITH d AS (
+                SELECT doc_id, source, string_split({_NORM}, ' ') AS toks FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(generate_series(1, len(toks) - 7),
+                              i -> array_to_string(toks[i:i+7], ' '))) AS gram
+                FROM d WHERE len(toks) >= 8
+            ),
+            bench AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id IN (0, 1, 2, 3, 4)
+            ),
+            hits AS (
+                SELECT g.doc_id, count(*) AS n
+                FROM grams g JOIN bench b ON g.gram = b.gram
+                GROUP BY 1
+            ),
+            flagged AS (
+                SELECT d.doc_id, d.source, len(d.toks) AS n_tokens,
+                       coalesce(h.n, 0) > 0 AS is_contaminated,
+                       d.doc_id IN (0, 1, 2, 3, 4) AS is_benchmark
+                FROM d LEFT JOIN hits h USING (doc_id)
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN is_benchmark THEN 1 ELSE 0 END) AS BIGINT) AS n_benchmark,
+                   CAST(sum(CASE WHEN is_contaminated AND NOT is_benchmark THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+                   CAST(sum(CASE WHEN NOT is_benchmark AND NOT is_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN NOT is_benchmark AND NOT is_contaminated
+                            THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+            FROM flagged GROUP BY 1
         """,
         "text_contamination": f"""
             WITH d AS (

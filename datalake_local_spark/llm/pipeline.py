@@ -511,3 +511,43 @@ def write_corpus_shards(
         )
         .orderBy("shard_id")
     )
+
+
+def decontaminate_corpus(
+    documents: DataFrame,
+    benchmark_ids: tuple = (0, 1, 2, 3, 4),
+    n: int = 8,
+) -> DataFrame:
+    """The decontamination PASS (the consumer of
+    ``text.benchmark_contamination``'s per-doc flags): drop benchmark
+    members and every document sharing an n-gram with them, and emit
+    the per-source audit a pipeline owes its caller — (source, n_docs,
+    n_benchmark, n_contaminated, n_kept, tokens_kept). This is the
+    GPT-3-style eval-suite scrub (n=13 there, n=8 here for the short
+    synthetic docs) run before mixture building.
+
+    Plan: the flags frame is doc-grain (one corpus scan + a broadcast
+    benchmark-gram semi-join inside benchmark_contamination); the audit
+    joins it back on doc_id and aggregates at source grain — no new
+    shuffle key hotter than source."""
+    from datalake_local_spark.llm.text import benchmark_contamination
+
+    flags = benchmark_contamination(documents, benchmark_ids, n)
+    base = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_tokens"),
+    )
+    joined = base.join(flags, "doc_id")
+    kept = (~F.col("is_benchmark")) & (~F.col("is_contaminated"))
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("is_benchmark").cast("long")).alias("n_benchmark"),
+        F.sum(
+            (F.col("is_contaminated") & ~F.col("is_benchmark")).cast("long")
+        ).alias("n_contaminated"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "tokens_kept"
+        ),
+    )

@@ -1579,3 +1579,22 @@ def test_band_index_bucketed_self_join_no_shuffle(spark, tables):
     }
     assert verified <= got
     spark.sql("DROP TABLE IF EXISTS b_bands")
+
+
+def test_decontaminate_audit_conserves(tables):
+    """Decontamination audit: per-source partitions conserve (benchmark +
+    contaminated + kept == docs), benchmark docs never count as kept,
+    and the flags agree with benchmark_contamination's doc grain."""
+    from datalake_local_spark.llm import pipeline as pl
+
+    docs = tables["documents"]
+    audit = pl.decontaminate_corpus(docs).collect()
+    assert sum(r["n_docs"] for r in audit) == docs.count()
+    for r in audit:
+        assert r["n_benchmark"] + r["n_contaminated"] + r["n_kept"] == r["n_docs"]
+        assert r["tokens_kept"] >= r["n_kept"]  # every kept doc has >= 1 token
+    flags = text.benchmark_contamination(docs).collect()
+    n_bench = sum(1 for f in flags if f["is_benchmark"])
+    n_cont = sum(1 for f in flags if f["is_contaminated"] and not f["is_benchmark"])
+    assert sum(r["n_benchmark"] for r in audit) == n_bench
+    assert sum(r["n_contaminated"] for r in audit) == n_cont
