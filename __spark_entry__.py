@@ -232,6 +232,7 @@ _CERTIFY_FIRST = [
     "mm_audio_metadata",  # real RIFF/WAVE round-trip (symbolic oracle)
     "events_interpolate_hourly",  # gap-fill linear interpolation, e6 fixed-point
     "pipeline_decontaminate",  # eval-suite scrub audit (per-source)
+    "text_encoding_quality",  # mojibake/control/U+FFFD gate (injector fixture)
     # implementation / registry changed in round 7 — re-certify
     "tpch_top_supplier",  # global max now agg + broadcast cross-join
     "dedup_semantic",  # rows-only: per-cluster GEMM now block-bounded
@@ -271,10 +272,10 @@ _CERTIFY_FIRST = [
     "scalar_math_funcs",
     "scalar_bitwise_funcs",
     "calendar_spine_daily",
-    "agg_statistics",
     "sim_cosine_topk",
-    # agg_histogram, agg_equidepth_histogram, sim_cosine_topk_vectorized,
-    # sim_label_centroids + the r3 cohort rotate in round 8+; total = 50
+    # agg_statistics, agg_histogram, agg_equidepth_histogram,
+    # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
+    # rotate in round 8+; total = 50 (window cap)
 ]
 
 
@@ -467,6 +468,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus carries no real PII, so a deterministic synthesizer
         # injects it — same fixture pattern as mm_audio_features)
         "text_pii_scrub": lambda s, d: text.pii_scrub(*_t(s, d, "documents")),
+        "text_encoding_quality": lambda s, d: text.encoding_quality(*_t(s, d, "documents")),
         "text_zipf_profile": lambda s, d: text.zipf_profile(*_t(s, d, "documents")),
         "text_langid_confusion": lambda s, d: text.langid_confusion(*_t(s, d, "documents")),
         "text_corpus_qa_report": lambda s, d: text.corpus_qa_report(*_t(s, d, "documents")),
@@ -1729,6 +1731,41 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l.jaccard), 6) AS sum_jaccard
             FROM labeled l JOIN nd USING (source_a, source_b)
             GROUP BY 1, 2, nd.n_cross_docs
+        """,
+        "text_encoding_quality": r"""
+            WITH injected AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 15 = 0
+                            THEN t2 || ' log' || chr(7) || chr(27) || 'end'
+                            ELSE t2 END AS text
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN doc_id % 9 = 0
+                                THEN t1 || ' ' || repeat(chr(65533), doc_id % 3 + 1)
+                                ELSE t1 END AS t2
+                    FROM (
+                        SELECT doc_id,
+                               CASE WHEN doc_id % 6 = 0
+                                    THEN text || ' caf' || chr(195) || chr(169)
+                                         || ' d' || chr(195) || chr(169) || 'j'
+                                         || chr(195) || chr(160)
+                                    ELSE text END AS t1
+                        FROM documents
+                    )
+                )
+            ),
+            scored AS (
+                SELECT doc_id,
+                       len(text) AS n_chars,
+                       CAST(len(text) - len(replace(text, chr(65533), '')) AS INTEGER) AS n_replacement,
+                       CAST(len(regexp_extract_all(text,
+                            '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS INTEGER) AS n_control,
+                       CAST(len(text) - len(replace(text, chr(195), '')) AS INTEGER) AS n_mojibake
+                FROM injected
+            )
+            SELECT *, (n_replacement > 0 OR n_control > 0
+                       OR CAST(n_mojibake AS DOUBLE) / greatest(n_chars, 1) > 0.002) AS is_suspect
+            FROM scored
         """,
         "text_pii_scrub": r"""
             WITH injected AS (

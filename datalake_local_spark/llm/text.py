@@ -888,3 +888,58 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
         | ((F.col("_top2") >= 2) & (F.col("top_2gram_frac") > 0.2))
         | (F.col("dup_5gram_frac") > 0.15),
     ).drop("_top2")
+
+
+def synthesize_encoding_noise(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) with deterministic encoding junk appended — the
+    fixture pattern of ``synthesize_pii_text``: the synthetic corpus is
+    clean UTF-8, so the encoding-quality gate gets a reproducible
+    workload. Every 6th doc gains a latin-1-mangled token ('caf\u00c3\u00a9' —
+    UTF-8 read as latin-1), every 9th 1 + doc_id % 3 replacement
+    characters (U+FFFD), every 15th a BEL + ESC control pair. Pure
+    string expressions, engine-portable."""
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 6 == 0, F.concat(t, F.lit(" caf\u00c3\u00a9 d\u00c3\u00a9j\u00c3\u00a0"))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(
+            t, F.lit(" "), F.expr("repeat('\ufffd', CAST(doc_id % 3 + 1 AS INT))")
+        ),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 15 == 0, F.concat(t, F.lit(" log\x07\x1bend"))
+    ).otherwise(t)
+    return documents.select("doc_id", t.alias("text"))
+
+
+def encoding_quality(documents: DataFrame) -> DataFrame:
+    """Encoding-quality gate (the CCNet-style 'is this bytes-clean text'
+    signal): per doc, counts of U+FFFD replacement characters (a decoder
+    already gave up), C0 control characters (tab/newline/CR excluded),
+    and '\u00c3'-prefixed mojibake signatures (UTF-8 multibyte lead read as
+    latin-1), plus a suspect flag. Runs over the deterministic noise
+    fixture so the check is non-vacuous; map-only single scan, no
+    shuffle at all. Counts use length-difference and regexp_count —
+    both exactly portable to the ANSI oracle."""
+    noisy = synthesize_encoding_noise(documents)
+    t = F.col("text")
+    n_repl = F.length(t) - F.length(F.replace(t, F.lit("\ufffd"), F.lit("")))
+    n_moji = F.length(t) - F.length(F.replace(t, F.lit("\u00c3"), F.lit("")))
+    n_ctrl = F.expr(
+        "regexp_count(text, '[\\\\x00-\\\\x08\\\\x0B\\\\x0C\\\\x0E-\\\\x1F]')"
+    )
+    out = noisy.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_repl.cast("int").alias("n_replacement"),
+        n_ctrl.cast("int").alias("n_control"),
+        n_moji.cast("int").alias("n_mojibake"),
+    )
+    return out.withColumn(
+        "is_suspect",
+        (F.col("n_replacement") > 0)
+        | (F.col("n_control") > 0)
+        | (F.col("n_mojibake") / F.greatest(F.col("n_chars"), F.lit(1)) > 0.002),
+    )

@@ -1598,3 +1598,22 @@ def test_decontaminate_audit_conserves(tables):
     n_cont = sum(1 for f in flags if f["is_contaminated"] and not f["is_benchmark"])
     assert sum(r["n_benchmark"] for r in audit) == n_bench
     assert sum(r["n_contaminated"] for r in audit) == n_cont
+
+
+def test_encoding_quality_ground_truth(spark):
+    """Planted injections: doc 0 trips all three signals (6|9|15 all
+    divide 0), clean ids trip none, and counts match the injector spec."""
+    docs = spark.createDataFrame(
+        [(i, "plain clean text here") for i in (0, 6, 9, 15, 7, 45)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.encoding_quality(docs).collect()}
+    assert out[0]["n_replacement"] == 1  # 0 % 3 + 1
+    assert out[0]["n_control"] == 2 and out[0]["n_mojibake"] == 3
+    assert out[0]["is_suspect"]
+    assert out[6]["n_mojibake"] == 3 and out[6]["n_control"] == 0
+    assert out[9]["n_replacement"] == 1 and out[9]["n_mojibake"] == 0
+    assert out[15]["n_control"] == 2 and out[15]["n_replacement"] == 0
+    assert out[45]["n_replacement"] == 1 and out[45]["n_control"] == 2  # 9 and 15
+    assert not out[7]["is_suspect"]
+    assert all(r["n_chars"] >= len("plain clean text here") for r in out.values())
