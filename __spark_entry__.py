@@ -469,6 +469,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # injects it — same fixture pattern as mm_audio_features)
         "text_pii_scrub": lambda s, d: text.pii_scrub(*_t(s, d, "documents")),
         "text_encoding_quality": lambda s, d: text.encoding_quality(*_t(s, d, "documents")),
+        # C4-style corpus-wide segment dedup: first occurrence kept,
+        # per-doc removal audit + kept-sequence fingerprint
+        "text_segment_dedup": lambda s, d: text.segment_dedup(*_t(s, d, "documents")),
         "text_zipf_profile": lambda s, d: text.zipf_profile(*_t(s, d, "documents")),
         "text_langid_confusion": lambda s, d: text.langid_confusion(*_t(s, d, "documents")),
         "text_corpus_qa_report": lambda s, d: text.corpus_qa_report(*_t(s, d, "documents")),
@@ -1766,6 +1769,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, (n_replacement > 0 OR n_control > 0
                        OR CAST(n_mojibake AS DOUBLE) / greatest(n_chars, 1) > 0.002) AS is_suspect
             FROM scored
+        """,
+        "text_segment_dedup": f"""
+            WITH toked AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ),
+            segs AS (
+                SELECT doc_id, i AS seg_id,
+                       array_to_string(t[(i*8+1):(i*8+8)], ' ') AS seg,
+                       len(t[(i*8+1):(i*8+8)]) AS seg_n_tokens,
+                       doc_id * 1000000 + i AS occ_key
+                FROM toked,
+                     unnest(generate_series(0,
+                         CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS g(i)
+            ),
+            groups AS (
+                SELECT seg, count(*) AS n_occ, min(occ_key) AS keeper_key
+                FROM segs GROUP BY 1
+            ),
+            flagged AS (
+                SELECT s.*, (g.n_occ >= 2 AND s.occ_key != g.keeper_key) AS removed
+                FROM segs s JOIN groups g USING (seg)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_segments,
+                   CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS INT) AS n_removed,
+                   CAST(sum(seg_n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN NOT removed THEN seg_n_tokens ELSE 0 END)
+                        AS BIGINT) AS n_tokens_kept,
+                   CASE WHEN sum(CASE WHEN NOT removed THEN seg_n_tokens ELSE 0 END) > 0
+                        THEN md5(string_agg(md5(seg), ' ' ORDER BY seg_id)
+                                 FILTER (WHERE NOT removed))
+                   END AS kept_fingerprint
+            FROM flagged GROUP BY doc_id
         """,
         "text_pii_scrub": r"""
             WITH injected AS (

@@ -943,3 +943,98 @@ def encoding_quality(documents: DataFrame) -> DataFrame:
         | (F.col("n_control") > 0)
         | (F.col("n_mojibake") / F.greatest(F.col("n_chars"), F.lit(1)) > 0.002),
     )
+
+
+def segment_dedup(documents: DataFrame, seg_tokens: int = 8) -> DataFrame:
+    """C4-style corpus-wide segment dedup (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", §2.2 — public arXiv paper: C4 discards all but one
+    occurrence of any repeated three-sentence span). The synthetic corpus
+    has no sentence boundaries, so the unit is a fixed window of
+    ``seg_tokens`` consecutive tokens (non-overlapping; the short tail
+    window is a segment too — C4 dedups every line, not just full ones).
+
+    Any segment string occurring MORE THAN ONCE corpus-wide (across or
+    within docs) keeps exactly its first occurrence — the minimum
+    (doc_id, seg_id), encoded as ``doc_id * 1_000_000 + seg_id`` so the
+    arg-min is a plain partially-aggregating ``min`` in both engines —
+    and every other occurrence is removed. Output is the per-doc audit:
+    segment/token counts before and after, and an md5 fingerprint of the
+    ordered kept-segment sequence (NULL when nothing survives) — the
+    identity of the text a rewrite stage would emit.
+
+    Scale shape: ONE documents scan; segments are built map-side with
+    slice() over a sequence (no posexplode row blow-up before the
+    shuffle) and keyed by md5 of the segment STRING (string equality is
+    the C4 semantics — and the md5 key is 32 bytes instead of an
+    unbounded segment string on the wire). The corpus-grain groupBy is
+    (count, min) — both partial-aggregating, so a boilerplate segment in
+    a billion docs combines map-side. The join back of occurrence rows
+    to the segment-grain relation is the skew point at 100 TB: AQE
+    skew-join splits the hot buckets, and when the duplicated-segment
+    relation is small it is broadcast-able. The final re-aggregation is
+    doc-local (collect_list of a single doc's kept segments — bounded by
+    doc size, never corpus-grain)."""
+    t = F.split(_norm_text(F.col("text")), " ")
+    n_seg = F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int")
+    segs = documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.struct(
+                    i.alias("seg_id"),
+                    F.concat_ws(" ", F.slice(t, i * seg_tokens + 1, seg_tokens)).alias(
+                        "seg"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.seg_id").alias("seg_id"),
+        F.md5(F.col("s.seg")).alias("seg_h"),
+        F.size(F.split(F.col("s.seg"), " ")).alias("seg_n_tokens"),
+        (F.col("doc_id") * 1000000 + F.col("s.seg_id")).alias("occ_key"),
+    )
+    groups = segs.groupBy("seg_h").agg(
+        F.count("*").alias("n_occ"), F.min("occ_key").alias("keeper_key")
+    )
+    flagged = segs.join(groups, "seg_h").withColumn(
+        "removed", (F.col("n_occ") >= 2) & (F.col("occ_key") != F.col("keeper_key"))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("removed"), 1).otherwise(0)).cast("int").alias("n_removed"),
+        F.sum("seg_n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.when(~F.col("removed"), F.col("seg_n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("removed"),
+                            F.struct(F.col("seg_id"), F.col("seg_h")),
+                        )
+                    )
+                ),
+                lambda s: s["seg_h"],
+            ),
+        ).alias("_kept_cat"),
+    )
+    # fingerprint over the ORDERED kept segment hashes; NULL (not
+    # md5('')) when the whole doc was removed, matching the SQL oracle's
+    # string_agg-over-empty NULL semantics
+    return per_doc.select(
+        "doc_id",
+        F.col("n_segments").cast("int").alias("n_segments"),
+        "n_removed",
+        "n_tokens",
+        "n_tokens_kept",
+        F.when(
+            F.col("n_tokens_kept") > 0, F.md5(F.col("_kept_cat"))
+        ).alias("kept_fingerprint"),
+    )

@@ -1617,3 +1617,37 @@ def test_encoding_quality_ground_truth(spark):
     assert out[45]["n_replacement"] == 1 and out[45]["n_control"] == 2  # 9 and 15
     assert not out[7]["is_suspect"]
     assert all(r["n_chars"] >= len("plain clean text here") for r in out.values())
+
+
+def test_segment_dedup_ground_truth(spark):
+    """Planted corpus: an 8-token boilerplate segment shared by three
+    docs keeps exactly its first occurrence (min doc_id, min seg_id);
+    a doc made ENTIRELY of repeats of a seen segment loses everything
+    (NULL fingerprint); unique docs keep all tokens; the short tail
+    window is a segment of its own."""
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one two three four five six"),   # keeper
+            (2, boiler + " other words entirely different here now"),
+            (3, boiler),                                           # fully dup
+            (4, "standalone text with nine perfectly ordinary tokens inside it"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.segment_dedup(docs).collect()}
+    k = rows[1]
+    assert k["n_segments"] == 2 and k["n_removed"] == 0
+    assert k["n_tokens"] == 15 and k["n_tokens_kept"] == 15
+    d2 = rows[2]
+    assert d2["n_segments"] == 2 and d2["n_removed"] == 1
+    assert d2["n_tokens_kept"] == 6  # boilerplate window gone, tail kept
+    d3 = rows[3]
+    assert d3["n_segments"] == 1 and d3["n_removed"] == 1
+    assert d3["n_tokens_kept"] == 0 and d3["kept_fingerprint"] is None
+    d4 = rows[4]
+    # 9 tokens -> one full window + a 1-token tail, nothing removed
+    assert d4["n_segments"] == 2 and d4["n_removed"] == 0
+    assert d4["n_tokens_kept"] == 9 and d4["kept_fingerprint"] is not None
+    # keeper doc's fingerprint differs from doc 2's (different kept set)
+    assert k["kept_fingerprint"] != d2["kept_fingerprint"]
