@@ -472,6 +472,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4-style corpus-wide segment dedup: first occurrence kept,
         # per-doc removal audit + kept-sequence fingerprint
         "text_segment_dedup": lambda s, d: text.segment_dedup(*_t(s, d, "documents")),
+        # exact-substring span coverage: interval-union of cross-doc
+        # duplicated k-token windows (what an ExactSubstr rewrite cuts)
+        "text_span_coverage": lambda s, d: text.duplicate_span_coverage(
+            *_t(s, d, "documents")
+        ),
         "text_zipf_profile": lambda s, d: text.zipf_profile(*_t(s, d, "documents")),
         "text_langid_confusion": lambda s, d: text.langid_confusion(*_t(s, d, "documents")),
         "text_corpus_qa_report": lambda s, d: text.corpus_qa_report(*_t(s, d, "documents")),
@@ -1802,6 +1807,39 @@ def oracle_sql() -> dict[str, str]:
                                  FILTER (WHERE NOT removed))
                    END AS kept_fingerprint
             FROM flagged GROUP BY doc_id
+        """,
+        "text_span_coverage": f"""
+            WITH toked AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g
+                FROM toked, unnest(generate_series(1, len(t) - 7)) AS s(i)
+                WHERE len(t) >= 8
+            ),
+            dup AS (
+                SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+            ),
+            starts AS (
+                SELECT doc_id, i,
+                       least(coalesce(
+                           lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i, 8), 8)
+                       AS cov
+                FROM grams JOIN dup USING (g)
+            ),
+            cov AS (
+                SELECT doc_id, CAST(count(*) AS INT) AS n_dup_grams,
+                       CAST(sum(cov) AS BIGINT) AS covered_tokens
+                FROM starts GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(len(t) AS INT) AS n_tokens,
+                   CAST(greatest(len(t) - 7, 0) AS INT) AS n_grams,
+                   coalesce(n_dup_grams, 0) AS n_dup_grams,
+                   CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+                   round(CAST(coalesce(covered_tokens, 0) AS DOUBLE) / len(t), 6)
+                       AS dup_frac
+            FROM toked d LEFT JOIN cov USING (doc_id)
         """,
         "text_pii_scrub": r"""
             WITH injected AS (

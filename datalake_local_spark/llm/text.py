@@ -1038,3 +1038,96 @@ def segment_dedup(documents: DataFrame, seg_tokens: int = 8) -> DataFrame:
             F.col("n_tokens_kept") > 0, F.md5(F.col("_kept_cat"))
         ).alias("kept_fingerprint"),
     )
+
+
+def duplicate_span_coverage(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    arXiv paper: ExactSubstr removes every ≥50-token span shared between
+    documents). Suffix arrays don't distribute, so the standard scalable
+    approximation is used: a token position is DUPLICATED if some
+    ``k``-token window starting at it also occurs in ANOTHER document,
+    and the per-doc audit reports the interval-union of those windows —
+    exactly the characters an ExactSubstr rewrite would cut, as
+
+    * ``n_dup_grams``     duplicated window STARTS in the doc;
+    * ``covered_tokens``  tokens under the union of [s, s+k-1] windows
+      (adjacent/overlapping spans merged by a lead() difference capped
+      at k — interval union as one per-doc window function);
+    * ``dup_frac``        covered_tokens / n_tokens.
+
+    Cross-doc only (count(DISTINCT doc) >= 2): within-doc loops are
+    ``repetition_signals``'s job, and distinct-gram overlap fractions
+    are ``duplicate_ngram_profile``'s — this operator is the
+    position-level complement that says how much TEXT a span rewrite
+    would actually remove.
+
+    Scale shape: gram starts are built map-side (transform over a
+    sequence, ONE explode — no posexplode token blow-up) and shuffle as
+    8-byte xxhash64 keys of the token slice, never gram strings. The
+    corpus-grain aggregate is count(DISTINCT doc_id) — two-phase
+    partial-distinct, hot boilerplate grams combine map-side. The join
+    of starts to the duplicated-gram set is LEFT SEMI (the flag relation
+    never widens rows) and is the skew point at 100 TB — AQE skew-join
+    splits hot grams, same reasoning as duplicate_ngram_profile. The
+    interval-union window partitions by doc_id: per-task state is one
+    doc's dup starts, bounded by doc length."""
+    from pyspark.sql import Window as W
+
+    t = F.split(_norm_text(F.col("text")), " ")
+    base = documents.select("doc_id", t.alias("t"), F.size(t).alias("n_tokens"))
+    empty = "array<struct<i:int,g:bigint>>"
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                    lambda i: F.struct(
+                        i.cast("int").alias("i"),
+                        F.xxhash64(F.slice(F.col("t"), i, k)).alias("g"),
+                    ),
+                ),
+            ).otherwise(F.expr(f"cast(array() as {empty})"))
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    starts = grams.join(dup, "g", "left_semi").withColumn(
+        "cov",
+        F.least(
+            F.coalesce(F.lead("i").over(w) - F.col("i"), F.lit(k)), F.lit(k)
+        ),
+    )
+    per_doc = starts.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_dup_grams"),
+        F.sum("cov").cast("long").alias("covered_tokens"),
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.greatest(F.col("n_tokens") - (k - 1), F.lit(0))
+            .cast("int")
+            .alias("n_grams"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.coalesce(F.col("covered_tokens"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+    )

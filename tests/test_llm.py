@@ -1651,3 +1651,33 @@ def test_segment_dedup_ground_truth(spark):
     assert d4["n_tokens_kept"] == 9 and d4["kept_fingerprint"] is not None
     # keeper doc's fingerprint differs from doc 2's (different kept set)
     assert k["kept_fingerprint"] != d2["kept_fingerprint"]
+
+
+def test_span_coverage_ground_truth(spark):
+    """Interval-union arithmetic by hand: two docs share a 10-token run
+    (3 overlapping dup 8-gram starts -> union covers exactly 10 tokens);
+    a doc with two DISJOINT shared windows counts both; unique and
+    too-short docs report zero coverage."""
+    run = "a b c d e f g h i j"                # 10 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, run + " unique tail here one two three"),
+            (2, "prefix words here then " + run),
+            (3, "wholly distinct content with absolutely no overlap "
+                "anywhere in sight for this document today friend"),
+            (4, "tiny doc"),                   # < 8 tokens, no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.duplicate_span_coverage(docs).collect()}
+    d1 = out[1]
+    # starts 1..3 of doc1 are the shared 8-grams; union = [1, 10]
+    assert d1["n_dup_grams"] == 3 and d1["covered_tokens"] == 10
+    assert d1["dup_frac"] == round(10 / 16, 6)
+    d2 = out[2]
+    assert d2["n_dup_grams"] == 3 and d2["covered_tokens"] == 10
+    d3 = out[3]
+    assert d3["n_dup_grams"] == 0 and d3["covered_tokens"] == 0
+    assert d3["dup_frac"] == 0.0
+    d4 = out[4]
+    assert d4["n_grams"] == 0 and d4["covered_tokens"] == 0
