@@ -305,6 +305,12 @@ def _dq_batch_drift(spark, sf):
     return quality.batch_drift_report(*_t(spark, sf, "documents"))
 
 
+def _dq_key_skew(spark, sf):
+    from datalake_local_spark.operators import quality
+
+    return quality.key_skew_profile(*_t(spark, sf, "events"), key_col="user_id")
+
+
 def _q_recursive_spine(spark, sf):
     """Spark 4 recursive CTE (WITH RECURSIVE, UNION ALL + bounded
     predicate): generate the full month spine across the orders history
@@ -498,6 +504,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dq_orders_integrity": lambda s, d: _dq_integrity(s, d),
         "dq_batch_drift": lambda s, d: _dq_batch_drift(s, d),
+        # shuffle-key skew diagnosis over the events fact (user_id grain)
+        "dq_key_skew": lambda s, d: _dq_key_skew(s, d),
         "tpch_priority_late": lambda s, d: tpch.priority_late_count(*_t(s, d, "lineitem", "orders")),
         "tpch_product_profit": lambda s, d: tpch.product_profit(
             *_t(s, d, "lineitem", "orders", "supplier", "nation", "part")
@@ -1994,6 +2002,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(rev.revenue, 0.0) AS revenue,
                    coalesce(rev.n_orders, 0) AS n_orders
             FROM months LEFT JOIN rev ON CAST(months.m AS DATE) = rev.m
+        """,
+        "dq_key_skew": """
+            WITH counts AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS c
+                FROM events GROUP BY 1
+            ),
+            stats AS (
+                SELECT count(*) AS n_keys, sum(c) AS n_rows, max(c) AS max_c,
+                       sum(c * ln(c)) AS clogc
+                FROM counts
+            ),
+            top AS (SELECT key, c FROM counts ORDER BY c DESC, key LIMIT 10),
+            topsum AS (SELECT sum(c) AS topk_c FROM top)
+            SELECT 'top_key_rows' AS metric, key, CAST(c AS DOUBLE) AS value FROM top
+            UNION ALL
+            SELECT 'top_key_share', key, round(CAST(c AS DOUBLE) / n_rows, 6)
+            FROM top, stats
+            UNION ALL
+            SELECT 'n_keys', CAST(NULL AS VARCHAR), CAST(n_keys AS DOUBLE) FROM stats
+            UNION ALL
+            SELECT 'n_rows', CAST(NULL AS VARCHAR), CAST(n_rows AS DOUBLE) FROM stats
+            UNION ALL
+            SELECT 'max_share', CAST(NULL AS VARCHAR),
+                   round(CAST(max_c AS DOUBLE) / n_rows, 6) FROM stats
+            UNION ALL
+            SELECT 'topk_share', CAST(NULL AS VARCHAR),
+                   round(CAST(topk_c AS DOUBLE) / n_rows, 6) FROM stats, topsum
+            UNION ALL
+            SELECT 'skew_ratio_max_avg', CAST(NULL AS VARCHAR),
+                   round(CAST(max_c AS DOUBLE) * n_keys / n_rows, 6) FROM stats
+            UNION ALL
+            SELECT 'entropy_nats', CAST(NULL AS VARCHAR),
+                   round(ln(CAST(n_rows AS DOUBLE)) - clogc / n_rows, 6) FROM stats
         """,
         "dq_batch_drift": f"""
             WITH base AS (

@@ -149,3 +149,76 @@ def batch_drift_report(documents: DataFrame, split: int = 250) -> DataFrame:
         )
     ).withColumn("delta", r6(F.col("new_value") - F.col("old_value")))
     return scal_rows.unionByName(lang_row)
+
+
+def key_skew_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Key-skew diagnosis for a prospective shuffle key — the report to
+    read BEFORE joining or aggregating a 100 TB fact on ``key_col``:
+    every groupBy/join hashes rows to ``spark.sql.shuffle.partitions``
+    buckets by this key, so a key holding 10% of rows caps the stage at
+    ~10% parallelism however many executors exist (the motivation for
+    AQE skew-join, salting — see ``events_salted_agg`` — and broadcast).
+
+    Tall (metric, key, value) table:
+
+    * ``top_key_rows`` / ``top_key_share``  per top-``k`` key (ties
+      broken by key string — deterministic);
+    * ``n_keys``, ``n_rows``                cardinality and volume;
+    * ``max_share``                         heaviest key's row fraction;
+    * ``topk_share``                        mass in the top ``k`` keys;
+    * ``skew_ratio_max_avg``                max key count over the mean
+      count — the direct "how unbalanced is the heaviest shuffle
+      bucket" multiplier (1.0 = uniform);
+    * ``entropy_nats``                      Shannon entropy of the key
+      distribution, ``ln(N) - Σ c·ln(c) / N`` (ln(n_keys) = uniform).
+
+    Scale shape: ONE pass to key grain (map-side partial agg — the
+    profile never shuffles raw rows, only (key, count) pairs), a
+    single-row reduce for the scalars, and TakeOrderedAndProject (orderBy
+    + limit, never a global sort) for the top-k; the k-row and 1-row
+    relations are driver-size by construction. Key rendered as string so
+    the profile is type-generic."""
+    key = F.col(key_col).cast("string").alias("key")
+    counts = df.select(key).groupBy("key").agg(F.count("*").alias("c"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("key")).limit(k)
+    topk_share = top.agg(F.sum("c").alias("topk_c"))
+    per_key = top.crossJoin(F.broadcast(stats)).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("top_key_rows").alias("metric"),
+                    F.col("key"),
+                    F.col("c").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("top_key_share").alias("metric"),
+                    F.col("key"),
+                    F.round(F.col("c") / F.col("n_rows"), 6).alias("value"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.metric", "m.key", "m.value")
+    nul = F.lit(None).cast("string").alias("key")
+    summary = (
+        stats.crossJoin(F.broadcast(topk_share))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("n_keys").alias("metric"), nul, F.col("n_keys").cast("double").alias("value")),
+                    F.struct(F.lit("n_rows").alias("metric"), nul, F.col("n_rows").cast("double").alias("value")),
+                    F.struct(F.lit("max_share").alias("metric"), nul, F.round(F.col("max_c") / F.col("n_rows"), 6).alias("value")),
+                    F.struct(F.lit("topk_share").alias("metric"), nul, F.round(F.col("topk_c") / F.col("n_rows"), 6).alias("value")),
+                    F.struct(F.lit("skew_ratio_max_avg").alias("metric"), nul, F.round(F.col("max_c") * F.col("n_keys") / F.col("n_rows"), 6).alias("value")),
+                    F.struct(F.lit("entropy_nats").alias("metric"), nul, F.round(F.log(F.col("n_rows")) - F.col("clogc") / F.col("n_rows"), 6).alias("value")),
+                )
+            ).alias("m")
+        )
+        .select("m.metric", "m.key", "m.value")
+    )
+    return per_key.unionByName(summary)

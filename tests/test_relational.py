@@ -358,3 +358,26 @@ def test_interpolate_hourly_ground_truth(spark):
     assert [r["value"] for r in a] == [15.0, 20.0, 25.0, 30.0, 35.0]
     assert len([k for k in out if k[0] == "B"]) == 1
     assert out[("B", 2)]["value"] == 7.0 and out[("B", 2)]["observed"]
+
+
+def test_key_skew_profile_ground_truth(spark):
+    """Planted 10-row/3-key distribution: hand-computed shares, skew
+    ratio and entropy; top-k rows ordered by count then key string."""
+    import math
+
+    from datalake_local_spark.operators import quality
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = quality.key_skew_profile(df, "k", k=2)
+    m = {(r["metric"], r["key"]): r["value"] for r in out.collect()}
+    assert m[("top_key_rows", "a")] == 6.0
+    assert m[("top_key_rows", "b")] == 3.0
+    assert ("top_key_rows", "c") not in m  # k=2 cuts the tail
+    assert m[("top_key_share", "a")] == 0.6
+    assert m[("n_keys", None)] == 3.0 and m[("n_rows", None)] == 10.0
+    assert m[("max_share", None)] == 0.6
+    assert m[("topk_share", None)] == 0.9
+    assert m[("skew_ratio_max_avg", None)] == round(6 / (10 / 3), 6)
+    want_entropy = -(0.6 * math.log(0.6) + 0.3 * math.log(0.3) + 0.1 * math.log(0.1))
+    assert abs(m[("entropy_nats", None)] - want_entropy) < 1e-6
