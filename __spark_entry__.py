@@ -483,6 +483,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_coverage": lambda s, d: text.duplicate_span_coverage(
             *_t(s, d, "documents")
         ),
+        # CCNet head/middle/tail: per-language LM-score terciles
+        "text_lang_buckets": lambda s, d: text.lang_quality_buckets(
+            *_t(s, d, "documents")
+        ),
         "text_zipf_profile": lambda s, d: text.zipf_profile(*_t(s, d, "documents")),
         "text_langid_confusion": lambda s, d: text.langid_confusion(*_t(s, d, "documents")),
         "text_corpus_qa_report": lambda s, d: text.corpus_qa_report(*_t(s, d, "documents")),
@@ -1462,6 +1466,33 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(logp), 6) AS mean_logp,
                    round(min(logp), 6) AS min_logp
             FROM scored GROUP BY 1
+        """,
+        "text_lang_buckets": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+            ),
+            freqs AS (SELECT token, count(*) AS n_tok FROM toks GROUP BY 1),
+            tot AS (SELECT sum(n_tok) AS total FROM freqs),
+            scored AS (
+                SELECT doc_id, round(avg(log10(CAST(n_tok AS DOUBLE) / total)), 6)
+                       AS mean_logp
+                FROM toks JOIN freqs USING (token), tot GROUP BY 1
+            ),
+            docs AS (
+                SELECT d.doc_id, d.lang, s.mean_logp
+                FROM documents d JOIN scored s USING (doc_id)
+            ),
+            th AS (
+                SELECT lang,
+                       round(quantile_cont(mean_logp, 1.0/3), 6) AS t1,
+                       round(quantile_cont(mean_logp, 2.0/3), 6) AS t2
+                FROM docs GROUP BY 1
+            )
+            SELECT doc_id, docs.lang, mean_logp AS lm_score,
+                   CASE WHEN mean_logp > t2 THEN 'head'
+                        WHEN mean_logp > t1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM docs JOIN th ON docs.lang = th.lang
         """,
         "text_vocab_oov": f"""
             WITH toks AS (

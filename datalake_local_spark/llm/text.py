@@ -1131,3 +1131,44 @@ def duplicate_span_coverage(documents: DataFrame, k: int = 8) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+def lang_quality_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — public arXiv paper: documents are split into head/middle/
+    tail by per-language perplexity terciles, so every language is
+    ranked against ITS OWN distribution, not a global bar that poor-
+    resource languages always fail). The perplexity proxy is the corpus
+    unigram LM score (``unigram_logprob``; a production pipeline swaps
+    in KenLM — same data flow): HIGHER mean log-prob = more typical
+    text = head.
+
+    Terciles are exact interpolated percentiles of the ROUNDED score
+    (both engines interpolate over the identical 6-dp grid, and the
+    thresholds are re-rounded to 6 dp, so bucket comparisons are
+    engine-portable), computed per language and broadcast back — never
+    an ntile window, which would funnel each language's every doc
+    through one task (#langs partitions regardless of cluster size).
+    At 100 TB the exact percentile aggregate is the one memory-heavy
+    piece (it holds a language's score multiset per task); the scale
+    swap is ``approx_percentile`` with an accuracy knob — same plan
+    shape, sketch-sized tasks — at the cost of the exactness this
+    oracle certifies.
+
+    Output is doc-grain: (doc_id, lang, lm_score, bucket)."""
+    scored = unigram_logprob(documents).select("doc_id", "mean_logp")
+    docs = documents.select("doc_id", "lang").join(scored, "doc_id")
+    th = docs.groupBy("lang").agg(
+        F.round(F.percentile("mean_logp", 1.0 / 3), 6).alias("t1"),
+        F.round(F.percentile("mean_logp", 2.0 / 3), 6).alias("t2"),
+    )
+    return docs.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("mean_logp").alias("lm_score"),
+        F.when(F.col("mean_logp") > F.col("t2"), "head")
+        .when(F.col("mean_logp") > F.col("t1"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

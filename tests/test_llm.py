@@ -1681,3 +1681,30 @@ def test_span_coverage_ground_truth(spark):
     assert d3["dup_frac"] == 0.0
     d4 = out[4]
     assert d4["n_grams"] == 0 and d4["covered_tokens"] == 0
+
+
+def test_lang_quality_buckets_properties(spark, tables):
+    """CCNet bucketing invariants on the real corpus: every doc lands in
+    exactly one bucket; per language the tercile split is balanced to
+    within interpolation slack; EVERY language has head docs (the whole
+    point of per-language thresholds); buckets order by score."""
+    out = text.lang_quality_buckets(tables["documents"])
+    rows = out.collect()
+    assert len(rows) == tables["documents"].count()
+    assert set(r["bucket"] for r in rows) <= {"head", "middle", "tail"}
+    from collections import defaultdict
+
+    per_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        per_lang[r["lang"]][r["bucket"]].append(r["lm_score"])
+    for lang, buckets in per_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        assert len(buckets["head"]) > 0, f"{lang} has no head docs"
+        # balanced within slack (ties at thresholds shift a few docs)
+        for b in ("head", "middle", "tail"):
+            assert len(buckets.get(b, [])) <= n * 2 / 3 + 2
+        # strict score ordering between buckets
+        if buckets.get("middle") and buckets.get("tail"):
+            assert min(buckets["middle"]) >= max(buckets["tail"])
+        if buckets.get("head") and buckets.get("middle"):
+            assert min(buckets["head"]) >= max(buckets["middle"])
