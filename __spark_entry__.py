@@ -611,6 +611,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(*_t(s, d, "embeddings")),
         "sim_cosine_topk_lsh_multiprobe": lambda s, d: similarity.cosine_topk_lsh_multiprobe(*_t(s, d, "embeddings")),
         "sim_cosine_topk_ivf": lambda s, d: similarity.cosine_topk_ivf(*_t(s, d, "embeddings")),
+        # rows-only (driver-trained PQ codebooks + ADC lookup scan; no
+        # ANSI oracle) — recall/determinism tested in test_llm.py
+        "sim_pq_topk": lambda s, d: similarity.pq_topk(*_t(s, d, "embeddings")),
         "agg_approx_percentiles": lambda s, d: tpch.approx_percentiles(*_t(s, d, "orders")),
         "text_chunk_rolling_hash": lambda s, d: text.chunk_documents_rolling_hash(*_t(s, d, "documents")),
         "events_ewma": lambda s, d: grouped_pandas.ewma_per_user(*_t(s, d, "events")),

@@ -1708,3 +1708,44 @@ def test_lang_quality_buckets_properties(spark, tables):
             assert min(buckets["middle"]) >= max(buckets["tail"])
         if buckets.get("head") and buckets.get("middle"):
             assert min(buckets["head"]) >= max(buckets["middle"])
+
+
+def test_pq_topk_deterministic_and_recalls_bruteforce(tables):
+    """PQ/ADC is approximate but fully seeded: identical reruns; codes in
+    range; recall against exact brute force stays useful at m=8, 16
+    codes; and the quantizer reconstructs better than the trivial
+    one-centroid quantizer (codebooks actually learned something)."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    a = similarity.pq_topk(emb).collect()
+    b = similarity.pq_topk(emb).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 15 and all(r["rank"] <= 5 for r in a)
+    assert all(-1.0 <= r["approx_cosine"] <= 1.0 for r in a)
+
+    bf = {
+        (r["query_id"], r["corpus_id"])
+        for r in similarity.cosine_topk_bruteforce(emb).collect()
+    }
+    pq = {(r["query_id"], r["corpus_id"]) for r in a}
+    assert len(bf & pq) / len(bf) >= 0.3
+
+    books = similarity._pq_train_codebooks(emb, m=16, k_codes=32, seed=42)
+    assert books.shape == (16, 32, 4)
+    codes = similarity.pq_encode(emb, books).collect()
+    assert all(0 <= c < 32 for r in codes for c in r["codes"])
+    X = np.array(
+        [r["v"] for r in emb.select(
+            F.col("embedding").cast("array<double>").alias("v")).collect()],
+        dtype=np.float64,
+    )
+    ids = {r["corpus_id"]: r["codes"] for r in codes}
+    order = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    C = np.array([ids[i] for i in order])
+    recon = np.concatenate(
+        [books[j][C[:, j]] for j in range(16)], axis=1
+    )
+    mse_pq = ((X - recon) ** 2).mean()
+    mse_mean = ((X - X.mean(axis=0)) ** 2).mean()
+    assert mse_pq < 0.5 * mse_mean
