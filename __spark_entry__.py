@@ -466,6 +466,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_train_split": lambda s, d: llm_pipeline.train_eval_split(
             *_t(s, d, "documents")
         ),
+        # deterministic global training order (two-level shard rank ==
+        # one global hash-order row_number, without the one-task window)
+        "pipeline_global_shuffle": lambda s, d: llm_pipeline.global_shuffle_order(
+            *_t(s, d, "documents")
+        ),
         "text_tfidf_top_terms": lambda s, d: relevance.tfidf_top_terms(*_t(s, d, "documents")),
         "text_bm25_search": lambda s, d: relevance.bm25_scores(*_t(s, d, "documents")),
         "text_dup_ngrams": lambda s, d: text.duplicate_ngram_profile(*_t(s, d, "documents")),
@@ -1717,6 +1722,17 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_transitions AS DOUBLE)
                          / sum(n_transitions) OVER (PARTITION BY event_type), 6) AS prob
             FROM counts
+        """,
+        "pipeline_global_shuffle": """
+            WITH d AS (
+                SELECT doc_id, md5(doc_id || ':shuffle-v1') AS shuffle_key
+                FROM documents
+            )
+            SELECT doc_id, shuffle_key,
+                   substring(shuffle_key, 1, 2) AS shard,
+                   CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+                        AS BIGINT) AS shuffle_rank
+            FROM d
         """,
         "pipeline_train_split": f"""
             WITH decided AS (

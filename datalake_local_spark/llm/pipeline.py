@@ -551,3 +551,48 @@ def decontaminate_corpus(
             "tokens_kept"
         ),
     )
+
+
+def global_shuffle_order(
+    documents: DataFrame, salt: str = "shuffle-v1", prefix_len: int = 2
+) -> DataFrame:
+    """Deterministic global training order: every document gets a dense
+    1-based ``shuffle_rank`` in md5-hash order — the corpus-wide shuffle
+    a data loader needs before sequential epoch reads (hash order is
+    content-independent and reproducible; a new epoch permutation is a
+    new ``salt``, never an RNG state to checkpoint).
+
+    A naive ``row_number() OVER (ORDER BY key)`` is an unpartitioned
+    window — the whole corpus through ONE task (the exact shape the
+    ``top_supplier`` rewrite removed). Instead the rank is two-level,
+    the distributed-ranking standard: ``shard`` = first ``prefix_len``
+    hex chars of the key (256 shards at 2; raise to 4 → 65 536 at
+    100 TB), local row_number per shard (bounded window partitions, ~1/
+    256th of the corpus each), plus broadcast cumulative shard offsets
+    (the offset relation is 16^prefix_len rows — the only unpartitioned
+    window runs over THAT, not the corpus). Because the shard is a
+    PREFIX of the key, (shard, key) order ≡ global key order, so the
+    two-level rank equals the oracle's single global row_number."""
+    from pyspark.sql import Window as W
+
+    key = F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(salt)))
+    d = documents.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.substring(key, 1, prefix_len).alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    local = d.withColumn("local_rank", F.row_number().over(w))
+    ws = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("shard")
+        .agg(F.count("*").alias("c"))
+        .withColumn("offset", F.coalesce(F.sum("c").over(ws), F.lit(0)))
+        .select("shard", "offset")
+    )
+    return local.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        "shuffle_key",
+        "shard",
+        (F.col("offset") + F.col("local_rank")).cast("long").alias("shuffle_rank"),
+    )

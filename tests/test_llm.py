@@ -1749,3 +1749,31 @@ def test_pq_topk_deterministic_and_recalls_bruteforce(tables):
     mse_pq = ((X - recon) ** 2).mean()
     mse_mean = ((X - X.mean(axis=0)) ** 2).mean()
     assert mse_pq < 0.5 * mse_mean
+
+
+def test_global_shuffle_order_properties(tables):
+    """Ranks are a dense 1..N permutation in (shuffle_key, doc_id) order;
+    a different salt yields a genuinely different permutation while the
+    same salt is stable; growing the corpus preserves RELATIVE order of
+    surviving docs (hash order is content-independent)."""
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    docs = tables["documents"]
+    out = llm_pipeline.global_shuffle_order(docs).collect()
+    n = docs.count()
+    ranks = sorted(r["shuffle_rank"] for r in out)
+    assert ranks == list(range(1, n + 1))
+    by_key = sorted(out, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    assert [r["shuffle_rank"] for r in by_key] == list(range(1, n + 1))
+    again = {r["doc_id"]: r["shuffle_rank"]
+             for r in llm_pipeline.global_shuffle_order(docs).collect()}
+    assert all(again[r["doc_id"]] == r["shuffle_rank"] for r in out)
+    other = {r["doc_id"]: r["shuffle_rank"]
+             for r in llm_pipeline.global_shuffle_order(docs, salt="epoch-2").collect()}
+    assert any(other[r["doc_id"]] != r["shuffle_rank"] for r in out)
+    # subset keeps relative order under the same salt
+    half = {r["doc_id"]: r["shuffle_rank"] for r in
+            llm_pipeline.global_shuffle_order(docs.filter(F.col("doc_id") % 2 == 0)).collect()}
+    full = {r["doc_id"]: r["shuffle_rank"] for r in out}
+    evens = sorted(half, key=lambda i: half[i])
+    assert evens == sorted(evens, key=lambda i: full[i])
