@@ -492,6 +492,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_buckets": lambda s, d: text.lang_quality_buckets(
             *_t(s, d, "documents")
         ),
+        # rows-only (iterative driver loop — argmax per round is not one
+        # ANSI statement); merge sequence checked against a pure-python
+        # reference implementation in test_llm.py
+        "text_bpe_merges": lambda s, d: text.bpe_train(*_t(s, d, "documents")),
         "text_zipf_profile": lambda s, d: text.zipf_profile(*_t(s, d, "documents")),
         "text_langid_confusion": lambda s, d: text.langid_confusion(*_t(s, d, "documents")),
         "text_corpus_qa_report": lambda s, d: text.corpus_qa_report(*_t(s, d, "documents")),

@@ -1172,3 +1172,101 @@ def lang_quality_buckets(documents: DataFrame) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 20) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units" —
+    public arXiv paper): starting from characters, repeatedly merge the
+    most frequent adjacent symbol pair, producing the ordered merge
+    table that defines a subword tokenizer. Returns one row per learned
+    merge: (rank, left, right, merged, pair_count).
+
+    Classic BPE is a driver-side dict loop; the distributed form works
+    on the WORD-GRAIN relation (distinct word → corpus count — vocab-
+    sized, millions-to-billions of rows at 100 TB, never the corpus
+    itself, and pair counts are weighted sums over it):
+
+    * pair counting per round = one explode + groupBy(pair) with
+      map-side partial agg; the best pair is ``orderBy().limit(1)``
+      (TakeOrderedAndProject) — exactly ONE row crosses to the driver
+      per round, which is what makes the loop's driver state bounded;
+    * ties break (count desc, left, right) — fully deterministic;
+    * the merge application is a pure Catalyst ``aggregate`` fold over
+      each word's symbol array (greedy left-to-right, the BPE standard;
+      non-overlap falls out because the merged symbol no longer equals
+      ``left``) — no Python in the per-word hot path;
+    * each round ``localCheckpoint``s its symbol table and eagerly
+      releases the last (dedup's ``_release_checkpoint`` discipline):
+      without plan truncation every round stacks another higher-order
+      fold onto the lineage and Catalyst analysis goes OOM around round
+      ~15 — same failure mode as the label-propagation loop, same fix.
+
+    20 rounds = 20 small jobs over a vocab-grain table; the corpus is
+    scanned ONCE (building word counts)."""
+    words = (
+        documents.select(
+            F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    # substr(w, i, 1) per position — sequence+transform keeps it JVM-side
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    from datalake_local_spark.llm.dedup import _release_checkpoint
+
+    cur = words.select("n", chars.alias("s")).coalesce(4).localCheckpoint()
+    merges = []
+    try:
+        for rank in range(1, n_merges + 1):
+            pairs = cur.select(
+                "n",
+                F.explode(
+                    F.when(
+                        F.size("s") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("s") - 1),
+                            lambda i: F.struct(
+                                F.element_at(F.col("s"), i).alias("a"),
+                                F.element_at(F.col("s"), i + 1).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(F.expr("cast(array() as array<struct<a:string,b:string>>)"))
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy("p")
+                .agg(F.sum("n").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("p.a"), F.col("p.b"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, c = best[0]["p"]["a"], best[0]["p"]["b"], int(best[0]["c"])
+            merged = a + b
+            merges.append((rank, a, b, merged, c))
+            la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+            folded = F.aggregate(
+                F.col("s"),
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (x == lb),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lm)),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            nxt = cur.select("n", folded.alias("s")).localCheckpoint()
+            _release_checkpoint(cur)
+            cur = nxt
+    finally:
+        _release_checkpoint(cur)
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        merges, schema="rank int, left string, right string, merged string, pair_count long"
+    )

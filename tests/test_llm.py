@@ -1777,3 +1777,43 @@ def test_global_shuffle_order_properties(tables):
     full = {r["doc_id"]: r["shuffle_rank"] for r in out}
     evens = sorted(half, key=lambda i: half[i])
     assert evens == sorted(evens, key=lambda i: full[i])
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed BPE trainer reproduces the classic driver-side
+    algorithm exactly (same merge sequence, same weighted pair counts,
+    same greedy tie-breaks) on a corpus small enough to fold by hand."""
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest newest widest")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in text.bpe_train(docs, n_merges=6).collect()
+    ]
+
+    # pure-python reference implementation (Sennrich et al. pseudocode)
+    from collections import Counter
+
+    vocab = Counter("low low low lower lower newest newest newest newest widest".split())
+    words = {w: list(w) for w in vocab}
+    want = []
+    for rank in range(1, 7):
+        counts = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += vocab[w]
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        want.append((rank, pair[0], pair[1], pair[0] + pair[1], counts[pair]))
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == pair[0] and x == pair[1]:
+                    out[-1] = pair[0] + pair[1]
+                else:
+                    out.append(x)
+            words[w] = out
+    assert got == want
+    assert got[0][1:] == ("w", "e", "we", 6)  # lower x2 + newest x4
