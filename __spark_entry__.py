@@ -412,6 +412,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
         "dedup_components": lambda s, d: dedup.duplicate_components(*_t(s, d, "documents")),
         "dedup_incremental": lambda s, d: dedup.incremental_exact_dedup(*_t(s, d, "documents")),
+        # Bloom-prefiltered incremental dedup: approximate accelerator,
+        # exact contract — certified by the SAME oracle as the plain path
+        "dedup_bloom_incremental": lambda s, d: dedup.bloom_incremental_dedup(
+            *_t(s, d, "documents")
+        ),
         # near-dup leakage matrix between sources (exact-Jaccard feed →
         # full oracle; at scale the feed is minhash_lsh_candidates)
         "dedup_cross_source": lambda s, d: dedup.cross_source_contamination(
@@ -1676,6 +1681,27 @@ def oracle_sql() -> dict[str, str]:
             FROM sig
         """,
         "dedup_incremental": f"""
+            WITH fps AS (
+                SELECT doc_id, source, md5({_NORM}) AS fingerprint FROM documents
+            ),
+            existing AS (SELECT DISTINCT fingerprint FROM fps WHERE doc_id < 250),
+            incoming AS (SELECT * FROM fps WHERE doc_id >= 250),
+            firsts AS (
+                SELECT fingerprint, min(doc_id) AS first_doc_id
+                FROM incoming GROUP BY 1
+            )
+            SELECT i.doc_id, i.source, i.fingerprint,
+                   CASE WHEN e.fingerprint IS NOT NULL THEN 'dup_of_existing'
+                        WHEN i.doc_id != f.first_doc_id THEN 'dup_within_batch'
+                        ELSE 'unique' END AS status
+            FROM incoming i
+            LEFT JOIN existing e USING (fingerprint)
+            JOIN firsts f USING (fingerprint)
+        """,
+        # the Bloom prefilter is an exact-contract accelerator: no false
+        # negatives + confirmation join ⇒ statuses identical to the
+        # plain incremental path, so the oracle is the same SQL
+        "dedup_bloom_incremental": f"""
             WITH fps AS (
                 SELECT doc_id, source, md5({_NORM}) AS fingerprint FROM documents
             ),

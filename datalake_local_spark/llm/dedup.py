@@ -20,6 +20,8 @@ from __future__ import annotations
 import threading
 from contextlib import contextmanager
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -929,4 +931,122 @@ def candidates_from_band_index(spark, table: str) -> DataFrame:
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _bloom_build(
+    fingerprints: DataFrame, m_bits: int, k: int, seed: int
+) -> "np.ndarray":
+    """Distributed Bloom-filter build over a fingerprint column (Bloom
+    1970; the Spark runtime uses the same construction for row-level
+    runtime filtering). Bit positions are computed JVM-side
+    (``xxhash64(fp, seed+i) mod m`` — no Python per row), each input
+    partition folds its positions into ONE ``m/8``-byte uint8 bitmap
+    inside an Arrow kernel, and the driver ORs the per-partition
+    bitmaps — the bounded-driver-combine pattern proven by ``_pca_fit``:
+    transfer is #partitions × m/8 bytes regardless of row count."""
+    import numpy as np
+
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("fingerprint"), F.lit(seed + i)), F.lit(m_bits))
+        for i in range(k)
+    ]
+    pos = fingerprints.select(F.explode(F.array(*pos_cols)).alias("p"))
+
+    def to_bitmap(batches):
+        import numpy as np
+        import pandas as pd
+
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                p = pdf["p"].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(bm, p // 8, (np.uint8(1) << (p % 8).astype(np.uint8)))
+        if any_rows:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = pos.mapInPandas(to_bitmap, "bm binary").collect()
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in parts:
+        out |= np.frombuffer(r["bm"], dtype=np.uint8)
+    return out
+
+
+def bloom_incremental_dedup(
+    documents: DataFrame,
+    split_doc_id: int = 250,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: int = 77,
+) -> DataFrame:
+    """``incremental_exact_dedup`` with a Bloom prefilter in front of the
+    existing-index join — the 100 TB shape of recurring dedup: the
+    existing corpus's fingerprint index compresses to an ``m_bits``
+    bitmap (128 KB at 2²⁰ — broadcast, not joined), every incoming doc
+    tests membership map-side, and ONLY the maybe-duplicate minority
+    reaches the exact confirmation join. On a crawl where 95% of docs
+    are new, 95% of the join's probe side disappears before any
+    shuffle.
+
+    Bloom filters have NO false negatives (every true duplicate is in
+    the maybe set) and the confirmation join removes the false
+    positives, so the output statuses are EXACTLY
+    ``incremental_exact_dedup``'s — an approximate accelerator with an
+    exact contract, certified by the same ANSI oracle. Membership runs
+    as an Arrow-batched lookup into the broadcast bitmap; positions are
+    computed by the SAME JVM xxhash64 expressions as the build side.
+
+    Within-batch duplicate detection (a batch-grain aggregate) is
+    independent of the index and unchanged."""
+    from pyspark.sql.functions import pandas_udf
+
+    fp = F.md5(_norm_text(F.col("text")))
+    existing = (
+        documents.filter(F.col("doc_id") < split_doc_id)
+        .select(fp.alias("fingerprint"))
+        .distinct()
+    )
+    bitmap = _bloom_build(existing, m_bits, k, seed)
+    spark = documents.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap.tobytes())
+
+    @pandas_udf("boolean")
+    def maybe_in(positions: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        P = np.array(positions.tolist(), dtype=np.int64)
+        bits = (bm[P // 8] >> (P % 8).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("fingerprint"), F.lit(seed + i)), F.lit(m_bits))
+        for i in range(k)
+    ]
+    incoming = documents.filter(F.col("doc_id") >= split_doc_id).select(
+        "doc_id", "source", fp.alias("fingerprint")
+    )
+    tested = incoming.withColumn("maybe_dup", maybe_in(F.array(*pos_cols)))
+    confirmed = (
+        tested.filter(F.col("maybe_dup"))
+        .join(existing.withColumn("in_existing", F.lit(True)), "fingerprint", "left")
+        .select("doc_id", F.coalesce(F.col("in_existing"), F.lit(False)).alias("in_existing"))
+    )
+    first_in_batch = incoming.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("first_doc_id")
+    )
+    return (
+        tested.join(confirmed, "doc_id", "left")
+        .join(first_in_batch, "fingerprint")
+        .select(
+            "doc_id",
+            "source",
+            "fingerprint",
+            F.when(F.coalesce(F.col("in_existing"), F.lit(False)), "dup_of_existing")
+            .when(F.col("doc_id") != F.col("first_doc_id"), "dup_within_batch")
+            .otherwise("unique")
+            .alias("status"),
+        )
     )

@@ -1817,3 +1817,35 @@ def test_bpe_train_matches_reference(spark):
             words[w] = out
     assert got == want
     assert got[0][1:] == ("w", "e", "we", 6)  # lower x2 + newest x4
+
+
+def test_bloom_incremental_dedup_exact_contract(tables):
+    """The Bloom-prefiltered path returns byte-identical statuses to the
+    plain incremental path (no false negatives + confirmation join);
+    the prefilter itself genuinely filters (the maybe set is a strict
+    subset of incoming) with a false-positive rate within theory."""
+    import numpy as np
+
+    docs = tables["documents"]
+    plain = sorted(map(tuple, dedup.incremental_exact_dedup(docs).collect()))
+    bloom = sorted(map(tuple, dedup.bloom_incremental_dedup(docs).collect()))
+    assert bloom == plain
+
+    # internals: build the bitmap and measure prefilter selectivity
+    fp = F.md5(text._norm_text(F.col("text")))
+    existing = docs.filter(F.col("doc_id") < 250).select(fp.alias("fingerprint")).distinct()
+    m_bits, k, seed = 1 << 20, 4, 77
+    bm = dedup._bloom_build(existing, m_bits, k, seed)
+    assert bm.shape == (m_bits // 8,)
+    n = existing.count()
+    fill = np.unpackbits(bm).mean()
+    # fill ≈ 1 - exp(-kn/m); with n≈250 and m=2^20 it is tiny
+    assert fill <= 2 * k * n / m_bits
+    # every existing fingerprint tests positive (no false negatives)
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("fingerprint"), F.lit(seed + i)), F.lit(m_bits))
+        for i in range(k)
+    ]
+    for r in existing.select(F.array(*pos_cols).alias("p")).collect():
+        P = np.array(r["p"], dtype=np.int64)
+        assert (((bm[P // 8] >> (P % 8).astype(np.uint8)) & 1) == 1).all()
