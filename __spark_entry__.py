@@ -219,6 +219,15 @@ def _q_cube_request(spark, sf):
 # rotates in the least-recently-certified names (the r1/r2 tail last
 # driver-checked 5-6 rounds ago, plus the start of the r3 cohort).
 _CERTIFY_FIRST = [
+    # new in round 7 (second wave)
+    "text_segment_dedup",  # C4 corpus-wide segment dedup audit
+    "text_span_coverage",  # ExactSubstr interval-union coverage
+    "dq_key_skew",  # shuffle-key skew profiler (events.user_id)
+    "text_lang_buckets",  # CCNet per-language LM-score terciles
+    "sim_pq_topk",  # rows-only: PQ/ADC approximate top-k
+    "pipeline_global_shuffle",  # two-level-rank global training order
+    "text_bpe_merges",  # rows-only: iterative BPE merge table
+    "dedup_bloom_incremental",  # Bloom prefilter, exact-contract oracle
     # new in round 7
     "semantic_cube_request",  # cube_query facade, 3 dims x 4 measures
     "text_repetition_signals",  # Gopher repetition filters, token-level
@@ -264,16 +273,9 @@ _CERTIFY_FIRST = [
     "sort_limit_topn",
     "scalar_string_funcs",
     "scalar_date_funcs",
-    "scalar_json_extract",
-    "scalar_json_agg",
-    "scalar_array_funcs",
-    "scalar_map_funcs",
-    "scalar_string_funcs2",
-    "scalar_math_funcs",
-    "scalar_bitwise_funcs",
-    "calendar_spine_daily",
     "sim_cosine_topk",
-    # agg_statistics, agg_histogram, agg_equidepth_histogram,
+    # scalar_json_extract..calendar_spine_daily (bumped by the second
+    # wave), agg_statistics, agg_histogram, agg_equidepth_histogram,
     # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
     # rotate in round 8+; total = 50 (window cap)
 ]
