@@ -64,6 +64,17 @@ BENCH_QUERIES = [
     "text_repetition_signals",
     "streaming_semi_join",
     "sim_quantize_dim_minmax",
+    # round-7 second wave: C4 segment dedup (corpus-grain keeper join),
+    # ExactSubstr span coverage (gram-grain semi join + interval-union
+    # window), CCNet buckets (per-lang percentile + broadcast), global
+    # shuffle order (two-level rank), Bloom prefilter (bitmap build +
+    # map-side membership), PQ/ADC top-k (codebook train + lookup scan)
+    "text_segment_dedup",
+    "text_span_coverage",
+    "text_lang_buckets",
+    "pipeline_global_shuffle",
+    "dedup_bloom_incremental",
+    "sim_pq_topk",
 ]
 
 

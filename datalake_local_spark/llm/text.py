@@ -963,18 +963,22 @@ def segment_dedup(documents: DataFrame, seg_tokens: int = 8) -> DataFrame:
     ordered kept-segment sequence (NULL when nothing survives) — the
     identity of the text a rewrite stage would emit.
 
-    Scale shape: ONE documents scan; segments are built map-side with
-    slice() over a sequence (no posexplode row blow-up before the
-    shuffle) and keyed by md5 of the segment STRING (string equality is
-    the C4 semantics — and the md5 key is 32 bytes instead of an
-    unbounded segment string on the wire). The corpus-grain groupBy is
-    (count, min) — both partial-aggregating, so a boilerplate segment in
-    a billion docs combines map-side. The join back of occurrence rows
-    to the segment-grain relation is the skew point at 100 TB: AQE
-    skew-join splits the hot buckets, and when the duplicated-segment
-    relation is small it is broadcast-able. The final re-aggregation is
-    doc-local (collect_list of a single doc's kept segments — bounded by
-    doc size, never corpus-grain)."""
+    Scale shape: segments are built map-side with slice() over a
+    sequence (no posexplode row blow-up before the shuffle) and keyed by
+    md5 of the segment STRING (string equality is the C4 semantics — and
+    the md5 key is 32 bytes instead of an unbounded segment string on
+    the wire). The corpus-grain groupBy is (count, min) — both
+    partial-aggregating, so a boilerplate segment in a billion docs
+    combines map-side. The occurrence→segment-grain join sits on the
+    same hash(seg_h) distribution as the groupBy, so in the shuffle-join
+    regime (100 TB: the segment relation is NOT broadcastable) the two
+    exchanges are identical subtrees and ReuseExchange serves both from
+    ONE documents scan; at bench SF, AQE instead broadcasts the tiny
+    segment relation and pays a second cheap scan — both regimes'
+    preferred plan. Hot boilerplate keys in the join are AQE
+    skew-split. The final re-aggregation is doc-local (collect_list of
+    a single doc's kept segments — bounded by doc size, never
+    corpus-grain)."""
     t = F.split(_norm_text(F.col("text")), " ")
     n_seg = F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int")
     segs = documents.select(
