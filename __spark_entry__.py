@@ -228,6 +228,7 @@ _CERTIFY_FIRST = [
     "pipeline_global_shuffle",  # two-level-rank global training order
     "text_bpe_merges",  # rows-only: iterative BPE merge table
     "dedup_bloom_incremental",  # Bloom prefilter, exact-contract oracle
+    "dedup_kmv_overlap",  # KMV sketch union/Jaccard/intersection matrix
     # new in round 7
     "semantic_cube_request",  # cube_query facade, 3 dims x 4 measures
     "text_repetition_signals",  # Gopher repetition filters, token-level
@@ -273,7 +274,6 @@ _CERTIFY_FIRST = [
     "sort_limit_topn",
     "scalar_string_funcs",
     "scalar_date_funcs",
-    "sim_cosine_topk",
     # scalar_json_extract..calendar_spine_daily (bumped by the second
     # wave), agg_statistics, agg_histogram, agg_equidepth_histogram,
     # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
@@ -417,6 +417,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Bloom-prefiltered incremental dedup: approximate accelerator,
         # exact contract — certified by the SAME oracle as the plain path
         "dedup_bloom_incremental": lambda s, d: dedup.bloom_incremental_dedup(
+            *_t(s, d, "documents")
+        ),
+        # KMV sketches: cross-source union/Jaccard/intersection estimates
+        # at sketch grain (no doc-grain pair join); seed-free md5 hash
+        "dedup_kmv_overlap": lambda s, d: dedup.kmv_source_overlap(
             *_t(s, d, "documents")
         ),
         # near-dup leakage matrix between sources (exact-Jaccard feed →
@@ -1720,6 +1725,62 @@ def oracle_sql() -> dict[str, str]:
             FROM incoming i
             LEFT JOIN existing e USING (fingerprint)
             JOIN firsts f USING (fingerprint)
+        """,
+        "dedup_kmv_overlap": f"""
+            WITH dh AS (
+                SELECT DISTINCT source, md5({_NORM}) AS hv FROM documents
+            ),
+            l1 AS (
+                SELECT source, hv,
+                       row_number() OVER (
+                           PARTITION BY source, substring(hv, 1, 1)
+                           ORDER BY hv) AS r1
+                FROM dh
+            ),
+            sk AS (
+                SELECT source, hv FROM (
+                    SELECT source, hv,
+                           row_number() OVER (PARTITION BY source ORDER BY hv) AS rank
+                    FROM l1 WHERE r1 <= 64
+                ) WHERE rank <= 64
+            ),
+            pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b
+                FROM (SELECT DISTINCT source FROM sk) a,
+                     (SELECT DISTINCT source FROM sk) b
+                WHERE a.source < b.source
+            ),
+            merged AS (
+                SELECT source_a, source_b, hv,
+                       max(CASE WHEN source = source_a THEN 1 ELSE 0 END) AS in_a,
+                       max(CASE WHEN source = source_b THEN 1 ELSE 0 END) AS in_b
+                FROM pairs JOIN sk ON source = source_a OR source = source_b
+                GROUP BY 1, 2, 3
+            ),
+            topm AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY source_a, source_b ORDER BY hv) AS r
+                    FROM merged
+                ) WHERE r <= 64
+            ),
+            agg AS (
+                SELECT source_a, source_b, max(hv) AS kth, count(*) AS m_u,
+                       sum(in_a * in_b) AS inter
+                FROM topm GROUP BY 1, 2
+            ),
+            est AS (
+                SELECT source_a, source_b, m_u, inter,
+                       CASE WHEN m_u < 64 THEN CAST(m_u AS DOUBLE)
+                            ELSE round(63 / (CAST(CAST('0x' || substring(kth, 1, 8)
+                                 AS BIGINT) AS DOUBLE) / 4294967296.0), 4)
+                       END AS est_union
+                FROM agg
+            )
+            SELECT source_a, source_b, est_union,
+                   round(CAST(inter AS DOUBLE) / m_u, 6) AS est_jaccard,
+                   round(CAST(inter AS DOUBLE) / m_u * est_union, 4) AS est_intersection
+            FROM est
         """,
         "text_zipf_profile": f"""
             WITH freqs AS (

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "pipeline_global_shuffle",
     "dedup_bloom_incremental",
     "sim_pq_topk",
+    "dedup_kmv_overlap",
 ]
 
 

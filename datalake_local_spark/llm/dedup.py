@@ -1050,3 +1050,83 @@ def bloom_incremental_dedup(
             .alias("status"),
         )
     )
+
+
+def kmv_source_overlap(documents: DataFrame, k: int = 64) -> DataFrame:
+    """Sketch-based cross-source overlap matrix: a K-Minimum-Values
+    sketch per source (Beyer et al. 2007, "On Synopses for Distinct-
+    Value Estimation Under Multiset Operations", SIGMOD — public paper)
+    estimates per-pair union size, Jaccard and intersection WITHOUT the
+    doc-grain pair join of ``cross_source_contamination`` — the 100 TB
+    trade: one corpus scan to k-row-per-source sketches, then all
+    S·(S-1)/2 pair merges run at sketch grain (k·S rows total).
+
+    Mechanics: the content fingerprint md5(norm text) doubles as the
+    uniform hash (hex-string order ≡ numeric order); a source's sketch
+    is its k smallest DISTINCT fingerprints. With fewer than k distinct
+    values the sketch IS the set (exact regime — the sf0.001 corpus);
+    otherwise distinct-count ≈ (k-1)/v_k where v_k is the k-th minimum
+    as a fraction of hash space (first 8 hex chars / 16^8). Pair
+    estimates are the standard KMV set algebra: merge = k smallest of
+    the union of two sketches, Jaccard = |merged ∩ A ∩ B| / |merged|,
+    intersection = Jaccard · union-estimate.
+
+    Scale shape: the per-source min-k is TWO-LEVEL — row_number inside
+    (source, first-hex-char) shards first (16 splits of every source's
+    distinct-fingerprint stream; global min-k ⊆ union of shard min-ks),
+    then min-k of the ≤16k survivors per source — so no window ever
+    sorts a whole source's fingerprints in one task (same two-level
+    discipline as ``global_shuffle_order``). Pair merges operate on
+    k·S rows: driver-free, broadcast-size, fully deterministic (no
+    seeds — the hash IS the content fingerprint)."""
+    from pyspark.sql import Window as W
+
+    hv = F.md5(_norm_text(F.col("text")))
+    dh = (
+        documents.select("source", hv.alias("hv"))
+        .distinct()
+        .withColumn("shard", F.substring("hv", 1, 1))
+    )
+    w1 = W.partitionBy("source", "shard").orderBy("hv")
+    w2 = W.partitionBy("source").orderBy("hv")
+    sk = (
+        dh.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("source", "hv")
+    )
+    frac = lambda c: F.conv(F.substring(c, 1, 8), 16, 10).cast("double") / F.lit(
+        float(16**8)
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    member = pairs.join(
+        sk, (F.col("source") == F.col("source_a")) | (F.col("source") == F.col("source_b"))
+    ).select("source_a", "source_b", "hv", "source")
+    merged = member.groupBy("source_a", "source_b", "hv").agg(
+        F.max(F.when(F.col("source") == F.col("source_a"), 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("source") == F.col("source_b"), 1).otherwise(0)).alias("in_b"),
+    )
+    wm = W.partitionBy("source_a", "source_b").orderBy("hv")
+    topm = merged.withColumn("r", F.row_number().over(wm)).filter(F.col("r") <= k)
+    agg = topm.groupBy("source_a", "source_b").agg(
+        F.max("hv").alias("kth"),
+        F.count("*").alias("m_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("inter"),
+    )
+    est_union = (
+        F.when(F.col("m_u") < k, F.col("m_u").cast("double"))
+        .otherwise(F.round((k - 1) / frac(F.col("kth")), 4))
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        est_union.alias("est_union"),
+        F.round(F.col("inter") / F.col("m_u"), 6).alias("est_jaccard"),
+        F.round(F.col("inter") / F.col("m_u") * est_union, 4).alias("est_intersection"),
+    )

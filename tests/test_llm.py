@@ -1849,3 +1849,40 @@ def test_bloom_incremental_dedup_exact_contract(tables):
     for r in existing.select(F.array(*pos_cols).alias("p")).collect():
         P = np.array(r["p"], dtype=np.int64)
         assert (((bm[P // 8] >> (P % 8).astype(np.uint8)) & 1) == 1).all()
+
+
+def test_kmv_overlap_exact_and_estimation_regimes(spark, tables):
+    """Below k distinct values the KMV sketch IS the set, so every
+    estimate must equal the exact overlap; above k, a planted 2-source
+    corpus with known intersection must be estimated within KMV's
+    ~1/sqrt(k-2) standard error (generous 3-sigma bound)."""
+    docs = tables["documents"]
+    out = {(r["source_a"], r["source_b"]): r
+           for r in dedup.kmv_source_overlap(docs).collect()}
+    # exact truth at sf0.001: distinct fingerprints per source pair
+    fp = F.md5(text._norm_text(F.col("text")))
+    dh = docs.select("source", fp.alias("hv")).distinct()
+    per = {r["source"]: set() for r in dh.select("source").distinct().collect()}
+    for r in dh.collect():
+        per[r["source"]].add(r["hv"])
+    for (a, b), r in out.items():
+        if len(per[a]) + len(per[b]) < 64:  # merged sketch exact for sure
+            u = len(per[a] | per[b])
+            i = len(per[a] & per[b])
+            assert r["est_union"] == float(u)
+            assert r["est_intersection"] == round(i / u * u, 4)
+            assert r["est_jaccard"] == round(i / u, 6)
+
+    # estimation regime: 500 + 500 docs sharing exactly 100 texts
+    rows = []
+    for i in range(500):
+        rows.append((i, f"alpha document {i} body", "s1"))
+    for i in range(500):
+        j = i if i < 100 else i + 1000  # first 100 shared
+        rows.append((10_000 + i, f"alpha document {j} body" if i < 100
+                     else f"beta document {j} body", "s2"))
+    big = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    est = dedup.kmv_source_overlap(big).collect()[0]
+    true_union, true_inter = 900, 100
+    assert abs(est["est_union"] - true_union) / true_union < 0.4
+    assert abs(est["est_intersection"] - true_inter) / true_inter < 0.6
