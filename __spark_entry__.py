@@ -229,6 +229,7 @@ _CERTIFY_FIRST = [
     "text_bpe_merges",  # rows-only: iterative BPE merge table
     "dedup_bloom_incremental",  # Bloom prefilter, exact-contract oracle
     "dedup_kmv_overlap",  # KMV sketch union/Jaccard/intersection matrix
+    "events_lttb",  # rows-only: LTTB per-series downsampling
     # new in round 7
     "semantic_cube_request",  # cube_query facade, 3 dims x 4 measures
     "text_repetition_signals",  # Gopher repetition filters, token-level
@@ -273,7 +274,6 @@ _CERTIFY_FIRST = [
     "setop_union",
     "sort_limit_topn",
     "scalar_string_funcs",
-    "scalar_date_funcs",
     # scalar_json_extract..calendar_spine_daily (bumped by the second
     # wave), agg_statistics, agg_histogram, agg_equidepth_histogram,
     # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
@@ -386,6 +386,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": lambda s, d: windows.running_revenue_per_customer(*_t(s, d, "orders")),
         "window_topk_per_group": lambda s, d: windows.top_k_orders_per_customer(*_t(s, d, "orders")),
         "window_relative": lambda s, d: windows.relative_value_per_user(*_t(s, d, "events")),
+        # rows-only (sequential per-series selection — not one ANSI
+        # statement); shape-preservation invariants in test_relational
+        "events_lttb": lambda s, d: windows.lttb_downsample(*_t(s, d, "events")),
         "events_interpolate_hourly": lambda s, d: windows.interpolate_hourly(*_t(s, d, "events")),
         # set ops / sort / limit
         "setop_intersect": lambda s, d: setops.customers_active_both_years(*_t(s, d, "orders")),

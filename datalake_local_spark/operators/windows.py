@@ -193,3 +193,74 @@ def interpolate_hourly(events: DataFrame) -> DataFrame:
         F.col("avg_e4").isNotNull().alias("observed"),
         (value_e6 / 1000000.0).alias("value"),
     )
+
+
+def lttb_downsample(events: DataFrame, n_out: int = 50) -> DataFrame:
+    """Largest-Triangle-Three-Buckets time-series downsampling
+    (Steinarsson 2013, "Downsampling Time Series for Visual
+    Representation", U. Iceland MSc thesis — public): per event_type,
+    reduce the (ts, value) series to ``n_out`` points that preserve
+    visual shape — both endpoints always survive, and each interior
+    bucket keeps the point forming the largest triangle with the
+    previously kept point and the next bucket's centroid, which is what
+    keeps spikes and inflections that uniform striding would erase (the
+    standard dashboard-rendering step in front of a 100 TB metrics
+    store).
+
+    LTTB is inherently sequential per series (each choice depends on the
+    previous kept point), so it runs as an Arrow-batched
+    ``applyInPandas`` kernel per event_type — the sanctioned Python
+    path for per-unit sequential algorithms (``chunk_documents_rolling_
+    hash`` discipline). Scale shape: one events scan, one shuffle on
+    event_type (series-grain task state: that series' points — the same
+    per-series boundedness every window in this module assumes); series
+    too large for one task would pre-aggregate to a finer grid first
+    (``interpolate_hourly``'s (type, hour) grain) before LTTB.
+
+    Deterministic: ties in triangle area resolve to the EARLIEST point
+    (strict > comparison), timestamps order totally within a series.
+    Series with ≤ n_out points pass through unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(key, pdf):
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            keep = np.arange(n)
+        else:
+            x = pdf["ts"].astype("int64").to_numpy(dtype=np.float64)
+            y = pdf["value"].to_numpy(dtype=np.float64)
+            keep_list = [0]
+            # n_out-2 interior buckets over points 1..n-2
+            bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+            prev = 0
+            for b in range(n_out - 2):
+                lo, hi = bounds[b], bounds[b + 1]
+                nxt_lo, nxt_hi = (
+                    (bounds[b + 1], bounds[b + 2])
+                    if b + 2 <= n_out - 2
+                    else (n - 1, n)
+                )
+                cx = x[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else x[n - 1]
+                cy = y[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else y[n - 1]
+                xs, ys = x[lo:hi], y[lo:hi]
+                area = np.abs(
+                    (x[prev] - cx) * (ys - y[prev]) - (x[prev] - xs) * (cy - y[prev])
+                )
+                pick = lo + int(area.argmax())  # argmax: first max = earliest
+                keep_list.append(pick)
+                prev = pick
+            keep_list.append(n - 1)
+            keep = np.array(keep_list)
+        out = pdf.iloc[keep][["event_type", "ts", "value"]].copy()
+        out["point_index"] = keep.astype("int64")
+        return out
+
+    series = events.select("event_id", "event_type", "ts", "value")
+    return (
+        series.groupBy("event_type")
+        .applyInPandas(
+            kernel, "event_type string, ts timestamp, value double, point_index long"
+        )
+    )

@@ -381,3 +381,34 @@ def test_key_skew_profile_ground_truth(spark):
     assert m[("skew_ratio_max_avg", None)] == round(6 / (10 / 3), 6)
     want_entropy = -(0.6 * math.log(0.6) + 0.3 * math.log(0.3) + 0.1 * math.log(0.1))
     assert abs(m[("entropy_nats", None)] - want_entropy) < 1e-6
+
+
+def test_lttb_downsample_shape_preservation(spark):
+    """LTTB on a planted series: endpoints always kept, output size is
+    exactly n_out, a huge interior spike survives (the property uniform
+    striding lacks), short series pass through, reruns identical."""
+    import datetime
+
+    from datalake_local_spark.operators import windows as ops_windows
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(500):
+        v = 10.0 + (i % 7) * 0.1
+        if i == 333:
+            v = 999.0  # spike that must survive
+        rows.append((i, base + datetime.timedelta(minutes=i), 1, "a", v, "{}"))
+    for i in range(20):  # short series: pass-through
+        rows.append((1000 + i, base + datetime.timedelta(minutes=i), 1, "b", float(i), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = ops_windows.lttb_downsample(df, n_out=50).collect()
+    a = sorted([r for r in out if r["event_type"] == "a"], key=lambda r: r["ts"])
+    b = sorted([r for r in out if r["event_type"] == "b"], key=lambda r: r["ts"])
+    assert len(a) == 50 and len(b) == 20
+    assert a[0]["point_index"] == 0 and a[-1]["point_index"] == 499
+    assert any(r["value"] == 999.0 for r in a), "spike must survive LTTB"
+    assert [r["point_index"] for r in b] == list(range(20))
+    again = ops_windows.lttb_downsample(df, n_out=50).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
