@@ -131,6 +131,13 @@ def _q_streaming_outer_join(spark, sf):
     return event_windows.run_streaming_outer_join(spark, sf, query_name=name)
 
 
+def _q_streaming_trending(spark, sf):
+    """Per-window top-k event types, ranked inside foreachBatch (window
+    functions over streaming aggregates are unsupported natively)."""
+    name = f"stream_trending_{next(_stream_counter)}"
+    return event_windows.run_streaming_trending(spark, sf, query_name=name)
+
+
 def _q_merge_upsert(spark, sf):
     """MERGE: corrected rows (10% of keys, price uplift, status 'U') +
     brand-new rows (shifted keys), upserted into orders, then profiled."""
@@ -230,6 +237,7 @@ _CERTIFY_FIRST = [
     "dedup_bloom_incremental",  # Bloom prefilter, exact-contract oracle
     "dedup_kmv_overlap",  # KMV sketch union/Jaccard/intersection matrix
     "events_lttb",  # rows-only: LTTB per-series downsampling
+    "streaming_trending",  # foreachBatch rank over streaming aggregate
     # new in round 7
     "semantic_cube_request",  # cube_query facade, 3 dims x 4 measures
     "text_repetition_signals",  # Gopher repetition filters, token-level
@@ -273,7 +281,6 @@ _CERTIFY_FIRST = [
     "setop_except",
     "setop_union",
     "sort_limit_topn",
-    "scalar_string_funcs",
     # scalar_json_extract..calendar_spine_daily (bumped by the second
     # wave), agg_statistics, agg_histogram, agg_equidepth_histogram,
     # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
@@ -615,6 +622,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine + checkpoint — keep the cheap verified queries first for a
         # bounded correctness sweep)
         "streaming_tumbling": _q_streaming_tumbling,
+        "streaming_trending": _q_streaming_trending,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_stateful_counter": _q_streaming_stateful,
         "streaming_dedup": _q_streaming_dedup,
@@ -2953,6 +2961,21 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY 1, 2
         """,
         "streaming_tumbling": _TUMBLING_ORACLE,
+        "streaming_trending": """
+            WITH counts AS (
+                SELECT date_trunc('hour', ts) AS win_start, event_type,
+                       count(*) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT win_start, event_type, n_events,
+                       CAST(row_number() OVER (
+                           PARTITION BY win_start
+                           ORDER BY n_events DESC, event_type) AS INT) AS rank
+                FROM counts
+            )
+            SELECT * FROM ranked WHERE rank <= 3
+        """,
         "events_salted_agg": """
             SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1

@@ -647,3 +647,61 @@ def run_streaming_tumbling(
         q.awaitTermination(120)
         q.stop()
     return sub.table(query_name)
+
+
+def run_streaming_trending(
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int = 60,
+    k: int = 3,
+    query_name: str = "stream_trending",
+) -> DataFrame:
+    """Trending top-k over a stream: per tumbling window, the ``k`` most
+    frequent event types with ranks — the live-dashboard query every
+    event platform runs. Structured Streaming does NOT support window
+    functions over streaming aggregates (rank needs the window's whole
+    key set), so the ranking runs inside ``foreachBatch`` over the
+    windowed-count aggregate — the documented escape hatch for
+    unsupported operations: the streaming engine maintains the
+    incremental (window × type) counts; each micro-batch re-ranks that
+    bounded state batch-side and overwrites the sink view.
+
+    Scale shape: the stateful side (counts) is the only thing the engine
+    checkpoints — state grain (window × event_type), bounded by
+    watermark eviction; the foreachBatch rank runs over that aggregate
+    relation (windows × types rows, NOT events) with a per-window
+    partition — never the raw stream. Deterministic ties:
+    (n_events desc, event_type).
+
+    Returns the final sink: (win_start, event_type, n_events, rank)."""
+    sub = _stream_session(spark)
+    stream = _open_events_stream(sub, sf_dir).withWatermark("ts", "1 hour")
+    counts = (
+        stream.groupBy(F.window("ts", f"{minutes} minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
+    view = f"{query_name}_out"
+
+    def rank_batch(batch_df, batch_id):
+        w = W.partitionBy("win_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+        ranked = (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        ranked.persist().count()
+        ranked.createOrReplaceGlobalTempView(view)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(rank_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return sub.table(f"global_temp.{view}")

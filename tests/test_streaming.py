@@ -406,3 +406,35 @@ def test_python_streaming_datasource_jsonl_replay(spark, tmp_path):
     rows = spark.table("jsonl_replay_sink").collect()
     assert sorted(r["line_no"] for r in rows) == list(range(25))
     assert {r["raw"] for r in rows} == {f'{{"i": {i}}}' for i in range(25)}
+
+
+def test_streaming_trending_equals_batch_rank(spark, tables):
+    """foreachBatch ranking over the streaming windowed counts equals the
+    batch window-function form exactly on static input; ranks are dense
+    1..k per window with deterministic tie-breaks."""
+    from pyspark.sql import Window as W
+
+    out = event_windows.run_streaming_trending(
+        spark, SF_DIR, query_name="t_trend_eq"
+    ).collect()
+    counts = (
+        tables["events"]
+        .groupBy(F.window("ts", "60 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
+    w = W.partitionBy("win_start").orderBy(F.col("n_events").desc(), F.col("event_type"))
+    batch = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    key = lambda r: (r["win_start"], r["rank"])
+    assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+    from collections import defaultdict
+
+    per_win = defaultdict(list)
+    for r in out:
+        per_win[r["win_start"]].append(r["rank"])
+    for ranks in per_win.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
