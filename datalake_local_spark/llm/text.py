@@ -214,7 +214,7 @@ def chunk_documents_rolling_hash(
     )
 
 
-def unigram_logprob(documents: DataFrame) -> DataFrame:
+def unigram_logprob(documents: DataFrame, carry_cols: tuple = ()) -> DataFrame:
     """Corpus unigram language-model score per document — the cheap
     perplexity proxy a training-data pipeline uses to rank/filter text
     (the real thing swaps the unigram table for a KenLM binary; the data
@@ -231,9 +231,15 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
        converts it to a broadcast join at runtime when the freq table
        really is small (as at bench SF), without forcing an OOM-or-die
        build at corpus scale.
+
+    ``carry_cols`` rides doc-constant columns (e.g. lang) through the
+    token stream and the per-doc aggregate, sparing callers a third
+    documents scan just to join them back.
     """
+    carry = list(carry_cols or ())
     toks = documents.select(
-        "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
+        "doc_id", *carry,
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"),
     )
     freqs = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
     # corpus total via a tree-reduced scalar aggregate broadcast back —
@@ -242,9 +248,9 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     totals = freqs.agg(F.sum("n_tok").alias("total"))
     freqs = freqs.crossJoin(F.broadcast(totals))
     scored = toks.join(freqs, "token").select(
-        "doc_id", F.log10(F.col("n_tok") / F.col("total")).alias("logp")
+        "doc_id", *carry, F.log10(F.col("n_tok") / F.col("total")).alias("logp")
     )
-    return scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id", *carry).agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("logp"), 6).alias("mean_logp"),
         F.round(F.min("logp"), 6).alias("min_logp"),
@@ -1161,8 +1167,9 @@ def lang_quality_buckets(documents: DataFrame) -> DataFrame:
     oracle certifies.
 
     Output is doc-grain: (doc_id, lang, lm_score, bucket)."""
-    scored = unigram_logprob(documents).select("doc_id", "mean_logp")
-    docs = documents.select("doc_id", "lang").join(scored, "doc_id")
+    docs = unigram_logprob(documents, carry_cols=("lang",)).select(
+        "doc_id", "lang", "mean_logp"
+    )
     th = docs.groupBy("lang").agg(
         F.round(F.percentile("mean_logp", 1.0 / 3), 6).alias("t1"),
         F.round(F.percentile("mean_logp", 2.0 / 3), 6).alias("t2"),

@@ -1886,3 +1886,23 @@ def test_kmv_overlap_exact_and_estimation_regimes(spark, tables):
     true_union, true_inter = 900, 100
     assert abs(est["est_union"] - true_union) / true_union < 0.4
     assert abs(est["est_intersection"] - true_inter) / true_inter < 0.6
+
+
+def test_second_wave_plan_scan_bounds(tables):
+    """Scan-count regression guards for the round-7 second wave:
+    segment_dedup reads documents at most twice (broadcast regime; the
+    shuffle-join regime folds to 1 via ReuseExchange), span_coverage at
+    most three times (dup-count + starts branches over the gram subtree
+    plus the doc-grain base projection that keeps gram-less short docs
+    in the output), lang_buckets at most twice (threshold branch + doc
+    branch over the shared score aggregate), global_shuffle at most
+    twice (offset branch + rank branch), kmv_source_overlap at most
+    twice (sketch feeds the pair grid and the merge)."""
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    docs = tables["documents"]
+    assert _final_plan(text.segment_dedup(docs)).count("FileScan parquet") <= 2
+    assert _final_plan(text.duplicate_span_coverage(docs)).count("FileScan parquet") <= 3
+    assert _final_plan(text.lang_quality_buckets(docs)).count("FileScan parquet") <= 2
+    assert _final_plan(llm_pipeline.global_shuffle_order(docs)).count("FileScan parquet") <= 2
+    assert _final_plan(dedup.kmv_source_overlap(docs)).count("FileScan parquet") <= 2
