@@ -238,6 +238,7 @@ _CERTIFY_FIRST = [
     "dedup_kmv_overlap",  # KMV sketch union/Jaccard/intersection matrix
     "events_lttb",  # rows-only: LTTB per-series downsampling
     "streaming_trending",  # foreachBatch rank over streaming aggregate
+    "dq_join_estimate",  # pre-flight exact join-size report
     # new in round 7
     "semantic_cube_request",  # cube_query facade, 3 dims x 4 measures
     "text_repetition_signals",  # Gopher repetition filters, token-level
@@ -280,7 +281,6 @@ _CERTIFY_FIRST = [
     "setop_intersect",
     "setop_except",
     "setop_union",
-    "sort_limit_topn",
     # scalar_json_extract..calendar_spine_daily (bumped by the second
     # wave), agg_statistics, agg_histogram, agg_equidepth_histogram,
     # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
@@ -318,6 +318,13 @@ def _dq_key_skew(spark, sf):
     from datalake_local_spark.operators import quality
 
     return quality.key_skew_profile(*_t(spark, sf, "events"), key_col="user_id")
+
+
+def _dq_join_estimate(spark, sf):
+    from datalake_local_spark.operators import quality
+
+    events, orders = _t(spark, sf, "events", "orders")
+    return quality.join_cardinality_estimate(events, orders, "user_id", "o_custkey")
 
 
 def _q_recursive_spine(spark, sf):
@@ -541,6 +548,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_batch_drift": lambda s, d: _dq_batch_drift(s, d),
         # shuffle-key skew diagnosis over the events fact (user_id grain)
         "dq_key_skew": lambda s, d: _dq_key_skew(s, d),
+        # pre-flight join-size estimate: events.user_id x orders.o_custkey
+        "dq_join_estimate": lambda s, d: _dq_join_estimate(s, d),
         "tpch_priority_late": lambda s, d: tpch.priority_late_count(*_t(s, d, "lineitem", "orders")),
         "tpch_product_profit": lambda s, d: tpch.product_profit(
             *_t(s, d, "lineitem", "orders", "supplier", "nation", "part")
@@ -2156,6 +2165,37 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(rev.revenue, 0.0) AS revenue,
                    coalesce(rev.n_orders, 0) AS n_orders
             FROM months LEFT JOIN rev ON CAST(months.m AS DATE) = rev.m
+        """,
+        "dq_join_estimate": """
+            WITH lc AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cl
+                FROM events GROUP BY 1
+            ),
+            rc AS (
+                SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS cr
+                FROM orders GROUP BY 1
+            ),
+            prod AS (
+                SELECT key, cl * cr AS contrib FROM lc JOIN rc USING (key)
+            ),
+            totals AS (
+                SELECT sum(contrib) AS join_rows, count(*) AS n_keys FROM prod
+            ),
+            top AS (SELECT key, contrib FROM prod ORDER BY contrib DESC, key LIMIT 5)
+            SELECT 'top_key_rows' AS metric, key, CAST(contrib AS DOUBLE) AS value FROM top
+            UNION ALL
+            SELECT 'top_key_share', key, round(CAST(contrib AS DOUBLE) / join_rows, 6)
+            FROM top, totals
+            UNION ALL
+            SELECT 'join_rows', CAST(NULL AS VARCHAR), CAST(join_rows AS DOUBLE) FROM totals
+            UNION ALL
+            SELECT 'n_matching_keys', CAST(NULL AS VARCHAR), CAST(n_keys AS DOUBLE) FROM totals
+            UNION ALL
+            SELECT 'left_rows', CAST(NULL AS VARCHAR),
+                   CAST((SELECT count(*) FROM events) AS DOUBLE)
+            UNION ALL
+            SELECT 'right_rows', CAST(NULL AS VARCHAR),
+                   CAST((SELECT count(*) FROM orders) AS DOUBLE)
         """,
         "dq_key_skew": """
             WITH counts AS (

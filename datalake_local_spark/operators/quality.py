@@ -222,3 +222,68 @@ def key_skew_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
         .select("m.metric", "m.key", "m.value")
     )
     return per_key.unionByName(summary)
+
+
+def join_cardinality_estimate(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str, k: int = 5
+) -> DataFrame:
+    """Pre-flight join-size estimator: |L ⋈ R| on an equi-key is EXACTLY
+    Σ_key cL(key)·cR(key), computable from the two key-grain count
+    relations — each a map-side-combined aggregate orders of magnitude
+    smaller than its table. The answer a planner (or an engineer about
+    to launch a 100 TB join) needs BEFORE paying for the real thing:
+    the exact output size, which keys dominate it, and whether a skewed
+    key makes the join explode (the companion diagnosis to
+    ``key_skew_profile``, which looks at one side in isolation).
+
+    Tall (metric, key, value) report:
+
+    * ``join_rows``            exact output row count of the equi-join;
+    * ``n_matching_keys``      keys present on both sides;
+    * ``left_rows`` / ``right_rows``  input sizes for context;
+    * ``top_key_rows`` / ``top_key_share``  per top-``k`` contributing
+      key: its cL·cR product and share of the join output (ties broken
+      by key string).
+
+    Scale shape: two key-grain aggregates (map-side combine), one
+    key-grain join (≪ data-grain), a single-row reduce, and
+    TakeOrderedAndProject for the top contributors. The estimate is
+    exact, not a sketch — key-grain relations are what they are; a
+    sketch variant would swap the count relations for KMV/CM sketches
+    when even key grain is too large."""
+    lc = left.select(F.col(left_key).cast("string").alias("key")).groupBy("key").agg(
+        F.count("*").alias("cl")
+    )
+    rc = right.select(F.col(right_key).cast("string").alias("key")).groupBy("key").agg(
+        F.count("*").alias("cr")
+    )
+    prod = lc.join(rc, "key").select(
+        "key", (F.col("cl") * F.col("cr")).alias("contrib")
+    )
+    totals = prod.agg(
+        F.sum("contrib").alias("join_rows"), F.count("*").alias("n_keys")
+    )
+    sizes = left.agg(F.count("*").alias("l_rows")).crossJoin(
+        right.agg(F.count("*").alias("r_rows"))
+    )
+    top = prod.orderBy(F.col("contrib").desc(), F.col("key")).limit(k)
+    nul = F.lit(None).cast("string").alias("key")
+    summary = totals.crossJoin(F.broadcast(sizes)).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("join_rows").alias("metric"), nul, F.col("join_rows").cast("double").alias("value")),
+                F.struct(F.lit("n_matching_keys").alias("metric"), nul, F.col("n_keys").cast("double").alias("value")),
+                F.struct(F.lit("left_rows").alias("metric"), nul, F.col("l_rows").cast("double").alias("value")),
+                F.struct(F.lit("right_rows").alias("metric"), nul, F.col("r_rows").cast("double").alias("value")),
+            )
+        ).alias("m")
+    ).select("m.metric", "m.key", "m.value")
+    per_key = top.crossJoin(F.broadcast(totals)).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("top_key_rows").alias("metric"), F.col("key"), F.col("contrib").cast("double").alias("value")),
+                F.struct(F.lit("top_key_share").alias("metric"), F.col("key"), F.round(F.col("contrib") / F.col("join_rows"), 6).alias("value")),
+            )
+        ).alias("m")
+    ).select("m.metric", "m.key", "m.value")
+    return per_key.unionByName(summary)

@@ -412,3 +412,24 @@ def test_lttb_downsample_shape_preservation(spark):
     assert [r["point_index"] for r in b] == list(range(20))
     again = ops_windows.lttb_downsample(df, n_out=50).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_join_cardinality_estimate_is_exact(spark, tables):
+    """The 'estimate' is exact on equi-keys: join_rows equals the real
+    join's count; top-key contributions are cl*cr; shares sum <= 1."""
+    from datalake_local_spark.operators import quality
+
+    events, orders = tables["events"], tables["orders"]
+    out = quality.join_cardinality_estimate(events, orders, "user_id", "o_custkey")
+    m = {(r["metric"], r["key"]): r["value"] for r in out.collect()}
+    real = events.join(orders, F.col("user_id") == F.col("o_custkey")).count()
+    assert m[("join_rows", None)] == float(real)
+    assert m[("left_rows", None)] == float(events.count())
+    assert m[("right_rows", None)] == float(orders.count())
+    shares = [v for (met, k), v in m.items() if met == "top_key_share"]
+    assert 0 < sum(shares) <= 1.0 + 1e-9
+    for (met, k), v in m.items():
+        if met == "top_key_rows":
+            cl = events.filter(F.col("user_id").cast("string") == k).count()
+            cr = orders.filter(F.col("o_custkey").cast("string") == k).count()
+            assert v == float(cl * cr)
