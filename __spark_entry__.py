@@ -239,6 +239,7 @@ _CERTIFY_FIRST = [
     "events_lttb",  # rows-only: LTTB per-series downsampling
     "streaming_trending",  # foreachBatch rank over streaming aggregate
     "dq_join_estimate",  # pre-flight exact join-size report
+    "sim_hard_negatives",  # contrastive negatives: similar, different label
     # new in round 7
     "semantic_cube_request",  # cube_query facade, 3 dims x 4 measures
     "text_repetition_signals",  # Gopher repetition filters, token-level
@@ -280,7 +281,6 @@ _CERTIFY_FIRST = [
     "window_relative",
     "setop_intersect",
     "setop_except",
-    "setop_union",
     # scalar_json_extract..calendar_spine_daily (bumped by the second
     # wave), agg_statistics, agg_histogram, agg_equidepth_histogram,
     # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
@@ -455,6 +455,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # similarity search (north star)
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(*_t(s, d, "embeddings")),
+        # contrastive hard negatives: top-k similar with a DIFFERENT label
+        "sim_hard_negatives": lambda s, d: similarity.hard_negative_mining(
+            *_t(s, d, "embeddings")
+        ),
         "sim_cosine_topk_vectorized": lambda s, d: similarity.cosine_topk_vectorized(*_t(s, d, "embeddings")),
         "sim_label_centroids": lambda s, d: similarity.embedding_centroids_by_label(*_t(s, d, "embeddings")),
         "sim_range_search": lambda s, d: similarity.cosine_range_search(*_t(s, d, "embeddings")),
@@ -1215,6 +1219,28 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node
         """,
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
+        "sim_hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ),
+            pairs AS (
+                SELECT q.query_id, e.vec_id AS corpus_id, e.label AS negative_label,
+                       round(
+                         list_sum(list_transform(list_zip(q.qe, e.embedding),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                         6) AS cosine
+                FROM q, embeddings e
+                WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+            )
+            SELECT query_id, corpus_id, negative_label, cosine, rank FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
+                FROM pairs
+            ) WHERE rank <= 5
+        """,
         "sim_cosine_topk_vectorized": _COSINE_TOPK_ORACLE,
         "sim_range_search": """
             WITH q AS (

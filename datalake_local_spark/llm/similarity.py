@@ -1275,3 +1275,53 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "approx_cosine", "rank")
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    corpus-mined negatives of SimCLR / DPR-style pipelines — Karpukhin
+    et al. 2020, "Dense Passage Retrieval", public arXiv: the most
+    useful negatives are the most SIMILAR examples of a DIFFERENT
+    class): for each anchor, the top-k highest-cosine corpus vectors
+    whose ``label`` differs from the anchor's.
+
+    Same plan skeleton as ``cosine_topk_bruteforce`` — broadcast anchor
+    panel, one corpus pass, per-anchor window top-k — with the label
+    inequality folded into the JOIN condition, so mismatched-label
+    pruning happens before any score is computed (no post-filter that
+    would under-fill the top-k). At 100 TB the corpus pass swaps in the
+    IVF/PQ index like any other ANN probe; the mining contract
+    (per-anchor ranked negatives) is unchanged."""
+    corpus = embeddings.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("label").alias("c_label"),
+        _as_double(F.col("embedding")).alias("cvec"),
+    )
+    anchors = embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        _as_double(F.col("embedding")).alias("qvec"),
+    )
+    pairs = corpus.join(
+        F.broadcast(anchors),
+        (F.col("corpus_id") != F.col("query_id"))
+        & (F.col("c_label") != F.col("q_label")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "corpus_id",
+        F.col("c_label").alias("negative_label"),
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "negative_label", "cosine", "rank")
+    )

@@ -1906,3 +1906,29 @@ def test_second_wave_plan_scan_bounds(tables):
     assert _final_plan(text.lang_quality_buckets(docs)).count("FileScan parquet") <= 2
     assert _final_plan(llm_pipeline.global_shuffle_order(docs)).count("FileScan parquet") <= 2
     assert _final_plan(dedup.kmv_source_overlap(docs)).count("FileScan parquet") <= 2
+
+
+def test_hard_negative_mining_invariants(tables):
+    """Every mined negative has a label different from its anchor's; the
+    k-per-anchor set is the cosine-ranked head of the different-label
+    universe (checked against brute force with a post-filter)."""
+    emb = tables["embeddings"]
+    out = similarity.hard_negative_mining(emb).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert len(out) == 15
+    for r in out:
+        assert labels[r["corpus_id"]] == r["negative_label"]
+        assert r["negative_label"] != labels[r["query_id"]]
+    # agreement with brute-force top-k over the different-label subset
+    bf = similarity.cosine_topk_bruteforce(emb, k=10**6).collect()
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in sorted(bf, key=lambda r: (r["query_id"], -r["cosine"], r["corpus_id"])):
+        if labels[r["corpus_id"]] != labels[r["query_id"]]:
+            per_q[r["query_id"]].append(r["corpus_id"])
+    got = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got[r["query_id"]].append(r["corpus_id"])
+    for q, ids in got.items():
+        assert ids == per_q[q][:5]
