@@ -134,6 +134,46 @@ SHOWCASE = {
         "broadcast back onto the (vec, dim) grain; the error profile "
         "re-aggregates on vec_id. No driver collect, no UDF."
     ),
+    "text_segment_dedup": (
+        "C4 segment dedup (round 7, second wave): segments built map-side "
+        "(slice over sequence, ONE explode), keyed by md5(segment); the "
+        "keeper relation is (count, min) — both partial-aggregating — and "
+        "at bench SF AQE broadcasts it (the 100 TB regime instead reuses "
+        "the identical hash(seg_h) exchange: one scan). Final agg is "
+        "doc-local."
+    ),
+    "text_span_coverage": (
+        "ExactSubstr span coverage (round 7, second wave): gram starts "
+        "shuffle as 8-byte xxhash64 keys; the duplicated-gram flag comes "
+        "back as a LEFT SEMI join (no row widening); the interval union is "
+        "one per-doc window — task state bounded by a single doc."
+    ),
+    "pipeline_global_shuffle": (
+        "Global training order (round 7, second wave): two-level rank — "
+        "per-shard row_number plus broadcast cumulative offsets — with NO "
+        "unpartitioned window over the corpus anywhere in the plan; the "
+        "only global window runs on the 256-row offset relation."
+    ),
+    "dedup_bloom_incremental": (
+        "Bloom-prefiltered incremental dedup (round 7, second wave): the "
+        "existing-index bitmap arrives as a broadcast variable (built by "
+        "per-partition OR-reduce), membership is a map-side Arrow lookup, "
+        "and only maybe-duplicates reach the confirmation join — the "
+        "definite-clean majority is filtered before any exchange."
+    ),
+    "dedup_kmv_overlap": (
+        "KMV cross-source overlap (round 7, second wave): one documents "
+        "scan to k-row-per-source sketches (two-level min-k — no "
+        "whole-source sort in one task); every pair merge and estimate "
+        "runs at sketch grain. The doc-grain pair join of the exact "
+        "contamination matrix never appears."
+    ),
+    "dq_join_estimate": (
+        "Pre-flight join sizing (round 7, second wave): two key-grain "
+        "partial-aggregated counts, one key-grain join, a single-row "
+        "reduce and TakeOrderedAndProject — the exact join cardinality "
+        "without executing the data-grain join."
+    ),
 }
 
 SKEW_EPILOGUE = """
