@@ -1932,3 +1932,88 @@ def test_hard_negative_mining_invariants(tables):
         got[r["query_id"]].append(r["corpus_id"])
     for q, ids in got.items():
         assert ids == per_q[q][:5]
+
+
+def test_segment_dedup_random_reference(spark):
+    """Seeded random corpus (tiny vocab to force collisions) vs a pure-
+    Python reference of the C4 keeper rule — exact agreement on every
+    count column and on NULL-fingerprint placement."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for i in range(50)
+    ]
+    seg = 8
+    segs = {}  # (doc, seg_id) -> (text, n_tokens)
+    by_text = {}
+    for doc_id, doc_text in docs:
+        toks = doc_text.split()
+        n_seg = -(-len(toks) // seg)
+        for si in range(n_seg):
+            chunk = toks[si * seg : (si + 1) * seg]
+            segs[(doc_id, si)] = (" ".join(chunk), len(chunk))
+            by_text.setdefault(" ".join(chunk), []).append((doc_id, si))
+    keeper = {t: min(occ) for t, occ in by_text.items()}
+    want = {}
+    for doc_id, _txt in docs:
+        mine = [(k, v) for k, v in segs.items() if k[0] == doc_id]
+        removed = [
+            1
+            for (d, si), (t, _) in mine
+            if len(by_text[t]) >= 2 and keeper[t] != (d, si)
+        ]
+        kept_toks = sum(
+            n
+            for (d, si), (t, n) in mine
+            if not (len(by_text[t]) >= 2 and keeper[t] != (d, si))
+        )
+        want[doc_id] = (
+            len(mine),
+            len(removed),
+            sum(n for _, (_, n) in mine),
+            kept_toks,
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for r in text.segment_dedup(df).collect():
+        w = want[r["doc_id"]]
+        assert (r["n_segments"], r["n_removed"], r["n_tokens"], r["n_tokens_kept"]) == w
+        assert (r["kept_fingerprint"] is None) == (w[3] == 0)
+
+
+def test_span_coverage_random_reference(spark):
+    """Seeded random corpus vs a pure-Python interval-union reference —
+    exact agreement on dup-gram counts and covered-token counts."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["p", "q", "r", "s"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(40)
+    ]
+    k = 8
+    grams = {}
+    for doc_id, t in docs:
+        toks = t.split()
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            grams.setdefault(g, set()).add(doc_id)
+    want = {}
+    for doc_id, t in docs:
+        toks = t.split()
+        starts = [
+            i
+            for i in range(len(toks) - k + 1)
+            if len(grams[" ".join(toks[i : i + k])]) >= 2
+        ]
+        covered = set()
+        for s0 in starts:
+            covered.update(range(s0, s0 + k))
+        want[doc_id] = (len(toks), max(len(toks) - k + 1, 0), len(starts), len(covered))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for r in text.duplicate_span_coverage(df).collect():
+        w = want[r["doc_id"]]
+        assert (r["n_tokens"], r["n_grams"], r["n_dup_grams"], r["covered_tokens"]) == w
