@@ -240,6 +240,7 @@ _CERTIFY_FIRST = [
     "streaming_trending",  # foreachBatch rank over streaming aggregate
     "dq_join_estimate",  # pre-flight exact join-size report
     "sim_hard_negatives",  # contrastive negatives: similar, different label
+    "dedup_band_index_probe",  # rows-only: online probe of persisted index
     # new in round 7
     "semantic_cube_request",  # cube_query facade, 3 dims x 4 measures
     "text_repetition_signals",  # Gopher repetition filters, token-level
@@ -280,7 +281,6 @@ _CERTIFY_FIRST = [
     "window_topk_per_group",
     "window_relative",
     "setop_intersect",
-    "setop_except",
     # scalar_json_extract..calendar_spine_daily (bumped by the second
     # wave), agg_statistics, agg_histogram, agg_equidepth_histogram,
     # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
@@ -434,6 +434,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Bloom-prefiltered incremental dedup: approximate accelerator,
         # exact contract — certified by the SAME oracle as the plain path
         "dedup_bloom_incremental": lambda s, d: dedup.bloom_incremental_dedup(
+            *_t(s, d, "documents")
+        ),
+        # rows-only (seeded MinHash; no ANSI oracle) — the persisted-
+        # index online probe: new batch vs indexed corpus, verified
+        "dedup_band_index_probe": lambda s, d: dedup.band_index_probe(
             *_t(s, d, "documents")
         ),
         # KMV sketches: cross-source union/Jaccard/intersection estimates

@@ -1130,3 +1130,122 @@ def kmv_source_overlap(documents: DataFrame, k: int = 64) -> DataFrame:
         F.round(F.col("inter") / F.col("m_u"), 6).alias("est_jaccard"),
         F.round(F.col("inter") / F.col("m_u") * est_union, 4).alias("est_intersection"),
     )
+
+
+def probe_band_index(
+    spark,
+    table: str,
+    query_docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.8,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Query-time near-dup lookup against a persisted ``write_band_index``
+    table: signature ONLY the query docs (a batch of N, not the corpus),
+    join their band hashes to the index, and return candidate corpus
+    matches — the online half of recurring dedup: the corpus-side
+    signatures were paid once at ``write_band_index`` time, so "has this
+    new doc been crawled before, approximately?" costs N signatures + a
+    bucket-pruned join.
+
+    The index table is bucketed on (band_id, band_hash); the probe side
+    is batch-sized, so AQE broadcasts it into the bucketed scan — no
+    shuffle on the corpus side, no full re-signature. Emits one row per
+    (query doc, corpus doc) band collision (dropDuplicates to pair
+    grain); with ``verify_threshold`` and ``corpus``, collisions are
+    verified by EXACT shingle-Jaccard (the same verification discipline
+    as ``minhash_lsh_candidates``) and the verdict is returned alongside.
+
+    Band parameters MUST match the ones the index was written with —
+    signatures are seed-deterministic, so equal params ⇒ equal hashes."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(query_docs, num_hashes, shingle_n)
+    q_bands = sigs.select(
+        F.col("doc_id").alias("query_doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_doc_id", F.col("s.band_id").alias("band_id"), F.col("s.band_hash").alias("band_hash"))
+    idx = spark.table(table)
+    pairs = (
+        idx.join(
+            F.broadcast(q_bands),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("doc_id") != F.col("query_doc_id"))
+        .select("query_doc_id", F.col("doc_id").alias("match_doc_id"))
+        .dropDuplicates(["query_doc_id", "match_doc_id"])
+    )
+    if verify_threshold is None or corpus is None:
+        return pairs
+    shing = lambda df, idc: df.select(
+        F.col("doc_id").alias(idc),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.size(F.split(_norm_text(F.col("text")), " ")) - (shingle_n - 1),
+                        F.lit(1),
+                    ),
+                ),
+                lambda i: F.xxhash64(
+                    F.slice(F.split(_norm_text(F.col("text")), " "), i, shingle_n)
+                ),
+            )
+        ).alias(idc + "_sh"),
+    )
+    q_sh = shing(query_docs, "query_doc_id")
+    c_sh = shing(corpus, "match_doc_id")
+    verified = (
+        pairs.join(F.broadcast(q_sh), "query_doc_id")
+        .join(c_sh, "match_doc_id")
+        .select(
+            "query_doc_id",
+            "match_doc_id",
+            F.round(
+                F.size(F.array_intersect("query_doc_id_sh", "match_doc_id_sh"))
+                / F.size(F.array_union("query_doc_id_sh", "match_doc_id_sh")),
+                6,
+            ).alias("jaccard"),
+        )
+        .withColumn("is_near_dup", F.col("jaccard") >= verify_threshold)
+    )
+    return verified
+
+
+def band_index_probe(documents: DataFrame, split_doc_id: int = 250) -> DataFrame:
+    """Registered end-to-end shape of ``probe_band_index``: the EXISTING
+    corpus (doc_id < ``split_doc_id``) is indexed once per source
+    dataset (write-once, keyed on file signatures — the
+    ``ivf_partitioned_probe`` discipline), and the INCOMING batch
+    (doc_id ≥ split) probes it — "which of the new crawl's docs
+    near-duplicate something we already have, and how closely?".
+    Deterministic (seed-fixed signatures, exact-Jaccard verification) →
+    rows-only correctness; subset/equivalence vs the in-plan LSH path
+    is asserted in tests."""
+    import hashlib
+
+    spark = documents.sparkSession
+    existing = documents.filter(F.col("doc_id") < split_doc_id)
+    incoming = documents.filter(F.col("doc_id") >= split_doc_id)
+    src = source_signature(documents)
+    key = hashlib.md5(repr(("band_probe", src, split_doc_id)).encode()).hexdigest()[:12]
+    table = f"band_index_{key}"
+    if not src or not spark.catalog.tableExists(table):
+        write_band_index(existing, table)
+    return probe_band_index(
+        spark, table, incoming, verify_threshold=0.8, corpus=existing
+    ).orderBy("query_doc_id", "match_doc_id")

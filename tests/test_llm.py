@@ -2017,3 +2017,28 @@ def test_span_coverage_random_reference(spark):
     for r in text.duplicate_span_coverage(df).collect():
         w = want[r["doc_id"]]
         assert (r["n_tokens"], r["n_grams"], r["n_dup_grams"], r["covered_tokens"]) == w
+
+
+def test_band_index_probe_matches_inplan_lsh(spark, tables):
+    """The persisted-index probe finds exactly the query-side band
+    collisions the in-plan LSH path finds (restricted to query x
+    existing pairs), and every verified near-dup clears the exact
+    Jaccard bar recomputed independently."""
+    docs = tables["documents"]
+    out = dedup.band_index_probe(docs).collect()
+    assert out, "sf0.001 corpus plants dups across the 250 split"
+    # reference: full-corpus in-plan LSH candidates (threshold 0 keeps
+    # every band collision with its shingle-Jaccard), restricted to
+    # query x existing pairs
+    cand = dedup.minhash_lsh_candidates(docs, jaccard_threshold=0.0).collect()
+    ref = {
+        (max(r["doc_a"], r["doc_b"]), min(r["doc_a"], r["doc_b"])): r["jaccard"]
+        for r in cand
+        if (r["doc_a"] < 250) != (r["doc_b"] < 250)
+    }
+    got = {(r["query_doc_id"], r["match_doc_id"]) for r in out}
+    assert got == set(ref)
+    for r in out:
+        key = (r["query_doc_id"], r["match_doc_id"])
+        assert abs(r["jaccard"] - ref[key]) < 1e-9
+        assert r["is_near_dup"] == (r["jaccard"] >= 0.8)
