@@ -241,6 +241,7 @@ _CERTIFY_FIRST = [
     "dq_join_estimate",  # pre-flight exact join-size report
     "sim_hard_negatives",  # contrastive negatives: similar, different label
     "dedup_band_index_probe",  # rows-only: online probe of persisted index
+    "text_compression_ratio",  # rows-only: zlib compressibility gate
     # new in round 7
     "semantic_cube_request",  # cube_query facade, 3 dims x 4 measures
     "text_repetition_signals",  # Gopher repetition filters, token-level
@@ -280,7 +281,6 @@ _CERTIFY_FIRST = [
     "window_running",
     "window_topk_per_group",
     "window_relative",
-    "setop_intersect",
     # scalar_json_extract..calendar_spine_daily (bumped by the second
     # wave), agg_statistics, agg_histogram, agg_equidepth_histogram,
     # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
@@ -534,6 +534,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANSI statement); merge sequence checked against a pure-python
         # reference implementation in test_llm.py
         "text_bpe_merges": lambda s, d: text.bpe_train(*_t(s, d, "documents")),
+        # rows-only (no ANSI zlib) — compressibility quality signal
+        "text_compression_ratio": lambda s, d: text.compression_ratio_signal(
+            *_t(s, d, "documents")
+        ),
         "text_zipf_profile": lambda s, d: text.zipf_profile(*_t(s, d, "documents")),
         "text_langid_confusion": lambda s, d: text.langid_confusion(*_t(s, d, "documents")),
         "text_corpus_qa_report": lambda s, d: text.corpus_qa_report(*_t(s, d, "documents")),

@@ -1281,3 +1281,61 @@ def bpe_train(documents: DataFrame, n_merges: int = 20) -> DataFrame:
     return spark.createDataFrame(
         merges, schema="rank int, left string, right string, merged string, pair_count long"
     )
+
+
+def compression_ratio_signal(documents: DataFrame) -> DataFrame:
+    """Compressibility quality signal: per-doc zlib ratio
+    (compressed/raw bytes) plus the repetitive/gibberish flags derived
+    from it — the filter web-corpus pipelines (RefinedWeb, Dolma —
+    public papers) run because compressibility catches what token
+    statistics miss: highly repetitive text compresses far below
+    normal prose, random/encrypted junk refuses to compress at all.
+
+    zlib is not expressible as a column function, so this is an
+    Arrow-batched ``mapInPandas`` kernel (stdlib zlib, level 6 pinned —
+    deterministic bytes-in/bytes-out, no model state). Map-only: one
+    documents scan, no shuffle, the text never leaves its scan task.
+    Rows-only correctness (no ANSI zlib); planted-corpus thresholds and
+    determinism are asserted in tests.
+
+    Flags: ``too_repetitive`` (ratio < 0.35 — loops/boilerplate),
+    ``incompressible`` (ratio > 0.8 — near the ~0.84 ceiling of
+    max-entropy printable ASCII: random/base64 junk). Ordinary prose
+    sits between — but ONLY above a length floor: zlib's fixed header
+    dominates short docs (a 100-byte sentence scores ~0.84), so
+    production gates apply the flag above ~200 bytes, as the tests
+    pin."""
+    import pandas as pd
+    import zlib
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw = [(t or "").encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            n = [max(len(b), 1) for b in raw]
+            ratio = [round(c / m, 6) for c, m in zip(comp, n)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in raw],
+                    "n_compressed": comp,
+                    "compression_ratio": ratio,
+                }
+            )
+
+    out = documents.select("doc_id", "text").mapInPandas(
+        kernel,
+        "doc_id long, n_bytes long, n_compressed long, compression_ratio double",
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        "compression_ratio",
+        (F.col("compression_ratio") < 0.35).alias("too_repetitive"),
+        ((F.col("compression_ratio") > 0.8) & (F.col("n_bytes") >= 200)).alias(
+            "incompressible"
+        ),
+    )

@@ -2042,3 +2042,38 @@ def test_band_index_probe_matches_inplan_lsh(spark, tables):
         key = (r["query_doc_id"], r["match_doc_id"])
         assert abs(r["jaccard"] - ref[key]) < 1e-9
         assert r["is_near_dup"] == (r["jaccard"] >= 0.8)
+
+
+def test_compression_ratio_signal_thresholds(spark):
+    """Planted corpus: a pure loop compresses hard (too_repetitive), a
+    random-hex blob barely compresses (incompressible), prose lands in
+    between; bytes accounting is exact and reruns are identical."""
+    import random
+    import zlib
+
+    import string
+
+    rng = random.Random(3)
+    printable = string.ascii_letters + string.digits + string.punctuation
+    blob = "".join(rng.choice(printable) for _ in range(2000))
+    prose = (
+        "the quick brown fox jumps over the lazy dog while a distant "
+        "train rattles north through fog and the village bakery opens "
+        "its doors to early customers who argue gently about weather "
+        "politics and the price of flour before carrying warm loaves "
+        "home across cobbled streets that remember older mornings"
+    )
+    docs = spark.createDataFrame(
+        [(1, "spam ham " * 300), (2, blob), (3, prose)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.compression_ratio_signal(docs).collect()}
+    assert out[1]["too_repetitive"] and not out[1]["incompressible"]
+    assert out[2]["incompressible"] and not out[2]["too_repetitive"]
+    assert not out[3]["too_repetitive"] and not out[3]["incompressible"]
+    for doc_id, t in [(1, "spam ham " * 300), (2, blob), (3, prose)]:
+        raw = t.encode("utf-8")
+        assert out[doc_id]["n_bytes"] == len(raw)
+        assert out[doc_id]["n_compressed"] == len(zlib.compress(raw, 6))
+    again = {r["doc_id"]: r for r in text.compression_ratio_signal(docs).collect()}
+    assert {k: tuple(v) for k, v in again.items()} == {k: tuple(v) for k, v in out.items()}
