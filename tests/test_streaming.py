@@ -438,3 +438,62 @@ def test_streaming_trending_equals_batch_rank(spark, tables):
         per_win[r["win_start"]].append(r["rank"])
     for ranks in per_win.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_streaming_restart_recovers_state_exactly_once(spark, tables, tmp_path):
+    """Checkpoint recovery: half the files arrive, the query runs and
+    STOPS; the rest arrive, a NEW query starts from the same checkpoint.
+    The recovered state must (a) not reprocess the first half (exactly
+    once) and (b) end equal to the one-shot batch aggregate."""
+    events = tables["events"]
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def run_once(qname):
+        sub = event_windows._stream_session(spark)
+        schema = sub.read.parquet(src).schema
+        stream = (
+            sub.readStream.schema(schema).parquet(src).withWatermark("ts", "1 hour")
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "60 minutes").alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = q.lastProgress
+        q.stop()
+        return sub.table(qname).collect(), progress
+
+    first, prog1 = run_once("t_restart_a")
+    # second half arrives; a fresh query resumes from the checkpoint
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    final, prog2 = run_once("t_restart_b")
+
+    batch = (
+        tables["events"]
+        .groupBy(F.window("ts", "60 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+        .collect()
+    )
+    assert sorted(map(tuple, final)) == sorted(map(tuple, batch))
+    # exactly-once: the restarted run ingested only the second half
+    n_total = tables["events"].count()
+    n_first = sum(r["n_events"] for r in first)
+    assert n_first == tables["events"].filter(F.col("event_id") % 2 == 0).count()
+    if prog2 and prog2["numInputRows"]:
+        assert prog2["numInputRows"] <= n_total - n_first
