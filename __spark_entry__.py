@@ -242,6 +242,8 @@ _CERTIFY_FIRST = [
     "sim_hard_negatives",  # contrastive negatives: similar, different label
     "dedup_band_index_probe",  # rows-only: online probe of persisted index
     "text_compression_ratio",  # rows-only: zlib compressibility gate
+    "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
+    "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
     "semantic_cube_request",  # cube_query facade, 3 dims x 4 measures
     "text_repetition_signals",  # Gopher repetition filters, token-level
@@ -278,8 +280,6 @@ _CERTIFY_FIRST = [
     "sim_cosine_topk_lsh",
     "sim_cosine_topk_lsh_multiprobe",
     # r2 cohort (last checked round 2)
-    "window_running",
-    "window_topk_per_group",
     "window_relative",
     # scalar_json_extract..calendar_spine_daily (bumped by the second
     # wave), agg_statistics, agg_histogram, agg_equidepth_histogram,
@@ -318,6 +318,18 @@ def _dq_key_skew(spark, sf):
     from datalake_local_spark.operators import quality
 
     return quality.key_skew_profile(*_t(spark, sf, "events"), key_col="user_id")
+
+
+def _fmt_orc_scan(spark, sf):
+    from datalake_local_spark import formats
+
+    return formats.orc_scan_parity(*_t(spark, sf, "orders"))
+
+
+def _fmt_schema_evolution(spark, sf):
+    from datalake_local_spark import formats
+
+    return formats.schema_evolution_scan(*_t(spark, sf, "orders"))
 
 
 def _dq_join_estimate(spark, sf):
@@ -563,6 +575,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_key_skew": lambda s, d: _dq_key_skew(s, d),
         # pre-flight join-size estimate: events.user_id x orders.o_custkey
         "dq_join_estimate": lambda s, d: _dq_join_estimate(s, d),
+        # format parity: same oracle aggregates, data read back from ORC
+        # and from a schema-evolved (mergeSchema) parquet dataset
+        "fmt_orc_scan": lambda s, d: _fmt_orc_scan(s, d),
+        "fmt_schema_evolution": lambda s, d: _fmt_schema_evolution(s, d),
         "tpch_priority_late": lambda s, d: tpch.priority_late_count(*_t(s, d, "lineitem", "orders")),
         "tpch_product_profit": lambda s, d: tpch.product_profit(
             *_t(s, d, "lineitem", "orders", "supplier", "nation", "part")
@@ -2200,6 +2216,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(rev.revenue, 0.0) AS revenue,
                    coalesce(rev.n_orders, 0) AS n_orders
             FROM months LEFT JOIN rev ON CAST(months.m AS DATE) = rev.m
+        """,
+        "fmt_orc_scan": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY 1, 2
+        """,
+        "fmt_schema_evolution": """
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS schema_version,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS null_priority_rows,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY 1
         """,
         "dq_join_estimate": """
             WITH lc AS (

@@ -212,3 +212,33 @@ def test_bucketed_join_plans_without_pre_join_shuffle(spark, tables):
     assert rows == want
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_orc_scan_predicate_pushdown(spark, tables):
+    """The ORC reader pushes predicates and prunes columns like parquet:
+    a filtered two-column projection over the converted copy shows
+    PushedFilters and a narrow ReadSchema in the scan node."""
+    from datalake_local_spark import formats
+
+    formats.orc_scan_parity(tables["orders"]).collect()  # ensure written
+    path, _ = formats._format_cache_dir(tables["orders"], "orc")
+    o = spark.read.orc(path)
+    df = o.filter(F.col("o_totalprice") > 100000).select("o_orderkey", "o_totalprice")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:120]
+    assert "o_orderstatus" not in plan.split("ReadSchema")[-1]
+
+
+def test_schema_evolution_null_contract(spark, tables):
+    """mergeSchema add-column contract: v1 rows surface the new column
+    as NULL; v2 rows keep their values; per-version totals match the
+    source table exactly."""
+    from datalake_local_spark import formats
+
+    out = {r["schema_version"]: r for r in
+           formats.schema_evolution_scan(tables["orders"]).collect()}
+    orders = tables["orders"]
+    n_even = orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    n_odd = orders.filter(F.col("o_orderkey") % 2 == 1).count()
+    assert out[1]["n_rows"] == n_even and out[1]["null_priority_rows"] == n_even
+    assert out[2]["n_rows"] == n_odd and out[2]["null_priority_rows"] == 0
