@@ -100,6 +100,53 @@ class SnapshotTable:
         records a new snapshot pointing at the old data)."""
         return self.write(self.read(version), op=f"rollback_to_{version}")
 
+    def vacuum(self, retain_last: int = 2) -> DataFrame:
+        """Retention maintenance (Delta's VACUUM / Iceberg's
+        expire_snapshots, format-agnostic): drop every version table
+        older than the newest ``retain_last``, keep every manifest row
+        as audit history, and return the audit of what happened. Time
+        travel to a vacuumed version fails fast via ``read_checked``;
+        retained versions stay readable. The manifest is never
+        truncated — lineage survives the data, exactly as lakehouse
+        formats keep metadata for expired snapshots.
+
+        At 100 TB this is the job that caps storage growth of an
+        append-only versioned table: one DROP per expired version
+        (metadata + file deletion), no data rewrite."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        versions = sorted(self._versions())
+        keep = set(versions[-retain_last:])
+        audit = []
+        for v in versions:
+            if v in keep:
+                audit.append((v, "retained"))
+                continue
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.db}.{self.name}__v{v}")
+            audit.append((v, "vacuumed"))
+        return self.spark.createDataFrame(audit, "version int, status string")
+
+    def _versions_available(self) -> list[int]:
+        """Versions whose data tables still exist (survive vacuum)."""
+        return [
+            v
+            for v in self._versions()
+            if self.spark.catalog.tableExists(f"{self.db}.{self.name}__v{v}")
+        ]
+
+    def read_checked(self, version: int | None = None) -> DataFrame:
+        """``read`` that fails fast with a clear error for vacuumed
+        versions instead of Spark's TABLE_OR_VIEW_NOT_FOUND."""
+        version = version if version is not None else self.latest_version()
+        if version is None:
+            raise ValueError(f"{self.db}.{self.name} has no snapshots")
+        if not self.spark.catalog.tableExists(f"{self.db}.{self.name}__v{version}"):
+            raise ValueError(
+                f"version {version} of {self.db}.{self.name} was vacuumed; "
+                f"available: {sorted(self._versions_available())}"
+            )
+        return self.spark.table(f"{self.db}.{self.name}__v{version}")
+
     def history(self) -> DataFrame:
         return self.spark.table(self._manifest).orderBy("version")
 
@@ -186,3 +233,4 @@ def schema_evolution_scan(orders: DataFrame) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+

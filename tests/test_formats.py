@@ -242,3 +242,26 @@ def test_schema_evolution_null_contract(spark, tables):
     n_odd = orders.filter(F.col("o_orderkey") % 2 == 1).count()
     assert out[1]["n_rows"] == n_even and out[1]["null_priority_rows"] == n_even
     assert out[2]["n_rows"] == n_odd and out[2]["null_priority_rows"] == 0
+
+
+def test_snapshot_vacuum_retention(spark, tables):
+    """VACUUM contract: old version tables are dropped, the newest
+    retain_last stay readable, manifest history survives in full, and
+    time travel to an expired version fails fast with the available
+    list."""
+    import pytest
+
+    t = SnapshotTable(spark, "fmt_test", "vac_orders")
+    base = tables["orders"].select("o_orderkey", "o_totalprice").limit(50)
+    for i in range(4):
+        t.write(base.withColumn("rev", F.lit(i)))
+    assert sorted(t._versions_available()) == [1, 2, 3, 4]
+    audit = {r["version"]: r["status"] for r in t.vacuum(retain_last=2).collect()}
+    assert audit == {1: "vacuumed", 2: "vacuumed", 3: "retained", 4: "retained"}
+    assert sorted(t._versions_available()) == [3, 4]
+    assert t.read_checked(4).count() == 50
+    assert t.read_checked(3).count() == 50
+    with pytest.raises(ValueError, match="vacuumed.*available.*3, 4"):
+        t.read_checked(1)
+    # manifest keeps ALL versions as history
+    assert [r["version"] for r in t.history().collect()] == [1, 2, 3, 4]
