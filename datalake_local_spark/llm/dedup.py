@@ -1245,6 +1245,16 @@ def band_index_probe(documents: DataFrame, split_doc_id: int = 250) -> DataFrame
     key = hashlib.md5(repr(("band_probe", src, split_doc_id)).encode()).hexdigest()[:12]
     table = f"band_index_{key}"
     if not src or not spark.catalog.tableExists(table):
+        # a previous SESSION's in-memory catalog is gone but its
+        # warehouse directory persists — saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS; clear the orphaned location first
+        # (same recovery as the foreachBatch sink in event_windows)
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
         write_band_index(existing, table)
     return probe_band_index(
         spark, table, incoming, verify_threshold=0.8, corpus=existing
