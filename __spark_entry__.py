@@ -242,6 +242,7 @@ _CERTIFY_FIRST = [
     "sim_hard_negatives",  # contrastive negatives: similar, different label
     "dedup_band_index_probe",  # rows-only: online probe of persisted index
     "text_compression_ratio",  # rows-only: zlib compressibility gate
+    "text_bpe_encode",  # rows-only: subword accounting via learned merges
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -280,7 +281,6 @@ _CERTIFY_FIRST = [
     "sim_cosine_topk_lsh",
     "sim_cosine_topk_lsh_multiprobe",
     # r2 cohort (last checked round 2)
-    "window_relative",
     # scalar_json_extract..calendar_spine_daily (bumped by the second
     # wave), agg_statistics, agg_histogram, agg_equidepth_histogram,
     # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
@@ -546,6 +546,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANSI statement); merge sequence checked against a pure-python
         # reference implementation in test_llm.py
         "text_bpe_merges": lambda s, d: text.bpe_train(*_t(s, d, "documents")),
+        # rows-only (driver merge loop feeds the encoder) — per-doc
+        # subword token accounting with the learned merges
+        "text_bpe_encode": lambda s, d: text.bpe_encode_corpus(*_t(s, d, "documents")),
         # rows-only (no ANSI zlib) — compressibility quality signal
         "text_compression_ratio": lambda s, d: text.compression_ratio_signal(
             *_t(s, d, "documents")

@@ -1339,3 +1339,75 @@ def compression_ratio_signal(documents: DataFrame) -> DataFrame:
             "incompressible"
         ),
     )
+
+
+def bpe_encode_corpus(documents: DataFrame, n_merges: int = 20) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus — the second half
+    of the tokenizer arc (``bpe_train`` learns, this encodes), and the
+    number every tokenizer decision is judged by: how many subword
+    tokens the corpus becomes.
+
+    Encoding is the standard sequential merge loop per word, so it runs
+    at WORD grain: the distinct-word relation (vocab-sized — millions,
+    not the corpus) goes through an Arrow kernel with the merge list
+    broadcast in rank order; per-doc token counts then come from
+    joining each doc's words back to the encoded vocabulary — one
+    corpus scan for word counts, one for the re-join, kernel work
+    bounded by vocabulary size. Per-doc output: whitespace words,
+    subword tokens, chars, and the tokens-per-word expansion the
+    tokenizer literature reports.
+
+    Deterministic: merges apply greedily left-to-right in rank order —
+    matches the pure-python reference in tests exactly."""
+    import pandas as pd
+
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(documents, n_merges).orderBy("rank").collect()
+    ]
+    spark = documents.sparkSession
+    bc = spark.sparkContext.broadcast(merges)
+
+    toks = documents.select(
+        "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = toks.groupBy("w").agg(F.count("*").alias("n_occ"))
+
+    def encode(batches):
+        ms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_sub = []
+            for w in pdf["w"]:
+                syms = list(w)
+                for a, b in ms:
+                    out = []
+                    for x in syms:
+                        if out and out[-1] == a and x == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(x)
+                    syms = out
+                n_sub.append(len(syms))
+            yield pd.DataFrame({"w": pdf["w"], "n_subtokens": n_sub})
+
+    encoded = vocab.select("w").mapInPandas(encode, "w string, n_subtokens int")
+    per_doc = (
+        toks.join(encoded, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("n_subtokens").cast("long").alias("n_subword_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_subword_tokens",
+        "n_chars",
+        F.round(F.col("n_subword_tokens") / F.col("n_words"), 6).alias(
+            "tokens_per_word"
+        ),
+    )

@@ -2077,3 +2077,39 @@ def test_compression_ratio_signal_thresholds(spark):
         assert out[doc_id]["n_compressed"] == len(zlib.compress(raw, 6))
     again = {r["doc_id"]: r for r in text.compression_ratio_signal(docs).collect()}
     assert {k: tuple(v) for k, v in again.items()} == {k: tuple(v) for k, v in out.items()}
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Corpus encoding with the learned merges equals a pure-python
+    train+encode reference; more merges never increase token counts."""
+    corpus = "low low low lower lower newest newest newest newest widest"
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    out = text.bpe_encode_corpus(docs, n_merges=6).collect()[0]
+
+    from collections import Counter
+
+    vocab = Counter(corpus.split())
+    words = {w: list(w) for w in vocab}
+    for _ in range(6):
+        counts = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += vocab[w]
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        for w, syms in words.items():
+            o = []
+            for x in syms:
+                if o and o[-1] == pair[0] and x == pair[1]:
+                    o[-1] = pair[0] + pair[1]
+                else:
+                    o.append(x)
+            words[w] = o
+    want_tokens = sum(len(words[w]) * c for w, c in vocab.items())
+    n_words = sum(vocab.values())
+    assert out["n_words"] == n_words
+    assert out["n_subword_tokens"] == want_tokens
+    assert out["n_chars"] == sum(len(w) * c for w, c in vocab.items())
+    fewer = text.bpe_encode_corpus(docs, n_merges=2).collect()[0]
+    assert fewer["n_subword_tokens"] >= out["n_subword_tokens"]
