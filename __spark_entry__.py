@@ -243,6 +243,8 @@ _CERTIFY_FIRST = [
     "dedup_band_index_probe",  # rows-only: online probe of persisted index
     "text_compression_ratio",  # rows-only: zlib compressibility gate
     "text_bpe_encode",  # rows-only: subword accounting via learned merges
+    "dedup_cluster_sizes",  # dup-cluster size histogram (recursive oracle)
+    "pandas_arrow_bytes",  # mapInArrow zero-copy surface, hash oracle
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -277,8 +279,6 @@ _CERTIFY_FIRST = [
     "sim_cosine_topk_ivf",  # rows-only: IVF registry file-sig change
     "streaming_stream_join",  # refactored onto shared side-builders
     # least-recently-certified rotation: r1 tail (last checked round 1)
-    "agg_approx_distinct",
-    "sim_cosine_topk_lsh",
     "sim_cosine_topk_lsh_multiprobe",
     # r2 cohort (last checked round 2)
     # scalar_json_extract..calendar_spine_daily (bumped by the second
@@ -442,6 +442,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
         "dedup_components": lambda s, d: dedup.duplicate_components(*_t(s, d, "documents")),
+        # cluster-size histogram over the components output
+        "dedup_cluster_sizes": lambda s, d: dedup.duplicate_cluster_sizes(
+            *_t(s, d, "documents")
+        ),
         "dedup_incremental": lambda s, d: dedup.incremental_exact_dedup(*_t(s, d, "documents")),
         # Bloom-prefiltered incremental dedup: approximate accelerator,
         # exact contract — certified by the SAME oracle as the plain path
@@ -597,6 +601,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
         "pandas_udaf_geomean": lambda s, d: grouped_pandas.geometric_mean_udaf(*_t(s, d, "orders")),
+        # mapInArrow: zero-copy Arrow-native kernel, hash-checked oracle
+        "pandas_arrow_bytes": lambda s, d: grouped_pandas.arrow_byte_profile(
+            *_t(s, d, "documents")
+        ),
         "udtf_top_tokens": lambda s, d: grouped_pandas.top_tokens_udtf(*_t(s, d, "documents")),
         "sim_quantize_int8": lambda s, d: similarity.quantize_int8_profile(*_t(s, d, "embeddings")),
         "sim_quantize_dim_minmax": lambda s, d: similarity.quantize_embeddings_int8(*_t(s, d, "embeddings")),
@@ -1245,6 +1253,49 @@ def oracle_sql() -> dict[str, str]:
                    min(reached) AS component_id,
                    min(reached) = node AS is_canonical
             FROM reach GROUP BY node
+        """,
+        "dedup_cluster_sizes": f"""
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS reached FROM docs
+                UNION
+                SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+            ),
+            comp AS (
+                SELECT node AS doc_id, min(reached) AS component_id
+                FROM reach GROUP BY node
+            ),
+            csizes AS (
+                SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1
+            ),
+            tot AS (SELECT sum(cluster_size) AS n_docs FROM csizes)
+            SELECT CAST(cluster_size AS INT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   round(CAST(cluster_size * count(*) AS DOUBLE) / n_docs, 6)
+                       AS doc_share
+            FROM csizes, tot GROUP BY cluster_size, n_docs
         """,
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "sim_hard_negatives": """
@@ -2232,6 +2283,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS null_priority_rows,
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders GROUP BY 1
+        """,
+        "pandas_arrow_bytes": """
+            SELECT doc_id,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   strlen(text) = length(text) AS is_ascii
+            FROM documents
         """,
         "dq_join_estimate": """
             WITH lc AS (

@@ -1259,3 +1259,33 @@ def band_index_probe(documents: DataFrame, split_doc_id: int = 250) -> DataFrame
     return probe_band_index(
         spark, table, incoming, verify_threshold=0.8, corpus=existing
     ).orderBy("query_doc_id", "match_doc_id")
+
+
+def duplicate_cluster_sizes(documents: DataFrame) -> DataFrame:
+    """Duplicate-cluster size distribution: how big do near-dup clusters
+    get? The monitoring rollup over ``duplicate_components`` every dedup
+    run should publish — a healthy crawl shows a long tail of singletons
+    and small clusters; a mass of giant clusters means boilerplate (or a
+    broken threshold) and predicts the hot-cluster skew that
+    ``semantic_dedup``'s block decomposition defends against.
+
+    One aggregate over the components output: component → size, then
+    size → cluster count + share of DOCS tied up in clusters of that
+    size. Component-grain then size-grain — both map-side combining;
+    the heavy lifting (the components fixpoint) is the upstream
+    operator, already O(log d)-bounded."""
+    comp = duplicate_components(documents)
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
+    totals = sizes.agg(F.sum("cluster_size").alias("n_docs"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.round(
+                F.col("cluster_size") * F.col("n_clusters") / F.col("n_docs"), 6
+            ).alias("doc_share"),
+        )
+    )

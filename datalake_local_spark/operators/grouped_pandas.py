@@ -125,3 +125,38 @@ def ewma_per_user(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     return events.select("event_id", "user_id", "ts", "value").groupBy("user_id").applyInPandas(
         kernel, schema="event_id long, user_id long, ts timestamp, value double, ewma double"
     )
+
+
+def arrow_byte_profile(documents: DataFrame) -> DataFrame:
+    """§2.7 surface: ``mapInArrow`` — the zero-copy sibling of
+    ``mapInPandas`` (the kernel receives ``pyarrow.RecordBatch``es
+    directly, skipping the Arrow→pandas conversion both ways). The
+    right tier when the kernel is itself Arrow-native: here pure
+    ``pyarrow.compute`` calls — utf8 byte length, codepoint length,
+    and the ASCII-purity flag — with no per-row Python and no pandas
+    materialization.
+
+    Map-only, one scan, no shuffle; certified by an ANSI oracle
+    (octet_length / length are engine-portable), which makes this the
+    hash-checked proof the Arrow path returns byte-identical data."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            t = batch.column(batch.schema.get_field_index("text"))
+            n_bytes = pc.binary_length(pc.cast(t, pa.binary()))
+            n_chars = pc.utf8_length(t)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.cast(n_bytes, pa.int64()),
+                    pc.cast(n_chars, pa.int64()),
+                    pc.equal(n_bytes, n_chars),
+                ],
+                ["doc_id", "n_bytes", "n_chars", "is_ascii"],
+            )
+
+    return documents.select("doc_id", "text").mapInArrow(
+        kernel, "doc_id long, n_bytes long, n_chars long, is_ascii boolean"
+    )

@@ -2113,3 +2113,16 @@ def test_bpe_encode_matches_reference(spark):
     assert out["n_chars"] == sum(len(w) * c for w, c in vocab.items())
     fewer = text.bpe_encode_corpus(docs, n_merges=2).collect()[0]
     assert fewer["n_subword_tokens"] >= out["n_subword_tokens"]
+
+
+def test_cluster_sizes_conservation(tables):
+    """Cluster-size histogram: doc shares sum to 1; sizes x counts sum
+    to the component-output row count; singleton share dominates on the
+    sf0.001 corpus (healthy long tail)."""
+    docs = tables["documents"]
+    hist = dedup.duplicate_cluster_sizes(docs).collect()
+    n_docs = dedup.duplicate_components(docs).count()
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in hist) == n_docs
+    assert abs(sum(r["doc_share"] for r in hist) - 1.0) < 1e-4
+    ones = [r for r in hist if r["cluster_size"] == 1]
+    assert ones and ones[0]["doc_share"] > 0.1

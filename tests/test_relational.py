@@ -433,3 +433,22 @@ def test_join_cardinality_estimate_is_exact(spark, tables):
             cl = events.filter(F.col("user_id").cast("string") == k).count()
             cr = orders.filter(F.col("o_custkey").cast("string") == k).count()
             assert v == float(cl * cr)
+
+
+def test_arrow_byte_profile_matches_expressions(spark, tables):
+    """mapInArrow kernel vs Catalyst expressions: byte/char counts and
+    the ASCII flag agree row-for-row (zero-copy path returns identical
+    data)."""
+    from datalake_local_spark.operators import grouped_pandas
+
+    docs = tables["documents"]
+    got = {r["doc_id"]: r for r in grouped_pandas.arrow_byte_profile(docs).collect()}
+    ref = docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).collect()
+    for r in ref:
+        g = got[r["doc_id"]]
+        assert (g["n_bytes"], g["n_chars"]) == (r["n_bytes"], r["n_chars"])
+        assert g["is_ascii"] == (r["n_bytes"] == r["n_chars"])
