@@ -245,6 +245,7 @@ _CERTIFY_FIRST = [
     "text_bpe_encode",  # rows-only: subword accounting via learned merges
     "dedup_cluster_sizes",  # dup-cluster size histogram (recursive oracle)
     "pandas_arrow_bytes",  # mapInArrow zero-copy surface, hash oracle
+    "events_cusum",  # rows-only: CUSUM level-shift monitor
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -279,7 +280,6 @@ _CERTIFY_FIRST = [
     "sim_cosine_topk_ivf",  # rows-only: IVF registry file-sig change
     "streaming_stream_join",  # refactored onto shared side-builders
     # least-recently-certified rotation: r1 tail (last checked round 1)
-    "sim_cosine_topk_lsh_multiprobe",
     # r2 cohort (last checked round 2)
     # scalar_json_extract..calendar_spine_daily (bumped by the second
     # wave), agg_statistics, agg_histogram, agg_equidepth_histogram,
@@ -415,6 +415,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (sequential per-series selection — not one ANSI
         # statement); shape-preservation invariants in test_relational
         "events_lttb": lambda s, d: windows.lttb_downsample(*_t(s, d, "events")),
+        # rows-only (sequential CUSUM recursion); planted-shift test
+        "events_cusum": lambda s, d: windows.cusum_changepoints(*_t(s, d, "events")),
         "events_interpolate_hourly": lambda s, d: windows.interpolate_hourly(*_t(s, d, "events")),
         # set ops / sort / limit
         "setop_intersect": lambda s, d: setops.customers_active_both_years(*_t(s, d, "orders")),

@@ -264,3 +264,64 @@ def lttb_downsample(events: DataFrame, n_out: int = 50) -> DataFrame:
             kernel, "event_type string, ts timestamp, value double, point_index long"
         )
     )
+
+
+def cusum_changepoints(
+    events: DataFrame, k_sigma: float = 0.5, h_sigma: float = 5.0
+) -> DataFrame:
+    """CUSUM change-point detection per series (Page 1954, "Continuous
+    Inspection Schemes", Biometrika — the classic sequential test): per
+    event_type, the hourly mean-value series is scanned with two-sided
+    cumulative sums S⁺/S⁻ (drift allowance ``k_sigma``·σ, alarm at
+    ``h_sigma``·σ). Calibration is the classical IN-CONTROL convention:
+    μ/σ come from the series' first 24 hours (the burn-in), not the
+    whole series — retrospective global calibration would fold the
+    shifted regime into μ and alarm on the PRE-shift data in the wrong
+    direction. An alarm emits the hour, direction and statistic, then
+    the sums reset — the standard "did the metric level shift?" monitor
+    over a 100 TB event stream's rollups.
+
+    The recursion S⁺_t = max(0, S⁺_{t-1} + x_t - k) is inherently
+    sequential per series → Arrow-batched ``applyInPandas`` kernel (the
+    ``lttb_downsample`` discipline); the input is the (type, hour)
+    pre-aggregate — series-grain task state, corpus never enters the
+    kernel. Deterministic: fixed calibration, total hour order."""
+    import numpy as np
+    import pandas as pd
+
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.avg("value").alias("mean_value"))
+    )
+
+    def kernel(key, pdf):
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        x = pdf["mean_value"].to_numpy(dtype=np.float64)
+        burn = x[: min(24, len(x))]
+        mu, sd = float(burn.mean()), float(burn.std(ddof=0))
+        sd = max(sd, 1e-12)
+        k, h = k_sigma * sd, h_sigma * sd
+        sp = sn = 0.0
+        rows = []
+        for i, v in enumerate(x):
+            sp = max(0.0, sp + (v - mu) - k)
+            sn = max(0.0, sn + (mu - v) - k)
+            if sp > h or sn > h:
+                rows.append(
+                    (
+                        key[0],
+                        pdf["hour"].iloc[i],
+                        "up" if sp > h else "down",
+                        round(max(sp, sn) / sd, 6),
+                    )
+                )
+                sp = sn = 0.0
+        return pd.DataFrame(
+            rows, columns=["event_type", "hour", "direction", "stat_sigma"]
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        kernel, "event_type string, hour timestamp, direction string, stat_sigma double"
+    )

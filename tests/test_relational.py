@@ -452,3 +452,36 @@ def test_arrow_byte_profile_matches_expressions(spark, tables):
         g = got[r["doc_id"]]
         assert (g["n_bytes"], g["n_chars"]) == (r["n_bytes"], r["n_chars"])
         assert g["is_ascii"] == (r["n_bytes"] == r["n_chars"])
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    """A series with a +8-sigma level shift at hour 60 alarms shortly
+    after the shift (direction 'up'); a stationary series never alarms;
+    reruns identical."""
+    import datetime
+
+    from datalake_local_spark.operators import windows as ops_windows
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(120):
+        v = 10.0 + (i % 5) * 0.01  # tiny periodic wiggle
+        if i >= 60:
+            v += 1.0  # large vs the tiny sd
+        rows.append((i, base + datetime.timedelta(hours=i), 1, "shifted", v, "{}"))
+    for i in range(120):
+        rows.append((1000 + i, base + datetime.timedelta(hours=i), 1, "flat",
+                     5.0 + (i % 5) * 0.01, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = ops_windows.cusum_changepoints(df).collect()
+    shifted = [r for r in out if r["event_type"] == "shifted"]
+    flat = [r for r in out if r["event_type"] == "flat"]
+    assert not flat
+    assert shifted, "level shift must alarm"
+    first = min(shifted, key=lambda r: r["hour"])
+    assert first["direction"] == "up"
+    assert base + datetime.timedelta(hours=60) <= first["hour"] <= base + datetime.timedelta(hours=75)
+    again = ops_windows.cusum_changepoints(df).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
