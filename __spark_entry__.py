@@ -2061,7 +2061,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, i AS seg_id,
                        array_to_string(t[(i*8+1):(i*8+8)], ' ') AS seg,
                        len(t[(i*8+1):(i*8+8)]) AS seg_n_tokens,
-                       doc_id * 1000000 + i AS occ_key
+                       doc_id * 1000000000 + i AS occ_key
                 FROM toked,
                      unnest(generate_series(0,
                          CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS g(i)

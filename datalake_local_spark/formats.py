@@ -89,10 +89,23 @@ class SnapshotTable:
         return version
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Time travel: read a specific version (default latest)."""
+        """Time travel: read a specific version (default latest). Fails
+        fast with a clear error for unknown or vacuumed versions (so
+        rollback() inherits the same contract) instead of Spark's raw
+        TABLE_OR_VIEW_NOT_FOUND."""
         version = version if version is not None else self.latest_version()
         if version is None:
             raise ValueError(f"{self.db}.{self.name} has no snapshots")
+        if version not in self._versions():
+            raise ValueError(
+                f"version {version} of {self.db}.{self.name} was never "
+                f"written; history has {sorted(self._versions())}"
+            )
+        if not self.spark.catalog.tableExists(f"{self.db}.{self.name}__v{version}"):
+            raise ValueError(
+                f"version {version} of {self.db}.{self.name} was vacuumed; "
+                f"available: {sorted(self._versions_available())}"
+            )
         return self.spark.table(f"{self.db}.{self.name}__v{version}")
 
     def rollback(self, version: int) -> int:
@@ -135,26 +148,20 @@ class SnapshotTable:
         ]
 
     def read_checked(self, version: int | None = None) -> DataFrame:
-        """``read`` that fails fast with a clear error for vacuumed
-        versions instead of Spark's TABLE_OR_VIEW_NOT_FOUND."""
-        version = version if version is not None else self.latest_version()
-        if version is None:
-            raise ValueError(f"{self.db}.{self.name} has no snapshots")
-        if not self.spark.catalog.tableExists(f"{self.db}.{self.name}__v{version}"):
-            raise ValueError(
-                f"version {version} of {self.db}.{self.name} was vacuumed; "
-                f"available: {sorted(self._versions_available())}"
-            )
-        return self.spark.table(f"{self.db}.{self.name}__v{version}")
+        """Alias kept for the vacuum-era call sites; ``read`` itself now
+        carries the fail-fast contract."""
+        return self.read(version)
 
     def history(self) -> DataFrame:
         return self.spark.table(self._manifest).orderBy("version")
 
 
-def _format_cache_dir(df, tag: str) -> str:
-    """Write-once scratch location keyed on the source dataset's file
-    signatures (the ivf_partitioned_probe discipline): same inputs →
-    same directory → the converted copy is built once per corpus."""
+def _format_cache_dir(df, tag: str) -> tuple[str, bool]:
+    """(path, stable): write-once scratch location keyed on the source
+    dataset's file signatures (the ivf_partitioned_probe discipline) —
+    same inputs → same directory → the converted copy is built once per
+    corpus; ``stable`` is False for in-memory frames with no file
+    identity (callers then rebuild unconditionally)."""
     import hashlib
     import os
     import tempfile

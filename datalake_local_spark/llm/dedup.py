@@ -947,6 +947,8 @@ def _bloom_build(
     transfer is #partitions × m/8 bytes regardless of row count."""
     import numpy as np
 
+    if m_bits % 8 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
     pos_cols = [
         F.pmod(F.xxhash64(F.col("fingerprint"), F.lit(seed + i)), F.lit(m_bits))
         for i in range(k)
@@ -1029,17 +1031,23 @@ def bloom_incremental_dedup(
         "doc_id", "source", fp.alias("fingerprint")
     )
     tested = incoming.withColumn("maybe_dup", maybe_in(F.array(*pos_cols)))
-    confirmed = (
-        tested.filter(F.col("maybe_dup"))
-        .join(existing.withColumn("in_existing", F.lit(True)), "fingerprint", "left")
-        .select("doc_id", F.coalesce(F.col("in_existing"), F.lit(False)).alias("in_existing"))
+    # ONE confirmation branch: the maybe_dup flag rides INSIDE the left
+    # join condition, so definite-clean rows null out without a second
+    # evaluation of the fingerprint/hash/UDF subtree (a two-branch
+    # filter-join-rejoin shape evaluated it twice per incoming row)
+    ex = existing.select(
+        F.col("fingerprint").alias("ex_fp"), F.lit(True).alias("in_existing")
+    )
+    confirmed = tested.join(
+        ex,
+        (F.col("fingerprint") == F.col("ex_fp")) & F.col("maybe_dup"),
+        "left",
     )
     first_in_batch = incoming.groupBy("fingerprint").agg(
         F.min("doc_id").alias("first_doc_id")
     )
     return (
-        tested.join(confirmed, "doc_id", "left")
-        .join(first_in_batch, "fingerprint")
+        confirmed.join(first_in_batch, "fingerprint")
         .select(
             "doc_id",
             "source",
@@ -1190,22 +1198,12 @@ def probe_band_index(
     )
     if verify_threshold is None or corpus is None:
         return pairs
+    # the SAME shingle definition as the LSH verification path (_shingles:
+    # string n-grams, EMPTY for docs shorter than n tokens — an inline
+    # variant here once gave sub-n docs a spurious truncated shingle)
     shing = lambda df, idc: df.select(
         F.col("doc_id").alias(idc),
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(
-                        F.size(F.split(_norm_text(F.col("text")), " ")) - (shingle_n - 1),
-                        F.lit(1),
-                    ),
-                ),
-                lambda i: F.xxhash64(
-                    F.slice(F.split(_norm_text(F.col("text")), " "), i, shingle_n)
-                ),
-            )
-        ).alias(idc + "_sh"),
+        _shingles(F.col("text"), shingle_n).alias(idc + "_sh"),
     )
     q_sh = shing(query_docs, "query_doc_id")
     c_sh = shing(corpus, "match_doc_id")

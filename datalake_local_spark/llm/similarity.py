@@ -1226,6 +1226,11 @@ def pq_topk(
         .select("vec_id", "embedding")
         .collect()
     )
+    spark = embeddings.sparkSession
+    if not q_rows:  # no anchors in the corpus: empty result, not a kernel crash
+        return spark.createDataFrame(
+            [], "query_id long, corpus_id long, approx_cosine double, rank int"
+        )
     norm_tab = (books**2).sum(axis=2)  # m × k_codes
     q_tabs = []
     for r in q_rows:
@@ -1236,7 +1241,6 @@ def pq_topk(
             "jkl,jl->jk", books, qv.reshape(books.shape[0], d_sub)
         )  # m × k_codes
         q_tabs.append((int(r["vec_id"]), qn, dot_tab))
-    spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast((q_tabs, norm_tab))
 
     def score(batches):

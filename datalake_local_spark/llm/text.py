@@ -962,8 +962,10 @@ def segment_dedup(documents: DataFrame, seg_tokens: int = 8) -> DataFrame:
 
     Any segment string occurring MORE THAN ONCE corpus-wide (across or
     within docs) keeps exactly its first occurrence — the minimum
-    (doc_id, seg_id), encoded as ``doc_id * 1_000_000 + seg_id`` so the
-    arg-min is a plain partially-aggregating ``min`` in both engines —
+    (doc_id, seg_id), encoded as ``doc_id * 1_000_000_000 + seg_id`` so
+    the arg-min is a plain partially-aggregating ``min`` in both engines
+    (the 1e9 stride caps docs at 10⁹ segments ≈ 8·10⁹ tokens — far past
+    any real document — and doc_ids at ~9·10⁹ before bigint overflow) —
     and every other occurrence is removed. Output is the per-doc audit:
     segment/token counts before and after, and an md5 fingerprint of the
     ordered kept-segment sequence (NULL when nothing survives) — the
@@ -1005,7 +1007,7 @@ def segment_dedup(documents: DataFrame, seg_tokens: int = 8) -> DataFrame:
         F.col("s.seg_id").alias("seg_id"),
         F.md5(F.col("s.seg")).alias("seg_h"),
         F.size(F.split(F.col("s.seg"), " ")).alias("seg_n_tokens"),
-        (F.col("doc_id") * 1000000 + F.col("s.seg_id")).alias("occ_key"),
+        (F.col("doc_id") * 1000000000 + F.col("s.seg_id")).alias("occ_key"),
     )
     groups = segs.groupBy("seg_h").agg(
         F.count("*").alias("n_occ"), F.min("occ_key").alias("keeper_key")
@@ -1185,6 +1187,11 @@ def lang_quality_buckets(documents: DataFrame) -> DataFrame:
     )
 
 
+#: Learned BPE merge tables keyed on (source file signatures, n_merges):
+#: plain python rows, no session affinity, bounded FIFO.
+_BPE_MERGE_CACHE: dict = {}
+
+
 def bpe_train(documents: DataFrame, n_merges: int = 20) -> DataFrame:
     """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
     "Neural Machine Translation of Rare Words with Subword Units" —
@@ -1214,7 +1221,21 @@ def bpe_train(documents: DataFrame, n_merges: int = 20) -> DataFrame:
       ~15 — same failure mode as the label-propagation loop, same fix.
 
     20 rounds = 20 small jobs over a vocab-grain table; the corpus is
-    scanned ONCE (building word counts)."""
+    scanned ONCE (building word counts). The learned table is memoized
+    per (source files, n_merges) — plain python tuples, session-free —
+    so ``bpe_encode_corpus`` and repeat calls replay the result without
+    re-running the loop (the build-once registry discipline of the IVF
+    and band indexes)."""
+    from datalake_local_spark.llm.dedup import source_signature
+
+    spark = documents.sparkSession
+    src = source_signature(documents)
+    ck = (src, n_merges)
+    if src and ck in _BPE_MERGE_CACHE:
+        return spark.createDataFrame(
+            _BPE_MERGE_CACHE[ck],
+            schema="rank int, left string, right string, merged string, pair_count long",
+        )
     words = (
         documents.select(
             F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
@@ -1277,7 +1298,10 @@ def bpe_train(documents: DataFrame, n_merges: int = 20) -> DataFrame:
             cur = nxt
     finally:
         _release_checkpoint(cur)
-    spark = documents.sparkSession
+    if src:
+        while len(_BPE_MERGE_CACHE) >= 8:
+            _BPE_MERGE_CACHE.pop(next(iter(_BPE_MERGE_CACHE)))
+        _BPE_MERGE_CACHE[ck] = list(merges)
     return spark.createDataFrame(
         merges, schema="rank int, left string, right string, merged string, pair_count long"
     )
@@ -1341,7 +1365,9 @@ def compression_ratio_signal(documents: DataFrame) -> DataFrame:
     )
 
 
-def bpe_encode_corpus(documents: DataFrame, n_merges: int = 20) -> DataFrame:
+def bpe_encode_corpus(
+    documents: DataFrame, n_merges: int = 20, merges: list | None = None
+) -> DataFrame:
     """Apply a trained BPE merge table to the corpus — the second half
     of the tokenizer arc (``bpe_train`` learns, this encodes), and the
     number every tokenizer decision is judged by: how many subword
@@ -1358,13 +1384,18 @@ def bpe_encode_corpus(documents: DataFrame, n_merges: int = 20) -> DataFrame:
     tokenizer literature reports.
 
     Deterministic: merges apply greedily left-to-right in rank order —
-    matches the pure-python reference in tests exactly."""
+    matches the pure-python reference in tests exactly. Pass ``merges``
+    (rank-ordered (left, right) pairs) to reuse an already-trained
+    table instead of paying the training loop again; docs whose
+    normalized text is empty still get an audit row (all-zero counts,
+    NULL tokens_per_word) like every sibling per-doc operator."""
     import pandas as pd
 
-    merges = [
-        (r["left"], r["right"])
-        for r in bpe_train(documents, n_merges).orderBy("rank").collect()
-    ]
+    if merges is None:
+        merges = [
+            (r["left"], r["right"])
+            for r in bpe_train(documents, n_merges).orderBy("rank").collect()
+        ]
     spark = documents.sparkSession
     bc = spark.sparkContext.broadcast(merges)
 
@@ -1402,12 +1433,19 @@ def bpe_encode_corpus(documents: DataFrame, n_merges: int = 20) -> DataFrame:
             F.sum(F.length("w")).cast("long").alias("n_chars"),
         )
     )
-    return per_doc.select(
-        "doc_id",
-        "n_words",
-        "n_subword_tokens",
-        "n_chars",
-        F.round(F.col("n_subword_tokens") / F.col("n_words"), 6).alias(
-            "tokens_per_word"
-        ),
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.coalesce(F.col("n_subword_tokens"), F.lit(0)).cast("long").alias(
+                "n_subword_tokens"
+            ),
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.col("n_subword_tokens") / F.col("n_words"), 6),
+            ).alias("tokens_per_word"),
+        )
     )

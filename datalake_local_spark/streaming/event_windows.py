@@ -682,6 +682,7 @@ def run_streaming_trending(
         .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
     )
     view = f"{query_name}_out"
+    last_ranked: list = []
 
     def rank_batch(batch_df, batch_id):
         w = W.partitionBy("win_start").orderBy(
@@ -693,6 +694,12 @@ def run_streaming_trending(
         )
         ranked.persist().count()
         ranked.createOrReplaceGlobalTempView(view)
+        # complete mode re-ranks the FULL aggregate every micro-batch:
+        # release the previous batch's cache, only the newest view is
+        # ever read (without this, K-batch sources leak K-1 cached copies)
+        if last_ranked:
+            last_ranked.pop().unpersist()
+        last_ranked.append(ranked)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
