@@ -246,6 +246,7 @@ _CERTIFY_FIRST = [
     "dedup_cluster_sizes",  # dup-cluster size histogram (recursive oracle)
     "pandas_arrow_bytes",  # mapInArrow zero-copy surface, hash oracle
     "events_cusum",  # rows-only: CUSUM level-shift monitor
+    "dedup_graph_quality",  # clique-vs-chain dup-graph diagnosis
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -278,7 +279,6 @@ _CERTIFY_FIRST = [
     "dedup_components_chain",  # rows-only: A/B-attributed bench probe
     "dedup_cross_source",  # injectable LSH feed rides the same registry
     "sim_cosine_topk_ivf",  # rows-only: IVF registry file-sig change
-    "streaming_stream_join",  # refactored onto shared side-builders
     # least-recently-certified rotation: r1 tail (last checked round 1)
     # r2 cohort (last checked round 2)
     # scalar_json_extract..calendar_spine_daily (bumped by the second
@@ -446,6 +446,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": lambda s, d: dedup.duplicate_components(*_t(s, d, "documents")),
         # cluster-size histogram over the components output
         "dedup_cluster_sizes": lambda s, d: dedup.duplicate_cluster_sizes(
+            *_t(s, d, "documents")
+        ),
+        # per-component density + triangles: clique vs chain diagnosis
+        "dedup_graph_quality": lambda s, d: dedup.duplicate_graph_quality(
             *_t(s, d, "documents")
         ),
         "dedup_incremental": lambda s, d: dedup.incremental_exact_dedup(*_t(s, d, "documents")),
@@ -1298,6 +1302,66 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(cluster_size * count(*) AS DOUBLE) / n_docs, 6)
                        AS doc_share
             FROM csizes, tot GROUP BY cluster_size, n_docs
+        """,
+        "dedup_graph_quality": f"""
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+            ),
+            gedges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS reached FROM docs
+                UNION
+                SELECT r.node, e.dst FROM reach r JOIN gedges e ON e.src = r.reached
+            ),
+            comp AS (
+                SELECT node AS doc_id, min(reached) AS component_id
+                FROM reach GROUP BY node
+            ),
+            e1 AS (
+                SELECT p.doc_a, p.doc_b, c.component_id
+                FROM pairs p JOIN comp c ON c.doc_id = p.doc_a
+            ),
+            tri AS (
+                SELECT ac.component_id, count(*) AS n_triangles
+                FROM e1 ab
+                JOIN e1 bc ON ab.doc_b = bc.doc_a
+                JOIN e1 ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+                GROUP BY 1
+            ),
+            percomp AS (
+                SELECT component_id, count(*) AS n_edges FROM e1 GROUP BY 1
+            ),
+            csize AS (
+                SELECT component_id, count(*) AS size FROM comp GROUP BY 1
+            )
+            SELECT p.component_id,
+                   CAST(size AS INT) AS size,
+                   CAST(n_edges AS BIGINT) AS n_edges,
+                   round(n_edges / (size * (size - 1) / 2.0), 6) AS density,
+                   CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles
+            FROM percomp p
+            JOIN csize USING (component_id)
+            LEFT JOIN tri USING (component_id)
+            WHERE size >= 2
         """,
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "sim_hard_negatives": """

@@ -1287,3 +1287,61 @@ def duplicate_cluster_sizes(documents: DataFrame) -> DataFrame:
             ).alias("doc_share"),
         )
     )
+
+
+def duplicate_graph_quality(documents: DataFrame) -> DataFrame:
+    """Dup-graph QA: per near-dup component, edge density and triangle
+    support — the diagnostic that tells a REAL duplicate cluster from a
+    threshold artifact. True duplicates are mutually similar (their
+    component is near-clique: density ≈ 1, every edge in triangles);
+    long low-density chains mean transitive closure glued docs the
+    pairwise threshold never matched (lower the threshold's glue, raise
+    the bar, or verify pairs) — the classic MinHash-closure failure
+    mode.
+
+    Per component with ≥ 2 docs: size, n_edges, density = edges /
+    (size·(size-1)/2), n_triangles (each counted once via the
+    i<j<k orientation).
+
+    Scale shape: edges come from the verified pair set (candidate-
+    bounded, never all-pairs); triangle counting is the standard
+    two-join on oriented edges (a<b, b<c, probe a<c) — edge-grain
+    shuffles, component labels broadcast-joined from the components
+    output. Component grain aggregates are map-side combining."""
+    comp = duplicate_components(documents).select("doc_id", "component_id")
+    pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select("doc_a", "doc_b")
+    edges = pairs.join(
+        comp.select(F.col("doc_id").alias("doc_a"), "component_id"), "doc_a"
+    )
+    e1 = edges.select("doc_a", "doc_b", "component_id")
+    # oriented two-path (a<b, b<c) probed against the closing edge (a<c)
+    ab = e1.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = e1.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    ac = e1.select(
+        F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"), "component_id"
+    )
+    tri = (
+        ab.join(bc, F.col("b") == F.col("b2"))
+        .join(ac, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .groupBy("component_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    per_comp = (
+        e1.groupBy("component_id")
+        .agg(F.count("*").alias("n_edges"))
+        .join(
+            comp.groupBy("component_id").agg(F.count("*").alias("size")),
+            "component_id",
+        )
+        .filter(F.col("size") >= 2)
+        .join(tri, "component_id", "left")
+    )
+    return per_comp.select(
+        "component_id",
+        F.col("size").cast("int").alias("size"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.round(
+            F.col("n_edges") / (F.col("size") * (F.col("size") - 1) / 2), 6
+        ).alias("density"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+    )

@@ -2126,3 +2126,29 @@ def test_cluster_sizes_conservation(tables):
     assert abs(sum(r["doc_share"] for r in hist) - 1.0) < 1e-4
     ones = [r for r in hist if r["cluster_size"] == 1]
     assert ones and ones[0]["doc_share"] > 0.1
+
+
+def test_graph_quality_clique_vs_chain(spark):
+    """A planted exact-duplicate triple is a perfect clique (density 1,
+    one triangle); a planted chain (A~B~C with A,C dissimilar) has
+    density 2/3 and zero triangles — the threshold-artifact signature
+    the diagnostic exists to expose."""
+    tri_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, tri_text), (1, tri_text), (2, tri_text),       # clique of 3
+            (10, "one two three four five six seven eight nine ten"),
+            (11, "one two three four five six seven eight nine zzz"),
+            (12, "one two three four five six seven eight qqq zzz"),
+            (50, "wholly unrelated content sits alone here today now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["component_id"]: r for r in dedup.duplicate_graph_quality(docs).collect()}
+    clique = rows[0]
+    assert clique["size"] == 3 and clique["n_edges"] == 3
+    assert clique["density"] == 1.0 and clique["n_triangles"] == 1
+    chain = rows[10]
+    assert chain["size"] == 3 and chain["n_edges"] == 2
+    assert chain["density"] == round(2 / 3, 6) and chain["n_triangles"] == 0
+    assert 50 not in rows  # singletons excluded
