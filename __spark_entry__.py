@@ -247,6 +247,7 @@ _CERTIFY_FIRST = [
     "pandas_arrow_bytes",  # mapInArrow zero-copy surface, hash oracle
     "events_cusum",  # rows-only: CUSUM level-shift monitor
     "dedup_graph_quality",  # clique-vs-chain dup-graph diagnosis
+    "sim_kcenter_coreset",  # rows-only: farthest-point diversity picks
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -272,7 +273,6 @@ _CERTIFY_FIRST = [
     "pipeline_mixture_neardup",  # rows-only: same ledger + LSH flag
     "pipeline_corpus_prep",  # rides the memo/configure-on-hit change
     "pipeline_corpus_prep_neardup",  # rows-only: registry file-sig change
-    "dedup_minhash_lsh",  # registry key now carries content tail
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_incremental",
@@ -482,6 +482,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # similarity search (north star)
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(*_t(s, d, "embeddings")),
+        # rows-only (k-round greedy driver loop) — diversity coreset
+        "sim_kcenter_coreset": lambda s, d: similarity.kcenter_coreset(
+            *_t(s, d, "embeddings")
+        ),
         # contrastive hard negatives: top-k similar with a DIFFERENT label
         "sim_hard_negatives": lambda s, d: similarity.hard_negative_mining(
             *_t(s, d, "embeddings")

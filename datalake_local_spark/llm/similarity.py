@@ -1329,3 +1329,69 @@ def hard_negative_mining(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "negative_label", "cosine", "rank")
     )
+
+
+def kcenter_coreset(
+    embeddings: DataFrame, k: int = 16, start_id: int | None = None
+) -> DataFrame:
+    """Diversity coreset by k-center greedy (Gonzalez 1985 farthest-point
+    traversal; the selection kernel of coreset-based data selection,
+    e.g. Sener & Savarese 2018, "Active Learning for Convolutional
+    Neural Networks: A Core-Set Approach" — public papers): repeatedly
+    pick the corpus vector FARTHEST from the current center set. The
+    greedy is a 2-approximation of the optimal k-center cover — the
+    principled "spend the labeling/training budget on maximally diverse
+    examples" rule, the opposite end of the selection spectrum from
+    dedup (which removes the too-close).
+
+    Sequential in k by nature, so the loop runs k-1 driver rounds, each
+    a MAP-ONLY distance update against ONE broadcast center plus a
+    TakeOrderedAndProject argmax — one small job per round, no shuffle
+    of the corpus anywhere (min-distance state rides in a column,
+    localCheckpoint-bounded like every iterative loop here; the
+    previous round's blocks are eagerly released). Start center =
+    lowest vec_id (or ``start_id``) — fully deterministic, ties broken
+    by vec_id.
+
+    Returns the selected centers with pick order and each pick's
+    coverage radius (its distance to the prior set — non-increasing;
+    asserted in tests)."""
+    from datalake_local_spark.llm.dedup import _release_checkpoint
+
+    spark = embeddings.sparkSession
+    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    if start_id is None:
+        start_id = base.orderBy("vec_id").limit(1).collect()[0]["vec_id"]
+    first = base.filter(F.col("vec_id") == start_id).collect()
+    if not first:
+        raise ValueError(f"start_id {start_id} not present")
+    centers = [(int(start_id), 1, None)]
+    cvec = first[0]["v"]
+
+    def dist_to(vec):
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    cur = base.withColumn("mind", dist_to(cvec)).coalesce(8).localCheckpoint()
+    for rank in range(2, k + 1):
+        far = (
+            cur.orderBy(F.col("mind").desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(far["vec_id"]), rank, round(float(far["mind"]), 6)))
+        nxt = cur.withColumn(
+            "mind", F.least(F.col("mind"), dist_to(far["v"]))
+        ).localCheckpoint()
+        _release_checkpoint(cur)
+        cur = nxt
+    _release_checkpoint(cur)
+    return spark.createDataFrame(
+        centers, schema="vec_id long, pick_order int, radius double"
+    )

@@ -2152,3 +2152,26 @@ def test_graph_quality_clique_vs_chain(spark):
     assert chain["size"] == 3 and chain["n_edges"] == 2
     assert chain["density"] == round(2 / 3, 6) and chain["n_triangles"] == 0
     assert 50 not in rows  # singletons excluded
+
+
+def test_kcenter_coreset_invariants(tables):
+    """Farthest-point traversal: picks are distinct corpus members, the
+    start is the lowest vec_id, radii are non-increasing (each new pick
+    is at most as far as the last), reruns identical, and every pick
+    beats random selection's coverage on the planted-cluster corpus
+    (picks span > half the label set)."""
+    emb = tables["embeddings"]
+    out = similarity.kcenter_coreset(emb, k=12).collect()
+    assert len(out) == 12
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == 12
+    by_rank = sorted(out, key=lambda r: r["pick_order"])
+    assert by_rank[0]["vec_id"] == emb.agg(F.min("vec_id")).collect()[0][0]
+    radii = [r["radius"] for r in by_rank[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert all(r > 0 for r in radii)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    n_labels = len(set(labels.values()))
+    assert len({labels[i] for i in ids}) > n_labels / 2
+    again = similarity.kcenter_coreset(emb, k=12).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
