@@ -248,6 +248,7 @@ _CERTIFY_FIRST = [
     "events_cusum",  # rows-only: CUSUM level-shift monitor
     "dedup_graph_quality",  # clique-vs-chain dup-graph diagnosis
     "sim_kcenter_coreset",  # rows-only: farthest-point diversity picks
+    "sim_knn_label_transfer",  # weak labeling from labeled neighbors
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -273,7 +274,6 @@ _CERTIFY_FIRST = [
     "pipeline_mixture_neardup",  # rows-only: same ledger + LSH flag
     "pipeline_corpus_prep",  # rides the memo/configure-on-hit change
     "pipeline_corpus_prep_neardup",  # rows-only: registry file-sig change
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_incremental",
     "dedup_components_chain",  # rows-only: A/B-attributed bench probe
@@ -482,6 +482,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # similarity search (north star)
         "sim_cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(*_t(s, d, "embeddings")),
+        # kNN label transfer: odd ids labeled from even-id neighbors
+        "sim_knn_label_transfer": lambda s, d: similarity.knn_label_transfer(
+            *_t(s, d, "embeddings")
+        ),
         # rows-only (k-round greedy driver loop) — diversity coreset
         "sim_kcenter_coreset": lambda s, d: similarity.kcenter_coreset(
             *_t(s, d, "embeddings")
@@ -1368,6 +1372,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE size >= 2
         """,
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
+        "sim_knn_label_transfer": """
+            WITH corpus AS (
+                SELECT vec_id AS n_id, label AS n_label, embedding AS ce
+                FROM embeddings WHERE vec_id % 2 = 0
+            ),
+            q AS (
+                SELECT vec_id AS query_id, label AS true_label, embedding AS qe
+                FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 200
+            ),
+            scored AS (
+                SELECT q.query_id, q.true_label, c.n_id, c.n_label,
+                       round(
+                         list_sum(list_transform(list_zip(q.qe, c.ce),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                         6) AS cosine
+                FROM q, corpus c
+            ),
+            nn AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, n_id) AS rank
+                    FROM scored
+                ) WHERE rank <= 5
+            ),
+            votes AS (
+                SELECT query_id, true_label, n_label, count(*) AS n_votes
+                FROM nn GROUP BY 1, 2, 3
+            )
+            SELECT query_id, n_label AS predicted_label,
+                   CAST(n_votes AS INT) AS n_votes, true_label,
+                   n_label = true_label AS agrees
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY n_votes DESC, n_label) AS vr
+                FROM votes
+            ) WHERE vr = 1
+        """,
         "sim_hard_negatives": """
             WITH q AS (
                 SELECT vec_id AS query_id, label AS q_label, embedding AS qe

@@ -1395,3 +1395,68 @@ def kcenter_coreset(
     return spark.createDataFrame(
         centers, schema="vec_id long, pick_order int, radius double"
     )
+
+
+def knn_label_transfer(
+    embeddings: DataFrame, k: int = 5, max_query_id: int = 200
+) -> DataFrame:
+    """kNN label transfer — the weak-labeling step of semi-supervised
+    data curation (label the unlabeled crawl from its nearest labeled
+    neighbors; Zhu 2005 semi-supervised survey, public): odd vec_ids
+    play the UNLABELED side, even vec_ids the labeled reference; each
+    query takes the majority label of its k nearest (cosine) labeled
+    neighbors, ties broken toward the smallest label id — fully
+    deterministic, and since the corpus really is labeled, the output
+    carries the agreement flag (the label-quality audit this op exists
+    to produce at scale).
+
+    Plan: one labeled-side pass joined against the bounded query panel
+    (broadcast), per-query neighbor window, then a (query, label) vote
+    aggregate with a deterministic argmax — same skeleton as
+    ``cosine_topk_bruteforce`` with a vote layer. At 100 TB the
+    neighbor search swaps in the IVF/PQ index like every other ANN
+    consumer. Query side bounded by ``max_query_id`` for the
+    correctness harness."""
+    corpus = embeddings.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        _as_double(F.col("embedding")).alias("cvec"),
+    )
+    queries = embeddings.filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < max_query_id)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        _as_double(F.col("embedding")).alias("qvec"),
+    )
+    pairs = corpus.join(F.broadcast(queries), F.lit(True))
+    scored = pairs.select(
+        "query_id",
+        "true_label",
+        "n_id",
+        "n_label",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    nn = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    votes = nn.groupBy("query_id", "true_label", "n_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("n_label").alias("predicted_label"),
+            F.col("n_votes").cast("int").alias("n_votes"),
+            "true_label",
+            (F.col("n_label") == F.col("true_label")).alias("agrees"),
+        )
+    )

@@ -2175,3 +2175,34 @@ def test_kcenter_coreset_invariants(tables):
     assert len({labels[i] for i in ids}) > n_labels / 2
     again = similarity.kcenter_coreset(emb, k=12).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_knn_label_transfer_quality(spark, tables):
+    """Structure on the real corpus (one prediction per query, 1..5
+    votes, deterministic); QUALITY on a planted clustered space, where
+    transfer must be near-perfect — the sf0.001 synthetic embeddings
+    are too weakly clustered to carry an accuracy claim."""
+    emb = tables["embeddings"]
+    out = similarity.knn_label_transfer(emb).collect()
+    qn = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 200)).count()
+    assert len(out) == qn
+    assert all(1 <= r["n_votes"] <= 5 for r in out)
+    again = similarity.knn_label_transfer(emb).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(300):
+        label = i % 3
+        center = [0.0] * 12
+        center[label * 4] = 10.0  # well-separated cluster axes
+        vec = [c + rng.gauss(0, 0.5) for c in center]
+        rows.append((i, vec, label))
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    p_out = similarity.knn_label_transfer(planted).collect()
+    acc = sum(r["agrees"] for r in p_out) / len(p_out)
+    assert acc > 0.95, f"planted-cluster transfer accuracy {acc}"
