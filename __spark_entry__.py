@@ -249,6 +249,7 @@ _CERTIFY_FIRST = [
     "dedup_graph_quality",  # clique-vs-chain dup-graph diagnosis
     "sim_kcenter_coreset",  # rows-only: farthest-point diversity picks
     "sim_knn_label_transfer",  # weak labeling from labeled neighbors
+    "text_span_corruption",  # T5 masking plan, hash-deterministic
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -274,7 +275,6 @@ _CERTIFY_FIRST = [
     "pipeline_mixture_neardup",  # rows-only: same ledger + LSH flag
     "pipeline_corpus_prep",  # rides the memo/configure-on-hit change
     "pipeline_corpus_prep_neardup",  # rows-only: registry file-sig change
-    "dedup_simhash",
     "dedup_incremental",
     "dedup_components_chain",  # rows-only: A/B-attributed bench probe
     "dedup_cross_source",  # injectable LSH feed rides the same registry
@@ -567,6 +567,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (driver merge loop feeds the encoder) — per-doc
         # subword token accounting with the learned merges
         "text_bpe_encode": lambda s, d: text.bpe_encode_corpus(*_t(s, d, "documents")),
+        # T5 span-corruption plan: deterministic hash-driven masking
+        "text_span_corruption": lambda s, d: text.span_corruption_plan(
+            *_t(s, d, "documents")
+        ),
         # rows-only (no ANSI zlib) — compressibility quality signal
         "text_compression_ratio": lambda s, d: text.compression_ratio_signal(
             *_t(s, d, "documents")
@@ -2229,6 +2233,53 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(covered_tokens, 0) AS DOUBLE) / len(t), 6)
                        AS dup_frac
             FROM toked d LEFT JOIN cov USING (doc_id)
+        """,
+        "text_span_corruption": f"""
+            WITH base AS (
+                SELECT doc_id, len(string_split({_NORM}, ' ')) AS n_tokens
+                FROM documents
+            ),
+            pos AS (
+                SELECT b.doc_id, b.n_tokens, g.p
+                FROM base b,
+                     unnest(generate_series(1, greatest(b.n_tokens, 1))) AS g(p)
+                WHERE CAST(('0x' || substring(
+                          md5(b.doc_id || ':' || g.p), 1, 8)) AS BIGINT) % 1000 < 50
+            ),
+            covs AS (
+                SELECT doc_id, p,
+                       least(
+                           least(coalesce(
+                               lead(p) OVER (PARTITION BY doc_id ORDER BY p) - p,
+                               3), 3),
+                           n_tokens - p + 1) AS cov
+                FROM pos
+            ),
+            spans AS (
+                SELECT doc_id, p, cov,
+                       CASE WHEN coalesce(
+                                (p - lag(p) OVER (PARTITION BY doc_id ORDER BY p))
+                                > lag(cov) OVER (PARTITION BY doc_id ORDER BY p),
+                                TRUE)
+                            THEN 1 ELSE 0 END AS new_span
+                FROM covs
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       CAST(sum(new_span) AS INT) AS n_spans,
+                       CAST(sum(cov) AS BIGINT) AS n_masked,
+                       md5(string_agg(p || ':' || cov, ',' ORDER BY p))
+                           AS plan_fingerprint
+                FROM spans GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   CAST(b.n_tokens AS INT) AS n_tokens,
+                   coalesce(n_spans, 0) AS n_spans,
+                   CAST(coalesce(n_masked, 0) AS BIGINT) AS n_masked,
+                   round(CAST(coalesce(n_masked, 0) AS DOUBLE) / b.n_tokens, 6)
+                       AS masked_frac,
+                   plan_fingerprint
+            FROM base b LEFT JOIN per_doc USING (doc_id)
         """,
         "text_pii_scrub": r"""
             WITH injected AS (

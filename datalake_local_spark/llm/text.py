@@ -1449,3 +1449,93 @@ def bpe_encode_corpus(
             ).alias("tokens_per_word"),
         )
     )
+
+
+def span_corruption_plan(
+    documents: DataFrame, mask_rate: float = 0.15, mean_span: int = 3
+) -> DataFrame:
+    """T5-style span-corruption data prep (Raffel et al. 2020 §3.1.4,
+    the same public paper as C4: mask ~15% of tokens in contiguous
+    spans, mean length 3) — but DETERMINISTIC: every masking decision
+    derives from md5 of (doc_id, position), not an RNG, so the same
+    corpus always yields the same corruption plan (reproducible
+    pretraining batches, resumable without RNG-state checkpoints, and
+    an exact ANSI oracle).
+
+    Construction: positions where md5(doc:pos) mod 1000 <
+    1000·mask_rate/mean_span become SPAN STARTS; each span extends
+    ``mean_span`` tokens (clipped at the doc end; overlapping spans
+    merge — the interval-union window of ``duplicate_span_coverage``).
+    Expected masked fraction ≈ mask_rate for documents long relative
+    to mean_span. Output is the per-doc audit a data loader consumes:
+    token count, span count (post-merge), masked-token count and
+    fraction, and the sentinel-sequence fingerprint (md5 over the
+    ordered kept/masked structure).
+
+    Scale shape: map-side position explode (transform over sequence,
+    one explode), per-doc interval-union window (task state = one
+    doc's span starts), doc-grain aggregate — no corpus-grain key
+    anywhere, trivially parallel at 100 TB."""
+    from pyspark.sql import Window as W
+
+    t = F.split(_norm_text(F.col("text")), " ")
+    threshold = int(1000 * mask_rate / mean_span)
+    base = documents.select("doc_id", F.size(t).alias("n_tokens"))
+    pos = documents.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.explode(F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)))).alias("p"),
+    ).filter(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("p"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+        < threshold
+    )
+    w = W.partitionBy("doc_id").orderBy("p")
+    spans = pos.withColumn(
+        "cov",
+        F.least(
+            F.coalesce(F.lead("p").over(w) - F.col("p"), F.lit(mean_span)),
+            F.lit(mean_span),
+        ),
+    ).withColumn(
+        "cov", F.least(F.col("cov"), F.col("n_tokens") - F.col("p") + 1)
+    ).withColumn(
+        "new_span",
+        F.coalesce(
+            (F.col("p") - F.lag("p").over(w)) > F.lag("cov").over(w), F.lit(True)
+        ).cast("int"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("new_span").cast("int").alias("n_spans"),
+        F.sum("cov").cast("long").alias("n_masked"),
+        # collect_list order is not guaranteed after a window — sort the
+        # (p, cov) structs before fingerprinting so the hash is stable
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("p"), F.col("cov")))
+                    ),
+                    lambda s: F.concat_ws(":", s["p"], s["cov"]),
+                ),
+            )
+        ).alias("plan_fingerprint"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("n_masked"), F.lit(0)).cast("long").alias("n_masked"),
+            F.round(
+                F.coalesce(F.col("n_masked"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("masked_frac"),
+            "plan_fingerprint",
+        )
+    )

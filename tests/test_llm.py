@@ -2206,3 +2206,25 @@ def test_knn_label_transfer_quality(spark, tables):
     p_out = similarity.knn_label_transfer(planted).collect()
     acc = sum(r["agrees"] for r in p_out) / len(p_out)
     assert acc > 0.95, f"planted-cluster transfer accuracy {acc}"
+
+
+def test_span_corruption_plan_properties(tables):
+    """Deterministic masking plan: masked fraction concentrates near
+    mask_rate on long docs; every counted span is a non-empty maximal
+    masked run (spans <= masked <= tokens); reruns identical; changing
+    mask_rate moves the mass."""
+    docs = tables["documents"]
+    out = text.span_corruption_plan(docs).collect()
+    assert len(out) == docs.count()
+    long_docs = [r for r in out if r["n_tokens"] >= 60]
+    assert long_docs
+    mean_frac = sum(r["masked_frac"] for r in long_docs) / len(long_docs)
+    assert 0.08 < mean_frac < 0.25, mean_frac
+    for r in out:
+        assert r["n_spans"] <= r["n_masked"] <= r["n_tokens"]
+        assert (r["plan_fingerprint"] is None) == (r["n_spans"] == 0)
+    again = text.span_corruption_plan(docs).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    heavier = text.span_corruption_plan(docs, mask_rate=0.45).collect()
+    h = [r for r in heavier if r["n_tokens"] >= 60]
+    assert sum(r["masked_frac"] for r in h) / len(h) > mean_frac * 1.8
