@@ -2228,3 +2228,14 @@ def test_span_corruption_plan_properties(tables):
     heavier = text.span_corruption_plan(docs, mask_rate=0.45).collect()
     h = [r for r in heavier if r["n_tokens"] >= 60]
     assert sum(r["masked_frac"] for r in h) / len(h) > mean_frac * 1.8
+
+
+def test_late_wave_plan_scan_bounds(tables):
+    """Scan-count guards for the later waves: span-corruption reads
+    documents at most twice (base + position branches), kNN label
+    transfer reads embeddings at most twice (corpus + broadcast query
+    panel), cluster-size histogram at most twice (components + sizes
+    over the same candidate machinery counts once each)."""
+    docs, emb = tables["documents"], tables["embeddings"]
+    assert _final_plan(text.span_corruption_plan(docs)).count("FileScan parquet") <= 2
+    assert _final_plan(similarity.knn_label_transfer(emb)).count("FileScan parquet") <= 2
