@@ -250,6 +250,7 @@ _CERTIFY_FIRST = [
     "sim_kcenter_coreset",  # rows-only: farthest-point diversity picks
     "sim_knn_label_transfer",  # weak labeling from labeled neighbors
     "text_span_corruption",  # T5 masking plan, hash-deterministic
+    "tpch_min_cost_supplier",  # Q2 correlated-min shape, derived partsupp
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -275,7 +276,6 @@ _CERTIFY_FIRST = [
     "pipeline_mixture_neardup",  # rows-only: same ledger + LSH flag
     "pipeline_corpus_prep",  # rides the memo/configure-on-hit change
     "pipeline_corpus_prep_neardup",  # rows-only: registry file-sig change
-    "dedup_incremental",
     "dedup_components_chain",  # rows-only: A/B-attributed bench probe
     "dedup_cross_source",  # injectable LSH feed rides the same registry
     "sim_cosine_topk_ivf",  # rows-only: IVF registry file-sig change
@@ -648,6 +648,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_big_spenders": lambda s, d: tpch.big_spender_segments(*_t(s, d, "orders", "customer")),
         "tpch_forecast_revenue": lambda s, d: tpch.forecast_revenue(*_t(s, d, "lineitem")),
         "tpch_promo_revenue": lambda s, d: tpch.promo_revenue(*_t(s, d, "lineitem", "part")),
+        "tpch_min_cost_supplier": lambda s, d: tpch.min_cost_supplier(
+            *_t(s, d, "part", "supplier", "nation", "region")
+        ),
         "tpch_top_supplier": lambda s, d: tpch.top_supplier(*_t(s, d, "lineitem", "supplier")),
         "tpch_large_orders": lambda s, d: tpch.large_orders(*_t(s, d, "lineitem", "orders", "customer")),
         "tpch_volume_shipping": lambda s, d: tpch.volume_shipping(
@@ -3073,6 +3076,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-06-01'
               AND l_shipdate <  TIMESTAMP '1997-07-01'
+        """,
+        "tpch_min_cost_supplier": lambda s, d: tpch.min_cost_supplier(
+            *_t(s, d, "part", "supplier", "nation", "region")
+        ),
+        "tpch_min_cost_supplier": """
+            WITH eur AS (
+                SELECT s_suppkey, s_name, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ),
+            ps AS (
+                SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+                       ((p_partkey * 31 + s_suppkey * 17) % 10000) / 100.0
+                           AS supplycost
+                FROM (SELECT p_partkey, p_brand FROM part
+                      WHERE p_type LIKE '%BRASS%') p
+                JOIN eur ON (p_partkey + s_suppkey) % 4 = 0
+            ),
+            mins AS (
+                SELECT p_partkey, min(supplycost) AS min_cost
+                FROM ps GROUP BY 1
+            )
+            SELECT ps.p_partkey, p_brand, s_name, n_name AS nation,
+                   round(min_cost, 2) AS supplycost
+            FROM ps JOIN mins ON ps.p_partkey = mins.p_partkey
+                 AND ps.supplycost = mins.min_cost
         """,
         "tpch_top_supplier": """
             WITH rev AS (

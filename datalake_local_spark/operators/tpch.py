@@ -570,3 +570,54 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("r_bucket", "f_bucket", "m_bucket")
     )
+
+
+def min_cost_supplier(part: DataFrame, supplier: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Q2 shape (minimum-cost supplier): for each europe-region part of
+    a given type class, the supplier(s) offering the corpus-minimum
+    supply cost — the classic correlated-scalar-subquery pattern
+    (``WHERE ps_supplycost = (SELECT min(...) ...)``) expressed as a
+    per-part min aggregate joined back, never a correlated re-scan.
+
+    The testdata has no partsupp table, so both engines DERIVE one
+    deterministically: supplier s offers part p iff
+    ``(p_partkey + s_suppkey) % 4 = 0`` (¼ density), at supplycost
+    ``((p_partkey * 31 + s_suppkey * 17) % 10000) / 100`` — pure
+    arithmetic, identical in Spark and the ANSI oracle, so the Q2
+    semantics are exercised end-to-end without inventing data files.
+
+    Scale shape: the derived partsupp is a theta-join the engine
+    evaluates as a filtered cross product of two SF-scaled dims — fine
+    at dim scale (part × supplier, not facts); the per-part min is a
+    partial aggregate; the winner join is key-equi on
+    (partkey, supplycost). Region/nation prune suppliers FIRST (the
+    bounded dims broadcast), so the derived relation never includes
+    out-of-region rows."""
+    eur = (
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    parts = part.filter(F.col("p_type").contains("BRASS")).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    ps = parts.join(
+        F.broadcast(eur),
+        (F.col("p_partkey") + F.col("s_suppkey")) % 4 == 0,
+    ).withColumn(
+        "supplycost",
+        ((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 10000) / 100,
+    )
+    mins = ps.groupBy("p_partkey").agg(F.min("supplycost").alias("min_cost"))
+    return (
+        ps.join(mins, "p_partkey")
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("min_cost", 2).alias("supplycost"),
+        )
+    )
