@@ -138,6 +138,14 @@ def _q_streaming_trending(spark, sf):
     return event_windows.run_streaming_trending(spark, sf, query_name=name)
 
 
+def _q_streaming_two_level(spark, sf):
+    """rows-only BY DESIGN: append mode withholds windows the final
+    watermark has not closed (late-but-correct tail, the outer-join
+    contract); chained-stateful parity vs batch asserted in tests."""
+    name = f"stream_2lvl_{next(_stream_counter)}"
+    return event_windows.run_streaming_two_level_agg(spark, sf, query_name=name)
+
+
 def _q_merge_upsert(spark, sf):
     """MERGE: corrected rows (10% of keys, price uplift, status 'U') +
     brand-new rows (shifted keys), upserted into orders, then profiled."""
@@ -251,6 +259,7 @@ _CERTIFY_FIRST = [
     "sim_knn_label_transfer",  # weak labeling from labeled neighbors
     "text_span_corruption",  # T5 masking plan, hash-deterministic
     "tpch_min_cost_supplier",  # Q2 correlated-min shape, derived partsupp
+    "streaming_two_level_agg",  # rows-only: chained stateful windows
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -276,7 +285,6 @@ _CERTIFY_FIRST = [
     "pipeline_mixture_neardup",  # rows-only: same ledger + LSH flag
     "pipeline_corpus_prep",  # rides the memo/configure-on-hit change
     "pipeline_corpus_prep_neardup",  # rows-only: registry file-sig change
-    "dedup_components_chain",  # rows-only: A/B-attributed bench probe
     "dedup_cross_source",  # injectable LSH feed rides the same registry
     "sim_cosine_topk_ivf",  # rows-only: IVF registry file-sig change
     # least-recently-certified rotation: r1 tail (last checked round 1)
@@ -693,6 +701,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bounded correctness sweep)
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_trending": _q_streaming_trending,
+        "streaming_two_level_agg": _q_streaming_two_level,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_stateful_counter": _q_streaming_stateful,
         "streaming_dedup": _q_streaming_dedup,

@@ -712,3 +712,52 @@ def run_streaming_trending(
         q.awaitTermination(120)
         q.stop()
     return sub.table(f"global_temp.{view}")
+
+
+def run_streaming_two_level_agg(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_2lvl"
+) -> DataFrame:
+    """CHAINED stateful streaming aggregation (multiple stateful
+    operators in one query — supported since Spark 3.4, hardened in
+    Spark 4): 10-minute windowed counts re-aggregated into 60-minute
+    windows (max and sum of the inner counts), both levels maintained
+    incrementally by the engine with one watermark. The pre-3.4 answer
+    was two queries glued by a sink; this is the single-pipeline form.
+
+    Append mode is REQUIRED for chained stateful operators, so windows
+    the final watermark has not closed are withheld — tail rows are
+    late-but-correct (same contract as the left-outer stream-stream
+    join): rows-only correctness, with streaming ⊆ batch and
+    tail-only-difference asserted in tests.
+
+    Scale shape: level-1 state is (10-min window × type) counts,
+    level-2 re-aggregates level-1's APPEND OUTPUT — state stays
+    window-grain at both levels, bounded by watermark eviction; the raw
+    stream is never buffered twice."""
+    sub = _stream_session(spark)
+    stream = _open_events_stream(sub, sf_dir).withWatermark("ts", "1 hour")
+    lvl1 = stream.groupBy(
+        F.window("ts", "10 minutes").alias("w1"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    lvl2 = (
+        lvl1.groupBy(F.window(F.col("w1"), "60 minutes").alias("w2"), "event_type")
+        .agg(F.max("n").alias("max_10min_n"), F.sum("n").alias("total_n"))
+        .select(
+            F.col("w2.start").alias("win_start"),
+            "event_type",
+            "max_10min_n",
+            F.col("total_n").cast("long").alias("total_n"),
+        )
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            lvl2.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return sub.table(query_name)

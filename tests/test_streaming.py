@@ -497,3 +497,35 @@ def test_streaming_restart_recovers_state_exactly_once(spark, tables, tmp_path):
     assert n_first == tables["events"].filter(F.col("event_id") % 2 == 0).count()
     if prog2 and prog2["numInputRows"]:
         assert prog2["numInputRows"] <= n_total - n_first
+
+
+def test_streaming_two_level_agg_tail_contract(spark, tables):
+    """Chained stateful aggregation: every emitted row equals its batch
+    twin exactly; the only missing rows sit at the stream tail (window
+    end beyond the final watermark)."""
+    out = event_windows.run_streaming_two_level_agg(
+        spark, SF_DIR, query_name="t_2lvl_eq"
+    ).collect()
+    ev = tables["events"]
+    lvl1 = ev.groupBy(F.window("ts", "10 minutes").alias("w1"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    batch = {
+        (r["win_start"], r["event_type"]): (r["max_10min_n"], r["total_n"])
+        for r in lvl1.groupBy(
+            F.window(F.col("w1"), "60 minutes").alias("w2"), "event_type"
+        )
+        .agg(F.max("n").alias("max_10min_n"), F.sum("n").cast("long").alias("total_n"))
+        .select(F.col("w2.start").alias("win_start"), "event_type", "max_10min_n", "total_n")
+        .collect()
+    }
+    got = {(r["win_start"], r["event_type"]): (r["max_10min_n"], r["total_n"]) for r in out}
+    for k, v in got.items():
+        assert batch[k] == v
+    missing = set(batch) - set(got)
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=1)
+    for win_start, _ in missing:
+        assert win_start + datetime.timedelta(minutes=60) > horizon
