@@ -3102,7 +3102,7 @@ def oracle_sql() -> dict[str, str]:
                        ((p_partkey * 31 + s_suppkey * 17) % 10000) / 100.0
                            AS supplycost
                 FROM (SELECT p_partkey, p_brand FROM part
-                      WHERE p_type LIKE '%BRASS%') p
+                      WHERE p_type LIKE '%STANDARD%') p
                 JOIN eur ON (p_partkey + s_suppkey) % 4 = 0
             ),
             mins AS (

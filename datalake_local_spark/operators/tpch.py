@@ -574,7 +574,7 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
 
 def min_cost_supplier(part: DataFrame, supplier: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
     """Q2 shape (minimum-cost supplier): for each europe-region part of
-    a given type class, the supplier(s) offering the corpus-minimum
+    a given type class (STANDARD on this part domain), the supplier(s) offering the corpus-minimum
     supply cost — the classic correlated-scalar-subquery pattern
     (``WHERE ps_supplycost = (SELECT min(...) ...)``) expressed as a
     per-part min aggregate joined back, never a correlated re-scan.
@@ -599,7 +599,7 @@ def min_cost_supplier(part: DataFrame, supplier: DataFrame, nation: DataFrame, r
         .filter(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_name", "n_name")
     )
-    parts = part.filter(F.col("p_type").contains("BRASS")).select(
+    parts = part.filter(F.col("p_type").contains("STANDARD")).select(
         "p_partkey", "p_brand", "p_type"
     )
     ps = parts.join(
