@@ -3086,9 +3086,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1997-06-01'
               AND l_shipdate <  TIMESTAMP '1997-07-01'
         """,
-        "tpch_min_cost_supplier": lambda s, d: tpch.min_cost_supplier(
-            *_t(s, d, "part", "supplier", "nation", "region")
-        ),
         "tpch_min_cost_supplier": """
             WITH eur AS (
                 SELECT s_suppkey, s_name, n_name

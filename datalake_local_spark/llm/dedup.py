@@ -1308,8 +1308,13 @@ def duplicate_graph_quality(documents: DataFrame) -> DataFrame:
     two-join on oriented edges (a<b, b<c, probe a<c) — edge-grain
     shuffles, component labels broadcast-joined from the components
     output. Component grain aggregates are map-side combining."""
-    comp = duplicate_components(documents).select("doc_id", "component_id")
     pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select("doc_a", "doc_b")
+    # the SAME pair relation feeds the component fixpoint (via its pairs=
+    # injection hook) and the edge metrics — the O(n²) token self-join
+    # runs once, not once per consumer
+    comp = duplicate_components(documents, pairs=pairs).select(
+        "doc_id", "component_id"
+    )
     edges = pairs.join(
         comp.select(F.col("doc_id").alias("doc_a"), "component_id"), "doc_a"
     )

@@ -1355,18 +1355,24 @@ def kcenter_coreset(
 
     Returns the selected centers with pick order and each pick's
     coverage radius (its distance to the prior set — non-increasing;
-    asserted in tests)."""
+    asserted in tests). Stops early — fewer than ``k`` rows — when the
+    corpus has fewer than ``k`` DISTINCT vectors (never emits a
+    duplicate center)."""
     from datalake_local_spark.llm.dedup import _release_checkpoint
 
     spark = embeddings.sparkSession
     base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     if start_id is None:
-        start_id = base.orderBy("vec_id").limit(1).collect()[0]["vec_id"]
-    first = base.filter(F.col("vec_id") == start_id).collect()
-    if not first:
-        raise ValueError(f"start_id {start_id} not present")
+        rows = base.orderBy("vec_id").limit(1).collect()  # one job: id AND vector
+        if not rows:
+            raise ValueError("kcenter_coreset: empty embeddings input")
+        start_id, cvec = int(rows[0]["vec_id"]), rows[0]["v"]
+    else:
+        first = base.filter(F.col("vec_id") == start_id).collect()
+        if not first:
+            raise ValueError(f"start_id {start_id} not present")
+        cvec = first[0]["v"]
     centers = [(int(start_id), 1, None)]
-    cvec = first[0]["v"]
 
     def dist_to(vec):
         lit = F.array(*[F.lit(float(x)) for x in vec])
@@ -1385,6 +1391,11 @@ def kcenter_coreset(
             .limit(1)
             .collect()[0]
         )
+        if float(far["mind"]) <= 0.0:
+            # every remaining point coincides with a chosen center (k
+            # exceeds the number of DISTINCT vectors): stop rather than
+            # emit duplicate picks with radius 0
+            break
         centers.append((int(far["vec_id"]), rank, round(float(far["mind"]), 6)))
         nxt = cur.withColumn(
             "mind", F.least(F.col("mind"), dist_to(far["v"]))

@@ -600,7 +600,7 @@ def min_cost_supplier(part: DataFrame, supplier: DataFrame, nation: DataFrame, r
         .select("s_suppkey", "s_name", "n_name")
     )
     parts = part.filter(F.col("p_type").contains("STANDARD")).select(
-        "p_partkey", "p_brand", "p_type"
+        "p_partkey", "p_brand"
     )
     ps = parts.join(
         F.broadcast(eur),

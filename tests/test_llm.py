@@ -2232,10 +2232,28 @@ def test_span_corruption_plan_properties(tables):
 
 def test_late_wave_plan_scan_bounds(tables):
     """Scan-count guards for the later waves: span-corruption reads
-    documents at most twice (base + position branches), kNN label
+    documents at most twice (base + position branches); kNN label
     transfer reads embeddings at most twice (corpus + broadcast query
-    panel), cluster-size histogram at most twice (components + sizes
-    over the same candidate machinery counts once each)."""
+    panel). The components-derived reports (cluster sizes, graph
+    quality) are bounded by the fixpoint machinery they share, not by a
+    scan count — graph_quality's single-pair-join discipline is
+    asserted semantically in its clique/chain test."""
     docs, emb = tables["documents"], tables["embeddings"]
     assert _final_plan(text.span_corruption_plan(docs)).count("FileScan parquet") <= 2
     assert _final_plan(similarity.knn_label_transfer(emb)).count("FileScan parquet") <= 2
+
+
+def test_kcenter_coreset_early_stop_on_duplicates(spark):
+    """k above the number of DISTINCT vectors: the greedy stops instead
+    of emitting duplicate centers with radius 0; empty input raises."""
+    import pytest
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.kcenter_coreset(emb, k=4).collect()
+    assert len(out) == 2  # only two distinct vectors exist
+    assert len({r["vec_id"] for r in out}) == 2
+    assert all(r["radius"] is None or r["radius"] > 0 for r in out)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty embeddings"):
+        similarity.kcenter_coreset(empty, k=2)
