@@ -1005,7 +1005,10 @@ def segment_dedup(documents: DataFrame, seg_tokens: int = 8) -> DataFrame:
     ).select(
         "doc_id",
         F.col("s.seg_id").alias("seg_id"),
-        F.md5(F.col("s.seg")).alias("seg_h"),
+        # 8-byte shuffle/join key (xxhash64); the md5 string is kept ONLY
+        # for the fingerprint concat — group equivalence is identical
+        F.xxhash64(F.col("s.seg")).alias("seg_h"),
+        F.md5(F.col("s.seg")).alias("seg_md5"),
         F.size(F.split(F.col("s.seg"), " ")).alias("seg_n_tokens"),
         (F.col("doc_id") * 1000000000 + F.col("s.seg_id")).alias("occ_key"),
     )
@@ -1029,11 +1032,11 @@ def segment_dedup(documents: DataFrame, seg_tokens: int = 8) -> DataFrame:
                     F.collect_list(
                         F.when(
                             ~F.col("removed"),
-                            F.struct(F.col("seg_id"), F.col("seg_h")),
+                            F.struct(F.col("seg_id"), F.col("seg_md5")),
                         )
                     )
                 ),
-                lambda s: s["seg_h"],
+                lambda s: s["seg_md5"],
             ),
         ).alias("_kept_cat"),
     )
