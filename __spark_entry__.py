@@ -260,6 +260,7 @@ _CERTIFY_FIRST = [
     "text_span_corruption",  # T5 masking plan, hash-deterministic
     "tpch_min_cost_supplier",  # Q2 correlated-min shape, derived partsupp
     "streaming_two_level_agg",  # rows-only: chained stateful windows
+    "text_feature_hashing",  # hashing-trick sparse featurizer
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -285,7 +286,6 @@ _CERTIFY_FIRST = [
     "pipeline_mixture_neardup",  # rows-only: same ledger + LSH flag
     "pipeline_corpus_prep",  # rides the memo/configure-on-hit change
     "pipeline_corpus_prep_neardup",  # rows-only: registry file-sig change
-    "dedup_cross_source",  # injectable LSH feed rides the same registry
     "sim_cosine_topk_ivf",  # rows-only: IVF registry file-sig change
     # least-recently-certified rotation: r1 tail (last checked round 1)
     # r2 cohort (last checked round 2)
@@ -575,6 +575,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (driver merge loop feeds the encoder) — per-doc
         # subword token accounting with the learned merges
         "text_bpe_encode": lambda s, d: text.bpe_encode_corpus(*_t(s, d, "documents")),
+        # hashing-trick sparse featurizer (exploded (doc, bucket, w))
+        "text_feature_hashing": lambda s, d: text.feature_hashing(
+            *_t(s, d, "documents")
+        ),
         # T5 span-corruption plan: deterministic hash-driven masking
         "text_span_corruption": lambda s, d: text.span_corruption_plan(
             *_t(s, d, "documents")
@@ -2245,6 +2249,18 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(coalesce(covered_tokens, 0) AS DOUBLE) / len(t), 6)
                        AS dup_frac
             FROM toked d LEFT JOIN cov USING (doc_id)
+        """,
+        "text_feature_hashing": f"""
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % 4096
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM (
+                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+                FROM documents
+            )
+            WHERE length(token) > 0
+            GROUP BY 1, 2
         """,
         "text_span_corruption": f"""
             WITH base AS (

@@ -1542,3 +1542,36 @@ def span_corruption_plan(
             "plan_fingerprint",
         )
     )
+
+
+def feature_hashing(documents: DataFrame, n_buckets: int = 4096) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009, "Feature
+    Hashing for Large Scale Multitask Learning", ICML — public paper):
+    token counts folded into a fixed ``n_buckets``-dimensional sparse
+    space by hashing, the standard way to featurize unbounded
+    vocabularies without a fitted dictionary (no vocab build pass, no
+    OOV problem, bounded model width at 100 TB).
+
+    Bucket = first-8-hex-chars of md5(token) mod n_buckets — identical
+    arithmetic in both engines, so unlike production xxhash variants
+    this featurizer is EXACTLY oracle-certified. Output is the exploded
+    sparse form (doc_id, bucket, weight) — value-hash-friendly and the
+    shape a downstream trainer consumes; collisions (several tokens
+    sharing a bucket) sum, which is the hashing trick's documented
+    bias-variance trade.
+
+    Scale shape: explode to token grain, hash map-side, ONE
+    (doc, bucket) aggregate with map-side combine; no vocabulary
+    relation, no join, no driver state."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )

@@ -2257,3 +2257,19 @@ def test_kcenter_coreset_early_stop_on_duplicates(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty embeddings"):
         similarity.kcenter_coreset(empty, k=2)
+
+
+def test_feature_hashing_conservation_and_determinism(tables):
+    """The sparse featurization conserves token mass (sum of weights ==
+    corpus token count), buckets stay in range, identical reruns, and
+    a doc's features reconstruct its exact token multiset size."""
+    docs = tables["documents"]
+    out = text.feature_hashing(docs).collect()
+    total = sum(r["weight"] for r in out)
+    n_tokens = docs.select(
+        F.size(F.split(text._norm_text(F.col("text")), " ")).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert total == n_tokens
+    assert all(0 <= r["bucket"] < 4096 for r in out)
+    again = text.feature_hashing(docs).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
