@@ -209,3 +209,74 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def publish_with_audit(
+    df: DataFrame,
+    publish_dir: str,
+    expected_rows: int | None = None,
+    key_col: str | None = None,
+) -> dict:
+    """Write-Audit-Publish (the WAP pattern Iceberg formalizes with
+    branches; Netflix's original data-eng discipline — public): write to
+    a STAGING directory, AUDIT the staged files by re-reading them
+    (row count, optional expected-rows assertion, optional
+    order-independent ``bit_xor(xxhash64(key))`` content checksum), and
+    only then PUBLISH atomically — a directory rename on a local/HDFS
+    filesystem — plus a manifest recording what was audited. Readers of
+    ``publish_dir`` never observe a half-written or failed dataset: a
+    failed audit leaves the staging dir for forensics and the previous
+    published data untouched.
+
+    Returns the manifest dict (also written as ``_MANIFEST.json``
+    inside the published dir). At 100 TB the audit costs one metadata-
+    cheap re-scan of the staged files — the insurance every production
+    sink pays; the publish itself is O(1) rename, not a data copy."""
+    import json
+    import os
+    import shutil
+    import time as _time
+
+    staging = publish_dir.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+
+    spark = df.sparkSession
+    staged = spark.read.parquet(staging)
+    n = staged.count()
+    if expected_rows is not None and n != expected_rows:
+        raise ValueError(
+            f"WAP audit failed: staged {n} rows, expected {expected_rows}; "
+            f"staging kept at {staging}, nothing published"
+        )
+    checksum = None
+    if key_col is not None:
+        checksum = staged.agg(
+            F.bit_xor(F.xxhash64(F.col(key_col))).alias("c")
+        ).collect()[0]["c"]
+        want = df.agg(F.bit_xor(F.xxhash64(F.col(key_col))).alias("c")).collect()[0][
+            "c"
+        ]
+        if checksum != want:
+            raise ValueError(
+                f"WAP audit failed: staged checksum {checksum} != source {want}; "
+                f"staging kept at {staging}, nothing published"
+            )
+    manifest = {
+        "n_rows": n,
+        "checksum_key": key_col,
+        "checksum": checksum,
+        "n_files": len(
+            [f for f in os.listdir(staging) if f.endswith(".parquet")]
+        ),
+        "published_unix": int(_time.time()),
+    }
+    old = publish_dir.rstrip("/") + ".replaced"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(publish_dir):
+        os.rename(publish_dir, old)  # keep the previous version until success
+    os.rename(staging, publish_dir)
+    with open(os.path.join(publish_dir, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+    shutil.rmtree(old, ignore_errors=True)
+    return manifest

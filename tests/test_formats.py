@@ -265,3 +265,38 @@ def test_snapshot_vacuum_retention(spark, tables):
         t.read_checked(1)
     # manifest keeps ALL versions as history
     assert [r["version"] for r in t.history().collect()] == [1, 2, 3, 4]
+
+
+def test_publish_with_audit_wap_contract(spark, tables, tmp_path):
+    """WAP: a good write publishes atomically with a manifest; a failed
+    audit (wrong expected_rows) publishes NOTHING and keeps staging for
+    forensics; a subsequent good publish replaces the old version."""
+    import json
+    import os
+
+    import pytest
+
+    from datalake_local_spark import maintenance
+
+    target = str(tmp_path / "published")
+    orders = tables["orders"].select("o_orderkey", "o_totalprice")
+    m = maintenance.publish_with_audit(
+        orders, target, expected_rows=orders.count(), key_col="o_orderkey"
+    )
+    assert os.path.exists(os.path.join(target, "_MANIFEST.json"))
+    assert m["n_rows"] == orders.count() and m["checksum"] is not None
+    assert spark.read.parquet(target).count() == orders.count()
+
+    # failed audit: nothing changes, staging preserved
+    with pytest.raises(ValueError, match="WAP audit failed"):
+        maintenance.publish_with_audit(orders.limit(5), target, expected_rows=999)
+    assert spark.read.parquet(target).count() == orders.count()  # old data intact
+    assert os.path.exists(target + ".staging")  # forensics dir kept
+    manifest = json.load(open(os.path.join(target, "_MANIFEST.json")))
+    assert manifest["n_rows"] == orders.count()
+
+    # replacement publish succeeds and swaps content
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    maintenance.publish_with_audit(half, target, key_col="o_orderkey")
+    assert spark.read.parquet(target).count() == half.count()
+    assert not os.path.exists(target + ".replaced")
