@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 #: dataset's worth instead of growing per invocation.
 _plan_cache: dict[tuple, DataFrame] = {}
 
+#: Same contract as session._TABLES_MEMO_LOCK: ``queries()`` callables
+#: may run from threads, and _cached mutates the dict (sweeps, source
+#: rotation, FIFO eviction) — serialize the whole check-or-build.
+_plan_cache_lock = threading.Lock()
+
 
 def _plan_fingerprint(df: DataFrame) -> tuple:
     """Identity of a cached intermediate: the analyzed plan's semantic
@@ -72,6 +77,11 @@ def plan_cache_stats() -> dict:
 
 
 def _cached(key: tuple, builder) -> DataFrame:
+    with _plan_cache_lock:
+        return _cached_locked(key, builder)
+
+
+def _cached_locked(key: tuple, builder) -> DataFrame:
     if key not in _plan_cache:
         # eagerly drop entries bound to a stopped session — their persisted
         # blocks are already gone and the keys would never match again

@@ -382,6 +382,14 @@ def _embedding_near_dup_pairs_theta(embeddings: DataFrame, threshold: float = 0.
 _IVF_CACHE: dict = {}
 _IVF_CACHE_MAX = 4
 
+#: queries() callables may run from threads (same contract as the
+#: dedup plan registry): serialize check-build-insert. A long KMeans
+#: fit holds the lock — concurrent probes of the SAME index then reuse
+#: it instead of double-building, which is the desired behavior.
+import threading as _threading
+
+_IVF_CACHE_LOCK = _threading.RLock()
+
 
 def _build_ivf_index(embeddings: DataFrame, n_centroids: int, seed: int):
     from pyspark.ml.clustering import KMeans
@@ -421,6 +429,11 @@ def _ivf_index(embeddings: DataFrame, n_centroids: int, seed: int):
         assigned, centers, _corpus = _build_ivf_index(embeddings, n_centroids, seed)
         return assigned, centers
     key = (_plan_fingerprint(embeddings), src, n_centroids, seed)
+    with _IVF_CACHE_LOCK:
+        return _ivf_index_locked(embeddings, n_centroids, seed, key)
+
+
+def _ivf_index_locked(embeddings: DataFrame, n_centroids: int, seed: int, key):
     entry = _IVF_CACHE.get(key)
     if entry is not None:
         assigned, centers = entry

@@ -1191,8 +1191,12 @@ def lang_quality_buckets(documents: DataFrame) -> DataFrame:
 
 
 #: Learned BPE merge tables keyed on (source file signatures, n_merges):
-#: plain python rows, no session affinity, bounded FIFO.
+#: plain python rows, no session affinity, bounded FIFO. Lock: same
+#: threads-may-call-queries contract as the other registries.
+import threading as _threading
+
 _BPE_MERGE_CACHE: dict = {}
+_BPE_MERGE_LOCK = _threading.Lock()
 
 
 def bpe_train(documents: DataFrame, n_merges: int = 20) -> DataFrame:
@@ -1234,9 +1238,11 @@ def bpe_train(documents: DataFrame, n_merges: int = 20) -> DataFrame:
     spark = documents.sparkSession
     src = source_signature(documents)
     ck = (src, n_merges)
-    if src and ck in _BPE_MERGE_CACHE:
+    with _BPE_MERGE_LOCK:
+        hit = _BPE_MERGE_CACHE.get(ck) if src else None
+    if hit is not None:
         return spark.createDataFrame(
-            _BPE_MERGE_CACHE[ck],
+            hit,
             schema="rank int, left string, right string, merged string, pair_count long",
         )
     words = (
@@ -1302,9 +1308,10 @@ def bpe_train(documents: DataFrame, n_merges: int = 20) -> DataFrame:
     finally:
         _release_checkpoint(cur)
     if src:
-        while len(_BPE_MERGE_CACHE) >= 8:
-            _BPE_MERGE_CACHE.pop(next(iter(_BPE_MERGE_CACHE)))
-        _BPE_MERGE_CACHE[ck] = list(merges)
+        with _BPE_MERGE_LOCK:
+            while len(_BPE_MERGE_CACHE) >= 8:
+                _BPE_MERGE_CACHE.pop(next(iter(_BPE_MERGE_CACHE)))
+            _BPE_MERGE_CACHE[ck] = list(merges)
     return spark.createDataFrame(
         merges, schema="rank int, left string, right string, merged string, pair_count long"
     )
