@@ -76,6 +76,17 @@ BENCH_QUERIES = [
     "dedup_bloom_incremental",
     "sim_pq_topk",
     "dedup_kmv_overlap",
+    # round-7 late waves: baselines for the r8 trendline — T5 masking
+    # plan (hash arithmetic + per-doc window), hashing-trick featurizer
+    # (explode + one combine), kNN label transfer (broadcast panel +
+    # vote argmax), LTTB + CUSUM (per-series sequential kernels),
+    # dup-graph quality (shared pair join + oriented triangle count)
+    "text_span_corruption",
+    "text_feature_hashing",
+    "sim_knn_label_transfer",
+    "events_lttb",
+    "events_cusum",
+    "dedup_graph_quality",
 ]
 
 

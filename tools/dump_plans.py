@@ -174,6 +174,22 @@ SHOWCASE = {
         "reduce and TakeOrderedAndProject — the exact join cardinality "
         "without executing the data-grain join."
     ),
+    "text_span_corruption": (
+        "T5 span-corruption plan (round 7, late wave): masking decisions "
+        "are md5 arithmetic in the scan projection; the only shuffle is "
+        "the per-doc interval-union window plus the doc-grain aggregate. "
+        "No RNG state, no corpus-grain key."
+    ),
+    "text_feature_hashing": (
+        "Hashing-trick featurizer (round 7, late wave): explode to token "
+        "grain, md5-bucket map-side, ONE (doc, bucket) combine — no "
+        "vocabulary relation, no join, no driver state."
+    ),
+    "sim_knn_label_transfer": (
+        "kNN label transfer (round 7, late wave): bounded query panel "
+        "broadcast into one labeled-corpus pass; neighbor and vote "
+        "windows partition by query_id — never unpartitioned."
+    ),
 }
 
 SKEW_EPILOGUE = """
