@@ -261,6 +261,8 @@ _CERTIFY_FIRST = [
     "tpch_min_cost_supplier",  # Q2 correlated-min shape, derived partsupp
     "streaming_two_level_agg",  # rows-only: chained stateful windows
     "text_feature_hashing",  # hashing-trick sparse featurizer
+    "sql_correlated_exists",  # verbatim EXISTS + scalar subquery
+    "sql_lateral_topn",  # verbatim LATERAL dependent join
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -284,8 +286,6 @@ _CERTIFY_FIRST = [
     "text_bm25_search",  # explicit null-text contract (both sides)
     "pipeline_mixture_build",  # n_shards now derivable (default pinned)
     "pipeline_mixture_neardup",  # rows-only: same ledger + LSH flag
-    "pipeline_corpus_prep",  # rides the memo/configure-on-hit change
-    "pipeline_corpus_prep_neardup",  # rows-only: registry file-sig change
     "sim_cosine_topk_ivf",  # rows-only: IVF registry file-sig change
     # least-recently-certified rotation: r1 tail (last checked round 1)
     # r2 cohort (last checked round 2)
@@ -299,6 +299,27 @@ _CERTIFY_FIRST = [
 #: One ANSI string executed verbatim by BOTH spark.sql() and the DuckDB
 #: oracle — the interactive `%sql` surface (reference ipython startup
 #: 00-prettytables.py:42-62) demonstrated as a first-class query.
+#: Correlated-subquery surface: EXISTS + a nested scalar subquery, ONE
+#: ANSI string executed verbatim by spark.sql() AND DuckDB — the
+#: decorrelation path (Catalyst rewrites to joins) certified against an
+#: engine that evaluates it natively.
+_CORRELATED_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders))
+ORDER BY c_custkey LIMIT 10
+"""
+
+#: LATERAL subquery join (per-customer top-1 order) — the dependent-join
+#: surface (SPARK-34382), verbatim on both engines.
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+"""
+
 _INTERACTIVE_SQL = """
     SELECT n_name AS nation,
            count(DISTINCT c_custkey) AS n_customers,
@@ -523,6 +544,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": lambda s, d: tpch.stratified_sample_stats(*_t(s, d, "orders")),
         "events_sequence_patterns": lambda s, d: funnel.sequence_pattern_counts(*_t(s, d, "events")),
         "sql_interactive": _q_sql_interactive,
+        "sql_correlated_exists": lambda s, d: (load_tables(s, d), s.sql(_CORRELATED_SQL))[1],
+        "sql_lateral_topn": lambda s, d: (load_tables(s, d), s.sql(_LATERAL_SQL))[1],
         "sql_recursive_spine": _q_recursive_spine,
         "pipeline_corpus_prep": lambda s, d: llm_pipeline.prepare_corpus(*_t(s, d, "documents")),
         "pipeline_decontaminate": lambda s, d: llm_pipeline.decontaminate_corpus(*_t(s, d, "documents")),
@@ -2446,6 +2469,8 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
         """,
         "sql_interactive": _INTERACTIVE_SQL,
+        "sql_correlated_exists": _CORRELATED_SQL,
+        "sql_lateral_topn": _LATERAL_SQL,
         "sql_recursive_spine": """
             WITH RECURSIVE months(m) AS (
                 SELECT DATE '1995-01-01'
