@@ -383,12 +383,20 @@ _IVF_CACHE: dict = {}
 _IVF_CACHE_MAX = 4
 
 #: queries() callables may run from threads (same contract as the
-#: dedup plan registry): serialize check-build-insert. A long KMeans
-#: fit holds the lock — concurrent probes of the SAME index then reuse
-#: it instead of double-building, which is the desired behavior.
+#: dedup plan registry). Locking is PER KEY: concurrent probes of the
+#: SAME index serialize (the second reuses the first's build) while
+#: builds of DIFFERENT indexes proceed in parallel — a single global
+#: lock held across a KMeans fit would needlessly serialize unrelated
+#: callers. The tiny meta-lock only guards the lock-table itself.
 import threading as _threading
 
-_IVF_CACHE_LOCK = _threading.RLock()
+_IVF_META_LOCK = _threading.Lock()
+_IVF_KEY_LOCKS: dict = {}
+
+
+def _ivf_key_lock(key):
+    with _IVF_META_LOCK:
+        return _IVF_KEY_LOCKS.setdefault(key, _threading.RLock())
 
 
 def _build_ivf_index(embeddings: DataFrame, n_centroids: int, seed: int):
@@ -429,7 +437,7 @@ def _ivf_index(embeddings: DataFrame, n_centroids: int, seed: int):
         assigned, centers, _corpus = _build_ivf_index(embeddings, n_centroids, seed)
         return assigned, centers
     key = (_plan_fingerprint(embeddings), src, n_centroids, seed)
-    with _IVF_CACHE_LOCK:
+    with _ivf_key_lock(key):
         return _ivf_index_locked(embeddings, n_centroids, seed, key)
 
 

@@ -20,6 +20,18 @@ def _norm_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def _md5_bucket(col, modulus: int):
+    """First-8-hex-chars of md5 as a non-negative integer mod
+    ``modulus`` — THE engine-portable hash-bucket idiom (DuckDB twin:
+    ``CAST('0x' || substring(md5(x), 1, 8) AS BIGINT) % m``). One
+    definition so every user (feature hashing, span corruption) stays
+    oracle-consistent; widen the hex window here and in the SQL twins
+    together or not at all."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % modulus
+    )
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex segmentation
     (word-pieces and punctuation as separate tokens) + distinct ratio."""
@@ -1191,12 +1203,20 @@ def lang_quality_buckets(documents: DataFrame) -> DataFrame:
 
 
 #: Learned BPE merge tables keyed on (source file signatures, n_merges):
-#: plain python rows, no session affinity, bounded FIFO. Lock: same
-#: threads-may-call-queries contract as the other registries.
+#: plain python rows, no session affinity, bounded FIFO. PER-KEY locks
+#: held across the training build (same discipline as the IVF
+#: registry): two threads asking for the same table run it once; the
+#: meta-lock only guards the lock table and the FIFO dict itself.
 import threading as _threading
 
 _BPE_MERGE_CACHE: dict = {}
-_BPE_MERGE_LOCK = _threading.Lock()
+_BPE_META_LOCK = _threading.Lock()
+_BPE_KEY_LOCKS: dict = {}
+
+
+def _bpe_key_lock(key):
+    with _BPE_META_LOCK:
+        return _BPE_KEY_LOCKS.setdefault(key, _threading.Lock())
 
 
 def bpe_train(documents: DataFrame, n_merges: int = 20) -> DataFrame:
@@ -1238,13 +1258,25 @@ def bpe_train(documents: DataFrame, n_merges: int = 20) -> DataFrame:
     spark = documents.sparkSession
     src = source_signature(documents)
     ck = (src, n_merges)
-    with _BPE_MERGE_LOCK:
+    if src:
+        lock = _bpe_key_lock(ck)
+        lock.acquire()  # held across the build: same-key callers reuse
+    else:
+        lock = None
+    try:
         hit = _BPE_MERGE_CACHE.get(ck) if src else None
-    if hit is not None:
-        return spark.createDataFrame(
-            hit,
-            schema="rank int, left string, right string, merged string, pair_count long",
-        )
+        if hit is not None:
+            return spark.createDataFrame(
+                hit,
+                schema="rank int, left string, right string, merged string, pair_count long",
+            )
+        return _bpe_train_build(documents, n_merges, spark, src, ck)
+    finally:
+        if lock is not None:
+            lock.release()
+
+
+def _bpe_train_build(documents, n_merges, spark, src, ck):
     words = (
         documents.select(
             F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
@@ -1308,7 +1340,7 @@ def bpe_train(documents: DataFrame, n_merges: int = 20) -> DataFrame:
     finally:
         _release_checkpoint(cur)
     if src:
-        with _BPE_MERGE_LOCK:
+        with _BPE_META_LOCK:
             while len(_BPE_MERGE_CACHE) >= 8:
                 _BPE_MERGE_CACHE.pop(next(iter(_BPE_MERGE_CACHE)))
             _BPE_MERGE_CACHE[ck] = list(merges)
@@ -1496,13 +1528,7 @@ def span_corruption_plan(
         F.size(t).alias("n_tokens"),
         F.explode(F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)))).alias("p"),
     ).filter(
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("p"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 1000
-        < threshold
+        _md5_bucket(F.concat_ws(":", F.col("doc_id"), F.col("p")), 1000) < threshold
     )
     w = W.partitionBy("doc_id").orderBy("p")
     spans = pos.withColumn(
@@ -1573,10 +1599,7 @@ def feature_hashing(documents: DataFrame, n_buckets: int = 4096) -> DataFrame:
     toks = documents.select(
         "doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
     ).filter(F.length("token") > 0)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
-        % n_buckets
-    )
+    bucket = _md5_bucket(F.col("token"), n_buckets)
     return (
         toks.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")

@@ -216,29 +216,37 @@ def publish_with_audit(
     publish_dir: str,
     expected_rows: int | None = None,
     key_col: str | None = None,
+    expected_checksum: int | None = None,
 ) -> dict:
     """Write-Audit-Publish (the WAP pattern Iceberg formalizes with
     branches; Netflix's original data-eng discipline — public): write to
-    a STAGING directory, AUDIT the staged files by re-reading them
-    (row count, optional expected-rows assertion, optional
-    order-independent ``bit_xor(xxhash64(key))`` content checksum), and
-    only then PUBLISH atomically — a directory rename on a local/HDFS
-    filesystem — plus a manifest recording what was audited. Readers of
-    ``publish_dir`` never observe a half-written or failed dataset: a
-    failed audit leaves the staging dir for forensics and the previous
-    published data untouched.
+    a UNIQUE staging directory, AUDIT by re-reading the STAGED files
+    (row count, optional ``expected_rows``, optional
+    ``expected_checksum`` — an order-independent
+    ``bit_xor(xxhash64(key_col))`` the caller computed upstream), then
+    PUBLISH atomically: data lives in an immutable ``<dir>.v<N>``
+    version directory and ``publish_dir`` is a SYMLINK flipped with an
+    atomic rename — readers resolving it see the old version or the new
+    one, never a missing or half-written path. The audit reads only the
+    staged files (the source plan is never re-executed: a
+    nondeterministic source — LIMIT without ORDER BY, sampling — still
+    publishes the one materialization that was staged). A failed audit
+    keeps ITS OWN staging dir for forensics (unique suffix — retries
+    and concurrent publishes cannot destroy it) and the published
+    symlink untouched; concurrent publishers are last-flip-wins, each
+    flip atomic.
 
     Returns the manifest dict (also written as ``_MANIFEST.json``
-    inside the published dir). At 100 TB the audit costs one metadata-
-    cheap re-scan of the staged files — the insurance every production
-    sink pays; the publish itself is O(1) rename, not a data copy."""
+    inside the version dir BEFORE the flip, so a published version is
+    always manifest-complete)."""
     import json
     import os
     import shutil
     import time as _time
+    import uuid
 
-    staging = publish_dir.rstrip("/") + ".staging"
-    shutil.rmtree(staging, ignore_errors=True)
+    base = publish_dir.rstrip("/")
+    staging = f"{base}.staging-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)
 
     spark = df.sparkSession
@@ -254,29 +262,35 @@ def publish_with_audit(
         checksum = staged.agg(
             F.bit_xor(F.xxhash64(F.col(key_col))).alias("c")
         ).collect()[0]["c"]
-        want = df.agg(F.bit_xor(F.xxhash64(F.col(key_col))).alias("c")).collect()[0][
-            "c"
-        ]
-        if checksum != want:
+        if expected_checksum is not None and checksum != expected_checksum:
             raise ValueError(
-                f"WAP audit failed: staged checksum {checksum} != source {want}; "
-                f"staging kept at {staging}, nothing published"
+                f"WAP audit failed: staged checksum {checksum} != expected "
+                f"{expected_checksum}; staging kept at {staging}, nothing published"
             )
+    version = int(_time.time() * 1000)
+    vdir = f"{base}.v{version}"
     manifest = {
+        "version": version,
         "n_rows": n,
         "checksum_key": key_col,
         "checksum": checksum,
-        "n_files": len(
-            [f for f in os.listdir(staging) if f.endswith(".parquet")]
-        ),
+        "n_files": len([f for f in os.listdir(staging) if f.endswith(".parquet")]),
         "published_unix": int(_time.time()),
     }
-    old = publish_dir.rstrip("/") + ".replaced"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(publish_dir):
-        os.rename(publish_dir, old)  # keep the previous version until success
-    os.rename(staging, publish_dir)
-    with open(os.path.join(publish_dir, "_MANIFEST.json"), "w") as f:
+    with open(os.path.join(staging, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f)
-    shutil.rmtree(old, ignore_errors=True)
+    os.rename(staging, vdir)  # version dir is complete before the flip
+    prev = os.readlink(base) if os.path.islink(base) else None
+    if os.path.exists(base) and not os.path.islink(base):
+        # migrate a legacy plain directory into the versioned layout
+        legacy = f"{base}.v0"
+        os.rename(base, legacy)
+        prev = legacy
+    tmp_link = f"{base}.link-{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.basename(vdir), tmp_link)
+    os.rename(tmp_link, base)  # atomic symlink replace: readers never miss
+    if prev is not None:
+        shutil.rmtree(
+            os.path.join(os.path.dirname(base) or ".", prev), ignore_errors=True
+        )
     return manifest

@@ -268,9 +268,12 @@ def test_snapshot_vacuum_retention(spark, tables):
 
 
 def test_publish_with_audit_wap_contract(spark, tables, tmp_path):
-    """WAP: a good write publishes atomically with a manifest; a failed
-    audit (wrong expected_rows) publishes NOTHING and keeps staging for
-    forensics; a subsequent good publish replaces the old version."""
+    """WAP: a good write publishes a manifest-complete version behind an
+    atomically-flipped symlink; a failed audit publishes NOTHING and
+    keeps its unique staging dir for forensics (a later publish cannot
+    destroy it); a replacement publish flips to the new version and
+    reaps the old one; expected_checksum verifies staged content."""
+    import glob
     import json
     import os
 
@@ -280,23 +283,34 @@ def test_publish_with_audit_wap_contract(spark, tables, tmp_path):
 
     target = str(tmp_path / "published")
     orders = tables["orders"].select("o_orderkey", "o_totalprice")
+    want_sum = orders.agg(
+        F.bit_xor(F.xxhash64(F.col("o_orderkey"))).alias("c")
+    ).collect()[0]["c"]
     m = maintenance.publish_with_audit(
-        orders, target, expected_rows=orders.count(), key_col="o_orderkey"
+        orders,
+        target,
+        expected_rows=orders.count(),
+        key_col="o_orderkey",
+        expected_checksum=want_sum,
     )
+    assert os.path.islink(target)
     assert os.path.exists(os.path.join(target, "_MANIFEST.json"))
-    assert m["n_rows"] == orders.count() and m["checksum"] is not None
+    assert m["n_rows"] == orders.count() and m["checksum"] == want_sum
     assert spark.read.parquet(target).count() == orders.count()
 
-    # failed audit: nothing changes, staging preserved
+    # failed audit: symlink untouched, unique staging preserved
     with pytest.raises(ValueError, match="WAP audit failed"):
         maintenance.publish_with_audit(orders.limit(5), target, expected_rows=999)
-    assert spark.read.parquet(target).count() == orders.count()  # old data intact
-    assert os.path.exists(target + ".staging")  # forensics dir kept
+    assert spark.read.parquet(target).count() == orders.count()
+    forensics = glob.glob(target + ".staging-*")
+    assert forensics, "failed-audit staging must be kept"
     manifest = json.load(open(os.path.join(target, "_MANIFEST.json")))
     assert manifest["n_rows"] == orders.count()
 
-    # replacement publish succeeds and swaps content
+    # replacement publish flips atomically; forensics dir survives it
     half = orders.filter(F.col("o_orderkey") % 2 == 0)
     maintenance.publish_with_audit(half, target, key_col="o_orderkey")
     assert spark.read.parquet(target).count() == half.count()
-    assert not os.path.exists(target + ".replaced")
+    assert all(os.path.exists(f) for f in forensics)
+    # exactly one live version dir remains (old one reaped)
+    assert len(glob.glob(target + ".v*")) == 1
