@@ -2273,3 +2273,35 @@ def test_feature_hashing_conservation_and_determinism(tables):
     assert all(0 <= r["bucket"] < 4096 for r in out)
     again = text.feature_hashing(docs).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_registry_queries_threadsafe(spark, tables):
+    """queries() callables may run from threads (the driver's stated
+    contract): hammer the registry-backed operators (MinHash plan
+    cache, IVF cache, BPE merge memo) from 4 threads concurrently and
+    assert every thread sees the single-threaded answer."""
+    import threading
+
+    emb, docs = tables["embeddings"], tables["documents"]
+    want_ivf = sorted(map(tuple, similarity.cosine_topk_ivf(emb).collect()))
+    want_lsh = sorted(map(tuple, dedup.minhash_lsh_candidates(docs).collect()))
+    want_bpe = sorted(map(tuple, text.bpe_train(docs, n_merges=5).collect()))
+    results, errors = {}, []
+
+    def worker(i):
+        try:
+            r1 = sorted(map(tuple, similarity.cosine_topk_ivf(emb).collect()))
+            r2 = sorted(map(tuple, dedup.minhash_lsh_candidates(docs).collect()))
+            r3 = sorted(map(tuple, text.bpe_train(docs, n_merges=5).collect()))
+            results[i] = (r1 == want_ivf, r2 == want_lsh, r3 == want_bpe)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert len(results) == 4
+    assert all(all(v) for v in results.values()), results
