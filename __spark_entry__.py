@@ -263,6 +263,7 @@ _CERTIFY_FIRST = [
     "text_feature_hashing",  # hashing-trick sparse featurizer
     "sql_correlated_exists",  # verbatim EXISTS + scalar subquery
     "sql_lateral_topn",  # verbatim LATERAL dependent join
+    "pipeline_snapshot_diff",  # CDC changelog: added/removed/changed
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -285,7 +286,6 @@ _CERTIFY_FIRST = [
     "text_tfidf_top_terms",  # explicit null-text contract (both sides)
     "text_bm25_search",  # explicit null-text contract (both sides)
     "pipeline_mixture_build",  # n_shards now derivable (default pinned)
-    "pipeline_mixture_neardup",  # rows-only: same ledger + LSH flag
     "sim_cosine_topk_ivf",  # rows-only: IVF registry file-sig change
     # least-recently-certified rotation: r1 tail (last checked round 1)
     # r2 cohort (last checked round 2)
@@ -563,6 +563,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # deterministic md5-interval train/val/test assignment audit
         "pipeline_train_split": lambda s, d: llm_pipeline.train_eval_split(
+            *_t(s, d, "documents")
+        ),
+        # CDC-style snapshot changelog (added/removed/changed/unchanged)
+        "pipeline_snapshot_diff": lambda s, d: llm_pipeline.corpus_snapshot_diff(
             *_t(s, d, "documents")
         ),
         # deterministic global training order (two-level shard rank ==
@@ -2096,6 +2100,26 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_transitions AS DOUBLE)
                          / sum(n_transitions) OVER (PARTITION BY event_type), 6) AS prob
             FROM counts
+        """,
+        "pipeline_snapshot_diff": f"""
+            WITH old AS (
+                SELECT doc_id, md5({_NORM}) AS old_fp
+                FROM documents WHERE doc_id < 450
+            ),
+            new AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(
+                           CASE WHEN doc_id % 37 = 0 THEN text || ' edited'
+                                ELSE text END), '\\s+', ' ', 'g'))) AS new_fp
+                FROM documents WHERE doc_id >= 20
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp != n.new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   o.old_fp, n.new_fp
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         """,
         "pipeline_global_shuffle": """
             WITH d AS (

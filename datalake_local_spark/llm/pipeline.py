@@ -596,3 +596,51 @@ def global_shuffle_order(
         "shard",
         (F.col("offset") + F.col("local_rank")).cast("long").alias("shuffle_rank"),
     )
+
+
+def corpus_snapshot_diff(documents: DataFrame, split_doc_id: int = 450) -> DataFrame:
+    """Snapshot changelog (the CDC question every corpus refresh must
+    answer before reprocessing: what actually changed?): diff an OLD
+    corpus state against a NEW one at doc grain with content
+    fingerprints — ``added`` (id only in new), ``removed`` (id only in
+    old), ``changed`` (id in both, fingerprint differs), ``unchanged``.
+    Downstream consumers reprocess added+changed only — the O(delta)
+    refresh instead of O(corpus).
+
+    The testdata is one static snapshot, so the two states are derived
+    deterministically (the dedup_incremental fixture discipline): OLD =
+    doc_id < ``split_doc_id`` as-is; NEW = every doc_id ≥ 20 (the first
+    20 simulate deletions), with docs where ``doc_id % 37 == 0``
+    carrying an appended token (simulated edits). Identical arithmetic
+    in the ANSI oracle.
+
+    Scale shape: each side reduces to (doc_id, md5) projections —
+    16-byte content identity, never text — and the diff is ONE full
+    outer join on doc_id with a fingerprint comparison; per-status
+    counts are a follow-up aggregate the caller composes. No window,
+    no skew surface (doc_id is unique on both sides)."""
+    fp = F.md5(_norm_text(F.col("text")))
+    old = documents.filter(F.col("doc_id") < split_doc_id).select(
+        "doc_id", fp.alias("old_fp")
+    )
+    mutated = F.when(
+        F.col("doc_id") % 37 == 0, F.concat(F.col("text"), F.lit(" edited"))
+    ).otherwise(F.col("text"))
+    new = (
+        documents.filter(F.col("doc_id") >= 20)
+        .withColumn("text", mutated)
+        .select("doc_id", fp.alias("new_fp"))
+    )
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("old_fp").isNull(), "added")
+            .when(F.col("new_fp").isNull(), "removed")
+            .when(F.col("old_fp") != F.col("new_fp"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+            "old_fp",
+            "new_fp",
+        )
+    )

@@ -2305,3 +2305,25 @@ def test_registry_queries_threadsafe(spark, tables):
     assert not errors, errors
     assert len(results) == 4
     assert all(all(v) for v in results.values()), results
+
+
+def test_snapshot_diff_partition_of_ids(tables):
+    """The changelog is a PARTITION of the id universe: statuses are
+    mutually exclusive and collectively exhaustive; planted deletions
+    (< 20), edits (% 37), and additions (>= 450) land in their
+    statuses; unchanged docs carry equal fingerprints."""
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    docs = tables["documents"]
+    out = {r["doc_id"]: r for r in llm_pipeline.corpus_snapshot_diff(docs).collect()}
+    n = docs.count()
+    assert len(out) == n  # every id appears exactly once
+    for i, r in out.items():
+        if i < 20:
+            assert r["status"] == "removed" and r["new_fp"] is None
+        elif i >= 450:
+            assert r["status"] == "added" and r["old_fp"] is None
+        elif i % 37 == 0:
+            assert r["status"] == "changed" and r["old_fp"] != r["new_fp"]
+        else:
+            assert r["status"] == "unchanged" and r["old_fp"] == r["new_fp"]
