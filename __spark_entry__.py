@@ -264,6 +264,8 @@ _CERTIFY_FIRST = [
     "sql_correlated_exists",  # verbatim EXISTS + scalar subquery
     "sql_lateral_topn",  # verbatim LATERAL dependent join
     "pipeline_snapshot_diff",  # CDC changelog: added/removed/changed
+    "agg_bitmap_distinct",  # exact distinct via bitmap agg (no Expand)
+    "scalar_try_funcs",  # ANSI-safety try_* family
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -283,8 +285,6 @@ _CERTIFY_FIRST = [
     # implementation / registry changed in round 7 — re-certify
     "tpch_top_supplier",  # global max now agg + broadcast cross-join
     "dedup_semantic",  # rows-only: per-cluster GEMM now block-bounded
-    "text_tfidf_top_terms",  # explicit null-text contract (both sides)
-    "text_bm25_search",  # explicit null-text contract (both sides)
     "pipeline_mixture_build",  # n_shards now derivable (default pinned)
     "sim_cosine_topk_ivf",  # rows-only: IVF registry file-sig change
     # least-recently-certified rotation: r1 tail (last checked round 1)
@@ -464,6 +464,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_map_funcs": lambda s, d: scalars.map_functions_events(*_t(s, d, "events")),
         "scalar_string_funcs2": lambda s, d: scalars.string_functions_extended(*_t(s, d, "part")),
         "scalar_math_funcs": lambda s, d: scalars.math_functions_lineitem(*_t(s, d, "lineitem")),
+        "scalar_try_funcs": lambda s, d: scalars.try_function_family(
+            *_t(s, d, "orders")
+        ),
         "scalar_bitwise_funcs": lambda s, d: scalars.bitwise_functions_lineitem(*_t(s, d, "lineitem")),
         "calendar_spine_daily": lambda s, d: scalars.calendar_spine_daily_orders(*_t(s, d, "orders")),
         "agg_statistics": lambda s, d: agg.statistical_aggregates(*_t(s, d, "lineitem")),
@@ -745,6 +748,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only checks last (seeded-hash / sketch semantics — no ANSI
         # oracle by design), so a bounded correctness sweep spends its
         # budget on the hash-verified queries first
+        # exact distinct via Spark 3.5+ bitmap aggregation (no Expand)
+        "agg_bitmap_distinct": lambda s, d: agg.bitmap_exact_distinct(
+            *_t(s, d, "events")
+        ),
         "agg_approx_distinct": lambda s, d: agg.approx_distinct_parts(*_t(s, d, "lineitem")),
         # rows-only (DataSketches HLL is approximate; error bound tested)
         "agg_hll_sketch_rollup": lambda s, d: agg.hll_sketch_rollup(*_t(s, d, "events")),
@@ -1147,6 +1154,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
                    l_orderkey % 7 AS key_mod7
             FROM lineitem
+        """,
+        "scalar_try_funcs": lambda s, d: scalars.try_function_family(
+            *_t(s, d, "orders")
+        ),
+        "scalar_try_funcs": """
+            SELECT o_orderkey,
+                   round(CASE WHEN o_custkey % 3 = 0 THEN NULL
+                         ELSE o_totalprice / (o_custkey % 3) END, 6) AS safe_div,
+                   TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+                   TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast
+            FROM orders
         """,
         "scalar_bitwise_funcs": """
             SELECT l_orderkey, l_linenumber,
@@ -2562,6 +2580,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'right_rows', CAST(NULL AS VARCHAR),
                    CAST((SELECT count(*) FROM orders) AS DOUBLE)
+        """,
+        "agg_bitmap_distinct": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+            FROM events GROUP BY 1
         """,
         "dq_key_skew": """
             WITH counts AS (

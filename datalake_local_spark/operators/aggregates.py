@@ -301,3 +301,27 @@ def hll_sketch_rollup(events: DataFrame) -> DataFrame:
         .unionByName(global_row)
         .orderBy("event_type")
     )
+
+
+def bitmap_exact_distinct(events: DataFrame) -> DataFrame:
+    """Exact distinct counting via bitmap aggregation (the Spark 3.5+
+    bitmap function family): ids fold into fixed-size bucket bitmaps
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg``), counted with ``bitmap_count`` and summed
+    per group. EXACT like count(DISTINCT) but without the Expand-based
+    distinct aggregate's per-value shuffle rows: the shuffle carries one
+    ≤4 KB bitmap per (group, bucket) regardless of how many ids fall in
+    the bucket — the engine-native form of the roaring-bitmap distinct
+    that warehouse engines use for billion-id audiences. Certified
+    against the plain ``count(DISTINCT ...)`` oracle — exactness, not
+    approximation (compare ``approx_distinct``'s HLL rows-only
+    entries)."""
+    return (
+        events.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct_users"))
+    )

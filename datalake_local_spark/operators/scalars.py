@@ -205,3 +205,22 @@ def variant_functions_events(events: DataFrame) -> DataFrame:
             F.max("prop_k").alias("max_k"),
         )
     )
+
+
+def try_function_family(orders: DataFrame) -> DataFrame:
+    """ANSI-safety scalar family: the ``try_*`` variants (Spark 3.2+)
+    that return NULL instead of raising under ANSI mode — division by
+    zero, failed casts — the functions a production pipeline uses at
+    ingestion boundaries where bad values are data, not bugs.
+    Engine-portable: DuckDB's TRY_CAST and a CASE-guarded division
+    compute the identical NULL pattern."""
+    return orders.select(
+        "o_orderkey",
+        F.round(
+            F.expr("try_divide(o_totalprice, o_custkey % 3)"), 6
+        ).alias("safe_div"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias(
+            "prio_num"
+        ),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("bad_cast"),
+    )
