@@ -266,6 +266,7 @@ _CERTIFY_FIRST = [
     "pipeline_snapshot_diff",  # CDC changelog: added/removed/changed
     "agg_bitmap_distinct",  # exact distinct via bitmap agg (no Expand)
     "scalar_try_funcs",  # ANSI-safety try_* family
+    "agg_boolean_funcs",  # count_if / bool_and / bool_or family
     "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
     "fmt_schema_evolution",  # mergeSchema add-column NULL contract
     # new in round 7
@@ -283,7 +284,6 @@ _CERTIFY_FIRST = [
     "pipeline_decontaminate",  # eval-suite scrub audit (per-source)
     "text_encoding_quality",  # mojibake/control/U+FFFD gate (injector fixture)
     # implementation / registry changed in round 7 — re-certify
-    "tpch_top_supplier",  # global max now agg + broadcast cross-join
     "dedup_semantic",  # rows-only: per-cluster GEMM now block-bounded
     "pipeline_mixture_build",  # n_shards now derivable (default pinned)
     "sim_cosine_topk_ivf",  # rows-only: IVF registry file-sig change
@@ -748,6 +748,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only checks last (seeded-hash / sketch semantics — no ANSI
         # oracle by design), so a bounded correctness sweep spends its
         # budget on the hash-verified queries first
+        "agg_boolean_funcs": lambda s, d: agg.boolean_aggregate_family(
+            *_t(s, d, "orders")
+        ),
         # exact distinct via Spark 3.5+ bitmap aggregation (no Expand)
         "agg_bitmap_distinct": lambda s, d: agg.bitmap_exact_distinct(
             *_t(s, d, "events")
@@ -2580,6 +2583,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'right_rows', CAST(NULL AS VARCHAR),
                    CAST((SELECT count(*) FROM orders) AS DOUBLE)
+        """,
+        "agg_boolean_funcs": """
+            SELECT o_orderpriority,
+                   CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+                       AS n_big,
+                   bool_and(o_totalprice > 0) AS all_positive,
+                   bool_or(o_orderstatus = 'F') AS any_finished,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
         """,
         "agg_bitmap_distinct": """
             SELECT event_type,

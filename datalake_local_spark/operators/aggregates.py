@@ -325,3 +325,18 @@ def bitmap_exact_distinct(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct_users"))
     )
+
+
+def boolean_aggregate_family(orders: DataFrame) -> DataFrame:
+    """Boolean/conditional aggregate family (Spark 3.x additions:
+    ``count_if``, ``bool_and``, ``bool_or``) — the predicates-as-
+    aggregates surface auditors and quality gates lean on. All three
+    are deterministic (unlike any_value/max_by under ties, deliberately
+    excluded); DuckDB mirrors them with FILTER and its own
+    bool_and/bool_or."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("count_if(o_totalprice > 100000)").cast("long").alias("n_big"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+        F.expr("bool_or(o_orderstatus = 'F')").alias("any_finished"),
+        F.count("*").alias("n_orders"),
+    )
