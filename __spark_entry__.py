@@ -227,72 +227,71 @@ def _q_cube_request(spark, sf):
 
 # Certification-window rotation (round 7): the driver oracle-checks the
 # FIRST 50 ``queries()`` entries each round (cap confirmed in r3/r4).
-# After CORRECTNESS_r06 the union of driver rows over rounds 1-6 is
-# 157/157 (139 hash-green, 18 rows-only by design, 0 ERR). This round's
-# window holds (a) the 6 queries NEW in round 7, (b) queries whose
-# IMPLEMENTATION or registry keying changed in round 7, then (c)
-# rotates in the least-recently-certified names (the r1/r2 tail last
-# driver-checked 5-6 rounds ago, plus the start of the r3 cohort).
+# After CORRECTNESS_r07 the union of driver rows over rounds 1-7 is
+# 204/204 (175 hash-green, 29 rows-only by design, 0 ERR). Round 8's
+# window rotates to the LEAST-RECENTLY-CERTIFIED cohort (the r1/r2
+# tail last driver-checked 5-6 rounds ago, plus the start of the r3
+# cohort), per the r7 verdict task #4; queries NEW in round 8 are
+# inserted at the head as they land, displacing the newest r3 names
+# (tail comment tracks what rotates to round 9).
 _CERTIFY_FIRST = [
-    # new in round 7 (second wave)
-    "text_segment_dedup",  # C4 corpus-wide segment dedup audit
-    "text_span_coverage",  # ExactSubstr interval-union coverage
-    "dq_key_skew",  # shuffle-key skew profiler (events.user_id)
-    "text_lang_buckets",  # CCNet per-language LM-score terciles
-    "sim_pq_topk",  # rows-only: PQ/ADC approximate top-k
-    "pipeline_global_shuffle",  # two-level-rank global training order
-    "text_bpe_merges",  # rows-only: iterative BPE merge table
-    "dedup_bloom_incremental",  # Bloom prefilter, exact-contract oracle
-    "dedup_kmv_overlap",  # KMV sketch union/Jaccard/intersection matrix
-    "events_lttb",  # rows-only: LTTB per-series downsampling
-    "streaming_trending",  # foreachBatch rank over streaming aggregate
-    "dq_join_estimate",  # pre-flight exact join-size report
-    "sim_hard_negatives",  # contrastive negatives: similar, different label
-    "dedup_band_index_probe",  # rows-only: online probe of persisted index
-    "text_compression_ratio",  # rows-only: zlib compressibility gate
-    "text_bpe_encode",  # rows-only: subword accounting via learned merges
-    "dedup_cluster_sizes",  # dup-cluster size histogram (recursive oracle)
-    "pandas_arrow_bytes",  # mapInArrow zero-copy surface, hash oracle
-    "events_cusum",  # rows-only: CUSUM level-shift monitor
-    "dedup_graph_quality",  # clique-vs-chain dup-graph diagnosis
-    "sim_kcenter_coreset",  # rows-only: farthest-point diversity picks
-    "sim_knn_label_transfer",  # weak labeling from labeled neighbors
-    "text_span_corruption",  # T5 masking plan, hash-deterministic
-    "tpch_min_cost_supplier",  # Q2 correlated-min shape, derived partsupp
-    "streaming_two_level_agg",  # rows-only: chained stateful windows
-    "text_feature_hashing",  # hashing-trick sparse featurizer
-    "sql_correlated_exists",  # verbatim EXISTS + scalar subquery
-    "sql_lateral_topn",  # verbatim LATERAL dependent join
-    "pipeline_snapshot_diff",  # CDC changelog: added/removed/changed
-    "agg_bitmap_distinct",  # exact distinct via bitmap agg (no Expand)
-    "scalar_try_funcs",  # ANSI-safety try_* family
-    "agg_boolean_funcs",  # count_if / bool_and / bool_or family
-    "fmt_orc_scan",  # ORC reader parity, same oracle as parquet agg
-    "fmt_schema_evolution",  # mergeSchema add-column NULL contract
-    # new in round 7
-    "semantic_cube_request",  # cube_query facade, 3 dims x 4 measures
-    "text_repetition_signals",  # Gopher repetition filters, token-level
-    "streaming_semi_join",  # left-semi stream-stream interval join
-    "streaming_outer_join",  # rows-only: tail emission is watermark-gated
-    "sim_quantize_dim_minmax",  # corpus-calibrated uint8 quantization
-    "sim_range_search",  # exact cosine radius query
-    "sim_ivf_partitioned_probe",  # rows-only: partition-pruned disk IVF
-    "dq_batch_drift",  # batch-over-batch drift gate (tall metric table)
-    "mm_video_metadata",  # real MP4 box round-trip (symbolic oracle)
-    "mm_audio_metadata",  # real RIFF/WAVE round-trip (symbolic oracle)
-    "events_interpolate_hourly",  # gap-fill linear interpolation, e6 fixed-point
-    "pipeline_decontaminate",  # eval-suite scrub audit (per-source)
-    "text_encoding_quality",  # mojibake/control/U+FFFD gate (injector fixture)
-    # implementation / registry changed in round 7 — re-certify
-    "dedup_semantic",  # rows-only: per-cluster GEMM now block-bounded
-    "pipeline_mixture_build",  # n_shards now derivable (default pinned)
-    "sim_cosine_topk_ivf",  # rows-only: IVF registry file-sig change
-    # least-recently-certified rotation: r1 tail (last checked round 1)
-    # r2 cohort (last checked round 2)
-    # scalar_json_extract..calendar_spine_daily (bumped by the second
-    # wave), agg_statistics, agg_histogram, agg_equidepth_histogram,
-    # sim_cosine_topk_vectorized, sim_label_centroids + the r3 cohort
-    # rotate in round 8+; total = 50 (window cap)
+    # round-8 new queries go here (head of the window)
+    # least-recently-certified rotation: r1 tail
+    "agg_approx_distinct",
+    "sim_cosine_topk_lsh",
+    "sim_cosine_topk_lsh_multiprobe",
+    # r2 cohort (last driver-checked round 2)
+    "agg_equidepth_histogram",
+    "agg_histogram",
+    "agg_statistics",
+    "calendar_spine_daily",
+    "scalar_array_funcs",
+    "scalar_bitwise_funcs",
+    "scalar_date_funcs",
+    "scalar_json_agg",
+    "scalar_json_extract",
+    "scalar_map_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scalar_string_funcs2",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "sim_cosine_topk",
+    "sim_cosine_topk_vectorized",
+    "sim_label_centroids",
+    "sort_limit_topn",
+    "window_relative",
+    "window_running",
+    "window_topk_per_group",
+    # r3 cohort (alphabetical; the remainder rotates in round 9+:
+    # streaming_stateful_counter, streaming_stream_join,
+    # text_fingerprint, text_source_profile, text_vocab_oov, the
+    # tpch_* r3 names, then the r4 cohort)
+    "agg_collect_sorted",
+    "agg_exact_percentiles",
+    "dedup_embedding_cosine",
+    "events_retention",
+    "events_salted_agg",
+    "events_sequence_patterns",
+    "events_sessionize",
+    "events_sliding",
+    "events_tumbling",
+    "mm_decode_metadata",
+    "mm_decode_real_headers",
+    "mm_payload_profile",
+    "mm_resize_metadata",
+    "pandas_grouped_zscore",
+    "pandas_scalar_logistic",
+    "profile_orders",
+    "sample_deterministic",
+    "sample_stratified",
+    "semantic_ohlcv_daily",
+    "sim_quantize_int8",
+    "sql_interactive",
+    "streaming_foreachbatch_upsert",
+    "streaming_sessionize",
+    "streaming_sliding",
 ]
 
 
@@ -1158,9 +1157,6 @@ def oracle_sql() -> dict[str, str]:
                    l_orderkey % 7 AS key_mod7
             FROM lineitem
         """,
-        "scalar_try_funcs": lambda s, d: scalars.try_function_family(
-            *_t(s, d, "orders")
-        ),
         "scalar_try_funcs": """
             SELECT o_orderkey,
                    round(CASE WHEN o_custkey % 3 = 0 THEN NULL

@@ -1028,8 +1028,10 @@ def bloom_incremental_dedup(
     def maybe_in(positions: pd.Series) -> pd.Series:
         import numpy as np
 
+        if not len(positions):  # empty Arrow batch: np.array([]) is 1-D
+            return pd.Series([], dtype=bool)
         bm = np.frombuffer(bc.value, dtype=np.uint8)
-        P = np.array(positions.tolist(), dtype=np.int64)
+        P = np.array(positions.tolist(), dtype=np.int64).reshape(len(positions), -1)
         bits = (bm[P // 8] >> (P % 8).astype(np.uint8)) & 1
         return pd.Series(bits.all(axis=1))
 
@@ -1245,25 +1247,39 @@ def band_index_probe(documents: DataFrame, split_doc_id: int = 250) -> DataFrame
     rows-only correctness; subset/equivalence vs the in-plan LSH path
     is asserted in tests."""
     import hashlib
+    import uuid
+
+    from datalake_local_spark.llm.similarity import _ivf_key_lock
 
     spark = documents.sparkSession
     existing = documents.filter(F.col("doc_id") < split_doc_id)
     incoming = documents.filter(F.col("doc_id") >= split_doc_id)
     src = source_signature(documents)
-    key = hashlib.md5(repr(("band_probe", src, split_doc_id)).encode()).hexdigest()[:12]
+    if not src:
+        # in-memory frames have no stable identity: salt the table name
+        # so concurrent callers never share (and never rmtree) a table
+        # another thread is scanning
+        key = uuid.uuid4().hex[:12]
+    else:
+        key = hashlib.md5(
+            repr(("band_probe", src, split_doc_id)).encode()
+        ).hexdigest()[:12]
     table = f"band_index_{key}"
-    if not src or not spark.catalog.tableExists(table):
-        # a previous SESSION's in-memory catalog is gone but its
-        # warehouse directory persists — saveAsTable then fails with
-        # LOCATION_ALREADY_EXISTS; clear the orphaned location first
-        # (same recovery as the foreachBatch sink in event_windows)
-        import os
-        import shutil
-        from urllib.parse import urlparse
+    # per-table lock (the _ivf_key_lock registry discipline): the
+    # check-rmtree-rebuild below must not race a concurrent builder
+    with _ivf_key_lock(("band_index", table)):
+        if not src or not spark.catalog.tableExists(table):
+            # a previous SESSION's in-memory catalog is gone but its
+            # warehouse directory persists — saveAsTable then fails with
+            # LOCATION_ALREADY_EXISTS; clear the orphaned location first
+            # (same recovery as the foreachBatch sink in event_windows)
+            import os
+            import shutil
+            from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
-        write_band_index(existing, table)
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+            write_band_index(existing, table)
     return probe_band_index(
         spark, table, incoming, verify_threshold=0.8, corpus=existing
     ).orderBy("query_doc_id", "match_doc_id")
@@ -1299,6 +1315,36 @@ def duplicate_cluster_sizes(documents: DataFrame) -> DataFrame:
     )
 
 
+def _orient_edges_by_degree(pairs: DataFrame) -> DataFrame:
+    """Orient each undirected edge (doc_a, doc_b) from its
+    lower-(degree, id) endpoint to its higher one → columns (lo, hi).
+
+    This is the Chiba–Nishizeki degree ordering (public; also Suri &
+    Vassilvitskii 2011's MR formulation): in the resulting DAG the
+    out-degree of every vertex is O(√m), so a two-path join on the
+    middle vertex materializes at most O(m·√m) rows regardless of how
+    skewed the undirected degree distribution is — a 100k-doc
+    boilerplate near-clique stays edge-bounded instead of exploding as
+    Σ d(v)². Degrees are computed with one explode-free union + count
+    (edge-grain shuffle), then joined back to both endpoints."""
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("doc_b"), F.col("deg").alias("deg_b"))
+    e = pairs.join(da, "doc_a").join(db, "doc_b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return e.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("lo"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("hi"),
+    )
+
+
 def duplicate_graph_quality(documents: DataFrame) -> DataFrame:
     """Dup-graph QA: per near-dup component, edge density and triangle
     support — the diagnostic that tells a REAL duplicate cluster from a
@@ -1314,10 +1360,17 @@ def duplicate_graph_quality(documents: DataFrame) -> DataFrame:
     i<j<k orientation).
 
     Scale shape: edges come from the verified pair set (candidate-
-    bounded, never all-pairs); triangle counting is the standard
-    two-join on oriented edges (a<b, b<c, probe a<c) — edge-grain
-    shuffles, component labels broadcast-joined from the components
-    output. Component grain aggregates are map-side combining."""
+    bounded, never all-pairs); triangle counting is DEGREE-ORIENTED
+    (Chiba–Nishizeki 1985 degree ordering; Suri & Vassilvitskii 2011
+    MapReduce triangle counting — both public): every undirected edge
+    is oriented from its lower-(degree, id) endpoint to its higher one,
+    so per-vertex out-degree is bounded by O(√m) and the two-path join
+    materializes O(m·√m) rows — NOT the O(d²)-per-vertex blow-up an
+    id-oriented join suffers on exactly the near-clique boilerplate
+    components this diagnostic exists to catch. Each triangle {x≺y≺z}
+    appears exactly once as the two-path x→y→z closed by the oriented
+    edge x→z. Edge-grain shuffles only; component-grain aggregates are
+    map-side combining."""
     pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select("doc_a", "doc_b")
     # the SAME pair relation feeds the component fixpoint (via its pairs=
     # injection hook) and the edge metrics — the O(n²) token self-join
@@ -1329,15 +1382,17 @@ def duplicate_graph_quality(documents: DataFrame) -> DataFrame:
         comp.select(F.col("doc_id").alias("doc_a"), "component_id"), "doc_a"
     )
     e1 = edges.select("doc_a", "doc_b", "component_id")
-    # oriented two-path (a<b, b<c) probed against the closing edge (a<c)
-    ab = e1.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    bc = e1.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
-    ac = e1.select(
-        F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"), "component_id"
+    oriented = _orient_edges_by_degree(pairs)
+    # two-path (x→y, y→z) over the degree-oriented DAG, probed against
+    # the closing oriented edge (x→z); component label rides the probe
+    xy = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    yz = oriented.select(F.col("lo").alias("y2"), F.col("hi").alias("z"))
+    xz = oriented.select(F.col("lo").alias("x3"), F.col("hi").alias("z3")).join(
+        comp.select(F.col("doc_id").alias("x3"), "component_id"), "x3"
     )
     tri = (
-        ab.join(bc, F.col("b") == F.col("b2"))
-        .join(ac, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        xy.join(yz, F.col("y") == F.col("y2"))
+        .join(xz, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
         .groupBy("component_id")
         .agg(F.count("*").alias("n_triangles"))
     )

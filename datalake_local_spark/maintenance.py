@@ -236,12 +236,20 @@ def publish_with_audit(
     symlink untouched; concurrent publishers are last-flip-wins, each
     flip atomic.
 
+    PREVIOUS versions are RETAINED after the flip: an in-flight reader
+    that resolved the symlink just before the flip keeps a valid path,
+    and concurrent publishers cannot double-delete or orphan each
+    other's version dirs (each version dir name is unique; the loser of
+    a flip race simply holds a non-current retained version). Old
+    versions are removed only by an explicit :func:`vacuum_published`
+    call, which re-reads the symlink target at delete time and never
+    touches the current version.
+
     Returns the manifest dict (also written as ``_MANIFEST.json``
     inside the version dir BEFORE the flip, so a published version is
     always manifest-complete)."""
     import json
     import os
-    import shutil
     import time as _time
     import uuid
 
@@ -267,8 +275,10 @@ def publish_with_audit(
                 f"WAP audit failed: staged checksum {checksum} != expected "
                 f"{expected_checksum}; staging kept at {staging}, nothing published"
             )
+    # unique version dir: millisecond stamp + random suffix, so two
+    # publishers landing in the same millisecond cannot collide
     version = int(_time.time() * 1000)
-    vdir = f"{base}.v{version}"
+    vdir = f"{base}.v{version}-{uuid.uuid4().hex[:8]}"
     manifest = {
         "version": version,
         "n_rows": n,
@@ -280,17 +290,54 @@ def publish_with_audit(
     with open(os.path.join(staging, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f)
     os.rename(staging, vdir)  # version dir is complete before the flip
-    prev = os.readlink(base) if os.path.islink(base) else None
     if os.path.exists(base) and not os.path.islink(base):
         # migrate a legacy plain directory into the versioned layout
-        legacy = f"{base}.v0"
-        os.rename(base, legacy)
-        prev = legacy
+        os.rename(base, f"{base}.v0-legacy")
     tmp_link = f"{base}.link-{uuid.uuid4().hex[:8]}"
     os.symlink(os.path.basename(vdir), tmp_link)
     os.rename(tmp_link, base)  # atomic symlink replace: readers never miss
-    if prev is not None:
-        shutil.rmtree(
-            os.path.join(os.path.dirname(base) or ".", prev), ignore_errors=True
-        )
+    # previous versions are deliberately retained (see docstring) —
+    # removal is vacuum_published's job, with the symlink re-read there
     return manifest
+
+
+def list_published_versions(publish_dir: str) -> list[dict]:
+    """All retained version dirs for a WAP-published path, oldest first,
+    with the currently-linked one flagged. Driver-side metadata only."""
+    import os
+
+    base = publish_dir.rstrip("/")
+    parent = os.path.dirname(base) or "."
+    stem = os.path.basename(base) + ".v"
+    current = os.readlink(base) if os.path.islink(base) else None
+    out = []
+    for name in sorted(os.listdir(parent)):
+        if name.startswith(stem) and os.path.isdir(os.path.join(parent, name)):
+            out.append({
+                "name": name,
+                "path": os.path.join(parent, name),
+                "current": name == current,
+            })
+    return out
+
+
+def vacuum_published(publish_dir: str, keep: int = 1) -> dict:
+    """Explicit retention step for :func:`publish_with_audit`: delete
+    old version dirs, keeping the CURRENT one plus the ``keep`` most
+    recent non-current versions (grace window for in-flight readers —
+    the Iceberg `expire_snapshots` contract on plain directories).
+
+    The symlink target is re-read HERE, at delete time, so a version
+    published after the caller's last look is never deleted, and the
+    current version is never touched regardless of ``keep``."""
+    import shutil
+
+    versions = list_published_versions(publish_dir)
+    non_current = [v for v in versions if not v["current"]]
+    doomed = non_current[: max(0, len(non_current) - keep)] if keep >= 0 else []
+    for v in doomed:
+        shutil.rmtree(v["path"], ignore_errors=True)
+    return {
+        "deleted": [v["name"] for v in doomed],
+        "retained": [v["name"] for v in versions if v not in doomed],
+    }

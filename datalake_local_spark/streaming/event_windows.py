@@ -682,6 +682,13 @@ def run_streaming_trending(
         .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
     )
     view = f"{query_name}_out"
+    # pre-register an EMPTY view with the output schema: a source that
+    # yields zero micro-batches never runs rank_batch, and the final
+    # global_temp read must still resolve (to zero rows, not an
+    # AnalysisException)
+    sub.createDataFrame(
+        [], "win_start timestamp, event_type string, n_events bigint, rank int"
+    ).createOrReplaceGlobalTempView(view)
     last_ranked: list = []
 
     def rank_batch(batch_df, batch_id):
@@ -711,7 +718,13 @@ def run_streaming_trending(
         )
         q.awaitTermination(120)
         q.stop()
-    return sub.table(f"global_temp.{view}")
+    out = sub.table(f"global_temp.{view}")
+    if last_ranked:
+        # materialize the final answer, then release the last batch's
+        # cache (otherwise it outlives the query)
+        out = sub.createDataFrame(out.collect(), out.schema)
+        last_ranked.pop().unpersist()
+    return out
 
 
 def run_streaming_two_level_agg(

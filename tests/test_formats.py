@@ -272,7 +272,9 @@ def test_publish_with_audit_wap_contract(spark, tables, tmp_path):
     atomically-flipped symlink; a failed audit publishes NOTHING and
     keeps its unique staging dir for forensics (a later publish cannot
     destroy it); a replacement publish flips to the new version and
-    reaps the old one; expected_checksum verifies staged content."""
+    RETAINS the old one (in-flight readers keep a valid path) until an
+    explicit vacuum_published; expected_checksum verifies staged
+    content."""
     import glob
     import json
     import os
@@ -307,10 +309,62 @@ def test_publish_with_audit_wap_contract(spark, tables, tmp_path):
     manifest = json.load(open(os.path.join(target, "_MANIFEST.json")))
     assert manifest["n_rows"] == orders.count()
 
-    # replacement publish flips atomically; forensics dir survives it
+    # replacement publish flips atomically; forensics dir survives it;
+    # the PREVIOUS version is retained so an in-flight reader that
+    # resolved the symlink pre-flip still has a valid path
+    prev_target = os.path.join(
+        os.path.dirname(target), os.readlink(target)
+    )
     half = orders.filter(F.col("o_orderkey") % 2 == 0)
     maintenance.publish_with_audit(half, target, key_col="o_orderkey")
     assert spark.read.parquet(target).count() == half.count()
     assert all(os.path.exists(f) for f in forensics)
-    # exactly one live version dir remains (old one reaped)
+    assert os.path.isdir(prev_target), "pre-flip version must survive the flip"
+    assert spark.read.parquet(prev_target).count() == orders.count()
+    assert len(glob.glob(target + ".v*")) == 2
+
+    # explicit vacuum: re-reads the symlink, never deletes current
+    report = maintenance.vacuum_published(target, keep=0)
+    assert report["deleted"] == [os.path.basename(prev_target)]
     assert len(glob.glob(target + ".v*")) == 1
+    assert spark.read.parquet(target).count() == half.count()
+
+
+def test_publish_with_audit_two_writer_race(spark, tables, tmp_path):
+    """Two concurrent publishers: both stage, both publish; the flips
+    are last-wins but NEITHER version dir is deleted or orphaned —
+    the loser's version is retained (vacuumable), no staging dirs
+    leak, and the symlink always resolves to a complete version."""
+    import glob
+    import os
+    import threading
+
+    from datalake_local_spark import maintenance
+
+    target = str(tmp_path / "raced")
+    a = tables["orders"].select("o_orderkey").filter(F.col("o_orderkey") % 2 == 0)
+    b = tables["orders"].select("o_orderkey").filter(F.col("o_orderkey") % 2 == 1)
+    counts = {"a": a.count(), "b": b.count()}
+    errs = []
+
+    def run(df, name):
+        try:
+            maintenance.publish_with_audit(df, target, expected_rows=counts[name])
+        except Exception as e:  # pragma: no cover - failure is the assertion
+            errs.append((name, e))
+
+    ts = [threading.Thread(target=run, args=(a, "a")), threading.Thread(target=run, args=(b, "b"))]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+    # both versions live, zero staging leaks, symlink resolves to one of them
+    versions = glob.glob(target + ".v*")
+    assert len(versions) == 2
+    assert glob.glob(target + ".staging-*") == []
+    assert os.path.islink(target)
+    got = spark.read.parquet(target).count()
+    assert got in counts.values()
+    # vacuum keeps only the winner
+    maintenance.vacuum_published(target, keep=0)
+    assert len(glob.glob(target + ".v*")) == 1
+    assert spark.read.parquet(target).count() == got

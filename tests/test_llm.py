@@ -2154,6 +2154,49 @@ def test_graph_quality_clique_vs_chain(spark):
     assert 50 not in rows  # singletons excluded
 
 
+def test_graph_quality_degree_orientation_bounds_two_paths(spark):
+    """Planted hot-component stress (the VERDICT r7 scale flag): a
+    999-edge hub star (84% of all edges in one component — the
+    boilerplate-doc pathology) plus a 20-clique. EXECUTED row counts:
+    the degree-oriented two-path join stays within O(m·√m) (here it is
+    exactly the 1140 clique paths — the hub contributes ZERO because
+    every star edge points INTO the max-degree hub), while the
+    id-oriented join materializes ~250k rows through the mid-id hub —
+    two orders of magnitude past the bound. Triangle counts from the
+    oriented join are exact: C(20,3) for the clique, 0 for the star."""
+    import math
+
+    hub, leaves = 500, [i for i in range(1000) if i != 500]
+    clique = list(range(2000, 2020))
+    edges = [(min(hub, v), max(hub, v)) for v in leaves]
+    edges += [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    m = len(edges)
+    assert 999 / m > 0.8  # ≥80% of edges in the hot component
+
+    oriented = dedup._orient_edges_by_degree(pairs)
+    xy = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    yz = oriented.select(F.col("lo").alias("y2"), F.col("hi").alias("z"))
+    two_paths = xy.join(yz, F.col("y") == F.col("y2"))
+    deg_rows = two_paths.count()
+    assert deg_rows <= m * math.sqrt(m), (deg_rows, m)
+    assert deg_rows == 1140  # only the clique's paths; hub contributes 0
+
+    # the exact triangle closure over the oriented DAG
+    xz = oriented.select(F.col("lo").alias("x3"), F.col("hi").alias("z3"))
+    tri = two_paths.join(
+        xz, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3"))
+    ).count()
+    assert tri == math.comb(20, 3)
+
+    # the OLD id-oriented shape blows up through the mid-id hub
+    ab = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    id_rows = ab.join(bc, F.col("b") == F.col("b2")).count()
+    assert id_rows > 40 * deg_rows, (id_rows, deg_rows)
+    assert id_rows > m * math.sqrt(m)
+
+
 def test_kcenter_coreset_invariants(tables):
     """Farthest-point traversal: picks are distinct corpus members, the
     start is the lowest vec_id, radii are non-increasing (each new pick
