@@ -1983,6 +1983,50 @@ def test_segment_dedup_random_reference(spark):
         assert (r["kept_fingerprint"] is None) == (w[3] == 0)
 
 
+def test_segment_dedup_hot_key_regimes(spark):
+    """Hot-key stress (verdict r7 task #8): one boilerplate segment in
+    50% of docs — the key distribution that kills an unprotected
+    shuffle join. Asserts (a) the default bench-SF regime broadcasts
+    the segment relation (hot keys never shuffle), (b) the forced
+    shuffle-join regime — what a 100 TB segment relation uses, where
+    AQE skew-split takes over past the 256 MB partition threshold —
+    returns IDENTICAL rows, and (c) the C4 keeper rule holds exactly:
+    the lowest doc_id keeps the hot segment, every other hot doc
+    removes exactly one segment."""
+    hot = " ".join(f"boiler{i}" for i in range(8))  # one full 8-token segment
+    docs = []
+    for i in range(400):
+        if i % 2 == 0:  # 50% of docs lead with the hot segment
+            docs.append((i, hot + " " + " ".join(f"u{i}x{j}" for j in range(8))))
+        else:
+            docs.append((i, " ".join(f"v{i}x{j}" for j in range(16))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = text.segment_dedup(df)
+    plan = _final_plan(out)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    rows = sorted(map(tuple, out.collect()))
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = text.segment_dedup(df)
+        fplan = _final_plan(forced)
+        assert "SortMergeJoin" in fplan or "ShuffledHashJoin" in fplan
+        assert sorted(map(tuple, forced.collect())) == rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    by_id = {r[0]: r for r in rows}
+    cols = out.columns
+    n_rem = cols.index("n_removed")
+    assert by_id[0][n_rem] == 0  # keeper: lowest (doc_id, seg_id)
+    for i in range(2, 400, 2):
+        assert by_id[i][n_rem] == 1, (i, by_id[i])
+    for i in range(1, 400, 2):
+        assert by_id[i][n_rem] == 0
+
+
 def test_span_coverage_random_reference(spark):
     """Seeded random corpus vs a pure-Python interval-union reference —
     exact agreement on dup-gram counts and covered-token counts."""
