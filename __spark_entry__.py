@@ -29,6 +29,7 @@ from datalake_local_spark.operators import (
     grouped_pandas,
     joins,
     merge,
+    quality,
     scalars,
     semantic,
     setops,
@@ -235,7 +236,11 @@ def _q_cube_request(spark, sf):
 # inserted at the head as they land, displacing the newest r3 names
 # (tail comment tracks what rotates to round 9).
 _CERTIFY_FIRST = [
-    # round-8 new queries go here (head of the window)
+    # round-8 new queries (head of the window)
+    "agg_regression_funcs",  # full ANSI regr_*/corr/covar family
+    "dq_benford",  # Benford leading-digit DQ screen
+    "window_moving_median",  # percentile aggregates over a rows frame
+    "events_streaks",  # gaps-and-islands consecutive-day streaks
     # least-recently-certified rotation: r1 tail
     "agg_approx_distinct",
     "sim_cosine_topk_lsh",
@@ -288,10 +293,9 @@ _CERTIFY_FIRST = [
     "sample_stratified",
     "semantic_ohlcv_daily",
     "sim_quantize_int8",
-    "sql_interactive",
-    "streaming_foreachbatch_upsert",
-    "streaming_sessionize",
-    "streaming_sliding",
+    # displaced to round 9 by the r8-new head entries: sql_interactive,
+    # streaming_foreachbatch_upsert, streaming_sessionize,
+    # streaming_sliding (then the r3 remainder in the comment above)
 ]
 
 
@@ -656,6 +660,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_gate": lambda s, d: text.quality_gate(*_t(s, d, "documents")),
         "agg_mad_outliers": lambda s, d: agg.mad_outliers(*_t(s, d, "events")),
         "agg_trend_regression": lambda s, d: agg.trend_regression(*_t(s, d, "events")),
+        # round-8 wave 1
+        "agg_regression_funcs": lambda s, d: agg.regression_family(*_t(s, d, "lineitem")),
+        "dq_benford": lambda s, d: quality.benford_profile(*_t(s, d, "orders")),
+        "window_moving_median": lambda s, d: windows.moving_median_user_spend(*_t(s, d, "events")),
+        "events_streaks": lambda s, d: windows.activity_streaks(*_t(s, d, "events")),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
@@ -2926,6 +2935,64 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 4) AS mean_value,
                    round(regr_r2(value, epoch(ts) / 3600.0), 6) AS r2
             FROM events GROUP BY 1
+        """,
+        "agg_regression_funcs": """
+            SELECT l_returnflag,
+                   CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+                   round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+                   round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price,
+                   round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   round(corr(l_extendedprice, l_quantity), 6) AS pearson_r,
+                   round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_s,
+                   round(covar_pop(l_extendedprice, l_quantity), 2) AS covar_p
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "dq_benford": """
+            WITH c AS (
+                SELECT CAST(floor(o_totalprice
+                           / pow(10.0, floor(log10(o_totalprice)))) AS INTEGER)
+                           AS digit,
+                       count(*) AS n
+                FROM orders WHERE o_totalprice > 0 GROUP BY 1
+            ), t AS (SELECT sum(n) AS n_total FROM c)
+            SELECT digit, n,
+                   round(n / n_total, 6) AS share,
+                   round(log10(1 + 1.0 / digit), 6) AS benford_share,
+                   round(n / n_total - log10(1 + 1.0 / digit), 6) AS deviation
+            FROM c CROSS JOIN t ORDER BY digit
+        """,
+        "window_moving_median": """
+            WITH f AS (
+                SELECT user_id, event_id,
+                       round(quantile_cont(value, 0.5) OVER w, 6) AS med_11,
+                       round(quantile_cont(value, 0.25) OVER w, 6) AS p25_11,
+                       round(quantile_cont(value, 0.75) OVER w, 6) AS p75_11,
+                       count(*) OVER w AS n_in_frame
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+            )
+            SELECT * FROM f WHERE n_in_frame >= 3
+        """,
+        "events_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), runs AS (
+                SELECT user_id,
+                       day - CAST(row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+                FROM days
+            ), streaks AS (
+                SELECT user_id, grp, count(*) AS streak_len
+                FROM runs GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+                   CAST(max(streak_len) AS INTEGER) AS longest_streak,
+                   CAST(count(*) AS INTEGER) AS n_streaks
+            FROM streaks GROUP BY 1 ORDER BY 1
         """,
         "agg_mad_outliers": """
             WITH med AS (

@@ -340,3 +340,40 @@ def boolean_aggregate_family(orders: DataFrame) -> DataFrame:
         F.expr("bool_or(o_orderstatus = 'F')").alias("any_finished"),
         F.count("*").alias("n_orders"),
     )
+
+
+def regression_family(lineitem: DataFrame) -> DataFrame:
+    """The complete ANSI bivariate-regression aggregate family
+    (regr_count/avgx/avgy/slope/intercept/r2 + corr + covar_samp/pop)
+    of extended price against quantity, per return flag — the one-pass
+    answer to "how does price scale with quantity in each segment"
+    (reference analog: the Trino SQL surface the reference delegates
+    aggregation to, trino/catalog config; every function here is ANSI
+    and exists verbatim in both engines).
+
+    Scale shape: ONE grouped aggregate — every regr_* function is a
+    composition of the same five streaming moments (n, Σx, Σy, Σxy,
+    Σx², Σy²), so the whole family partial-aggregates map-side and
+    shuffles one row per group, exactly like a sum. Rounding: slope /
+    intercept at 4dp and moments at 2dp keep the cross-engine
+    fp-accumulation-order noise (~1e-9 relative) far inside the grid."""
+    return (
+        lineitem.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("y"),
+            F.col("l_quantity").alias("x"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("regr_count(y, x)").cast("long").alias("n_pairs"),
+            F.round(F.expr("regr_avgx(y, x)"), 4).alias("avg_qty"),
+            F.round(F.expr("regr_avgy(y, x)"), 4).alias("avg_price"),
+            F.round(F.expr("regr_slope(y, x)"), 4).alias("slope"),
+            F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+            F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+            F.round(F.corr("y", "x"), 6).alias("pearson_r"),
+            F.round(F.covar_samp("y", "x"), 2).alias("covar_s"),
+            F.round(F.covar_pop("y", "x"), 2).alias("covar_p"),
+        )
+        .orderBy("l_returnflag")
+    )

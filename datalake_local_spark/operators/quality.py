@@ -287,3 +287,43 @@ def join_cardinality_estimate(
         ).alias("m")
     ).select("m.metric", "m.key", "m.value")
     return per_key.unionByName(summary)
+
+
+def benford_profile(orders: DataFrame) -> DataFrame:
+    """Benford's-law leading-digit screen over order totals — the
+    classic fraud/synthetic-data tripwire (Benford 1938; Nigrini's
+    audit usage — public): naturally-occurring multi-scale amounts
+    follow P(d) = log10(1 + 1/d); flat or spiky first-digit histograms
+    flag fabricated or truncated feeds before they poison downstream
+    stats. Part of the DQ admission suite next to batch_drift_report.
+
+    The leading digit is extracted ARITHMETICALLY —
+    floor(x / 10^floor(log10(x))) — not by string formatting, so both
+    engines evaluate the identical double-precision expression.
+    Scale shape: map-side digit projection + one 9-row groupBy; the
+    expected-share comparison is a literal expression, no second scan."""
+    d = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    # total via broadcast of the digit histogram's own 9-row re-agg —
+    # ONE scan, no driver action (the crossJoin-broadcast-totals pattern)
+    total = counts.agg(F.sum("n").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+            F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("benford_share"),
+            F.round(
+                F.col("n") / F.col("n_total") - F.log10(1 + 1 / F.col("digit")), 6
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

@@ -325,3 +325,71 @@ def cusum_changepoints(
     return hourly.groupBy("event_type").applyInPandas(
         kernel, "event_type string, hour timestamp, direction string, stat_sigma double"
     )
+
+
+def moving_median_user_spend(events: DataFrame) -> DataFrame:
+    """Rolling EXACT median and quartiles of a user's event values over
+    their last 11 events (ROWS 10 PRECEDING..CURRENT) — the robust
+    per-entity baseline for spend/latency anomaly flags, where a mean
+    is skew-poisoned. Demonstrates percentile aggregates as WINDOW
+    functions over an explicit rows frame (ANSI; `percentile` in Spark
+    ≡ `quantile_cont` in DuckDB, the interpolating definition).
+
+    Scale shape: the window is partitioned at USER grain — per-user row
+    counts are bounded by user activity, not corpus size, so partitions
+    stay small at any SF (the per-type variant would put an SF-scaled
+    series through one frame evaluator; user grain is the scale-honest
+    key). Deterministic order: (ts, event_id). Output trimmed to users
+    with ≥ 3 events to keep the relation result-stable."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, W.currentRow)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med_11"),
+            F.round(F.expr("percentile(value, 0.25)").over(w), 6).alias("p25_11"),
+            F.round(F.expr("percentile(value, 0.75)").over(w), 6).alias("p75_11"),
+            F.count("*").over(w).alias("n_in_frame"),
+        )
+        .filter(F.col("n_in_frame") >= 3)
+        .select("user_id", "event_id", "med_11", "p25_11", "p75_11", "n_in_frame")
+    )
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE
+    active days, total active days, and number of distinct streaks —
+    the classic engagement metric (the row_number difference trick:
+    date - rank(date) is constant within a consecutive run; standard
+    public SQL idiom).
+
+    Scale shape: distinct (user, day) first — collapses event-grain to
+    day-grain BEFORE the window, so the row_number partition carries at
+    most days-per-user rows (bounded), never raw events; two grouped
+    aggregates after it, both partial-aggregating. One shuffle chain at
+    user grain throughout (day-distinct, window, and the final groupBys
+    all key on user_id first), so AQE can reuse the partitioning."""
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    runs = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("streak_len").cast("long").alias("n_active_days"),
+            F.max("streak_len").cast("int").alias("longest_streak"),
+            F.count("*").cast("int").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )

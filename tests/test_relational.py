@@ -485,3 +485,87 @@ def test_cusum_detects_planted_level_shift(spark):
     assert base + datetime.timedelta(hours=60) <= first["hour"] <= base + datetime.timedelta(hours=75)
     again = ops_windows.cusum_changepoints(df).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_regression_family_closed_form(spark):
+    """On a planted exact line y = 3x + 7 the full regr_* family is
+    closed-form: slope 3, intercept 7, r2 = corr = 1, covariances equal
+    slope x var(x); a noisy group keeps r2 strictly below 1."""
+    rows = [("L", float(x), 3.0 * x + 7.0) for x in range(1, 21)]
+    rows += [("N", float(x), 3.0 * x + 7.0 + (-1.0) ** x * 5) for x in range(1, 21)]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_quantity double, l_extendedprice double")
+    out = {r["l_returnflag"]: r for r in agg.regression_family(df).collect()}
+    lin = out["L"]
+    assert lin["n_pairs"] == 20
+    assert lin["slope"] == 3.0 and lin["intercept"] == 7.0
+    assert lin["r2"] == 1.0 and lin["pearson_r"] == 1.0
+    # covar_samp(y,x) = slope * var_samp(x); var_samp(1..20) = 35
+    assert lin["covar_s"] == round(3.0 * 35.0, 2)
+    noisy = out["N"]
+    assert noisy["r2"] < 1.0 and noisy["n_pairs"] == 20
+
+
+def test_benford_profile_contract(spark, tables):
+    """Shares sum to 1, Benford expectations are the exact log10 curve,
+    and a planted uniform-leading-digit feed shows the flat-histogram
+    deviation signature (digit-1 share far below 0.301)."""
+    from datalake_local_spark.operators import quality
+
+    out = quality.benford_profile(tables["orders"]).collect()
+    assert [r["digit"] for r in out] == sorted({r["digit"] for r in out})
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-5
+    import math
+    for r in out:
+        assert r["benford_share"] == round(math.log10(1 + 1 / r["digit"]), 6)
+        assert abs(r["deviation"] - (r["share"] - r["benford_share"])) < 1e-6
+
+    flat = spark.createDataFrame(
+        [(i, float(d) * 1000 + 1) for i in range(900) for d in range(1, 10) if i % 9 + 1 == d],
+        "o_orderkey long, o_totalprice double",
+    )
+    fout = {r["digit"]: r for r in quality.benford_profile(flat).collect()}
+    assert abs(fout[1]["share"] - 1 / 9) < 0.01
+    assert fout[1]["deviation"] < -0.15  # uniform feed: digit-1 mass missing
+
+
+def test_moving_median_hand_computed(spark):
+    """Hand-checked rolling median/quartiles on one user: the frame is
+    rows-based (last 11), warmup rows below 3 observations are trimmed,
+    and the median of an even frame is the interpolated midpoint."""
+    import datetime
+
+    rows = [
+        (1, i, datetime.datetime(2024, 1, 1, 0, i), float(v))
+        for i, v in enumerate([10, 20, 30, 40, 100])
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    out = {r["event_id"]: r for r in windows.moving_median_user_spend(df).collect()}
+    assert set(out) == {2, 3, 4}  # first two frames have < 3 rows
+    assert out[2]["med_11"] == 20.0
+    assert out[3]["med_11"] == 25.0  # even frame: (20+30)/2
+    assert out[4]["med_11"] == 30.0
+    assert out[4]["p75_11"] == 40.0 and out[4]["p25_11"] == 20.0
+
+
+def test_activity_streaks_hand_computed(spark):
+    """Planted calendar: user 1 has runs of 3 and 2 consecutive days,
+    user 2 a single day — longest/total/streak counts are exact, and
+    multiple same-day events collapse to one active day."""
+    import datetime
+
+    def ts(d, h=0):
+        return datetime.datetime(2024, 3, d, h)
+
+    rows = [
+        (1, ts(1)), (1, ts(1, 5)), (1, ts(2)), (1, ts(3)),  # run of 3
+        (1, ts(10)), (1, ts(11)),                            # run of 2
+        (2, ts(7)),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, 0.0) for u, t in rows], "user_id long, ts timestamp, value double"
+    )
+    out = {r["user_id"]: r for r in windows.activity_streaks(df).collect()}
+    assert out[1]["n_active_days"] == 5
+    assert out[1]["longest_streak"] == 3
+    assert out[1]["n_streaks"] == 2
+    assert out[2]["n_active_days"] == 1 and out[2]["longest_streak"] == 1
