@@ -237,6 +237,10 @@ def _q_cube_request(spark, sf):
 # (tail comment tracks what rotates to round 9).
 _CERTIFY_FIRST = [
     # round-8 new queries (head of the window)
+    "dedup_containment",  # Broder directional containment pairs
+    "text_bigram_logprob",  # add-one bigram LM quality score
+    "scalar_url_funcs",  # URL parse/canonicalize regexp family
+    "graph_pagerank",  # rows-only: power-method dup-graph hubs
     "agg_regression_funcs",  # full ANSI regr_*/corr/covar family
     "dq_benford",  # Benford leading-digit DQ screen
     "window_moving_median",  # percentile aggregates over a rows frame
@@ -289,11 +293,9 @@ _CERTIFY_FIRST = [
     "pandas_grouped_zscore",
     "pandas_scalar_logistic",
     "profile_orders",
-    "sample_deterministic",
-    "sample_stratified",
-    "semantic_ohlcv_daily",
-    "sim_quantize_int8",
-    # displaced to round 9 by the r8-new head entries: sql_interactive,
+    # displaced to round 9 by the r8-new head entries:
+    # sample_deterministic, sample_stratified, semantic_ohlcv_daily,
+    # sim_quantize_int8, sql_interactive,
     # streaming_foreachbatch_upsert, streaming_sessionize,
     # streaming_sliding (then the r3 remainder in the comment above)
 ]
@@ -471,6 +473,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *_t(s, d, "orders")
         ),
         "scalar_bitwise_funcs": lambda s, d: scalars.bitwise_functions_lineitem(*_t(s, d, "lineitem")),
+        "scalar_url_funcs": lambda s, d: scalars.url_functions_orders(*_t(s, d, "orders")),
         "calendar_spine_daily": lambda s, d: scalars.calendar_spine_daily_orders(*_t(s, d, "orders")),
         "agg_statistics": lambda s, d: agg.statistical_aggregates(*_t(s, d, "lineitem")),
         "agg_histogram": lambda s, d: agg.price_histogram(*_t(s, d, "orders")),
@@ -478,6 +481,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family (north star)
         "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
+        # round-8 wave 2
+        "dedup_containment": lambda s, d: dedup.token_containment_pairs(*_t(s, d, "documents")),
+        # rows-only: iterative power method (not one ANSI statement);
+        # convergence vs a pure-python reference asserted in tests
+        "graph_pagerank": lambda s, d: dedup.pagerank_dup_graph(*_t(s, d, "documents")),
         "dedup_components": lambda s, d: dedup.duplicate_components(*_t(s, d, "documents")),
         # cluster-size histogram over the components output
         "dedup_cluster_sizes": lambda s, d: dedup.duplicate_cluster_sizes(
@@ -545,6 +553,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_profile": lambda s, d: text.source_lang_profile(*_t(s, d, "documents")),
         "text_top_bigrams": lambda s, d: text.top_bigrams_per_lang(*_t(s, d, "documents")),
         "text_unigram_logprob": lambda s, d: text.unigram_logprob(*_t(s, d, "documents")),
+        "text_bigram_logprob": lambda s, d: text.bigram_logprob(*_t(s, d, "documents")),
         "text_vocab_oov": lambda s, d: text.vocab_oov_profile(*_t(s, d, "documents")),
         "text_pmi_pairs": lambda s, d: text.token_pmi_pairs(*_t(s, d, "documents")),
         "sample_stratified": lambda s, d: tpch.stratified_sample_stats(*_t(s, d, "orders")),
@@ -1255,6 +1264,80 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+        """,
+        "dedup_containment": f"""
+            WITH docs AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(n_common AS DOUBLE) / sa.n, 6) AS cont_a_in_b,
+                   round(CAST(n_common AS DOUBLE) / sb.n, 6) AS cont_b_in_a
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE greatest(round(CAST(n_common AS DOUBLE) / sa.n, 6),
+                           round(CAST(n_common AS DOUBLE) / sb.n, 6)) >= 0.5
+        """,
+        "text_bigram_logprob": f"""
+            WITH lists AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS l FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(l) AS w1 FROM lists
+            ),
+            bigrams AS (
+                SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+                FROM lists, LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            ),
+            bi_freq AS (SELECT w1, w2, count(*) AS c_bi FROM bigrams GROUP BY 1, 2),
+            uni_freq AS (SELECT w1, count(*) AS c_uni FROM toks GROUP BY 1),
+            vocab AS (SELECT count(*) AS v FROM uni_freq),
+            scored AS (
+                SELECT b.doc_id,
+                       count(*) AS n_bigrams,
+                       round(avg(log10(CAST(c_bi + 1 AS DOUBLE) / (c_uni + v))), 6)
+                           AS mean_log10_p,
+                       round(min(log10(CAST(c_bi + 1 AS DOUBLE) / (c_uni + v))), 6)
+                           AS min_log10_p
+                FROM bigrams b
+                JOIN bi_freq USING (w1, w2)
+                JOIN uni_freq USING (w1)
+                CROSS JOIN vocab
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   s.mean_log10_p, s.min_log10_p
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "scalar_url_funcs": """
+            WITH u AS (
+                SELECT o_orderkey,
+                       'https://shop.example.com/orders/' || o_orderkey
+                       || '?priority=' || substring(o_orderpriority, 1, 1)
+                       || '&status=' || lower(o_orderstatus)
+                       || '&utm_source=mail' AS url
+                FROM orders
+            )
+            SELECT o_orderkey, url,
+                   regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+                   regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                   regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+                   regexp_extract(url, '[?&]priority=([^&#]*)', 1) AS q_priority,
+                   regexp_extract(url, '[?&]status=([^&#]*)', 1) AS q_status,
+                   regexp_replace(
+                       regexp_replace(url, '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+                       '\\?$', '') AS canonical_url
+            FROM u
         """,
         "tpch_market_share": """
             SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,

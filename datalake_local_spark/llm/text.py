@@ -1605,3 +1605,61 @@ def feature_hashing(documents: DataFrame, n_buckets: int = 4096) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").cast("long").alias("weight"))
     )
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document add-one-smoothed bigram LM score — one rung above
+    ``unigram_logprob`` on the CCNet/KenLM quality ladder (Wenzek et
+    al. 2020 filter on LM perplexity; this is the self-trained bigram
+    version with Laplace smoothing, Jurafsky & Martin ch. 3 — public):
+    mean log10 P(w_i | w_{i-1}) with P = (c(w1,w2)+1) / (c(w1)+V).
+    Low scores mean token sequences the corpus has never seen —
+    gibberish, OCR damage, wrong-language fragments — even when every
+    individual token is common (the case a unigram score cannot see).
+
+    Scale shape: bigrams come from lead() over posexploded tokens (the
+    engine-portable formulation: no array zip dialects), so the token
+    stream is materialized once; bigram and unigram count tables are
+    vocab-grain groupBys (map-side combined); V is a 1-row broadcast.
+    The doc-grain rescoring join carries no broadcast hint — a
+    web-scale bigram table is not broadcastable; AQE broadcasts it at
+    bench SF. Docs with < 2 tokens surface with n_bigrams = 0 and NULL
+    score (explicit contract, same as TF-IDF's null-text rule)."""
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(_norm_text(F.col("text")), " ")).alias("pos", "w1"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id", "w1", F.lead("w1").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    bi_freq = big.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    uni_freq = toks.groupBy("w1").agg(F.count("*").alias("c_uni"))
+    vocab = uni_freq.agg(F.count("*").alias("v"))
+    scored = (
+        big.join(bi_freq, ["w1", "w2"])
+        .join(uni_freq, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log10((F.col("c_bi") + 1) / (F.col("c_uni") + F.col("v"))).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("mean_log10_p"),
+            F.round(F.min("lp"), 6).alias("min_log10_p"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "mean_log10_p",
+            "min_log10_p",
+        )
+    )

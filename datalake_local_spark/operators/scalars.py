@@ -224,3 +224,43 @@ def try_function_family(orders: DataFrame) -> DataFrame:
         ),
         F.expr("try_cast(o_orderstatus AS INT)").alias("bad_cast"),
     )
+
+
+def url_functions_orders(orders: DataFrame) -> DataFrame:
+    """URL scalar family: synthesize a deterministic order-page URL per
+    row, then parse and canonicalize it with REGEXP — scheme, host,
+    path, each query parameter, and the tracking-stripped canonical
+    form (the dedup-key normalization every web-crawl pipeline runs
+    before exact URL dedup; reference analog: the string-function
+    surface its Trino endpoint exposes).
+
+    Extraction uses regexp_extract on BOTH engines — not Spark's
+    parse_url — because the oracle must run the byte-identical
+    semantics in DuckDB (parse_url has no DuckDB twin; regexes are the
+    engine-portable spelling). All expressions are map-only Catalyst;
+    no UDF, no shuffle."""
+    url = F.concat(
+        F.lit("https://shop.example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?priority="),
+        F.substring("o_orderpriority", 1, 1),
+        F.lit("&status="),
+        F.lower("o_orderstatus"),
+        F.lit("&utm_source=mail"),
+    )
+    u = F.col("url")
+    return orders.select(
+        "o_orderkey",
+        url.alias("url"),
+    ).select(
+        "o_orderkey",
+        "url",
+        F.regexp_extract(u, r"^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract(u, r"^[a-z]+://([^/?#]+)", 1).alias("host"),
+        F.regexp_extract(u, r"^[a-z]+://[^/?#]+(/[^?#]*)", 1).alias("path"),
+        F.regexp_extract(u, r"[?&]priority=([^&#]*)", 1).alias("q_priority"),
+        F.regexp_extract(u, r"[?&]status=([^&#]*)", 1).alias("q_status"),
+        F.regexp_replace(
+            F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&#]*", ""), r"\?$", ""
+        ).alias("canonical_url"),
+    )
