@@ -236,68 +236,63 @@ def _q_cube_request(spark, sf):
 # inserted at the head as they land, displacing the newest r3 names
 # (tail comment tracks what rotates to round 9).
 _CERTIFY_FIRST = [
-    # round-8 new queries (head of the window)
-    "dedup_containment",  # Broder directional containment pairs
-    "text_bigram_logprob",  # add-one bigram LM quality score
-    "scalar_url_funcs",  # URL parse/canonicalize regexp family
-    "graph_pagerank",  # rows-only: power-method dup-graph hubs
-    "agg_regression_funcs",  # full ANSI regr_*/corr/covar family
-    "dq_benford",  # Benford leading-digit DQ screen
-    "window_moving_median",  # percentile aggregates over a rows frame
-    "events_streaks",  # gaps-and-islands consecutive-day streaks
-    # least-recently-certified rotation: r1 tail
-    "agg_approx_distinct",
-    "sim_cosine_topk_lsh",
-    "sim_cosine_topk_lsh_multiprobe",
-    # r2 cohort (last driver-checked round 2)
-    "agg_equidepth_histogram",
-    "agg_histogram",
-    "agg_statistics",
-    "calendar_spine_daily",
-    "scalar_array_funcs",
-    "scalar_bitwise_funcs",
-    "scalar_date_funcs",
-    "scalar_json_agg",
-    "scalar_json_extract",
-    "scalar_map_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "scalar_string_funcs2",
-    "setop_except",
-    "setop_intersect",
-    "setop_union",
-    "sim_cosine_topk",
-    "sim_cosine_topk_vectorized",
-    "sim_label_centroids",
-    "sort_limit_topn",
-    "window_relative",
-    "window_running",
-    "window_topk_per_group",
-    # r3 cohort (alphabetical; the remainder rotates in round 9+:
-    # streaming_stateful_counter, streaming_stream_join,
-    # text_fingerprint, text_source_profile, text_vocab_oov, the
-    # tpch_* r3 names, then the r4 cohort)
-    "agg_collect_sorted",
-    "agg_exact_percentiles",
-    "dedup_embedding_cosine",
-    "events_retention",
-    "events_salted_agg",
-    "events_sequence_patterns",
-    "events_sessionize",
-    "events_sliding",
-    "events_tumbling",
-    "mm_decode_metadata",
-    "mm_decode_real_headers",
-    "mm_payload_profile",
-    "mm_resize_metadata",
-    "pandas_grouped_zscore",
-    "pandas_scalar_logistic",
-    "profile_orders",
-    # displaced to round 9 by the r8-new head entries:
-    # sample_deterministic, sample_stratified, semantic_ohlcv_daily,
-    # sim_quantize_int8, sql_interactive,
-    # streaming_foreachbatch_upsert, streaming_sessionize,
-    # streaming_sliding (then the r3 remainder in the comment above)
+    # round-9 new queries (head of the window)
+    "agg_higher_moments",  # skew/kurtosis from explicit power sums
+    "agg_weighted_median",  # weighted percentiles via cumulative window
+    "events_anomaly_zscore",  # prior-frame rolling z-score flags
+    "events_multigrain_rollup",  # hour->day->type->total ROLLUP
+    "scalar_ip_funcs",  # IPv4 parse/int/CIDR/PTR family
+    "graph_degree_profile",  # dup-graph degree histogram
+    "graph_kcore",  # rows-only: k-ascending core peel
+    "tpch_important_stock",  # Q11 HAVING-vs-global-scalar shape
+    # least-recently-certified rotation: the r3 cohort (stalest, full)
+    "sample_deterministic",
+    "sample_stratified",
+    "semantic_ohlcv_daily",
+    "sim_quantize_int8",
+    "sql_interactive",
+    "streaming_foreachbatch_upsert",
+    "streaming_sessionize",
+    "streaming_sliding",
+    "streaming_stateful_counter",
+    "streaming_stream_join",
+    "text_fingerprint",
+    "text_source_profile",
+    "text_vocab_oov",
+    "tpch_big_spenders",
+    "tpch_disjunctive_revenue",
+    "tpch_forecast_revenue",
+    "tpch_large_orders",
+    "tpch_local_supplier_volume",
+    "tpch_market_share",
+    "tpch_order_distribution",
+    "tpch_promo_revenue",
+    "tpch_returned_items",
+    "tpch_sales_opportunity",
+    "tpch_shipping_priority",
+    "tpch_small_qty_revenue",
+    "tpch_top_supplier",
+    "tpch_volume_shipping",
+    "unpivot_order_measures",
+    "window_distribution",
+    # r4 cohort, alphabetical head (13 of 21 — the remainder rotates in
+    # round 10: streaming_dedup, streaming_tumbling,
+    # text_chunk_rolling_hash, text_contamination, text_frequent_tokens,
+    # text_pack_sequences, text_quality_gate, text_token_stats, then the
+    # r5 cohort)
+    "agg_approx_percentiles",
+    "agg_mad_outliers",
+    "agg_trend_regression",
+    "dq_orders_integrity",
+    "events_ewma",
+    "events_funnel",
+    "merge_upsert",
+    "mm_frame_sample",
+    "pandas_udaf_geomean",
+    "pivot_status_by_priority",
+    "scd2_versions",
+    "semantic_prediction_join",
+    "sim_random_projection",
 ]
 
 
@@ -674,6 +669,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_benford": lambda s, d: quality.benford_profile(*_t(s, d, "orders")),
         "window_moving_median": lambda s, d: windows.moving_median_user_spend(*_t(s, d, "events")),
         "events_streaks": lambda s, d: windows.activity_streaks(*_t(s, d, "events")),
+        # round-9 additions
+        "agg_higher_moments": lambda s, d: agg.higher_moment_family(*_t(s, d, "lineitem")),
+        "agg_weighted_median": lambda s, d: agg.weighted_median_family(*_t(s, d, "lineitem")),
+        "events_anomaly_zscore": lambda s, d: windows.rolling_zscore_anomalies(*_t(s, d, "events")),
+        "events_multigrain_rollup": lambda s, d: agg.multigrain_time_rollup(*_t(s, d, "events")),
+        "scalar_ip_funcs": lambda s, d: scalars.ip_functions_events(*_t(s, d, "events")),
+        "graph_degree_profile": lambda s, d: dedup.dup_graph_degree_profile(*_t(s, d, "documents")),
+        # rows-only: iterative k-ascending peel (not one ANSI statement);
+        # pure-python Batagelj–Zaveršnik reference asserted in tests
+        "graph_kcore": lambda s, d: dedup.kcore_decomposition(*_t(s, d, "documents")),
+        "tpch_important_stock": lambda s, d: tpch.important_stock(*_t(s, d, "supplier", "nation", "part")),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
@@ -3779,5 +3785,177 @@ def oracle_sql() -> dict[str, str]:
                    lead(effective_from, 1) OVER (PARTITION BY c_custkey ORDER BY effective_from) AS valid_to,
                    lead(effective_from, 1) OVER (PARTITION BY c_custkey ORDER BY effective_from) IS NULL AS is_current
             FROM history
+        """,
+        # ---- round-9 additions ----
+        "agg_higher_moments": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(l_extendedprice) AS s1,
+                       sum(l_extendedprice * l_extendedprice) AS s2,
+                       sum(l_extendedprice * l_extendedprice * l_extendedprice) AS s3,
+                       sum(l_extendedprice * l_extendedprice * l_extendedprice * l_extendedprice) AS s4
+                FROM lineitem GROUP BY 1
+            ),
+            m AS (
+                SELECT l_returnflag, n,
+                       s1 / n AS mean,
+                       s2 / n - (s1 / n) * (s1 / n) AS m2,
+                       s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                       s4 / n - 4 * (s1 / n) * s3 / n + 6 * (s1 / n) * (s1 / n) * s2 / n
+                           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+                FROM s
+            ),
+            g AS (
+                SELECT l_returnflag, n, mean, m2,
+                       m3 / pow(m2, 1.5) AS g1,
+                       m4 / (m2 * m2) - 3 AS g2
+                FROM m
+            )
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n_rows,
+                   round(mean, 2) AS mean_price,
+                   round(sqrt(m2), 2) AS stddev_pop,
+                   round(g1, 4) AS skew_pop,
+                   round(g1 * sqrt(n * (n - 1)) / (n - 2), 4) AS skew_samp,
+                   round(g2, 4) AS kurt_excess_pop,
+                   round(((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)), 4) AS kurt_excess_samp
+            FROM g
+        """,
+        "agg_weighted_median": """
+            WITH wv AS (
+                SELECT l_linestatus, l_extendedprice, sum(l_quantity) AS w
+                FROM lineitem GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT l_linestatus, l_extendedprice, w,
+                       sum(w) OVER (PARTITION BY l_linestatus ORDER BY l_extendedprice
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                       sum(w) OVER (PARTITION BY l_linestatus) AS tw
+                FROM wv
+            )
+            SELECT l_linestatus,
+                   round(min(tw), 1) AS total_weight,
+                   round(min(CASE WHEN cw >= 0.25 * tw THEN l_extendedprice END), 2) AS w_p25,
+                   round(min(CASE WHEN cw >= 0.5 * tw THEN l_extendedprice END), 2) AS w_median,
+                   round(min(CASE WHEN cw >= 0.75 * tw THEN l_extendedprice END), 2) AS w_p75
+            FROM c GROUP BY 1
+        """,
+        "events_anomaly_zscore": """
+            WITH s AS (
+                SELECT user_id, event_id, event_type, value,
+                       count(value) OVER w AS n_prior,
+                       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+                       CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w
+                            AS DOUBLE) AS s2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+            ),
+            m AS (
+                SELECT user_id, event_id, event_type, value, n_prior,
+                       s1 / n_prior AS mean,
+                       (s2 - n_prior * (s1 / n_prior) * (s1 / n_prior)) / (n_prior - 1) AS var
+                FROM s
+            )
+            SELECT user_id, event_id, event_type, value,
+                   round(mean, 4) AS base_mean,
+                   round((value - mean) / sqrt(var), 4) AS z
+            FROM m
+            WHERE n_prior >= 8 AND var > 0
+              AND abs(round((value - mean) / sqrt(var), 4)) >= 3.0
+        """,
+        "events_multigrain_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   day, hour,
+                   CASE WHEN hour IS NOT NULL THEN 'hour'
+                        WHEN day IS NOT NULL THEN 'day'
+                        WHEN event_type IS NOT NULL THEN 'type'
+                        ELSE 'total' END AS grain,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM (
+                SELECT event_type,
+                       date_trunc('day', ts) AS day,
+                       date_trunc('hour', ts) AS hour,
+                       value
+                FROM events
+            )
+            GROUP BY ROLLUP(event_type, day, hour)
+        """,
+        "scalar_ip_funcs": """
+            WITH base AS (
+                SELECT event_id,
+                       CAST(event_id % 224 AS VARCHAR) || '.' ||
+                       CAST(user_id % 256 AS VARCHAR) || '.' ||
+                       CAST((event_id * 7) % 256 AS VARCHAR) || '.' ||
+                       CAST((user_id * 13 + event_id) % 256 AS VARCHAR) AS ip
+                FROM events
+            ),
+            p AS (SELECT event_id, ip, string_split(ip, '.') AS o FROM base)
+            SELECT event_id, ip,
+                   CAST(o[1] AS BIGINT) AS octet1,
+                   CAST(o[1] AS BIGINT) * 16777216 + CAST(o[2] AS BIGINT) * 65536
+                       + CAST(o[3] AS BIGINT) * 256 + CAST(o[4] AS BIGINT) AS ip_int,
+                   o[1] || '.' || o[2] AS prefix16,
+                   (CAST(o[1] AS BIGINT) = 10)
+                       OR (CAST(o[1] AS BIGINT) = 172 AND CAST(o[2] AS BIGINT) BETWEEN 16 AND 31)
+                       OR (CAST(o[1] AS BIGINT) = 192 AND CAST(o[2] AS BIGINT) = 168) AS is_private,
+                   o[4] || '.' || o[3] || '.' || o[2] || '.' || o[1] AS ptr_octets
+            FROM p
+        """,
+        "graph_degree_profile": f"""
+            WITH docs AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+            ),
+            deg AS (
+                SELECT doc_id, count(*) AS degree
+                FROM (SELECT doc_a AS doc_id FROM pairs
+                      UNION ALL SELECT doc_b FROM pairs)
+                GROUP BY 1
+            ),
+            hist AS (SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1),
+            total AS (SELECT sum(n_docs) AS n_nodes FROM hist)
+            SELECT degree, n_docs,
+                   round(CAST(n_docs AS DOUBLE) / n_nodes, 6) AS doc_share
+            FROM hist, total
+        """,
+        "tpch_important_stock": """
+            WITH sups AS (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_nationkey % 5 = 2
+            ),
+            ps AS (
+                SELECT p_partkey,
+                       (((p_partkey * 31 + s_suppkey * 17) % 10000) / 100.0)
+                           * ((p_partkey * 7 + s_suppkey * 3) % 1000 + 1) AS value
+                FROM part, sups
+                WHERE (p_partkey + s_suppkey) % 4 = 0
+            ),
+            per_part AS (
+                SELECT p_partkey, round(sum(value), 2) AS part_value
+                FROM ps GROUP BY 1
+            ),
+            total AS (SELECT round(avg(part_value) * 1.2, 2) AS cutoff FROM per_part)
+            SELECT p_partkey, part_value
+            FROM per_part, total
+            WHERE part_value > cutoff
         """,
     }

@@ -878,6 +878,33 @@ def incremental_exact_dedup(documents: DataFrame, split_doc_id: int = 250) -> Da
     )
 
 
+def _banded_rows(
+    documents: DataFrame, num_hashes: int, bands: int, shingle_n: int
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows for the MinHash-LSH band table
+    — the shared banding kernel of ``write_band_index`` (persisted
+    bucketed table) and ``band_index_probe``'s temp-view path for
+    in-memory frames."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, shingle_n)
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
 def write_band_index(
     documents: DataFrame,
     table: str,
@@ -896,24 +923,7 @@ def write_band_index(
     band_hash alone still forced a full re-shuffle). The candidate
     self-join over the persisted table then needs no shuffle on either
     side (asserted in tests)."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, shingle_n)
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.slice("signature", b * rows_per_band + 1, rows_per_band)
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    banded = _banded_rows(documents, num_hashes, bands, shingle_n)
     (
         banded.write.mode("overwrite")
         .format("parquet")
@@ -1256,19 +1266,28 @@ def band_index_probe(documents: DataFrame, split_doc_id: int = 250) -> DataFrame
     incoming = documents.filter(F.col("doc_id") >= split_doc_id)
     src = source_signature(documents)
     if not src:
-        # in-memory frames have no stable identity: salt the table name
-        # so concurrent callers never share (and never rmtree) a table
-        # another thread is scanning
-        key = uuid.uuid4().hex[:12]
-    else:
-        key = hashlib.md5(
-            repr(("band_probe", src, split_doc_id)).encode()
-        ).hexdigest()[:12]
+        # in-memory frames have no stable identity and no reuse value:
+        # register the band table as a SESSION-SCOPED TEMP VIEW under a
+        # uuid-salted name (never saveAsTable — a persisted uuid table
+        # plus its warehouse dir plus a lock-registry entry would leak
+        # on every call), probe it, then drop the view: the probe plan
+        # is analyzed eagerly, so the result DataFrame no longer needs
+        # the view by the time we drop it
+        view = f"band_index_tmp_{uuid.uuid4().hex[:12]}"
+        _banded_rows(existing, 16, 4, 3).createOrReplaceTempView(view)
+        out = probe_band_index(
+            spark, view, incoming, verify_threshold=0.8, corpus=existing
+        ).orderBy("query_doc_id", "match_doc_id")
+        spark.catalog.dropTempView(view)
+        return out
+    key = hashlib.md5(
+        repr(("band_probe", src, split_doc_id)).encode()
+    ).hexdigest()[:12]
     table = f"band_index_{key}"
     # per-table lock (the _ivf_key_lock registry discipline): the
     # check-rmtree-rebuild below must not race a concurrent builder
     with _ivf_key_lock(("band_index", table)):
-        if not src or not spark.catalog.tableExists(table):
+        if not spark.catalog.tableExists(table):
             # a previous SESSION's in-memory catalog is gone but its
             # warehouse directory persists — saveAsTable then fails with
             # LOCATION_ALREADY_EXISTS; clear the orphaned location first
@@ -1418,7 +1437,10 @@ def duplicate_graph_quality(documents: DataFrame) -> DataFrame:
 
 
 def token_containment_pairs(
-    documents: DataFrame, max_doc_id: int = 100, threshold: float = 0.5
+    documents: DataFrame,
+    max_doc_id: int = 100,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-set CONTAINMENT — Broder's directional resemblance
     (Broder 1997, "On the resemblance and containment of documents" —
@@ -1433,7 +1455,22 @@ def token_containment_pairs(
     scale the candidate feed is MinHash-LSH, whose banding also bounds
     containment when |A|≈band size): distinct tokens → token equi-join
     → |∩| per pair → both directional containments, kept when the max
-    clears ``threshold``. One token-grain shuffle, pair-grain combine."""
+    clears ``threshold``. One token-grain shuffle, pair-grain combine.
+
+    STOPWORD-HUB pathology: a token present in d documents fans the
+    equi-join out to d·(d-1)/2 rows — a corpus-wide stopword makes one
+    token key quadratic in the corpus. ``max_df`` is the public fix
+    (CCNet / Lee et al. "Deduplicating Training Data" both prune
+    head-of-Zipf terms before pairing): tokens whose document frequency
+    exceeds it are dropped from BOTH the index join and the per-doc
+    sizes, so the returned measure is containment over sub-``max_df``
+    tokens — near-universal tokens carry ~zero containment signal
+    (they match everything) while bounding every join key's fan-out at
+    max_df·(max_df-1)/2. Default None preserves exact Broder
+    containment (the registered oracle query); the hot-key regime test
+    (tests/test_llm.py::test_containment_stopword_hub_regimes) plants a
+    universal token and asserts the cap collapses the join while still
+    finding the true near-dup pair."""
     docs = documents.filter(F.col("doc_id") < max_doc_id)
     toks = docs.select(
         "doc_id",
@@ -1441,6 +1478,11 @@ def token_containment_pairs(
             F.array_distinct(F.split(_norm_text(F.col("text")), " "))
         ).alias("token"),
     )
+    if max_df is not None:
+        df_counts = toks.groupBy("token").agg(F.count("*").alias("df"))
+        toks = toks.join(
+            df_counts.filter(F.col("df") <= max_df).select("token"), "token"
+        )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = (
@@ -1469,9 +1511,10 @@ def token_containment_pairs(
 
 def pagerank_dup_graph(
     documents: DataFrame,
-    iterations: int = 10,
+    iterations: int = 30,
     damping: float = 0.85,
     pairs: DataFrame | None = None,
+    tol: float = 1e-6,
 ) -> DataFrame:
     """PageRank over the near-duplicate graph (Page et al. 1998 —
     public): which documents are the HUBS of duplication — the
@@ -1487,9 +1530,24 @@ def pagerank_dup_graph(
     edge-derived graph has out-degree ≥ 1. Per-round ``localCheckpoint`` +
     ``_release_checkpoint`` keeps the Catalyst plan flat and peak cache
     at 2 copies — the fixpoint discipline ``duplicate_components``
-    established. FP caveat: groupBy-sum order makes last-ulp float
-    nondeterminism → rows-only query (ranks rounded to 6dp for
-    stability); convergence vs a pure-python reference is tested.
+    established. Rounds are DATA-DEPENDENT: each round measures the L1
+    rank delta (node-grain aggregate → one driver scalar, the bounded
+    fixpoint-guard pattern) and stops when it drops below ``tol`` —
+    near-dup graphs are mostly small quasi-cliques whose ranks settle
+    in a handful of rounds (a REGULAR component is stationary from the
+    uniform start); ``iterations`` caps the worst case — near-bipartite
+    star components contract only at rate ``damping`` per round, and at
+    the cap their rank ORDER (what the keep-policy consumes) is settled
+    even though last digits are not. FP caveat: groupBy-sum order
+    makes last-ulp float nondeterminism → rows-only query (ranks
+    rounded to 6dp for stability); convergence vs a pure-python
+    power-method reference and the rank-mass ≈ 1 invariant are tested
+    (tests/test_llm.py::test_pagerank_matches_pure_python_reference).
+
+    ``pairs`` accepts any candidate-pair feed — at scale, wire in
+    :func:`candidates_from_band_index` so the rank runs off the same
+    persisted LSH band index as components (tested); the default is the
+    harness-bounded exact-Jaccard verifier.
 
     Not ANSI-expressible as one statement (iterative) → no oracle
     entry; registered rows-only."""
@@ -1502,6 +1560,12 @@ def pagerank_dup_graph(
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     n_nodes = nodes.count()  # bounded: verifier-harness graph
+    if n_nodes == 0:
+        # empty pair graph (e.g. nothing clears the Jaccard threshold):
+        # zero-row frame with the contract schema, doc_id type preserved
+        return nodes.limit(0).withColumn(
+            "pagerank", F.lit(None).cast("double")
+        )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.select("doc_id", F.lit(1.0 / n_nodes).alias("rank"))
     ranks = ranks.localCheckpoint()
@@ -1524,9 +1588,133 @@ def pagerank_dup_graph(
             )
             .localCheckpoint()
         )
+        # L1 convergence check: node-grain join-and-sum, one scalar to
+        # the driver per round (bounded like the components fixpoint)
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "doc_id")
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .collect()[0]["d"]
+        )
         _release_checkpoint(ranks)
         ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
     out = ranks.select(
         "doc_id", F.round("rank", 6).alias("pagerank")
     ).orderBy(F.col("pagerank").desc(), "doc_id")
     return out
+
+
+def dup_graph_degree_profile(documents: DataFrame) -> DataFrame:
+    """Degree distribution of the near-duplicate graph: how many docs
+    have exactly d near-duplicates — the first-look health screen of a
+    dedup run (a healthy crawl is degree-1/2 dominated; a fat tail of
+    high-degree docs is boilerplate, and its max degree prices the
+    components/triangle work before you run it — the diagnostic twin of
+    ``duplicate_cluster_sizes`` at NODE rather than cluster grain).
+
+    Same SQL-expressible harness pairs as the other graph diagnostics
+    (exact Jaccard, doc_id < 100; at scale the feed is the band index).
+    Edge list → both endpoints → node-grain degree count → degree-grain
+    histogram — two map-side-combined groupBys; the share denominator
+    is a 1-row broadcast of the node total (the benford_profile
+    totals pattern)."""
+    pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_docs"))
+    total = hist.agg(F.sum("n_docs").alias("n_nodes"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "degree",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_nodes"), 6).alias("doc_share"),
+        )
+        .orderBy("degree")
+    )
+
+
+def kcore_decomposition(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    max_k: int = 20,
+) -> DataFrame:
+    """Coreness of every node in the near-dup graph (Seidman 1983
+    k-cores; Batagelj–Zaveršnik is the sequential peel this mirrors in
+    rounds): a node's coreness is the largest k such that it survives
+    in the subgraph where every node has degree ≥ k. The templated-spam
+    detector: a 50-core is 50 docs that EACH near-duplicate ≥50 others
+    — mass-produced boilerplate that pagerank (popularity) and
+    components (connectivity) both under-describe.
+
+    Distributed peel, k ascending: for each k, repeatedly drop nodes
+    with degree < k (edge-grain degree groupBy + semi-join filter per
+    pass) until stable, then everyone still standing has coreness ≥ k.
+    Each pass shrinks the edge set monotonically; per-pass
+    ``localCheckpoint`` + release keeps the plan flat (the
+    duplicate_components fixpoint discipline), and the driver sees one
+    count per pass (bounded). Peeling stops when the graph empties or
+    ``max_k`` caps pathological density. Iterative → no SQL oracle;
+    rows-only registration with a pure-python peeling reference test
+    (tests/test_llm.py::test_kcore_matches_pure_python_reference).
+
+    ``pairs`` is injectable like :func:`pagerank_dup_graph` — at scale,
+    feed :func:`candidates_from_band_index` so all graph diagnostics
+    share one persisted LSH index."""
+    if pairs is None:
+        pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
+            "doc_a", "doc_b"
+        )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint()
+    # nodes tracked SEPARATELY from edges: a node whose neighbors all
+    # peel away loses every edge but must still receive a coreness at
+    # the current k (degree 0 < k), not silently vanish
+    nodes = (
+        edges.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
+    )
+    # accumulates (doc_id, k) as nodes peel out
+    coreness = nodes.select("doc_id", F.lit(0).alias("coreness")).limit(0)
+    for k in range(1, max_k + 1):
+        while True:
+            deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+            weak = (
+                nodes.join(deg.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+                .filter(F.coalesce(F.col("deg"), F.lit(0)) < k)
+                .select("doc_id")
+            )
+            n_weak = weak.count()  # bounded: one scalar per peel pass
+            if n_weak == 0:
+                break
+            # peeled nodes' coreness is k-1: they survived the (k-1)-core
+            coreness = coreness.unionAll(
+                weak.select("doc_id", F.lit(k - 1).alias("coreness"))
+            ).localCheckpoint()
+            nxt_nodes = nodes.join(weak, "doc_id", "anti").localCheckpoint()
+            nxt_edges = (
+                edges.join(weak.withColumnRenamed("doc_id", "src"), "src", "anti")
+                .join(
+                    weak.select(F.col("doc_id").alias("dst")), "dst", "anti"
+                )
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            _release_checkpoint(edges)
+            _release_checkpoint(nodes)
+            edges, nodes = nxt_edges, nxt_nodes
+        if nodes.isEmpty():
+            break
+    # anything still standing after max_k rounds has coreness ≥ max_k
+    survivors = nodes.select("doc_id", F.lit(max_k).alias("coreness"))
+    out = coreness.unionAll(survivors).orderBy(
+        F.col("coreness").desc(), "doc_id"
+    )
+    return out.select("doc_id", F.col("coreness").cast("long").alias("coreness"))

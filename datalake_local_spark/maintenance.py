@@ -217,6 +217,7 @@ def publish_with_audit(
     expected_rows: int | None = None,
     key_col: str | None = None,
     expected_checksum: int | None = None,
+    vacuum_keep: int | None = None,
 ) -> dict:
     """Write-Audit-Publish (the WAP pattern Iceberg formalizes with
     branches; Netflix's original data-eng discipline — public): write to
@@ -240,9 +241,14 @@ def publish_with_audit(
     that resolved the symlink just before the flip keeps a valid path,
     and concurrent publishers cannot double-delete or orphan each
     other's version dirs (each version dir name is unique; the loser of
-    a flip race simply holds a non-current retained version). Old
-    versions are removed only by an explicit :func:`vacuum_published`
-    call, which re-reads the symlink target at delete time and never
+    a flip race simply holds a non-current retained version). NOTE the
+    retention contract: every publish retains one full version dir, so
+    callers that never vacuum accumulate one per publish, unbounded —
+    pass ``vacuum_keep=N`` to auto-vacuum right after the flip (keeps
+    the current version plus the N most recent non-current ones; their
+    names land in the manifest under ``vacuum_deleted``), or call
+    :func:`vacuum_published` on your own cadence. Vacuum reads the
+    symlink target once at listing time, before any delete, and never
     touches the current version.
 
     Returns the manifest dict (also written as ``_MANIFEST.json``
@@ -297,7 +303,11 @@ def publish_with_audit(
     os.symlink(os.path.basename(vdir), tmp_link)
     os.rename(tmp_link, base)  # atomic symlink replace: readers never miss
     # previous versions are deliberately retained (see docstring) —
-    # removal is vacuum_published's job, with the symlink re-read there
+    # removal is vacuum_published's job, opted into via vacuum_keep
+    if vacuum_keep is not None:
+        manifest["vacuum_deleted"] = vacuum_published(
+            publish_dir, keep=vacuum_keep
+        )["deleted"]
     return manifest
 
 
@@ -327,7 +337,8 @@ def vacuum_published(publish_dir: str, keep: int = 1) -> dict:
     recent non-current versions (grace window for in-flight readers —
     the Iceberg `expire_snapshots` contract on plain directories).
 
-    The symlink target is re-read HERE, at delete time, so a version
+    The symlink target is read ONCE at listing time (inside
+    :func:`list_published_versions`), before any delete, so a version
     published after the caller's last look is never deleted, and the
     current version is never touched regardless of ``keep``."""
     import shutil

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
@@ -376,4 +377,144 @@ def regression_family(lineitem: DataFrame) -> DataFrame:
             F.round(F.covar_pop("y", "x"), 2).alias("covar_p"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+def higher_moment_family(lineitem: DataFrame) -> DataFrame:
+    """Third/fourth standardized moments — skewness and kurtosis, both
+    population (g1, excess g2) and sample-corrected (G1, G2) — of
+    extended price per return flag (the tail-shape screen of a numeric
+    DQ profile; reference analog: the Trino aggregate surface's
+    skewness/kurtosis). Engines DISAGREE on which convention the bare
+    function returns (Spark ``skewness`` is population g1, DuckDB's is
+    sample G1), so the family is computed from EXPLICIT raw power sums
+    (n, Σx..Σx⁴) with the textbook conversions — byte-identical
+    arithmetic on both sides, every convention surfaced by name.
+
+    Scale shape: one grouped aggregate over four power sums — partial
+    aggregation map-side, one row per group on the wire, the same cost
+    as a sum. Cancellation note: central-from-raw moments lose digits
+    when mean/σ is large; here mean/σ ≈ 1.6 and doubles carry 15-16
+    digits, and both engines run the SAME formula so residual error
+    cancels in the comparison grid (4dp on the dimensionless outputs).
+    """
+    x = F.col("l_extendedprice")
+    pow_sums = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * s2 / n + 2 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4 * mean * s3 / n
+        + 6 * mean * mean * s2 / n
+        - 3 * mean * mean * mean * mean
+    )
+    g1 = m3 / F.pow(m2, 1.5)
+    g2 = m4 / (m2 * m2) - 3
+    big_g1 = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+    big_g2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    return pow_sums.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        F.round(mean, 2).alias("mean_price"),
+        F.round(F.sqrt(m2), 2).alias("stddev_pop"),
+        F.round(g1, 4).alias("skew_pop"),
+        F.round(big_g1, 4).alias("skew_samp"),
+        F.round(g2, 4).alias("kurt_excess_pop"),
+        F.round(big_g2, 4).alias("kurt_excess_samp"),
+    ).orderBy("l_returnflag")
+
+
+def weighted_median_family(lineitem: DataFrame) -> DataFrame:
+    """Weighted median and weighted quartiles of unit-extended price
+    with QUANTITY as the weight, per line status — "the price level at
+    which half the VOLUME (not half the line items) trades", the
+    inventory-weighted robust center every mixture/sampling policy
+    needs when rows carry unequal mass (a training-data twin: token
+    counts weighting per-document quality thresholds).
+
+    Lower weighted-percentile definition: the smallest value whose
+    cumulative weight reaches q·W — exact, order-based, no
+    interpolation (the definition that is identical and
+    tie-deterministic in both engines). Scale shape: collapse to VALUE
+    grain first (groupBy value: map-side combine kills duplicate-value
+    skew), ONE value-ordered cumulative window per status partition,
+    then a plain conditional-min aggregate; the window partitions are
+    value-distinct rows per status — bounded by value cardinality, not
+    row count."""
+    wv = lineitem.groupBy("l_linestatus", "l_extendedprice").agg(
+        F.sum("l_quantity").alias("w")
+    )
+    win = (
+        W.partitionBy("l_linestatus")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("l_linestatus")
+    cum = wv.select(
+        "l_linestatus",
+        "l_extendedprice",
+        "w",
+        F.sum("w").over(win).alias("cw"),
+        F.sum("w").over(tot).alias("tw"),
+    )
+    pick = lambda q: F.min(
+        F.when(F.col("cw") >= q * F.col("tw"), F.col("l_extendedprice"))
+    )
+    return (
+        cum.groupBy("l_linestatus")
+        .agg(
+            F.round(F.min("tw"), 1).alias("total_weight"),
+            F.round(pick(0.25), 2).alias("w_p25"),
+            F.round(pick(0.5), 2).alias("w_median"),
+            F.round(pick(0.75), 2).alias("w_p75"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def multigrain_time_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy in ONE scan:
+    hour → day → event-type → grand-total rollup of event counts and
+    value sums (the TimescaleDB/Druid multi-grain rollup pattern,
+    expressed as ANSI ROLLUP so the hierarchy is one grouping-sets
+    aggregate instead of four stacked jobs). Each row is labeled with
+    its grain so downstream dashboards index one relation at serving
+    time.
+
+    Scale shape: Catalyst expands ROLLUP into one Expand + one grouped
+    aggregate — partial aggregation applies at every grain map-side;
+    the shuffle carries (4 × groups) pre-combined rows, and the
+    day/hour buckets keep group cardinality calendar-bounded. No
+    window, no self-union, no re-scan per grain."""
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    agg = (
+        events.select(F.col("event_type").alias("etype"), day.alias("day"), hour.alias("hour"), "value")
+        .rollup("etype", "day", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    grain = (
+        F.when(F.col("hour").isNotNull(), "hour")
+        .when(F.col("day").isNotNull(), "day")
+        .when(F.col("etype").isNotNull(), "type")
+        .otherwise("total")
+    )
+    return agg.select(
+        F.coalesce("etype", F.lit("ALL")).alias("event_type"),
+        "day",
+        "hour",
+        grain.alias("grain"),
+        "n_events",
+        "sum_value",
     )

@@ -264,3 +264,42 @@ def url_functions_orders(orders: DataFrame) -> DataFrame:
             F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&#]*", ""), r"\?$", ""
         ).alias("canonical_url"),
     )
+
+
+def ip_functions_events(events: DataFrame) -> DataFrame:
+    """IPv4 scalar family over a synthesized client address per event —
+    the web-log enrichment kit: octet parse (string → ints), 32-bit
+    integer form (range joins/sorting), /16 CIDR prefix (the
+    coarse-geo/abuse aggregation key), RFC-1918 private flag, and the
+    reverse-DNS PTR name. The address is DETERMINISTIC arithmetic over
+    (event_id, user_id) so both engines synthesize byte-identical
+    inputs, then everything downstream parses the STRING back — the
+    actual function surface under test.
+
+    Scale shape: map-only projection, zero shuffles, whole-stage
+    codegen end to end; split()+cast is the engine-portable spelling
+    (DuckDB string_split is 1-indexed — the oracle indexes [1..4])."""
+    ip = F.concat_ws(
+        ".",
+        (F.col("event_id") % 224).cast("string"),
+        (F.col("user_id") % 256).cast("string"),
+        ((F.col("event_id") * 7) % 256).cast("string"),
+        ((F.col("user_id") * 13 + F.col("event_id")) % 256).cast("string"),
+    )
+    parts = F.split(F.col("ip"), r"\.")
+    o = [parts.getItem(i).cast("long") for i in range(4)]
+    return events.select("event_id", ip.alias("ip")).select(
+        "event_id",
+        "ip",
+        o[0].alias("octet1"),
+        (o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]).alias("ip_int"),
+        F.concat_ws(".", *[c.cast("string") for c in o[:2]]).alias("prefix16"),
+        (
+            (o[0] == 10)
+            | ((o[0] == 172) & (o[1] >= 16) & (o[1] <= 31))
+            | ((o[0] == 192) & (o[1] == 168))
+        ).alias("is_private"),
+        F.concat_ws(
+            ".", *[c.cast("string") for c in reversed(o)]
+        ).alias("ptr_octets"),
+    )

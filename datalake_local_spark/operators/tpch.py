@@ -621,3 +621,60 @@ def min_cost_supplier(part: DataFrame, supplier: DataFrame, nation: DataFrame, r
             F.round("min_cost", 2).alias("supplycost"),
         )
     )
+
+
+def important_stock(supplier: DataFrame, nation: DataFrame, part: DataFrame) -> DataFrame:
+    """Q11 shape (important stock identification): the parts whose
+    supply value held by one nation's suppliers exceeds a fixed
+    fraction of that nation's total supply value — the
+    aggregate-vs-global-scalar HAVING pattern (``HAVING sum(...) >
+    (SELECT sum(...) * frac ...)``), expressed as the grouped aggregate
+    joined to a broadcast 1-row total, never a re-scan.
+
+    Runs over the SAME derived deterministic partsupp as
+    :func:`min_cost_supplier` (supplier s offers part p iff
+    (p_partkey + s_suppkey) % 4 = 0; supplycost = ((p*31 + s*17) %
+    10000)/100) extended with availqty = (p*7 + s*3) % 1000 + 1 — pure
+    arithmetic, identical in the ANSI oracle, so the Q11 semantics run
+    end-to-end without a partsupp file (reference analog: the TPC-H
+    surface of its Trino endpoint).
+
+    Scale shape: the nation-group filter prunes suppliers FIRST
+    (broadcast dim; a ``%5`` nation group rather than one nation so the
+    relation is non-vacuous at every test SF — sf0.001 has zero
+    suppliers in any single nation), the derived relation is a dim×dim
+    theta join (never fact-scaled), the per-part sum is a map-side
+    partial aggregate, and the global cutoff re-aggregates the
+    per-part sums (one extra reduce over group-grain rows) and
+    broadcasts one row into the HAVING filter. The cutoff is a
+    MULTIPLE OF THE AVERAGE part value — TPC-H's literal
+    fraction-of-total needs its 0.0001/SF rescaling to stay
+    non-degenerate across scale factors, while avg×1.2 keeps the
+    selectivity meaningful at any SF. Threshold compare on the
+    2dp-rounded grid so cross-engine fp accumulation order cannot flip
+    boundary membership."""
+    nat = nation.filter(F.col("n_nationkey") % 5 == 2).select("n_nationkey")
+    sups = supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    ps = part.select("p_partkey").join(
+        F.broadcast(sups), (F.col("p_partkey") + F.col("s_suppkey")) % 4 == 0
+    ).select(
+        "p_partkey",
+        (
+            (((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 10000) / 100)
+            * ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 3) % 1000 + 1)
+        ).alias("value"),
+    )
+    per_part = ps.groupBy("p_partkey").agg(
+        F.round(F.sum("value"), 2).alias("part_value")
+    )
+    total = per_part.agg(
+        F.round(F.avg("part_value") * 1.2, 2).alias("cutoff")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("cutoff"))
+        .select("p_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )

@@ -393,3 +393,61 @@ def activity_streaks(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame, lookback: int = 20, min_prior: int = 8, z_cut: float = 3.0
+) -> DataFrame:
+    """Rolling-window z-score anomaly flags per user: each event's value
+    scored against the mean/stddev of that user's PRIOR ``lookback``
+    events (ROWS lookback PRECEDING .. 1 PRECEDING — the current row is
+    excluded so an outlier cannot mask itself by inflating its own
+    baseline), flagged when |z| ≥ ``z_cut`` with at least ``min_prior``
+    prior observations (cold-start guard). The streaming-monitor twin
+    of the global MAD screen: MAD finds corpus outliers, this finds
+    values anomalous FOR THAT ENTITY's own recent history.
+
+    Scale shape: ONE user-grain window chain (count and both power sums
+    share the same frame sort — one exchange, one sort); partitions are
+    user-activity-bounded, never SF-scaled (the moving_median key
+    discipline). All expressions whole-stage codegen.
+
+    Determinism: the frame sums run over DECIMAL(18,6) (values are 2dp
+    — the cast is lossless), so the window sums are EXACT in both
+    engines regardless of accumulation order; mean/variance/z are then
+    the same double-arithmetic sequence over identical inputs →
+    bit-identical, and rounding/threshold membership cannot flip at
+    grid boundaries (a float avg() window hit exactly that: one 4dp
+    boundary row at sf0.01)."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-lookback, -1)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    scored = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.count("value").over(w).alias("n_prior"),
+        F.sum(dec).over(w).cast("double").alias("s1"),
+        F.sum(dec * dec).over(w).cast("double").alias("s2"),
+    )
+    n = F.col("n_prior")
+    mean = F.col("s1") / n
+    var = (F.col("s2") - n * mean * mean) / (n - 1)
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 4)
+    return (
+        scored.filter((n >= min_prior) & (var > 0))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.round(mean, 4).alias("base_mean"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= z_cut)
+    )

@@ -368,3 +368,25 @@ def test_publish_with_audit_two_writer_race(spark, tables, tmp_path):
     maintenance.vacuum_published(target, keep=0)
     assert len(glob.glob(target + ".v*")) == 1
     assert spark.read.parquet(target).count() == got
+
+
+def test_publish_with_audit_auto_vacuum(spark, tables, tmp_path):
+    """vacuum_keep=N on publish bounds retention in one call: after the
+    flip, only the current version plus N most recent non-current ones
+    remain (unbounded-accumulation guard from the r8 ADVICE), and the
+    deleted names are reported in the manifest."""
+    import glob
+    import os
+
+    from datalake_local_spark import maintenance
+
+    target = str(tmp_path / "published")
+    orders = tables["orders"].select("o_orderkey", "o_totalprice")
+    maintenance.publish_with_audit(orders, target)
+    maintenance.publish_with_audit(orders.limit(10), target)
+    assert len(glob.glob(target + ".v*")) == 2  # default: retain all
+    m = maintenance.publish_with_audit(orders.limit(5), target, vacuum_keep=0)
+    assert len(m["vacuum_deleted"]) == 2
+    assert len(glob.glob(target + ".v*")) == 1
+    assert os.path.basename(os.path.realpath(target)) not in m["vacuum_deleted"]
+    assert spark.read.parquet(target).count() == 5

@@ -2414,3 +2414,279 @@ def test_snapshot_diff_partition_of_ids(tables):
             assert r["status"] == "changed" and r["old_fp"] != r["new_fp"]
         else:
             assert r["status"] == "unchanged" and r["old_fp"] == r["new_fp"]
+
+
+def test_containment_hand_computed(spark):
+    """Broder directional containment on a planted quote-inclusion pair:
+    doc 0 (4 tokens) is wholly contained in doc 1 (8 tokens) →
+    cont_a_in_b = 4/4 = 1.0, cont_b_in_a = 4/8 = 0.5 — the low-Jaccard
+    (4/8 = 0.5 union-diluted) case the operator exists to catch. A
+    token-disjoint doc never pairs (inner equi-join)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "wholly disjoint vocabulary right here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.token_containment_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["cont_a_in_b"] == 1.0 and r["cont_b_in_a"] == 0.5
+
+
+def test_containment_stopword_hub_regimes(spark):
+    """Stopword-hub pathology (the inverted-index join's scale killer):
+    one token in EVERY doc fans the token equi-join to n·(n-1)/2 rows.
+    The CCNet-style max_df cap prunes it: executed token-join rows
+    collapse from quadratic-in-corpus to the true-overlap handful, and
+    the genuine near-dup pair (3 of 4 non-stop tokens shared → 0.75)
+    is still found. Uncapped, the same pair scores 4/5 = 0.8 (the
+    stopword inflates containment for every pair — zero signal)."""
+    n = 60
+    rows = [(0, "the w0 w1 w2 w3"), (1, "the w0 w1 w2 zz")]
+    rows += [(i, f"the u{i}a u{i}b u{i}c u{i}d") for i in range(2, n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def token_join_rows(max_df):
+        toks = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(dedup._norm_text(F.col("text")), " "))
+            ).alias("token"),
+        )
+        if max_df is not None:
+            dfc = toks.groupBy("token").agg(F.count("*").alias("df"))
+            toks = toks.join(dfc.filter(F.col("df") <= max_df).select("token"), "token")
+        a, b = toks.alias("a"), toks.alias("b")
+        return a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).count()
+
+    uncapped, capped = token_join_rows(None), token_join_rows(30)
+    assert uncapped >= n * (n - 1) / 2  # "the" alone is quadratic
+    assert capped == 3  # only the true overlap (w0, w1, w2) survives
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+    for r in dedup.token_containment_pairs(docs, max_df=30).collect()}
+    assert set(out) == {(0, 1)}
+    assert out[(0, 1)]["cont_a_in_b"] == 0.75 == out[(0, 1)]["cont_b_in_a"]
+    base = {
+        (r["doc_a"], r["doc_b"]): r
+    for r in dedup.token_containment_pairs(docs).collect()}
+    assert base[(0, 1)]["cont_a_in_b"] == 0.8  # stopword-inflated
+
+
+def test_bigram_logprob_matches_pure_python(spark):
+    """Add-one bigram LM score vs a pure-python reference (Jurafsky &
+    Martin ch. 3 formulation): identical corpus counts, V from distinct
+    unigrams, P = (c(w1,w2)+1)/(c(w1)+V); per-doc mean/min of log10 P
+    to 6dp. A <2-token doc surfaces with n_bigrams=0 and NULL score."""
+    import math
+    from collections import Counter
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat sat",
+        2: "dogs chase the cat",
+        3: "mat",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    toks = {i: t.split() for i, t in texts.items()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    bi = Counter(
+        (ws[j], ws[j + 1]) for ws in toks.values() for j in range(len(ws) - 1)
+    )
+    v = len(uni)
+    expected = {}
+    for i, ws in toks.items():
+        lps = [
+            math.log10((bi[(ws[j], ws[j + 1])] + 1) / (uni[ws[j]] + v))
+            for j in range(len(ws) - 1)
+        ]
+        expected[i] = (
+            len(lps),
+            round(sum(lps) / len(lps), 6) if lps else None,
+            round(min(lps), 6) if lps else None,
+        )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_log10_p"], r["min_log10_p"])
+        for r in text.bigram_logprob(docs).collect()
+    }
+    for i in texts:
+        assert got[i][0] == expected[i][0], i
+        for g, e in zip(got[i][1:], expected[i][1:]):
+            if e is None:
+                assert g is None
+            else:
+                assert abs(g - e) < 2e-6, (i, g, e)
+
+
+def _pure_python_pagerank(edges, damping=0.85, tol=1e-12, max_iter=500):
+    """Reference power method: undirected edges → both directions, no
+    dangling term (every node has out-degree ≥ 1), teleport (1-d)/N.
+    Same L1-delta stopping rule as the Spark loop, so with matching
+    (tol, max_iter) the TRAJECTORIES match, not just the fixpoint —
+    star components are near-bipartite and contract only at rate
+    ``damping`` per round, so they may stop at the cap."""
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    adj = {u: [] for u in nodes}
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(max_iter):
+        new = {u: (1.0 - damping) / n for u in nodes}
+        for u in nodes:
+            share = damping * rank[u] / len(adj[u])
+            for v in adj[u]:
+                new[v] += share
+        delta = sum(abs(new[u] - rank[u]) for u in nodes)
+        rank = new
+        if delta < tol:
+            break
+    return rank
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    """The docstring's claimed test: Spark power method vs the pure-python
+    reference on a planted star + triangle (two components), SAME
+    stopping rule (tol, cap) → rank trajectories equal within 6dp
+    rounding; total rank mass == 1 at every iterate (teleport
+    conservation); the star hub out-ranks every leaf (the
+    keep-the-canonical-doc policy rank). A regular graph (triangle
+    alone) is stationary from the uniform start — the fully-CONVERGED
+    fixpoint check, one round, exact thirds."""
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12), (10, 12)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["pagerank"]
+        for r in dedup.pagerank_dup_graph(docs, pairs=pairs).collect()
+    }
+    ref = _pure_python_pagerank(edges, damping=0.85, tol=1e-6, max_iter=30)
+    assert set(got) == set(ref)
+    for u in ref:
+        assert abs(got[u] - ref[u]) < 2e-6, (u, got[u], ref[u])
+    assert abs(sum(got.values()) - 1.0) < 1e-4  # mass conservation
+    assert all(got[0] > got[leaf] for leaf in (1, 2, 3, 4))  # hub wins
+
+    tri = spark.createDataFrame(
+        [(10, 11), (11, 12), (10, 12)], "doc_a long, doc_b long"
+    )
+    got3 = {
+        r["doc_id"]: r["pagerank"]
+        for r in dedup.pagerank_dup_graph(docs, pairs=tri).collect()
+    }
+    assert all(abs(v - 1 / 3) < 2e-6 for v in got3.values())  # converged
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """No pairs clear the threshold → zero-row frame with the contract
+    schema instead of ZeroDivisionError (ADVICE r8 finding)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = dedup.pagerank_dup_graph(docs)
+    assert out.columns == ["doc_id", "pagerank"]
+    assert out.count() == 0
+
+
+def test_pagerank_from_band_index_feed(spark):
+    """Scale-path wiring (VERDICT r9 task): the rank runs off the SAME
+    persisted LSH band index as components — write_band_index →
+    candidates_from_band_index → pagerank(pairs=...). Planted
+    exact-duplicate cluster collides in every band, so the fed graph is
+    non-empty and mass ≈ 1 over its nodes."""
+    dup = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, dup) for i in range(4)] + [
+        (i, f"unique{i} filler{i} tokens{i} here{i} now{i} ok{i} go{i} end{i}")
+        for i in range(4, 12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    table = "band_index_pagerank_test"
+    dedup.write_band_index(docs, table)
+    cands = dedup.candidates_from_band_index(spark, table)
+    got = {
+        r["doc_id"]: r["pagerank"]
+        for r in dedup.pagerank_dup_graph(docs, pairs=cands).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}  # the planted cluster, nothing else
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def _pure_python_kcore(edges):
+    """Reference Batagelj–Zaveršnik peel: coreness = the k at which a
+    node is removed minus 1, k ascending, repeated peel per k."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes, core, k = set(adj), {}, 0
+    while nodes:
+        k += 1
+        while True:
+            weak = [u for u in nodes if len(adj[u]) < k]
+            if not weak:
+                break
+            for u in weak:
+                core[u] = k - 1
+                for v in adj[u]:
+                    adj[v].discard(u)
+                adj[u].clear()
+                nodes.discard(u)
+    return core
+
+
+def test_kcore_matches_pure_python_reference(spark):
+    """Coreness vs the pure-python peel on a planted mix: a 5-clique
+    (coreness 4 each), a star hanging off it (leaves coreness 1), and a
+    path whose middle node loses all edges mid-peel (the regression
+    case: nodes must be tracked separately from edges or the middle
+    node vanishes without a coreness)."""
+    clique = [(a, b) for i, a in enumerate(range(5)) for b in range(i + 1, 5)]
+    star = [(0, 10), (0, 11), (0, 12)]
+    path = [(20, 21), (21, 22)]
+    edges = clique + star + path
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["coreness"]
+        for r in dedup.kcore_decomposition(docs, pairs=pairs).collect()
+    }
+    ref = _pure_python_kcore(edges)
+    assert got == ref, (got, ref)
+    assert got[0] == 4 and got[10] == 1 and got[21] == 1  # spot values
+
+
+def test_degree_profile_conservation(spark):
+    """Degree histogram invariants on a planted graph: Σ(degree·n_docs)
+    = 2·|pairs| (handshake lemma), shares sum to 1, and the planted
+    exact-dup triple lands every member at degree 2."""
+    tri = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, tri), (1, tri), (2, tri),
+            (10, "one two three four five six seven eight nine ten"),
+            (11, "one two three four five six seven eight nine zzz"),
+            (50, "wholly unrelated content sits alone here today now"),
+        ],
+        "doc_id long, text string",
+    )
+    n_pairs = dedup.ngram_token_jaccard_pairs(docs, 100, 0.8).count()
+    hist = dedup.dup_graph_degree_profile(docs).collect()
+    assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * n_pairs
+    assert abs(sum(r["doc_share"] for r in hist) - 1.0) < 1e-4
+    by_deg = {r["degree"]: r["n_docs"] for r in hist}
+    assert by_deg[2] == 3  # the exact-dup triple is a triangle
+    assert by_deg[1] == 2  # the near-dup pair

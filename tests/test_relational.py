@@ -569,3 +569,168 @@ def test_activity_streaks_hand_computed(spark):
     assert out[1]["longest_streak"] == 3
     assert out[1]["n_streaks"] == 2
     assert out[2]["n_active_days"] == 1 and out[2]["longest_streak"] == 1
+
+
+def test_url_funcs_golden(spark):
+    """Golden URL → parts: the synthesized order-page URL round-trips
+    through the regexp family to exactly the components that built it,
+    and canonicalization strips the utm tracking param (plus a dangling
+    '?') while preserving real query params — the pre-dedup URL
+    normalization contract."""
+    from datalake_local_spark.operators.scalars import url_functions_orders
+
+    orders = spark.createDataFrame(
+        [(42, "1-URGENT", "O")],
+        "o_orderkey long, o_orderpriority string, o_orderstatus string",
+    )
+    r = url_functions_orders(orders).collect()[0]
+    assert r["url"] == (
+        "https://shop.example.com/orders/42?priority=1&status=o&utm_source=mail"
+    )
+    assert r["scheme"] == "https"
+    assert r["host"] == "shop.example.com"
+    assert r["path"] == "/orders/42"
+    assert r["q_priority"] == "1"
+    assert r["q_status"] == "o"
+    assert r["canonical_url"] == (
+        "https://shop.example.com/orders/42?priority=1&status=o"
+    )
+
+
+def test_higher_moments_closed_form(spark):
+    """Skewness/kurtosis vs scipy-free closed forms on a planted sample
+    whose moments are hand-checkable: [1,2,3,4,10] — asymmetric, known
+    g1/g2 computed with a pure-python reference at full precision."""
+    vals = [1.0, 2.0, 3.0, 4.0, 10.0]
+    rows = [("A", v) for v in vals]
+    li = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    r = agg.higher_moment_family(li).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum((v - mean) ** 2 for v in vals) / n
+    m3 = sum((v - mean) ** 3 for v in vals) / n
+    m4 = sum((v - mean) ** 4 for v in vals) / n
+    g1 = m3 / m2**1.5
+    g2 = m4 / m2**2 - 3
+    G1 = g1 * (n * (n - 1)) ** 0.5 / (n - 2)
+    G2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    assert r["n_rows"] == n and abs(r["mean_price"] - round(mean, 2)) < 1e-9
+    assert abs(r["skew_pop"] - round(g1, 4)) < 1e-9
+    assert abs(r["skew_samp"] - round(G1, 4)) < 1e-9
+    assert abs(r["kurt_excess_pop"] - round(g2, 4)) < 1e-9
+    assert abs(r["kurt_excess_samp"] - round(G2, 4)) < 1e-9
+
+
+def test_weighted_median_hand_computed(spark):
+    """Lower weighted percentile on a hand-worked case: values 10,20,30
+    with weights 1,1,6 → total 8; cumw(10)=1 < 2=0.25·8 ≤ cumw(20),
+    median and p75 both land on 30 (its cum 8 ≥ 4 and ≥ 6); an
+    unweighted-median engine would answer 20."""
+    rows = [("O", 10.0, 1.0), ("O", 20.0, 1.0), ("O", 30.0, 6.0)]
+    li = spark.createDataFrame(
+        rows, "l_linestatus string, l_extendedprice double, l_quantity double"
+    )
+    r = agg.weighted_median_family(li).collect()[0]
+    assert r["total_weight"] == 8.0
+    assert r["w_p25"] == 20.0
+    assert r["w_median"] == 30.0
+    assert r["w_p75"] == 30.0
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    """A flat per-user series with one 100σ-style spike: the spike (and
+    only the spike) is flagged; it cannot mask itself (prior-only
+    frame); the first rows never flag (cold-start min_prior guard);
+    values after the spike are judged against a baseline that now
+    CONTAINS the spike — and stay unflagged here."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        v = 1000.0 if i == 20 else 10.0 + (i % 3)  # mild wiggle, one spike
+        rows.append((1, i, base + dt.timedelta(minutes=i), "buy", v))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    out = windows.rolling_zscore_anomalies(ev).collect()
+    assert [r["event_id"] for r in out] == [20]
+    assert out[0]["z"] > 100
+
+
+def test_multigrain_rollup_conservation(tables):
+    """Grain hierarchy conservation: hour-grain counts sum to the
+    day-grain sum, day to type, type to the grand total, and the grand
+    total equals the events row count — one ROLLUP, four consistent
+    grains."""
+    out = agg.multigrain_time_rollup(tables["events"]).collect()
+    by_grain = {}
+    for r in out:
+        by_grain.setdefault(r["grain"], []).append(r)
+    n_events = tables["events"].count()
+    assert sum(r["n_events"] for r in by_grain["hour"]) == n_events
+    assert sum(r["n_events"] for r in by_grain["day"]) == n_events
+    assert sum(r["n_events"] for r in by_grain["type"]) == n_events
+    assert by_grain["total"][0]["n_events"] == n_events
+    assert len(by_grain["total"]) == 1
+
+
+def test_ip_funcs_golden(spark):
+    """Golden IPv4 row: event_id=4710, user_id=266 → 6.10.202.232
+    (4710%224=6, 266%256=10, 32970%256=202, 8168%256=232); octet
+    parse, 32-bit int, /16 prefix, RFC-1918 flag (6.x is public), PTR
+    octet reversal — plus a synthesized 10.x row flags private."""
+    from datalake_local_spark.operators.scalars import ip_functions_events
+
+    ev = spark.createDataFrame(
+        [(4710, 266), (10 + 224, 0)],  # second row: o1 = 234%224 = 10
+        "event_id long, user_id long",
+    )
+    rows = {r["event_id"]: r for r in ip_functions_events(ev).collect()}
+    r = rows[4710]
+    assert r["ip"] == "6.10.202.232"
+    assert r["octet1"] == 6
+    assert r["ip_int"] == 6 * 16777216 + 10 * 65536 + 202 * 256 + 232
+    assert r["prefix16"] == "6.10"
+    assert r["is_private"] is False
+    assert r["ptr_octets"] == "232.202.10.6"
+    assert rows[234]["is_private"] is True  # 10.0.x.x
+
+
+def test_important_stock_cutoff_contract(spark, tables):
+    """Q11 HAVING contract at fixture SF: non-vacuous result, every
+    returned part strictly above the independently recomputed
+    avg×1.2 cutoff, and no qualifying part missing (completeness)."""
+    from datalake_local_spark.operators import tpch
+
+    out = tpch.important_stock(
+        tables["supplier"], tables["nation"], tables["part"]
+    ).collect()
+    assert out, "must be non-vacuous at sf0.001"
+    sups = (
+        tables["supplier"]
+        .join(
+            tables["nation"].filter(F.col("n_nationkey") % 5 == 2),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    ps = tables["part"].select("p_partkey").join(
+        sups, (F.col("p_partkey") + F.col("s_suppkey")) % 4 == 0
+    )
+    per_part = (
+        ps.select(
+            "p_partkey",
+            (
+                (((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 10000) / 100)
+                * ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 3) % 1000 + 1)
+            ).alias("value"),
+        )
+        .groupBy("p_partkey")
+        .agg(F.round(F.sum("value"), 2).alias("part_value"))
+        .collect()
+    )
+    vals = {r["p_partkey"]: r["part_value"] for r in per_part}
+    cutoff = round(sum(vals.values()) / len(vals) * 1.2, 2)
+    got = {r["p_partkey"]: r["part_value"] for r in out}
+    assert got == {k: v for k, v in vals.items() if v > cutoff}
