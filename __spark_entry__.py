@@ -245,6 +245,10 @@ _CERTIFY_FIRST = [
     "graph_degree_profile",  # dup-graph degree histogram
     "graph_kcore",  # rows-only: k-ascending core peel
     "tpch_important_stock",  # Q11 HAVING-vs-global-scalar shape
+    "text_cm_heavy_hitters",  # Count-Min sketch calibration report
+    "dq_ab_ttest",  # Welch group-vs-rest t-test screen
+    "dedup_keep_policy",  # rows-only: components x pagerank keep
+    "sim_mmr_diversify",  # rows-only: MMR diverse top-k
     # least-recently-certified rotation: the r3 cohort (stalest, full)
     "sample_deterministic",
     "sample_stratified",
@@ -275,11 +279,12 @@ _CERTIFY_FIRST = [
     "tpch_volume_shipping",
     "unpivot_order_measures",
     "window_distribution",
-    # r4 cohort, alphabetical head (13 of 21 — the remainder rotates in
-    # round 10: streaming_dedup, streaming_tumbling,
-    # text_chunk_rolling_hash, text_contamination, text_frequent_tokens,
-    # text_pack_sequences, text_quality_gate, text_token_stats, then the
-    # r5 cohort)
+    # r4 cohort, alphabetical head (10 of 21 — the remainder rotates in
+    # round 10: pivot_status_by_priority,
+    # scd2_versions, semantic_prediction_join, sim_random_projection,
+    # streaming_dedup, streaming_tumbling, text_chunk_rolling_hash,
+    # text_contamination, text_frequent_tokens, text_pack_sequences,
+    # text_quality_gate, text_token_stats, then the r5 cohort)
     "agg_approx_percentiles",
     "agg_mad_outliers",
     "agg_trend_regression",
@@ -289,10 +294,6 @@ _CERTIFY_FIRST = [
     "merge_upsert",
     "mm_frame_sample",
     "pandas_udaf_geomean",
-    "pivot_status_by_priority",
-    "scd2_versions",
-    "semantic_prediction_join",
-    "sim_random_projection",
 ]
 
 
@@ -680,6 +681,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pure-python Batagelj–Zaveršnik reference asserted in tests
         "graph_kcore": lambda s, d: dedup.kcore_decomposition(*_t(s, d, "documents")),
         "tpch_important_stock": lambda s, d: tpch.important_stock(*_t(s, d, "supplier", "nation", "part")),
+        "text_cm_heavy_hitters": lambda s, d: text.cm_heavy_hitters(*_t(s, d, "documents")),
+        "dq_ab_ttest": lambda s, d: quality.ab_welch_ttest(*_t(s, d, "events")),
+        # rows-only: composes two iterative upstreams (components +
+        # pagerank); planted hub-vs-min-id keep test
+        "dedup_keep_policy": lambda s, d: dedup.canonical_keep_policy(*_t(s, d, "documents")),
+        # rows-only: greedy MMR selection loop; first-pick/diversity/
+        # determinism invariant tests
+        "sim_mmr_diversify": lambda s, d: similarity.mmr_diversify(*_t(s, d, "embeddings")),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
@@ -3935,6 +3944,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT degree, n_docs,
                    round(CAST(n_docs AS DOUBLE) / n_nodes, 6) AS doc_share
             FROM hist, total
+        """,
+        "text_cm_heavy_hitters": f"""
+            WITH raw AS (
+                SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+            ),
+            tok AS (SELECT token FROM raw WHERE length(token) > 0),
+            sketch AS (
+                SELECT seed,
+                       CAST('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || token), 1, 8)
+                            AS BIGINT) % 256 AS bucket,
+                       count(*) AS counter
+                FROM tok, (VALUES (0), (1), (2), (3)) s(seed)
+                GROUP BY 1, 2
+            ),
+            exact AS (SELECT token, count(*) AS exact_count FROM tok GROUP BY 1),
+            top AS (
+                SELECT token, exact_count FROM exact
+                ORDER BY exact_count DESC, token LIMIT 20
+            ),
+            probes AS (
+                SELECT token, exact_count, seed,
+                       CAST('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || token), 1, 8)
+                            AS BIGINT) % 256 AS bucket
+                FROM top, (VALUES (0), (1), (2), (3)) s(seed)
+            )
+            SELECT p.token, p.exact_count,
+                   min(sk.counter) AS cm_estimate,
+                   min(sk.counter) - p.exact_count AS overestimate
+            FROM probes p
+            JOIN sketch sk ON sk.seed = p.seed AND sk.bucket = p.bucket
+            GROUP BY 1, 2
+        """,
+        "dq_ab_ttest": """
+            WITH g AS (
+                SELECT event_type, CAST(count(*) AS DOUBLE) AS n1,
+                       sum(value) AS s1, sum(value * value) AS q1
+                FROM events GROUP BY 1
+            ),
+            tot AS (SELECT sum(n1) AS nt, sum(s1) AS st, sum(q1) AS qt FROM g),
+            c AS (
+                SELECT event_type, n1, s1, q1,
+                       nt - n1 AS n2, st - s1 AS s2, qt - q1 AS q2
+                FROM g, tot
+            ),
+            m AS (
+                SELECT event_type, n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+                       (q1 - n1 * (s1 / n1) * (s1 / n1)) / (n1 - 1) AS v1,
+                       (q2 - n2 * (s2 / n2) * (s2 / n2)) / (n2 - 1) AS v2
+                FROM c
+            ),
+            se AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM m)
+            SELECT event_type,
+                   CAST(n1 AS BIGINT) AS n_group,
+                   round(m1, 2) AS mean_group,
+                   round(m2, 2) AS mean_rest,
+                   round((m1 - m2) / sqrt(se2), 4) AS t_stat,
+                   round((se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                         + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS welch_df,
+                   abs(round((m1 - m2) / sqrt(se2), 4)) >= 1.96 AS nominal_sig
+            FROM se
         """,
         "tpch_important_stock": """
             WITH sups AS (

@@ -1718,3 +1718,46 @@ def kcore_decomposition(
         F.col("coreness").desc(), "doc_id"
     )
     return out.select("doc_id", F.col("coreness").cast("long").alias("coreness"))
+
+
+def canonical_keep_policy(documents: DataFrame) -> DataFrame:
+    """The dedup endgame the graph stack exists for: one KEEP decision
+    per duplicate cluster. Components say what belongs together;
+    PageRank ranks WITHIN the blob (hubs = the canonical/boilerplate
+    source its near-copies orbit); this composes them — per component,
+    keep the member with the highest rank (ties broken by lowest
+    doc_id, matching the min-id convention everywhere else) and count
+    what gets dropped. A keep-lowest-id policy keeps an arbitrary
+    member; keep-the-hub keeps the version the most near-copies derive
+    from.
+
+    One join at doc grain (both sides share the harness pair feed — at
+    scale, inject the same ``candidates_from_band_index`` pairs into
+    both upstreams), then a component-grain window argmax. Singleton
+    docs (no near-dups) never enter the pair graph and are implicitly
+    all-keep; the report covers CLUSTERS. Iterative upstreams → no SQL
+    oracle; rows-only with a planted hub-vs-min-id test."""
+    from pyspark.sql import Window as W
+
+    comp = duplicate_components(documents)
+    ranks = pagerank_dup_graph(documents)
+    joined = comp.join(ranks, "doc_id", "left").select(
+        "doc_id",
+        "component_id",
+        F.coalesce(F.col("pagerank"), F.lit(0.0)).alias("pagerank"),
+    )
+    w = W.partitionBy("component_id").orderBy(
+        F.col("pagerank").desc(), F.col("doc_id")
+    )
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("component_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("pagerank"))).alias("keep_rank"),
+            F.count("*").cast("long").alias("n_members"),
+            (F.count("*") - 1).cast("long").alias("n_dropped"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("component_id")
+    )

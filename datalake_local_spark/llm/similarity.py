@@ -1492,3 +1492,93 @@ def knn_label_transfer(
             (F.col("n_label") == F.col("true_label")).alias("agrees"),
         )
     )
+
+
+def mmr_diversify(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    pool: int = 50,
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): select ``k`` of the ``pool`` most-relevant vectors,
+    greedily maximizing λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) —
+    the diversity-aware top-k every retrieval-augmented pipeline runs
+    after ANN so the context window isn't k near-copies of one
+    document. k-center (pure diversity) and brute-force top-k (pure
+    relevance) are the two poles; MMR is the tunable middle.
+
+    Scale shape: the candidate pool is the BOUNDED output of the
+    relevance stage (here brute-force cosine top-``pool``; at scale the
+    IVF/PQ path) — the greedy loop therefore runs over ≤``pool`` rows:
+    per round, one map-only max-sim-vs-newest-pick update (the k-center
+    running-minimum discipline, inverted) and one orderBy(1) pick.
+    Driver sees k bounded scalars. Greedy/iterative → no SQL oracle;
+    rows-only with first-pick/diversity/determinism invariant tests."""
+    q_vec = embeddings.filter(F.col("vec_id") == query_id).select(
+        _as_double(F.col("embedding")).alias("qv")
+    )
+    cand = (
+        embeddings.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q_vec))
+        .select(
+            F.col("vec_id").alias("corpus_id"),
+            _as_double(F.col("embedding")).alias("v"),
+            (
+                _dot(_as_double(F.col("embedding")), F.col("qv"))
+                / (_norm(_as_double(F.col("embedding"))) * _norm(F.col("qv")))
+            ).alias("relevance"),
+        )
+        .orderBy(F.col("relevance").desc(), "corpus_id")
+        .limit(pool)
+        .localCheckpoint()
+    )
+    # running max similarity to any selected item; -inf before first pick
+    state = cand.withColumn("max_sel_sim", F.lit(-1.0))
+    picks = []
+    for rank in range(1, k + 1):
+        mmr = F.when(
+            F.col("max_sel_sim") < 0, F.col("relevance")  # first pick: pure relevance
+        ).otherwise(
+            lam * F.col("relevance") - (1 - lam) * F.col("max_sel_sim")
+        )
+        best = (
+            state.withColumn("mmr", mmr)
+            .orderBy(F.col("mmr").desc(), "corpus_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append(
+            (rank, best["corpus_id"], float(best["relevance"]), float(best["mmr"]))
+        )
+        sel = state.filter(F.col("corpus_id") == best["corpus_id"]).select(
+            F.col("v").alias("sv"), _norm(F.col("v")).alias("sn")
+        )
+        nxt = (
+            state.filter(F.col("corpus_id") != best["corpus_id"])
+            .crossJoin(F.broadcast(sel))
+            .select(
+                "corpus_id",
+                "v",
+                "relevance",
+                F.greatest(
+                    "max_sel_sim",
+                    _dot(F.col("v"), F.col("sv")) / (_norm(F.col("v")) * F.col("sn")),
+                ).alias("max_sel_sim"),
+            )
+            .localCheckpoint()
+        )
+        from datalake_local_spark.llm.dedup import _release_checkpoint
+
+        _release_checkpoint(state)
+        state = nxt
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        picks, "rank int, corpus_id long, relevance double, mmr_score double"
+    ).select(
+        "rank",
+        "corpus_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

@@ -1663,3 +1663,79 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
             "min_log10_p",
         )
     )
+
+
+def cm_heavy_hitters(
+    documents: DataFrame, n_seeds: int = 4, width: int = 256, top_n: int = 20
+) -> DataFrame:
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    the bounded-memory token-frequency sketch — d×w counters instead of
+    a vocabulary-sized table — with its defining guarantee surfaced:
+    estimate = min over d seed-rows of counter[seed][h_seed(token)],
+    NEVER below the true count (collisions only ADD). The report joins
+    the exact top-``top_n`` tokens with their CM estimates and the
+    overestimate, the calibration a pipeline runs before trusting the
+    sketch at vocab scales where exact counting is the thing being
+    avoided.
+
+    Scale shape: the sketch is a groupBy over (seed, bucket) — d·w
+    result rows total regardless of corpus size, map-side combined; the
+    token stream is materialized once and feeds both the exact counts
+    (vocab-grain groupBy, the expensive path the sketch replaces —
+    retained here as the verifier) and the d-seed explode (d rows per
+    token BEFORE the partial agg collapses them). The estimate join
+    probes d·top_n rows against the d·w sketch — both broadcastable at
+    any corpus size. Bucket hash is the engine-portable md5 idiom
+    (_md5_bucket), identical in the oracle."""
+    toks = documents.select(
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    seeds = F.array(*[F.lit(i) for i in range(n_seeds)])
+    sketch = (
+        toks.select(
+            "token", F.explode(seeds).alias("seed")
+        )
+        .select(
+            "seed",
+            _md5_bucket(
+                F.concat_ws(":", F.col("seed").cast("string"), F.col("token")), width
+            ).alias("bucket"),
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").cast("long").alias("counter"))
+    )
+    exact = toks.groupBy("token").agg(F.count("*").cast("long").alias("exact_count"))
+    from pyspark.sql import Window as W
+
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.col("exact_count").desc(), F.col("token"))
+            ),
+        )
+        .filter(F.col("rn") <= top_n)
+        .drop("rn")
+    )
+    probes = top.select(
+        "token", "exact_count", F.explode(seeds).alias("seed")
+    ).select(
+        "token",
+        "exact_count",
+        "seed",
+        _md5_bucket(
+            F.concat_ws(":", F.col("seed").cast("string"), F.col("token")), width
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("counter").alias("cm_estimate"))
+        .select(
+            "token",
+            "exact_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), "token")
+    )

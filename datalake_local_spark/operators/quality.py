@@ -327,3 +327,49 @@ def benford_profile(orders: DataFrame) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def ab_welch_ttest(events: DataFrame) -> DataFrame:
+    """Welch's unequal-variance t-test of each event type's value
+    against ALL OTHER events — the A/B screening report (Welch 1947;
+    the BH/experimentation staple): per type, group stats plus the
+    t-statistic and Welch–Satterthwaite degrees of freedom vs the
+    complement. Everything is closed-form arithmetic over one grouped
+    aggregate's (n, Σx, Σx²) and the 1-row global totals — the
+    complement group's moments are global-minus-group, so NO second
+    scan and no per-pair shuffle (the group×complement design sidesteps
+    the quadratic pairwise-test blowup).
+
+    Scale shape: one grouped aggregate (map-side partials) + a
+    broadcast 1-row total + map-only arithmetic. Rounding at 4dp on
+    t/df (dimensionless), 2dp on means."""
+    g = events.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n1"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("q1"),
+    )
+    tot = g.agg(
+        F.sum("n1").alias("nt"), F.sum("s1").alias("st"), F.sum("q1").alias("qt")
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    n2 = F.col("nt") - n1
+    s2 = F.col("st") - s1
+    q2 = F.col("qt") - q1
+    m1, m2 = s1 / n1, s2 / n2
+    v1 = (q1 - n1 * m1 * m1) / (n1 - 1)
+    v2 = (q2 - n2 * m2 * m2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+    )
+    return j.select(
+        "event_type",
+        n1.cast("long").alias("n_group"),
+        F.round(m1, 2).alias("mean_group"),
+        F.round(m2, 2).alias("mean_rest"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 4).alias("welch_df"),
+        (F.abs(F.round(t, 4)) >= 1.96).alias("nominal_sig"),
+    ).orderBy("event_type")

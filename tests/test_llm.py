@@ -2690,3 +2690,75 @@ def test_degree_profile_conservation(spark):
     by_deg = {r["degree"]: r["n_docs"] for r in hist}
     assert by_deg[2] == 3  # the exact-dup triple is a triangle
     assert by_deg[1] == 2  # the near-dup pair
+
+
+def test_cm_heavy_hitters_never_underestimates(spark):
+    """The Count-Min guarantee on a planted corpus: estimate ≥ exact for
+    every reported token (collisions only add), the top token is the
+    planted heavy hitter with its exact count, and the report is
+    bounded at top_n."""
+    rows = [(i, "apple " * 50 + f"filler{i} junk{i} more{i}") for i in range(10)]
+    rows += [(100 + i, "banana cherry date " + f"u{i} v{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.cm_heavy_hitters(docs, top_n=10).collect()
+    assert len(out) == 10
+    assert all(r["cm_estimate"] >= r["exact_count"] for r in out)
+    assert all(r["overestimate"] == r["cm_estimate"] - r["exact_count"] for r in out)
+    top = out[0]
+    assert top["token"] == "apple" and top["exact_count"] == 500
+
+
+def test_keep_policy_prefers_hub_over_min_id(spark):
+    """Planted star cluster whose HUB is doc 2 (every leaf pairs only
+    with it): keep-policy keeps 2 — a min-id policy would keep 0. An
+    exact-dup pair (equal ranks) tie-breaks to the lowest id."""
+    base = "ta tb tc td te tf tg th ti tj"
+    docs = spark.createDataFrame(
+        [
+            (0, base.replace("ta", "x0")),
+            (1, base.replace("tb", "x1")),
+            (2, base),                      # hub: pairs with 0, 1, 3
+            (3, base.replace("tc", "x3")),
+            (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["component_id"]: r for r in dedup.canonical_keep_policy(docs).collect()}
+    star = rows[0]  # component id = min member id
+    assert star["keep_doc_id"] == 2 and star["n_members"] == 4
+    assert star["n_dropped"] == 3
+    pair = rows[10]
+    assert pair["keep_doc_id"] == 10 and pair["n_members"] == 2  # tie → min id
+
+
+def test_mmr_diversifies_near_duplicate_runnerup(spark, tables):
+    """MMR contract: rank 1 is the pure-relevance winner; with a
+    diversity-heavy λ, a near-duplicate of the first pick is DEMOTED
+    below a less-relevant-but-diverse vector (the case plain top-k
+    cannot express); picks are k distinct ids and deterministic across
+    runs; on the real embeddings fixture rank 1 equals brute-force
+    top-1."""
+    planted = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),     # query
+            (1, [1.0, 0.001, 0.0]),   # most relevant
+            (2, [0.999, 0.04, 0.0]),  # near-dup of 1
+            (3, [0.6, 0.8, 0.0]),     # diverse
+            (4, [0.0, 0.1, 1.0]),     # orthogonal-ish
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.mmr_diversify(planted, query_id=0, pool=4, k=3, lam=0.3).collect()
+    order = [r["corpus_id"] for r in out]
+    assert order[0] == 1          # pure relevance first
+    assert order[1] in (3, 4)     # the near-dup (2) is demoted
+    assert 2 not in order[:2]
+    again = similarity.mmr_diversify(planted, query_id=0, pool=4, k=3, lam=0.3).collect()
+    assert [r["corpus_id"] for r in again] == order  # deterministic
+
+    emb = tables["embeddings"]
+    got = similarity.mmr_diversify(emb, query_id=0, pool=20, k=5).collect()
+    assert len(got) == 5 and len({r["corpus_id"] for r in got}) == 5
+    brute = similarity.cosine_topk_bruteforce(emb, query_ids=(0,), k=1).collect()
+    assert got[0]["corpus_id"] == brute[0]["corpus_id"]

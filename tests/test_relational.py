@@ -734,3 +734,34 @@ def test_important_stock_cutoff_contract(spark, tables):
     cutoff = round(sum(vals.values()) / len(vals) * 1.2, 2)
     got = {r["p_partkey"]: r["part_value"] for r in out}
     assert got == {k: v for k, v in vals.items() if v > cutoff}
+
+
+def test_ab_welch_ttest_closed_form(spark):
+    """Welch t/df vs a pure-python reference on planted two-group data
+    (group A vs its complement B): exact formula agreement at the
+    rounding grid, symmetric t (t_A = −t_B), equal df."""
+    a = [10.0, 12.0, 11.0, 13.0, 9.0, 12.5]
+    b = [20.0, 25.0, 22.0, 21.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r["event_type"]: r for r in __import__(
+        "datalake_local_spark.operators.quality", fromlist=["quality"]
+    ).ab_welch_ttest(ev).collect()}
+
+    def welch(x, y):
+        nx, ny = len(x), len(y)
+        mx, my = sum(x) / nx, sum(y) / ny
+        vx = sum((v - mx) ** 2 for v in x) / (nx - 1)
+        vy = sum((v - my) ** 2 for v in y) / (ny - 1)
+        se2 = vx / nx + vy / ny
+        t = (mx - my) / se2**0.5
+        df = se2**2 / ((vx / nx) ** 2 / (nx - 1) + (vy / ny) ** 2 / (ny - 1))
+        return t, df
+
+    t, df = welch(a, b)
+    assert abs(out["A"]["t_stat"] - round(t, 4)) < 1e-9
+    assert abs(out["A"]["welch_df"] - round(df, 4)) < 1e-9
+    assert out["A"]["mean_group"] == round(sum(a) / len(a), 2)
+    assert out["A"]["t_stat"] == -out["B"]["t_stat"]
+    assert out["A"]["welch_df"] == out["B"]["welch_df"]
+    assert out["A"]["nominal_sig"] is True  # clearly separated groups
