@@ -249,6 +249,10 @@ _CERTIFY_FIRST = [
     "dq_ab_ttest",  # Welch group-vs-rest t-test screen
     "dedup_keep_policy",  # rows-only: components x pagerank keep
     "sim_mmr_diversify",  # rows-only: MMR diverse top-k
+    "events_cumulative_users",  # first-seen collapse running distinct
+    "agg_gini_spend",  # Gini concentration coefficient
+    "dedup_rate_by_source",  # per-source exact-dup pressure
+    "sim_ann_recall_report",  # rows-only: recall@k calibration
     # least-recently-certified rotation: the r3 cohort (stalest, full)
     "sample_deterministic",
     "sample_stratified",
@@ -279,21 +283,18 @@ _CERTIFY_FIRST = [
     "tpch_volume_shipping",
     "unpivot_order_measures",
     "window_distribution",
-    # r4 cohort, alphabetical head (10 of 21 — the remainder rotates in
-    # round 10: pivot_status_by_priority,
-    # scd2_versions, semantic_prediction_join, sim_random_projection,
-    # streaming_dedup, streaming_tumbling, text_chunk_rolling_hash,
-    # text_contamination, text_frequent_tokens, text_pack_sequences,
-    # text_quality_gate, text_token_stats, then the r5 cohort)
+    # r4 cohort, alphabetical head (6 of 21 — the remainder rotates in
+    # round 10: events_funnel, merge_upsert, mm_frame_sample,
+    # pandas_udaf_geomean, pivot_status_by_priority, scd2_versions,
+    # semantic_prediction_join, sim_random_projection, streaming_dedup,
+    # streaming_tumbling, text_chunk_rolling_hash, text_contamination,
+    # text_frequent_tokens, text_pack_sequences, text_quality_gate,
+    # text_token_stats, then the r5 cohort)
     "agg_approx_percentiles",
     "agg_mad_outliers",
     "agg_trend_regression",
     "dq_orders_integrity",
     "events_ewma",
-    "events_funnel",
-    "merge_upsert",
-    "mm_frame_sample",
-    "pandas_udaf_geomean",
 ]
 
 
@@ -689,6 +690,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: greedy MMR selection loop; first-pick/diversity/
         # determinism invariant tests
         "sim_mmr_diversify": lambda s, d: similarity.mmr_diversify(*_t(s, d, "embeddings")),
+        "events_cumulative_users": lambda s, d: windows.cumulative_distinct_users(*_t(s, d, "events")),
+        "agg_gini_spend": lambda s, d: agg.gini_spend_concentration(*_t(s, d, "orders")),
+        "dedup_rate_by_source": lambda s, d: dedup.dedup_rate_by_source(*_t(s, d, "documents")),
+        # rows-only: ensemble of seeded index artifacts (hyperplanes +
+        # KMeans); exact-recall and bound invariants tested
+        "sim_ann_recall_report": lambda s, d: similarity.ann_recall_report(*_t(s, d, "embeddings")),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
@@ -3796,6 +3803,57 @@ def oracle_sql() -> dict[str, str]:
             FROM history
         """,
         # ---- round-9 additions ----
+        "events_cumulative_users": """
+            WITH firsts AS (
+                SELECT user_id, min(date_trunc('day', ts)) AS first_day
+                FROM events GROUP BY 1
+            ),
+            newu AS (
+                SELECT first_day, count(*) AS new_users FROM firsts GROUP BY 1
+            ),
+            days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+            SELECT day,
+                   CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+                   CAST(sum(coalesce(new_users, 0)) OVER (
+                        ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cumulative_users
+            FROM days LEFT JOIN newu ON day = first_day
+        """,
+        "agg_gini_spend": """
+            WITH spend AS (
+                SELECT o_orderpriority, o_custkey, sum(o_totalprice) AS x
+                FROM orders GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT o_orderpriority, x,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY x, o_custkey) AS i
+                FROM spend
+            )
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(sum(x), 2) AS total_spend,
+                   round(2 * sum(i * x) / (count(*) * sum(x))
+                         - (count(*) + 1.0) / count(*), 6) AS gini
+            FROM ranked GROUP BY 1
+        """,
+        "dedup_rate_by_source": f"""
+            WITH fp AS (
+                SELECT source, md5({_NORM}) AS fingerprint, n_chars FROM documents
+            ),
+            per_fp AS (
+                SELECT source, fingerprint, count(*) AS n_copies,
+                       sum(n_chars) AS chars_all, min(n_chars) AS chars_keep
+                FROM fp GROUP BY 1, 2
+            )
+            SELECT source,
+                   CAST(sum(n_copies) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_unique,
+                   round(1 - CAST(count(*) AS DOUBLE) / sum(n_copies), 6) AS dup_rate,
+                   CAST(sum(chars_all) - sum(chars_keep) AS BIGINT)
+                       AS chars_freed_if_deduped
+            FROM per_fp GROUP BY 1
+        """,
         "agg_higher_moments": """
             WITH s AS (
                 SELECT l_returnflag,

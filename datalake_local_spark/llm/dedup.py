@@ -1761,3 +1761,42 @@ def canonical_keep_policy(documents: DataFrame) -> DataFrame:
         .filter(F.col("n_members") > 1)
         .orderBy("component_id")
     )
+
+
+def dedup_rate_by_source(documents: DataFrame) -> DataFrame:
+    """Exact-duplicate pressure per SOURCE — the per-feed health rollup
+    a crawl pipeline publishes every run: how much of each source is
+    redundant bytes (Dolma/RefinedWeb-style source accounting). A
+    source whose dup_rate jumps is re-crawling itself or mirroring
+    another feed; the cross-source KMV overlap says WHO it mirrors,
+    this says HOW MUCH it costs.
+
+    One scan: fingerprint (md5 of normalized text — the exact_dedup
+    key) → (source, fingerprint) grain count (map-side combined) →
+    source grain: docs, distinct fingerprints, dup rate, and the bytes
+    the duplicates would free (n_chars re-aggregated in the same
+    pass)."""
+    fp = documents.select(
+        "source",
+        F.md5(_norm_text(F.col("text"))).alias("fingerprint"),
+        F.col("n_chars"),
+    )
+    per_fp = fp.groupBy("source", "fingerprint").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.sum("n_chars").alias("chars_all"),
+        F.min("n_chars").alias("chars_keep"),
+    )
+    return (
+        per_fp.groupBy("source")
+        .agg(
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_unique"),
+            F.round(
+                1 - F.count("*") / F.sum("n_copies"), 6
+            ).alias("dup_rate"),
+            (F.sum("chars_all") - F.sum("chars_keep")).cast("long").alias(
+                "chars_freed_if_deduped"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1582,3 +1582,66 @@ def mmr_diversify(
         F.round("relevance", 6).alias("relevance"),
         F.round("mmr_score", 6).alias("mmr_score"),
     )
+
+
+def ann_recall_report(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of every approximate index against exact brute force, as
+    a REGISTERED report — the pre-deploy calibration run every ANN
+    rollout needs ("is nprobe=4 good enough on OUR embedding
+    distribution?") promoted from test-only code to a product query.
+    One row per (method, query): |approx ∩ exact| / k, plus the method
+    average row (query_id = -1).
+
+    Scale shape: each method's candidate generation is its own
+    documented bounded plan (bucket probe / IVF nprobe / broadcast
+    brute force on the bounded query panel); the recall join is
+    (method × query × k) rows — trivially small at any corpus size.
+    Deterministic (seed-fixed hyperplanes and KMeans, id tie-breaks) —
+    but an ensemble of seeded artifacts has no ANSI oracle → rows-only
+    with invariant tests (exact-vs-itself recall 1.0, recall bounds)."""
+    exact = cosine_topk_bruteforce(embeddings, query_ids, k).select(
+        "query_id", "corpus_id"
+    )
+    methods = {
+        "lsh": cosine_topk_lsh(embeddings, query_ids, k),
+        "lsh_multiprobe": cosine_topk_lsh_multiprobe(embeddings, query_ids, k),
+        "ivf": cosine_topk_ivf(embeddings, query_ids, k),
+    }
+    reports = []
+    for name, approx in methods.items():
+        hits = (
+            exact.join(
+                approx.select("query_id", "corpus_id"),
+                ["query_id", "corpus_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        per_q = (
+            exact.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(name).alias("method"),
+                "query_id",
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0)) / k, 6
+                ).alias("recall_at_k"),
+            )
+        )
+        reports.append(per_q)
+    all_rows = reports[0]
+    for r in reports[1:]:
+        all_rows = all_rows.unionAll(r)
+    avg = all_rows.groupBy("method").agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.round(F.avg("recall_at_k"), 6).alias("recall_at_k"),
+    )
+    return all_rows.unionAll(avg.select("method", "query_id", "recall_at_k")).orderBy(
+        "method", "query_id"
+    )

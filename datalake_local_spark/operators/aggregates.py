@@ -518,3 +518,39 @@ def multigrain_time_rollup(events: DataFrame) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def gini_spend_concentration(orders: DataFrame) -> DataFrame:
+    """Gini coefficient of customer spend per order priority — the
+    inequality screen (Gini 1912; the sorted-cumulative formula
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ): is revenue
+    spread across customers or concentrated in a whale tail? The
+    training-data twin is token-mass concentration across sources —
+    same operator, different columns.
+
+    Scale shape: customer-grain pre-aggregation first (map-side
+    combine), then ONE ranked window per priority group to attach i
+    (deterministic tie order: spend, then custkey), and a final grouped
+    sum — group partitions are customer-bounded. The rank-weighted sum
+    with ties broken by key is still exactly Gini because Σ i·xᵢ over
+    equal xᵢ is permutation-invariant."""
+    spend = orders.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("x", "o_custkey")
+    ranked = spend.select(
+        "o_orderpriority", "x", F.row_number().over(w).alias("i")
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("x"), 2).alias("total_spend"),
+            F.round(
+                2 * F.sum(F.col("i") * F.col("x")) / (F.count("*") * F.sum("x"))
+                - (F.count("*") + 1) / F.count("*"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("o_orderpriority")
+    )

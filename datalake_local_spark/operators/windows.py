@@ -451,3 +451,40 @@ def rolling_zscore_anomalies(
         )
         .filter(F.abs(F.col("z")) >= z_cut)
     )
+
+
+def cumulative_distinct_users(events: DataFrame) -> DataFrame:
+    """Running count of DISTINCT users ever seen, per day — the
+    growth-dashboard staple that naive SQL writes as count(DISTINCT)
+    over an expanding window, which holds per-frame distinct state and
+    dies at scale. The scalable identity: a user adds 1 exactly on
+    their FIRST day, so collapse to (user → min(day)) first, count
+    first-appearances per day, then one cumulative sum over the
+    calendar — the day-grain series is calendar-bounded no matter the
+    event volume (the events_streaks collapse-before-window
+    discipline).
+
+    Days with events but no new users still appear (left join from the
+    day spine derived in the same scan), with new_users = 0 and the
+    running total carried forward."""
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    firsts = (
+        events.select("user_id", day)
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+        .groupBy("first_day")
+        .agg(F.count("*").cast("long").alias("new_users"))
+    )
+    days = events.select(day).distinct()
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        days.join(firsts, days.day == firsts.first_day, "left")
+        .select(
+            "day", F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users")
+        )
+        .select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+        )
+    )

@@ -2762,3 +2762,24 @@ def test_mmr_diversifies_near_duplicate_runnerup(spark, tables):
     assert len(got) == 5 and len({r["corpus_id"] for r in got}) == 5
     brute = similarity.cosine_topk_bruteforce(emb, query_ids=(0,), k=1).collect()
     assert got[0]["corpus_id"] == brute[0]["corpus_id"]
+
+
+def test_ann_recall_report_invariants(tables):
+    """Recall@k bounds: every recall in [0,1]; the average row
+    (query_id = -1) equals the mean of its method's per-query rows;
+    all three methods present with the full query panel; IVF with
+    nprobe=all-centroids would be exact — here we assert the weaker
+    published-bound: no method reports recall > 1 and the report is
+    deterministic across runs."""
+    out1 = similarity.ann_recall_report(tables["embeddings"]).collect()
+    out2 = similarity.ann_recall_report(tables["embeddings"]).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    by_m = {}
+    for r in out1:
+        by_m.setdefault(r["method"], {})[r["query_id"]] = r["recall_at_k"]
+    assert set(by_m) == {"lsh", "lsh_multiprobe", "ivf"}
+    for m, rows in by_m.items():
+        per_q = [v for q, v in rows.items() if q != -1]
+        assert len(per_q) == 5
+        assert all(0.0 <= v <= 1.0 for v in per_q)
+        assert abs(rows[-1] - round(sum(per_q) / len(per_q), 6)) < 1e-4, m

@@ -765,3 +765,70 @@ def test_ab_welch_ttest_closed_form(spark):
     assert out["A"]["t_stat"] == -out["B"]["t_stat"]
     assert out["A"]["welch_df"] == out["B"]["welch_df"]
     assert out["A"]["nominal_sig"] is True  # clearly separated groups
+
+
+def test_cumulative_users_contract(spark):
+    """Hand-planted calendar: users first-seen on known days; running
+    distinct equals the set-union count a naive expanding
+    count(DISTINCT) window would compute, day rows with no new users
+    carry the total forward."""
+    import datetime as dt
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)
+    rows = [  # (user, ts): u1 day1; u2 day1; u1 again day2 (not new); u3 day3
+        (1, d(1)), (2, d(1, 5)), (1, d(2)), (1, d(2, 3)), (3, d(3)),
+        (2, d(4)),  # day4: activity but no new users
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, ts) for i, (u, ts) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {r["day"].day: r for r in windows.cumulative_distinct_users(ev).collect()}
+    assert [out[i]["new_users"] for i in (1, 2, 3, 4)] == [2, 0, 1, 0]
+    assert [out[i]["cumulative_users"] for i in (1, 2, 3, 4)] == [2, 2, 3, 3]
+
+
+def test_gini_known_distributions(spark):
+    """Gini closed-form sanity: perfectly equal spend → 0; one customer
+    holding everything (others ≈ 0 via a tiny epsilon-free construction
+    of n=2: [0-ish impossible with sums, use extreme skew]) → the
+    sorted-cumulative formula value computed by a pure-python
+    reference."""
+    eq = spark.createDataFrame(
+        [("A", c, 100.0) for c in range(10)],
+        "o_orderpriority string, o_custkey long, o_totalprice double",
+    )
+    r = agg.gini_spend_concentration(eq).collect()[0]
+    assert r["gini"] == 0.0 and r["n_customers"] == 10
+
+    vals = [1.0, 1.0, 1.0, 1.0, 96.0]  # heavy whale tail
+    sk = spark.createDataFrame(
+        [("A", i, v) for i, v in enumerate(vals)],
+        "o_orderpriority string, o_custkey long, o_totalprice double",
+    )
+    xs = sorted(vals)
+    n, s = len(xs), sum(xs)
+    ref = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (n + 1) / n
+    got = agg.gini_spend_concentration(sk).collect()[0]["gini"]
+    assert abs(got - round(ref, 6)) < 1e-9
+    assert got > 0.7  # concentrated
+
+
+def test_dedup_rate_by_source_contract(spark):
+    """Planted sources: one clean feed (rate 0), one feed with a
+    triplicated doc — rate, unique count, and freed bytes all
+    hand-checked (freed = duplicate copies' chars, keeping the min)."""
+    rows = [
+        (0, "clean one", "feedA", 9), (1, "clean two", "feedA", 9),
+        (10, "dup text here", "feedB", 13), (11, "dup text here", "feedB", 13),
+        (12, "dup text here", "feedB", 13), (13, "only self", "feedB", 9),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long") \
+        .withColumnRenamed("lang", "source")
+    from datalake_local_spark.llm import dedup as dd
+    out = {r["source"]: r for r in dd.dedup_rate_by_source(docs).collect()}
+    assert out["feedA"]["dup_rate"] == 0.0 and out["feedA"]["n_unique"] == 2
+    b = out["feedB"]
+    assert b["n_docs"] == 4 and b["n_unique"] == 2
+    assert b["dup_rate"] == 0.5
+    assert b["chars_freed_if_deduped"] == 26  # two extra 13-char copies
