@@ -253,6 +253,10 @@ _CERTIFY_FIRST = [
     "agg_gini_spend",  # Gini concentration coefficient
     "dedup_rate_by_source",  # per-source exact-dup pressure
     "sim_ann_recall_report",  # rows-only: recall@k calibration
+    "events_peak_concurrency",  # sweep-line max concurrent sessions
+    "pipeline_shard_manifest",  # xor-fingerprint shard ledger
+    "dedup_minhash_calibration",  # rows-only: estimator error audit
+    "text_rake_keywords",  # RAKE phrase extraction
     # least-recently-certified rotation: the r3 cohort (stalest, full)
     "sample_deterministic",
     "sample_stratified",
@@ -283,18 +287,15 @@ _CERTIFY_FIRST = [
     "tpch_volume_shipping",
     "unpivot_order_measures",
     "window_distribution",
-    # r4 cohort, alphabetical head (6 of 21 — the remainder rotates in
-    # round 10: events_funnel, merge_upsert, mm_frame_sample,
-    # pandas_udaf_geomean, pivot_status_by_priority, scd2_versions,
-    # semantic_prediction_join, sim_random_projection, streaming_dedup,
-    # streaming_tumbling, text_chunk_rolling_hash, text_contamination,
-    # text_frequent_tokens, text_pack_sequences, text_quality_gate,
-    # text_token_stats, then the r5 cohort)
+    # r4 cohort, alphabetical head (1 of 21 — the remainder rotates in
+    # round 10: agg_mad_outliers, agg_trend_regression,
+    # dq_orders_integrity, events_ewma, events_funnel, merge_upsert,
+    # mm_frame_sample, pandas_udaf_geomean, pivot_status_by_priority,
+    # scd2_versions, semantic_prediction_join, sim_random_projection,
+    # streaming_dedup, streaming_tumbling, text_chunk_rolling_hash,
+    # text_contamination, text_frequent_tokens, text_pack_sequences,
+    # text_quality_gate, text_token_stats, then the r5 cohort)
     "agg_approx_percentiles",
-    "agg_mad_outliers",
-    "agg_trend_regression",
-    "dq_orders_integrity",
-    "events_ewma",
 ]
 
 
@@ -696,6 +697,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: ensemble of seeded index artifacts (hyperplanes +
         # KMeans); exact-recall and bound invariants tested
         "sim_ann_recall_report": lambda s, d: similarity.ann_recall_report(*_t(s, d, "embeddings")),
+        "events_peak_concurrency": lambda s, d: windows.peak_concurrency(*_t(s, d, "events")),
+        "pipeline_shard_manifest": lambda s, d: llm_pipeline.shard_manifest(*_t(s, d, "documents")),
+        # rows-only: seeded xxhash64 signatures have no DuckDB twin;
+        # estimator-quality invariants tested
+        "dedup_minhash_calibration": lambda s, d: dedup.minhash_calibration(*_t(s, d, "documents")),
+        "text_rake_keywords": lambda s, d: text.rake_keywords(*_t(s, d, "documents")),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
@@ -3803,6 +3810,89 @@ def oracle_sql() -> dict[str, str]:
             FROM history
         """,
         # ---- round-9 additions ----
+        "events_peak_concurrency": """
+            WITH deltas AS (
+                SELECT event_type, ts AS t, 1 AS delta FROM events
+                UNION ALL
+                SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS delta FROM events
+            ),
+            running AS (
+                SELECT event_type, t,
+                       sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+                FROM deltas
+            ),
+            peaks AS (SELECT event_type, max(open_now) AS peak FROM running GROUP BY 1)
+            SELECT r.event_type,
+                   min(r.t) AS peak_at,
+                   CAST(min(p.peak) AS BIGINT) AS peak_concurrency
+            FROM running r
+            JOIN peaks p ON r.event_type = p.event_type AND r.open_now = p.peak
+            GROUP BY 1
+        """,
+        "pipeline_shard_manifest": """
+            WITH s AS (
+                SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 8 AS shard,
+                       CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|'
+                            || coalesce(text, '')), 1, 15) AS BIGINT) AS h,
+                       doc_id, n_chars
+                FROM documents
+            )
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                   bit_xor(h) AS content_fingerprint,
+                   min(doc_id) AS min_doc_id,
+                   max(doc_id) AS max_doc_id
+            FROM s GROUP BY 1
+        """,
+        "text_rake_keywords": f"""
+            WITH lists AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS l FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, i AS pos, l[i] AS token
+                FROM lists, LATERAL unnest(generate_series(1, len(l))) AS g(i)
+                WHERE length(l[i]) > 0
+            ),
+            rn1 AS (
+                SELECT doc_id, pos, token,
+                       token IN ('the','a','and','of','to','in','is') AS is_stop,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+                FROM toks
+            ),
+            isl AS (
+                SELECT doc_id, pos, token,
+                       rn - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM rn1 WHERE NOT is_stop
+            ),
+            phrases AS (
+                SELECT doc_id, island,
+                       string_agg(token, ' ' ORDER BY pos) AS phrase,
+                       count(*) AS phrase_len
+                FROM isl GROUP BY 1, 2
+            ),
+            pw AS (
+                SELECT phrase, phrase_len, unnest(string_split(phrase, ' ')) AS word
+                FROM phrases
+            ),
+            ws AS (SELECT word, count(*) AS freq, sum(phrase_len) AS deg FROM pw GROUP BY 1),
+            scored AS (
+                SELECT phrase, sum(deg / freq) AS raw_score
+                FROM pw JOIN ws USING (word) GROUP BY 1
+            ),
+            counts AS (SELECT phrase, count(*) AS n_occurrences FROM phrases GROUP BY 1),
+            outp AS (
+                SELECT phrase,
+                       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+                       round(raw_score / n_occurrences, 4) AS rake_score
+                FROM scored JOIN counts USING (phrase)
+            )
+            SELECT CAST(row_number() OVER (ORDER BY rake_score DESC, phrase) AS INT) AS rank,
+                   phrase, n_occurrences, rake_score
+            FROM outp ORDER BY rake_score DESC, phrase LIMIT 25
+        """,
         "events_cumulative_users": """
             WITH firsts AS (
                 SELECT user_id, min(date_trunc('day', ts)) AS first_day

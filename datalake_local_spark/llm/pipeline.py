@@ -644,3 +644,57 @@ def corpus_snapshot_diff(documents: DataFrame, split_doc_id: int = 450) -> DataF
             "new_fp",
         )
     )
+
+
+def shard_manifest(documents: DataFrame, n_shards: int = 8) -> DataFrame:
+    """The writer-side reproducibility ledger every sharded corpus
+    export should publish: per shard — row count, char mass, an
+    ORDER-INDEPENDENT content fingerprint (bit_xor of per-doc hashes:
+    commutative, so shard-internal write order never changes it), and
+    the min/max doc ids for range audits. Re-run the manifest after any
+    migration and diff it: equal fingerprints prove the shard contents
+    moved intact without comparing bytes (the WAP-audit checksum
+    discipline applied at shard grain).
+
+    Shard assignment is the deterministic md5 bucket used everywhere
+    (never hash(doc_id) % n — Python/JVM hash is not a contract). One
+    scan, shard-grain combine; the xor aggregate shuffles 8 bytes per
+    doc like any sum. md5-based doc hash keeps the oracle
+    engine-portable (xxhash64 has no DuckDB twin)."""
+    # coalesce BEFORE concat: concat_ws silently skips NULLs while the
+    # oracle's || propagates them — coalesce('' ) pins both to one value
+    doc_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    shard = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % n_shards
+    return (
+        documents.select(
+            shard.alias("shard"),
+            doc_hash.alias("h"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.bit_xor("h").alias("content_fingerprint"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )

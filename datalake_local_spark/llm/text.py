@@ -1739,3 +1739,86 @@ def cm_heavy_hitters(
         )
         .orderBy(F.col("exact_count").desc(), "token")
     )
+
+
+_RAKE_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def rake_keywords(documents: DataFrame, top_n: int = 25) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; word score = deg/freq where deg
+    sums the lengths of every phrase containing the word (co-occurrence
+    degree) and freq counts occurrences; a phrase scores the sum of its
+    words. The corpus-level report returns the ``top_n`` phrases — the
+    zero-model keyword/metadata enrichment pass a corpus catalog runs.
+
+    Phrase segmentation is deliberately RELATIONAL, not regex: tokens
+    posexploded once, stopwords flagged, and phrases recovered with the
+    row_number-difference gaps-and-islands idiom (the activity_streaks
+    discipline) — engine-portable by construction where a stopword
+    regex split would lean on dialect-specific \\b semantics. Phrase
+    text reassembles with an order-pinned aggregation (sorted structs
+    here, string_agg ORDER BY in the oracle).
+
+    Scale shape: one token materialization; islands from ONE doc-grain
+    window; word stats are vocab-grain groupBys (map-side combined);
+    the phrase-score join is phrase-word-grain. Top-N via one ungrouped
+    window over the phrase-grain aggregate — phrase cardinality is
+    corpus-bounded but the top-N window input is ALREADY the aggregated
+    phrase table, not token grain."""
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(_norm_text(F.col("text")), " ")).alias("pos", "token"),
+    ).filter(F.length("token") > 0)
+    marked = toks.withColumn(
+        "is_stop", F.col("token").isin(*_RAKE_STOPWORDS)
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        marked.withColumn("rn", F.row_number().over(wdoc))
+        .filter(~F.col("is_stop"))
+        .withColumn("rn2", F.row_number().over(wdoc))
+        .withColumn("island", F.col("rn") - F.col("rn2"))
+    )
+    phrases = islands.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("phrase_len"),
+    )
+    phrase_words = phrases.select(
+        "phrase", "phrase_len", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    word_stats = phrase_words.groupBy("word").agg(
+        F.count("*").alias("freq"), F.sum("phrase_len").alias("deg")
+    )
+    scored = (
+        phrase_words.join(word_stats, "word")
+        .groupBy("phrase")
+        .agg(F.sum(F.col("deg") / F.col("freq")).alias("raw_score"))
+    )
+    counts = phrases.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    # one phrase can occur in many docs: score counts each occurrence's
+    # words, so normalize by occurrences for the per-phrase RAKE score
+    out = (
+        scored.join(counts, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(F.col("raw_score") / F.col("n_occurrences"), 4).alias("rake_score"),
+        )
+    )
+    w = W.orderBy(F.col("rake_score").desc(), F.col("phrase"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "phrase", "n_occurrences", "rake_score")
+    )

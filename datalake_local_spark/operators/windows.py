@@ -488,3 +488,50 @@ def cumulative_distinct_users(events: DataFrame) -> DataFrame:
             F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
         )
     )
+
+
+def peak_concurrency(events: DataFrame, session_minutes: int = 5) -> DataFrame:
+    """Peak concurrent activity per event type — the capacity-planning
+    number ("how many sessions were open AT ONCE at the worst moment").
+    Each event opens a ``session_minutes`` presence interval; the
+    classic sweep-line identity turns interval overlap (a join problem)
+    into a SORT problem: emit +1 at each start and −1 at each end, one
+    cumulative sum in time order per type, take the max. Ties resolve
+    END-BEFORE-START at the same instant (delta ascending in the order
+    key), the non-overlapping-at-touch convention, fixed identically in
+    both engines.
+
+    Scale shape: 2 rows per event through ONE type-grain window (the
+    same exchange serves the final max via a grouped agg); no
+    interval self-join — the naive pairwise overlap is O(n²) per hot
+    window, the sweep is O(n log n) sort. Type-grain partitions keep
+    the window distributed; the "which instant" is also returned
+    (earliest instant attaining the peak: min over peak rows)."""
+    start = events.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    end = events.select(
+        "event_type",
+        (F.col("ts") + F.expr(f"INTERVAL {int(session_minutes)} MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = start.unionAll(end)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = deltas.select(
+        "event_type", "t", F.sum("delta").over(w).alias("open_now")
+    )
+    peaks = running.groupBy("event_type").agg(F.max("open_now").alias("peak"))
+    return (
+        running.join(peaks, "event_type")
+        .filter(F.col("open_now") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.min("t").alias("peak_at"),
+            F.min("peak").cast("long").alias("peak_concurrency"),
+        )
+        .orderBy("event_type")
+    )

@@ -2783,3 +2783,60 @@ def test_ann_recall_report_invariants(tables):
         assert len(per_q) == 5
         assert all(0.0 <= v <= 1.0 for v in per_q)
         assert abs(rows[-1] - round(sum(per_q) / len(per_q), 6)) < 1e-4, m
+
+
+def test_minhash_calibration_estimator_quality(spark, tables):
+    """Estimator invariants: exact duplicates estimate 1.0 with zero
+    error; on the fixture pairs the mean |error| stays inside a loose
+    3× binomial-stderr bound for H=16 (√(J(1−J)/16) ≤ 0.125)."""
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    planted = spark.createDataFrame(
+        [(0, dup), (1, dup), (2, "totally different words entirely here")],
+        "doc_id long, text string",
+    )
+    rows = dedup.minhash_calibration(planted).collect()
+    pair = [r for r in rows if {r["doc_a"], r["doc_b"]} == {0, 1}]
+    assert pair and pair[0]["minhash_estimate"] == 1.0
+    assert pair[0]["abs_error"] == 0.0
+
+    fixture = dedup.minhash_calibration(tables["documents"]).collect()
+    assert fixture
+    mean_err = sum(r["abs_error"] for r in fixture) / len(fixture)
+    assert mean_err <= 3 * 0.125, mean_err
+
+
+def test_rake_hand_computed(spark):
+    """RAKE on the canonical tiny example: 'red apple and green apple'
+    splits at the stopword into two 2-token phrases; deg(apple)=4,
+    freq(apple)=2, deg(red)=deg(green)=2 freq 1 → both phrases score
+    2/1 + 4/2 = 4.0. A stopword-only doc yields no phrases."""
+    docs = spark.createDataFrame(
+        [(0, "red apple and green apple"), (1, "the and of")],
+        "doc_id long, text string",
+    )
+    out = {r["phrase"]: r for r in text.rake_keywords(docs).collect()}
+    assert set(out) == {"red apple", "green apple"}
+    assert out["red apple"]["rake_score"] == 4.0
+    assert out["green apple"]["rake_score"] == 4.0
+    assert out["red apple"]["n_occurrences"] == 1
+
+
+def test_round9_plan_scan_bounds(tables):
+    """Scan-count guards for the round-9 single-scan claims: the AQE
+    final plans read their source at most the documented number of
+    times (dedup_rate_by_source 1, cm_heavy_hitters 2 — exact counts +
+    sketch, rake 1 — one token materialization feeding islands)."""
+    def n_scans(df, token="documents"):
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Location: InMemoryFileIndex") + plan.count("parquet." )
+
+    docs = tables["documents"]
+    rate = dedup.dedup_rate_by_source(docs)
+    rate.count()
+    p = rate._jdf.queryExecution().executedPlan().toString()
+    assert p.lower().count("filescan parquet") <= 1, "dedup_rate: one scan"
+    cm = text.cm_heavy_hitters(docs)
+    cm.count()
+    p = cm._jdf.queryExecution().executedPlan().toString()
+    assert p.lower().count("filescan parquet") <= 2, "cm: exact + sketch"

@@ -832,3 +832,49 @@ def test_dedup_rate_by_source_contract(spark):
     assert b["n_docs"] == 4 and b["n_unique"] == 2
     assert b["dup_rate"] == 0.5
     assert b["chars_freed_if_deduped"] == 26  # two extra 13-char copies
+
+
+def test_peak_concurrency_sweep_semantics(spark):
+    """Planted intervals: three 5-min presences starting 2 min apart all
+    overlap at the third start (peak 3); an event starting exactly when
+    the previous ends never counts as concurrent (end-before-start tie
+    rule → peak 1)."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    ev = spark.createDataFrame(
+        [
+            (1, "x", t(0)), (2, "x", t(2)), (3, "x", t(4)),
+            (4, "y", t(0)), (5, "y", t(5)),
+        ],
+        "event_id long, event_type string, ts timestamp",
+    )
+    out = {r["event_type"]: r for r in windows.peak_concurrency(ev).collect()}
+    assert out["x"]["peak_concurrency"] == 3
+    assert out["x"]["peak_at"] == t(4)
+    assert out["y"]["peak_concurrency"] == 1
+
+
+def test_shard_manifest_fingerprint_contract(tables, spark):
+    """Manifest invariants: doc counts conserve; the xor fingerprint is
+    ORDER-INDEPENDENT (a fully shuffled input produces the identical
+    manifest); editing one doc's text changes exactly its own shard's
+    fingerprint and nothing else."""
+    from datalake_local_spark.llm import pipeline as pl
+
+    docs = tables["documents"]
+    m1 = {r["shard"]: r for r in pl.shard_manifest(docs).collect()}
+    assert sum(r["n_docs"] for r in m1.values()) == docs.count()
+    shuffled = docs.repartition(13)
+    m2 = {r["shard"]: r for r in pl.shard_manifest(shuffled).collect()}
+    assert {k: (v["n_docs"], v["content_fingerprint"]) for k, v in m1.items()} == {
+        k: (v["n_docs"], v["content_fingerprint"]) for k, v in m2.items()
+    }
+    edited = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.lit("EDITED")).otherwise(F.col("text")),
+    )
+    m3 = {r["shard"]: r for r in pl.shard_manifest(edited).collect()}
+    changed = [k for k in m1 if m1[k]["content_fingerprint"] != m3[k]["content_fingerprint"]]
+    assert len(changed) == 1  # only doc 0's shard moved
+    assert all(m1[k]["n_docs"] == m3[k]["n_docs"] for k in m1)
