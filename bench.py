@@ -87,6 +87,21 @@ BENCH_QUERIES = [
     "events_lttb",
     "events_cusum",
     "dedup_graph_quality",
+    # round-9 heavyweights (>0.5 s at sf0.1): prior-frame z-score
+    # window, CM sketch + exact verifier, graph diagnostics (degree
+    # histogram, capped k-core peel, components x pagerank keep
+    # policy), RAKE islands, exact-shingle MinHash calibration, 3-way
+    # ANN recall audit, greedy MMR, sweep-line concurrency
+    "events_anomaly_zscore",
+    "text_cm_heavy_hitters",
+    "graph_degree_profile",
+    "graph_kcore",
+    "dedup_keep_policy",
+    "text_rake_keywords",
+    "dedup_minhash_calibration",
+    "sim_ann_recall_report",
+    "sim_mmr_diversify",
+    "events_peak_concurrency",
 ]
 
 

@@ -2571,7 +2571,7 @@ def test_pagerank_matches_pure_python_reference(spark):
         r["doc_id"]: r["pagerank"]
         for r in dedup.pagerank_dup_graph(docs, pairs=pairs).collect()
     }
-    ref = _pure_python_pagerank(edges, damping=0.85, tol=1e-6, max_iter=30)
+    ref = _pure_python_pagerank(edges, damping=0.85, tol=1e-4, max_iter=30)
     assert set(got) == set(ref)
     for u in ref:
         assert abs(got[u] - ref[u]) < 2e-6, (u, got[u], ref[u])
