@@ -257,6 +257,8 @@ _CERTIFY_FIRST = [
     "pipeline_shard_manifest",  # xor-fingerprint shard ledger
     "dedup_minhash_calibration",  # rows-only: estimator error audit
     "text_rake_keywords",  # RAKE phrase extraction
+    "tpch_part_promotion",  # Q20 excess-stock decorrelation
+    "streaming_anomaly",  # rows-only: stateful expanding z-score
     # least-recently-certified rotation: the r3 cohort (stalest, full)
     "sample_deterministic",
     "sample_stratified",
@@ -286,16 +288,15 @@ _CERTIFY_FIRST = [
     "tpch_top_supplier",
     "tpch_volume_shipping",
     "unpivot_order_measures",
-    "window_distribution",
-    # r4 cohort, alphabetical head (1 of 21 — the remainder rotates in
-    # round 10: agg_mad_outliers, agg_trend_regression,
-    # dq_orders_integrity, events_ewma, events_funnel, merge_upsert,
-    # mm_frame_sample, pandas_udaf_geomean, pivot_status_by_priority,
-    # scd2_versions, semantic_prediction_join, sim_random_projection,
-    # streaming_dedup, streaming_tumbling, text_chunk_rolling_hash,
-    # text_contamination, text_frequent_tokens, text_pack_sequences,
-    # text_quality_gate, text_token_stats, then the r5 cohort)
-    "agg_approx_percentiles",
+    # r3 remainder (window_distribution) and
+    # the whole r4 cohort (agg_approx_percentiles, agg_mad_outliers,
+    # agg_trend_regression, dq_orders_integrity, events_ewma,
+    # events_funnel, merge_upsert, mm_frame_sample, pandas_udaf_geomean,
+    # pivot_status_by_priority, scd2_versions, semantic_prediction_join,
+    # sim_random_projection, streaming_dedup, streaming_tumbling,
+    # text_chunk_rolling_hash, text_contamination, text_frequent_tokens,
+    # text_pack_sequences, text_quality_gate, text_token_stats) rotate
+    # in round 10, then the r5 cohort
 ]
 
 
@@ -703,6 +704,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # estimator-quality invariants tested
         "dedup_minhash_calibration": lambda s, d: dedup.minhash_calibration(*_t(s, d, "documents")),
         "text_rake_keywords": lambda s, d: text.rake_keywords(*_t(s, d, "documents")),
+        "tpch_part_promotion": lambda s, d: tpch.part_promotion(*_t(s, d, "lineitem", "supplier", "nation", "part")),
+        # rows-only (stateful streaming): batch-parity vs a pure-python
+        # expanding reference tested
+        "streaming_anomaly": lambda s, d: event_windows.run_streaming_anomaly(
+            s, d, query_name=f"stream_anomaly_{next(_stream_counter)}"
+        ),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
@@ -3810,6 +3817,32 @@ def oracle_sql() -> dict[str, str]:
             FROM history
         """,
         # ---- round-9 additions ----
+        "tpch_part_promotion": """
+            WITH sups AS (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_nationkey % 5 = 2
+            ),
+            ps AS (
+                SELECT p_partkey, s_suppkey,
+                       (p_partkey * 7 + s_suppkey * 3) % 1000 + 1 AS availqty
+                FROM part, sups
+                WHERE (p_partkey + s_suppkey) % 4 = 0
+            ),
+            shipped AS (
+                SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                       sum(l_quantity) AS shipped_qty
+                FROM lineitem
+                WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+                GROUP BY 1, 2
+            )
+            SELECT s_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_excess_parts,
+                   CAST(sum(availqty) AS BIGINT) AS total_excess_avail
+            FROM ps JOIN shipped USING (p_partkey, s_suppkey)
+            WHERE availqty > 0.5 * shipped_qty
+            GROUP BY 1
+        """,
         "events_peak_concurrency": """
             WITH deltas AS (
                 SELECT event_type, ts AS t, 1 AS delta FROM events

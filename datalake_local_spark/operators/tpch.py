@@ -678,3 +678,54 @@ def important_stock(supplier: DataFrame, nation: DataFrame, part: DataFrame) -> 
         .select("p_partkey", "part_value")
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )
+
+
+def part_promotion(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, part: DataFrame) -> DataFrame:
+    """Q20 shape (potential part promotion): suppliers holding EXCESS
+    stock — derived availqty greater than half the quantity they
+    actually shipped in 1995 — the correlated
+    ``ps_availqty > (SELECT 0.5*sum(l_quantity) ...)`` decorrelated
+    into a (part, supplier)-grain shipment aggregate joined to the
+    derived partsupp (same deterministic relation as
+    :func:`min_cost_supplier` / :func:`important_stock`: offer iff
+    (p+s)%4=0, availqty = (p*7+s*3)%1000+1), suppliers pruned to the
+    %5-nation group FIRST. Output: supplier grain with how many parts
+    are overstocked — the Q20 mailing list.
+
+    Scale shape: the shipment aggregate is the only fact-scaled input
+    (map-side partial on (l_partkey, l_suppkey)); the derived partsupp
+    is dim×dim; the excess filter is a key-equi join of the two
+    aggregates; final supplier-grain rollup is dim-bounded. No
+    correlated re-scan, two shuffles total."""
+    nat = nation.filter(F.col("n_nationkey") % 5 == 2).select("n_nationkey")
+    sups = supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    ps = part.select("p_partkey").join(
+        F.broadcast(sups), (F.col("p_partkey") + F.col("s_suppkey")) % 4 == 0
+    ).select(
+        "p_partkey",
+        "s_suppkey",
+        ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 3) % 1000 + 1).alias("availqty"),
+    )
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .groupBy(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("shipped_qty"))
+    )
+    excess = ps.join(shipped, ["p_partkey", "s_suppkey"]).filter(
+        F.col("availqty") > 0.5 * F.col("shipped_qty")
+    )
+    return (
+        excess.groupBy("s_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_excess_parts"),
+            F.sum("availqty").cast("long").alias("total_excess_avail"),
+        )
+        .orderBy("s_suppkey")
+    )

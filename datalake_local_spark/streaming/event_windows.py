@@ -774,3 +774,78 @@ def run_streaming_two_level_agg(
         q.awaitTermination(120)
         q.stop()
     return sub.table(query_name)
+
+
+def run_streaming_anomaly(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_anomaly",
+    min_prior: int = 8,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of the batch rolling z-score screen
+    (operators/windows.rolling_zscore_anomalies): per-user EXPANDING
+    baseline (n, Σx, Σx²) held in explicit state, each arriving event
+    scored against the state BEFORE it folds in (the same
+    cannot-mask-itself discipline; expanding rather than 20-row
+    rolling, because bounded-window eviction needs the raw ring buffer
+    in state — the documented batch/stream semantic difference).
+    Within a micro-batch rows score in (ts, event_id) order, so replays
+    of the same data produce identical flags (deterministic given the
+    event-time order).
+
+    State per key is three numbers → bounded at any volume; at scale it
+    lives in the checkpointed state store partitioned by user_id —
+    exactly the stateful-counter shape with a per-row decision added.
+    Streaming + stateful → rows-only registration; batch-parity vs a
+    pure-python expanding reference is tested."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sub = _stream_session(spark)
+    stream = _open_events_stream(sub, sf_dir)
+
+    output_schema = (
+        "user_id bigint, event_id bigint, value double, base_mean double, z double"
+    )
+    state_schema = "n bigint, s1 double, s2 double"
+
+    def update(key, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        flagged = {"user_id": [], "event_id": [], "value": [], "base_mean": [], "z": []}
+        for pdf in pdfs:
+            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+                v = float(row.value)
+                if n >= min_prior:
+                    mean = s1 / n
+                    var = (s2 - n * mean * mean) / (n - 1)
+                    if var > 0:
+                        z = (v - mean) / math.sqrt(var)
+                        if abs(z) >= z_cut:
+                            flagged["user_id"].append(key[0])
+                            flagged["event_id"].append(row.event_id)
+                            flagged["value"].append(v)
+                            flagged["base_mean"].append(round(mean, 4))
+                            flagged["z"].append(round(z, 4))
+                n, s1, s2 = n + 1, s1 + v, s2 + v * v
+        state.update((n, s1, s2))
+        yield pd.DataFrame(flagged)
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return sub.table(query_name)

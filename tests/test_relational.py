@@ -878,3 +878,40 @@ def test_shard_manifest_fingerprint_contract(tables, spark):
     changed = [k for k in m1 if m1[k]["content_fingerprint"] != m3[k]["content_fingerprint"]]
     assert len(changed) == 1  # only doc 0's shard moved
     assert all(m1[k]["n_docs"] == m3[k]["n_docs"] for k in m1)
+
+
+def test_part_promotion_excess_contract(tables):
+    """Q20 contract: non-vacuous; every reported supplier's count equals
+    the independently recomputed number of parts with derived availqty
+    above half their 1995 shipments; no qualifying supplier missing."""
+    from datalake_local_spark.operators import tpch
+
+    out = {r["s_suppkey"]: r for r in tpch.part_promotion(
+        tables["lineitem"], tables["supplier"], tables["nation"], tables["part"]
+    ).collect()}
+    assert out
+    sups = [
+        r["s_suppkey"]
+        for r in tables["supplier"].filter(F.col("s_nationkey") % 5 == 2).collect()
+    ]
+    parts = [r["p_partkey"] for r in tables["part"].collect()]
+    shipped = {
+        (r["l_partkey"], r["l_suppkey"]): r["q"]
+        for r in tables["lineitem"]
+        .filter((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    want = {}
+    for s in sups:
+        n = tot = 0
+        for p in parts:
+            if (p + s) % 4 == 0 and (p, s) in shipped:
+                avail = (p * 7 + s * 3) % 1000 + 1
+                if avail > 0.5 * shipped[(p, s)]:
+                    n += 1
+                    tot += avail
+        if n:
+            want[s] = (n, tot)
+    assert {k: (v["n_excess_parts"], v["total_excess_avail"]) for k, v in out.items()} == want

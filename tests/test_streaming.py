@@ -529,3 +529,42 @@ def test_streaming_two_level_agg_tail_contract(spark, tables):
     horizon = max_ts - datetime.timedelta(hours=1)
     for win_start, _ in missing:
         assert win_start + datetime.timedelta(minutes=60) > horizon
+
+
+def test_streaming_anomaly_matches_batch_reference(spark):
+    """Stateful expanding z-score parity: the streaming flags equal a
+    pure-python expanding-baseline replay over the same events in the
+    same (ts, event_id) order — values, baselines, and z to 4dp."""
+    import math
+
+    from datalake_local_spark.session import load_tables
+    from datalake_local_spark.streaming import event_windows
+
+    out = event_windows.run_streaming_anomaly(
+        spark, SF_DIR, query_name="stream_anomaly_paritytest"
+    ).collect()
+    got = {(r["user_id"], r["event_id"]): (r["base_mean"], r["z"]) for r in out}
+
+    events = (
+        load_tables(spark, SF_DIR)["events"]
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(events, key=lambda r: (r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for u, rows in by_user.items():
+        n, s1, s2 = 0, 0.0, 0.0
+        for r in rows:
+            v = float(r["value"])
+            if n >= 8:
+                mean = s1 / n
+                var = (s2 - n * mean * mean) / (n - 1)
+                if var > 0:
+                    z = (v - mean) / math.sqrt(var)
+                    if abs(z) >= 3.0:
+                        want[(u, r["event_id"])] = (round(mean, 4), round(z, 4))
+            n, s1, s2 = n + 1, s1 + v, s2 + v * v
+    assert got == want
+    assert want  # non-vacuous at the fixture SF
