@@ -4047,20 +4047,27 @@ def oracle_sql() -> dict[str, str]:
                        s1 / n_prior AS mean,
                        (s2 - n_prior * (s1 / n_prior) * (s1 / n_prior)) / (n_prior - 1) AS var
                 FROM s
+            ),
+            zc AS (
+                SELECT user_id, event_id, event_type, value, n_prior, var, mean,
+                       round(mean, 4) AS base_mean,
+                       CASE WHEN var > 0
+                            THEN round((value - mean) / sqrt(var), 4) END AS z
+                FROM m
             )
-            SELECT user_id, event_id, event_type, value,
-                   round(mean, 4) AS base_mean,
-                   round((value - mean) / sqrt(var), 4) AS z
-            FROM m
-            WHERE n_prior >= 8 AND var > 0
-              AND abs(round((value - mean) / sqrt(var), 4)) >= 3.0
+            SELECT user_id, event_id, event_type, value, base_mean, z
+            FROM zc
+            WHERE n_prior >= 8 AND (
+                  (z IS NOT NULL AND abs(z) >= 3.0)
+                  OR (var <= 0 AND value <> mean))
         """,
         "events_multigrain_rollup": """
-            SELECT coalesce(event_type, 'ALL') AS event_type,
+            SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+                        ELSE event_type END AS event_type,
                    day, hour,
-                   CASE WHEN hour IS NOT NULL THEN 'hour'
-                        WHEN day IS NOT NULL THEN 'day'
-                        WHEN event_type IS NOT NULL THEN 'type'
+                   CASE WHEN GROUPING(hour) = 0 THEN 'hour'
+                        WHEN GROUPING(day) = 0 THEN 'day'
+                        WHEN GROUPING(event_type) = 0 THEN 'type'
                         ELSE 'total' END AS grain,
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
@@ -4194,18 +4201,22 @@ def oracle_sql() -> dict[str, str]:
             ),
             ps AS (
                 SELECT p_partkey,
-                       (((p_partkey * 31 + s_suppkey * 17) % 10000) / 100.0)
-                           * ((p_partkey * 7 + s_suppkey * 3) % 1000 + 1) AS value
+                       CAST(((p_partkey * 31 + s_suppkey * 17) % 10000)
+                           * ((p_partkey * 7 + s_suppkey * 3) % 1000 + 1) AS BIGINT)
+                           AS value_cents
                 FROM part, sups
                 WHERE (p_partkey + s_suppkey) % 4 = 0
             ),
             per_part AS (
-                SELECT p_partkey, round(sum(value), 2) AS part_value
+                SELECT p_partkey, sum(value_cents) AS part_cents
                 FROM ps GROUP BY 1
             ),
-            total AS (SELECT round(avg(part_value) * 1.2, 2) AS cutoff FROM per_part)
-            SELECT p_partkey, part_value
+            total AS (
+                SELECT sum(part_cents) AS total_cents, count(*) AS n_parts
+                FROM per_part
+            )
+            SELECT p_partkey, round(part_cents / 100.0, 2) AS part_value
             FROM per_part, total
-            WHERE part_value > cutoff
+            WHERE part_cents * n_parts * 10 > total_cents * 12
         """,
     }

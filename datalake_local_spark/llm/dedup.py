@@ -1711,13 +1711,18 @@ def kcore_decomposition(
     while k <= max_k:
         while True:
             deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+            # checkpoint `weak` once per pass: it feeds four consumers
+            # (count, coreness union, both anti-joins) — uncheckpointed,
+            # each re-ran the degree aggregation
             weak = (
                 nodes.join(deg.withColumnRenamed("src", "doc_id"), "doc_id", "left")
                 .filter(F.coalesce(F.col("deg"), F.lit(0)) < k)
                 .select("doc_id")
+                .localCheckpoint()
             )
             n_weak = weak.count()  # bounded: one scalar per peel pass
             if n_weak == 0:
+                _release_checkpoint(weak)
                 break
             # peeled nodes' coreness is k-1: they survived the (k-1)-core
             coreness = coreness.unionAll(
@@ -1734,6 +1739,7 @@ def kcore_decomposition(
             )
             _release_checkpoint(edges)
             _release_checkpoint(nodes)
+            _release_checkpoint(weak)
             edges, nodes = nxt_edges, nxt_nodes
         if nodes.isEmpty():
             break
@@ -1781,7 +1787,12 @@ def canonical_keep_policy(documents: DataFrame) -> DataFrame:
     pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
         "doc_a", "doc_b"
     ).localCheckpoint()  # ONE pair-generation join feeds both upstreams
-    comp = duplicate_components(documents)
+    # pairs= injection on BOTH consumers (the duplicate_graph_quality
+    # pattern) — without it components re-runs the O(n²) token
+    # self-join a second time; injected components uses the all-docs
+    # node universe, whose singletons fall out at the n_members > 1
+    # filter below
+    comp = duplicate_components(documents, pairs=pairs)
     ranks = pagerank_dup_graph(documents, pairs=pairs)
     joined = comp.join(ranks, "doc_id", "left").select(
         "doc_id",

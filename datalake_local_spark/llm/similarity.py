@@ -1543,12 +1543,15 @@ def mmr_diversify(
         ).otherwise(
             lam * F.col("relevance") - (1 - lam) * F.col("max_sel_sim")
         )
-        best = (
+        picked = (
             state.withColumn("mmr", mmr)
             .orderBy(F.col("mmr").desc(), "corpus_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not picked:
+            break  # candidate pool exhausted before k picks
+        best = picked[0]
         picks.append(
             (rank, best["corpus_id"], float(best["relevance"]), float(best["mmr"]))
         )

@@ -218,6 +218,7 @@ def publish_with_audit(
     key_col: str | None = None,
     expected_checksum: int | None = None,
     vacuum_keep: int | None = None,
+    vacuum_grace_seconds: float = 300.0,
 ) -> dict:
     """Write-Audit-Publish (the WAP pattern Iceberg formalizes with
     branches; Netflix's original data-eng discipline — public): write to
@@ -306,7 +307,7 @@ def publish_with_audit(
     # removal is vacuum_published's job, opted into via vacuum_keep
     if vacuum_keep is not None:
         manifest["vacuum_deleted"] = vacuum_published(
-            publish_dir, keep=vacuum_keep
+            publish_dir, keep=vacuum_keep, grace_seconds=vacuum_grace_seconds
         )["deleted"]
     return manifest
 
@@ -331,7 +332,9 @@ def list_published_versions(publish_dir: str) -> list[dict]:
     return out
 
 
-def vacuum_published(publish_dir: str, keep: int = 1) -> dict:
+def vacuum_published(
+    publish_dir: str, keep: int = 1, grace_seconds: float = 300.0
+) -> dict:
     """Explicit retention step for :func:`publish_with_audit`: delete
     old version dirs, keeping the CURRENT one plus the ``keep`` most
     recent non-current versions (grace window for in-flight readers —
@@ -340,15 +343,34 @@ def vacuum_published(publish_dir: str, keep: int = 1) -> dict:
     The symlink target is read ONCE at listing time (inside
     :func:`list_published_versions`), before any delete, so a version
     published after the caller's last look is never deleted, and the
-    current version is never touched regardless of ``keep``."""
+    current version is never touched regardless of ``keep``.
+
+    ``grace_seconds`` additionally protects any version dir whose mtime
+    is within the window (the `expire_snapshots` ``older_than``
+    contract): a CONCURRENT publisher that has renamed its staging into
+    a version dir but not yet flipped the symlink looks like a
+    non-current version — without the age gate a keep=0 vacuum racing
+    that flip would delete the dir out from under the flip and leave
+    the published symlink dangling. Pass 0 only when no concurrent
+    publisher can exist (tests, single-writer maintenance)."""
+    import os
     import shutil
+    import time as _time
 
     versions = list_published_versions(publish_dir)
     non_current = [v for v in versions if not v["current"]]
     doomed = non_current[: max(0, len(non_current) - keep)] if keep >= 0 else []
+    cutoff = _time.time() - max(0.0, grace_seconds)
+    aged = []
     for v in doomed:
+        try:
+            if os.path.getmtime(v["path"]) <= cutoff:
+                aged.append(v)
+        except OSError:
+            pass  # vanished under a concurrent vacuum — nothing to do
+    for v in aged:
         shutil.rmtree(v["path"], ignore_errors=True)
     return {
-        "deleted": [v["name"] for v in doomed],
-        "retained": [v["name"] for v in versions if v not in doomed],
+        "deleted": [v["name"] for v in aged],
+        "retained": [v["name"] for v in versions if v not in aged],
     }

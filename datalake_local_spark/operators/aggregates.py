@@ -502,16 +502,23 @@ def multigrain_time_rollup(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
+            # GROUPING(), not column NULL-ness: a genuine NULL data value
+            # at the finest grouping set must not masquerade as a
+            # subtotal row (nor a literal 'ALL' event_type collide with
+            # the coalesced total label)
+            F.grouping("etype").alias("g_etype"),
+            F.grouping("day").alias("g_day"),
+            F.grouping("hour").alias("g_hour"),
         )
     )
     grain = (
-        F.when(F.col("hour").isNotNull(), "hour")
-        .when(F.col("day").isNotNull(), "day")
-        .when(F.col("etype").isNotNull(), "type")
+        F.when(F.col("g_hour") == 0, "hour")
+        .when(F.col("g_day") == 0, "day")
+        .when(F.col("g_etype") == 0, "type")
         .otherwise("total")
     )
     return agg.select(
-        F.coalesce("etype", F.lit("ALL")).alias("event_type"),
+        F.when(F.col("g_etype") == 1, "ALL").otherwise(F.col("etype")).alias("event_type"),
         "day",
         "hour",
         grain.alias("grain"),

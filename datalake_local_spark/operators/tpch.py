@@ -650,32 +650,43 @@ def important_stock(supplier: DataFrame, nation: DataFrame, part: DataFrame) -> 
     MULTIPLE OF THE AVERAGE part value — TPC-H's literal
     fraction-of-total needs its 0.0001/SF rescaling to stay
     non-degenerate across scale factors, while avg×1.2 keeps the
-    selectivity meaningful at any SF. Threshold compare on the
-    2dp-rounded grid so cross-engine fp accumulation order cannot flip
-    boundary membership."""
+    selectivity meaningful at any SF. The compare runs on EXACT integer
+    cents (10·n·part_cents > 12·total_cents), so no accumulation order
+    anywhere can flip boundary membership."""
     nat = nation.filter(F.col("n_nationkey") % 5 == 2).select("n_nationkey")
     sups = supplier.join(
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
+    # INTEGER CENTS end to end: supplycost is (...)%10000 cents by
+    # construction, so every sum and the avg×1.2 cutoff compare are
+    # exact integer arithmetic (10·n·part_cents > 12·total_cents) —
+    # order-invariant across engines and partition layouts, where a
+    # float avg() cutoff could flip boundary membership at an ulp
     ps = part.select("p_partkey").join(
         F.broadcast(sups), (F.col("p_partkey") + F.col("s_suppkey")) % 4 == 0
     ).select(
         "p_partkey",
         (
-            (((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 10000) / 100)
+            ((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 10000)
             * ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 3) % 1000 + 1)
-        ).alias("value"),
+        ).cast("long").alias("value_cents"),
     )
     per_part = ps.groupBy("p_partkey").agg(
-        F.round(F.sum("value"), 2).alias("part_value")
+        F.sum("value_cents").alias("part_cents")
     )
     total = per_part.agg(
-        F.round(F.avg("part_value") * 1.2, 2).alias("cutoff")
+        F.sum("part_cents").alias("total_cents"),
+        F.count("*").alias("n_parts"),
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("cutoff"))
-        .select("p_partkey", "part_value")
+        .filter(
+            F.col("part_cents") * F.col("n_parts") * 10 > F.col("total_cents") * 12
+        )
+        .select(
+            "p_partkey",
+            F.round(F.col("part_cents") / 100, 2).alias("part_value"),
+        )
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )
 

@@ -438,18 +438,30 @@ def rolling_zscore_anomalies(
     n = F.col("n_prior")
     mean = F.col("s1") / n
     var = (F.col("s2") - n * mean * mean) / (n - 1)
-    z = F.round((F.col("value") - mean) / F.sqrt(var), 4)
+    # z is NULL when the baseline is CONSTANT (var ≤ 0): a jump off a
+    # constant baseline is the most anomalous case — infinite z — so it
+    # is FLAGGED (z NULL, the cross-engine-stable spelling of ∞), not
+    # silently dropped as the earlier var>0-only filter did
+    staged = scored.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.round(mean, 4).alias("base_mean"),
+        F.when(var > 0, F.round((F.col("value") - mean) / F.sqrt(var), 4)).alias("z"),
+        n.alias("n_prior"),
+        var.alias("var"),
+        mean.alias("mean_raw"),
+    )
     return (
-        scored.filter((n >= min_prior) & (var > 0))
-        .select(
-            "user_id",
-            "event_id",
-            "event_type",
-            "value",
-            F.round(mean, 4).alias("base_mean"),
-            z.alias("z"),
+        staged.filter(
+            (F.col("n_prior") >= min_prior)
+            & (
+                (F.col("z").isNotNull() & (F.abs(F.col("z")) >= z_cut))
+                | ((F.col("var") <= 0) & (F.col("value") != F.col("mean_raw")))
+            )
         )
-        .filter(F.abs(F.col("z")) >= z_cut)
+        .select("user_id", "event_id", "event_type", "value", "base_mean", "z")
     )
 
 

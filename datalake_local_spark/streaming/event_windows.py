@@ -816,20 +816,32 @@ def run_streaming_anomaly(
 
         n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
         flagged = {"user_id": [], "event_id": [], "value": [], "base_mean": [], "z": []}
-        for pdf in pdfs:
-            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+        # concatenate BEFORE sorting: a group larger than the Arrow batch
+        # size arrives as multiple chunks, and chunk-local sorts would
+        # fold later-timestamped rows into the baseline first (order-
+        # dependent flags). Memory is bounded by one user's batch volume.
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            for row in batch.sort_values(["ts", "event_id"]).itertuples():
                 v = float(row.value)
                 if n >= min_prior:
                     mean = s1 / n
                     var = (s2 - n * mean * mean) / (n - 1)
+                    z = None
                     if var > 0:
                         z = (v - mean) / math.sqrt(var)
-                        if abs(z) >= z_cut:
-                            flagged["user_id"].append(key[0])
-                            flagged["event_id"].append(row.event_id)
-                            flagged["value"].append(v)
-                            flagged["base_mean"].append(round(mean, 4))
-                            flagged["z"].append(round(z, 4))
+                    elif v != mean:
+                        # constant baseline then a jump: infinite z — the
+                        # MOST anomalous case, not an exclusion (the var>0
+                        # guard alone silently dropped it)
+                        z = math.inf if v > mean else -math.inf
+                    if z is not None and abs(z) >= z_cut:
+                        flagged["user_id"].append(key[0])
+                        flagged["event_id"].append(row.event_id)
+                        flagged["value"].append(v)
+                        flagged["base_mean"].append(round(mean, 4))
+                        flagged["z"].append(round(z, 4) if math.isfinite(z) else z)
                 n, s1, s2 = n + 1, s1 + v, s2 + v * v
         state.update((n, s1, s2))
         yield pd.DataFrame(flagged)

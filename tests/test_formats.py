@@ -324,7 +324,7 @@ def test_publish_with_audit_wap_contract(spark, tables, tmp_path):
     assert len(glob.glob(target + ".v*")) == 2
 
     # explicit vacuum: re-reads the symlink, never deletes current
-    report = maintenance.vacuum_published(target, keep=0)
+    report = maintenance.vacuum_published(target, keep=0, grace_seconds=0)
     assert report["deleted"] == [os.path.basename(prev_target)]
     assert len(glob.glob(target + ".v*")) == 1
     assert spark.read.parquet(target).count() == half.count()
@@ -365,7 +365,7 @@ def test_publish_with_audit_two_writer_race(spark, tables, tmp_path):
     got = spark.read.parquet(target).count()
     assert got in counts.values()
     # vacuum keeps only the winner
-    maintenance.vacuum_published(target, keep=0)
+    maintenance.vacuum_published(target, keep=0, grace_seconds=0)
     assert len(glob.glob(target + ".v*")) == 1
     assert spark.read.parquet(target).count() == got
 
@@ -385,7 +385,9 @@ def test_publish_with_audit_auto_vacuum(spark, tables, tmp_path):
     maintenance.publish_with_audit(orders, target)
     maintenance.publish_with_audit(orders.limit(10), target)
     assert len(glob.glob(target + ".v*")) == 2  # default: retain all
-    m = maintenance.publish_with_audit(orders.limit(5), target, vacuum_keep=0)
+    m = maintenance.publish_with_audit(
+        orders.limit(5), target, vacuum_keep=0, vacuum_grace_seconds=0
+    )
     assert len(m["vacuum_deleted"]) == 2
     assert len(glob.glob(target + ".v*")) == 1
     assert os.path.basename(os.path.realpath(target)) not in m["vacuum_deleted"]

@@ -657,6 +657,18 @@ def test_rolling_zscore_flags_planted_spike(spark):
     assert [r["event_id"] for r in out] == [20]
     assert out[0]["z"] > 100
 
+    # constant heartbeat then a jump: var == 0 → z is NULL but the row
+    # IS flagged (the review-pass hole: the var>0-only filter silently
+    # dropped the most extreme anomaly class)
+    hb = [(2, i, base + dt.timedelta(minutes=i), "ping", 10.0) for i in range(15)]
+    hb.append((2, 15, base + dt.timedelta(minutes=15), "ping", 999.0))
+    ev2 = spark.createDataFrame(
+        hb, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    out2 = windows.rolling_zscore_anomalies(ev2).collect()
+    assert [r["event_id"] for r in out2] == [15]
+    assert out2[0]["z"] is None and out2[0]["base_mean"] == 10.0
+
 
 def test_multigrain_rollup_conservation(tables):
     """Grain hierarchy conservation: hour-grain counts sum to the
@@ -730,10 +742,17 @@ def test_important_stock_cutoff_contract(spark, tables):
         .agg(F.round(F.sum("value"), 2).alias("part_value"))
         .collect()
     )
-    vals = {r["p_partkey"]: r["part_value"] for r in per_part}
-    cutoff = round(sum(vals.values()) / len(vals) * 1.2, 2)
+    cents = {k: round(v * 100) for k, v in (
+        (r["p_partkey"], r["part_value"]) for r in per_part
+    )}
+    total_cents, n = sum(cents.values()), len(cents)
     got = {r["p_partkey"]: r["part_value"] for r in out}
-    assert got == {k: v for k, v in vals.items() if v > cutoff}
+    want = {
+        k: round(c / 100.0, 2)
+        for k, c in cents.items()
+        if c * n * 10 > total_cents * 12  # exact integer rule, no fp boundary
+    }
+    assert got == want
 
 
 def test_ab_welch_ttest_closed_form(spark):
