@@ -4050,7 +4050,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             zc AS (
                 SELECT user_id, event_id, event_type, value, n_prior, var, mean,
-                       round(mean, 4) AS base_mean,
+                       round(mean, 6) AS base_mean,
                        CASE WHEN var > 0
                             THEN round((value - mean) / sqrt(var), 4) END AS z
                 FROM m

@@ -447,7 +447,13 @@ def rolling_zscore_anomalies(
         "event_id",
         "event_type",
         "value",
-        F.round(mean, 4).alias("base_mean"),
+        # 6dp, not 4dp: means of 2dp values over n∈[8,20] priors are
+        # short-expansion rationals whose doubles can SHORTEST-PRINT as
+        # an exact 4dp half — Spark's BigDecimal HALF_UP and DuckDB's
+        # multiply-rint then disagree (3 real rows at sf0.1). At 6dp,
+        # cents·20000/n is never an odd multiple for any n ≤ 20, so no
+        # half boundary exists at all.
+        F.round(mean, 6).alias("base_mean"),
         F.when(var > 0, F.round((F.col("value") - mean) / F.sqrt(var), 4)).alias("z"),
         n.alias("n_prior"),
         var.alias("var"),
