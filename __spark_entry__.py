@@ -259,6 +259,8 @@ _CERTIFY_FIRST = [
     "text_rake_keywords",  # RAKE phrase extraction
     "tpch_part_promotion",  # Q20 excess-stock decorrelation
     "streaming_anomaly",  # rows-only: stateful expanding z-score
+    "agg_mode_family",  # tie-deterministic mode + contestedness
+    "events_interarrival",  # arrival-process gap profile
     # least-recently-certified rotation: the r3 cohort (stalest, full)
     "sample_deterministic",
     "sample_stratified",
@@ -286,9 +288,8 @@ _CERTIFY_FIRST = [
     "tpch_shipping_priority",
     "tpch_small_qty_revenue",
     "tpch_top_supplier",
-    "tpch_volume_shipping",
-    "unpivot_order_measures",
-    # r3 remainder (window_distribution) and
+    # r3 remainder (tpch_volume_shipping, unpivot_order_measures,
+    # window_distribution) and
     # the whole r4 cohort (agg_approx_percentiles, agg_mad_outliers,
     # agg_trend_regression, dq_orders_integrity, events_ewma,
     # events_funnel, merge_upsert, mm_frame_sample, pandas_udaf_geomean,
@@ -710,6 +711,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_anomaly": lambda s, d: event_windows.run_streaming_anomaly(
             s, d, query_name=f"stream_anomaly_{next(_stream_counter)}"
         ),
+        "agg_mode_family": lambda s, d: agg.mode_family(*_t(s, d, "lineitem")),
+        "events_interarrival": lambda s, d: windows.interarrival_stats(*_t(s, d, "events")),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
@@ -3817,6 +3820,43 @@ def oracle_sql() -> dict[str, str]:
             FROM history
         """,
         # ---- round-9 additions ----
+        "agg_mode_family": """
+            WITH counts AS (
+                SELECT l_returnflag, l_quantity, count(*) AS n
+                FROM lineitem GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT l_returnflag, l_quantity, n,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY n DESC, l_quantity ASC) AS rn,
+                       sum(n) OVER (PARTITION BY l_returnflag) AS total,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n_distinct
+                FROM counts
+            )
+            SELECT l_returnflag,
+                   l_quantity AS mode_qty,
+                   CAST(n AS BIGINT) AS mode_n,
+                   CAST(n_distinct AS BIGINT) AS n_distinct_qty,
+                   round(CAST(n AS DOUBLE) / total, 6) AS mode_share
+            FROM ranked WHERE rn = 1
+        """,
+        "events_interarrival": """
+            WITH gaps AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                   round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_s,
+                   round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_gap_s,
+                   CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us
+            FROM gaps WHERE gap_us IS NOT NULL
+            GROUP BY 1
+        """,
         "tpch_part_promotion": """
             WITH sups AS (
                 SELECT s_suppkey FROM supplier

@@ -561,3 +561,44 @@ def gini_spend_concentration(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def mode_family(lineitem: DataFrame) -> DataFrame:
+    """Deterministic MODE — the aggregate ``argmax_aggregates``
+    deliberately excluded because both engines' bare ``mode()`` is
+    tie-nondeterministic: most frequent quantity per return flag with
+    an explicit LOWEST-VALUE tie-break, spelled as value-grain counts →
+    one ranked window → rn=1 (the idiom works identically in both
+    engines, so the oracle is exact where mode() could legally differ).
+
+    Scale shape: the value-grain pre-aggregate is map-side combined and
+    bounds the window input at value cardinality per group (the
+    weighted-median discipline); the window partitions are
+    group-bounded. One extra column reports how contested the mode is
+    (share of rows holding the modal value)."""
+    counts = lineitem.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc()
+    )
+    totals = W.partitionBy("l_returnflag")
+    return (
+        counts.select(
+            "l_returnflag",
+            "l_quantity",
+            "n",
+            F.row_number().over(w).alias("rn"),
+            F.sum("n").over(totals).alias("total"),
+            F.count("*").over(totals).alias("n_distinct"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").cast("long").alias("mode_n"),
+            F.col("n_distinct").cast("long").alias("n_distinct_qty"),
+            F.round(F.col("n") / F.col("total"), 6).alias("mode_share"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -553,3 +553,39 @@ def peak_concurrency(events: DataFrame, session_minutes: int = 5) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Inter-arrival time profile per event type — the arrival-process
+    summary behind rate limiting, capacity models, and bot detection
+    (machine-regular gaps have near-zero spread; the peak_concurrency
+    companion at the time-BETWEEN-events grain). Gap = seconds since
+    the SAME USER's previous event (any type); stats grouped by the
+    later event's type.
+
+    Scale shape: one user-grain window (lag over the shared sort) then
+    one type-grain aggregate — both map-side-friendly. Gaps are EXACT
+    INTEGER MICROSECONDS (unix_micros ≡ DuckDB epoch_us — seconds-level
+    unix_timestamp TRUNCATES while epoch() keeps the fraction, a real
+    cross-engine trap on µs-precision fixtures); output carries n/sum
+    exactly rather than a rounded mean (the r9 exact-half lesson), and
+    the interpolated percentiles are safe: both engines run
+    a + frac·(b−a) on identical doubles."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = events.select(
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+            F.round(F.expr("percentile(gap_us, 0.5)") / 1000000.0, 6).alias("p50_gap_s"),
+            F.round(F.expr("percentile(gap_us, 0.9)") / 1000000.0, 6).alias("p90_gap_s"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )

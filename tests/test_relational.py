@@ -934,3 +934,41 @@ def test_part_promotion_excess_contract(tables):
         if n:
             want[s] = (n, tot)
     assert {k: (v["n_excess_parts"], v["total_excess_avail"]) for k, v in out.items()} == want
+
+
+def test_mode_family_tie_break(spark):
+    """Deterministic mode contract: a two-way frequency tie resolves to
+    the LOWEST value (where bare mode() may return either); counts,
+    distinct-cardinality, and modal share are hand-checked."""
+    rows = [("A", 5.0)] * 3 + [("A", 2.0)] * 3 + [("A", 9.0)] * 2
+    li = spark.createDataFrame(rows, "l_returnflag string, l_quantity double")
+    r = agg.mode_family(li).collect()[0]
+    assert r["mode_qty"] == 2.0  # tie with 5.0 → lowest wins
+    assert r["mode_n"] == 3 and r["n_distinct_qty"] == 3
+    assert r["mode_share"] == round(3 / 8, 6)
+
+
+def test_interarrival_hand_computed(spark):
+    """Planted per-user gaps: user 1 events at 0s/10s/40s and user 2 at
+    5s/5.5s — gaps are exact microsecond integers (10s, 30s, 0.5s);
+    grouping is by the LATER event's type; p50 over {10s,30s} per type
+    interpolates to 20s."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda s: t0 + dt.timedelta(seconds=s)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, mk(0), "x"), (2, 1, mk(10), "x"), (3, 1, mk(40), "x"),
+            (4, 2, mk(5), "y"), (5, 2, mk(5.5), "y"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = {r["event_type"]: r for r in windows.interarrival_stats(ev).collect()}
+    x = out["x"]
+    assert x["n_gaps"] == 2 and x["sum_gap_us"] == 40_000_000
+    assert x["min_gap_us"] == 10_000_000 and x["max_gap_us"] == 30_000_000
+    assert x["p50_gap_s"] == 20.0
+    y = out["y"]
+    assert y["n_gaps"] == 1 and y["sum_gap_us"] == 500_000
+    assert y["p50_gap_s"] == 0.5
