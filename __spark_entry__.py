@@ -4018,34 +4018,48 @@ def oracle_sql() -> dict[str, str]:
             FROM per_fp GROUP BY 1
         """,
         "agg_higher_moments": """
-            WITH s AS (
+            WITH raw AS (
                 SELECT l_returnflag,
-                       CAST(count(*) AS DOUBLE) AS n,
-                       sum(l_extendedprice) AS s1,
-                       sum(l_extendedprice * l_extendedprice) AS s2,
-                       sum(l_extendedprice * l_extendedprice * l_extendedprice) AS s3,
-                       sum(l_extendedprice * l_extendedprice * l_extendedprice * l_extendedprice) AS s4
-                FROM lineitem GROUP BY 1
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100
+                            AS HUGEINT) AS c
+                FROM lineitem
+            ),
+            s AS (
+                SELECT l_returnflag,
+                       count(*) AS nl,
+                       sum(c) AS s1d,
+                       sum(c * c) AS s2d,
+                       sum(c * c * c) AS s3d,
+                       sum(c * c * c * c) AS s4d
+                FROM raw GROUP BY 1
+            ),
+            d AS (
+                SELECT l_returnflag, nl, s1d,
+                       CAST(nl AS DOUBLE) AS n,
+                       CAST(s1d AS DOUBLE) AS s1, CAST(s2d AS DOUBLE) AS s2,
+                       CAST(s3d AS DOUBLE) AS s3, CAST(s4d AS DOUBLE) AS s4
+                FROM s
             ),
             m AS (
-                SELECT l_returnflag, n,
+                SELECT l_returnflag, nl, s1d, n,
                        s1 / n AS mean,
                        s2 / n - (s1 / n) * (s1 / n) AS m2,
                        s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
                        s4 / n - 4 * (s1 / n) * s3 / n + 6 * (s1 / n) * (s1 / n) * s2 / n
                            - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
-                FROM s
+                FROM d
             ),
             g AS (
-                SELECT l_returnflag, n, mean, m2,
+                SELECT l_returnflag, nl, s1d, n, mean, m2,
                        m3 / pow(m2, 1.5) AS g1,
                        m4 / (m2 * m2) - 3 AS g2
                 FROM m
             )
             SELECT l_returnflag,
-                   CAST(n AS BIGINT) AS n_rows,
-                   round(mean, 2) AS mean_price,
-                   round(sqrt(m2), 2) AS stddev_pop,
+                   nl AS n_rows,
+                   CAST((2 * s1d + nl) // (2 * nl) AS DOUBLE) / 100.0
+                       AS mean_price,
+                   round(sqrt(m2) / 100.0, 2) AS stddev_pop,
                    round(g1, 4) AS skew_pop,
                    round(g1 * sqrt(n * (n - 1)) / (n - 2), 4) AS skew_samp,
                    round(g2, 4) AS kurt_excess_pop,
@@ -4206,27 +4220,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dq_ab_ttest": """
             WITH g AS (
-                SELECT event_type, CAST(count(*) AS DOUBLE) AS n1,
-                       sum(value) AS s1, sum(value * value) AS q1
+                SELECT event_type,
+                       count(*) AS n1i,
+                       sum(CAST(value AS DECIMAL(18,6))) AS s1d,
+                       sum(CAST(value AS DECIMAL(18,6))
+                           * CAST(value AS DECIMAL(18,6))) AS q1d
                 FROM events GROUP BY 1
             ),
-            tot AS (SELECT sum(n1) AS nt, sum(s1) AS st, sum(q1) AS qt FROM g),
+            tot AS (SELECT sum(n1i) AS nti, sum(s1d) AS std_,
+                           sum(q1d) AS qtd FROM g),
             c AS (
-                SELECT event_type, n1, s1, q1,
-                       nt - n1 AS n2, st - s1 AS s2, qt - q1 AS q2
+                SELECT event_type,
+                       CAST(n1i AS BIGINT) AS n1l,
+                       CAST(nti - n1i AS BIGINT) AS n2l,
+                       CAST(s1d * 100 AS BIGINT) AS s1c,
+                       CAST((std_ - s1d) * 100 AS BIGINT) AS s2c,
+                       CAST(s1d AS DOUBLE) AS s1,
+                       CAST(std_ - s1d AS DOUBLE) AS s2,
+                       CAST(q1d AS DOUBLE) AS q1,
+                       CAST(qtd - q1d AS DOUBLE) AS q2
                 FROM g, tot
             ),
             m AS (
-                SELECT event_type, n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
-                       (q1 - n1 * (s1 / n1) * (s1 / n1)) / (n1 - 1) AS v1,
-                       (q2 - n2 * (s2 / n2) * (s2 / n2)) / (n2 - 1) AS v2
+                SELECT event_type, n1l, n2l, s1c, s2c, s1, s2, q1, q2,
+                       CAST(n1l AS DOUBLE) AS n1, CAST(n2l AS DOUBLE) AS n2
                 FROM c
             ),
-            se AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM m)
+            v AS (
+                SELECT *, s1 / n1 AS m1, s2 / n2 AS m2,
+                       (q1 - n1 * (s1 / n1) * (s1 / n1)) / (n1 - 1) AS v1,
+                       (q2 - n2 * (s2 / n2) * (s2 / n2)) / (n2 - 1) AS v2
+                FROM m
+            ),
+            se AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM v)
             SELECT event_type,
-                   CAST(n1 AS BIGINT) AS n_group,
-                   round(m1, 2) AS mean_group,
-                   round(m2, 2) AS mean_rest,
+                   n1l AS n_group,
+                   CAST((2 * s1c + n1l) // (2 * n1l) AS DOUBLE) / 100.0
+                       AS mean_group,
+                   CAST((2 * s2c + n2l) // (2 * n2l) AS DOUBLE) / 100.0
+                       AS mean_rest,
                    round((m1 - m2) / sqrt(se2), 4) AS t_stat,
                    round((se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
                          + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS welch_df,

@@ -355,29 +355,74 @@ def regression_family(lineitem: DataFrame) -> DataFrame:
     Scale shape: ONE grouped aggregate — every regr_* function is a
     composition of the same five streaming moments (n, Σx, Σy, Σxy,
     Σx², Σy²), so the whole family partial-aggregates map-side and
-    shuffles one row per group, exactly like a sum. Rounding: slope /
-    intercept at 4dp and moments at 2dp keep the cross-engine
-    fp-accumulation-order noise (~1e-9 relative) far inside the grid."""
-    return (
-        lineitem.select(
-            "l_returnflag",
-            F.col("l_extendedprice").alias("y"),
-            F.col("l_quantity").alias("x"),
-        )
+    shuffles one row per group, exactly like a sum.
+
+    Determinism (the r10 class fix): the engines' regr_*/corr/covar
+    builtins use DIFFERENT internal accumulation (co-moment updates vs
+    naive sums) over raw doubles, so their low bits drift with
+    partition order and a 4dp round can flip — the same defect that
+    sank dq_ab_ttest in r9. The certified form therefore computes the
+    textbook identities from EXACT moments: quantity is integer-valued
+    (long), price is 2dp (integer cents via DECIMAL(18,6)×100 →
+    DECIMAL(38,0); DuckDB mirrors with HUGEINT), so (n, Σx, Σy, Σxy,
+    Σx², Σy²) and the cross-products D_xy = nΣxy−ΣxΣy etc. are exact
+    integers through ~sf1000 (n·Σc² ≈ 3.6e33 < 1e38). Cast to double,
+    every derived value is the same IEEE expression tree on both
+    engines. The 4dp means use exact (2S+n) div 2n integer rounding
+    (half-up; both columns positive). The ANSI regr_* builtins remain
+    the idiomatic production spelling — this form exists to be
+    bit-reproducible under the driver's value hash."""
+    q = F.col("l_quantity").cast("long")
+    c = (F.col("l_extendedprice").cast("decimal(18,6)") * 100).cast("decimal(38,0)")
+    s = (
+        lineitem.select("l_returnflag", q.alias("q"), c.alias("c"))
         .groupBy("l_returnflag")
         .agg(
-            F.expr("regr_count(y, x)").cast("long").alias("n_pairs"),
-            F.round(F.expr("regr_avgx(y, x)"), 4).alias("avg_qty"),
-            F.round(F.expr("regr_avgy(y, x)"), 4).alias("avg_price"),
-            F.round(F.expr("regr_slope(y, x)"), 4).alias("slope"),
-            F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
-            F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
-            F.round(F.corr("y", "x"), 6).alias("pearson_r"),
-            F.round(F.covar_samp("y", "x"), 2).alias("covar_s"),
-            F.round(F.covar_pop("y", "x"), 2).alias("covar_p"),
+            F.count("*").alias("nl"),
+            F.sum("q").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).alias("sq2"),
+            F.sum("c").alias("scd"),
+            F.sum(F.col("c") * F.col("c")).alias("sc2d"),
+            F.sum(F.col("c") * F.col("q")).alias("sqcd"),
         )
-        .orderBy("l_returnflag")
     )
+    nd = F.col("nl").cast("decimal(38,0)")
+    sqd = F.col("sq").cast("decimal(38,0)")
+    sq2d = F.col("sq2").cast("decimal(38,0)")
+    m = s.select(
+        "l_returnflag",
+        "nl",
+        "sq",
+        "scd",
+        F.col("nl").cast("double").alias("n"),
+        F.col("sq").cast("double").alias("sqf"),
+        F.col("scd").cast("double").alias("scf"),
+        (nd * F.col("sqcd") - sqd * F.col("scd")).cast("double").alias("dxy"),
+        (nd * sq2d - sqd * sqd).cast("double").alias("dxx"),
+        (nd * F.col("sc2d") - F.col("scd") * F.col("scd"))
+        .cast("double")
+        .alias("dyy"),
+        (F.col("scd") * 100).cast("decimal(38,0)").alias("sc100"),
+    )
+    n = F.col("n")
+    dxy, dxx, dyy = F.col("dxy"), F.col("dxx"), F.col("dyy")
+    slope = dxy / dxx / 100.0
+    avg_q4 = F.expr("(2 * sq * 10000 + nl) div (2 * nl)")
+    avg_p4 = F.expr("(2 * sc100 + nl) div (2 * nl)")
+    return m.select(
+        "l_returnflag",
+        F.col("nl").alias("n_pairs"),
+        (avg_q4.cast("double") / F.lit(10000.0)).alias("avg_qty"),
+        (avg_p4.cast("double") / F.lit(10000.0)).alias("avg_price"),
+        F.round(slope, 4).alias("slope"),
+        F.round(
+            F.col("scf") / 100.0 / n - (dxy / dxx / 100.0) * (F.col("sqf") / n), 4
+        ).alias("intercept"),
+        F.round((dxy * dxy) / (dxx * dyy), 6).alias("r2"),
+        F.round(dxy / F.sqrt(dxx * dyy), 6).alias("pearson_r"),
+        F.round(dxy / (n * (n - 1)) / 100.0, 2).alias("covar_s"),
+        F.round(dxy / (n * n) / 100.0, 2).alias("covar_p"),
+    ).orderBy("l_returnflag")
 
 
 def higher_moment_family(lineitem: DataFrame) -> DataFrame:
@@ -395,18 +440,38 @@ def higher_moment_family(lineitem: DataFrame) -> DataFrame:
     aggregation map-side, one row per group on the wire, the same cost
     as a sum. Cancellation note: central-from-raw moments lose digits
     when mean/σ is large; here mean/σ ≈ 1.6 and doubles carry 15-16
-    digits, and both engines run the SAME formula so residual error
-    cancels in the comparison grid (4dp on the dimensionless outputs).
-    """
-    x = F.col("l_extendedprice")
-    pow_sums = lineitem.groupBy("l_returnflag").agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum(x).alias("s1"),
-        F.sum(x * x).alias("s2"),
-        F.sum(x * x * x).alias("s3"),
-        F.sum(x * x * x * x).alias("s4"),
+    digits.
+
+    Determinism (the r10 class fix — this query shared dq_ab_ttest's
+    raw-double-power-sum hazard and was green only by accumulation-
+    order luck): the power sums run over EXACT integer cents —
+    DECIMAL(18,6) cast (2dp data, lossless) × 100 → DECIMAL(38,0),
+    powered and summed in DECIMAL(38,0) (DuckDB mirrors with HUGEINT).
+    Σc⁴ needs ~29 digits per row-term and ~37 at sf100 lineitem
+    (1.05e7⁴ · 6e8 rows ≈ 7e36 < 1e38) — exact through sf100; beyond
+    that, shard the sum or coarsen the grid. The exact sums cast to
+    double identically on both engines, and every derived moment is
+    the same IEEE expression tree — deterministic regardless of
+    partition count or scan order. g1/g2 are scale-invariant, so the
+    cents domain changes nothing; mean/stddev are rescaled by 100 at
+    the end, the 2dp mean via exact (2S+n) div 2n integer cents
+    (half-up; prices positive) so no round-half divergence exists."""
+    c = (F.col("l_extendedprice").cast("decimal(18,6)") * 100).cast("decimal(38,0)")
+    pow_sums = (
+        lineitem.select("l_returnflag", c.alias("c"), (c * c).alias("c2"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("nl"),
+            F.sum("c").alias("s1d"),
+            F.sum("c2").alias("s2d"),
+            F.sum(F.col("c2") * F.col("c")).alias("s3d"),
+            F.sum(F.col("c2") * F.col("c2")).alias("s4d"),
+        )
     )
-    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    n = F.col("nl").cast("double")
+    s1, s2, s3, s4 = (
+        F.col(c_).cast("double") for c_ in ("s1d", "s2d", "s3d", "s4d")
+    )
     mean = s1 / n
     m2 = s2 / n - mean * mean
     m3 = s3 / n - 3 * mean * s2 / n + 2 * mean * mean * mean
@@ -420,11 +485,12 @@ def higher_moment_family(lineitem: DataFrame) -> DataFrame:
     g2 = m4 / (m2 * m2) - 3
     big_g1 = g1 * F.sqrt(n * (n - 1)) / (n - 2)
     big_g2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    mean_c = F.expr("(2 * s1d + nl) div (2 * nl)")
     return pow_sums.select(
         "l_returnflag",
-        n.cast("long").alias("n_rows"),
-        F.round(mean, 2).alias("mean_price"),
-        F.round(F.sqrt(m2), 2).alias("stddev_pop"),
+        F.col("nl").alias("n_rows"),
+        (mean_c.cast("double") / F.lit(100.0)).alias("mean_price"),
+        F.round(F.sqrt(m2) / 100.0, 2).alias("stddev_pop"),
         F.round(g1, 4).alias("skew_pop"),
         F.round(big_g1, 4).alias("skew_samp"),
         F.round(g2, 4).alias("kurt_excess_pop"),

@@ -342,20 +342,46 @@ def ab_welch_ttest(events: DataFrame) -> DataFrame:
 
     Scale shape: one grouped aggregate (map-side partials) + a
     broadcast 1-row total + map-only arithmetic. Rounding at 4dp on
-    t/df (dimensionless), 2dp on means."""
+    t/df (dimensionless), 2dp on means.
+
+    Determinism (the r9 driver-hash lesson): the group moments are
+    summed over DECIMAL(18,6) casts of value (2dp data — lossless), so
+    (n, Σx, Σx²) are EXACT in both engines regardless of partial-agg
+    accumulation order; raw-double sums drifted ~1e-7 between scan
+    orders and flipped t/df at 4dp boundaries. The exact sums are then
+    cast to double and the t/df chain is the identical IEEE expression
+    tree on both engines → bit-identical before rounding (sqrt-derived
+    values never sit on a 4dp grid point). The 2dp means are rounded
+    with EXACT integer-cents arithmetic — (2·Σcents + n) div (2n),
+    half-up, values are positive — because a double mean of 2dp values
+    can land on an odd-thousandth whose shortest repr rounds
+    differently under Spark's BigDecimal HALF_UP vs DuckDB's
+    multiply-rint."""
+    dec = F.col("value").cast("decimal(18,6)")
     g = events.groupBy("event_type").agg(
-        F.count("*").cast("double").alias("n1"),
-        F.sum("value").alias("s1"),
-        F.sum(F.col("value") * F.col("value")).alias("q1"),
+        F.count("*").alias("n1i"),
+        F.sum(dec).alias("s1d"),
+        F.sum(dec * dec).alias("q1d"),
     )
     tot = g.agg(
-        F.sum("n1").alias("nt"), F.sum("s1").alias("st"), F.sum("q1").alias("qt")
+        F.sum("n1i").alias("nti"),
+        F.sum("s1d").alias("std_"),
+        F.sum("q1d").alias("qtd"),
     )
-    j = g.crossJoin(F.broadcast(tot))
-    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
-    n2 = F.col("nt") - n1
-    s2 = F.col("st") - s1
-    q2 = F.col("qt") - q1
+    j = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n1i").cast("long").alias("n1l"),
+        (F.col("nti") - F.col("n1i")).cast("long").alias("n2l"),
+        (F.col("s1d") * 100).cast("long").alias("s1c"),
+        ((F.col("std_") - F.col("s1d")) * 100).cast("long").alias("s2c"),
+        F.col("s1d").cast("double").alias("s1"),
+        (F.col("std_") - F.col("s1d")).cast("double").alias("s2"),
+        F.col("q1d").cast("double").alias("q1"),
+        (F.col("qtd") - F.col("q1d")).cast("double").alias("q2"),
+    )
+    n1 = F.col("n1l").cast("double")
+    n2 = F.col("n2l").cast("double")
+    s1, q1, s2, q2 = F.col("s1"), F.col("q1"), F.col("s2"), F.col("q2")
     m1, m2 = s1 / n1, s2 / n2
     v1 = (q1 - n1 * m1 * m1) / (n1 - 1)
     v2 = (q2 - n2 * m2 * m2) / (n2 - 1)
@@ -364,11 +390,13 @@ def ab_welch_ttest(events: DataFrame) -> DataFrame:
     df = (se2 * se2) / (
         (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
     )
+    m1c = F.expr("(2 * s1c + n1l) div (2 * n1l)")
+    m2c = F.expr("(2 * s2c + n2l) div (2 * n2l)")
     return j.select(
         "event_type",
-        n1.cast("long").alias("n_group"),
-        F.round(m1, 2).alias("mean_group"),
-        F.round(m2, 2).alias("mean_rest"),
+        F.col("n1l").alias("n_group"),
+        (m1c.cast("double") / F.lit(100.0)).alias("mean_group"),
+        (m2c.cast("double") / F.lit(100.0)).alias("mean_rest"),
         F.round(t, 4).alias("t_stat"),
         F.round(df, 4).alias("welch_df"),
         (F.abs(F.round(t, 4)) >= 1.96).alias("nominal_sig"),

@@ -4,7 +4,18 @@ in DuckDB over the same parquet, and compare row-count + column names/
 types + order-insensitive values (exact for non-floats, tiny epsilon for
 floats since both sides round explicitly).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--exact] [--require-rows] [sf_dir] [query ...]
+
+``--exact``: compare floats EXACTLY (bit-for-bit after NaN pairing) —
+this matches the driver's value-hash semantics. The default epsilon
+compare is blind to exactly the class of bug that sank dq_ab_ttest in
+round 9 (accumulation-order drift flipping a 4dp rounding boundary:
+~1e-7 deltas pass epsilon but change the hash). Run --exact before
+certifying anything.
+
+``--require-rows``: treat 0 Spark rows as a failure for EVERY query,
+oracle-backed or rows-only — a hash match on the empty set proves
+nothing (the r9 join_anti lesson).
 """
 
 from __future__ import annotations
@@ -55,7 +66,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(name: str, spark_df, oracle_df) -> list[str]:
+def compare(name: str, spark_df, oracle_df, exact: bool = False) -> list[str]:
     problems = []
     s = normalize(spark_df)
     o = normalize(oracle_df)
@@ -70,10 +81,14 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             sn = sv.astype(float)
             on = ov.astype(float)
-            bad = ~(
-                (sn.isna() & on.isna())
-                | ((sn - on).abs() <= 1e-9 + 1e-9 * on.abs().fillna(0))
-            )
+            if exact:
+                # driver-hash semantics: exact value identity, NaN==NaN
+                bad = ~((sn.isna() & on.isna()) | (sn == on))
+            else:
+                bad = ~(
+                    (sn.isna() & on.isna())
+                    | ((sn - on).abs() <= 1e-9 + 1e-9 * on.abs().fillna(0))
+                )
         else:
             bad = ~((sv.isna() & ov.isna()) | (sv.astype(str) == ov.astype(str)))
         if bad.any():
@@ -89,8 +104,11 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    exact = "--exact" in sys.argv
+    require_rows = "--require-rows" in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark(cpus="8")
     con = duck_con(sf_dir)
     qs = entrymod.queries()
@@ -105,6 +123,10 @@ def main() -> int:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:300]}")
             failed.append(name)
             continue
+        if require_rows and len(sdf) == 0:
+            print(f"FAIL  {name}: 0 spark rows (vacuous certification)")
+            failed.append(name)
+            continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
             continue
@@ -114,7 +136,7 @@ def main() -> int:
             print(f"FAIL  {name}: oracle error {str(e)[:300]}")
             failed.append(name)
             continue
-        problems = compare(name, sdf, odf)
+        problems = compare(name, sdf, odf, exact=exact)
         if problems:
             print(f"FAIL  {name}: " + " | ".join(problems[:4]))
             failed.append(name)
