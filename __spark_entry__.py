@@ -236,68 +236,63 @@ def _q_cube_request(spark, sf):
 # inserted at the head as they land, displacing the newest r3 names
 # (tail comment tracks what rotates to round 9).
 _CERTIFY_FIRST = [
-    # round-9 new queries (head of the window)
-    "agg_higher_moments",  # skew/kurtosis from explicit power sums
-    "agg_weighted_median",  # weighted percentiles via cumulative window
-    "events_anomaly_zscore",  # prior-frame rolling z-score flags
-    "events_multigrain_rollup",  # hour->day->type->total ROLLUP
-    "scalar_ip_funcs",  # IPv4 parse/int/CIDR/PTR family
-    "graph_degree_profile",  # dup-graph degree histogram
-    "graph_kcore",  # rows-only: k-ascending core peel
-    "tpch_important_stock",  # Q11 HAVING-vs-global-scalar shape
-    "text_cm_heavy_hitters",  # Count-Min sketch calibration report
-    "dq_ab_ttest",  # Welch group-vs-rest t-test screen
-    "dedup_keep_policy",  # rows-only: components x pagerank keep
-    "sim_mmr_diversify",  # rows-only: MMR diverse top-k
-    "events_cumulative_users",  # first-seen collapse running distinct
-    "agg_gini_spend",  # Gini concentration coefficient
-    "dedup_rate_by_source",  # per-source exact-dup pressure
-    "sim_ann_recall_report",  # rows-only: recall@k calibration
-    "events_peak_concurrency",  # sweep-line max concurrent sessions
-    "pipeline_shard_manifest",  # xor-fingerprint shard ledger
-    "dedup_minhash_calibration",  # rows-only: estimator error audit
-    "text_rake_keywords",  # RAKE phrase extraction
-    "tpch_part_promotion",  # Q20 excess-stock decorrelation
-    "streaming_anomaly",  # rows-only: stateful expanding z-score
-    "agg_mode_family",  # tie-deterministic mode + contestedness
-    "events_interarrival",  # arrival-process gap profile
-    # least-recently-certified rotation: the r3 cohort (stalest, full)
-    "sample_deterministic",
-    "sample_stratified",
-    "semantic_ohlcv_daily",
-    "sim_quantize_int8",
-    "sql_interactive",
-    "streaming_foreachbatch_upsert",
-    "streaming_sessionize",
-    "streaming_sliding",
-    "streaming_stateful_counter",
-    "streaming_stream_join",
-    "text_fingerprint",
-    "text_source_profile",
-    "text_vocab_oov",
-    "tpch_big_spenders",
-    "tpch_disjunctive_revenue",
-    "tpch_forecast_revenue",
-    "tpch_large_orders",
-    "tpch_local_supplier_volume",
-    "tpch_market_share",
-    "tpch_order_distribution",
-    "tpch_promo_revenue",
-    "tpch_returned_items",
-    "tpch_sales_opportunity",
-    "tpch_shipping_priority",
-    "tpch_small_qty_revenue",
-    "tpch_top_supplier",
-    # r3 remainder (tpch_volume_shipping, unpivot_order_measures,
-    # window_distribution) and
-    # the whole r4 cohort (agg_approx_percentiles, agg_mad_outliers,
-    # agg_trend_regression, dq_orders_integrity, events_ewma,
-    # events_funnel, merge_upsert, mm_frame_sample, pandas_udaf_geomean,
-    # pivot_status_by_priority, scd2_versions, semantic_prediction_join,
-    # sim_random_projection, streaming_dedup, streaming_tumbling,
-    # text_chunk_rolling_hash, text_contamination, text_frequent_tokens,
-    # text_pack_sequences, text_quality_gate, text_token_stats) rotate
-    # in round 10, then the r5 cohort
+    # round-11 head: every query whose code OR oracle changed this round
+    # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "dq_ab_ttest",  # red in r10 driver row; exact-green locally at 3 SFs
+    "agg_regression_funcs",  # r10 Spark rewrite + r11 exact-HUGEINT oracle
+    "agg_higher_moments",  # r10 rewrite, green in r10 — confirm stays green
+    "join_anti",  # de-vacuized: date-windowed NOT EXISTS (rows at all SFs)
+    "events_anomaly_zscore",  # r11: constant-baseline false-flag fix
+    "streaming_anomaly",  # rows-only twin of the z-score fix
+    "sim_mmr_diversify",  # rows-only: r11 one-job rewrite + rank-1 gate
+    "dedup_minhash_calibration",  # rows-only: r11 band-index candidate feed
+    "tpch_important_stock",  # r11: decimal(38,0) threshold compare
+    # least-recently-certified rotation: r3 remainder + the whole r4
+    # cohort (last driver-checked in round 4 — 7 rounds stale)
+    "tpch_volume_shipping",
+    "unpivot_order_measures",
+    "window_distribution",
+    "agg_approx_percentiles",
+    "agg_mad_outliers",
+    "agg_trend_regression",
+    "dq_orders_integrity",
+    "events_ewma",
+    "events_funnel",
+    "merge_upsert",
+    "mm_frame_sample",
+    "pandas_udaf_geomean",
+    "pivot_status_by_priority",
+    "scd2_versions",
+    "semantic_prediction_join",
+    "sim_random_projection",
+    "streaming_dedup",
+    "streaming_tumbling",
+    "text_chunk_rolling_hash",
+    "text_contamination",
+    "text_frequent_tokens",
+    "text_pack_sequences",
+    "text_quality_gate",
+    "text_token_stats",
+    # the r5 cohort (rounds stale: 6)
+    "text_tfidf_top_terms",
+    "text_bm25_search",
+    "pipeline_weighted_sample",
+    "text_dup_ngrams",
+    "events_transition_matrix",
+    "sim_pca_project",
+    "pipeline_corpus_prep_neardup",
+    "dedup_components_chain",
+    "dedup_incremental",
+    "text_zipf_profile",
+    "scalar_variant_funcs",
+    "sql_recursive_spine",
+    "text_langid_confusion",
+    "tpch_rfm_segments",
+    "text_corpus_qa_report",
+    # r6 cohort head (pipeline_mixture_build onward rotates in round 12,
+    # then the r6 remainder and the r7 cohort)
+    "pipeline_mixture_build",
+    "text_pii_scrub",
 ]
 
 
@@ -920,7 +915,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_anti": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderdate >= DATE '2000-01-01')
         """,
         "join_broadcast": """
             SELECT p_brand,
@@ -3059,17 +3055,52 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "agg_regression_funcs": """
+            WITH raw AS (
+                SELECT l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS q,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100
+                            AS HUGEINT) AS c
+                FROM lineitem
+            ),
+            s AS (
+                SELECT l_returnflag,
+                       count(*) AS nl,
+                       sum(q) AS sq,
+                       sum(q * q) AS sq2,
+                       sum(c) AS scd,
+                       sum(c * c) AS sc2d,
+                       sum(c * q) AS sqcd
+                FROM raw GROUP BY 1
+            ),
+            m AS (
+                SELECT l_returnflag, nl, sq, scd,
+                       CAST(nl AS DOUBLE) AS n,
+                       CAST(sq AS DOUBLE) AS sqf,
+                       CAST(scd AS DOUBLE) AS scf,
+                       CAST(CAST(nl AS HUGEINT) * sqcd
+                            - CAST(sq AS HUGEINT) * scd AS DOUBLE) AS dxy,
+                       CAST(CAST(nl AS HUGEINT) * CAST(sq2 AS HUGEINT)
+                            - CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT)
+                            AS DOUBLE) AS dxx,
+                       CAST(CAST(nl AS HUGEINT) * sc2d - scd * scd
+                            AS DOUBLE) AS dyy,
+                       scd * 100 AS sc100
+                FROM s
+            )
             SELECT l_returnflag,
-                   CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
-                   round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
-                   round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price,
-                   round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-                   round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-                   round(corr(l_extendedprice, l_quantity), 6) AS pearson_r,
-                   round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_s,
-                   round(covar_pop(l_extendedprice, l_quantity), 2) AS covar_p
-            FROM lineitem GROUP BY 1 ORDER BY 1
+                   CAST(nl AS BIGINT) AS n_pairs,
+                   CAST((2 * CAST(sq AS HUGEINT) * 10000 + nl) // (2 * nl)
+                        AS DOUBLE) / 10000.0 AS avg_qty,
+                   CAST((2 * sc100 + nl) // (2 * nl) AS DOUBLE) / 10000.0
+                        AS avg_price,
+                   round(dxy / dxx / 100.0, 4) AS slope,
+                   round(scf / 100.0 / n - (dxy / dxx / 100.0) * (sqf / n), 4)
+                        AS intercept,
+                   round((dxy * dxy) / (dxx * dyy), 6) AS r2,
+                   round(dxy / sqrt(dxx * dyy), 6) AS pearson_r,
+                   round(dxy / (n * (n - 1)) / 100.0, 2) AS covar_s,
+                   round(dxy / (n * n) / 100.0, 2) AS covar_p
+            FROM m ORDER BY 1
         """,
         "dq_benford": """
             WITH c AS (

@@ -20,8 +20,9 @@ nothing (the r9 join_anti lesson).
 
 from __future__ import annotations
 
-import math
 import sys
+
+import numpy as np
 
 import duckdb
 import pandas as pd
@@ -82,8 +83,17 @@ def compare(name: str, spark_df, oracle_df, exact: bool = False) -> list[str]:
             sn = sv.astype(float)
             on = ov.astype(float)
             if exact:
-                # driver-hash semantics: exact value identity, NaN==NaN
-                bad = ~((sn.isna() & on.isna()) | (sn == on))
+                # driver-hash semantics: exact value identity, NaN==NaN,
+                # and matching sign bits (round() can emit -0.0, which
+                # float == treats as equal to 0.0 but a string/bit hash
+                # does not)
+                bad = ~(
+                    (sn.isna() & on.isna())
+                    | (
+                        (sn == on)
+                        & (np.signbit(sn.fillna(0.0)) == np.signbit(on.fillna(0.0)))
+                    )
+                )
             else:
                 bad = ~(
                     (sn.isna() & on.isna())
@@ -104,6 +114,11 @@ def compare(name: str, spark_df, oracle_df, exact: bool = False) -> list[str]:
 
 
 def main() -> int:
+    known_flags = {"--exact", "--require-rows"}
+    unknown = [a for a in sys.argv[1:] if a.startswith("--") and a not in known_flags]
+    if unknown:
+        print(f"unknown flag(s): {unknown}; valid: {sorted(known_flags)}")
+        return 2
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     exact = "--exact" in sys.argv
     require_rows = "--require-rows" in sys.argv
