@@ -4119,10 +4119,16 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_zscore": """
             WITH s AS (
                 SELECT user_id, event_id, event_type, value,
+                       CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents,
                        count(value) OVER w AS n_prior,
                        CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
                        CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w
-                            AS DOUBLE) AS s2
+                            AS DOUBLE) AS s2,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)) OVER w
+                            AS BIGINT) AS s1c,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)
+                                * CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)) OVER w
+                            AS BIGINT) AS s2c
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
@@ -4130,13 +4136,16 @@ def oracle_sql() -> dict[str, str]:
             m AS (
                 SELECT user_id, event_id, event_type, value, n_prior,
                        s1 / n_prior AS mean,
-                       (s2 - n_prior * (s1 / n_prior) * (s1 / n_prior)) / (n_prior - 1) AS var
+                       (s2 - n_prior * (s1 / n_prior) * (s1 / n_prior)) / (n_prior - 1) AS var,
+                       s2c * n_prior = s1c * s1c AS const_base,
+                       s2c * n_prior = s1c * s1c
+                           AND cents * n_prior <> s1c AS const_jump
                 FROM s
             ),
             zc AS (
-                SELECT user_id, event_id, event_type, value, n_prior, var, mean,
+                SELECT user_id, event_id, event_type, value, n_prior, const_jump,
                        round(mean, 6) AS base_mean,
-                       CASE WHEN var > 0
+                       CASE WHEN NOT const_base AND var > 0
                             THEN round((value - mean) / sqrt(var), 4) END AS z
                 FROM m
             )
@@ -4144,7 +4153,7 @@ def oracle_sql() -> dict[str, str]:
             FROM zc
             WHERE n_prior >= 8 AND (
                   (z IS NOT NULL AND abs(z) >= 3.0)
-                  OR (var <= 0 AND value <> mean))
+                  OR const_jump)
         """,
         "events_multigrain_rollup": """
             SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'

@@ -425,23 +425,38 @@ def rolling_zscore_anomalies(
         .rowsBetween(-lookback, -1)
     )
     dec = F.col("value").cast("decimal(18,6)")
+    # exact integer cents alongside the double moments: the constant-
+    # baseline tests below must not depend on float round-trips (a
+    # 1-ulp drift in s1/n flagged a perfectly constant series as an
+    # infinite-z anomaly). Long-exact through cents ≈ 1e8 per value
+    # (s1c² ≤ (20·1e8)² < 2^63); events values are ≤ ~1e5 cents.
+    cents = (dec * 100).cast("long")
     scored = events.select(
         "user_id",
         "event_id",
         "ts",
         "event_type",
         "value",
+        cents.alias("cents"),
         F.count("value").over(w).alias("n_prior"),
         F.sum(dec).over(w).cast("double").alias("s1"),
         F.sum(dec * dec).over(w).cast("double").alias("s2"),
+        F.sum(cents).over(w).alias("s1c"),
+        F.sum(cents * cents).over(w).alias("s2c"),
     )
     n = F.col("n_prior")
     mean = F.col("s1") / n
     var = (F.col("s2") - n * mean * mean) / (n - 1)
-    # z is NULL when the baseline is CONSTANT (var ≤ 0): a jump off a
-    # constant baseline is the most anomalous case — infinite z — so it
-    # is FLAGGED (z NULL, the cross-engine-stable spelling of ∞), not
-    # silently dropped as the earlier var>0-only filter did
+    # EXACT constant-baseline detection (integer arithmetic, no float):
+    # n·Σc² == (Σc)² iff every prior value is identical (Cauchy-Schwarz
+    # equality), and then c·n != Σc iff the current value differs from
+    # that constant. A jump off a constant baseline is the most
+    # anomalous case — infinite z — so it is FLAGGED (z NULL, the
+    # cross-engine-stable spelling of ∞); a value EQUAL to its constant
+    # baseline is never flagged, even when the double var drifts a few
+    # ulp either side of zero.
+    const_base = F.col("s2c") * n == F.col("s1c") * F.col("s1c")
+    const_jump = const_base & (F.col("cents") * n != F.col("s1c"))
     staged = scored.select(
         "user_id",
         "event_id",
@@ -454,17 +469,16 @@ def rolling_zscore_anomalies(
         # cents·20000/n is never an odd multiple for any n ≤ 20, so no
         # half boundary exists at all.
         F.round(mean, 6).alias("base_mean"),
-        F.when(var > 0, F.round((F.col("value") - mean) / F.sqrt(var), 4)).alias("z"),
+        F.when(~const_base & (var > 0), F.round((F.col("value") - mean) / F.sqrt(var), 4)).alias("z"),
         n.alias("n_prior"),
-        var.alias("var"),
-        mean.alias("mean_raw"),
+        const_jump.alias("const_jump"),
     )
     return (
         staged.filter(
             (F.col("n_prior") >= min_prior)
             & (
                 (F.col("z").isNotNull() & (F.abs(F.col("z")) >= z_cut))
-                | ((F.col("var") <= 0) & (F.col("value") != F.col("mean_raw")))
+                | F.col("const_jump")
             )
         )
         .select("user_id", "event_id", "event_type", "value", "base_mean", "z")

@@ -807,14 +807,14 @@ def run_streaming_anomaly(
     output_schema = (
         "user_id bigint, event_id bigint, value double, base_mean double, z double"
     )
-    state_schema = "n bigint, s1 double, s2 double"
+    state_schema = "n bigint, s1 double, s2 double, s1c bigint, s2c bigint"
 
     def update(key, pdfs, state: GroupState):
         import math
 
         import pandas as pd
 
-        n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        n, s1, s2, s1c, s2c = state.get if state.exists else (0, 0.0, 0.0, 0, 0)
         flagged = {"user_id": [], "event_id": [], "value": [], "base_mean": [], "z": []}
         # concatenate BEFORE sorting: a group larger than the Arrow batch
         # size arrives as multiple chunks, and chunk-local sorts would
@@ -825,25 +825,37 @@ def run_streaming_anomaly(
         if len(batch):
             for row in batch.sort_values(["ts", "event_id"]).itertuples():
                 v = float(row.value)
+                # exact integer cents mirror the batch twin's DECIMAL
+                # cast: the constant-baseline decision must never ride
+                # on a float round-trip (1-ulp drift in s1/n flagged a
+                # perfectly constant series as an infinite-z anomaly)
+                c = int(round(v * 100))
                 if n >= min_prior:
                     mean = s1 / n
                     var = (s2 - n * mean * mean) / (n - 1)
                     z = None
-                    if var > 0:
+                    if s2c * n == s1c * s1c:
+                        # EXACT constant baseline (Cauchy-Schwarz
+                        # equality on cent sums). A jump off it is the
+                        # MOST anomalous case — infinite z; a value
+                        # equal to the constant is never flagged, even
+                        # when double var drifts a few ulp from zero.
+                        if c * n != s1c:
+                            z = math.inf if c * n > s1c else -math.inf
+                    elif var > 0:
                         z = (v - mean) / math.sqrt(var)
-                    elif v != mean:
-                        # constant baseline then a jump: infinite z — the
-                        # MOST anomalous case, not an exclusion (the var>0
-                        # guard alone silently dropped it)
-                        z = math.inf if v > mean else -math.inf
                     if z is not None and abs(z) >= z_cut:
                         flagged["user_id"].append(key[0])
                         flagged["event_id"].append(row.event_id)
                         flagged["value"].append(v)
-                        flagged["base_mean"].append(round(mean, 4))
+                        # 6dp like the batch twin (4dp sits on exact-half
+                        # rounding boundaries for small-n means of 2dp
+                        # values — the r9 events_anomaly_zscore lesson)
+                        flagged["base_mean"].append(round(mean, 6))
                         flagged["z"].append(round(z, 4) if math.isfinite(z) else z)
                 n, s1, s2 = n + 1, s1 + v, s2 + v * v
-        state.update((n, s1, s2))
+                s1c, s2c = s1c + c, s2c + c * c
+        state.update((n, s1, s2, s1c, s2c))
         yield pd.DataFrame(flagged)
 
     out = stream.groupBy("user_id").applyInPandasWithState(

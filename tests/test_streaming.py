@@ -555,16 +555,62 @@ def test_streaming_anomaly_matches_batch_reference(spark):
         by_user.setdefault(r["user_id"], []).append(r)
     want = {}
     for u, rows in by_user.items():
-        n, s1, s2 = 0, 0.0, 0.0
+        n, s1, s2, s1c, s2c = 0, 0.0, 0.0, 0, 0
         for r in rows:
             v = float(r["value"])
+            c = int(round(v * 100))
             if n >= 8:
                 mean = s1 / n
                 var = (s2 - n * mean * mean) / (n - 1)
-                if var > 0:
+                z = None
+                if s2c * n == s1c * s1c:
+                    if c * n != s1c:
+                        z = math.inf if c * n > s1c else -math.inf
+                elif var > 0:
                     z = (v - mean) / math.sqrt(var)
-                    if abs(z) >= 3.0:
-                        want[(u, r["event_id"])] = (round(mean, 4), round(z, 4))
+                if z is not None and abs(z) >= 3.0:
+                    want[(u, r["event_id"])] = (
+                        round(mean, 6),
+                        round(z, 4) if math.isfinite(z) else z,
+                    )
             n, s1, s2 = n + 1, s1 + v, s2 + v * v
+            s1c, s2c = s1c + c, s2c + c * c
     assert got == want
     assert want  # non-vacuous at the fixture SF
+
+
+def test_streaming_anomaly_constant_then_jump(spark, tmp_path):
+    """The ±inf branch: a perfectly constant baseline must NOT flag a
+    repeat of the same value (exact cent-sum detection, no float
+    drift), and a jump off it flags with z = ±inf."""
+    import datetime
+    import math
+
+    from datalake_local_spark.streaming import event_windows
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: ten constant 5.00s, one more 5.00 (must NOT flag),
+    # then a jump to 50.00 (+inf) — the eleventh 5.00 keeps the
+    # baseline constant so the jump still sees a zero-variance state
+    for i in range(11):
+        rows.append((1, i, t0 + datetime.timedelta(minutes=i), "view", 5.00))
+    rows.append((1, 11, t0 + datetime.timedelta(minutes=11), "view", 50.00))
+    # user 2: constant 7.50s then a drop to 0.25 (-inf)
+    for i in range(9):
+        rows.append((2, 100 + i, t0 + datetime.timedelta(minutes=i), "view", 7.50))
+    rows.append((2, 109, t0 + datetime.timedelta(minutes=9), "view", 0.25))
+    import pandas as pd
+
+    # one parquet FILE (the stream source globs file names, not dirs)
+    pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "event_type", "value"]
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    out = event_windows.run_streaming_anomaly(
+        spark, str(tmp_path), query_name="stream_anomaly_constjump"
+    ).collect()
+    got = {(r["user_id"], r["event_id"]): (r["base_mean"], r["z"]) for r in out}
+    assert got == {
+        (1, 11): (5.0, math.inf),
+        (2, 109): (7.5, -math.inf),
+    }
