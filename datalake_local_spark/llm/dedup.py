@@ -224,39 +224,27 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 16, shingle_n: in
     )
 
 
-def minhash_lsh_candidates(
+def _band_candidate_pairs(
     documents: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs.
-
-    1. signatures (see above);
-    2. band each signature into `bands` chunks, hash each chunk;
-    3. equi-join docs sharing any (band_id, band_hash) bucket → candidates;
-    4. verify candidates with EXACT shingle Jaccard (array_intersect /
-       union sizes) and threshold.
-
-    The only shuffles are the band-bucket join and the final distinct —
-    no all-pairs comparison anywhere, which is what makes this the 100 TB
-    path. Deterministic (seeded xxhash64), but not ANSI-SQL-expressible →
-    driver records rows-only correctness; the exact-Jaccard companion
-    (ngram_jaccard_pairs) is the hash-checked oracle query.
-    """
+    """Banded-LSH candidate pairs (doc_a < doc_b), deduplicated — the
+    shared front half of minhash_lsh_candidates and the calibration
+    audit's candidate feed. Signatures come from the bounded plan-cache
+    registry when the input is file-backed (the table feeds both sides
+    of the self-join; recomputing the shingle+aggregate subtree twice
+    was the dominant cost). (localCheckpoint was tried and rejected:
+    the RDD-backed leaf hides statistics/columnar structure from
+    Catalyst and made the candidate join ~40× slower at sf0.1.)
+    Cache key = plan fingerprint (semantic hash + session) over the
+    source parquet files' (uri, size, mtime) signatures — an in-place
+    rewrite misses instead of returning stale signatures; a
+    non-file-backed input (in-memory test frames) has no stable file
+    identity → skip the registry rather than risk a key collision
+    returning another dataset's signatures."""
     rows_per_band = num_hashes // bands
-    # persist via the bounded registry: the signature table feeds BOTH
-    # sides of the self-join — without it Spark recomputes the
-    # shingle+aggregate subtree twice. (localCheckpoint was tried and
-    # rejected: the RDD-backed leaf hides statistics/columnar structure
-    # from Catalyst and made the candidate join ~40× slower at sf0.1.)
-    # cache key = plan fingerprint (semantic hash + session) over the
-    # source parquet files' (uri, size, mtime) signatures — an in-place
-    # rewrite misses instead of returning stale signatures; a
-    # non-file-backed input (in-memory test frames) has no stable file
-    # identity → skip the registry rather than risk a key collision
-    # returning another dataset's signatures
     src = source_signature(documents)
     fp = _plan_fingerprint(documents) if src else None
     if src:
@@ -287,7 +275,7 @@ def minhash_lsh_candidates(
 
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    return (
         left.join(
             right,
             (F.col("l.band_id") == F.col("r.band_id"))
@@ -297,6 +285,32 @@ def minhash_lsh_candidates(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    1. signatures (see above);
+    2. band each signature into `bands` chunks, hash each chunk;
+    3. equi-join docs sharing any (band_id, band_hash) bucket → candidates;
+    4. verify candidates with EXACT shingle Jaccard (array_intersect /
+       union sizes) and threshold.
+
+    The only shuffles are the band-bucket join and the final distinct —
+    no all-pairs comparison anywhere, which is what makes this the 100 TB
+    path. Deterministic (seeded xxhash64), but not ANSI-SQL-expressible →
+    driver records rows-only correctness; the exact-Jaccard companion
+    (ngram_jaccard_pairs) is the hash-checked oracle query.
+    """
+    cand = _band_candidate_pairs(documents, num_hashes, bands, shingle_n)
+    src = source_signature(documents)
+    fp = _plan_fingerprint(documents) if src else None
     # exact-Jaccard verification only for surviving candidates: fetch the
     # shingle arrays by joining back against a one-pass shingle projection
     _shingle_plan = lambda: documents.select(  # noqa: E731
@@ -1856,41 +1870,89 @@ def dedup_rate_by_source(documents: DataFrame) -> DataFrame:
 
 
 def minhash_calibration(
-    documents: DataFrame, max_doc_id: int = 500, min_jaccard: float = 0.2
+    documents: DataFrame,
+    max_doc_id: int = 500,
+    min_jaccard: float = 0.2,
+    pairs: DataFrame | None = None,
+    exhaustive: bool = False,
+    neg_sample: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
     """MinHash estimator error audit (Broder 1997: P[min-hash collision]
     = Jaccard, so the signature-agreement fraction is an unbiased
-    estimate with stderr ≈ √(J(1−J)/H)): for every harness pair with
-    exact Jaccard ≥ ``min_jaccard``, the 16-hash estimate next to the
-    exact value and the absolute error — the third leg of the sketch
-    calibration family (Count-Min counts, recall@k, MinHash Jaccard):
-    before trusting banded LSH at corpus scale, measure the estimator
-    on pairs where exact truth is affordable.
+    estimate with stderr ≈ √(J(1−J)/H)): the 16-hash estimate next to
+    exact shingle Jaccard and the absolute error, per audited pair —
+    the third leg of the sketch calibration family (Count-Min counts,
+    recall@k, MinHash Jaccard): before trusting banded LSH at corpus
+    scale, measure the estimator on pairs where exact truth is
+    affordable.
+
+    Pair feed (the 100 TB shape): the CANDIDATE pairs come from the
+    same banded-LSH index the production dedup path uses
+    (``_band_candidate_pairs`` — bucket equi-join, never all-pairs),
+    plus a seeded negative sample (hash-adjacent doc pairs, essentially
+    random → low-J) so the audit also covers the stratum LSH is
+    designed NOT to surface. ``stratum`` labels each row. Candidate
+    rows keep the ``min_jaccard`` floor; sampled rows are kept at any
+    J — they exist to measure estimator error where truth ≈ 0.
+    Injectable ``pairs=`` (like pagerank/kcore) certifies the audit
+    against an externally persisted band index; ``exhaustive=True``
+    retains the old all-pairs truth harness for small panels.
 
     The exact truth is SHINGLE Jaccard — the set family the signatures
     actually sketch (comparing against token Jaccard would measure the
     token-vs-shingle semantic gap, not the estimator; the first cut of
     this audit made exactly that category error and read 0.63 mean
-    "error"). Scale shape: shingle sets and the pairwise exact join are
-    bounded by the doc_id < ``max_doc_id`` verifier harness; signatures
-    are the standard one-explode minhash build; the estimate join is
-    pair-grain over the bounded pair set. Seeded xxhash64 signatures
-    have no DuckDB twin → rows-only, with the estimator-quality
-    invariants (identical docs → estimate 1, mean |error| within the
-    binomial bound) tested."""
+    "error"). The ``doc_id < max_doc_id`` harness bound keeps the
+    audit panel fixed across scale factors; the negative-sample window
+    sorts ≤ that many (doc_id, hash) rows — panel-bounded, not
+    SF-bounded. Seeded xxhash64 signatures have no DuckDB twin →
+    rows-only, with the estimator-quality invariants (identical docs →
+    estimate 1, mean |error| within the binomial bound) tested."""
+    from pyspark.sql import Window as W
+
     docs = documents.filter(F.col("doc_id") < max_doc_id)
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect("a.sh", "b.sh"))
-    union = F.size("a.sh") + F.size("b.sh") - inter
-    pairs = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+    if pairs is not None:
+        audited = pairs.select("doc_a", "doc_b", F.lit("injected").alias("stratum"))
+    elif exhaustive:
+        a, b = docs.alias("a"), docs.alias("b")
+        audited = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / union, 6).alias("exact_jaccard"),
+            F.lit("exhaustive").alias("stratum"),
         )
-        .filter(F.col("exact_jaccard") >= min_jaccard)
+    else:
+        cand = _band_candidate_pairs(docs).select(
+            "doc_a", "doc_b", F.lit("candidate").alias("stratum")
+        )
+        # seeded negative sample: pair docs adjacent in xxhash64(seed)
+        # order — deterministic pseudo-random pairs, overwhelmingly
+        # low-J. Single-partition window over the ≤max_doc_id panel.
+        hw = W.orderBy("h")
+        samp = (
+            docs.select("doc_id", F.xxhash64("doc_id", F.lit(seed)).alias("h"))
+            .select("doc_id", F.lag("doc_id").over(hw).alias("prev"), "h")
+            .filter(F.col("prev").isNotNull())
+            .orderBy("h")
+            .limit(neg_sample)
+            .select(
+                F.least("doc_id", "prev").alias("doc_a"),
+                F.greatest("doc_id", "prev").alias("doc_b"),
+                F.lit("sample").alias("stratum"),
+            )
+            .join(cand.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        )
+        audited = cand.unionByName(samp)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    exact = (
+        audited.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+        )
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select("doc_a", "doc_b", "stratum", F.round(inter / union, 6).alias("exact_jaccard"))
+        .filter((F.col("stratum") != "candidate") | (F.col("exact_jaccard") >= min_jaccard))
     )
     sigs = minhash_signatures(docs)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
@@ -1904,11 +1966,12 @@ def minhash_calibration(
         / F.size("sig_a")
     )
     return (
-        pairs.join(sa, "doc_a")
+        exact.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
+            "stratum",
             "exact_jaccard",
             F.round(est, 6).alias("minhash_estimate"),
             F.round(F.abs(est - F.col("exact_jaccard")), 6).alias("abs_error"),

@@ -1509,17 +1509,25 @@ def mmr_diversify(
     document. k-center (pure diversity) and brute-force top-k (pure
     relevance) are the two poles; MMR is the tunable middle.
 
-    Scale shape: the candidate pool is the BOUNDED output of the
-    relevance stage (here brute-force cosine top-``pool``; at scale the
-    IVF/PQ path) — the greedy loop therefore runs over ≤``pool`` rows:
-    per round, one map-only max-sim-vs-newest-pick update (the k-center
-    running-minimum discipline, inverted) and one orderBy(1) pick.
-    Driver sees k bounded scalars. Greedy/iterative → no SQL oracle;
-    rows-only with first-pick/diversity/determinism invariant tests."""
+    Scale shape: the relevance stage is the distributed part (here
+    brute-force cosine top-``pool``; at scale the IVF/PQ path) and is
+    ONE Spark job; the greedy re-rank then runs driver-side in numpy
+    over the collected ≤``pool``-row pool — O(k·pool) dot products on
+    ≤50 vectors is microseconds, and the previous job-per-pick loop
+    paid k scheduler round-trips for it. Greedy/iterative → no SQL
+    oracle; rows-only with first-pick/diversity/determinism/negative-
+    vector invariant tests.
+
+    The first pick is gated on rank == 1 (pure relevance), NOT on a
+    ``max_sel_sim < 0`` sentinel: legitimate negative cosines would
+    keep re-triggering the sentinel and score later picks by pure
+    relevance, silently abandoning the diversity term."""
+    import numpy as np
+
     q_vec = embeddings.filter(F.col("vec_id") == query_id).select(
         _as_double(F.col("embedding")).alias("qv")
     )
-    cand = (
+    rows = (
         embeddings.filter(F.col("vec_id") != query_id)
         .crossJoin(F.broadcast(q_vec))
         .select(
@@ -1532,54 +1540,32 @@ def mmr_diversify(
         )
         .orderBy(F.col("relevance").desc(), "corpus_id")
         .limit(pool)
-        .localCheckpoint()
+        .collect()
     )
-    # running max similarity to any selected item; -inf before first pick
-    state = cand.withColumn("max_sel_sim", F.lit(-1.0))
-    picks = []
-    for rank in range(1, k + 1):
-        mmr = F.when(
-            F.col("max_sel_sim") < 0, F.col("relevance")  # first pick: pure relevance
-        ).otherwise(
-            lam * F.col("relevance") - (1 - lam) * F.col("max_sel_sim")
-        )
-        picked = (
-            state.withColumn("mmr", mmr)
-            .orderBy(F.col("mmr").desc(), "corpus_id")
-            .limit(1)
-            .collect()
-        )
-        if not picked:
-            break  # candidate pool exhausted before k picks
-        best = picked[0]
-        picks.append(
-            (rank, best["corpus_id"], float(best["relevance"]), float(best["mmr"]))
-        )
-        sel = state.filter(F.col("corpus_id") == best["corpus_id"]).select(
-            F.col("v").alias("sv"), _norm(F.col("v")).alias("sn")
-        )
-        nxt = (
-            state.filter(F.col("corpus_id") != best["corpus_id"])
-            .crossJoin(F.broadcast(sel))
-            .select(
-                "corpus_id",
-                "v",
-                "relevance",
-                F.greatest(
-                    "max_sel_sim",
-                    _dot(F.col("v"), F.col("sv")) / (_norm(F.col("v")) * F.col("sn")),
-                ).alias("max_sel_sim"),
-            )
-            .localCheckpoint()
-        )
-        from datalake_local_spark.llm.dedup import _release_checkpoint
-
-        _release_checkpoint(state)
-        state = nxt
     spark = embeddings.sparkSession
-    return spark.createDataFrame(
-        picks, "rank int, corpus_id long, relevance double, mmr_score double"
-    ).select(
+    schema = "rank int, corpus_id long, relevance double, mmr_score double"
+    picks = []
+    if rows:
+        ids = np.array([r["corpus_id"] for r in rows], dtype=np.int64)
+        vecs = np.array([r["v"] for r in rows], dtype=np.float64)
+        rels = np.array([r["relevance"] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        n = len(ids)
+        max_sel = np.full(n, -np.inf)
+        remaining = np.ones(n, dtype=bool)
+        for rank in range(1, min(k, n) + 1):
+            score = rels if rank == 1 else lam * rels - (1 - lam) * max_sel
+            # argmax over remaining, ties broken by lowest corpus_id
+            best_i = min(
+                np.flatnonzero(remaining), key=lambda i: (-score[i], ids[i])
+            )
+            picks.append(
+                (rank, int(ids[best_i]), float(rels[best_i]), float(score[best_i]))
+            )
+            remaining[best_i] = False
+            sims = (vecs @ vecs[best_i]) / (norms * norms[best_i])
+            max_sel = np.maximum(max_sel, sims)
+    return spark.createDataFrame(picks, schema).select(
         "rank",
         "corpus_id",
         F.round("relevance", 6).alias("relevance"),

@@ -2764,6 +2764,34 @@ def test_mmr_diversifies_near_duplicate_runnerup(spark, tables):
     assert got[0]["corpus_id"] == brute[0]["corpus_id"]
 
 
+def test_mmr_negative_cosine_pool_keeps_diversity_term(spark):
+    """A pool where every post-first-pick max_sel_sim is NEGATIVE: the
+    old `max_sel_sim < 0` first-pick sentinel re-fired here and scored
+    every later pick by pure relevance. Correct MMR keeps the diversity
+    term: the anti-similar vector (2) beats the higher-relevance but
+    less-diverse vector (4) at rank 2, and 2's near-duplicate (3) is
+    excluded entirely."""
+    planted = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),     # query
+            (1, [0.9, 0.1, 0.0]),     # top relevance → rank 1
+            (2, [-1.0, 0.05, 0.0]),   # anti-similar to 1 → most diverse
+            (3, [-1.0, 0.0, 0.05]),   # near-dup of 2
+            (4, [-0.5, -0.86, 0.0]),  # higher relevance than 2, less diverse
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.mmr_diversify(planted, query_id=0, pool=4, k=3, lam=0.3).collect()
+    order = [r["corpus_id"] for r in out]
+    assert order[0] == 1
+    # diversity term active: one of the anti-similar pair beats the
+    # higher-relevance 4 at rank 2 (the sentinel bug picked 4 here)
+    assert order[1] in (2, 3)
+    # and its near-duplicate is excluded from the final picks
+    assert not {2, 3} <= set(order)
+    assert 4 in order
+
+
 def test_ann_recall_report_invariants(tables):
     """Recall@k bounds: every recall in [0,1]; the average row
     (query_id = -1) equals the mean of its method's per-query rows;
