@@ -4273,8 +4273,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type,
                        CAST(n1i AS BIGINT) AS n1l,
                        CAST(nti - n1i AS BIGINT) AS n2l,
-                       CAST(s1d * 100 AS BIGINT) AS s1c,
-                       CAST((std_ - s1d) * 100 AS BIGINT) AS s2c,
+                       CAST(s1d * 100 AS HUGEINT) AS s1c,
+                       CAST((std_ - s1d) * 100 AS HUGEINT) AS s2c,
                        CAST(s1d AS DOUBLE) AS s1,
                        CAST(std_ - s1d AS DOUBLE) AS s2,
                        CAST(q1d AS DOUBLE) AS q1,
@@ -4299,7 +4299,7 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_group,
                    CAST((2 * s2c + n2l) // (2 * n2l) AS DOUBLE) / 100.0
                        AS mean_rest,
-                   round((m1 - m2) / sqrt(se2), 4) AS t_stat,
+                   round((m1 - m2) / sqrt(se2), 4) + 0.0 AS t_stat,
                    round((se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
                          + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS welch_df,
                    abs(round((m1 - m2) / sqrt(se2), 4)) >= 1.96 AS nominal_sig

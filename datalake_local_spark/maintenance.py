@@ -309,6 +309,14 @@ def publish_with_audit(
         manifest["vacuum_deleted"] = vacuum_published(
             publish_dir, keep=vacuum_keep, grace_seconds=vacuum_grace_seconds
         )["deleted"]
+        # rewrite the persisted copy atomically so the on-disk manifest
+        # carries the vacuum outcome too (it was previously written
+        # before this field existed and never updated)
+        mpath = os.path.join(vdir, "_MANIFEST.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
     return manifest
 
 

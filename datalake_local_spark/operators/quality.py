@@ -372,8 +372,12 @@ def ab_welch_ttest(events: DataFrame) -> DataFrame:
         "event_type",
         F.col("n1i").cast("long").alias("n1l"),
         (F.col("nti") - F.col("n1i")).cast("long").alias("n2l"),
-        (F.col("s1d") * 100).cast("long").alias("s1c"),
-        ((F.col("std_") - F.col("s1d")) * 100).cast("long").alias("s2c"),
+        # DECIMAL(38,0), not long (mirrors HUGEINT in the oracle): past
+        # ~9.2e16 cents a non-ANSI Spark long cast would silently NULL
+        # while DuckDB's BIGINT cast raises — decimal keeps both exact
+        # through ~1e38 cents (far past any reachable SF)
+        (F.col("s1d") * 100).cast("decimal(38,0)").alias("s1c"),
+        ((F.col("std_") - F.col("s1d")) * 100).cast("decimal(38,0)").alias("s2c"),
         F.col("s1d").cast("double").alias("s1"),
         (F.col("std_") - F.col("s1d")).cast("double").alias("s2"),
         F.col("q1d").cast("double").alias("q1"),
@@ -397,7 +401,11 @@ def ab_welch_ttest(events: DataFrame) -> DataFrame:
         F.col("n1l").alias("n_group"),
         (m1c.cast("double") / F.lit(100.0)).alias("mean_group"),
         (m2c.cast("double") / F.lit(100.0)).alias("mean_rest"),
-        F.round(t, 4).alias("t_stat"),
+        # + 0.0 normalizes IEEE signed zero: a means-tie makes t a tiny
+        # negative, DuckDB's multiply-rint round keeps -0.0 while
+        # Spark's BigDecimal round emits +0.0 — invisible to float ==,
+        # fatal to a string/bit value hash (the r9/r10 red-row cause)
+        (F.round(t, 4) + F.lit(0.0)).alias("t_stat"),
         F.round(df, 4).alias("welch_df"),
         (F.abs(F.round(t, 4)) >= 1.96).alias("nominal_sig"),
     ).orderBy("event_type")

@@ -680,8 +680,13 @@ def important_stock(supplier: DataFrame, nation: DataFrame, part: DataFrame) -> 
     )
     return (
         per_part.crossJoin(F.broadcast(total))
+        # decimal(38,0), not long: part_cents*n_parts*10 wraps a silent
+        # non-ANSI int64 above ~sf100 while DuckDB promotes to HUGEINT —
+        # the compare must stay exact on both engines at any SF
         .filter(
-            F.col("part_cents") * F.col("n_parts") * 10 > F.col("total_cents") * 12
+            F.col("part_cents").cast("decimal(38,0)")
+            * F.col("n_parts").cast("decimal(38,0)") * 10
+            > F.col("total_cents").cast("decimal(38,0)") * 12
         )
         .select(
             "p_partkey",

@@ -392,3 +392,10 @@ def test_publish_with_audit_auto_vacuum(spark, tables, tmp_path):
     assert len(glob.glob(target + ".v*")) == 1
     assert os.path.basename(os.path.realpath(target)) not in m["vacuum_deleted"]
     assert spark.read.parquet(target).count() == 5
+    # the PERSISTED manifest carries the vacuum outcome too, not just
+    # the returned dict
+    import json
+
+    with open(os.path.join(os.path.realpath(target), "_MANIFEST.json")) as f:
+        persisted = json.load(f)
+    assert persisted["vacuum_deleted"] == m["vacuum_deleted"]
