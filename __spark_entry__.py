@@ -247,6 +247,7 @@ _CERTIFY_FIRST = [
     "sim_mmr_diversify",  # rows-only: r11 one-job rewrite + rank-1 gate
     "dedup_minhash_calibration",  # rows-only: r11 band-index candidate feed
     "tpch_important_stock",  # r11: decimal(38,0) threshold compare
+    "join_composite_theta",  # r11: exact 4dp integer mean (audit find)
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
     "tpch_volume_shipping",
@@ -289,10 +290,9 @@ _CERTIFY_FIRST = [
     "text_langid_confusion",
     "tpch_rfm_segments",
     "text_corpus_qa_report",
-    # r6 cohort head (pipeline_mixture_build onward rotates in round 12,
-    # then the r6 remainder and the r7 cohort)
+    # r6 cohort head (text_pii_scrub onward rotates in round 12, then
+    # the r6 remainder and the r7 cohort)
     "pipeline_mixture_build",
-    "text_pii_scrub",
 ]
 
 
@@ -926,13 +926,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "join_composite_theta": """
+            WITH s AS (
+                SELECT o_orderstatus,
+                       count(*) AS nl,
+                       sum(CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) AS BIGINT)) AS sd
+                FROM lineitem JOIN orders
+                  ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
+                GROUP BY 1
+            )
             SELECT o_orderstatus,
-                   count(*) AS n_shipped_after_order,
-                   round(avg(CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS DOUBLE)), 4)
+                   nl AS n_shipped_after_order,
+                   CAST((2 * sd * 10000 + nl) // (2 * nl) AS DOUBLE) / 10000.0
                        AS avg_ship_delay_days
-            FROM lineitem JOIN orders
-              ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate
-            GROUP BY 1
+            FROM s
         """,
         "join_theta_pairs": """
             SELECT n1.n_name AS nation_a, n2.n_name AS nation_b,

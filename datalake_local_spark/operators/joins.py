@@ -84,6 +84,11 @@ def composite_key_join_orders_lineitem(orders: DataFrame, lineitem: DataFrame) -
     """Composite-key equi-join (J1 semantics ``ON p.dt=m.dt AND p.symbol=
     m.symbol``): join on (orderkey, shipdate-after-orderdate flag)."""
     o = orders.select("o_orderkey", "o_orderdate", "o_orderstatus")
+    # EXACT 4dp mean of integer day-counts: (2·S·10⁴ + n) div 2n, half-up
+    # — a float avg of integers is a small-denominator rational whose
+    # double can shortest-print as an exact 4dp half, where Spark's
+    # BigDecimal round and DuckDB's multiply-rint disagree (the r9
+    # events_anomaly_zscore divergence class)
     return (
         lineitem.join(
             o,
@@ -92,8 +97,16 @@ def composite_key_join_orders_lineitem(orders: DataFrame, lineitem: DataFrame) -
         )
         .groupBy("o_orderstatus")
         .agg(
-            F.count("*").alias("n_shipped_after_order"),
-            F.round(F.avg(F.datediff("l_shipdate", "o_orderdate")), 4).alias("avg_ship_delay_days"),
+            F.count("*").alias("nl"),
+            F.sum(F.datediff("l_shipdate", "o_orderdate").cast("long")).alias("sd"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("nl").alias("n_shipped_after_order"),
+            (
+                F.expr("(2 * sd * 10000 + nl) div (2 * nl)").cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_ship_delay_days"),
         )
     )
 
