@@ -238,6 +238,9 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "dq_chi_squared",  # NEW r11: chi-squared independence screen
+    "dq_completeness_profile",  # NEW r11: per-column completeness/cardinality
+    "tpch_basket_affinity",  # NEW r11: market-basket pair lift
     "dq_ab_ttest",  # red in r10 driver row; exact-green locally at 3 SFs
     "agg_regression_funcs",  # r10 Spark rewrite + r11 exact-HUGEINT oracle
     "agg_higher_moments",  # r10 rewrite, green in r10 — confirm stays green
@@ -288,11 +291,9 @@ _CERTIFY_FIRST = [
     "scalar_variant_funcs",
     "sql_recursive_spine",
     "text_langid_confusion",
-    "tpch_rfm_segments",
-    "text_corpus_qa_report",
-    # r6 cohort head (text_pii_scrub onward rotates in round 12, then
-    # the r6 remainder and the r7 cohort)
-    "pipeline_mixture_build",
+    # r5 remainder (tpch_rfm_segments, text_corpus_qa_report) and the
+    # r6 cohort (pipeline_mixture_build onward) rotate in round 12,
+    # then the r6 remainder and the r7 cohort
 ]
 
 
@@ -647,6 +648,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_batch_drift": lambda s, d: _dq_batch_drift(s, d),
         # shuffle-key skew diagnosis over the events fact (user_id grain)
         "dq_key_skew": lambda s, d: _dq_key_skew(s, d),
+        "dq_chi_squared": lambda s, d: quality.chi_squared_screen(*_t(s, d, "events")),
+        "dq_completeness_profile": lambda s, d: quality.completeness_profile(*_t(s, d, "orders")),
         # pre-flight join-size estimate: events.user_id x orders.o_custkey
         "dq_join_estimate": lambda s, d: _dq_join_estimate(s, d),
         # format parity: same oracle aggregates, data read back from ORC
@@ -701,6 +704,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_calibration": lambda s, d: dedup.minhash_calibration(*_t(s, d, "documents")),
         "text_rake_keywords": lambda s, d: text.rake_keywords(*_t(s, d, "documents")),
         "tpch_part_promotion": lambda s, d: tpch.part_promotion(*_t(s, d, "lineitem", "supplier", "nation", "part")),
+        "tpch_basket_affinity": lambda s, d: tpch.basket_affinity(*_t(s, d, "lineitem")),
         # rows-only (stateful streaming): batch-parity vs a pure-python
         # expanding reference tested
         "streaming_anomaly": lambda s, d: event_windows.run_streaming_anomaly(
@@ -3108,6 +3112,90 @@ def oracle_sql() -> dict[str, str]:
                    round(dxy / (n * (n - 1)) / 100.0, 2) AS covar_s,
                    round(dxy / (n * n) / 100.0, 2) AS covar_p
             FROM m ORDER BY 1
+        """,
+        "dq_chi_squared": """
+            WITH cells AS (
+                SELECT event_type,
+                       CAST(hour(ts) // 6 AS INT) AS day_quarter,
+                       count(*) AS observed
+                FROM events GROUP BY 1, 2
+            ),
+            row_m AS (SELECT event_type, sum(observed) AS row_total
+                      FROM cells GROUP BY 1),
+            col_m AS (SELECT day_quarter, sum(observed) AS col_total
+                      FROM cells GROUP BY 1),
+            grand AS (SELECT sum(observed) AS n_total FROM cells),
+            wc AS (
+                SELECT c.event_type, c.day_quarter, c.observed,
+                       CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                           / CAST(n_total AS DOUBLE) AS e
+                FROM cells c
+                JOIN row_m USING (event_type)
+                JOIN col_m USING (day_quarter)
+                CROSS JOIN grand
+            ),
+            wc2 AS (
+                SELECT event_type, day_quarter, observed,
+                       round(e, 6) AS expected,
+                       round((observed - e) * (observed - e) / e, 6)
+                           AS chi2_contrib
+                FROM wc
+            ),
+            tot AS (
+                SELECT CAST(sum(CAST(chi2_contrib AS DECIMAL(18,6)))
+                            AS DOUBLE) AS chi2_stat
+                FROM wc2
+            )
+            SELECT event_type, day_quarter, observed, expected,
+                   chi2_contrib, chi2_stat
+            FROM wc2 CROSS JOIN tot ORDER BY 1, 2
+        """,
+        "dq_completeness_profile": """
+            WITH w AS (
+                SELECT count(*) AS n_rows,
+                       count(o_orderkey) AS f1, count(DISTINCT o_orderkey) AS d1,
+                       count(o_custkey) AS f2, count(DISTINCT o_custkey) AS d2,
+                       count(o_orderstatus) AS f3, count(DISTINCT o_orderstatus) AS d3,
+                       count(o_totalprice) AS f4, count(DISTINCT o_totalprice) AS d4,
+                       count(o_orderdate) AS f5, count(DISTINCT o_orderdate) AS d5,
+                       count(o_orderpriority) AS f6, count(DISTINCT o_orderpriority) AS d6
+                FROM orders
+            ),
+            lng AS (
+                SELECT 'o_orderkey' AS column_name, n_rows, f1 AS n_filled, d1 AS n_distinct FROM w
+                UNION ALL SELECT 'o_custkey', n_rows, f2, d2 FROM w
+                UNION ALL SELECT 'o_orderstatus', n_rows, f3, d3 FROM w
+                UNION ALL SELECT 'o_totalprice', n_rows, f4, d4 FROM w
+                UNION ALL SELECT 'o_orderdate', n_rows, f5, d5 FROM w
+                UNION ALL SELECT 'o_orderpriority', n_rows, f6, d6 FROM w
+            )
+            SELECT column_name, n_rows, n_filled, n_distinct,
+                   round((n_rows - n_filled) / CAST(n_rows AS DOUBLE), 6)
+                       AS null_share
+            FROM lng ORDER BY column_name
+        """,
+        "tpch_basket_affinity": """
+            WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+            pc AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+            pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       count(*) AS n_together
+                FROM items a JOIN items b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT part_a, part_b, n_together,
+                   ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+                   round(n_together / CAST(n_orders AS DOUBLE), 6) AS support,
+                   round(CAST(n_together AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                         / ca.cnt / cb.cnt, 6) AS lift
+            FROM pairs
+            JOIN pc ca ON part_a = ca.l_partkey
+            JOIN pc cb ON part_b = cb.l_partkey
+            CROSS JOIN tot
+            ORDER BY lift DESC, part_a, part_b LIMIT 100
         """,
         "dq_benford": """
             WITH c AS (

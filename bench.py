@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "sim_ann_recall_report",
     "sim_mmr_diversify",
     "events_peak_concurrency",
+    "tpch_basket_affinity",
+    "dq_chi_squared",
 ]
 
 

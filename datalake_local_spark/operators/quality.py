@@ -409,3 +409,112 @@ def ab_welch_ttest(events: DataFrame) -> DataFrame:
         F.round(df, 4).alias("welch_df"),
         (F.abs(F.round(t, 4)) >= 1.96).alias("nominal_sig"),
     ).orderBy("event_type")
+
+
+def chi_squared_screen(events: DataFrame) -> DataFrame:
+    """χ² independence screen: is event-type mix independent of time of
+    day? Contingency table of event_type × 6-hour day-quarter with
+    observed counts, expected counts under independence (row·col/N),
+    and per-cell χ² contributions plus the table-wide statistic — the
+    categorical drift test next to the numeric screens (ab_ttest,
+    benford, batch_drift).
+
+    Scale shape: ONE grouped aggregate builds the cell counts (cell
+    cardinality = |types|·4, bounded); row/column marginals and the
+    grand total derive from the cell table (broadcast joins of
+    catalog-sized aggregates). Nothing rescans events.
+
+    Determinism: observed counts and marginals are exact integers;
+    expected and each cell contribution are identical double
+    expressions over them, ROUNDED TO 6dp AND SUMMED AS DECIMAL for
+    the table statistic — a raw double Σ over cells would depend on
+    accumulation order (the audited class)."""
+    # integer div, not a double-divide-then-cast: Spark's double→int
+    # cast truncates while DuckDB's rounds — `div` / `//` are the same
+    # floor on both engines
+    cells = (
+        events.select(
+            "event_type",
+            F.expr("hour(ts) div 6").cast("int").alias("day_quarter"),
+        )
+        .groupBy("event_type", "day_quarter")
+        .agg(F.count("*").alias("observed"))
+    )
+    row_m = cells.groupBy("event_type").agg(F.sum("observed").alias("row_total"))
+    col_m = cells.groupBy("day_quarter").agg(F.sum("observed").alias("col_total"))
+    grand = cells.agg(F.sum("observed").alias("n_total"))
+    expected = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    contrib = F.round(
+        (F.col("observed") - expected) * (F.col("observed") - expected) / expected, 6
+    )
+    with_cells = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "day_quarter")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "event_type",
+            "day_quarter",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            contrib.alias("chi2_contrib"),
+            contrib.cast("decimal(18,6)").alias("c_dec"),
+        )
+    )
+    total = with_cells.agg(F.sum("c_dec").cast("double").alias("chi2_stat"))
+    return (
+        with_cells.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "day_quarter",
+            "observed",
+            "expected",
+            "chi2_contrib",
+            "chi2_stat",
+        )
+        .orderBy("event_type", "day_quarter")
+    )
+
+
+def completeness_profile(orders: DataFrame) -> DataFrame:
+    """Per-column completeness/cardinality profile — the first query of
+    any data-quality pass: for every column, row count, non-null count,
+    exact distinct count, and null share. (The reference's ingestion
+    path silently coerces blank Excel cells to NULL — assets.py's
+    null-cell pruning — so completeness is the audit that catches a
+    sheet gone half-empty.)
+
+    Scale shape: ONE aggregate pass computes every per-column count
+    (Spark plans multi-distinct aggregates via expand — the scan is
+    read once, exchanged ×columns); the wide 1-row result unpivots via
+    stack() into the column-grain report, which is columns-bounded.
+    At 100 TB prefer approx_count_distinct per column — exact is kept
+    here because the oracle compares exact values.
+
+    Determinism: pure integer counts and one ratio-of-ints — no float
+    accumulation anywhere."""
+    cols = orders.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"f_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"d_{c}"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', f_{c}, d_{c}" for c in cols)
+    long = wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args})"
+        ).alias("column_name", "n_filled", "n_distinct"),
+    )
+    return long.select(
+        "column_name",
+        "n_rows",
+        "n_filled",
+        "n_distinct",
+        F.round(
+            (F.col("n_rows") - F.col("n_filled")) / F.col("n_rows").cast("double"), 6
+        ).alias("null_share"),
+    ).orderBy("column_name")

@@ -745,3 +745,69 @@ def part_promotion(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, 
         )
         .orderBy("s_suppkey")
     )
+
+
+def basket_affinity(
+    lineitem: DataFrame, min_pairs: int = 3, top: int = 100
+) -> DataFrame:
+    """Market-basket pair affinity: for every pair of parts co-ordered in
+    the same order, the co-occurrence count, support, and LIFT
+    (P(a,b) / (P(a)·P(b)) — Agrawal et al. 1993 association-rule
+    mining's core statistic), top-``top`` pairs by lift. The
+    recommender / cross-sell primer the reference's BI surface would
+    express as a Cube measure over an order-items fact.
+
+    Scale shape: the pair generation is a SELF-JOIN WITHIN ORDER — the
+    fanout is quadratic in basket size, never in table size (baskets
+    are small by domain; a 100-item pathological basket contributes
+    4950 pairs, still bounded). Item and order totals are one grouped
+    aggregate each; the pair aggregate shuffles on (part_a, part_b).
+    The final top-k is a global sort of the pair-grain aggregate —
+    pair cardinality ≤ Σ basket², orders of magnitude below lineitem.
+
+    Determinism: counts are exact integers on both engines, and lift /
+    support are single identical double expressions over those
+    integers (ratio-of-ints, no accumulation) → bit-identical; ties
+    broken by (part_a, part_b)."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    totals = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    part_counts = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_together"))
+        .filter(F.col("n_together") >= min_pairs)
+    )
+    ca = part_counts.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = part_counts.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    lift = (
+        F.col("n_together").cast("double")
+        * F.col("n_orders").cast("double")
+        / F.col("cnt_a")
+        / F.col("cnt_b")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            "cnt_a",
+            "cnt_b",
+            F.round(F.col("n_together") / F.col("n_orders").cast("double"), 6).alias("support"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(top)
+    )

@@ -9,7 +9,7 @@ operator invariants.
 from pyspark.sql import functions as F
 
 from datalake_local_spark.operators import aggregates as agg
-from datalake_local_spark.operators import flagship, joins, setops, windows
+from datalake_local_spark.operators import flagship, joins, quality, setops, tpch, windows
 
 
 def _physical_plan(df) -> str:
@@ -36,8 +36,14 @@ def test_column_pruning_reaches_parquet(tables):
 
 
 def test_semi_plus_anti_partition_customers(tables):
-    semi = joins.semi_join_customers_with_orders(tables["customer"], tables["orders"]).count()
+    """Semi and anti partition the customer table when run against the
+    SAME right side — the anti-join is date-windowed, so give the semi
+    join the same windowed orders slice; and the anti side must be
+    non-empty (the vacuous-certification lesson)."""
+    recent = tables["orders"].filter(F.col("o_orderdate") >= "2000-01-01")
+    semi = joins.semi_join_customers_with_orders(tables["customer"], recent).count()
     anti = joins.anti_join_customers_without_orders(tables["customer"], tables["orders"]).count()
+    assert anti > 0
     assert semi + anti == tables["customer"].count()
 
 
@@ -972,3 +978,59 @@ def test_interarrival_hand_computed(spark):
     y = out["y"]
     assert y["n_gaps"] == 1 and y["sum_gap_us"] == 500_000
     assert y["p50_gap_s"] == 0.5
+
+
+def test_basket_affinity_hand_computed(spark):
+    """Planted baskets: {A,B,C}, {A,B}, {A,B}, {C} → pair (A,B) appears
+    in 3 of 4 orders, each part in 3 → lift = 3·4/(3·3) = 1.333333;
+    (A,C)/(B,C) fall below min_pairs and are excluded."""
+    rows = [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (3, 10), (3, 20), (4, 30)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = tpch.basket_affinity(li, min_pairs=2, top=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["part_a"], r["part_b"]) == (10, 20)
+    assert r["n_together"] == 3 and r["cnt_a"] == 3 and r["cnt_b"] == 3
+    assert r["support"] == 0.75
+    assert r["lift"] == 1.333333
+
+
+def test_chi_squared_independent_mix_scores_zero(spark):
+    """A perfectly independent contingency (every type × quarter cell
+    equal) must score chi2_stat == 0.0 exactly; skewing one cell makes
+    it positive."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for typ in ("a", "b"):
+        for hour in (0, 6, 12, 18):
+            for _ in range(5):
+                rows.append((eid, t0 + datetime.timedelta(hours=hour), 1, typ, 1.0, "{}"))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = quality.chi_squared_screen(ev).collect()
+    assert len(out) == 8
+    assert all(r["chi2_stat"] == 0.0 and r["chi2_contrib"] == 0.0 for r in out)
+    skewed = ev.union(
+        spark.createDataFrame(
+            [(999, t0, 1, "a", 1.0, "{}")] * 10,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+    )
+    out2 = quality.chi_squared_screen(skewed).collect()
+    assert out2[0]["chi2_stat"] > 0.0
+
+
+def test_completeness_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x"), (None, "y")],
+        "a int, b string",
+    )
+    prof = {r["column_name"]: r for r in quality.completeness_profile(df).collect()}
+    assert prof["a"]["n_rows"] == 4 and prof["a"]["n_filled"] == 3
+    assert prof["a"]["n_distinct"] == 3 and prof["a"]["null_share"] == 0.25
+    assert prof["b"]["n_filled"] == 3 and prof["b"]["n_distinct"] == 2
