@@ -238,6 +238,8 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "sim_embedding_dim_profile",  # NEW r11: per-dim embedding QA
+    "events_stickiness",  # NEW r11: DAU/WAU engagement ratio
     "dq_chi_squared",  # NEW r11: chi-squared independence screen
     "dq_completeness_profile",  # NEW r11: per-column completeness/cardinality
     "tpch_basket_affinity",  # NEW r11: market-basket pair lift
@@ -289,11 +291,10 @@ _CERTIFY_FIRST = [
     "dedup_incremental",
     "text_zipf_profile",
     "scalar_variant_funcs",
-    "sql_recursive_spine",
-    "text_langid_confusion",
-    # r5 remainder (tpch_rfm_segments, text_corpus_qa_report) and the
-    # r6 cohort (pipeline_mixture_build onward) rotate in round 12,
-    # then the r6 remainder and the r7 cohort
+    # r5 remainder (sql_recursive_spine, text_langid_confusion,
+    # tpch_rfm_segments, text_corpus_qa_report) and the r6 cohort
+    # (pipeline_mixture_build onward) rotate in round 12, then the r6
+    # remainder and the r7 cohort
 ]
 
 
@@ -649,6 +650,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shuffle-key skew diagnosis over the events fact (user_id grain)
         "dq_key_skew": lambda s, d: _dq_key_skew(s, d),
         "dq_chi_squared": lambda s, d: quality.chi_squared_screen(*_t(s, d, "events")),
+        "events_stickiness": lambda s, d: funnel.stickiness_profile(*_t(s, d, "events")),
+        "sim_embedding_dim_profile": lambda s, d: similarity.embedding_dim_profile(*_t(s, d, "embeddings")),
         "dq_completeness_profile": lambda s, d: quality.completeness_profile(*_t(s, d, "orders")),
         # pre-flight join-size estimate: events.user_id x orders.o_custkey
         "dq_join_estimate": lambda s, d: _dq_join_estimate(s, d),
@@ -3112,6 +3115,57 @@ def oracle_sql() -> dict[str, str]:
                    round(dxy / (n * (n - 1)) / 100.0, 2) AS covar_s,
                    round(dxy / (n * n) / 100.0, 2) AS covar_p
             FROM m ORDER BY 1
+        """,
+        "sim_embedding_dim_profile": """
+            WITH e AS (
+                SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings
+            ),
+            q AS (
+                SELECT dim, v,
+                       CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+                FROM e
+            ),
+            g AS (
+                SELECT dim,
+                       count(*) AS n_vecs,
+                       sum(qv) AS s1,
+                       sum(qv * qv) AS s2,
+                       CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_zero,
+                       min(qv) AS mn,
+                       max(qv) AS mx
+                FROM q GROUP BY 1
+            )
+            SELECT dim,
+                   n_vecs,
+                   CAST(s1 AS DOUBLE) / n_vecs / 1000000.0 AS mean_v,
+                   round(CAST(CAST(n_vecs AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                         / (CAST(n_vecs AS DOUBLE) * (CAST(n_vecs AS DOUBLE) - 1))
+                         / 1000000000000.0, 6) AS var_v,
+                   n_zero,
+                   CAST(mn AS DOUBLE) / 1000000.0 AS min_v,
+                   CAST(mx AS DOUBLE) / 1000000.0 AS max_v
+            FROM g ORDER BY dim
+        """,
+        "events_stickiness": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) AS day
+                FROM events
+            ),
+            contrib AS (
+                SELECT user_id, day + CAST(g AS INTEGER) AS day
+                FROM ud, generate_series(0, 6) AS t(g)
+            ),
+            wau AS (SELECT day, count(DISTINCT user_id) AS wau
+                    FROM contrib GROUP BY 1),
+            dau AS (SELECT day, count(DISTINCT user_id) AS dau
+                    FROM ud GROUP BY 1)
+            SELECT dau.day, dau, wau,
+                   round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+            FROM dau JOIN wau USING (day) ORDER BY day
         """,
         "dq_chi_squared": """
             WITH cells AS (

@@ -1634,3 +1634,63 @@ def ann_recall_report(
     return all_rows.unionAll(avg.select("method", "query_id", "recall_at_k")).orderBy(
         "method", "query_id"
     )
+
+
+def embedding_dim_profile(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension embedding QA profile: mean, variance, zero count,
+    min/max for every dimension — the pre-training screen that catches
+    dead dimensions (all-zero), collapsed dimensions (variance ≈ 0) and
+    scale outliers before a similarity index is built over them.
+
+    Scale shape: posexplode to (vec, dim) grain — a ×dims map-side
+    expansion, no join — then ONE grouped aggregate keyed by dim
+    (cardinality = embedding width, bounded). Partial aggregation
+    happens map-side; the shuffle moves dims × partials, never vectors.
+
+    Determinism: raw float values are QUANTIZED with floor(v·10⁶) —
+    floor has no half-way case, so unlike round() it cannot disagree
+    across engines on shortest-repr boundaries (floats promote to
+    doubles whose 6-7-digit shortest reprs land on the 6dp rounding
+    grid exactly where BigDecimal-half-up and multiply-rint diverge).
+    All stats are then exact integer arithmetic cast to double in one
+    IDENTICAL expression tree per column — the mean is the unrounded
+    ratio of exact integers (integer div-rounding is avoided because
+    Spark's `div` truncates while DuckDB's `//` floors, which differ
+    for the negative sums embedding dims produce), and
+    n·Σq² − (Σq)² ≥ 0 exactly (Cauchy-Schwarz on integers), so the
+    variance is never a tiny negative. Micro-unit sums stay inside
+    int64 through ~10⁹ vectors per dim at |v| ≤ 500; shard the
+    profile beyond."""
+    q = F.floor(F.col("v") * F.lit(1000000.0)).cast("long")
+    e = embeddings.select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "v")
+    ).select("dim", "v", q.alias("qv"))
+    g = e.groupBy("dim").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("qv").alias("s1"),
+        F.sum(F.col("qv") * F.col("qv")).alias("s2"),
+        F.sum(F.when(F.col("v") == 0.0, 1).otherwise(0)).alias("n_zero"),
+        F.min("qv").alias("mn"),
+        F.max("qv").alias("mx"),
+    )
+    n = F.col("n_vecs")
+    # exact integer numerator in DECIMAL(38,0) (HUGEINT in the oracle):
+    # s1*s1 in int64 wraps silently near ~3e9 micro-sum while DuckDB's
+    # HUGEINT promotes — keep both engines exact, then one double cast
+    nd = n.cast("decimal(38,0)")
+    num = (
+        nd * F.col("s2").cast("decimal(38,0)")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+    ).cast("double")
+    var_micro2 = num / (n.cast("double") * (n.cast("double") - 1))
+    return g.select(
+        "dim",
+        "n_vecs",
+        (F.col("s1").cast("double") / F.col("n_vecs") / F.lit(1000000.0)).alias(
+            "mean_v"
+        ),
+        F.round(var_micro2 / F.lit(1e12), 6).alias("var_v"),
+        "n_zero",
+        (F.col("mn").cast("double") / F.lit(1e6)).alias("min_v"),
+        (F.col("mx").cast("double") / F.lit(1e6)).alias("max_v"),
+    ).orderBy("dim")

@@ -158,3 +158,39 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(w_type), 6
         ).alias("prob"),
     )
+
+
+def stickiness_profile(events: DataFrame) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio every product
+    dashboard tracks (what share of the weekly-active base shows up on
+    a given day). Naive SQL writes WAU as count(DISTINCT user) over a
+    7-day RANGE window, which holds per-frame distinct state and dies
+    at scale; the scalable identity: collapse events to (user, day)
+    grain FIRST, then each (user, day) row contributes that user to
+    the WAU of days [day, day+6] — a bounded ×7 explode at user-day
+    grain, orders of magnitude below event grain, then two exact
+    count-distinct aggregates keyed by day (calendar-bounded output).
+
+    Only days with actual activity are emitted (inner join of the DAU
+    and WAU series), so the trailing 6-day echo past the last event is
+    dropped. Counts are exact integers; stickiness is one
+    ratio-of-ints double → deterministic across engines."""
+    ud = events.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

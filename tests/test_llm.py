@@ -2868,3 +2868,46 @@ def test_round9_plan_scan_bounds(tables):
     cm.count()
     p = cm._jdf.queryExecution().executedPlan().toString()
     assert p.lower().count("filescan parquet") <= 2, "cm: exact + sketch"
+
+
+def test_embedding_dim_profile_hand_computed(spark):
+    """Planted 3-dim vectors: dim 0 has mean 2, sample var 1; dim 1 is
+    all-zero (dead dim: n_zero = n, var 0); dim 2 is a constant
+    NEGATIVE (exercises the negative-mean path where integer
+    div-rounding tricks would diverge between engines)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, -2.0]), (1, [3.0, 0.0, -2.0]), (2, [2.0, 0.0, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["dim"]: r for r in similarity.embedding_dim_profile(emb).collect()}
+    assert rows[0]["mean_v"] == 2.0 and rows[0]["var_v"] == 1.0
+    assert rows[0]["min_v"] == 1.0 and rows[0]["max_v"] == 3.0
+    assert rows[1]["n_zero"] == 3 and rows[1]["var_v"] == 0.0
+    assert rows[2]["mean_v"] == -2.0 and rows[2]["var_v"] == 0.0
+    assert rows[2]["n_zero"] == 0
+
+
+def test_stickiness_hand_computed(spark):
+    """Users 1,2 active day 0; user 1 also day 1; user 3 active day 10.
+    WAU(d) counts users active in [d-6, d]: stickiness(d0) = 2/2,
+    stickiness(d1) = 1/2; day 10 is isolated (1/1); the trailing
+    6-day WAU echo past each last-active day is NOT emitted."""
+    import datetime
+
+    from datalake_local_spark.operators import funnel
+
+    d = lambda i: datetime.datetime(2024, 1, 1 + i, 12, 0)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, d(0), 1, "view", 1.0, "{}"),
+            (2, d(0), 2, "view", 1.0, "{}"),
+            (3, d(1), 1, "view", 1.0, "{}"),
+            (4, d(10), 3, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r["day"].day: r for r in funnel.stickiness_profile(ev).collect()}
+    assert set(out) == {1, 2, 11}
+    assert out[1]["dau"] == 2 and out[1]["wau"] == 2 and out[1]["stickiness"] == 1.0
+    assert out[2]["dau"] == 1 and out[2]["wau"] == 2 and out[2]["stickiness"] == 0.5
+    assert out[11]["dau"] == 1 and out[11]["wau"] == 1
