@@ -1601,6 +1601,7 @@ def pagerank_dup_graph(
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
     ranks = nodes.select("doc_id", F.lit(1.0 / n_nodes).alias("rank"))
     ranks = ranks.localCheckpoint()
+    last_delta = None
     for i in range(iterations):
         contrib = (
             edges.join(ranks.withColumnRenamed("doc_id", "src"), "src")
@@ -1621,19 +1622,22 @@ def pagerank_dup_graph(
             .localCheckpoint()
         )
         # L1 convergence check: node-grain join-and-sum, one scalar to
-        # the driver — every THIRD round (and the last), not every
-        # round: the check is its own Spark job, and on a converging
-        # power iteration the delta shrinks geometrically, so checking
-        # at round 3k can overshoot convergence by at most 2 cheap
-        # rounds while saving 2 of every 3 check jobs (the loop's cost
-        # is scheduler overhead, not data, on a bounded dup graph)
-        if i % 3 == 2 or i == iterations - 1:
+        # the driver — ADAPTIVE cadence, not every round: the check is
+        # its own Spark job and the loop's cost is scheduler overhead,
+        # not data, on a bounded dup graph. While far from converged,
+        # check every third round (saves 2 of 3 check jobs); once the
+        # last observed delta is within 10× tol — the power iteration's
+        # geometric decay means convergence is imminent — check every
+        # round so the loop cannot overshoot by more than one round.
+        near = last_delta is not None and last_delta < 10 * tol
+        if i % 3 == 2 or near or i == iterations - 1:
             delta = (
                 new_ranks.alias("n")
                 .join(ranks.alias("o"), "doc_id")
                 .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
                 .collect()[0]["d"]
             )
+            last_delta = delta
         else:
             delta = None
         _release_checkpoint(ranks)
