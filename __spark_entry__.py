@@ -238,6 +238,8 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "tpch_seasonal_index",  # NEW r11: calendar-month seasonal factors
+    "dedup_lsh_scurve",  # NEW r11: banding S-curve + pow() parity canary
     "sim_embedding_dim_profile",  # NEW r11: per-dim embedding QA
     "events_stickiness",  # NEW r11: DAU/WAU engagement ratio
     "dq_chi_squared",  # NEW r11: chi-squared independence screen
@@ -289,12 +291,11 @@ _CERTIFY_FIRST = [
     "pipeline_corpus_prep_neardup",
     "dedup_components_chain",
     "dedup_incremental",
-    "text_zipf_profile",
-    "scalar_variant_funcs",
-    # r5 remainder (sql_recursive_spine, text_langid_confusion,
-    # tpch_rfm_segments, text_corpus_qa_report) and the r6 cohort
-    # (pipeline_mixture_build onward) rotate in round 12, then the r6
-    # remainder and the r7 cohort
+    # r5 remainder (text_zipf_profile, scalar_variant_funcs,
+    # sql_recursive_spine, text_langid_confusion, tpch_rfm_segments,
+    # text_corpus_qa_report) and the r6 cohort (pipeline_mixture_build
+    # onward) rotate in round 12, then the r6 remainder and the r7
+    # cohort
 ]
 
 
@@ -708,6 +709,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rake_keywords": lambda s, d: text.rake_keywords(*_t(s, d, "documents")),
         "tpch_part_promotion": lambda s, d: tpch.part_promotion(*_t(s, d, "lineitem", "supplier", "nation", "part")),
         "tpch_basket_affinity": lambda s, d: tpch.basket_affinity(*_t(s, d, "lineitem")),
+        "tpch_seasonal_index": lambda s, d: tpch.seasonal_index(*_t(s, d, "orders")),
+        "dedup_lsh_scurve": lambda s, d: dedup.lsh_scurve(s),
         # rows-only (stateful streaming): batch-parity vs a pure-python
         # expanding reference tested
         "streaming_anomaly": lambda s, d: event_windows.run_streaming_anomaly(
@@ -3227,6 +3230,40 @@ def oracle_sql() -> dict[str, str]:
                    round((n_rows - n_filled) / CAST(n_rows AS DOUBLE), 6)
                        AS null_share
             FROM lng ORDER BY column_name
+        """,
+        "tpch_seasonal_index": """
+            WITH monthly AS (
+                SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS month_cents
+                FROM orders GROUP BY 1, 2
+            ),
+            pm AS (
+                SELECT m, count(*) AS n_years, sum(month_cents) AS sum_cents
+                FROM monthly GROUP BY 1
+            ),
+            ov AS (SELECT sum(sum_cents) AS total_cents,
+                          sum(n_years) AS n_months FROM pm)
+            SELECT m AS month_of_year,
+                   n_years,
+                   CAST((2 * sum_cents + n_years) // (2 * n_years) AS DOUBLE)
+                       / 100.0 AS avg_month_revenue,
+                   round(CAST(sum_cents AS DOUBLE) / n_years
+                         / (CAST(total_cents AS DOUBLE) / n_months), 6)
+                       AS seasonal_index
+            FROM pm CROSS JOIN ov ORDER BY month_of_year
+        """,
+        "dedup_lsh_scurve": """
+            WITH grid AS (
+                SELECT CAST(g AS DOUBLE) / 20.0 AS j
+                FROM generate_series(1, 19) t(g)
+            ),
+            cfg AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2)) AS c(b, r))
+            SELECT b AS bands, r AS rows_per_band,
+                   round(j, 2) AS jaccard,
+                   round(1 - pow(1 - pow(j, r), b), 6) AS p_candidate
+            FROM grid CROSS JOIN cfg
+            ORDER BY bands, jaccard
         """,
         "tpch_basket_affinity": """
             WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -1990,3 +1990,32 @@ def minhash_calibration(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def lsh_scurve(spark) -> DataFrame:
+    """Banded-LSH tuning table: the theoretical candidate probability
+    P(candidate | J) = 1 − (1 − J^r)^b (the Broder/Indyk S-curve) for
+    every 16-hash banding (b bands × r rows: 2×8, 4×4, 8×2) over a
+    Jaccard grid — the table an engineer reads to pick a banding whose
+    inflection sits at the dedup threshold. Pure math, no input table;
+    also serves as a cross-engine pow()/round() parity canary since
+    every value must hash-match DuckDB's libm to 6dp.
+
+    Scale: a few-dozen-row generated relation; evaluation is constant
+    wherever the driver runs it."""
+    grid = spark.range(1, 20).select((F.col("id") / 20.0).alias("j"))
+    cfg = F.explode(
+        F.array(
+            F.struct(F.lit(2).alias("b"), F.lit(8).alias("r")),
+            F.struct(F.lit(4).alias("b"), F.lit(4).alias("r")),
+            F.struct(F.lit(8).alias("b"), F.lit(2).alias("r")),
+        )
+    )
+    e = grid.select("j", cfg.alias("c")).select("j", "c.b", "c.r")
+    p = 1 - F.pow(1 - F.pow(F.col("j"), F.col("r")), F.col("b"))
+    return e.select(
+        F.col("b").alias("bands"),
+        F.col("r").alias("rows_per_band"),
+        F.round(F.col("j"), 2).alias("jaccard"),
+        F.round(p, 6).alias("p_candidate"),
+    ).orderBy("bands", "jaccard")

@@ -811,3 +811,54 @@ def basket_affinity(
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(top)
     )
+
+
+def seasonal_index(orders: DataFrame) -> DataFrame:
+    """Calendar-month seasonal index of order revenue: for each month
+    of year, the ratio of that month's average monthly revenue (across
+    years) to the overall monthly average — the classical multiplicative
+    seasonal decomposition's seasonal factor, the input to any
+    deseasonalized forecast (forecast_revenue's Q6 shape prices a
+    policy; this prices the calendar).
+
+    Scale shape: orders collapse to (year, month) grain in one grouped
+    aggregate (map-side combined); everything after runs on ≤ years×12
+    rows. Determinism: revenue is summed as exact integer cents
+    (DECIMAL(18,6)×100 → long); monthly averages use (2S+n) div 2n
+    half-up (values positive); the index is one identical
+    ratio-of-exact-integers double expression per row, rounded at 6dp
+    (a derived 17-digit double, no grid hazard)."""
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+    monthly = (
+        orders.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            cents.alias("c"),
+        )
+        .groupBy("y", "m")
+        .agg(F.sum("c").alias("month_cents"))
+    )
+    per_month = monthly.groupBy("m").agg(
+        F.count("*").alias("n_years"),
+        F.sum("month_cents").alias("sum_cents"),
+    )
+    overall = per_month.agg(
+        F.sum("sum_cents").alias("total_cents"),
+        F.sum("n_years").alias("n_months"),
+    )
+    avg_cents = F.expr("(2 * sum_cents + n_years) div (2 * n_years)")
+    index = (
+        F.col("sum_cents").cast("double")
+        / F.col("n_years")
+        / (F.col("total_cents").cast("double") / F.col("n_months"))
+    )
+    return (
+        per_month.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("m").alias("month_of_year"),
+            "n_years",
+            (avg_cents.cast("double") / 100.0).alias("avg_month_revenue"),
+            F.round(index, 6).alias("seasonal_index"),
+        )
+        .orderBy("month_of_year")
+    )

@@ -2911,3 +2911,26 @@ def test_stickiness_hand_computed(spark):
     assert out[1]["dau"] == 2 and out[1]["wau"] == 2 and out[1]["stickiness"] == 1.0
     assert out[2]["dau"] == 1 and out[2]["wau"] == 2 and out[2]["stickiness"] == 0.5
     assert out[11]["dau"] == 1 and out[11]["wau"] == 1
+
+
+def test_lsh_scurve_properties(spark):
+    """S-curve invariants: P is monotone in J for every banding; at a
+    fixed J below the inflection, more/shorter bands (8×2) give HIGHER
+    candidate probability than fewer/longer (2×8); endpoints bounded in
+    (0, 1); and the 4×4 value at J=0.5 equals the hand-computed
+    1 − (1 − 0.5⁴)⁴ = 0.226664."""
+    rows = dedup.lsh_scurve(spark).collect()
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault(r["bands"], []).append((r["jaccard"], r["p_candidate"]))
+    assert set(by_cfg) == {2, 4, 8}
+    for b, series in by_cfg.items():
+        series.sort()
+        ps = [p for _, p in series]
+        assert all(a <= b2 for a, b2 in zip(ps, ps[1:])), b
+        # 6dp rounding carries the flat tails to exactly 0.0 / 1.0
+        # (J=0.05 with r=8 gives P ≈ 8e-11)
+        assert all(0.0 <= p <= 1.0 for p in ps)
+    low_j = {b: dict(v)[0.2] for b, v in by_cfg.items()}
+    assert low_j[8] > low_j[4] > low_j[2]
+    assert dict(by_cfg[4])[0.5] == round(1 - (1 - 0.5**4) ** 4, 6)

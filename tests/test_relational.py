@@ -1034,3 +1034,17 @@ def test_completeness_profile_counts_nulls_and_distincts(spark):
     assert prof["a"]["n_rows"] == 4 and prof["a"]["n_filled"] == 3
     assert prof["a"]["n_distinct"] == 3 and prof["a"]["null_share"] == 0.25
     assert prof["b"]["n_filled"] == 3 and prof["b"]["n_distinct"] == 2
+
+
+def test_seasonal_index_averages_to_one(tables):
+    """The weighted mean of seasonal indices (weights = months observed)
+    is exactly 1 by construction; every index is positive and the month
+    panel is the full calendar."""
+    out = tpch.seasonal_index(tables["orders"]).collect()
+    assert [r["month_of_year"] for r in out] == list(range(1, 13))
+    assert all(r["seasonal_index"] > 0 for r in out)
+    # weighted mean of UNROUNDED index = 1; rounded values stay within
+    # rounding tolerance of that identity
+    n = sum(r["n_years"] for r in out)
+    wmean = sum(r["seasonal_index"] * r["n_years"] for r in out) / n
+    assert abs(wmean - 1.0) < 1e-4
