@@ -238,6 +238,7 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "sim_pair_geometry",  # NEW r11: pairwise-cosine anisotropy screen
     "tpch_seasonal_index",  # NEW r11: calendar-month seasonal factors
     "dedup_lsh_scurve",  # NEW r11: banding S-curve + pow() parity canary
     "sim_embedding_dim_profile",  # NEW r11: per-dim embedding QA
@@ -290,12 +291,11 @@ _CERTIFY_FIRST = [
     "sim_pca_project",
     "pipeline_corpus_prep_neardup",
     "dedup_components_chain",
-    "dedup_incremental",
-    # r5 remainder (text_zipf_profile, scalar_variant_funcs,
-    # sql_recursive_spine, text_langid_confusion, tpch_rfm_segments,
-    # text_corpus_qa_report) and the r6 cohort (pipeline_mixture_build
-    # onward) rotate in round 12, then the r6 remainder and the r7
-    # cohort
+    # r5 remainder (dedup_incremental, text_zipf_profile,
+    # scalar_variant_funcs, sql_recursive_spine, text_langid_confusion,
+    # tpch_rfm_segments, text_corpus_qa_report) and the r6 cohort
+    # (pipeline_mixture_build onward) rotate in round 12, then the r6
+    # remainder and the r7 cohort
 ]
 
 
@@ -653,6 +653,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_chi_squared": lambda s, d: quality.chi_squared_screen(*_t(s, d, "events")),
         "events_stickiness": lambda s, d: funnel.stickiness_profile(*_t(s, d, "events")),
         "sim_embedding_dim_profile": lambda s, d: similarity.embedding_dim_profile(*_t(s, d, "embeddings")),
+        "sim_pair_geometry": lambda s, d: similarity.pair_geometry(*_t(s, d, "embeddings")),
         "dq_completeness_profile": lambda s, d: quality.completeness_profile(*_t(s, d, "orders")),
         # pre-flight join-size estimate: events.user_id x orders.o_custkey
         "dq_join_estimate": lambda s, d: _dq_join_estimate(s, d),
@@ -3118,6 +3119,43 @@ def oracle_sql() -> dict[str, str]:
                    round(dxy / (n * (n - 1)) / 100.0, 2) AS covar_s,
                    round(dxy / (n * n) / 100.0, 2) AS covar_p
             FROM m ORDER BY 1
+        """,
+        "sim_pair_geometry": """
+            WITH s(stride) AS (SELECT * FROM (VALUES (1), (7), (37))),
+            e AS (SELECT vec_id, embedding FROM embeddings),
+            p AS (
+                SELECT stride,
+                       a.embedding AS ea, b.embedding AS eb
+                FROM e a
+                JOIN s ON true
+                JOIN e b ON b.vec_id = a.vec_id + stride
+            ),
+            c AS (
+                SELECT stride,
+                       list_sum(list_transform(list_zip(ea, eb),
+                                q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(ea,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(eb,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                           AS cos
+                FROM p
+            ),
+            b AS (
+                SELECT stride,
+                       CAST(floor(cos * 10) AS INT) AS bucket,
+                       CAST(round(cos, 6) AS DECIMAL(18,6)) AS rc
+                FROM c
+            ),
+            g AS (
+                SELECT stride, bucket, count(*) AS n_pairs, sum(rc) AS src
+                FROM b GROUP BY 1, 2
+            ),
+            t AS (SELECT stride, sum(n_pairs) AS n_total FROM g GROUP BY 1)
+            SELECT stride, bucket, n_pairs,
+                   round(n_pairs / CAST(n_total AS DOUBLE), 6) AS share,
+                   CAST(src AS DOUBLE) / n_pairs AS mean_cos
+            FROM g JOIN t USING (stride) ORDER BY stride, bucket
         """,
         "sim_embedding_dim_profile": """
             WITH e AS (

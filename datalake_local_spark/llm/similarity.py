@@ -1694,3 +1694,65 @@ def embedding_dim_profile(embeddings: DataFrame) -> DataFrame:
         (F.col("mn").cast("double") / F.lit(1e6)).alias("min_v"),
         (F.col("mx").cast("double") / F.lit(1e6)).alias("max_v"),
     ).orderBy("dim")
+
+
+def pair_geometry(embeddings: DataFrame, strides: tuple[int, ...] = (1, 7, 37)) -> DataFrame:
+    """Embedding-space geometry screen: the distribution of pairwise
+    cosines over deterministic stride pairs (vec i vs i+s) — the
+    anisotropy/collapse check (Ethayarajh 2019 showed contextual
+    embedding spaces are far from isotropic; a healthy retrieval space
+    has pairwise cosines centered near 0, a COLLAPSED one near 1, and
+    this histogram is the cheapest way to see which you have before
+    trusting any similarity threshold). Complements
+    ``embedding_dim_profile``: that screens per-dimension marginals,
+    this screens inter-vector geometry.
+
+    Stride pairing (i, i+s) is the SQL-expressible stand-in for random
+    pairs: ids carry no semantic order, so stride pairs are
+    distribution-representative, both engines can generate them
+    exactly, and the pair count is 3n — never all-pairs.
+
+    Scale shape: per stride, one self-equi-join on vec_id+s (AQE
+    picks the strategy), map-only cosine, then a grouped count at
+    (stride, bucket) grain — output ≤ strides × 20 rows. Determinism:
+    the cosine fold is the same left-fold both engines (the
+    knn-transfer oracle recipe); bucket = floor(10·cos) of an
+    IDENTICAL double needs no rounding; bucket means sum 6dp-rounded
+    cosines as DECIMAL then divide once."""
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    per_stride = []
+    for s in strides:
+        a = e.alias("a")
+        b = e.select(
+            (F.col("vec_id") - F.lit(s)).alias("join_id"), F.col("v").alias("vb")
+        )
+        cos = _dot(F.col("a.v"), F.col("vb")) / (
+            _norm(F.col("a.v")) * _norm(F.col("vb"))
+        )
+        per_stride.append(
+            a.join(b, F.col("a.vec_id") == F.col("join_id"))
+            .select(F.lit(s).alias("stride"), cos.alias("cos"))
+        )
+    allp = per_stride[0]
+    for p in per_stride[1:]:
+        allp = allp.unionByName(p)
+    binned = allp.select(
+        "stride",
+        F.floor(F.col("cos") * 10).cast("int").alias("bucket"),
+        F.round(F.col("cos"), 6).cast("decimal(18,6)").alias("rc"),
+    )
+    g = binned.groupBy("stride", "bucket").agg(
+        F.count("*").alias("n_pairs"), F.sum("rc").alias("src")
+    )
+    tot = g.groupBy("stride").agg(F.sum("n_pairs").alias("n_total"))
+    return (
+        g.join(tot, "stride")
+        .select(
+            "stride",
+            "bucket",
+            "n_pairs",
+            F.round(F.col("n_pairs") / F.col("n_total").cast("double"), 6).alias("share"),
+            (F.col("src").cast("double") / F.col("n_pairs")).alias("mean_cos"),
+        )
+        .orderBy("stride", "bucket")
+    )

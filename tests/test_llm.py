@@ -2934,3 +2934,26 @@ def test_lsh_scurve_properties(spark):
     low_j = {b: dict(v)[0.2] for b, v in by_cfg.items()}
     assert low_j[8] > low_j[4] > low_j[2]
     assert dict(by_cfg[4])[0.5] == round(1 - (1 - 0.5**4) ** 4, 6)
+
+
+def test_pair_geometry_detects_collapse(spark):
+    """A collapsed space (all vectors identical) puts every stride pair
+    in the top bucket with mean_cos = 1; an orthogonal basis puts every
+    pair at cosine 0 (bucket 0). The screen must separate the two."""
+    collapsed = spark.createDataFrame(
+        [(i, [1.0, 2.0, 2.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.pair_geometry(collapsed, strides=(1,)).collect()
+    assert len(out) == 1
+    assert out[0]["bucket"] == 10 and out[0]["mean_cos"] == 1.0
+    assert out[0]["share"] == 1.0
+
+    basis = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    out2 = similarity.pair_geometry(basis, strides=(1,)).collect()
+    assert len(out2) == 1
+    assert out2[0]["bucket"] == 0 and out2[0]["mean_cos"] == 0.0
+    assert out2[0]["n_pairs"] == 3
