@@ -256,6 +256,17 @@ _CERTIFY_FIRST = [
     "dedup_minhash_calibration",  # rows-only: r11 band-index candidate feed
     "tpch_important_stock",  # r11: decimal(38,0) threshold compare
     "join_composite_theta",  # r11: exact 4dp integer mean (audit find)
+    # r11 round(avg(grid-valued),dp) class fix — every member rewritten
+    # to exact integer means on both engines; all must re-certify
+    "agg_monthly_rollup",
+    "agg_pricing_summary",
+    "agg_order_stats",
+    "sample_deterministic",
+    "sample_stratified",
+    "text_source_profile",
+    "mm_payload_profile",
+    "scalar_json_agg",
+    "scalar_variant_funcs",
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
     "tpch_volume_shipping",
@@ -281,21 +292,9 @@ _CERTIFY_FIRST = [
     "text_frequent_tokens",
     "text_pack_sequences",
     "text_quality_gate",
-    "text_token_stats",
-    # the r5 cohort (rounds stale: 6)
-    "text_tfidf_top_terms",
-    "text_bm25_search",
-    "pipeline_weighted_sample",
-    "text_dup_ngrams",
-    "events_transition_matrix",
-    "sim_pca_project",
-    "pipeline_corpus_prep_neardup",
-    "dedup_components_chain",
-    # r5 remainder (dedup_incremental, text_zipf_profile,
-    # scalar_variant_funcs, sql_recursive_spine, text_langid_confusion,
-    # tpch_rfm_segments, text_corpus_qa_report) and the r6 cohort
-    # (pipeline_mixture_build onward) rotate in round 12, then the r6
-    # remainder and the r7 cohort
+    # r4 overflow (text_token_stats) plus the whole r5 cohort
+    # (displaced by the r11 avg-class re-certifications above) rotate
+    # in round 12, then the r6 cohort and the r7 cohort
 ]
 
 
@@ -982,28 +981,50 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "agg_pricing_summary": """
+            WITH g AS (
+                SELECT l_returnflag, l_linestatus,
+                       round(sum(l_quantity), 2) AS sum_qty,
+                       round(sum(l_extendedprice), 2) AS sum_base_price,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                       sum(CAST(l_quantity AS BIGINT)) AS sq,
+                       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS spc,
+                       sum(CAST(CAST(l_discount AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS sdc,
+                       count(*) AS count_order
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+                GROUP BY 1, 2
+            )
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY 1, 2
+                   sum_qty, sum_base_price, sum_disc_price, sum_charge,
+                   CAST((2 * sq * 10000 + count_order) // (2 * count_order)
+                        AS DOUBLE) / 10000.0 AS avg_qty,
+                   CAST((2 * spc * 100 + count_order) // (2 * count_order)
+                        AS DOUBLE) / 10000.0 AS avg_price,
+                   CAST((2 * sdc * 100 + count_order) // (2 * count_order)
+                        AS DOUBLE) / 10000.0 AS avg_disc,
+                   count_order
+            FROM g
         """,
         "agg_order_stats": """
-            SELECT o_orderpriority,
-                   count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS sum_price,
-                   round(avg(o_totalprice), 4) AS avg_price,
-                   round(min(o_totalprice), 2) AS min_price,
-                   round(max(o_totalprice), 2) AS max_price,
-                   count(DISTINCT o_custkey) AS n_customers
-            FROM orders GROUP BY 1
+            WITH g AS (
+                SELECT o_orderpriority,
+                       count(*) AS n_orders,
+                       round(sum(o_totalprice), 2) AS sum_price,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS sc,
+                       round(min(o_totalprice), 2) AS min_price,
+                       round(max(o_totalprice), 2) AS max_price,
+                       count(DISTINCT o_custkey) AS n_customers
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderpriority, n_orders, sum_price,
+                   CAST((2 * sc * 100 + n_orders) // (2 * n_orders)
+                        AS DOUBLE) / 10000.0 AS avg_price,
+                   min_price, max_price, n_customers
+            FROM g
         """,
         "agg_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -1028,14 +1049,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
         """,
         "agg_monthly_rollup": """
-            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
-                   o_orderstatus AS orderstatus,
-                   count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS sum_price,
-                   round(avg(o_totalprice), 4) AS avg_price,
-                   round(min(o_totalprice), 2) AS min_price,
-                   round(max(o_totalprice), 2) AS max_price
-            FROM orders GROUP BY 1, 2
+            WITH g AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                       o_orderstatus AS orderstatus,
+                       count(*) AS n_orders,
+                       round(sum(o_totalprice), 2) AS sum_price,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS sum_cents,
+                       round(min(o_totalprice), 2) AS min_price,
+                       round(max(o_totalprice), 2) AS max_price
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT order_month, orderstatus, n_orders, sum_price,
+                   CAST((2 * sum_cents * 100 + n_orders) // (2 * n_orders)
+                        AS DOUBLE) / 10000.0 AS avg_price,
+                   min_price, max_price
+            FROM g
         """,
         "agg_argmax": """
             SELECT o_orderpriority,
@@ -1172,21 +1201,39 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "scalar_json_agg": """
-            SELECT event_type,
-                   count(*) AS n_events,
-                   round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
-                   max(CAST(props->>'$.k' AS BIGINT)) AS max_k
-            FROM events GROUP BY 1
+            WITH g AS (
+                SELECT event_type,
+                       count(*) AS n_events,
+                       count(CAST(props->>'$.k' AS BIGINT)) AS nk,
+                       sum(CAST(props->>'$.k' AS BIGINT)) AS sk,
+                       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+                FROM events GROUP BY 1
+            )
+            SELECT event_type, n_events,
+                   CASE WHEN nk > 0
+                        THEN CAST((2 * sk * 10000 + nk) // (2 * nk) AS DOUBLE)
+                             / 10000.0 END AS avg_k,
+                   max_k
+            FROM g
         """,
         "scalar_variant_funcs": """
-            SELECT event_type,
-                   count(*) AS n_events,
-                   CAST(sum(CASE WHEN props->>'$.missing' IS NULL THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_missing,
-                   round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
-                   min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
-                   max(CAST(props->>'$.k' AS BIGINT)) AS max_k
-            FROM events GROUP BY 1
+            WITH g AS (
+                SELECT event_type,
+                       count(*) AS n_events,
+                       CAST(sum(CASE WHEN props->>'$.missing' IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_missing,
+                       count(CAST(props->>'$.k' AS BIGINT)) AS nk,
+                       sum(CAST(props->>'$.k' AS BIGINT)) AS sk,
+                       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+                       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+                FROM events GROUP BY 1
+            )
+            SELECT event_type, n_events, n_missing,
+                   CASE WHEN nk > 0
+                        THEN CAST((2 * sk * 10000 + nk) // (2 * nk) AS DOUBLE)
+                             / 10000.0 END AS avg_k,
+                   min_k, max_k
+            FROM g
         """,
         "scalar_array_funcs": """
             SELECT vec_id, label,
@@ -1901,12 +1948,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_source_profile": """
-            SELECT source, lang,
-                   count(*) AS n_docs,
-                   round(avg(n_chars), 4) AS avg_chars,
-                   min(n_chars) AS min_chars,
-                   max(n_chars) AS max_chars
-            FROM documents GROUP BY 1, 2
+            WITH g AS (
+                SELECT source, lang,
+                       count(*) AS n_docs,
+                       sum(CAST(n_chars AS BIGINT)) AS schars,
+                       min(n_chars) AS min_chars,
+                       max(n_chars) AS max_chars
+                FROM documents GROUP BY 1, 2
+            )
+            SELECT source, lang, n_docs,
+                   CAST((2 * schars * 10000 + n_docs) // (2 * n_docs)
+                        AS DOUBLE) / 10000.0 AS avg_chars,
+                   min_chars, max_chars
+            FROM g
         """,
         "text_top_bigrams": f"""
             WITH d AS (
@@ -2894,12 +2948,20 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn
                 FROM orders
             )
-            SELECT o_orderstatus,
-                   count(*) AS n_sampled,
-                   round(avg(o_totalprice), 4) AS avg_price,
-                   round(sum(o_totalprice), 2) AS sum_price
-            FROM ranked WHERE rn <= 100
-            GROUP BY 1
+            , g AS (
+                SELECT o_orderstatus,
+                       count(*) AS n_sampled,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS sc,
+                       round(sum(o_totalprice), 2) AS sum_price
+                FROM ranked WHERE rn <= 100
+                GROUP BY 1
+            )
+            SELECT o_orderstatus, n_sampled,
+                   CAST((2 * sc * 100 + n_sampled) // (2 * n_sampled)
+                        AS DOUBLE) / 10000.0 AS avg_price,
+                   sum_price
+            FROM g
         """,
         "tpch_priority_late": """
             SELECT o_orderpriority, count(*) AS n_late_orders
@@ -3065,12 +3127,37 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "agg_trend_regression": """
-            SELECT event_type,
-                   count(*) AS n,
-                   round(regr_slope(value, epoch(ts) / 3600.0), 6) AS slope_per_hour,
-                   round(avg(value), 4) AS mean_value,
-                   round(regr_r2(value, epoch(ts) / 3600.0), 6) AS r2
-            FROM events GROUP BY 1
+            WITH raw AS (
+                SELECT event_type,
+                       epoch_us(ts) // 1000000 - 900000000 AS t,
+                       CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS c
+                FROM events
+            ),
+            s AS (
+                SELECT event_type, count(*) AS n,
+                       sum(CAST(t AS HUGEINT)) AS st,
+                       sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS stt,
+                       sum(c) AS sc,
+                       sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS scc,
+                       sum(CAST(t AS HUGEINT) * CAST(c AS HUGEINT)) AS stc
+                FROM raw GROUP BY 1
+            ),
+            m AS (
+                SELECT event_type, n, sc,
+                       CAST(CAST(n AS HUGEINT) * stc
+                            - st * CAST(sc AS HUGEINT) AS DOUBLE) AS dty,
+                       CAST(CAST(n AS HUGEINT) * stt - st * st AS DOUBLE) AS dtt,
+                       CAST(CAST(n AS HUGEINT) * scc
+                            - CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT)
+                            AS DOUBLE) AS dcc
+                FROM s
+            )
+            SELECT event_type, n,
+                   round(dty / dtt * 3600.0 / 100.0, 6) + 0.0 AS slope_per_hour,
+                   CAST((2 * sc * 100 + n) // (2 * n) AS DOUBLE) / 10000.0
+                       AS mean_value,
+                   round(dty * dty / (dtt * dcc), 6) AS r2
+            FROM m
         """,
         "agg_regression_funcs": """
             WITH raw AS (
@@ -3486,12 +3573,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "mm_payload_profile": """
-            SELECT source,
-                   count(*) AS n_assets,
-                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-                   round(avg(octet_length(encode(text))), 4) AS avg_bytes,
-                   CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
-            FROM documents GROUP BY 1
+            WITH g AS (
+                SELECT source,
+                       count(*) AS n_assets,
+                       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                       CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
+                FROM documents GROUP BY 1
+            )
+            SELECT source, n_assets, total_bytes,
+                   CAST((2 * total_bytes * 10000 + n_assets) // (2 * n_assets)
+                        AS DOUBLE) / 10000.0 AS avg_bytes,
+                   max_bytes
+            FROM g
         """,
         "mm_audio_metadata": """
             SELECT doc_id,
@@ -3729,12 +3822,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         "unpivot_order_measures": """
-            WITH wide AS (
+            WITH g AS (
                 SELECT o_orderpriority,
                        round(min(o_totalprice), 2) AS min_price,
                        round(max(o_totalprice), 2) AS max_price,
-                       round(avg(o_totalprice), 2) AS avg_price
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS sc,
+                       count(*) AS n
                 FROM orders GROUP BY 1
+            ),
+            wide AS (
+                SELECT o_orderpriority, min_price, max_price,
+                       CAST((2 * sc + n) // (2 * n) AS DOUBLE) / 100.0 AS avg_price
+                FROM g
             )
             SELECT o_orderpriority, 'min_price' AS measure, min_price AS value FROM wide
             UNION ALL
@@ -3743,10 +3843,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, 'avg_price', avg_price FROM wide
         """,
         "sample_deterministic": """
-            SELECT o_orderstatus,
-                   count(*) AS n_sampled,
-                   round(avg(o_totalprice), 4) AS avg_price
-            FROM orders WHERE o_orderkey % 10 = 0 GROUP BY 1
+            WITH g AS (
+                SELECT o_orderstatus,
+                       count(*) AS n_sampled,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS sc
+                FROM orders WHERE o_orderkey % 10 = 0 GROUP BY 1
+            )
+            SELECT o_orderstatus, n_sampled,
+                   CAST((2 * sc * 100 + n_sampled) // (2 * n_sampled)
+                        AS DOUBLE) / 10000.0 AS avg_price
+            FROM g
         """,
         "agg_exact_percentiles": """
             SELECT o_orderpriority,

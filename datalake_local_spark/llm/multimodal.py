@@ -198,8 +198,19 @@ def payload_size_profile(documents: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_assets"),
             F.sum("byte_len").alias("total_bytes"),
-            F.round(F.avg("byte_len"), 4).alias("avg_bytes"),
             F.max("byte_len").alias("max_bytes"),
+        )
+        .select(
+            "source",
+            "n_assets",
+            "total_bytes",
+            # exact integer 4dp mean (round(avg(int),4) hazard class)
+            (
+                F.expr("(2 * total_bytes * 10000 + n_assets) div (2 * n_assets)")
+                .cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_bytes"),
+            "max_bytes",
         )
     )
 

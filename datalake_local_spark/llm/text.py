@@ -157,11 +157,26 @@ def top_bigrams_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
 def source_lang_profile(documents: DataFrame) -> DataFrame:
     """Corpus profiling rollup: per (source, lang) doc counts and length
     stats — the monitoring query a pipeline runs after every stage."""
-    return documents.groupBy("source", "lang").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
+    return (
+        documents.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("schars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            # exact integer 4dp mean (round(avg(int),4) hazard class)
+            (
+                F.expr("(2 * schars * 10000 + n_docs) div (2 * n_docs)").cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_chars"),
+            "min_chars",
+            "max_chars",
+        )
     )
 
 

@@ -18,8 +18,17 @@ from pyspark.sql import Window as W
 
 
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
-    """TPC-H Q1 shape: the canonical multi-measure scan-agg."""
-    return (
+    """TPC-H Q1 shape: the canonical multi-measure scan-agg.
+
+    The three averages use EXACT integer means ((2S·scale + n) div 2n,
+    half-up over integer quantities / price cents / discount cents) —
+    round(avg(double), 4) of grid-valued columns is the exact-4dp-half
+    divergence class the r11 signbit-exact sweep exposed in
+    agg_monthly_rollup."""
+    ql = F.col("l_quantity").cast("long")
+    pc = (F.col("l_extendedprice").cast("decimal(18,6)") * 100).cast("long")
+    dc = (F.col("l_discount").cast("decimal(18,6)") * 100).cast("long")
+    g = (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -29,24 +38,61 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(ql).alias("sq"),
+            F.sum(pc).alias("spc"),
+            F.sum(dc).alias("sdc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (
+            F.expr("(2 * sq * 10000 + count_order) div (2 * count_order)").cast("double")
+            / F.lit(10000.0)
+        ).alias("avg_qty"),
+        (
+            F.expr("(2 * spc * 100 + count_order) div (2 * count_order)").cast("double")
+            / F.lit(10000.0)
+        ).alias("avg_price"),
+        (
+            F.expr("(2 * sdc * 100 + count_order) div (2 * count_order)").cast("double")
+            / F.lit(10000.0)
+        ).alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def order_stats_by_priority(orders: DataFrame) -> DataFrame:
-    """Full basic-measure family incl. exact distinct (A1-A5, A10)."""
-    return orders.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.countDistinct("o_custkey").alias("n_customers"),
+    """Full basic-measure family incl. exact distinct (A1-A5, A10).
+    avg_price is the exact integer-cents 4dp mean (see pricing_summary)."""
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum(cents).alias("sc"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "sum_price",
+            (
+                F.expr("(2 * sc * 100 + n_orders) div (2 * n_orders)").cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_price"),
+            "min_price",
+            "max_price",
+            "n_customers",
+        )
     )
 
 
@@ -180,7 +226,15 @@ def price_histogram(orders: DataFrame, bins: int = 10) -> DataFrame:
 
 def monthly_rollup(orders: DataFrame) -> DataFrame:
     """A8: the Cube `stock_markets_monthly` materialization shape —
-    month-grain rollup as a reusable aggregate."""
+    month-grain rollup as a reusable aggregate.
+
+    avg_price uses the EXACT integer-cents (2S·100 + n) div 2n half-up
+    mean, not round(avg(double), 4): a float mean of 2dp values is a
+    small-denominator rational whose double shortest-prints as an exact
+    4dp half on real rows (2 rows at sf0.001 — caught by the r11
+    signbit-aware exact sweep after ten rounds of epsilon compares
+    missed it)."""
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
     return (
         orders.groupBy(
             F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
@@ -189,9 +243,23 @@ def monthly_rollup(orders: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.sum(cents).alias("sum_cents"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .select(
+            "order_month",
+            "orderstatus",
+            "n_orders",
+            "sum_price",
+            (
+                F.expr("(2 * sum_cents * 100 + n_orders) div (2 * n_orders)").cast(
+                    "double"
+                )
+                / F.lit(10000.0)
+            ).alias("avg_price"),
+            "min_price",
+            "max_price",
         )
     )
 
@@ -258,17 +326,52 @@ def trend_regression(events: DataFrame) -> DataFrame:
     The epoch-0 intercept is deliberately NOT reported: extrapolating
     ~490k hours outside the data range amplifies engine-level float
     noise into the 4th decimal (and the value is physically
-    meaningless); the series mean is the stable level statistic."""
-    x = F.unix_timestamp("ts") / 3600.0
-    return (
-        events.select("event_type", F.col("value").alias("y"), x.alias("x"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.expr("regr_slope(y, x)"), 6).alias("slope_per_hour"),
-            F.round(F.avg("y"), 4).alias("mean_value"),
-            F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
-        )
+    meaningless); the series mean is the stable level statistic.
+
+    Determinism (r11 class fix): the engines' regr_* builtins
+    accumulate raw doubles in different orders, and round(avg(2dp),4)
+    sits on the exact-half grid — so slope/r2/mean are computed from
+    EXACT integer moments instead: time as epoch seconds centered on
+    900000000 (1998-07-09; slope/r² are shift-invariant,
+    centering keeps (Σt)² inside DECIMAL(38,0) through ~sf1000),
+    value as integer cents. The derived statistics are then one
+    identical IEEE expression tree per column; +0.0 normalizes the
+    signed zero a flat series' slope can round to."""
+    t = (F.expr("unix_micros(ts) div 1000000") - F.lit(900000000)).alias("t")
+    c = (F.col("value").cast("decimal(18,6)") * 100).cast("long").alias("c")
+    raw = events.select("event_type", t, c)
+    td = F.col("t").cast("decimal(38,0)")
+    cd = F.col("c").cast("decimal(38,0)")
+    s = raw.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(td).alias("st"),
+        F.sum(td * td).alias("stt"),
+        F.sum("c").alias("sc"),
+        F.sum(cd * cd).alias("scc"),
+        F.sum(td * cd).alias("stc"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    scd = F.col("sc").cast("decimal(38,0)")
+    m = s.select(
+        "event_type",
+        "n",
+        "sc",
+        (nd * F.col("stc") - F.col("st") * scd).cast("double").alias("dty"),
+        (nd * F.col("stt") - F.col("st") * F.col("st")).cast("double").alias("dtt"),
+        (nd * F.col("scc") - scd * scd).cast("double").alias("dcc"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        (
+            F.round(F.col("dty") / F.col("dtt") * 3600.0 / 100.0, 6) + F.lit(0.0)
+        ).alias("slope_per_hour"),
+        (
+            F.expr("(2 * sc * 100 + n) div (2 * n)").cast("double") / F.lit(10000.0)
+        ).alias("mean_value"),
+        F.round(F.col("dty") * F.col("dty") / (F.col("dtt") * F.col("dcc")), 6).alias(
+            "r2"
+        ),
     )
 
 

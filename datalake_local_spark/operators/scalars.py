@@ -99,8 +99,21 @@ def json_aggregate_events(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("prop_k"), 4).alias("avg_k"),
+            F.count("prop_k").alias("nk"),
+            F.sum("prop_k").alias("sk"),
             F.max("prop_k").alias("max_k"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            # exact integer 4dp mean over the NON-NULL k values
+            # (round(avg(int),4) hazard class); NULL when no k present
+            F.when(
+                F.col("nk") > 0,
+                F.expr("(2 * sk * 10000 + nk) div (2 * nk)").cast("double")
+                / F.lit(10000.0),
+            ).alias("avg_k"),
+            "max_k",
         )
     )
 
@@ -200,9 +213,23 @@ def variant_functions_events(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.when(F.col("missing_prop").isNull(), 1).otherwise(0)).alias("n_missing"),
-            F.round(F.avg("prop_k"), 4).alias("avg_k"),
+            F.count("prop_k").alias("nk"),
+            F.sum("prop_k").alias("sk"),
             F.min("prop_k").alias("min_k"),
             F.max("prop_k").alias("max_k"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_missing",
+            # exact integer 4dp mean over non-NULL k (round(avg) class)
+            F.when(
+                F.col("nk") > 0,
+                F.expr("(2 * sk * 10000 + nk) div (2 * nk)").cast("double")
+                / F.lit(10000.0),
+            ).alias("avg_k"),
+            "min_k",
+            "max_k",
         )
     )
 

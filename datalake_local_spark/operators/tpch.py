@@ -102,10 +102,17 @@ def pivot_status_by_priority(orders: DataFrame) -> DataFrame:
 def unpivot_order_measures(orders: DataFrame) -> DataFrame:
     """UNPIVOT via stack(): wide per-priority stats to long (measure,
     value) rows — the inverse-of-pivot surface."""
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
     wide = orders.groupBy("o_orderpriority").agg(
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.sum(cents).alias("sc"),
+        F.count("*").alias("n"),
+    )
+    # exact integer-cents 2dp mean (the round(avg(2dp),·) hazard class)
+    wide = wide.withColumn(
+        "avg_price",
+        F.expr("(2 * sc + n) div (2 * n)").cast("double") / F.lit(100.0),
     )
     return wide.select(
         "o_orderpriority",
@@ -119,12 +126,22 @@ def deterministic_sample_stats(orders: DataFrame, modulus: int = 10) -> DataFram
     """Deterministic key-hash sampling (o_orderkey % N = 0) — the
     reproducible alternative to TABLESAMPLE for pipeline debugging; the
     modulo predicate pushes to the scan."""
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
     return (
         orders.filter(F.col("o_orderkey") % modulus == 0)
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_sampled"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.sum(cents).alias("sc"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_sampled",
+            # exact integer-cents 4dp mean (round(avg) hazard class)
+            (
+                F.expr("(2 * sc * 100 + n_sampled) div (2 * n_sampled)").cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_price"),
         )
     )
 
@@ -518,10 +535,24 @@ def stratified_sample_stats(orders: DataFrame, per_group: int = 100) -> DataFram
     sampled = orders.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= per_group
     )
-    return sampled.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_sampled"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+    return (
+        sampled.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(cents).alias("sc"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_sampled",
+            # exact integer-cents 4dp mean (round(avg) hazard class)
+            (
+                F.expr("(2 * sc * 100 + n_sampled) div (2 * n_sampled)").cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_price"),
+            "sum_price",
+        )
     )
 
 
