@@ -238,6 +238,9 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "graph_triangles",  # NEW r11: degree-ordered triangle count + clustering
+    "dedup_entity_fuzzy",  # NEW r11: blocked levenshtein entity resolution
+    "text_phrase_search",  # NEW r11: positional-index phrase queries
     "sim_pair_geometry",  # NEW r11: pairwise-cosine anisotropy screen
     "tpch_seasonal_index",  # NEW r11: calendar-month seasonal factors
     "dedup_lsh_scurve",  # NEW r11: banding S-curve + pow() parity canary
@@ -289,11 +292,9 @@ _CERTIFY_FIRST = [
     "streaming_tumbling",
     "text_chunk_rolling_hash",
     "text_contamination",
-    "text_frequent_tokens",
-    "text_pack_sequences",
-    "text_quality_gate",
-    # r4 overflow (text_token_stats) plus the whole r5 cohort
-    # (displaced by the r11 avg-class re-certifications above) rotate
+    # r4 overflow (text_frequent_tokens, text_pack_sequences,
+    # text_quality_gate, text_token_stats — displaced by the three
+    # wave-10 queries NEW this round) plus the whole r5 cohort rotate
     # in round 12, then the r6 cohort and the r7 cohort
 ]
 
@@ -711,6 +712,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_basket_affinity": lambda s, d: tpch.basket_affinity(*_t(s, d, "lineitem")),
         "tpch_seasonal_index": lambda s, d: tpch.seasonal_index(*_t(s, d, "orders")),
         "dedup_lsh_scurve": lambda s, d: dedup.lsh_scurve(s),
+        "graph_triangles": lambda s, d: dedup.dup_graph_triangles(*_t(s, d, "documents")),
+        "dedup_entity_fuzzy": lambda s, d: dedup.fuzzy_entity_pairs(*_t(s, d, "part")),
+        "text_phrase_search": lambda s, d: text.phrase_search(*_t(s, d, "documents")),
         # rows-only (stateful streaming): batch-parity vs a pure-python
         # expanding reference tested
         "streaming_anomaly": lambda s, d: event_windows.run_streaming_anomaly(
@@ -4557,6 +4561,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT degree, n_docs,
                    round(CAST(n_docs AS DOUBLE) / n_nodes, 6) AS doc_share
             FROM hist, total
+        """,
+        "graph_triangles": f"""
+            WITH docs AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+            ),
+            deg AS (
+                SELECT doc_id, count(*) AS degree
+                FROM (SELECT doc_a AS doc_id FROM pairs
+                      UNION ALL SELECT doc_b FROM pairs)
+                GROUP BY 1
+            ),
+            tri AS (
+                SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+                FROM pairs e1
+                JOIN pairs e2 ON e2.doc_a = e1.doc_b
+                JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+            ),
+            per_node AS (
+                SELECT doc_id, count(*) AS triangles
+                FROM (SELECT a AS doc_id FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri)
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(d.degree AS BIGINT) AS degree,
+                   CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+                   CASE WHEN d.degree > 1
+                        THEN round(2.0 * coalesce(p.triangles, 0)
+                                   / (d.degree * (d.degree - 1)), 6)
+                        ELSE 0.0 END AS clustering
+            FROM deg d LEFT JOIN per_node p ON p.doc_id = d.doc_id
+        """,
+        "dedup_entity_fuzzy": """
+            WITH names AS (
+                SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1
+            )
+            SELECT a.name AS name_a,
+                   b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+                   CAST(a.n_rows AS BIGINT) AS rows_a,
+                   CAST(b.n_rows AS BIGINT) AS rows_b
+            FROM names a
+            JOIN names b
+              ON substr(a.name, 1, 1) = substr(b.name, 1, 1) AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 4
+        """,
+        "text_phrase_search": f"""
+            WITH docs AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS l FROM documents
+            ),
+            posting AS (
+                SELECT doc_id, i AS pos, l[i] AS token
+                FROM docs, unnest(generate_series(1, len(l))) AS g(i)
+                WHERE length(l[i]) > 0
+            ),
+            hits AS (
+                SELECT 'hash join' AS phrase, a.doc_id, count(*) AS n_occurrences
+                FROM posting a JOIN posting b
+                  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                WHERE a.token = 'hash' AND b.token = 'join'
+                GROUP BY 2
+                UNION ALL
+                SELECT 'table scan', a.doc_id, count(*)
+                FROM posting a JOIN posting b
+                  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                WHERE a.token = 'table' AND b.token = 'scan'
+                GROUP BY 2
+                UNION ALL
+                SELECT 'batch batch batch', a.doc_id, count(*)
+                FROM posting a
+                JOIN posting b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                JOIN posting c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                WHERE a.token = 'batch' AND b.token = 'batch' AND c.token = 'batch'
+                GROUP BY 2
+            ),
+            ranked AS (
+                SELECT phrase, doc_id, n_occurrences,
+                       row_number() OVER (PARTITION BY phrase
+                                          ORDER BY n_occurrences DESC, doc_id) AS rnk
+                FROM hits
+            )
+            SELECT phrase, doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+            FROM ranked WHERE rnk <= 10
         """,
         "text_cm_heavy_hitters": f"""
             WITH raw AS (

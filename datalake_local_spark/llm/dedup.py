@@ -2019,3 +2019,155 @@ def lsh_scurve(spark) -> DataFrame:
         F.round(F.col("j"), 2).alias("jaccard"),
         F.round(p, 6).alias("p_candidate"),
     ).orderBy("bands", "jaccard")
+
+
+def dup_graph_triangles(
+    documents: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient of the
+    near-duplicate graph — the density screen that separates boilerplate
+    CLIQUES (mirrored pages: clustering ≈ 1) from template CHAINS
+    (near-dup ladders: clustering ≈ 0) before a keep-policy commits to
+    one representative per component (the edge-grain complement of
+    ``dup_graph_degree_profile``; same harness pair feed, reference
+    dedup-report surface analog assets.py:1-437's corpus diagnostics).
+
+    Algorithm: degree-ordered wedge counting (Schank & Wagner 2005,
+    "Finding, counting and listing all triangles in large graphs";
+    Cohen 2009, "Graph twiddling in a MapReduce world"). Each
+    undirected edge is oriented from its (degree, id)-lower endpoint to
+    the higher; every triangle then has exactly one apex with two
+    out-edges, so it is found exactly once by joining the apex's
+    out-neighbor pairs (wedges) against the oriented edge set — never
+    the naive 3-way edge join whose intermediate is Σ deg².
+
+    100 TB shape: orientation bounds the out-degree by O(√m) (a
+    hub of degree d contributes wedges only toward HIGHER-degree
+    nodes, of which there are ≤ √(2m)), so the wedge relation is
+    O(m^1.5) worst-case and near-linear on power-law dup graphs —
+    three hash joins on edge keys, all shuffle-partitioned, no
+    driver state. ``pairs`` accepts the band-index candidate feed at
+    scale (``candidates_from_band_index``), like pagerank/kcore.
+
+    Determinism: triangle counts and degrees are exact integers; the
+    clustering coefficient 2T/(d·(d−1)) is a small-denominator
+    rational whose round(·, 6) is cross-engine-safe — an exact 6dp
+    half needs a reduced denominator of 128·5^a, and 128 ∤ C(d,2)
+    for any d < 256 (harness graph has < 100 nodes)."""
+    if pairs is None:
+        pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
+            "doc_a", "doc_b"
+        )
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    deg = (
+        edges.select(F.col("u").alias("doc_id"))
+        .unionAll(edges.select(F.col("v").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    e = edges.join(
+        deg.select(F.col("doc_id").alias("u"), F.col("degree").alias("deg_u")), "u"
+    ).join(
+        deg.select(F.col("doc_id").alias("v"), F.col("degree").alias("deg_v")), "v"
+    )
+    # orient each edge toward the (degree, id)-larger endpoint; carry the
+    # destination's rank so wedge endpoints can be ordered without a
+    # fourth join
+    u_lower = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_lower, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+    )
+    w1 = oriented.alias("w1")
+    w2 = oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            (F.col("w1.deg_dst") < F.col("w2.deg_dst"))
+            | (
+                (F.col("w1.deg_dst") == F.col("w2.deg_dst"))
+                & (F.col("w1.dst") < F.col("w2.dst"))
+            )
+        ),
+    ).select(
+        F.col("w1.src").alias("a"),
+        F.col("w1.dst").alias("b"),
+        F.col("w2.dst").alias("c"),
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(F.col("degree") > 1,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def fuzzy_entity_pairs(part: DataFrame, max_dist: int = 4) -> DataFrame:
+    """Blocked fuzzy entity resolution over the part-name vocabulary:
+    candidate pairs of DISTINCT ``p_name`` values within edit distance
+    ``max_dist``, annotated with how many catalog rows each spelling
+    covers — the classic record-linkage screen (Fellegi & Sunter 1969;
+    blocking per Christen 2012, "Data Matching") for "the same product
+    listed under two spellings".
+
+    The load-bearing design choice for 100 TB: resolution runs at the
+    ATTRIBUTE-VALUE grain, not the row grain. The distinct-name
+    relation grows with the vocabulary (sublinearly, Heaps' law), not
+    the table, so the quadratic Levenshtein stage is a self-join of a
+    small relation — blocked on the first character to cut the pair
+    space ~|blocks|-fold — and row counts come from one map-side
+    combined groupBy of the full table that joins back by name (a
+    broadcast at vocabulary scale). Levenshtein itself is
+    JVM-evaluated (``F.levenshtein``), no Python in the loop.
+
+    Determinism: output is integers and strings only (edit distance,
+    row counts) — no float rounding surface. Oracle: DuckDB
+    ``levenshtein`` computes the same unit-cost edit distance."""
+    names = (
+        part.groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    blocked = names.select(
+        F.substring("name", 1, 1).alias("blk"), "name", "n_rows"
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).cast("long").alias("dist"),
+            F.col("a.n_rows").alias("rows_a"),
+            F.col("b.n_rows").alias("rows_b"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .orderBy("dist", "name_a", "name_b")
+    )

@@ -1837,3 +1837,73 @@ def rake_keywords(documents: DataFrame, top_n: int = 25) -> DataFrame:
         .filter(F.col("rank") <= top_n)
         .select("rank", "phrase", "n_occurrences", "rake_score")
     )
+
+
+def phrase_search(
+    documents: DataFrame,
+    phrases: tuple[str, ...] = ("hash join", "table scan", "batch batch batch"),
+    top_k: int = 10,
+) -> DataFrame:
+    """Positional-inverted-index phrase search: exact consecutive-token
+    phrase matching via self-joins on (doc, position) postings — the IR
+    primitive BM25 bag-of-words retrieval cannot express (Manning,
+    Raghavan & Schütze, IIR §2.4 "Positional postings and phrase
+    queries"). For each query phrase, the top-``top_k`` documents by
+    exact occurrence count, with OVERLAPPING occurrences counted the
+    way a positional index does ("a a a" matches "a a" twice — a
+    substring-replace count would see one).
+
+    Plan shape: tokenize once with ``posexplode`` → postings
+    (token, doc_id, pos); for an n-token phrase, the first term's
+    postings are joined n−1 times on (doc_id, pos+i) with each
+    successive term's postings — equi-joins Catalyst hash-partitions
+    on doc_id, and because every join key includes doc_id the
+    shuffle is one exchange reused across all n−1 joins. At 100 TB
+    the postings relation is the only table-sized input; phrase terms
+    are filtered BEFORE the join (token pushdown — only postings of
+    the query's terms survive the scan), so join input is corpus
+    frequency of the query terms, not the corpus.
+
+    Determinism: counts are exact integers; ties broken by doc_id via
+    the rank window. Oracle: DuckDB rebuilds the same postings with
+    generate_series list indexing."""
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(_norm_text(F.col("text")), " ")).alias("pos", "token"),
+    ).filter(F.length("token") > 0)
+    out = None
+    for phrase in phrases:
+        terms = phrase.split(" ")
+        # token pushdown: keep only postings of this phrase's terms
+        p0 = (
+            toks.filter(F.col("token") == terms[0])
+            .select("doc_id", F.col("pos").alias("p0"))
+        )
+        matched = p0
+        for i, t in enumerate(terms[1:], start=1):
+            pi = (
+                toks.filter(F.col("token") == t)
+                .select(F.col("doc_id").alias("d_i"), F.col("pos").alias(f"p{i}"))
+            )
+            matched = matched.join(
+                pi,
+                (F.col("doc_id") == F.col("d_i"))
+                & (F.col(f"p{i}") == F.col("p0") + i),
+            ).select("doc_id", "p0")
+        hits = (
+            matched.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_occurrences"))
+            .select(F.lit(phrase).alias("phrase"), "doc_id", "n_occurrences")
+        )
+        out = hits if out is None else out.unionAll(hits)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("phrase").orderBy(
+        F.col("n_occurrences").desc(), F.col("doc_id")
+    )
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .drop("rnk")
+        .orderBy("phrase", F.col("n_occurrences").desc(), "doc_id")
+    )

@@ -2957,3 +2957,64 @@ def test_pair_geometry_detects_collapse(spark):
     assert len(out2) == 1
     assert out2[0]["bucket"] == 0 and out2[0]["mean_cos"] == 0.0
     assert out2[0]["n_pairs"] == 3
+
+
+def test_triangles_hand_computed(spark):
+    """K3 plus a pendant edge: nodes 1,2,3 form one triangle (node 3
+    also touches pendant 4). Triangle counts 1/1/1/0; clustering
+    1.0 / 1.0 / 2·1/(3·2)=0.333333 / 0.0 (degree-1 convention)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dedup.dup_graph_triangles(docs, pairs=pairs).collect()}
+    assert {k: r["triangles"] for k, r in rows.items()} == {1: 1, 2: 1, 3: 1, 4: 0}
+    assert rows[1]["clustering"] == 1.0
+    assert rows[3]["degree"] == 3
+    assert rows[3]["clustering"] == 0.333333
+    assert rows[4]["clustering"] == 0.0
+
+
+def test_triangles_counts_each_once(spark):
+    """K4: every node is in C(3,2)=3 triangles, clustering 1.0 —
+    the degree-ordered orientation must not double-count or drop
+    triangles whose nodes tie on degree (all tie in K4)."""
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    rows = dedup.dup_graph_triangles(docs, pairs=pairs).collect()
+    assert len(rows) == 4
+    assert all(r["triangles"] == 3 and r["clustering"] == 1.0 for r in rows)
+
+
+def test_fuzzy_entity_pairs_hand_computed(spark):
+    """'acme widget' ↔ 'acme widgit' is one substitution; 'zcme widgit'
+    is distance 1 from 'acme widgit' but first-letter blocking excludes
+    the cross-block pair (the documented blocking recall tradeoff);
+    'bolt' matches nothing within distance 2."""
+    part = spark.createDataFrame(
+        [(1, "acme widget"), (2, "acme widgit"), (3, "acme widgit"),
+         (4, "zcme widgit"), (5, "bolt")],
+        "p_partkey long, p_name string",
+    )
+    rows = dedup.fuzzy_entity_pairs(part, max_dist=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["name_a"], r["name_b"], r["dist"]) == ("acme widget", "acme widgit", 1)
+    assert (r["rows_a"], r["rows_b"]) == (1, 2)
+
+
+def test_phrase_search_counts_overlapping(spark):
+    """'a b a b a' contains 'a b' at positions 0 and 2, and the
+    overlapping 'b a b' once — the positional-index semantics a
+    substring-replace count would miss."""
+    docs = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "b b b"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = text.phrase_search(docs, phrases=("a b", "b a b"), top_k=5).collect()
+    got = {(r["phrase"], r["doc_id"]): r["n_occurrences"] for r in out}
+    assert got[("a b", 0)] == 2
+    assert got[("a b", 2)] == 1
+    assert got[("b a b", 0)] == 1
+    assert ("a b", 1) not in got
