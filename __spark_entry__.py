@@ -238,6 +238,8 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "dedup_jaccard_prefix",  # NEW r11: AllPairs/PPJoin prefix-filtered join
+    "events_attribution",  # NEW r11: first/last-touch revenue attribution
     "graph_triangles",  # NEW r11: degree-ordered triangle count + clustering
     "dedup_entity_fuzzy",  # NEW r11: blocked levenshtein entity resolution
     "text_phrase_search",  # NEW r11: positional-index phrase queries
@@ -290,12 +292,11 @@ _CERTIFY_FIRST = [
     "sim_random_projection",
     "streaming_dedup",
     "streaming_tumbling",
-    "text_chunk_rolling_hash",
-    "text_contamination",
-    # r4 overflow (text_frequent_tokens, text_pack_sequences,
-    # text_quality_gate, text_token_stats — displaced by the three
-    # wave-10 queries NEW this round) plus the whole r5 cohort rotate
-    # in round 12, then the r6 cohort and the r7 cohort
+    # r4 overflow (text_chunk_rolling_hash, text_contamination,
+    # text_frequent_tokens, text_pack_sequences, text_quality_gate,
+    # text_token_stats — displaced by the five wave-10/11 queries NEW
+    # this round) plus the whole r5 cohort rotate in round 12, then
+    # the r6 cohort and the r7 cohort
 ]
 
 
@@ -715,6 +716,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": lambda s, d: dedup.dup_graph_triangles(*_t(s, d, "documents")),
         "dedup_entity_fuzzy": lambda s, d: dedup.fuzzy_entity_pairs(*_t(s, d, "part")),
         "text_phrase_search": lambda s, d: text.phrase_search(*_t(s, d, "documents")),
+        "dedup_jaccard_prefix": lambda s, d: dedup.jaccard_prefix_filter_pairs(*_t(s, d, "documents")),
+        "events_attribution": lambda s, d: funnel.touch_attribution(*_t(s, d, "events")),
         # rows-only (stateful streaming): batch-parity vs a pure-python
         # expanding reference tested
         "streaming_anomaly": lambda s, d: event_windows.run_streaming_anomaly(
@@ -4609,6 +4612,64 @@ def oracle_sql() -> dict[str, str]:
                                    / (d.degree * (d.degree - 1)), 6)
                         ELSE 0.0 END AS clustering
             FROM deg d LEFT JOIN per_node p ON p.doc_id = d.doc_id
+        """,
+        "dedup_jaccard_prefix": f"""
+            WITH docs AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+        """,
+        "events_attribution": """
+            WITH touches AS (
+                SELECT user_id AS t_user, ts AS t_ts, event_id AS t_id,
+                       event_type AS touch_type
+                FROM events WHERE event_type IN ('click', 'view')
+            ),
+            purchases AS (
+                SELECT event_id, user_id, ts,
+                       CAST(value AS DECIMAL(18,2)) * 100 AS cents
+                FROM events WHERE event_type = 'purchase'
+            ),
+            joined AS (
+                SELECT p.event_id, p.cents,
+                       coalesce(t.touch_type, 'none') AS touch_type,
+                       row_number() OVER (PARTITION BY p.event_id
+                                          ORDER BY t.t_ts DESC NULLS LAST,
+                                                   t.t_id DESC NULLS LAST) AS rn_last,
+                       row_number() OVER (PARTITION BY p.event_id
+                                          ORDER BY t.t_ts ASC NULLS LAST,
+                                                   t.t_id ASC NULLS LAST) AS rn_first
+                FROM purchases p
+                LEFT JOIN touches t
+                  ON t.t_user = p.user_id
+                 AND t.t_ts <= p.ts
+                 AND t.t_ts >= p.ts - INTERVAL 7 DAY
+            ),
+            picked AS (
+                SELECT 'last_touch' AS model, touch_type, cents
+                FROM joined WHERE rn_last = 1
+                UNION ALL
+                SELECT 'first_touch', touch_type, cents
+                FROM joined WHERE rn_first = 1
+            )
+            SELECT model, touch_type,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS revenue_cents
+            FROM picked GROUP BY 1, 2
         """,
         "dedup_entity_fuzzy": """
             WITH names AS (

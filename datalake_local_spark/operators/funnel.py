@@ -194,3 +194,71 @@ def stickiness_profile(events: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def touch_attribution(events: DataFrame, lookback_days: int = 7) -> DataFrame:
+    """First-touch vs last-touch revenue attribution: every purchase is
+    credited to the user's first (resp. most recent) click-or-view
+    touchpoint inside a ``lookback_days`` window, the two canonical
+    single-touch models of marketing analytics; purchases with no
+    touchpoint in the window land in an explicit ``none`` bucket so the
+    models always partition total purchase revenue.
+
+    Plan shape: purchases LEFT JOIN touches is an equi-join on
+    user_id with the time window as a residual range predicate —
+    Catalyst hash-partitions both sides on user_id, so the quadratic
+    blow-up is bounded by per-user activity in the window, never the
+    table; the two attribution picks are row_number windows
+    PARTITIONED by purchase (no global window), and the final rollup
+    is a map-side-combined groupBy on a 2×3-value key space.
+
+    Determinism: counts are exact integers; revenue is summed in
+    integer cents (DECIMAL, exact on both engines, r9 class rules);
+    attribution picks break timestamp ties by event_id."""
+    touches = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("value").cast("decimal(18,2)") * 100).alias("cents"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("ts"))
+        & (F.col("t_ts") >= F.col("ts") - F.expr(f"INTERVAL {lookback_days} DAYS")),
+        "left",
+    )
+    w_last = W.partitionBy("event_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id").desc()
+    )
+    w_first = W.partitionBy("event_id").orderBy(
+        F.col("t_ts").asc_nulls_last(), F.col("t_id").asc_nulls_last()
+    )
+    picked = joined.select(
+        "event_id",
+        "cents",
+        F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type"),
+        F.row_number().over(w_last).alias("rn_last"),
+        F.row_number().over(w_first).alias("rn_first"),
+    )
+    last = picked.filter(F.col("rn_last") == 1).select(
+        F.lit("last_touch").alias("model"), "touch_type", "event_id", "cents"
+    )
+    first = picked.filter(F.col("rn_first") == 1).select(
+        F.lit("first_touch").alias("model"), "touch_type", "event_id", "cents"
+    )
+    return (
+        last.unionAll(first)
+        .groupBy("model", "touch_type")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("long").alias("revenue_cents"),
+        )
+        .orderBy("model", "touch_type")
+    )

@@ -3018,3 +3018,59 @@ def test_phrase_search_counts_overlapping(spark):
     assert got[("a b", 2)] == 1
     assert got[("b a b", 0)] == 1
     assert ("a b", 1) not in got
+
+
+def test_jaccard_prefix_filter_equals_naive(spark):
+    """Prefix filtering is a lossless candidate pruning: on a corpus
+    with identical pairs, near-misses, and a length-filter casualty,
+    the PPJoin-style plan must return exactly the naive verifier's
+    pairs (same docs, same 6dp jaccard values)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),      # J=1.0 with 0
+            (2, "alpha beta gamma delta zeta"),          # J=4/6 with 0 (below 0.8)
+            (3, "alpha beta gamma delta epsilon zeta"),  # J=5/6=0.833 with 0/1
+            (4, "alpha"),                                # length filter kills it
+        ],
+        "doc_id long, text string",
+    )
+    naive = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_token_jaccard_pairs(docs, 100, 0.8).collect()
+    }
+    pf = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_prefix_filter_pairs(docs, 100, 0.8).collect()
+    }
+    assert pf == naive
+    assert (0, 1) in pf and pf[(0, 1)] == 1.0
+    assert (0, 3) in pf and pf[(0, 3)] == 0.833333
+    assert all(4 not in k for k in pf)
+
+
+def test_touch_attribution_hand_computed(spark):
+    """User 1: click then view then purchase(10.00) → first_touch
+    credits click, last_touch credits view. User 2: purchase(5.00)
+    whose only click is 8 days earlier → both models bucket 'none'."""
+    from datalake_local_spark.operators import funnel
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "click", 0.0),
+        (2, 1, "2024-01-02 00:00:00", "view", 0.0),
+        (3, 1, "2024-01-03 00:00:00", "purchase", 10.0),
+        (4, 2, "2024-01-01 00:00:00", "click", 0.0),
+        (5, 2, "2024-01-09 12:00:00", "purchase", 5.0),
+    ]
+    events = spark.createDataFrame(
+        [(i, u, t, e, v) for i, u, t, e, v in rows],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["model"], r["touch_type"]): (r["n_purchases"], r["revenue_cents"])
+        for r in funnel.touch_attribution(events).collect()
+    }
+    assert out[("first_touch", "click")] == (1, 1000)
+    assert out[("last_touch", "view")] == (1, 1000)
+    assert out[("first_touch", "none")] == (1, 500)
+    assert out[("last_touch", "none")] == (1, 500)
+    assert ("last_touch", "click") not in out
