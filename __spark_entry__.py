@@ -484,8 +484,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": lambda s, d: dedup.token_containment_pairs(*_t(s, d, "documents")),
         # rows-only: iterative power method (not one ANSI statement);
         # convergence vs a pure-python reference asserted in tests
-        "graph_pagerank": lambda s, d: dedup.pagerank_dup_graph(*_t(s, d, "documents")),
-        "dedup_components": lambda s, d: dedup.duplicate_components(*_t(s, d, "documents")),
+        "graph_pagerank": lambda s, d: dedup.pagerank_dup_graph(
+            *_t(s, d, "documents"), local_threshold=10_000
+        ),
+        "dedup_components": lambda s, d: dedup.duplicate_components(
+            *_t(s, d, "documents"), local_threshold=20_000
+        ),
         # cluster-size histogram over the components output
         "dedup_cluster_sizes": lambda s, d: dedup.duplicate_cluster_sizes(
             *_t(s, d, "documents")
@@ -687,7 +691,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_profile": lambda s, d: dedup.dup_graph_degree_profile(*_t(s, d, "documents")),
         # rows-only: iterative k-ascending peel (not one ANSI statement);
         # pure-python Batagelj–Zaveršnik reference asserted in tests
-        "graph_kcore": lambda s, d: dedup.kcore_decomposition(*_t(s, d, "documents")),
+        "graph_kcore": lambda s, d: dedup.kcore_decomposition(
+            *_t(s, d, "documents"), local_threshold=10_000
+        ),
         "tpch_important_stock": lambda s, d: tpch.important_stock(*_t(s, d, "supplier", "nation", "part")),
         "text_cm_heavy_hitters": lambda s, d: text.cm_heavy_hitters(*_t(s, d, "documents")),
         "dq_ab_ttest": lambda s, d: quality.ab_welch_ttest(*_t(s, d, "events")),

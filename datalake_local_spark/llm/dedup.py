@@ -507,6 +507,7 @@ def duplicate_components(
     num_partitions: int | None = None,
     algorithm: str = "label",
     stats: dict | None = None,
+    local_threshold: int = 0,
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph — the step
     after pair generation: pairs (a,b),(b,c) collapse into one duplicate
@@ -535,6 +536,16 @@ def duplicate_components(
         "Connected Components in MapReduce and Beyond", SoCC'14):
         fixpoint in O(log d) rounds, the production choice for
         long-diameter graphs. Same output contract.
+
+    ``local_threshold`` (opt-in, 0 = off): when BOTH the edge list and
+    the node universe are smaller than the threshold, skip the
+    distributed fixpoint and run exact UNION-FIND driver-side — the
+    adaptive-locality endpoint (same move as the k-core local peel and
+    the one-job MMR rewrite). Output is identical by construction
+    (min-id component labels are unique), ``stats["rounds"] = 0``
+    marks the path taken. Callers that certify the bounded harness
+    feed opt in; the default keeps every fixpoint test on the
+    distributed loops, whose 100 TB story is unchanged.
 
     ``num_partitions`` sizes every per-iteration frame; default derives
     from the edge count (edge tables are node/edge-grain, small relative
@@ -569,6 +580,47 @@ def duplicate_components(
     P = num_partitions or max(1, math.ceil(2 * n_pairs / _COMPONENT_ROWS_PER_PARTITION))
     if stats is not None:
         stats.update({"n_edges": 2 * n_pairs, "num_partitions": P})
+    if local_threshold and 2 * n_pairs < local_threshold:
+        # union-find over the EDGE-TOUCHED nodes only (bounded by the
+        # gate, never by the node universe — nothing node-grain is
+        # collected); singletons get their own id via the broadcast
+        # left join below, a map-only stage at any corpus size
+        parent: dict = {}
+
+        def _find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        touched: set = set()
+        for r in pair_df.collect():  # bounded: < local_threshold edges
+            a_, b_ = r["doc_a"], r["doc_b"]
+            touched.add(a_)
+            touched.add(b_)
+            ra, rb = _find(a_), _find(b_)
+            if ra != rb:
+                # union toward the smaller root → labels stay min-id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        if stats is not None:
+            stats["rounds"] = 0
+        pair_df.unpersist()
+        labels_df = documents.sparkSession.createDataFrame(
+            sorted((int(n), int(_find(n))) for n in touched),
+            "doc_id long, label long",
+        )
+        return (
+            nodes.select("doc_id")
+            .join(F.broadcast(labels_df), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("label"), F.col("doc_id")).alias("component_id"),
+            )
+            .withColumn(
+                "is_canonical", F.col("doc_id") == F.col("component_id")
+            )
+        )
     edges = (
         pair_df.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pair_df.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -1331,7 +1383,7 @@ def duplicate_cluster_sizes(documents: DataFrame) -> DataFrame:
     size. Component-grain then size-grain — both map-side combining;
     the heavy lifting (the components fixpoint) is the upstream
     operator, already O(log d)-bounded."""
-    comp = duplicate_components(documents)
+    comp = duplicate_components(documents, local_threshold=20_000)
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
     totals = sizes.agg(F.sum("cluster_size").alias("n_docs"))
     return (
@@ -1408,9 +1460,9 @@ def duplicate_graph_quality(documents: DataFrame) -> DataFrame:
     # the SAME pair relation feeds the component fixpoint (via its pairs=
     # injection hook) and the edge metrics — the O(n²) token self-join
     # runs once, not once per consumer
-    comp = duplicate_components(documents, pairs=pairs).select(
-        "doc_id", "component_id"
-    )
+    comp = duplicate_components(
+        documents, pairs=pairs, local_threshold=20_000
+    ).select("doc_id", "component_id")
     edges = pairs.join(
         comp.select(F.col("doc_id").alias("doc_a"), "component_id"), "doc_a"
     )
@@ -1529,6 +1581,7 @@ def pagerank_dup_graph(
     damping: float = 0.85,
     pairs: DataFrame | None = None,
     tol: float = 1e-4,
+    local_threshold: int = 0,
 ) -> DataFrame:
     """PageRank over the near-duplicate graph (Page et al. 1998 —
     public): which documents are the HUBS of duplication — the
@@ -1588,6 +1641,40 @@ def pagerank_dup_graph(
         # zero-row frame with the contract schema, doc_id type preserved
         return nodes.limit(0).withColumn(
             "pagerank", F.lit(None).cast("double")
+        )
+    if local_threshold and n_nodes < local_threshold:
+        # adaptive-locality ENDPOINT (opt-in, same rule as the k-core
+        # local peel and components union-find): below the threshold
+        # the edge list is driver-bounded by construction and the
+        # distributed loop's cost is ~2 scheduler jobs per round on
+        # micro-data. Identical update rule and stopping rule (delta
+        # checked every round — never overshoots, so it lands at least
+        # as converged as the every-third-round distributed cadence);
+        # rank values may differ from the shuffle-order float sums in
+        # the last ulp, inside the registered query's 6dp rounding and
+        # the parity test's 2e-6 band. The ≥ threshold path keeps the
+        # shuffle-partitioned loop — the 100 TB story is unchanged.
+        adj: dict = {}
+        outdeg: dict = {}
+        for r in edges.collect():  # bounded: < local_threshold nodes
+            adj.setdefault(r["dst"], []).append(r["src"])
+            outdeg[r["src"]] = outdeg.get(r["src"], 0) + 1
+        ids = sorted({*outdeg, *adj})
+        rank = {u: 1.0 / n_nodes for u in ids}
+        for _ in range(iterations):
+            new = {}
+            for u in ids:
+                in_mass = sum(rank[v] / outdeg[v] for v in adj.get(u, ()))
+                new[u] = (1.0 - damping) / n_nodes + damping * in_mass
+            delta = sum(abs(new[u] - rank[u]) for u in ids)
+            rank = new
+            if delta < tol:
+                break
+        rows = sorted(
+            ((int(u), round(rank[u], 6)) for u in ids), key=lambda t: (-t[1], t[0])
+        )
+        return edges.sparkSession.createDataFrame(
+            rows, "doc_id long, pagerank double"
         )
     if n_nodes < 10_000:
         # adaptive locality (the AQE coalesce principle applied to the
@@ -1688,6 +1775,7 @@ def kcore_decomposition(
     documents: DataFrame,
     pairs: DataFrame | None = None,
     max_k: int = 20,
+    local_threshold: int = 0,
 ) -> DataFrame:
     """Coreness of every node in the near-dup graph (Seidman 1983
     k-cores; Batagelj–Zaveršnik is the sequential peel this mirrors in
@@ -1725,10 +1813,47 @@ def kcore_decomposition(
     nodes = (
         edges.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
     )
-    if nodes.count() < 10_000:
-        # bounded-graph locality, same rule as pagerank_dup_graph: the
-        # peel loop's many small passes should not each pay a
-        # 32-partition shuffle on micro-data
+    n_nodes = nodes.count()
+    if local_threshold and n_nodes < local_threshold:
+        # adaptive-locality ENDPOINT (opt-in, the principle behind the
+        # coalesce(1) rule taken to its conclusion — same move the
+        # MMR re-ranker made): below the threshold the whole edge
+        # list is driver-bounded BY CONSTRUCTION, and the peel's cost
+        # in the distributed loop is ~4 scheduler jobs per pass on
+        # micro-data, not computation. Run the exact sequential
+        # Batagelj–Zaveršnik peel driver-side (identical k-ascending
+        # semantics incl. the max_k cap) and ship the result back as
+        # one DataFrame. The ≥ threshold path below keeps the
+        # shuffle-partitioned peel — the 100 TB story is unchanged.
+        adj: dict = {}
+        for r in edges.collect():  # bounded: < local_threshold nodes
+            adj.setdefault(r["src"], set()).add(r["dst"])
+        live, core, k = set(adj), {}, 0
+        while live and k < max_k:
+            k += 1
+            while True:
+                weak = [u for u in live if len(adj[u]) < k]
+                if not weak:
+                    break
+                for u in weak:
+                    core[u] = k - 1
+                    for v in adj[u]:
+                        adj[v].discard(u)
+                    adj[u].clear()
+                    live.discard(u)
+            # peel jump: next k with any peel is min surviving degree + 1
+            if live:
+                k = max(k, min(len(adj[u]) for u in live))
+        for u in live:  # still standing after max_k rounds
+            core[u] = max_k
+        rows = sorted(core.items(), key=lambda t: (-t[1], t[0]))
+        return edges.sparkSession.createDataFrame(
+            [(int(d), int(c)) for d, c in rows], "doc_id long, coreness long"
+        )
+    # bounded-graph locality, same rule as pagerank_dup_graph: the
+    # peel loop's many small passes should not each pay a
+    # 32-partition shuffle on micro-data
+    if n_nodes < 10_000:
         edges = edges.coalesce(1).localCheckpoint()
         nodes = nodes.coalesce(1).localCheckpoint()
     # accumulates (doc_id, k) as nodes peel out
@@ -1818,8 +1943,8 @@ def canonical_keep_policy(documents: DataFrame) -> DataFrame:
     # self-join a second time; injected components uses the all-docs
     # node universe, whose singletons fall out at the n_members > 1
     # filter below
-    comp = duplicate_components(documents, pairs=pairs)
-    ranks = pagerank_dup_graph(documents, pairs=pairs)
+    comp = duplicate_components(documents, pairs=pairs, local_threshold=20_000)
+    ranks = pagerank_dup_graph(documents, pairs=pairs, local_threshold=10_000)
     joined = comp.join(ranks, "doc_id", "left").select(
         "doc_id",
         "component_id",

@@ -3074,3 +3074,37 @@ def test_touch_attribution_hand_computed(spark):
     assert out[("first_touch", "none")] == (1, 500)
     assert out[("last_touch", "none")] == (1, 500)
     assert ("last_touch", "click") not in out
+
+
+def test_graph_local_paths_match_distributed(spark):
+    """The opt-in driver-local fast paths (k-core peel, components
+    union-find, pagerank power iteration) must agree with their
+    distributed fixpoint twins on a planted mix — identical coreness
+    and component labels (exact integers), pagerank within the 6dp
+    rounding band."""
+    clique = [(a, b) for i, a in enumerate(range(5)) for b in range(i + 1, 5)]
+    edges = clique + [(0, 10), (0, 11), (20, 21), (21, 22)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    docs = spark.createDataFrame(
+        [(i, "x") for i in [*range(5), 10, 11, 20, 21, 22, 99]],
+        "doc_id long, text string",
+    )
+    kd = {r["doc_id"]: r["coreness"]
+          for r in dedup.kcore_decomposition(docs, pairs=pairs).collect()}
+    kl = {r["doc_id"]: r["coreness"]
+          for r in dedup.kcore_decomposition(docs, pairs=pairs, local_threshold=10_000).collect()}
+    assert kl == kd
+
+    cd = {r["doc_id"]: r["component_id"]
+          for r in dedup.duplicate_components(docs, pairs=pairs).collect()}
+    cl = {r["doc_id"]: r["component_id"]
+          for r in dedup.duplicate_components(docs, pairs=pairs, local_threshold=10_000).collect()}
+    assert cl == cd
+    assert cl[99] == 99  # singleton outside the pair graph keeps its id
+
+    pd_ = {r["doc_id"]: r["pagerank"]
+           for r in dedup.pagerank_dup_graph(docs, pairs=pairs).collect()}
+    pl = {r["doc_id"]: r["pagerank"]
+          for r in dedup.pagerank_dup_graph(docs, pairs=pairs, local_threshold=10_000).collect()}
+    assert set(pl) == set(pd_)
+    assert all(abs(pl[u] - pd_[u]) < 2e-6 for u in pd_)
