@@ -238,6 +238,11 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "dedup_cluster_purity",  # NEW r11: cluster-grain source purity report
+    "tpch_yoy_growth",  # NEW r11: integer-exact YoY growth in basis points
+    "dedup_components",  # r11: opt-in local union-find fast path
+    "dedup_cluster_sizes",  # r11: same fast path via its upstream
+    "dedup_graph_quality",  # r11: same fast path via its upstream
     "dedup_jaccard_prefix",  # NEW r11: AllPairs/PPJoin prefix-filtered join
     "events_attribution",  # NEW r11: first/last-touch revenue attribution
     "graph_triangles",  # NEW r11: degree-ordered triangle count + clustering
@@ -287,16 +292,14 @@ _CERTIFY_FIRST = [
     "mm_frame_sample",
     "pandas_udaf_geomean",
     "pivot_status_by_priority",
-    "scd2_versions",
-    "semantic_prediction_join",
-    "sim_random_projection",
-    "streaming_dedup",
-    "streaming_tumbling",
-    # r4 overflow (text_chunk_rolling_hash, text_contamination,
+    # r4 overflow (scd2_versions, semantic_prediction_join,
+    # sim_random_projection, streaming_dedup, streaming_tumbling,
+    # text_chunk_rolling_hash, text_contamination,
     # text_frequent_tokens, text_pack_sequences, text_quality_gate,
-    # text_token_stats — displaced by the five wave-10/11 queries NEW
-    # this round) plus the whole r5 cohort rotate in round 12, then
-    # the r6 cohort and the r7 cohort
+    # text_token_stats — displaced by the seven wave-10/11/13 queries
+    # NEW this round plus the three fast-path re-certifications) and
+    # the whole r5 cohort rotate in round 12, then the r6 and r7
+    # cohorts
 ]
 
 
@@ -724,6 +727,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_phrase_search": lambda s, d: text.phrase_search(*_t(s, d, "documents")),
         "dedup_jaccard_prefix": lambda s, d: dedup.jaccard_prefix_filter_pairs(*_t(s, d, "documents")),
         "events_attribution": lambda s, d: funnel.touch_attribution(*_t(s, d, "events")),
+        "dedup_cluster_purity": lambda s, d: dedup.cluster_source_purity(*_t(s, d, "documents")),
+        "tpch_yoy_growth": lambda s, d: tpch.yoy_growth(*_t(s, d, "orders")),
         # rows-only (stateful streaming): batch-parity vs a pure-python
         # expanding reference tested
         "streaming_anomaly": lambda s, d: event_windows.run_streaming_anomaly(
@@ -4618,6 +4623,83 @@ def oracle_sql() -> dict[str, str]:
                                    / (d.degree * (d.degree - 1)), 6)
                         ELSE 0.0 END AS clustering
             FROM deg d LEFT JOIN per_node p ON p.doc_id = d.doc_id
+        """,
+        "dedup_cluster_purity": f"""
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS reached FROM docs
+                UNION
+                SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+            ),
+            comp AS (
+                SELECT node AS doc_id, min(reached) AS component_id
+                FROM reach GROUP BY node
+            ),
+            members AS (
+                SELECT c.component_id, d.source
+                FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+            ),
+            by_source AS (
+                SELECT component_id, source, count(*) AS n_from_source
+                FROM members GROUP BY 1, 2
+            ),
+            totals AS (
+                SELECT component_id,
+                       CAST(sum(n_from_source) AS BIGINT) AS n_members,
+                       CAST(count(*) AS BIGINT) AS n_sources
+                FROM by_source GROUP BY 1
+            ),
+            maj AS (
+                SELECT component_id, source AS majority_source,
+                       CAST(n_from_source AS BIGINT) AS majority_count,
+                       row_number() OVER (PARTITION BY component_id
+                                          ORDER BY n_from_source DESC, source ASC) AS rn
+                FROM by_source
+            )
+            SELECT t.component_id, t.n_members, t.n_sources,
+                   m.majority_source, m.majority_count
+            FROM totals t
+            JOIN maj m ON m.component_id = t.component_id AND m.rn = 1
+            WHERE t.n_members > 1
+        """,
+        "tpch_yoy_growth": """
+            WITH monthly AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                     AS DECIMAL(38,0))) AS BIGINT) AS revenue_cents
+                FROM orders GROUP BY 1
+            ),
+            keyed AS (
+                SELECT month, revenue_cents,
+                       year(month) * 12 + month(month) AS mkey
+                FROM monthly
+            )
+            SELECT m.month, m.revenue_cents,
+                   p.revenue_cents AS prev_year_cents,
+                   (10000 * m.revenue_cents) // p.revenue_cents AS growth_bps
+            FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
         """,
         "dedup_jaccard_prefix": f"""
             WITH docs AS (

@@ -2394,3 +2394,56 @@ def jaccard_prefix_filter_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def cluster_source_purity(documents: DataFrame) -> DataFrame:
+    """Per-duplicate-cluster SOURCE purity: does each near-dup cluster
+    live inside one corpus source (template reuse within a crawl — dedup
+    locally and move on) or span several (cross-source syndication, the
+    case that silently leaks eval data between mixture components)?
+    Cluster-grain complement of ``cross_source_contamination``'s
+    pair-grain matrix; the report a mixture owner reads before deciding
+    per-source vs global dedup.
+
+    Composition: the components fixpoint (min-id labels, same harness
+    feed) joined back to doc provenance, then a component × source
+    count with a per-component argmax window — every stage is a keyed
+    shuffle at cluster grain; singleton docs never form clusters and
+    are excluded by the n_members > 1 filter.
+
+    Determinism: all-integer output plus the majority source label
+    (ties break by count DESC then source ASC); no float surface."""
+    from pyspark.sql import Window as W
+
+    comp = duplicate_components(documents, local_threshold=20_000)
+    members = comp.select("doc_id", "component_id").join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    by_source = members.groupBy("component_id", "source").agg(
+        F.count("*").cast("long").alias("n_from_source")
+    )
+    totals = by_source.groupBy("component_id").agg(
+        F.sum("n_from_source").cast("long").alias("n_members"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    w = W.partitionBy("component_id").orderBy(
+        F.col("n_from_source").desc(), F.col("source").asc()
+    )
+    majority = (
+        by_source.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("source").alias("majority_source"),
+            F.col("n_from_source").alias("majority_count"),
+        )
+    )
+    return (
+        totals.join(majority, "component_id")
+        .filter(F.col("n_members") > 1)
+        .select(
+            "component_id", "n_members", "n_sources",
+            "majority_source", "majority_count",
+        )
+        .orderBy("component_id")
+    )

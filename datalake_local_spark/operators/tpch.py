@@ -893,3 +893,46 @@ def seasonal_index(orders: DataFrame) -> DataFrame:
         )
         .orderBy("month_of_year")
     )
+
+
+def yoy_growth(orders: DataFrame) -> DataFrame:
+    """Year-over-year monthly revenue growth, fully in integer
+    arithmetic: monthly order totals as exact DECIMAL cents, self-joined
+    on an integer (year·12 + month) key 12 months apart, growth reported
+    in BASIS POINTS via integer division — no float ever touches the
+    output, so cross-engine parity is structural (the r9 threshold-
+    compare rule applied to period-over-period analytics).
+
+    Plan: one map-side-combined month-grain aggregate, then a self-join
+    of the ~|months| relation on the shifted key — both sides are
+    month-grain (broadcastable at any corpus size); the base aggregate
+    is the only table-sized stage.
+
+    Overflow envelope: 10000·month_cents must fit BIGINT → month
+    revenue < $9.2e12, ~sf10⁵ headroom; beyond that keep DECIMAL(38,0).
+    """
+    monthly = (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .withColumn(
+            "mkey", F.year("month") * 12 + F.month("month")
+        )
+    )
+    prev = monthly.select(
+        (F.col("mkey") + 12).alias("mkey"),
+        F.col("revenue_cents").alias("prev_year_cents"),
+    )
+    return (
+        monthly.join(prev, "mkey")
+        .select(
+            "month",
+            "revenue_cents",
+            "prev_year_cents",
+            F.expr("(10000 * revenue_cents) div prev_year_cents").alias("growth_bps"),
+        )
+        .orderBy("month")
+    )

@@ -3108,3 +3108,26 @@ def test_graph_local_paths_match_distributed(spark):
           for r in dedup.pagerank_dup_graph(docs, pairs=pairs, local_threshold=10_000).collect()}
     assert set(pl) == set(pd_)
     assert all(abs(pl[u] - pd_[u]) < 2e-6 for u in pd_)
+
+
+def test_cluster_source_purity_hand_computed(spark):
+    """Planted clusters: an exact-dup triple within one source (pure,
+    majority count 3) and a cross-source pair (tie broken by source
+    ASC); a singleton never reports."""
+    t1 = "alpha beta gamma delta epsilon"
+    t2 = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (0, t1, "web"), (1, t1, "web"), (2, t1, "web"),
+            (10, t2, "web"), (11, t2, "books"),
+            (50, "wholly unrelated content here", "cc"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["component_id"]: r for r in dedup.cluster_source_purity(docs).collect()}
+    assert set(rows) == {0, 10}
+    assert (rows[0]["n_members"], rows[0]["n_sources"]) == (3, 1)
+    assert (rows[0]["majority_source"], rows[0]["majority_count"]) == ("web", 3)
+    assert (rows[10]["n_members"], rows[10]["n_sources"]) == (2, 2)
+    assert rows[10]["majority_source"] == "books"  # tie → source ASC
+    assert rows[10]["majority_count"] == 1

@@ -1048,3 +1048,26 @@ def test_seasonal_index_averages_to_one(tables):
     n = sum(r["n_years"] for r in out)
     wmean = sum(r["seasonal_index"] * r["n_years"] for r in out) / n
     assert abs(wmean - 1.0) < 1e-4
+
+
+def test_yoy_growth_hand_computed(spark):
+    """Two Marches a year apart: $100.00 → $250.00 is 25000 bps in pure
+    integer arithmetic; the first year has no predecessor and must not
+    emit a row."""
+    from datalake_local_spark.operators import tpch
+
+    orders = spark.createDataFrame(
+        [
+            (1, "2023-03-05", 60.0), (2, "2023-03-20", 40.0),
+            (3, "2024-03-01", 250.0),
+            (4, "2024-07-01", 10.0),
+        ],
+        "o_orderkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    rows = tpch.yoy_growth(orders).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert str(r["month"]) == "2024-03-01"
+    assert (r["revenue_cents"], r["prev_year_cents"], r["growth_bps"]) == (
+        25000, 10000, 25000,
+    )
