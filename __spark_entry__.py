@@ -238,6 +238,8 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "events_growth_accounting",  # NEW r11: new/retained/resurrected/churned
+    "dedup_cosine_sweep",  # NEW r11: data-driven dedup threshold tuning table
     "dedup_cluster_purity",  # NEW r11: cluster-grain source purity report
     "tpch_yoy_growth",  # NEW r11: integer-exact YoY growth in basis points
     "dedup_components",  # r11: opt-in local union-find fast path
@@ -290,9 +292,8 @@ _CERTIFY_FIRST = [
     "events_funnel",
     "merge_upsert",
     "mm_frame_sample",
-    "pandas_udaf_geomean",
-    "pivot_status_by_priority",
-    # r4 overflow (scd2_versions, semantic_prediction_join,
+    # r4 overflow (pandas_udaf_geomean, pivot_status_by_priority,
+    # scd2_versions, semantic_prediction_join,
     # sim_random_projection, streaming_dedup, streaming_tumbling,
     # text_chunk_rolling_hash, text_contamination,
     # text_frequent_tokens, text_pack_sequences, text_quality_gate,
@@ -729,6 +730,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": lambda s, d: funnel.touch_attribution(*_t(s, d, "events")),
         "dedup_cluster_purity": lambda s, d: dedup.cluster_source_purity(*_t(s, d, "documents")),
         "tpch_yoy_growth": lambda s, d: tpch.yoy_growth(*_t(s, d, "orders")),
+        "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
+        "dedup_cosine_sweep": lambda s, d: similarity.cosine_threshold_sweep(*_t(s, d, "embeddings")),
         # rows-only (stateful streaming): batch-parity vs a pure-python
         # expanding reference tested
         "streaming_anomaly": lambda s, d: event_windows.run_streaming_anomaly(
@@ -3313,6 +3316,41 @@ def oracle_sql() -> dict[str, str]:
                    round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
             FROM dau JOIN wau USING (day) ORDER BY day
         """,
+        "events_growth_accounting": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS week
+                FROM events
+            ),
+            st AS (
+                SELECT week,
+                       CASE WHEN prev_week IS NULL THEN 'new'
+                            WHEN prev_week = week - 7 THEN 'retained'
+                            ELSE 'resurrected' END AS state
+                FROM (SELECT week,
+                             lag(week) OVER (PARTITION BY user_id
+                                             ORDER BY week) AS prev_week
+                      FROM uw)
+            ),
+            counts AS (
+                SELECT week,
+                       CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_new,
+                       CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_retained,
+                       CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_resurrected
+                FROM st GROUP BY 1
+            ),
+            active AS (SELECT week, count(*) AS n_active FROM uw GROUP BY 1),
+            prev AS (SELECT week + 7 AS week, n_active AS prev_active
+                     FROM active)
+            SELECT c.week, n_new, n_retained, n_resurrected,
+                   CAST(coalesce(prev_active, 0) - n_retained AS BIGINT)
+                       AS n_churned
+            FROM counts c LEFT JOIN prev USING (week)
+            ORDER BY week
+        """,
         "dq_chi_squared": """
             WITH cells AS (
                 SELECT event_type,
@@ -3831,6 +3869,36 @@ def oracle_sql() -> dict[str, str]:
                              / (a.nrm * b.nrm), 6) AS cosine
                 FROM n a JOIN n b ON a.vec_id < b.vec_id
             ) WHERE cosine >= 0.4
+        """,
+        "dedup_cosine_sweep": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                FROM embeddings
+            ),
+            n AS (
+                SELECT vec_id, ve,
+                       sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm
+                FROM v
+            ),
+            pairs AS (
+                SELECT cosine FROM (
+                    SELECT round(list_sum(list_transform(list_zip(a.ve, b.ve),
+                                 p -> CAST(p[1] AS DOUBLE)
+                                      * CAST(p[2] AS DOUBLE)))
+                                 / (a.nrm * b.nrm), 6) AS cosine
+                    FROM n a JOIN n b ON a.vec_id < b.vec_id
+                ) WHERE cosine >= 0.4
+            ),
+            grid AS (
+                SELECT CAST(40 + 5 * g AS INTEGER) AS threshold_pct
+                FROM generate_series(0, 6) AS t(g)
+            )
+            SELECT threshold_pct,
+                   CAST(sum(CASE WHEN cosine >= threshold_pct / 100.0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+            FROM pairs CROSS JOIN grid
+            GROUP BY 1 ORDER BY 1
         """,
         "pivot_status_by_priority": """
             SELECT o_orderpriority,

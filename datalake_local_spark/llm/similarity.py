@@ -1756,3 +1756,42 @@ def pair_geometry(embeddings: DataFrame, strides: tuple[int, ...] = (1, 7, 37)) 
         )
         .orderBy("stride", "bucket")
     )
+
+
+def cosine_threshold_sweep(embeddings: DataFrame) -> DataFrame:
+    """Near-duplicate THRESHOLD tuning table: how many embedding pairs
+    a semantic-dedup pass would merge at each candidate cosine cutoff
+    (40%…70% in 5-point steps) — the data-driven complement of the
+    analytic LSH S-curve table: you pick the threshold where the pair
+    count's knee sits, then configure the banding whose S-curve
+    inflects there.
+
+    One blocked-GEMM pair generation at the loosest cutoff
+    (:func:`embedding_near_dup_pairs`, linear shuffle, no O(n²)
+    materialization), then a broadcast 7-row grid × conditional count —
+    the sweep costs one aggregation over the already-thresholded pair
+    list, not one GEMM per cutoff.
+
+    Determinism: pair cosines are the hash-certified round(·, 6)
+    values; each cutoff pct/100.0 is the same IEEE double both
+    engines compute, so boundary membership is identical. Counts are
+    exact integers."""
+    pairs = embedding_near_dup_pairs(embeddings, threshold=0.4)
+    spark = embeddings.sparkSession
+    grid = spark.createDataFrame(
+        [(p,) for p in range(40, 71, 5)], "threshold_pct int"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(grid))
+        .groupBy("threshold_pct")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cosine") >= F.col("threshold_pct") / F.lit(100.0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pairs")
+        )
+        .orderBy("threshold_pct")
+    )

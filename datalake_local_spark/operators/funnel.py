@@ -262,3 +262,57 @@ def touch_attribution(events: DataFrame, lookback_days: int = 7) -> DataFrame:
         )
         .orderBy("model", "touch_type")
     )
+
+
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """Weekly growth accounting — every active user classified as NEW
+    (first week ever), RETAINED (also active the immediately preceding
+    week), or RESURRECTED (returning after ≥1 skipped week), plus the
+    CHURNED count (active last week, absent this week) — the standard
+    startup-metrics decomposition (new + retained + resurrected =
+    active; churned closes the balance against last week's actives).
+
+    Plan: collapse to the distinct user-week grain first (the
+    stickiness_profile move — everything downstream is user-week, not
+    event, scale), one lag window PARTITIONED BY USER for the state
+    machine, then week-grain conditional counts; churned is last
+    week's active count minus this week's retained, via a week-grain
+    self-join (a ~|weeks| relation, broadcastable anywhere).
+
+    Weeks with no activity at all emit no row (the activity-days
+    contract shared with stickiness_profile). All-integer output."""
+    uw = events.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("week")
+    states = uw.withColumn("prev_week", F.lag("week").over(w)).select(
+        "week",
+        F.when(F.col("prev_week").isNull(), "new")
+        .when(F.col("prev_week") == F.date_sub(F.col("week"), 7), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    counts = states.groupBy("week").agg(
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0)).cast("long").alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0)).cast("long").alias("n_retained"),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0)).cast("long").alias("n_resurrected"),
+    )
+    active = uw.groupBy("week").agg(F.count("*").cast("long").alias("n_active"))
+    prev_active = active.select(
+        F.date_add(F.col("week"), 7).alias("week"),
+        F.col("n_active").alias("prev_active"),
+    )
+    return (
+        counts.join(prev_active, "week", "left")
+        .select(
+            "week",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            (F.coalesce(F.col("prev_active"), F.lit(0)) - F.col("n_retained"))
+            .cast("long")
+            .alias("n_churned"),
+        )
+        .orderBy("week")
+    )

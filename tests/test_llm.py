@@ -3131,3 +3131,56 @@ def test_cluster_source_purity_hand_computed(spark):
     assert (rows[10]["n_members"], rows[10]["n_sources"]) == (2, 2)
     assert rows[10]["majority_source"] == "books"  # tie → source ASC
     assert rows[10]["majority_count"] == 1
+
+
+def test_growth_accounting_hand_computed(spark):
+    """User 1 active weeks 0,1,3 (new → retained → resurrected);
+    user 2 active week 0 only (new, churns in week 1); user 3 first
+    appears week 3 (new). Week 2 has no activity → no row. Churned
+    closes the balance: week 1 loses user 2 (prev_active 2 −
+    retained 1 = 1); week 3's prev week (2) emitted no row, so
+    prev_active coalesces to 0 and churned = −retained = 0 − 0 = 0."""
+    import datetime
+
+    from datalake_local_spark.operators import funnel
+
+    # 2024-01-01 is a Monday: week k starts Jan 1 + 7k
+    d = lambda k: datetime.datetime(2024, 1, 1 + 7 * k, 12, 0)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, d(0), 1, "view", 1.0, "{}"),
+            (2, d(0), 2, "view", 1.0, "{}"),
+            (3, d(1), 1, "view", 1.0, "{}"),
+            (4, d(3), 1, "view", 1.0, "{}"),
+            (5, d(3), 3, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r["week"].day: r for r in funnel.growth_accounting(ev).collect()}
+    assert set(out) == {1, 8, 22}
+    w0, w1, w3 = out[1], out[8], out[22]
+    assert (w0["n_new"], w0["n_retained"], w0["n_resurrected"], w0["n_churned"]) == (2, 0, 0, 0)
+    assert (w1["n_new"], w1["n_retained"], w1["n_resurrected"], w1["n_churned"]) == (0, 1, 0, 1)
+    assert (w3["n_new"], w3["n_retained"], w3["n_resurrected"], w3["n_churned"]) == (1, 0, 1, 0)
+
+
+def test_cosine_threshold_sweep_hand_computed(spark):
+    """Three planted vectors: (a,b) cosine 1.0, (a,c) and (b,c)
+    cosine 0.6 → the sweep counts 3 pairs at cutoffs ≤ 60 and exactly
+    1 pair above; the grid always emits all 7 rows and the counts are
+    monotone non-increasing in the threshold."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [2.0, 0.0]),
+            (3, [0.6, 0.8]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["threshold_pct"]: r["n_pairs"]
+            for r in similarity.cosine_threshold_sweep(emb).collect()}
+    assert sorted(rows) == [40, 45, 50, 55, 60, 65, 70]
+    assert rows[40] == rows[60] == 3
+    assert rows[65] == rows[70] == 1
+    counts = [rows[p] for p in sorted(rows)]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
