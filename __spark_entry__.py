@@ -238,6 +238,8 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "tpch_pareto_abc",  # NEW r11: integer-exact ABC classification
+    "tpch_cohort_ltv",  # NEW r11: cohort LTV triangle in exact cents
     "events_growth_accounting",  # NEW r11: new/retained/resurrected/churned
     "dedup_cosine_sweep",  # NEW r11: data-driven dedup threshold tuning table
     "dedup_cluster_purity",  # NEW r11: cluster-grain source purity report
@@ -290,9 +292,8 @@ _CERTIFY_FIRST = [
     "dq_orders_integrity",
     "events_ewma",
     "events_funnel",
-    "merge_upsert",
-    "mm_frame_sample",
-    # r4 overflow (pandas_udaf_geomean, pivot_status_by_priority,
+    # r4 overflow (merge_upsert, mm_frame_sample,
+    # pandas_udaf_geomean, pivot_status_by_priority,
     # scd2_versions, semantic_prediction_join,
     # sim_random_projection, streaming_dedup, streaming_tumbling,
     # text_chunk_rolling_hash, text_contamination,
@@ -730,6 +731,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": lambda s, d: funnel.touch_attribution(*_t(s, d, "events")),
         "dedup_cluster_purity": lambda s, d: dedup.cluster_source_purity(*_t(s, d, "documents")),
         "tpch_yoy_growth": lambda s, d: tpch.yoy_growth(*_t(s, d, "orders")),
+        "tpch_pareto_abc": lambda s, d: tpch.pareto_abc(*_t(s, d, "lineitem", "part")),
+        "tpch_cohort_ltv": lambda s, d: tpch.cohort_ltv(*_t(s, d, "orders")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
         "dedup_cosine_sweep": lambda s, d: similarity.cosine_threshold_sweep(*_t(s, d, "embeddings")),
         # rows-only (stateful streaming): batch-parity vs a pure-python
@@ -4768,6 +4771,83 @@ def oracle_sql() -> dict[str, str]:
                    p.revenue_cents AS prev_year_cents,
                    (10000 * m.revenue_cents) // p.revenue_cents AS growth_bps
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
+        """,
+        "tpch_pareto_abc": """
+            WITH rev AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * 100 AS DECIMAL(38,0))) AS BIGINT)
+                           AS cents
+                FROM lineitem GROUP BY 1
+            ),
+            branded AS (
+                SELECT p_brand, l_partkey, cents FROM rev
+                JOIN part ON p_partkey = l_partkey
+            ),
+            cum AS (
+                SELECT p_brand, cents,
+                       sum(cents) OVER (PARTITION BY p_brand
+                                        ORDER BY cents DESC, l_partkey
+                                        ROWS UNBOUNDED PRECEDING) AS cum_cents,
+                       sum(cents) OVER (PARTITION BY p_brand) AS total_cents
+                FROM branded
+            ),
+            classed AS (
+                SELECT p_brand, cents, total_cents,
+                       CASE WHEN cum_cents * 100 <= total_cents * 70 THEN 'A'
+                            WHEN cum_cents * 100 <= total_cents * 90 THEN 'B'
+                            ELSE 'C' END AS abc_class
+                FROM cum
+            )
+            SELECT p_brand, abc_class,
+                   count(*) AS n_parts,
+                   CAST(sum(cents) AS BIGINT) AS class_cents,
+                   CAST((10000 * sum(cents)) // any_value(total_cents)
+                        AS BIGINT) AS share_bps
+            FROM classed GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_cohort_ltv": """
+            WITH first_o AS (
+                SELECT o_custkey,
+                       min(CAST(date_trunc('month', o_orderdate) AS DATE))
+                           AS cohort_month
+                FROM orders GROUP BY 1
+            ),
+            sizes AS (
+                SELECT cohort_month, count(*) AS cohort_customers
+                FROM first_o GROUP BY 1
+            ),
+            aged AS (
+                SELECT cohort_month,
+                       CAST((year(date_trunc('month', o_orderdate)) * 12
+                             + month(date_trunc('month', o_orderdate)))
+                            - (year(cohort_month) * 12 + month(cohort_month))
+                            AS INTEGER) AS months_since,
+                       o.o_custkey,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS DECIMAL(38,0)) AS cents
+                FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+            ),
+            grid AS (
+                SELECT cohort_month, months_since,
+                       count(DISTINCT o_custkey) AS n_active,
+                       CAST(sum(cents) AS BIGINT) AS revenue_cents
+                FROM aged GROUP BY 1, 2
+            ),
+            cumed AS (
+                SELECT cohort_month, months_since, n_active, revenue_cents,
+                       CAST(sum(revenue_cents)
+                            OVER (PARTITION BY cohort_month
+                                  ORDER BY months_since
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_cents
+                FROM grid
+            )
+            SELECT c.cohort_month, months_since, n_active, revenue_cents,
+                   cum_cents, cohort_customers,
+                   cum_cents // cohort_customers AS ltv_cents_per_cust
+            FROM cumed c JOIN sizes USING (cohort_month)
+            ORDER BY 1, 2
         """,
         "dedup_jaccard_prefix": f"""
             WITH docs AS (

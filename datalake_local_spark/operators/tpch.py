@@ -936,3 +936,132 @@ def yoy_growth(orders: DataFrame) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def pareto_abc(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """ABC / Pareto inventory classification per brand: parts ranked by
+    revenue within their brand, classified A (first parts covering
+    ≤ 70% of brand revenue), B (≤ 90%), C (tail) — the 80/20
+    concentration report purchasing teams run; the training-data twin
+    is source-concentration triage (which sources carry the token
+    mass).
+
+    Integer-exact throughout: revenue as DECIMAL cents, class
+    boundaries decided by integer cross-multiplication
+    (100·cum ≤ 70·total), shares in basis points via integer division —
+    no float ever touches class membership or the output, so
+    cross-engine parity is structural.
+
+    Scale shape: ONE part-grain map-side-combined aggregate is the only
+    table-sized stage; the ranked/cumulative window partitions BY BRAND
+    (part-catalog-bounded groups, the gini_spend_concentration shape —
+    never an unpartitioned global sort); the final class rollup is a
+    ~|brands|·3-row relation. Tie order deterministic: cents DESC,
+    partkey ASC."""
+    from pyspark.sql import Window as W
+
+    rev = (
+        lineitem.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .join(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"), "l_partkey")
+    )
+    wcum = (
+        W.partitionBy("p_brand")
+        .orderBy(F.col("cents").desc(), F.col("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("p_brand")
+    classed = rev.select(
+        "p_brand",
+        "cents",
+        F.sum("cents").over(wcum).alias("cum_cents"),
+        F.sum("cents").over(wtot).alias("total_cents"),
+    ).select(
+        "p_brand",
+        "cents",
+        F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 70, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 90, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "total_cents",
+    )
+    return (
+        classed.groupBy("p_brand", "abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("class_cents"),
+            F.expr("(10000 * sum(cents)) div any_value(total_cents)")
+            .cast("long")
+            .alias("share_bps"),
+        )
+        .orderBy("p_brand", "abc_class")
+    )
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Customer-cohort lifetime-value triangle: customers grouped by
+    FIRST-ORDER month, revenue tracked by months-since-acquisition —
+    the standard LTV curve (cohort × age grid), all in exact integer
+    cents with per-customer LTV via integer division.
+
+    Plan: first-order month per customer is one map-side-combined
+    min(); joining it back to orders is ONE shuffle co-partitioned on
+    o_custkey; the cohort × age rollup and the cumulative window
+    (partitioned BY COHORT, month-grain rows) are tiny. Cohort sizes
+    ride along from the first-order relation (month-grain,
+    broadcastable)."""
+    from pyspark.sql import Window as W
+
+    month_key = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate")).cast("date")).alias(
+            "cohort_month"
+        )
+    )
+    sizes = first.groupBy("cohort_month").agg(
+        F.count("*").cast("long").alias("cohort_customers")
+    )
+    aged = orders.join(first, "o_custkey").select(
+        "cohort_month",
+        (
+            month_key(F.date_trunc("month", F.col("o_orderdate")))
+            - month_key(F.col("cohort_month"))
+        ).cast("int").alias("months_since"),
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    grid = aged.groupBy("cohort_month", "months_since").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_active"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    wcum = (
+        W.partitionBy("cohort_month")
+        .orderBy("months_since")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(sizes, "cohort_month")
+        .select(
+            "cohort_month",
+            "months_since",
+            "n_active",
+            "revenue_cents",
+            F.sum("revenue_cents").over(wcum).cast("long").alias("cum_cents"),
+            "cohort_customers",
+        )
+        .withColumn(
+            "ltv_cents_per_cust",
+            F.expr("cum_cents div cohort_customers").cast("long"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )

@@ -1071,3 +1071,51 @@ def test_yoy_growth_hand_computed(spark):
     assert (r["revenue_cents"], r["prev_year_cents"], r["growth_bps"]) == (
         25000, 10000, 25000,
     )
+
+
+def test_pareto_abc_hand_computed(spark):
+    """One brand, four parts with revenue 70/20/5/5 cents: the 70-cent
+    part alone covers exactly 70% (boundary INCLUDES it in A), the next
+    reaches 90% (B), the two 5-cent parts are C. Shares in bps are
+    integer-exact; per-class part counts close the balance."""
+    li = spark.createDataFrame(
+        [(1, 0.70), (2, 0.20), (3, 0.05), (4, 0.05)],
+        "l_partkey long, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#1"), (2, "Brand#1"), (3, "Brand#1"), (4, "Brand#1")],
+        "p_partkey long, p_brand string",
+    )
+    rows = {r["abc_class"]: r for r in tpch.pareto_abc(li, part).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert (rows["A"]["n_parts"], rows["A"]["class_cents"], rows["A"]["share_bps"]) == (1, 70, 7000)
+    assert (rows["B"]["n_parts"], rows["B"]["class_cents"], rows["B"]["share_bps"]) == (1, 20, 2000)
+    assert (rows["C"]["n_parts"], rows["C"]["class_cents"], rows["C"]["share_bps"]) == (2, 10, 1000)
+
+
+def test_cohort_ltv_hand_computed(spark):
+    """Customer 1 acquired Jan (orders Jan $10, Mar $30), customer 2
+    acquired Jan (Jan $20), customer 3 acquired Mar ($5): the Jan
+    cohort has size 2 with ages 0 (revenue 3000¢, both active) and 2
+    (3000¢, one active, cum 6000¢ → LTV 3000¢/cust); the Mar cohort is
+    a singleton at age 0."""
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-05", 10.0),
+            (2, 2, "2024-01-20", 20.0),
+            (3, 1, "2024-03-01", 30.0),
+            (4, 3, "2024-03-10", 5.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    rows = {(str(r["cohort_month"]), r["months_since"]): r
+            for r in tpch.cohort_ltv(orders).collect()}
+    assert set(rows) == {("2024-01-01", 0), ("2024-01-01", 2), ("2024-03-01", 0)}
+    j0 = rows[("2024-01-01", 0)]
+    assert (j0["n_active"], j0["revenue_cents"], j0["cum_cents"]) == (2, 3000, 3000)
+    assert (j0["cohort_customers"], j0["ltv_cents_per_cust"]) == (2, 1500)
+    j2 = rows[("2024-01-01", 2)]
+    assert (j2["n_active"], j2["revenue_cents"], j2["cum_cents"]) == (1, 3000, 6000)
+    assert j2["ltv_cents_per_cust"] == 3000
+    m0 = rows[("2024-03-01", 0)]
+    assert (m0["n_active"], m0["cohort_customers"], m0["ltv_cents_per_cust"]) == (1, 1, 500)
