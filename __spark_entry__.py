@@ -238,6 +238,8 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "graph_link_prediction",  # NEW r11: integer-exact RA/common-neighbor scores
+    "events_survival_km",  # NEW r11: Kaplan-Meier time-to-conversion
     "tpch_pareto_abc",  # NEW r11: integer-exact ABC classification
     "tpch_cohort_ltv",  # NEW r11: cohort LTV triangle in exact cents
     "events_growth_accounting",  # NEW r11: new/retained/resurrected/churned
@@ -290,9 +292,8 @@ _CERTIFY_FIRST = [
     "agg_mad_outliers",
     "agg_trend_regression",
     "dq_orders_integrity",
-    "events_ewma",
-    "events_funnel",
-    # r4 overflow (merge_upsert, mm_frame_sample,
+    # r4 overflow (events_ewma, events_funnel,
+    # merge_upsert, mm_frame_sample,
     # pandas_udaf_geomean, pivot_status_by_priority,
     # scd2_versions, semantic_prediction_join,
     # sim_random_projection, streaming_dedup, streaming_tumbling,
@@ -733,6 +734,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_yoy_growth": lambda s, d: tpch.yoy_growth(*_t(s, d, "orders")),
         "tpch_pareto_abc": lambda s, d: tpch.pareto_abc(*_t(s, d, "lineitem", "part")),
         "tpch_cohort_ltv": lambda s, d: tpch.cohort_ltv(*_t(s, d, "orders")),
+        "graph_link_prediction": lambda s, d: dedup.dup_graph_link_prediction(*_t(s, d, "documents")),
+        "events_survival_km": lambda s, d: funnel.survival_km(*_t(s, d, "events")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
         "dedup_cosine_sweep": lambda s, d: similarity.cosine_threshold_sweep(*_t(s, d, "embeddings")),
         # rows-only (stateful streaming): batch-parity vs a pure-python
@@ -4771,6 +4774,114 @@ def oracle_sql() -> dict[str, str]:
                    p.revenue_cents AS prev_year_cents,
                    (10000 * m.revenue_cents) // p.revenue_cents AS growth_bps
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
+        """,
+        "graph_link_prediction": f"""
+            WITH docs AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+            ),
+            adj AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                    UNION ALL SELECT doc_b, doc_a FROM pairs),
+            deg AS (SELECT u AS doc_id, count(*) AS degree FROM adj GROUP BY 1),
+            wedges AS (
+                SELECT a1.u AS a, a2.v AS b, d.degree
+                FROM adj a1
+                JOIN adj a2 ON a1.v = a2.u
+                JOIN deg d ON d.doc_id = a1.v
+                WHERE a1.u < a2.v
+            ),
+            cand AS (
+                SELECT a, b, count(*) AS n_common,
+                       sum(1000000000000 // degree) AS ra_pico
+                FROM wedges GROUP BY 1, 2
+            ),
+            ne AS (
+                SELECT * FROM cand c
+                WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                                  WHERE p.doc_a = c.a AND p.doc_b = c.b)
+            )
+            SELECT a AS doc_a, b AS doc_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   CAST(ra_pico AS BIGINT) AS ra_pico,
+                   CAST((10000 * n_common) // (da.degree + db.degree - n_common)
+                        AS BIGINT) AS jaccard_bps
+            FROM ne
+            JOIN deg da ON da.doc_id = a
+            JOIN deg db ON db.doc_id = b
+            ORDER BY 1, 2
+        """,
+        "events_survival_km": """
+            WITH ep AS (
+                SELECT user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                FROM events
+            ),
+            wn AS (
+                SELECT event_type, ep,
+                       min(CASE WHEN event_type = 'purchase' THEN ep END)
+                           OVER (PARTITION BY user_id ORDER BY ep
+                                 RANGE BETWEEN 1 FOLLOWING
+                                 AND UNBOUNDED FOLLOWING) AS next_p
+                FROM ep
+            ),
+            g AS (SELECT max(ep) AS end_ep FROM ep),
+            subjects AS (
+                SELECT CASE WHEN next_p IS NOT NULL
+                                 AND next_p - ep <= 72 * 3600
+                            THEN 1 ELSE 0 END AS converted,
+                       CAST(CASE WHEN next_p IS NOT NULL
+                                      AND next_p - ep <= 72 * 3600
+                                 THEN (next_p - ep) // 3600
+                                 ELSE least(CAST(72 * 3600 AS BIGINT),
+                                            end_ep - ep) // 3600
+                            END AS INTEGER) AS duration_hours
+                FROM wn CROSS JOIN g
+                WHERE event_type = 'signup'
+            ),
+            grid AS (
+                SELECT duration_hours,
+                       CAST(sum(converted) AS BIGINT) AS n_converted,
+                       CAST(sum(1 - converted) AS BIGINT) AS n_censored
+                FROM subjects GROUP BY 1
+            ),
+            risked AS (
+                SELECT *, CAST(sum(n_converted + n_censored)
+                               OVER (ORDER BY duration_hours DESC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                              AS n_risk
+                FROM grid
+            ),
+            factored AS (
+                SELECT *,
+                       CASE WHEN n_converted < n_risk
+                            THEN CAST(round(ln((n_risk - n_converted)
+                                               / CAST(n_risk AS DOUBLE)), 12)
+                                      AS DECIMAL(18,12)) END AS lf
+                FROM risked
+            )
+            SELECT duration_hours, n_risk, n_converted, n_censored,
+                   (10000 * n_converted) // n_risk AS hazard_bps,
+                   CASE WHEN n_converted = n_risk THEN 0.0
+                        ELSE round(exp(CAST(sum(lf)
+                             OVER (ORDER BY duration_hours
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6)
+                   END AS survival
+            FROM factored ORDER BY duration_hours
         """,
         "tpch_pareto_abc": """
             WITH rev AS (

@@ -316,3 +316,111 @@ def growth_accounting(events: DataFrame) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+def survival_km(events: DataFrame, horizon_hours: int = 72) -> DataFrame:
+    """Kaplan–Meier time-to-conversion curve (Kaplan & Meier 1958):
+    every SIGNUP event is a subject; the event is the user's first
+    PURCHASE strictly after it; subjects with no purchase inside
+    ``horizon_hours`` (or truncated by the data window) are right-
+    CENSORED at their observed horizon. Output per distinct duration
+    hour: at-risk count, conversions, censorings, the discrete hazard
+    (bps, integer division), and the KM survival estimate
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ).
+
+    Next-purchase lookup is ONE user-partitioned range-frame window
+    (min purchase epoch over RANGE 1 FOLLOWING..∞ — strictly-after
+    semantics without a per-user theta join); the life table is a
+    duration-grain aggregate. The two unpartitioned cumulative windows
+    run over ≤ horizon_hours+1 rows — bounded by the HORIZON CONSTANT,
+    not the data (the calendar-spine exception to the no-global-window
+    rule).
+
+    Determinism: counts/hazard are exact integers. The KM product is
+    an exact DECIMAL(18,12) sum of per-row round(ln((n−d)/n), 12)
+    factors (order-invariant), exp'd and rounded once at the end —
+    the same quantized-log discipline as the certified logprob
+    queries; ln/exp of off-grid irrationals round 6dp-safely. A row
+    where everyone remaining converts (n = d) pins survival to 0.0
+    explicitly (ln(0) guard; structurally only possible at the last
+    row)."""
+    ep = events.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
+    )
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(1, W.unboundedFollowing)
+    )
+    with_next = ep.withColumn(
+        "next_p",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ep"))).over(w_next),
+    )
+    end = ep.agg(F.max("ep").alias("end_ep"))
+    h_sec = horizon_hours * 3600
+    subjects = (
+        with_next.filter(F.col("event_type") == "signup")
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.when(
+                F.col("next_p").isNotNull()
+                & (F.col("next_p") - F.col("ep") <= F.lit(h_sec)),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+            F.when(
+                F.col("next_p").isNotNull()
+                & (F.col("next_p") - F.col("ep") <= F.lit(h_sec)),
+                F.expr("(next_p - ep) div 3600"),
+            )
+            .otherwise(
+                F.expr(f"least(cast({h_sec} as bigint), end_ep - ep) div 3600")
+            )
+            .cast("int")
+            .alias("duration_hours"),
+        )
+    )
+    grid = subjects.groupBy("duration_hours").agg(
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.sum(1 - F.col("converted")).cast("long").alias("n_censored"),
+    )
+    w_desc = (
+        W.orderBy(F.col("duration_hours").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_asc = (
+        W.orderBy("duration_hours")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risked = grid.withColumn(
+        "n_risk",
+        F.sum(F.col("n_converted") + F.col("n_censored")).over(w_desc).cast("long"),
+    )
+    factored = risked.withColumn(
+        "lf",
+        F.when(
+            F.col("n_converted") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("n_converted"))
+                    / F.col("n_risk").cast("double")
+                ),
+                12,
+            ).cast("decimal(18,12)"),
+        ),
+    )
+    return (
+        factored.withColumn("cum_lf", F.sum("lf").over(w_asc))
+        .select(
+            "duration_hours",
+            "n_risk",
+            "n_converted",
+            "n_censored",
+            F.expr("(10000 * n_converted) div n_risk").cast("long").alias("hazard_bps"),
+            F.when(F.col("n_converted") == F.col("n_risk"), F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("cum_lf").cast("double")), 6))
+            .alias("survival"),
+        )
+        .orderBy("duration_hours")
+    )

@@ -3184,3 +3184,37 @@ def test_cosine_threshold_sweep_hand_computed(spark):
     assert rows[65] == rows[70] == 1
     counts = [rows[p] for p in sorted(rows)]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_link_prediction_hand_computed(spark):
+    """Path 1–2–3 plus triangle 5–6–7: the path predicts (1,3) through
+    common neighbor 2 (deg 2 → RA = 10¹² div 2; neighbor sets {2},{2}
+    → Jaccard 10000 bps); the triangle is complete so it predicts
+    nothing; no adjacent pair ever appears."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (5, 7), (6, 7)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    rows = dedup.dup_graph_link_prediction(docs, pairs=pairs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 3)
+    assert r["n_common"] == 1
+    assert r["ra_pico"] == 500_000_000_000
+    assert r["jaccard_bps"] == 10000
+
+
+def test_link_prediction_square(spark):
+    """C4 (square 1-2-3-4): both diagonals predicted, each with TWO
+    common neighbors of degree 2 → RA = 10¹²; neighbor sets are
+    identical pairs → Jaccard 10000 bps."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in dedup.dup_graph_link_prediction(docs, pairs=pairs).collect()}
+    assert set(rows) == {(1, 3), (2, 4)}
+    for r in rows.values():
+        assert r["n_common"] == 2 and r["ra_pico"] == 1_000_000_000_000
+        assert r["jaccard_bps"] == 10000

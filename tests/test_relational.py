@@ -1119,3 +1119,40 @@ def test_cohort_ltv_hand_computed(spark):
     assert j2["ltv_cents_per_cust"] == 3000
     m0 = rows[("2024-03-01", 0)]
     assert (m0["n_active"], m0["cohort_customers"], m0["ltv_cents_per_cust"]) == (1, 1, 500)
+
+
+def test_survival_km_hand_computed(spark):
+    """Six signups at t0 (+one at +50h): conversions at 0h and 2h,
+    censorings at 50h (data-window truncation), and 72h (horizon: one
+    never-purchaser, one whose only purchase is BEFORE the signup —
+    strictly-after must ignore it — and one whose purchase lands past
+    the horizon). KM: S(0) = 5/6 → 0.833333, S(2) = 5/6 · 4/5 →
+    0.666667, flat thereafter; hazards in exact integer bps."""
+    import datetime
+
+    from datalake_local_spark.operators import funnel
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    h = lambda x: t0 + datetime.timedelta(hours=x)  # noqa: E731
+    rows_in = [
+        (1, h(0), 1, "signup"), (2, h(0.5), 1, "purchase"),      # dur 0
+        (3, h(0), 2, "signup"), (4, h(2.99), 2, "purchase"),     # dur 2
+        (5, h(0), 3, "signup"),                                   # censored 72
+        (6, h(50), 4, "signup"),                                  # censored 50 (end)
+        (7, h(0), 5, "signup"), (8, h(80), 5, "purchase"),       # past horizon → 72
+        (9, h(-1), 6, "purchase"), (10, h(0), 6, "signup"),      # before-only → 72
+        (11, h(100), 7, "view"),                                  # pins end_ep
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in rows_in],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r["duration_hours"]: r for r in funnel.survival_km(ev).collect()}
+    assert set(out) == {0, 2, 50, 72}
+    assert (out[0]["n_risk"], out[0]["n_converted"], out[0]["n_censored"]) == (6, 1, 0)
+    assert out[0]["hazard_bps"] == 1666 and out[0]["survival"] == 0.833333
+    assert (out[2]["n_risk"], out[2]["n_converted"]) == (5, 1)
+    assert out[2]["hazard_bps"] == 2000 and out[2]["survival"] == 0.666667
+    assert (out[50]["n_risk"], out[50]["n_censored"], out[50]["survival"]) == (4, 1, 0.666667)
+    assert (out[72]["n_risk"], out[72]["n_censored"], out[72]["survival"]) == (3, 3, 0.666667)
+    assert out[72]["n_converted"] == 0 and out[72]["hazard_bps"] == 0
