@@ -238,6 +238,8 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "dq_bootstrap_ci",  # NEW r11: deterministic Poisson bootstrap CI
+    "dq_psi_drift",  # NEW r11: population stability index drift screen
     "graph_link_prediction",  # NEW r11: integer-exact RA/common-neighbor scores
     "events_survival_km",  # NEW r11: Kaplan-Meier time-to-conversion
     "tpch_pareto_abc",  # NEW r11: integer-exact ABC classification
@@ -285,14 +287,13 @@ _CERTIFY_FIRST = [
     "scalar_variant_funcs",
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
-    "tpch_volume_shipping",
     "unpivot_order_measures",
-    "window_distribution",
     "agg_approx_percentiles",
     "agg_mad_outliers",
     "agg_trend_regression",
     "dq_orders_integrity",
-    # r4 overflow (events_ewma, events_funnel,
+    # r4 overflow (tpch_volume_shipping, window_distribution,
+    # events_ewma, events_funnel,
     # merge_upsert, mm_frame_sample,
     # pandas_udaf_geomean, pivot_status_by_priority,
     # scd2_versions, semantic_prediction_join,
@@ -736,6 +737,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_cohort_ltv": lambda s, d: tpch.cohort_ltv(*_t(s, d, "orders")),
         "graph_link_prediction": lambda s, d: dedup.dup_graph_link_prediction(*_t(s, d, "documents")),
         "events_survival_km": lambda s, d: funnel.survival_km(*_t(s, d, "events")),
+        "dq_bootstrap_ci": lambda s, d: quality.bootstrap_mean_ci(*_t(s, d, "orders")),
+        "dq_psi_drift": lambda s, d: quality.psi_drift(*_t(s, d, "orders")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
         "dedup_cosine_sweep": lambda s, d: similarity.cosine_threshold_sweep(*_t(s, d, "embeddings")),
         # rows-only (stateful streaming): batch-parity vs a pure-python
@@ -4774,6 +4777,104 @@ def oracle_sql() -> dict[str, str]:
                    p.revenue_cents AS prev_year_cents,
                    (10000 * m.revenue_cents) // p.revenue_cents AS growth_bps
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
+        """,
+        "dq_bootstrap_ci": """
+            WITH weighted AS (
+                SELECT o_orderpriority,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS DECIMAL(38,0)) AS cents,
+                       r,
+                       CASE WHEN u < 1580030168 THEN 0
+                            WHEN u < 3160060337 THEN 1
+                            WHEN u < 3950075421 THEN 2
+                            WHEN u < 4213413783 THEN 3
+                            ELSE 4 END AS w
+                FROM (
+                    SELECT o_orderpriority, o_totalprice, g AS r,
+                           CAST('0x' || substr(md5(concat_ws(':', o_orderkey, g)),
+                                               1, 8) AS BIGINT) AS u
+                    FROM orders CROSS JOIN generate_series(0, 49) AS t(g)
+                )
+            ),
+            rep AS (
+                SELECT o_orderpriority,
+                       (2 * CAST(sum(w * cents) AS BIGINT) + sum(w))
+                           // (2 * sum(w)) AS rep_mean_cents
+                FROM weighted GROUP BY o_orderpriority, r
+                HAVING sum(w) > 0
+            ),
+            point AS (
+                SELECT o_orderpriority,
+                       count(*) AS n_orders,
+                       CAST((2 * CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                          * 100 AS DECIMAL(38,0))) AS BIGINT)
+                             + count(*))
+                            // (2 * count(*)) AS BIGINT) AS mean_cents
+                FROM orders GROUP BY 1
+            ),
+            ci AS (
+                SELECT o_orderpriority,
+                       count(*) AS n_replicates,
+                       round(quantile_cont(rep_mean_cents, 0.025), 6)
+                           AS ci_lo_cents,
+                       round(quantile_cont(rep_mean_cents, 0.975), 6)
+                           AS ci_hi_cents
+                FROM rep GROUP BY 1
+            )
+            SELECT o_orderpriority, n_orders, mean_cents,
+                   n_replicates, ci_lo_cents, ci_hi_cents
+            FROM point JOIN ci USING (o_orderpriority)
+            ORDER BY o_orderpriority
+        """,
+        "dq_psi_drift": """
+            WITH years AS (
+                SELECT min(year(o_orderdate)) AS y0,
+                       max(year(o_orderdate)) AS y1
+                FROM orders
+            ),
+            sided AS (
+                SELECT CASE WHEN year(o_orderdate) = y0
+                            THEN 'baseline' ELSE 'current' END AS side,
+                       least(CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                            * 100 AS DECIMAL(38,0)) AS BIGINT)
+                                  // 5000000 AS INTEGER),
+                             9) AS band
+                FROM orders CROSS JOIN years
+                WHERE year(o_orderdate) IN (y0, y1)
+            ),
+            counts AS (
+                SELECT band,
+                       CAST(sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS baseline_n,
+                       CAST(sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS current_n
+                FROM sided GROUP BY 1
+            ),
+            tot AS (
+                SELECT sum(baseline_n) AS bt, sum(current_n) AS ct,
+                       count(*) AS nb
+                FROM counts
+            ),
+            scored AS (
+                SELECT band, baseline_n, current_n,
+                       round(p, 6) AS p_baseline,
+                       round(q, 6) AS q_current,
+                       CAST(round((p - q) * ln(p / q), 12)
+                            AS DECIMAL(18,12)) AS psi_contrib
+                FROM (
+                    SELECT band, baseline_n, current_n,
+                           (baseline_n + 1) / (bt + nb) AS p,
+                           (current_n + 1) / (ct + nb) AS q
+                    FROM counts CROSS JOIN tot
+                )
+            )
+            SELECT band, baseline_n, current_n, p_baseline, q_current,
+                   CAST(psi_contrib AS DOUBLE) AS psi_contrib,
+                   round(CAST(sum(psi_contrib)
+                              OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS DOUBLE), 6)
+                       AS psi_total
+            FROM scored ORDER BY band
         """,
         "graph_link_prediction": f"""
             WITH docs AS (

@@ -518,3 +518,174 @@ def completeness_profile(orders: DataFrame) -> DataFrame:
             (F.col("n_rows") - F.col("n_filled")) / F.col("n_rows").cast("double"), 6
         ).alias("null_share"),
     ).orderBy("column_name")
+
+
+def bootstrap_mean_ci(orders: DataFrame, n_replicates: int = 50) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value per
+    priority — THE distributed bootstrap (Chamandy et al. 2012,
+    "Estimating uncertainty for massive data streams", Google TR;
+    Kleiner et al. 2014 BLB is the subsample variant): instead of
+    resampling n rows with replacement (which needs global coordination),
+    each row enters replicate r with an independent Poisson(1) weight —
+    at corpus scale the multinomial and Poisson bootstraps coincide, and
+    the weight needs nothing but the row itself.
+
+    Fully deterministic and integer-exact: the Poisson(1) draw inverts
+    the CDF on the first 32 md5 bits of (orderkey, replicate) against
+    PRECOMPUTED integer thresholds floor(F(k)·2³²) (k capped at 4,
+    99.63% of mass below; both engines compare the same integers, so
+    every weight is identical by construction). Replicate means use the
+    exact (2S+n) div 2n integer-cent rounding; the CI bounds are exact
+    percentiles over the ≤n_replicates integer means (the certified
+    F.percentile ≡ quantile_cont pair), rounded once.
+
+    100 TB shape: the explode is a bounded ×R row multiplier feeding ONE
+    map-side-combined (priority, replicate) aggregate — shuffle carries
+    |groups|·R rows; the percentile runs per priority over R values.
+    No driver state, no RNG service, reruns bit-identical."""
+    # floor(CDF_Poisson(1)(k) * 2^32) for k = 0..3; u >= t3 → weight 4
+    t0, t1, t2, t3 = 1580030168, 3160060337, 3950075421, 4213413783
+    weighted = orders.select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("r"),
+        F.col("o_orderkey"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("r"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+    ).withColumn(
+        "w",
+        F.when(F.col("u") < t0, 0)
+        .when(F.col("u") < t1, 1)
+        .when(F.col("u") < t2, 2)
+        .when(F.col("u") < t3, 3)
+        .otherwise(4)
+        .cast("long"),
+    )
+    rep_means = (
+        weighted.groupBy("o_orderpriority", "r")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
+            F.sum("w").cast("long").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "o_orderpriority",
+            F.expr("(2 * s + n) div (2 * n)").alias("rep_mean_cents"),
+        )
+    )
+    point = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "(2 * sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as decimal(38,0)))"
+            " + count(*)) div (2 * count(*))"
+        )
+        .cast("long")
+        .alias("mean_cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    ci = rep_means.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_replicates"),
+        F.round(F.percentile(F.col("rep_mean_cents"), F.lit(0.025)), 6).alias(
+            "ci_lo_cents"
+        ),
+        F.round(F.percentile(F.col("rep_mean_cents"), F.lit(0.975)), 6).alias(
+            "ci_hi_cents"
+        ),
+    )
+    return (
+        point.join(ci, "o_orderpriority")
+        .select(
+            "o_orderpriority", "n_orders", "mean_cents",
+            "n_replicates", "ci_lo_cents", "ci_hi_cents",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def psi_drift(orders: DataFrame) -> DataFrame:
+    """Population Stability Index between the FIRST and LAST order year
+    over fixed $50k price bands — the standard ML-monitoring drift
+    score (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); < 0.1 stable, > 0.25 shifted)
+    a feature pipeline runs before trusting a new data window.
+
+    Determinism: bucket membership is pure integer arithmetic
+    (cents div 5 000 000, capped at band 9 — fixed bands, never
+    data-derived quantile edges whose float boundaries can flip);
+    add-one smoothing keeps every band nonzero; each band's
+    contribution is ln of an exact small-rational double, quantized to
+    12dp DECIMAL before the order-invariant total sum (the certified
+    logprob/KM discipline).
+
+    Plan: one scan filtered to the two years (partition-prunable on a
+    date-partitioned lake), one 10-band × 2-side aggregate, a 10-row
+    window total — nothing scales past the band count after the first
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    yr = F.year("o_orderdate")
+    years = orders.agg(
+        F.min(yr).alias("y0"), F.max(yr).alias("y1")
+    )
+    sided = (
+        orders.crossJoin(F.broadcast(years))
+        .filter((yr == F.col("y0")) | (yr == F.col("y1")))
+        .select(
+            F.when(yr == F.col("y0"), "baseline").otherwise("current").alias("side"),
+            F.least(
+                F.expr(
+                    "cast(cast(o_totalprice as decimal(18,2)) * 100 as decimal(38,0))"
+                    " div 5000000"
+                ).cast("int"),
+                F.lit(9),
+            ).alias("band"),
+        )
+    )
+    counts = sided.groupBy("band").agg(
+        F.sum(F.when(F.col("side") == "baseline", 1).otherwise(0))
+        .cast("long")
+        .alias("baseline_n"),
+        F.sum(F.when(F.col("side") == "current", 1).otherwise(0))
+        .cast("long")
+        .alias("current_n"),
+    )
+    tot = counts.agg(
+        F.sum("baseline_n").alias("bt"), F.sum("current_n").alias("ct"),
+        F.count("*").alias("nb"),
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "baseline_n",
+        "current_n",
+        (
+            (F.col("baseline_n") + 1) / (F.col("bt") + F.col("nb"))
+        ).alias("p"),
+        (
+            (F.col("current_n") + 1) / (F.col("ct") + F.col("nb"))
+        ).alias("q"),
+    ).select(
+        "band",
+        "baseline_n",
+        "current_n",
+        F.round("p", 6).alias("p_baseline"),
+        F.round("q", 6).alias("q_current"),
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 12)
+        .cast("decimal(18,12)")
+        .alias("psi_contrib"),
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        scored.withColumn(
+            "psi_total",
+            F.round(F.sum("psi_contrib").over(w_all).cast("double"), 6),
+        )
+        .withColumn("psi_contrib", F.col("psi_contrib").cast("double"))
+        .orderBy("band")
+    )

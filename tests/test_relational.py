@@ -1156,3 +1156,62 @@ def test_survival_km_hand_computed(spark):
     assert (out[50]["n_risk"], out[50]["n_censored"], out[50]["survival"]) == (4, 1, 0.666667)
     assert (out[72]["n_risk"], out[72]["n_censored"], out[72]["survival"]) == (3, 3, 0.666667)
     assert out[72]["n_converted"] == 0 and out[72]["hazard_bps"] == 0
+
+
+def test_bootstrap_ci_constant_data_degenerates(spark):
+    """All orders the same price → every replicate mean is exactly that
+    price regardless of the Poisson weights, so the CI collapses to
+    [point, point] — pins the weight/mean plumbing without fixing the
+    md5 draws."""
+    orders = spark.createDataFrame(
+        [(i, "1-URGENT", 10.0) for i in range(200)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    rows = quality.bootstrap_mean_ci(orders).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_orders"] == 200 and r["mean_cents"] == 1000
+    assert r["n_replicates"] == 50
+    assert r["ci_lo_cents"] == 1000.0 and r["ci_hi_cents"] == 1000.0
+
+
+def test_bootstrap_ci_brackets_point(spark):
+    """Mixed prices: the 95% CI must bracket the full-sample mean, be
+    ordered, and be reproducible run-to-run (deterministic md5 draws)."""
+    orders = spark.createDataFrame(
+        [(i, "2-HIGH", float(10 + (i * 37) % 100)) for i in range(500)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    a = quality.bootstrap_mean_ci(orders).collect()[0]
+    b = quality.bootstrap_mean_ci(orders).collect()[0]
+    assert a == b
+    assert a["ci_lo_cents"] <= a["mean_cents"] <= a["ci_hi_cents"]
+    assert a["ci_lo_cents"] < a["ci_hi_cents"]
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    """Identical price mixes in the first and last year → every band's
+    p = q exactly and PSI is 0.0; a total shift (cheap baseline year,
+    expensive current year) must score far above the 0.25 alert line."""
+    import datetime
+
+    d = lambda y: datetime.date(y, 6, 1)  # noqa: E731
+    same = spark.createDataFrame(
+        [(i, d(2020), 10_000.0 * (1 + i % 5)) for i in range(50)]
+        + [(100 + i, d(2024), 10_000.0 * (1 + i % 5)) for i in range(50)],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    out = quality.psi_drift(same).collect()
+    assert all(r["psi_contrib"] == 0.0 for r in out)
+    assert all(r["psi_total"] == 0.0 for r in out)
+
+    shifted = spark.createDataFrame(
+        [(i, d(2020), 10_000.0) for i in range(50)]
+        + [(100 + i, d(2024), 490_000.0) for i in range(50)],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    rows = {r["band"]: r for r in quality.psi_drift(shifted).collect()}
+    assert set(rows) == {0, 9}
+    assert rows[0]["baseline_n"] == 50 and rows[0]["current_n"] == 0
+    assert rows[9]["current_n"] == 50
+    assert rows[0]["psi_total"] > 0.25
