@@ -28,6 +28,7 @@ from datalake_local_spark.operators import (
     funnel,
     grouped_pandas,
     joins,
+    layout,
     merge,
     quality,
     scalars,
@@ -238,6 +239,7 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "lake_zorder_layout",  # NEW r11: Morton-key layout advisor report
     "dq_bootstrap_ci",  # NEW r11: deterministic Poisson bootstrap CI
     "dq_psi_drift",  # NEW r11: population stability index drift screen
     "graph_link_prediction",  # NEW r11: integer-exact RA/common-neighbor scores
@@ -288,11 +290,11 @@ _CERTIFY_FIRST = [
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
     "unpivot_order_measures",
-    "agg_approx_percentiles",
     "agg_mad_outliers",
     "agg_trend_regression",
     "dq_orders_integrity",
-    # r4 overflow (tpch_volume_shipping, window_distribution,
+    # r4 overflow (agg_approx_percentiles,
+    # tpch_volume_shipping, window_distribution,
     # events_ewma, events_funnel,
     # merge_upsert, mm_frame_sample,
     # pandas_udaf_geomean, pivot_status_by_priority,
@@ -739,6 +741,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival_km": lambda s, d: funnel.survival_km(*_t(s, d, "events")),
         "dq_bootstrap_ci": lambda s, d: quality.bootstrap_mean_ci(*_t(s, d, "orders")),
         "dq_psi_drift": lambda s, d: quality.psi_drift(*_t(s, d, "orders")),
+        "lake_zorder_layout": lambda s, d: layout.zorder_layout(*_t(s, d, "orders")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
         "dedup_cosine_sweep": lambda s, d: similarity.cosine_threshold_sweep(*_t(s, d, "embeddings")),
         # rows-only (stateful streaming): batch-parity vs a pure-python
@@ -922,6 +925,40 @@ _SLIDING_ORACLE = """
     SELECT win_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
     FROM w GROUP BY 1
 """
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB twin of layout.zorder_layout: the SAME generated integer
+    div/mod Morton-key expression, rendered with `//` (the one dialect
+    difference) — bit-identical keys by construction."""
+    from datalake_local_spark.functions.zorder import normalize_sql, zvalue_sql
+
+    x = normalize_sql("o_custkey", "min_c", "max_c", 16, "//")
+    y = normalize_sql("(CAST(o_orderdate AS DATE) - DATE '1990-01-01')", "min_d", "max_d", 16, "//")
+    z = zvalue_sql(x, y, 16, "//")
+    return f"""
+        WITH bounds AS (
+            SELECT min(o_custkey) AS min_c, max(o_custkey) AS max_c,
+                   min(CAST(o_orderdate AS DATE) - DATE '1990-01-01') AS min_d,
+                   max(CAST(o_orderdate AS DATE) - DATE '1990-01-01') AS max_d
+            FROM orders
+        ),
+        keyed AS (
+            SELECT CAST({z} // {1 << 24} AS INTEGER) AS zbucket,
+                   o_custkey,
+                   (CAST(o_orderdate AS DATE) - DATE '1990-01-01') AS dday
+            FROM orders CROSS JOIN bounds
+        )
+        SELECT zbucket,
+               count(*) AS n_orders,
+               min(o_custkey) AS min_custkey,
+               max(o_custkey) AS max_custkey,
+               CAST(min(dday) AS INTEGER) AS min_day,
+               CAST(max(dday) AS INTEGER) AS max_day,
+               CAST((max(o_custkey) - min(o_custkey) + 1)
+                    * (max(dday) - min(dday) + 1) AS BIGINT) AS envelope_area
+        FROM keyed GROUP BY 1 ORDER BY 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4778,6 +4815,7 @@ def oracle_sql() -> dict[str, str]:
                    (10000 * m.revenue_cents) // p.revenue_cents AS growth_bps
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
         """,
+        "lake_zorder_layout": _zorder_oracle_sql(),
         "dq_bootstrap_ci": """
             WITH weighted AS (
                 SELECT o_orderpriority,

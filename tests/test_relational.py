@@ -1215,3 +1215,49 @@ def test_psi_drift_identical_and_shifted(spark):
     assert rows[0]["baseline_n"] == 50 and rows[0]["current_n"] == 0
     assert rows[9]["current_n"] == 50
     assert rows[0]["psi_total"] > 0.25
+
+
+def test_zvalue_interleave_hand_computed(spark):
+    """x=3 (011₂), y=5 (101₂), 3 bits: x occupies even bit positions,
+    y odd → z = 1 + 2 + 4 + 32 = 39; identical from the DuckDB
+    rendering of the same generated expression."""
+    import duckdb
+
+    from datalake_local_spark.functions.zorder import zvalue_sql
+
+    sexpr = zvalue_sql("x", "y", 3, "div")
+    got = (
+        spark.createDataFrame([(3, 5)], "x long, y long")
+        .selectExpr(f"{sexpr} as z")
+        .collect()[0]["z"]
+    )
+    assert got == 39
+    dexpr = zvalue_sql("3", "5", 3, "//")
+    assert duckdb.sql(f"SELECT {dexpr} AS z").fetchall()[0][0] == 39
+
+
+def test_zorder_buckets_are_locally_tight(spark):
+    """A 64×64 uniform (custkey, day) grid: the 256 z-buckets form a
+    16×16 spatial grid, so every bucket's envelope must stay within a
+    16th of EACH dimension (±1 for normalization rounding) — the
+    property a 1-D sort provably lacks (a custkey sort would leave
+    max_day − min_day at full width 63 in every bucket)."""
+    import datetime
+
+    from datalake_local_spark.operators import layout
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (c * 64 + d, c, base + datetime.timedelta(days=d))
+        for c in range(64)
+        for d in range(64)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date"
+    )
+    out = layout.zorder_layout(orders).collect()
+    assert len(out) == 256
+    assert sum(r["n_orders"] for r in out) == 64 * 64
+    for r in out:
+        assert r["max_custkey"] - r["min_custkey"] <= 4
+        assert r["max_day"] - r["min_day"] <= 4
