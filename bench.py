@@ -104,6 +104,19 @@ BENCH_QUERIES = [
     "events_peak_concurrency",
     "tpch_basket_affinity",
     "dq_chi_squared",
+    # round-11: prefix-filtered similarity join, wedge-count families
+    # (triangles + link prediction), brand-partitioned ABC windows,
+    # custkey self-join LTV, 50× Poisson-bootstrap explode, 32-term
+    # Morton-key codegen scan, KM life table, GEMM-reuse cosine sweep
+    "dedup_jaccard_prefix",
+    "graph_triangles",
+    "graph_link_prediction",
+    "tpch_pareto_abc",
+    "tpch_cohort_ltv",
+    "dq_bootstrap_ci",
+    "lake_zorder_layout",
+    "events_survival_km",
+    "dedup_cosine_sweep",
 ]
 
 

@@ -1012,52 +1012,49 @@ def cohort_ltv(orders: DataFrame) -> DataFrame:
     the standard LTV curve (cohort × age grid), all in exact integer
     cents with per-customer LTV via integer division.
 
-    Plan: first-order month per customer is one map-side-combined
-    min(); joining it back to orders is ONE shuffle co-partitioned on
-    o_custkey; the cohort × age rollup and the cumulative window
-    (partitioned BY COHORT, month-grain rows) are tiny. Cohort sizes
-    ride along from the first-order relation (month-grain,
-    broadcastable)."""
+    Plan: ONE shuffle of orders on o_custkey feeds an unbounded
+    per-customer window (min order month = the cohort; no second scan,
+    no join-back — the groupBy-then-rejoin alternative shuffles the
+    fact table twice); everything downstream is the cohort × age
+    month-grain grid. Cohort size needs no extra relation: BY
+    DEFINITION every cohort customer is active at months_since = 0, so
+    cohort_customers = n_active(0), read off with a month-grain
+    window."""
     from pyspark.sql import Window as W
 
     month_key = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
-    first = orders.groupBy("o_custkey").agg(
-        F.min(F.date_trunc("month", F.col("o_orderdate")).cast("date")).alias(
-            "cohort_month"
-        )
-    )
-    sizes = first.groupBy("cohort_month").agg(
-        F.count("*").cast("long").alias("cohort_customers")
-    )
-    aged = orders.join(first, "o_custkey").select(
-        "cohort_month",
-        (
-            month_key(F.date_trunc("month", F.col("o_orderdate")))
-            - month_key(F.col("cohort_month"))
-        ).cast("int").alias("months_since"),
+    w_cust = W.partitionBy("o_custkey")
+    aged = orders.select(
         "o_custkey",
+        F.min(F.date_trunc("month", F.col("o_orderdate")).cast("date"))
+        .over(w_cust)
+        .alias("cohort_month"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("omonth"),
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("decimal(38,0)")
         .alias("cents"),
+    ).select(
+        "cohort_month",
+        (month_key(F.col("omonth")) - month_key(F.col("cohort_month")))
+        .cast("int")
+        .alias("months_since"),
+        "o_custkey",
+        "cents",
     )
     grid = aged.groupBy("cohort_month", "months_since").agg(
         F.count_distinct("o_custkey").cast("long").alias("n_active"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
-    wcum = (
-        W.partitionBy("cohort_month")
-        .orderBy("months_since")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    w_ord = W.partitionBy("cohort_month").orderBy("months_since")
+    wcum = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
-        grid.join(sizes, "cohort_month")
-        .select(
+        grid.select(
             "cohort_month",
             "months_since",
             "n_active",
             "revenue_cents",
             F.sum("revenue_cents").over(wcum).cast("long").alias("cum_cents"),
-            "cohort_customers",
+            F.first("n_active").over(w_ord).cast("long").alias("cohort_customers"),
         )
         .withColumn(
             "ltv_cents_per_cust",
