@@ -239,6 +239,8 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
+    "pipeline_token_budget",  # NEW r11: Hamilton token apportionment
     "lake_zorder_layout",  # NEW r11: Morton-key layout advisor report
     "dq_bootstrap_ci",  # NEW r11: deterministic Poisson bootstrap CI
     "dq_psi_drift",  # NEW r11: population stability index drift screen
@@ -290,10 +292,9 @@ _CERTIFY_FIRST = [
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
     "unpivot_order_measures",
-    "agg_mad_outliers",
     "agg_trend_regression",
-    "dq_orders_integrity",
-    # r4 overflow (agg_approx_percentiles,
+    # r4 overflow (agg_mad_outliers, dq_orders_integrity,
+    # agg_approx_percentiles,
     # tpch_volume_shipping, window_distribution,
     # events_ewma, events_funnel,
     # merge_upsert, mm_frame_sample,
@@ -742,6 +743,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_bootstrap_ci": lambda s, d: quality.bootstrap_mean_ci(*_t(s, d, "orders")),
         "dq_psi_drift": lambda s, d: quality.psi_drift(*_t(s, d, "orders")),
         "lake_zorder_layout": lambda s, d: layout.zorder_layout(*_t(s, d, "orders")),
+        "mm_aspect_buckets": lambda s, d: multimodal.aspect_ratio_buckets(*_t(s, d, "documents")),
+        "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
         "dedup_cosine_sweep": lambda s, d: similarity.cosine_threshold_sweep(*_t(s, d, "embeddings")),
         # rows-only (stateful streaming): batch-parity vs a pure-python
@@ -4816,6 +4819,58 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
+        "mm_aspect_buckets": """
+            WITH meta AS (
+                SELECT CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)
+                           AS width,
+                       CAST(octet_length(encode(text)) % 480 + 16 AS BIGINT)
+                           AS height
+                FROM documents
+            ),
+            b AS (
+                SELECT CAST((20 * width + height) // (2 * height) AS INTEGER)
+                           AS ar_decile,
+                       width * height AS pixels,
+                       width
+                FROM meta WHERE height > 0
+            )
+            SELECT ar_decile,
+                   count(*) AS n_images,
+                   CAST(sum(pixels) AS BIGINT) AS total_pixels,
+                   CAST(sum(pixels) AS BIGINT) // count(*) AS px_per_image,
+                   CAST(min(width) AS INTEGER) AS min_width,
+                   CAST(max(width) AS INTEGER) AS max_width
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "pipeline_token_budget": f"""
+            WITH counts AS (
+                SELECT source,
+                       CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM counts),
+            quota AS (
+                SELECT source, n_tokens,
+                       (10000 * n_tokens) // total AS share_bps,
+                       (1000000 * n_tokens) // total AS base,
+                       (1000000 * n_tokens) % total AS rem
+                FROM counts CROSS JOIN tot
+            ),
+            ranked AS (
+                SELECT source, n_tokens, share_bps, base,
+                       row_number() OVER (ORDER BY rem DESC, source) AS rk,
+                       1000000 - CAST(sum(base)
+                           OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING) AS BIGINT)
+                           AS leftover
+                FROM quota
+            )
+            SELECT source, n_tokens, share_bps,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc_tokens
+            FROM ranked ORDER BY source
+        """,
         "dq_bootstrap_ci": """
             WITH weighted AS (
                 SELECT o_orderpriority,

@@ -598,3 +598,45 @@ def audio_metadata(documents: DataFrame) -> DataFrame:
     is a pure function of (doc_id, n_chars) → symbolic DuckDB oracle
     (the mm_video_metadata pattern for audio containers)."""
     return decode_audio_real(synthesize_wav_audio(documents))
+
+
+def aspect_ratio_buckets(documents: DataFrame) -> DataFrame:
+    """Aspect-ratio bucketing report — the batching strategy image/
+    video training uses instead of square-cropping (NovelAI's SDXL
+    bucketing; patch-count balancing in ViT pipelines): group assets
+    by rounded aspect ratio so each batch resizes to ONE shape with
+    minimal distortion, and report per-bucket volume so the loader can
+    size its bucket queues.
+
+    Runs on the full multimodal plumbing path (payload →
+    ``decode_image_metadata``'s Arrow-batched mapInPandas → typed
+    width/height) and rolls up relationally after the kernel.
+
+    Integer-exact: the bucket is round(10·w/h) computed as
+    (20w + h) div 2h — integer half-up, never a float ratio whose .5
+    could round differently; pixel sums and the per-image mean use the
+    exact integer-division discipline.
+
+    100 TB shape: the decode kernel is map-only (payload bytes never
+    shuffle); only (bucket, w·h) pairs reach the one map-side-combined
+    aggregate."""
+    meta = decode_image_metadata(documents)
+    return (
+        meta.filter(F.col("width").isNotNull() & (F.col("height") > 0))
+        .select(
+            F.expr("(20 * width + height) div (2 * height)")
+            .cast("int")
+            .alias("ar_decile"),
+            (F.col("width").cast("long") * F.col("height")).alias("pixels"),
+            "width",
+        )
+        .groupBy("ar_decile")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum("pixels").cast("long").alias("total_pixels"),
+            F.expr("sum(pixels) div count(*)").cast("long").alias("px_per_image"),
+            F.min("width").alias("min_width"),
+            F.max("width").alias("max_width"),
+        )
+        .orderBy("ar_decile")
+    )

@@ -698,3 +698,62 @@ def shard_manifest(documents: DataFrame, n_shards: int = 8) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def token_budget_allocation(documents: DataFrame, budget: int = 1_000_000) -> DataFrame:
+    """Integer token-budget apportionment across sources by the
+    largest-remainder (Hamilton) method — the allocator a mixture
+    build runs to turn fractional mixture weights into WHOLE token
+    counts that sum EXACTLY to the budget (floor quotas alone
+    under-shoot; naive rounding over- or under-shoots; Hamilton is the
+    standard fix and, unlike divisor methods, needs one pass).
+
+    Everything is exact integer arithmetic: quota = (budget·nᵢ) div N,
+    remainder = (budget·nᵢ) mod N, and the ⌈·⌉ top-ups go to the
+    largest remainders (ties broken by source name ASC) until the
+    leftover L = budget − Σ quotaᵢ is spent. Σ alloc_tokens == budget
+    structurally, at every SF, on both engines.
+
+    Scale: one map-side-combined source-grain aggregate over the
+    corpus; the apportionment itself is windows over the SOURCE
+    dimension (bounded vocabulary, never data-sized).
+
+    Overflow envelope: budget·nᵢ must fit BIGINT — at a 10¹² corpus
+    with a 10⁹ budget keep the product in DECIMAL(38,0)."""
+    from pyspark.sql import Window as W
+
+    norm = _norm_text(F.col("text"))
+    counts = (
+        documents.select("source", F.size(F.split(norm, " ")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_tokens"))
+    )
+    tot = counts.agg(F.sum("n_tokens").alias("total"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"(10000 * n_tokens) div total").cast("long").alias("share_bps"),
+        F.expr(f"(cast({budget} as bigint) * n_tokens) div total").alias("base"),
+        F.expr(f"(cast({budget} as bigint) * n_tokens) % total").alias("rem"),
+    )
+    w_rank = W.orderBy(F.col("rem").desc(), F.col("source"))
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        quota.select(
+            "source",
+            "n_tokens",
+            "share_bps",
+            "base",
+            F.row_number().over(w_rank).alias("rk"),
+            (F.lit(budget) - F.sum("base").over(w_all)).alias("leftover"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "share_bps",
+            (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -3218,3 +3218,44 @@ def test_link_prediction_square(spark):
     for r in rows.values():
         assert r["n_common"] == 2 and r["ra_pico"] == 1_000_000_000_000
         assert r["jaccard_bps"] == 10000
+
+
+def test_aspect_ratio_buckets_hand_computed(spark):
+    """One 4-byte doc: the fake decode gives w = 4%640+16 = 20,
+    h = 4%480+16 = 20 → ar_decile = (20·20+20) div (2·20) = 10
+    (square), 400 pixels. A 16:4-shaped doc joins a different bucket;
+    image counts close the balance."""
+    docs = spark.createDataFrame(
+        [(1, "abcd", "web")], "doc_id long, text string, source string"
+    )
+    rows = multimodal.aspect_ratio_buckets(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["ar_decile"], r["n_images"], r["total_pixels"]) == (10, 1, 400)
+    assert (r["px_per_image"], r["min_width"], r["max_width"]) == (400, 20, 20)
+
+
+def test_token_budget_hamilton_exact(spark):
+    """Skewed counts 2/3/5 with budget 7: floor quotas 1/2/3 leave one
+    leftover token, which Hamilton gives to the largest remainder (C,
+    rem 5) → 1/2/4, summing EXACTLY to the budget. Equal counts with
+    budget 100: remainders tie and the source-ASC tie-break tops up A
+    → 34/33/33."""
+    from datalake_local_spark.llm import pipeline as pl
+
+    skew = spark.createDataFrame(
+        [(1, "a b", "A"), (2, "a b c", "B"), (3, "a b c d e", "C")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r["alloc_tokens"]
+           for r in pl.token_budget_allocation(skew, budget=7).collect()}
+    assert out == {"A": 1, "B": 2, "C": 4}
+    assert sum(out.values()) == 7
+
+    even = spark.createDataFrame(
+        [(1, "x", "A"), (2, "y", "B"), (3, "z", "C")],
+        "doc_id long, text string, source string",
+    )
+    out2 = {r["source"]: r["alloc_tokens"]
+            for r in pl.token_budget_allocation(even, budget=100).collect()}
+    assert out2 == {"A": 34, "B": 33, "C": 33}
