@@ -239,6 +239,8 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
+    "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
     "pipeline_token_budget",  # NEW r11: Hamilton token apportionment
     "lake_zorder_layout",  # NEW r11: Morton-key layout advisor report
@@ -291,9 +293,10 @@ _CERTIFY_FIRST = [
     "scalar_variant_funcs",
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
-    "unpivot_order_measures",
-    "agg_trend_regression",
-    # r4 overflow (agg_mad_outliers, dq_orders_integrity,
+    # r4 overflow (unpivot_order_measures, agg_trend_regression —
+    # both r11 class-fix rewrites already exact-certified at 3 SFs in
+    # SWEEP_r11 waves 9 + final legs; re-queue for driver rows in r12 —
+    # agg_mad_outliers, dq_orders_integrity,
     # agg_approx_percentiles,
     # tpch_volume_shipping, window_distribution,
     # events_ewma, events_funnel,
@@ -744,6 +747,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_psi_drift": lambda s, d: quality.psi_drift(*_t(s, d, "orders")),
         "lake_zorder_layout": lambda s, d: layout.zorder_layout(*_t(s, d, "orders")),
         "mm_aspect_buckets": lambda s, d: multimodal.aspect_ratio_buckets(*_t(s, d, "documents")),
+        "dedup_entity_clusters": lambda s, d: dedup.fuzzy_entity_clusters(*_t(s, d, "part")),
+        "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
         "dedup_cosine_sweep": lambda s, d: similarity.cosine_threshold_sweep(*_t(s, d, "embeddings")),
@@ -4819,6 +4824,89 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
+        "dedup_entity_clusters": """
+            WITH RECURSIVE names AS (
+                SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows
+                FROM part GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.name AS name_a, b.name AS name_b
+                FROM names a JOIN names b
+                  ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+                     AND a.name < b.name
+                WHERE levenshtein(a.name, b.name) <= 4
+            ),
+            edges AS (SELECT name_a AS src, name_b AS dst FROM pairs
+                      UNION ALL SELECT name_b, name_a FROM pairs),
+            touched AS (SELECT DISTINCT src AS name FROM edges),
+            reach AS (
+                SELECT name AS node, name AS reached FROM touched
+                UNION
+                SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+            ),
+            comp AS (SELECT node AS name, min(reached) AS entity_id
+                     FROM reach GROUP BY 1),
+            labeled AS (
+                SELECT c.entity_id, n.name, n.n_rows,
+                       row_number() OVER (PARTITION BY c.entity_id
+                                          ORDER BY n.n_rows DESC, n.name) AS rk
+                FROM comp c JOIN names n USING (name)
+            )
+            SELECT entity_id,
+                   count(*) AS n_variants,
+                   CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                   max(CASE WHEN rk = 1 THEN name END) AS modal_name,
+                   CAST(max(CASE WHEN rk = 1 THEN n_rows END) AS BIGINT)
+                       AS modal_rows
+            FROM labeled GROUP BY 1
+            HAVING count(*) >= 2
+            ORDER BY 1
+        """,
+        "events_autocorrelation": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1
+            ),
+            bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+            -- generate_series only takes constants in DuckDB: emit a
+            -- constant-bounded index and clamp to the observed span
+            spine AS (
+                SELECT d0 + CAST(g AS INTEGER) AS day
+                FROM bounds, generate_series(0, 100000) AS t(g)
+                WHERE g <= d1 - d0
+            ),
+            filled AS (
+                SELECT s.day, coalesce(d.n, 0) AS n
+                FROM spine s LEFT JOIN daily d USING (day)
+            ),
+            grid AS (SELECT CAST(lag_days AS INTEGER) AS lag_days
+                     FROM (VALUES (1), (7)) AS t(lag_days)),
+            lagged AS (
+                SELECT g.lag_days, f.n AS x, f2.n AS y
+                FROM filled f CROSS JOIN grid g
+                JOIN filled f2 ON f2.day = f.day + g.lag_days
+            ),
+            sums AS (
+                SELECT lag_days,
+                       CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy
+                FROM lagged GROUP BY 1
+            )
+            SELECT lag_days, n_pairs,
+                   CASE WHEN n_pairs * sxx - sx * sx > 0
+                             AND n_pairs * syy - sy * sy > 0
+                        THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                                   / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                                          * CAST(n_pairs * syy - sy * sy AS DOUBLE)),
+                                   6) + 0.0
+                   END AS autocorr
+            FROM sums ORDER BY lag_days
+        """,
         "mm_aspect_buckets": """
             WITH meta AS (
                 SELECT CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)

@@ -2522,3 +2522,56 @@ def dup_graph_link_prediction(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def fuzzy_entity_clusters(part: DataFrame, max_dist: int = 4) -> DataFrame:
+    """Entity-resolution CLUSTERS: the transitive closure of
+    :func:`fuzzy_entity_pairs` (spellings within edit distance
+    ``max_dist`` of each other, possibly through intermediates — the
+    Fellegi–Sunter link step followed by the clustering step every ER
+    system runs), one row per multi-spelling entity with the canonical
+    label (min name — the component id itself), the MODAL spelling
+    (most catalog rows, ties by name ASC — what a merge would keep),
+    and coverage counts.
+
+    Reuses the generic component engine (:func:`duplicate_components` —
+    its min-label star loop is type-agnostic, so name strings ride
+    through unchanged); the quadratic stage stays at the blocked
+    vocabulary grain of the pair generator. Single-spelling entities
+    are excluded (they need no resolution and would make the output
+    vocabulary-sized).
+
+    Determinism: counts are integers; canonical/modal picks are total-
+    order tie-broken. Oracle: recursive-CTE reachability over the same
+    levenshtein pairs."""
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    from pyspark.sql import Window as W
+
+    pairs = fuzzy_entity_pairs(part, max_dist).select(
+        F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
+    )
+    nodes = names.select(F.col("name").alias("doc_id"))
+    comp = duplicate_components(nodes, pairs=pairs).select(
+        F.col("doc_id").alias("name"), F.col("component_id").alias("entity_id")
+    )
+    w_modal = W.partitionBy("entity_id").orderBy(
+        F.col("n_rows").desc(), F.col("name")
+    )
+    labeled = comp.join(names, "name").withColumn(
+        "rk", F.row_number().over(w_modal)
+    )
+    return (
+        labeled.groupBy("entity_id")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.max(F.when(F.col("rk") == 1, F.col("name"))).alias("modal_name"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_rows")))
+            .cast("long")
+            .alias("modal_rows"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .orderBy("entity_id")
+    )

@@ -603,3 +603,65 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def daily_autocorrelation(events: DataFrame, lags: tuple[int, ...] = (1, 7)) -> DataFrame:
+    """Lag-k Pearson autocorrelation of the daily event-count series —
+    the seasonality screen (lag 7 ≫ lag 1 ⇒ weekly cycle) run before
+    choosing a forecasting window or an anomaly baseline (Box &
+    Jenkins' ACF, computed at the named lags only).
+
+    The series is ZERO-FILLED onto the complete [min_day, max_day]
+    calendar spine first (a gap day is a real 0, and without the spine
+    a lag join would silently misalign across gaps); the spine is a
+    bounded sequence(), never a data-sized window. Per lag: one
+    day-grain self-join (day = day + k), integer moment sums (counts
+    are integers, so n·Σxy − Σx·Σy is EXACT; overflow needs Σx² >
+    2⁶³ ≈ 10⁵ days of 10⁷ events/day — cast the sums to decimal(38,0)
+    beyond), one double expression, one 6dp round.
+
+    Zero-variance sides (constant series) yield NULL autocorr
+    explicitly — the 0/0 guard, not an engine-dependent NaN."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    filled = spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    grid = filled.sparkSession.createDataFrame(
+        [(int(k),) for k in lags], "lag_days int"
+    )
+    lagged = (
+        filled.crossJoin(F.broadcast(grid))
+        .select(F.expr("date_add(day, lag_days)").alias("day"), "lag_days",
+                F.col("n").alias("x"))
+        .join(filled.select("day", F.col("n").alias("y")), "day")
+    )
+    sums = lagged.groupBy("lag_days").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    dxx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    dxy = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.select(
+        "lag_days",
+        "n_pairs",
+        F.when(
+            (dxx > 0) & (dyy > 0),
+            F.round(
+                dxy.cast("double")
+                / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+                6,
+            )
+            + 0.0,
+        ).alias("autocorr"),
+    ).orderBy("lag_days")

@@ -3259,3 +3259,21 @@ def test_token_budget_hamilton_exact(spark):
     out2 = {r["source"]: r["alloc_tokens"]
             for r in pl.token_budget_allocation(even, budget=100).collect()}
     assert out2 == {"A": 34, "B": 33, "C": 33}
+
+
+def test_fuzzy_entity_clusters_transitive(spark):
+    """widget/widgets/widgetz chain into ONE entity through the hub
+    spelling even where the outer pair exceeds... (all within dist 4
+    here); modal pick = most catalog rows (widgets ×3); canonical id =
+    min name; the unrelated singleton never reports."""
+    rows = (
+        [(i, "widgets") for i in range(3)]
+        + [(10, "widget"), (11, "widgetz"), (12, "zebra")]
+    )
+    part = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    out = dedup.fuzzy_entity_clusters(part).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["entity_id"] == "widget"
+    assert (r["n_variants"], r["total_rows"]) == (3, 5)
+    assert (r["modal_name"], r["modal_rows"]) == ("widgets", 3)

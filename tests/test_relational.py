@@ -1261,3 +1261,39 @@ def test_zorder_buckets_are_locally_tight(spark):
     for r in out:
         assert r["max_custkey"] - r["min_custkey"] <= 4
         assert r["max_day"] - r["min_day"] <= 4
+
+
+def test_daily_autocorrelation_antiphase(spark):
+    """Events on even days only (2/day), odd days silent: the ZERO-
+    FILLED series alternates 2,0,2,0,…, so lag-1 and lag-7 (both odd
+    shifts) are exactly −1.0 — this pins both the calendar zero-fill
+    (odd days appear as real 0s, not gaps) and the exact integer
+    moment arithmetic."""
+    import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (d * 10 + j, datetime.datetime(2024, 1, 1 + d, 12, j), 1, "view", 1.0, "{}")
+            for d in range(0, 14, 2)
+            for j in range(2)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r["lag_days"]: r for r in windows.daily_autocorrelation(ev).collect()}
+    assert set(out) == {1, 7}
+    assert out[1]["n_pairs"] == 12 and out[1]["autocorr"] == -1.0
+    assert out[7]["n_pairs"] == 6 and out[7]["autocorr"] == -1.0
+
+
+def test_daily_autocorrelation_constant_is_null(spark):
+    """A constant series has zero variance at every lag — autocorr must
+    be NULL (the explicit 0/0 guard), never NaN or ±1."""
+    import datetime
+
+    ev = spark.createDataFrame(
+        [(d, datetime.datetime(2024, 1, 1 + d, 12, 0), 1, "view", 1.0, "{}")
+         for d in range(10)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    for r in windows.daily_autocorrelation(ev).collect():
+        assert r["autocorr"] is None
