@@ -3396,9 +3396,9 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS n_resurrected
                 FROM st GROUP BY 1
             ),
-            active AS (SELECT week, count(*) AS n_active FROM uw GROUP BY 1),
-            prev AS (SELECT week + 7 AS week, n_active AS prev_active
-                     FROM active)
+            prev AS (SELECT week + 7 AS week,
+                            n_new + n_retained + n_resurrected AS prev_active
+                     FROM counts)
             SELECT c.week, n_new, n_retained, n_resurrected,
                    CAST(coalesce(prev_active, 0) - n_retained AS BIGINT)
                        AS n_churned
@@ -3947,12 +3947,18 @@ def oracle_sql() -> dict[str, str]:
             grid AS (
                 SELECT CAST(40 + 5 * g AS INTEGER) AS threshold_pct
                 FROM generate_series(0, 6) AS t(g)
+            ),
+            counts AS (
+                SELECT threshold_pct,
+                       CAST(sum(CASE WHEN cosine >= threshold_pct / 100.0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+                FROM pairs CROSS JOIN grid
+                GROUP BY 1
             )
-            SELECT threshold_pct,
-                   CAST(sum(CASE WHEN cosine >= threshold_pct / 100.0
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
-            FROM pairs CROSS JOIN grid
-            GROUP BY 1 ORDER BY 1
+            SELECT g.threshold_pct,
+                   CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs
+            FROM grid g LEFT JOIN counts c USING (threshold_pct)
+            ORDER BY 1
         """,
         "pivot_status_by_priority": """
             SELECT o_orderpriority,
@@ -4863,18 +4869,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1
         """,
         "events_autocorrelation": """
-            WITH daily AS (
+            WITH RECURSIVE daily AS (
                 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                        CAST(count(*) AS BIGINT) AS n
                 FROM events GROUP BY 1
             ),
             bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
-            -- generate_series only takes constants in DuckDB: emit a
-            -- constant-bounded index and clamp to the observed span
+            -- generate_series only takes constants in DuckDB, and a
+            -- constant cap would silently truncate long spans: recurse
+            -- over the observed range instead (unbounded, exact)
             spine AS (
-                SELECT d0 + CAST(g AS INTEGER) AS day
-                FROM bounds, generate_series(0, 100000) AS t(g)
-                WHERE g <= d1 - d0
+                SELECT d0 AS day, d1 FROM bounds
+                UNION ALL
+                SELECT day + 1, d1 FROM spine WHERE day < d1
             ),
             filled AS (
                 SELECT s.day, coalesce(d.n, 0) AS n
@@ -5014,8 +5021,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ),
             sided AS (
-                SELECT CASE WHEN year(o_orderdate) = y0
-                            THEN 'baseline' ELSE 'current' END AS side,
+                SELECT (year(o_orderdate) = y0) AS is_base,
+                       (year(o_orderdate) = y1) AS is_cur,
                        least(CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
                                             * 100 AS DECIMAL(38,0)) AS BIGINT)
                                   // 5000000 AS INTEGER),
@@ -5025,9 +5032,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             counts AS (
                 SELECT band,
-                       CAST(sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END)
+                       CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END)
                             AS BIGINT) AS baseline_n,
-                       CAST(sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END)
+                       CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END)
                             AS BIGINT) AS current_n
                 FROM sided GROUP BY 1
             ),
@@ -5110,7 +5117,7 @@ def oracle_sql() -> dict[str, str]:
         "events_survival_km": """
             WITH ep AS (
                 SELECT user_id, event_type,
-                       CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS ep
                 FROM events
             ),
             wn AS (
@@ -5124,13 +5131,13 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT max(ep) AS end_ep FROM ep),
             subjects AS (
                 SELECT CASE WHEN next_p IS NOT NULL
-                                 AND next_p - ep <= 72 * 3600
+                                 AND next_p - ep <= 72 * 3600000000
                             THEN 1 ELSE 0 END AS converted,
                        CAST(CASE WHEN next_p IS NOT NULL
-                                      AND next_p - ep <= 72 * 3600
-                                 THEN (next_p - ep) // 3600
-                                 ELSE least(CAST(72 * 3600 AS BIGINT),
-                                            end_ep - ep) // 3600
+                                      AND next_p - ep <= 72 * 3600000000
+                                 THEN (next_p - ep) // 3600000000
+                                 ELSE least(CAST(72 * 3600000000 AS BIGINT),
+                                            end_ep - ep) // 3600000000
                             END AS INTEGER) AS duration_hours
                 FROM wn CROSS JOIN g
                 WHERE event_type = 'signup'

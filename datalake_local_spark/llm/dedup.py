@@ -2251,7 +2251,9 @@ def dup_graph_triangles(
     )
 
 
-def fuzzy_entity_pairs(part: DataFrame, max_dist: int = 4) -> DataFrame:
+def fuzzy_entity_pairs(
+    part: DataFrame, max_dist: int = 4, names: DataFrame | None = None
+) -> DataFrame:
     """Blocked fuzzy entity resolution over the part-name vocabulary:
     candidate pairs of DISTINCT ``p_name`` values within edit distance
     ``max_dist``, annotated with how many catalog rows each spelling
@@ -2271,11 +2273,16 @@ def fuzzy_entity_pairs(part: DataFrame, max_dist: int = 4) -> DataFrame:
 
     Determinism: output is integers and strings only (edit distance,
     row counts) — no float rounding surface. Oracle: DuckDB
-    ``levenshtein`` computes the same unit-cost edit distance."""
-    names = (
-        part.groupBy(F.col("p_name").alias("name"))
-        .agg(F.count("*").cast("long").alias("n_rows"))
-    )
+    ``levenshtein`` computes the same unit-cost edit distance.
+
+    ``names`` accepts a prebuilt (name, n_rows) frame so composers
+    (fuzzy_entity_clusters) don't pay the vocabulary aggregate
+    twice."""
+    if names is None:
+        names = (
+            part.groupBy(F.col("p_name").alias("name"))
+            .agg(F.count("*").cast("long").alias("n_rows"))
+        )
     blocked = names.select(
         F.substring("name", 1, 1).alias("blk"), "name", "n_rows"
     )
@@ -2549,7 +2556,7 @@ def fuzzy_entity_clusters(part: DataFrame, max_dist: int = 4) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    pairs = fuzzy_entity_pairs(part, max_dist).select(
+    pairs = fuzzy_entity_pairs(part, max_dist, names=names).select(
         F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
     )
     nodes = names.select(F.col("name").alias("doc_id"))

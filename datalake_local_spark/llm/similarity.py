@@ -1781,7 +1781,7 @@ def cosine_threshold_sweep(embeddings: DataFrame) -> DataFrame:
     grid = spark.createDataFrame(
         [(p,) for p in range(40, 71, 5)], "threshold_pct int"
     )
-    return (
+    counts = (
         pairs.crossJoin(F.broadcast(grid))
         .groupBy("threshold_pct")
         .agg(
@@ -1792,6 +1792,15 @@ def cosine_threshold_sweep(embeddings: DataFrame) -> DataFrame:
             )
             .cast("long")
             .alias("n_pairs")
+        )
+    )
+    # grid-preserving: a corpus with zero qualifying pairs still emits
+    # all 7 rows (n_pairs = 0), not an empty table
+    return (
+        grid.join(counts, "threshold_pct", "left")
+        .select(
+            "threshold_pct",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
         )
         .orderBy("threshold_pct")
     )

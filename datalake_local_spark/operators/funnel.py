@@ -277,7 +277,11 @@ def growth_accounting(events: DataFrame) -> DataFrame:
     event, scale), one lag window PARTITIONED BY USER for the state
     machine, then week-grain conditional counts; churned is last
     week's active count minus this week's retained, via a week-grain
-    self-join (a ~|weeks| relation, broadcastable anywhere).
+    self-join (a ~|weeks| relation, broadcastable anywhere). The
+    active count is new + retained + resurrected BY CONSTRUCTION
+    (every active user-week is in exactly one state), so the whole
+    query is ONE distinct shuffle of events — no second aggregate
+    branch re-scanning the table.
 
     Weeks with no activity at all emit no row (the activity-days
     contract shared with stickiness_profile). All-integer output."""
@@ -298,10 +302,11 @@ def growth_accounting(events: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("state") == "retained", 1).otherwise(0)).cast("long").alias("n_retained"),
         F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0)).cast("long").alias("n_resurrected"),
     )
-    active = uw.groupBy("week").agg(F.count("*").cast("long").alias("n_active"))
-    prev_active = active.select(
+    prev_active = counts.select(
         F.date_add(F.col("week"), 7).alias("week"),
-        F.col("n_active").alias("prev_active"),
+        (F.col("n_new") + F.col("n_retained") + F.col("n_resurrected")).alias(
+            "prev_active"
+        ),
     )
     return (
         counts.join(prev_active, "week", "left")
@@ -343,9 +348,14 @@ def survival_km(events: DataFrame, horizon_hours: int = 72) -> DataFrame:
     queries; ln/exp of off-grid irrationals round 6dp-safely. A row
     where everyone remaining converts (n = d) pins survival to 0.0
     explicitly (ln(0) guard; structurally only possible at the last
-    row)."""
+    row).
+
+    Timestamps are compared at MICROSECOND precision (unix_micros /
+    epoch_us) — whole-second truncation would make 'strictly after'
+    drop a conversion landing in the same second as its signup, the
+    same-timestamp hazard funnel_click_to_purchase documents."""
     ep = events.select(
-        "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
+        "user_id", "event_type", F.unix_micros("ts").alias("ep")
     )
     w_next = (
         W.partitionBy("user_id")
@@ -357,25 +367,25 @@ def survival_km(events: DataFrame, horizon_hours: int = 72) -> DataFrame:
         F.min(F.when(F.col("event_type") == "purchase", F.col("ep"))).over(w_next),
     )
     end = ep.agg(F.max("ep").alias("end_ep"))
-    h_sec = horizon_hours * 3600
+    h_us = horizon_hours * 3_600_000_000
     subjects = (
         with_next.filter(F.col("event_type") == "signup")
         .crossJoin(F.broadcast(end))
         .select(
             F.when(
                 F.col("next_p").isNotNull()
-                & (F.col("next_p") - F.col("ep") <= F.lit(h_sec)),
+                & (F.col("next_p") - F.col("ep") <= F.lit(h_us)),
                 1,
             )
             .otherwise(0)
             .alias("converted"),
             F.when(
                 F.col("next_p").isNotNull()
-                & (F.col("next_p") - F.col("ep") <= F.lit(h_sec)),
-                F.expr("(next_p - ep) div 3600"),
+                & (F.col("next_p") - F.col("ep") <= F.lit(h_us)),
+                F.expr("(next_p - ep) div 3600000000"),
             )
             .otherwise(
-                F.expr(f"least(cast({h_sec} as bigint), end_ep - ep) div 3600")
+                F.expr(f"least(cast({h_us} as bigint), end_ep - ep) div 3600000000")
             )
             .cast("int")
             .alias("duration_hours"),

@@ -634,11 +634,16 @@ def psi_drift(orders: DataFrame) -> DataFrame:
     years = orders.agg(
         F.min(yr).alias("y0"), F.max(yr).alias("y1")
     )
+    # membership as two INDEPENDENT flags (not a single side column):
+    # a one-year table has y0 = y1, every row lands on BOTH sides, and
+    # PSI is exactly 0 — never the spurious max-drift a baseline-only
+    # classification would report
     sided = (
         orders.crossJoin(F.broadcast(years))
         .filter((yr == F.col("y0")) | (yr == F.col("y1")))
         .select(
-            F.when(yr == F.col("y0"), "baseline").otherwise("current").alias("side"),
+            (yr == F.col("y0")).alias("is_base"),
+            (yr == F.col("y1")).alias("is_cur"),
             F.least(
                 F.expr(
                     "cast(cast(o_totalprice as decimal(18,2)) * 100 as decimal(38,0))"
@@ -649,10 +654,10 @@ def psi_drift(orders: DataFrame) -> DataFrame:
         )
     )
     counts = sided.groupBy("band").agg(
-        F.sum(F.when(F.col("side") == "baseline", 1).otherwise(0))
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0))
         .cast("long")
         .alias("baseline_n"),
-        F.sum(F.when(F.col("side") == "current", 1).otherwise(0))
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0))
         .cast("long")
         .alias("current_n"),
     )

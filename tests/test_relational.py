@@ -1297,3 +1297,27 @@ def test_daily_autocorrelation_constant_is_null(spark):
     )
     for r in windows.daily_autocorrelation(ev).collect():
         assert r["autocorr"] is None
+
+
+def test_survival_km_same_second_conversion(spark):
+    """A purchase 400 ms after the signup — same whole second — must
+    still count as converted (microsecond strictly-after), the hazard
+    whole-second truncation would silently drop."""
+    import datetime
+
+    from datalake_local_spark.operators import funnel
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 1, "signup", 1.0, "{}"),
+            (2, t0 + datetime.timedelta(milliseconds=400), 1, "purchase", 1.0, "{}"),
+            (3, t0 + datetime.timedelta(hours=100), 2, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = funnel.survival_km(ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["duration_hours"], r["n_converted"], r["n_censored"]) == (0, 1, 0)
+    assert r["survival"] == 0.0

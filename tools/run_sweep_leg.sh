@@ -10,5 +10,9 @@ import __spark_entry__ as e
 ns = sorted(e.queries())
 print(' '.join(ns[int('$LEG')::3]))
 " 2>/dev/null)
-echo "=== final sf0.01 exact leg$LEG $(date -u) ===" >> "$LOG"
+if [ -z "$NAMES" ]; then
+    echo "=== $(basename "$SF") exact leg$LEG $(date -u): ABORT — registry import failed, no names ===" >> "$LOG"
+    exit 1
+fi
+echo "=== final $(basename "$SF") exact leg$LEG $(date -u) ===" >> "$LOG"
 python tools/check_oracle.py --exact --require-rows "$SF" $NAMES >> "$LOG" 2>&1
