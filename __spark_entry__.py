@@ -239,6 +239,7 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
+    "pipeline_weighted_reservoir",  # NEW r11: Efraimidis-Spirakis WOR top-k
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -288,14 +289,14 @@ _CERTIFY_FIRST = [
     "sample_deterministic",
     "sample_stratified",
     "text_source_profile",
-    "mm_payload_profile",
     "scalar_json_agg",
     "scalar_variant_funcs",
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
-    # r4 overflow (unpivot_order_measures, agg_trend_regression —
-    # both r11 class-fix rewrites already exact-certified at 3 SFs in
-    # SWEEP_r11 waves 9 + final legs; re-queue for driver rows in r12 —
+    # r4 overflow (mm_payload_profile, unpivot_order_measures,
+    # agg_trend_regression — all three r11 class-fix rewrites already
+    # exact-certified at 3 SFs in SWEEP_r11 waves 9 + final legs;
+    # re-queue for driver rows in r12 —
     # agg_mad_outliers, dq_orders_integrity,
     # agg_approx_percentiles,
     # tpch_volume_shipping, window_distribution,
@@ -748,6 +749,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_zorder_layout": lambda s, d: layout.zorder_layout(*_t(s, d, "orders")),
         "mm_aspect_buckets": lambda s, d: multimodal.aspect_ratio_buckets(*_t(s, d, "documents")),
         "dedup_entity_clusters": lambda s, d: dedup.fuzzy_entity_clusters(*_t(s, d, "part")),
+        "pipeline_weighted_reservoir": lambda s, d: llm_pipeline.weighted_reservoir_sample(*_t(s, d, "documents")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -4830,6 +4832,21 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
+        "pipeline_weighted_reservoir": f"""
+            WITH keyed AS (
+                SELECT doc_id, source,
+                       CAST(len(string_split({_NORM}, ' ')) AS BIGINT)
+                           AS n_tokens,
+                       CAST('0x' || substr(md5(concat_ws(':', doc_id, source)),
+                                           1, 8) AS BIGINT) AS h
+                FROM documents
+            )
+            SELECT doc_id, source, n_tokens,
+                   round(ln((h + 0.5) / 4294967296.0) / n_tokens, 12) AS es_key
+            FROM keyed
+            ORDER BY es_key DESC, doc_id
+            LIMIT 100
+        """,
         "dedup_entity_clusters": """
             WITH RECURSIVE names AS (
                 SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows

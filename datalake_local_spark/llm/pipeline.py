@@ -757,3 +757,47 @@ def token_budget_allocation(documents: DataFrame, budget: int = 1_000_000) -> Da
         )
         .orderBy("source")
     )
+
+
+def weighted_reservoir_sample(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys —
+    Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    reservoir"): each doc gets key = ln(u)/w (u uniform, w = its token
+    count); the k LARGEST keys are a weighted-WOR sample. This is THE
+    distributed algorithm for "sample 100 docs proportional to
+    length": key assignment is embarrassingly parallel and selection
+    is one global top-k — no sequential reservoir, no rejection loop,
+    no RNG service.
+
+    Deterministic twin of the textbook algorithm: u is derived from
+    the first 32 md5 bits of (doc_id, source) as (h + 0.5)/2³²
+    (strictly inside (0,1), so ln never sees 0), making the sample
+    reproducible run-to-run and engine-to-engine. Selection order is
+    (key DESC, doc_id) — a total order, so the boundary is unique.
+
+    100 TB shape: one scan computes (hash, token count, key) inside
+    codegen; the global top-k is Spark's TakeOrderedAndProject
+    (per-partition heaps + one k-row merge at the driver), never a
+    full sort. Weight = whitespace token count (swap in quality scores
+    or importance weights unchanged)."""
+    norm = _norm_text(F.col("text"))
+    keyed = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(norm, " ")).cast("long").alias("n_tokens"),
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("source"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(
+            F.log((F.col("h") + 0.5) / F.lit(4294967296.0)) / F.col("n_tokens"), 12
+        ).alias("es_key"),
+    )
+    return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(k)

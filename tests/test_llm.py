@@ -3277,3 +3277,29 @@ def test_fuzzy_entity_clusters_transitive(spark):
     assert r["entity_id"] == "widget"
     assert (r["n_variants"], r["total_rows"]) == (3, 5)
     assert (r["modal_name"], r["modal_rows"]) == ("widgets", 3)
+
+
+def test_weighted_reservoir_matches_reference(spark):
+    """Pure-python replay of the Efraimidis–Spirakis keys (same md5 →
+    uniform → ln(u)/w formula) must pick the identical top-k in the
+    identical order; and the global top-k must compile to
+    TakeOrderedAndProject (per-partition heaps), never a full Sort."""
+    import hashlib
+    import math
+
+    from datalake_local_spark.llm import pipeline as pl
+
+    docs = [(i, ("tok " * (1 + (i * 7) % 13)).strip(), f"s{i % 3}") for i in range(30)]
+    expected = []
+    for i, text, src in docs:
+        w = len(text.split())
+        h = int(hashlib.md5(f"{i}:{src}".encode()).hexdigest()[:8], 16)
+        key = round(math.log((h + 0.5) / 4294967296.0) / w, 12)
+        expected.append((key, i))
+    expected = [i for _, i in sorted(expected, key=lambda t: (-t[0], t[1]))[:5]]
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = pl.weighted_reservoir_sample(sdf, k=5)
+    assert [r["doc_id"] for r in out.collect()] == expected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
