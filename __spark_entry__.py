@@ -4995,10 +4995,14 @@ def oracle_sql() -> dict[str, str]:
                             WHEN u < 4213413783 THEN 3
                             ELSE 4 END AS w
                 FROM (
-                    SELECT o_orderpriority, o_totalprice, g AS r,
-                           CAST('0x' || substr(md5(concat_ws(':', o_orderkey, g)),
-                                               1, 8) AS BIGINT) AS u
-                    FROM orders CROSS JOIN generate_series(0, 49) AS t(g)
+                    SELECT o_orderpriority, o_totalprice,
+                           rb * 4 + j AS r,
+                           CAST('0x' || substr(md5(concat_ws(':', o_orderkey, rb)),
+                                               j * 8 + 1, 8) AS BIGINT) AS u
+                    FROM orders
+                    CROSS JOIN generate_series(0, 12) AS t(rb)
+                    CROSS JOIN generate_series(0, 3) AS t2(j)
+                    WHERE rb * 4 + j < 50
                 )
             ),
             rep AS (
