@@ -240,6 +240,7 @@ _CERTIFY_FIRST = [
     # round-11 head: every query whose code OR oracle changed this round
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
     "pipeline_weighted_reservoir",  # NEW r11: Efraimidis-Spirakis WOR top-k
+    "dedup_url_canonical",  # NEW r11: full URL canonicalization congruence
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -289,12 +290,12 @@ _CERTIFY_FIRST = [
     "sample_deterministic",
     "sample_stratified",
     "text_source_profile",
-    "scalar_json_agg",
     "scalar_variant_funcs",
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
-    # r4 overflow (mm_payload_profile, unpivot_order_measures,
-    # agg_trend_regression — all three r11 class-fix rewrites already
+    # r4 overflow (scalar_json_agg, mm_payload_profile,
+    # unpivot_order_measures,
+    # agg_trend_regression — all four r11 class-fix rewrites already
     # exact-certified at 3 SFs in SWEEP_r11 waves 9 + final legs;
     # re-queue for driver rows in r12 —
     # agg_mad_outliers, dq_orders_integrity,
@@ -750,6 +751,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_aspect_buckets": lambda s, d: multimodal.aspect_ratio_buckets(*_t(s, d, "documents")),
         "dedup_entity_clusters": lambda s, d: dedup.fuzzy_entity_clusters(*_t(s, d, "part")),
         "pipeline_weighted_reservoir": lambda s, d: llm_pipeline.weighted_reservoir_sample(*_t(s, d, "documents")),
+        "dedup_url_canonical": lambda s, d: scalars.url_canonical_dedup(*_t(s, d, "orders")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -4832,6 +4834,57 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
+        "dedup_url_canonical": """
+            WITH variants AS (
+                SELECT unnest([
+                    'HTTPS://Shop.Example.COM:443/orders/' || o_orderkey
+                        || '/?utm_source=mail&status=' || lower(o_orderstatus)
+                        || '&priority=' || substr(o_orderpriority, 1, 1)
+                        || '#ref',
+                    'https://shop.example.com/orders/' || o_orderkey
+                        || '?priority=' || substr(o_orderpriority, 1, 1)
+                        || '&status=' || lower(o_orderstatus),
+                    'https://shop.example.com:443/orders/' || o_orderkey
+                        || '/?status=' || lower(o_orderstatus)
+                        || '&priority=' || substr(o_orderpriority, 1, 1)
+                        || '&utm_campaign=x'
+                ]) AS url
+                FROM orders
+            ),
+            parts AS (
+                SELECT regexp_replace(url, '#.*$', '') AS u1 FROM variants
+            ),
+            canon AS (
+                SELECT lower(regexp_extract(u1, '^([A-Za-z]+)://', 1)) || '://'
+                       || regexp_replace(
+                              lower(regexp_extract(u1, '^[A-Za-z]+://([^/?#]+)', 1)),
+                              ':(443|80)$', '')
+                       || regexp_replace(
+                              regexp_extract(u1, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                              '/+$', '')
+                       || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+                           AS canonical
+                FROM (
+                    SELECT u1,
+                           array_to_string(
+                               list_sort(list_filter(
+                                   string_split(regexp_extract(u1, '\\?([^#]*)', 1),
+                                                '&'),
+                                   x -> x <> '' AND x NOT LIKE 'utm\\_%' ESCAPE '\\')),
+                               '&') AS qs
+                    FROM parts
+                )
+            ),
+            groups AS (
+                SELECT canonical, CAST(count(*) AS BIGINT) AS group_size
+                FROM canon GROUP BY 1
+            )
+            SELECT group_size,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   min(canonical) AS first_url,
+                   max(canonical) AS last_url
+            FROM groups GROUP BY 1 ORDER BY 1
+        """,
         "pipeline_weighted_reservoir": f"""
             WITH keyed AS (
                 SELECT doc_id, source,

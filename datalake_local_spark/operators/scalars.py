@@ -330,3 +330,81 @@ def ip_functions_events(events: DataFrame) -> DataFrame:
             ".", *[c.cast("string") for c in reversed(o)]
         ).alias("ptr_octets"),
     )
+
+
+def canonicalize_url(u):  # noqa: ANN001 - Column in, Column out
+    """Full URL canonicalization — the normalization a web-crawl dedup
+    runs BEFORE exact URL dedup (beyond the utm-strip of
+    url_functions_orders): drop the fragment, case-fold scheme and
+    host, strip default ports (:80/:443), strip trailing path slashes,
+    drop utm_* tracking params, and SORT the surviving query params so
+    permuted querystrings collapse. Pure Catalyst (regexp + split +
+    array_sort + higher-order filter), portable verbatim to the DuckDB
+    oracle — no parse_url (no DuckDB twin), no UDF."""
+    u1 = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u1, r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u1, r"^[A-Za-z]+://([^/?#]+)", 1)),
+        r":(443|80)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u1, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(u1, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != F.lit("")) & (F.substring(x, 1, 4) != F.lit("utm_")),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+def url_canonical_dedup(orders: DataFrame) -> DataFrame:
+    """Canonical-URL dedup verification: three deliberately-messy
+    variants per order (mixed-case scheme/host, explicit :443, trailing
+    slash, fragment, permuted params, utm_* noise) must ALL collapse to
+    one canonical URL — reported as a group-size histogram (every group
+    size 3 ⇒ the canonicalizer is a congruence on the variant set;
+    any 1s or 2s pinpoint a normalization it missed).
+
+    Map-only variant synthesis + one canonical-grain aggregate + a
+    ≤3-row histogram; at 100 TB the canonical key is codegen'd in the
+    scan and the dedup is the usual exact hash-groupBy."""
+    k = F.col("o_orderkey").cast("string")
+    p = F.substring("o_orderpriority", 1, 1)
+    s = F.lower("o_orderstatus")
+    v0 = F.concat(
+        F.lit("HTTPS://Shop.Example.COM:443/orders/"), k,
+        F.lit("/?utm_source=mail&status="), s, F.lit("&priority="), p,
+        F.lit("#ref"),
+    )
+    v1 = F.concat(
+        F.lit("https://shop.example.com/orders/"), k,
+        F.lit("?priority="), p, F.lit("&status="), s,
+    )
+    v2 = F.concat(
+        F.lit("https://shop.example.com:443/orders/"), k,
+        F.lit("/?status="), s, F.lit("&priority="), p, F.lit("&utm_campaign=x"),
+    )
+    variants = orders.select(F.explode(F.array(v0, v1, v2)).alias("url"))
+    groups = variants.groupBy(canonicalize_url(F.col("url")).alias("canonical")).agg(
+        F.count("*").cast("long").alias("group_size")
+    )
+    return (
+        groups.groupBy("group_size")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.min("canonical").alias("first_url"),
+            F.max("canonical").alias("last_url"),
+        )
+        .orderBy("group_size")
+    )

@@ -1321,3 +1321,23 @@ def test_survival_km_same_second_conversion(spark):
     r = rows[0]
     assert (r["duration_hours"], r["n_converted"], r["n_censored"]) == (0, 1, 0)
     assert r["survival"] == 0.0
+
+
+def test_canonicalize_url_edge_cases(spark):
+    """Edge cases beyond the query's synthetic variants: all-utm
+    querystrings collapse to a bare URL (no dangling '?'), root paths
+    keep nothing after the host, http :80 strips like https :443,
+    non-default ports are PRESERVED, and param sorting is
+    byte-lexicographic."""
+    from datalake_local_spark.operators.scalars import canonicalize_url
+
+    cases = [
+        ("HTTP://X.COM:80/?utm_source=a&utm_campaign=b", "http://x.com"),
+        ("https://x.com/a/b/?z=1&a=2#frag", "https://x.com/a/b?a=2&z=1"),
+        ("https://x.com:8080/a", "https://x.com:8080/a"),
+        ("https://x.com", "https://x.com"),
+        ("https://x.com/?B=1&a=2", "https://x.com?B=1&a=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
