@@ -199,6 +199,31 @@ def _q_scd2(spark, sf):
     return merge.scd2_apply(current, updates, "c_custkey", ["c_mktsegment"], "effective_from")
 
 
+def _q_scd2_asof(spark, sf):
+    """Point-in-time SCD2 snapshots: the same versioned history as
+    scd2_versions reconstructed AS OF two dates — before the segment
+    migration (original mix, no WHOLESALE) and after (every 10th
+    customer moved) — summarized at segment grain so the whole
+    bitemporal round-trip is one compact certified table."""
+    from pyspark.sql import functions as F
+
+    hist = _q_scd2(spark, sf)
+    snaps = []
+    for d in ("2020-06-01", "2021-06-01"):
+        snaps.append(
+            merge.scd2_snapshot_at(hist, "effective_from", d)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").cast("long").alias("n_customers"))
+            .withColumn("asof_date", F.lit(d).cast("date"))
+        )
+    return (
+        snaps[0]
+        .unionByName(snaps[1])
+        .select("asof_date", "c_mktsegment", "n_customers")
+        .orderBy("asof_date", "c_mktsegment")
+    )
+
+
 def _q_cube_request(spark, sf):
     """The semantic-cube façade exercised as a first-class query: a
     StockMarkets.js-style request (conf/cube/schema/StockMarkets.js:12-127
@@ -241,6 +266,8 @@ _CERTIFY_FIRST = [
     # (r10 verdict #1: rewritten queries must be driver-re-certified)
     "pipeline_weighted_reservoir",  # NEW r11: Efraimidis-Spirakis WOR top-k
     "dedup_url_canonical",  # NEW r11: full URL canonicalization congruence
+    "scd2_asof_snapshot",  # NEW r11: point-in-time SCD2 reconstruction
+    "tpch_lead_time",  # NEW r11: order-fulfillment SLA percentiles
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -289,13 +316,11 @@ _CERTIFY_FIRST = [
     "agg_order_stats",
     "sample_deterministic",
     "sample_stratified",
-    "text_source_profile",
-    "scalar_variant_funcs",
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
-    # r4 overflow (scalar_json_agg, mm_payload_profile,
-    # unpivot_order_measures,
-    # agg_trend_regression — all four r11 class-fix rewrites already
+    # r4 overflow (text_source_profile, scalar_variant_funcs,
+    # scalar_json_agg, mm_payload_profile, unpivot_order_measures,
+    # agg_trend_regression — all six r11 class-fix rewrites already
     # exact-certified at 3 SFs in SWEEP_r11 waves 9 + final legs;
     # re-queue for driver rows in r12 —
     # agg_mad_outliers, dq_orders_integrity,
@@ -752,6 +777,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_entity_clusters": lambda s, d: dedup.fuzzy_entity_clusters(*_t(s, d, "part")),
         "pipeline_weighted_reservoir": lambda s, d: llm_pipeline.weighted_reservoir_sample(*_t(s, d, "documents")),
         "dedup_url_canonical": lambda s, d: scalars.url_canonical_dedup(*_t(s, d, "orders")),
+        "scd2_asof_snapshot": _q_scd2_asof,
+        "tpch_lead_time": lambda s, d: tpch.fulfillment_lead_time(*_t(s, d, "lineitem", "orders")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -4834,6 +4861,67 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
+        "scd2_asof_snapshot": """
+            WITH current_v AS (
+                SELECT c_custkey, c_mktsegment,
+                       DATE '2020-01-01' AS effective_from
+                FROM customer
+            ),
+            updates AS (
+                SELECT c_custkey, 'WHOLESALE' AS c_mktsegment,
+                       DATE '2021-01-01' AS effective_from
+                FROM customer WHERE c_custkey % 10 = 0
+            ),
+            changed AS (
+                SELECT u.* FROM updates u
+                JOIN current_v c ON u.c_custkey = c.c_custkey
+                WHERE u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+            ),
+            history AS (
+                SELECT * FROM current_v UNION ALL SELECT * FROM changed
+            ),
+            versioned AS (
+                SELECT *, lead(effective_from)
+                              OVER (PARTITION BY c_custkey
+                                    ORDER BY effective_from) AS valid_to
+                FROM history
+            ),
+            snaps AS (
+                SELECT DATE '2020-06-01' AS asof_date, c_mktsegment
+                FROM versioned
+                WHERE effective_from <= DATE '2020-06-01'
+                  AND (valid_to IS NULL OR valid_to > DATE '2020-06-01')
+                UNION ALL
+                SELECT DATE '2021-06-01', c_mktsegment
+                FROM versioned
+                WHERE effective_from <= DATE '2021-06-01'
+                  AND (valid_to IS NULL OR valid_to > DATE '2021-06-01')
+            )
+            SELECT asof_date, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM snaps GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_lead_time": """
+            WITH last_ship AS (
+                SELECT l_orderkey AS o_orderkey,
+                       max(CAST(l_shipdate AS DATE)) AS last_ship
+                FROM lineitem GROUP BY 1
+            ),
+            lead_t AS (
+                SELECT o_orderpriority,
+                       CAST(last_ship - CAST(o_orderdate AS DATE) AS BIGINT)
+                           AS days
+                FROM orders JOIN last_ship USING (o_orderkey)
+            )
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST((2 * sum(days) * 100 + count(*))
+                        // (2 * count(*)) AS DOUBLE) / 100.0 AS mean_days,
+                   round(quantile_cont(days, 0.5), 6) AS p50_days,
+                   round(quantile_cont(days, 0.9), 6) AS p90_days,
+                   round(quantile_cont(days, 0.99), 6) AS p99_days
+            FROM lead_t GROUP BY 1 ORDER BY 1
+        """,
         "dedup_url_canonical": """
             WITH variants AS (
                 SELECT unnest([

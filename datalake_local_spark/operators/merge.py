@@ -74,3 +74,19 @@ def salted_two_phase_agg(
         F.sum("pn").alias("n_events"),
         F.round(F.sum("pv"), 2).alias("sum_value"),
     )
+
+
+def scd2_snapshot_at(history: DataFrame, effective_col: str, asof: str) -> DataFrame:
+    """Point-in-time reconstruction of an SCD2 history: the version rows
+    valid AS OF ``asof`` (effective ≤ asof < valid_to, open-ended
+    current rows included) — the query that makes type-2 history
+    useful: 'what did the dimension look like last quarter?'.
+
+    Map-only filter over the history table; on a date-partitioned lake
+    both predicates prune partitions. Composes with scd2_apply's
+    output schema (valid_to / is_current)."""
+    a = F.lit(asof).cast("date")
+    return history.filter(
+        (F.col(effective_col) <= a)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > a))
+    )

@@ -1341,3 +1341,54 @@ def test_canonicalize_url_edge_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_scd2_snapshot_at_picks_correct_version(spark):
+    """One key, two versions (A from 2020, B from 2021): the 2020-06-01
+    snapshot sees A, the 2021-06-01 snapshot sees B, and a pre-history
+    date sees nothing."""
+    from datalake_local_spark.operators import merge
+
+    current = spark.createDataFrame(
+        [(1, "A", "2020-01-01")],
+        "k long, seg string, effective_from string",
+    ).withColumn("effective_from", F.to_date("effective_from"))
+    updates = spark.createDataFrame(
+        [(1, "B", "2021-01-01")],
+        "k long, seg string, effective_from string",
+    ).withColumn("effective_from", F.to_date("effective_from"))
+    hist = merge.scd2_apply(current, updates, "k", ["seg"], "effective_from")
+    mid = merge.scd2_snapshot_at(hist, "effective_from", "2020-06-01").collect()
+    assert [r["seg"] for r in mid] == ["A"]
+    late = merge.scd2_snapshot_at(hist, "effective_from", "2021-06-01").collect()
+    assert [r["seg"] for r in late] == ["B"]
+    assert merge.scd2_snapshot_at(hist, "effective_from", "2019-06-01").count() == 0
+
+
+def test_fulfillment_lead_time_hand_computed(spark):
+    """Three orders, last-ship lead times 2/4/10 days: mean is the
+    exact half-up 2dp integer mean (16/3 → 5.33), P50 the middle
+    value; an order with no lineitems never reports."""
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT", "2024-01-01"),
+            (2, "1-URGENT", "2024-01-01"),
+            (3, "1-URGENT", "2024-01-01"),
+            (9, "1-URGENT", "2024-01-01"),
+        ],
+        "o_orderkey long, o_orderpriority string, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    li = spark.createDataFrame(
+        [
+            (1, "2024-01-02"), (1, "2024-01-03"),
+            (2, "2024-01-05"),
+            (3, "2024-01-11"),
+        ],
+        "l_orderkey long, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_date("l_shipdate"))
+    rows = tpch.fulfillment_lead_time(li, orders).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_orders"] == 3
+    assert r["mean_days"] == 5.33  # (2*16*100+3) div 6 = 533 -> 5.33
+    assert r["p50_days"] == 4.0
