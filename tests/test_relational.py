@@ -1392,3 +1392,34 @@ def test_fulfillment_lead_time_hand_computed(spark):
     assert r["n_orders"] == 3
     assert r["mean_days"] == 5.33  # (2*16*100+3) div 6 = 533 -> 5.33
     assert r["p50_days"] == 4.0
+
+
+def test_zorder_layout_prunes_columns(tables):
+    """The Morton-key report touches only o_custkey and o_orderdate —
+    the parquet ReadSchema must not carry payload columns."""
+    from datalake_local_spark.operators import layout
+
+    plan = _physical_plan(layout.zorder_layout(tables["orders"]))
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "o_custkey" in read and "o_orderdate" in read
+    assert "o_totalprice" not in read and "o_comment" not in read
+
+
+def test_cohort_ltv_single_orders_scan(tables):
+    """The single-shuffle rewrite's contract: cohort assignment rides a
+    window over ONE scan of orders — the plan must contain exactly one
+    parquet scan of the orders table (the groupBy+join-back shape
+    would show two)."""
+    from datalake_local_spark.operators import tpch
+
+    plan = _physical_plan(tpch.cohort_ltv(tables["orders"]))
+    assert plan.count("orders.parquet") == 1
+
+
+def test_bootstrap_ci_partial_aggregates(tables):
+    """The replicate means must map-side combine: partial HashAggregate
+    below the exchange, and no nested-loop join anywhere (the only
+    join is the 5-row priority merge)."""
+    plan = _physical_plan(quality.bootstrap_mean_ci(tables["orders"]))
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+    assert plan.count("orders.parquet") == 2  # weights pass + point pass
