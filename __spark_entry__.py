@@ -268,6 +268,7 @@ _CERTIFY_FIRST = [
     "dedup_url_canonical",  # NEW r11: full URL canonicalization congruence
     "scd2_asof_snapshot",  # NEW r11: point-in-time SCD2 reconstruction
     "tpch_lead_time",  # NEW r11: order-fulfillment SLA percentiles
+    "graph_lpa_communities",  # NEW r11 rows-only: sync LPA communities
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -315,10 +316,9 @@ _CERTIFY_FIRST = [
     "agg_pricing_summary",
     "agg_order_stats",
     "sample_deterministic",
-    "sample_stratified",
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
-    # r4 overflow (text_source_profile, scalar_variant_funcs,
+    # r4 overflow (sample_stratified, text_source_profile, scalar_variant_funcs,
     # scalar_json_agg, mm_payload_profile, unpivot_order_measures,
     # agg_trend_regression — all six r11 class-fix rewrites already
     # exact-certified at 3 SFs in SWEEP_r11 waves 9 + final legs;
@@ -778,6 +778,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_weighted_reservoir": lambda s, d: llm_pipeline.weighted_reservoir_sample(*_t(s, d, "documents")),
         "dedup_url_canonical": lambda s, d: scalars.url_canonical_dedup(*_t(s, d, "orders")),
         "scd2_asof_snapshot": _q_scd2_asof,
+        # rows-only (iterative mode-vote fixpoint — not SQL-expressible):
+        # sync-LPA with total-order tie-break; pure-python replay test
+        "graph_lpa_communities": lambda s, d: dedup.lpa_communities(*_t(s, d, "documents")),
         "tpch_lead_time": lambda s, d: tpch.fulfillment_lead_time(*_t(s, d, "lineitem", "orders")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),

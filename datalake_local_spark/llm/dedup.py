@@ -2582,3 +2582,85 @@ def fuzzy_entity_clusters(part: DataFrame, max_dist: int = 4) -> DataFrame:
         .filter(F.col("n_variants") >= 2)
         .orderBy("entity_id")
     )
+
+
+def lpa_communities(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara 2007) over the near-duplicate graph — where
+    connected components answer "what merges", communities answer
+    "what hangs together densely" (a template family inside one giant
+    component splits into its boilerplate sub-groups).
+
+    Deterministic variant: every round updates ALL nodes from the
+    PREVIOUS round's labels (synchronous — no update-order
+    nondeterminism), and each node adopts the most frequent neighbor
+    label with ties broken by SMALLEST label (total order). Bounded
+    rounds (sync LPA can 2-cycle on bipartite structures; the cap is
+    the standard fix and keeps reruns identical).
+
+    Scale shape: per round, one (node,label)-grain count aggregate and
+    one ranked pick — all edge/node-grain relations; labels frames are
+    localCheckpointed per round with eager release (the pagerank/
+    components lineage discipline). Iterative + mode-based → not
+    SQL-expressible; registered rows-only with a pure-python reference
+    test.
+
+    Output: one row per community — label, n_members, min/max member.
+    """
+    if pairs is None:
+        pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
+            "doc_a", "doc_b"
+        )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    from pyspark.sql import Window as W
+
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).coalesce(
+        4
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neigh = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .groupBy(F.col("dst").alias("doc_id"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        w = W.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("label"))
+        picked = (
+            neigh.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", F.col("label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(picked, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("new_label", "label").alias("label"),
+                F.col("label").alias("prev_label"),
+            )
+            .coalesce(4)
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("label") != F.col("prev_label")).count()
+        _release_checkpoint(labels)
+        labels = new_labels.select("doc_id", "label")
+        if changed == 0:
+            break
+    out = (
+        labels.groupBy(F.col("label").alias("community_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("doc_id").alias("min_member"),
+            F.max("doc_id").alias("max_member"),
+        )
+        .orderBy("community_id")
+    )
+    result = out.localCheckpoint()
+    _release_checkpoint(labels)
+    edges.unpersist()
+    return result

@@ -3303,3 +3303,40 @@ def test_weighted_reservoir_matches_reference(spark):
     assert [r["doc_id"] for r in out.collect()] == expected
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lpa_communities_two_cliques_with_bridge(spark):
+    """Two K3 cliques joined by one bridge edge: sync LPA with
+    min-label tie-break converges with each clique keeping its own
+    min label as the community (the bridge alone cannot outvote two
+    intra-clique neighbors); a pure-python sync replay agrees."""
+    edges = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    rows = {r["community_id"]: r for r in dedup.lpa_communities(docs, pairs=pairs).collect()}
+
+    # python sync-LPA reference with identical tie-break
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {n: n for n in adj}
+    for _ in range(10):
+        new = {}
+        for n in adj:
+            counts = {}
+            for m in adj[n]:
+                counts[lab[m]] = counts.get(lab[m], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        if new == lab:
+            break
+        lab = new
+    expected = {}
+    for n, l in lab.items():
+        expected.setdefault(l, []).append(n)
+    assert set(rows) == set(expected)
+    for k, members in expected.items():
+        assert rows[k]["n_members"] == len(members)
+        assert rows[k]["min_member"] == min(members)
+        assert rows[k]["max_member"] == max(members)
