@@ -269,6 +269,7 @@ _CERTIFY_FIRST = [
     "scd2_asof_snapshot",  # NEW r11: point-in-time SCD2 reconstruction
     "tpch_lead_time",  # NEW r11: order-fulfillment SLA percentiles
     "graph_lpa_communities",  # NEW r11 rows-only: sync LPA communities
+    "events_path_trigrams",  # NEW r11: user-journey trigram mining
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -315,10 +316,10 @@ _CERTIFY_FIRST = [
     "agg_monthly_rollup",
     "agg_pricing_summary",
     "agg_order_stats",
-    "sample_deterministic",
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
-    # r4 overflow (sample_stratified, text_source_profile, scalar_variant_funcs,
+    # r4 overflow (sample_deterministic, sample_stratified,
+    # text_source_profile, scalar_variant_funcs,
     # scalar_json_agg, mm_payload_profile, unpivot_order_measures,
     # agg_trend_regression — all six r11 class-fix rewrites already
     # exact-certified at 3 SFs in SWEEP_r11 waves 9 + final legs;
@@ -782,6 +783,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sync-LPA with total-order tie-break; pure-python replay test
         "graph_lpa_communities": lambda s, d: dedup.lpa_communities(*_t(s, d, "documents")),
         "tpch_lead_time": lambda s, d: tpch.fulfillment_lead_time(*_t(s, d, "lineitem", "orders")),
+        "events_path_trigrams": lambda s, d: funnel.path_trigrams(*_t(s, d, "events")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -4864,6 +4866,22 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
+        "events_path_trigrams": """
+            WITH seq AS (
+                SELECT lag(event_type, 2) OVER w AS e1,
+                       lag(event_type, 1) OVER w AS e2,
+                       event_type AS e3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+                   CAST(count(*) AS BIGINT) AS n_paths
+            FROM seq
+            WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+            GROUP BY 1
+            ORDER BY n_paths DESC, path
+            LIMIT 20
+        """,
         "scd2_asof_snapshot": """
             WITH current_v AS (
                 SELECT c_custkey, c_mktsegment,

@@ -434,3 +434,38 @@ def survival_km(events: DataFrame, horizon_hours: int = 72) -> DataFrame:
         )
         .orderBy("duration_hours")
     )
+
+
+def path_trigrams(events: DataFrame, top_k: int = 20) -> DataFrame:
+    """Top user-journey paths: the most frequent ordered TRIPLES of
+    consecutive event types per user (the 'view > click > purchase'
+    journey-mining table product analytics builds sankeys from —
+    pair-grain transitions are events_transition_matrix; trigrams add
+    the turn-by-turn context that distinguishes 'error after click'
+    from 'error after signup').
+
+    One user-partitioned window (total order: ts, then event_id for
+    same-timestamp determinism) produces both lags in a single pass;
+    the path rollup is path-grain with map-side combine; top-k by
+    (count DESC, path ASC) is a bounded sort. All-integer counts."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type", 2).over(w).alias("e1"),
+            F.lag("event_type", 1).over(w).alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .filter(F.col("e1").isNotNull() & F.col("e2").isNotNull())
+        .select(
+            F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "path")
+        .limit(top_k)
+    )

@@ -1423,3 +1423,34 @@ def test_bootstrap_ci_partial_aggregates(tables):
     plan = _physical_plan(quality.bootstrap_mean_ci(tables["orders"]))
     assert "partial" in plan.lower() or "HashAggregate" in plan
     assert plan.count("orders.parquet") == 2  # weights pass + point pass
+
+
+def test_path_trigrams_hand_computed(spark):
+    """User 1's view→click→purchase→view stream yields two overlapping
+    trigrams; user 2 repeats view→click→purchase so that path counts 2;
+    a two-event user contributes nothing; ties order by path ASC."""
+    import datetime
+
+    from datalake_local_spark.operators import funnel
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, t(0), 1, "view", 1.0, "{}"),
+            (2, t(1), 1, "click", 1.0, "{}"),
+            (3, t(2), 1, "purchase", 1.0, "{}"),
+            (4, t(3), 1, "view", 1.0, "{}"),
+            (5, t(0), 2, "view", 1.0, "{}"),
+            (6, t(1), 2, "click", 1.0, "{}"),
+            (7, t(2), 2, "purchase", 1.0, "{}"),
+            (8, t(0), 3, "view", 1.0, "{}"),
+            (9, t(1), 3, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = funnel.path_trigrams(ev).collect()
+    got = [(r["path"], r["n_paths"]) for r in rows]
+    assert got == [
+        ("view > click > purchase", 2),
+        ("click > purchase > view", 1),
+    ]
