@@ -270,6 +270,7 @@ _CERTIFY_FIRST = [
     "tpch_lead_time",  # NEW r11: order-fulfillment SLA percentiles
     "graph_lpa_communities",  # NEW r11 rows-only: sync LPA communities
     "events_path_trigrams",  # NEW r11: user-journey trigram mining
+    "sql_named_window",  # NEW r11: verbatim SQL:2003 WINDOW clause
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -315,10 +316,9 @@ _CERTIFY_FIRST = [
     # to exact integer means on both engines; all must re-certify
     "agg_monthly_rollup",
     "agg_pricing_summary",
-    "agg_order_stats",
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
-    # r4 overflow (sample_deterministic, sample_stratified,
+    # r4 overflow (agg_order_stats, sample_deterministic, sample_stratified,
     # text_source_profile, scalar_variant_funcs,
     # scalar_json_agg, mm_payload_profile, unpivot_order_measures,
     # agg_trend_regression — all six r11 class-fix rewrites already
@@ -353,6 +353,28 @@ SELECT c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
               AND o.o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders))
 ORDER BY c_custkey LIMIT 10
+"""
+
+#: Named WINDOW clause (SQL:2003 <window clause>): two named windows —
+#: one unframed rank, one ROWS running sum in exact integer cents —
+#: shared by reference, ONE ANSI string executed verbatim by
+#: spark.sql() AND DuckDB; output bounded to the per-priority top 5.
+_NAMED_WINDOW_SQL = """
+SELECT * FROM (
+    SELECT o_orderpriority,
+           o_orderkey,
+           rank() OVER w AS price_rank,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS DECIMAL(38,0))) OVER wc AS BIGINT) AS running_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey),
+           wc AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS UNBOUNDED PRECEDING)
+)
+WHERE price_rank <= 5
+ORDER BY o_orderpriority, price_rank
 """
 
 #: LATERAL subquery join (per-customer top-1 order) — the dependent-join
@@ -605,6 +627,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interactive": _q_sql_interactive,
         "sql_correlated_exists": lambda s, d: (load_tables(s, d), s.sql(_CORRELATED_SQL))[1],
         "sql_lateral_topn": lambda s, d: (load_tables(s, d), s.sql(_LATERAL_SQL))[1],
+        "sql_named_window": lambda s, d: (load_tables(s, d), s.sql(_NAMED_WINDOW_SQL))[1],
         "sql_recursive_spine": _q_recursive_spine,
         "pipeline_corpus_prep": lambda s, d: llm_pipeline.prepare_corpus(*_t(s, d, "documents")),
         "pipeline_decontaminate": lambda s, d: llm_pipeline.decontaminate_corpus(*_t(s, d, "documents")),
@@ -2821,6 +2844,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_interactive": _INTERACTIVE_SQL,
         "sql_correlated_exists": _CORRELATED_SQL,
+        "sql_named_window": _NAMED_WINDOW_SQL,
         "sql_lateral_topn": _LATERAL_SQL,
         "sql_recursive_spine": """
             WITH RECURSIVE months(m) AS (
