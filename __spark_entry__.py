@@ -271,6 +271,7 @@ _CERTIFY_FIRST = [
     "graph_lpa_communities",  # NEW r11 rows-only: sync LPA communities
     "events_path_trigrams",  # NEW r11: user-journey trigram mining
     "sql_named_window",  # NEW r11: verbatim SQL:2003 WINDOW clause
+    "events_session_depth",  # NEW r11: bounce-rate depth histogram
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -315,10 +316,10 @@ _CERTIFY_FIRST = [
     # r11 round(avg(grid-valued),dp) class fix — every member rewritten
     # to exact integer means on both engines; all must re-certify
     "agg_monthly_rollup",
-    "agg_pricing_summary",
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
-    # r4 overflow (agg_order_stats, sample_deterministic, sample_stratified,
+    # r4 overflow (agg_pricing_summary, agg_order_stats,
+    # sample_deterministic, sample_stratified,
     # text_source_profile, scalar_variant_funcs,
     # scalar_json_agg, mm_payload_profile, unpivot_order_measures,
     # agg_trend_regression — all six r11 class-fix rewrites already
@@ -807,6 +808,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa_communities": lambda s, d: dedup.lpa_communities(*_t(s, d, "documents")),
         "tpch_lead_time": lambda s, d: tpch.fulfillment_lead_time(*_t(s, d, "lineitem", "orders")),
         "events_path_trigrams": lambda s, d: funnel.path_trigrams(*_t(s, d, "events")),
+        "events_session_depth": lambda s, d: event_windows.session_depth_profile(*_t(s, d, "events")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -4890,6 +4892,41 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
+        "events_session_depth": """
+            WITH lagged AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ),
+            flagged AS (
+                SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+                               WHEN epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                               ELSE 0 END AS new_s
+                FROM lagged
+            ),
+            sess AS (
+                SELECT user_id,
+                       CAST(sum(new_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS BIGINT)
+                           AS session_seq
+                FROM flagged
+            ),
+            depths AS (
+                SELECT CAST(count(*) AS BIGINT) AS depth
+                FROM sess GROUP BY user_id, session_seq
+            ),
+            hist AS (
+                SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
+                FROM depths GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS total FROM hist)
+            SELECT depth, n_sessions,
+                   (10000 * n_sessions) // total AS share_bps
+            FROM hist CROSS JOIN tot ORDER BY depth
+        """,
         "events_path_trigrams": """
             WITH seq AS (
                 SELECT lag(event_type, 2) OVER w AS e1,

@@ -873,3 +873,32 @@ def run_streaming_anomaly(
         q.awaitTermination(120)
         q.stop()
     return sub.table(query_name)
+
+
+def session_depth_profile(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session-depth histogram over the gap-based sessions: how many
+    sessions have 1 event (bounces), 2, 3, … — the engagement-depth
+    distribution a product team reads next to the bounce rate (the
+    share column, in exact basis points, makes the top row the bounce
+    rate directly).
+
+    Reuses :func:`sessionize_batch` (one user-keyed shuffle shared by
+    its two windows); on top: a session-grain count → a depth-grain
+    histogram — both bounded well below event grain. Integer counts,
+    integer-division bps."""
+    sessions = sessionize_batch(events, gap_minutes).select(
+        F.col("n_events").cast("long").alias("depth")
+    )
+    hist = sessions.groupBy("depth").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    tot = hist.agg(F.sum("n_sessions").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "depth",
+            "n_sessions",
+            F.expr("(10000 * n_sessions) div total").cast("long").alias("share_bps"),
+        )
+        .orderBy("depth")
+    )

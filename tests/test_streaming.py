@@ -614,3 +614,28 @@ def test_streaming_anomaly_constant_then_jump(spark, tmp_path):
         (1, 11): (5.0, math.inf),
         (2, 109): (7.5, -math.inf),
     }
+
+
+def test_session_depth_profile_hand_computed(spark):
+    """User 1: a 3-event session, a 35-min gap, then a 1-event bounce;
+    user 2: one 2-event session. Histogram: depth 1×1, 2×1, 3×1; the
+    bps shares close to 10000 within integer-floor loss."""
+    import datetime
+
+    from datalake_local_spark.streaming import event_windows
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, t(0), 1, "view", 1.0, "{}"),
+            (2, t(5), 1, "click", 1.0, "{}"),
+            (3, t(10), 1, "view", 1.0, "{}"),
+            (4, t(50), 1, "view", 1.0, "{}"),
+            (5, t(0), 2, "view", 1.0, "{}"),
+            (6, t(20), 2, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = {r["depth"]: r for r in event_windows.session_depth_profile(ev).collect()}
+    assert {d: rows[d]["n_sessions"] for d in rows} == {1: 1, 2: 1, 3: 1}
+    assert all(r["share_bps"] == 3333 for r in rows.values())
