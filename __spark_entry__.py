@@ -272,6 +272,7 @@ _CERTIFY_FIRST = [
     "events_path_trigrams",  # NEW r11: user-journey trigram mining
     "sql_named_window",  # NEW r11: verbatim SQL:2003 WINDOW clause
     "events_session_depth",  # NEW r11: bounce-rate depth histogram
+    "dedup_shingle_sweep",  # NEW r11: Broder w-shingle sensitivity table
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -315,10 +316,9 @@ _CERTIFY_FIRST = [
     "join_composite_theta",  # r11: exact 4dp integer mean (audit find)
     # r11 round(avg(grid-valued),dp) class fix — every member rewritten
     # to exact integer means on both engines; all must re-certify
-    "agg_monthly_rollup",
     # least-recently-certified rotation: r3 remainder + the whole r4
     # cohort (last driver-checked in round 4 — 7 rounds stale)
-    # r4 overflow (agg_pricing_summary, agg_order_stats,
+    # r4 overflow (agg_monthly_rollup, agg_pricing_summary, agg_order_stats,
     # sample_deterministic, sample_stratified,
     # text_source_profile, scalar_variant_funcs,
     # scalar_json_agg, mm_payload_profile, unpivot_order_measures,
@@ -809,6 +809,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_lead_time": lambda s, d: tpch.fulfillment_lead_time(*_t(s, d, "lineitem", "orders")),
         "events_path_trigrams": lambda s, d: funnel.path_trigrams(*_t(s, d, "events")),
         "events_session_depth": lambda s, d: event_windows.session_depth_profile(*_t(s, d, "events")),
+        "dedup_shingle_sweep": lambda s, d: dedup.shingle_width_sweep(*_t(s, d, "documents")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -1027,6 +1028,51 @@ def _zorder_oracle_sql() -> str:
                CAST((max(o_custkey) - min(o_custkey) + 1)
                     * (max(dday) - min(dday) + 1) AS BIGINT) AS envelope_area
         FROM keyed GROUP BY 1 ORDER BY 1
+    """
+
+
+def _shingle_sweep_oracle_sql(widths=(1, 2, 3), threshold=0.8) -> str:
+    """DuckDB twin of dedup.shingle_width_sweep: one block per width
+    (DuckDB generate_series(1, 0) is empty, so short docs need no
+    guard), unioned into the 3-row summary."""
+    blocks = []
+    for w in widths:
+        blocks.append(f"""
+            SELECT {w} AS width,
+                   (SELECT CAST(count(DISTINCT sh) AS BIGINT) FROM sh{w})
+                       AS n_shingle_types,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM (
+                        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               count(*) AS n_common
+                        FROM sh{w} a JOIN sh{w} b
+                          ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2
+                    ) i
+                    JOIN (SELECT doc_id, count(*) AS n FROM sh{w} GROUP BY 1) sa
+                      ON sa.doc_id = i.doc_a
+                    JOIN (SELECT doc_id, count(*) AS n FROM sh{w} GROUP BY 1) sb
+                      ON sb.doc_id = i.doc_b
+                    WHERE round(CAST(n_common AS DOUBLE)
+                                / (sa.n + sb.n - n_common), 6) >= {threshold})
+                       AS n_pairs""")
+    ctes = ",\n".join(
+        f"""sh{w} AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[i:i + {w - 1}], ' ') AS sh
+                FROM docs, unnest(generate_series(1, len(toks) - {w - 1}))
+                     AS t(i)
+            )"""
+        for w in widths
+    )
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS toks
+            FROM documents WHERE doc_id < 100
+        ),
+        {ctes}
+        SELECT * FROM ({union}) ORDER BY width
     """
 
 
@@ -4892,6 +4938,7 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
+        "dedup_shingle_sweep": _shingle_sweep_oracle_sql(),
         "events_session_depth": """
             WITH lagged AS (
                 SELECT user_id, ts, event_id,

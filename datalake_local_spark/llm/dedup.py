@@ -2664,3 +2664,79 @@ def lpa_communities(
     _release_checkpoint(labels)
     edges.unpersist()
     return result
+
+
+def shingle_width_sweep(
+    documents: DataFrame,
+    max_doc_id: int = 100,
+    threshold: float = 0.8,
+    widths: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Shingle-width sensitivity table for Jaccard dedup (Broder 1997's
+    w parameter): the same exact similarity join run at token-shingle
+    widths 1/2/3, reporting distinct-shingle vocabulary and qualifying
+    pair counts per width — wider shingles encode word ORDER, so pair
+    counts fall as reordered boilerplate stops matching; you pick the
+    width where the drop-off matches your notion of 'duplicate'. The
+    Jaccard-side completion of the tuning-table family (LSH S-curve,
+    cosine-threshold sweep).
+
+    Per width: distinct (doc, shingle) → inverted-index self-join →
+    exact Jaccard ≥ threshold, all bounded to the harness doc slice
+    (at scale the pair feed is the banded index, exactly as for
+    components/pagerank). Shingles are built with a bounded
+    transform-over-sequence (no explode-then-window); counts exact."""
+    docs = documents.filter(F.col("doc_id") < max_doc_id).select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
+    )
+    out = None
+    for w in widths:
+        shingles = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        # sequence(1, 0) is DESCENDING in Spark, not
+                        # empty — guard short docs explicitly
+                        F.when(
+                            F.size("toks") >= w,
+                            F.sequence(F.lit(1), F.size("toks") - (w - 1)),
+                        ).otherwise(F.expr("array()").cast("array<int>")),
+                        lambda i: F.array_join(F.slice(F.col("toks"), i, w), " "),
+                    )
+                )
+            ).alias("sh"),
+        )
+        sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a, b = shingles.alias("a"), shingles.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        pairs = (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(
+                F.round(
+                    F.col("n_common")
+                    / (F.col("na") + F.col("nb") - F.col("n_common")),
+                    6,
+                )
+                >= threshold
+            )
+        )
+        row = shingles.agg(
+            F.lit(w).cast("int").alias("width"),
+            F.count_distinct("sh").cast("long").alias("n_shingle_types"),
+        ).crossJoin(
+            F.broadcast(pairs.agg(F.count("*").cast("long").alias("n_pairs")))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("width")

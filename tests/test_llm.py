@@ -3340,3 +3340,26 @@ def test_lpa_communities_two_cliques_with_bridge(spark):
         assert rows[k]["n_members"] == len(members)
         assert rows[k]["min_member"] == min(members)
         assert rows[k]["max_member"] == max(members)
+
+
+def test_shingle_width_sweep_order_sensitivity(spark):
+    """Two docs that are word-for-word anagrams: identical unigram sets
+    (width-1 Jaccard 1.0 → pair) but NO shared bigrams/trigrams — the
+    sweep must count the pair at width 1 and drop it at 2 and 3. A doc
+    shorter than the width contributes no shingles (the sequence(1,0)
+    descending hazard guard)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["width"]: r for r in dedup.shingle_width_sweep(docs).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[1]["n_pairs"] == 1
+    assert rows[2]["n_pairs"] == 0 and rows[3]["n_pairs"] == 0
+    # widths 2/3: doc 3 ("x") yields no shingles; vocab counts positive
+    assert rows[2]["n_shingle_types"] == 6  # 3 bigrams per 4-token doc, disjoint
+    assert rows[3]["n_shingle_types"] == 4
