@@ -273,6 +273,7 @@ _CERTIFY_FIRST = [
     "sql_named_window",  # NEW r11: verbatim SQL:2003 WINDOW clause
     "events_session_depth",  # NEW r11: bounce-rate depth histogram
     "dedup_shingle_sweep",  # NEW r11: Broder w-shingle sensitivity table
+    "pipeline_dedup_funnel",  # NEW r11: staged dedup impact funnel
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -289,7 +290,9 @@ _CERTIFY_FIRST = [
     "dedup_cluster_purity",  # NEW r11: cluster-grain source purity report
     "tpch_yoy_growth",  # NEW r11: integer-exact YoY growth in basis points
     "dedup_components",  # r11: opt-in local union-find fast path
-    "dedup_cluster_sizes",  # r11: same fast path via its upstream
+    # dedup_cluster_sizes deferred to r12: its only r11 change is the
+    # upstream fast path, certified here via dedup_components and
+    # dedup_graph_quality (same code path)
     "dedup_graph_quality",  # r11: same fast path via its upstream
     "dedup_jaccard_prefix",  # NEW r11: AllPairs/PPJoin prefix-filtered join
     "events_attribution",  # NEW r11: first/last-touch revenue attribution
@@ -810,6 +813,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_path_trigrams": lambda s, d: funnel.path_trigrams(*_t(s, d, "events")),
         "events_session_depth": lambda s, d: event_windows.session_depth_profile(*_t(s, d, "events")),
         "dedup_shingle_sweep": lambda s, d: dedup.shingle_width_sweep(*_t(s, d, "documents")),
+        "pipeline_dedup_funnel": lambda s, d: llm_pipeline.dedup_funnel_report(*_t(s, d, "documents")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -4939,6 +4943,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
         "dedup_shingle_sweep": _shingle_sweep_oracle_sql(),
+        "pipeline_dedup_funnel": f"""
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, {_NORM} AS norm
+                FROM documents WHERE doc_id < 100
+            ),
+            ex AS (
+                SELECT md5(norm) AS h, min(doc_id) AS doc_id
+                FROM docs GROUP BY 1
+            ),
+            surv AS (
+                SELECT d.doc_id, d.norm FROM docs d
+                JOIN ex ON ex.doc_id = d.doc_id
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split(norm, ' ')) AS token
+                FROM surv
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common
+                FROM toks a JOIN toks b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE round(CAST(n_common AS DOUBLE)
+                            / (sa.n + sb.n - n_common), 6) >= 0.8
+            ),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION ALL SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS reached FROM surv
+                UNION
+                SELECT r.node, e.dst FROM reach r
+                JOIN edges e ON e.src = r.reached
+            ),
+            comp AS (SELECT node, min(reached) AS cid FROM reach GROUP BY 1),
+            ns AS (
+                SELECT (SELECT count(*) FROM docs) AS n_in,
+                       (SELECT count(*) FROM ex) AS n_exact,
+                       (SELECT count(DISTINCT cid) FROM comp) AS n_near
+            )
+            SELECT '1_exact' AS stage,
+                   CAST(n_in AS BIGINT) AS docs_in,
+                   CAST(n_exact AS BIGINT) AS docs_out,
+                   CAST(n_in - n_exact AS BIGINT) AS removed,
+                   CAST((10000 * (n_in - n_exact)) // n_in AS BIGINT)
+                       AS removed_bps
+            FROM ns
+            UNION ALL
+            SELECT '2_neardup',
+                   CAST(n_exact AS BIGINT),
+                   CAST(n_near AS BIGINT),
+                   CAST(n_exact - n_near AS BIGINT),
+                   CAST((10000 * (n_exact - n_near)) // n_exact AS BIGINT)
+            FROM ns
+        """,
         "events_session_depth": """
             WITH lagged AS (
                 SELECT user_id, ts, event_id,

@@ -801,3 +801,51 @@ def weighted_reservoir_sample(documents: DataFrame, k: int = 100) -> DataFrame:
         ).alias("es_key"),
     )
     return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(k)
+
+
+def dedup_funnel_report(documents: DataFrame, max_doc_id: int = 100) -> DataFrame:
+    """Stage-by-stage dedup impact funnel: the before/after table a
+    pipeline owner reads to see WHERE the corpus shrinks — stage 1
+    EXACT (md5 of normalized text, keep min doc_id per digest), stage
+    2 NEAR-DUP (exact token-Jaccard ≥ 0.8 components over the exact
+    survivors, keep one per component) — each row: docs in, docs out,
+    removed, removal share in exact bps. The composition story: the
+    funnel chains the certified primitives (exact groups, the pair
+    join, the component engine) into the one table that justifies each
+    stage's cost.
+
+    Bounded to the harness doc slice like every exact-Jaccard
+    verifier; at scale stage 2's pair feed is the banded LSH index and
+    the funnel shape is unchanged. All-integer output."""
+    from datalake_local_spark.llm import dedup as dd
+
+    docs = documents.filter(F.col("doc_id") < max_doc_id).select(
+        "doc_id", _norm_text(F.col("text")).alias("norm")
+    )
+    n_in = docs.count()
+    exact_survivors = (
+        docs.groupBy(F.md5("norm").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    )
+    n_exact = exact_survivors.count()
+    surv_docs = documents.join(
+        exact_survivors.select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = dd.ngram_token_jaccard_pairs(surv_docs, max_doc_id, 0.8).select(
+        "doc_a", "doc_b"
+    )
+    comps = dd.duplicate_components(
+        surv_docs.select("doc_id"), pairs=pairs, algorithm="star"
+    )
+    n_near = comps.select("component_id").distinct().count()
+    spark = documents.sparkSession
+    rows = [
+        ("1_exact", n_in, n_exact),
+        ("2_neardup", n_exact, n_near),
+    ]
+    return spark.createDataFrame(
+        [
+            (s, i, o, i - o, (10000 * (i - o)) // i if i else 0)
+            for s, i, o in rows
+        ],
+        "stage string, docs_in long, docs_out long, removed long, removed_bps long",
+    )

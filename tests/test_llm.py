@@ -3363,3 +3363,29 @@ def test_shingle_width_sweep_order_sensitivity(spark):
     # widths 2/3: doc 3 ("x") yields no shingles; vocab counts positive
     assert rows[2]["n_shingle_types"] == 6  # 3 bigrams per 4-token doc, disjoint
     assert rows[3]["n_shingle_types"] == 4
+
+
+def test_dedup_funnel_hand_computed(spark):
+    """Five docs: an exact-dup pair (stage 1 removes one), then a
+    near-dup pair among survivors (stage 2 removes one), one loner.
+    The funnel chains: 5 → 4 → 3 with exact-bps removal shares, and
+    stage 2's docs_in equals stage 1's docs_out."""
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota KAPPA2"
+    docs = spark.createDataFrame(
+        [
+            (1, "same text"), (2, "same text"),
+            (3, near_a), (4, near_b),
+            (5, "totally different content"),
+        ],
+        "doc_id long, text string",
+    )
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    rows = {r["stage"]: r
+            for r in llm_pipeline.dedup_funnel_report(docs).collect()}
+    s1, s2 = rows["1_exact"], rows["2_neardup"]
+    assert (s1["docs_in"], s1["docs_out"], s1["removed"]) == (5, 4, 1)
+    assert s1["removed_bps"] == 2000
+    assert s2["docs_in"] == s1["docs_out"]
+    assert (s2["docs_out"], s2["removed"], s2["removed_bps"]) == (3, 1, 2500)
