@@ -274,6 +274,7 @@ _CERTIFY_FIRST = [
     "events_session_depth",  # NEW r11: bounce-rate depth histogram
     "dedup_shingle_sweep",  # NEW r11: Broder w-shingle sensitivity table
     "pipeline_dedup_funnel",  # NEW r11: staged dedup impact funnel
+    "events_seasonal_anomaly",  # NEW r11: weekday-conditioned outliers
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -293,7 +294,8 @@ _CERTIFY_FIRST = [
     # dedup_cluster_sizes deferred to r12: its only r11 change is the
     # upstream fast path, certified here via dedup_components and
     # dedup_graph_quality (same code path)
-    "dedup_graph_quality",  # r11: same fast path via its upstream
+    # dedup_graph_quality deferred to r12 alongside dedup_cluster_sizes:
+    # the r11 fast-path change is certified via dedup_components
     "dedup_jaccard_prefix",  # NEW r11: AllPairs/PPJoin prefix-filtered join
     "events_attribution",  # NEW r11: first/last-touch revenue attribution
     "graph_triangles",  # NEW r11: degree-ordered triangle count + clustering
@@ -814,6 +816,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_depth": lambda s, d: event_windows.session_depth_profile(*_t(s, d, "events")),
         "dedup_shingle_sweep": lambda s, d: dedup.shingle_width_sweep(*_t(s, d, "documents")),
         "pipeline_dedup_funnel": lambda s, d: llm_pipeline.dedup_funnel_report(*_t(s, d, "documents")),
+        "events_seasonal_anomaly": lambda s, d: windows.seasonal_anomaly_days(*_t(s, d, "events")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -5004,6 +5007,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_exact - n_near AS BIGINT),
                    CAST((10000 * (n_exact - n_near)) // n_exact AS BIGINT)
             FROM ns
+        """,
+        "events_seasonal_anomaly": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1
+            ),
+            dw AS (SELECT day, n, CAST(isodow(day) AS INTEGER) AS dow
+                   FROM daily),
+            st AS (
+                SELECT dow, CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(n) AS BIGINT) AS s1,
+                       CAST(sum(n * n) AS BIGINT) AS s2
+                FROM dw GROUP BY 1
+            )
+            SELECT day, dow, n AS n_events, nd AS n_days_same_dow,
+                   CAST((2 * s1 * 100 + nd) // (2 * nd) AS DOUBLE) / 100.0
+                       AS dow_mean,
+                   CASE WHEN nd * n > s1 THEN 'high' ELSE 'low' END
+                       AS direction
+            FROM dw JOIN st USING (dow)
+            WHERE (nd * n - s1) * (nd * n - s1) > (nd * s2 - s1 * s1)
+            ORDER BY day
         """,
         "events_session_depth": """
             WITH lagged AS (

@@ -665,3 +665,53 @@ def daily_autocorrelation(events: DataFrame, lags: tuple[int, ...] = (1, 7)) -> 
             + 0.0,
         ).alias("autocorr"),
     ).orderBy("lag_days")
+
+
+def seasonal_anomaly_days(events: DataFrame, k_sigma: int = 1) -> DataFrame:
+    """Calendar-conditioned anomaly screen: each day's event count is
+    judged against the mean/variance OF ITS OWN WEEKDAY (a quiet
+    Sunday is normal; the same count on a Tuesday is an outage) — the
+    seasonal complement of the trailing-window rolling z-score.
+    ``k_sigma`` = 1 is the demo threshold for the near-uniform harness
+    data; production uses 3.
+
+    Decision is PURE INTEGER arithmetic — z > k ⇔
+    (n_d·x − S1)² > k²·(n_d·S2 − S1²) over exact integer count sums —
+    so boundary membership can never drift between engines (the
+    important_stock threshold rule). Weekday key is ISO (Monday = 1:
+    Spark weekday()+1 ≡ DuckDB isodow — the engines' default
+    dayofweek() numberings DISAGREE on Sunday).
+
+    One day-grain count, one 7-row weekday-moment aggregate broadcast
+    back, one map-only integer filter."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    dw = daily.withColumn("dow", (F.weekday("day") + 1).cast("int"))
+    st = dw.groupBy("dow").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    k2 = k_sigma * k_sigma
+    return (
+        dw.join(st, "dow")
+        .filter(
+            (F.col("nd") * F.col("n") - F.col("s1"))
+            * (F.col("nd") * F.col("n") - F.col("s1"))
+            > k2 * (F.col("nd") * F.col("s2") - F.col("s1") * F.col("s1"))
+        )
+        .select(
+            "day",
+            "dow",
+            F.col("n").alias("n_events"),
+            F.col("nd").alias("n_days_same_dow"),
+            (
+                F.expr("(2 * s1 * 100 + nd) div (2 * nd)").cast("double") / 100.0
+            ).alias("dow_mean"),
+            F.when(F.col("nd") * F.col("n") > F.col("s1"), "high")
+            .otherwise("low")
+            .alias("direction"),
+        )
+        .orderBy("day")
+    )

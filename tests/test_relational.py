@@ -1454,3 +1454,33 @@ def test_path_trigrams_hand_computed(spark):
         ("view > click > purchase", 2),
         ("click > purchase > view", 1),
     ]
+
+
+def test_seasonal_anomaly_weekday_conditioning(spark):
+    """Four Mondays at 10 events and one at 100: only the spike Monday
+    flags (direction high), even though 10 < the global mean would —
+    wrongly — flag quiet Mondays if the baseline weren't
+    weekday-conditioned; Tuesdays (constant 50) never flag."""
+    import datetime
+
+    ev = []
+    eid = 0
+    # Mondays 2024-01-01 +7k: counts 10,10,10,10,100
+    for k, cnt in enumerate([10, 10, 10, 10, 100]):
+        for j in range(cnt):
+            eid += 1
+            ev.append((eid, datetime.datetime(2024, 1, 1 + 7 * k, 8, j % 60, j // 60), 1, "view", 1.0, "{}"))
+    # Tuesdays: constant 50
+    for k in range(5):
+        for j in range(50):
+            eid += 1
+            ev.append((eid, datetime.datetime(2024, 1, 2 + 7 * k, 8, j % 60, j // 60), 1, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    rows = windows.seasonal_anomaly_days(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert str(r["day"]) == "2024-01-29" and r["dow"] == 1
+    assert r["n_events"] == 100 and r["direction"] == "high"
+    assert r["dow_mean"] == 28.0  # (10*4+100)/5
