@@ -275,6 +275,7 @@ _CERTIFY_FIRST = [
     "dedup_shingle_sweep",  # NEW r11: Broder w-shingle sensitivity table
     "pipeline_dedup_funnel",  # NEW r11: staged dedup impact funnel
     "events_seasonal_anomaly",  # NEW r11: weekday-conditioned outliers
+    "join_full_outer",  # NEW r11: the missing ANSI join type, reconciled
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -303,7 +304,9 @@ _CERTIFY_FIRST = [
     "text_phrase_search",  # NEW r11: positional-index phrase queries
     "sim_pair_geometry",  # NEW r11: pairwise-cosine anisotropy screen
     "tpch_seasonal_index",  # NEW r11: calendar-month seasonal factors
-    "dedup_lsh_scurve",  # NEW r11: banding S-curve + pow() parity canary
+    # dedup_lsh_scurve deferred to r12: pure analytic-constants table
+    # (no data dependence), exact-green at 3 SFs in SWEEP_r11 — the
+    # lowest re-certification risk in the r11 cohort
     "sim_embedding_dim_profile",  # NEW r11: per-dim embedding QA
     "events_stickiness",  # NEW r11: DAU/WAU engagement ratio
     "dq_chi_squared",  # NEW r11: chi-squared independence screen
@@ -817,6 +820,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_shingle_sweep": lambda s, d: dedup.shingle_width_sweep(*_t(s, d, "documents")),
         "pipeline_dedup_funnel": lambda s, d: llm_pipeline.dedup_funnel_report(*_t(s, d, "documents")),
         "events_seasonal_anomaly": lambda s, d: windows.seasonal_anomaly_days(*_t(s, d, "events")),
+        "join_full_outer": lambda s, d: joins.full_outer_reconcile(*_t(s, d, "orders", "lineitem")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -5007,6 +5011,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_exact - n_near AS BIGINT),
                    CAST((10000 * (n_exact - n_near)) // n_exact AS BIGINT)
             FROM ns
+        """,
+        "join_full_outer": """
+            WITH header AS (
+                SELECT o_orderkey,
+                       CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS DECIMAL(38,0)) AS BIGINT) AS header_cents
+                FROM orders
+            ),
+            lines AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * 100 AS DECIMAL(38,0))) AS BIGINT)
+                           AS line_cents
+                FROM lineitem GROUP BY 1
+            ),
+            joined AS (
+                SELECT CASE WHEN header_cents IS NULL THEN 'lines_only'
+                            WHEN line_cents IS NULL THEN 'header_only'
+                            ELSE 'both' END AS klass,
+                       coalesce(header_cents, 0) AS hc,
+                       coalesce(line_cents, 0) AS lc
+                FROM header FULL OUTER JOIN lines USING (o_orderkey)
+            )
+            SELECT klass,
+                   count(*) AS n_orders,
+                   CAST(sum(hc) AS BIGINT) AS header_cents,
+                   CAST(sum(lc) AS BIGINT) AS line_cents,
+                   CAST(sum(abs(hc - lc)) AS BIGINT) AS abs_delta_cents
+            FROM joined GROUP BY 1 ORDER BY 1
         """,
         "events_seasonal_anomaly": """
             WITH daily AS (

@@ -129,3 +129,53 @@ def theta_join_nation_pairs(nation: DataFrame) -> DataFrame:
             F.col("n1.n_regionkey").alias("region_key"),
         )
     )
+
+
+def full_outer_reconcile(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """FULL OUTER reconciliation — the ETL-validation query (and the
+    one ANSI join type the batch surface was missing): the order
+    header's stated total vs the sum of its line gross amounts,
+    FULL-OUTER-joined at order grain so BOTH orphan classes surface —
+    headers with no lines, line groups with no header — plus the
+    matched-with-value-drift class, each with exact integer-cent
+    delta totals.
+
+    Plan: map-side-combined line rollup, then ONE full-outer shuffle
+    join co-partitioned on the order key; classification and deltas
+    are map-only integer arithmetic on the joined row (never a second
+    pass). Output is the 3-row class summary every reconciliation
+    dashboard starts from."""
+    header = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .cast("long")
+        .alias("header_cents"),
+    )
+    lines = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("line_cents")
+    )
+    joined = header.join(lines, "o_orderkey", "full_outer").select(
+        F.when(F.col("header_cents").isNull(), "lines_only")
+        .when(F.col("line_cents").isNull(), "header_only")
+        .otherwise("both")
+        .alias("klass"),
+        F.coalesce("header_cents", F.lit(0)).alias("hc"),
+        F.coalesce("line_cents", F.lit(0)).alias("lc"),
+    )
+    return (
+        joined.groupBy("klass")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("hc").cast("long").alias("header_cents"),
+            F.sum("lc").cast("long").alias("line_cents"),
+            F.sum(F.abs(F.col("hc") - F.col("lc"))).cast("long").alias("abs_delta_cents"),
+        )
+        .orderBy("klass")
+    )

@@ -1484,3 +1484,25 @@ def test_seasonal_anomaly_weekday_conditioning(spark):
     assert str(r["day"]) == "2024-01-29" and r["dow"] == 1
     assert r["n_events"] == 100 and r["direction"] == "high"
     assert r["dow_mean"] == 28.0  # (10*4+100)/5
+
+
+def test_full_outer_reconcile_all_classes(spark):
+    """All three reconciliation classes planted: order 1 matches its
+    lines exactly (delta 0), order 2 has no lines (header_only), line
+    group 9 has no header (lines_only), order 3 drifts by 5 cents —
+    counted in 'both' with the exact absolute delta."""
+    orders = spark.createDataFrame(
+        [(1, 30.00), (2, 10.00), (3, 20.00)],
+        "o_orderkey long, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [(1, 10.00), (1, 20.00), (3, 19.95), (9, 7.00)],
+        "l_orderkey long, l_extendedprice double",
+    )
+    rows = {r["klass"]: r for r in joins.full_outer_reconcile(orders, li).collect()}
+    assert set(rows) == {"both", "header_only", "lines_only"}
+    b = rows["both"]
+    assert (b["n_orders"], b["abs_delta_cents"]) == (2, 5)
+    assert (b["header_cents"], b["line_cents"]) == (5000, 4995)
+    assert (rows["header_only"]["n_orders"], rows["header_only"]["header_cents"]) == (1, 1000)
+    assert (rows["lines_only"]["n_orders"], rows["lines_only"]["line_cents"]) == (1, 700)
