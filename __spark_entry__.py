@@ -276,6 +276,7 @@ _CERTIFY_FIRST = [
     "pipeline_dedup_funnel",  # NEW r11: staged dedup impact funnel
     "events_seasonal_anomaly",  # NEW r11: weekday-conditioned outliers
     "join_full_outer",  # NEW r11: the missing ANSI join type, reconciled
+    "tpch_realized_margin",  # NEW r11: price-realization bps by brand
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -303,7 +304,8 @@ _CERTIFY_FIRST = [
     "dedup_entity_fuzzy",  # NEW r11: blocked levenshtein entity resolution
     "text_phrase_search",  # NEW r11: positional-index phrase queries
     "sim_pair_geometry",  # NEW r11: pairwise-cosine anisotropy screen
-    "tpch_seasonal_index",  # NEW r11: calendar-month seasonal factors
+    # tpch_seasonal_index deferred to r12 (exact-green at 3 SFs in
+    # SWEEP_r11 wave 7; displaced by the late-round additions)
     # dedup_lsh_scurve deferred to r12: pure analytic-constants table
     # (no data dependence), exact-green at 3 SFs in SWEEP_r11 — the
     # lowest re-certification risk in the r11 cohort
@@ -821,6 +823,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dedup_funnel": lambda s, d: llm_pipeline.dedup_funnel_report(*_t(s, d, "documents")),
         "events_seasonal_anomaly": lambda s, d: windows.seasonal_anomaly_days(*_t(s, d, "events")),
         "join_full_outer": lambda s, d: joins.full_outer_reconcile(*_t(s, d, "orders", "lineitem")),
+        "tpch_realized_margin": lambda s, d: tpch.realized_margin(*_t(s, d, "lineitem", "part")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -5011,6 +5014,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_exact - n_near AS BIGINT),
                    CAST((10000 * (n_exact - n_near)) // n_exact AS BIGINT)
             FROM ns
+        """,
+        "tpch_realized_margin": """
+            SELECT p_brand,
+                   count(*) AS n_lines,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                                 AS DECIMAL(38,0))) AS BIGINT) AS billed_cents,
+                   CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                                 AS DECIMAL(38,0))
+                            * CAST(l_quantity AS DECIMAL(18,0))) AS BIGINT)
+                       AS retail_cents,
+                   (10000 * CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                          * 100 AS DECIMAL(38,0))) AS BIGINT))
+                       // CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                                        * 100 AS DECIMAL(38,0))
+                                  * CAST(l_quantity AS DECIMAL(18,0)))
+                               AS BIGINT) AS realized_bps
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1 ORDER BY 1
         """,
         "join_full_outer": """
             WITH header AS (

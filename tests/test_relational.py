@@ -1506,3 +1506,21 @@ def test_full_outer_reconcile_all_classes(spark):
     assert (b["header_cents"], b["line_cents"]) == (5000, 4995)
     assert (rows["header_only"]["n_orders"], rows["header_only"]["header_cents"]) == (1, 1000)
     assert (rows["lines_only"]["n_orders"], rows["lines_only"]["line_cents"]) == (1, 700)
+
+
+def test_realized_margin_hand_computed(spark):
+    """One brand: 2 units billed at $9 against $5 list (retail value
+    $10) → realized 9000 bps; a second brand sells AT list → exactly
+    10000 bps."""
+    li = spark.createDataFrame(
+        [(1, 2.0, 9.00), (2, 3.0, 30.00)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#1", 5.00), (2, "Brand#2", 10.00)],
+        "p_partkey long, p_brand string, p_retailprice double",
+    )
+    rows = {r["p_brand"]: r for r in tpch.realized_margin(li, part).collect()}
+    b1 = rows["Brand#1"]
+    assert (b1["billed_cents"], b1["retail_cents"], b1["realized_bps"]) == (900, 1000, 9000)
+    assert rows["Brand#2"]["realized_bps"] == 10000
