@@ -332,9 +332,10 @@ _CERTIFY_FIRST = [
     # sample_deterministic, sample_stratified,
     # text_source_profile, scalar_variant_funcs,
     # scalar_json_agg, mm_payload_profile, unpivot_order_measures,
-    # agg_trend_regression — all six r11 class-fix rewrites already
-    # exact-certified at 3 SFs in SWEEP_r11 waves 9 + final legs;
-    # re-queue for driver rows in r12 —
+    # agg_trend_regression — ALL ELEVEN names in this comment block are
+    # r11 class-fix rewrites, exact-certified at 3 SFs in SWEEP_r11
+    # waves 9 + final legs but displaced from the window by late-round
+    # additions; EVERY one must be re-queued for driver rows in r12 —
     # agg_mad_outliers, dq_orders_integrity,
     # agg_approx_percentiles,
     # tpch_volume_shipping, window_distribution,
@@ -5082,7 +5083,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN nd * n > s1 THEN 'high' ELSE 'low' END
                        AS direction
             FROM dw JOIN st USING (dow)
-            WHERE (nd * n - s1) * (nd * n - s1) > (nd * s2 - s1 * s1)
+            WHERE (CAST(nd AS HUGEINT) * n - s1)
+                      * (CAST(nd AS HUGEINT) * n - s1)
+                  > (CAST(nd AS HUGEINT) * s2
+                     - CAST(s1 AS HUGEINT) * s1)
             ORDER BY day
         """,
         "events_session_depth": """
@@ -5258,7 +5262,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, source, n_tokens,
-                   round(ln((h + 0.5) / 4294967296.0) / n_tokens, 12) AS es_key
+                   round(ln((h + 0.5) / 4294967296.0) / n_tokens, 12) + 0.0
+                       AS es_key
             FROM keyed
             ORDER BY es_key DESC, doc_id
             LIMIT 100

@@ -2611,6 +2611,8 @@ def lpa_communities(
 
     Output: one row per community — label, n_members, min/max member.
     """
+    import math
+
     if pairs is None:
         pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
             "doc_a", "doc_b"
@@ -2618,52 +2620,60 @@ def lpa_communities(
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).persist()
-    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     from pyspark.sql import Window as W
 
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).coalesce(
-        4
-    ).localCheckpoint()
-    for _ in range(max_iterations):
-        neigh = (
-            labels.join(edges, labels.doc_id == edges.src)
-            .groupBy(F.col("dst").alias("doc_id"), "label")
-            .agg(F.count("*").alias("n"))
-        )
-        w = W.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("label"))
-        picked = (
-            neigh.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("doc_id", F.col("label").alias("new_label"))
-        )
-        new_labels = (
-            labels.join(picked, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("new_label", "label").alias("label"),
-                F.col("label").alias("prev_label"),
+    labels = None
+    try:
+        # per-iteration frames sized by the EDGE count, exactly like
+        # duplicate_components — a hardcoded tiny coalesce would
+        # serialize the loop under an at-scale LSH pair feed
+        n_edges = edges.count()
+        P = max(1, math.ceil(n_edges / _COMPONENT_ROWS_PER_PARTITION))
+        nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+        labels = nodes.select("doc_id", F.col("doc_id").alias("label")).coalesce(
+            P
+        ).localCheckpoint()
+        for _ in range(max_iterations):
+            neigh = (
+                labels.join(edges, labels.doc_id == edges.src)
+                .groupBy(F.col("dst").alias("doc_id"), "label")
+                .agg(F.count("*").alias("n"))
             )
-            .coalesce(4)
-            .localCheckpoint()
+            w = W.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("label"))
+            picked = (
+                neigh.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .select("doc_id", F.col("label").alias("new_label"))
+            )
+            new_labels = (
+                labels.join(picked, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("new_label", "label").alias("label"),
+                    F.col("label").alias("prev_label"),
+                )
+                .coalesce(P)
+                .localCheckpoint()
+            )
+            changed = new_labels.filter(F.col("label") != F.col("prev_label")).count()
+            _release_checkpoint(labels)
+            labels = new_labels.select("doc_id", "label")
+            if changed == 0:
+                break
+        out = (
+            labels.groupBy(F.col("label").alias("community_id"))
+            .agg(
+                F.count("*").cast("long").alias("n_members"),
+                F.min("doc_id").alias("min_member"),
+                F.max("doc_id").alias("max_member"),
+            )
+            .orderBy("community_id")
         )
-        changed = new_labels.filter(F.col("label") != F.col("prev_label")).count()
-        _release_checkpoint(labels)
-        labels = new_labels.select("doc_id", "label")
-        if changed == 0:
-            break
-    out = (
-        labels.groupBy(F.col("label").alias("community_id"))
-        .agg(
-            F.count("*").cast("long").alias("n_members"),
-            F.min("doc_id").alias("min_member"),
-            F.max("doc_id").alias("max_member"),
-        )
-        .orderBy("community_id")
-    )
-    result = out.localCheckpoint()
-    _release_checkpoint(labels)
-    edges.unpersist()
-    return result
+        return out.localCheckpoint()
+    finally:
+        if labels is not None:
+            _release_checkpoint(labels)
+        edges.unpersist()
 
 
 def shingle_width_sweep(
@@ -2684,28 +2694,14 @@ def shingle_width_sweep(
     Per width: distinct (doc, shingle) → inverted-index self-join →
     exact Jaccard ≥ threshold, all bounded to the harness doc slice
     (at scale the pair feed is the banded index, exactly as for
-    components/pagerank). Shingles are built with a bounded
-    transform-over-sequence (no explode-then-window); counts exact."""
-    docs = documents.filter(F.col("doc_id") < max_doc_id).select(
-        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
-    )
+    components/pagerank). Shingles come from the shared
+    :func:`_shingles` builder (one home for the sequence(1,0)
+    descending-range guard); counts exact."""
+    docs = documents.filter(F.col("doc_id") < max_doc_id).select("doc_id", "text")
     out = None
     for w in widths:
         shingles = docs.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        # sequence(1, 0) is DESCENDING in Spark, not
-                        # empty — guard short docs explicitly
-                        F.when(
-                            F.size("toks") >= w,
-                            F.sequence(F.lit(1), F.size("toks") - (w - 1)),
-                        ).otherwise(F.expr("array()").cast("array<int>")),
-                        lambda i: F.array_join(F.slice(F.col("toks"), i, w), " "),
-                    )
-                )
-            ).alias("sh"),
+            "doc_id", F.explode(_shingles(F.col("text"), w)).alias("sh")
         )
         sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
         a, b = shingles.alias("a"), shingles.alias("b")

@@ -796,8 +796,15 @@ def weighted_reservoir_sample(documents: DataFrame, k: int = 100) -> DataFrame:
         "doc_id",
         "source",
         "n_tokens",
-        F.round(
-            F.log((F.col("h") + 0.5) / F.lit(4294967296.0)) / F.col("n_tokens"), 12
+        # + 0.0: es_key is strictly negative, and a huge-weight doc can
+        # round to -0.0 at 12dp — DuckDB keeps the sign bit, Spark's
+        # BigDecimal drops it (the dq_ab_ttest hash-divergence class)
+        (
+            F.round(
+                F.log((F.col("h") + 0.5) / F.lit(4294967296.0)) / F.col("n_tokens"),
+                12,
+            )
+            + F.lit(0.0)
         ).alias("es_key"),
     )
     return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(k)
@@ -819,16 +826,16 @@ def dedup_funnel_report(documents: DataFrame, max_doc_id: int = 100) -> DataFram
     the funnel shape is unchanged. All-integer output."""
     from datalake_local_spark.llm import dedup as dd
 
-    docs = documents.filter(F.col("doc_id") < max_doc_id).select(
-        "doc_id", _norm_text(F.col("text")).alias("norm")
-    )
+    docs = documents.filter(F.col("doc_id") < max_doc_id)
     n_in = docs.count()
-    exact_survivors = (
-        docs.groupBy(F.md5("norm").alias("h")).agg(F.min("doc_id").alias("doc_id"))
-    )
-    n_exact = exact_survivors.count()
+    # stage 1 IS the certified exact_dedup operator (md5-fingerprint
+    # groups, min doc_id kept) — not a re-implementation of it
+    exact_groups = dd.exact_dedup(docs)
+    n_exact = exact_groups.count()
     surv_docs = documents.join(
-        exact_survivors.select("doc_id"), "doc_id", "left_semi"
+        exact_groups.select(F.col("keep_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
     )
     pairs = dd.ngram_token_jaccard_pairs(surv_docs, max_doc_id, 0.8).select(
         "doc_a", "doc_b"

@@ -678,9 +678,12 @@ def seasonal_anomaly_days(events: DataFrame, k_sigma: int = 1) -> DataFrame:
     Decision is PURE INTEGER arithmetic — z > k ⇔
     (n_d·x − S1)² > k²·(n_d·S2 − S1²) over exact integer count sums —
     so boundary membership can never drift between engines (the
-    important_stock threshold rule). Weekday key is ISO (Monday = 1:
-    Spark weekday()+1 ≡ DuckDB isodow — the engines' default
-    dayofweek() numberings DISAGREE on Sunday).
+    important_stock threshold rule). The squared terms run in
+    DECIMAL(38,0) (Spark) ≡ HUGEINT (DuckDB): BIGINT squares wrap past
+    S1 ≈ 3·10⁹ summed events per weekday, far below the 100 TB
+    envelope (the widened form is exact through S1 ≈ 10¹⁹). Weekday
+    key is ISO (Monday = 1: Spark weekday()+1 ≡ DuckDB isodow — the
+    engines' default dayofweek() numberings DISAGREE on Sunday).
 
     One day-grain count, one 7-row weekday-moment aggregate broadcast
     back, one map-only integer filter."""
@@ -694,13 +697,14 @@ def seasonal_anomaly_days(events: DataFrame, k_sigma: int = 1) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
     )
     k2 = k_sigma * k_sigma
+    dev = F.col("nd").cast("decimal(38,0)") * F.col("n") - F.col("s1")
+    var_n = (
+        F.col("nd").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    )
     return (
         dw.join(st, "dow")
-        .filter(
-            (F.col("nd") * F.col("n") - F.col("s1"))
-            * (F.col("nd") * F.col("n") - F.col("s1"))
-            > k2 * (F.col("nd") * F.col("s2") - F.col("s1") * F.col("s1"))
-        )
+        .filter(dev * dev > k2 * var_n)
         .select(
             "day",
             "dow",
