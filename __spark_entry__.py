@@ -277,6 +277,7 @@ _CERTIFY_FIRST = [
     "events_seasonal_anomaly",  # NEW r11: weekday-conditioned outliers
     "join_full_outer",  # NEW r11: the missing ANSI join type, reconciled
     "tpch_realized_margin",  # NEW r11: price-realization bps by brand
+    "tpch_order_aging",  # NEW r11: status x age order-book aging
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -309,7 +310,8 @@ _CERTIFY_FIRST = [
     # dedup_lsh_scurve deferred to r12: pure analytic-constants table
     # (no data dependence), exact-green at 3 SFs in SWEEP_r11 — the
     # lowest re-certification risk in the r11 cohort
-    "sim_embedding_dim_profile",  # NEW r11: per-dim embedding QA
+    # sim_embedding_dim_profile deferred to r12 (exact-green at 3 SFs
+    # in SWEEP_r11 wave 6; displaced by late-round additions)
     "events_stickiness",  # NEW r11: DAU/WAU engagement ratio
     "dq_chi_squared",  # NEW r11: chi-squared independence screen
     "dq_completeness_profile",  # NEW r11: per-column completeness/cardinality
@@ -825,6 +827,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_anomaly": lambda s, d: windows.seasonal_anomaly_days(*_t(s, d, "events")),
         "join_full_outer": lambda s, d: joins.full_outer_reconcile(*_t(s, d, "orders", "lineitem")),
         "tpch_realized_margin": lambda s, d: tpch.realized_margin(*_t(s, d, "lineitem", "part")),
+        "tpch_order_aging": lambda s, d: tpch.order_aging(*_t(s, d, "orders")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -5015,6 +5018,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_exact - n_near AS BIGINT),
                    CAST((10000 * (n_exact - n_near)) // n_exact AS BIGINT)
             FROM ns
+        """,
+        "tpch_order_aging": """
+            WITH book_end AS (SELECT max(o_orderdate) AS end_d FROM orders)
+            SELECT o_orderstatus,
+                   CAST((CAST(end_d AS DATE) - CAST(o_orderdate AS DATE))
+                        // 365 AS INTEGER) AS age_years,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS DECIMAL(38,0))) AS BIGINT) AS value_cents
+            FROM orders CROSS JOIN book_end
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "tpch_realized_margin": """
             SELECT p_brand,

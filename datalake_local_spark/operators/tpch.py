@@ -1141,3 +1141,35 @@ def realized_margin(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def order_aging(orders: DataFrame) -> DataFrame:
+    """Order-book aging table: orders bucketed by STATUS × AGE (whole
+    years between order date and the book's latest date) with counts
+    and exact open-value cents — the WIP/receivables aging report
+    every order book answers first ('how much value sits in old open
+    orders?').
+
+    Ages are integer day differences floor-divided into years (pure
+    integer both engines); value is exact DECIMAL cents. One scan +
+    one broadcast 1-row max-date + one (status, age) map-side-combined
+    aggregate."""
+    book_end = orders.agg(F.max("o_orderdate").alias("end_d"))
+    return (
+        orders.crossJoin(F.broadcast(book_end))
+        .select(
+            "o_orderstatus",
+            F.expr("datediff(end_d, o_orderdate) div 365").cast("int").alias(
+                "age_years"
+            ),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)")
+            .alias("cents"),
+        )
+        .groupBy("o_orderstatus", "age_years")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .orderBy("o_orderstatus", "age_years")
+    )

@@ -1524,3 +1524,23 @@ def test_realized_margin_hand_computed(spark):
     b1 = rows["Brand#1"]
     assert (b1["billed_cents"], b1["retail_cents"], b1["realized_bps"]) == (900, 1000, 9000)
     assert rows["Brand#2"]["realized_bps"] == 10000
+
+
+def test_order_aging_hand_computed(spark):
+    """Book end pins to the newest order: a same-day order ages 0, a
+    400-day-old one lands in year bucket 1, a 1094-day-old in bucket 2;
+    value sums in exact cents per (status, bucket)."""
+    orders = spark.createDataFrame(
+        [
+            (1, "O", "2024-01-01", 10.00),
+            (2, "O", "2022-11-28", 20.00),   # 400 days -> bucket 1
+            (3, "F", "2021-01-02", 30.00),   # 1094 days -> bucket 2
+        ],
+        "o_orderkey long, o_orderstatus string, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    rows = {(r["o_orderstatus"], r["age_years"]): r
+            for r in tpch.order_aging(orders).collect()}
+    assert set(rows) == {("O", 0), ("O", 1), ("F", 2)}
+    assert rows[("O", 0)]["value_cents"] == 1000
+    assert rows[("O", 1)]["value_cents"] == 2000
+    assert rows[("F", 2)]["n_orders"] == 1
