@@ -278,6 +278,7 @@ _CERTIFY_FIRST = [
     "join_full_outer",  # NEW r11: the missing ANSI join type, reconciled
     "tpch_realized_margin",  # NEW r11: price-realization bps by brand
     "tpch_order_aging",  # NEW r11: status x age order-book aging
+    "text_quality_by_source",  # NEW r11: source x stopword-band heatmap
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -312,7 +313,8 @@ _CERTIFY_FIRST = [
     # lowest re-certification risk in the r11 cohort
     # sim_embedding_dim_profile deferred to r12 (exact-green at 3 SFs
     # in SWEEP_r11 wave 6; displaced by late-round additions)
-    "events_stickiness",  # NEW r11: DAU/WAU engagement ratio
+    # events_stickiness deferred to r12 (exact-green at 3 SFs in
+    # SWEEP_r11 wave 6; displaced by late-round additions)
     "dq_chi_squared",  # NEW r11: chi-squared independence screen
     "dq_completeness_profile",  # NEW r11: per-column completeness/cardinality
     "tpch_basket_affinity",  # NEW r11: market-basket pair lift
@@ -828,6 +830,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_full_outer": lambda s, d: joins.full_outer_reconcile(*_t(s, d, "orders", "lineitem")),
         "tpch_realized_margin": lambda s, d: tpch.realized_margin(*_t(s, d, "lineitem", "part")),
         "tpch_order_aging": lambda s, d: tpch.order_aging(*_t(s, d, "orders")),
+        "text_quality_by_source": lambda s, d: text.quality_by_source(*_t(s, d, "documents")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -5018,6 +5021,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_exact - n_near AS BIGINT),
                    CAST((10000 * (n_exact - n_near)) // n_exact AS BIGINT)
             FROM ns
+        """,
+        "text_quality_by_source": f"""
+            WITH graded AS (
+                SELECT source,
+                       len(string_split({_NORM}, ' ')) AS n_tokens_c,
+                       len(list_filter(string_split({_NORM}, ' '),
+                           t -> t IN ('the','a','and','of','to','in','is')))
+                           AS n_stop_c,
+                       strlen(regexp_replace({_NORM}, '[^a-z]', '', 'g'))
+                           AS n_alpha_c,
+                       strlen({_NORM}) AS n_chars_c
+                FROM documents
+            )
+            SELECT source,
+                   CAST((10 * n_stop_c) // n_tokens_c AS INTEGER) AS stop_band,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens_c) AS BIGINT) AS total_tokens,
+                   (10000 * CAST(sum(n_alpha_c) AS BIGINT))
+                       // CAST(sum(n_chars_c) AS BIGINT) AS alpha_bps
+            FROM graded GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "tpch_order_aging": """
             WITH book_end AS (SELECT max(o_orderdate) AS end_d FROM orders)

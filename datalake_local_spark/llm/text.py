@@ -1907,3 +1907,47 @@ def phrase_search(
         .drop("rnk")
         .orderBy("phrase", F.col("n_occurrences").desc(), "doc_id")
     )
+
+
+def quality_by_source(documents: DataFrame) -> DataFrame:
+    """Source × quality-band heatmap: every doc lands in a stopword-
+    density band computed in PURE INTEGERS ((10·n_stop) div n_tokens,
+    0–10 — fixed arithmetic bands, never data-derived quantile edges),
+    crossed with its source — the table that tells a mixture builder
+    WHICH source contributes the low-quality tail it is about to
+    up-sample. Per cell: doc count, token mass, and the exact
+    alpha-character share in integer bps.
+
+    One scan, one (source, band)-grain map-side-combined aggregate;
+    the quality expressions are the shared ``_quality_exprs``
+    primitives at integer grain (counts, not the rounded ratios)."""
+    norm = _norm_text(F.col("text"))
+    tokens = F.split(norm, " ")
+    n_tokens = F.size(tokens)
+    stopwords = ["the", "a", "and", "of", "to", "in", "is"]
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(stopwords)))
+    n_alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
+    graded = documents.select(
+        "source",
+        n_tokens.alias("n_tokens_c"),
+        n_stop.alias("n_stop_c"),
+        n_alpha.alias("n_alpha_c"),
+        F.length(norm).alias("n_chars_c"),
+    ).select(
+        "source",
+        F.expr("(10 * n_stop_c) div n_tokens_c").cast("int").alias("stop_band"),
+        "n_tokens_c",
+        "n_alpha_c",
+        "n_chars_c",
+    )
+    return (
+        graded.groupBy("source", "stop_band")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens_c").cast("long").alias("total_tokens"),
+            F.expr("(10000 * sum(n_alpha_c)) div sum(n_chars_c)")
+            .cast("long")
+            .alias("alpha_bps"),
+        )
+        .orderBy("source", "stop_band")
+    )

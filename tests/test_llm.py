@@ -3389,3 +3389,23 @@ def test_dedup_funnel_hand_computed(spark):
     assert s1["removed_bps"] == 2000
     assert s2["docs_in"] == s1["docs_out"]
     assert (s2["docs_out"], s2["removed"], s2["removed_bps"]) == (3, 1, 2500)
+
+
+def test_quality_by_source_integer_bands(spark):
+    """Hand-planted densities: a doc with 5/10 stopword tokens lands in
+    band 5, an all-stopword doc in band 10, a stopword-free doc in
+    band 0; alpha bps is the exact integer share of [a-z] chars."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the a and of to xxxx yyyy zzzz wwww vvvv", "web"),
+            (2, "the a and of", "web"),
+            (3, "zebra quagga", "cc"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["source"], r["stop_band"]): r
+            for r in text.quality_by_source(docs).collect()}
+    assert set(rows) == {("web", 5), ("web", 10), ("cc", 0)}
+    assert rows[("cc", 0)]["n_docs"] == 1
+    # "zebra quagga": 11 alpha of 12 norm chars -> 9166 bps
+    assert rows[("cc", 0)]["alpha_bps"] == 9166
