@@ -279,6 +279,7 @@ _CERTIFY_FIRST = [
     "tpch_realized_margin",  # NEW r11: price-realization bps by brand
     "tpch_order_aging",  # NEW r11: status x age order-book aging
     "text_quality_by_source",  # NEW r11: source x stopword-band heatmap
+    "tpch_return_rates",  # NEW r11: brand return-rate quality screen
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -315,7 +316,8 @@ _CERTIFY_FIRST = [
     # in SWEEP_r11 wave 6; displaced by late-round additions)
     # events_stickiness deferred to r12 (exact-green at 3 SFs in
     # SWEEP_r11 wave 6; displaced by late-round additions)
-    "dq_chi_squared",  # NEW r11: chi-squared independence screen
+    # dq_chi_squared deferred to r12 (exact-green at 3 SFs in
+    # SWEEP_r11 wave 5; displaced by late-round additions)
     "dq_completeness_profile",  # NEW r11: per-column completeness/cardinality
     "tpch_basket_affinity",  # NEW r11: market-basket pair lift
     "dq_ab_ttest",  # red in r10 driver row; exact-green locally at 3 SFs
@@ -831,6 +833,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_realized_margin": lambda s, d: tpch.realized_margin(*_t(s, d, "lineitem", "part")),
         "tpch_order_aging": lambda s, d: tpch.order_aging(*_t(s, d, "orders")),
         "text_quality_by_source": lambda s, d: text.quality_by_source(*_t(s, d, "documents")),
+        "tpch_return_rates": lambda s, d: tpch.return_rates(*_t(s, d, "lineitem", "part")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -5021,6 +5024,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_exact - n_near AS BIGINT),
                    CAST((10000 * (n_exact - n_near)) // n_exact AS BIGINT)
             FROM ns
+        """,
+        "tpch_return_rates": """
+            WITH g AS (
+                SELECT p_brand,
+                       count(*) AS n_lines,
+                       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_returned,
+                       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * 100 AS DECIMAL(38,0))) AS BIGINT)
+                           AS billed_cents,
+                       CAST(sum(CASE WHEN l_returnflag = 'R'
+                                     THEN CAST(CAST(l_extendedprice
+                                               AS DECIMAL(18,2)) * 100
+                                               AS DECIMAL(38,0))
+                                     ELSE 0 END) AS BIGINT) AS returned_cents
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1
+            )
+            SELECT p_brand, n_lines, n_returned,
+                   (10000 * n_returned) // n_lines AS return_rate_bps,
+                   billed_cents, returned_cents,
+                   (10000 * returned_cents) // billed_cents
+                       AS returned_value_bps
+            FROM g ORDER BY 1
         """,
         "text_quality_by_source": f"""
             WITH graded AS (

@@ -1173,3 +1173,43 @@ def order_aging(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderstatus", "age_years")
     )
+
+
+def return_rates(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Return-rate quality screen per brand: share of line items (and
+    of revenue) flagged 'R', in exact integer basis points — the
+    product-quality table that decides which brand gets a supplier
+    review. Counts and cent sums are exact; both rates are integer
+    divisions, so ranking brands by return rate is boundary-stable
+    across engines.
+
+    One partkey-keyed join (AQE broadcasts part at small SF), one
+    brand-grain conditional aggregate."""
+    r_flag = (F.col("l_returnflag") == "R").cast("long")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(38,0)"
+    )
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(r_flag).cast("long").alias("n_returned"),
+            F.sum(cents).cast("long").alias("billed_cents"),
+            F.sum(F.when(F.col("l_returnflag") == "R", cents).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .cast("long")
+            .alias("returned_cents"),
+        )
+        .select(
+            "p_brand",
+            "n_lines",
+            "n_returned",
+            F.expr("(10000 * n_returned) div n_lines").cast("long").alias("return_rate_bps"),
+            "billed_cents",
+            "returned_cents",
+            F.expr("(10000 * returned_cents) div billed_cents")
+            .cast("long")
+            .alias("returned_value_bps"),
+        )
+        .orderBy("p_brand")
+    )

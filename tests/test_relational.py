@@ -1544,3 +1544,21 @@ def test_order_aging_hand_computed(spark):
     assert rows[("O", 0)]["value_cents"] == 1000
     assert rows[("O", 1)]["value_cents"] == 2000
     assert rows[("F", 2)]["n_orders"] == 1
+
+
+def test_return_rates_hand_computed(spark):
+    """Brand#1: one of two lines returned (5000 bps by count) but the
+    returned line carries $30 of $40 billed → 7500 bps by value — the
+    count/value divergence the two-rate design exists to show."""
+    li = spark.createDataFrame(
+        [(1, "R", 30.00), (1, "N", 10.00), (2, "N", 5.00)],
+        "l_partkey long, l_returnflag string, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#1"), (2, "Brand#2")], "p_partkey long, p_brand string"
+    )
+    rows = {r["p_brand"]: r for r in tpch.return_rates(li, part).collect()}
+    b1 = rows["Brand#1"]
+    assert (b1["n_lines"], b1["n_returned"], b1["return_rate_bps"]) == (2, 1, 5000)
+    assert (b1["returned_cents"], b1["returned_value_bps"]) == (3000, 7500)
+    assert rows["Brand#2"]["return_rate_bps"] == 0
