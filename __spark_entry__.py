@@ -280,6 +280,7 @@ _CERTIFY_FIRST = [
     "tpch_order_aging",  # NEW r11: status x age order-book aging
     "text_quality_by_source",  # NEW r11: source x stopword-band heatmap
     "tpch_return_rates",  # NEW r11: brand return-rate quality screen
+    "events_slo_burn",  # NEW r11: integer-exact error-budget burn
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -318,7 +319,8 @@ _CERTIFY_FIRST = [
     # SWEEP_r11 wave 6; displaced by late-round additions)
     # dq_chi_squared deferred to r12 (exact-green at 3 SFs in
     # SWEEP_r11 wave 5; displaced by late-round additions)
-    "dq_completeness_profile",  # NEW r11: per-column completeness/cardinality
+    # dq_completeness_profile deferred to r12 (exact-green at 3 SFs in
+    # SWEEP_r11 wave 5; displaced by late-round additions)
     "tpch_basket_affinity",  # NEW r11: market-basket pair lift
     "dq_ab_ttest",  # red in r10 driver row; exact-green locally at 3 SFs
     "agg_regression_funcs",  # r10 Spark rewrite + r11 exact-HUGEINT oracle
@@ -834,6 +836,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_order_aging": lambda s, d: tpch.order_aging(*_t(s, d, "orders")),
         "text_quality_by_source": lambda s, d: text.quality_by_source(*_t(s, d, "documents")),
         "tpch_return_rates": lambda s, d: tpch.return_rates(*_t(s, d, "lineitem", "part")),
+        "events_slo_burn": lambda s, d: windows.slo_burn_table(*_t(s, d, "events")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -5024,6 +5027,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_exact - n_near AS BIGINT),
                    CAST((10000 * (n_exact - n_near)) // n_exact AS BIGINT)
             FROM ns
+        """,
+        "events_slo_burn": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n_total,
+                       CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                                     ELSE 0 END) AS BIGINT) AS n_errors
+                FROM events GROUP BY 1
+            ),
+            cum AS (
+                SELECT day, n_total, n_errors,
+                       (10000 * n_errors) // n_total AS err_bps,
+                       CAST(sum(n_errors) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_errors,
+                       CAST(sum(n_total) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_total
+                FROM daily
+            )
+            SELECT day, n_total, n_errors, err_bps, cum_errors, cum_total,
+                   (10000 * cum_errors) // cum_total AS cum_err_bps,
+                   CAST((10000 * 10000 * CAST(cum_errors AS HUGEINT))
+                        // (CAST(cum_total AS HUGEINT) * 100) AS BIGINT)
+                       AS budget_burn_bps
+            FROM cum ORDER BY day
         """,
         "tpch_return_rates": """
             WITH g AS (

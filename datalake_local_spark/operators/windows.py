@@ -719,3 +719,50 @@ def seasonal_anomaly_days(events: DataFrame, k_sigma: int = 1) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def slo_burn_table(events: DataFrame, budget_bps: int = 100) -> DataFrame:
+    """SRE error-budget burn table: per day, the error share of all
+    events in exact integer bps, the CUMULATIVE error share since the
+    window start, and the budget-consumed ratio against an SLO budget
+    (default 100 bps = 99% success target) — the error-budget policy
+    table an on-call rotation reads (burn > 10000 bps of budget ⇒ the
+    budget is spent).
+
+    Everything is integer arithmetic over exact counts (daily and
+    cumulative error/total sums; bps and budget ratios via integer
+    division), so alert-boundary membership is engine-stable. The
+    cumulative window runs over the bounded day axis (the calendar-
+    spine exception); daily counts are one map-side-combined
+    aggregate."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.select(
+            "day",
+            "n_total",
+            "n_errors",
+            F.expr("(10000 * n_errors) div n_total").cast("long").alias("err_bps"),
+            F.sum("n_errors").over(w_cum).cast("long").alias("cum_errors"),
+            F.sum("n_total").over(w_cum).cast("long").alias("cum_total"),
+        )
+        .withColumn(
+            "cum_err_bps",
+            F.expr("(10000 * cum_errors) div cum_total").cast("long"),
+        )
+        .withColumn(
+            # DECIMAL(38,0) product: 10⁸·cum_errors wraps BIGINT past
+            # ~9·10¹⁰ cumulative errors — well inside a 100 TB window
+            "budget_burn_bps",
+            F.expr(
+                "(10000 * 10000 * cast(cum_errors as decimal(38,0)))"
+                f" div (cast(cum_total as decimal(38,0)) * {budget_bps})"
+            ).cast("long"),
+        )
+        .orderBy("day")
+    )

@@ -1562,3 +1562,25 @@ def test_return_rates_hand_computed(spark):
     assert (b1["n_lines"], b1["n_returned"], b1["return_rate_bps"]) == (2, 1, 5000)
     assert (b1["returned_cents"], b1["returned_value_bps"]) == (3000, 7500)
     assert rows["Brand#2"]["return_rate_bps"] == 0
+
+
+def test_slo_burn_hand_computed(spark):
+    """Day 1: 1 error in 100 (100 bps — exactly the budget, burn
+    10000 bps); day 2 clean, so the cumulative rate halves and burn
+    drops to 5000 bps of budget."""
+    import datetime
+
+    ev = []
+    for j in range(100):
+        ev.append((j, datetime.datetime(2024, 1, 1, 8, j % 60), 1,
+                   "error" if j == 0 else "view", 1.0, "{}"))
+    for j in range(100):
+        ev.append((100 + j, datetime.datetime(2024, 1, 2, 8, j % 60), 1,
+                   "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    rows = {str(r["day"]): r for r in windows.slo_burn_table(df).collect()}
+    d1, d2 = rows["2024-01-01"], rows["2024-01-02"]
+    assert (d1["err_bps"], d1["budget_burn_bps"]) == (100, 10000)
+    assert (d2["err_bps"], d2["cum_err_bps"], d2["budget_burn_bps"]) == (0, 50, 5000)
