@@ -281,6 +281,7 @@ _CERTIFY_FIRST = [
     "text_quality_by_source",  # NEW r11: source x stopword-band heatmap
     "tpch_return_rates",  # NEW r11: brand return-rate quality screen
     "events_slo_burn",  # NEW r11: integer-exact error-budget burn
+    "events_latency_trend",  # NEW r11: daily p50/p95/p99 series
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -321,7 +322,8 @@ _CERTIFY_FIRST = [
     # SWEEP_r11 wave 5; displaced by late-round additions)
     # dq_completeness_profile deferred to r12 (exact-green at 3 SFs in
     # SWEEP_r11 wave 5; displaced by late-round additions)
-    "tpch_basket_affinity",  # NEW r11: market-basket pair lift
+    # tpch_basket_affinity deferred to r12 (exact-green at 3 SFs in
+    # SWEEP_r11 wave 5; displaced by late-round additions)
     "dq_ab_ttest",  # red in r10 driver row; exact-green locally at 3 SFs
     "agg_regression_funcs",  # r10 Spark rewrite + r11 exact-HUGEINT oracle
     "agg_higher_moments",  # r10 rewrite, green in r10 — confirm stays green
@@ -837,6 +839,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_by_source": lambda s, d: text.quality_by_source(*_t(s, d, "documents")),
         "tpch_return_rates": lambda s, d: tpch.return_rates(*_t(s, d, "lineitem", "part")),
         "events_slo_burn": lambda s, d: windows.slo_burn_table(*_t(s, d, "events")),
+        "events_latency_trend": lambda s, d: windows.latency_percentile_trend(*_t(s, d, "events")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -5027,6 +5030,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_exact - n_near AS BIGINT),
                    CAST((10000 * (n_exact - n_near)) // n_exact AS BIGINT)
             FROM ns
+        """,
+        "events_latency_trend": """
+            WITH rounded AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       round(value, 6) AS v
+                FROM events
+            )
+            SELECT day,
+                   count(*) AS n_events,
+                   round(quantile_cont(v, 0.5), 6) AS p50,
+                   round(quantile_cont(v, 0.95), 6) AS p95,
+                   round(quantile_cont(v, 0.99), 6) AS p99
+            FROM rounded GROUP BY 1 ORDER BY 1
         """,
         "events_slo_burn": """
             WITH daily AS (

@@ -766,3 +766,25 @@ def slo_burn_table(events: DataFrame, budget_bps: int = 100) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def latency_percentile_trend(events: DataFrame) -> DataFrame:
+    """Daily p50/p95/p99 trend of the event value (read it as a latency
+    or spend metric): the SRE/product latency dashboard series. Exact
+    percentiles over 6dp-rounded inputs (the certified
+    F.percentile ≡ quantile_cont convention — rounding the INPUT grid
+    first makes the interpolation arithmetic identical on both
+    engines), one day-grain aggregate."""
+    rounded = events.select(
+        F.to_date("ts").alias("day"), F.round("value", 6).alias("v")
+    )
+    return (
+        rounded.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.percentile(F.col("v"), F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile(F.col("v"), F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile(F.col("v"), F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("day")
+    )

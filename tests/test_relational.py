@@ -1584,3 +1584,19 @@ def test_slo_burn_hand_computed(spark):
     d1, d2 = rows["2024-01-01"], rows["2024-01-02"]
     assert (d1["err_bps"], d1["budget_burn_bps"]) == (100, 10000)
     assert (d2["err_bps"], d2["cum_err_bps"], d2["budget_burn_bps"]) == (0, 50, 5000)
+
+
+def test_latency_percentile_trend_hand_computed(spark):
+    """Five values 1..5 on one day: p50 = 3 exactly; p95 interpolates
+    to 4.8 (the certified percentile-pair arithmetic)."""
+    import datetime
+
+    ev = spark.createDataFrame(
+        [(j, datetime.datetime(2024, 1, 1, 8, j), 1, "view", float(j + 1), "{}")
+         for j in range(5)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = windows.latency_percentile_trend(ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_events"], r["p50"], r["p95"]) == (5, 3.0, 4.8)
