@@ -5099,9 +5099,9 @@ def oracle_sql() -> dict[str, str]:
                        len(list_filter(string_split({_NORM}, ' '),
                            t -> t IN ('the','a','and','of','to','in','is')))
                            AS n_stop_c,
-                       strlen(regexp_replace({_NORM}, '[^a-z]', '', 'g'))
+                       length(regexp_replace({_NORM}, '[^a-z]', '', 'g'))
                            AS n_alpha_c,
-                       strlen({_NORM}) AS n_chars_c
+                       length({_NORM}) AS n_chars_c
                 FROM documents
             )
             SELECT source,

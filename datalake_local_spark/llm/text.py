@@ -46,22 +46,38 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+_QUALITY_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+
+
+def _quality_counts() -> dict:
+    """Integer-grain quality primitives over the ``text`` column —
+    the ONE home of the stopword list and count expressions, consumed
+    by the ratio view (_quality_exprs) and the integer-band view
+    (quality_by_source)."""
+    norm = _norm_text(F.col("text"))
+    tokens = F.split(norm, " ")
+    return {
+        "n_chars": F.length(norm),
+        "n_tokens": F.size(tokens),
+        "n_stop": F.size(
+            F.filter(tokens, lambda t: t.isin(_QUALITY_STOPWORDS))
+        ),
+        "n_alpha": F.length(F.regexp_replace(norm, r"[^a-z]", "")),
+    }
+
+
 def _quality_exprs() -> dict:
     """Ordered name → Column dict of the quality heuristics over the
     ``text`` column — shared by ``quality_scores`` and the fused
     ``corpus_qa_report`` projection."""
-    norm = _norm_text(F.col("text"))
-    tokens = F.split(norm, " ")
-    n_tokens = F.size(tokens)
-    stopwords = ["the", "a", "and", "of", "to", "in", "is"]
-    n_stop = F.size(F.filter(tokens, lambda t: t.isin(stopwords)))
-    n_alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
+    c = _quality_counts()
+    n_chars, n_tokens = c["n_chars"], c["n_tokens"]
     return {
-        "n_chars_norm": F.length(norm),
+        "n_chars_norm": n_chars,
         "n_tokens": n_tokens,
-        "mean_token_len": F.round((F.length(norm) - n_tokens + 1) / n_tokens, 6),
-        "stopword_ratio": F.round(n_stop / n_tokens, 6),
-        "alpha_ratio": F.round(n_alpha / F.length(norm), 6),
+        "mean_token_len": F.round((n_chars - n_tokens + 1) / n_tokens, 6),
+        "stopword_ratio": F.round(c["n_stop"] / n_tokens, 6),
+        "alpha_ratio": F.round(c["n_alpha"] / n_chars, 6),
     }
 
 
@@ -1919,20 +1935,16 @@ def quality_by_source(documents: DataFrame) -> DataFrame:
     alpha-character share in integer bps.
 
     One scan, one (source, band)-grain map-side-combined aggregate;
-    the quality expressions are the shared ``_quality_exprs``
-    primitives at integer grain (counts, not the rounded ratios)."""
-    norm = _norm_text(F.col("text"))
-    tokens = F.split(norm, " ")
-    n_tokens = F.size(tokens)
-    stopwords = ["the", "a", "and", "of", "to", "in", "is"]
-    n_stop = F.size(F.filter(tokens, lambda t: t.isin(stopwords)))
-    n_alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
+    the count expressions come from the shared ``_quality_counts``
+    primitives (one home for the stopword list), at integer grain
+    rather than the rounded ratios."""
+    c = _quality_counts()
     graded = documents.select(
         "source",
-        n_tokens.alias("n_tokens_c"),
-        n_stop.alias("n_stop_c"),
-        n_alpha.alias("n_alpha_c"),
-        F.length(norm).alias("n_chars_c"),
+        c["n_tokens"].alias("n_tokens_c"),
+        c["n_stop"].alias("n_stop_c"),
+        c["n_alpha"].alias("n_alpha_c"),
+        c["n_chars"].alias("n_chars_c"),
     ).select(
         "source",
         F.expr("(10 * n_stop_c) div n_tokens_c").cast("int").alias("stop_band"),

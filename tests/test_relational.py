@@ -1528,12 +1528,12 @@ def test_realized_margin_hand_computed(spark):
 
 def test_order_aging_hand_computed(spark):
     """Book end pins to the newest order: a same-day order ages 0, a
-    400-day-old one lands in year bucket 1, a 1094-day-old in bucket 2;
+    399-day-old one lands in year bucket 1, a 1094-day-old in bucket 2;
     value sums in exact cents per (status, bucket)."""
     orders = spark.createDataFrame(
         [
             (1, "O", "2024-01-01", 10.00),
-            (2, "O", "2022-11-28", 20.00),   # 400 days -> bucket 1
+            (2, "O", "2022-11-28", 20.00),   # 399 days -> bucket 1
             (3, "F", "2021-01-02", 30.00),   # 1094 days -> bucket 2
         ],
         "o_orderkey long, o_orderstatus string, o_orderdate string, o_totalprice double",
