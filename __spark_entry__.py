@@ -282,6 +282,7 @@ _CERTIFY_FIRST = [
     "tpch_return_rates",  # NEW r11: brand return-rate quality screen
     "events_slo_burn",  # NEW r11: integer-exact error-budget burn
     "events_latency_trend",  # NEW r11: daily p50/p95/p99 series
+    "pipeline_leakage_split",  # NEW r11: cluster-keyed contamination-safe split
     "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
     "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
     "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
@@ -303,7 +304,9 @@ _CERTIFY_FIRST = [
     # dedup_graph_quality (same code path)
     # dedup_graph_quality deferred to r12 alongside dedup_cluster_sizes:
     # the r11 fast-path change is certified via dedup_components
-    "dedup_jaccard_prefix",  # NEW r11: AllPairs/PPJoin prefix-filtered join
+    # dedup_jaccard_prefix deferred to r12 (exact-green at 3 SFs in
+    # SWEEP_r11 wave 11; same Jaccard semantics also certified via
+    # dedup_cluster_purity/pipeline_dedup_funnel in-window)
     "events_attribution",  # NEW r11: first/last-touch revenue attribution
     "graph_triangles",  # NEW r11: degree-ordered triangle count + clustering
     "dedup_entity_fuzzy",  # NEW r11: blocked levenshtein entity resolution
@@ -840,6 +843,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_return_rates": lambda s, d: tpch.return_rates(*_t(s, d, "lineitem", "part")),
         "events_slo_burn": lambda s, d: windows.slo_burn_table(*_t(s, d, "events")),
         "events_latency_trend": lambda s, d: windows.latency_percentile_trend(*_t(s, d, "events")),
+        "pipeline_leakage_split": lambda s, d: llm_pipeline.leakage_safe_split(*_t(s, d, "documents")),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
@@ -1058,6 +1062,68 @@ def _zorder_oracle_sql() -> str:
                CAST((max(o_custkey) - min(o_custkey) + 1)
                     * (max(dday) - min(dday) + 1) AS BIGINT) AS envelope_area
         FROM keyed GROUP BY 1 ORDER BY 1
+    """
+
+
+def _leakage_split_oracle_sql() -> str:
+    """DuckDB twin of pipeline.leakage_safe_split: recursive-CTE
+    components, then the SAME md5-interval CASE chain keyed on the
+    component id, with hex boundaries computed by the one shared
+    Python helper (mixture_threshold_hex's arithmetic)."""
+    b_train = format(min(int(0.90 * (1 << 32)), (1 << 32) - 1), "08x")
+    b_val = format(min(int(0.95 * (1 << 32)), (1 << 32) - 1), "08x")
+    return f"""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id, {_NORM} AS norm
+            FROM documents WHERE doc_id < 100
+        ),
+        toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token
+            FROM docs
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM toks a JOIN toks b
+              ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(CAST(n_common AS DOUBLE)
+                        / (sa.n + sb.n - n_common), 6) >= 0.8
+        ),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+            SELECT doc_id AS node, doc_id AS reached FROM docs
+            UNION
+            SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+        ),
+        comp AS (SELECT node AS doc_id, min(reached) AS component_id
+                 FROM reach GROUP BY 1),
+        assigned AS (
+            SELECT doc_id, component_id,
+                   CASE WHEN substr(md5(concat_ws(':', component_id, 'split')),
+                                    1, 8) < '{b_train}' THEN 'train'
+                        WHEN substr(md5(concat_ws(':', component_id, 'split')),
+                                    1, 8) < '{b_val}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM comp
+        ),
+        viol AS (
+            SELECT CAST(count(*) AS BIGINT) AS cluster_split_violations
+            FROM (SELECT component_id FROM assigned
+                  GROUP BY 1 HAVING count(DISTINCT split) > 1)
+        )
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT component_id) AS BIGINT) AS n_clusters,
+               cluster_split_violations
+        FROM assigned CROSS JOIN viol
+        GROUP BY 1, 4 ORDER BY 1
     """
 
 
@@ -4969,6 +5035,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
         "dedup_shingle_sweep": _shingle_sweep_oracle_sql(),
+        "pipeline_leakage_split": _leakage_split_oracle_sql(),
         "pipeline_dedup_funnel": f"""
             WITH RECURSIVE docs AS (
                 SELECT doc_id, {_NORM} AS norm

@@ -440,15 +440,17 @@ def train_eval_split(
     )
 
 
-def split_assign_expr(fractions: dict[str, float]):
-    """Column assigning each doc_id a split name by md5-interval: the
-    first 8 hex chars of md5(doc_id || ':split') are uniform over the
+def split_assign_expr(fractions: dict[str, float], key_col: str = "doc_id"):
+    """Column assigning each ``key_col`` a split name by md5-interval:
+    the first 8 hex chars of md5(key || ':split') are uniform over the
     32-bit hex grid; cumulative-fraction boundaries partition it via
     LEXICOGRAPHIC lowercase-hex compare (== numeric compare — the same
     portable trick as ``mixture_threshold_hex``, so the oracle is the
     identical CASE chain). Order of ``fractions`` is the assignment
-    order; remainder mass goes to the last split."""
-    h = F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("split"))), 1, 8)
+    order; remainder mass goes to the last split. ``key_col`` defaults
+    to the document id; leakage_safe_split keys on the dup-cluster
+    representative instead."""
+    h = F.substring(F.md5(F.concat_ws(":", F.col(key_col), F.lit("split"))), 1, 8)
     names = list(fractions)
     expr = None
     cum = 0.0
@@ -855,4 +857,56 @@ def dedup_funnel_report(documents: DataFrame, max_doc_id: int = 100) -> DataFram
             for s, i, o in rows
         ],
         "stage string, docs_in long, docs_out long, removed long, removed_bps long",
+    )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    max_doc_id: int = 100,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split key is the
+    NEAR-DUP CLUSTER's canonical representative, not the document —
+    so a near-duplicate of a training document can never land in the
+    test set (the contamination rule plain per-doc hashing violates;
+    cf. the dedup-before-split discipline in every LLM data paper).
+
+    Composes the certified primitives: duplicate_components for the
+    cluster ids, ``split_assign_expr(key_col='component_id')`` for the
+    deterministic md5-interval assignment. The audit output carries a
+    structural-zero ``cluster_split_violations`` column (clusters
+    whose members straddle splits — 0 by construction since the key
+    IS the cluster) so the certification proves the property, not
+    just the counts. Bounded to the harness doc slice like every
+    exact-Jaccard consumer; at scale the pair feed is the banded
+    index."""
+    from datalake_local_spark.llm import dedup as dd
+
+    fractions = (
+        fractions
+        if fractions is not None
+        else {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    comps = dd.duplicate_components(documents, max_doc_id=max_doc_id).select(
+        "doc_id", "component_id"
+    )
+    assigned = comps.select(
+        "doc_id",
+        "component_id",
+        split_assign_expr(fractions, key_col="component_id").alias("split"),
+    )
+    violations = (
+        assigned.groupBy("component_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count("*").cast("long").alias("cluster_split_violations"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("component_id").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(violations))
+        .orderBy("split")
     )

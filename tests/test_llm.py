@@ -3409,3 +3409,23 @@ def test_quality_by_source_integer_bands(spark):
     assert rows[("cc", 0)]["n_docs"] == 1
     # "zebra quagga": 11 alpha of 12 norm chars -> 9166 bps
     assert rows[("cc", 0)]["alpha_bps"] == 9166
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """An exact-dup triple must land in ONE split (keyed on the cluster
+    rep, not the doc — per-doc hashing would scatter it with high
+    probability across many clusters); violations are structurally 0
+    and doc counts close the balance."""
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    t = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(i, t, "web") for i in range(3)]
+        + [(10 + i, f"unique text number {i} with filler words", "web")
+           for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    rows = llm_pipeline.leakage_safe_split(docs).collect()
+    assert all(r["cluster_split_violations"] == 0 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == 23
+    assert sum(r["n_clusters"] for r in rows) == 21  # triple = 1 cluster
