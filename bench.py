@@ -117,6 +117,14 @@ BENCH_QUERIES = [
     "lake_zorder_layout",
     "events_survival_km",
     "dedup_cosine_sweep",
+    # round-11 late waves: component-loop compositions (funnel,
+    # leakage split), the sync-LPA fixpoint, the 3-pass shingle sweep,
+    # and the cheap SLO table as a floor marker
+    "pipeline_dedup_funnel",
+    "pipeline_leakage_split",
+    "graph_lpa_communities",
+    "dedup_shingle_sweep",
+    "events_slo_burn",
 ]
 
 
