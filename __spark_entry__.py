@@ -834,7 +834,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_path_trigrams": lambda s, d: funnel.path_trigrams(*_t(s, d, "events")),
         "events_session_depth": lambda s, d: event_windows.session_depth_profile(*_t(s, d, "events")),
         "dedup_shingle_sweep": lambda s, d: dedup.shingle_width_sweep(*_t(s, d, "documents")),
-        "pipeline_dedup_funnel": lambda s, d: llm_pipeline.dedup_funnel_report(*_t(s, d, "documents")),
+        "pipeline_dedup_funnel": lambda s, d: llm_pipeline.dedup_funnel_report(
+            *_t(s, d, "documents"), local_threshold=20_000
+        ),
         "events_seasonal_anomaly": lambda s, d: windows.seasonal_anomaly_days(*_t(s, d, "events")),
         "join_full_outer": lambda s, d: joins.full_outer_reconcile(*_t(s, d, "orders", "lineitem")),
         "tpch_realized_margin": lambda s, d: tpch.realized_margin(*_t(s, d, "lineitem", "part")),
@@ -843,7 +845,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_return_rates": lambda s, d: tpch.return_rates(*_t(s, d, "lineitem", "part")),
         "events_slo_burn": lambda s, d: windows.slo_burn_table(*_t(s, d, "events")),
         "events_latency_trend": lambda s, d: windows.latency_percentile_trend(*_t(s, d, "events")),
-        "pipeline_leakage_split": lambda s, d: llm_pipeline.leakage_safe_split(*_t(s, d, "documents")),
+        "pipeline_leakage_split": lambda s, d: llm_pipeline.leakage_safe_split(
+            *_t(s, d, "documents"), local_threshold=20_000
+        ),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
