@@ -829,7 +829,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_asof_snapshot": _q_scd2_asof,
         # rows-only (iterative mode-vote fixpoint — not SQL-expressible):
         # sync-LPA with total-order tie-break; pure-python replay test
-        "graph_lpa_communities": lambda s, d: dedup.lpa_communities(*_t(s, d, "documents")),
+        "graph_lpa_communities": lambda s, d: dedup.lpa_communities(
+            *_t(s, d, "documents"), local_threshold=20_000
+        ),
         "tpch_lead_time": lambda s, d: tpch.fulfillment_lead_time(*_t(s, d, "lineitem", "orders")),
         "events_path_trigrams": lambda s, d: funnel.path_trigrams(*_t(s, d, "events")),
         "events_session_depth": lambda s, d: event_windows.session_depth_profile(*_t(s, d, "events")),

@@ -2588,6 +2588,7 @@ def lpa_communities(
     documents: DataFrame,
     pairs: DataFrame | None = None,
     max_iterations: int = 10,
+    local_threshold: int = 0,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan,
     Albert & Kumara 2007) over the near-duplicate graph — where
@@ -2610,6 +2611,13 @@ def lpa_communities(
     test.
 
     Output: one row per community — label, n_members, min/max member.
+
+    ``local_threshold``: when the (bidirectional) edge list is smaller
+    than this, run the IDENTICAL synchronous rounds driver-side over
+    the collected edges (the kcore/components opt-in discipline —
+    same update rule, same tie-break, so labels match the distributed
+    loop exactly; pinned by the parity test); 0 keeps the distributed
+    fixpoint.
     """
     import math
 
@@ -2624,6 +2632,35 @@ def lpa_communities(
 
     labels = None
     try:
+        if local_threshold:
+            edge_rows = edges.limit(local_threshold).collect()
+            if len(edge_rows) < local_threshold:
+                adj: dict = {}
+                for r in edge_rows:
+                    adj.setdefault(r["src"], []).append(r["dst"])
+                lab = {n: n for n in adj}
+                for _ in range(max_iterations):
+                    new = {}
+                    for n in adj:
+                        counts: dict = {}
+                        for m in adj[n]:
+                            counts[lab[m]] = counts.get(lab[m], 0) + 1
+                        new[n] = sorted(
+                            counts.items(), key=lambda kv: (-kv[1], kv[0])
+                        )[0][0]
+                    if new == lab:
+                        break
+                    lab = new
+                comm: dict = {}
+                for n, c in lab.items():
+                    comm.setdefault(c, []).append(n)
+                spark = edges.sparkSession
+                return spark.createDataFrame(
+                    sorted(
+                        (c, len(m), min(m), max(m)) for c, m in comm.items()
+                    ),
+                    "community_id long, n_members long, min_member long, max_member long",
+                )
         # per-iteration frames sized by the EDGE count, exactly like
         # duplicate_components — a hardcoded tiny coalesce would
         # serialize the loop under an at-scale LSH pair feed

@@ -3429,3 +3429,17 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
     assert all(r["cluster_split_violations"] == 0 for r in rows)
     assert sum(r["n_docs"] for r in rows) == 23
     assert sum(r["n_clusters"] for r in rows) == 21  # triple = 1 cluster
+
+
+def test_lpa_local_matches_distributed(spark):
+    """The opt-in driver-local sync replay must produce byte-identical
+    community rows to the distributed fixpoint on a planted mix of
+    cliques, a bridge, and a path."""
+    edges = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12),
+             (3, 10), (20, 21), (21, 22)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    dist = sorted(tuple(r) for r in dedup.lpa_communities(docs, pairs=pairs).collect())
+    loc = sorted(tuple(r) for r in
+                 dedup.lpa_communities(docs, pairs=pairs, local_threshold=10_000).collect())
+    assert dist == loc and len(dist) >= 2
