@@ -3438,10 +3438,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT event_type, n,
-                   round(dty / dtt * 3600.0 / 100.0, 6) + 0.0 AS slope_per_hour,
+                   CASE WHEN dtt > 0
+                        THEN round(dty / dtt * 3600.0 / 100.0, 6) + 0.0
+                        END AS slope_per_hour,
                    CAST((2 * sc * 100 + n) // (2 * n) AS DOUBLE) / 10000.0
                        AS mean_value,
-                   round(dty * dty / (dtt * dcc), 6) AS r2
+                   CASE WHEN dtt > 0 AND dcc > 0
+                        THEN round(dty * dty / (dtt * dcc), 6)
+                        END AS r2
             FROM m
         """,
         "agg_regression_funcs": """
@@ -5403,9 +5407,15 @@ def oracle_sql() -> dict[str, str]:
             ),
             canon AS (
                 SELECT lower(regexp_extract(u1, '^([A-Za-z]+)://', 1)) || '://'
-                       || regexp_replace(
+                       || CASE lower(regexp_extract(u1, '^([A-Za-z]+)://', 1))
+                          WHEN 'http' THEN regexp_replace(
                               lower(regexp_extract(u1, '^[A-Za-z]+://([^/?#]+)', 1)),
-                              ':(443|80)$', '')
+                              ':80$', '')
+                          WHEN 'https' THEN regexp_replace(
+                              lower(regexp_extract(u1, '^[A-Za-z]+://([^/?#]+)', 1)),
+                              ':443$', '')
+                          ELSE lower(regexp_extract(u1, '^[A-Za-z]+://([^/?#]+)', 1))
+                          END
                        || regexp_replace(
                               regexp_extract(u1, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
                               '/+$', '')

@@ -1647,13 +1647,15 @@ def pagerank_dup_graph(
         # local peel and components union-find): below the threshold
         # the edge list is driver-bounded by construction and the
         # distributed loop's cost is ~2 scheduler jobs per round on
-        # micro-data. Identical update rule and stopping rule (delta
-        # checked every round — never overshoots, so it lands at least
-        # as converged as the every-third-round distributed cadence);
-        # rank values may differ from the shuffle-order float sums in
-        # the last ulp, inside the registered query's 6dp rounding and
-        # the parity test's 2e-6 band. The ≥ threshold path keeps the
-        # shuffle-partitioned loop — the 100 TB story is unchanged.
+        # micro-data. Identical update rule AND identical stopping
+        # CADENCE (delta measured every third round until last_delta
+        # < 10·tol, exactly like the distributed loop below) — both
+        # paths therefore run the same number of power iterations, so
+        # the only divergence left is shuffle-order float summation,
+        # bounded by the last ulp — inside the registered query's 6dp
+        # rounding and the parity test's 2e-6 band. The ≥ threshold
+        # path keeps the shuffle-partitioned loop — the 100 TB story
+        # is unchanged.
         adj: dict = {}
         outdeg: dict = {}
         for r in edges.collect():  # bounded: < local_threshold nodes
@@ -1661,14 +1663,20 @@ def pagerank_dup_graph(
             outdeg[r["src"]] = outdeg.get(r["src"], 0) + 1
         ids = sorted({*outdeg, *adj})
         rank = {u: 1.0 / n_nodes for u in ids}
-        for _ in range(iterations):
+        loc_last: float | None = None
+        for i in range(iterations):
             new = {}
             for u in ids:
                 in_mass = sum(rank[v] / outdeg[v] for v in adj.get(u, ()))
                 new[u] = (1.0 - damping) / n_nodes + damping * in_mass
-            delta = sum(abs(new[u] - rank[u]) for u in ids)
+            near = loc_last is not None and loc_last < 10 * tol
+            if i % 3 == 2 or near or i == iterations - 1:
+                delta = sum(abs(new[u] - rank[u]) for u in ids)
+                loc_last = delta
+            else:
+                delta = None
             rank = new
-            if delta < tol:
+            if delta is not None and delta < tol:
                 break
         rows = sorted(
             ((int(u), round(rank[u], 6)) for u in ids), key=lambda t: (-t[1], t[0])
@@ -2265,11 +2273,32 @@ def fuzzy_entity_pairs(
     ATTRIBUTE-VALUE grain, not the row grain. The distinct-name
     relation grows with the vocabulary (sublinearly, Heaps' law), not
     the table, so the quadratic Levenshtein stage is a self-join of a
-    small relation — blocked on the first character to cut the pair
-    space ~|blocks|-fold — and row counts come from one map-side
-    combined groupBy of the full table that joins back by name (a
-    broadcast at vocabulary scale). Levenshtein itself is
-    JVM-evaluated (``F.levenshtein``), no Python in the loop.
+    small relation, and row counts come from one map-side combined
+    groupBy of the full table that joins back by name (a broadcast at
+    vocabulary scale). Levenshtein itself is JVM-evaluated
+    (``F.levenshtein``), no Python in the loop.
+
+    Blocking (r12, closes the r11 ``weak``): the join key is
+    (first character, length band) with band width ``max_dist + 1``.
+    Since edit distance ≥ |len(a) − len(b)|, any pair within
+    ``max_dist`` lands in the same or adjacent band, so the probe side
+    emits its band ± 1 (an exact 3× fanout, keeping the join an
+    EQUI-join — no theta residual scan) and a cheap
+    ``abs(length(a) − length(b)) <= max_dist`` filter runs BEFORE the
+    Levenshtein kernel. Both filters are lossless for the
+    ``dist <= max_dist`` output, so results are hash-identical to the
+    unblocked-length oracle; the win is the hot-block shape — a skewed
+    first-letter distribution (10⁷ names starting with 's') is now
+    quadratic only within a length band, not the whole letter block,
+    and the O(len²) DP runs only on length-compatible survivors.
+
+    Recall tradeoff (inherent to first-char blocking, documented per
+    Christen 2012 §4.2): a FIRST-position typo moves the name to a
+    different letter block and the pair is never generated — the
+    standard fix is a second pass blocked on a different key (e.g.
+    last character or a phonetic code), unioned; the oracle blocks on
+    the same first-char key, so both engines share the missed-pair
+    class by construction.
 
     Determinism: output is integers and strings only (edit distance,
     row counts) — no float rounding surface. Oracle: DuckDB
@@ -2283,15 +2312,31 @@ def fuzzy_entity_pairs(
             part.groupBy(F.col("p_name").alias("name"))
             .agg(F.count("*").cast("long").alias("n_rows"))
         )
+    band_w = max_dist + 1
     blocked = names.select(
-        F.substring("name", 1, 1).alias("blk"), "name", "n_rows"
+        F.substring("name", 1, 1).alias("blk"),
+        (F.length("name") / F.lit(band_w)).cast("long").alias("band"),
+        F.length("name").alias("nlen"),
+        "name",
+        "n_rows",
     )
     a = blocked.alias("a")
-    b = blocked.alias("b")
+    # probe side fans out to band−1, band, band+1 so every
+    # |Δlen| <= max_dist pair meets on exactly one equi-key
+    b = blocked.withColumn(
+        "band", F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))
+    ).alias("b")
     return (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.name") < F.col("b.name"))
+            # length pre-filter: dist >= |len difference|, so this is
+            # lossless for dist <= max_dist and prunes before the DP
+            & (
+                F.abs(F.col("a.nlen") - F.col("b.nlen")) <= F.lit(max_dist)
+            ),
         )
         .select(
             F.col("a.name").alias("name_a"),
@@ -2335,7 +2380,19 @@ def jaccard_prefix_filter_pairs(
     verified, never the verified value; ties in the canonical order
     (equal df) break by token string. Jaccard rounds at 6dp like the
     naive verifier (denominators ≤ vocab size make exact 6dp halves
-    impossible for |A∪B| < 128·5^a, documented there)."""
+    impossible for |A∪B| < 128·5^a, documented there).
+
+    Boundary exactness: the threshold is carried as a RATIONAL
+    num/den (Fraction of the float argument), so the prefix bound
+    ``rnk <= n - ceil(num*n/den) + 1`` and the length filter
+    ``num*|B| <= den*|A|`` are pure BIGINT arithmetic — no float
+    product can round up past an exact boundary (0.7*90 →
+    63.000000000000007 → ceil 64 would shorten the prefix by one and
+    silently drop J == t pairs vs the all-pairs oracle)."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
     docs = documents.filter(F.col("doc_id") < max_doc_id)
     toks = docs.select(
         "doc_id",
@@ -2353,9 +2410,12 @@ def jaccard_prefix_filter_pairs(
         .withColumn("rnk", F.row_number().over(w))
         .join(sizes, "doc_id")
     )
-    # prefix length |d| − ⌈t·|d|⌉ + 1 (Bayardo et al. eq. 1)
+    # prefix length |d| − ⌈t·|d|⌉ + 1 (Bayardo et al. eq. 1), with
+    # ⌈num·n/den⌉ = (num·n + den − 1) div den in exact BIGINT
+    ceil_tn = (F.col("n_tokens") * F.lit(num) + F.lit(den - 1)) / F.lit(den)
     prefix = ranked.filter(
-        F.col("rnk") <= F.col("n_tokens") - F.ceil(F.lit(threshold) * F.col("n_tokens")) + 1
+        F.col("rnk")
+        <= F.col("n_tokens") - F.floor(ceil_tn).cast("long") + 1
     ).select("doc_id", "token", "n_tokens")
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -2364,9 +2424,11 @@ def jaccard_prefix_filter_pairs(
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: t·|A| ≤ |B| and t·|B| ≤ |A|
-            & (F.col("b.n_tokens") * F.lit(threshold) <= F.col("a.n_tokens"))
-            & (F.col("a.n_tokens") * F.lit(threshold) <= F.col("b.n_tokens")),
+            # length filter t·|A| ≤ |B| ∧ t·|B| ≤ |A| by BIGINT
+            # cross-multiplication (num·|B| ≤ den·|A|) — exact at the
+            # boundary for any rational threshold
+            & (F.col("b.n_tokens") * F.lit(num) <= F.col("a.n_tokens") * F.lit(den))
+            & (F.col("a.n_tokens") * F.lit(num) <= F.col("b.n_tokens") * F.lit(den)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

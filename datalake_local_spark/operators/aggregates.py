@@ -360,18 +360,25 @@ def trend_regression(events: DataFrame) -> DataFrame:
         (nd * F.col("stt") - F.col("st") * F.col("st")).cast("double").alias("dtt"),
         (nd * F.col("scc") - scd * scd).cast("double").alias("dcc"),
     )
+    # degenerate-group guards (r12, ADVICE): a single-event group or a
+    # constant-time series has dtt == 0 (and a constant-value one
+    # dcc == 0) — 0/0 is NaN on Spark but configuration-dependent in
+    # DuckDB, and the regr_* builtins this rewrite replaced returned
+    # NULL there; F.when with no otherwise restores explicit NULL.
     return m.select(
         "event_type",
         "n",
-        (
-            F.round(F.col("dty") / F.col("dtt") * 3600.0 / 100.0, 6) + F.lit(0.0)
+        F.when(
+            F.col("dtt") > 0,
+            F.round(F.col("dty") / F.col("dtt") * 3600.0 / 100.0, 6) + F.lit(0.0),
         ).alias("slope_per_hour"),
         (
             F.expr("(2 * sc * 100 + n) div (2 * n)").cast("double") / F.lit(10000.0)
         ).alias("mean_value"),
-        F.round(F.col("dty") * F.col("dty") / (F.col("dtt") * F.col("dcc")), 6).alias(
-            "r2"
-        ),
+        F.when(
+            (F.col("dtt") > 0) & (F.col("dcc") > 0),
+            F.round(F.col("dty") * F.col("dty") / (F.col("dtt") * F.col("dcc")), 6),
+        ).alias("r2"),
     )
 
 

@@ -336,17 +336,21 @@ def canonicalize_url(u):  # noqa: ANN001 - Column in, Column out
     """Full URL canonicalization — the normalization a web-crawl dedup
     runs BEFORE exact URL dedup (beyond the utm-strip of
     url_functions_orders): drop the fragment, case-fold scheme and
-    host, strip default ports (:80/:443), strip trailing path slashes,
+    host, strip DEFAULT ports scheme-aware (:80 only under http, :443
+    only under https — http://host:443/x is a DISTINCT resource from
+    http://host/x and must not collapse), strip trailing path slashes,
     drop utm_* tracking params, and SORT the surviving query params so
     permuted querystrings collapse. Pure Catalyst (regexp + split +
-    array_sort + higher-order filter), portable verbatim to the DuckDB
-    oracle — no parse_url (no DuckDB twin), no UDF."""
+    array_sort + higher-order filter + CASE on the scheme), portable
+    verbatim to the DuckDB oracle — no parse_url (no DuckDB twin), no
+    UDF."""
     u1 = F.regexp_replace(u, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u1, r"^([A-Za-z]+)://", 1))
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(u1, r"^[A-Za-z]+://([^/?#]+)", 1)),
-        r":(443|80)$",
-        "",
+    host_raw = F.lower(F.regexp_extract(u1, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == F.lit("http"), F.regexp_replace(host_raw, r":80$", ""))
+        .when(scheme == F.lit("https"), F.regexp_replace(host_raw, r":443$", ""))
+        .otherwise(host_raw)
     )
     path = F.regexp_replace(
         F.regexp_extract(u1, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/+$", ""

@@ -811,8 +811,25 @@ def run_streaming_anomaly(
 
     def update(key, pdfs, state: GroupState):
         import math
+        from decimal import ROUND_HALF_UP, Decimal
 
         import pandas as pd
+
+        _Q6 = Decimal("0.000001")
+
+        def _cents(v: float) -> int:
+            # mirror the batch twin's quantization EXACTLY
+            # (windows.py rolling_zscore_anomalies:427-433):
+            # double → decimal(18,6) is Spark's HALF_UP round of the
+            # shortest round-trip decimal repr (Scala BigDecimal(d) ≙
+            # Python repr(v)); × 100 is exact at scale 6; decimal →
+            # long truncates toward zero (Decimal.toLong ≙ int()).
+            # int(round(v*100)) — Python banker's rounding on the
+            # float product — disagreed off the cent grid (x.005), so
+            # the exact constant-baseline decision could split between
+            # the streaming and batch paths.
+            d = Decimal(repr(v)).quantize(_Q6, rounding=ROUND_HALF_UP)
+            return int(d * 100)
 
         n, s1, s2, s1c, s2c = state.get if state.exists else (0, 0.0, 0.0, 0, 0)
         flagged = {"user_id": [], "event_id": [], "value": [], "base_mean": [], "z": []}
@@ -829,7 +846,7 @@ def run_streaming_anomaly(
                 # cast: the constant-baseline decision must never ride
                 # on a float round-trip (1-ulp drift in s1/n flagged a
                 # perfectly constant series as an infinite-z anomaly)
-                c = int(round(v * 100))
+                c = _cents(v)
                 if n >= min_prior:
                     mean = s1 / n
                     var = (s2 - n * mean * mean) / (n - 1)
