@@ -262,107 +262,75 @@ def _q_cube_request(spark, sf):
 # inserted at the head as they land, displacing the newest r3 names
 # (tail comment tracks what rotates to round 9).
 _CERTIFY_FIRST = [
-    # round-11 head: every query whose code OR oracle changed this round
-    # (r10 verdict #1: rewritten queries must be driver-re-certified)
-    "pipeline_weighted_reservoir",  # NEW r11: Efraimidis-Spirakis WOR top-k
-    "dedup_url_canonical",  # NEW r11: full URL canonicalization congruence
-    "scd2_asof_snapshot",  # NEW r11: point-in-time SCD2 reconstruction
-    "tpch_lead_time",  # NEW r11: order-fulfillment SLA percentiles
-    "graph_lpa_communities",  # NEW r11 rows-only: sync LPA communities
-    "events_path_trigrams",  # NEW r11: user-journey trigram mining
-    "sql_named_window",  # NEW r11: verbatim SQL:2003 WINDOW clause
-    "events_session_depth",  # NEW r11: bounce-rate depth histogram
-    "dedup_shingle_sweep",  # NEW r11: Broder w-shingle sensitivity table
-    "pipeline_dedup_funnel",  # NEW r11: staged dedup impact funnel
-    "events_seasonal_anomaly",  # NEW r11: weekday-conditioned outliers
-    "join_full_outer",  # NEW r11: the missing ANSI join type, reconciled
-    "tpch_realized_margin",  # NEW r11: price-realization bps by brand
-    "tpch_order_aging",  # NEW r11: status x age order-book aging
-    "text_quality_by_source",  # NEW r11: source x stopword-band heatmap
-    "tpch_return_rates",  # NEW r11: brand return-rate quality screen
-    "events_slo_burn",  # NEW r11: integer-exact error-budget burn
-    "events_latency_trend",  # NEW r11: daily p50/p95/p99 series
-    "pipeline_leakage_split",  # NEW r11: cluster-keyed contamination-safe split
-    "dedup_entity_clusters",  # NEW r11: ER transitive closure + modal pick
-    "events_autocorrelation",  # NEW r11: zero-filled ACF seasonality screen
-    "mm_aspect_buckets",  # NEW r11: integer-exact aspect-ratio bucketing
-    "pipeline_token_budget",  # NEW r11: Hamilton token apportionment
-    "lake_zorder_layout",  # NEW r11: Morton-key layout advisor report
-    "dq_bootstrap_ci",  # NEW r11: deterministic Poisson bootstrap CI
-    "dq_psi_drift",  # NEW r11: population stability index drift screen
-    "graph_link_prediction",  # NEW r11: integer-exact RA/common-neighbor scores
-    "events_survival_km",  # NEW r11: Kaplan-Meier time-to-conversion
-    "tpch_pareto_abc",  # NEW r11: integer-exact ABC classification
-    "tpch_cohort_ltv",  # NEW r11: cohort LTV triangle in exact cents
-    "events_growth_accounting",  # NEW r11: new/retained/resurrected/churned
-    "dedup_cosine_sweep",  # NEW r11: data-driven dedup threshold tuning table
-    "dedup_cluster_purity",  # NEW r11: cluster-grain source purity report
-    "tpch_yoy_growth",  # NEW r11: integer-exact YoY growth in basis points
-    "dedup_components",  # r11: opt-in local union-find fast path
-    # dedup_cluster_sizes deferred to r12: its only r11 change is the
-    # upstream fast path, certified here via dedup_components and
-    # dedup_graph_quality (same code path)
-    # dedup_graph_quality deferred to r12 alongside dedup_cluster_sizes:
-    # the r11 fast-path change is certified via dedup_components
-    # dedup_jaccard_prefix deferred to r12 (exact-green at 3 SFs in
-    # SWEEP_r11 wave 11; same Jaccard semantics also certified via
-    # dedup_cluster_purity/pipeline_dedup_funnel in-window)
-    "events_attribution",  # NEW r11: first/last-touch revenue attribution
-    "graph_triangles",  # NEW r11: degree-ordered triangle count + clustering
-    "dedup_entity_fuzzy",  # NEW r11: blocked levenshtein entity resolution
-    "text_phrase_search",  # NEW r11: positional-index phrase queries
-    "sim_pair_geometry",  # NEW r11: pairwise-cosine anisotropy screen
-    # tpch_seasonal_index deferred to r12 (exact-green at 3 SFs in
-    # SWEEP_r11 wave 7; displaced by the late-round additions)
-    # dedup_lsh_scurve deferred to r12: pure analytic-constants table
-    # (no data dependence), exact-green at 3 SFs in SWEEP_r11 — the
-    # lowest re-certification risk in the r11 cohort
-    # sim_embedding_dim_profile deferred to r12 (exact-green at 3 SFs
-    # in SWEEP_r11 wave 6; displaced by late-round additions)
-    # events_stickiness deferred to r12 (exact-green at 3 SFs in
-    # SWEEP_r11 wave 6; displaced by late-round additions)
-    # dq_chi_squared deferred to r12 (exact-green at 3 SFs in
-    # SWEEP_r11 wave 5; displaced by late-round additions)
-    # dq_completeness_profile deferred to r12 (exact-green at 3 SFs in
-    # SWEEP_r11 wave 5; displaced by late-round additions)
-    # tpch_basket_affinity deferred to r12 (exact-green at 3 SFs in
-    # SWEEP_r11 wave 5; displaced by late-round additions)
-    "dq_ab_ttest",  # red in r10 driver row; exact-green locally at 3 SFs
-    "agg_regression_funcs",  # r10 Spark rewrite + r11 exact-HUGEINT oracle
-    "agg_higher_moments",  # r10 rewrite, green in r10 — confirm stays green
-    "join_anti",  # de-vacuized: date-windowed NOT EXISTS (rows at all SFs)
-    "events_anomaly_zscore",  # r11: constant-baseline false-flag fix
-    "streaming_anomaly",  # rows-only twin of the z-score fix
-    "sim_mmr_diversify",  # rows-only: r11 one-job rewrite + rank-1 gate
-    "dedup_minhash_calibration",  # rows-only: r11 band-index candidate feed
-    "tpch_important_stock",  # r11: decimal(38,0) threshold compare
-    "join_composite_theta",  # r11: exact 4dp integer mean (audit find)
-    # r11 round(avg(grid-valued),dp) class fix — every member rewritten
-    # to exact integer means on both engines; all must re-certify
-    # least-recently-certified rotation: r3 remainder + the whole r4
-    # cohort (last driver-checked in round 4 — 7 rounds stale)
-    # r4 overflow (agg_monthly_rollup, agg_pricing_summary, agg_order_stats,
-    # sample_deterministic, sample_stratified,
-    # text_source_profile, scalar_variant_funcs,
-    # scalar_json_agg, mm_payload_profile, unpivot_order_measures,
-    # agg_trend_regression — ALL ELEVEN names in this comment block are
-    # r11 class-fix rewrites, exact-certified at 3 SFs in SWEEP_r11
-    # waves 9 + final legs but displaced from the window by late-round
-    # additions; EVERY one must be re-queued for driver rows in r12 —
-    # agg_mad_outliers, dq_orders_integrity,
-    # agg_approx_percentiles,
-    # tpch_volume_shipping, window_distribution,
-    # events_ewma, events_funnel,
-    # merge_upsert, mm_frame_sample,
-    # pandas_udaf_geomean, pivot_status_by_priority,
-    # scd2_versions, semantic_prediction_join,
-    # sim_random_projection, streaming_dedup, streaming_tumbling,
-    # text_chunk_rolling_hash, text_contamination,
-    # text_frequent_tokens, text_pack_sequences, text_quality_gate,
-    # text_token_stats — displaced by the seven wave-10/11/13 queries
-    # NEW this round plus the three fast-path re-certifications) and
-    # the whole r5 cohort rotate in round 12, then the r6 and r7
-    # cohorts
+    # ---- round-12 head: code/oracle CHANGED this round (r11 verdict:
+    # rewritten queries must be driver-re-certified) ----
+    "dedup_jaccard_prefix",  # r12: rational-threshold integer prefix bound
+    "dedup_url_canonical",  # r12: scheme-aware default-port strip
+    "agg_trend_regression",  # r12: NULL guards for degenerate groups
+    "dedup_entity_fuzzy",  # r12: (first char, length band) blocking
+    "dedup_entity_clusters",  # r12: consumes the re-blocked pair feed
+    "graph_pagerank",  # rows-only; r12: local path mirrors check cadence
+    "streaming_anomaly",  # rows-only; r12: exact decimal cent quantize
+    "dedup_keep_policy",  # rows-only; consumes pagerank ranks (cadence)
+    # ---- r11 newcomers never driver-certified (added after the r11
+    # window filled; exact-green at 3 SFs in SWEEP_r11) ----
+    "dq_chi_squared",
+    "dq_completeness_profile",
+    "tpch_basket_affinity",
+    "tpch_seasonal_index",
+    "dedup_lsh_scurve",
+    "sim_embedding_dim_profile",
+    "events_stickiness",
+    # ---- r11 wave-9 round(avg(...)) exact-mean rewrites, displaced
+    # from the r11 window (judge re-verified exact-green at sf0.01;
+    # this drains the certification debt) ----
+    "agg_monthly_rollup",
+    "agg_pricing_summary",
+    "agg_order_stats",
+    "unpivot_order_measures",
+    "sample_deterministic",
+    "sample_stratified",
+    "text_source_profile",
+    "mm_payload_profile",
+    "scalar_json_agg",
+    "scalar_variant_funcs",
+    # ---- r11 graph fast-path consumers deferred from the r11 window
+    # (certified there only via dedup_components, same code path) ----
+    "dedup_cluster_sizes",
+    "dedup_graph_quality",
+    # ---- least-recently-certified rotation: the r3/r4 cohort, last
+    # driver-checked in rounds 3-4 (8-9 rounds stale) ----
+    "tpch_volume_shipping",
+    "window_distribution",
+    "text_token_stats",
+    "text_top_bigrams",
+    "dq_orders_integrity",
+    "tpch_priority_late",
+    "tpch_product_profit",
+    "tpch_waiting_supplier",
+    "tpch_supplier_part_counts",
+    "text_contamination",
+    "text_pack_sequences",
+    "text_quality_gate",
+    "agg_mad_outliers",
+    "pandas_udaf_geomean",
+    "udtf_top_tokens",
+    "mm_frame_sample",
+    "pivot_status_by_priority",
+    "semantic_prediction_join",
+    "events_funnel",
+    "merge_upsert",
+    "scd2_versions",
+    "streaming_tumbling",
+    "streaming_dedup",
+    # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
+    # sim_random_projection, agg_approx_percentiles,
+    # text_chunk_rolling_hash, events_ewma, text_frequent_tokens,
+    # then the r5 cohort (agg_cube, agg_grouping_sets, agg_argmax,
+    # agg_conditional, null_handling, window_range_frame, window_rank,
+    # window_lag_lead) and the r6/r7 cohorts.
+    # NEW r12 queries are inserted at the HEAD as they land, displacing
+    # the newest rotation names above (tracked here for r13).
 ]
 
 

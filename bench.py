@@ -187,19 +187,29 @@ def main() -> None:
             times.get("dedup_components_chain", dt), dt
         )
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "components_chain": chain_stats,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "components_chain": chain_stats,
+        }
     )
+    # artifact-of-record hygiene (r11 verdict #3: the driver's tail
+    # capture truncated the JSON head, shipping a parsed:null artifact):
+    # write the full line to BENCH_local.json unconditionally, then stop
+    # Spark BEFORE printing so the JSON is the absolute last stdout line
+    # with no JVM shutdown logs after it.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
     spark.stop()
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":
