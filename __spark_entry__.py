@@ -27,6 +27,7 @@ from datalake_local_spark.operators import (
     flagship,
     funnel,
     grouped_pandas,
+    ivm,
     joins,
     layout,
     merge,
@@ -262,6 +263,8 @@ def _q_cube_request(spark, sf):
 # inserted at the head as they land, displacing the newest r3 names
 # (tail comment tracks what rotates to round 9).
 _CERTIFY_FIRST = [
+    # ---- NEW in round 12 ----
+    "ivm_rollup_refresh",  # NEW r12: O(delta) incremental view maintenance
     # ---- round-12 head: code/oracle CHANGED this round (r11 verdict:
     # rewritten queries must be driver-re-certified) ----
     "dedup_jaccard_prefix",  # r12: rational-threshold integer prefix bound
@@ -322,9 +325,8 @@ _CERTIFY_FIRST = [
     "merge_upsert",
     "scd2_versions",
     "streaming_tumbling",
-    "streaming_dedup",
     # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
-    # sim_random_projection, agg_approx_percentiles,
+    # streaming_dedup, sim_random_projection, agg_approx_percentiles,
     # text_chunk_rolling_hash, events_ewma, text_frequent_tokens,
     # then the r5 cohort (agg_cube, agg_grouping_sets, agg_argmax,
     # agg_conditional, null_handling, window_range_frame, window_rank,
@@ -491,6 +493,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": lambda s, d: agg.cube_status_priority(*_t(s, d, "orders")),
         "agg_grouping_sets": lambda s, d: (_t(s, d, "events") and agg.grouping_sets_events(s)),
         "agg_monthly_rollup": lambda s, d: agg.monthly_rollup(*_t(s, d, "orders")),
+        "ivm_rollup_refresh": lambda s, d: ivm.ivm_rollup_refresh(*_t(s, d, "orders")),
         "agg_argmax": lambda s, d: agg.argmax_aggregates(*_t(s, d, "orders")),
         "agg_conditional": lambda s, d: agg.conditional_aggregates(*_t(s, d, "lineitem")),
         "null_handling": lambda s, d: agg.null_handling_orders(*_t(s, d, "orders", "customer")),
@@ -1313,6 +1316,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY 1, 2
             )
             SELECT order_month, orderstatus, n_orders, sum_price,
+                   CAST((2 * sum_cents * 100 + n_orders) // (2 * n_orders)
+                        AS DOUBLE) / 10000.0 AS avg_price,
+                   min_price, max_price
+            FROM g
+        """,
+        "ivm_rollup_refresh": """
+            WITH new_base AS (
+                SELECT o_orderdate, o_orderstatus,
+                       CASE WHEN o_orderkey % 53 = 0
+                            THEN o_totalprice + 100.0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderdate, o_orderstatus, o_totalprice + 55.25
+                FROM orders WHERE o_orderkey % 101 = 0
+            ),
+            g AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                           AS order_month,
+                       o_orderstatus AS orderstatus,
+                       count(*) AS n_orders,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS sum_cents,
+                       round(min(o_totalprice), 2) AS min_price,
+                       round(max(o_totalprice), 2) AS max_price
+                FROM new_base GROUP BY 1, 2
+            )
+            SELECT order_month, orderstatus, n_orders,
+                   round(sum_cents / 100.0, 2) AS sum_price,
                    CAST((2 * sum_cents * 100 + n_orders) // (2 * n_orders)
                         AS DOUBLE) / 10000.0 AS avg_price,
                    min_price, max_price

@@ -1,0 +1,316 @@
+"""Incremental view maintenance (IVM) for the rollup family.
+
+The reference precomputes its month-grain gold materialization
+(``gold.stock_markets_monthly``, StockMarketsMonthly.js:1-2) by FULL
+recompute on every refresh. This module maintains the same rollup as a
+SELF-MAINTAINABLE materialized view (Gupta & Mumick 1995, "Maintenance
+of Materialized Views: Problems, Techniques, and Applications", IEEE
+Data Eng. Bulletin — public): a base-table change feed (inserts,
+deletes, and updates as delete-pre-image + insert-post-image pairs)
+refreshes the view in O(delta), never O(base).
+
+Algebra per aggregate class:
+
+- **COUNT / SUM** are fully self-maintainable under both inserts and
+  deletes: ``new = old + sum(inserts) − sum(deletes)``. Exactness rides
+  on an AUXILIARY integer-cents column stored in the internal view
+  schema (``sum_cents``) — float sums are not associatively exact, so
+  the maintained total would drift from the recomputed one; integer
+  cents make merge order irrelevant. AVG derives from (sum_cents, n)
+  with the repo's exact half-up integer mean.
+- **MIN / MAX** are self-maintainable under INSERTS only
+  (``least/greatest(old, delta)``); a delete can remove the extremum,
+  so delete-affected groups recompute min/max from the new base state
+  — but ONLY those groups (partition-pruned at scale: the view grain
+  leads with the base table's month partition key, so the recompute
+  scan touches exactly the partitions the delta touched).
+
+Scale shape at 100 TB: the delta aggregate is one map-side-combined
+groupBy at view grain (delta-sized input); the merge is a full-outer
+join of two view-grain relations (the view is ~|months × statuses|
+rows — tiny); the min/max recompute is an inner join of the base with
+the delete-affected grain keys (semi-join pushdown + dynamic partition
+pruning make it an O(affected partitions) scan). No driver state, no
+window, no skew surface beyond the base table's own month skew.
+
+The materialized path (:func:`refresh_rollup_table`) publishes through
+``maintenance.overwrite_changed_partitions`` — dynamic partition
+overwrite keyed on the view's month column — so untouched partitions
+keep their files byte-identical (asserted in tests), the lakehouse
+contract a format MERGE would give.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_GRAIN = ["order_month", "orderstatus"]
+
+
+def _cents(col: str = "o_totalprice"):
+    # exact integer cents, the repo-wide decimal-cast discipline
+    return (F.col(col).cast("decimal(18,6)") * 100).cast("long")
+
+
+def monthly_rollup_internal(orders: DataFrame) -> DataFrame:
+    """The month × status rollup in its INTERNAL (maintainable) schema:
+    grain + n_orders + exact ``sum_cents`` + min/max price. The public
+    view (:func:`publish_rollup`) derives sum/avg from these — the
+    auxiliary-column pattern Gupta & Mumick require for AVG (and that
+    float SUM needs for exact maintainability)."""
+    return orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.col("o_orderstatus").alias("orderstatus"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents()).alias("sum_cents"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+def publish_rollup(internal: DataFrame) -> DataFrame:
+    """Internal → public view schema, matching ``agg.monthly_rollup``
+    column-for-column: sum/avg are derived from the exact cents so the
+    published numbers are identical whether the view was maintained
+    incrementally or recomputed (the property the oracle hash-checks).
+    ``round(cents/100, 2)`` lands on the same nearest-double-of-grid
+    value as the recompute's ``round(sum(double), 2)`` because the true
+    sum is on the 2-decimal grid and the double sum's error is orders
+    of magnitude below the 0.005 rounding radius."""
+    return internal.select(
+        "order_month",
+        "orderstatus",
+        "n_orders",
+        F.round(F.col("sum_cents") / 100.0, 2).alias("sum_price"),
+        (
+            F.expr("(2 * sum_cents * 100 + n_orders) div (2 * n_orders)").cast(
+                "double"
+            )
+            / F.lit(10000.0)
+        ).alias("avg_price"),
+        "min_price",
+        "max_price",
+    )
+
+
+def rollup_delta_merge(
+    old_internal: DataFrame,
+    delta_plus: DataFrame,
+    delta_minus: DataFrame,
+    new_base: DataFrame,
+) -> DataFrame:
+    """Apply a base-table change feed to the internal rollup view in
+    O(delta): ``delta_plus`` carries inserted rows and update
+    post-images, ``delta_minus`` deleted rows and update pre-images
+    (both at base grain with o_orderdate/o_orderstatus/o_totalprice).
+    ``new_base`` is the post-change base table, read ONLY for the
+    min/max recompute of delete-affected groups (partition-pruned).
+
+    Groups whose maintained count reaches zero leave the view; groups
+    born by inserts enter it. The count invariant (maintained n ≥ 0,
+    and > 0 wherever the group survives) holds by construction when
+    the feed is a consistent changelog."""
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+    status = F.col("o_orderstatus").alias("orderstatus")
+    plus_g = delta_plus.groupBy(month, status).agg(
+        F.count("*").alias("n_plus"),
+        F.sum(_cents()).alias("c_plus"),
+        F.round(F.min("o_totalprice"), 2).alias("min_plus"),
+        F.round(F.max("o_totalprice"), 2).alias("max_plus"),
+    )
+    minus_g = delta_minus.groupBy(month, status).agg(
+        F.count("*").alias("n_minus"), F.sum(_cents()).alias("c_minus")
+    )
+    merged = (
+        old_internal.join(plus_g, _GRAIN, "full_outer")
+        .join(minus_g, _GRAIN, "full_outer")
+        .select(
+            *_GRAIN,
+            (
+                F.coalesce("n_orders", F.lit(0))
+                + F.coalesce("n_plus", F.lit(0))
+                - F.coalesce("n_minus", F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce("sum_cents", F.lit(0))
+                + F.coalesce("c_plus", F.lit(0))
+                - F.coalesce("c_minus", F.lit(0))
+            ).alias("sum_cents"),
+            # insert-only min/max merge; overridden below for
+            # delete-affected groups (least/greatest skip NULLs, so a
+            # group new in the delta or absent from it both work)
+            F.least("min_price", "min_plus").alias("min_merge"),
+            F.greatest("max_price", "max_plus").alias("max_merge"),
+            (F.coalesce("n_minus", F.lit(0)) > 0).alias("has_delete"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    affected = merged.filter(F.col("has_delete")).select(*_GRAIN)
+    recomputed = (
+        new_base.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            F.col("o_orderstatus").alias("orderstatus"),
+            "o_totalprice",
+        )
+        # inner join against the (tiny, view-grain) affected-key set:
+        # at scale this is a broadcast + partition-pruned base scan
+        .join(F.broadcast(affected), _GRAIN)
+        .groupBy(*_GRAIN)
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("min_re"),
+            F.round(F.max("o_totalprice"), 2).alias("max_re"),
+        )
+    )
+    return merged.join(recomputed, _GRAIN, "left").select(
+        *_GRAIN,
+        "n_orders",
+        "sum_cents",
+        F.when(F.col("has_delete"), F.col("min_re"))
+        .otherwise(F.col("min_merge"))
+        .alias("min_price"),
+        F.when(F.col("has_delete"), F.col("max_re"))
+        .otherwise(F.col("max_merge"))
+        .alias("max_price"),
+    )
+
+
+def derive_cdc_states(orders: DataFrame):
+    """Deterministic OLD → NEW change derivation over the static
+    testdata (the ``corpus_snapshot_diff`` fixture discipline), shared
+    by the registered query, the oracle, and the tests:
+
+    - DELETE rows with ``o_orderkey % 97 == 0``;
+    - UPDATE rows with ``o_orderkey % 53 == 0`` (surviving deletion):
+      price + 100.00 — emitted as pre-image delete + post-image insert;
+    - INSERT a clone of rows with ``o_orderkey % 101 == 0`` at
+      price + 55.25 (key identity is irrelevant at view grain).
+
+    Returns (delta_plus, delta_minus, new_base)."""
+    k = F.col("o_orderkey")
+    is_del = k % 97 == 0
+    is_upd = (k % 53 == 0) & ~is_del
+    cols = ["o_orderdate", "o_orderstatus", "o_totalprice"]
+    deleted = orders.filter(is_del).select(*cols)
+    upd_pre = orders.filter(is_upd).select(*cols)
+    upd_post = upd_pre.withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+    inserts = (
+        orders.filter(k % 101 == 0)
+        .select(*cols)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 55.25)
+    )
+    delta_minus = deleted.unionAll(upd_pre)
+    delta_plus = upd_post.unionAll(inserts)
+    new_base = (
+        orders.filter(~is_del)
+        .withColumn(
+            "o_totalprice",
+            F.when(is_upd, F.col("o_totalprice") + 100.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .select(*cols)
+        .unionAll(inserts)
+    )
+    return delta_plus, delta_minus, new_base
+
+
+def ivm_rollup_refresh(orders: DataFrame) -> DataFrame:
+    """Registered query: maintain the monthly rollup through the
+    deterministic change feed and PUBLISH the refreshed view. The
+    oracle recomputes the same rollup from scratch over the post-change
+    base state — a hash match certifies refreshed ≡ recomputed, the
+    IVM correctness property itself.
+
+    The pre-change view is materialized (``localCheckpoint``) before
+    the merge so the plan genuinely starts from a stored view, not a
+    Catalyst-collapsed recompute."""
+    delta_plus, delta_minus, new_base = derive_cdc_states(orders)
+    old_internal = monthly_rollup_internal(orders).localCheckpoint()
+    refreshed = rollup_delta_merge(old_internal, delta_plus, delta_minus, new_base)
+    return publish_rollup(refreshed).orderBy("order_month", "orderstatus")
+
+
+def materialize_rollup_table(
+    spark: SparkSession, table: str, orders: DataFrame
+) -> None:
+    """Write the pre-change internal view as a month-partitioned
+    catalog table — the stored materialization
+    :func:`refresh_rollup_table` maintains. The partition key is the
+    view's own month (``yyyy-MM``), so an incremental refresh maps to
+    partition-grain file replacement."""
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    internal = monthly_rollup_internal(orders).withColumn(
+        "month_key", F.date_format("order_month", "yyyy-MM")
+    )
+    internal.write.partitionBy("month_key").saveAsTable(table)
+
+
+def refresh_rollup_table(
+    spark: SparkSession, table: str, orders: DataFrame
+) -> dict:
+    """Materialized IVM refresh of a table written by
+    :func:`materialize_rollup_table`: apply the change feed and INSERT
+    OVERWRITE only the partitions the delta touched (dynamic partition
+    overwrite via ``maintenance.overwrite_changed_partitions``);
+    months that end up with zero groups are dropped explicitly (a
+    dynamic overwrite never rewrites a partition absent from the
+    written data, so a fully-deleted month would otherwise leave stale
+    files). Untouched partitions keep their files byte-identical — the
+    test pins this. Returns refresh stats for the caller's audit
+    log."""
+    import shutil
+
+    from ..maintenance import overwrite_changed_partitions
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    delta_plus, delta_minus, new_base = derive_cdc_states(orders)
+    old_internal = spark.table(table).drop("month_key")
+    refreshed = rollup_delta_merge(
+        old_internal, delta_plus, delta_minus, new_base
+    ).withColumn("month_key", F.date_format("order_month", "yyyy-MM"))
+
+    touched = (
+        delta_plus.select("o_orderdate")
+        .unionAll(delta_minus.select("o_orderdate"))
+        .select(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("month_key")
+        )
+        .distinct()
+    )
+    touched_keys = {r["month_key"] for r in touched.collect()}  # bounded: months
+    # materialize BEFORE the overwrite: the refreshed plan reads the
+    # same table the write targets, and Spark (rightly) refuses to
+    # overwrite a path that is also being read from
+    updates = (
+        refreshed.join(F.broadcast(touched), "month_key")
+        .select(*spark.table(table).columns)
+        .localCheckpoint()
+    )
+    n_overwritten = overwrite_changed_partitions(
+        spark, table, updates, "month_key"
+    )
+    surviving = {
+        r["month_key"]
+        for r in updates.select("month_key").distinct().collect()  # bounded
+    }
+    emptied = sorted(touched_keys - surviving)
+    for key in emptied:
+        spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION (month_key='{key}')")
+        shutil.rmtree(f"{warehouse}/{table}/month_key={key}", ignore_errors=True)
+    return {
+        "partitions_overwritten": n_overwritten,
+        "partitions_dropped": len(emptied),
+        "touched_months": sorted(touched_keys),
+    }

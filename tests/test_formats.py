@@ -399,3 +399,117 @@ def test_publish_with_audit_auto_vacuum(spark, tables, tmp_path):
     with open(os.path.join(os.path.realpath(target), "_MANIFEST.json")) as f:
         persisted = json.load(f)
     assert persisted["vacuum_deleted"] == m["vacuum_deleted"]
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance (operators/ivm.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_refresh_matches_full_recompute(spark, tables):
+    """The IVM correctness property end-to-end on real data: the
+    incrementally-maintained rollup equals a from-scratch recompute of
+    the post-change base state, value-exact on every column."""
+    from datalake_local_spark.operators import ivm
+
+    orders = tables["orders"]
+    refreshed = ivm.ivm_rollup_refresh(orders).collect()
+    _, _, new_base = ivm.derive_cdc_states(orders)
+    recomputed = (
+        ivm.publish_rollup(ivm.monthly_rollup_internal(new_base))
+        .orderBy("order_month", "orderstatus")
+        .collect()
+    )
+    assert len(refreshed) > 0
+    assert [tuple(r) for r in refreshed] == [tuple(r) for r in recomputed]
+
+
+def test_ivm_delta_merge_minmax_branches(spark):
+    """Hand-built micro-case exercising every merge branch: a delete
+    that removes a group's max (forces the affected-group recompute), a
+    fully-deleted group (leaves the view), a brand-new group (enters),
+    and an insert-only group whose min comes from least() without any
+    base rescan."""
+    import datetime
+
+    from datalake_local_spark.operators import ivm
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(datetime.date(2024, m, 1), s, v) for m, s, v in rows],
+            "o_orderdate date, o_orderstatus string, o_totalprice double",
+        )
+
+    base = frame([(1, "O", 10.0), (1, "O", 20.0), (2, "O", 5.0), (4, "O", 3.0)])
+    old_internal = ivm.monthly_rollup_internal(base)
+    delta_minus = frame([(1, "O", 20.0), (2, "O", 5.0)])
+    delta_plus = frame([(1, "O", 1.0), (3, "O", 7.25), (4, "O", 2.0)])
+    new_base = frame([(1, "O", 10.0), (1, "O", 1.0), (3, "O", 7.25),
+                      (4, "O", 3.0), (4, "O", 2.0)])
+    out = {
+        (r["order_month"].month, r["orderstatus"]): r
+        for r in ivm.rollup_delta_merge(
+            old_internal, delta_plus, delta_minus, new_base
+        ).collect()
+    }
+    assert set(out) == {(1, "O"), (3, "O"), (4, "O")}  # month 2 left the view
+    jan = out[(1, "O")]
+    assert (jan["n_orders"], jan["sum_cents"]) == (2, 1100)
+    assert (jan["min_price"], jan["max_price"]) == (1.0, 10.0)  # recomputed
+    mar = out[(3, "O")]
+    assert (mar["n_orders"], mar["sum_cents"], mar["min_price"]) == (1, 725, 7.25)
+    apr = out[(4, "O")]  # insert-only: least/greatest path, no rescan
+    assert (apr["n_orders"], apr["min_price"], apr["max_price"]) == (2, 2.0, 3.0)
+
+
+def test_ivm_refresh_table_untouched_partitions_keep_files(spark, tables):
+    """The lakehouse MERGE contract: after the materialized refresh,
+    every month partition the delta did not touch keeps its data files
+    byte-for-byte (same paths, sizes, and mtimes), and the refreshed
+    table equals the full recompute."""
+    import os
+
+    from datalake_local_spark.operators import ivm
+
+    orders = tables["orders"]
+    ivm.materialize_rollup_table(spark, "ivm_rollup_t", orders)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    root = f"{warehouse}/ivm_rollup_t"
+
+    def file_state():
+        state = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    state[p] = (st.st_size, st.st_mtime_ns)
+        return state
+
+    before = file_state()
+    stats = ivm.refresh_rollup_table(spark, "ivm_rollup_t", orders)
+    after = file_state()
+    touched = set(stats["touched_months"])
+
+    def month_of(path):
+        return path.split("month_key=")[1].split("/")[0]
+
+    untouched_before = {p: s for p, s in before.items() if month_of(p) not in touched}
+    untouched_after = {p: s for p, s in after.items() if month_of(p) not in touched}
+    assert stats["partitions_overwritten"] > 0
+    assert len(untouched_before) > 0  # the delta must not touch everything
+    # byte-identical survival: same paths, sizes, AND mtimes
+    assert untouched_before == untouched_after
+    _, _, new_base = ivm.derive_cdc_states(orders)
+    got = {
+        tuple(r)
+        for r in spark.table("ivm_rollup_t")
+        .drop("month_key")
+        .select("order_month", "orderstatus", "n_orders", "sum_cents",
+                "min_price", "max_price")
+        .collect()
+    }
+    want = {
+        tuple(r) for r in ivm.monthly_rollup_internal(new_base).collect()
+    }
+    assert got == want
