@@ -17,19 +17,28 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
-def _stream_session(spark: SparkSession, shuffle_partitions: str = "8") -> SparkSession:
+def _stream_session(spark: SparkSession, shuffle_partitions: str = "2") -> SparkSession:
     """Child session (shared SparkContext + catalog, private SQLConf) for
     one streaming run — streaming-specific conf never leaks into batch
     queries planned concurrently in the caller's session.
 
     Shuffle partitions are sized to the state, not the batch default:
     each state-store partition pays checkpoint/commit I/O per
-    micro-batch, so 32 partitions for a (window × event_type)-grain
-    aggregate is ~4× pure overhead. The partition count is pinned into
-    the checkpoint at first start; these queries use fresh checkpoints,
-    making the setting safe. At production scale, size it to key
-    cardinality ÷ target state-per-partition instead (and keep it stable
-    across restarts — it cannot change under an existing checkpoint)."""
+    micro-batch — and that commit cost scales with PARTITION COUNT,
+    not state size (r12 measurement, sf0.1 tumbling agg, idle host:
+    8 partitions → ~3.2 s summed commitTimeMs / 2.9-5.4 s wall;
+    2 partitions → ~0.1-0.2 s commit / 1.0-1.2 s wall — each
+    HDFS-backed store commit pays file-create+fsync+rename regardless
+    of how few state rows it carries). The harness aggregates hold
+    10³-10⁴ state rows, so 2 partitions is the right size; callers
+    with Python-stateful operators (applyInPandasWithState — executor
+    Python parallelism, not commit I/O, is their bottleneck) or
+    stream-stream joins (state on both sides) pass a higher count
+    explicitly. The partition count is pinned into the checkpoint at
+    first start; these queries use fresh checkpoints, making the
+    setting safe. At production scale, size it to key cardinality ÷
+    target state-per-partition instead (and keep it stable across
+    restarts — it cannot change under an existing checkpoint)."""
     sub = spark.newSession()
     sub.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
     # timestamp-encoding tolerance, same two confs as session.configure():
@@ -176,7 +185,7 @@ def run_streaming_stateful_counter(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    sub = _stream_session(spark)
+    sub = _stream_session(spark, "8")
     stream = _open_events_stream(sub, sf_dir)
 
     output_schema = "user_id bigint, n_events bigint, total_value double"
@@ -241,7 +250,7 @@ def run_streaming_transform_with_state(
         StatefulProcessorHandle,
     )
 
-    sub = _stream_session(spark)
+    sub = _stream_session(spark, "8")
     sub.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -406,7 +415,7 @@ def run_streaming_semi_join(
     the batch LEFT SEMI theta-join exactly → hash oracle. State: left
     rows buffer only until matched or expired by the event-time bound;
     same 4-partition two-store sizing as the inner variant."""
-    sub = _stream_session(spark, "4")
+    sub = _stream_session(spark, "2")
     clicks, purchases = _click_purchase_streams(sub, sf_dir)
     joined = clicks.join(
         purchases, _interval_join_cond(within_minutes), "left_semi"
@@ -442,7 +451,7 @@ def run_streaming_outer_join(
     invariants pin it: matched rows ≡ the inner join, every emitted
     NULL row is a true batch non-match, and every batch non-match older
     than the tail horizon IS emitted."""
-    sub = _stream_session(spark, "4")
+    sub = _stream_session(spark, "2")
     clicks, purchases = _click_purchase_streams(sub, sf_dir)
     joined = clicks.join(
         purchases, _interval_join_cond(within_minutes), "left_outer"
@@ -477,13 +486,14 @@ def run_streaming_stream_join(
     a click waits for a matching purchase. On static input with
     availableNow this equals the batch theta-join — oracle-checked.
 
-    State partitions: HALF the single-store default — a stream-stream
-    join keeps two state stores per partition (left and right buffers),
-    so 4 partitions carry the same store-commit count per micro-batch
-    as the aggregates' 8; measured 3.4 s → 2.6 s at sf0.1. At
-    production scale size to join-state volume instead, and keep it
-    stable under the checkpoint."""
-    sub = _stream_session(spark, "4")
+    State partitions: the join keeps two state stores per partition
+    (left and right buffers) and the commit cost scales with the
+    store count, not the state volume (see ``_stream_session``) — r12
+    measurement at sf0.1: 4 partitions → 4.1-8.4 s wall / 2.3-3.1 s
+    summed commitTimeMs; 2 partitions → 2.8-3.4 s wall / ~0.6 s
+    commit. At production scale size to join-state volume instead,
+    and keep it stable under the checkpoint."""
+    sub = _stream_session(spark, "2")
     clicks, purchases = _click_purchase_streams(sub, sf_dir)
     joined = clicks.join(
         purchases, _interval_join_cond(within_minutes)
@@ -801,7 +811,7 @@ def run_streaming_anomaly(
     pure-python expanding reference is tested."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    sub = _stream_session(spark)
+    sub = _stream_session(spark, "8")
     stream = _open_events_stream(sub, sf_dir)
 
     output_schema = (
