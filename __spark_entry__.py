@@ -265,6 +265,8 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # ---- NEW in round 12 ----
     "ivm_rollup_refresh",  # NEW r12: O(delta) incremental view maintenance
+    "dq_cuped",  # NEW r12: CUPED variance-reduced experiment readout
+    "sim_label_separation",  # NEW r12: Fisher-style centroid geometry screen
     # ---- round-12 head: code/oracle CHANGED this round (r11 verdict:
     # rewritten queries must be driver-re-certified) ----
     "dedup_jaccard_prefix",  # r12: rational-threshold integer prefix bound
@@ -323,10 +325,9 @@ _CERTIFY_FIRST = [
     "semantic_prediction_join",
     "events_funnel",
     "merge_upsert",
-    "scd2_versions",
-    "streaming_tumbling",
     # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
-    # streaming_dedup, sim_random_projection, agg_approx_percentiles,
+    # scd2_versions, streaming_tumbling, streaming_dedup,
+    # sim_random_projection, agg_approx_percentiles,
     # text_chunk_rolling_hash, events_ewma, text_frequent_tokens,
     # then the r5 cohort (agg_cube, agg_grouping_sets, agg_argmax,
     # agg_conditional, null_handling, window_range_frame, window_rank,
@@ -718,6 +719,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_chi_squared": lambda s, d: quality.chi_squared_screen(*_t(s, d, "events")),
         "events_stickiness": lambda s, d: funnel.stickiness_profile(*_t(s, d, "events")),
         "sim_embedding_dim_profile": lambda s, d: similarity.embedding_dim_profile(*_t(s, d, "embeddings")),
+        "sim_label_separation": lambda s, d: similarity.label_separation_geometry(*_t(s, d, "embeddings")),
         "sim_pair_geometry": lambda s, d: similarity.pair_geometry(*_t(s, d, "embeddings")),
         "dq_completeness_profile": lambda s, d: quality.completeness_profile(*_t(s, d, "orders")),
         # pre-flight join-size estimate: events.user_id x orders.o_custkey
@@ -757,6 +759,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_important_stock": lambda s, d: tpch.important_stock(*_t(s, d, "supplier", "nation", "part")),
         "text_cm_heavy_hitters": lambda s, d: text.cm_heavy_hitters(*_t(s, d, "documents")),
         "dq_ab_ttest": lambda s, d: quality.ab_welch_ttest(*_t(s, d, "events")),
+        "dq_cuped": lambda s, d: quality.cuped_adjustment(*_t(s, d, "events")),
         # rows-only: composes two iterative upstreams (components +
         # pagerank); planted hub-vs-min-id keep test
         "dedup_keep_policy": lambda s, d: dedup.canonical_keep_policy(*_t(s, d, "documents")),
@@ -3533,6 +3536,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(src AS DOUBLE) / n_pairs AS mean_cos
             FROM g JOIN t USING (stride) ORDER BY stride, bucket
         """,
+        "sim_label_separation": """
+            WITH e AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000000.0) AS BIGINT) AS qv
+                FROM embeddings
+            ),
+            sums AS (
+                SELECT label, dim, CAST(sum(qv) AS HUGEINT) AS s
+                FROM e GROUP BY 1, 2
+            ),
+            n_label AS (
+                SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1
+            ),
+            norm2 AS (SELECT label, sum(s * s) AS c2 FROM sums GROUP BY 1),
+            member AS (
+                SELECT e.vec_id, e.label,
+                       sum(CAST(e.qv AS HUGEINT) * s.s) AS dot,
+                       sum(CAST(e.qv AS HUGEINT) * CAST(e.qv AS HUGEINT)) AS v2
+                FROM e JOIN sums s ON s.label = e.label AND s.dim = e.dim
+                GROUP BY 1, 2
+            ),
+            memcos AS (
+                SELECT m.label,
+                       CAST(floor(CAST(m.dot AS DOUBLE)
+                            / sqrt(CAST(m.v2 AS DOUBLE)
+                                   * CAST(n2.c2 AS DOUBLE))
+                            * 1000000.0) AS BIGINT) AS cos_e6
+                FROM member m JOIN norm2 n2 ON n2.label = m.label
+            ),
+            cohesion AS (
+                SELECT label,
+                       CAST(sum(cos_e6) AS DOUBLE) / count(*) / 1000000.0
+                           AS within_cos
+                FROM memcos GROUP BY 1
+            ),
+            pair_dot AS (
+                SELECT a.label AS label_a, b.label AS label_b,
+                       sum(a.s * b.s) AS dot_ab
+                FROM sums a JOIN sums b
+                  ON a.dim = b.dim AND a.label < b.label
+                GROUP BY 1, 2
+            )
+            SELECT label_a, label_b,
+                   CAST(ka.n_vecs AS BIGINT) AS n_a,
+                   CAST(kb.n_vecs AS BIGINT) AS n_b,
+                   round(CAST(dot_ab AS DOUBLE)
+                         / sqrt(CAST(na.c2 AS DOUBLE) * CAST(nb.c2 AS DOUBLE)),
+                         6) + 0.0 AS centroid_cos,
+                   wa.within_cos AS within_a,
+                   wb.within_cos AS within_b,
+                   round((wa.within_cos + wb.within_cos) / 2
+                         - CAST(dot_ab AS DOUBLE)
+                           / sqrt(CAST(na.c2 AS DOUBLE)
+                                  * CAST(nb.c2 AS DOUBLE)), 6) + 0.0
+                       AS separation_margin
+            FROM pair_dot
+            JOIN norm2 na ON na.label = label_a
+            JOIN norm2 nb ON nb.label = label_b
+            JOIN cohesion wa ON wa.label = label_a
+            JOIN cohesion wb ON wb.label = label_b
+            JOIN n_label ka ON ka.label = label_a
+            JOIN n_label kb ON kb.label = label_b
+            ORDER BY label_a, label_b
+        """,
         "sim_embedding_dim_profile": """
             WITH e AS (
                 SELECT generate_subscripts(embedding, 1) - 1 AS dim,
@@ -6021,6 +6090,84 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p
             JOIN sketch sk ON sk.seed = p.seed AND sk.bucket = p.bucket
             GROUP BY 1, 2
+        """,
+        "dq_cuped": """
+            WITH mid AS (
+                SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+                FROM events
+            ),
+            per_user AS (
+                SELECT CASE WHEN CAST('0x' || substr(
+                                md5(CAST(user_id AS VARCHAR)), 1, 8)
+                                AS BIGINT) % 2 = 0
+                            THEN 'A' ELSE 'B' END AS arm,
+                       coalesce(sum(CASE WHEN epoch_us(ts) < mid_us THEN
+                           CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)
+                           END), 0) AS x_c,
+                       coalesce(sum(CASE WHEN epoch_us(ts) >= mid_us THEN
+                           CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)
+                           END), 0) AS y_c
+                FROM events, mid
+                GROUP BY user_id, arm
+            ),
+            arm_g AS (
+                SELECT arm, count(*) AS n,
+                       sum(CAST(x_c AS HUGEINT)) AS sx,
+                       sum(CAST(y_c AS HUGEINT)) AS sy,
+                       sum(CAST(x_c AS HUGEINT) * CAST(y_c AS HUGEINT)) AS sxy,
+                       sum(CAST(x_c AS HUGEINT) * CAST(x_c AS HUGEINT)) AS sxx,
+                       sum(CAST(y_c AS HUGEINT) * CAST(y_c AS HUGEINT)) AS syy
+                FROM per_user GROUP BY 1
+            ),
+            pooled AS (
+                SELECT sum(n) AS np, sum(sx) AS sxp, sum(sy) AS syp,
+                       sum(sxy) AS sxyp, sum(sxx) AS sxxp
+                FROM arm_g
+            ),
+            j AS (
+                SELECT arm_g.*, np, sxp, syp, sxyp, sxxp,
+                       CAST(CAST(np AS HUGEINT) * sxxp - sxp * sxp AS DOUBLE)
+                           AS dxx_p,
+                       CAST(CAST(np AS HUGEINT) * sxyp - sxp * syp AS DOUBLE)
+                           AS dxy_p,
+                       CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS dyy,
+                       CAST(n AS HUGEINT) * syy - sy * sy AS dyy_d,
+                       CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS dxx,
+                       CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS dxy
+                FROM arm_g, pooled
+            ),
+            m AS (
+                SELECT arm, n, dyy_d, dxx_p, dyy, dxx, dxy,
+                       dxy_p / dxx_p AS theta,
+                       CAST(sy AS DOUBLE) / n / 100.0 AS my,
+                       CAST(sx AS DOUBLE) / n / 100.0 AS mx,
+                       CAST(syp AS DOUBLE) / np / 100.0 AS myp,
+                       CAST(sxp AS DOUBLE) / np / 100.0 AS mxp,
+                       CAST(dyy AS DOUBLE) / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1)) / 10000.0 AS var_y,
+                       (2 * sy * 10000 + n) // (2 * n) AS mean_e6,
+                       (2 * dyy_d * 100 + CAST(n AS HUGEINT) * (n - 1))
+                           // (2 * CAST(n AS HUGEINT) * (n - 1)) AS var_e6
+                FROM j
+            )
+            SELECT arm,
+                   CAST(n AS BIGINT) AS n_users,
+                   CAST(mean_e6 AS DOUBLE) / 1e6 AS mean_post,
+                   CASE WHEN dxx_p > 0 THEN
+                       round(my - theta * (mx - mxp), 6) + 0.0 END AS mean_cuped,
+                   CASE WHEN dxx_p > 0 THEN round(theta, 6) + 0.0 END AS theta,
+                   CAST(var_e6 AS DOUBLE) / 1e6 AS var_post,
+                   CASE WHEN dxx_p > 0 THEN
+                       round((dyy - 2 * theta * dxy + theta * theta * dxx)
+                             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+                             / 10000.0, 6) + 0.0 END AS var_cuped,
+                   CASE WHEN dxx_p > 0 AND var_y > 0 THEN
+                       round(1.0 - ((dyy - 2 * theta * dxy
+                                     + theta * theta * dxx)
+                                    / (CAST(n AS DOUBLE)
+                                       * (CAST(n AS DOUBLE) - 1)) / 10000.0)
+                                   / var_y, 6) + 0.0 END AS var_reduction
+            FROM m ORDER BY arm
         """,
         "dq_ab_ttest": """
             WITH g AS (

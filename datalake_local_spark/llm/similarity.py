@@ -1804,3 +1804,121 @@ def cosine_threshold_sweep(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("threshold_pct")
     )
+
+
+def label_separation_geometry(embeddings: DataFrame) -> DataFrame:
+    """Label-geometry separation screen: pairwise cosine between label
+    CENTROIDS plus each label's within-class cohesion (mean member
+    cosine to its own centroid) — the feasibility report to read
+    BEFORE trusting ``knn_label_transfer`` or training a linear probe:
+    well-separated tight classes (cohesion ≫ cross-centroid cosine)
+    transfer cleanly; overlapping centroids predict label noise. The
+    Fisher-discriminant intuition (between-class vs within-class
+    scatter, Fisher 1936 — public) expressed in cosine geometry.
+
+    The algebraic core that keeps it exact: centroid cosine does not
+    need the centroids — cos(c_a, c_b) = Σ_d s_a[d]·s_b[d] /
+    (‖s_a‖·‖s_b‖) because the 1/n factors cancel, so everything up to
+    the final divide/sqrt is INTEGER arithmetic over floor(v·10⁶)
+    micro-units (floor has no half-way case — the dim_profile
+    determinism discipline) in DECIMAL(38,0)/HUGEINT. Member cohesion
+    likewise: cos(v, c) = Σ qv·s / √(Σqv²·Σs²); per-member cosines are
+    floor-quantized to 1e-6 and SUMMED AS INTEGERS, so the class mean
+    is an exact-integer ratio — no float-accumulation order anywhere.
+
+    Scale shape: one posexplode to (label, dim) micro-unit sums
+    (map-side combined; shuffle carries labels × dims rows), a
+    (labels²·dims)-row centroid-pair join at dim grain — bounded by
+    the LABEL vocabulary, never the table — and one member-grain
+    re-join for cohesion keyed on (label, dim): linear in table size,
+    broadcast-sized right side. No window, no skew surface."""
+    qv = F.floor(F.col("v") * F.lit(1000000.0)).cast("long")
+    e = embeddings.select(
+        "vec_id", "label",
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "v"),
+    ).select("vec_id", "label", "dim", qv.alias("qv"))
+    sums = e.groupBy("label", "dim").agg(
+        F.sum("qv").cast("decimal(38,0)").alias("s")
+    )
+    n_label = embeddings.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    norm2 = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("c2"))
+    # member cohesion: dot(v_i, s_label) and ||v_i||² in exact integers
+    member = (
+        e.join(F.broadcast(sums), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("qv").cast("decimal(38,0)") * F.col("s")).alias("dot"),
+            F.sum(
+                F.col("qv").cast("decimal(38,0)") * F.col("qv").cast("decimal(38,0)")
+            ).alias("v2"),
+        )
+        .join(F.broadcast(norm2), "label")
+        .select(
+            "label",
+            F.floor(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("v2").cast("double") * F.col("c2").cast("double"))
+                * F.lit(1000000.0)
+            ).cast("long").alias("cos_e6"),
+        )
+    )
+    cohesion = member.groupBy("label").agg(
+        F.sum("cos_e6").alias("sum_cos_e6"), F.count("*").alias("n_m")
+    ).select(
+        "label",
+        (
+            F.col("sum_cos_e6").cast("double")
+            / F.col("n_m").cast("double")
+            / F.lit(1e6)
+        ).alias("within_cos"),
+    )
+    a = sums.alias("a")
+    b = sums.alias("b")
+    pair_dot = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("dot_ab"))
+    )
+    na = norm2.select(F.col("label").alias("label_a"), F.col("c2").alias("c2_a"))
+    nb = norm2.select(F.col("label").alias("label_b"), F.col("c2").alias("c2_b"))
+    wa = cohesion.select(
+        F.col("label").alias("label_a"), F.col("within_cos").alias("within_a")
+    )
+    wb = cohesion.select(
+        F.col("label").alias("label_b"), F.col("within_cos").alias("within_b")
+    )
+    ka = n_label.select(F.col("label").alias("label_a"), F.col("n_vecs").alias("n_a"))
+    kb = n_label.select(F.col("label").alias("label_b"), F.col("n_vecs").alias("n_b"))
+    cos_ab = F.col("dot_ab").cast("double") / F.sqrt(
+        F.col("c2_a").cast("double") * F.col("c2_b").cast("double")
+    )
+    return (
+        pair_dot.join(na, "label_a").join(nb, "label_b")
+        .join(wa, "label_a").join(wb, "label_b")
+        .join(ka, "label_a").join(kb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.round(cos_ab, 6) + F.lit(0.0)).alias("centroid_cos"),
+            # UNROUNDED exact-integer ratios (the dim_profile mean_v
+            # rule): rounding S/(n·1e6) at 6dp sits on its own grid's
+            # exact halves, where the engines' rounding modes diverge
+            F.col("within_a").alias("within_a"),
+            F.col("within_b").alias("within_b"),
+            (
+                F.round(
+                    (F.col("within_a") + F.col("within_b")) / 2 - cos_ab, 6
+                )
+                + F.lit(0.0)
+            ).alias("separation_margin"),
+        )
+        .orderBy("label_a", "label_b")
+    )

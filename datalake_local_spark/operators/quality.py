@@ -707,3 +707,119 @@ def psi_drift(orders: DataFrame) -> DataFrame:
         .withColumn("psi_contrib", F.col("psi_contrib").cast("double"))
         .orderBy("band")
     )
+
+
+def cuped_adjustment(events: DataFrame) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker 2013, "Improving the Sensitivity of Online Controlled
+    Experiments by Utilizing Pre-Experiment Data", WSDM — public): the
+    adjusted metric Ŷ = Y − θ·(X − E[X]) with θ = cov(X, Y)/var(X)
+    removes the variance Y shares with a pre-experiment covariate X,
+    shrinking confidence intervals without biasing the treatment
+    effect — THE standard readout upgrade on every large
+    experimentation platform, sitting next to ``ab_welch_ttest`` on
+    the quality shelf.
+
+    Harness derivation (deterministic, engine-portable): the timeline
+    splits at the midpoint of the event-time range (exact integer
+    micros, floor-div); per user, X = pre-period spend and Y =
+    post-period spend in exact integer cents; arms assigned by md5
+    parity of the user id (the repo's deterministic-bucket discipline,
+    never engine hash).
+
+    Determinism: all second moments (Σx, Σy, Σxy, Σxx, Σyy per arm
+    and pooled) are DECIMAL(38,0)/HUGEINT sums of integer cents —
+    exact regardless of partial-agg order — then θ, the adjusted
+    means, and the per-arm variance of Ŷ (var Y − 2θ cov + θ² var X)
+    are one identical IEEE expression tree per column, rounded at 6dp
+    with +0.0 signed-zero normalization; 0/0 guarded to NULL when
+    var(X) = 0.
+
+    Scale shape: one user-grain groupBy of the fact table (map-side
+    combined), a 1-row broadcast for the time midpoint and the pooled
+    moments, then a 2-row arm aggregate — no window, no skew surface
+    beyond user activity itself."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = events.agg(
+        ((F.min(us) + F.max(us)) - (F.min(us) + F.max(us)) % 2).alias("mid2")
+    ).select((F.col("mid2") / 2).cast("long").alias("mid_us"))
+    cents = (F.col("value").cast("decimal(18,6)") * 100).cast("long")
+    per_user = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(us < F.col("mid_us"), cents)), F.lit(0)
+            ).alias("x_c"),
+            F.coalesce(
+                F.sum(F.when(us >= F.col("mid_us"), cents)), F.lit(0)
+            ).alias("y_c"),
+        )
+        .select(
+            F.when(
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                       16, 10).cast("long") % 2 == 0,
+                "A",
+            ).otherwise("B").alias("arm"),
+            "x_c",
+            "y_c",
+        )
+    )
+    xd = F.col("x_c").cast("decimal(38,0)")
+    yd = F.col("y_c").cast("decimal(38,0)")
+    arm_g = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    pooled = arm_g.agg(
+        F.sum("n").alias("np"),
+        F.sum("sx").alias("sxp"),
+        F.sum("sy").alias("syp"),
+        F.sum("sxy").alias("sxyp"),
+        F.sum("sxx").alias("sxxp"),
+    )
+    j = arm_g.crossJoin(F.broadcast(pooled))
+    npd = F.col("np").cast("decimal(38,0)")
+    dxx_p = (npd * F.col("sxxp") - F.col("sxp") * F.col("sxp")).cast("double")
+    dxy_p = (npd * F.col("sxyp") - F.col("sxp") * F.col("syp")).cast("double")
+    theta = dxy_p / dxx_p  # pooled θ, one value repeated per arm row
+    nd = F.col("n").cast("decimal(38,0)")
+    n_f = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n_f / 100.0
+    my = F.col("sy").cast("double") / n_f / 100.0
+    mx_pool = F.col("sxp").cast("double") / F.col("np").cast("double") / 100.0
+    # per-arm centered second moments (exact integer deltas → double)
+    dyy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    dxx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dxy = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_y = dyy / (n_f * (n_f - 1)) / 10000.0
+    var_adj = (
+        dyy - 2 * theta * dxy + theta * theta * dxx
+    ) / (n_f * (n_f - 1)) / 10000.0
+    # mean_post and var_post are PURE RATIONALS of integer moments —
+    # the exact-6dp-half class the r11 sweep caught in monthly_rollup —
+    # so both round via exact integer half-up arithmetic; every
+    # θ-bearing output is irrational-product-valued (safe at 6dp, the
+    # sqrt/log rule)
+    mean_e6 = F.expr("(2 * sy * 10000 + n) div (2 * n)")
+    var_e6 = F.expr("(2 * dyy_d * 100 + n * (n - 1)) div (2 * n * (n - 1))")
+    guard = dxx_p > 0
+    j = j.withColumn("dyy_d", (nd * F.col("syy") - F.col("sy") * F.col("sy")))
+    return j.select(
+        "arm",
+        F.col("n").cast("long").alias("n_users"),
+        (mean_e6.cast("double") / F.lit(1e6)).alias("mean_post"),
+        F.when(
+            guard, F.round(my - theta * (mx - mx_pool), 6) + F.lit(0.0)
+        ).alias("mean_cuped"),
+        F.when(guard, F.round(theta, 6) + F.lit(0.0)).alias("theta"),
+        (var_e6.cast("double") / F.lit(1e6)).alias("var_post"),
+        F.when(guard, F.round(var_adj, 6) + F.lit(0.0)).alias("var_cuped"),
+        F.when(
+            guard & (var_y > 0), F.round(1.0 - var_adj / var_y, 6) + F.lit(0.0)
+        ).alias("var_reduction"),
+    ).orderBy("arm")

@@ -3443,3 +3443,58 @@ def test_lpa_local_matches_distributed(spark):
     loc = sorted(tuple(r) for r in
                  dedup.lpa_communities(docs, pairs=pairs, local_threshold=10_000).collect())
     assert dist == loc and len(dist) >= 2
+
+
+def test_label_separation_matches_numpy(spark):
+    """Centroid cosine and within-class cohesion against plain numpy on
+    a hand-built 3-label toy: label 0 along +x, label 1 along +y
+    (orthogonal → centroid_cos ≈ 0), label 2 split between them."""
+    import numpy as np
+
+    from datalake_local_spark.llm import similarity
+
+    vecs = [
+        (0, [1.0, 0.02, 0.0, 0.0], 0),
+        (1, [0.9, -0.03, 0.0, 0.0], 0),
+        (2, [0.01, 1.0, 0.0, 0.0], 1),
+        (3, [-0.02, 0.8, 0.0, 0.0], 1),
+        (4, [0.7, 0.7, 0.0, 0.0], 2),
+        (5, [0.6, 0.75, 0.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["label_a"], r["label_b"]): r
+        for r in similarity.label_separation_geometry(df).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+
+    # numpy reference with the same floor-1e-6 quantization
+    # the column is array<float>: values round-trip through float32
+    # before the engine's double cast, so the reference must too
+    q = {
+        lab: np.array(
+            [
+                np.floor(np.array(v, dtype=np.float32).astype(np.float64) * 1e6)
+                for _, v, l in vecs
+                if l == lab
+            ]
+        )
+        for lab in (0, 1, 2)
+    }
+    for (a, b), row in got.items():
+        sa, sb = q[a].sum(axis=0), q[b].sum(axis=0)
+        want = sa @ sb / np.sqrt((sa @ sa) * (sb @ sb))
+        assert abs(row["centroid_cos"] - round(want, 6)) < 1e-9
+        # cohesion: mean floor-quantized member-to-centroid cosine
+        for lab, col in ((a, "within_a"), (b, "within_b")):
+            s = q[lab].sum(axis=0)
+            cos = [
+                np.floor(v @ s / np.sqrt((v @ v) * (s @ s)) * 1e6) / 1e6
+                for v in q[lab]
+            ]
+            assert abs(row[col] - np.mean(cos)) < 1e-9
+    # orthogonal classes: near-zero centroid cosine, strong margin
+    assert abs(got[(0, 1)]["centroid_cos"]) < 0.05
+    assert got[(0, 1)]["separation_margin"] > 0.9

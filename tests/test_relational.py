@@ -1600,3 +1600,57 @@ def test_latency_percentile_trend_hand_computed(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["n_events"], r["p50"], r["p95"]) == (5, 3.0, 4.8)
+
+
+def test_cuped_matches_numpy_reference(spark):
+    """CUPED θ and adjusted means against a plain numpy computation on
+    the same synthetic per-user (pre, post) pairs — the public Deng et
+    al. 2013 formulas, no Spark in the reference path."""
+    import datetime
+
+    import numpy as np
+
+    from datalake_local_spark.operators import quality
+
+    rows = []
+    eid = 0
+    # 12 users, deterministic spends; two events each (one pre, one post)
+    for u in range(1, 13):
+        pre = float(10 + 3 * u + (u % 3))
+        post = float(20 + 2 * u + (u % 5))
+        rows.append((eid, datetime.datetime(2024, 1, 1, 0, 0, u), u, "view", pre, "{}"))
+        eid += 1
+        rows.append((eid, datetime.datetime(2024, 1, 3, 0, 0, u), u, "view", post, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r["arm"]: r for r in quality.cuped_adjustment(ev).collect()}
+
+    # numpy reference with the same md5-parity arm assignment
+    import hashlib
+
+    def arm(u):
+        return "A" if int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2 == 0 else "B"
+
+    xs, ys, arms = [], [], []
+    for u in range(1, 13):
+        xs.append(10 + 3 * u + (u % 3))
+        ys.append(20 + 2 * u + (u % 5))
+        arms.append(arm(u))
+    x, y = np.array(xs), np.array(ys)
+    theta = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+             / (len(x) * (x * x).sum() - x.sum() ** 2))
+    mx_pool = x.mean()
+    for a in ("A", "B"):
+        sel = np.array(arms) == a
+        assert got[a]["n_users"] == int(sel.sum())
+        assert abs(got[a]["theta"] - theta) < 1e-5
+        want_adj = y[sel].mean() - theta * (x[sel].mean() - mx_pool)
+        assert abs(got[a]["mean_cuped"] - want_adj) < 1e-5
+        assert abs(got[a]["mean_post"] - y[sel].mean()) < 1e-5
+    # pooled variance reduction must be non-negative by construction
+    n_a, n_b = got["A"]["n_users"], got["B"]["n_users"]
+    pooled_red = (n_a * got["A"]["var_reduction"] + n_b * got["B"]["var_reduction"])
+    assert got["A"]["var_post"] > 0 and got["B"]["var_post"] > 0
