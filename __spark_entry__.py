@@ -267,6 +267,8 @@ _CERTIFY_FIRST = [
     "ivm_rollup_refresh",  # NEW r12: O(delta) incremental view maintenance
     "dq_cuped",  # NEW r12: CUPED variance-reduced experiment readout
     "sim_label_separation",  # NEW r12: Fisher-style centroid geometry screen
+    "pipeline_quality_sweep",  # NEW r12: gate-threshold retention ablation
+    "pipeline_temperature_mix",  # NEW r12: sqrt-chain temperature sampling table
     # ---- round-12 head: code/oracle CHANGED this round (r11 verdict:
     # rewritten queries must be driver-re-certified) ----
     "dedup_jaccard_prefix",  # r12: rational-threshold integer prefix bound
@@ -323,10 +325,8 @@ _CERTIFY_FIRST = [
     "mm_frame_sample",
     "pivot_status_by_priority",
     "semantic_prediction_join",
-    "events_funnel",
-    "merge_upsert",
     # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
-    # scd2_versions, streaming_tumbling, streaming_dedup,
+    # events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
     # sim_random_projection, agg_approx_percentiles,
     # text_chunk_rolling_hash, events_ewma, text_frequent_tokens,
     # then the r5 cohort (agg_cube, agg_grouping_sets, agg_argmax,
@@ -737,6 +737,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": lambda s, d: text.benchmark_contamination(*_t(s, d, "documents")),
         "text_pack_sequences": lambda s, d: text.pack_sequences(*_t(s, d, "documents")),
         "text_quality_gate": lambda s, d: text.quality_gate(*_t(s, d, "documents")),
+        "pipeline_quality_sweep": lambda s, d: text.quality_threshold_sweep(*_t(s, d, "documents")),
         "agg_mad_outliers": lambda s, d: agg.mad_outliers(*_t(s, d, "events")),
         "agg_trend_regression": lambda s, d: agg.trend_regression(*_t(s, d, "events")),
         # round-8 wave 1
@@ -826,6 +827,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "events_autocorrelation": lambda s, d: windows.daily_autocorrelation(*_t(s, d, "events")),
         "pipeline_token_budget": lambda s, d: llm_pipeline.token_budget_allocation(*_t(s, d, "documents")),
+        "pipeline_temperature_mix": lambda s, d: llm_pipeline.temperature_mixture_allocation(*_t(s, d, "documents")),
         "events_growth_accounting": lambda s, d: funnel.growth_accounting(*_t(s, d, "events")),
         "dedup_cosine_sweep": lambda s, d: similarity.cosine_threshold_sweep(*_t(s, d, "embeddings")),
         # rows-only (stateful streaming): batch-parity vs a pure-python
@@ -5237,6 +5239,76 @@ def oracle_sql() -> dict[str, str]:
                    (10000 * returned_cents) // billed_cents
                        AS returned_value_bps
             FROM g ORDER BY 1
+        """,
+        "pipeline_temperature_mix": f"""
+            WITH counts AS (
+                SELECT source,
+                       CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY 1
+            ),
+            taus AS (
+                SELECT unnest(['tau_0.25', 'tau_0.50', 'tau_1.00']) AS tau
+            ),
+            weighted AS (
+                SELECT tau, source, n_tokens,
+                       CAST(floor(CASE tau
+                           WHEN 'tau_0.25'
+                               THEN sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+                           WHEN 'tau_0.50'
+                               THEN sqrt(CAST(n_tokens AS DOUBLE))
+                           ELSE CAST(n_tokens AS DOUBLE) END
+                           * 1000000.0) AS HUGEINT) AS wq
+                FROM counts, taus
+            ),
+            quota AS (
+                SELECT tau, source, n_tokens,
+                       CAST(wq AS BIGINT) AS weight_e6,
+                       (CAST(1000000 AS HUGEINT) * wq)
+                           // sum(wq) OVER (PARTITION BY tau) AS base,
+                       (CAST(1000000 AS HUGEINT) * wq)
+                           % sum(wq) OVER (PARTITION BY tau) AS rem
+                FROM weighted
+            ),
+            ranked AS (
+                SELECT tau, source, n_tokens, weight_e6, base,
+                       row_number() OVER (PARTITION BY tau
+                                          ORDER BY rem DESC, source) AS rk,
+                       1000000 - sum(base) OVER (PARTITION BY tau) AS leftover
+                FROM quota
+            )
+            SELECT tau, source, n_tokens, weight_e6,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc_tokens
+            FROM ranked ORDER BY tau, source
+        """,
+        "pipeline_quality_sweep": f"""
+            WITH graded AS (
+                SELECT (10000 * len(list_filter(string_split({_NORM}, ' '),
+                           t -> t IN ('the','a','and','of','to','in','is'))))
+                       // len(string_split({_NORM}, ' ')) AS stop_bps,
+                       CAST(len(string_split({_NORM}, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ),
+            grid AS (
+                SELECT unnest([500, 1000, 1500, 2000, 3000]) AS cutoff_bps
+            )
+            SELECT CAST(cutoff_bps AS BIGINT) AS cutoff_bps,
+                   CAST(sum(CASE WHEN stop_bps >= cutoff_bps
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+                   (10000 * CAST(sum(CASE WHEN stop_bps >= cutoff_bps
+                                          THEN 1 ELSE 0 END) AS BIGINT))
+                       // count(*) AS docs_share_bps,
+                   CAST(coalesce(sum(CASE WHEN stop_bps >= cutoff_bps
+                                          THEN n_tokens END), 0) AS BIGINT)
+                       AS tokens_kept,
+                   (10000 * CAST(coalesce(sum(CASE WHEN stop_bps >= cutoff_bps
+                                               THEN n_tokens END), 0)
+                                 AS BIGINT))
+                       // CAST(sum(n_tokens) AS BIGINT) AS tokens_share_bps
+            FROM graded, grid
+            GROUP BY cutoff_bps ORDER BY cutoff_bps
         """,
         "text_quality_by_source": f"""
             WITH graded AS (

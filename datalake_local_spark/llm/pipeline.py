@@ -920,3 +920,95 @@ def leakage_safe_split(
         .crossJoin(F.broadcast(violations))
         .orderBy("split")
     )
+
+
+def temperature_mixture_allocation(
+    documents: DataFrame, budget: int = 1_000_000
+) -> DataFrame:
+    """Temperature-scaled mixture sampling table: for each sampling
+    temperature τ the per-source token allocation under weights
+    wᵢ ∝ nᵢ^τ — the standard rebalancing dial for heterogeneous corpora
+    (multilingual sampling, Conneau & Lample 2019 XLM §3.1; Arivazhagan
+    et al. 2019 M4; T5's examples-proportional mixing, Raffel et al.
+    2020 — all public): τ = 1 keeps natural proportions, lower τ
+    up-samples the tail sources. Composes the Hamilton
+    largest-remainder allocator (``token_budget_allocation``) per
+    temperature row.
+
+    Cross-engine determinism is the design constraint for the
+    fractional powers: τ is restricted to {0.25, 0.5, 1.0} so every
+    weight is a SQRT CHAIN over an exact integer count — IEEE-754
+    requires sqrt to be correctly rounded (unlike pow/exp, where JVM
+    and C libm may differ in the last ulp), so the doubles are
+    bit-identical on both engines; weights are then floor-quantized to
+    integer micro-units and the whole apportionment (quota, remainder,
+    ranking, top-ups) is exact integer arithmetic. Σ alloc == budget
+    per τ structurally.
+
+    Scale: one source-grain aggregate over the corpus; a |τ|×|sources|
+    bounded grid; windows partitioned BY τ over the source dimension
+    only."""
+    from pyspark.sql import Window as W
+
+    norm = _norm_text(F.col("text"))
+    counts = (
+        documents.select("source", F.size(F.split(norm, " ")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_tokens"))
+    )
+    taus = documents.sparkSession.createDataFrame(
+        [("tau_0.25",), ("tau_0.50",), ("tau_1.00",)], "tau string"
+    )
+    n_d = F.col("n_tokens").cast("double")
+    w_raw = (
+        F.when(F.col("tau") == "tau_0.25", F.sqrt(F.sqrt(n_d)))
+        .when(F.col("tau") == "tau_0.50", F.sqrt(n_d))
+        .otherwise(n_d)
+    )
+    weighted = counts.crossJoin(F.broadcast(taus)).select(
+        "tau",
+        "source",
+        "n_tokens",
+        F.floor(w_raw * F.lit(1e6)).cast("decimal(38,0)").alias("wq"),
+    )
+    w_tau = W.partitionBy("tau")
+    quota = weighted.select(
+        "tau",
+        "source",
+        "n_tokens",
+        F.col("wq").cast("long").alias("weight_e6"),
+        F.sum("wq").over(w_tau).alias("denom"),
+    ).select(
+        "tau",
+        "source",
+        "n_tokens",
+        "weight_e6",
+        F.expr(f"(cast({budget} as decimal(38,0)) * weight_e6) div denom")
+        .cast("long")
+        .alias("base"),
+        F.expr(f"(cast({budget} as decimal(38,0)) * weight_e6) % denom")
+        .cast("decimal(38,0)")
+        .alias("rem"),
+    )
+    w_rank = W.partitionBy("tau").orderBy(F.col("rem").desc(), F.col("source"))
+    return (
+        quota.select(
+            "tau",
+            "source",
+            "n_tokens",
+            "weight_e6",
+            "base",
+            F.row_number().over(w_rank).alias("rk"),
+            (F.lit(budget) - F.sum("base").over(w_tau)).alias("leftover"),
+        )
+        .select(
+            "tau",
+            "source",
+            "n_tokens",
+            "weight_e6",
+            (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .orderBy("tau", "source")
+    )

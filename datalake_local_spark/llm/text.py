@@ -1963,3 +1963,56 @@ def quality_by_source(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source", "stop_band")
     )
+
+
+def quality_threshold_sweep(
+    documents: DataFrame, cutoffs_bps: tuple[int, ...] = (500, 1000, 1500, 2000, 3000)
+) -> DataFrame:
+    """Gate-threshold ablation table: for each candidate MINIMUM
+    stopword-share cutoff (too few stopwords = gibberish/OCR noise,
+    the Gopher C4-style dial), how many documents and tokens survive —
+    the data-volume-vs-strictness curve a pipeline owner reads before
+    committing a gate threshold (the ``cosine_threshold_sweep``
+    discipline applied to the quality gate instead of the dedup
+    threshold).
+
+    Determinism: the per-doc stopword share is EXACT integer basis
+    points ``(10000·n_stop) div n_tokens`` compared against integer
+    cutoffs — never a float ratio, so boundary docs cannot flip between
+    engines; retained shares are integer bps of exact totals.
+
+    Scale shape: ONE scan computes (stop_bps, n_tokens) per doc, a
+    broadcast |cutoffs|-row grid fans each doc into its conditional
+    counts, and a cutoff-grain map-side-combined aggregate emits the
+    table — never one scan per cutoff. The 1-row corpus totals come
+    from the same aggregate via the ALL row trick (cutoff 0 keeps
+    everything when every doc has n_tokens ≥ 1)."""
+    c = _quality_counts()
+    graded = documents.select(
+        (F.lit(10000) * c["n_stop"]).cast("long").alias("stop_e4"),
+        c["n_tokens"].cast("long").alias("n_tokens"),
+    ).select(
+        F.expr("stop_e4 div n_tokens").alias("stop_bps"), "n_tokens"
+    )
+    grid = documents.sparkSession.createDataFrame(
+        [(int(cb),) for cb in sorted(cutoffs_bps)], "cutoff_bps long"
+    )
+    swept = graded.crossJoin(F.broadcast(grid)).groupBy("cutoff_bps").agg(
+        F.count("*").alias("total_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("stop_bps") >= F.col("cutoff_bps"), 1).otherwise(0))
+        .alias("docs_kept"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("stop_bps") >= F.col("cutoff_bps"), F.col("n_tokens"))
+            ),
+            F.lit(0),
+        ).alias("tokens_kept"),
+    )
+    return swept.select(
+        "cutoff_bps",
+        F.col("docs_kept").cast("long").alias("docs_kept"),
+        F.expr("(10000 * docs_kept) div total_docs").alias("docs_share_bps"),
+        F.col("tokens_kept").cast("long").alias("tokens_kept"),
+        F.expr("(10000 * tokens_kept) div total_tokens").alias("tokens_share_bps"),
+    ).orderBy("cutoff_bps")

@@ -3498,3 +3498,53 @@ def test_label_separation_matches_numpy(spark):
     # orthogonal classes: near-zero centroid cosine, strong margin
     assert abs(got[(0, 1)]["centroid_cos"]) < 0.05
     assert got[(0, 1)]["separation_margin"] > 0.9
+
+
+def test_quality_sweep_monotone_and_exact(spark):
+    """Planted docs with known stopword shares: retention must be
+    monotone non-increasing in the cutoff and the bps shares exact."""
+    from datalake_local_spark.llm import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the a and of to in is the a and", "s1"),  # 10/10 stop
+            (2, "the cat sat on mats quietly today ok", "s1"),  # 1/8
+            (3, "zx qv wk jn pq rs tu vw", "s1"),  # 0/8 gibberish
+            (4, "the and of to xx yy zz ww", "s1"),  # 4/8 = 5000 bps
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["cutoff_bps"]: r for r in t.quality_threshold_sweep(docs).collect()}
+    kept = [rows[c]["docs_kept"] for c in sorted(rows)]
+    assert kept == sorted(kept, reverse=True)
+    # cutoff 3000: docs 1 (10000 bps) and 4 (5000 bps) survive
+    assert rows[3000]["docs_kept"] == 2
+    assert rows[3000]["tokens_kept"] == 18
+    assert rows[3000]["docs_share_bps"] == 5000  # 2 of 4 docs
+    # cutoff 500: doc 2 (1250 bps) also survives; doc 3 never does
+    assert rows[500]["docs_kept"] == 3
+
+
+def test_temperature_mix_budget_and_flattening(spark):
+    """Temperature sampling invariants: every τ's allocations sum to
+    the budget exactly, τ=1 is proportional, and lower τ strictly
+    narrows the allocation gap between the largest and smallest
+    source."""
+    from datalake_local_spark.llm import pipeline as p
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (1 if i % 10 else 90), "big" if i % 10 == 0 else "small")
+         for i in range(1, 101)],
+        "doc_id long, text string, source string",
+    )
+    out = p.temperature_mixture_allocation(docs, budget=10000).collect()
+    by_tau: dict = {}
+    for r in out:
+        by_tau.setdefault(r["tau"], {})[r["source"]] = r
+    for tau, srcs in by_tau.items():
+        assert sum(r["alloc_tokens"] for r in srcs.values()) == 10000
+    gap = {
+        tau: abs(srcs["big"]["alloc_tokens"] - srcs["small"]["alloc_tokens"])
+        for tau, srcs in by_tau.items()
+    }
+    assert gap["tau_0.25"] < gap["tau_0.50"] < gap["tau_1.00"]
