@@ -269,6 +269,8 @@ _CERTIFY_FIRST = [
     "sim_label_separation",  # NEW r12: Fisher-style centroid geometry screen
     "pipeline_quality_sweep",  # NEW r12: gate-threshold retention ablation
     "pipeline_temperature_mix",  # NEW r12: sqrt-chain temperature sampling table
+    "dq_mann_kendall",  # NEW r12: nonparametric trend test, tie-corrected
+    "tpch_supplier_hhi",  # NEW r12: integer-bps market concentration
     # ---- round-12 head: code/oracle CHANGED this round (r11 verdict:
     # rewritten queries must be driver-re-certified) ----
     "dedup_jaccard_prefix",  # r12: rational-threshold integer prefix bound
@@ -323,10 +325,8 @@ _CERTIFY_FIRST = [
     "pandas_udaf_geomean",
     "udtf_top_tokens",
     "mm_frame_sample",
-    "pivot_status_by_priority",
-    "semantic_prediction_join",
     # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
-    # events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
+    # pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
     # sim_random_projection, agg_approx_percentiles,
     # text_chunk_rolling_hash, events_ewma, text_frequent_tokens,
     # then the r5 cohort (agg_cube, agg_grouping_sets, agg_argmax,
@@ -761,6 +761,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cm_heavy_hitters": lambda s, d: text.cm_heavy_hitters(*_t(s, d, "documents")),
         "dq_ab_ttest": lambda s, d: quality.ab_welch_ttest(*_t(s, d, "events")),
         "dq_cuped": lambda s, d: quality.cuped_adjustment(*_t(s, d, "events")),
+        "dq_mann_kendall": lambda s, d: quality.mann_kendall_trend(*_t(s, d, "orders")),
         # rows-only: composes two iterative upstreams (components +
         # pagerank); planted hub-vs-min-id keep test
         "dedup_keep_policy": lambda s, d: dedup.canonical_keep_policy(*_t(s, d, "documents")),
@@ -817,6 +818,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_anomaly": lambda s, d: windows.seasonal_anomaly_days(*_t(s, d, "events")),
         "join_full_outer": lambda s, d: joins.full_outer_reconcile(*_t(s, d, "orders", "lineitem")),
         "tpch_realized_margin": lambda s, d: tpch.realized_margin(*_t(s, d, "lineitem", "part")),
+        "tpch_supplier_hhi": lambda s, d: tpch.supplier_concentration_hhi(*_t(s, d, "lineitem", "part")),
         "tpch_order_aging": lambda s, d: tpch.order_aging(*_t(s, d, "orders")),
         "text_quality_by_source": lambda s, d: text.quality_by_source(*_t(s, d, "documents")),
         "tpch_return_rates": lambda s, d: tpch.return_rates(*_t(s, d, "lineitem", "part")),
@@ -5341,6 +5343,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders CROSS JOIN book_end
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "tpch_supplier_hhi": """
+            WITH sup AS (
+                SELECT p_brand AS brand, l_suppkey,
+                       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                                AS DECIMAL(38,0))) AS sup_cents
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2
+            ),
+            shared AS (
+                SELECT brand, l_suppkey,
+                       CAST((10000 * CAST(sup_cents AS HUGEINT))
+                            // CAST(sum(sup_cents)
+                                    OVER (PARTITION BY brand) AS HUGEINT)
+                            AS BIGINT) AS share_bps
+                FROM sup
+            )
+            SELECT brand,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(share_bps * share_bps) // 10000 AS BIGINT)
+                       AS hhi_points,
+                   CAST(max(share_bps) AS BIGINT) AS top_share_bps,
+                   CASE WHEN sum(share_bps * share_bps) // 10000 >= 2500
+                            THEN 'high'
+                        WHEN sum(share_bps * share_bps) // 10000 >= 1500
+                            THEN 'moderate'
+                        ELSE 'unconcentrated' END AS concentration
+            FROM shared GROUP BY 1 ORDER BY 1
+        """,
         "tpch_realized_margin": """
             SELECT p_brand,
                    count(*) AS n_lines,
@@ -6162,6 +6192,60 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p
             JOIN sketch sk ON sk.seed = p.seed AND sk.bucket = p.bucket
             GROUP BY 1, 2
+        """,
+        "dq_mann_kendall": """
+            WITH daily AS (
+                SELECT o_orderstatus AS status,
+                       CAST(o_orderdate AS DATE) AS day,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS c
+                FROM orders GROUP BY 1, 2
+            ),
+            s_stat AS (
+                SELECT a.status,
+                       sum(CASE WHEN b.c > a.c THEN 1
+                                WHEN b.c < a.c THEN -1 ELSE 0 END) AS s
+                FROM daily a JOIN daily b
+                  ON a.status = b.status AND a.day < b.day
+                GROUP BY 1
+            ),
+            n_days AS (SELECT status, count(*) AS n FROM daily GROUP BY 1),
+            ties AS (
+                SELECT status,
+                       sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+                FROM (SELECT status, c, count(*) AS t FROM daily
+                      GROUP BY 1, 2) g
+                WHERE t > 1 GROUP BY 1
+            ),
+            j AS (
+                SELECT n_days.status, n, s,
+                       n * (n - 1) * (2 * n + 5)
+                           - coalesce(tie_term, 0) AS var18
+                FROM n_days
+                JOIN s_stat ON s_stat.status = n_days.status
+                LEFT JOIN ties ON ties.status = n_days.status
+            ),
+            zc AS (
+                SELECT status, n, s, var18,
+                       CASE WHEN var18 > 0 THEN
+                           round(CASE WHEN s > 0 THEN
+                                     (CAST(s AS DOUBLE) - 1)
+                                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                                 WHEN s < 0 THEN
+                                     (CAST(s AS DOUBLE) + 1)
+                                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                                 ELSE 0.0 END, 4) + 0.0 END AS z
+                FROM j
+            )
+            SELECT status,
+                   CAST(n AS BIGINT) AS n_days,
+                   CAST(s AS BIGINT) AS s_stat,
+                   CAST(var18 AS BIGINT) AS var_s_x18,
+                   z,
+                   CASE WHEN z >= 1.96 THEN 'increasing'
+                        WHEN z <= -1.96 THEN 'decreasing'
+                        ELSE 'no_trend' END AS trend
+            FROM zc ORDER BY status
         """,
         "dq_cuped": """
             WITH mid AS (

@@ -823,3 +823,91 @@ def cuped_adjustment(events: DataFrame) -> DataFrame:
             guard & (var_y > 0), F.round(1.0 - var_adj / var_y, 6) + F.lit(0.0)
         ).alias("var_reduction"),
     ).orderBy("arm")
+
+
+def mann_kendall_trend(orders: DataFrame) -> DataFrame:
+    """Mann–Kendall nonparametric trend test (Mann 1945, Kendall 1975 —
+    public) on the daily-revenue series, per order status: S =
+    Σ_{i<j} sign(xⱼ − xᵢ) over day pairs, tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)]/18, and the
+    continuity-corrected z — the distribution-free "is this metric
+    actually trending" screen that, unlike ``trend_regression``'s
+    least-squares slope, is immune to outliers and monotone
+    transforms.
+
+    Determinism: daily revenue is exact integer cents, so every
+    pairwise sign is exact; S and the variance NUMERATOR (kept ×18 as
+    an integer) are integer sums; z is one identical IEEE tree over
+    them (sqrt-derived → safe at 4dp), +0.0 for the signed zero a
+    tieless flat series yields.
+
+    Scale shape: the day-pair self-join is quadratic in DAYS (a
+    bounded calendar dimension, ~2.5k days here, never table-sized)
+    and co-partitioned on status; daily revenue and tie counts are
+    map-side-combined aggregates of the fact table. At 100 TB the
+    fact scan dominates; the pair stage stays O(|days|²·|statuses|)."""
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+    daily = orders.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.sum(cents).alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s_stat = (
+        a.join(
+            b,
+            (F.col("a.status") == F.col("b.status"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.status").alias("status"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    n_days = daily.groupBy("status").agg(F.count("*").alias("n"))
+    ties = (
+        daily.groupBy("status", "c")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("status")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    j = (
+        n_days.join(s_stat, "status")
+        .join(ties, "status", "left")
+        .select(
+            "status",
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce("tie_term", F.lit(0))
+            ).alias("var18"),
+        )
+    )
+    sd = F.col("s").cast("double")
+    z = F.when(
+        F.col("var18") > 0,
+        F.when(F.col("s") > 0, (sd - 1) / F.sqrt(F.col("var18").cast("double") / 18.0))
+        .when(F.col("s") < 0, (sd + 1) / F.sqrt(F.col("var18").cast("double") / 18.0))
+        .otherwise(F.lit(0.0)),
+    )
+    zr = F.round(z, 4) + F.lit(0.0)
+    return j.select(
+        "status",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.col("var18").cast("long").alias("var_s_x18"),
+        zr.alias("z"),
+        F.when(zr >= 1.96, "increasing")
+        .when(zr <= -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    ).orderBy("status")

@@ -1213,3 +1213,60 @@ def return_rates(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def supplier_concentration_hhi(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Supplier-concentration screen per brand: the Herfindahl–
+    Hirschman index (HHI — the DOJ/FTC market-concentration measure,
+    public) of each supplier's revenue share within a brand, plus the
+    top-supplier share — the procurement-risk view of the supply base
+    ("is this brand single-sourced?"), classified with the standard
+    DOJ bands (< 1500 unconcentrated, 1500-2500 moderate, ≥ 2500
+    high).
+
+    Determinism: revenue is exact DECIMAL(38,0) cents; shares are
+    integer basis points ``(10000·sup_cents) div brand_cents`` and
+    HHI = Σ share_bps² div 10000 — the conventional 0-10000 point
+    scale in pure integer arithmetic, no float division anywhere.
+
+    Scale shape: one partkey-co-partitioned lineitem⨝part join (the
+    realized_margin shuffle), a (brand, supplier)-grain map-side
+    combined aggregate, then brand-grain windows over the SUPPLIER
+    dimension (bounded per brand) for shares and the index."""
+    from pyspark.sql import Window as W
+
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(38,0)"
+    )
+    sup = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
+        .agg(F.sum(cents).alias("sup_cents"))
+    )
+    w_brand = W.partitionBy("brand")
+    shared = sup.select(
+        "brand",
+        "l_suppkey",
+        F.expr("(10000 * sup_cents) div (sum(sup_cents) OVER (PARTITION BY brand))")
+        .cast("long")
+        .alias("share_bps"),
+    )
+    return (
+        shared.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.expr("sum(share_bps * share_bps) div 10000").alias("hhi_points"),
+            F.max("share_bps").cast("long").alias("top_share_bps"),
+        )
+        .select(
+            "brand",
+            "n_suppliers",
+            "hhi_points",
+            "top_share_bps",
+            F.when(F.col("hhi_points") >= 2500, "high")
+            .when(F.col("hhi_points") >= 1500, "moderate")
+            .otherwise("unconcentrated")
+            .alias("concentration"),
+        )
+        .orderBy("brand")
+    )

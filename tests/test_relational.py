@@ -1654,3 +1654,56 @@ def test_cuped_matches_numpy_reference(spark):
     n_a, n_b = got["A"]["n_users"], got["B"]["n_users"]
     pooled_red = (n_a * got["A"]["var_reduction"] + n_b * got["B"]["var_reduction"])
     assert got["A"]["var_post"] > 0 and got["B"]["var_post"] > 0
+
+
+def test_mann_kendall_hand_computed(spark):
+    """Strictly increasing daily revenue: S = n(n−1)/2 = 45, no ties,
+    Var·18 = n(n−1)(2n+5) = 2250, z = 44/√125 → 'increasing'; a flat
+    series is all ties → zero variance → NULL z, 'no_trend'."""
+    import datetime
+    import math
+
+    from datalake_local_spark.operators import quality
+
+    rows = []
+    k = 1
+    for d in range(10):
+        rows.append((k, 1, "O", float(100 + d), datetime.date(2024, 1, d + 1), "1-URGENT"))
+        k += 1
+        rows.append((k, 1, "F", 50.0, datetime.date(2024, 1, d + 1), "1-URGENT"))
+        k += 1
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    got = {r["status"]: r for r in quality.mann_kendall_trend(orders).collect()}
+    o = got["O"]
+    assert (o["n_days"], o["s_stat"], o["var_s_x18"]) == (10, 45, 2250)
+    assert abs(o["z"] - round(44 / math.sqrt(2250 / 18.0), 4)) < 1e-9
+    assert o["trend"] == "increasing"
+    f = got["F"]
+    assert (f["s_stat"], f["var_s_x18"], f["z"], f["trend"]) == (0, 0, None, "no_trend")
+
+
+def test_supplier_hhi_hand_computed(spark):
+    """Two brands: one single-sourced (HHI = 10000, 'high'), one with
+    an even 4-way split (HHI = 2500² shares → 4·2500² / 10⁴ = 2500,
+    boundary-'high' by the ≥ rule)."""
+    from datalake_local_spark.operators import tpch
+
+    li = spark.createDataFrame(
+        [(1, 1, 100.0), (1, 1, 50.0)]
+        + [(2, s, 25.0) for s in (1, 2, 3, 4)],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "MONO"), (2, "QUAD")], "p_partkey long, p_brand string"
+    )
+    got = {r["brand"]: r for r in tpch.supplier_concentration_hhi(li, part).collect()}
+    m = got["MONO"]
+    assert (m["n_suppliers"], m["hhi_points"], m["top_share_bps"], m["concentration"]) == (
+        1, 10000, 10000, "high")
+    q = got["QUAD"]
+    assert (q["n_suppliers"], q["hhi_points"], q["top_share_bps"], q["concentration"]) == (
+        4, 2500, 2500, "high")
