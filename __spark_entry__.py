@@ -271,6 +271,9 @@ _CERTIFY_FIRST = [
     "pipeline_temperature_mix",  # NEW r12: sqrt-chain temperature sampling table
     "dq_mann_kendall",  # NEW r12: nonparametric trend test, tie-corrected
     "tpch_supplier_hhi",  # NEW r12: integer-bps market concentration
+    "dq_column_diff",  # NEW r12: column-grain CDC diff audit
+    "text_rrf_fusion",  # NEW r12: integer reciprocal-rank fusion
+    "events_burstiness",  # NEW r12: Goh-Barabasi burstiness per user
     # ---- round-12 head: code/oracle CHANGED this round (r11 verdict:
     # rewritten queries must be driver-re-certified) ----
     "dedup_jaccard_prefix",  # r12: rational-threshold integer prefix bound
@@ -322,11 +325,8 @@ _CERTIFY_FIRST = [
     "text_pack_sequences",
     "text_quality_gate",
     "agg_mad_outliers",
-    "pandas_udaf_geomean",
-    "udtf_top_tokens",
-    "mm_frame_sample",
     # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
-    # pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
+    # pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
     # sim_random_projection, agg_approx_percentiles,
     # text_chunk_rolling_hash, events_ewma, text_frequent_tokens,
     # then the r5 cohort (agg_cube, agg_grouping_sets, agg_argmax,
@@ -655,6 +655,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_tfidf_top_terms": lambda s, d: relevance.tfidf_top_terms(*_t(s, d, "documents")),
         "text_bm25_search": lambda s, d: relevance.bm25_scores(*_t(s, d, "documents")),
+        "text_rrf_fusion": lambda s, d: relevance.rrf_rank_fusion(*_t(s, d, "documents")),
         "text_dup_ngrams": lambda s, d: text.duplicate_ngram_profile(*_t(s, d, "documents")),
         "text_repetition_signals": lambda s, d: text.repetition_signals(*_t(s, d, "documents")),
         # PII redaction pass (emails/phones/IPs counted + masked; the
@@ -762,6 +763,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_ab_ttest": lambda s, d: quality.ab_welch_ttest(*_t(s, d, "events")),
         "dq_cuped": lambda s, d: quality.cuped_adjustment(*_t(s, d, "events")),
         "dq_mann_kendall": lambda s, d: quality.mann_kendall_trend(*_t(s, d, "orders")),
+        "dq_column_diff": lambda s, d: ivm.column_diff_profile(*_t(s, d, "orders")),
         # rows-only: composes two iterative upstreams (components +
         # pagerank); planted hub-vs-min-id keep test
         "dedup_keep_policy": lambda s, d: dedup.canonical_keep_policy(*_t(s, d, "documents")),
@@ -839,6 +841,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "agg_mode_family": lambda s, d: agg.mode_family(*_t(s, d, "lineitem")),
         "events_interarrival": lambda s, d: windows.interarrival_stats(*_t(s, d, "events")),
+        "events_burstiness": lambda s, d: windows.user_burstiness(*_t(s, d, "events")),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
@@ -2387,6 +2390,72 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "text_rrf_fusion": f"""
+            WITH scorable AS (
+                SELECT * FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            ),
+            tf_all AS (
+                SELECT doc_id, token, count(*) AS tf FROM (
+                    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+                    FROM scorable
+                ) GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf_all GROUP BY 1),
+            toks AS (
+                SELECT t.doc_id, t.token, t.tf, d.dl
+                FROM tf_all t JOIN dl d USING (doc_id)
+                WHERE t.token IN ('data', 'learning', 'model')
+            ),
+            dfq AS (SELECT token, count(*) AS df FROM toks GROUP BY 1),
+            scalars AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(CAST(len(string_split({_NORM}, ' ')) AS DOUBLE))
+                           AS avgdl
+                FROM scorable
+            ),
+            bm25 AS (
+                SELECT doc_id,
+                       round(sum(log10(1.0 + (s.n_docs - f.df + 0.5)
+                                       / (f.df + 0.5))
+                                 * (t.tf * (1.2 + 1))
+                                 / (t.tf + 1.2 * (1 - 0.75
+                                    + 0.75 * t.dl / s.avgdl))), 6) AS bm25
+                FROM toks t JOIN dfq f USING (token), scalars s
+                GROUP BY 1
+                ORDER BY bm25 DESC, doc_id LIMIT 20
+            ),
+            r1 AS (
+                SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                            AS INTEGER) AS rank_bm25
+                FROM bm25
+            ),
+            tfr AS (
+                SELECT doc_id, count(*) AS tf_sum FROM (
+                    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+                    FROM scorable
+                ) WHERE token IN ('data', 'learning', 'model')
+                GROUP BY 1
+                ORDER BY tf_sum DESC, doc_id LIMIT 20
+            ),
+            r2 AS (
+                SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY tf_sum DESC, doc_id)
+                            AS INTEGER) AS rank_tf
+                FROM tfr
+            ),
+            fused AS (
+                SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+                       rank_bm25, rank_tf,
+                       coalesce(1000000000 // (60 + rank_bm25), 0)
+                       + coalesce(1000000000 // (60 + rank_tf), 0) AS rrf_e9
+                FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+            )
+            SELECT doc_id, rank_bm25, rank_tf,
+                   CAST(rrf_e9 AS BIGINT) AS rrf_e9
+            FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT 20
         """,
         "text_bm25_search": f"""
             WITH scorable AS (
@@ -6192,6 +6261,113 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p
             JOIN sketch sk ON sk.seed = p.seed AND sk.bucket = p.bucket
             GROUP BY 1, 2
+        """,
+        "dq_column_diff": """
+            WITH old_t AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders
+            ),
+            new_t AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 53 = 0
+                            THEN o_totalprice + 100.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderdate,
+                       CASE WHEN o_orderkey % 61 = 0
+                            THEN '9-' || o_orderpriority
+                            ELSE o_orderpriority END AS o_orderpriority
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 101 = 0
+            ),
+            agg AS (
+                SELECT
+                    sum(CASE WHEN a.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS added,
+                    sum(CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS removed,
+                    sum(CASE WHEN a.o_orderkey IS NOT NULL
+                              AND b.o_orderkey IS NOT NULL
+                             THEN 1 ELSE 0 END) AS matched,
+                    sum(CASE WHEN a.o_orderkey IS NOT NULL
+                              AND b.o_orderkey IS NOT NULL
+                              AND NOT (a.o_custkey
+                                       IS NOT DISTINCT FROM b.o_custkey)
+                             THEN 1 ELSE 0 END) AS chg_custkey,
+                    sum(CASE WHEN a.o_orderkey IS NOT NULL
+                              AND b.o_orderkey IS NOT NULL
+                              AND NOT (a.o_orderstatus
+                                       IS NOT DISTINCT FROM b.o_orderstatus)
+                             THEN 1 ELSE 0 END) AS chg_status,
+                    sum(CASE WHEN a.o_orderkey IS NOT NULL
+                              AND b.o_orderkey IS NOT NULL
+                              AND NOT (a.o_totalprice
+                                       IS NOT DISTINCT FROM b.o_totalprice)
+                             THEN 1 ELSE 0 END) AS chg_price,
+                    sum(CASE WHEN a.o_orderkey IS NOT NULL
+                              AND b.o_orderkey IS NOT NULL
+                              AND NOT (a.o_orderdate
+                                       IS NOT DISTINCT FROM b.o_orderdate)
+                             THEN 1 ELSE 0 END) AS chg_date,
+                    sum(CASE WHEN a.o_orderkey IS NOT NULL
+                              AND b.o_orderkey IS NOT NULL
+                              AND NOT (a.o_orderpriority
+                                       IS NOT DISTINCT FROM b.o_orderpriority)
+                             THEN 1 ELSE 0 END) AS chg_prio
+                FROM old_t a FULL OUTER JOIN new_t b
+                  ON a.o_orderkey = b.o_orderkey
+            ),
+            rows_out AS (
+                SELECT 'rows_added' AS metric, added AS n, matched AS m
+                FROM agg
+                UNION ALL SELECT 'rows_removed', removed, matched FROM agg
+                UNION ALL SELECT 'rows_matched', matched, matched FROM agg
+                UNION ALL SELECT 'o_custkey', chg_custkey, matched FROM agg
+                UNION ALL SELECT 'o_orderstatus', chg_status, matched FROM agg
+                UNION ALL SELECT 'o_totalprice', chg_price, matched FROM agg
+                UNION ALL SELECT 'o_orderdate', chg_date, matched FROM agg
+                UNION ALL SELECT 'o_orderpriority', chg_prio, matched FROM agg
+            )
+            SELECT metric, CAST(n AS BIGINT) AS n,
+                   CAST((10000 * n) // m AS BIGINT) AS share_bps
+            FROM rows_out ORDER BY metric
+        """,
+        "events_burstiness": """
+            WITH gaps AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS gap_us
+                FROM events
+            ),
+            g AS (
+                SELECT user_id, count(*) AS n_gaps,
+                       sum(CAST(gap_us AS HUGEINT)) AS s1,
+                       sum(CAST(gap_us AS HUGEINT)
+                           * CAST(gap_us AS HUGEINT)) AS s2
+                FROM gaps WHERE gap_us IS NOT NULL
+                GROUP BY 1 HAVING count(*) >= 2
+            ),
+            m AS (
+                SELECT user_id, n_gaps, s1,
+                       CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+                       sqrt(CAST(CAST(n_gaps AS HUGEINT) * s2 - s1 * s1
+                                 AS DOUBLE)) / CAST(n_gaps AS DOUBLE) AS sigma
+                FROM g
+            )
+            SELECT user_id,
+                   CAST(n_gaps AS BIGINT) AS n_gaps,
+                   CAST((2 * s1 + n_gaps) // (2 * n_gaps) AS BIGINT)
+                       AS mean_gap_us,
+                   CASE WHEN s1 > 0
+                        THEN round(sigma / mu, 6) + 0.0 END AS cv,
+                   CASE WHEN s1 > 0
+                        THEN round((sigma - mu) / (sigma + mu), 6) + 0.0
+                        END AS burstiness
+            FROM m ORDER BY user_id
         """,
         "dq_mann_kendall": """
             WITH daily AS (

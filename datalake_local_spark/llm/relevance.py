@@ -170,3 +170,68 @@ def bm25_scores(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(k)
+
+
+def rrf_rank_fusion(
+    documents: DataFrame,
+    query_terms: tuple = ("data", "learning", "model"),
+    k: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of two retrieval rankings (Cormack,
+    Clarke & Buettcher 2009, SIGIR — public): fuse the BM25 top-k with
+    a raw term-frequency top-k; RRF(d) = Σ_lists 1/(K + rank_d) with
+    K = 60 — the standard zero-tuning hybrid-search combiner (the same
+    shape production engines use to fuse lexical with vector hits).
+
+    Determinism: the contribution is computed as EXACT integers,
+    ``10⁹ div (K + rank)`` — no float reciprocal sums, so fusion
+    scores and their ordering are bit-free of accumulation concerns;
+    input ranks come from the two deterministic orderings (rounded
+    bm25 desc / integer tf desc, doc_id tiebreak).
+
+    Scale shape: both input rankings end in TakeOrderedAndProject
+    (per-partition heap + driver merge, never a global sort); the
+    fusion itself is a full-outer join of two ≤ k-row lists and a
+    window over that bounded frame."""
+    from pyspark.sql import Window as W
+
+    from .text import _norm_text
+
+    terms = [t.lower() for t in query_terms]
+    bm25 = bm25_scores(documents, tuple(terms), k=k).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("rank_bm25"),
+    )
+    tf_rank = (
+        documents.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf_sum"))
+        .orderBy(F.col("tf_sum").desc(), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("tf_sum").desc(), "doc_id"))
+            .alias("rank_tf"),
+        )
+    )
+    fused = bm25.join(tf_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_bm25",
+        "rank_tf",
+        (
+            F.coalesce(
+                F.expr(f"1000000000 div ({rrf_k} + rank_bm25)"), F.lit(0)
+            )
+            + F.coalesce(F.expr(f"1000000000 div ({rrf_k} + rank_tf)"), F.lit(0))
+        ).cast("long").alias("rrf_e9"),
+    )
+    return fused.orderBy(F.col("rrf_e9").desc(), "doc_id").limit(k)

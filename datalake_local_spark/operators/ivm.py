@@ -314,3 +314,93 @@ def refresh_rollup_table(
         "partitions_dropped": len(emptied),
         "touched_months": sorted(touched_keys),
     }
+
+
+def column_diff_profile(orders: DataFrame) -> DataFrame:
+    """Column-level CDC diff report — the "what actually changed"
+    audit a data-diff tool prints before a MERGE is trusted (the
+    snapshot-changelog question of ``pipeline.corpus_snapshot_diff``
+    asked at COLUMN grain): rows added/removed/matched, then per
+    column how many matched rows carry a different value, with shares
+    in exact integer basis points.
+
+    The change derivation extends :func:`derive_cdc_states`' fixture
+    discipline with a second update class so more than one column
+    moves: keys %97 deleted, %53 price +100.00, %61 priority
+    re-flagged, %101 cloned with negated keys (inserts). The oracle
+    recomputes the same diff from scratch in ANSI SQL.
+
+    Scale shape: ONE full-outer join co-partitioned on the key, then a
+    single conditional aggregate — no per-column scans; the report
+    unpivots from the 1-row aggregate (stack), never replaying the
+    join. Null-safe equality (<=>) so NULL→value transitions count as
+    changes."""
+    k = F.col("o_orderkey")
+    is_del = k % 97 == 0
+    is_upd_price = (k % 53 == 0) & ~is_del
+    is_upd_prio = (k % 61 == 0) & ~is_del
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    old = orders.select(*cols)
+    new = (
+        orders.filter(~is_del)
+        .withColumn(
+            "o_totalprice",
+            F.when(is_upd_price, F.col("o_totalprice") + 100.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                is_upd_prio, F.concat(F.lit("9-"), F.col("o_orderpriority"))
+            ).otherwise(F.col("o_orderpriority")),
+        )
+        .select(*cols)
+        .unionAll(
+            orders.filter(k % 101 == 0)
+            .withColumn("o_orderkey", -F.col("o_orderkey"))
+            .select(*cols)
+        )
+    )
+    a = old.alias("a")
+    b = new.alias("b")
+    joined = a.join(
+        b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    matched = F.col("a.o_orderkey").isNotNull() & F.col("b.o_orderkey").isNotNull()
+
+    def changed(c):
+        return F.sum(
+            F.when(matched & ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")), 1).otherwise(0)
+        )
+
+    agg = joined.agg(
+        F.sum(F.when(F.col("a.o_orderkey").isNull(), 1).otherwise(0)).alias("added"),
+        F.sum(F.when(F.col("b.o_orderkey").isNull(), 1).otherwise(0)).alias("removed"),
+        F.sum(F.when(matched, 1).otherwise(0)).alias("matched"),
+        *[changed(c).alias(f"chg_{c}") for c in cols[1:]],
+    )
+    return agg.select(
+        F.expr(
+            "stack(8, "
+            "'rows_added', added, "
+            "'rows_removed', removed, "
+            "'rows_matched', matched, "
+            + ", ".join(
+                f"'{c}', chg_{c}" for c in cols[1:]
+            )
+            + ") AS (metric, n)"
+        ),
+        F.col("matched").alias("m"),
+    ).select(
+        "metric",
+        F.col("n").cast("long").alias("n"),
+        F.expr("(10000 * n) div m").cast("long").alias("share_bps"),
+    ).orderBy("metric")

@@ -788,3 +788,57 @@ def latency_percentile_trend(events: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def user_burstiness(events: DataFrame, min_gaps: int = 2) -> DataFrame:
+    """Per-user activity burstiness: the Goh–Barabási burstiness
+    parameter B = (σ − μ)/(σ + μ) over the user's inter-arrival gaps
+    (Goh & Barabási 2008, "Burstiness and memory in complex systems",
+    EPL — public) plus the coefficient of variation — B → −1 for a
+    metronome, ≈ 0 for Poisson arrivals, → 1 for extreme burst-silence
+    alternation. The behavioral screen that separates organic users
+    from schedulers/bots at a glance (complements the corpus-grain
+    ``interarrival_profile`` at USER grain).
+
+    Determinism: gaps are exact integer microseconds (lag over the
+    per-user event order, event_id tiebreak); (n, Σg, Σg²) are exact
+    DECIMAL(38,0) sums, the mean gap is an exact half-up integer, and
+    σ/CV/B are one identical IEEE tree over the exact moments
+    (sqrt-derived → 6dp-safe), +0.0 for signed zero on constant-gap
+    users. Population (n divisor) variance, per the B definition.
+
+    Scale shape: ONE user-partitioned window for the lag, one
+    map-side-combined user-grain aggregate — the sessionizer's shuffle
+    profile; no global window, no skew beyond user activity."""
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        events.select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    gd = F.col("gap_us").cast("decimal(38,0)")
+    g = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum(gd).alias("s1"),
+        F.sum(gd * gd).alias("s2"),
+    ).filter(F.col("n_gaps") >= min_gaps)
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("s1").cast("double") / n
+    nd = F.col("n_gaps").cast("decimal(38,0)")
+    # population variance from exact integer moments: (nΣg² − (Σg)²)/n²
+    dvar = (nd * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    sigma = F.sqrt(dvar) / n
+    return g.select(
+        "user_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.expr("(2 * s1 + n_gaps) div (2 * n_gaps)")
+        .cast("long")
+        .alias("mean_gap_us"),
+        # s1 = 0 means every gap is zero (all events share a timestamp):
+        # μ = σ = 0 → 0/0; explicit NULL like the trend_regression guard
+        F.when(F.col("s1") > 0, F.round(sigma / mu, 6) + F.lit(0.0)).alias("cv"),
+        F.when(
+            F.col("s1") > 0,
+            F.round((sigma - mu) / (sigma + mu), 6) + F.lit(0.0),
+        ).alias("burstiness"),
+    ).orderBy("user_id")

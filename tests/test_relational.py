@@ -1707,3 +1707,34 @@ def test_supplier_hhi_hand_computed(spark):
     q = got["QUAD"]
     assert (q["n_suppliers"], q["hhi_points"], q["top_share_bps"], q["concentration"]) == (
         4, 2500, 2500, "high")
+
+
+def test_burstiness_metronome_and_burst(spark):
+    """A metronome user (constant gaps) has σ = 0 → B = −1, CV = 0; a
+    burst-silence user has positive B; a same-timestamp user yields
+    NULL (0/0 guard)."""
+    import datetime
+
+    from datalake_local_spark.operators import windows
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for i in range(5):  # user 1: every 60 s exactly
+        rows.append((eid, base + datetime.timedelta(seconds=60 * i), 1, "view", 1.0, "{}")); eid += 1
+    for sec in (0, 1, 2, 3, 3600):  # user 2: burst then silence
+        rows.append((eid, base + datetime.timedelta(seconds=sec), 2, "view", 1.0, "{}")); eid += 1
+    for i in range(3):  # user 3: all at the same instant
+        rows.append((eid, base, 3, "view", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r["user_id"]: r for r in windows.user_burstiness(ev).collect()}
+    assert (got[1]["cv"], got[1]["burstiness"]) == (0.0, -1.0)
+    assert got[1]["mean_gap_us"] == 60_000_000
+    # population σ for n = 4 gaps with one dominant gap: B = 0.267433
+    # (bounded below (√(n−1)−1)/(√(n−1)+1) ≈ 0.268 — the finite-n cap
+    # of Kim & Jo 2016); positive = bursty is the assertion
+    assert 0.2 < got[2]["burstiness"] < 0.27
+    assert got[3]["cv"] is None and got[3]["burstiness"] is None
