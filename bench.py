@@ -125,6 +125,14 @@ BENCH_QUERIES = [
     "graph_lpa_communities",
     "dedup_shingle_sweep",
     "events_slo_burn",
+    # round-12: maintained-view refresh (delta merge + partition-pruned
+    # min/max recompute), label-geometry integer GEMM at (label, dim)
+    # grain, the day-pair Mann-Kendall join, and the two-ranker RRF
+    # fusion (three corpus scans under ReuseExchange)
+    "ivm_rollup_refresh",
+    "sim_label_separation",
+    "dq_mann_kendall",
+    "text_rrf_fusion",
 ]
 
 

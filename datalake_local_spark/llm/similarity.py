@@ -1826,25 +1826,39 @@ def label_separation_geometry(embeddings: DataFrame) -> DataFrame:
     floor-quantized to 1e-6 and SUMMED AS INTEGERS, so the class mean
     is an exact-integer ratio — no float-accumulation order anywhere.
 
-    Scale shape: one posexplode to (label, dim) micro-unit sums
-    (map-side combined; shuffle carries labels × dims rows), a
-    (labels²·dims)-row centroid-pair join at dim grain — bounded by
-    the LABEL vocabulary, never the table — and one member-grain
-    re-join for cohesion keyed on (label, dim): linear in table size,
-    broadcast-sized right side. No window, no skew surface."""
+    Scale shape: EXACTLY TWO corpus scans — one posexplode feeding the
+    (label, dim) micro-unit sums (map-side combined; shuffle carries
+    labels × dims rows), one member-grain re-join for cohesion keyed
+    on (label, dim) with a broadcast-sized right side. The bounded
+    sums table is ``localCheckpoint``-materialized (labels × dims
+    rows) so its five downstream consumers (centroid pairs ×2, norms,
+    cohesion, label counts) read the materialization instead of each
+    replaying the corpus aggregate — without it the executed plan
+    re-scanned the parquet ~8×. Label counts derive from the dim-0
+    slice of the same table (every dim of a label counts the same
+    vectors), so no third scan. Centroid-pair join is
+    (labels² · dims) — bounded by the LABEL vocabulary, never the
+    table. No window, no skew surface."""
     qv = F.floor(F.col("v") * F.lit(1000000.0)).cast("long")
     e = embeddings.select(
         "vec_id", "label",
         F.posexplode(_as_double(F.col("embedding"))).alias("dim", "v"),
     ).select("vec_id", "label", "dim", qv.alias("qv"))
-    sums = e.groupBy("label", "dim").agg(
-        F.sum("qv").cast("decimal(38,0)").alias("s")
+    sums = (
+        e.groupBy("label", "dim")
+        .agg(
+            F.sum("qv").cast("decimal(38,0)").alias("s"),
+            F.count("*").alias("n_d"),
+        )
+        .localCheckpoint()
     )
-    n_label = embeddings.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    n_label = sums.filter(F.col("dim") == 0).select(
+        "label", F.col("n_d").alias("n_vecs")
+    )
     norm2 = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("c2"))
     # member cohesion: dot(v_i, s_label) and ||v_i||² in exact integers
     member = (
-        e.join(F.broadcast(sums), ["label", "dim"])
+        e.join(F.broadcast(sums.select("label", "dim", "s")), ["label", "dim"])
         .groupBy("vec_id", "label")
         .agg(
             F.sum(F.col("qv").cast("decimal(38,0)") * F.col("s")).alias("dot"),
