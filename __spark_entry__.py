@@ -274,6 +274,7 @@ _CERTIFY_FIRST = [
     "dq_column_diff",  # NEW r12: column-grain CDC diff audit
     "text_rrf_fusion",  # NEW r12: integer reciprocal-rank fusion
     "events_burstiness",  # NEW r12: Goh-Barabasi burstiness per user
+    "join_asof_nearest",  # NEW r12: bidirectional nearest as-of join
     # ---- round-12 head: code/oracle CHANGED this round (r11 verdict:
     # rewritten queries must be driver-re-certified) ----
     "dedup_jaccard_prefix",  # r12: rational-threshold integer prefix bound
@@ -324,9 +325,8 @@ _CERTIFY_FIRST = [
     "text_contamination",
     "text_pack_sequences",
     "text_quality_gate",
-    "agg_mad_outliers",
     # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
-    # pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
+    # agg_mad_outliers, pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
     # sim_random_projection, agg_approx_percentiles,
     # text_chunk_rolling_hash, events_ewma, text_frequent_tokens,
     # then the r5 cohort (agg_cube, agg_grouping_sets, agg_argmax,
@@ -484,6 +484,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_composite_theta": lambda s, d: joins.composite_key_join_orders_lineitem(*_t(s, d, "orders", "lineitem")),
         "join_theta_pairs": lambda s, d: joins.theta_join_nation_pairs(*_t(s, d, "nation")),
         "join_asof": lambda s, d: asof.asof_latest_event_before_order(*_t(s, d, "orders", "events")),
+        "join_asof_nearest": lambda s, d: asof.asof_nearest_join(*_t(s, d, "events")),
         "join_asof_merge": lambda s, d: asof.asof_join_merge_asof(*_t(s, d, "orders", "events")),
         "join_range_bucketized": lambda s, d: asof.range_join_bucketized(*_t(s, d, "events")),
         "events_forward_fill": lambda s, d: event_windows.forward_fill_values(*_t(s, d, "events")),
@@ -6334,6 +6335,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT metric, CAST(n AS BIGINT) AS n,
                    CAST((10000 * n) // m AS BIGINT) AS share_bps
             FROM rows_out ORDER BY metric
+        """,
+        "join_asof_nearest": """
+            WITH tagged AS (
+                SELECT user_id, 0 AS kind, event_id, epoch_us(ts) AS t_us
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, 1, event_id, epoch_us(ts)
+                FROM events WHERE event_type = 'purchase'
+            ),
+            ann AS (
+                SELECT user_id, kind, event_id, t_us,
+                       last_value(CASE WHEN kind = 1 THEN t_us END
+                                  IGNORE NULLS) OVER w_back AS prev_ts,
+                       last_value(CASE WHEN kind = 1 THEN event_id END
+                                  IGNORE NULLS) OVER w_back AS prev_id,
+                       first_value(CASE WHEN kind = 1 THEN t_us END
+                                   IGNORE NULLS) OVER w_fwd AS next_ts,
+                       first_value(CASE WHEN kind = 1 THEN event_id END
+                                   IGNORE NULLS) OVER w_fwd AS next_id
+                FROM tagged
+                WINDOW w_back AS (PARTITION BY user_id
+                                  ORDER BY t_us, kind, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW),
+                       w_fwd AS (PARTITION BY user_id
+                                 ORDER BY t_us, kind, event_id
+                                 ROWS BETWEEN CURRENT ROW
+                                          AND UNBOUNDED FOLLOWING)
+            ),
+            picked AS (
+                SELECT event_id, user_id, prev_id, next_id,
+                       t_us - prev_ts AS d_prev,
+                       next_ts - t_us AS d_next,
+                       (prev_ts IS NOT NULL
+                        AND t_us - prev_ts <= 1800000000) AS prev_ok,
+                       (next_ts IS NOT NULL
+                        AND next_ts - t_us <= 1800000000) AS next_ok
+                FROM ann WHERE kind = 0
+            )
+            SELECT event_id AS click_id, user_id,
+                   CASE WHEN prev_ok AND (NOT next_ok OR d_prev <= d_next)
+                            THEN prev_id
+                        WHEN next_ok THEN next_id END AS purchase_id,
+                   CASE WHEN prev_ok AND (NOT next_ok OR d_prev <= d_next)
+                            THEN -d_prev
+                        WHEN next_ok THEN d_next END AS delta_us,
+                   CASE WHEN prev_ok AND (NOT next_ok OR d_prev <= d_next)
+                            THEN 'backward'
+                        WHEN next_ok THEN 'forward' END AS direction
+            FROM picked ORDER BY click_id
         """,
         "events_burstiness": """
             WITH gaps AS (

@@ -128,3 +128,79 @@ def asof_latest_event_before_order(orders: DataFrame, events: DataFrame) -> Data
         .groupBy("o_orderkey", "o_custkey", "o_orderdate")
         .agg(F.max("ev_ts").alias("asof_event_ts"))
     )
+
+
+def asof_nearest_join(events: DataFrame, tolerance_min: int = 30) -> DataFrame:
+    """NEAREST as-of join — the bidirectional completion of the as-of
+    family (backward = ``asof_latest_event_before_order``, cogrouped =
+    ``asof_join_merge_asof``): each click matches the temporally
+    CLOSEST purchase by the same user within ± ``tolerance_min``,
+    whichever direction, ties to the earlier side — pandas
+    ``merge_asof(direction='nearest')`` semantics, expressed without a
+    range join.
+
+    The union-scan formulation (one shuffle, no pair blowup): tag both
+    streams, sort per user by time, and recover for every click the
+    latest preceding purchase (running ``last(..., ignorenulls)``) and
+    the earliest following purchase (``first`` over the forward
+    frame) — each click then compares at most TWO candidates however
+    dense the purchase stream is, where a band join would fan out to
+    every purchase in the window. Tie-break and sort order are pinned
+    (ts, kind, event_id) so equal-timestamp rows are deterministic.
+
+    Determinism: deltas are exact integer microseconds; the
+    nearer-side pick compares integers; output carries ids + signed
+    delta only — no float surface.
+
+    Scale shape: ONE user-keyed shuffle shared by both window passes
+    (Catalyst plans one sort); state per row is two scalars. The
+    standard streaming analog is the stream-stream interval join —
+    this is the batch form a backfill uses."""
+    from pyspark.sql import Window as W
+
+    tol_us = tolerance_min * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.lit(0).alias("kind"), F.col("event_id"), us.alias("t_us")
+    )
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.lit(1).alias("kind"), F.col("event_id"), us.alias("t_us")
+    )
+    tagged = clicks.unionAll(purch)
+    order = [F.col("t_us"), F.col("kind"), F.col("event_id")]
+    w_back = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    p_ts = F.when(F.col("kind") == 1, F.col("t_us"))
+    p_id = F.when(F.col("kind") == 1, F.col("event_id"))
+    annotated = tagged.select(
+        "user_id",
+        "kind",
+        "event_id",
+        "t_us",
+        F.last(p_ts, ignorenulls=True).over(w_back).alias("prev_ts"),
+        F.last(p_id, ignorenulls=True).over(w_back).alias("prev_id"),
+        F.first(p_ts, ignorenulls=True).over(w_fwd).alias("next_ts"),
+        F.first(p_id, ignorenulls=True).over(w_fwd).alias("next_id"),
+    ).filter(F.col("kind") == 0)
+    d_prev = F.col("t_us") - F.col("prev_ts")  # ≥ 0 when present
+    d_next = F.col("next_ts") - F.col("t_us")
+    prev_ok = F.col("prev_ts").isNotNull() & (d_prev <= tol_us)
+    next_ok = F.col("next_ts").isNotNull() & (d_next <= tol_us)
+    # nearer side wins; exact ties go to the PRECEDING purchase
+    use_prev = prev_ok & (~next_ok | (d_prev <= d_next))
+    use_next = next_ok & ~use_prev
+    return annotated.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.when(use_prev, F.col("prev_id"))
+        .when(use_next, F.col("next_id"))
+        .alias("purchase_id"),
+        F.when(use_prev, -d_prev).when(use_next, d_next).alias("delta_us"),
+        F.when(use_prev, "backward").when(use_next, "forward").alias("direction"),
+    ).orderBy("click_id")

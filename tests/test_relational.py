@@ -1738,3 +1738,39 @@ def test_burstiness_metronome_and_burst(spark):
     # of Kim & Jo 2016); positive = bursty is the assertion
     assert 0.2 < got[2]["burstiness"] < 0.27
     assert got[3]["cv"] is None and got[3]["burstiness"] is None
+
+
+def test_asof_nearest_direction_and_ties(spark):
+    """Hand case: click between two purchases picks the nearer; exact
+    tie goes backward; same-timestamp purchase matches forward at
+    delta 0; out-of-tolerance clicks stay unmatched."""
+    import datetime
+
+    from datalake_local_spark.operators import asof
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, sec, typ):
+        return (eid, base + datetime.timedelta(seconds=sec), 1, typ, 1.0, "{}")
+
+    ev_rows = [
+        ev(1, 0, "purchase"),
+        ev(2, 100, "click"),      # prev at 100s, next at 250s → backward
+        ev(3, 350, "purchase"),
+        ev(4, 475, "click"),      # 125s to both → tie → backward
+        ev(5, 600, "purchase"),
+        ev(6, 700, "click"),      # same-ts purchase below → forward, 0
+        ev(7, 700, "purchase"),
+        ev(8, 10000, "click"),    # > 30 min from any purchase → NULL
+    ]
+    df = spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r["click_id"]: r for r in asof.asof_nearest_join(df).collect()}
+    assert (got[2]["purchase_id"], got[2]["direction"], got[2]["delta_us"]) == (
+        1, "backward", -100_000_000)
+    assert (got[4]["purchase_id"], got[4]["direction"]) == (3, "backward")
+    assert (got[6]["purchase_id"], got[6]["direction"], got[6]["delta_us"]) == (
+        7, "forward", 0)
+    assert got[8]["purchase_id"] is None and got[8]["direction"] is None
