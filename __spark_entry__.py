@@ -275,6 +275,7 @@ _CERTIFY_FIRST = [
     "text_rrf_fusion",  # NEW r12: integer reciprocal-rank fusion
     "events_burstiness",  # NEW r12: Goh-Barabasi burstiness per user
     "join_asof_nearest",  # NEW r12: bidirectional nearest as-of join
+    "dq_bootstrap_ci",  # r12: 8-per-digest u16 Poisson packing (code+oracle)
     # ---- round-12 head: code/oracle CHANGED this round (r11 verdict:
     # rewritten queries must be driver-re-certified) ----
     "dedup_jaccard_prefix",  # r12: rational-threshold integer prefix bound
@@ -326,7 +327,7 @@ _CERTIFY_FIRST = [
     "text_pack_sequences",
     "text_quality_gate",
     # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
-    # agg_mad_outliers, pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
+    # dq_orders_integrity, agg_mad_outliers, pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
     # sim_random_projection, agg_approx_percentiles,
     # text_chunk_rolling_hash, events_ewma, text_frequent_tokens,
     # then the r5 cohort (agg_cube, agg_grouping_sets, agg_argmax,
@@ -5841,20 +5842,20 @@ def oracle_sql() -> dict[str, str]:
                        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                             AS DECIMAL(38,0)) AS cents,
                        r,
-                       CASE WHEN u < 1580030168 THEN 0
-                            WHEN u < 3160060337 THEN 1
-                            WHEN u < 3950075421 THEN 2
-                            WHEN u < 4213413783 THEN 3
+                       CASE WHEN u < 24109 THEN 0
+                            WHEN u < 48218 THEN 1
+                            WHEN u < 60273 THEN 2
+                            WHEN u < 64291 THEN 3
                             ELSE 4 END AS w
                 FROM (
                     SELECT o_orderpriority, o_totalprice,
-                           rb * 4 + j AS r,
+                           rb * 8 + j AS r,
                            CAST('0x' || substr(md5(concat_ws(':', o_orderkey, rb)),
-                                               j * 8 + 1, 8) AS BIGINT) AS u
+                                               j * 4 + 1, 4) AS BIGINT) AS u
                     FROM orders
-                    CROSS JOIN generate_series(0, 12) AS t(rb)
-                    CROSS JOIN generate_series(0, 3) AS t2(j)
-                    WHERE rb * 4 + j < 50
+                    CROSS JOIN generate_series(0, 6) AS t(rb)
+                    CROSS JOIN generate_series(0, 7) AS t2(j)
+                    WHERE rb * 8 + j < 50
                 )
             ),
             rep AS (

@@ -531,24 +531,28 @@ def bootstrap_mean_ci(orders: DataFrame, n_replicates: int = 50) -> DataFrame:
     the weight needs nothing but the row itself.
 
     Fully deterministic and integer-exact: the Poisson(1) draw inverts
-    the CDF on 32 md5 bits of (orderkey, replicate-block) against
-    PRECOMPUTED integer thresholds floor(F(k)·2³² ) (k capped at 4,
+    the CDF on 16 md5 bits of (orderkey, replicate-block) against
+    PRECOMPUTED integer thresholds floor(F(k)·2¹⁶) (k capped at 4,
     99.63% of mass below; both engines compare the same integers, so
     every weight is identical by construction). One md5 digest carries
-    FOUR replicates (its 128 bits are four independent u32 draws —
-    ×4 less hash work than digest-per-replicate; the suite's profiler
-    showed the md5 column dominating this plan). Replicate means use
-    the exact (2S+n) div 2n integer-cent rounding; the CI bounds are
-    exact percentiles over the ≤n_replicates integer means (the
-    certified F.percentile ≡ quantile_cont pair), rounded once.
+    EIGHT replicates (its 128 bits are eight independent u16 draws —
+    ×8 less hash work than digest-per-replicate; the suite's profiler
+    showed the md5 column dominating this plan, and the r11 verdict
+    ordered the 4→8 packing). The u16 grid quantizes each CDF class by
+    at most 2⁻¹⁶ ≈ 1.5e-5 probability — noise relative to the
+    bootstrap's own Monte-Carlo error at R = 50, and still EXACTLY
+    deterministic. Replicate means use the exact (2S+n) div 2n
+    integer-cent rounding; the CI bounds are exact percentiles over
+    the ≤n_replicates integer means (the certified F.percentile ≡
+    quantile_cont pair), rounded once.
 
     100 TB shape: the explode is a bounded ×R row multiplier feeding ONE
     map-side-combined (priority, replicate) aggregate — shuffle carries
     |groups|·R rows; the percentile runs per priority over R values.
     No driver state, no RNG service, reruns bit-identical."""
-    # floor(CDF_Poisson(1)(k) * 2^32) for k = 0..3; u >= t3 → weight 4
-    t0, t1, t2, t3 = 1580030168, 3160060337, 3950075421, 4213413783
-    n_blocks = (n_replicates + 3) // 4
+    # floor(CDF_Poisson(1)(k) * 2^16) for k = 0..3; u >= t3 → weight 4
+    t0, t1, t2, t3 = 24109, 48218, 60273, 64291
+    n_blocks = (n_replicates + 7) // 8
     weighted = (
         orders.select(
             "o_orderpriority",
@@ -566,13 +570,13 @@ def bootstrap_mean_ci(orders: DataFrame, n_replicates: int = 50) -> DataFrame:
             "cents",
             "rb",
             "hx",
-            F.explode(F.array([F.lit(j) for j in range(4)])).alias("j"),
+            F.explode(F.array([F.lit(j) for j in range(8)])).alias("j"),
         )
-        .withColumn("r", F.col("rb") * 4 + F.col("j"))
+        .withColumn("r", F.col("rb") * 8 + F.col("j"))
         .filter(F.col("r") < n_replicates)
         .withColumn(
             "u",
-            F.conv(F.expr("substring(hx, j * 8 + 1, 8)"), 16, 10).cast("long"),
+            F.conv(F.expr("substring(hx, j * 4 + 1, 4)"), 16, 10).cast("long"),
         )
     ).withColumn(
         "w",
