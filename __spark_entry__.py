@@ -318,7 +318,6 @@ _CERTIFY_FIRST = [
     "window_distribution",
     "text_token_stats",
     "text_top_bigrams",
-    "dq_orders_integrity",
     "tpch_priority_late",
     "tpch_product_profit",
     "tpch_waiting_supplier",
