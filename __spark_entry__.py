@@ -276,6 +276,7 @@ _CERTIFY_FIRST = [
     "events_burstiness",  # NEW r12: Goh-Barabasi burstiness per user
     "join_asof_nearest",  # NEW r12: bidirectional nearest as-of join
     "dq_bootstrap_ci",  # r12: 8-per-digest u16 Poisson packing (code+oracle)
+    "dq_theil_sen",  # NEW r12: robust median-of-slopes estimator
     # ---- round-12 head: code/oracle CHANGED this round (r11 verdict:
     # rewritten queries must be driver-re-certified) ----
     "dedup_jaccard_prefix",  # r12: rational-threshold integer prefix bound
@@ -318,7 +319,6 @@ _CERTIFY_FIRST = [
     "window_distribution",
     "text_token_stats",
     "text_top_bigrams",
-    "tpch_priority_late",
     "tpch_product_profit",
     "tpch_waiting_supplier",
     "tpch_supplier_part_counts",
@@ -326,7 +326,7 @@ _CERTIFY_FIRST = [
     "text_pack_sequences",
     "text_quality_gate",
     # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
-    # dq_orders_integrity, agg_mad_outliers, pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
+    # tpch_priority_late, dq_orders_integrity, agg_mad_outliers, pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
     # sim_random_projection, agg_approx_percentiles,
     # text_chunk_rolling_hash, events_ewma, text_frequent_tokens,
     # then the r5 cohort (agg_cube, agg_grouping_sets, agg_argmax,
@@ -764,6 +764,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_ab_ttest": lambda s, d: quality.ab_welch_ttest(*_t(s, d, "events")),
         "dq_cuped": lambda s, d: quality.cuped_adjustment(*_t(s, d, "events")),
         "dq_mann_kendall": lambda s, d: quality.mann_kendall_trend(*_t(s, d, "orders")),
+        "dq_theil_sen": lambda s, d: quality.theil_sen_slope(*_t(s, d, "orders")),
         "dq_column_diff": lambda s, d: ivm.column_diff_profile(*_t(s, d, "orders")),
         # rows-only: composes two iterative upstreams (components +
         # pagerank); planted hub-vs-min-id keep test
@@ -6419,6 +6420,29 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((sigma - mu) / (sigma + mu), 6) + 0.0
                         END AS burstiness
             FROM m ORDER BY user_id
+        """,
+        "dq_theil_sen": """
+            WITH daily AS (
+                SELECT o_orderstatus AS status,
+                       CAST(o_orderdate AS DATE) AS day,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS c
+                FROM orders GROUP BY 1, 2
+            ),
+            slopes AS (
+                SELECT a.status,
+                       CAST(floor(CAST(b.c - a.c AS DOUBLE)
+                                  / CAST(b.day - a.day AS DOUBLE)
+                                  * 100.0) AS BIGINT) AS s_c2
+                FROM daily a JOIN daily b
+                  ON a.status = b.status AND a.day < b.day
+            )
+            SELECT status,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   quantile_cont(s_c2, 0.5) / 10000.0 AS sen_slope_per_day,
+                   quantile_cont(s_c2, 0.25) / 10000.0 AS slope_q1,
+                   quantile_cont(s_c2, 0.75) / 10000.0 AS slope_q3
+            FROM slopes GROUP BY 1 ORDER BY 1
         """,
         "dq_mann_kendall": """
             WITH daily AS (

@@ -915,3 +915,61 @@ def mann_kendall_trend(orders: DataFrame) -> DataFrame:
         .otherwise("no_trend")
         .alias("trend"),
     ).orderBy("status")
+
+
+def theil_sen_slope(orders: DataFrame) -> DataFrame:
+    """Theil–Sen robust slope estimator over the daily-revenue series,
+    per order status (Theil 1950; Sen 1968 — public): the MEDIAN of
+    all pairwise slopes (xⱼ − xᵢ)/(dayⱼ − dayᵢ) — up to ~29% outlier
+    breakdown where least squares has zero, and the standard
+    magnitude companion to ``mann_kendall_trend``'s direction test
+    (same day-pair join; a production run shares the pair stage).
+
+    Determinism: every pairwise slope is an integer-cents /
+    integer-days double division — bit-identical cross-engine — then
+    FLOOR-quantized to centi-cents/day (floor has no half-way case
+    and, unlike an integer ``div``, floors identically on NEGATIVE
+    slopes in both engines — Spark's div truncates toward zero where
+    DuckDB's // floors). The quantiles run over those exact integers
+    with the certified F.percentile ≡ quantile_cont pair; results are
+    exact multiples of 0.25 grid units and ship UNROUNDED (one
+    identical division tree — a final round() would sit on the
+    rational grid's own halves).
+
+    Scale shape: identical to mann_kendall_trend — quadratic only in
+    the bounded calendar dimension, co-partitioned on status; the
+    fact-table scan is one map-side-combined daily aggregate."""
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+    daily = orders.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.sum(cents).alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slope_c2 = F.floor(
+        (F.col("b.c") - F.col("a.c")).cast("double")
+        / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+        * F.lit(100.0)
+    ).cast("long")
+    # /10000.0: centi-cents/day → dollars/day, one identical division
+    return (
+        a.join(
+            b,
+            (F.col("a.status") == F.col("b.status"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .select(F.col("a.status").alias("status"), slope_c2.alias("s_c2"))
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            (F.percentile(F.col("s_c2"), F.lit(0.5)) / F.lit(10000.0)).alias(
+                "sen_slope_per_day"
+            ),
+            (F.percentile(F.col("s_c2"), F.lit(0.25)) / F.lit(10000.0)).alias(
+                "slope_q1"
+            ),
+            (F.percentile(F.col("s_c2"), F.lit(0.75)) / F.lit(10000.0)).alias(
+                "slope_q3"
+            ),
+        )
+        .orderBy("status")
+    )

@@ -1774,3 +1774,25 @@ def test_asof_nearest_direction_and_ties(spark):
     assert (got[6]["purchase_id"], got[6]["direction"], got[6]["delta_us"]) == (
         7, "forward", 0)
     assert got[8]["purchase_id"] is None and got[8]["direction"] is None
+
+
+def test_theil_sen_outlier_resistance(spark):
+    """A clean +$1/day trend with one wild outlier day: the Sen slope
+    stays 1.0 $/day (median of pairwise slopes) where a least-squares
+    fit would be dragged far off."""
+    import datetime
+
+    from datalake_local_spark.operators import quality
+
+    rows = []
+    for d in range(11):
+        price = 10000.0 if d == 5 else 100.0 + d  # day 5 is the outlier
+        rows.append((d + 1, 1, "O", price, datetime.date(2024, 1, d + 1), "1-URGENT"))
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    got = quality.theil_sen_slope(orders).collect()[0]
+    assert got["n_pairs"] == 55
+    assert abs(got["sen_slope_per_day"] - 1.0) < 1e-9
