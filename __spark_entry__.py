@@ -277,6 +277,7 @@ _CERTIFY_FIRST = [
     "join_asof_nearest",  # NEW r12: bidirectional nearest as-of join
     "dq_bootstrap_ci",  # r12: 8-per-digest u16 Poisson packing (code+oracle)
     "dq_theil_sen",  # NEW r12: robust median-of-slopes estimator
+    "events_stl_decompose",  # NEW r12: exact-integer additive decomposition
     # ---- round-12 head: code/oracle CHANGED this round (r11 verdict:
     # rewritten queries must be driver-re-certified) ----
     "dedup_jaccard_prefix",  # r12: rational-threshold integer prefix bound
@@ -319,14 +320,13 @@ _CERTIFY_FIRST = [
     "window_distribution",
     "text_token_stats",
     "text_top_bigrams",
-    "tpch_product_profit",
     "tpch_waiting_supplier",
     "tpch_supplier_part_counts",
     "text_contamination",
     "text_pack_sequences",
     "text_quality_gate",
     # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
-    # tpch_priority_late, dq_orders_integrity, agg_mad_outliers, pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
+    # tpch_product_profit, tpch_priority_late, dq_orders_integrity, agg_mad_outliers, pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
     # sim_random_projection, agg_approx_percentiles,
     # text_chunk_rolling_hash, events_ewma, text_frequent_tokens,
     # then the r5 cohort (agg_cube, agg_grouping_sets, agg_argmax,
@@ -844,6 +844,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mode_family": lambda s, d: agg.mode_family(*_t(s, d, "lineitem")),
         "events_interarrival": lambda s, d: windows.interarrival_stats(*_t(s, d, "events")),
         "events_burstiness": lambda s, d: windows.user_burstiness(*_t(s, d, "events")),
+        "events_stl_decompose": lambda s, d: windows.stl_decompose_daily(*_t(s, d, "events")),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
         "pandas_scalar_logistic": lambda s, d: grouped_pandas.logistic_quality_score(*_t(s, d, "documents")),
@@ -6336,6 +6337,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT metric, CAST(n AS BIGINT) AS n,
                    CAST((10000 * n) // m AS BIGINT) AS share_bps
             FROM rows_out ORDER BY metric
+        """,
+        "events_stl_decompose": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       sum(CAST(CAST(value AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS c
+                FROM events GROUP BY 1
+            ),
+            bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+            spine AS (
+                SELECT CAST(unnest(generate_series(mn, mx,
+                                                   INTERVAL 1 DAY)) AS DATE)
+                           AS day
+                FROM bounds
+            ),
+            filled AS (
+                SELECT s.day, coalesce(d.c, 0) AS c
+                FROM spine s LEFT JOIN daily d USING (day)
+            ),
+            t AS (
+                SELECT day, c,
+                       CASE WHEN count(*) OVER w = 7
+                            THEN sum(c) OVER w END AS s7,
+                       (day - DATE '1970-01-05') % 7 AS wd
+                FROM filled
+                WINDOW w AS (ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ),
+            wk AS (
+                SELECT wd, sum(7 * c - s7) AS s_wd, count(*) AS n_wd
+                FROM t WHERE s7 IS NOT NULL GROUP BY 1
+            )
+            SELECT t.day,
+                   CAST(t.c AS BIGINT) AS revenue_cents,
+                   CAST(s7 AS DOUBLE) / 7.0 AS trend_cents,
+                   CASE WHEN s7 IS NOT NULL THEN
+                       CAST(s_wd AS DOUBLE) / CAST(7 * n_wd AS DOUBLE)
+                       END AS seasonal_cents,
+                   CASE WHEN s7 IS NOT NULL THEN
+                       CAST(7 * n_wd * t.c - n_wd * s7 - s_wd AS DOUBLE)
+                           / CAST(7 * n_wd AS DOUBLE)
+                       END AS residual_cents
+            FROM t LEFT JOIN wk USING (wd) ORDER BY day
         """,
         "join_asof_nearest": """
             WITH tagged AS (

@@ -842,3 +842,76 @@ def user_burstiness(events: DataFrame, min_gaps: int = 2) -> DataFrame:
             F.round((sigma - mu) / (sigma + mu), 6) + F.lit(0.0),
         ).alias("burstiness"),
     ).orderBy("user_id")
+
+
+def stl_decompose_daily(events: DataFrame) -> DataFrame:
+    """Classical trend/seasonal/residual decomposition of the daily
+    revenue series (the moving-average decomposition underlying STL —
+    Cleveland et al. 1990; textbook form per Hyndman & Athanasopoulos,
+    "Forecasting: Principles and Practice" — public): trend = centered
+    7-day moving average over a zero-filled calendar spine, seasonal =
+    per-weekday mean of the detrended series, residual = remainder.
+    The decomposition every seasonal-anomaly rule reads before
+    thresholding (complements ``seasonal_anomaly``'s screen with the
+    full additive model).
+
+    Exact-integer formulation (no float accumulation anywhere): with
+    integer day-cents c and the 7-day window sum S₇, the detrended
+    value is carried as the INTEGER 7·c − S₇; the weekday seasonal sum
+    Σ(7c − S₇) and count n_w are exact, and every published component
+    is ONE division of exact integers — trend = S₇/7, seasonal =
+    Σd/(7n_w), residual = (7·n_w·c − n_w·S₇ − Σd)/(7·n_w) — identical
+    correctly-rounded doubles on both engines, shipped UNROUNDED (the
+    dim_profile mean_v rule). Weekday is the engine-portable
+    ``datediff mod 7``, never locale dayofweek numbering.
+
+    Scale shape: one day-grain aggregate of the fact table; the spine
+    window is unpartitioned but CALENDAR-BOUNDED (the repo's
+    spine exception — ~10³ rows at any SF); the weekday table is 7
+    rows, broadcast back. Edge days without a full 7-day window carry
+    NULL components (explicit contract)."""
+    cents = (F.col("value").cast("decimal(18,6)") * 100).cast("long")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(cents).alias("c"))
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day")
+    )
+    filled = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    t = filled.select(
+        "day",
+        "c",
+        F.when(F.count("*").over(w7) == 7, F.sum("c").over(w7)).alias("s7"),
+        # anchor far in the past (a Monday) so the mod-7 weekday is
+        # nonnegative for any dataset — % is truncation-signed in Spark
+        (F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7).alias(
+            "wd"
+        ),
+    )
+    wk = (
+        t.filter(F.col("s7").isNotNull())
+        .groupBy("wd")
+        .agg(
+            F.sum(7 * F.col("c") - F.col("s7")).alias("s_wd"),
+            F.count("*").alias("n_wd"),
+        )
+    )
+    j = t.join(F.broadcast(wk), "wd", "left")
+    den = 7 * F.col("n_wd")
+    return j.select(
+        "day",
+        F.col("c").alias("revenue_cents"),
+        (F.col("s7") / F.lit(7.0)).alias("trend_cents"),
+        F.when(
+            F.col("s7").isNotNull(), F.col("s_wd") / den.cast("double")
+        ).alias("seasonal_cents"),
+        F.when(
+            F.col("s7").isNotNull(),
+            (den * F.col("c") - F.col("n_wd") * F.col("s7") - F.col("s_wd"))
+            / den.cast("double"),
+        ).alias("residual_cents"),
+    ).orderBy("day")

@@ -1796,3 +1796,36 @@ def test_theil_sen_outlier_resistance(spark):
     got = quality.theil_sen_slope(orders).collect()[0]
     assert got["n_pairs"] == 55
     assert abs(got["sen_slope_per_day"] - 1.0) < 1e-9
+
+
+def test_stl_decompose_reconstructs_exactly(spark):
+    """Additive-model identity on a planted weekly pattern: for every
+    interior day, trend + seasonal + residual == revenue exactly (one
+    division each of exact integers), and the weekly spike day carries
+    the dominant positive seasonal component."""
+    import datetime
+
+    from datalake_local_spark.operators import windows
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    for d in range(28):
+        value = 700.0 if d % 7 == 3 else 100.0  # Thursday spike
+        rows.append((eid, base + datetime.timedelta(days=d), 1, "view", value, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = windows.stl_decompose_daily(ev).collect()
+    assert len(out) == 28
+    interior = [r for r in out if r["trend_cents"] is not None]
+    assert len(interior) == 22
+    for r in interior:
+        recon = r["trend_cents"] + r["seasonal_cents"] + r["residual_cents"]
+        assert abs(recon - r["revenue_cents"]) < 1e-6
+        # constant weekly pattern → flat trend at the weekly mean
+        assert abs(r["trend_cents"] - (6 * 10000 + 70000) / 7.0) < 1e-6
+    spikes = [r for r in interior if r["revenue_cents"] == 70000]
+    assert all(r["seasonal_cents"] > 50000 for r in spikes)
