@@ -278,6 +278,7 @@ _CERTIFY_FIRST = [
     "dq_bootstrap_ci",  # r12: 8-per-digest u16 Poisson packing (code+oracle)
     "dq_theil_sen",  # NEW r12: robust median-of-slopes estimator
     "events_stl_decompose",  # NEW r12: exact-integer additive decomposition
+    "graph_assortativity",  # NEW r12: Newman degree-mixing coefficient
     # ---- round-12 head: code/oracle CHANGED this round (r11 verdict:
     # rewritten queries must be driver-re-certified) ----
     "dedup_jaccard_prefix",  # r12: rational-threshold integer prefix bound
@@ -320,13 +321,12 @@ _CERTIFY_FIRST = [
     "window_distribution",
     "text_token_stats",
     "text_top_bigrams",
-    "tpch_waiting_supplier",
     "tpch_supplier_part_counts",
     "text_contamination",
     "text_pack_sequences",
     "text_quality_gate",
     # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
-    # tpch_product_profit, tpch_priority_late, dq_orders_integrity, agg_mad_outliers, pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
+    # tpch_waiting_supplier, tpch_product_profit, tpch_priority_late, dq_orders_integrity, agg_mad_outliers, pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
     # sim_random_projection, agg_approx_percentiles,
     # text_chunk_rolling_hash, events_ewma, text_frequent_tokens,
     # then the r5 cohort (agg_cube, agg_grouping_sets, agg_argmax,
@@ -789,6 +789,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_seasonal_index": lambda s, d: tpch.seasonal_index(*_t(s, d, "orders")),
         "dedup_lsh_scurve": lambda s, d: dedup.lsh_scurve(s),
         "graph_triangles": lambda s, d: dedup.dup_graph_triangles(*_t(s, d, "documents")),
+        "graph_assortativity": lambda s, d: dedup.graph_degree_assortativity(*_t(s, d, "documents")),
         "dedup_entity_fuzzy": lambda s, d: dedup.fuzzy_entity_pairs(*_t(s, d, "part")),
         "text_phrase_search": lambda s, d: text.phrase_search(*_t(s, d, "documents")),
         "dedup_jaccard_prefix": lambda s, d: dedup.jaccard_prefix_filter_pairs(*_t(s, d, "documents")),
@@ -5062,6 +5063,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT degree, n_docs,
                    round(CAST(n_docs AS DOUBLE) / n_nodes, 6) AS doc_share
             FROM hist, total
+        """,
+        "graph_assortativity": f"""
+            WITH docs AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs
+            ),
+            deg AS (
+                SELECT src, CAST(count(*) AS BIGINT) AS deg
+                FROM edges GROUP BY 1
+            ),
+            m AS (
+                SELECT count(*) AS n,
+                       sum(CAST(dx.deg AS HUGEINT)) AS sx,
+                       sum(CAST(dx.deg AS HUGEINT)
+                           * CAST(dy.deg AS HUGEINT)) AS sxy,
+                       sum(CAST(dx.deg AS HUGEINT)
+                           * CAST(dx.deg AS HUGEINT)) AS sxx
+                FROM edges e
+                JOIN deg dx ON dx.src = e.src
+                JOIN deg dy ON dy.src = e.dst
+            )
+            SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+                   CASE WHEN n > 0 THEN
+                       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                       END AS mean_edge_degree,
+                   CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0 THEN
+                       round(CAST(CAST(n AS HUGEINT) * sxy - sx * sx AS DOUBLE)
+                             / CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                                    AS DOUBLE), 6) + 0.0
+                       END AS assortativity
+            FROM m
         """,
         "graph_triangles": f"""
             WITH docs AS (

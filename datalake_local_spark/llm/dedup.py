@@ -2835,3 +2835,67 @@ def shingle_width_sweep(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("width")
+
+
+def graph_degree_assortativity(
+    documents: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Degree assortativity of the near-duplicate graph (Newman 2002,
+    "Assortative mixing in networks", PRL — public): the Pearson
+    correlation of the degrees at the two ends of every edge —
+    positive means hubs link to hubs (one giant boilerplate blob:
+    dedup it as a unit), negative means hub-and-spoke templates (star
+    clusters: ``canonical_keep_policy`` per star). The one-number
+    topology summary read next to ``dup_graph_degree_profile``'s
+    histogram before choosing a clustering strategy.
+
+    Over the UNDIRECTED graph each edge contributes both (dᵤ, dᵥ)
+    orderings (the standard symmetrized estimator), so the correlation
+    is computed over 2|E| integer pairs: all five moments (n, Σx, Σy,
+    Σxy, Σx², with Σy ≡ Σx by symmetry) are exact DECIMAL(38,0)
+    integer sums; r is one identical IEEE tree over them, rounded 6dp
+    with +0.0, NULL-guarded for zero variance (a regular graph — every
+    degree equal — has undefined assortativity).
+
+    Scale shape: degree table = one edge-grain groupBy; the moment
+    pass is two broadcast-joins of the (bounded, node-grain) degree
+    table onto the edge list and one global aggregate — no window, no
+    quadratic stage anywhere; same harness pair feed as the other
+    graph diagnostics (exact Jaccard at doc_id < 100; band index at
+    scale)."""
+    if pairs is None:
+        pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
+            "doc_a", "doc_b"
+        )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    dsrc = deg.select(F.col("src"), F.col("deg").alias("dx"))
+    ddst = deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy"))
+    xd = F.col("dx").cast("decimal(38,0)")
+    yd = F.col("dy").cast("decimal(38,0)")
+    m = (
+        edges.join(dsrc, "src")
+        .join(ddst, "dst")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(xd * yd).alias("sxy"),
+            F.sum(xd * xd).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    # symmetrized: Σy = Σx and Σy² = Σx² over the doubled edge list
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.when(
+            F.col("n") > 0,
+            F.col("sx").cast("double") / F.col("n").cast("double"),
+        ).alias("mean_edge_degree"),
+        F.when(den > 0, F.round(num / den, 6) + F.lit(0.0)).alias(
+            "assortativity"
+        ),
+    )

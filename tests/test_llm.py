@@ -3548,3 +3548,24 @@ def test_temperature_mix_budget_and_flattening(spark):
         for tau, srcs in by_tau.items()
     }
     assert gap["tau_0.25"] < gap["tau_0.50"] < gap["tau_1.00"]
+
+
+def test_assortativity_star_vs_clique(spark):
+    """Hand graphs: a star is maximally DISassortative (r = −1); a
+    clique is degree-regular → zero variance → NULL by the guard."""
+    from datalake_local_spark.llm import dedup
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    r_star = dedup.graph_degree_assortativity(None, pairs=star).collect()[0]
+    assert r_star["n_edges"] == 5
+    assert abs(r_star["assortativity"] - (-1.0)) < 1e-9
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "doc_a long, doc_b long",
+    )
+    r_cl = dedup.graph_degree_assortativity(None, pairs=clique).collect()[0]
+    assert r_cl["n_edges"] == 6
+    assert r_cl["assortativity"] is None  # regular graph: undefined
+    assert abs(r_cl["mean_edge_degree"] - 3.0) < 1e-12
