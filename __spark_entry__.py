@@ -3614,19 +3614,23 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN t USING (stride) ORDER BY stride, bucket
         """,
         "sim_label_separation": """
-            WITH e AS (
+            WITH scorable AS (
+                SELECT * FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) > 0
+            ),
+            e AS (
                 SELECT vec_id, label,
                        generate_subscripts(embedding, 1) - 1 AS dim,
                        CAST(floor(CAST(unnest(embedding) AS DOUBLE)
                                   * 1000000.0) AS BIGINT) AS qv
-                FROM embeddings
+                FROM scorable
             ),
             sums AS (
                 SELECT label, dim, CAST(sum(qv) AS HUGEINT) AS s
                 FROM e GROUP BY 1, 2
             ),
             n_label AS (
-                SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1
+                SELECT label, count(*) AS n_vecs FROM scorable GROUP BY 1
             ),
             norm2 AS (SELECT label, sum(s * s) AS c2 FROM sums GROUP BY 1),
             member AS (
@@ -3643,6 +3647,7 @@ def oracle_sql() -> dict[str, str]:
                                    * CAST(n2.c2 AS DOUBLE))
                             * 1000000.0) AS BIGINT) AS cos_e6
                 FROM member m JOIN norm2 n2 ON n2.label = m.label
+                WHERE m.v2 > 0
             ),
             cohesion AS (
                 SELECT label,

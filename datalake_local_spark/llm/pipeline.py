@@ -931,9 +931,11 @@ def temperature_mixture_allocation(
     (multilingual sampling, Conneau & Lample 2019 XLM §3.1; Arivazhagan
     et al. 2019 M4; T5's examples-proportional mixing, Raffel et al.
     2020 — all public): τ = 1 keeps natural proportions, lower τ
-    up-samples the tail sources. Composes the Hamilton
-    largest-remainder allocator (``token_budget_allocation``) per
-    temperature row.
+    up-samples the tail sources. Applies the same Hamilton
+    largest-remainder METHOD as ``token_budget_allocation`` (quota,
+    integer remainder ranking, top-ups), independently per temperature
+    row — re-stated inline rather than shared because the weights here
+    are quantized micro-units, not raw token counts.
 
     Cross-engine determinism is the design constraint for the
     fractional powers: τ is restricted to {0.25, 0.5, 1.0} so every

@@ -1840,7 +1840,14 @@ def label_separation_geometry(embeddings: DataFrame) -> DataFrame:
     (labels² · dims) — bounded by the LABEL vocabulary, never the
     table. No window, no skew surface."""
     qv = F.floor(F.col("v") * F.lit(1000000.0)).cast("long")
-    e = embeddings.select(
+    # contract (the bm25 'scorable' rule): NULL/empty embeddings carry
+    # no geometry — excluded from counts on BOTH engines (posexplode
+    # would silently drop them from sums but a bare count(*) would
+    # still see them, splitting n_a between the engines)
+    scorable = embeddings.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    e = scorable.select(
         "vec_id", "label",
         F.posexplode(_as_double(F.col("embedding"))).alias("dim", "v"),
     ).select("vec_id", "label", "dim", qv.alias("qv"))
@@ -1869,12 +1876,22 @@ def label_separation_geometry(embeddings: DataFrame) -> DataFrame:
         .join(F.broadcast(norm2), "label")
         .select(
             "label",
-            F.floor(
-                F.col("dot").cast("double")
-                / F.sqrt(F.col("v2").cast("double") * F.col("c2").cast("double"))
-                * F.lit(1000000.0)
-            ).cast("long").alias("cos_e6"),
+            # v2 = 0 (an all-zero-quantized vector) is 0/0: Spark's
+            # NaN→long cast yields 0 where DuckDB errors/NULLs — guard
+            # to explicit NULL and exclude the member from cohesion on
+            # both engines identically
+            F.when(
+                F.col("v2") > 0,
+                F.floor(
+                    F.col("dot").cast("double")
+                    / F.sqrt(
+                        F.col("v2").cast("double") * F.col("c2").cast("double")
+                    )
+                    * F.lit(1000000.0)
+                ).cast("long"),
+            ).alias("cos_e6"),
         )
+        .filter(F.col("cos_e6").isNotNull())
     )
     cohesion = member.groupBy("label").agg(
         F.sum("cos_e6").alias("sum_cos_e6"), F.count("*").alias("n_m")

@@ -1984,9 +1984,10 @@ def quality_threshold_sweep(
     Scale shape: ONE scan computes (stop_bps, n_tokens) per doc, a
     broadcast |cutoffs|-row grid fans each doc into its conditional
     counts, and a cutoff-grain map-side-combined aggregate emits the
-    table — never one scan per cutoff. The 1-row corpus totals come
-    from the same aggregate via the ALL row trick (cutoff 0 keeps
-    everything when every doc has n_tokens ≥ 1)."""
+    table — never one scan per cutoff. Corpus totals are recomputed
+    identically inside every cutoff group (count(*)/sum over the
+    fanned rows) — redundant arithmetic on a |cutoffs|-row aggregate,
+    zero extra scans."""
     c = _quality_counts()
     graded = documents.select(
         (F.lit(10000) * c["n_stop"]).cast("long").alias("stop_e4"),

@@ -829,6 +829,18 @@ def cuped_adjustment(events: DataFrame) -> DataFrame:
     ).orderBy("arm")
 
 
+def _daily_status_cents(orders: DataFrame) -> DataFrame:
+    """(status, day, c): daily revenue in exact integer cents per order
+    status — the shared pair-stage input of ``mann_kendall_trend`` and
+    ``theil_sen_slope`` (one definition so the two companions can never
+    desynchronize on quantization or grain)."""
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+    return orders.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.sum(cents).alias("c"))
+
+
 def mann_kendall_trend(orders: DataFrame) -> DataFrame:
     """Mann–Kendall nonparametric trend test (Mann 1945, Kendall 1975 —
     public) on the daily-revenue series, per order status: S =
@@ -850,11 +862,7 @@ def mann_kendall_trend(orders: DataFrame) -> DataFrame:
     and co-partitioned on status; daily revenue and tie counts are
     map-side-combined aggregates of the fact table. At 100 TB the
     fact scan dominates; the pair stage stays O(|days|²·|statuses|)."""
-    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
-    daily = orders.groupBy(
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_orderdate").cast("date").alias("day"),
-    ).agg(F.sum(cents).alias("c"))
+    daily = _daily_status_cents(orders)
     a, b = daily.alias("a"), daily.alias("b")
     s_stat = (
         a.join(
@@ -939,11 +947,7 @@ def theil_sen_slope(orders: DataFrame) -> DataFrame:
     Scale shape: identical to mann_kendall_trend — quadratic only in
     the bounded calendar dimension, co-partitioned on status; the
     fact-table scan is one map-side-combined daily aggregate."""
-    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
-    daily = orders.groupBy(
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_orderdate").cast("date").alias("day"),
-    ).agg(F.sum(cents).alias("c"))
+    daily = _daily_status_cents(orders)
     a, b = daily.alias("a"), daily.alias("b")
     slope_c2 = F.floor(
         (F.col("b.c") - F.col("a.c")).cast("double")

@@ -414,7 +414,8 @@ def run_streaming_semi_join(
     watermark advances past the stream tail: on static input it equals
     the batch LEFT SEMI theta-join exactly → hash oracle. State: left
     rows buffer only until matched or expired by the event-time bound;
-    same 4-partition two-store sizing as the inner variant."""
+    same 2-partition two-store sizing as the inner variant
+    (see run_streaming_stream_join for the r12 commit-cost measurements)."""
     sub = _stream_session(spark, "2")
     clicks, purchases = _click_purchase_streams(sub, sf_dir)
     joined = clicks.join(

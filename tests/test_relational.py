@@ -1643,6 +1643,7 @@ def test_cuped_matches_numpy_reference(spark):
     theta = ((len(x) * (x * y).sum() - x.sum() * y.sum())
              / (len(x) * (x * x).sum() - x.sum() ** 2))
     mx_pool = x.mean()
+    adj = y - theta * (x - mx_pool)
     for a in ("A", "B"):
         sel = np.array(arms) == a
         assert got[a]["n_users"] == int(sel.sum())
@@ -1650,10 +1651,12 @@ def test_cuped_matches_numpy_reference(spark):
         want_adj = y[sel].mean() - theta * (x[sel].mean() - mx_pool)
         assert abs(got[a]["mean_cuped"] - want_adj) < 1e-5
         assert abs(got[a]["mean_post"] - y[sel].mean()) < 1e-5
-    # pooled variance reduction must be non-negative by construction
-    n_a, n_b = got["A"]["n_users"], got["B"]["n_users"]
-    pooled_red = (n_a * got["A"]["var_reduction"] + n_b * got["B"]["var_reduction"])
-    assert got["A"]["var_post"] > 0 and got["B"]["var_post"] > 0
+        # variance outputs against the numpy reference (sample, ddof=1)
+        want_vp = y[sel].var(ddof=1)
+        want_vc = adj[sel].var(ddof=1)
+        assert abs(got[a]["var_post"] - want_vp) < 1e-5
+        assert abs(got[a]["var_cuped"] - want_vc) < 1e-5
+        assert abs(got[a]["var_reduction"] - (1.0 - want_vc / want_vp)) < 1e-5
 
 
 def test_mann_kendall_hand_computed(spark):
