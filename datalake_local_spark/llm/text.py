@@ -482,9 +482,16 @@ def token_pmi_pairs(documents: DataFrame, k: int = 20, min_pair_count: int = 10)
     groupBy(tok_a, tok_b) yields BOTH grains: pair counts are the
     non-NULL-tok_b rows and unigram counts are sum(n) grouped by tok_a
     (every occurrence appears exactly once as tok_a, doc-end marker
-    included). The two derivations share an identical aggregate-exchange
-    subtree, so Catalyst's ReuseExchange/AQE runs the scan + tokenize +
-    shuffle once. The unigram marginals are semi-join-PRUNED to tokens
+    included). The shared pair-count aggregate is ``localCheckpoint``
+    MATERIALIZED: its many consumers (unigram marginals + their total,
+    pair totals, the surviving-token semi-join, the scoring join) have
+    canonically DIFFERENT subtrees after the crossJoins/distinct, so
+    ReuseExchange never fires and the un-checkpointed plan re-ran the
+    corpus scan+tokenize 14× (r12 plan audit; 1.9 → ~0.6 s at sf0.1).
+    The materialization is one shuffle's worth of (pair, n) rows — the
+    table the query keeps anyway — so at 100 TB it trades 13 corpus
+    scans for one spill-backed write of the adjacent-pair vocabulary.
+    The unigram marginals are semi-join-PRUNED to tokens
     that survive ``min_pair_count`` BEFORE the broadcast hint: the full
     vocab of a web corpus is 10^8-10^9 rows (not broadcastable), but the
     surviving-pair token set is bounded by the pair table the query
@@ -513,6 +520,7 @@ def token_pmi_pairs(documents: DataFrame, k: int = 20, min_pair_count: int = 10)
         .select("p.tok_a", "p.tok_b")
         .groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     # totals via tree-reduced scalar aggregates broadcast back — a
     # partitionBy() window would single-partition the vocab-/pair-grain
