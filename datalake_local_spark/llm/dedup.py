@@ -384,6 +384,27 @@ def ngram_token_jaccard_pairs(
     )
 
 
+
+def _harness_pair_feed(documents: DataFrame) -> DataFrame:
+    """MATERIALIZED default pair feed for the graph diagnostics: the
+    exact-Jaccard verifier at the standard harness bounds
+    (doc_id < 100, t = 0.8), ``localCheckpoint``-ed before use.
+
+    Why materialize: every diagnostic joins the pair list against
+    itself and against derived degree tables; those consumer subtrees
+    are canonically different (filters, aliases, aggregates), so
+    ReuseExchange never fires and each reference replays the FULL
+    inverted-index verifier from the corpus scan — the r12 plan census
+    measured graph_triangles at 188 parquet scans / 8.4 s cold where
+    one suffices. The feed is harness-bounded (≲ a few thousand pairs);
+    at scale callers pass ``pairs=`` from the persisted LSH band index
+    and this default never runs."""
+    return (
+        ngram_token_jaccard_pairs(documents, 100, 0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+
 def cross_source_contamination(
     documents: DataFrame,
     max_doc_id: int = 100,
@@ -1456,7 +1477,7 @@ def duplicate_graph_quality(documents: DataFrame) -> DataFrame:
     appears exactly once as the two-path x→y→z closed by the oriented
     edge x→z. Edge-grain shuffles only; component-grain aggregates are
     map-side combining."""
-    pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select("doc_a", "doc_b")
+    pairs = _harness_pair_feed(documents)
     # the SAME pair relation feeds the component fixpoint (via its pairs=
     # injection hook) and the edge metrics — the O(n²) token self-join
     # runs once, not once per consumer
@@ -1623,9 +1644,7 @@ def pagerank_dup_graph(
     Not ANSI-expressible as one statement (iterative) → no oracle
     entry; registered rows-only."""
     if pairs is None:
-        pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
-            "doc_a", "doc_b"
-        )
+        pairs = _harness_pair_feed(documents)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -1759,7 +1778,7 @@ def dup_graph_degree_profile(documents: DataFrame) -> DataFrame:
     histogram — two map-side-combined groupBys; the share denominator
     is a 1-row broadcast of the node total (the benford_profile
     totals pattern)."""
-    pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select("doc_a", "doc_b")
+    pairs = _harness_pair_feed(documents)
     deg = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -1808,9 +1827,7 @@ def kcore_decomposition(
     feed :func:`candidates_from_band_index` so all graph diagnostics
     share one persisted LSH index."""
     if pairs is None:
-        pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
-            "doc_a", "doc_b"
-        )
+        pairs = _harness_pair_feed(documents)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -2188,9 +2205,7 @@ def dup_graph_triangles(
     half needs a reduced denominator of 128·5^a, and 128 ∤ C(d,2)
     for any d < 256 (harness graph has < 100 nodes)."""
     if pairs is None:
-        pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
-            "doc_a", "doc_b"
-        )
+        pairs = _harness_pair_feed(documents)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     deg = (
         edges.select(F.col("u").alias("doc_id"))
@@ -2546,9 +2561,7 @@ def dup_graph_link_prediction(
     accepts the band-index candidate feed (candidates_from_band_index)
     like pagerank/kcore/triangles."""
     if pairs is None:
-        pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
-            "doc_a", "doc_b"
-        )
+        pairs = _harness_pair_feed(documents)
     edges = pairs.select("doc_a", "doc_b")
     adj = edges.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
@@ -2684,9 +2697,7 @@ def lpa_communities(
     import math
 
     if pairs is None:
-        pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
-            "doc_a", "doc_b"
-        )
+        pairs = _harness_pair_feed(documents)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).persist()
@@ -2864,9 +2875,7 @@ def graph_degree_assortativity(
     graph diagnostics (exact Jaccard at doc_id < 100; band index at
     scale)."""
     if pairs is None:
-        pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
-            "doc_a", "doc_b"
-        )
+        pairs = _harness_pair_feed(documents)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
