@@ -432,7 +432,12 @@ def cross_source_contamination(
     (pair-grain, small) against a two-column doc→source projection; the
     matrix aggregate is |sources|² rows."""
     if pairs is None:
-        pairs = ngram_token_jaccard_pairs(documents, max_doc_id, threshold)
+        # materialized like _harness_pair_feed (this one keeps the
+        # jaccard column): the matrix/touched-docs consumers otherwise
+        # replay the verifier join per reference (18 scans, r12 census)
+        pairs = ngram_token_jaccard_pairs(
+            documents, max_doc_id, threshold
+        ).localCheckpoint()
         meta = documents.filter(F.col("doc_id") < max_doc_id)
     else:
         meta = documents

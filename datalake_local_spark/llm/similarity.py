@@ -1592,9 +1592,12 @@ def ann_recall_report(
     Deterministic (seed-fixed hyperplanes and KMeans, id tie-breaks) —
     but an ensemble of seeded artifacts has no ANSI oracle → rows-only
     with invariant tests (exact-vs-itself recall 1.0, recall bounds)."""
+    # materialize the two tiny reused relations (r12 census: the
+    # un-checkpointed report replayed the brute-force and index probes
+    # 34 scans' worth — exact is referenced 2× per method, all_rows 2×)
     exact = cosine_topk_bruteforce(embeddings, query_ids, k).select(
         "query_id", "corpus_id"
-    )
+    ).localCheckpoint()
     methods = {
         "lsh": cosine_topk_lsh(embeddings, query_ids, k),
         "lsh_multiprobe": cosine_topk_lsh_multiprobe(embeddings, query_ids, k),
@@ -1627,6 +1630,7 @@ def ann_recall_report(
     all_rows = reports[0]
     for r in reports[1:]:
         all_rows = all_rows.unionAll(r)
+    all_rows = all_rows.localCheckpoint()  # (method × query) rows
     avg = all_rows.groupBy("method").agg(
         F.lit(-1).cast("long").alias("query_id"),
         F.round(F.avg("recall_at_k"), 6).alias("recall_at_k"),
