@@ -2419,7 +2419,8 @@ def jaccard_prefix_filter_pairs(
         F.explode(
             F.array_distinct(F.split(_norm_text(F.col("text")), " "))
         ).alias("token"),
-    )
+    ).localCheckpoint()  # harness-bounded; 5 consumers (sizes, df,
+    # ranked, both intersection sides) replayed the tokenize otherwise
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     doc_freq = toks.groupBy("token").agg(F.count("*").alias("df"))
     from pyspark.sql import Window as W
@@ -2817,7 +2818,10 @@ def shingle_width_sweep(
     for w in widths:
         shingles = docs.select(
             "doc_id", F.explode(_shingles(F.col("text"), w)).alias("sh")
-        )
+        ).localCheckpoint()
+        # ^ per-width shingle table reused by sizes + BOTH self-join
+        # sides + the type count — one tokenize per width instead of
+        # five (15 scans total, r12 census)
         sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
         a, b = shingles.alias("a"), shingles.alias("b")
         inter = (

@@ -1894,7 +1894,11 @@ def phrase_search(
     toks = documents.select(
         "doc_id",
         F.posexplode(F.split(_norm_text(F.col("text")), " ")).alias("pos", "token"),
-    ).filter(F.length("token") > 0)
+    ).filter(F.length("token") > 0).localCheckpoint()
+    # ^ the postings relation IS the positional index — materialized
+    # once like a real IR system builds it; without the checkpoint each
+    # phrase term's filter replayed the corpus tokenize (7 scans, r12
+    # census). At production scale this is the persisted index table.
     out = None
     for phrase in phrases:
         terms = phrase.split(" ")

@@ -259,7 +259,7 @@ def join_cardinality_estimate(
     )
     prod = lc.join(rc, "key").select(
         "key", (F.col("cl") * F.col("cr")).alias("contrib")
-    )
+    ).localCheckpoint()  # key histogram reused by totals + top-k
     totals = prod.agg(
         F.sum("contrib").alias("join_rows"), F.count("*").alias("n_keys")
     )
@@ -439,6 +439,10 @@ def chi_squared_screen(events: DataFrame) -> DataFrame:
         )
         .groupBy("event_type", "day_quarter")
         .agg(F.count("*").alias("observed"))
+        # materialized: the cell table (types × 4 rows) feeds four
+        # consumers whose subtrees are canonically different — without
+        # the checkpoint each replays the fact-table scan (r12 census)
+        .localCheckpoint()
     )
     row_m = cells.groupBy("event_type").agg(F.sum("observed").alias("row_total"))
     col_m = cells.groupBy("day_quarter").agg(F.sum("observed").alias("col_total"))
@@ -464,6 +468,7 @@ def chi_squared_screen(events: DataFrame) -> DataFrame:
             contrib.cast("decimal(18,6)").alias("c_dec"),
         )
     )
+    with_cells = with_cells.localCheckpoint()  # cell-grain, reused 2x
     total = with_cells.agg(F.sum("c_dec").cast("double").alias("chi2_stat"))
     return (
         with_cells.crossJoin(F.broadcast(total))
