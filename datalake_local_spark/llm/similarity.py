@@ -1723,7 +1723,12 @@ def pair_geometry(embeddings: DataFrame, strides: tuple[int, ...] = (1, 7, 37)) 
     knn-transfer oracle recipe); bucket = floor(10·cos) of an
     IDENTICAL double needs no rounding; bucket means sum 6dp-rounded
     cosines as DECIMAL then divide once."""
-    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    # materialized once: 3 strides × 2 self-join sides re-read the
+    # vector panel 6× otherwise, and the bucket aggregate's total
+    # re-aggregation doubled it to 12 (r12 plan census)
+    e = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).localCheckpoint()
     per_stride = []
     for s in strides:
         a = e.alias("a")
@@ -1747,7 +1752,7 @@ def pair_geometry(embeddings: DataFrame, strides: tuple[int, ...] = (1, 7, 37)) 
     )
     g = binned.groupBy("stride", "bucket").agg(
         F.count("*").alias("n_pairs"), F.sum("rc").alias("src")
-    )
+    ).localCheckpoint()  # strides × ≤20 buckets, reused by the total
     tot = g.groupBy("stride").agg(F.sum("n_pairs").alias("n_total"))
     return (
         g.join(tot, "stride")

@@ -1669,11 +1669,13 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     toks = documents.select(
         "doc_id",
         F.posexplode(F.split(_norm_text(F.col("text")), " ")).alias("pos", "w1"),
-    )
+    ).localCheckpoint()  # the token stream: reused by the bigram
+    # window AND the unigram counts — materialized once (the LM build
+    # step), not re-tokenized per consumer (r12 plan census)
     w = W.partitionBy("doc_id").orderBy("pos")
     big = toks.select(
         "doc_id", "w1", F.lead("w1").over(w).alias("w2")
-    ).filter(F.col("w2").isNotNull())
+    ).filter(F.col("w2").isNotNull()).localCheckpoint()
     bi_freq = big.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
     uni_freq = toks.groupBy("w1").agg(F.count("*").alias("c_uni"))
     vocab = uni_freq.agg(F.count("*").alias("v"))
