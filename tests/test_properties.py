@@ -126,3 +126,96 @@ def test_split_boundaries_partition_hex_space(fracs):
         bounds.append(format(min(int(cum * (1 << 32)), (1 << 32) - 1), "08x"))
     assert all(len(b) == 8 for b in bounds)
     assert bounds == sorted(bounds)  # lexicographic == numeric on the grid
+
+
+# ---------------------------------------------------------------------------
+# round-12 property tests
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_delta_merge_equals_recompute_property(spark):
+    """Property: for randomized delete/update/insert feeds over a small
+    base table, the incrementally-maintained internal rollup equals a
+    from-scratch recompute of the post-change state — every column,
+    every seed (the Gupta-Mumick correctness property beyond the one
+    deterministic harness derivation)."""
+    import datetime
+    import random
+
+    from datalake_local_spark.operators import ivm
+
+    for seed in (7, 41, 1999):
+        rng = random.Random(seed)
+        base_rows = [
+            (
+                datetime.date(2024, rng.randint(1, 4), 1),
+                rng.choice(["O", "F"]),
+                round(rng.uniform(1, 500), 2),
+            )
+            for _ in range(60)
+        ]
+        schema = "o_orderdate date, o_orderstatus string, o_totalprice double"
+        base = spark.createDataFrame(base_rows, schema)
+        deleted = [r for r in base_rows if rng.random() < 0.3]
+        survivors = [r for r in base_rows if r not in deleted]
+        upd_pre = [r for r in survivors if rng.random() < 0.3]
+        upd_post = [(d, s, round(p + 10.0, 2)) for d, s, p in upd_pre]
+        inserts = [
+            (datetime.date(2024, rng.randint(1, 5), 1), "P",
+             round(rng.uniform(1, 500), 2))
+            for _ in range(8)
+        ]
+        new_rows = [r for r in survivors if r not in upd_pre] + upd_post + inserts
+        old_internal = ivm.monthly_rollup_internal(base)
+        merged = ivm.rollup_delta_merge(
+            old_internal,
+            spark.createDataFrame(upd_post + inserts, schema),
+            spark.createDataFrame(deleted + upd_pre, schema),
+            spark.createDataFrame(new_rows, schema),
+        )
+        got = {
+            (r["order_month"], r["orderstatus"]): (
+                r["n_orders"], r["sum_cents"], r["min_price"], r["max_price"])
+            for r in merged.collect()
+        }
+        want = {
+            (r["order_month"], r["orderstatus"]): (
+                r["n_orders"], r["sum_cents"], r["min_price"], r["max_price"])
+            for r in ivm.monthly_rollup_internal(
+                spark.createDataFrame(new_rows, schema)
+            ).collect()
+        }
+        assert got == want, f"seed {seed}: merged != recomputed"
+
+
+def test_jaccard_prefix_lossless_for_odd_thresholds(spark):
+    """Property (the r11 ADVICE boundary class): at thresholds whose
+    float products round badly (0.7, 0.6, 0.75), the prefix-filtered
+    join returns EXACTLY the all-pairs verifier's result — boundary
+    pairs with J == t included."""
+    import random
+
+    from datalake_local_spark.llm import dedup
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    vocab = [f"tok{i}" for i in range(40)]
+    docs = []
+    for i in range(30):
+        body = rng.sample(vocab, rng.randint(8, 20))
+        docs.append((i, " ".join(body)))
+    # plant exact-boundary pairs: doc B = 7 of A's 10 tokens + same 10
+    docs.append((100, " ".join(vocab[:10])))
+    docs.append((101, " ".join(vocab[:10])))          # J = 1.0
+    docs.append((102, " ".join(vocab[:7] + vocab[20:23])))  # J(100,102)=7/13
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.6, 0.7, 0.75):
+        fast = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.jaccard_prefix_filter_pairs(df, 1000, t).collect()
+        }
+        slow = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.ngram_token_jaccard_pairs(df, 1000, t).collect()
+        }
+        assert fast == slow, f"threshold {t}: prefix filter lost pairs"
