@@ -2079,7 +2079,11 @@ def minhash_calibration(
     from pyspark.sql import Window as W
 
     docs = documents.filter(F.col("doc_id") < max_doc_id)
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    # bounded audit panels, each consumed by BOTH pair sides —
+    # materialized once (r12 plan census: 15 scans without)
+    sh = docs.select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    ).localCheckpoint()
     if pairs is not None:
         audited = pairs.select("doc_a", "doc_b", F.lit("injected").alias("stratum"))
     elif exhaustive:
@@ -2121,7 +2125,7 @@ def minhash_calibration(
         .select("doc_a", "doc_b", "stratum", F.round(inter / union, 6).alias("exact_jaccard"))
         .filter((F.col("stratum") != "candidate") | (F.col("exact_jaccard") >= min_jaccard))
     )
-    sigs = minhash_signatures(docs)
+    sigs = minhash_signatures(docs).localCheckpoint()
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
     est = (
