@@ -3647,7 +3647,7 @@ def oracle_sql() -> dict[str, str]:
                                    * CAST(n2.c2 AS DOUBLE))
                             * 1000000.0) AS BIGINT) AS cos_e6
                 FROM member m JOIN norm2 n2 ON n2.label = m.label
-                WHERE m.v2 > 0
+                WHERE m.v2 > 0 AND n2.c2 > 0
             ),
             cohesion AS (
                 SELECT label,

@@ -1885,12 +1885,13 @@ def label_separation_geometry(embeddings: DataFrame) -> DataFrame:
         .join(F.broadcast(norm2), "label")
         .select(
             "label",
-            # v2 = 0 (an all-zero-quantized vector) is 0/0: Spark's
-            # NaN→long cast yields 0 where DuckDB errors/NULLs — guard
-            # to explicit NULL and exclude the member from cohesion on
-            # both engines identically
+            # v2 = 0 (an all-zero-quantized vector) or c2 = 0 (a
+            # label whose signed quantized sums cancel in every dim)
+            # is 0/0: Spark's NaN→long cast yields 0 where DuckDB
+            # errors — guard BOTH factors to explicit NULL and exclude
+            # the member from cohesion on both engines identically
             F.when(
-                F.col("v2") > 0,
+                (F.col("v2") > 0) & (F.col("c2") > 0),
                 F.floor(
                     F.col("dot").cast("double")
                     / F.sqrt(

@@ -156,16 +156,25 @@ def test_ivm_delta_merge_equals_recompute_property(spark):
         ]
         schema = "o_orderdate date, o_orderstatus string, o_totalprice double"
         base = spark.createDataFrame(base_rows, schema)
-        deleted = [r for r in base_rows if rng.random() < 0.3]
-        survivors = [r for r in base_rows if r not in deleted]
-        upd_pre = [r for r in survivors if rng.random() < 0.3]
+        # partition by INDEX, not value membership: duplicate random
+        # rows would otherwise vanish from survivors while the delete
+        # feed carries only the sampled copy (multiset semantics)
+        del_idx = {i for i in range(len(base_rows)) if rng.random() < 0.3}
+        deleted = [base_rows[i] for i in sorted(del_idx)]
+        surv_idx = [i for i in range(len(base_rows)) if i not in del_idx]
+        upd_idx = {i for i in surv_idx if rng.random() < 0.3}
+        upd_pre = [base_rows[i] for i in sorted(upd_idx)]
         upd_post = [(d, s, round(p + 10.0, 2)) for d, s, p in upd_pre]
         inserts = [
             (datetime.date(2024, rng.randint(1, 5), 1), "P",
              round(rng.uniform(1, 500), 2))
             for _ in range(8)
         ]
-        new_rows = [r for r in survivors if r not in upd_pre] + upd_post + inserts
+        new_rows = (
+            [base_rows[i] for i in surv_idx if i not in upd_idx]
+            + upd_post
+            + inserts
+        )
         old_internal = ivm.monthly_rollup_internal(base)
         merged = ivm.rollup_delta_merge(
             old_internal,
@@ -204,10 +213,12 @@ def test_jaccard_prefix_lossless_for_odd_thresholds(spark):
     for i in range(30):
         body = rng.sample(vocab, rng.randint(8, 20))
         docs.append((i, " ".join(body)))
-    # plant exact-boundary pairs: doc B = 7 of A's 10 tokens + same 10
+    # plant exact-boundary pairs: J(100,101) = 1.0 and
+    # J(100,102) = 7/10 = 0.7 EXACTLY — the J == t inclusion case at
+    # the 0.7 threshold that float-ceil prefix bounds used to drop
     docs.append((100, " ".join(vocab[:10])))
-    docs.append((101, " ".join(vocab[:10])))          # J = 1.0
-    docs.append((102, " ".join(vocab[:7] + vocab[20:23])))  # J(100,102)=7/13
+    docs.append((101, " ".join(vocab[:10])))
+    docs.append((102, " ".join(vocab[:7])))
     df = spark.createDataFrame(docs, "doc_id long, text string")
     for t in (0.6, 0.7, 0.75):
         fast = {
@@ -219,3 +230,6 @@ def test_jaccard_prefix_lossless_for_odd_thresholds(spark):
             for r in dedup.ngram_token_jaccard_pairs(df, 1000, t).collect()
         }
         assert fast == slow, f"threshold {t}: prefix filter lost pairs"
+        if t == 0.7:
+            assert any(a == 100 and b == 102 for a, b, _ in fast), (
+                "planted J == t boundary pair missing at t = 0.7")

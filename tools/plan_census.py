@@ -1,27 +1,32 @@
 """Registry-wide plan census: post-execution parquet-scan counts.
 
-Counts `FileScan parquet` nodes in each registered query's
-POST-EXECUTION adaptive plan — the honest number (static plans
-overstate where AQE would reuse; in practice runtime ReusedExchange
-fired nowhere in this repo because multi-consumer subtrees diverge
-canonically, which is exactly what this tool exists to catch).
+Counts `FileScan parquet` nodes in each registered query's FINALIZED
+adaptive plan — collect() first (count() executes a DERIVED query
+execution, leaving df's own plan un-finalized at its static shape),
+then split off the `== Initial Plan ==` section, which repeats every
+node pre-reuse (the tests/test_llm.py::_final_plan recipe). Static
+counts overstate wherever runtime ReusedExchange fires; finalized
+counts are the honest number. Residual scans above the threshold mean
+a shared relation needs a `localCheckpoint` materialization (see
+SCALE.md "plan census").
 
 Usage:
     python tools/plan_census.py [sf_dir] [threshold]
 
 Prints one line per query with scans > threshold (default 4), sorted
-descending — anything large means a shared relation needs a
-``localCheckpoint`` materialization (see SCALE.md "plan census").
-Streaming runners are skipped (they execute a streaming query, not a
-batch plan). Queries whose builders checkpoint eagerly report the
-residual plan scans; the materialization itself is the one real scan.
+descending. Streaming runners are skipped (they execute a streaming
+query, not a batch plan). Queries whose builders checkpoint eagerly
+report the residual plan scans; the materialization itself is the one
+real scan. collect() makes this a heavyweight diagnostic — run at
+sf0.001.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -38,8 +43,16 @@ def main() -> None:
             continue
         try:
             df = fn(spark, sf_dir)
-            df.count()  # force execution so the ADAPTIVE plan is final
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            # collect() (NOT count(): that executes a derived plan and
+            # leaves df's own un-finalized), then drop the Initial Plan
+            # echo which repeats every pre-reuse node
+            df.collect()
+            plan = (
+                df._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+                .split("+- == Initial Plan ==")[0]
+            )
             rows.append((plan.count("FileScan parquet"), name))
         except Exception as exc:  # pragma: no cover - diagnostic tool
             rows.append((-1, f"{name} ERR {type(exc).__name__}"))
