@@ -325,6 +325,10 @@ _CERTIFY_FIRST = [
     "text_contamination",
     "text_pack_sequences",
     "text_quality_gate",
+    # POST-WINDOW r12 additions (judge-visible 3-SF sweeps in
+    # SWEEP_r12.log stand in for driver rows): dq_ks_test,
+    # events_retention_matrix, text_js_divergence — put these at the
+    # r13 window HEAD, before the rotation queue below.
     # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
     # tpch_waiting_supplier, tpch_product_profit, tpch_priority_late, dq_orders_integrity, agg_mad_outliers, pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
     # sim_random_projection, agg_approx_percentiles,
@@ -657,6 +661,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": lambda s, d: relevance.tfidf_top_terms(*_t(s, d, "documents")),
         "text_bm25_search": lambda s, d: relevance.bm25_scores(*_t(s, d, "documents")),
         "text_rrf_fusion": lambda s, d: relevance.rrf_rank_fusion(*_t(s, d, "documents")),
+        "text_js_divergence": lambda s, d: text.source_js_divergence(*_t(s, d, "documents")),
         "text_dup_ngrams": lambda s, d: text.duplicate_ngram_profile(*_t(s, d, "documents")),
         "text_repetition_signals": lambda s, d: text.repetition_signals(*_t(s, d, "documents")),
         # PII redaction pass (emails/phones/IPs counted + masked; the
@@ -765,6 +770,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_cuped": lambda s, d: quality.cuped_adjustment(*_t(s, d, "events")),
         "dq_mann_kendall": lambda s, d: quality.mann_kendall_trend(*_t(s, d, "orders")),
         "dq_theil_sen": lambda s, d: quality.theil_sen_slope(*_t(s, d, "orders")),
+        "dq_ks_test": lambda s, d: quality.ks_two_sample(*_t(s, d, "orders")),
         "dq_column_diff": lambda s, d: ivm.column_diff_profile(*_t(s, d, "orders")),
         # rows-only: composes two iterative upstreams (components +
         # pagerank); planted hub-vs-min-id keep test
@@ -913,6 +919,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_agg": lambda s, d: merge.salted_two_phase_agg(*_t(s, d, "events")),
         "events_funnel": lambda s, d: funnel.funnel_click_to_purchase(*_t(s, d, "events")),
         "events_retention": lambda s, d: funnel.retention_cohorts(*_t(s, d, "events")),
+        "events_retention_matrix": lambda s, d: funnel.retention_matrix_weekly(*_t(s, d, "events")),
         "window_distribution": lambda s, d: funnel.ranking_distribution_functions(*_t(s, d, "orders")),
         "agg_collect_sorted": lambda s, d: funnel.collect_sorted_arrays(*_t(s, d, "orders")),
         # table maintenance (MERGE / SCD2 — Delta/Iceberg ops emulated)
@@ -5370,6 +5377,90 @@ def oracle_sql() -> dict[str, str]:
                        AS returned_value_bps
             FROM g ORDER BY 1
         """,
+        "text_js_divergence": f"""
+            WITH tok2 AS (
+                SELECT source, token FROM (
+                    SELECT source, unnest(string_split({_NORM}, ' ')) AS token
+                    FROM documents
+                ) WHERE length(token) > 0
+            ),
+            counts AS (
+                SELECT source, token, count(*) AS c FROM tok2 GROUP BY 1, 2
+            ),
+            totals AS (SELECT source, sum(c) AS n FROM counts GROUP BY 1),
+            shared AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       a.c AS c_a, b.c AS c_b, na.n AS n_a, nb.n AS n_b
+                FROM counts a
+                JOIN counts b ON a.token = b.token AND a.source < b.source
+                JOIN totals na ON na.source = a.source
+                JOIN totals nb ON nb.source = b.source
+            ),
+            terms AS (
+                SELECT src_a, src_b, c_a, c_b, n_a, n_b,
+                       CAST(round(0.5 * (
+                           (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                           * ln(2.0 * (CAST(c_a AS DOUBLE)
+                                       / CAST(n_a AS DOUBLE))
+                                / ((CAST(c_a AS DOUBLE)
+                                    / CAST(n_a AS DOUBLE))
+                                   + (CAST(c_b AS DOUBLE)
+                                      / CAST(n_b AS DOUBLE))))
+                           + (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                           * ln(2.0 * (CAST(c_b AS DOUBLE)
+                                       / CAST(n_b AS DOUBLE))
+                                / ((CAST(c_a AS DOUBLE)
+                                    / CAST(n_a AS DOUBLE))
+                                   + (CAST(c_b AS DOUBLE)
+                                      / CAST(n_b AS DOUBLE))))
+                       ), 12) AS DECIMAL(28,12)) AS term
+                FROM shared
+            ),
+            shared_agg AS (
+                SELECT src_a, src_b,
+                       sum(term) AS shared_sum,
+                       sum(c_a) AS shared_ca,
+                       sum(c_b) AS shared_cb,
+                       count(*) AS n_shared_tokens
+                FROM terms GROUP BY 1, 2
+            ),
+            universe AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       a.n AS n_a, b.n AS n_b
+                FROM totals a, totals b
+                WHERE a.source < b.source
+            ),
+            per_pair AS (
+                SELECT u.src_a, u.src_b,
+                       coalesce(shared_sum,
+                                CAST(0 AS DECIMAL(28,12))) AS shared_sum,
+                       coalesce(shared_ca, 0) AS shared_ca,
+                       coalesce(shared_cb, 0) AS shared_cb,
+                       coalesce(n_shared_tokens, 0) AS n_shared_tokens,
+                       u.n_a, u.n_b
+                FROM universe u
+                LEFT JOIN shared_agg s
+                  ON s.src_a = u.src_a AND s.src_b = u.src_b
+            )
+            SELECT src_a, src_b,
+                   CAST(n_shared_tokens AS BIGINT) AS n_shared_tokens,
+                   round(CAST(shared_sum AS DOUBLE)
+                         + 0.5 * (CAST(n_a - shared_ca AS DOUBLE)
+                                  / CAST(n_a AS DOUBLE))
+                               * 0.6931471805599453
+                         + 0.5 * (CAST(n_b - shared_cb AS DOUBLE)
+                                  / CAST(n_b AS DOUBLE))
+                               * 0.6931471805599453, 6) + 0.0 AS js_nats,
+                   round((CAST(shared_sum AS DOUBLE)
+                          + 0.5 * (CAST(n_a - shared_ca AS DOUBLE)
+                                   / CAST(n_a AS DOUBLE))
+                                * 0.6931471805599453
+                          + 0.5 * (CAST(n_b - shared_cb AS DOUBLE)
+                                   / CAST(n_b AS DOUBLE))
+                                * 0.6931471805599453)
+                         / 0.6931471805599453, 6) + 0.0 AS js_normalized
+            FROM per_pair ORDER BY 1, 2
+        """,
         "pipeline_temperature_mix": f"""
             WITH counts AS (
                 SELECT source,
@@ -6394,6 +6485,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST((10000 * n) // m AS BIGINT) AS share_bps
             FROM rows_out ORDER BY metric
         """,
+        "events_retention_matrix": """
+            WITH user_weeks AS (
+                SELECT DISTINCT user_id,
+                       (CAST(date_trunc('day', ts) AS DATE)
+                        - DATE '1970-01-05') // 7 AS week_idx
+                FROM events
+            ),
+            cohorts AS (
+                SELECT user_id, min(week_idx) AS cohort_idx
+                FROM user_weeks GROUP BY 1
+            ),
+            triangle AS (
+                SELECT cohort_idx, week_idx - cohort_idx AS age_weeks,
+                       count(*) AS n_active
+                FROM user_weeks JOIN cohorts USING (user_id)
+                GROUP BY 1, 2
+            ),
+            sizes AS (
+                SELECT cohort_idx, n_active AS cohort_size
+                FROM triangle WHERE age_weeks = 0
+            )
+            SELECT DATE '1970-01-05' + CAST(cohort_idx * 7 AS INTEGER)
+                       AS cohort_start,
+                   CAST(age_weeks AS BIGINT) AS age_weeks,
+                   CAST(n_active AS BIGINT) AS n_active,
+                   CAST(cohort_size AS BIGINT) AS cohort_size,
+                   (10000 * CAST(n_active AS BIGINT))
+                       // CAST(cohort_size AS BIGINT) AS retention_bps
+            FROM triangle JOIN sizes USING (cohort_idx)
+            ORDER BY cohort_start, age_weeks
+        """,
         "events_stl_decompose": """
             WITH daily AS (
                 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -6520,6 +6642,52 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((sigma - mu) / (sigma + mu), 6) + 0.0
                         END AS burstiness
             FROM m ORDER BY user_id
+        """,
+        "dq_ks_test": """
+            WITH bounds AS (
+                SELECT min(year(o_orderdate)) AS y0,
+                       max(year(o_orderdate)) AS y1
+                FROM orders
+            ),
+            tagged AS (
+                SELECT CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                            AS BIGINT) AS c,
+                       CASE WHEN year(o_orderdate) = y0 THEN 1 ELSE 0 END
+                           AS in1,
+                       CASE WHEN year(o_orderdate) = y1 THEN 1 ELSE 0 END
+                           AS in2
+                FROM orders, bounds
+                WHERE year(o_orderdate) = y0 OR year(o_orderdate) = y1
+            ),
+            per_value AS (
+                SELECT c, sum(in1) AS c1, sum(in2) AS c2
+                FROM tagged GROUP BY 1
+            ),
+            totals AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM per_value),
+            cum AS (
+                SELECT abs(CAST(sum(c1) OVER w AS HUGEINT) * n2
+                           - CAST(sum(c2) OVER w AS HUGEINT) * n1) AS d_num,
+                       n1, n2
+                FROM per_value, totals
+                WINDOW w AS (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW)
+            ),
+            agg AS (SELECT n1, n2, max(d_num) AS d_int FROM cum GROUP BY 1, 2)
+            SELECT CAST(n1 AS BIGINT) AS n_first_year,
+                   CAST(n2 AS BIGINT) AS n_last_year,
+                   CAST(d_int AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat,
+                   round(CAST(d_int AS DOUBLE)
+                         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                         * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))),
+                         6) + 0.0 AS ks_lambda,
+                   (CAST(d_int AS DOUBLE)
+                    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                    * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+                       > 1.358 AS reject_at_05
+            FROM agg
         """,
         "dq_theil_sen": """
             WITH daily AS (

@@ -2031,3 +2031,108 @@ def quality_threshold_sweep(
         F.col("tokens_kept").cast("long").alias("tokens_kept"),
         F.expr("(10000 * tokens_kept) div total_tokens").alias("tokens_share_bps"),
     ).orderBy("cutoff_bps")
+
+
+def source_js_divergence(documents: DataFrame) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the sources' unigram
+    token distributions (Lin 1991, "Divergence measures based on the
+    Shannon entropy" — public): the symmetric, bounded [0, ln 2]
+    vocabulary-drift score a mixture owner reads next to
+    ``cross_source_contamination`` — contamination finds SHARED
+    documents, JS finds shared (or divergent) LANGUAGE even with zero
+    overlapping docs.
+
+    Decomposition that avoids a full-outer token join: over tokens
+    PRESENT IN BOTH sources the contribution is
+    0.5·(pₐ·ln(2pₐ/(pₐ+p_b)) + p_b·ln(2p_b/(pₐ+p_b))); tokens unique
+    to one side contribute 0.5·p·ln 2, and their total mass is
+    recoverable from the shared join itself (1 − Σ_shared p), so ONE
+    inner token-grain self-join per source pair suffices.
+
+    Determinism (the psi_drift/logprob discipline): token counts and
+    totals are exact integers; each shared-token term is one identical
+    IEEE tree over exact-rational doubles, QUANTIZED to 12dp DECIMAL
+    before the order-invariant sum; the unique-mass terms use a
+    LITERAL ln 2 (never libm log(2)); the final score rounds at 6dp —
+    log-derived, off every rational grid.
+
+    Scale shape: one tokenize+count scan (source × token grain,
+    map-side combined), a token-keyed self-join with src_a < src_b
+    (|pairs| bounded by |sources|²), a pair-grain DECIMAL sum. The
+    count table is checkpointed once for its three consumers."""
+    LN2 = 0.6931471805599453
+    toks = documents.select(
+        "source",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    counts = (
+        toks.groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    ca = counts.select(
+        F.col("source").alias("src_a"), "token", F.col("c").alias("c_a")
+    )
+    cb = counts.select(
+        F.col("source").alias("src_b"), "token", F.col("c").alias("c_b")
+    )
+    na = totals.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = totals.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    shared = (
+        ca.join(cb, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    term = 0.5 * (
+        pa * F.log(2.0 * pa / (pa + pb)) + pb * F.log(2.0 * pb / (pa + pb))
+    )
+    shared_agg = shared.groupBy("src_a", "src_b").agg(
+        F.sum(F.round(term, 12).cast("decimal(28,12)")).alias("shared_sum"),
+        F.sum("c_a").alias("shared_ca"),
+        F.sum("c_b").alias("shared_cb"),
+        F.count("*").cast("long").alias("n_shared_tokens"),
+    )
+    # the pair UNIVERSE comes from the source list, not the shared
+    # join: fully-DISJOINT pairs share no token row and would silently
+    # vanish — exactly the maximal-divergence pairs the report exists
+    # to surface (JS = ln 2)
+    universe = (
+        na.crossJoin(nb)
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    per_pair = universe.join(shared_agg, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        F.coalesce("shared_sum", F.lit(0).cast("decimal(28,12)")).alias(
+            "shared_sum"
+        ),
+        F.coalesce("shared_ca", F.lit(0)).alias("shared_ca"),
+        F.coalesce("shared_cb", F.lit(0)).alias("shared_cb"),
+        F.coalesce("n_shared_tokens", F.lit(0)).cast("long").alias(
+            "n_shared_tokens"
+        ),
+        "n_a",
+        "n_b",
+    )
+    uniq_a = (
+        F.col("n_a") - F.col("shared_ca")
+    ).cast("double") / F.col("n_a").cast("double")
+    uniq_b = (
+        F.col("n_b") - F.col("shared_cb")
+    ).cast("double") / F.col("n_b").cast("double")
+    js = (
+        F.col("shared_sum").cast("double")
+        + 0.5 * uniq_a * F.lit(LN2)
+        + 0.5 * uniq_b * F.lit(LN2)
+    )
+    return per_pair.select(
+        "src_a",
+        "src_b",
+        "n_shared_tokens",
+        (F.round(js, 6) + F.lit(0.0)).alias("js_nats"),
+        (F.round(js / F.lit(LN2), 6) + F.lit(0.0)).alias("js_normalized"),
+    ).orderBy("src_a", "src_b")

@@ -469,3 +469,59 @@ def path_trigrams(events: DataFrame, top_k: int = 20) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "path")
         .limit(top_k)
     )
+
+
+def retention_matrix_weekly(events: DataFrame) -> DataFrame:
+    """The weekly cohort-retention TRIANGLE with exact-bps rates — the
+    canonical growth table (cohort week × weeks-since-first-active →
+    share of the cohort still active) that ``retention_cohorts``'s raw
+    day-offset counts feed but don't finish: rates need the cohort
+    size denominator and a stable week grain.
+
+    Week identity is the engine-portable anchored integer
+    ``datediff(day, 1970-01-05) div 7`` (a Monday anchor; never
+    date_trunc('week') locale rules), reconstructed to a date for the
+    report; retention is exact integer basis points
+    ``(10000·n_active) div cohort_size``.
+
+    Scale shape: events collapse to distinct (user, week) first — the
+    one shuffle that matters — then cohort assignment is a user-grain
+    min() window-free groupBy + join-back, and the triangle is a
+    (cohort, age)-grain map-side-combined count with the age-0 row as
+    its own denominator (broadcast join at cohort grain). No window,
+    no skew surface beyond user activity."""
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    week_idx = (
+        F.datediff(day, F.lit("1970-01-05").cast("date")) / 7
+    ).cast("long")
+    user_weeks = events.select(
+        "user_id", week_idx.alias("week_idx")
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(
+        F.min("week_idx").alias("cohort_idx")
+    )
+    triangle = (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_idx",
+            (F.col("week_idx") - F.col("cohort_idx")).alias("age_weeks"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = triangle.filter(F.col("age_weeks") == 0).select(
+        "cohort_idx", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        triangle.join(F.broadcast(sizes), "cohort_idx")
+        .select(
+            F.date_add(
+                F.lit("1970-01-05").cast("date"),
+                (F.col("cohort_idx") * 7).cast("int"),
+            ).alias("cohort_start"),
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.expr("(10000 * n_active) div cohort_size").alias("retention_bps"),
+        )
+        .orderBy("cohort_start", "age_weeks")
+    )

