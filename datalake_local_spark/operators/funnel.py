@@ -479,7 +479,8 @@ def retention_matrix_weekly(events: DataFrame) -> DataFrame:
     size denominator and a stable week grain.
 
     Week identity is the engine-portable anchored integer
-    ``datediff(day, 1970-01-05) div 7`` (a Monday anchor; never
+    ``floor(datediff(day, 1970-01-05) / 7)`` (a Monday anchor — floor,
+    not div, so pre-anchor dates agree across engines; never
     date_trunc('week') locale rules), reconstructed to a date for the
     report; retention is exact integer basis points
     ``(10000·n_active) div cohort_size``.
@@ -491,12 +492,20 @@ def retention_matrix_weekly(events: DataFrame) -> DataFrame:
     its own denominator (broadcast join at cohort grain). No window,
     no skew surface beyond user activity."""
     day = F.date_trunc("day", F.col("ts")).cast("date")
-    week_idx = (
+    # F.floor, never a truncating cast: pre-anchor timestamps make the
+    # index negative, where truncation (Spark) and floor (DuckDB //)
+    # diverge — the signed-division rule
+    week_idx = F.floor(
         F.datediff(day, F.lit("1970-01-05").cast("date")) / 7
     ).cast("long")
-    user_weeks = events.select(
-        "user_id", week_idx.alias("week_idx")
-    ).distinct()
+    # user_weeks (the heavy distinct shuffle) and the bounded triangle
+    # are each consumed by 2+ canonically-different subtrees —
+    # materialize once (the label_separation rule)
+    user_weeks = (
+        events.select("user_id", week_idx.alias("week_idx"))
+        .distinct()
+        .localCheckpoint()
+    )
     cohorts = user_weeks.groupBy("user_id").agg(
         F.min("week_idx").alias("cohort_idx")
     )
@@ -507,6 +516,7 @@ def retention_matrix_weekly(events: DataFrame) -> DataFrame:
             (F.col("week_idx") - F.col("cohort_idx")).alias("age_weeks"),
         )
         .agg(F.count("*").alias("n_active"))
+        .localCheckpoint()
     )
     sizes = triangle.filter(F.col("age_weeks") == 0).select(
         "cohort_idx", F.col("n_active").alias("cohort_size")
