@@ -915,3 +915,182 @@ def stl_decompose_daily(events: DataFrame) -> DataFrame:
             / den.cast("double"),
         ).alias("residual_cents"),
     ).orderBy("day")
+
+
+def hampel_outlier_days(events: DataFrame, k: int = 3) -> DataFrame:
+    """Rolling Hampel filter over daily revenue (Hampel 1974; Pearson
+    et al. 2016, "The Hampel identifier" — public): flag days whose
+    revenue sits more than 3 MADs from the MEDIAN of their ±``k``-day
+    neighborhood — the robust replacement for rolling-z-score outlier
+    rules (one extreme neighbor corrupts a mean/σ window; the
+    median/MAD window shrugs it off, ~50% breakdown).
+
+    FULLY integer-exact: daily revenue is integer cents; the
+    neighborhood median over an ODD window of integers is an ELEMENT
+    (exact integer — windows are padded to odd by construction since
+    the center day always belongs), deviations |x − med| are integers,
+    their median (the MAD) likewise, and the flag compares
+    2·|x − med| > 2·3·MAD in pure integers — the decision can never
+    ride a float. Interior days only (edge days lack the full window —
+    explicit contract like the STL edge rule).
+
+    Scale shape: one day-grain aggregate, then a BANDED self-join
+    (|Δday| ≤ k — fanout 2k+1, quadratic only in the bounded calendar,
+    the mann_kendall discipline) and two exact-percentile passes at
+    center-day grain. At 100 TB the fact scan dominates; the band
+    stage is O(|days|·(2k+1))."""
+    cents = (F.col("value").cast("decimal(18,6)") * 100).cast("long")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum(cents).alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    band = (
+        a.join(
+            b,
+            (F.datediff(F.col("b.day"), F.col("a.day")) >= -k)
+            & (F.datediff(F.col("b.day"), F.col("a.day")) <= k),
+        )
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.c").alias("c"),
+            F.col("b.c").alias("neigh_c"),
+        )
+    )
+    med = (
+        band.groupBy("day", "c")
+        .agg(
+            F.count("*").alias("n_window"),
+            F.percentile(F.col("neigh_c"), F.lit(0.5)).alias("med_d"),
+        )
+        # interior days only: a full, ODD window of 2k+1 neighbors —
+        # the median of an odd integer window is an exact element
+        .filter(F.col("n_window") == 2 * k + 1)
+        .select("day", "c", F.col("med_d").cast("long").alias("med"))
+    )
+    dev = (
+        band.join(med.select("day", "med"), "day")
+        .groupBy("day", "med")
+        .agg(
+            F.percentile(
+                F.abs(F.col("neigh_c") - F.col("med")), F.lit(0.5)
+            ).cast("long").alias("mad")
+        )
+    )
+    return (
+        med.join(dev, ["day", "med"])
+        .select(
+            "day",
+            F.col("c").alias("revenue_cents"),
+            F.col("med").alias("window_median_cents"),
+            F.col("mad").alias("window_mad_cents"),
+            (
+                2 * F.abs(F.col("c") - F.col("med")) > F.lit(6) * F.col("mad")
+            ).alias("is_outlier"),
+        )
+        .orderBy("day")
+    )
+
+
+def little_law_reconciliation(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Little's law audit over gap-based sessions (Little 1961; the
+    finite-horizon identity per Brumelle/Stidham — public): L = λ·W,
+    with L (time-average open sessions) computed from the CONCURRENCY
+    INTEGRAL by a day-partitioned sweep line and λ·W from the session
+    table's count and duration sum — two INDEPENDENT physical plans
+    whose exact-integer results must agree (∫concurrency dt ≡
+    Σ durations, Fubini over the presence rectangle), emitted as a
+    structural-zero violation column the driver hash-checks (the
+    leakage-split discipline: the property itself is in the hash).
+
+    Exactness: all times are integer microseconds; sessions CLIP to
+    day boundaries (both the integral and the duration sum clip, so
+    the identity survives partitioning); per-day sweep = +1/−1
+    boundaries, one day-partitioned cumulative window, Σ open·Δt with
+    Δt from lead() — the interval past a day's last boundary carries
+    open = 0 and contributes nothing. λ, W, L publish as exact-integer
+    ratios (one identical division) over the observation span.
+
+    Scale shape: the sessionizer's one user-keyed shuffle, a bounded
+    ×(days-per-session) clip explode, and a DAY-partitioned sweep
+    window (never global); aggregates map-side combine."""
+    from ..streaming.event_windows import sessionize_batch
+
+    sessions = sessionize_batch(events, gap_minutes).select(
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("s_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("e_us"),
+    )
+    day_us = 86_400_000_000
+    clipped = (
+        sessions.select(
+            "s_us",
+            "e_us",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_us div {day_us}"), F.expr(f"e_us div {day_us}")
+                )
+            ).alias("day_idx"),
+        )
+        .select(
+            "day_idx",
+            F.greatest(F.col("s_us"), F.col("day_idx") * day_us).alias("cs"),
+            F.least(F.col("e_us"), (F.col("day_idx") + 1) * day_us).alias("ce"),
+        )
+        .filter(F.col("ce") > F.col("cs"))
+    )
+    total_dur = sessions.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("e_us") - F.col("s_us")).alias("sum_dur_us"),
+        F.min("s_us").alias("t0"),
+        F.max("e_us").alias("t1"),
+    )
+    bounds = clipped.select(
+        "day_idx", F.col("cs").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        clipped.select("day_idx", F.col("ce").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        W.partitionBy("day_idx")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_lead = W.partitionBy("day_idx").orderBy("t", "delta")
+    running = bounds.select(
+        "day_idx",
+        "t",
+        F.sum("delta").over(w).alias("open_now"),
+        F.lead("t").over(w_lead).alias("next_t"),
+    )
+    integral = running.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("next_t").isNotNull(),
+                    F.col("open_now") * (F.col("next_t") - F.col("t")),
+                )
+            ),
+            F.lit(0),
+        ).alias("integral_us")
+    )
+    j = total_dur.crossJoin(F.broadcast(integral))
+    span = F.col("t1") - F.col("t0")
+    return j.select(
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("sum_dur_us").cast("long").alias("sum_dur_us"),
+        F.col("integral_us").cast("long").alias("integral_us"),
+        (F.col("integral_us") - F.col("sum_dur_us"))
+        .cast("long")
+        .alias("identity_violation_us"),
+        F.expr("(2 * sum_dur_us + n_sessions) div (2 * n_sessions)")
+        .cast("long")
+        .alias("w_mean_us"),
+        (F.col("integral_us").cast("double") / span.cast("double")).alias(
+            "l_avg_sessions"
+        ),
+        (
+            F.col("n_sessions").cast("double")
+            / span.cast("double")
+            * F.lit(3.6e9)
+        ).alias("lambda_per_hour"),
+    )

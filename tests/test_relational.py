@@ -1903,3 +1903,50 @@ def test_js_divergence_identical_and_disjoint(spark):
     assert abs(got[("disjoint", "same1")]["js_normalized"] - 1.0) < 1e-9
     assert got[("disjoint", "same1")]["n_shared_tokens"] == 0
     assert len(got) == 3  # every pair in the universe, disjoint included
+
+
+def test_hampel_flags_spike_not_trend(spark):
+    """Planted series: flat 100s with one 10x spike — the spike day is
+    flagged, its neighbors are not, and a clean linear trend produces
+    zero flags (the robustness property a mean/sigma rule lacks)."""
+    import datetime
+
+    from datalake_local_spark.operators import windows
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def series(values, uid):
+        return [
+            (uid * 1000 + i, base + datetime.timedelta(days=i), uid, "view", float(v), "{}")
+            for i, v in enumerate(values)
+        ]
+
+    spike = [100] * 15
+    spike[7] = 1000
+    ev = spark.createDataFrame(
+        series(spike, 1),
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r["day"].day: r for r in windows.hampel_outlier_days(ev).collect()}
+    assert got[8]["is_outlier"] is True  # the spike (day index 7 → Jan 8)
+    assert all(not r["is_outlier"] for d, r in got.items() if d != 8)
+    # clean trend: MAD > 0, deviations bounded → no flags
+    trend = series(list(range(100, 130, 2)), 1)
+    ev2 = spark.createDataFrame(
+        trend,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    assert all(not r["is_outlier"] for r in windows.hampel_outlier_days(ev2).collect())
+
+
+def test_little_law_identity_structural(spark, tables):
+    """The concurrency integral must equal the session-duration sum
+    EXACTLY on real data (Fubini over presence rectangles), and
+    L = lambda x W reconstructs from the published exact ratios."""
+    from datalake_local_spark.operators import windows
+
+    r = windows.little_law_reconciliation(tables["events"]).collect()[0]
+    assert r["identity_violation_us"] == 0
+    assert r["n_sessions"] > 0
+    lam_per_us = r["lambda_per_hour"] / 3.6e9
+    assert abs(r["l_avg_sessions"] - lam_per_us * (r["sum_dur_us"] / r["n_sessions"])) < 1e-9
