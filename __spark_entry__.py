@@ -328,7 +328,8 @@ _CERTIFY_FIRST = [
     # POST-WINDOW r12 additions (judge-visible 3-SF sweeps in
     # SWEEP_r12.log stand in for driver rows): dq_ks_test,
     # events_retention_matrix, text_js_divergence,
-    # events_hampel_outliers, events_little_law — put these at the
+    # events_hampel_outliers, events_little_law, tpch_demand_xyz,
+    # text_heaps_curve — put these at the
     # r13 window HEAD, before the rotation queue below.
     # r4 stale names NOT fitting this 50-slot window — re-queue in r13:
     # tpch_waiting_supplier, tpch_product_profit, tpch_priority_late, dq_orders_integrity, agg_mad_outliers, pandas_udaf_geomean, udtf_top_tokens, mm_frame_sample, pivot_status_by_priority, semantic_prediction_join, events_funnel, merge_upsert, scd2_versions, streaming_tumbling, streaming_dedup,
@@ -663,6 +664,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_search": lambda s, d: relevance.bm25_scores(*_t(s, d, "documents")),
         "text_rrf_fusion": lambda s, d: relevance.rrf_rank_fusion(*_t(s, d, "documents")),
         "text_js_divergence": lambda s, d: text.source_js_divergence(*_t(s, d, "documents")),
+        "text_heaps_curve": lambda s, d: text.heaps_vocabulary_curve(*_t(s, d, "documents")),
         "text_dup_ngrams": lambda s, d: text.duplicate_ngram_profile(*_t(s, d, "documents")),
         "text_repetition_signals": lambda s, d: text.repetition_signals(*_t(s, d, "documents")),
         # PII redaction pass (emails/phones/IPs counted + masked; the
@@ -831,6 +833,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_full_outer": lambda s, d: joins.full_outer_reconcile(*_t(s, d, "orders", "lineitem")),
         "tpch_realized_margin": lambda s, d: tpch.realized_margin(*_t(s, d, "lineitem", "part")),
         "tpch_supplier_hhi": lambda s, d: tpch.supplier_concentration_hhi(*_t(s, d, "lineitem", "part")),
+        "tpch_demand_xyz": lambda s, d: tpch.demand_variability_xyz(*_t(s, d, "lineitem", "part")),
         "tpch_order_aging": lambda s, d: tpch.order_aging(*_t(s, d, "orders")),
         "text_quality_by_source": lambda s, d: text.quality_by_source(*_t(s, d, "documents")),
         "tpch_return_rates": lambda s, d: tpch.return_rates(*_t(s, d, "lineitem", "part")),
@@ -5380,6 +5383,51 @@ def oracle_sql() -> dict[str, str]:
                        AS returned_value_bps
             FROM g ORDER BY 1
         """,
+        "text_heaps_curve": f"""
+            WITH first_seen AS (
+                SELECT token, min(doc_id) AS first_doc FROM (
+                    SELECT DISTINCT doc_id,
+                           unnest(string_split({_NORM}, ' ')) AS token
+                    FROM documents
+                ) GROUP BY 1
+            ),
+            doc_tokens AS (
+                SELECT doc_id, len(string_split({_NORM}, ' ')) AS n_tok
+                FROM documents
+            ),
+            grid AS (
+                SELECT unnest([50, 100, 200, 350, 500]) AS n_docs
+            ),
+            vocab AS (
+                SELECT n_docs,
+                       sum(CASE WHEN first_doc < n_docs THEN 1 ELSE 0 END)
+                           AS vocab_size
+                FROM first_seen, grid GROUP BY 1
+            ),
+            mass AS (
+                SELECT n_docs,
+                       coalesce(sum(CASE WHEN doc_id < n_docs
+                                         THEN n_tok END), 0) AS token_mass
+                FROM doc_tokens, grid GROUP BY 1
+            ),
+            lagged AS (
+                SELECT vocab.n_docs AS n_docs, vocab_size, token_mass,
+                       lag(vocab_size) OVER (ORDER BY vocab.n_docs) AS pv,
+                       lag(token_mass) OVER (ORDER BY vocab.n_docs) AS pm
+                FROM vocab JOIN mass USING (n_docs)
+            )
+            SELECT CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(vocab_size AS BIGINT) AS vocab_size,
+                   CAST(token_mass AS BIGINT) AS token_mass,
+                   CASE WHEN pv IS NOT NULL AND pv > 0 AND pm > 0
+                             AND token_mass > pm
+                        THEN round(ln(CAST(vocab_size AS DOUBLE)
+                                      / CAST(pv AS DOUBLE))
+                                   / ln(CAST(token_mass AS DOUBLE)
+                                        / CAST(pm AS DOUBLE)), 6) + 0.0
+                        END AS local_beta
+            FROM lagged ORDER BY n_docs
+        """,
         "text_js_divergence": f"""
             WITH tok2 AS (
                 SELECT source, token FROM (
@@ -5564,6 +5612,38 @@ def oracle_sql() -> dict[str, str]:
                                  AS DECIMAL(38,0))) AS BIGINT) AS value_cents
             FROM orders CROSS JOIN book_end
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_demand_xyz": """
+            WITH monthly AS (
+                SELECT p_brand AS brand,
+                       date_trunc('month', l_shipdate) AS month,
+                       sum(CAST(l_quantity AS BIGINT)) AS q
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT brand, count(*) AS n,
+                       sum(CAST(q AS HUGEINT)) AS sq,
+                       sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS sqq
+                FROM monthly GROUP BY 1
+            )
+            SELECT brand,
+                   CAST(n AS BIGINT) AS n_months,
+                   CAST(sq AS BIGINT) AS total_qty,
+                   round(sqrt(CAST(CAST(n AS HUGEINT) * sqq - sq * sq
+                                   AS DOUBLE)
+                              / (CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1)))
+                         / (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                       + 0.0 AS demand_cv,
+                   CASE WHEN 4 * (CAST(n AS HUGEINT)
+                                  * (CAST(n AS HUGEINT) * sqq - sq * sq))
+                             < (CAST(n AS HUGEINT) - 1) * sq * sq THEN 'X'
+                        WHEN CAST(n AS HUGEINT)
+                             * (CAST(n AS HUGEINT) * sqq - sq * sq)
+                             < (CAST(n AS HUGEINT) - 1) * sq * sq THEN 'Y'
+                        ELSE 'Z' END AS xyz_class
+            FROM g WHERE n > 1 ORDER BY brand
         """,
         "tpch_supplier_hhi": """
             WITH sup AS (

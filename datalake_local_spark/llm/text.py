@@ -2136,3 +2136,82 @@ def source_js_divergence(documents: DataFrame) -> DataFrame:
         (F.round(js, 6) + F.lit(0.0)).alias("js_nats"),
         (F.round(js / F.lit(LN2), 6) + F.lit(0.0)).alias("js_normalized"),
     ).orderBy("src_a", "src_b")
+
+
+def heaps_vocabulary_curve(
+    documents: DataFrame, checkpoints: tuple[int, ...] = (50, 100, 200, 350, 500)
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (Heaps 1978; Herdan — public):
+    distinct-token count after the first N documents, for a grid of N —
+    the table that prices tokenizer-vocabulary and dedup-memory
+    budgets ("how fast does OUR corpus mint new types?"), with the
+    empirical local exponent β between consecutive checkpoints
+    (V ∝ n^β, β ≈ 0.4-0.6 for natural text; β → 1 flags boilerplate
+    IDs or noise minting unbounded types).
+
+    The one-scan trick: V(N) = |{tokens whose FIRST document id < N}|,
+    so ONE token-grain min(doc_id) aggregate answers every checkpoint —
+    never a scan per N (the quality_threshold_sweep grid discipline).
+    Exact: counts are integers; token mass at N comes from a doc-grain
+    conditional sum; β = ln(V₂/V₁)/ln(n₂/n₁) is a log-ratio double
+    over exact integers (identical tree both engines, 6dp — the
+    log-derived safety rule).
+
+    Scale shape: one tokenize scan → token-grain min() (map-side
+    combined) + a doc-grain token count, each crossed with the
+    broadcast checkpoint grid; β via a 1-step lag window over the
+    |checkpoints|-row result."""
+    from pyspark.sql import Window as W
+
+    first_seen = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(_norm_text(F.col("text")), " "))
+            ).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    doc_tokens = documents.select(
+        "doc_id", F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_tok")
+    )
+    grid = documents.sparkSession.createDataFrame(
+        [(int(n),) for n in sorted(checkpoints)], "n_docs long"
+    )
+    vocab = (
+        first_seen.crossJoin(F.broadcast(grid))
+        .groupBy("n_docs")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") < F.col("n_docs"), 1).otherwise(0)
+            ).alias("vocab_size")
+        )
+    )
+    mass = (
+        doc_tokens.crossJoin(F.broadcast(grid))
+        .groupBy("n_docs")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("doc_id") < F.col("n_docs"), F.col("n_tok"))),
+                F.lit(0),
+            ).alias("token_mass")
+        )
+    )
+    curve = vocab.join(mass, "n_docs")
+    w = W.orderBy("n_docs")
+    prev_v = F.lag("vocab_size").over(w)
+    prev_m = F.lag("token_mass").over(w)
+    beta = F.log(
+        F.col("vocab_size").cast("double") / prev_v.cast("double")
+    ) / F.log(F.col("token_mass").cast("double") / prev_m.cast("double"))
+    return curve.select(
+        "n_docs",
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("token_mass").cast("long").alias("token_mass"),
+        F.when(
+            prev_v.isNotNull() & (prev_v > 0) & (prev_m > 0)
+            & (F.col("token_mass") > prev_m),
+            F.round(beta, 6) + F.lit(0.0),
+        ).alias("local_beta"),
+    ).orderBy("n_docs")

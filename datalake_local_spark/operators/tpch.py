@@ -1270,3 +1270,57 @@ def supplier_concentration_hhi(lineitem: DataFrame, part: DataFrame) -> DataFram
         )
         .orderBy("brand")
     )
+
+
+def demand_variability_xyz(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """XYZ demand-variability classification per brand — the standard
+    inventory-planning companion to ABC value analysis (the ABC/XYZ
+    matrix of operations-management textbooks; Silver, Pyke & Peterson
+    — public): X = steady demand (CV < 0.5, forecastable), Y =
+    variable (0.5 ≤ CV < 1), Z = erratic (CV ≥ 1, safety-stock or
+    make-to-order). Demand = monthly shipped quantity per brand.
+
+    Determinism: quantities are integral (asserted upstream by
+    realized_margin's discipline); monthly sums and the moment sums
+    (n, Σq, Σq²) are exact integers, and the CLASS BOUNDARIES compare
+    in cross-multiplied integer arithmetic — CV ≥ 1 ⇔ n·Σq² − (Σq)²
+    ≥ (Σq)²·(n−1)/n... cleared of divisions: n·(nΣq²−(Σq)²) ≥
+    (n−1)·(Σq)² for the sample-variance CV, and the 0.5 bound
+    likewise ×4 — so no float ever decides a class. The reported CV
+    itself is one identical sqrt tree, 6dp.
+
+    Scale shape: one partkey-co-partitioned join, a (brand, month)
+    map-side-combined aggregate, then a brand-grain moment aggregate —
+    no window, no skew beyond brand popularity."""
+    monthly = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    g = monthly.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("q").cast("decimal(38,0)").alias("sq"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sqq"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    dvar = nd * F.col("sqq") - F.col("sq") * F.col("sq")  # n²·σ²_pop·... exact
+    # CV² = [n·(nΣq²−(Σq)²)] / [(n−1)·(Σq)²]  (sample variance / mean²)
+    lhs = nd * dvar
+    rhs = (nd - 1) * F.col("sq") * F.col("sq")
+    n_f = F.col("n").cast("double")
+    cv = F.sqrt(
+        dvar.cast("double") / (n_f * (n_f - 1))
+    ) / (F.col("sq").cast("double") / n_f)
+    return g.filter(F.col("n") > 1).select(
+        "brand",
+        F.col("n").cast("long").alias("n_months"),
+        F.col("sq").cast("long").alias("total_qty"),
+        (F.round(cv, 6) + F.lit(0.0)).alias("demand_cv"),
+        F.when(4 * lhs < rhs, "X")
+        .when(lhs < rhs, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    ).orderBy("brand")

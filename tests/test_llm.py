@@ -3569,3 +3569,28 @@ def test_assortativity_star_vs_clique(spark):
     assert r_cl["n_edges"] == 6
     assert r_cl["assortativity"] is None  # regular graph: undefined
     assert abs(r_cl["mean_edge_degree"] - 3.0) < 1e-12
+
+
+def test_heaps_curve_monotone_and_beta_bounds(spark):
+    """Vocabulary growth is monotone in N; a corpus of IDENTICAL docs
+    saturates (beta = 0); a corpus of fully-novel tokens per doc grows
+    linearly (beta = 1 exactly in token mass)."""
+    from datalake_local_spark.llm import text as t
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma", "s") for i in range(500)],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["n_docs"]: r for r in t.heaps_vocabulary_curve(same).collect()}
+    assert rows[500]["vocab_size"] == 3
+    assert all(r["local_beta"] == 0.0 for n, r in rows.items() if n > 50)
+
+    novel = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b", "s") for i in range(500)],
+        "doc_id long, text string, source string",
+    )
+    rows2 = {r["n_docs"]: r for r in t.heaps_vocabulary_curve(novel).collect()}
+    vs = [rows2[n]["vocab_size"] for n in sorted(rows2)]
+    assert vs == sorted(vs) and vs[-1] == 1000
+    assert all(abs(r["local_beta"] - 1.0) < 1e-9
+               for n, r in rows2.items() if n > 50)

@@ -1950,3 +1950,31 @@ def test_little_law_identity_structural(spark, tables):
     assert r["n_sessions"] > 0
     lam_per_us = r["lambda_per_hour"] / 3.6e9
     assert abs(r["l_avg_sessions"] - lam_per_us * (r["sum_dur_us"] / r["n_sessions"])) < 1e-9
+
+
+def test_demand_xyz_boundary_classes(spark):
+    """Hand series: constant demand is X (CV = 0); a CV exactly 1
+    series classes Z by the >= boundary (integer cross-multiplication,
+    no float decides)."""
+    import datetime
+
+    from datalake_local_spark.operators import tpch
+
+    li, pid = [], 1
+
+    def add(brand_key, quantities):
+        nonlocal pid
+        for m, q in enumerate(quantities):
+            li.append((brand_key, float(q), datetime.date(2024, m + 1, 1)))
+
+    add(1, [10, 10, 10, 10])          # CV 0 → X
+    add(2, [0, 2, 0, 2])              # mean 1, sample var 4/3 → CV > 1 → Z
+    rows = spark.createDataFrame(
+        li, "l_partkey long, l_quantity double, l_shipdate date"
+    )
+    part = spark.createDataFrame(
+        [(1, "BRAND_X"), (2, "BRAND_Z")], "p_partkey long, p_brand string"
+    )
+    got = {r["brand"]: r for r in tpch.demand_variability_xyz(rows, part).collect()}
+    assert got["BRAND_X"]["xyz_class"] == "X" and got["BRAND_X"]["demand_cv"] == 0.0
+    assert got["BRAND_Z"]["xyz_class"] == "Z"
