@@ -205,19 +205,41 @@ def main() -> None:
             "components_chain": chain_stats,
         }
     )
-    # artifact-of-record hygiene (r11 verdict #3: the driver's tail
-    # capture truncated the JSON head, shipping a parsed:null artifact):
-    # write the full line to BENCH_local.json unconditionally, then stop
-    # Spark BEFORE printing so the JSON is the absolute last stdout line
-    # with no JVM shutdown logs after it.
+    # artifact-of-record hygiene (r11 verdict #3 + r12 ADVICE): the
+    # full per-query line goes to BENCH_local.json — but ONLY when this
+    # run is at the canonical SF/env (default sf0.1 dir, default CPU
+    # count); an ad-hoc run at another SF writes a suffixed file so it
+    # cannot clobber the comparable artifact of record.
+    canonical = (
+        sf_dir == "/root/testdata/sf0.1"
+        and os.environ.get("SPARK_GRAFT_CPUS") in (None, "", "32")
+    )
+    artifact = (
+        "BENCH_local.json" if canonical else f"BENCH_local_sf{sf}_adhoc.json"
+    )
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
-        "w",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact), "w"
     ) as fh:
         fh.write(line + "\n")
     spark.stop()
     sys.stdout.flush()
+    # Two stdout lines: the full per-query record first, then a SHORT
+    # summary line LAST (r12 verdict #2: the full line outgrew the
+    # driver's tail-capture window, shipping parsed:null — the tail
+    # must always end with a complete parseable record).
     print(line)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(times),
+                "detail": artifact,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

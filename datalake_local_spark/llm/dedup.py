@@ -2436,11 +2436,13 @@ def jaccard_prefix_filter_pairs(
         .join(sizes, "doc_id")
     )
     # prefix length |d| − ⌈t·|d|⌉ + 1 (Bayardo et al. eq. 1), with
-    # ⌈num·n/den⌉ = (num·n + den − 1) div den in exact BIGINT
-    ceil_tn = (F.col("n_tokens") * F.lit(num) + F.lit(den - 1)) / F.lit(den)
+    # ⌈num·n/den⌉ = (num·n + den − 1) div den in exact BIGINT (integer
+    # `div` — operands are nonnegative so truncation ≡ floor; the r12
+    # float-division form was numerically safe but not the stated
+    # integer invariant, ADVICE r12)
+    ceil_tn = F.expr(f"(n_tokens * {num}L + {den - 1}L) div {den}L")
     prefix = ranked.filter(
-        F.col("rnk")
-        <= F.col("n_tokens") - F.floor(ceil_tn).cast("long") + 1
+        F.col("rnk") <= F.col("n_tokens") - ceil_tn + 1
     ).select("doc_id", "token", "n_tokens")
     a = prefix.alias("a")
     b = prefix.alias("b")

@@ -53,14 +53,16 @@ def _cents(col: str = "o_totalprice"):
     return (F.col(col).cast("decimal(18,6)") * 100).cast("long")
 
 
-def monthly_rollup_internal(orders: DataFrame) -> DataFrame:
-    """The month × status rollup in its INTERNAL (maintainable) schema:
-    grain + n_orders + exact ``sum_cents`` + min/max price. The public
-    view (:func:`publish_rollup`) derives sum/avg from these — the
-    auxiliary-column pattern Gupta & Mumick require for AVG (and that
-    float SUM needs for exact maintainability)."""
+def grain_rollup_internal(
+    orders: DataFrame, unit: str = "month", period_col: str = "order_month"
+) -> DataFrame:
+    """The ``unit`` × status rollup in its INTERNAL (maintainable)
+    schema: grain + n_orders + exact ``sum_cents`` + min/max price.
+    The public view (:func:`publish_rollup`) derives sum/avg from
+    these — the auxiliary-column pattern Gupta & Mumick require for
+    AVG (and that float SUM needs for exact maintainability)."""
     return orders.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.date_trunc(unit, F.col("o_orderdate")).alias(period_col),
         F.col("o_orderstatus").alias("orderstatus"),
     ).agg(
         F.count("*").alias("n_orders"),
@@ -68,6 +70,12 @@ def monthly_rollup_internal(orders: DataFrame) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+def monthly_rollup_internal(orders: DataFrame) -> DataFrame:
+    """Month-grain instance of :func:`grain_rollup_internal` (the r12
+    view; kept as the named API the materialized path and tests use)."""
+    return grain_rollup_internal(orders, "month", "order_month")
 
 
 def publish_rollup(internal: DataFrame) -> DataFrame:
@@ -95,24 +103,28 @@ def publish_rollup(internal: DataFrame) -> DataFrame:
     )
 
 
-def rollup_delta_merge(
+def grain_delta_merge(
     old_internal: DataFrame,
     delta_plus: DataFrame,
     delta_minus: DataFrame,
     new_base: DataFrame,
+    unit: str = "month",
+    period_col: str = "order_month",
 ) -> DataFrame:
-    """Apply a base-table change feed to the internal rollup view in
-    O(delta): ``delta_plus`` carries inserted rows and update
-    post-images, ``delta_minus`` deleted rows and update pre-images
-    (both at base grain with o_orderdate/o_orderstatus/o_totalprice).
-    ``new_base`` is the post-change base table, read ONLY for the
-    min/max recompute of delete-affected groups (partition-pruned).
+    """Apply a base-table change feed to the internal ``unit``-grain
+    rollup view in O(delta): ``delta_plus`` carries inserted rows and
+    update post-images, ``delta_minus`` deleted rows and update
+    pre-images (both at base grain with
+    o_orderdate/o_orderstatus/o_totalprice). ``new_base`` is the
+    post-change base table, read ONLY for the min/max recompute of
+    delete-affected groups (partition-pruned).
 
     Groups whose maintained count reaches zero leave the view; groups
     born by inserts enter it. The count invariant (maintained n ≥ 0,
     and > 0 wherever the group survives) holds by construction when
     the feed is a consistent changelog."""
-    month = F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+    _grain = [period_col, "orderstatus"]
+    month = F.date_trunc(unit, F.col("o_orderdate")).alias(period_col)
     status = F.col("o_orderstatus").alias("orderstatus")
     plus_g = delta_plus.groupBy(month, status).agg(
         F.count("*").alias("n_plus"),
@@ -124,10 +136,10 @@ def rollup_delta_merge(
         F.count("*").alias("n_minus"), F.sum(_cents()).alias("c_minus")
     )
     merged = (
-        old_internal.join(plus_g, _GRAIN, "full_outer")
-        .join(minus_g, _GRAIN, "full_outer")
+        old_internal.join(plus_g, _grain, "full_outer")
+        .join(minus_g, _grain, "full_outer")
         .select(
-            *_GRAIN,
+            *_grain,
             (
                 F.coalesce("n_orders", F.lit(0))
                 + F.coalesce("n_plus", F.lit(0))
@@ -147,24 +159,24 @@ def rollup_delta_merge(
         )
         .filter(F.col("n_orders") > 0)
     )
-    affected = merged.filter(F.col("has_delete")).select(*_GRAIN)
+    affected = merged.filter(F.col("has_delete")).select(*_grain)
     recomputed = (
         new_base.select(
-            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            F.date_trunc(unit, F.col("o_orderdate")).alias(period_col),
             F.col("o_orderstatus").alias("orderstatus"),
             "o_totalprice",
         )
         # inner join against the (tiny, view-grain) affected-key set:
         # at scale this is a broadcast + partition-pruned base scan
-        .join(F.broadcast(affected), _GRAIN)
-        .groupBy(*_GRAIN)
+        .join(F.broadcast(affected), _grain)
+        .groupBy(*_grain)
         .agg(
             F.round(F.min("o_totalprice"), 2).alias("min_re"),
             F.round(F.max("o_totalprice"), 2).alias("max_re"),
         )
     )
-    return merged.join(recomputed, _GRAIN, "left").select(
-        *_GRAIN,
+    return merged.join(recomputed, _grain, "left").select(
+        *_grain,
         "n_orders",
         "sum_cents",
         F.when(F.col("has_delete"), F.col("min_re"))
@@ -175,8 +187,20 @@ def rollup_delta_merge(
         .alias("max_price"),
     )
 
+def rollup_delta_merge(
+    old_internal: DataFrame,
+    delta_plus: DataFrame,
+    delta_minus: DataFrame,
+    new_base: DataFrame,
+) -> DataFrame:
+    """Month-grain instance of :func:`grain_delta_merge` (the r12 API
+    the materialized-table path and tests call)."""
+    return grain_delta_merge(
+        old_internal, delta_plus, delta_minus, new_base, "month", "order_month"
+    )
 
-def derive_cdc_states(orders: DataFrame):
+
+def derive_cdc_states(orders: DataFrame, cols=None):
     """Deterministic OLD → NEW change derivation over the static
     testdata (the ``corpus_snapshot_diff`` fixture discipline), shared
     by the registered query, the oracle, and the tests:
@@ -187,11 +211,15 @@ def derive_cdc_states(orders: DataFrame):
     - INSERT a clone of rows with ``o_orderkey % 101 == 0`` at
       price + 55.25 (key identity is irrelevant at view grain).
 
+    ``cols`` widens the projected base columns (default: the three
+    the price rollups need); the change classes are identical for
+    any projection.
+
     Returns (delta_plus, delta_minus, new_base)."""
     k = F.col("o_orderkey")
     is_del = k % 97 == 0
     is_upd = (k % 53 == 0) & ~is_del
-    cols = ["o_orderdate", "o_orderstatus", "o_totalprice"]
+    cols = cols or ["o_orderdate", "o_orderstatus", "o_totalprice"]
     deleted = orders.filter(is_del).select(*cols)
     upd_pre = orders.filter(is_upd).select(*cols)
     upd_post = upd_pre.withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
@@ -233,13 +261,19 @@ def ivm_rollup_refresh(orders: DataFrame) -> DataFrame:
 
 
 def materialize_rollup_table(
-    spark: SparkSession, table: str, orders: DataFrame
+    spark: SparkSession,
+    table: str,
+    orders: DataFrame,
+    unit: str = "month",
+    period_col: str = "order_month",
 ) -> None:
-    """Write the pre-change internal view as a month-partitioned
-    catalog table — the stored materialization
+    """Write the pre-change internal ``unit``-grain view as a
+    month-partitioned catalog table — the stored materialization
     :func:`refresh_rollup_table` maintains. The partition key is the
-    view's own month (``yyyy-MM``), so an incremental refresh maps to
-    partition-grain file replacement."""
+    view's MONTH (``yyyy-MM``) at every grain — for the day-grain
+    lattice state too — so an incremental refresh maps to
+    partition-grain file replacement and the delete-repair scan stays
+    partition-pruned."""
     import shutil
 
     warehouse = spark.conf.get(
@@ -247,14 +281,18 @@ def materialize_rollup_table(
     ).removeprefix("file:")
     shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    internal = monthly_rollup_internal(orders).withColumn(
-        "month_key", F.date_format("order_month", "yyyy-MM")
+    internal = grain_rollup_internal(orders, unit, period_col).withColumn(
+        "month_key", F.date_format(period_col, "yyyy-MM")
     )
     internal.write.partitionBy("month_key").saveAsTable(table)
 
 
 def refresh_rollup_table(
-    spark: SparkSession, table: str, orders: DataFrame
+    spark: SparkSession,
+    table: str,
+    orders: DataFrame,
+    unit: str = "month",
+    period_col: str = "order_month",
 ) -> dict:
     """Materialized IVM refresh of a table written by
     :func:`materialize_rollup_table`: apply the change feed and INSERT
@@ -275,9 +313,9 @@ def refresh_rollup_table(
     ).removeprefix("file:")
     delta_plus, delta_minus, new_base = derive_cdc_states(orders)
     old_internal = spark.table(table).drop("month_key")
-    refreshed = rollup_delta_merge(
-        old_internal, delta_plus, delta_minus, new_base
-    ).withColumn("month_key", F.date_format("order_month", "yyyy-MM"))
+    refreshed = grain_delta_merge(
+        old_internal, delta_plus, delta_minus, new_base, unit, period_col
+    ).withColumn("month_key", F.date_format(period_col, "yyyy-MM"))
 
     touched = (
         delta_plus.select("o_orderdate")
@@ -404,3 +442,158 @@ def column_diff_profile(orders: DataFrame) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.expr("(10000 * n) div m").cast("long").alias("share_bps"),
     ).orderBy("metric")
+
+
+def ivm_multigrain_refresh(orders: DataFrame) -> DataFrame:
+    """Incrementally maintained ROLLUP grain lattice (the r12 verdict
+    #3 order; Gupta & Mumick §4: a lattice whose finest grain carries
+    per-group counts is self-maintainable as a unit). The engine
+    maintains ONLY the finest grain — day × status — through the
+    change feed (:func:`grain_delta_merge`, O(delta) + partition-
+    pruned min/max repair), then DERIVES the coarser lattice levels
+    from the maintained state:
+
+    - month × status, year × status: n/sum_cents are additive; min/max
+      compose exactly because ``round`` is monotone non-decreasing, so
+      min(round(x)) ≡ round(min(x)) and delete-affected day groups
+      were already repaired at the finest grain;
+    - year (status rolled away) and the grand total, same argument.
+
+    The oracle recomputes every lattice level DIRECTLY from the
+    post-change base state — a hash match certifies the derived
+    lattice ≡ the recomputed lattice at all five grains, which is the
+    Gupta–Mumick lattice-maintenance property itself (reference
+    analog: the Cube layer's pre-aggregation hierarchy,
+    StockMarketsMonthly.js:1-2, recomputed per refresh there).
+
+    Scale shape at 100 TB: one O(delta) merge at day grain (the view
+    is ~|days × statuses| rows), then four view-grain aggregates of
+    the CHECKPOINTED maintained state — no second base scan anywhere
+    but the delete-repair join, which is partition-pruned."""
+    delta_plus, delta_minus, new_base = derive_cdc_states(orders)
+    old = grain_rollup_internal(orders, "day", "period_start").localCheckpoint()
+    day_state = grain_delta_merge(
+        old, delta_plus, delta_minus, new_base, "day", "period_start"
+    ).localCheckpoint()  # bounded: |days × statuses|; 5 lattice
+    # consumers would replay the merge otherwise (census discipline)
+
+    def _publish(df, grain: str):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col("period_start").cast("timestamp").alias("period_start"),
+            "orderstatus",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(F.col("sum_cents") / 100.0, 2).alias("sum_price"),
+            (
+                F.expr(
+                    "(2 * sum_cents * 100 + n_orders) div (2 * n_orders)"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_price"),
+            "min_price",
+            "max_price",
+        )
+
+    def _lift(period_expr, status_expr):
+        return day_state.groupBy(
+            period_expr.alias("period_start"), status_expr.alias("orderstatus")
+        ).agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_price").alias("min_price"),
+            F.max("max_price").alias("max_price"),
+        )
+
+    day = _publish(day_state, "day")
+    month = _publish(
+        _lift(F.date_trunc("month", "period_start"), F.col("orderstatus")),
+        "month",
+    )
+    year = _publish(
+        _lift(F.date_trunc("year", "period_start"), F.col("orderstatus")),
+        "year",
+    )
+    year_all = _publish(
+        _lift(F.date_trunc("year", "period_start"), F.lit("ALL")), "year_all"
+    )
+    total = _publish(
+        _lift(F.lit(None).cast("timestamp"), F.lit("ALL")), "total"
+    )
+    return (
+        day.unionAll(month)
+        .unionAll(year)
+        .unionAll(year_all)
+        .unionAll(total)
+        .orderBy("grain", "period_start", "orderstatus")
+    )
+
+
+def ivm_bitmap_distinct(orders: DataFrame) -> DataFrame:
+    """Incrementally maintained DISTINCT-count view (the r12 verdict
+    #3 order, second view class). COUNT(DISTINCT) is NOT
+    self-maintainable from the count alone — a delete may or may not
+    remove the last supporting row — so the maintained state is the
+    Gupta–Mumick counted-support auxiliary: (month, custkey) → number
+    of supporting base rows, maintained additively (plus inserts,
+    minus deletes; groups at zero leave the support set). The
+    published view derives each month's exact distinct-customer count
+    from the surviving support set via the BITMAP discipline of
+    ``agg_bitmap_distinct``: custkeys bucket into 64-bit words
+    (``custkey div 64``), a ``bit_or`` builds each word's mask, and
+    ``sum(bit_count(mask))`` is the distinct count — no
+    count(DISTINCT) shuffle on the publish path.
+
+    The oracle recomputes count(DISTINCT)/counts directly from the
+    post-change base — hash match certifies maintained ≡ recomputed.
+
+    Scale shape at 100 TB: the auxiliary is (month, custkey)-grain —
+    large but partitioned by month and maintained with ONE O(delta)
+    merge join; publish is two map-side-combinable aggregates
+    (word grain, then month grain). No global shuffle beyond the
+    month × word key."""
+    cols = ["o_orderdate", "o_orderstatus", "o_totalprice", "o_custkey"]
+    delta_plus, delta_minus, new_base = derive_cdc_states(orders, cols)
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+    grain = ["order_month", "o_custkey"]
+    aux_old = (
+        orders.groupBy(month, "o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()  # the maintained state; bounded at test SFs
+    )
+    plus_g = delta_plus.groupBy(month, "o_custkey").agg(
+        F.count("*").alias("n_plus")
+    )
+    minus_g = delta_minus.groupBy(month, "o_custkey").agg(
+        F.count("*").alias("n_minus")
+    )
+    aux_new = (
+        aux_old.join(plus_g, grain, "full_outer")
+        .join(minus_g, grain, "full_outer")
+        .select(
+            *grain,
+            (
+                F.coalesce("cnt", F.lit(0))
+                + F.coalesce("n_plus", F.lit(0))
+                - F.coalesce("n_minus", F.lit(0))
+            ).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    words = aux_new.groupBy(
+        "order_month", F.expr("o_custkey div 64").alias("word")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(o_custkey % 64 AS INT)))").alias(
+            "mask"
+        ),
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_repeat"),
+    )
+    return (
+        words.groupBy("order_month")
+        .agg(
+            F.sum(F.bit_count("mask")).cast("long").alias("n_distinct_cust"),
+            F.sum("n_rows").cast("long").alias("n_orders"),
+            F.sum("n_repeat").cast("long").alias("n_repeat_cust"),
+        )
+        .orderBy("order_month")
+    )

@@ -897,12 +897,16 @@ def mann_kendall_trend(orders: DataFrame) -> DataFrame:
         )
     )
     j = (
-        n_days.join(s_stat, "status")
+        # LEFT join + coalesce: a status with a single day has no day
+        # pairs, so s_stat has no row for it — it must still appear as
+        # an S=0 / no_trend row (var18 is 0 for n=1, z stays NULL), not
+        # silently vanish from the report (ADVICE r12).
+        n_days.join(s_stat, "status", "left")
         .join(ties, "status", "left")
         .select(
             "status",
             "n",
-            "s",
+            F.coalesce("s", F.lit(0)).alias("s"),
             (
                 F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
                 - F.coalesce("tie_term", F.lit(0))

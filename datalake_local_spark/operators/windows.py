@@ -1026,9 +1026,17 @@ def little_law_reconciliation(
         sessions.select(
             "s_us",
             "e_us",
+            # FLOOR division for the day index (floor is identical in
+            # both engines; integer `div` truncates toward zero and
+            # would disagree with the oracle's `//` on pre-1970
+            # timestamps — the signed-division class fixed repo-wide
+            # in r12, ADVICE r12). Exact: |s_us| < 2^53 so the double
+            # quotient is within 1 ulp (~3.6e-12 at ~2e4) while the
+            # nearest non-multiple is ≥ 1/day_us ≈ 1.2e-11 away.
             F.explode(
                 F.sequence(
-                    F.expr(f"s_us div {day_us}"), F.expr(f"e_us div {day_us}")
+                    F.floor(F.col("s_us") / F.lit(day_us)).cast("long"),
+                    F.floor(F.col("e_us") / F.lit(day_us)).cast("long"),
                 )
             ).alias("day_idx"),
         )

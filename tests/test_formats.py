@@ -513,3 +513,134 @@ def test_ivm_refresh_table_untouched_partitions_keep_files(spark, tables):
         tuple(r) for r in ivm.monthly_rollup_internal(new_base).collect()
     }
     assert got == want
+
+
+def test_ivm_multigrain_lattice_matches_recompute(spark, tables):
+    """r13 (r12 verdict #3): every level of the maintained ROLLUP
+    lattice equals a from-scratch recompute of the post-change base at
+    that grain, and the lattice is internally consistent (the total
+    row counts the whole post-change base)."""
+    from datalake_local_spark.operators import ivm
+
+    orders = tables["orders"]
+    lattice = ivm.ivm_multigrain_refresh(orders).collect()
+    _, _, new_base = ivm.derive_cdc_states(orders)
+    by_grain = {}
+    for r in lattice:
+        by_grain.setdefault(r["grain"], []).append(r)
+    assert set(by_grain) == {"day", "month", "year", "year_all", "total"}
+    # month level ≡ direct recompute at month grain
+    want_month = {
+        (r["order_month"], r["orderstatus"], r["n_orders"], r["sum_price"],
+         r["avg_price"], r["min_price"], r["max_price"])
+        for r in ivm.publish_rollup(
+            ivm.monthly_rollup_internal(new_base)
+        ).collect()
+    }
+    got_month = {
+        (r["period_start"], r["orderstatus"], r["n_orders"], r["sum_price"],
+         r["avg_price"], r["min_price"], r["max_price"])
+        for r in by_grain["month"]
+    }
+    assert got_month == want_month
+    # grand total counts the whole post-change base, status rolled away
+    (total,) = by_grain["total"]
+    assert total["n_orders"] == new_base.count()
+    assert total["orderstatus"] == "ALL" and total["period_start"] is None
+    # additivity across every level of the lattice
+    n_day = sum(r["n_orders"] for r in by_grain["day"])
+    n_year = sum(r["n_orders"] for r in by_grain["year"])
+    assert n_day == n_year == total["n_orders"]
+
+
+def test_ivm_bitmap_distinct_matches_recompute(spark, tables):
+    """r13 (r12 verdict #3): the counted-support maintained distinct
+    view equals count(DISTINCT) recomputed from the post-change base —
+    the non-self-maintainable aggregate done right via the auxiliary."""
+    from pyspark.sql import functions as F
+
+    from datalake_local_spark.operators import ivm
+
+    orders = tables["orders"]
+    got = {
+        (r["order_month"], r["n_distinct_cust"], r["n_orders"],
+         r["n_repeat_cust"])
+        for r in ivm.ivm_bitmap_distinct(orders).collect()
+    }
+    cols = ["o_orderdate", "o_orderstatus", "o_totalprice", "o_custkey"]
+    _, _, new_base = ivm.derive_cdc_states(orders, cols)
+    per = new_base.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month"), "o_custkey"
+    ).agg(F.count("*").alias("cnt"))
+    want = {
+        (r["order_month"], r["d"], r["n"], r["m"])
+        for r in per.groupBy("order_month")
+        .agg(
+            F.count("*").cast("long").alias("d"),
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("m"),
+        )
+        .collect()
+    }
+    assert len(got) > 0 and got == want
+
+
+def test_ivm_day_grain_table_untouched_partitions_keep_files(spark, tables):
+    """r13: the materialized path generalizes to the lattice's finest
+    grain — a DAY-grain state table partitioned by month refreshes
+    with untouched month partitions byte-identical, and the refreshed
+    state equals the day-grain recompute."""
+    import os
+
+    from datalake_local_spark.operators import ivm
+
+    orders = tables["orders"]
+    ivm.materialize_rollup_table(
+        spark, "ivm_day_t", orders, "day", "period_start"
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    root = f"{warehouse}/ivm_day_t"
+
+    def file_state():
+        state = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    state[p] = (st.st_size, st.st_mtime_ns)
+        return state
+
+    before = file_state()
+    stats = ivm.refresh_rollup_table(
+        spark, "ivm_day_t", orders, "day", "period_start"
+    )
+    after = file_state()
+    touched = set(stats["touched_months"])
+
+    def month_of(path):
+        return path.split("month_key=")[1].split("/")[0]
+
+    untouched_before = {p: s for p, s in before.items() if month_of(p) not in touched}
+    untouched_after = {p: s for p, s in after.items() if month_of(p) not in touched}
+    assert stats["partitions_overwritten"] > 0
+    assert len(untouched_before) > 0
+    assert untouched_before == untouched_after
+    _, _, new_base = ivm.derive_cdc_states(orders)
+    got = {
+        tuple(r)
+        for r in spark.table("ivm_day_t")
+        .drop("month_key")
+        .select("period_start", "orderstatus", "n_orders", "sum_cents",
+                "min_price", "max_price")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in ivm.grain_rollup_internal(
+            new_base, "day", "period_start"
+        ).collect()
+    }
+    assert got == want
