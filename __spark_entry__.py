@@ -266,6 +266,7 @@ _CERTIFY_FIRST = [
     # ---- NEW in round 13 (inserted as they land) ----
     "ivm_multigrain_refresh",  # NEW r13: maintained ROLLUP grain lattice
     "ivm_bitmap_distinct",  # NEW r13: counted-support distinct view
+    "dedup_band_incremental",  # NEW r13: rows-only; O(delta) index append
     # ---- code/oracle CHANGED in round 13 (ADVICE fixes; values
     # unchanged at these SFs but the rewritten queries must re-certify) ----
     "dq_mann_kendall",  # r13: left-join so single-day statuses emit S=0
@@ -549,6 +550,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (seeded MinHash; no ANSI oracle) — the persisted-
         # index online probe: new batch vs indexed corpus, verified
         "dedup_band_index_probe": lambda s, d: dedup.band_index_probe(
+            *_t(s, d, "documents")
+        ),
+        # rows-only (seeded MinHash; no ANSI oracle) — r13 verdict #4:
+        # O(delta) append maintenance of the persisted band index; the
+        # output row IS the certificate (incremental-probe pair set vs
+        # from-scratch rebuild, n_only_* structural zeros)
+        "dedup_band_incremental": lambda s, d: dedup.band_index_incremental(
             *_t(s, d, "documents")
         ),
         # KMV sketches: cross-source union/Jaccard/intersection estimates

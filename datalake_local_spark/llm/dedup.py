@@ -1396,6 +1396,123 @@ def band_index_probe(documents: DataFrame, split_doc_id: int = 250) -> DataFrame
     ).orderBy("query_doc_id", "match_doc_id")
 
 
+def append_band_index(
+    spark,
+    table: str,
+    new_docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    n_buckets: int = 8,
+) -> None:
+    """O(delta) maintenance of a persisted ``write_band_index`` table
+    (the r12 verdict #4 order): signature ONLY the new crawl batch and
+    APPEND its banded rows — the corpus-side signatures paid at build
+    time are never recomputed, and the probe path
+    (:func:`probe_band_index`, :func:`candidates_from_band_index`) is
+    unchanged because the append declares the SAME bucket spec
+    (band_id, band_hash), which Spark validates against the table's
+    existing layout: new files land per-bucket, so the candidate
+    self-join and the broadcast probe stay shuffle-free on the corpus
+    side after any number of appends.
+
+    This is the IVM/CDC discipline applied to the index artifact:
+    the band table is an insert-only materialized view of
+    ``_banded_rows`` (no aggregate state, so inserts are trivially
+    self-maintainable; a document DELETE would map to a partition- or
+    doc-filtered rewrite, which the snapshot/WAP path owns)."""
+    banded = _banded_rows(new_docs, num_hashes, bands, shingle_n)
+    (
+        banded.write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "band_id", "band_hash")
+        .saveAsTable(table)
+    )
+
+
+def band_index_incremental(
+    documents: DataFrame, s1: int = 150, s2: int = 300
+) -> DataFrame:
+    """Registered certification shape of :func:`append_band_index`:
+    corpus₀ (doc_id < s1) is indexed once, the next crawl batch
+    (s1 ≤ doc_id < s2) is APPENDED O(delta), and the query stream
+    (doc_id ≥ s2) probes the maintained index. The output row carries
+    the property itself (the leakage-split discipline): the probe's
+    pair set over the incrementally-maintained index is compared
+    against a probe over a FROM-SCRATCH rebuild of corpus₀ ∪ batch —
+    ``n_only_incremental`` / ``n_only_full`` are structural zeros the
+    driver's rows-only check and the tests pin (xxhash64 signatures
+    are not DuckDB-expressible, so no SQL oracle — the equivalence
+    column IS the certificate).
+
+    Scale shape at 100 TB: the append signatures |batch| docs, never
+    |corpus|; the probe broadcast-joins batch-sized band hashes into
+    the bucketed scan. The rebuild arm exists ONLY in this
+    certification query (both arms bounded by the doc_id splits)."""
+    import hashlib
+    import uuid
+
+    from datalake_local_spark.llm.similarity import _ivf_key_lock
+
+    spark = documents.sparkSession
+    corpus0 = documents.filter(F.col("doc_id") < s1)
+    batch = documents.filter((F.col("doc_id") >= s1) & (F.col("doc_id") < s2))
+    queries = documents.filter(F.col("doc_id") >= s2)
+    src = source_signature(documents)
+    if src:
+        key = hashlib.md5(
+            repr(("band_incr", src, s1, s2)).encode()
+        ).hexdigest()[:12]
+        table = f"band_incr_{key}"
+        with _ivf_key_lock(("band_incr", table)):
+            if not spark.catalog.tableExists(table):
+                import os
+                import shutil
+                from urllib.parse import urlparse
+
+                wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+                shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+                write_band_index(corpus0, table)
+                append_band_index(spark, table, batch)
+        pairs_incr = probe_band_index(spark, table, queries)
+    else:
+        # in-memory frames: no stable identity, no reuse value — the
+        # "maintained" arm is a temp view of corpus₀ bands unioned with
+        # freshly-signatured batch bands (the same O(delta) signature
+        # work, session-scoped)
+        view_i = f"band_incr_tmp_{uuid.uuid4().hex[:12]}"
+        _banded_rows(corpus0, 16, 4, 3).unionAll(
+            _banded_rows(batch, 16, 4, 3)
+        ).createOrReplaceTempView(view_i)
+        pairs_incr = probe_band_index(spark, view_i, queries)
+    view_f = f"band_full_tmp_{uuid.uuid4().hex[:12]}"
+    _banded_rows(corpus0.unionAll(batch), 16, 4, 3).createOrReplaceTempView(
+        view_f
+    )
+    pairs_full = probe_band_index(spark, view_f, queries)
+    both = ["query_doc_id", "match_doc_id"]
+    diff = pairs_incr.withColumn("in_i", F.lit(1)).join(
+        pairs_full.withColumn("in_f", F.lit(1)), both, "full_outer"
+    )
+    out = diff.agg(
+        F.sum(F.coalesce("in_i", F.lit(0))).cast("long").alias("n_pairs_incremental"),
+        F.sum(F.coalesce("in_f", F.lit(0))).cast("long").alias("n_pairs_full_rebuild"),
+        F.sum(F.when(F.col("in_f").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_only_incremental"),
+        F.sum(F.when(F.col("in_i").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_only_full"),
+    )
+    # plans are analyzed eagerly, so the views can drop now (the
+    # band_index_probe discipline — session-scoped uuid views must not
+    # accumulate across runs)
+    spark.catalog.dropTempView(view_f)
+    if not src:
+        spark.catalog.dropTempView(view_i)
+    return out
+
+
 def duplicate_cluster_sizes(documents: DataFrame) -> DataFrame:
     """Duplicate-cluster size distribution: how big do near-dup clusters
     get? The monitoring rollup over ``duplicate_components`` every dedup

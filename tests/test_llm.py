@@ -3594,3 +3594,68 @@ def test_heaps_curve_monotone_and_beta_bounds(spark):
     assert vs == sorted(vs) and vs[-1] == 1000
     assert all(abs(r["local_beta"] - 1.0) < 1e-9
                for n, r in rows2.items() if n > 50)
+
+
+def test_band_index_incremental_append(spark, tables):
+    """r13 (r12 verdict #4): O(delta) append maintenance of the
+    persisted band index. (1) the probe over the appended index equals
+    a from-scratch rebuild (the certificate columns are structural
+    zeros); (2) a second call neither rewrites nor re-appends — every
+    index file keeps its path, size, and mtime (the registry
+    rewrite-miss discipline); (3) the appended table still satisfies
+    the bucketed candidate join with no pre-join exchange."""
+    import glob
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    from datalake_local_spark.llm import dedup as dd
+
+    docs = tables["documents"]
+    out1 = dd.band_index_incremental(docs).collect()[0]
+    assert out1["n_pairs_incremental"] == out1["n_pairs_full_rebuild"]
+    assert out1["n_only_incremental"] == 0 and out1["n_only_full"] == 0
+    assert out1["n_pairs_incremental"] > 0  # non-vacuous at sf0.001
+
+    src = dd.source_signature(docs)
+    key = hashlib.md5(repr(("band_incr", src, 150, 300)).encode()).hexdigest()[:12]
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    root = os.path.join(wh, f"band_incr_{key}")
+
+    def file_state():
+        return {
+            p: (os.stat(p).st_size, os.stat(p).st_mtime_ns)
+            for p in glob.glob(os.path.join(root, "**", "*"), recursive=True)
+            if os.path.isfile(p)
+        }
+
+    before = file_state()
+    assert before, "persisted index must exist after the first call"
+    out2 = dd.band_index_incremental(docs).collect()[0]
+    assert tuple(out2) == tuple(out1)
+    assert file_state() == before  # rewrite-miss: no rewrite, no re-append
+
+    # bucket layout survives the append: corpus-side candidate join
+    # still reads buckets directly (SelectedBucketsCount, no pre-join
+    # exchange beyond the dropDuplicates)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        cand = dd.candidates_from_band_index(spark, f"band_incr_{key}")
+        cand.collect()
+        final = (
+            cand._jdf.queryExecution().executedPlan().toString()
+            .split("+- == Initial Plan ==")[0]
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "SelectedBucketsCount" in final
+    assert final.count("Exchange hashpartitioning") == 1, final
