@@ -267,6 +267,16 @@ _CERTIFY_FIRST = [
     "ivm_multigrain_refresh",  # NEW r13: maintained ROLLUP grain lattice
     "ivm_bitmap_distinct",  # NEW r13: counted-support distinct view
     "dedup_band_incremental",  # NEW r13: rows-only; O(delta) index append
+    "dq_cramers_v",  # NEW r13: association strength, decimal-summed chi2
+    "dq_page_hinkley",  # NEW r13: sequential drift, exact-integer PH
+    "dq_control_chart",  # NEW r13: XmR limits by BIGINT cross-multiply
+    "tpch_rfm_migration",  # NEW r13: per-period-median segment matrix
+    "tpch_fill_rate",  # NEW r13: OTIF by month x priority
+    "tpch_discount_elasticity",  # NEW r13: qty lift vs zero-discount
+    "sql_groupby_all",  # NEW r13: GROUP BY ALL verbatim both engines
+    "scalar_levenshtein_funcs",  # NEW r13: edit-distance scalar family
+    "text_simpson_diversity",  # NEW r13: exact-rational Simpson index
+    "text_ngram_novelty",  # NEW r13: first-occurrence novelty panel
     # ---- code/oracle CHANGED in round 13 (ADVICE fixes; values
     # unchanged at these SFs but the rewritten queries must re-certify) ----
     "dq_mann_kendall",  # r13: left-join so single-day statuses emit S=0
@@ -362,6 +372,27 @@ LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
          WHERE o.o_custkey = c.c_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
 """
+
+#: GROUP BY ALL (SQL:2023-adjacent shorthand both engines ship):
+#: every non-aggregated select item becomes a grouping key — ONE ANSI
+#: string executed verbatim by spark.sql() AND DuckDB, revenue in exact
+#: integer cents (the _NAMED_WINDOW_SQL decimal discipline).
+_GROUPBY_ALL_SQL = """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS DECIMAL(38,0))) AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def _q_sql_groupby_all(spark, sf):
+    load_tables(spark, sf)
+    return spark.sql(_GROUPBY_ALL_SQL)
+
 
 _INTERACTIVE_SQL = """
     SELECT n_name AS nation,
@@ -501,6 +532,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit_topn": lambda s, d: setops.top_orders_global(*_t(s, d, "orders")),
         # scalar function families
         "scalar_string_funcs": lambda s, d: scalars.string_functions_part(*_t(s, d, "part")),
+        "scalar_levenshtein_funcs": lambda s, d: scalars.edit_distance_pairs(*_t(s, d, "nation")),
         "scalar_date_funcs": lambda s, d: scalars.date_functions_orders(*_t(s, d, "orders")),
         "scalar_json_extract": lambda s, d: scalars.json_functions_events(*_t(s, d, "events")),
         "scalar_json_agg": lambda s, d: scalars.json_aggregate_events(*_t(s, d, "events")),
@@ -612,6 +644,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": lambda s, d: tpch.stratified_sample_stats(*_t(s, d, "orders")),
         "events_sequence_patterns": lambda s, d: funnel.sequence_pattern_counts(*_t(s, d, "events")),
         "sql_interactive": _q_sql_interactive,
+        "sql_groupby_all": _q_sql_groupby_all,
         "sql_correlated_exists": lambda s, d: (load_tables(s, d), s.sql(_CORRELATED_SQL))[1],
         "sql_lateral_topn": lambda s, d: (load_tables(s, d), s.sql(_LATERAL_SQL))[1],
         "sql_named_window": lambda s, d: (load_tables(s, d), s.sql(_NAMED_WINDOW_SQL))[1],
@@ -648,6 +681,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rrf_fusion": lambda s, d: relevance.rrf_rank_fusion(*_t(s, d, "documents")),
         "text_js_divergence": lambda s, d: text.source_js_divergence(*_t(s, d, "documents")),
         "text_heaps_curve": lambda s, d: text.heaps_vocabulary_curve(*_t(s, d, "documents")),
+        "text_simpson_diversity": lambda s, d: text.simpson_diversity(*_t(s, d, "documents")),
+        "text_ngram_novelty": lambda s, d: text.ngram_novelty(*_t(s, d, "documents")),
         "text_dup_ngrams": lambda s, d: text.duplicate_ngram_profile(*_t(s, d, "documents")),
         "text_repetition_signals": lambda s, d: text.repetition_signals(*_t(s, d, "documents")),
         # PII redaction pass (emails/phones/IPs counted + masked; the
@@ -690,6 +725,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_confusion": lambda s, d: text.langid_confusion(*_t(s, d, "documents")),
         "text_corpus_qa_report": lambda s, d: text.corpus_qa_report(*_t(s, d, "documents")),
         "tpch_rfm_segments": lambda s, d: tpch.rfm_segments(*_t(s, d, "orders")),
+        "tpch_rfm_migration": lambda s, d: tpch.rfm_migration(*_t(s, d, "orders")),
+        "tpch_fill_rate": lambda s, d: tpch.order_fill_rate(*_t(s, d, "orders", "lineitem")),
+        "tpch_discount_elasticity": lambda s, d: tpch.discount_elasticity(*_t(s, d, "lineitem")),
         "events_transition_matrix": lambda s, d: funnel.event_transition_matrix(
             *_t(s, d, "events")
         ),
@@ -755,6 +793,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_ab_ttest": lambda s, d: quality.ab_welch_ttest(*_t(s, d, "events")),
         "dq_cuped": lambda s, d: quality.cuped_adjustment(*_t(s, d, "events")),
         "dq_mann_kendall": lambda s, d: quality.mann_kendall_trend(*_t(s, d, "orders")),
+        "dq_cramers_v": lambda s, d: quality.cramers_v_screen(*_t(s, d, "orders")),
+        "dq_page_hinkley": lambda s, d: quality.page_hinkley_drift(*_t(s, d, "orders")),
+        "dq_control_chart": lambda s, d: quality.control_chart_monthly(*_t(s, d, "orders")),
         "dq_theil_sen": lambda s, d: quality.theil_sen_slope(*_t(s, d, "orders")),
         "dq_ks_test": lambda s, d: quality.ks_two_sample(*_t(s, d, "orders")),
         "dq_column_diff": lambda s, d: ivm.column_diff_profile(*_t(s, d, "orders")),
@@ -1547,6 +1588,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
         """,
+        "scalar_levenshtein_funcs": """
+            SELECT a.n_name AS name_a, b.n_name AS name_b,
+                   CAST(levenshtein(a.n_name, b.n_name) AS BIGINT)
+                       AS edit_distance,
+                   CAST(length(a.n_name) AS BIGINT) AS len_a,
+                   CAST(length(b.n_name) AS BIGINT) AS len_b,
+                   CAST((10000 * (greatest(length(a.n_name), length(b.n_name))
+                                  - levenshtein(a.n_name, b.n_name)))
+                        // greatest(length(a.n_name), length(b.n_name))
+                        AS BIGINT) AS similarity_bps,
+                   CAST(CASE WHEN levenshtein(a.n_name, b.n_name) <= 3
+                             THEN levenshtein(a.n_name, b.n_name)
+                             ELSE -1 END AS BIGINT) AS banded_distance
+            FROM nation a JOIN nation b ON a.n_name < b.n_name
+            ORDER BY name_a, name_b
+        """,
         "scalar_string_funcs": """
             SELECT p_partkey,
                    lower(p_name) AS name_lower,
@@ -2202,6 +2259,95 @@ def oracle_sql() -> dict[str, str]:
                          / sum(n_docs) OVER (PARTITION BY lang), 6) AS share_of_lang,
                    (lang = lang_guess) AS is_correct
             FROM cells
+        """,
+        "tpch_rfm_migration": """
+            WITH p1 AS (
+                SELECT o_custkey, count(*) AS freq,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS mon
+                FROM orders WHERE o_orderdate < DATE '1995-06-01'
+                GROUP BY 1
+            ),
+            q1 AS (SELECT quantile_cont(freq, 0.5) AS f_med,
+                          quantile_cont(mon, 0.5) AS m_med FROM p1),
+            s1 AS (
+                SELECT o_custkey,
+                       (CASE WHEN freq > f_med THEN 'Fhi' ELSE 'Flo' END)
+                       || '_' ||
+                       (CASE WHEN mon > m_med THEN 'Mhi' ELSE 'Mlo' END)
+                           AS seg_from
+                FROM p1, q1
+            ),
+            p2 AS (
+                SELECT o_custkey, count(*) AS freq,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS mon
+                FROM orders WHERE o_orderdate >= DATE '1995-06-01'
+                GROUP BY 1
+            ),
+            q2 AS (SELECT quantile_cont(freq, 0.5) AS f_med,
+                          quantile_cont(mon, 0.5) AS m_med FROM p2),
+            s2 AS (
+                SELECT o_custkey,
+                       (CASE WHEN freq > f_med THEN 'Fhi' ELSE 'Flo' END)
+                       || '_' ||
+                       (CASE WHEN mon > m_med THEN 'Mhi' ELSE 'Mlo' END)
+                           AS seg_to
+                FROM p2, q2
+            ),
+            matrix AS (
+                SELECT coalesce(seg_from, 'NEW') AS seg_from,
+                       coalesce(seg_to, 'LOST') AS seg_to,
+                       count(*) AS n_customers
+                FROM s1 FULL OUTER JOIN s2 USING (o_custkey)
+                GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(n_customers) AS t FROM matrix)
+            SELECT seg_from, seg_to,
+                   CAST(n_customers AS BIGINT) AS n_customers,
+                   CAST((10000 * n_customers) // t AS BIGINT) AS share_bps
+            FROM matrix, tot ORDER BY seg_from, seg_to
+        """,
+        "tpch_fill_rate": """
+            WITH per_order AS (
+                SELECT o_orderkey, o_orderdate, o_orderpriority,
+                       min(CASE WHEN l_shipdate <= o_orderdate
+                                     + INTERVAL 30 DAY
+                                THEN 1 ELSE 0 END) AS otif
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY 1, 2, 3
+            )
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   o_orderpriority AS priority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(otif) AS BIGINT) AS n_otif,
+                   CAST((10000 * sum(otif)) // count(*) AS BIGINT) AS fill_bps
+            FROM per_order GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_discount_elasticity": """
+            WITH bands AS (
+                SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+                       count(*) AS n_lines,
+                       sum(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS BIGINT))
+                           AS sum_qty,
+                       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS revenue_e4
+                FROM lineitem GROUP BY 1
+            ),
+            zero AS (
+                SELECT n_lines AS n0, sum_qty AS sq0
+                FROM bands WHERE discount_pct = 0
+            )
+            SELECT discount_pct,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(sum_qty AS BIGINT) AS sum_qty,
+                   CAST(revenue_e4 AS BIGINT) AS revenue_e4,
+                   CAST(sum_qty AS DOUBLE) / CAST(n_lines AS DOUBLE) AS avg_qty,
+                   CAST(sum_qty * n0 AS DOUBLE)
+                       / CAST(n_lines * sq0 AS DOUBLE) AS qty_lift_vs_zero
+            FROM bands, zero ORDER BY discount_pct
         """,
         "tpch_rfm_segments": """
             WITH per_cust AS (
@@ -3153,6 +3299,7 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
         """,
         "sql_interactive": _INTERACTIVE_SQL,
+        "sql_groupby_all": _GROUPBY_ALL_SQL,
         "sql_correlated_exists": _CORRELATED_SQL,
         "sql_named_window": _NAMED_WINDOW_SQL,
         "sql_lateral_topn": _LATERAL_SQL,
@@ -3849,6 +3996,143 @@ def oracle_sql() -> dict[str, str]:
                        AS n_churned
             FROM counts c LEFT JOIN prev USING (week)
             ORDER BY week
+        """,
+        "dq_cramers_v": """
+            WITH p1c AS (
+                SELECT o_orderpriority AS a, o_orderstatus AS b,
+                       count(*) AS observed
+                FROM orders GROUP BY 1, 2
+            ),
+            r1 AS (SELECT a, sum(observed) AS row_total FROM p1c GROUP BY 1),
+            c1 AS (SELECT b, sum(observed) AS col_total FROM p1c GROUP BY 1),
+            g1 AS (SELECT sum(observed) AS n_total, count(DISTINCT a) AS r,
+                          count(DISTINCT b) AS c FROM p1c),
+            w1 AS (
+                SELECT observed,
+                       CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                           / CAST(n_total AS DOUBLE) AS e,
+                       n_total, r, c
+                FROM p1c JOIN r1 USING (a) JOIN c1 USING (b) CROSS JOIN g1
+            ),
+            s1 AS (
+                SELECT n_total, r, c,
+                       CAST(sum(CAST(round((observed - e) * (observed - e) / e,
+                                           6) AS DECIMAL(18,6)))
+                            AS DOUBLE) AS chi2
+                FROM w1 GROUP BY 1, 2, 3
+            ),
+            p2c AS (
+                SELECT o_orderpriority AS a,
+                       CAST(year(o_orderdate) AS INT) AS b,
+                       count(*) AS observed
+                FROM orders GROUP BY 1, 2
+            ),
+            r2 AS (SELECT a, sum(observed) AS row_total FROM p2c GROUP BY 1),
+            c2 AS (SELECT b, sum(observed) AS col_total FROM p2c GROUP BY 1),
+            g2 AS (SELECT sum(observed) AS n_total, count(DISTINCT a) AS r,
+                          count(DISTINCT b) AS c FROM p2c),
+            w2 AS (
+                SELECT observed,
+                       CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                           / CAST(n_total AS DOUBLE) AS e,
+                       n_total, r, c
+                FROM p2c JOIN r2 USING (a) JOIN c2 USING (b) CROSS JOIN g2
+            ),
+            s2 AS (
+                SELECT n_total, r, c,
+                       CAST(sum(CAST(round((observed - e) * (observed - e) / e,
+                                           6) AS DECIMAL(18,6)))
+                            AS DOUBLE) AS chi2
+                FROM w2 GROUP BY 1, 2, 3
+            )
+            SELECT 'priority_x_status' AS pair, CAST(n_total AS BIGINT) AS n,
+                   CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+                   CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+                   round(chi2, 6) AS chi2,
+                   round(sqrt(chi2 / CAST(n_total * least(r - 1, c - 1)
+                                          AS DOUBLE)), 6) AS cramers_v
+            FROM s1
+            UNION ALL
+            SELECT 'priority_x_year', CAST(n_total AS BIGINT),
+                   CAST(r AS BIGINT), CAST(c AS BIGINT),
+                   CAST((r - 1) * (c - 1) AS BIGINT),
+                   round(chi2, 6),
+                   round(sqrt(chi2 / CAST(n_total * least(r - 1, c - 1)
+                                          AS DOUBLE)), 6)
+            FROM s2
+            ORDER BY pair
+        """,
+        "dq_page_hinkley": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS x
+                FROM orders GROUP BY 1
+            ),
+            tot AS (SELECT sum(x) AS c_total, count(*) AS nd FROM daily),
+            cum AS (
+                SELECT day, c_total, nd,
+                       sum(x) OVER (ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING) AS s_cum,
+                       row_number() OVER (ORDER BY day) AS t
+                FROM daily, tot
+            ),
+            m AS (
+                SELECT day, c_total, nd,
+                       s_cum * nd - t * c_total AS m_scaled
+                FROM cum
+            ),
+            ph AS (
+                SELECT day, c_total, nd,
+                       m_scaled - min(m_scaled) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS ph_inc,
+                       max(m_scaled) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) - m_scaled AS ph_dec
+                FROM m
+            )
+            SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(max(ph_inc) AS DOUBLE)
+                       / CAST(first(nd) AS DOUBLE) AS ph_inc_max,
+                   CAST(max(ph_dec) AS DOUBLE)
+                       / CAST(first(nd) AS DOUBLE) AS ph_dec_max,
+                   CAST(sum(CASE WHEN ph_inc > 30 * c_total THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_alarm_inc,
+                   CAST(sum(CASE WHEN ph_dec > 30 * c_total THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_alarm_dec
+            FROM ph GROUP BY 1 ORDER BY 1
+        """,
+        "dq_control_chart": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS x
+                FROM orders GROUP BY 1
+            ),
+            mrt AS (
+                SELECT day, x,
+                       abs(x - lag(x) OVER (ORDER BY day)) AS mr
+                FROM daily
+            ),
+            tot AS (
+                SELECT sum(x) AS c, count(*) AS nd,
+                       sum(mr) AS mr_c, count(mr) AS n_mr
+                FROM mrt
+            ),
+            j AS (SELECT day, x, c, nd, mr_c, n_mr FROM mrt, tot)
+            SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(CASE WHEN (CAST(x AS HUGEINT) * nd - c) * 100 * n_mr
+                                      > 266 * CAST(mr_c AS HUGEINT) * nd
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_ucl,
+                   CAST(sum(CASE WHEN -((CAST(x AS HUGEINT) * nd - c) * 100 * n_mr)
+                                      > 266 * CAST(mr_c AS HUGEINT) * nd
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_lcl,
+                   CAST(first(c) AS DOUBLE) / CAST(first(nd) AS DOUBLE)
+                       AS center_cents,
+                   CAST(first(mr_c) AS DOUBLE) / CAST(first(n_mr) AS DOUBLE)
+                       AS mrbar_cents
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         "dq_chi_squared": """
             WITH cells AS (
@@ -5449,6 +5733,54 @@ def oracle_sql() -> dict[str, str]:
                    (10000 * returned_cents) // billed_cents
                        AS returned_value_bps
             FROM g ORDER BY 1
+        """,
+        "text_simpson_diversity": f"""
+            WITH toks AS (
+                SELECT source, unnest(string_split({_NORM}, ' ')) AS token
+                FROM documents
+            ),
+            per_type AS (
+                SELECT source, token, count(*) AS n_i
+                FROM toks GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT source,
+                       CAST(sum(n_i) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_types,
+                       sum(n_i * (n_i - 1)) AS num
+                FROM per_type GROUP BY 1
+            )
+            SELECT source, n_tokens, n_types,
+                   CAST(num AS DOUBLE)
+                       / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+                       AS simpson_lambda,
+                   1.0 - CAST(num AS DOUBLE)
+                       / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+                       AS gini_simpson
+            FROM g ORDER BY source
+        """,
+        "text_ngram_novelty": f"""
+            WITH toked AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+                FROM toked, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                WHERE len(t) >= 3
+            ),
+            first_occ AS (
+                SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   CAST((10000 * sum(CASE WHEN first_doc = doc_id
+                                          THEN 1 ELSE 0 END)) // count(*)
+                        AS BIGINT) AS novelty_bps
+            FROM grams JOIN first_occ USING (gram)
+            WHERE doc_id < 200
+            GROUP BY 1 ORDER BY 1
         """,
         "text_heaps_curve": f"""
             WITH first_seen AS (

@@ -2215,3 +2215,101 @@ def heaps_vocabulary_curve(
             F.round(beta, 6) + F.lit(0.0),
         ).alias("local_beta"),
     ).orderBy("n_docs")
+
+
+def simpson_diversity(documents: DataFrame) -> DataFrame:
+    """Per-source lexical diversity via the Simpson index (Simpson
+    1949 — public): λ = Σ nᵢ(nᵢ−1) / (N(N−1)), the probability two
+    tokens drawn without replacement are the same type, and its
+    Gini–Simpson complement 1−λ — the concentration companion to the
+    Heaps vocabulary curve: a source whose λ spikes is template spam
+    (few types dominate) long before its vocabulary growth flattens.
+
+    Determinism: per-(source, type) counts are exact integers; the
+    numerator Σ nᵢ(nᵢ−1) and denominator N(N−1) are exact BIGINT
+    aggregates, published as ONE double division each (unrounded
+    exact-integer ratios are hash-safe; rounding them would sit on
+    representable halves). Scale shape: explode to token grain, ONE
+    (source, token) aggregate (map-side combined), then a bounded
+    source-grain re-aggregate — never a scan per source."""
+    toks = documents.select(
+        "source",
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"),
+    )
+    per_type = toks.groupBy("source", "token").agg(F.count("*").alias("n_i"))
+    return (
+        per_type.groupBy("source")
+        .agg(
+            F.sum("n_i").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.col("n_i") * (F.col("n_i") - 1)).alias("num"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            (
+                F.col("num").cast("double")
+                / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double")
+            ).alias("simpson_lambda"),
+            (
+                F.lit(1.0)
+                - F.col("num").cast("double")
+                / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double")
+            ).alias("gini_simpson"),
+        )
+        .orderBy("source")
+    )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3, max_doc_id: int = 200) -> DataFrame:
+    """Per-document n-gram NOVELTY in corpus order: the fraction of a
+    document's distinct word n-grams whose FIRST corpus occurrence
+    (min doc_id over the whole corpus) is this document — the
+    curation signal behind novelty-ordered training curricula and
+    crawl-dedup monitoring (a batch whose novelty collapses is
+    re-crawling what the corpus already holds). Reported for the
+    bounded doc_id < ``max_doc_id`` panel; the first-occurrence
+    aggregate runs over ALL documents.
+
+    Scale shape: the Heaps-curve discipline — ONE gram-grain
+    min(doc_id) aggregate (grams hashed to fixed-width xxhash64 before
+    the shuffle, the duplicate_ngram_profile trick), joined back to
+    the bounded panel's gram rows. Exact integers + basis points."""
+    toked = documents.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
+    )
+    t = F.col("toks")
+    gram_expr = F.explode(
+        F.array_distinct(
+            F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, n))),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        )
+    ).alias("gram_h")
+    grams = toked.select("doc_id", gram_expr)
+    first_occ = grams.groupBy("gram_h").agg(F.min("doc_id").alias("first_doc"))
+    panel = grams.filter(F.col("doc_id") < max_doc_id)
+    return (
+        panel.join(first_occ, "gram_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(10000 * n_novel) div n_grams").cast("long").alias(
+                "novelty_bps"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1061,3 +1061,252 @@ def ks_two_sample(orders: DataFrame) -> DataFrame:
         (F.round(lam, 6) + F.lit(0.0)).alias("ks_lambda"),
         (lam > 1.358).alias("reject_at_05"),
     )
+
+
+def cramers_v_screen(orders: DataFrame) -> DataFrame:
+    """Cramér's V association strength (Cramér 1946 — public) for two
+    categorical attribute pairs of the orders fact: priority × status
+    and priority × order-year. The χ² statistic alone scales with N
+    and the table size; V = sqrt(χ² / (N·min(r−1, c−1))) normalizes to
+    [0, 1], the screen that answers "are these dimensions redundant?"
+    before a cube or a stratified sampler treats them as independent
+    (companion to ``chi_squared_screen``'s yes/no independence test).
+
+    Determinism: observed counts and marginals are exact integers;
+    per-cell χ² contributions are identical double expressions over
+    them, rounded 6dp and SUMMED AS DECIMAL (the chi_squared_screen
+    discipline — a raw double Σ over cells is accumulation-order
+    dependent); V is one sqrt over the exact decimal sum (sqrt is
+    IEEE-correctly-rounded, so identical cross-engine).
+
+    Scale shape: per pair, ONE grouped aggregate builds the bounded
+    cell table (≤ |prio|·|status| and |prio|·|years|); marginals and
+    the total derive from it broadcast-side. Nothing rescans orders
+    beyond the two cell aggregates."""
+
+    def _pair(df, a_expr, a_name, b_expr, b_name):
+        cells = (
+            df.select(a_expr.alias("a"), b_expr.alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("observed"))
+            .localCheckpoint()  # bounded cell table, 4 consumers
+        )
+        row_m = cells.groupBy("a").agg(F.sum("observed").alias("row_total"))
+        col_m = cells.groupBy("b").agg(F.sum("observed").alias("col_total"))
+        grand = cells.agg(
+            F.sum("observed").alias("n_total"),
+            F.countDistinct("a").alias("r"),
+            F.countDistinct("b").alias("c"),
+        )
+        expected = (
+            F.col("row_total").cast("double")
+            * F.col("col_total").cast("double")
+            / F.col("n_total").cast("double")
+        )
+        contrib = F.round(
+            (F.col("observed") - expected) * (F.col("observed") - expected)
+            / expected,
+            6,
+        )
+        per_cell = (
+            cells.join(F.broadcast(row_m), "a")
+            .join(F.broadcast(col_m), "b")
+            .crossJoin(F.broadcast(grand))
+            .select(
+                contrib.cast("decimal(18,6)").alias("c_dec"),
+                "n_total",
+                "r",
+                "c",
+            )
+        )
+        return per_cell.groupBy("n_total", "r", "c").agg(
+            F.sum("c_dec").cast("double").alias("chi2")
+        ).select(
+            F.lit(f"{a_name}_x_{b_name}").alias("pair"),
+            F.col("n_total").cast("long").alias("n"),
+            F.col("r").cast("long").alias("r"),
+            F.col("c").cast("long").alias("c"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n_total")
+                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                    ).cast("double")
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+
+    p1 = _pair(
+        orders,
+        F.col("o_orderpriority"),
+        "priority",
+        F.col("o_orderstatus"),
+        "status",
+    )
+    p2 = _pair(
+        orders,
+        F.col("o_orderpriority"),
+        "priority",
+        F.year("o_orderdate").cast("int"),
+        "year",
+    )
+    return p1.unionAll(p2).orderBy("pair")
+
+
+def page_hinkley_drift(orders: DataFrame) -> DataFrame:
+    """Page–Hinkley sequential drift detector (Page 1954, Hinkley 1971
+    — public) on the daily total-revenue series, monthly report: the
+    two-pass variant with the global mean μ as reference, m_T =
+    Σ_{i≤T}(x_i − μ), PH⁺ = m_T − min_{i≤T} m_i (upward drift), PH⁻ =
+    max_{i≤T} m_i − m_T (downward), alarm when the excursion exceeds
+    λ = 30 mean-days of revenue — the sequential companion to the
+    batch drift screens (psi_drift, ks_test): it localizes WHEN the
+    level shifted, not just that two windows differ.
+
+    Determinism — the whole recursion in exact integers: with daily
+    cents x_i, C = Σx, N = days, the scaled statistic m_T·N =
+    S_T·N − T·C is pure BIGINT (S_T the cumulative cents sum, T the
+    day index); cumulative min/max of integers are exact; the alarm
+    compare PH·N > λ·N reduces to integers (λ·N = 30·C). Published
+    ph values are single exact-integer divisions (hash-safe).
+    Magnitudes: S_T·N ≲ 5e16 at sf1-scale daily cents — inside int64;
+    the oracle mirrors with HUGEINT headroom.
+
+    Scale shape: one map-side daily aggregate, then cumulative windows
+    over the DAY series — calendar-bounded (~2.4k rows), never
+    SF-scaled, so the unpartitioned window is safe at any corpus size;
+    the monthly rollup is a bounded second aggregate."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast(
+                    "long"
+                )
+            ).alias("x")
+        )
+        .localCheckpoint()  # bounded day series; feeds totals + windows
+    )
+    tot = daily.agg(
+        F.sum("x").alias("c_total"), F.count("*").alias("n_days")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "x",
+        "c_total",
+        "n_days",
+        F.sum("x").over(w).alias("s_cum"),
+        F.row_number().over(W.orderBy("day")).alias("t"),
+    )
+    m = (F.col("s_cum") * F.col("n_days") - F.col("t") * F.col("c_total")).alias(
+        "m_scaled"
+    )
+    with_m = cum.select("day", "c_total", "n_days", m)
+    with_ph = with_m.select(
+        "day",
+        "c_total",
+        "n_days",
+        (F.col("m_scaled") - F.min("m_scaled").over(w)).alias("ph_inc_scaled"),
+        (F.max("m_scaled").over(w) - F.col("m_scaled")).alias("ph_dec_scaled"),
+    )
+    lam = 30 * F.col("c_total")  # λ·N: 30 mean-days, exactly scaled
+    return (
+        with_ph.groupBy(
+            F.date_trunc("month", "day").cast("date").alias("month")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            (
+                F.max("ph_inc_scaled").cast("double")
+                / F.first("n_days").cast("double")
+            ).alias("ph_inc_max"),
+            (
+                F.max("ph_dec_scaled").cast("double")
+                / F.first("n_days").cast("double")
+            ).alias("ph_dec_max"),
+            F.sum(F.when(F.col("ph_inc_scaled") > lam, 1).otherwise(0))
+            .cast("long")
+            .alias("n_alarm_inc"),
+            F.sum(F.when(F.col("ph_dec_scaled") > lam, 1).otherwise(0))
+            .cast("long")
+            .alias("n_alarm_dec"),
+        )
+        .orderBy("month")
+    )
+
+
+def control_chart_monthly(orders: DataFrame) -> DataFrame:
+    """Shewhart individuals/moving-range control chart (Shewhart 1931;
+    the XmR chart, public) on daily total revenue, reported monthly:
+    center line x̄ = C/N, average moving range M̄R, control limits
+    x̄ ± 2.66·M̄R (the d₂-derived XmR constant), and per month how many
+    days broke each limit — the process-stability view that separates
+    common-cause variation from assignable shifts before anyone chases
+    a "spike" that is in-control noise.
+
+    Determinism: daily cents are exact integers; MR_i = |x_i − x_{i−1}|
+    is exact; the limit test avoids ALL float arithmetic by cross
+    multiplication — x_i > x̄ + 2.66·M̄R ⟺
+    (x_i·N − C)·100·N_mr > 266·MR_C·N with every factor BIGINT
+    (subtract-first keeps products ≲ 2.4e18 at sf1-scale cents; the
+    oracle carries HUGEINT headroom). Published center/limit columns
+    are identical double expression trees over the exact integers.
+
+    Scale shape: one map-side daily aggregate; one lag over the
+    calendar-bounded day series (unpartitioned but never SF-scaled);
+    bounded monthly rollup."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast(
+                    "long"
+                )
+            ).alias("x")
+        )
+        .localCheckpoint()  # bounded day series
+    )
+    with_mr = daily.select(
+        "day",
+        "x",
+        F.abs(F.col("x") - F.lag("x").over(W.orderBy("day"))).alias("mr"),
+    )
+    tot = with_mr.agg(
+        F.sum("x").alias("c"),
+        F.count("*").alias("n"),
+        F.sum("mr").alias("mr_c"),
+        F.count("mr").alias("n_mr"),
+    )
+    j = with_mr.crossJoin(F.broadcast(tot))
+    # (x·N − C)·100·N_mr vs ±266·MR_C·N — pure BIGINT on both engines
+    dev = (F.col("x") * F.col("n") - F.col("c")) * 100 * F.col("n_mr")
+    lim = 266 * F.col("mr_c") * F.col("n")
+    return (
+        j.groupBy(F.date_trunc("month", "day").cast("date").alias("month"))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(F.when(dev > lim, 1).otherwise(0))
+            .cast("long")
+            .alias("n_above_ucl"),
+            F.sum(F.when(-dev > lim, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_lcl"),
+            (F.first("c").cast("double") / F.first("n").cast("double")).alias(
+                "center_cents"
+            ),
+            (
+                F.first("mr_c").cast("double")
+                / F.first("n_mr").cast("double")
+            ).alias("mrbar_cents"),
+        )
+        .orderBy("month")
+    )

@@ -412,3 +412,40 @@ def url_canonical_dedup(orders: DataFrame) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+def edit_distance_pairs(nation: DataFrame, threshold: int = 3) -> DataFrame:
+    """Levenshtein edit-distance scalar family over all nation-name
+    pairs (25×24/2 = 300 rows — a catalog-bounded self theta-join, the
+    fuzzy-matching primitive behind entity resolution's verification
+    stage; the blocked production path is dedup.fuzzy_entity_pairs,
+    llm/dedup.py): raw distance, a similarity in integer basis points
+    (10000·(maxlen − d) / maxlen), and the banded form (distance if
+    ≤ threshold else −1 — Spark's 3-arg levenshtein early-exit,
+    emulated portably here so the oracle matches verbatim).
+
+    Exact: Levenshtein is integer-valued and identically defined in
+    both engines; everything else is BIGINT arithmetic."""
+    a = nation.select(F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_name").alias("name_b"))
+    lev = F.levenshtein("name_a", "name_b")
+    maxlen = F.greatest(F.length("name_a"), F.length("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            lev.cast("long").alias("edit_distance"),
+            F.length("name_a").cast("long").alias("len_a"),
+            F.length("name_b").cast("long").alias("len_b"),
+            F.expr(
+                "(10000 * (greatest(length(name_a), length(name_b))"
+                " - levenshtein(name_a, name_b)))"
+                " div greatest(length(name_a), length(name_b))"
+            ).cast("long").alias("similarity_bps"),
+            F.when(lev <= threshold, lev.cast("long"))
+            .otherwise(F.lit(-1).cast("long"))
+            .alias("banded_distance"),
+        )
+        .orderBy("name_a", "name_b")
+    )

@@ -1324,3 +1324,171 @@ def demand_variability_xyz(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .otherwise("Z")
         .alias("xyz_class"),
     ).orderBy("brand")
+
+
+def rfm_migration(orders: DataFrame, split_date: str = "1995-06-01") -> DataFrame:
+    """Customer segment MIGRATION matrix: segment every customer in the
+    first half of the order history (orders before ``split_date``) and
+    again in the second half, then count the transitions — the
+    retention-marketing view on top of ``rfm_segments``'s static
+    distribution ("how many champions decayed to casual, how many new
+    customers arrived big-ticket?"). Segments are the 2×2
+    frequency × monetary split at each period's own MEDIAN (per-period
+    thresholds, so the matrix reads mix shift, not volume growth);
+    customers absent from a period enter as NEW / exit as LOST.
+
+    Determinism: frequency and monetary are exact integers (count,
+    cents); the medians interpolate integers at dyadic fractions
+    (exactly representable doubles, identical via F.percentile ≡
+    quantile_cont); bucket membership is an exact compare. Shares in
+    integer basis points.
+
+    Scale shape: two per-customer aggregates (one scan each, map-side
+    combined), scalar median aggregates broadcast back (the
+    rfm_segments discipline — no global ntile window), one full-outer
+    join at customer grain, bounded (5×5) matrix out."""
+    split = F.lit(split_date).cast("date")
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+
+    def _segmented(df, tag):
+        per = df.groupBy("o_custkey").agg(
+            F.count("*").alias("freq"), F.sum(cents).alias("mon")
+        )
+        q = per.agg(
+            F.percentile("freq", F.lit(0.5)).alias("f_med"),
+            F.percentile("mon", F.lit(0.5)).alias("m_med"),
+        )
+        return per.crossJoin(F.broadcast(q)).select(
+            "o_custkey",
+            F.concat(
+                F.when(F.col("freq") > F.col("f_med"), "Fhi").otherwise("Flo"),
+                F.lit("_"),
+                F.when(F.col("mon") > F.col("m_med"), "Mhi").otherwise("Mlo"),
+            ).alias(f"seg_{tag}"),
+        )
+
+    p1 = _segmented(orders.filter(F.col("o_orderdate") < split), "from")
+    p2 = _segmented(orders.filter(F.col("o_orderdate") >= split), "to")
+    matrix = (
+        p1.join(p2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("seg_from", F.lit("NEW")).alias("seg_from"),
+            F.coalesce("seg_to", F.lit("LOST")).alias("seg_to"),
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    total = matrix.agg(F.sum("n_customers").alias("t"))
+    return (
+        matrix.crossJoin(F.broadcast(total))
+        .select(
+            "seg_from",
+            "seg_to",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.expr("(10000 * n_customers) div t").cast("long").alias("share_bps"),
+        )
+        .orderBy("seg_from", "seg_to")
+    )
+
+
+def order_fill_rate(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 30
+) -> DataFrame:
+    """On-time-in-full (OTIF) fill rate by month × priority: an order
+    counts as OTIF when EVERY lineitem shipped within ``late_days`` of
+    the order date (the testdata carries no l_commitdate, so the
+    lateness definition is the 30-day one ``priority_late_count`` and
+    ``waiting_supplier`` already use) — the customer-facing
+    service-level rate next to those offender counts.
+
+    Exact: the per-order verdict is a min() over integer 0/1 flags;
+    rates in integer basis points. Scale shape: one lineitem-grain
+    aggregate keyed by orderkey co-partitioned with the orders join,
+    bounded month × priority rollup. (The flag needs o_orderdate, so
+    the join precedes the per-order aggregate; both shuffle on the
+    SAME order key — one exchange each, reused.)"""
+    j = orders.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    per_order = j.groupBy(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).agg(
+        F.min(
+            F.when(
+                F.col("l_shipdate")
+                <= F.date_add(F.col("o_orderdate"), late_days),
+                1,
+            ).otherwise(0)
+        ).alias("otif")
+    )
+    j = per_order
+    return (
+        j.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("otif").cast("long").alias("n_otif"),
+        )
+        .select(
+            "month",
+            "priority",
+            "n_orders",
+            "n_otif",
+            F.expr("(10000 * n_otif) div n_orders").cast("long").alias("fill_bps"),
+        )
+        .orderBy("month", "priority")
+    )
+
+
+def discount_elasticity(lineitem: DataFrame) -> DataFrame:
+    """Quantity response by discount band — the merchandising "does
+    discounting move volume?" table behind Q19's revenue bands: per
+    discount level (exact integer percent), line count, total
+    quantity, realized revenue, mean quantity, and the quantity lift
+    vs the zero-discount baseline.
+
+    Determinism: the band is round(l_discount·100) (an exact integer
+    on TPC-H's 2dp discount domain); quantity and revenue are exact
+    integers (revenue in 10⁻⁴-dollar units: cents × (100 − pct));
+    avg_qty and the lift are single divisions of exact BIGINT
+    products (hash-safe unrounded ratios).
+
+    Scale shape: ONE map-side-combined aggregate at band grain
+    (≤ 11 rows), the baseline row broadcast back. No second scan."""
+    pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    qty = F.col("l_quantity").cast("decimal(18,6)").cast("long")
+    ext_cents = (F.col("l_extendedprice").cast("decimal(18,6)") * 100).cast(
+        "long"
+    )
+    bands = (
+        lineitem.groupBy(pct.alias("discount_pct"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(qty).alias("sum_qty"),
+            F.sum(ext_cents * (100 - pct)).alias("revenue_e4"),
+        )
+        .localCheckpoint()  # ≤ 11 rows; baseline row re-consumed
+    )
+    zero = bands.filter(F.col("discount_pct") == 0).select(
+        F.col("n_lines").alias("n0"), F.col("sum_qty").alias("sq0")
+    )
+    return (
+        bands.crossJoin(F.broadcast(zero))
+        .select(
+            "discount_pct",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+            F.col("revenue_e4").cast("long").alias("revenue_e4"),
+            (
+                F.col("sum_qty").cast("double") / F.col("n_lines").cast("double")
+            ).alias("avg_qty"),
+            (
+                (F.col("sum_qty") * F.col("n0")).cast("double")
+                / (F.col("n_lines") * F.col("sq0")).cast("double")
+            ).alias("qty_lift_vs_zero"),
+        )
+        .orderBy("discount_pct")
+    )

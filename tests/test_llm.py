@@ -3659,3 +3659,26 @@ def test_band_index_incremental_append(spark, tables):
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert "SelectedBucketsCount" in final
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_simpson_diversity_bounds(spark, tables):
+    from datalake_local_spark.llm import text
+
+    rows = text.simpson_diversity(tables["documents"]).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["simpson_lambda"] <= 1.0
+        assert abs(r["gini_simpson"] - (1.0 - r["simpson_lambda"])) < 1e-12
+        assert r["n_types"] <= r["n_tokens"]
+
+
+def test_ngram_novelty_first_doc_all_novel(spark, tables):
+    from datalake_local_spark.llm import text
+
+    rows = {r["doc_id"]: r for r in text.ngram_novelty(tables["documents"]).collect()}
+    assert rows
+    first = min(rows)
+    # the corpus-first document can only introduce grams
+    assert rows[first]["novelty_bps"] == 10000
+    for r in rows.values():
+        assert 0 <= r["n_novel"] <= r["n_grams"]

@@ -1978,3 +1978,114 @@ def test_demand_xyz_boundary_classes(spark):
     got = {r["brand"]: r for r in tpch.demand_variability_xyz(rows, part).collect()}
     assert got["BRAND_X"]["xyz_class"] == "X" and got["BRAND_X"]["demand_cv"] == 0.0
     assert got["BRAND_Z"]["xyz_class"] == "Z"
+
+
+# ---------------------------------------------------------------------------
+# round-13 operators (oracle certs carry value equality; these pin the
+# structural invariants the SQL comparison cannot express)
+# ---------------------------------------------------------------------------
+
+
+def test_cramers_v_bounds(spark, tables):
+    from datalake_local_spark.operators import quality
+
+    rows = quality.cramers_v_screen(tables["orders"]).collect()
+    assert {r["pair"] for r in rows} == {"priority_x_status", "priority_x_year"}
+    for r in rows:
+        assert 0.0 <= r["cramers_v"] <= 1.0
+        assert r["dof"] == (r["r"] - 1) * (r["c"] - 1)
+        assert r["chi2"] >= 0.0
+
+
+def test_page_hinkley_invariants(spark, tables):
+    from datalake_local_spark.operators import quality
+
+    rows = quality.page_hinkley_drift(tables["orders"]).collect()
+    assert len(rows) > 12  # monthly over the multi-year history
+    for r in rows:
+        assert r["ph_inc_max"] >= 0.0 and r["ph_dec_max"] >= 0.0
+        assert 0 <= r["n_alarm_inc"] <= r["n_days"]
+        assert 0 <= r["n_alarm_dec"] <= r["n_days"]
+
+
+def test_control_chart_invariants(spark, tables):
+    from datalake_local_spark.operators import quality
+
+    rows = quality.control_chart_monthly(tables["orders"]).collect()
+    assert len(rows) > 12
+    for r in rows:
+        assert r["n_above_ucl"] + r["n_below_lcl"] <= r["n_days"]
+        assert r["center_cents"] > 0 and r["mrbar_cents"] > 0
+
+
+def test_rfm_migration_accounting(spark, tables):
+    from pyspark.sql import functions as F
+
+    from datalake_local_spark.operators import tpch
+
+    orders = tables["orders"]
+    rows = tpch.rfm_migration(orders).collect()
+    # every customer appears in exactly one matrix cell
+    n_matrix = sum(r["n_customers"] for r in rows)
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert n_matrix == n_cust
+    assert 9990 <= sum(r["share_bps"] for r in rows) <= 10000  # div truncation
+    segs = {"Fhi_Mhi", "Fhi_Mlo", "Flo_Mhi", "Flo_Mlo"}
+    for r in rows:
+        assert r["seg_from"] in segs | {"NEW"}
+        assert r["seg_to"] in segs | {"LOST"}
+
+
+def test_fill_rate_bounds(spark, tables):
+    from datalake_local_spark.operators import tpch
+
+    rows = tpch.order_fill_rate(tables["orders"], tables["lineitem"]).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_otif"] <= r["n_orders"]
+        assert 0 <= r["fill_bps"] <= 10000
+
+
+def test_discount_elasticity_baseline(spark, tables):
+    from datalake_local_spark.operators import tpch
+
+    rows = {r["discount_pct"]: r for r in tpch.discount_elasticity(tables["lineitem"]).collect()}
+    assert 0 in rows and len(rows) == 11  # 0..10 percent bands
+    assert rows[0]["qty_lift_vs_zero"] == 1.0  # the baseline is itself
+
+
+def test_edit_distance_pairs_metric_bounds(spark, tables):
+    rows_df = __import__(
+        "datalake_local_spark.operators.scalars", fromlist=["scalars"]
+    ).edit_distance_pairs(tables["nation"])
+    rows = rows_df.collect()
+    assert len(rows) == 25 * 24 // 2
+    for r in rows:
+        # Levenshtein lower bound: |len_a - len_b|; upper: max(len)
+        assert abs(r["len_a"] - r["len_b"]) <= r["edit_distance"] <= max(
+            r["len_a"], r["len_b"]
+        )
+        assert 0 <= r["similarity_bps"] <= 10000
+        assert r["banded_distance"] == (
+            r["edit_distance"] if r["edit_distance"] <= 3 else -1
+        )
+
+
+def test_sql_groupby_all_matches_dataframe(spark, tables):
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["o_orderstatus"], r["o_orderpriority"], r["n_orders"])
+        for r in em._q_sql_groupby_all(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    want = {
+        (r["o_orderstatus"], r["o_orderpriority"], r["n"])
+        for r in tables["orders"]
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
