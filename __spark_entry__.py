@@ -277,6 +277,9 @@ _CERTIFY_FIRST = [
     "scalar_levenshtein_funcs",  # NEW r13: edit-distance scalar family
     "text_simpson_diversity",  # NEW r13: exact-rational Simpson index
     "text_ngram_novelty",  # NEW r13: first-occurrence novelty panel
+    "sim_centroid_silhouette",  # NEW r13: integer-exact simplified silhouette
+    "events_calendar_heatmap",  # NEW r13: isodow x hour activity cells
+    "pipeline_dataset_card",  # NEW r13: datasheet manifest, one corpus scan
     # ---- code/oracle CHANGED in round 13 (ADVICE fixes; values
     # unchanged at these SFs but the rewritten queries must re-certify) ----
     "dq_mann_kendall",  # r13: left-join so single-day statuses emit S=0
@@ -319,11 +322,9 @@ _CERTIFY_FIRST = [
     "agg_argmax",
     "agg_conditional",
     "null_handling",
-    "window_range_frame",
-    "window_rank",
-    "window_lag_lead",
-    # r14 queue (not fitting this 50-slot window): the rest of the r5
-    # cohort above that gets displaced, then the r6/r7 cohorts.
+    # r14 queue (displaced from this 50-slot window by the r13 wave-4
+    # newcomers): window_range_frame, window_rank, window_lag_lead,
+    # then the rest of the r5 cohort and the r6/r7 cohorts.
 ]
 
 
@@ -751,6 +752,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stickiness": lambda s, d: funnel.stickiness_profile(*_t(s, d, "events")),
         "sim_embedding_dim_profile": lambda s, d: similarity.embedding_dim_profile(*_t(s, d, "embeddings")),
         "sim_label_separation": lambda s, d: similarity.label_separation_geometry(*_t(s, d, "embeddings")),
+        "sim_centroid_silhouette": lambda s, d: similarity.centroid_silhouette(*_t(s, d, "embeddings")),
         "sim_pair_geometry": lambda s, d: similarity.pair_geometry(*_t(s, d, "embeddings")),
         "dq_completeness_profile": lambda s, d: quality.completeness_profile(*_t(s, d, "orders")),
         # pre-flight join-size estimate: events.user_id x orders.o_custkey
@@ -769,6 +771,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": lambda s, d: text.pack_sequences(*_t(s, d, "documents")),
         "text_quality_gate": lambda s, d: text.quality_gate(*_t(s, d, "documents")),
         "pipeline_quality_sweep": lambda s, d: text.quality_threshold_sweep(*_t(s, d, "documents")),
+        "pipeline_dataset_card": lambda s, d: llm_pipeline.dataset_card(*_t(s, d, "documents")),
         "agg_mad_outliers": lambda s, d: agg.mad_outliers(*_t(s, d, "events")),
         "agg_trend_regression": lambda s, d: agg.trend_regression(*_t(s, d, "events")),
         # round-8 wave 1
@@ -879,6 +882,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mode_family": lambda s, d: agg.mode_family(*_t(s, d, "lineitem")),
         "events_interarrival": lambda s, d: windows.interarrival_stats(*_t(s, d, "events")),
         "events_burstiness": lambda s, d: windows.user_burstiness(*_t(s, d, "events")),
+        "events_calendar_heatmap": lambda s, d: windows.calendar_heatmap(*_t(s, d, "events")),
         "events_stl_decompose": lambda s, d: windows.stl_decompose_daily(*_t(s, d, "events")),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
         "pandas_grouped_zscore": lambda s, d: grouped_pandas.zscore_chars_within_lang(*_t(s, d, "documents")),
@@ -5611,6 +5615,47 @@ def oracle_sql() -> dict[str, str]:
         "lake_zorder_layout": _zorder_oracle_sql(),
         "dedup_shingle_sweep": _shingle_sweep_oracle_sql(),
         "pipeline_leakage_split": _leakage_split_oracle_sql(),
+        "pipeline_dataset_card": f"""
+            WITH per_doc AS (
+                SELECT doc_id, source, lang,
+                       len(string_split({_NORM}, ' ')) AS n_tokens,
+                       length(text) AS n_chars,
+                       md5({_NORM}) AS fp
+                FROM documents
+            ),
+            dupg AS (SELECT fp, count(*) AS k FROM per_doc GROUP BY 1),
+            dup AS (
+                SELECT coalesce(sum(CASE WHEN k > 1 THEN k - 1 END), 0)
+                           AS n_dup_docs,
+                       count(*) AS n_unique_fp
+                FROM dupg
+            ),
+            scal AS (
+                SELECT count(*) AS n_docs,
+                       count(DISTINCT source) AS n_sources,
+                       count(DISTINCT lang) AS n_langs,
+                       sum(n_tokens) AS n_tokens_total,
+                       sum(n_chars) AS n_chars_total,
+                       round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens,
+                       round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
+                       sum(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END) AS n_short
+                FROM per_doc
+            ),
+            w AS (SELECT * FROM scal, dup)
+            SELECT metric, value FROM (
+                SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM w
+                UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM w
+                UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM w
+                UNION ALL SELECT 'n_tokens_total', CAST(n_tokens_total AS DOUBLE) FROM w
+                UNION ALL SELECT 'n_chars_total', CAST(n_chars_total AS DOUBLE) FROM w
+                UNION ALL SELECT 'median_tokens', median_tokens FROM w
+                UNION ALL SELECT 'p95_tokens', p95_tokens FROM w
+                UNION ALL SELECT 'exact_dup_docs', CAST(n_dup_docs AS DOUBLE) FROM w
+                UNION ALL SELECT 'short_doc_bps',
+                    CAST((10000 * n_short) // n_docs AS DOUBLE) FROM w
+                UNION ALL SELECT 'unique_fingerprints', CAST(n_unique_fp AS DOUBLE) FROM w
+            ) ORDER BY metric
+        """,
         "pipeline_dedup_funnel": f"""
             WITH RECURSIVE docs AS (
                 SELECT doc_id, {_NORM} AS norm
@@ -7193,6 +7238,86 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'backward'
                         WHEN next_ok THEN 'forward' END AS direction
             FROM picked ORDER BY click_id
+        """,
+        "events_calendar_heatmap": """
+            WITH cells AS (
+                SELECT CAST(isodow(ts) AS INT) AS isodow,
+                       CAST(hour(ts) AS INT) AS hour,
+                       count(*) AS n_events,
+                       count(DISTINCT user_id) AS n_users
+                FROM events GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(n_events) AS t FROM cells)
+            SELECT isodow, hour,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(n_users AS BIGINT) AS n_users,
+                   CAST((10000 * n_events) // t AS BIGINT) AS share_bps
+            FROM cells, tot ORDER BY isodow, hour
+        """,
+        "sim_centroid_silhouette": """
+            WITH scorable AS (
+                SELECT * FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) > 0
+            ),
+            e AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000000.0) AS BIGINT) AS qv
+                FROM scorable
+            ),
+            sums AS (
+                SELECT label, dim, CAST(sum(qv) AS HUGEINT) AS s
+                FROM e GROUP BY 1, 2
+            ),
+            norm2 AS (SELECT label, sum(s * s) AS c2 FROM sums GROUP BY 1),
+            per_cand AS (
+                SELECT e.vec_id, e.label AS own_label, s.label AS cand,
+                       sum(CAST(e.qv AS HUGEINT) * s.s) AS dot,
+                       sum(CAST(e.qv AS HUGEINT) * CAST(e.qv AS HUGEINT)) AS v2
+                FROM e JOIN sums s ON s.dim = e.dim
+                GROUP BY 1, 2, 3
+            ),
+            cosd AS (
+                SELECT vec_id, own_label, cand,
+                       CAST(floor(CAST(dot AS DOUBLE)
+                            / sqrt(CAST(v2 AS DOUBLE) * CAST(c2 AS DOUBLE))
+                            * 1000000.0) AS BIGINT) AS cos_e6
+                FROM per_cand JOIN norm2 n2 ON n2.label = per_cand.cand
+                WHERE v2 > 0 AND c2 > 0
+            ),
+            per_vec AS (
+                SELECT vec_id, own_label,
+                       max(CASE WHEN cand = own_label THEN cos_e6 END)
+                           AS own_e6,
+                       max(CASE WHEN cand <> own_label THEN cos_e6 END)
+                           AS best_other_e6
+                FROM cosd GROUP BY 1, 2
+                HAVING own_e6 IS NOT NULL AND best_other_e6 IS NOT NULL
+            ),
+            scored AS (
+                SELECT own_label AS label,
+                       CASE WHEN greatest(1000000 - own_e6,
+                                          1000000 - best_other_e6) > 0
+                            THEN CAST(floor(
+                                CAST(((1000000 - best_other_e6)
+                                      - (1000000 - own_e6)) * 1000000
+                                     AS DOUBLE)
+                                / CAST(greatest(1000000 - own_e6,
+                                                1000000 - best_other_e6)
+                                       AS DOUBLE)) AS BIGINT)
+                            ELSE 0 END AS s_e6
+                FROM per_vec
+            )
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(CASE WHEN s_e6 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_well_clustered,
+                   CAST(sum(CASE WHEN s_e6 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_misfit,
+                   CAST(sum(s_e6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       / 1000000.0 AS mean_silhouette
+            FROM scored GROUP BY 1 ORDER BY 1
         """,
         "events_burstiness": """
             WITH gaps AS (

@@ -1014,3 +1014,64 @@ def temperature_mixture_allocation(
         )
         .orderBy("tau", "source")
     )
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """Dataset-card manifest — the one-page summary a published
+    training corpus ships with (Gebru et al., "Datasheets for
+    Datasets", 2018 — public): corpus size, source/language breadth,
+    token volume and distribution, exact-duplicate load, and short-doc
+    share, as a tall (metric, value) table ready for a release note
+    or a drift diff against the previous snapshot.
+
+    Exact: counts are integers; token percentiles interpolate integers
+    identically via F.percentile ≡ quantile_cont (rounded 6dp); shares
+    are integer basis points cast to double for the uniform value
+    column. Scale shape: ONE doc-grain pass computes per-doc tokens +
+    the md5 fingerprint, localCheckpoint-materialized (doc-grain,
+    bounded columns), then a scalar aggregate and a fingerprint-grain
+    aggregate read the materialization — the corpus is scanned once."""
+    from .text import _norm_text
+
+    per_doc = documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.md5(_norm_text(F.col("text"))).alias("fp"),
+    ).localCheckpoint()  # doc-grain; two aggregate consumers
+    dup = per_doc.groupBy("fp").agg(F.count("*").alias("k"))
+    dup_row = dup.agg(
+        F.coalesce(F.sum(F.when(F.col("k") > 1, F.col("k") - 1)), F.lit(0)).alias(
+            "n_dup_docs"
+        ),
+        F.count("*").alias("n_unique_fp"),
+    )
+    scal = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("median_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.95)), 6).alias("p95_tokens"),
+        F.sum(F.when(F.col("n_tokens") < 50, 1).otherwise(0)).alias("n_short"),
+    )
+    wide = scal.crossJoin(F.broadcast(dup_row))
+    return wide.select(
+        F.expr(
+            "stack(10, "
+            "'n_docs', CAST(n_docs AS DOUBLE), "
+            "'n_sources', CAST(n_sources AS DOUBLE), "
+            "'n_langs', CAST(n_langs AS DOUBLE), "
+            "'n_tokens_total', CAST(n_tokens_total AS DOUBLE), "
+            "'n_chars_total', CAST(n_chars_total AS DOUBLE), "
+            "'median_tokens', median_tokens, "
+            "'p95_tokens', p95_tokens, "
+            "'exact_dup_docs', CAST(n_dup_docs AS DOUBLE), "
+            "'short_doc_bps', CAST((10000 * n_short) div n_docs AS DOUBLE), "
+            "'unique_fingerprints', CAST(n_unique_fp AS DOUBLE)"
+            ") AS (metric, value)"
+        )
+    ).orderBy("metric")

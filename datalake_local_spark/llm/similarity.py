@@ -1963,3 +1963,100 @@ def label_separation_geometry(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def centroid_silhouette(embeddings: DataFrame) -> DataFrame:
+    """Simplified silhouette (Rousseeuw 1987 — public; the
+    centroid-based "simplified" variant of Hruschka et al. that costs
+    O(n·L) instead of O(n²)) over the labeled embedding corpus, in
+    COSINE distance: per vector, a = 1 − cos(v, own centroid), b =
+    min over other labels of 1 − cos(v, c_L), s = (b − a)/max(a, b) —
+    the per-class clustering-quality report that ranks label noise
+    candidates before ``knn_label_transfer`` trusts the labels
+    (companion to ``label_separation_geometry``: that screens
+    centroid PAIRS, this scores MEMBERS against the full panel).
+
+    Exactness (the label_separation integer discipline): micro-unit
+    floor quantization, DECIMAL(38,0)/HUGEINT sums, centroid cosine
+    via the 1/n cancellation (cos(v, c_L) needs only the label SUM
+    vector), per-member cosines floor-quantized to e6 INTEGERS so a
+    and b are exact integers, s published per label as the
+    exact-integer mean of floor-quantized per-member values.
+
+    Scale shape: EXACTLY TWO corpus scans — the (label, dim) sums
+    aggregate, then one member-grain pass joined to the BROADCAST
+    sums panel (labels × dims rows); the (vec × label) cosine table
+    is O(n·L), the bounded-label geometry cost. No window, no n²."""
+    qv = F.floor(F.col("v") * F.lit(1000000.0)).cast("long")
+    scorable = embeddings.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    e = scorable.select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "v"),
+    ).select("vec_id", "own_label", "dim", qv.alias("qv"))
+    sums = (
+        e.groupBy(F.col("own_label").alias("label"), "dim")
+        .agg(F.sum("qv").cast("decimal(38,0)").alias("s"))
+        .localCheckpoint()  # labels × dims — the broadcast panel
+    )
+    norm2 = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("c2"))
+    per_cand = (
+        e.join(F.broadcast(sums.withColumnRenamed("label", "cand")), "dim")
+        .groupBy("vec_id", "own_label", "cand")
+        .agg(
+            F.sum(F.col("qv").cast("decimal(38,0)") * F.col("s")).alias("dot"),
+            F.sum(
+                F.col("qv").cast("decimal(38,0)")
+                * F.col("qv").cast("decimal(38,0)")
+            ).alias("v2"),
+        )
+        .join(F.broadcast(norm2.withColumnRenamed("label", "cand")), "cand")
+        .filter((F.col("v2") > 0) & (F.col("c2") > 0))
+        .select(
+            "vec_id",
+            "own_label",
+            "cand",
+            F.floor(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("v2").cast("double") * F.col("c2").cast("double"))
+                * F.lit(1000000.0)
+            ).cast("long").alias("cos_e6"),
+        )
+    )
+    per_vec = per_cand.groupBy("vec_id", "own_label").agg(
+        F.max(F.when(F.col("cand") == F.col("own_label"), F.col("cos_e6"))).alias(
+            "own_e6"
+        ),
+        F.max(F.when(F.col("cand") != F.col("own_label"), F.col("cos_e6"))).alias(
+            "best_other_e6"
+        ),
+    ).filter(F.col("own_e6").isNotNull() & F.col("best_other_e6").isNotNull())
+    a = F.lit(1000000) - F.col("own_e6")
+    b = F.lit(1000000) - F.col("best_other_e6")
+    s_q = F.when(F.greatest(a, b) > 0,
+        F.floor(
+            ((b - a) * 1000000).cast("double")
+            / F.greatest(a, b).cast("double")
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    scored = per_vec.select(F.col("own_label").alias("label"), s_q.alias("s_e6"))
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("s_e6") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_well_clustered"),
+            F.sum(F.when(F.col("s_e6") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_misfit"),
+            (
+                F.sum("s_e6").cast("double")
+                / F.count("*").cast("double")
+                / F.lit(1000000.0)
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

@@ -1102,3 +1102,43 @@ def little_law_reconciliation(
             * F.lit(3.6e9)
         ).alias("lambda_per_hour"),
     )
+
+
+def calendar_heatmap(events: DataFrame) -> DataFrame:
+    """ISO-weekday × hour activity heatmap — the capacity-planning and
+    anomaly-baseline table every event pipeline publishes (when do
+    users actually show up?): per (isodow 1=Mon..7=Sun, hour 0..23)
+    cell, event count, distinct users, and the cell's share of all
+    traffic in integer basis points.
+
+    Exact: counts are integers; shares are integer div. The weekday is
+    ISO (Spark ``weekday()+1`` ≡ DuckDB ``isodow()``) — Spark's
+    ``dayofweek`` (1=Sunday) and DuckDB's ``dayofweek`` (0=Sunday)
+    disagree, the engine-portability trap this column dodges.
+
+    Scale shape: ONE map-side-combined aggregate to the bounded 7×24
+    cell table (count-distinct shuffles user ids once); the total
+    derives from the cell table broadcast-side."""
+    cells = (
+        events.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("isodow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .localCheckpoint()  # 7×24 rows; total re-consumes it
+    )
+    total = cells.agg(F.sum("n_events").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "isodow",
+            "hour",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.expr("(10000 * n_events) div t").cast("long").alias("share_bps"),
+        )
+        .orderBy("isodow", "hour")
+    )

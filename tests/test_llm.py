@@ -3682,3 +3682,26 @@ def test_ngram_novelty_first_doc_all_novel(spark, tables):
     assert rows[first]["novelty_bps"] == 10000
     for r in rows.values():
         assert 0 <= r["n_novel"] <= r["n_grams"]
+
+
+def test_centroid_silhouette_invariants(spark, tables):
+    from datalake_local_spark.llm import similarity as sim
+
+    rows = sim.centroid_silhouette(tables["embeddings"]).collect()
+    assert len(rows) == 10  # one row per label
+    total = sum(r["n_vecs"] for r in rows)
+    assert total > 0
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert r["n_well_clustered"] + r["n_misfit"] <= r["n_vecs"]
+
+
+def test_dataset_card_accounting(spark, tables):
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    docs = tables["documents"]
+    card = {r["metric"]: r["value"] for r in llm_pipeline.dataset_card(docs).collect()}
+    assert card["n_docs"] == docs.count()
+    assert card["exact_dup_docs"] == card["n_docs"] - card["unique_fingerprints"]
+    assert card["median_tokens"] <= card["p95_tokens"]
+    assert 0 <= card["short_doc_bps"] <= 10000

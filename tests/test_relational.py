@@ -2089,3 +2089,14 @@ def test_sql_groupby_all_matches_dataframe(spark, tables):
         .collect()
     }
     assert got == want
+
+
+def test_calendar_heatmap_accounting(spark, tables):
+    from datalake_local_spark.operators import windows
+
+    events = tables["events"]
+    rows = windows.calendar_heatmap(events).collect()
+    assert sum(r["n_events"] for r in rows) == events.count()
+    for r in rows:
+        assert 1 <= r["isodow"] <= 7 and 0 <= r["hour"] <= 23
+        assert r["n_users"] <= r["n_events"]
