@@ -280,6 +280,7 @@ _CERTIFY_FIRST = [
     "sim_centroid_silhouette",  # NEW r13: integer-exact simplified silhouette
     "events_calendar_heatmap",  # NEW r13: isodow x hour activity cells
     "pipeline_dataset_card",  # NEW r13: datasheet manifest, one corpus scan
+    "dq_ljung_box",  # NEW r13: fixed-order exact Ljung-Box portmanteau
     # ---- code/oracle CHANGED in round 13 (ADVICE fixes; values
     # unchanged at these SFs but the rewritten queries must re-certify) ----
     "dq_mann_kendall",  # r13: left-join so single-day statuses emit S=0
@@ -321,10 +322,10 @@ _CERTIFY_FIRST = [
     "agg_grouping_sets",
     "agg_argmax",
     "agg_conditional",
-    "null_handling",
-    # r14 queue (displaced from this 50-slot window by the r13 wave-4
-    # newcomers): window_range_frame, window_rank, window_lag_lead,
-    # then the rest of the r5 cohort and the r6/r7 cohorts.
+    # r14 queue (displaced from this 50-slot window by the r13 wave-4/5
+    # newcomers): null_handling, window_range_frame, window_rank,
+    # window_lag_lead, then the rest of the r5 cohort and the r6/r7
+    # cohorts.
 ]
 
 
@@ -797,6 +798,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_cuped": lambda s, d: quality.cuped_adjustment(*_t(s, d, "events")),
         "dq_mann_kendall": lambda s, d: quality.mann_kendall_trend(*_t(s, d, "orders")),
         "dq_cramers_v": lambda s, d: quality.cramers_v_screen(*_t(s, d, "orders")),
+        "dq_ljung_box": lambda s, d: quality.ljung_box_test(*_t(s, d, "orders")),
         "dq_page_hinkley": lambda s, d: quality.page_hinkley_drift(*_t(s, d, "orders")),
         "dq_control_chart": lambda s, d: quality.control_chart_monthly(*_t(s, d, "orders")),
         "dq_theil_sen": lambda s, d: quality.theil_sen_slope(*_t(s, d, "orders")),
@@ -4065,6 +4067,71 @@ def oracle_sql() -> dict[str, str]:
                                           AS DOUBLE)), 6)
             FROM s2
             ORDER BY pair
+        """,
+        "dq_ljung_box": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS x
+                FROM orders GROUP BY 1
+            ),
+            tot AS (SELECT sum(x) AS c, count(*) AS n FROM daily),
+            staged AS (
+                SELECT day, n,
+                       CAST(x AS HUGEINT) * n - c AS dev
+                FROM daily, tot
+            ),
+            leads AS (
+                SELECT n, dev,
+                       lead(dev, 1) OVER (ORDER BY day) AS dev_1,
+                       lead(dev, 2) OVER (ORDER BY day) AS dev_2,
+                       lead(dev, 3) OVER (ORDER BY day) AS dev_3,
+                       lead(dev, 4) OVER (ORDER BY day) AS dev_4,
+                       lead(dev, 5) OVER (ORDER BY day) AS dev_5,
+                       lead(dev, 6) OVER (ORDER BY day) AS dev_6,
+                       lead(dev, 7) OVER (ORDER BY day) AS dev_7
+                FROM staged
+            ),
+            agg AS (
+                SELECT n, sum(dev * dev) AS den,
+                       sum(dev * dev_1) AS num_1, sum(dev * dev_2) AS num_2,
+                       sum(dev * dev_3) AS num_3, sum(dev * dev_4) AS num_4,
+                       sum(dev * dev_5) AS num_5, sum(dev * dev_6) AS num_6,
+                       sum(dev * dev_7) AS num_7
+                FROM leads GROUP BY 1
+            )
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(num_1 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_1,
+                   CAST(num_2 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_2,
+                   CAST(num_3 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_3,
+                   CAST(num_4 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_4,
+                   CAST(num_5 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_5,
+                   CAST(num_6 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_6,
+                   CAST(num_7 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_7,
+                   CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) * (
+                       (CAST(num_1 AS DOUBLE) / CAST(den AS DOUBLE))
+                           * (CAST(num_1 AS DOUBLE) / CAST(den AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 1)
+                       + (CAST(num_2 AS DOUBLE) / CAST(den AS DOUBLE))
+                           * (CAST(num_2 AS DOUBLE) / CAST(den AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 2.0)
+                       + (CAST(num_3 AS DOUBLE) / CAST(den AS DOUBLE))
+                           * (CAST(num_3 AS DOUBLE) / CAST(den AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 3.0)
+                       + (CAST(num_4 AS DOUBLE) / CAST(den AS DOUBLE))
+                           * (CAST(num_4 AS DOUBLE) / CAST(den AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 4.0)
+                       + (CAST(num_5 AS DOUBLE) / CAST(den AS DOUBLE))
+                           * (CAST(num_5 AS DOUBLE) / CAST(den AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 5.0)
+                       + (CAST(num_6 AS DOUBLE) / CAST(den AS DOUBLE))
+                           * (CAST(num_6 AS DOUBLE) / CAST(den AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 6.0)
+                       + (CAST(num_7 AS DOUBLE) / CAST(den AS DOUBLE))
+                           * (CAST(num_7 AS DOUBLE) / CAST(den AS DOUBLE))
+                           / (CAST(n AS DOUBLE) - 7.0)
+                   ) AS q_stat
+            FROM agg
         """,
         "dq_page_hinkley": """
             WITH daily AS (

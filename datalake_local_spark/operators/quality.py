@@ -1310,3 +1310,72 @@ def control_chart_monthly(orders: DataFrame) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def ljung_box_test(orders: DataFrame, h: int = 7) -> DataFrame:
+    """Ljung–Box portmanteau autocorrelation test (Ljung & Box 1978 —
+    public) on the daily total-revenue series: Q = n(n+2)·Σ_{k≤h}
+    ρ_k²/(n−k) over the first ``h`` lags — the "is there structure
+    left?" screen behind seasonality fits (events_stl_decompose) and
+    the i.i.d. assumption every bootstrap CI quietly makes
+    (dq_bootstrap_ci). Published with the per-lag autocorrelations so
+    the report shows WHICH lag carries the signal (lag 7 = weekly).
+
+    Determinism: with daily cents x, deviations are scaled exact
+    integers dev_i = x_i·n − C (DECIMAL(38,0)/HUGEINT — dev² sums
+    reach ~1e27 at sf1-scale, far inside 38 digits); every ρ_k is ONE
+    double division of two exact integer sums (the n² scale cancels),
+    and Q sums its h terms in ONE FIXED-ORDER expression tree (not an
+    aggregate — float aggregation order is the audited hazard), so
+    both engines build bit-identical doubles.
+
+    Scale shape: one map-side daily aggregate; h lead() columns over
+    the calendar-bounded day series (unpartitioned window, never
+    SF-scaled); ONE aggregate row out."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast(
+                    "long"
+                )
+            ).alias("x")
+        )
+        .localCheckpoint()  # bounded day series; totals + window consumers
+    )
+    tot = daily.agg(F.sum("x").alias("c"), F.count("*").alias("n"))
+    w = W.orderBy("day")
+    dev = (
+        F.col("x").cast("decimal(38,0)") * F.col("n") - F.col("c")
+    ).alias("dev")
+    staged = daily.crossJoin(F.broadcast(tot)).select(
+        "day", "n", dev
+    )
+    with_leads = staged.select(
+        "n",
+        "dev",
+        *[F.lead("dev", k).over(w).alias(f"dev_{k}") for k in range(1, h + 1)],
+    )
+    agg = with_leads.groupBy("n").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+        *[
+            F.sum(F.col("dev") * F.col(f"dev_{k}")).alias(f"num_{k}")
+            for k in range(1, h + 1)
+        ],
+    )
+    rho = [
+        (F.col(f"num_{k}").cast("double") / F.col("den").cast("double"))
+        for k in range(1, h + 1)
+    ]
+    nd = F.col("n").cast("double")
+    q = nd * (nd + 2)
+    terms = rho[0] * rho[0] / (nd - 1)
+    for k in range(2, h + 1):
+        terms = terms + rho[k - 1] * rho[k - 1] / (nd - F.lit(float(k)))
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        *[rho[k - 1].alias(f"rho_{k}") for k in range(1, h + 1)],
+        (q * terms).alias("q_stat"),
+    )

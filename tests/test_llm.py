@@ -3705,3 +3705,26 @@ def test_dataset_card_accounting(spark, tables):
     assert card["exact_dup_docs"] == card["n_docs"] - card["unique_fingerprints"]
     assert card["median_tokens"] <= card["p95_tokens"]
     assert 0 <= card["short_doc_bps"] <= 10000
+
+
+def test_census_guard_r12_fixed_plans(spark, tables):
+    """CI guard for the r12 plan-census fixes (r12 verdict #7): the
+    sixteen multi-consumer plans got their shared bounded relation
+    materialized once; this pins a representative five so a dropped
+    localCheckpoint (scan-count regression) cannot land silently.
+    Bounds are the post-fix finalized-plan scan counts + headroom of
+    one (collect() + final-plan split — the honest AQE recipe)."""
+    from datalake_local_spark.llm import dedup, relevance, text
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    docs = tables["documents"]
+    bounds = {
+        "graph_triangles": (dedup.dup_graph_triangles, 3),
+        "graph_link_prediction": (dedup.dup_graph_link_prediction, 3),
+        "text_pmi_pairs": (text.token_pmi_pairs, 3),
+        "dedup_graph_quality": (dedup.duplicate_graph_quality, 3),
+        "pipeline_dedup_funnel": (llm_pipeline.dedup_funnel_report, 4),
+    }
+    for name, (fn, bound) in bounds.items():
+        n = _final_plan(fn(docs)).count("FileScan parquet")
+        assert n <= bound, f"{name}: {n} parquet scans (bound {bound})"

@@ -2100,3 +2100,12 @@ def test_calendar_heatmap_accounting(spark, tables):
     for r in rows:
         assert 1 <= r["isodow"] <= 7 and 0 <= r["hour"] <= 23
         assert r["n_users"] <= r["n_events"]
+
+
+def test_ljung_box_invariants(spark, tables):
+    from datalake_local_spark.operators import quality
+
+    (r,) = quality.ljung_box_test(tables["orders"]).collect()
+    assert r["q_stat"] >= 0.0
+    for k in range(1, 8):
+        assert -1.0 <= r[f"rho_{k}"] <= 1.0
