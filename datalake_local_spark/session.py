@@ -173,6 +173,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             owner, tables = entry[0](), entry[1]
             if owner is spark:
                 configure(spark)
+                # re-assert the TEMP VIEWS on every hit: view names are
+                # session-GLOBAL while the memo is per-sf_dir, so a
+                # later load_tables(other_sf) on the same session
+                # re-points "orders" etc. at the other SF — a memo hit
+                # that skipped re-registration then let spark.sql()
+                # queries silently read the wrong scale factor (bit as
+                # an order-dependent pytest failure in r13:
+                # sql_groupby_all after test_llm's sf0.01 load).
+                # createOrReplaceTempView on a cached DataFrame is a
+                # catalog-only op — no filesystem re-probe.
+                for name, df in tables.items():
+                    df.createOrReplaceTempView(name)
                 return tables
             _TABLES_MEMO.pop(key, None)
     tables = load_tables_fresh(spark, sf_dir)

@@ -2109,3 +2109,21 @@ def test_ljung_box_invariants(spark, tables):
     assert r["q_stat"] >= 0.0
     for k in range(1, 8):
         assert -1.0 <= r[f"rho_{k}"] <= 1.0
+
+
+def test_load_tables_memo_hit_reasserts_views(spark):
+    """r13 regression: temp-view names are session-global while the
+    load_tables memo is per-sf_dir — after load_tables(other_sf)
+    re-points the views, a memo HIT for the original sf_dir must
+    re-register them, or spark.sql() queries silently read the wrong
+    scale factor (the order-dependent sql_groupby_all failure)."""
+    from datalake_local_spark import session as sess
+
+    t1 = sess.load_tables(spark, "/root/testdata/sf0.001")
+    n_small = spark.table("orders").count()
+    assert n_small == t1["orders"].count()
+    sess.load_tables(spark, "/root/testdata/sf0.01")
+    n_big = spark.table("orders").count()
+    assert n_big > n_small  # views now point at sf0.01
+    sess.load_tables(spark, "/root/testdata/sf0.001")  # memo hit
+    assert spark.table("orders").count() == n_small  # views restored
