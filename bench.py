@@ -211,7 +211,7 @@ def main() -> None:
     # count); an ad-hoc run at another SF writes a suffixed file so it
     # cannot clobber the comparable artifact of record.
     canonical = (
-        sf_dir == "/root/testdata/sf0.1"
+        os.path.realpath(sf_dir) == "/root/testdata/sf0.1"
         and os.environ.get("SPARK_GRAFT_CPUS") in (None, "", "32")
     )
     artifact = (

@@ -1063,6 +1063,25 @@ def ks_two_sample(orders: DataFrame) -> DataFrame:
     )
 
 
+def _daily_cents(orders: DataFrame) -> DataFrame:
+    """(day, x): daily total revenue in exact integer cents,
+    localCheckpoint-materialized — the ONE shared input of the r13
+    sequential screens (page_hinkley_drift, control_chart_monthly,
+    ljung_box_test), factored so their quantization can never drift
+    apart (the _daily_status_cents precedent, status axis dropped)."""
+    return (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast(
+                    "long"
+                )
+            ).alias("x")
+        )
+        .localCheckpoint()
+    )
+
+
 def cramers_v_screen(orders: DataFrame) -> DataFrame:
     """Cramér's V association strength (Cramér 1946 — public) for two
     categorical attribute pairs of the orders fact: priority × status
@@ -1182,17 +1201,7 @@ def page_hinkley_drift(orders: DataFrame) -> DataFrame:
     the monthly rollup is a bounded second aggregate."""
     from pyspark.sql import Window as W
 
-    daily = (
-        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(
-            F.sum(
-                (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast(
-                    "long"
-                )
-            ).alias("x")
-        )
-        .localCheckpoint()  # bounded day series; feeds totals + windows
-    )
+    daily = _daily_cents(orders)
     tot = daily.agg(
         F.sum("x").alias("c_total"), F.count("*").alias("n_days")
     )
@@ -1264,17 +1273,7 @@ def control_chart_monthly(orders: DataFrame) -> DataFrame:
     bounded monthly rollup."""
     from pyspark.sql import Window as W
 
-    daily = (
-        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(
-            F.sum(
-                (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast(
-                    "long"
-                )
-            ).alias("x")
-        )
-        .localCheckpoint()  # bounded day series
-    )
+    daily = _daily_cents(orders)
     with_mr = daily.select(
         "day",
         "x",
@@ -1334,17 +1333,7 @@ def ljung_box_test(orders: DataFrame, h: int = 7) -> DataFrame:
     SF-scaled); ONE aggregate row out."""
     from pyspark.sql import Window as W
 
-    daily = (
-        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(
-            F.sum(
-                (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast(
-                    "long"
-                )
-            ).alias("x")
-        )
-        .localCheckpoint()  # bounded day series; totals + window consumers
-    )
+    daily = _daily_cents(orders)
     tot = daily.agg(F.sum("x").alias("c"), F.count("*").alias("n"))
     w = W.orderBy("day")
     dev = (

@@ -428,22 +428,31 @@ def edit_distance_pairs(nation: DataFrame, threshold: int = 3) -> DataFrame:
     both engines; everything else is BIGINT arithmetic."""
     a = nation.select(F.col("n_name").alias("name_a"))
     b = nation.select(F.col("n_name").alias("name_b"))
-    lev = F.levenshtein("name_a", "name_b")
-    maxlen = F.greatest(F.length("name_a"), F.length("name_b"))
+    # ONE definition of distance and max-length, composed by name below
+    # (duplicating the expressions per output column invites drift)
+    staged = a.join(b, F.col("name_a") < F.col("name_b")).select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("edit_distance"),
+        F.length("name_a").cast("long").alias("len_a"),
+        F.length("name_b").cast("long").alias("len_b"),
+        F.greatest(F.length("name_a"), F.length("name_b"))
+        .cast("long")
+        .alias("max_len"),
+    )
     return (
-        a.join(b, F.col("name_a") < F.col("name_b"))
-        .select(
+        staged.select(
             "name_a",
             "name_b",
-            lev.cast("long").alias("edit_distance"),
-            F.length("name_a").cast("long").alias("len_a"),
-            F.length("name_b").cast("long").alias("len_b"),
-            F.expr(
-                "(10000 * (greatest(length(name_a), length(name_b))"
-                " - levenshtein(name_a, name_b)))"
-                " div greatest(length(name_a), length(name_b))"
-            ).cast("long").alias("similarity_bps"),
-            F.when(lev <= threshold, lev.cast("long"))
+            "edit_distance",
+            "len_a",
+            "len_b",
+            F.expr("(10000 * (max_len - edit_distance)) div max_len")
+            .cast("long")
+            .alias("similarity_bps"),
+            F.when(
+                F.col("edit_distance") <= threshold, F.col("edit_distance")
+            )
             .otherwise(F.lit(-1).cast("long"))
             .alias("banded_distance"),
         )

@@ -1422,9 +1422,8 @@ def order_fill_rate(
             ).otherwise(0)
         ).alias("otif")
     )
-    j = per_order
     return (
-        j.groupBy(
+        per_order.groupBy(
             F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
             F.col("o_orderpriority").alias("priority"),
         )

@@ -3714,7 +3714,7 @@ def test_census_guard_r12_fixed_plans(spark, tables):
     localCheckpoint (scan-count regression) cannot land silently.
     Bounds are the post-fix finalized-plan scan counts + headroom of
     one (collect() + final-plan split — the honest AQE recipe)."""
-    from datalake_local_spark.llm import dedup, relevance, text
+    from datalake_local_spark.llm import dedup, text
     from datalake_local_spark.llm import pipeline as llm_pipeline
 
     docs = tables["documents"]
