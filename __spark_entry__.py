@@ -281,6 +281,7 @@ _CERTIFY_FIRST = [
     "events_calendar_heatmap",  # NEW r13: isodow x hour activity cells
     "pipeline_dataset_card",  # NEW r13: datasheet manifest, one corpus scan
     "dq_ljung_box",  # NEW r13: fixed-order exact Ljung-Box portmanteau
+    "fmt_json_scan",  # NEW r13: JSONL schema-on-read format parity
     # ---- code/oracle CHANGED in round 13 (ADVICE fixes; values
     # unchanged at these SFs but the rewritten queries must re-certify) ----
     "dq_mann_kendall",  # r13: left-join so single-day statuses emit S=0
@@ -321,11 +322,10 @@ _CERTIFY_FIRST = [
     "agg_cube",
     "agg_grouping_sets",
     "agg_argmax",
-    "agg_conditional",
-    # r14 queue (displaced from this 50-slot window by the r13 wave-4/5
-    # newcomers): null_handling, window_range_frame, window_rank,
-    # window_lag_lead, then the rest of the r5 cohort and the r6/r7
-    # cohorts.
+    # r14 queue (displaced from this 50-slot window by the r13 wave-4/5/6
+    # newcomers): agg_conditional, null_handling, window_range_frame,
+    # window_rank, window_lag_lead, then the rest of the r5 cohort and
+    # the r6/r7 cohorts.
 ]
 
 
@@ -429,6 +429,12 @@ def _fmt_orc_scan(spark, sf):
     from datalake_local_spark import formats
 
     return formats.orc_scan_parity(*_t(spark, sf, "orders"))
+
+
+def _fmt_json_scan(spark, sf):
+    from datalake_local_spark import formats
+
+    return formats.json_scan_parity(*_t(spark, sf, "orders"))
 
 
 def _fmt_schema_evolution(spark, sf):
@@ -761,6 +767,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # format parity: same oracle aggregates, data read back from ORC
         # and from a schema-evolved (mergeSchema) parquet dataset
         "fmt_orc_scan": lambda s, d: _fmt_orc_scan(s, d),
+        "fmt_json_scan": lambda s, d: _fmt_json_scan(s, d),
         "fmt_schema_evolution": lambda s, d: _fmt_schema_evolution(s, d),
         "tpch_priority_late": lambda s, d: tpch.priority_late_count(*_t(s, d, "lineitem", "orders")),
         "tpch_product_profit": lambda s, d: tpch.product_profit(
@@ -3325,6 +3332,14 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(rev.revenue, 0.0) AS revenue,
                    coalesce(rev.n_orders, 0) AS n_orders
             FROM months LEFT JOIN rev ON CAST(months.m AS DATE) = rev.m
+        """,
+        "fmt_json_scan": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   CAST(min(o_orderdate) AS DATE) AS first_order,
+                   CAST(max(o_orderdate) AS DATE) AS last_order
+            FROM orders GROUP BY 1, 2
+            ORDER BY o_orderstatus, o_orderpriority
         """,
         "fmt_orc_scan": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

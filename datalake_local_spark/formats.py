@@ -241,3 +241,44 @@ def schema_evolution_scan(orders: DataFrame) -> DataFrame:
         )
     )
 
+
+
+def json_scan_parity(orders: DataFrame) -> DataFrame:
+    """JSON-lines read path (S6, the reference's README-declared JSON
+    assets): orders converted once to JSONL (signature-keyed scratch
+    dir, the orc_scan_parity discipline), then aggregated FROM THE
+    JSON FILES with an explicit schema (schema-on-read: dates written
+    as ISO strings parse back to DATE; doubles round-trip exactly via
+    shortest-repr). Certified by the same ANSI oracle as the
+    parquet-side aggregate, so a hash-green row proves the JSON reader
+    reconstructs byte-identical values — format parity for the
+    semi-structured path, alongside ORC's columnar parity.
+
+    Scale shape: JSONL is the interchange format, not the analytics
+    layout — no pushdown beyond partition pruning, whole-row parse per
+    record; this query exists to CERTIFY the reader, and the write is
+    once-per-source."""
+    import os
+
+    path, stable = _format_cache_dir(orders, "jsonl")
+    spark = orders.sparkSession
+    cols = orders.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    if not stable or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cols.write.mode("overwrite").json(path)
+    j = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+        "o_totalprice double, o_orderdate date"
+    ).json(path)
+    return (
+        j.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )

@@ -644,3 +644,42 @@ def test_ivm_day_grain_table_untouched_partitions_keep_files(spark, tables):
         ).collect()
     }
     assert got == want
+
+
+def test_json_scan_parity_write_once(spark, tables):
+    """r13: the JSONL parity scan writes its converted copy once per
+    source (signature-keyed dir) and reconstructs the parquet-side
+    aggregate exactly, dates and doubles round-tripping through text."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datalake_local_spark import formats
+
+    orders = tables["orders"]
+    got = {tuple(r) for r in formats.json_scan_parity(orders).collect()}
+    want = {
+        tuple(r)
+        for r in orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        )
+        .collect()
+    }
+    assert got == want
+    path, stable = formats._format_cache_dir(orders, "jsonl")
+    assert stable
+    state = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(path, "*.json"))
+    }
+    assert state
+    formats.json_scan_parity(orders).collect()  # second call: no rewrite
+    assert {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(path, "*.json"))
+    } == state
