@@ -4114,39 +4114,43 @@ def oracle_sql() -> dict[str, str]:
                        sum(dev * dev_5) AS num_5, sum(dev * dev_6) AS num_6,
                        sum(dev * dev_7) AS num_7
                 FROM leads GROUP BY 1
+            ),
+            -- HUGEINT → DOUBLE routed through VARCHAR: strtod is
+            -- CORRECTLY ROUNDED, matching Spark's BigDecimal.doubleValue
+            -- on the decimal(38,0) side; DuckDB's native hugeint→double
+            -- cast (double(upper)·2⁶⁴ + double(lower)) double-rounds and
+            -- can land one ulp off the correctly-rounded value
+            rhos AS (
+                SELECT n,
+                       CAST(CAST(num_1 AS VARCHAR) AS DOUBLE)
+                           / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS r1,
+                       CAST(CAST(num_2 AS VARCHAR) AS DOUBLE)
+                           / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS r2,
+                       CAST(CAST(num_3 AS VARCHAR) AS DOUBLE)
+                           / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS r3,
+                       CAST(CAST(num_4 AS VARCHAR) AS DOUBLE)
+                           / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS r4,
+                       CAST(CAST(num_5 AS VARCHAR) AS DOUBLE)
+                           / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS r5,
+                       CAST(CAST(num_6 AS VARCHAR) AS DOUBLE)
+                           / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS r6,
+                       CAST(CAST(num_7 AS VARCHAR) AS DOUBLE)
+                           / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS r7
+                FROM agg
             )
             SELECT CAST(n AS BIGINT) AS n_days,
-                   CAST(num_1 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_1,
-                   CAST(num_2 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_2,
-                   CAST(num_3 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_3,
-                   CAST(num_4 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_4,
-                   CAST(num_5 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_5,
-                   CAST(num_6 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_6,
-                   CAST(num_7 AS DOUBLE) / CAST(den AS DOUBLE) AS rho_7,
+                   r1 AS rho_1, r2 AS rho_2, r3 AS rho_3, r4 AS rho_4,
+                   r5 AS rho_5, r6 AS rho_6, r7 AS rho_7,
                    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) * (
-                       (CAST(num_1 AS DOUBLE) / CAST(den AS DOUBLE))
-                           * (CAST(num_1 AS DOUBLE) / CAST(den AS DOUBLE))
-                           / (CAST(n AS DOUBLE) - 1)
-                       + (CAST(num_2 AS DOUBLE) / CAST(den AS DOUBLE))
-                           * (CAST(num_2 AS DOUBLE) / CAST(den AS DOUBLE))
-                           / (CAST(n AS DOUBLE) - 2.0)
-                       + (CAST(num_3 AS DOUBLE) / CAST(den AS DOUBLE))
-                           * (CAST(num_3 AS DOUBLE) / CAST(den AS DOUBLE))
-                           / (CAST(n AS DOUBLE) - 3.0)
-                       + (CAST(num_4 AS DOUBLE) / CAST(den AS DOUBLE))
-                           * (CAST(num_4 AS DOUBLE) / CAST(den AS DOUBLE))
-                           / (CAST(n AS DOUBLE) - 4.0)
-                       + (CAST(num_5 AS DOUBLE) / CAST(den AS DOUBLE))
-                           * (CAST(num_5 AS DOUBLE) / CAST(den AS DOUBLE))
-                           / (CAST(n AS DOUBLE) - 5.0)
-                       + (CAST(num_6 AS DOUBLE) / CAST(den AS DOUBLE))
-                           * (CAST(num_6 AS DOUBLE) / CAST(den AS DOUBLE))
-                           / (CAST(n AS DOUBLE) - 6.0)
-                       + (CAST(num_7 AS DOUBLE) / CAST(den AS DOUBLE))
-                           * (CAST(num_7 AS DOUBLE) / CAST(den AS DOUBLE))
-                           / (CAST(n AS DOUBLE) - 7.0)
+                       r1 * r1 / (CAST(n AS DOUBLE) - 1)
+                       + r2 * r2 / (CAST(n AS DOUBLE) - 2.0)
+                       + r3 * r3 / (CAST(n AS DOUBLE) - 3.0)
+                       + r4 * r4 / (CAST(n AS DOUBLE) - 4.0)
+                       + r5 * r5 / (CAST(n AS DOUBLE) - 5.0)
+                       + r6 * r6 / (CAST(n AS DOUBLE) - 6.0)
+                       + r7 * r7 / (CAST(n AS DOUBLE) - 7.0)
                    ) AS q_stat
-            FROM agg
+            FROM rhos
         """,
         "dq_page_hinkley": """
             WITH daily AS (

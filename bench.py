@@ -133,6 +133,10 @@ BENCH_QUERIES = [
     "sim_label_separation",
     "dq_mann_kendall",
     "text_rrf_fusion",
+    # round-13: maintained grain lattice (O(delta) merge + 5 derived
+    # levels off one checkpoint), integer-GEMM silhouette panel
+    "ivm_multigrain_refresh",
+    "sim_centroid_silhouette",
 ]
 
 
@@ -211,7 +215,7 @@ def main() -> None:
     # count); an ad-hoc run at another SF writes a suffixed file so it
     # cannot clobber the comparable artifact of record.
     canonical = (
-        os.path.realpath(sf_dir) == "/root/testdata/sf0.1"
+        os.path.realpath(sf_dir) == os.path.realpath("/root/testdata/sf0.1")
         and os.environ.get("SPARK_GRAFT_CPUS") in (None, "", "32")
     )
     artifact = (

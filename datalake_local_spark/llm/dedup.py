@@ -1260,34 +1260,15 @@ def query_band_rows(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(query_doc_id, band_id, band_hash) rows for a probe batch — the
-    query-side half of :func:`_banded_rows` (same seed-deterministic
-    hashes), exposed so a caller probing SEVERAL indexes with one
-    stream pays the signature computation once (pass the checkpointed
-    result as ``probe_band_index(..., precomputed_bands=...)``)."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(query_docs, num_hashes, shingle_n)
-    return sigs.select(
-        F.col("doc_id").alias("query_doc_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.slice(
-                                "signature", b * rows_per_band + 1, rows_per_band
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("s"),
-    ).select(
-        "query_doc_id",
-        F.col("s.band_id").alias("band_id"),
-        F.col("s.band_hash").alias("band_hash"),
+    """(query_doc_id, band_id, band_hash) rows for a probe batch —
+    DELEGATES to :func:`_banded_rows` (one banding kernel; probe
+    correctness depends on index-side and query-side hashes being
+    bit-identical, so there must be exactly one definition), exposed so
+    a caller probing SEVERAL indexes with one stream pays the
+    signature computation once (pass the checkpointed result as
+    ``probe_band_index(..., precomputed_bands=...)``)."""
+    return _banded_rows(query_docs, num_hashes, bands, shingle_n).withColumnRenamed(
+        "doc_id", "query_doc_id"
     )
 
 
@@ -1462,8 +1443,8 @@ def band_index_incremental(
 ) -> DataFrame:
     """Registered certification shape of :func:`append_band_index`:
     corpus₀ (doc_id < s1) is indexed once, the next crawl batch
-    (s1 ≤ doc_id < s2) is APPENDED O(delta), and the query stream
-    (doc_id ≥ s2) probes the maintained index. The output row carries
+    (s1 ≤ doc_id < s2) is APPENDED O(delta), and a bounded query panel
+    (s2 ≤ doc_id < s3) probes the maintained index. The output row carries
     the property itself (the leakage-split discipline): the probe's
     pair set over the incrementally-maintained index is compared
     against a probe over a FROM-SCRATCH rebuild of corpus₀ ∪ batch —
@@ -1484,15 +1465,15 @@ def band_index_incremental(
     spark = documents.sparkSession
     corpus0 = documents.filter(F.col("doc_id") < s1)
     batch = documents.filter((F.col("doc_id") >= s1) & (F.col("doc_id") < s2))
+    # bounded certification panel: the property (incremental ≡ rebuild)
+    # is per-pair, so a 500-doc probe panel certifies it at a tenth of
+    # the full-stream cost; the realistic probe-everything shape is
+    # dedup_band_index_probe's.
     queries = documents.filter(
         (F.col("doc_id") >= s2) & (F.col("doc_id") < s3)
-    )  # bounded certification panel: the property (incremental ≡
-    # rebuild) is per-pair, so a 500-doc probe stream certifies it at
-    # a tenth of the full-stream cost; the realistic probe-everything
-    # shape is dedup_band_index_probe's
-    # signature the query stream ONCE; both probe arms reuse it (the
-    # stream is the large side — re-deriving its minhashes per arm
-    # doubled the query's cost at sf0.1)
+    )
+    # signature the panel ONCE; both probe arms reuse the checkpoint
+    # (re-deriving the minhashes per arm doubled the cost at sf0.1)
     q_bands = query_band_rows(queries).localCheckpoint()
     src = source_signature(documents)
     if src:

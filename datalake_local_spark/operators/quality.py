@@ -1325,8 +1325,13 @@ def ljung_box_test(orders: DataFrame, h: int = 7) -> DataFrame:
     reach ~1e27 at sf1-scale, far inside 38 digits); every ρ_k is ONE
     double division of two exact integer sums (the n² scale cancels),
     and Q sums its h terms in ONE FIXED-ORDER expression tree (not an
-    aggregate — float aggregation order is the audited hazard), so
-    both engines build bit-identical doubles.
+    aggregate — float aggregation order is the audited hazard). The
+    one conversion that crosses 2⁵³ — the exact integer sums → double
+    — is CORRECTLY ROUNDED on both engines by construction: Spark's
+    decimal→double is BigDecimal.doubleValue; the oracle routes
+    DuckDB's hugeint through VARCHAR (strtod), because the native
+    hugeint→double cast double-rounds via double(upper)·2⁶⁴ +
+    double(lower) and can land one ulp off.
 
     Scale shape: one map-side daily aggregate; h lead() columns over
     the calendar-bounded day series (unpartitioned window, never
