@@ -282,6 +282,7 @@ _CERTIFY_FIRST = [
     "pipeline_dataset_card",  # NEW r13: datasheet manifest, one corpus scan
     "dq_ljung_box",  # NEW r13: fixed-order exact Ljung-Box portmanteau
     "fmt_json_scan",  # NEW r13: JSONL schema-on-read format parity
+    "fmt_csv_dialect_scan",  # NEW r13: RFC-4180 dialect round-trip parity
     # ---- code/oracle CHANGED in round 13 (ADVICE fixes; values
     # unchanged at these SFs but the rewritten queries must re-certify) ----
     "dq_mann_kendall",  # r13: left-join so single-day statuses emit S=0
@@ -321,11 +322,10 @@ _CERTIFY_FIRST = [
     # names re-queue in r14) ----
     "agg_cube",
     "agg_grouping_sets",
-    "agg_argmax",
     # r14 queue (displaced from this 50-slot window by the r13 wave-4/5/6
-    # newcomers): agg_conditional, null_handling, window_range_frame,
-    # window_rank, window_lag_lead, then the rest of the r5 cohort and
-    # the r6/r7 cohorts.
+    # and wave-8 newcomers): agg_argmax, agg_conditional, null_handling,
+    # window_range_frame, window_rank, window_lag_lead, then the rest of
+    # the r5 cohort and the r6/r7 cohorts.
 ]
 
 
@@ -441,6 +441,12 @@ def _fmt_schema_evolution(spark, sf):
     from datalake_local_spark import formats
 
     return formats.schema_evolution_scan(*_t(spark, sf, "orders"))
+
+
+def _fmt_csv_dialect_scan(spark, sf):
+    from datalake_local_spark import formats
+
+    return formats.csv_dialect_scan_parity(*_t(spark, sf, "documents"))
 
 
 def _dq_join_estimate(spark, sf):
@@ -768,6 +774,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and from a schema-evolved (mergeSchema) parquet dataset
         "fmt_orc_scan": lambda s, d: _fmt_orc_scan(s, d),
         "fmt_json_scan": lambda s, d: _fmt_json_scan(s, d),
+        "fmt_csv_dialect_scan": lambda s, d: _fmt_csv_dialect_scan(s, d),
         "fmt_schema_evolution": lambda s, d: _fmt_schema_evolution(s, d),
         "tpch_priority_late": lambda s, d: tpch.priority_late_count(*_t(s, d, "lineitem", "orders")),
         "tpch_product_profit": lambda s, d: tpch.product_profit(
@@ -3345,6 +3352,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders GROUP BY 1, 2
+        """,
+        # derives the IDENTICAL dialect-stressed value straight from
+        # parquet — the Spark side round-trips it through quoted CSV, so
+        # a hash match certifies every stressed byte survived the writer
+        # AND the multiLine reader (formats._dialect_stressed)
+        "fmt_csv_dialect_scan": """
+            WITH s AS (
+                SELECT lang,
+                       '"' || substr(text, 1, 40) || '",' || chr(10) || 'mid'
+                           || chr(13) || chr(10) || substr(text, 11, 30)
+                           || chr(92) || '"tail' AS stressed
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CAST('0x' || substr(md5(stressed), 1, 8)
+                                 AS BIGINT)) AS BIGINT) AS fp_sum,
+                   CAST(sum(length(stressed)) AS BIGINT) AS len_sum
+            FROM s GROUP BY lang ORDER BY lang
         """,
         "fmt_schema_evolution": """
             SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS schema_version,

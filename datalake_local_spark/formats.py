@@ -282,3 +282,81 @@ def json_scan_parity(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+def _dialect_stressed(text_col):
+    """Deterministic dialect-stress derivation: wraps a text fragment in
+    every character class RFC 4180 makes delimiting decisions about —
+    double quotes, the comma separator, LF and CRLF line breaks, and a
+    backslash (a normal byte under quote-doubling, an escape under the
+    lazy dialect). Built from substr/concat only so the DuckDB oracle
+    derives the IDENTICAL value straight from parquet."""
+    return F.concat(
+        F.lit('"'),
+        F.substring(text_col, 1, 40),
+        F.lit('",\n'),
+        F.lit("mid\r\n"),
+        F.substring(text_col, 11, 30),
+        F.lit('\\"tail'),
+    )
+
+
+def csv_dialect_scan_parity(documents: DataFrame) -> DataFrame:
+    """CSV dialect round-trip parity (the reference's CSV surface is its
+    PRIMARY ingest format — assets.py:233-301 parses sale lines out of
+    raw CSV text): documents are first given a dialect-stressed string
+    column (embedded quotes, commas, LF, CRLF, backslash — the four
+    delimiting decisions RFC 4180 defines), written once as quoted CSV
+    (quote-doubling escape, signature-keyed scratch dir), then read
+    back with multiLine quoted-newline parsing and aggregated FROM THE
+    CSV FILES into an md5 content fingerprint per language. The ANSI
+    oracle computes the same fingerprint from the ORIGINAL parquet, so
+    a hash-green row proves the writer+reader preserve every stressed
+    byte — dialect parity, not just "it parsed".
+
+    Scale shape: the parse is per-record and embarrassingly parallel;
+    multiLine=true does force whole-file splits (quoted newlines defeat
+    line-boundary splitting), which is the documented trade-off of the
+    dialect itself — ingest pipelines that need splittable CSV must
+    forbid embedded newlines, exactly what this certifier would catch.
+    The write is once-per-source; the fingerprint sum is exact BIGINT
+    (first 8 md5 hex digits per row, max 2^32 per row — no overflow
+    below ~2^21 rows per group; shard the fingerprint beyond)."""
+    import os
+
+    path, stable = _format_cache_dir(documents, "csvdial")
+    spark = documents.sparkSession
+    stressed = documents.select(
+        "doc_id",
+        "lang",
+        _dialect_stressed(F.col("text")).alias("stressed"),
+    )
+    if not stable or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            stressed.write.mode("overwrite")
+            .option("header", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(path)
+        )
+    c = (
+        spark.read.schema("doc_id long, lang string, stressed string")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(path)
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.conv(F.substring(F.md5("stressed"), 1, 8), 16, 10).cast("long")
+            ).alias("fp_sum"),
+            F.sum(F.length("stressed")).cast("long").alias("len_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -683,3 +683,50 @@ def test_json_scan_parity_write_once(spark, tables):
         p: os.stat(p).st_mtime_ns
         for p in glob.glob(os.path.join(path, "*.json"))
     } == state
+
+
+def test_csv_dialect_scan_parity_roundtrip(spark, tables):
+    """r13: the dialect-stressed CSV round-trip (embedded quotes,
+    commas, LF, CRLF, backslash under RFC-4180 quote-doubling) is
+    byte-exact — the from-CSV aggregate equals the parquet-side
+    aggregate computed with the same derivation — and the converted
+    copy is written once per source."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datalake_local_spark import formats
+
+    docs = tables["documents"]
+    got = {tuple(r) for r in formats.csv_dialect_scan_parity(docs).collect()}
+    want = {
+        tuple(r)
+        for r in docs.select(
+            "lang", formats._dialect_stressed(F.col("text")).alias("stressed")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.conv(F.substring(F.md5("stressed"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+            ).alias("fp_sum"),
+            F.sum(F.length("stressed")).cast("long").alias("len_sum"),
+        )
+        .collect()
+    }
+    assert got == want
+    path, stable = formats._format_cache_dir(docs, "csvdial")
+    assert stable
+    state = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(path, "*.csv"))
+    }
+    assert state
+    formats.csv_dialect_scan_parity(docs).collect()  # no rewrite
+    assert {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(path, "*.csv"))
+    } == state
