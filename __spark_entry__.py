@@ -283,6 +283,7 @@ _CERTIFY_FIRST = [
     "dq_ljung_box",  # NEW r13: fixed-order exact Ljung-Box portmanteau
     "fmt_json_scan",  # NEW r13: JSONL schema-on-read format parity
     "fmt_csv_dialect_scan",  # NEW r13: RFC-4180 dialect round-trip parity
+    "sim_matryoshka_recall",  # NEW r13: prefix-dim recall vs full truth
     # ---- code/oracle CHANGED in round 13 (ADVICE fixes; values
     # unchanged at these SFs but the rewritten queries must re-certify) ----
     "dq_mann_kendall",  # r13: left-join so single-day statuses emit S=0
@@ -321,9 +322,9 @@ _CERTIFY_FIRST = [
     # ---- r5-cohort fill (trimmed as r13 newcomers land; displaced
     # names re-queue in r14) ----
     "agg_cube",
-    "agg_grouping_sets",
     # r14 queue (displaced from this 50-slot window by the r13 wave-4/5/6
-    # and wave-8 newcomers): agg_argmax, agg_conditional, null_handling,
+    # and wave-8 newcomers): agg_grouping_sets, agg_argmax,
+    # agg_conditional, null_handling,
     # window_range_frame, window_rank, window_lag_lead, then the rest of
     # the r5 cohort and the r6/r7 cohorts.
 ]
@@ -765,6 +766,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stickiness": lambda s, d: funnel.stickiness_profile(*_t(s, d, "events")),
         "sim_embedding_dim_profile": lambda s, d: similarity.embedding_dim_profile(*_t(s, d, "embeddings")),
         "sim_label_separation": lambda s, d: similarity.label_separation_geometry(*_t(s, d, "embeddings")),
+        "sim_matryoshka_recall": lambda s, d: similarity.matryoshka_prefix_recall(*_t(s, d, "embeddings")),
         "sim_centroid_silhouette": lambda s, d: similarity.centroid_silhouette(*_t(s, d, "embeddings")),
         "sim_pair_geometry": lambda s, d: similarity.pair_geometry(*_t(s, d, "embeddings")),
         "dq_completeness_profile": lambda s, d: quality.completeness_profile(*_t(s, d, "orders")),
@@ -3885,6 +3887,74 @@ def oracle_sql() -> dict[str, str]:
                    round(n_pairs / CAST(n_total AS DOUBLE), 6) AS share,
                    CAST(src AS DOUBLE) / n_pairs AS mean_cos
             FROM g JOIN t USING (stride) ORDER BY stride, bucket
+        """,
+        # prefix-dim recall vs the full-width exact top-10: truth and
+        # every prefix pass use the sim_cosine_topk discipline (6dp
+        # cosine, corpus_id tie-break); recall is ONE double division
+        # of exact integers — hash-safe with no rounding grid
+        "sim_matryoshka_recall": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            widths AS (SELECT unnest([8, 16, 32]) AS pw),
+            fullpairs AS (
+                SELECT q.query_id, e.vec_id AS corpus_id,
+                       round(
+                         list_sum(list_transform(list_zip(q.qe, e.embedding),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(q.qe,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(e.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                         6) AS cosine
+                FROM q, embeddings e WHERE e.vec_id <> q.query_id
+            ),
+            truth AS (
+                SELECT query_id, corpus_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, corpus_id) AS rnk
+                    FROM fullpairs
+                ) WHERE rnk <= 10
+            ),
+            prefpairs AS (
+                SELECT w.pw, q.query_id, e.vec_id AS corpus_id,
+                       round(
+                         list_sum(list_transform(
+                              list_zip(list_slice(q.qe, 1, w.pw),
+                                       list_slice(e.embedding, 1, w.pw)),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(list_slice(q.qe, 1, w.pw),
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(list_slice(e.embedding, 1, w.pw),
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                         6) AS cosine
+                FROM widths w, q, embeddings e WHERE e.vec_id <> q.query_id
+            ),
+            approx AS (
+                SELECT pw, query_id, corpus_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY pw, query_id
+                            ORDER BY cosine DESC, corpus_id) AS rnk
+                    FROM prefpairs
+                ) WHERE rnk <= 10
+            ),
+            hits AS (
+                SELECT a.pw, t.query_id, count(*) AS n_hits
+                FROM truth t
+                JOIN approx a ON a.query_id = t.query_id
+                             AND a.corpus_id = t.corpus_id
+                GROUP BY a.pw, t.query_id
+            ),
+            grid AS (
+                SELECT w.pw, tq.query_id
+                FROM widths w, (SELECT DISTINCT query_id FROM truth) tq
+            )
+            SELECT CAST(g.pw AS INTEGER) AS prefix_dims,
+                   g.query_id AS query_id,
+                   CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_k
+            FROM grid g
+            LEFT JOIN hits h ON h.pw = g.pw AND h.query_id = g.query_id
+            ORDER BY prefix_dims, query_id
         """,
         "sim_label_separation": """
             WITH scorable AS (

@@ -1640,6 +1640,66 @@ def ann_recall_report(
     )
 
 
+def matryoshka_prefix_recall(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    widths: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Recall@k of PREFIX-dimension cosine search against the full-width
+    exact top-k — the calibration table behind Matryoshka-style
+    truncation (Kusupati et al. 2022: nested representations let an
+    index serve the first d' dims of a d-dim embedding): "how many
+    dims can this corpus drop before recall falls off?" decides the
+    memory/recall trade of every truncated ANN deployment. One row per
+    (prefix_dims, query), recall as the exact ratio |prefix∩full| / k.
+
+    Scale shape: the full-width truth is computed ONCE and
+    localCheckpointed (the ann_recall_report census discipline — each
+    width's semi-join would otherwise replay the truth plan); each
+    width is a broadcast-query brute-force pass over the corpus with
+    slice() applied before the dot product, so the per-pass cost
+    SHRINKS with the width. The recall join is (widths × |Q| × k)
+    rows — trivially small at any corpus size. Truncation happens at
+    score time (slice of the stored vector); no second index or copy
+    of the corpus is materialized.
+
+    Determinism: cosines rounded 6dp with corpus_id tie-break (the
+    sim_cosine_topk discipline); recall is ONE double division of
+    exact integers (hash-safe, no rounding grid); prefix norms are
+    nonzero for this corpus (verified at all three SFs)."""
+    full = (
+        cosine_topk_bruteforce(embeddings, query_ids, k)
+        .select("query_id", "corpus_id")
+        .localCheckpoint()
+    )
+    queries = full.select("query_id").distinct()
+    out = None
+    for w in widths:
+        sliced = embeddings.select(
+            "vec_id",
+            F.slice(_as_double(F.col("embedding")), 1, w).alias("embedding"),
+        )
+        approx = cosine_topk_bruteforce(sliced, query_ids, k).select(
+            "query_id", "corpus_id"
+        )
+        hits = (
+            full.join(approx, ["query_id", "corpus_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        per_q = queries.join(hits, "query_id", "left").select(
+            F.lit(w).cast("int").alias("prefix_dims"),
+            "query_id",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_at_k"),
+        )
+        out = per_q if out is None else out.unionAll(per_q)
+    return out.orderBy("prefix_dims", "query_id")
+
+
 def embedding_dim_profile(embeddings: DataFrame) -> DataFrame:
     """Per-dimension embedding QA profile: mean, variance, zero count,
     min/max for every dimension — the pre-training screen that catches

@@ -3728,3 +3728,19 @@ def test_census_guard_r12_fixed_plans(spark, tables):
     for name, (fn, bound) in bounds.items():
         n = _final_plan(fn(docs)).count("FileScan parquet")
         assert n <= bound, f"{name}: {n} parquet scans (bound {bound})"
+
+
+def test_matryoshka_prefix_recall_bounds_and_full_width(tables):
+    """r13: prefix-dim recall is a valid ratio in [0,1] on every
+    (width, query) cell, the grid is complete (widths x queries), and
+    a prefix of the FULL width recovers the truth exactly (recall 1.0
+    everywhere) — the self-consistency anchor of the calibration."""
+    rows = similarity.matryoshka_prefix_recall(tables["embeddings"]).collect()
+    assert len(rows) == 3 * 5  # widths (8,16,32) x queries (0..4)
+    assert {r["prefix_dims"] for r in rows} == {8, 16, 32}
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
+    full = similarity.matryoshka_prefix_recall(
+        tables["embeddings"], widths=(64,)
+    ).collect()
+    assert len(full) == 5
+    assert all(r["recall_at_k"] == 1.0 for r in full)
