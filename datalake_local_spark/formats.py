@@ -303,8 +303,8 @@ def _dialect_stressed(text_col):
 
 def csv_dialect_scan_parity(documents: DataFrame) -> DataFrame:
     """CSV dialect round-trip parity (the reference's CSV surface is its
-    PRIMARY ingest format — assets.py:233-301 parses sale lines out of
-    raw CSV text): documents are first given a dialect-stressed string
+    PRIMARY ingest format — assets.py:136-215 `transform_csv` parses
+    sale lines out of raw CSV text): documents get a dialect-stressed string
     column (embedded quotes, commas, LF, CRLF, backslash — the four
     delimiting decisions RFC 4180 defines), written once as quoted CSV
     (quote-doubling escape, signature-keyed scratch dir), then read
