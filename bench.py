@@ -134,9 +134,13 @@ BENCH_QUERIES = [
     "dq_mann_kendall",
     "text_rrf_fusion",
     # round-13: maintained grain lattice (O(delta) merge + 5 derived
-    # levels off one checkpoint), integer-GEMM silhouette panel
+    # levels off one checkpoint), integer-GEMM silhouette panel,
+    # prefix-dim recall calibration (one checkpointed truth + three
+    # width-shrinking brute-force passes), dialect round-trip certifier
     "ivm_multigrain_refresh",
     "sim_centroid_silhouette",
+    "sim_matryoshka_recall",
+    "fmt_csv_dialect_scan",
 ]
 
 
