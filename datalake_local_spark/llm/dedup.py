@@ -2216,6 +2216,12 @@ def minhash_calibration(
     SF-bounded. Seeded xxhash64 signatures have no DuckDB twin →
     rows-only, with the estimator-quality invariants (identical docs →
     estimate 1, mean |error| within the binomial bound) tested."""
+    from datalake_local_spark.session import fan_out
+
+    # pre-expansion fan-out: the token/element generator below
+    # multiplies rows; a one-row-group input would otherwise run
+    # the whole expansion single-task (see session.fan_out)
+    documents = fan_out(documents, "doc_id")
     from pyspark.sql import Window as W
 
     docs = documents.filter(F.col("doc_id") < max_doc_id)

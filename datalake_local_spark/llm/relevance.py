@@ -70,6 +70,12 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     keeps idf stable instead of depending on how many unparseable rows
     survived ingestion).
     """
+    from datalake_local_spark.session import fan_out
+
+    # pre-expansion fan-out: the token/element generator below
+    # multiplies rows; a one-row-group input would otherwise run
+    # the whole expansion single-task (see session.fan_out)
+    documents = fan_out(documents, "doc_id")
     from pyspark.sql import Window as W
 
     tf = _term_freqs(
@@ -127,6 +133,12 @@ def bm25_scores(
     test_bm25_plan_two_scans_with_reuse. df for the query terms is a
     tiny (≤ |terms|) table.
     """
+    from datalake_local_spark.session import fan_out
+
+    # pre-expansion fan-out: the token/element generator below
+    # multiplies rows; a one-row-group input would otherwise run
+    # the whole expansion single-task (see session.fan_out)
+    documents = fan_out(documents, "doc_id")
     terms = [t.lower() for t in query_terms]
     # explicit up-front null filters: the dl join infers
     # isnotnull(doc_id) on ITS branches, which would otherwise make them
@@ -196,8 +208,15 @@ def rrf_rank_fusion(
     window over that bounded frame."""
     from pyspark.sql import Window as W
 
+    from datalake_local_spark.session import fan_out
+
     from .text import _norm_text
 
+    # fan out ONCE here so both ranker subtrees share a single
+    # pre-expansion exchange — bm25_scores' internal fan_out sees an
+    # already-parallel input and passes through (a fan_out per ranker
+    # would insert two exchanges and defeat scan reuse between them)
+    documents = fan_out(documents, "doc_id")
     terms = [t.lower() for t in query_terms]
     bm25 = bm25_scores(documents, tuple(terms), k=k).select(
         "doc_id",

