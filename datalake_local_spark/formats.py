@@ -324,7 +324,11 @@ def csv_dialect_scan_parity(documents: DataFrame) -> DataFrame:
     below ~2^21 rows per group; shard the fingerprint beyond)."""
     import os
 
-    path, stable = _format_cache_dir(documents, "csvdial")
+    # the tag carries a derivation version: unlike the orc/json caches
+    # this directory bakes a CODE-derived column into the files, so an
+    # edit to _dialect_stressed must miss the old cache (bump the
+    # suffix together with the derivation and the oracle)
+    path, stable = _format_cache_dir(documents, "csvdial1")
     spark = documents.sparkSession
     stressed = documents.select(
         "doc_id",

@@ -1451,9 +1451,8 @@ def knn_label_transfer(
     correctness harness."""
     from datalake_local_spark.session import fan_out
 
-    # pre-expansion fan-out: the token/element generator below
-    # multiplies rows; a one-row-group input would otherwise run
-    # the whole expansion single-task (see session.fan_out)
+    # fan out before the corpus×query scoring join — a one-row-group
+    # input would run the whole kNN scoring single-task (session.fan_out)
     embeddings = fan_out(embeddings, "vec_id")
     corpus = embeddings.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("n_id"),
@@ -2055,9 +2054,8 @@ def centroid_silhouette(embeddings: DataFrame) -> DataFrame:
     is O(n·L), the bounded-label geometry cost. No window, no n²."""
     from datalake_local_spark.session import fan_out
 
-    # pre-expansion fan-out: the token/element generator below
-    # multiplies rows; a one-row-group input would otherwise run
-    # the whole expansion single-task (see session.fan_out)
+    # fan out before the per-dimension posexplode (×dims multiplier) —
+    # a one-row-group input would run it single-task (session.fan_out)
     embeddings = fan_out(embeddings, "vec_id")
     qv = F.floor(F.col("v") * F.lit(1000000.0)).cast("long")
     scorable = embeddings.filter(

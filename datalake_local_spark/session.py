@@ -225,9 +225,48 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     text_cm_heavy_hitters 2.8→1.0 s, text_segment_dedup 2.3→0.94 s,
     sim_knn_label_transfer 2.0→0.99 s — the ×K row multiplier is the
     map-side bottleneck exactly when the input is small enough to be
-    one row group. The ``.rdd`` access is a metadata probe (partition
-    count only, no job, no row processing)."""
+    one row group.
+
+    Probe discipline (review-pass findings, measured):
+
+    - A frame whose plan already carries an explicit Repartition (a
+      caller that fanned out once for several consumers, e.g.
+      rrf_rank_fusion) is detected from the OPTIMIZED LOGICAL plan —
+      a string probe, no execution. Probing ``.rdd`` instead would be
+      a real job: under AQE, RDD conversion materializes every
+      shuffle stage, so the "metadata" read of a repartitioned frame
+      ran a full throwaway shuffle (measured 0.78 s at sf0.1).
+    - For file-scan-rooted frames (no exchange anywhere, so ``.rdd``
+      IS a free metadata probe) the byte-split count alone
+      OVERSTATES parallelism: Spark assigns a row group to the one
+      split holding its midpoint, so a large single-row-group file
+      yields N splits of which N−1 are empty. Effective parallelism
+      is min(byte splits, parquet row groups) — row groups counted
+      from file footers via pyarrow (bounded metadata, no job;
+      non-parquet and remote files fall back to the split count,
+      correct for line-splittable formats).
+    - Derived frames (no input files, e.g. createDataFrame in tests)
+      repartition unconditionally — probing them would execute."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if "Repartition" in plan:  # already explicitly fanned out upstream
         return df
+    files = df.inputFiles()
+    if files:
+        splits = df.rdd.getNumPartitions()  # scan-rooted: no exchange → free
+        effective = splits
+        try:
+            groups = 0
+            for f in files:
+                local = f[7:] if f.startswith("file://") else f
+                if not local.endswith(".parquet") or not os.path.exists(local):
+                    groups = None
+                    break
+                groups += pq.ParquetFile(local).metadata.num_row_groups
+            if groups is not None:
+                effective = min(splits, groups)
+        except Exception:
+            pass  # footer unreadable → trust the split count
+        if effective >= par:
+            return df
     return df.repartition(par, *[F.col(k) for k in keys])
