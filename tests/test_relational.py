@@ -2128,3 +2128,41 @@ def test_load_tables_memo_hit_reasserts_views(spark):
     assert n_big > n_small  # views now point at sf0.01
     sess.load_tables(spark, "/root/testdata/sf0.001")  # memo hit
     assert spark.table("orders").count() == n_small  # views restored
+
+
+def test_fan_out_probe_contract(spark, tables):
+    """r13 wave 9b: the fan_out probe must never run a Spark job (under
+    AQE, DataFrame.rdd on an exchange-bearing plan materializes the
+    shuffle — a measured 0.78 s throwaway at sf0.1), must pass a
+    pre-fanned frame through untouched, and must see through empty
+    byte splits to row-group-effective parallelism."""
+    from pyspark.sql import functions as F
+
+    from datalake_local_spark.session import fan_out
+
+    docs = tables["documents"]
+
+    def n_jobs():
+        return len(spark.sparkContext.statusTracker().getJobIdsForGroup() or [])
+
+    # scan-rooted, one row group -> fanned, probe job-free
+    j0 = n_jobs()
+    out = fan_out(docs, "doc_id")
+    assert n_jobs() == j0
+    assert "Repartition" in out._jdf.queryExecution().optimizedPlan().toString()
+
+    # already repartitioned -> SAME object back, probe job-free (the
+    # rrf_rank_fusion pass-through case: .rdd here would run a shuffle)
+    pre = docs.repartition(8, F.col("doc_id"))
+    j0 = n_jobs()
+    assert fan_out(pre, "doc_id") is pre
+    assert n_jobs() == j0
+
+    # derived in-memory frame -> repartitioned without probing
+    mem = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    j0 = n_jobs()
+    assert fan_out(mem, "doc_id") is not mem
+    assert n_jobs() == j0
+
+    # values are partition-invariant: same rows either way
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, docs.collect()))
