@@ -3744,3 +3744,14 @@ def test_matryoshka_prefix_recall_bounds_and_full_width(tables):
     ).collect()
     assert len(full) == 5
     assert all(r["recall_at_k"] == 1.0 for r in full)
+
+
+def test_census_guard_matryoshka_checkpointed_truth(spark, tables):
+    """r13 census pin: the full-width truth is localCheckpointed ONCE,
+    so the finalized plan holds 3 widths x (corpus pass + bounded
+    query-panel read) = 6 embedding scans (+1 headroom). A dropped
+    checkpoint replays the truth plan per semi-join and the count
+    jumps — this catches it in CI, not in a bench number."""
+    df = similarity.matryoshka_prefix_recall(tables["embeddings"])
+    n = _final_plan(df).count("FileScan parquet")
+    assert n <= 7, f"matryoshka: {n} parquet scans (bound 7)"
