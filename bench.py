@@ -213,22 +213,32 @@ def main() -> None:
             "components_chain": chain_stats,
         }
     )
-    # artifact-of-record hygiene (r11 verdict #3 + r12 ADVICE): the
-    # full per-query line goes to BENCH_local.json — but ONLY when this
-    # run is at the canonical SF/env (default sf0.1 dir, default CPU
-    # count); an ad-hoc run at another SF writes a suffixed file so it
-    # cannot clobber the comparable artifact of record.
-    canonical = (
-        os.path.realpath(sf_dir) == os.path.realpath("/root/testdata/sf0.1")
-        and os.environ.get("SPARK_GRAFT_CPUS") in (None, "", "32")
-    )
-    artifact = (
-        "BENCH_local.json" if canonical else f"BENCH_local_sf{sf}_adhoc.json"
-    )
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact), "w"
-    ) as fh:
-        fh.write(line + "\n")
+    # artifact-of-record hygiene (r11 verdict #3 + r12 ADVICE + r13
+    # verdict #6): the full per-query line goes to BENCH_local.json —
+    # but ONLY when the run passes --write-artifact AND is at the
+    # canonical SF/env (default sf0.1 dir, default CPU count).  The
+    # flag keeps the driver's per-round re-run from overwriting the
+    # committed artifact of record (git status stays clean); an ad-hoc
+    # SF with the flag writes a suffixed file so it cannot clobber the
+    # comparable artifact either.
+    if "--write-artifact" in sys.argv[1:]:
+        canonical = (
+            os.path.realpath(sf_dir)
+            == os.path.realpath("/root/testdata/sf0.1")
+            and os.environ.get("SPARK_GRAFT_CPUS") in (None, "", "32")
+        )
+        artifact = (
+            "BENCH_local.json"
+            if canonical
+            else f"BENCH_local_sf{sf}_adhoc.json"
+        )
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), artifact
+            ),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
     spark.stop()
     sys.stdout.flush()
     # Two stdout lines: the full per-query record first, then a SHORT

@@ -284,6 +284,15 @@ def json_scan_parity(orders: DataFrame) -> DataFrame:
     )
 
 
+#: Cache-dir tag for the CSV-dialect scratch files.  The tag carries a
+#: derivation VERSION: unlike the orc/json caches this directory bakes a
+#: code-derived column into the files, so any edit to
+#: ``_dialect_stressed`` must bump the suffix (together with the oracle)
+#: to miss the old cache.  Tests derive the directory through this
+#: constant so a bump can never silently point them at a stale dir.
+_CSV_DIALECT_TAG = "csvdial1"
+
+
 def _dialect_stressed(text_col):
     """Deterministic dialect-stress derivation: wraps a text fragment in
     every character class RFC 4180 makes delimiting decisions about —
@@ -324,11 +333,7 @@ def csv_dialect_scan_parity(documents: DataFrame) -> DataFrame:
     below ~2^21 rows per group; shard the fingerprint beyond)."""
     import os
 
-    # the tag carries a derivation version: unlike the orc/json caches
-    # this directory bakes a CODE-derived column into the files, so an
-    # edit to _dialect_stressed must miss the old cache (bump the
-    # suffix together with the derivation and the oracle)
-    path, stable = _format_cache_dir(documents, "csvdial1")
+    path, stable = _format_cache_dir(documents, _CSV_DIALECT_TAG)
     spark = documents.sparkSession
     stressed = documents.select(
         "doc_id",

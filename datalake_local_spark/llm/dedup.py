@@ -1517,13 +1517,24 @@ def band_index_incremental(
     diff = pairs_incr.withColumn("in_i", F.lit(1)).join(
         pairs_full.withColumn("in_f", F.lit(1)), both, "full_outer"
     )
+    # coalesce around each SUM (not just inside): aggregating zero rows
+    # (tiny/empty corpus where neither arm finds a pair) yields NULL,
+    # and the documented contract is structural integer zeros
     out = diff.agg(
-        F.sum(F.coalesce("in_i", F.lit(0))).cast("long").alias("n_pairs_incremental"),
-        F.sum(F.coalesce("in_f", F.lit(0))).cast("long").alias("n_pairs_full_rebuild"),
-        F.sum(F.when(F.col("in_f").isNull(), 1).otherwise(0))
+        F.coalesce(F.sum(F.coalesce("in_i", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_pairs_incremental"),
+        F.coalesce(F.sum(F.coalesce("in_f", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_pairs_full_rebuild"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_f").isNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_only_incremental"),
-        F.sum(F.when(F.col("in_i").isNull(), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("in_i").isNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_only_full"),
     )

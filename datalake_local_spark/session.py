@@ -245,28 +245,50 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
       from file footers via pyarrow (bounded metadata, no job;
       non-parquet and remote files fall back to the split count,
       correct for line-splittable formats).
+    - Exchange-bearing plans that are NOT a pure scan (a Join or
+      Aggregate upstream, so ``inputFiles()`` is non-empty but
+      ``.rdd`` would materialize every shuffle stage under AQE)
+      repartition unconditionally, same as derived frames: the
+      caller's fan_out placement signals a following ×K multiplier,
+      and a tiny post-shuffle output is exactly the AQE-coalesced
+      shape that would run it serial. When such an input is genuinely
+      large the extra exchange is same-size — callers at scale should
+      not wrap fan_out around an already-shuffled big relation, and
+      none do (fan_out's contract is raw-scan-rooted inputs).
     - Derived frames (no input files, e.g. createDataFrame in tests)
-      repartition unconditionally — probing them would execute."""
+      repartition unconditionally — probing them would execute.
+    - The footer loop is driver-side O(files) in the worst case but
+      EXITS EARLY the moment row groups reach the parallelism target
+      (min(splits, groups) ≥ par is then settled), and is skipped
+      entirely when the byte-split count alone already forces a
+      repartition — at 100 TB / ~10⁵ files the typical cost is a
+      handful of footers, not a full metadata sweep."""
     par = df.sparkSession.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     if "Repartition" in plan:  # already explicitly fanned out upstream
         return df
     files = df.inputFiles()
-    if files:
+    pure_scan = files and not any(op in plan for op in ("Join", "Aggregate"))
+    if pure_scan:
         splits = df.rdd.getNumPartitions()  # scan-rooted: no exchange → free
-        effective = splits
-        try:
+        if splits >= par:
+            # byte splits suffice only if row groups do too: a large
+            # single-row-group file shows N splits with N−1 empty
             groups = 0
-            for f in files:
-                local = f[7:] if f.startswith("file://") else f
-                if not local.endswith(".parquet") or not os.path.exists(local):
-                    groups = None
-                    break
-                groups += pq.ParquetFile(local).metadata.num_row_groups
-            if groups is not None:
-                effective = min(splits, groups)
-        except Exception:
-            pass  # footer unreadable → trust the split count
-        if effective >= par:
-            return df
+            complete = True
+            try:
+                for f in files:
+                    local = f[7:] if f.startswith("file://") else f
+                    if not local.endswith(".parquet") or not os.path.exists(
+                        local
+                    ):
+                        complete = False  # non-parquet/remote → trust splits
+                        break
+                    groups += pq.ParquetFile(local).metadata.num_row_groups
+                    if groups >= par:
+                        break  # early exit: effective parallelism settled
+            except Exception:
+                complete = False  # footer unreadable → trust the split count
+            if not complete or groups >= par:
+                return df
     return df.repartition(par, *[F.col(k) for k in keys])

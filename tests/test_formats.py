@@ -718,7 +718,7 @@ def test_csv_dialect_scan_parity_roundtrip(spark, tables):
         .collect()
     }
     assert got == want
-    path, stable = formats._format_cache_dir(docs, "csvdial")
+    path, stable = formats._format_cache_dir(docs, formats._CSV_DIALECT_TAG)
     assert stable
     state = {
         p: os.stat(p).st_mtime_ns

@@ -3661,6 +3661,20 @@ def test_band_index_incremental_append(spark, tables):
     assert final.count("Exchange hashpartitioning") == 1, final
 
 
+def test_band_index_incremental_empty_pairs_all_zero(spark, tables):
+    """r14 (r13 ADVICE #4): an empty probe panel (s2 == s3) makes both
+    probe arms structurally empty — the certificate aggregate over zero
+    rows must emit integer zeros, not NULLs (sum over no rows is NULL
+    without the outer coalesce)."""
+    from datalake_local_spark.llm import dedup as dd
+
+    out = dd.band_index_incremental(
+        tables["documents"], s1=150, s2=300, s3=300
+    ).collect()[0]
+    assert tuple(out) == (0, 0, 0, 0)
+    assert all(isinstance(v, int) for v in tuple(out))
+
+
 def test_simpson_diversity_bounds(spark, tables):
     from datalake_local_spark.llm import text
 

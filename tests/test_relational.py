@@ -2164,5 +2164,56 @@ def test_fan_out_probe_contract(spark, tables):
     assert fan_out(mem, "doc_id") is not mem
     assert n_jobs() == j0
 
+    # exchange-bearing NON-scan plan (Aggregate upstream): inputFiles()
+    # is non-empty but .rdd would materialize the shuffle — fan_out must
+    # stay job-free and repartition unconditionally (r13 ADVICE: the
+    # "Repartition" substring alone did not guard this shape)
+    agg = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    j0 = n_jobs()
+    fanned_agg = fan_out(agg, "lang")
+    assert n_jobs() == j0
+    assert (
+        "Repartition"
+        in fanned_agg._jdf.queryExecution().optimizedPlan().toString()
+    )
+
     # values are partition-invariant: same rows either way
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_fan_out_footer_reads_bounded(spark, tables, tmp_path):
+    """r14: the parquet-footer probe must exit early once row groups
+    reach the parallelism target — at 100 TB / ~10⁵ files an O(files)
+    driver-side metadata sweep per fan_out call is a multi-second stall
+    for a decision already settled (r13 verdict #1 / ADVICE)."""
+    from datalake_local_spark import session as sess_mod
+    from datalake_local_spark.session import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    n_files = par * 3
+    path = str(tmp_path / "many_files.parquet")
+    tables["documents"].repartition(n_files).write.parquet(path)
+
+    reads = []
+    real_pf = sess_mod.pq.ParquetFile
+
+    def counting_pf(p, *a, **k):
+        reads.append(p)
+        return real_pf(p, *a, **k)
+
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # force one byte-split per file so splits >= par and the footer
+        # loop actually runs (tiny files otherwise pack into few splits)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        sess_mod.pq.ParquetFile = counting_pf
+        df = spark.read.parquet(path)
+        assert df.rdd.getNumPartitions() >= par
+        out = fan_out(df, "doc_id")
+        # splits >= par and every file has >= 1 row group -> pass-through
+        assert out is df
+        # early exit: at most `par` footers opened, far below the file count
+        assert 0 < len(reads) <= par < n_files
+    finally:
+        sess_mod.pq.ParquetFile = real_pf
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
