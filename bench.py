@@ -178,30 +178,39 @@ def _bench_components_chain(spark, sf_dir: str) -> tuple[float, dict]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark(app_name="datalake-local-spark-bench")
-    qs = entrymod.queries()
-
-    # warm the JVM/codegen once with the cheapest query so per-query times
-    # measure the plan, not first-call JIT
-    qs["agg_order_stats"](spark, sf_dir).count()
-
-    # best-of-2 per query: the first pass pays whole-stage-codegen JIT and
-    # host noise; the min is the steady-state plan cost
+    # --dry-run (CI smoke, r14 verdict #1): exercise the FULL argument /
+    # artifact / summary-print control flow — the exact path that shipped
+    # BENCH_r14 as rc:1 — without starting Spark or touching testdata.
+    dry_run = "--dry-run" in sys.argv[1:]
     times: dict[str, float] = {}
-    for _ in range(2):
-        for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 3)
-            times[name] = min(times.get(name, dt), dt)
-    # LSH→components chain probe (best-of-2 like the suite; the first
-    # pass pays signature codegen + the registry cache fill)
     chain_stats: dict = {}
-    for _ in range(2):
-        dt, chain_stats = _bench_components_chain(spark, sf_dir)
-        times["dedup_components_chain"] = min(
-            times.get("dedup_components_chain", dt), dt
-        )
+    if dry_run:
+        spark = None
+        times = {name: 0.0 for name in BENCH_QUERIES}
+        times["dedup_components_chain"] = 0.0
+    else:
+        spark = get_spark(app_name="datalake-local-spark-bench")
+        qs = entrymod.queries()
+
+        # warm the JVM/codegen once with the cheapest query so per-query
+        # times measure the plan, not first-call JIT
+        qs["agg_order_stats"](spark, sf_dir).count()
+
+        # best-of-2 per query: the first pass pays whole-stage-codegen JIT
+        # and host noise; the min is the steady-state plan cost
+        for _ in range(2):
+            for name in BENCH_QUERIES:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                dt = round(time.perf_counter() - t0, 3)
+                times[name] = min(times.get(name, dt), dt)
+        # LSH→components chain probe (best-of-2 like the suite; the first
+        # pass pays signature codegen + the registry cache fill)
+        for _ in range(2):
+            dt, chain_stats = _bench_components_chain(spark, sf_dir)
+            times["dedup_components_chain"] = min(
+                times.get("dedup_components_chain", dt), dt
+            )
     total = round(sum(times.values()), 3)
     line = json.dumps(
         {
@@ -221,7 +230,8 @@ def main() -> None:
     # committed artifact of record (git status stays clean); an ad-hoc
     # SF with the flag writes a suffixed file so it cannot clobber the
     # comparable artifact either.
-    if "--write-artifact" in sys.argv[1:]:
+    artifact = "not-written"
+    if "--write-artifact" in sys.argv[1:] and not dry_run:
         canonical = (
             os.path.realpath(sf_dir)
             == os.path.realpath("/root/testdata/sf0.1")
@@ -239,7 +249,8 @@ def main() -> None:
             "w",
         ) as fh:
             fh.write(line + "\n")
-    spark.stop()
+    if spark is not None:
+        spark.stop()
     sys.stdout.flush()
     # Two stdout lines: the full per-query record first, then a SHORT
     # summary line LAST (r12 verdict #2: the full line outgrew the

@@ -13,7 +13,9 @@ partition coalescing / skew-join splitting re-tunes at runtime.
 
 from __future__ import annotations
 
+import logging
 import os
+import re
 import threading
 import weakref
 
@@ -21,6 +23,16 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
+
+# Optimized-logical-plan NODE probes for fan_out: each tree line starts
+# with the node name after the branch glyphs (spaces, ':-', '+-', '!'),
+# so anchoring there distinguishes a Join/Aggregate/Repartition NODE from
+# a column or relation that merely contains the word (e.g. a `JoinKey`
+# column must not disable the pure-scan fast path — r14 ADVICE).
+_PLAN_NODE_REPARTITION = re.compile(r"(?m)^[ :+!-]*Repartition")
+_PLAN_NODE_EXCHANGE = re.compile(r"(?m)^[ :+!-]*(?:Join|Aggregate)\b")
 
 TABLES = (
     "region",
@@ -265,10 +277,14 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
       handful of footers, not a full metadata sweep."""
     par = df.sparkSession.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if "Repartition" in plan:  # already explicitly fanned out upstream
+    # Node-name probes anchor to the start of each tree line (after the
+    # ``:-``/``+-`` branch glyphs) so a column or relation literally named
+    # e.g. ``JoinKey`` in an expression list cannot be mistaken for a plan
+    # node (r14 ADVICE).
+    if _PLAN_NODE_REPARTITION.search(plan):  # already fanned out upstream
         return df
     files = df.inputFiles()
-    pure_scan = files and not any(op in plan for op in ("Join", "Aggregate"))
+    pure_scan = bool(files) and not _PLAN_NODE_EXCHANGE.search(plan)
     if pure_scan:
         splits = df.rdd.getNumPartitions()  # scan-rooted: no exchange → free
         if splits >= par:
@@ -291,4 +307,16 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
                 complete = False  # footer unreadable → trust the split count
             if not complete or groups >= par:
                 return df
+    elif files:
+        # Exchange-bearing input with real scan files: the documented
+        # contract is raw-scan-rooted frames, so this forced repartition
+        # is an extra full exchange the caller probably didn't intend —
+        # surface contract violations at small scale (r14 ADVICE).
+        _LOG.debug(
+            "fan_out: forcing repartition(%d) on an exchange-bearing "
+            "plan (Join/Aggregate upstream of %d input files); callers "
+            "should fan out the raw scan instead",
+            par,
+            len(files),
+        )
     return df.repartition(par, *[F.col(k) for k in keys])

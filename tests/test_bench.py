@@ -1,0 +1,52 @@
+"""CI smoke for bench.py's control flow.
+
+r14 shipped BENCH_r14.json as ``rc: 1, parsed: null``: the
+``--write-artifact`` refactor left ``artifact`` unbound on the flag-less
+path — exactly how the driver invokes bench.py — and nothing in CI
+executed that path (r14 verdict #1). This test runs ``bench.py
+--dry-run`` (full argument/artifact/summary control flow, no Spark, no
+testdata) and asserts the contract the driver depends on: exit 0 and a
+final stdout line that parses as the short summary record.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*flags: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), *flags],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+
+
+def test_bench_flagless_path_exits_zero_with_parseable_tail():
+    proc = _run("--dry-run")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) >= 2, proc.stdout
+    full = json.loads(lines[-2])
+    summary = json.loads(lines[-1])
+    assert summary["metric"] == "headline_suite_total"
+    assert summary["unit"] == "sec"
+    assert summary["detail"] == "not-written"  # flag-less: no artifact
+    assert summary["n_queries"] == len(full["queries"])
+    assert set(full) >= {"metric", "value", "unit", "queries", "sf"}
+
+
+def test_bench_dry_run_never_writes_artifact(tmp_path):
+    # --write-artifact + --dry-run must not clobber the committed
+    # artifact of record with a zero-filled record
+    before = os.path.getmtime(os.path.join(REPO, "BENCH_local.json"))
+    proc = _run("--dry-run", "--write-artifact")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.splitlines()[-1])
+    assert summary["detail"] == "not-written"
+    assert os.path.getmtime(os.path.join(REPO, "BENCH_local.json")) == before
