@@ -254,79 +254,74 @@ def _q_cube_request(spark, sf):
 
 
 # Certification-window rotation: the driver oracle-checks the FIRST 50
-# ``queries()`` entries each round (cap confirmed in r3/r4).  Round 13
-# window per the r12 verdict #1: (a) queries NEW in r13 at the head as
-# they land, (b) queries whose code/oracle CHANGED this round, (c) the
-# seven post-window r12 additions that carried only 3-SF sweeps (no
-# driver row yet), (d) the rotated-out r4 stale cohort (driver rows
-# date to r8-r9), then (e) r5-cohort fill to exactly 50.  Names
-# displaced by late-landing r13 queries are tracked in the tail
-# comment for the r14 queue.
+# ``queries()`` entries each round (cap confirmed in r3/r4).  Round 15
+# window per the r14 verdict #2: (a) queries whose code/oracle CHANGED
+# this round at the head (the rows-only -> oracle conversions of r14
+# verdict #3 and any new r15 queries), then (b) the stale cohort the
+# r13/r14 verdicts both named — the 7 r5-cohort names and the 41-name
+# r6 cohort, whose last driver-window rows date to rounds 5/6.  Names
+# that do not fit the 50-slot cap are tracked in the tail comment for
+# the r16 queue and exact-checked locally this round (SWEEP_r15.log).
 _CERTIFY_FIRST = [
-    # ---- NEW in round 13 (inserted as they land) ----
-    "ivm_multigrain_refresh",  # NEW r13: maintained ROLLUP grain lattice
-    "ivm_bitmap_distinct",  # NEW r13: counted-support distinct view
-    "dedup_band_incremental",  # NEW r13: rows-only; O(delta) index append
-    "dq_cramers_v",  # NEW r13: association strength, decimal-summed chi2
-    "dq_page_hinkley",  # NEW r13: sequential drift, exact-integer PH
-    "dq_control_chart",  # NEW r13: XmR limits by BIGINT cross-multiply
-    "tpch_rfm_migration",  # NEW r13: per-period-median segment matrix
-    "tpch_fill_rate",  # NEW r13: OTIF by month x priority
-    "tpch_discount_elasticity",  # NEW r13: qty lift vs zero-discount
-    "sql_groupby_all",  # NEW r13: GROUP BY ALL verbatim both engines
-    "scalar_levenshtein_funcs",  # NEW r13: edit-distance scalar family
-    "text_simpson_diversity",  # NEW r13: exact-rational Simpson index
-    "text_ngram_novelty",  # NEW r13: first-occurrence novelty panel
-    "sim_centroid_silhouette",  # NEW r13: integer-exact simplified silhouette
-    "events_calendar_heatmap",  # NEW r13: isodow x hour activity cells
-    "pipeline_dataset_card",  # NEW r13: datasheet manifest, one corpus scan
-    "dq_ljung_box",  # NEW r13: fixed-order exact Ljung-Box portmanteau
-    "fmt_json_scan",  # NEW r13: JSONL schema-on-read format parity
-    "fmt_csv_dialect_scan",  # NEW r13: RFC-4180 dialect round-trip parity
-    "sim_matryoshka_recall",  # NEW r13: prefix-dim recall vs full truth
-    # ---- code/oracle CHANGED in round 13 (ADVICE fixes; values
-    # unchanged at these SFs but the rewritten queries must re-certify) ----
-    "dq_mann_kendall",  # r13: left-join so single-day statuses emit S=0
-    "dedup_jaccard_prefix",  # r13: prefix bound now true BIGINT div
-    # ---- post-window r12 additions: judge-verified exact-green at
-    # sf0.01 + 3-SF sweeps in SWEEP_r12.log, but no driver row yet ----
-    "dq_ks_test",
-    "events_retention_matrix",
-    "text_js_divergence",
-    "events_hampel_outliers",
-    "events_little_law",  # also r13-changed: day index now FLOOR division
-    "tpch_demand_xyz",
-    "text_heaps_curve",
-    # ---- least-recently-certified rotation: the r4 cohort, driver
-    # rows from r8-r9 (the staleness head named in the r12 verdict) ----
-    "tpch_waiting_supplier",
-    "tpch_product_profit",
-    "tpch_priority_late",
-    "dq_orders_integrity",
-    "agg_mad_outliers",
-    "pandas_udaf_geomean",
-    "udtf_top_tokens",
-    "mm_frame_sample",
-    "pivot_status_by_priority",
-    "semantic_prediction_join",
-    "events_funnel",
-    "merge_upsert",
-    "scd2_versions",
-    "streaming_tumbling",
-    "streaming_dedup",
-    "sim_random_projection",
-    "agg_approx_percentiles",
-    "text_chunk_rolling_hash",
-    "events_ewma",
-    "text_frequent_tokens",
-    # ---- r5-cohort fill (trimmed as r13 newcomers land; displaced
-    # names re-queue in r14) ----
-    "agg_cube",
-    # r14 queue (displaced from this 50-slot window by the r13 wave-4/5/6
-    # and wave-8 newcomers): agg_grouping_sets, agg_argmax,
-    # agg_conditional, null_handling,
-    # window_range_frame, window_rank, window_lag_lead, then the rest of
-    # the r5 cohort and the r6/r7 cohorts.
+    # ---- code/oracle CHANGED in round 15 (rows-only -> oracle
+    # conversions; changed queries outrank rotation per r13/r14) ----
+    "events_ewma",  # r15: fixed-order recursion -> closed-form oracle
+    "text_frequent_tokens",  # r15: exact-count panel -> full oracle
+    "sim_random_projection",  # r15: seeded hyperplanes as SQL literals
+    "agg_approx_percentiles",  # r15: GK-bound certificate vs exact quantiles
+    # ---- NEW in round 15 ----
+    "streaming_session_dynamic_gap",  # NEW r15: CASE-gap session_window
+    "streaming_statestore_rocksdb",  # NEW r15: RocksDB state-store parity
+    # ---- stale r5 cohort: last driver-window certification round 5 ----
+    "agg_argmax",
+    "agg_conditional",
+    "agg_grouping_sets",
+    "null_handling",
+    "window_lag_lead",
+    "window_rank",
+    "window_range_frame",
+    # ---- stale r6 cohort: last driver-window certification round 6 ----
+    "agg_hll_sketch_rollup",
+    "agg_rollup",
+    "dedup_components_chain",
+    "dedup_cross_source",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_forward_fill",
+    "events_transition_matrix",
+    "flagship_revenue_month_region",
+    "join_asof",
+    "join_asof_merge",
+    "join_broadcast",
+    "join_inner",
+    "join_left_agg",
+    "join_range_bucketized",
+    "join_semi",
+    "join_theta_pairs",
+    "mm_audio_features",
+    "pipeline_corpus_prep",
+    "pipeline_corpus_prep_neardup",
+    "pipeline_mixture_neardup",
+    "pipeline_train_split",
+    "pipeline_weighted_sample",
+    "sim_pca_project",
+    "sql_recursive_spine",
+    "streaming_static_enrich",
+    "text_bm25_search",
+    "text_corpus_qa_report",
+    "text_dup_ngrams",
+    "text_lang_id",
+    "text_langid_confusion",
+    "text_pii_scrub",
+    "text_pmi_pairs",
+    "text_quality",
+    # r16 queue (displaced from this 50-slot window by the r15 head
+    # slots; exact-checked locally this round instead — SWEEP_r15.log):
+    # text_tfidf_top_terms, text_unigram_logprob, text_zipf_profile,
+    # tpch_rfm_segments. Then the r7 cohort by driver-row age.
 ]
 
 
@@ -1017,10 +1012,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_approx_percentiles": lambda s, d: tpch.approx_percentiles(*_t(s, d, "orders")),
         "text_chunk_rolling_hash": lambda s, d: text.chunk_documents_rolling_hash(*_t(s, d, "documents")),
         "events_ewma": lambda s, d: grouped_pandas.ewma_per_user(*_t(s, d, "events")),
-        # rows-only AND partition-layout-dependent: MG estimates vary with
-        # partitioning/row order (docstring); only sketch invariants are
-        # stable, asserted in tests/test_llm.py
-        "text_frequent_tokens": lambda s, d: text.frequent_tokens_sketch(*_t(s, d, "documents")),
+        # r15 rows-only -> oracle conversion: the MG sketch prunes
+        # candidates, exact counts + an integer threshold publish the
+        # deterministic true-heavy-hitter panel (layout-dependent MG
+        # estimates never leave the plan); sketch invariants still
+        # pytest-asserted on frequent_tokens_sketch in test_llm.py
+        "text_frequent_tokens": lambda s, d: text.frequent_tokens_heavy_hitters(*_t(s, d, "documents")),
     }
 
 
@@ -1307,6 +1304,50 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_value
             FROM events
+        """,
+        # r15 rows-only -> oracle conversion (r14 verdict #3): the EWMA
+        # recursion y_t = 0.7*y_{t-1} + 0.3*x_t replayed per row via
+        # list_reduce over the ordered per-user prefix — the identical
+        # correctly-rounded double ops as the pandas kernel, so the
+        # UNROUNDED doubles are bit-identical cross-engine (see
+        # grouped_pandas.ewma_per_user docstring for the rounding
+        # hazard this sidesteps). O(n^2) prefix replay is oracle-side
+        # only; groups are <=100 rows at every test SF.
+        "events_ewma": """
+            WITH ordered AS (
+                SELECT event_id, user_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            lists AS (
+                SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+                FROM events GROUP BY user_id
+            )
+            SELECT o.event_id, o.user_id, o.ts, o.value,
+                   list_reduce(l.vals[1:o.rn],
+                               (acc, x) -> 0.7*acc + 0.3*x) AS ewma
+            FROM ordered o JOIN lists l USING (user_id)
+        """,
+        # r15 rows-only -> oracle conversion: exact true-heavy-hitter
+        # panel (cnt*(capacity+1) > n_total, integer compare). The
+        # oracle needs no sketch — which is the point: if the Spark
+        # side's MG candidate pruning ever dropped a true heavy hitter,
+        # the row would be missing vs this exact-count ground truth.
+        "text_frequent_tokens": f"""
+            WITH toks AS (
+                SELECT unnest(string_split({_NORM}, ' ')) AS token
+                FROM documents
+            ),
+            tot AS (SELECT count(*) AS n_total FROM toks),
+            cnts AS (
+                SELECT token, count(*) AS exact_cnt FROM toks GROUP BY token
+            )
+            SELECT c.token, c.exact_cnt, t.n_total,
+                   CAST(row_number() OVER (ORDER BY c.exact_cnt DESC,
+                                           c.token) AS INTEGER) AS rank
+            FROM cnts c, tot t
+            WHERE c.exact_cnt * 257 > t.n_total
         """,
         "agg_pricing_summary": """
             WITH g AS (

@@ -595,6 +595,20 @@ def frequent_tokens_sketch(documents: DataFrame, k: int = 32, capacity: int = 25
     layouts, and those are exactly what the tests assert."""
     from pyspark.sql import Window as W
 
+    merged = _mg_merged_summary(documents, capacity)
+    topk = merged.orderBy(F.col("est").desc(), "token").limit(k)
+    w = W.orderBy(F.col("est").desc(), "token")
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _mg_merged_summary(documents: DataFrame, capacity: int) -> DataFrame:
+    """Merged Misra-Gries summary over the whitespace-token stream:
+    per-task MG of ``capacity`` counters, merged by summing estimates
+    per token. Every token with true frequency > n/(capacity+1) has a
+    positive merged estimate (mergeable-summaries undercount bound), so
+    the merged summary is a COMPLETE candidate set for true heavy
+    hitters — the guarantee both the top-k sketch and the verified
+    heavy-hitter panel build on."""
     toks = documents.select(
         F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
     )
@@ -623,10 +637,60 @@ def frequent_tokens_sketch(documents: DataFrame, k: int = 32, capacity: int = 25
         )
 
     summaries = toks.mapInPandas(mg_partition, schema="token string, est long")
-    merged = summaries.groupBy("token").agg(F.sum("est").alias("est"))
-    topk = merged.orderBy(F.col("est").desc(), "token").limit(k)
-    w = W.orderBy(F.col("est").desc(), "token")
-    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+    return summaries.groupBy("token").agg(F.sum("est").alias("est"))
+
+
+def frequent_tokens_heavy_hitters(
+    documents: DataFrame, capacity: int = 256
+) -> DataFrame:
+    """Verified heavy hitters: the Misra-Gries sketch as the candidate
+    pruner, exact counts as the published values (r15 rows-only ->
+    oracle conversion, r14 verdict #3).
+
+    ``frequent_tokens_sketch`` publishes MG *estimates*, which legally
+    vary with partition layout — unoracleable by design. This panel
+    publishes only what is DETERMINISTIC: the exact set of true heavy
+    hitters (tokens with ``cnt*(capacity+1) > n_total``, an integer
+    compare on exact counts — no float threshold) with their exact
+    counts. The MG merged summary prunes the exact count to a bounded
+    candidate set: every true heavy hitter survives the merge
+    (mergeable-summaries undercount bound, Agarwal et al. PODS'12), so
+    a sketch defect would DROP a row the ANSI oracle has — the oracle
+    certifies the sketch's completeness guarantee, not just the
+    arithmetic.
+
+    100 TB shape: scan 1 streams MG summaries (O(capacity) state per
+    task); the candidate set is <= tasks*capacity rows of short
+    strings, shuffled (no broadcast hint — at extreme task counts it
+    outgrows a broadcast; the gram-side semi join hashes fixed-width
+    tokens); scan 2 exact-counts only candidate tokens. Both scans are
+    map-side-combined aggregates; no global window (rank runs over the
+    <= capacity-row verified panel)."""
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
+    )
+    # the FULL merged summary (not the top-k cut): completeness of the
+    # candidate set is what makes the verified panel deterministic
+    candidates = _mg_merged_summary(documents, capacity).select("token")
+    exact = (
+        toks.join(candidates, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    n_total = toks.select(F.count(F.lit(1)).alias("n_total"))
+    verified = (
+        exact.crossJoin(F.broadcast(n_total))
+        .where(F.col("exact_cnt") * (capacity + 1) > F.col("n_total"))
+    )
+    w = W.orderBy(F.col("exact_cnt").desc(), "token")
+    return verified.select(
+        "token",
+        "exact_cnt",
+        "n_total",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
 
 
 def duplicate_ngram_profile(documents: DataFrame, n: int = 8) -> DataFrame:

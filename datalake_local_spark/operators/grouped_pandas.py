@@ -114,12 +114,22 @@ def ewma_per_user(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     event time — the sequential time-series smoother (y_t = (1-a)y_{t-1}
     + a·x_t) that has no efficient closed-form column expression, so it
     runs as a per-key applyInPandas kernel: one shuffle on user_id, one
-    ordered pass per group. Rows-only correctness (recurrence pinned by a
-    pure-python reference in tests)."""
+    ordered pass per group.
+
+    Oracle-checked (r15, converted from rows-only): pandas
+    ``ewm(adjust=False)`` evaluates exactly ``(1-a)*acc + a*x`` in
+    doubles per step (verified bit-identical to the naive recursion),
+    and DuckDB ``list_reduce(vals[1:rn], (acc, x) -> 0.7*acc + 0.3*x)``
+    performs the same correctly-rounded double ops — so both engines
+    emit BIT-IDENTICAL doubles and the value is published UNROUNDED.
+    Rounding here would break parity, not help it: EWMA of 2dp inputs
+    is a denominator-10^t rational whose shortest double repr lands on
+    exact 7th-digit halves from t>=5 on, where Spark's HALF_UP and
+    DuckDB's rint diverge (the r9 means-of-2dp hazard class)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
-        pdf["ewma"] = pdf["value"].ewm(alpha=alpha, adjust=False).mean().round(6)
+        pdf["ewma"] = pdf["value"].ewm(alpha=alpha, adjust=False).mean()
         return pdf[["event_id", "user_id", "ts", "value", "ewma"]]
 
     return events.select("event_id", "user_id", "ts", "value").groupBy("user_id").applyInPandas(

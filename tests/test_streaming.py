@@ -266,8 +266,9 @@ def test_ewma_matches_recurrence(tables):
         y = None
         for r in user_rows:
             y = r["value"] if y is None else 0.7 * y + 0.3 * r["value"]
-            assert abs(r["ewma"] - round(y, 6)) < 1e-9
-            # keep the reference recurrence unrounded; only compare rounded
+            # bit-exact: the kernel publishes the unrounded recursion
+            # double (the DuckDB oracle reproduces it bit-identically)
+            assert r["ewma"] == y and (y != 0.0 or str(r["ewma"]) == str(y))
             checked += 1
     assert checked > 50
 
