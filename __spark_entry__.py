@@ -1009,7 +1009,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (driver-trained PQ codebooks + ADC lookup scan; no
         # ANSI oracle) — recall/determinism tested in test_llm.py
         "sim_pq_topk": lambda s, d: similarity.pq_topk(*_t(s, d, "embeddings")),
-        "agg_approx_percentiles": lambda s, d: tpch.approx_percentiles(*_t(s, d, "orders")),
+        # r15 rows-only -> oracle conversion: exact rank-window bounds +
+        # GK in-bound certificate booleans (layout-dependent sketch
+        # values never leave the plan); raw-GK error bound still
+        # pytest-asserted on approx_percentiles in test_relational.py
+        "agg_approx_percentiles": lambda s, d: tpch.approx_percentiles_certified(*_t(s, d, "orders")),
         "text_chunk_rolling_hash": lambda s, d: text.chunk_documents_rolling_hash(*_t(s, d, "documents")),
         "events_ewma": lambda s, d: grouped_pandas.ewma_per_user(*_t(s, d, "events")),
         # r15 rows-only -> oracle conversion: the MG sketch prunes
@@ -1024,6 +1028,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ------------------------------------------------------------- oracle SQL
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _rp_matrix_sql(out_dim: int = 16, dim: int = 64, seed: int = 7) -> str:
+    """The sim_random_projection Gaussian matrix as a DuckDB list-of-
+    lists literal — the SAME seeded numpy draw the Spark query bakes in
+    as ``F.lit`` columns (similarity.random_projection_profile), so the
+    'engine-side state' that made the query rows-only becomes shared
+    SQL text (r14 verdict #3). ``repr(float)`` emits the shortest
+    round-trip decimal, which DuckDB parses back to the identical
+    double."""
+    import numpy as np
+
+    mat = np.random.default_rng(seed).standard_normal((out_dim, dim))
+    mat = mat / np.sqrt(out_dim)
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in mat
+        )
+        + "]"
+    )
 
 _COSINE_TOPK_ORACLE = """
             WITH q AS (
@@ -1328,6 +1353,62 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(l.vals[1:o.rn],
                                (acc, x) -> 0.7*acc + 0.3*x) AS ewma
             FROM ordered o JOIN lists l USING (user_id)
+        """,
+        # r15 rows-only -> oracle conversion: the oracle computes the
+        # exact order-statistic rank windows (pure integer rank
+        # arithmetic, unrounded double values straight from the scan)
+        # and emits literal TRUE for the certificate columns — the GK
+        # epsilon bound guarantees them; a sketch rank-error violation
+        # flips the Spark-side boolean and reds the row.
+        "agg_approx_percentiles": """
+            WITH ranked AS (
+                SELECT o_orderpriority, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice) AS r,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n
+                FROM orders
+            )
+            SELECT o_orderpriority,
+                   max(n) AS n_orders,
+                   max(CASE WHEN r = greatest(1, (n * 499) // 1000)
+                            THEN o_totalprice END) AS median_lo,
+                   max(CASE WHEN r = least(n, (n * 501) // 1000 + 1)
+                            THEN o_totalprice END) AS median_hi,
+                   max(CASE WHEN r = greatest(1, (n * 899) // 1000)
+                            THEN o_totalprice END) AS p90_lo,
+                   max(CASE WHEN r = least(n, (n * 901) // 1000 + 1)
+                            THEN o_totalprice END) AS p90_hi,
+                   TRUE AS median_in_bound,
+                   TRUE AS p90_in_bound
+            FROM ranked GROUP BY o_orderpriority
+        """,
+        # r15 rows-only -> oracle conversion: the seeded JL matrix is
+        # shared SQL text (_rp_matrix_sql == the F.lit columns the Spark
+        # plan bakes in), dot products replay F.aggregate's left fold
+        # via list_sum, and sqrt is correctly rounded by IEEE-754 — so
+        # the 6dp-rounded norms are deterministic cross-engine.
+        "sim_random_projection": f"""
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            pr AS (
+                SELECT vec_id, e,
+                       list_transform({_rp_matrix_sql()}, r ->
+                           list_sum(list_transform(list_zip(e, r),
+                                    z -> CAST(z[1] AS DOUBLE) * z[2]))) AS proj
+                FROM v
+            )
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(e, x -> x*x))), 6)
+                       AS orig_norm,
+                   round(sqrt(list_sum(list_transform(proj, d -> d*d))), 6)
+                       AS proj_norm,
+                   round(sqrt(list_sum(list_transform(proj, d -> d*d)))
+                         / sqrt(list_sum(list_transform(e, x -> x*x))), 6)
+                       AS norm_ratio
+            FROM pr
         """,
         # r15 rows-only -> oracle conversion: exact true-heavy-hitter
         # panel (cnt*(capacity+1) > n_total, integer compare). The
