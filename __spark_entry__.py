@@ -82,6 +82,20 @@ def _q_streaming_sessionize(spark, sf):
     return event_windows.run_streaming_sessionize(spark, sf, gap_minutes=30, query_name=name)
 
 
+def _q_streaming_rocksdb(spark, sf):
+    name = f"stream_sessions_rocksdb_{next(_stream_counter)}"
+    return event_windows.run_streaming_sessionize_rocksdb(
+        spark, sf, gap_minutes=30, query_name=name
+    )
+
+
+def _q_streaming_dynamic_gap(spark, sf):
+    name = f"stream_sessions_dynamic_{next(_stream_counter)}"
+    return event_windows.run_streaming_session_dynamic_gap(
+        spark, sf, query_name=name
+    )
+
+
 def _q_streaming_stateful(spark, sf):
     name = f"stream_stateful_{next(_stream_counter)}"
     return event_windows.run_streaming_stateful_counter(spark, sf, query_name=name)
@@ -980,6 +994,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_trending": _q_streaming_trending,
         "streaming_two_level_agg": _q_streaming_two_level,
         "streaming_sessionize": _q_streaming_sessionize,
+        # NEW r15 (r14 verdict #7): the same sessionize plan on the
+        # RocksDB state store (the 100 TB state knob) + the dynamic-gap
+        # CASE sessionizer — both ANSI-oracle-certified
+        "streaming_statestore_rocksdb": _q_streaming_rocksdb,
+        "streaming_session_dynamic_gap": _q_streaming_dynamic_gap,
         "streaming_stateful_counter": _q_streaming_stateful,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_stream_join": _q_streaming_stream_join,
@@ -1245,6 +1264,15 @@ def _shingle_sweep_oracle_sql(widths=(1, 2, 3), threshold=0.8) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql()
+    # the RocksDB state-store run is the SAME sessionize plan on a
+    # different store backend — identical rows by contract, certified
+    # against the identical ANSI emulation (r14 verdict #7)
+    d["streaming_statestore_rocksdb"] = d["streaming_sessionize"]
+    return d
+
+
+def _oracle_sql() -> dict[str, str]:
     return {
         "flagship_revenue_month_region": """
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
@@ -5245,6 +5273,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS session_start,
                    max(ts) AS session_end,
+                   round(sum(value), 2) AS session_value
+            FROM sess GROUP BY user_id, session_seq
+        """,
+        # NEW r15: dynamic-gap session_window emulation. Each event
+        # carries its own gap (error -> 10 min, else 30 min); the
+        # engine merges half-open intervals [ts, ts+gap), so a new
+        # session starts where ts >= the RUNNING MAX of preceding
+        # event ends, and session_end is the max end within the
+        # session. All interval arithmetic in exact epoch MICROSECONDS
+        # (BIGINT — epoch() doubles sit at the edge of microsecond
+        # precision at 2024 epochs).
+        "streaming_session_dynamic_gap": """
+            WITH g AS (
+                SELECT user_id, value, event_id,
+                       epoch_us(ts) AS ts_us,
+                       CASE WHEN event_type = 'error' THEN 600000000
+                            ELSE 1800000000 END AS gap_us
+                FROM events
+            ),
+            lagged AS (
+                SELECT *, max(ts_us + gap_us) OVER (
+                            PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_end_us
+                FROM g
+            ),
+            flagged AS (
+                SELECT *, CASE WHEN prev_end_us IS NULL
+                                 OR ts_us >= prev_end_us THEN 1
+                               ELSE 0 END AS new_s
+                FROM lagged
+            ),
+            sess AS (
+                SELECT *, sum(new_s) OVER (
+                            PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id,
+                   make_timestamp(min(ts_us)) AS session_start,
+                   make_timestamp(max(ts_us + gap_us)) AS session_end,
+                   count(*) AS n_events,
                    round(sum(value), 2) AS session_value
             FROM sess GROUP BY user_id, session_seq
         """,
