@@ -283,6 +283,7 @@ _CERTIFY_FIRST = [
     "text_frequent_tokens",  # r15: exact-count panel -> full oracle
     "sim_random_projection",  # r15: seeded hyperplanes as SQL literals
     "agg_approx_percentiles",  # r15: GK-bound certificate vs exact quantiles
+    "events_cusum",  # r15: bit-deterministic recursion -> recursive-CTE oracle
     # ---- NEW in round 15 ----
     "streaming_session_dynamic_gap",  # NEW r15: CASE-gap session_window
     "streaming_statestore_rocksdb",  # NEW r15: RocksDB state-store parity
@@ -331,11 +332,11 @@ _CERTIFY_FIRST = [
     "text_langid_confusion",
     "text_pii_scrub",
     "text_pmi_pairs",
-    "text_quality",
     # r16 queue (displaced from this 50-slot window by the r15 head
     # slots; exact-checked locally this round instead — SWEEP_r15.log):
-    # text_tfidf_top_terms, text_unigram_logprob, text_zipf_profile,
-    # tpch_rfm_segments. Then the r7 cohort by driver-row age.
+    # text_quality, text_tfidf_top_terms, text_unigram_logprob,
+    # text_zipf_profile, tpch_rfm_segments. Then the r7 cohort by
+    # driver-row age.
 ]
 
 
@@ -546,7 +547,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (sequential per-series selection — not one ANSI
         # statement); shape-preservation invariants in test_relational
         "events_lttb": lambda s, d: windows.lttb_downsample(*_t(s, d, "events")),
-        # rows-only (sequential CUSUM recursion); planted-shift test
+        # r15 rows-only -> oracle conversion: bit-deterministic chain
+        # (exact-cents hourly mean, left-fold calibration, identical
+        # recursion op order) replayed by a DuckDB recursive CTE
         "events_cusum": lambda s, d: windows.cusum_changepoints(*_t(s, d, "events")),
         "events_interpolate_hourly": lambda s, d: windows.interpolate_hourly(*_t(s, d, "events")),
         # set ops / sort / limit
@@ -1409,6 +1412,77 @@ def _oracle_sql() -> dict[str, str]:
                    TRUE AS median_in_bound,
                    TRUE AS p90_in_bound
             FROM ranked GROUP BY o_orderpriority
+        """,
+        # r15 rows-only -> oracle conversion: the CUSUM alarm recursion
+        # replayed exactly by a recursive CTE. Every float op mirrors
+        # the kernel bit-for-bit (see cusum_changepoints docstring):
+        # hourly mean = one division of exact integers; mu/sd = left
+        # folds over the burn-in (list_reduce's first-element init ==
+        # the kernel's 0.0+x0 fold); the recursion carries POST-reset
+        # state forward and alarms on the PRE-reset statistics with
+        # identical parenthesization; stat published unrounded.
+        "events_cusum": """
+            WITH RECURSIVE hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                     AS BIGINT)) AS DOUBLE)
+                       / CAST(count(*) * 100 AS DOUBLE) AS mean_value
+                FROM events GROUP BY 1, 2
+            ),
+            indexed AS (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                                             ORDER BY hour) AS i
+                FROM hourly
+            ),
+            calib AS (
+                SELECT event_type,
+                       list(mean_value ORDER BY hour) AS vals
+                FROM hourly GROUP BY event_type
+            ),
+            mu_t AS (
+                SELECT event_type,
+                       list_reduce(vals[1:least(24, len(vals))],
+                                   (a, x) -> a + x)
+                         / least(24, len(vals)) AS mu
+                FROM calib
+            ),
+            params AS (
+                SELECT c.event_type, m.mu,
+                       greatest(sqrt(
+                           list_reduce(list_transform(
+                               c.vals[1:least(24, len(c.vals))],
+                               x -> (x - m.mu) * (x - m.mu)),
+                               (a, y) -> a + y)
+                           / least(24, len(c.vals))), 1e-12) AS sd
+                FROM calib c JOIN mu_t m USING (event_type)
+            ),
+            step AS (
+                SELECT n.event_type, n.i, n.hour, p.mu, p.sd,
+                       0.5 * p.sd AS k, 5.0 * p.sd AS h,
+                       greatest(0.0, ((0.0 + (n.mean_value - p.mu))
+                                      - (0.5 * p.sd))) AS sp_raw,
+                       greatest(0.0, ((0.0 + (p.mu - n.mean_value))
+                                      - (0.5 * p.sd))) AS sn_raw
+                FROM indexed n JOIN params p USING (event_type)
+                WHERE n.i = 1
+                UNION ALL
+                SELECT n.event_type, n.i, n.hour, s.mu, s.sd, s.k, s.h,
+                       greatest(0.0, ((CASE WHEN s.sp_raw > s.h
+                                              OR s.sn_raw > s.h THEN 0.0
+                                            ELSE s.sp_raw END
+                                       + (n.mean_value - s.mu)) - s.k)),
+                       greatest(0.0, ((CASE WHEN s.sp_raw > s.h
+                                              OR s.sn_raw > s.h THEN 0.0
+                                            ELSE s.sn_raw END
+                                       + (s.mu - n.mean_value)) - s.k))
+                FROM step s JOIN indexed n
+                  ON n.event_type = s.event_type AND n.i = s.i + 1
+            )
+            SELECT event_type, hour,
+                   CASE WHEN sp_raw > h THEN 'up' ELSE 'down' END
+                       AS direction,
+                   greatest(sp_raw, sn_raw) / sd AS stat_sigma
+            FROM step WHERE sp_raw > h OR sn_raw > h
         """,
         # r15 rows-only -> oracle conversion: the seeded JL matrix is
         # shared SQL text (_rp_matrix_sql == the F.lit columns the Spark

@@ -285,23 +285,45 @@ def cusum_changepoints(
     sequential per series → Arrow-batched ``applyInPandas`` kernel (the
     ``lttb_downsample`` discipline); the input is the (type, hour)
     pre-aggregate — series-grain task state, corpus never enters the
-    kernel. Deterministic: fixed calibration, total hour order."""
+    kernel. Deterministic: fixed calibration, total hour order.
+
+    Oracle-checked (r15, converted from rows-only) — every float in the
+    chain is made BIT-DETERMINISTIC cross-engine so a DuckDB recursive
+    CTE can replay the alarms hash-exact: (1) the hourly mean is ONE
+    double division of exact integers (2dp cents sum / (100·n)) — never
+    an engine-ordered float avg; (2) calibration uses explicit LEFT
+    FOLDS (numpy's reducers use 8-way partial accumulators below the
+    pairwise threshold, which no SQL engine reproduces); (3) the
+    recursion is the same correctly-rounded op sequence both engines
+    (greatest/max, identical parenthesization); (4) sqrt is IEEE
+    correctly rounded; the emitted stat is one division rounded 6dp."""
     import numpy as np
     import pandas as pd
 
-    hourly = (
-        events.groupBy(
-            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-        )
-        .agg(F.avg("value").alias("mean_value"))
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(cast(value as decimal(18,2)) * 100 as long)) as double)"
+            " / cast(count(1) * 100 as double)"
+        ).alias("mean_value")
     )
 
     def kernel(key, pdf):
         pdf = pdf.sort_values("hour").reset_index(drop=True)
         x = pdf["mean_value"].to_numpy(dtype=np.float64)
         burn = x[: min(24, len(x))]
-        mu, sd = float(burn.mean()), float(burn.std(ddof=0))
-        sd = max(sd, 1e-12)
+        # explicit left folds (see docstring point 2)
+        s = 0.0
+        for v in burn:
+            s = s + v
+        mu = s / len(burn)
+        ss = 0.0
+        for v in burn:
+            d = v - mu
+            ss = ss + d * d
+        sd = np.sqrt(ss / len(burn))
+        sd = max(float(sd), 1e-12)
         k, h = k_sigma * sd, h_sigma * sd
         sp = sn = 0.0
         rows = []
@@ -309,12 +331,17 @@ def cusum_changepoints(
             sp = max(0.0, sp + (v - mu) - k)
             sn = max(0.0, sn + (mu - v) - k)
             if sp > h or sn > h:
+                # stat published UNROUNDED: the whole chain is the same
+                # correctly-rounded double op sequence in both engines,
+                # so the raw ratio is bit-identical — rounding would
+                # only re-introduce the python-round vs engine-round
+                # divergence class (the events_ewma discipline)
                 rows.append(
                     (
                         key[0],
                         pdf["hour"].iloc[i],
                         "up" if sp > h else "down",
-                        round(max(sp, sn) / sd, 6),
+                        max(sp, sn) / sd,
                     )
                 )
                 sp = sn = 0.0
