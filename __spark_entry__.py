@@ -1054,12 +1054,12 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 def _rp_matrix_sql(out_dim: int = 16, dim: int = 64, seed: int = 7) -> str:
     """The sim_random_projection Gaussian matrix as a DuckDB list-of-
-    lists literal — the SAME seeded numpy draw the Spark query bakes in
-    as ``F.lit`` columns (similarity.random_projection_profile), so the
-    'engine-side state' that made the query rows-only becomes shared
-    SQL text (r14 verdict #3). ``repr(float)`` emits the shortest
-    round-trip decimal, which DuckDB parses back to the identical
-    double."""
+    lists literal — the SAME seeded numpy draw the Spark query embeds
+    as repr() literals in its expr-string plan
+    (similarity.random_projection_profile), so the 'engine-side state'
+    that made the query rows-only becomes shared SQL text (r14 verdict
+    #3). ``repr(float)`` emits the shortest round-trip decimal, which
+    both engines parse back to the identical double."""
     import numpy as np
 
     mat = np.random.default_rng(seed).standard_normal((out_dim, dim))

@@ -141,6 +141,11 @@ BENCH_QUERIES = [
     "sim_centroid_silhouette",
     "sim_matryoshka_recall",
     "fmt_csv_dialect_scan",
+    # round-15: the verified heavy-hitter panel (two MG scans + pruned
+    # exact count) and the dynamic-gap sessionizer (per-event-interval
+    # session state)
+    "text_frequent_tokens",
+    "streaming_session_dynamic_gap",
 ]
 
 

@@ -754,8 +754,11 @@ def random_projection_profile(
     Emits a per-vector profile (orig/projected norm + ratio) instead of
     the raw projected array so the check is compact; the projection
     itself is the ``proj`` expression — pure JVM-side fold, no UDF.
-    Seeded + deterministic, but the matrix is engine-side state → no
-    ANSI oracle (rows-only check; distortion asserted in tests)."""
+    Oracle-checked (r15, converted from rows-only): the seeded matrix
+    is embedded as repr() literals in BOTH engines' plans
+    (__spark_entry__._rp_matrix_sql builds the DuckDB twin), dots are
+    the same left fold, sqrt is correctly rounded — 6dp norms are
+    deterministic cross-engine; distortion additionally tested."""
     rng = np.random.default_rng(seed)
     mat = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
     # expr-string construction (see _DOT_SQL note): the per-element

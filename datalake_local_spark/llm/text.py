@@ -582,9 +582,11 @@ def frequent_tokens_sketch(documents: DataFrame, k: int = 32, capacity: int = 25
     summaries result: estimates only undercount, total undercount
     ≤ n/(capacity+1) across all partitions, so every token with true
     frequency > n/(capacity+1) survives). Output: top-k by merged
-    estimate. Sketch semantics → rows-only registry entry; the
-    undercount bound and heavy-hitter completeness are pytest-asserted
-    against exact counts.
+    estimate. Sketch estimates are layout-dependent, so this raw form
+    is NOT registered as a query — the registered surface is
+    ``frequent_tokens_heavy_hitters`` (oracle-checked verified panel);
+    the undercount bound and heavy-hitter completeness stay
+    pytest-asserted against exact counts here.
 
     NOT run-reproducible: estimates (hence est/rank, and possibly the
     row set at the k boundary) depend on partition layout and

@@ -296,7 +296,9 @@ def cusum_changepoints(
     pairwise threshold, which no SQL engine reproduces); (3) the
     recursion is the same correctly-rounded op sequence both engines
     (greatest/max, identical parenthesization); (4) sqrt is IEEE
-    correctly rounded; the emitted stat is one division rounded 6dp."""
+    correctly rounded; the emitted stat is one division, published
+    UNROUNDED (bit-identical doubles hash exactly; rounding would
+    re-introduce the engine-round divergence class)."""
     import numpy as np
     import pandas as pd
 

@@ -41,7 +41,7 @@ def test_bench_flagless_path_exits_zero_with_parseable_tail():
     assert set(full) >= {"metric", "value", "unit", "queries", "sf"}
 
 
-def test_bench_dry_run_never_writes_artifact(tmp_path):
+def test_bench_dry_run_never_writes_artifact():
     # --write-artifact + --dry-run must not clobber the committed
     # artifact of record with a zero-filled record
     before = os.path.getmtime(os.path.join(REPO, "BENCH_local.json"))

@@ -671,11 +671,9 @@ def test_session_dynamic_gap_semantics(spark):
     )
     # (a) shrinking gaps can only split sessions, never merge them
     assert len(dyn) >= fixed.count()
-    # (b) the merged window end is the running max of per-event ends;
-    # since gaps only take two values, every session end must sit
-    # exactly 600 or 1800 seconds after SOME event in the session —
-    # check against the session's own span: end - start must be
-    # >= the closing gap and every internal inter-event step < 30 min
+    # (b) the merged window end is the running max of per-event ends,
+    # so every session spans at least the smaller gap, and a singleton
+    # session's span is exactly its one event's gap (600 or 1800 s)
     for r in dyn:
         span = (r["session_end"] - r["session_start"]).total_seconds()
         assert span >= 600.0 - 1e-6
