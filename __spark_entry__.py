@@ -5352,9 +5352,12 @@ def _oracle_sql() -> dict[str, str]:
         """,
         # NEW r15: dynamic-gap session_window emulation. Each event
         # carries its own gap (error -> 10 min, else 30 min); the
-        # engine merges half-open intervals [ts, ts+gap), so a new
-        # session starts where ts >= the RUNNING MAX of preceding
-        # event ends, and session_end is the max end within the
+        # engine merges intervals [ts, ts+gap] INCLUSIVE of the end
+        # (probed empirically: an event landing exactly on the current
+        # session end MERGES), so a new session starts only where
+        # ts > the RUNNING MAX of preceding event ends — the same
+        # strict-inequality convention as the fixed-gap sessionize
+        # oracle (diff > gap). session_end is the max end within the
         # session. All interval arithmetic in exact epoch MICROSECONDS
         # (BIGINT — epoch() doubles sit at the edge of microsecond
         # precision at 2024 epochs).
@@ -5375,7 +5378,7 @@ def _oracle_sql() -> dict[str, str]:
             ),
             flagged AS (
                 SELECT *, CASE WHEN prev_end_us IS NULL
-                                 OR ts_us >= prev_end_us THEN 1
+                                 OR ts_us > prev_end_us THEN 1
                                ELSE 0 END AS new_s
                 FROM lagged
             ),

@@ -234,11 +234,13 @@ def run_streaming_session_dynamic_gap(
     constant — semantics a fixed-gap sessionizer cannot express.
 
     ANSI oracle (DuckDB emulation): a new session starts where
-    epoch(ts) >= max(epoch(prev ts) + prev gap) over all preceding
-    events of the key (running-max window), session_end = max event
-    end within the session — certified hash-exact, which pins the
-    interval-merge semantics (half-open [start, end): an event landing
-    exactly on the current end does NOT merge).
+    epoch_us(ts) > max(epoch_us(prev ts) + prev gap) over all
+    preceding events of the key (running-max window), session_end =
+    max event end within the session — certified hash-exact. The
+    inequality is STRICT because the engine's merge is end-INCLUSIVE
+    (probed empirically: an event landing exactly on the current
+    session end merges — [ts, ts+gap] for merging purposes, matching
+    the fixed-gap convention diff > gap ⇒ new session).
 
     State/scale shape: identical to fixed-gap session_window —
     watermark-bounded per-key session state, shuffle on user_id; the

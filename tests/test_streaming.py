@@ -679,3 +679,31 @@ def test_session_dynamic_gap_semantics(spark):
         assert span >= 600.0 - 1e-6
         if r["n_events"] == 1:
             assert abs(span - 600.0) < 1e-6 or abs(span - 1800.0) < 1e-6
+
+
+def test_dynamic_gap_merges_event_exactly_at_session_end(spark):
+    """Pins the engine's interval-merge boundary (r15 review find): an
+    event landing EXACTLY on the current session end MERGES — so the
+    oracle's new-session condition must be strictly `ts > running max
+    end`, not `>=`. Three events chained end-to-exact-end must form
+    ONE session."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, base, "error", 1.0),  # 10-min gap -> end t+600s
+        (2, 10, base + datetime.timedelta(seconds=600), "click", 1.0),
+        (3, 10, base + datetime.timedelta(seconds=2400), "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    gap = F.when(F.col("event_type") == "error", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    out = (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["n"] == 3
