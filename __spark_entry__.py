@@ -284,6 +284,7 @@ _CERTIFY_FIRST = [
     "sim_random_projection",  # r15: seeded hyperplanes as SQL literals
     "agg_approx_percentiles",  # r15: GK-bound certificate vs exact quantiles
     "events_cusum",  # r15: bit-deterministic recursion -> recursive-CTE oracle
+    "events_lttb",  # r15: integer buckets + fold centroids -> CTE replay
     # ---- NEW in round 15 ----
     "streaming_session_dynamic_gap",  # NEW r15: CASE-gap session_window
     "streaming_statestore_rocksdb",  # NEW r15: RocksDB state-store parity
@@ -331,12 +332,11 @@ _CERTIFY_FIRST = [
     "text_lang_id",
     "text_langid_confusion",
     "text_pii_scrub",
-    "text_pmi_pairs",
     # r16 queue (displaced from this 50-slot window by the r15 head
     # slots; exact-checked locally this round instead — SWEEP_r15.log):
-    # text_quality, text_tfidf_top_terms, text_unigram_logprob,
-    # text_zipf_profile, tpch_rfm_segments. Then the r7 cohort by
-    # driver-row age.
+    # text_pmi_pairs, text_quality, text_tfidf_top_terms,
+    # text_unigram_logprob, text_zipf_profile, tpch_rfm_segments.
+    # Then the r7 cohort by driver-row age.
 ]
 
 
@@ -544,8 +544,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": lambda s, d: windows.running_revenue_per_customer(*_t(s, d, "orders")),
         "window_topk_per_group": lambda s, d: windows.top_k_orders_per_customer(*_t(s, d, "orders")),
         "window_relative": lambda s, d: windows.relative_value_per_user(*_t(s, d, "events")),
-        # rows-only (sequential per-series selection — not one ANSI
-        # statement); shape-preservation invariants in test_relational
+        # r15 rows-only -> oracle conversion: integer bucket bounds +
+        # fold centroids make the greedy selection bit-deterministic;
+        # recursive-CTE replay (pick-for-pick at all three SFs)
         "events_lttb": lambda s, d: windows.lttb_downsample(*_t(s, d, "events")),
         # r15 rows-only -> oracle conversion: bit-deterministic chain
         # (exact-cents hourly mean, left-fold calibration, identical
@@ -1412,6 +1413,112 @@ def _oracle_sql() -> dict[str, str]:
                    TRUE AS median_in_bound,
                    TRUE AS p90_in_bound
             FROM ranked GROUP BY o_orderpriority
+        """,
+        # r15 rows-only -> oracle conversion: the LTTB greedy selection
+        # replayed by a recursive CTE over buckets — each step holds the
+        # previously picked point (the sequential dependency) and takes
+        # the first-max triangle-area argmax over its bucket's ordered
+        # candidate list via a struct list_reduce (strict > keeps the
+        # earliest on ties, matching np.argmax). Bucket bounds are pure
+        # integer arithmetic; centroids are left-fold means; x is
+        # epoch-ns -> double (one correctly-rounded conversion both
+        # engines); the area is the identical elementwise op sequence.
+        "events_lttb": """
+            WITH RECURSIVE base AS (
+                SELECT event_type, ts, value,
+                       CAST(epoch_ns(ts) AS DOUBLE) AS x,
+                       value AS y,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) - 1 AS idx,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            ),
+            small AS (
+                SELECT event_type, ts, value, idx AS point_index
+                FROM base WHERE n <= 50
+            ),
+            big AS (SELECT * FROM base WHERE n > 50),
+            series AS (SELECT DISTINCT event_type, n FROM big),
+            ii AS (SELECT unnest(range(0, 48)) AS b),
+            centro AS (
+                SELECT s.event_type, s.n, ii.b,
+                       1 + (ii.b * (s.n - 2)) // 48 AS lo,
+                       1 + ((ii.b + 1) * (s.n - 2)) // 48 AS hi,
+                       CASE WHEN ii.b + 2 <= 48
+                            THEN 1 + ((ii.b + 1) * (s.n - 2)) // 48
+                            ELSE s.n - 1 END AS clo,
+                       CASE WHEN ii.b + 2 <= 48
+                            THEN 1 + ((ii.b + 2) * (s.n - 2)) // 48
+                            ELSE s.n END AS chi
+                FROM series s, ii
+            ),
+            cands AS (
+                SELECT c.event_type, c.b,
+                       list(struct_pack(idx := p.idx, x := p.x, y := p.y)
+                            ORDER BY p.idx) AS pts
+                FROM centro c JOIN big p
+                  ON p.event_type = c.event_type
+                 AND p.idx >= c.lo AND p.idx < c.hi
+                GROUP BY 1, 2
+            ),
+            cent AS (
+                SELECT c.event_type, c.b,
+                       list_reduce(list(p.x ORDER BY p.idx),
+                                   (a, v) -> a + v) / count(*) AS cx,
+                       list_reduce(list(p.y ORDER BY p.idx),
+                                   (a, v) -> a + v) / count(*) AS cy
+                FROM centro c JOIN big p
+                  ON p.event_type = c.event_type
+                 AND p.idx >= c.clo AND p.idx < c.chi
+                GROUP BY 1, 2
+            ),
+            steps AS (
+                SELECT ca.event_type, ca.b,
+                       list_reduce(
+                           list_transform(ca.pts, q -> struct_pack(
+                               idx := q.idx, x := q.x, y := q.y,
+                               area := abs((p0.px - ce.cx) * (q.y - p0.py)
+                                           - (p0.px - q.x) * (ce.cy - p0.py)))),
+                           (a, c) -> CASE WHEN c.area > a.area
+                                          THEN c ELSE a END) AS pick
+                FROM cands ca
+                JOIN cent ce ON ce.event_type = ca.event_type
+                            AND ce.b = ca.b
+                JOIN (SELECT event_type, x AS px, y AS py
+                      FROM big WHERE idx = 0) p0
+                  ON p0.event_type = ca.event_type
+                WHERE ca.b = 0
+                UNION ALL
+                SELECT ca.event_type, ca.b,
+                       list_reduce(
+                           list_transform(ca.pts, q -> struct_pack(
+                               idx := q.idx, x := q.x, y := q.y,
+                               area := abs((struct_extract(s.pick, 'x') - ce.cx)
+                                             * (q.y - struct_extract(s.pick, 'y'))
+                                           - (struct_extract(s.pick, 'x') - q.x)
+                                             * (ce.cy - struct_extract(s.pick, 'y'))))),
+                           (a, c) -> CASE WHEN c.area > a.area
+                                          THEN c ELSE a END)
+                FROM steps s
+                JOIN cands ca ON ca.event_type = s.event_type
+                             AND ca.b = s.b + 1
+                JOIN cent ce ON ce.event_type = s.event_type
+                            AND ce.b = s.b + 1
+            ),
+            keep AS (
+                SELECT event_type,
+                       struct_extract(pick, 'idx') AS point_index
+                FROM steps
+                UNION ALL
+                SELECT event_type, 0 FROM series
+                UNION ALL
+                SELECT event_type, n - 1 FROM series
+            )
+            SELECT b.event_type, b.ts, b.value, b.idx AS point_index
+            FROM big b JOIN keep k
+              ON b.event_type = k.event_type AND b.idx = k.point_index
+            UNION ALL
+            SELECT event_type, ts, value, point_index FROM small
         """,
         # r15 rows-only -> oracle conversion: the CUSUM alarm recursion
         # replayed exactly by a recursive CTE. Every float op mirrors

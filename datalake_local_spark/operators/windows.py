@@ -219,7 +219,17 @@ def lttb_downsample(events: DataFrame, n_out: int = 50) -> DataFrame:
 
     Deterministic: ties in triangle area resolve to the EARLIEST point
     (strict > comparison), timestamps order totally within a series.
-    Series with ≤ n_out points pass through unchanged."""
+    Series with ≤ n_out points pass through unchanged.
+
+    Oracle-checked (r15, converted from rows-only) — the events_cusum
+    bit-determinism discipline applied to the greedy selection: bucket
+    bounds are PURE INTEGER arithmetic (1 + (i·(n-2)) div (n_out-2) —
+    np.linspace's float grid is not SQL-reproducible), next-bucket
+    centroids are explicit left-fold means, x is the int64 epoch-ns
+    converted once to double (correctly rounded in both engines), and
+    each candidate's triangle area is an identical elementwise op
+    sequence — so a DuckDB recursive CTE replays pick-for-pick,
+    hash-exact."""
     import numpy as np
     import pandas as pd
 
@@ -232,8 +242,10 @@ def lttb_downsample(events: DataFrame, n_out: int = 50) -> DataFrame:
             x = pdf["ts"].astype("int64").to_numpy(dtype=np.float64)
             y = pdf["value"].to_numpy(dtype=np.float64)
             keep_list = [0]
-            # n_out-2 interior buckets over points 1..n-2
-            bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+            # n_out-1 integer bucket bounds over interior points 1..n-2
+            bounds = [
+                1 + (i * (n - 2)) // (n_out - 2) for i in range(n_out - 1)
+            ]
             prev = 0
             for b in range(n_out - 2):
                 lo, hi = bounds[b], bounds[b + 1]
@@ -242,8 +254,15 @@ def lttb_downsample(events: DataFrame, n_out: int = 50) -> DataFrame:
                     if b + 2 <= n_out - 2
                     else (n - 1, n)
                 )
-                cx = x[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else x[n - 1]
-                cy = y[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else y[n - 1]
+                # explicit left-fold means (the cusum discipline: numpy
+                # mean uses 8-way partial accumulators, not a fold)
+                sx = 0.0
+                sy = 0.0
+                for j in range(nxt_lo, nxt_hi):
+                    sx = sx + x[j]
+                    sy = sy + y[j]
+                cx = sx / (nxt_hi - nxt_lo)
+                cy = sy / (nxt_hi - nxt_lo)
                 xs, ys = x[lo:hi], y[lo:hi]
                 area = np.abs(
                     (x[prev] - cx) * (ys - y[prev]) - (x[prev] - xs) * (cy - y[prev])

@@ -69,7 +69,6 @@ ROWS_ONLY_REASONS = {
     "dedup_minhash_lsh": "seeded MinHash signatures (xxhash64 permutations) have no ANSI twin; planted near-dup recall tested",
     "dedup_semantic": "seeded iterative KMeans state (SemDeDup); centroid determinism + planted-cluster behavior tested",
     "dedup_simhash": "fingerprints built on Spark-internal xxhash64; recall pigeonhole bound + planted pairs tested",
-    "events_lttb": "greedy sequential selection — each bucket's argmax depends on the previously selected point; invariants tested",
     "graph_kcore": "iterative peel-to-fixpoint (driver loop); peel order invariance + degeneracy bound tested",
     "graph_lpa_communities": "iterative synchronous label propagation fixpoint; seeded tie-breaks, stability tested",
     "graph_pagerank": "iterative power method to tolerance; rank-sum conservation + convergence tested",
