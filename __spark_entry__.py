@@ -285,6 +285,8 @@ _CERTIFY_FIRST = [
     "agg_approx_percentiles",  # r15: GK-bound certificate vs exact quantiles
     "events_cusum",  # r15: bit-deterministic recursion -> recursive-CTE oracle
     "events_lttb",  # r15: integer buckets + fold centroids -> CTE replay
+    "agg_approx_distinct",  # r15: exact counts + HLL/GK certificates
+    "agg_hll_sketch_rollup",  # r15: exact rollup + estimate certificate
     # ---- NEW in round 15 ----
     "streaming_session_dynamic_gap",  # NEW r15: CASE-gap session_window
     "streaming_statestore_rocksdb",  # NEW r15: RocksDB state-store parity
@@ -296,8 +298,8 @@ _CERTIFY_FIRST = [
     "window_lag_lead",
     "window_rank",
     "window_range_frame",
-    # ---- stale r6 cohort: last driver-window certification round 6 ----
-    "agg_hll_sketch_rollup",
+    # ---- stale r6 cohort: last driver-window certification round 6
+    # (agg_hll_sketch_rollup moved to the changed-code head above) ----
     "agg_rollup",
     "dedup_components_chain",
     "dedup_cross_source",
@@ -331,12 +333,11 @@ _CERTIFY_FIRST = [
     "text_dup_ngrams",
     "text_lang_id",
     "text_langid_confusion",
-    "text_pii_scrub",
     # r16 queue (displaced from this 50-slot window by the r15 head
     # slots; exact-checked locally this round instead — SWEEP_r15.log):
-    # text_pmi_pairs, text_quality, text_tfidf_top_terms,
-    # text_unigram_logprob, text_zipf_profile, tpch_rfm_segments.
-    # Then the r7 cohort by driver-row age.
+    # text_pii_scrub, text_pmi_pairs, text_quality,
+    # text_tfidf_top_terms, text_unigram_logprob, text_zipf_profile,
+    # tpch_rfm_segments. Then the r7 cohort by driver-row age.
 ]
 
 
@@ -1021,9 +1022,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_bitmap_distinct": lambda s, d: agg.bitmap_exact_distinct(
             *_t(s, d, "events")
         ),
-        "agg_approx_distinct": lambda s, d: agg.approx_distinct_parts(*_t(s, d, "lineitem")),
-        # rows-only (DataSketches HLL is approximate; error bound tested)
-        "agg_hll_sketch_rollup": lambda s, d: agg.hll_sketch_rollup(*_t(s, d, "events")),
+        # r15 rows-only -> oracle conversions: exact distinct counts /
+        # order-statistic bounds + sketch in-bound certificate booleans
+        # (the approx_percentiles_certified pattern); raw sketch forms
+        # stay pytest-asserted on approx_distinct_parts /
+        # hll_sketch_rollup
+        "agg_approx_distinct": lambda s, d: agg.approx_distinct_parts_certified(*_t(s, d, "lineitem")),
+        "agg_hll_sketch_rollup": lambda s, d: agg.hll_sketch_rollup_certified(*_t(s, d, "events")),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_candidates(*_t(s, d, "documents")),
         "dedup_simhash": lambda s, d: dedup.simhash_near_dup_pairs(*_t(s, d, "documents")),
         "sim_cosine_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(*_t(s, d, "embeddings")),
@@ -1413,6 +1418,48 @@ def _oracle_sql() -> dict[str, str]:
                    TRUE AS median_in_bound,
                    TRUE AS p90_in_bound
             FROM ranked GROUP BY o_orderpriority
+        """,
+        # r15 rows-only -> oracle conversions: exact values + literal
+        # TRUE sketch certificates (HLL/GK outputs are layout-
+        # independent for fixed data; the Spark-side booleans red the
+        # row on any error-bound violation)
+        "agg_approx_distinct": """
+            WITH ranked AS (
+                SELECT l_returnflag, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_extendedprice) AS r,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem
+            ),
+            b AS (
+                SELECT l_returnflag,
+                       max(n) AS n_rows,
+                       max(CASE WHEN r = greatest(1, (n * 4999) // 10000)
+                                THEN l_extendedprice END) AS median_lo,
+                       max(CASE WHEN r = least(n, (n * 5001) // 10000 + 1)
+                                THEN l_extendedprice END) AS median_hi
+                FROM ranked GROUP BY l_returnflag
+            ),
+            e AS (
+                SELECT l_returnflag,
+                       count(DISTINCT l_partkey) AS exact_parts
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT b.l_returnflag, b.n_rows, e.exact_parts,
+                   b.median_lo, b.median_hi,
+                   TRUE AS parts_in_bound,
+                   TRUE AS median_in_bound
+            FROM b JOIN e USING (l_returnflag)
+        """,
+        "agg_hll_sketch_rollup": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   count(*) AS n_events,
+                   TRUE AS estimate_in_bound
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL', count(DISTINCT user_id), count(*), TRUE
+            FROM events
         """,
         # r15 rows-only -> oracle conversion: the LTTB greedy selection
         # replayed by a recursive CTE over buckets — each step holds the

@@ -150,6 +150,70 @@ def approx_distinct_parts(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def approx_distinct_parts_certified(lineitem: DataFrame) -> DataFrame:
+    """HLL approximate distinct with an in-row error certificate (r15
+    rows-only -> oracle conversion; the approx_percentiles_certified
+    pattern applied to A10's sketch pair).
+
+    ``approx_distinct_parts`` publishes the HLL++ estimate and the GK
+    median themselves — engine-specific values no ANSI oracle can
+    reproduce. This panel publishes what is DETERMINISTIC and
+    oracle-computable: the exact distinct count and exact
+    order-statistic bounds, plus booleans certifying each sketch
+    landed inside its error window. Both sketches are layout-
+    independent for fixed data (HLL++ merges registers by MAX —
+    commutative/associative; GK is certified by rank bounds, not
+    values), so the booleans are fixed properties of the data:
+    - ``parts_in_bound``: |hll - exact| <= 6% of exact (3 sigma at the
+      requested rsd 0.02), integer cross-multiplied.
+    - ``median_in_bound``: the GK(accuracy=10000) output lies between
+      the exact order statistics at ranks (4999n/10000) and
+      (5001n/10000)+1 — the epsilon-rank window plus one rank.
+    The oracle computes the same exact values and emits literal TRUE;
+    a sketch-error violation flips the Spark boolean and reds the row."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = lineitem.select("l_returnflag", "l_extendedprice").select(
+        "*",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("n"),
+    )
+    lo = F.greatest(F.lit(1), F.expr("(n * 4999) div 10000"))
+    hi = F.least(F.col("n"), F.expr("(n * 5001) div 10000 + 1"))
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        F.max(F.when(F.col("r") == lo, F.col("l_extendedprice"))).alias(
+            "median_lo"
+        ),
+        F.max(F.when(F.col("r") == hi, F.col("l_extendedprice"))).alias(
+            "median_hi"
+        ),
+    )
+    sketches = lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("_hll"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_gk"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return bounds.join(sketches, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        "median_lo",
+        "median_hi",
+        (
+            F.abs(F.col("_hll") - F.col("exact_parts")) * 100
+            <= F.col("exact_parts") * 6
+        ).alias("parts_in_bound"),
+        (
+            (F.col("median_lo") <= F.col("_gk"))
+            & (F.col("_gk") <= F.col("median_hi"))
+        ).alias("median_in_bound"),
+    )
+
+
 def argmax_aggregates(orders: DataFrame) -> DataFrame:
     """min_by/max_by (arg-extremum) + first/last-in-order aggregates: per
     priority, which order carries the extreme price. One pass, no window."""
@@ -410,6 +474,55 @@ def hll_sketch_rollup(events: DataFrame) -> DataFrame:
             "n_events",
         )
         .unionByName(global_row)
+        .orderBy("event_type")
+    )
+
+
+def hll_sketch_rollup_certified(events: DataFrame) -> DataFrame:
+    """The two-level HLL sketch rollup with an in-row error certificate
+    (r15 rows-only -> oracle conversion). Same plan as
+    ``hll_sketch_rollup`` — per-type DataSketches HLL of distinct
+    users, sketches THEMSELVES merged for the global row — but the
+    published value is the EXACT distinct count (oracle-computable)
+    plus a boolean certifying the sketch estimate landed within 6% of
+    it (3+ sigma at lgConfigK=12, rsd ~1.6%). Register merges are MAX
+    — commutative/associative — so the estimates, and hence the
+    booleans, are layout-independent properties of the data. The
+    sketch pipeline stays fully in the plan: a register-merge defect
+    or error blow-up flips the boolean and reds the row."""
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    global_row = per_type.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_est"),
+        F.sum("n_events").alias("n_events"),
+    )
+    global_exact = events.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    global_full = global_row.crossJoin(F.broadcast(global_exact)).select(
+        "event_type", "_est", "n_events", "exact_users"
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("_est"),
+        "n_events",
+        "exact_users",
+    )
+    return (
+        typed.unionByName(global_full)
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("_est") - F.col("exact_users")) * 100
+                <= F.col("exact_users") * 6
+            ).alias("estimate_in_bound"),
+        )
         .orderBy("event_type")
     )
 

@@ -59,8 +59,6 @@ def family(name: str) -> str:
 # one line per name). Generation FAILS if a rows-only name is missing
 # here — adding a rows-only query forces writing down its reason.
 ROWS_ONLY_REASONS = {
-    "agg_approx_distinct": "HLL++ estimates are implementation-specific; only the error bound vs exact distinct is assertable (tested)",
-    "agg_hll_sketch_rollup": "mergeable HLL sketch state/estimates are implementation-specific; bound + rollup-consistency tested",
     "dedup_band_incremental": "seeded persisted MinHash band index; correctness IS the in-row probe≡rebuild zero certificate",
     "dedup_band_index_probe": "probes the seeded persisted band index (engine-side state); probe≡rebuild parity tested",
     "dedup_components_chain": "iterative star-contraction fixpoint (driver loop, not one ANSI statement); replay parity + round bound asserted",
