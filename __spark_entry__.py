@@ -287,6 +287,7 @@ _CERTIFY_FIRST = [
     "events_lttb",  # r15: integer buckets + fold centroids -> CTE replay
     "agg_approx_distinct",  # r15: exact counts + HLL/GK certificates
     "agg_hll_sketch_rollup",  # r15: exact rollup + estimate certificate
+    "sim_mmr_diversify",  # r15: fold-exact greedy -> list-state CTE replay
     # ---- NEW in round 15 ----
     "streaming_session_dynamic_gap",  # NEW r15: CASE-gap session_window
     "streaming_statestore_rocksdb",  # NEW r15: RocksDB state-store parity
@@ -332,12 +333,12 @@ _CERTIFY_FIRST = [
     "text_corpus_qa_report",
     "text_dup_ngrams",
     "text_lang_id",
-    "text_langid_confusion",
     # r16 queue (displaced from this 50-slot window by the r15 head
     # slots; exact-checked locally this round instead — SWEEP_r15.log):
-    # text_pii_scrub, text_pmi_pairs, text_quality,
-    # text_tfidf_top_terms, text_unigram_logprob, text_zipf_profile,
-    # tpch_rfm_segments. Then the r7 cohort by driver-row age.
+    # text_langid_confusion, text_pii_scrub, text_pmi_pairs,
+    # text_quality, text_tfidf_top_terms, text_unigram_logprob,
+    # text_zipf_profile, tpch_rfm_segments. Then the r7 cohort by
+    # driver-row age.
 ]
 
 
@@ -837,8 +838,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: composes two iterative upstreams (components +
         # pagerank); planted hub-vs-min-id keep test
         "dedup_keep_policy": lambda s, d: dedup.canonical_keep_policy(*_t(s, d, "documents")),
-        # rows-only: greedy MMR selection loop; first-pick/diversity/
-        # determinism invariant tests
+        # r15 rows-only -> oracle conversion: fold-exact greedy loop
+        # replayed by a list-state recursive CTE, pick-for-pick;
+        # first-pick/diversity/determinism invariants still tested
         "sim_mmr_diversify": lambda s, d: similarity.mmr_diversify(*_t(s, d, "embeddings")),
         "events_cumulative_users": lambda s, d: windows.cumulative_distinct_users(*_t(s, d, "events")),
         "agg_gini_spend": lambda s, d: agg.gini_spend_concentration(*_t(s, d, "orders")),
@@ -1566,6 +1568,130 @@ def _oracle_sql() -> dict[str, str]:
               ON b.event_type = k.event_type AND b.idx = k.point_index
             UNION ALL
             SELECT event_type, ts, value, point_index FROM small
+        """,
+        # r15 rows-only -> oracle conversion: the MMR greedy re-rank
+        # replayed by a recursive CTE whose state is the remaining-pool
+        # list of structs {cid, v, rel, nrm, msel} — each step scores
+        # the list (rank 1: rel; else 0.7*rel - (1.0-0.7)*msel, the
+        # kernel's exact op shapes incl. the computed 1-lam), takes the
+        # (score DESC, cid ASC) argmax via a struct list_reduce, emits
+        # it, and rewrites every survivor's msel with greatest(msel,
+        # fold-dot(v, best.v)/(nrm*best.nrm)). All dots/norms are the
+        # same left folds as the rewritten driver kernel.
+        "sim_mmr_diversify": """
+            WITH RECURSIVE qv AS (
+                SELECT list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS q
+                FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+                SELECT e.vec_id AS cid,
+                       list_transform(e.embedding,
+                                      x -> CAST(x AS DOUBLE)) AS v,
+                       list_reduce(list_transform(
+                           list_zip(e.embedding, qv.q),
+                           z -> CAST(z[1] AS DOUBLE) * z[2]),
+                           (a, x) -> a + x)
+                         / (sqrt(list_reduce(list_transform(e.embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                (a, x) -> a + x))
+                            * sqrt(list_reduce(list_transform(qv.q,
+                                x -> x * x), (a, x) -> a + x))) AS rel
+                FROM embeddings e, qv WHERE e.vec_id <> 0
+            ),
+            pool AS (
+                SELECT cid, v, rel,
+                       sqrt(list_reduce(list_transform(v, x -> x * x),
+                                        (a, x) -> a + x)) AS nrm
+                FROM scored
+                ORDER BY rel DESC, cid
+                LIMIT 50
+            ),
+            plist AS (
+                SELECT list(struct_pack(cid := cid, v := v, rel := rel,
+                                        nrm := nrm,
+                                        msel := CAST('-infinity' AS DOUBLE))
+                            ORDER BY rel DESC, cid) AS state
+                FROM pool
+            ),
+            steps AS (
+                SELECT 1 AS rank,
+                       struct_extract(t2.best, 'cid') AS corpus_id,
+                       struct_extract(t2.best, 'rel') AS relevance,
+                       struct_extract(t2.best, 'score') AS mmr_score,
+                       list_transform(
+                           list_filter(t2.annot, it ->
+                               it.cid <> struct_extract(t2.best, 'cid')),
+                           it -> struct_pack(cid := it.cid, v := it.v,
+                               rel := it.rel, nrm := it.nrm,
+                               msel := greatest(it.msel,
+                                   list_reduce(list_transform(
+                                       list_zip(it.v,
+                                           struct_extract(t2.best, 'v')),
+                                       z -> CAST(z[1] AS DOUBLE) * z[2]),
+                                       (a, x) -> a + x)
+                                   / (it.nrm
+                                      * struct_extract(t2.best, 'nrm'))))
+                       ) AS state
+                FROM (
+                    SELECT t.annot,
+                           list_reduce(t.annot, (a, c) ->
+                               CASE WHEN c.score > a.score
+                                      OR (c.score = a.score
+                                          AND c.cid < a.cid)
+                                    THEN c ELSE a END) AS best
+                    FROM (
+                        SELECT list_transform(p.state, it ->
+                                   struct_pack(cid := it.cid, v := it.v,
+                                       rel := it.rel, nrm := it.nrm,
+                                       msel := it.msel,
+                                       score := it.rel)) AS annot
+                        FROM plist p
+                    ) t
+                ) t2
+                UNION ALL
+                SELECT t2.rank + 1,
+                       struct_extract(t2.best, 'cid'),
+                       struct_extract(t2.best, 'rel'),
+                       struct_extract(t2.best, 'score'),
+                       list_transform(
+                           list_filter(t2.annot, it ->
+                               it.cid <> struct_extract(t2.best, 'cid')),
+                           it -> struct_pack(cid := it.cid, v := it.v,
+                               rel := it.rel, nrm := it.nrm,
+                               msel := greatest(it.msel,
+                                   list_reduce(list_transform(
+                                       list_zip(it.v,
+                                           struct_extract(t2.best, 'v')),
+                                       z -> CAST(z[1] AS DOUBLE) * z[2]),
+                                       (a, x) -> a + x)
+                                   / (it.nrm
+                                      * struct_extract(t2.best, 'nrm')))))
+                FROM (
+                    SELECT t.rank, t.annot,
+                           list_reduce(t.annot, (a, c) ->
+                               CASE WHEN c.score > a.score
+                                      OR (c.score = a.score
+                                          AND c.cid < a.cid)
+                                    THEN c ELSE a END) AS best
+                    FROM (
+                        SELECT s.rank,
+                               list_transform(s.state, it ->
+                                   struct_pack(cid := it.cid, v := it.v,
+                                       rel := it.rel, nrm := it.nrm,
+                                       msel := it.msel,
+                                       score := 0.7 * it.rel
+                                                - (1.0 - 0.7) * it.msel))
+                                   AS annot
+                        FROM steps s
+                        WHERE s.rank < 10 AND len(s.state) > 0
+                    ) t
+                ) t2
+            )
+            SELECT CAST(rank AS INTEGER) AS rank, corpus_id,
+                   round(relevance, 6) AS relevance,
+                   round(mmr_score, 6) AS mmr_score
+            FROM steps
         """,
         # r15 rows-only -> oracle conversion: the CUSUM alarm recursion
         # replayed exactly by a recursive CTE. Every float op mirrors

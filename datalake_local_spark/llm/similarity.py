@@ -1565,18 +1565,25 @@ def mmr_diversify(
 
     Scale shape: the relevance stage is the distributed part (here
     brute-force cosine top-``pool``; at scale the IVF/PQ path) and is
-    ONE Spark job; the greedy re-rank then runs driver-side in numpy
-    over the collected ≤``pool``-row pool — O(k·pool) dot products on
-    ≤50 vectors is microseconds, and the previous job-per-pick loop
-    paid k scheduler round-trips for it. Greedy/iterative → no SQL
-    oracle; rows-only with first-pick/diversity/determinism/negative-
-    vector invariant tests.
+    ONE Spark job; the greedy re-rank then runs driver-side over the
+    collected ≤``pool``-row pool — O(k·pool) dot products on ≤50
+    vectors is microseconds, and the previous job-per-pick loop paid
+    k scheduler round-trips for it.
+
+    Oracle-checked (r15, converted from rows-only; the events_cusum
+    discipline): the greedy loop uses EXPLICIT left-fold dots/norms
+    (np.linalg.norm / BLAS matvec are not fold-ordered, so no SQL
+    engine reproduces them), lam arithmetic keeps python's exact op
+    shapes (``lam*rels - (1-lam)*max_sel`` with ``1-lam`` computed,
+    not a 0.3 literal), and a DuckDB recursive CTE replays the
+    selection pick-for-pick with the per-candidate max-selected-sim
+    list carried as recursive state.
 
     The first pick is gated on rank == 1 (pure relevance), NOT on a
     ``max_sel_sim < 0`` sentinel: legitimate negative cosines would
     keep re-triggering the sentinel and score later picks by pure
     relevance, silently abandoning the diversity term."""
-    import numpy as np
+    import math
 
     q_vec = embeddings.filter(F.col("vec_id") == query_id).select(
         _as_double(F.col("embedding")).alias("qv")
@@ -1598,27 +1605,39 @@ def mmr_diversify(
     )
     spark = embeddings.sparkSession
     schema = "rank int, corpus_id long, relevance double, mmr_score double"
+
+    def _fold_dot(a, b):
+        s = 0.0
+        for i in range(len(a)):
+            s = s + a[i] * b[i]
+        return s
+
     picks = []
     if rows:
-        ids = np.array([r["corpus_id"] for r in rows], dtype=np.int64)
-        vecs = np.array([r["v"] for r in rows], dtype=np.float64)
-        rels = np.array([r["relevance"] for r in rows], dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1)
+        ids = [r["corpus_id"] for r in rows]
+        vecs = [list(r["v"]) for r in rows]
+        rels = [r["relevance"] for r in rows]
+        norms = [math.sqrt(_fold_dot(v, v)) for v in vecs]
         n = len(ids)
-        max_sel = np.full(n, -np.inf)
-        remaining = np.ones(n, dtype=bool)
+        max_sel = [float("-inf")] * n
+        remaining = set(range(n))
         for rank in range(1, min(k, n) + 1):
-            score = rels if rank == 1 else lam * rels - (1 - lam) * max_sel
-            # argmax over remaining, ties broken by lowest corpus_id
-            best_i = min(
-                np.flatnonzero(remaining), key=lambda i: (-score[i], ids[i])
+            score = (
+                rels
+                if rank == 1
+                else [lam * rels[i] - (1 - lam) * max_sel[i] for i in range(n)]
             )
+            # argmax over remaining, ties broken by lowest corpus_id
+            best_i = min(sorted(remaining), key=lambda i: (-score[i], ids[i]))
             picks.append(
                 (rank, int(ids[best_i]), float(rels[best_i]), float(score[best_i]))
             )
-            remaining[best_i] = False
-            sims = (vecs @ vecs[best_i]) / (norms * norms[best_i])
-            max_sel = np.maximum(max_sel, sims)
+            remaining.discard(best_i)
+            for i in range(n):
+                sim = _fold_dot(vecs[i], vecs[best_i]) / (
+                    norms[i] * norms[best_i]
+                )
+                max_sel[i] = max(max_sel[i], sim)
     return spark.createDataFrame(picks, schema).select(
         "rank",
         "corpus_id",
