@@ -288,6 +288,7 @@ _CERTIFY_FIRST = [
     "agg_approx_distinct",  # r15: exact counts + HLL/GK certificates
     "agg_hll_sketch_rollup",  # r15: exact rollup + estimate certificate
     "sim_mmr_diversify",  # r15: fold-exact greedy -> list-state CTE replay
+    "sim_kcenter_coreset",  # r15: farthest-point -> list-state CTE replay
     # ---- NEW in round 15 ----
     "streaming_session_dynamic_gap",  # NEW r15: CASE-gap session_window
     "streaming_statestore_rocksdb",  # NEW r15: RocksDB state-store parity
@@ -332,13 +333,12 @@ _CERTIFY_FIRST = [
     "text_bm25_search",
     "text_corpus_qa_report",
     "text_dup_ngrams",
-    "text_lang_id",
     # r16 queue (displaced from this 50-slot window by the r15 head
     # slots; exact-checked locally this round instead — SWEEP_r15.log):
-    # text_langid_confusion, text_pii_scrub, text_pmi_pairs,
-    # text_quality, text_tfidf_top_terms, text_unigram_logprob,
-    # text_zipf_profile, tpch_rfm_segments. Then the r7 cohort by
-    # driver-row age.
+    # text_lang_id, text_langid_confusion, text_pii_scrub,
+    # text_pmi_pairs, text_quality, text_tfidf_top_terms,
+    # text_unigram_logprob, text_zipf_profile, tpch_rfm_segments.
+    # Then the r7 cohort by driver-row age.
 ]
 
 
@@ -644,7 +644,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_label_transfer": lambda s, d: similarity.knn_label_transfer(
             *_t(s, d, "embeddings")
         ),
-        # rows-only (k-round greedy driver loop) — diversity coreset
+        # r15 rows-only -> oracle conversion: already fold-exact loop
+        # replayed by a list-state recursive CTE (no code change)
         "sim_kcenter_coreset": lambda s, d: similarity.kcenter_coreset(
             *_t(s, d, "embeddings")
         ),
@@ -1568,6 +1569,73 @@ def _oracle_sql() -> dict[str, str]:
               ON b.event_type = k.event_type AND b.idx = k.point_index
             UNION ALL
             SELECT event_type, ts, value, point_index FROM small
+        """,
+        # r15 rows-only -> oracle conversion: Gonzalez farthest-point
+        # traversal replayed by a list-state recursive CTE. The Spark
+        # loop is ALREADY fold-exact (distances are zip_with/aggregate
+        # folds over double literals — no BLAS anywhere), so the oracle
+        # just mirrors it: state = full pool with running min-distance;
+        # each step takes the (mind DESC, vec_id ASC) argmax, emits it,
+        # and rewrites mind = least(mind, dist-to-pick); the
+        # mind <= 0 early stop becomes the recursion guard. Picked
+        # centers keep mind 0 in the kernel's frame and are filtered
+        # here — equivalent, since a 0 can never win while the guard
+        # holds.
+        "sim_kcenter_coreset": """
+            WITH RECURSIVE c0 AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings ORDER BY vec_id LIMIT 1
+            ),
+            pool AS (
+                SELECT e.vec_id,
+                       list_transform(e.embedding,
+                                      x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings e
+            ),
+            init AS (
+                SELECT list(struct_pack(vid := p.vec_id, v := p.v,
+                           mind := sqrt(list_reduce(list_transform(
+                               list_zip(p.v, c.v),
+                               z -> (z[1] - z[2]) * (z[1] - z[2])),
+                               (a, x) -> a + x)))
+                           ORDER BY p.vec_id) AS state
+                FROM pool p, c0 c
+            ),
+            steps AS (
+                SELECT 1 AS pick_order, c.vec_id,
+                       CAST(NULL AS DOUBLE) AS radius, i.state
+                FROM c0 c, init i
+                UNION ALL
+                SELECT t2.pick_order + 1,
+                       struct_extract(t2.best, 'vid'),
+                       round(struct_extract(t2.best, 'mind'), 6),
+                       list_transform(
+                           list_filter(t2.state, it ->
+                               it.vid <> struct_extract(t2.best, 'vid')),
+                           it -> struct_pack(vid := it.vid, v := it.v,
+                               mind := least(it.mind,
+                                   sqrt(list_reduce(list_transform(
+                                       list_zip(it.v,
+                                           struct_extract(t2.best, 'v')),
+                                       z -> (z[1] - z[2]) * (z[1] - z[2])),
+                                       (a, x) -> a + x)))))
+                FROM (
+                    SELECT s.pick_order, s.state,
+                           list_reduce(s.state, (a, c) ->
+                               CASE WHEN c.mind > a.mind
+                                      OR (c.mind = a.mind
+                                          AND c.vid < a.vid)
+                                    THEN c ELSE a END) AS best
+                    FROM steps s
+                    WHERE s.pick_order < 16 AND len(s.state) > 0
+                ) t2
+                WHERE struct_extract(t2.best, 'mind') > 0.0
+            )
+            SELECT vec_id, CAST(pick_order AS INTEGER) AS pick_order,
+                   radius
+            FROM steps
         """,
         # r15 rows-only -> oracle conversion: the MMR greedy re-rank
         # replayed by a recursive CTE whose state is the remaining-pool

@@ -78,7 +78,6 @@ ROWS_ONLY_REASONS = {
     "sim_cosine_topk_lsh": "bucket-pruned approximate top-k; an SQL replay of the seeded index would prove arithmetic, not recall — recall tested",
     "sim_cosine_topk_lsh_multiprobe": "same seeded LSH index as sim_cosine_topk_lsh with neighbor-bucket probes; recall uplift tested",
     "sim_ivf_partitioned_probe": "seeded KMeans lists + partitioned disk layout (engine-side state); probe≡full-scan parity tested",
-    "sim_kcenter_coreset": "iterative greedy farthest-point driver loop; 2-approximation radius bound tested",
     "sim_pca_project": "driver-side LAPACK eigendecomposition; sign/order conventions are not ANSI-expressible — reconstruction error tested",
     "sim_pq_topk": "driver-trained seeded PQ codebooks; ADC recall vs exact brute force tested",
     "streaming_anomaly": "custom stateful operator (applyInPandasWithState); batch-replay parity tested",
