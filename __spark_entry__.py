@@ -289,6 +289,8 @@ _CERTIFY_FIRST = [
     "agg_hll_sketch_rollup",  # r15: exact rollup + estimate certificate
     "sim_mmr_diversify",  # r15: fold-exact greedy -> list-state CTE replay
     "sim_kcenter_coreset",  # r15: farthest-point -> list-state CTE replay
+    "sim_cosine_topk_lsh",  # r15: shared-literal index -> full SQL replay
+    "sim_cosine_topk_lsh_multiprobe",  # r15: xor-probe replay
     # ---- NEW in round 15 ----
     "streaming_session_dynamic_gap",  # NEW r15: CASE-gap session_window
     "streaming_statestore_rocksdb",  # NEW r15: RocksDB state-store parity
@@ -331,14 +333,13 @@ _CERTIFY_FIRST = [
     "sql_recursive_spine",
     "streaming_static_enrich",
     "text_bm25_search",
-    "text_corpus_qa_report",
-    "text_dup_ngrams",
     # r16 queue (displaced from this 50-slot window by the r15 head
     # slots; exact-checked locally this round instead — SWEEP_r15.log):
-    # text_lang_id, text_langid_confusion, text_pii_scrub,
-    # text_pmi_pairs, text_quality, text_tfidf_top_terms,
-    # text_unigram_logprob, text_zipf_profile, tpch_rfm_segments.
-    # Then the r7 cohort by driver-row age.
+    # text_corpus_qa_report, text_dup_ngrams, text_lang_id,
+    # text_langid_confusion, text_pii_scrub, text_pmi_pairs,
+    # text_quality, text_tfidf_top_terms, text_unigram_logprob,
+    # text_zipf_profile, tpch_rfm_segments. Then the r7 cohort by
+    # driver-row age.
 ]
 
 
@@ -1081,6 +1082,35 @@ def _rp_matrix_sql(out_dim: int = 16, dim: int = 64, seed: int = 7) -> str:
         + "]"
     )
 
+def _lsh_bucket_sql(planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """The hyperplane-LSH packed-signature expression as DuckDB SQL —
+    the SAME seed-42 numpy draw similarity.lsh_bucket_ids embeds as
+    repr() literals in its expr-string plan, so the 'seeded index'
+    becomes shared SQL text and the bucket of every vector is
+    engine-portable (r15 conversion of the LSH top-k probes). Operates
+    on a double-array column named ``e``."""
+    import numpy as np
+
+    hp = np.random.default_rng(seed).standard_normal((planes, dim))
+    terms = []
+    for i, plane in enumerate(hp):
+        arr = "[" + ",".join(repr(float(v)) for v in plane) + "]"
+        proj = (
+            f"list_reduce(list_transform(list_zip(e, {arr}), "
+            "z -> CAST(z[1] AS DOUBLE) * z[2]), (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_LSH_COSINE = (
+    "round(list_sum(list_transform(list_zip(q.qe, c.e), "
+    "z -> CAST(z[1] AS DOUBLE) * z[2])) "
+    "/ (sqrt(list_sum(list_transform(q.qe, x -> x*x))) "
+    "* sqrt(list_sum(list_transform(c.e, x -> x*x)))), 6)"
+)
+
+
 _COSINE_TOPK_ORACLE = """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)
@@ -1569,6 +1599,73 @@ def _oracle_sql() -> dict[str, str]:
               ON b.event_type = k.event_type AND b.idx = k.point_index
             UNION ALL
             SELECT event_type, ts, value, point_index FROM small
+        """,
+        # r15 rows-only -> oracle conversions: the seed-42 hyperplane
+        # index as shared SQL text (_lsh_bucket_sql == the repr()
+        # literals in the Spark expr plan) — the full bucket/probe/
+        # re-rank pipeline replayed end-to-end, proving the bucketing
+        # itself, not just arithmetic. Recall vs exact stays tested.
+        "sim_cosine_topk_lsh": f"""
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            b AS (
+                SELECT vec_id, e, {_lsh_bucket_sql()} AS bucket FROM v
+            ),
+            q AS (
+                SELECT vec_id AS query_id, e AS qe, bucket AS qb
+                FROM b WHERE vec_id IN (0, 1, 2)
+            ),
+            pairs AS (
+                SELECT q.query_id, c.vec_id AS corpus_id,
+                       {_LSH_COSINE} AS cosine
+                FROM b c JOIN q
+                  ON c.bucket = q.qb AND c.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
+                FROM pairs
+            )
+            SELECT query_id, corpus_id, cosine, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "sim_cosine_topk_lsh_multiprobe": f"""
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            b AS (
+                SELECT vec_id, e, {_lsh_bucket_sql()} AS bucket FROM v
+            ),
+            q AS (
+                SELECT vec_id AS query_id, qe,
+                       unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+                               xor(qb, 8), xor(qb, 16), xor(qb, 32)])
+                           AS probe
+                FROM (SELECT vec_id, e AS qe, bucket AS qb
+                      FROM b WHERE vec_id IN (0, 1, 2))
+            ),
+            pairs AS (
+                SELECT DISTINCT q.query_id, c.vec_id AS corpus_id,
+                       {_LSH_COSINE} AS cosine
+                FROM b c JOIN q
+                  ON c.bucket = q.probe AND c.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
+                FROM pairs
+            )
+            SELECT query_id, corpus_id, cosine, rank
+            FROM ranked WHERE rank <= 5
         """,
         # r15 rows-only -> oracle conversion: Gonzalez farthest-point
         # traversal replayed by a list-state recursive CTE. The Spark

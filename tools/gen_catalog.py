@@ -75,8 +75,6 @@ ROWS_ONLY_REASONS = {
     "pipeline_mixture_neardup": "embeds the seeded MinHash near-dup stage; mixture weights + budget invariants tested",
     "sim_ann_recall_report": "builds three seeded indexes and reports recall vs exact truth — the recall numbers ARE the check (in-row, tested)",
     "sim_cosine_topk_ivf": "seeded KMeans coarse quantizer; recall vs exact brute force asserted instead of value replay",
-    "sim_cosine_topk_lsh": "bucket-pruned approximate top-k; an SQL replay of the seeded index would prove arithmetic, not recall — recall tested",
-    "sim_cosine_topk_lsh_multiprobe": "same seeded LSH index as sim_cosine_topk_lsh with neighbor-bucket probes; recall uplift tested",
     "sim_ivf_partitioned_probe": "seeded KMeans lists + partitioned disk layout (engine-side state); probe≡full-scan parity tested",
     "sim_pca_project": "driver-side LAPACK eigendecomposition; sign/order conventions are not ANSI-expressible — reconstruction error tested",
     "sim_pq_topk": "driver-trained seeded PQ codebooks; ADC recall vs exact brute force tested",
