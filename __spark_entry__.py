@@ -294,6 +294,7 @@ _CERTIFY_FIRST = [
     # ---- NEW in round 15 ----
     "streaming_session_dynamic_gap",  # NEW r15: CASE-gap session_window
     "streaming_statestore_rocksdb",  # NEW r15: RocksDB state-store parity
+    "dq_ewma_chart",  # NEW r15: EWMA control chart, SPC trio complete
     # ---- stale r5 cohort: last driver-window certification round 5 ----
     "agg_argmax",
     "agg_conditional",
@@ -332,10 +333,9 @@ _CERTIFY_FIRST = [
     "sim_pca_project",
     "sql_recursive_spine",
     "streaming_static_enrich",
-    "text_bm25_search",
     # r16 queue (displaced from this 50-slot window by the r15 head
     # slots; exact-checked locally this round instead — SWEEP_r15.log):
-    # text_corpus_qa_report, text_dup_ngrams, text_lang_id,
+    # text_bm25_search, text_corpus_qa_report, text_dup_ngrams, text_lang_id,
     # text_langid_confusion, text_pii_scrub, text_pmi_pairs,
     # text_quality, text_tfidf_top_terms, text_unigram_logprob,
     # text_zipf_profile, tpch_rfm_segments. Then the r7 cohort by
@@ -834,6 +834,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_ljung_box": lambda s, d: quality.ljung_box_test(*_t(s, d, "orders")),
         "dq_page_hinkley": lambda s, d: quality.page_hinkley_drift(*_t(s, d, "orders")),
         "dq_control_chart": lambda s, d: quality.control_chart_monthly(*_t(s, d, "orders")),
+        # NEW r15: EWMA control chart (Roberts 1959) — completes the
+        # SPC trio (XmR above, CUSUM in events_cusum); bit-deterministic
+        # chain replayed by a prefix-list_reduce oracle
+        "dq_ewma_chart": lambda s, d: quality.ewma_control_chart(*_t(s, d, "events")),
         "dq_theil_sen": lambda s, d: quality.theil_sen_slope(*_t(s, d, "orders")),
         "dq_ks_test": lambda s, d: quality.ks_two_sample(*_t(s, d, "orders")),
         "dq_column_diff": lambda s, d: ivm.column_diff_profile(*_t(s, d, "orders")),
@@ -1857,6 +1861,77 @@ def _oracle_sql() -> dict[str, str]:
                    round(relevance, 6) AS relevance,
                    round(mmr_score, 6) AS mmr_score
             FROM steps
+        """,
+        # NEW r15: EWMA chart replay — z_t and the time-varying limit
+        # replayed per row by prefix list_reduce (z starts at the
+        # burn-in mu via list_prepend; (1-lam)^{2t} is a repeated-
+        # multiplication fold, never libm pow); same burn-in folds and
+        # exact-cents hourly mean as events_cusum; unrounded values.
+        "dq_ewma_chart": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                     AS BIGINT)) AS DOUBLE)
+                       / CAST(count(*) * 100 AS DOUBLE) AS mean_value
+                FROM events GROUP BY 1, 2
+            ),
+            indexed AS (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                                             ORDER BY hour) AS i
+                FROM hourly
+            ),
+            calib AS (
+                SELECT event_type,
+                       list(mean_value ORDER BY hour) AS vals
+                FROM hourly GROUP BY event_type
+            ),
+            mu_t AS (
+                SELECT event_type,
+                       list_reduce(vals[1:least(24, len(vals))],
+                                   (a, x) -> a + x)
+                         / least(24, len(vals)) AS mu
+                FROM calib
+            ),
+            params AS (
+                SELECT c.event_type, m.mu,
+                       greatest(sqrt(
+                           list_reduce(list_transform(
+                               c.vals[1:least(24, len(c.vals))],
+                               x -> (x - m.mu) * (x - m.mu)),
+                               (a, y) -> a + y)
+                           / least(24, len(c.vals))), 1e-12) AS sd
+                FROM calib c JOIN mu_t m USING (event_type)
+            ),
+            z AS (
+                SELECT n.event_type, n.i, n.hour, p.mu, p.sd,
+                       list_reduce(list_prepend(p.mu, c.vals[1:n.i]),
+                                   (a, x) -> 0.8 * a + 0.2 * x) AS ewma_z,
+                       -- every pure-literal subexpression must be cast
+                       -- to DOUBLE: DuckDB evaluates literal-only
+                       -- arithmetic in exact DECIMAL (0.8*0.8 = exact
+                       -- 0.64; 0.2/1.8 = truncated decimal), which
+                       -- diverges from the kernel's double products
+                       list_reduce(list_transform(c.vals[1:n.i],
+                                   x -> CAST(0.8 AS DOUBLE)
+                                        * CAST(0.8 AS DOUBLE)),
+                                   (a, b) -> a * b) AS wfac
+                FROM indexed n JOIN params p USING (event_type)
+                JOIN calib c ON c.event_type = n.event_type
+            ),
+            lim AS (
+                SELECT *, (3.0 * sd)
+                          * sqrt((CAST(0.2 AS DOUBLE)
+                                  / (CAST(2.0 AS DOUBLE)
+                                     - CAST(0.2 AS DOUBLE)))
+                                 * (1.0 - wfac)) AS hw
+                FROM z
+            )
+            SELECT event_type, hour, ewma_z,
+                   CASE WHEN ewma_z > mu + hw THEN 'high'
+                        ELSE 'low' END AS side,
+                   CASE WHEN ewma_z > mu + hw THEN mu + hw
+                        ELSE mu - hw END AS violated_limit
+            FROM lim WHERE ewma_z > mu + hw OR ewma_z < mu - hw
         """,
         # r15 rows-only -> oracle conversion: the CUSUM alarm recursion
         # replayed exactly by a recursive CTE. Every float op mirrors

@@ -1265,6 +1265,92 @@ def page_hinkley_drift(orders: DataFrame) -> DataFrame:
     )
 
 
+def ewma_control_chart(
+    events: DataFrame, lam: float = 0.2, l_sigma: float = 3.0
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959, "Control Chart Tests Based on
+    Geometric Moving Averages", Technometrics — public): per
+    event_type, the hourly mean-value series is smoothed with
+    z_t = (1-λ)z_{t-1} + λx_t starting at the burn-in target μ₀, and
+    flagged where z crosses the TIME-VARYING limits
+    μ₀ ± L·σ·sqrt(λ/(2-λ)·(1-(1-λ)^{2t})) — the small-sustained-shift
+    monitor that complements the Shewhart XmR chart (big isolated
+    spikes, control_chart_monthly) and CUSUM (cusum_changepoints):
+    the classical trio of SPC monitors over a 100 TB metrics rollup.
+
+    Sequential recursion per series → the cusum_changepoints Arrow
+    kernel discipline: the input is the (type, hour) pre-aggregate so
+    only series-grain state enters the task. Bit-deterministic
+    cross-engine end-to-end (the events_cusum toolbox): exact-cents
+    hourly mean (one division of exact integers), explicit left-fold
+    burn-in μ₀/σ, the z recursion as identical correctly-rounded ops,
+    (1-λ)^{2t} as a REPEATED-MULTIPLICATION fold (never libm pow,
+    which differs in the last ulp across engines), sqrt correctly
+    rounded, violations by strict compares, values published
+    UNROUNDED — the DuckDB oracle replays z and the limit per row via
+    prefix list_reduce, hash-exact."""
+    import numpy as np
+    import pandas as pd
+
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(cast(value as decimal(18,2)) * 100 as long)) as double)"
+            " / cast(count(1) * 100 as double)"
+        ).alias("mean_value")
+    )
+    one_m = 1.0 - lam
+    w_step = one_m * one_m
+
+    def kernel(key, pdf):
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        x = pdf["mean_value"].to_numpy(dtype=np.float64)
+        burn = x[: min(24, len(x))]
+        s = 0.0
+        for v in burn:
+            s = s + v
+        mu = s / len(burn)
+        ss = 0.0
+        for v in burn:
+            d = v - mu
+            ss = ss + d * d
+        sd = max(float(np.sqrt(ss / len(burn))), 1e-12)
+        z = mu
+        w = 1.0
+        rows = []
+        for i, v in enumerate(x):
+            z = one_m * z + lam * v
+            w = w * w_step
+            hw = (l_sigma * sd) * np.sqrt((lam / (2.0 - lam)) * (1.0 - w))
+            if z > mu + hw or z < mu - hw:
+                rows.append(
+                    (
+                        key[0],
+                        pdf["hour"].iloc[i],
+                        float(z),
+                        "high" if z > mu + hw else "low",
+                        float(mu + hw) if z > mu + hw else float(mu - hw),
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type",
+                "hour",
+                "ewma_z",
+                "side",
+                "violated_limit",
+            ],
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, hour timestamp, ewma_z double, "
+        "side string, violated_limit double",
+    )
+
+
 def control_chart_monthly(orders: DataFrame) -> DataFrame:
     """Shewhart individuals/moving-range control chart (Shewhart 1931;
     the XmR chart, public) on daily total revenue, reported monthly:

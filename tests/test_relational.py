@@ -2230,3 +2230,43 @@ def test_fan_out_footer_reads_bounded(spark, tables, tmp_path):
     finally:
         sess_mod.pq.ParquetFile = real_pf
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+
+
+def test_ewma_chart_detects_planted_level_shift(spark):
+    """NEW r15 (EWMA control chart, Roberts 1959): a sustained +8-sigma
+    level shift at hour 60 crosses the upper limit shortly after the
+    shift (side 'high'); a stationary series never alarms; reruns
+    identical."""
+    import datetime
+
+    from datalake_local_spark.operators import quality as ops_quality
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(120):
+        v = 10.0 + (i % 5) * 0.01
+        if i >= 60:
+            v += 1.0
+        rows.append((i, base + datetime.timedelta(hours=i), 1, "shifted", v, "{}"))
+    for i in range(120):
+        rows.append((1000 + i, base + datetime.timedelta(hours=i), 1, "flat",
+                     5.0 + (i % 5) * 0.01, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = ops_quality.ewma_control_chart(df).collect()
+    shifted = [r for r in out if r["event_type"] == "shifted"]
+    flat = [r for r in out if r["event_type"] == "flat"]
+    assert not flat
+    assert shifted, "sustained level shift must cross the EWMA limit"
+    first = min(shifted, key=lambda r: r["hour"])
+    assert first["side"] == "high"
+    assert base + datetime.timedelta(hours=60) <= first["hour"] <= base + datetime.timedelta(hours=70)
+    # every violation reports the limit it crossed, on the right side
+    for r in shifted:
+        if r["side"] == "high":
+            assert r["ewma_z"] > r["violated_limit"]
+        else:
+            assert r["ewma_z"] < r["violated_limit"]
+    again = ops_quality.ewma_control_chart(df).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
