@@ -333,8 +333,10 @@ _CERTIFY_FIRST = [
     "sim_pca_project",
     "sql_recursive_spine",
     "streaming_static_enrich",
-    # r16 queue (displaced from this 50-slot window by the r15 head
-    # slots; exact-checked locally this round instead — SWEEP_r15.log):
+    # r16 queue: events_holt_forecast HEADS it (NEW r15 post-window —
+    # 3-SF local certs in SWEEP_r15.log, no driver row yet, the r12
+    # precedent), then the names displaced from this 50-slot window by
+    # the r15 head slots (each exact-checked locally — SWEEP_r15.log):
     # text_bm25_search, text_corpus_qa_report, text_dup_ngrams, text_lang_id,
     # text_langid_confusion, text_pii_scrub, text_pmi_pairs,
     # text_quality, text_tfidf_top_terms, text_unigram_logprob,
@@ -838,6 +840,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SPC trio (XmR above, CUSUM in events_cusum); bit-deterministic
         # chain replayed by a prefix-list_reduce oracle
         "dq_ewma_chart": lambda s, d: quality.ewma_control_chart(*_t(s, d, "events")),
+        # NEW r15 (post-window: 3-SF local certs now, driver row heads
+        # the r16 window — the r12-precedent pattern): Holt linear-trend
+        # one-step-ahead forecasting, the first forecasting-family
+        # operator; two-state recursive-CTE oracle
+        "events_holt_forecast": lambda s, d: windows.holt_forecast(*_t(s, d, "events")),
         "dq_theil_sen": lambda s, d: quality.theil_sen_slope(*_t(s, d, "orders")),
         "dq_ks_test": lambda s, d: quality.ks_two_sample(*_t(s, d, "orders")),
         "dq_column_diff": lambda s, d: ivm.column_diff_profile(*_t(s, d, "orders")),
@@ -1861,6 +1868,73 @@ def _oracle_sql() -> dict[str, str]:
                    round(relevance, 6) AS relevance,
                    round(mmr_score, 6) AS mmr_score
             FROM steps
+        """,
+        # NEW r15: Holt linear-trend replay — the two-state recursion
+        # (level, trend) rides a recursive CTE; the new level is
+        # computed ONCE in a nested derived table so the trend update
+        # can reference it. EVERY constant is a computed double cast:
+        # (1.0 - 0.1) is NOT the 0.9 literal's double (it rounds to the
+        # lower neighbor), and DuckDB literal-only arithmetic is
+        # DECIMAL — so 1-alpha/1-beta appear exactly as the kernel
+        # computes them. Unrounded values; exact-cents hourly mean.
+        "events_holt_forecast": """
+            WITH RECURSIVE hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                     AS BIGINT)) AS DOUBLE)
+                       / CAST(count(*) * 100 AS DOUBLE) AS mean_value
+                FROM events GROUP BY 1, 2
+            ),
+            indexed AS (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                                             ORDER BY hour) AS i
+                FROM hourly
+            ),
+            init AS (
+                SELECT a.event_type, a.mean_value AS x1,
+                       b.mean_value AS x2
+                FROM indexed a JOIN indexed b
+                  ON a.event_type = b.event_type
+                 AND a.i = 1 AND b.i = 2
+            ),
+            steps AS (
+                SELECT n.event_type, n.i, n.hour,
+                       (i.x1 + (i.x2 - i.x1)) AS forecast,
+                       n.mean_value AS actual,
+                       n.mean_value - (i.x1 + (i.x2 - i.x1)) AS error,
+                       CAST(0.3 AS DOUBLE) * n.mean_value
+                       + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                         * (i.x1 + (i.x2 - i.x1)) AS lvl,
+                       CAST(0.1 AS DOUBLE)
+                         * ((CAST(0.3 AS DOUBLE) * n.mean_value
+                             + (CAST(1.0 AS DOUBLE)
+                                - CAST(0.3 AS DOUBLE))
+                               * (i.x1 + (i.x2 - i.x1))) - i.x1)
+                       + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE))
+                         * (i.x2 - i.x1) AS trd
+                FROM indexed n JOIN init i USING (event_type)
+                WHERE n.i = 2
+                UNION ALL
+                SELECT t.event_type, t.i, t.hour,
+                       t.plvl + t.ptrd,
+                       t.mean_value,
+                       t.mean_value - (t.plvl + t.ptrd),
+                       t.nlvl,
+                       CAST(0.1 AS DOUBLE) * (t.nlvl - t.plvl)
+                       + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE))
+                         * t.ptrd
+                FROM (
+                    SELECT n2.event_type, n2.i, n2.hour, n2.mean_value,
+                           s2.lvl AS plvl, s2.trd AS ptrd,
+                           CAST(0.3 AS DOUBLE) * n2.mean_value
+                           + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                             * (s2.lvl + s2.trd) AS nlvl
+                    FROM steps s2 JOIN indexed n2
+                      ON n2.event_type = s2.event_type
+                     AND n2.i = s2.i + 1
+                ) t
+            )
+            SELECT event_type, hour, forecast, actual, error FROM steps
         """,
         # NEW r15: EWMA chart replay — z_t and the time-varying limit
         # replayed per row by prefix list_reduce (z starts at the

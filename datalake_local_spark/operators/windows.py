@@ -110,6 +110,76 @@ def relative_value_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def holt_forecast(
+    events: DataFrame, alpha: float = 0.3, beta: float = 0.1
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957/2004,
+    "Forecasting seasonals and trends by exponentially weighted moving
+    averages", IJF reprint — public): per event_type, the hourly
+    mean-value series carries a smoothed level and trend
+    (l_t = αx_t + (1−α)(l_{t−1}+b_{t−1});
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}; l₁ = x₁, b₁ = x₂−x₁) and each
+    row reports the ONE-STEP-AHEAD forecast made at t−1
+    (ŷ_t = l_{t−1}+b_{t−1}) with its error — the capacity-planning /
+    anomaly-baseline forecaster a metrics store runs over every series
+    (the SPC trio flags shifts; this one predicts the next hour). The
+    first NEW operator of the forecasting family alongside
+    theil_sen/seasonal-index trend screens.
+
+    Sequential two-state recursion per series → the cusum/lttb Arrow
+    kernel discipline over the (type, hour) pre-aggregate.
+    Bit-deterministic cross-engine (the events_cusum toolbox): hourly
+    mean is one division of exact integers; the recursion is the same
+    correctly-rounded op sequence (1−α / 1−β COMPUTED, matching
+    python); values published UNROUNDED; the DuckDB oracle replays the
+    two-state recursion O(n) with a recursive CTE. Series shorter than
+    2 points emit nothing (no trend is definable)."""
+    import numpy as np
+    import pandas as pd
+
+    one_a = 1.0 - alpha
+    one_b = 1.0 - beta
+
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(cast(value as decimal(18,2)) * 100 as long)) as double)"
+            " / cast(count(1) * 100 as double)"
+        ).alias("mean_value")
+    )
+
+    def kernel(key, pdf):
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        x = pdf["mean_value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["event_type", "hour", "forecast", "actual", "error"]
+            )
+        lvl = x[0]
+        trd = x[1] - x[0]
+        rows = []
+        for i in range(1, n):
+            fc = lvl + trd
+            rows.append(
+                (key[0], pdf["hour"].iloc[i], float(fc), float(x[i]),
+                 float(x[i] - fc))
+            )
+            prev = lvl
+            lvl = alpha * x[i] + one_a * (lvl + trd)
+            trd = beta * (lvl - prev) + one_b * trd
+        return pd.DataFrame(
+            rows, columns=["event_type", "hour", "forecast", "actual", "error"]
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, hour timestamp, forecast double, "
+        "actual double, error double",
+    )
+
+
 def interpolate_hourly(events: DataFrame) -> DataFrame:
     """Time-series gap fill with LINEAR interpolation: per event_type, an
     hourly grid between the series' first and last hour; hours with

@@ -2270,3 +2270,35 @@ def test_ewma_chart_detects_planted_level_shift(spark):
             assert r["ewma_z"] < r["violated_limit"]
     again = ops_quality.ewma_control_chart(df).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_holt_forecast_matches_recurrence(spark):
+    """NEW r15 (Holt 1957 linear trend): one-step-ahead forecasts match
+    a pure-python two-state recurrence bit-exactly; series shorter than
+    2 hourly points emit nothing."""
+    import datetime
+
+    from datalake_local_spark.operators import quality  # noqa: F401
+    from datalake_local_spark.operators import windows as ops_windows
+
+    base = datetime.datetime(2024, 4, 1)
+    rows = []
+    vals = [10.0, 12.5, 11.0, 14.25, 13.0, 15.75, 16.0, 14.5]
+    for i, v in enumerate(vals):
+        rows.append((i, base + datetime.timedelta(hours=i), 1, "a", v, "{}"))
+    rows.append((100, base, 1, "single", 5.0, "{}"))  # 1-point series
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = ops_windows.holt_forecast(df).collect()
+    assert not [r for r in out if r["event_type"] == "single"]
+    got = sorted([r for r in out if r["event_type"] == "a"], key=lambda r: r["hour"])
+    lvl, trd = vals[0], vals[1] - vals[0]
+    assert len(got) == len(vals) - 1
+    for i, r in enumerate(got, start=1):
+        fc = lvl + trd
+        assert r["forecast"] == fc and r["actual"] == vals[i]
+        assert r["error"] == vals[i] - fc
+        prev = lvl
+        lvl = 0.3 * vals[i] + (1.0 - 0.3) * (lvl + trd)
+        trd = 0.1 * (lvl - prev) + (1.0 - 0.1) * trd
