@@ -333,10 +333,11 @@ _CERTIFY_FIRST = [
     "sim_pca_project",
     "sql_recursive_spine",
     "streaming_static_enrich",
-    # r16 queue: events_holt_forecast HEADS it (NEW r15 post-window —
-    # 3-SF local certs in SWEEP_r15.log, no driver row yet, the r12
-    # precedent), then the names displaced from this 50-slot window by
-    # the r15 head slots (each exact-checked locally — SWEEP_r15.log):
+    # r16 queue: events_holt_forecast + events_holt_winters HEAD it
+    # (NEW r15 post-window — 3-SF local certs in SWEEP_r15.log, no
+    # driver row yet, the r12 precedent), then the names displaced from
+    # this 50-slot window by the r15 head slots (each exact-checked
+    # locally — SWEEP_r15.log):
     # text_bm25_search, text_corpus_qa_report, text_dup_ngrams, text_lang_id,
     # text_langid_confusion, text_pii_scrub, text_pmi_pairs,
     # text_quality, text_tfidf_top_terms, text_unigram_logprob,
@@ -845,6 +846,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-step-ahead forecasting, the first forecasting-family
         # operator; two-state recursive-CTE oracle
         "events_holt_forecast": lambda s, d: windows.holt_forecast(*_t(s, d, "events")),
+        # NEW r15 (post-window, same pattern): Holt-Winters additive
+        # seasonal forecasting, daily (period-24) profile; three-state
+        # recursive-CTE oracle with the seasonal LIST as state
+        "events_holt_winters": lambda s, d: windows.holt_winters_forecast(*_t(s, d, "events")),
         "dq_theil_sen": lambda s, d: quality.theil_sen_slope(*_t(s, d, "orders")),
         "dq_ks_test": lambda s, d: quality.ks_two_sample(*_t(s, d, "orders")),
         "dq_column_diff": lambda s, d: ivm.column_diff_profile(*_t(s, d, "orders")),
@@ -1071,6 +1076,99 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ------------------------------------------------------------- oracle SQL
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _holt_winters_oracle_sql() -> str:
+    """Holt-Winters additive replay (windows.holt_winters_forecast):
+    a recursive CTE whose state is (level, trend, 24-double seasonal
+    LIST) — the seasonal slot is rewritten per step by slice
+    concatenation (s[1:idx-1] || [new] || s[idx+1:24]; DuckDB slices
+    are inclusive and collapse to [] at the edges). Every smoothing
+    constant is a COMPUTED double cast (DuckDB literal-only arithmetic
+    is DECIMAL; 1.0-x can round to a different neighbor than the
+    short literal). The new level is computed once in a nested derived
+    table so trend and season updates reference it."""
+    A = "CAST(0.3 AS DOUBLE)"
+    NA = f"(CAST(1.0 AS DOUBLE) - {A})"
+    B = "CAST(0.05 AS DOUBLE)"
+    NB = f"(CAST(1.0 AS DOUBLE) - {B})"
+    G = "CAST(0.2 AS DOUBLE)"
+    NG = f"(CAST(1.0 AS DOUBLE) - {G})"
+    return f"""
+        WITH RECURSIVE hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) * 100 AS DOUBLE) AS mean_value
+            FROM events GROUP BY 1, 2
+        ),
+        indexed AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY hour) AS i
+            FROM hourly
+        ),
+        calib AS (
+            SELECT event_type, list(mean_value ORDER BY hour) AS vals
+            FROM hourly GROUP BY event_type
+        ),
+        init AS (
+            SELECT event_type,
+                   list_reduce(vals[1:24], (a, x) -> a + x) / 24 AS m1,
+                   list_reduce(vals[25:48], (a, x) -> a + x) / 24 AS m2
+            FROM calib WHERE len(vals) >= 48
+        ),
+        init2 AS (
+            SELECT i.event_type, i.m1 AS lvl, (i.m2 - i.m1) / 24 AS trd,
+                   list_transform(c.vals[1:24], v -> v - i.m1) AS season
+            FROM init i JOIN calib c USING (event_type)
+        ),
+        steps AS (
+            SELECT t.event_type, t.i, t.hour,
+                   t.lb + t.si AS forecast,
+                   t.mean_value AS actual,
+                   t.mean_value - (t.lb + t.si) AS error,
+                   t.nlvl AS lvl,
+                   {B} * (t.nlvl - t.plvl) + {NB} * t.ptrd AS trd,
+                   t.pseason[1:t.idx - 1]
+                   || [{G} * (t.mean_value - t.nlvl) + {NG} * t.si]
+                   || t.pseason[t.idx + 1:24] AS season
+            FROM (
+                SELECT n.event_type, n.i, n.hour, n.mean_value,
+                       i2.lvl AS plvl, i2.trd AS ptrd,
+                       i2.season AS pseason,
+                       1 AS idx, i2.season[1] AS si,
+                       i2.lvl + i2.trd AS lb,
+                       {A} * (n.mean_value - i2.season[1])
+                       + {NA} * (i2.lvl + i2.trd) AS nlvl
+                FROM indexed n JOIN init2 i2 USING (event_type)
+                WHERE n.i = 25
+            ) t
+            UNION ALL
+            SELECT t.event_type, t.i, t.hour,
+                   t.lb + t.si,
+                   t.mean_value,
+                   t.mean_value - (t.lb + t.si),
+                   t.nlvl,
+                   {B} * (t.nlvl - t.plvl) + {NB} * t.ptrd,
+                   t.pseason[1:t.idx - 1]
+                   || [{G} * (t.mean_value - t.nlvl) + {NG} * t.si]
+                   || t.pseason[t.idx + 1:24]
+            FROM (
+                SELECT n.event_type, n.i, n.hour, n.mean_value,
+                       s.lvl AS plvl, s.trd AS ptrd,
+                       s.season AS pseason,
+                       ((n.i - 1) % 24) + 1 AS idx,
+                       s.season[((n.i - 1) % 24) + 1] AS si,
+                       s.lvl + s.trd AS lb,
+                       {A} * (n.mean_value
+                              - s.season[((n.i - 1) % 24) + 1])
+                       + {NA} * (s.lvl + s.trd) AS nlvl
+                FROM steps s JOIN indexed n
+                  ON n.event_type = s.event_type AND n.i = s.i + 1
+            ) t
+        )
+        SELECT event_type, hour, forecast, actual, error FROM steps
+    """
 
 
 def _rp_matrix_sql(out_dim: int = 16, dim: int = 64, seed: int = 7) -> str:
@@ -1936,6 +2034,9 @@ def _oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, hour, forecast, actual, error FROM steps
         """,
+        # NEW r15: Holt-Winters additive replay (see
+        # _holt_winters_oracle_sql docstring)
+        "events_holt_winters": _holt_winters_oracle_sql(),
         # NEW r15: EWMA chart replay — z_t and the time-varying limit
         # replayed per row by prefix list_reduce (z starts at the
         # burn-in mu via list_prepend; (1-lam)^{2t} is a repeated-

@@ -180,6 +180,90 @@ def holt_forecast(
     )
 
 
+def holt_winters_forecast(
+    events: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.05,
+    gamma: float = 0.2,
+    period: int = 24,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal forecasting (Winters 1960,
+    "Forecasting Sales by Exponentially Weighted Moving Averages",
+    Management Science — public): level + trend + a ``period``-slot
+    seasonal profile per event_type over the hourly mean series — the
+    daily-seasonality forecaster (period=24) that Holt's method
+    (events_holt_forecast) cannot express. Each row from the second
+    season on reports the one-step-ahead forecast
+    ŷ_t = (l+b) + s_{t−period} and its error.
+
+    Init convention (documented, deliberately simple): l = mean of
+    season 1, b = (mean of season 2 − mean of season 1)/period,
+    s_i = x_i − l over season 1 — all explicit left folds. Recursion:
+    l' = α(x−s) + (1−α)(l+b); b' = β(l'−l) + (1−β)b;
+    s' = γ(x−l') + (1−γ)s.
+
+    Sequential three-state recursion per series → the cusum Arrow
+    kernel discipline. Bit-deterministic cross-engine (the events_cusum
+    toolbox; all 1−α/β/γ COMPUTED): the DuckDB oracle replays it with a
+    recursive CTE whose state carries the seasonal profile as a
+    24-double LIST, rewritten per step by slice concatenation. Series
+    shorter than two seasons emit nothing."""
+    import numpy as np
+    import pandas as pd
+
+    one_a = 1.0 - alpha
+    one_b = 1.0 - beta
+    one_g = 1.0 - gamma
+
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(cast(value as decimal(18,2)) * 100 as long)) as double)"
+            " / cast(count(1) * 100 as double)"
+        ).alias("mean_value")
+    )
+
+    def kernel(key, pdf):
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        x = pdf["mean_value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        cols = ["event_type", "hour", "forecast", "actual", "error"]
+        if n < 2 * period:
+            return pd.DataFrame(columns=cols)
+        acc = 0.0
+        for i in range(period):
+            acc = acc + x[i]
+        m1 = acc / period
+        acc = 0.0
+        for i in range(period, 2 * period):
+            acc = acc + x[i]
+        m2 = acc / period
+        lvl = m1
+        trd = (m2 - m1) / period
+        season = [x[i] - m1 for i in range(period)]
+        rows = []
+        for t in range(period, n):
+            si = season[t % period]
+            lb = lvl + trd
+            fc = lb + si
+            rows.append(
+                (key[0], pdf["hour"].iloc[t], float(fc), float(x[t]),
+                 float(x[t] - fc))
+            )
+            prev = lvl
+            lvl = alpha * (x[t] - si) + one_a * lb
+            trd = beta * (lvl - prev) + one_b * trd
+            season[t % period] = gamma * (x[t] - lvl) + one_g * si
+        return pd.DataFrame(rows, columns=cols)
+
+    return hourly.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, hour timestamp, forecast double, "
+        "actual double, error double",
+    )
+
+
 def interpolate_hourly(events: DataFrame) -> DataFrame:
     """Time-series gap fill with LINEAR interpolation: per event_type, an
     hourly grid between the series' first and last hour; hours with

@@ -2302,3 +2302,52 @@ def test_holt_forecast_matches_recurrence(spark):
         prev = lvl
         lvl = 0.3 * vals[i] + (1.0 - 0.3) * (lvl + trd)
         trd = 0.1 * (lvl - prev) + (1.0 - 0.1) * trd
+
+
+def test_holt_winters_matches_recurrence(spark):
+    """NEW r15 (Winters 1960 additive seasonal): forecasts match a
+    pure-python three-state recurrence bit-exactly over a 3-day hourly
+    series with a planted daily profile; series shorter than two
+    seasons emit nothing."""
+    import datetime
+
+    from datalake_local_spark.operators import windows as ops_windows
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    vals = []
+    for t in range(72):
+        v = 50.0 + (t % 24) * 0.5 + (t // 24) * 2.0 + (t % 7) * 0.01
+        vals.append(round(v, 2))
+        rows.append((t, base + datetime.timedelta(hours=t), 1, "a", round(v, 2), "{}"))
+    rows.append((500, base, 1, "short", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = ops_windows.holt_winters_forecast(df).collect()
+    assert not [r for r in out if r["event_type"] == "short"]
+    got = sorted([r for r in out if r["event_type"] == "a"], key=lambda r: r["hour"])
+    assert len(got) == 72 - 24
+    # reference recurrence (identical op shapes)
+    a_, b_, g_ = 0.3, 0.05, 0.2
+    acc = 0.0
+    for i in range(24):
+        acc += vals[i]
+    m1 = acc / 24
+    acc = 0.0
+    for i in range(24, 48):
+        acc += vals[i]
+    m2 = acc / 24
+    lvl, trd = m1, (m2 - m1) / 24
+    season = [vals[i] - m1 for i in range(24)]
+    for j, t in enumerate(range(24, 72)):
+        si = season[t % 24]
+        lb = lvl + trd
+        fc = lb + si
+        r = got[j]
+        assert r["forecast"] == fc and r["actual"] == vals[t]
+        assert r["error"] == vals[t] - fc
+        prev = lvl
+        lvl = a_ * (vals[t] - si) + (1.0 - a_) * lb
+        trd = b_ * (lvl - prev) + (1.0 - b_) * trd
+        season[t % 24] = g_ * (vals[t] - lvl) + (1.0 - g_) * si
