@@ -1955,7 +1955,9 @@ def _oracle_sql() -> dict[str, str]:
                                        rel := it.rel, nrm := it.nrm,
                                        msel := it.msel,
                                        score := 0.7 * it.rel
-                                                - (1.0 - 0.7) * it.msel))
+                                                - (CAST(1.0 AS DOUBLE)
+                                                   - CAST(0.7 AS DOUBLE))
+                                                  * it.msel))
                                    AS annot
                         FROM steps s
                         WHERE s.rank < 10 AND len(s.state) > 0
@@ -2079,8 +2081,16 @@ def _oracle_sql() -> dict[str, str]:
             ),
             z AS (
                 SELECT n.event_type, n.i, n.hour, p.mu, p.sd,
+                       -- the decay coefficient mirrors the kernel's op
+                       -- shape (one_m = 1.0 - 0.2), not the 0.8 literal:
+                       -- the subtraction happens to round to double(0.8)
+                       -- here, but writing the computed form keeps the
+                       -- parity by construction (r9 hazard: 1.0 - 0.1
+                       -- is NOT double(0.9))
                        list_reduce(list_prepend(p.mu, c.vals[1:n.i]),
-                                   (a, x) -> 0.8 * a + 0.2 * x) AS ewma_z,
+                                   (a, x) -> (CAST(1.0 AS DOUBLE)
+                                              - CAST(0.2 AS DOUBLE)) * a
+                                             + 0.2 * x) AS ewma_z,
                        -- every pure-literal subexpression must be cast
                        -- to DOUBLE: DuckDB evaluates literal-only
                        -- arithmetic in exact DECIMAL (0.8*0.8 = exact
