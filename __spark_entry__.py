@@ -141,9 +141,11 @@ def _q_streaming_semi_join(spark, sf):
 
 
 def _q_streaming_outer_join(spark, sf):
-    """rows-only BY DESIGN: outer emission near the stream tail depends
-    on how far the final watermark advances (withheld, not wrong) — the
-    semi variant carries the hash oracle for this join family."""
+    """Oracle-backed since r16: under this harness the tail emission is
+    deterministic (one data micro-batch + the final no-data batch), so
+    the oracle replays the watermark — unmatched clicks emit iff
+    click_ts + 60min < final watermark (strict; ms-truncated maxima,
+    both bounds probed empirically)."""
     name = f"stream_outer_{next(_stream_counter)}"
     return event_windows.run_streaming_outer_join(spark, sf, query_name=name)
 
@@ -156,9 +158,11 @@ def _q_streaming_trending(spark, sf):
 
 
 def _q_streaming_two_level(spark, sf):
-    """rows-only BY DESIGN: append mode withholds windows the final
-    watermark has not closed (late-but-correct tail, the outer-join
-    contract); chained-stateful parity vs batch asserted in tests."""
+    """Oracle-backed since r16: append mode withholds windows the final
+    watermark has not closed, but under this harness that tail is
+    deterministic (one data micro-batch + the final no-data batch), so
+    the oracle replays it — a window emits iff its end <= final
+    watermark (inclusive; probed at the exact boundary and at -1ms)."""
     name = f"stream_2lvl_{next(_stream_counter)}"
     return event_windows.run_streaming_two_level_agg(spark, sf, query_name=name)
 
@@ -5963,6 +5967,82 @@ def _oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY 1, 2
         """,
         "streaming_tumbling": _TUMBLING_ORACLE,
+        # r16 rows-only -> oracle conversion: the append-mode tail is
+        # DETERMINISTIC under this harness (single-file source -> one
+        # data micro-batch, then the no-data batch advances the
+        # watermark to its final value), so the withheld set replays
+        # exactly. Final watermark = ms-TRUNCATED max event time minus
+        # the delay (probed empirically r16: a max ts of
+        # 14:00:00.000999 does NOT lift the watermark past 12:00); a
+        # 60-min window EMITS iff epoch_ms(window end) <= watermark
+        # (end == wm emits; wm = end - 1ms does not — both probed).
+        # Level-2 needs no separate filter derivation: an emitted w2
+        # has end <= wm, so every level-1 child (end <= w2 end) was
+        # appended in the same batch.
+        "streaming_two_level_agg": """
+            WITH lvl1 AS (
+                SELECT date_trunc('hour', ts)
+                       + to_minutes(CAST(floor(minute(ts)/10)*10 AS BIGINT))
+                         AS w1s,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            w2 AS (
+                SELECT date_trunc('hour', w1s) AS win_start, event_type,
+                       max(n) AS max_10min_n,
+                       CAST(sum(n) AS BIGINT) AS total_n
+                FROM lvl1 GROUP BY 1, 2
+            )
+            SELECT win_start, event_type, max_10min_n, total_n
+            FROM w2, (SELECT (epoch_us(max(ts)) // 1000) * 1000
+                             - 3600000000 AS wm_us
+                      FROM events) wm
+            WHERE epoch_us(win_start) + 3600000000 <= wm.wm_us
+        """,
+        # r16 rows-only -> oracle conversion, same determinism argument
+        # as streaming_two_level_agg: matched pairs emit in the data
+        # batch (nothing is late inside one batch); an UNMATCHED click
+        # emits iff its join-state expired under the FINAL watermark =
+        # min(side maxima, each ms-truncated) - 2h delay, with the
+        # eviction bound STRICT (a click whose last possible match time
+        # equals the watermark stays in state — probed empirically r16
+        # at the exact boundary and at +500us).
+        "streaming_outer_join": """
+            WITH clicks AS (
+                SELECT event_id AS click_id, user_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT event_id AS purchase_id, user_id AS p_user,
+                       ts AS purchase_ts
+                FROM events WHERE event_type = 'purchase'
+            ),
+            wm AS (
+                SELECT least(
+                    (SELECT (epoch_us(max(click_ts)) // 1000) * 1000
+                     FROM clicks),
+                    (SELECT (epoch_us(max(purchase_ts)) // 1000) * 1000
+                     FROM purchases)) - 7200000000 AS wm_us
+            )
+            SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id,
+                   TRUE AS converted
+            FROM clicks c JOIN purchases p
+              ON c.user_id = p.p_user
+             AND p.purchase_ts > c.click_ts
+             AND epoch_us(p.purchase_ts)
+                 <= epoch_us(c.click_ts) + 3600000000
+            UNION ALL
+            SELECT c.click_id, c.user_id, c.click_ts,
+                   CAST(NULL AS BIGINT) AS purchase_id, FALSE AS converted
+            FROM clicks c, wm
+            WHERE epoch_us(c.click_ts) + 3600000000 < wm.wm_us
+              AND NOT EXISTS (
+                  SELECT 1 FROM purchases p
+                  WHERE p.p_user = c.user_id
+                    AND p.purchase_ts > c.click_ts
+                    AND epoch_us(p.purchase_ts)
+                        <= epoch_us(c.click_ts) + 3600000000)
+        """,
         "streaming_trending": """
             WITH counts AS (
                 SELECT date_trunc('hour', ts) AS win_start, event_type,

@@ -554,12 +554,17 @@ def run_streaming_outer_join(
     the TAIL (within watermark delay + join interval of the final
     watermark) stay in state when the query drains and are NOT emitted
     as unmatched — outer results near the stream end are withheld, not
-    wrong (they'd emit when more data advanced the watermark). That
-    emission-timing dependence is why this query is registered
-    rows-only (the semi variant carries the hash oracle); the pytest
-    invariants pin it: matched rows ≡ the inner join, every emitted
-    NULL row is a true batch non-match, and every batch non-match older
-    than the tail horizon IS emitted."""
+    wrong (they'd emit when more data advanced the watermark). Under
+    this harness the withheld set is DETERMINISTIC — the single-file
+    source yields one data micro-batch (no mid-stream drops) and the
+    final no-data batch advances the watermark to
+    min(ms-truncated side maxima) - delay — so since r16 the query is
+    fully oracle-backed: the DuckDB oracle replays the eviction bound
+    (unmatched emits iff click_ts + interval < watermark, STRICT —
+    both the boundary and ms-truncation probed empirically). The
+    pytest invariants still pin the semantics: matched rows ≡ the
+    inner join, every emitted NULL row is a true batch non-match, and
+    every batch non-match older than the tail horizon IS emitted."""
     sub = _stream_session(spark, "2")
     clicks, purchases = _click_purchase_streams(sub, sf_dir)
     joined = clicks.join(
@@ -859,8 +864,13 @@ def run_streaming_two_level_agg(
     Append mode is REQUIRED for chained stateful operators, so windows
     the final watermark has not closed are withheld — tail rows are
     late-but-correct (same contract as the left-outer stream-stream
-    join): rows-only correctness, with streaming ⊆ batch and
-    tail-only-difference asserted in tests.
+    join). Under this harness the withheld tail is DETERMINISTIC (one
+    data micro-batch from the single-file source, then the no-data
+    batch advances the watermark to ms-truncated max ts - 1h), so
+    since r16 the query is fully oracle-backed: a window emits iff
+    its end <= the final watermark (INCLUSIVE — the exact-boundary
+    and -1ms cases probed empirically); streaming ⊆ batch and
+    tail-only-difference remain asserted in tests.
 
     Scale shape: level-1 state is (10-min window × type) counts,
     level-2 re-aggregates level-1's APPEND OUTPUT — state stays

@@ -79,8 +79,6 @@ ROWS_ONLY_REASONS = {
     "sim_pca_project": "driver-side LAPACK eigendecomposition; sign/order conventions are not ANSI-expressible — reconstruction error tested",
     "sim_pq_topk": "driver-trained seeded PQ codebooks; ADC recall vs exact brute force tested",
     "streaming_anomaly": "custom stateful operator (applyInPandasWithState); batch-replay parity tested",
-    "streaming_outer_join": "outer emission near the stream tail depends on watermark advancement (rows-only BY DESIGN, docstring)",
-    "streaming_two_level_agg": "append mode withholds windows the final watermark has not closed (rows-only BY DESIGN, docstring)",
     "text_bpe_encode": "encodes with iteratively learned merges (driver loop); round-trip decode identity tested",
     "text_bpe_merges": "iterative merge-learning driver loop (argmax per round is not one ANSI statement); merge determinism tested",
     "text_chunk_rolling_hash": "content-defined boundaries from a per-byte rolling-hash fold (mapInPandas kernel); reassembly identity + boundary-shift tested",
