@@ -827,8 +827,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_multigrain_rollup": lambda s, d: agg.multigrain_time_rollup(*_t(s, d, "events")),
         "scalar_ip_funcs": lambda s, d: scalars.ip_functions_events(*_t(s, d, "events")),
         "graph_degree_profile": lambda s, d: dedup.dup_graph_degree_profile(*_t(s, d, "documents")),
-        # rows-only: iterative k-ascending peel (not one ANSI statement);
-        # pure-python Batagelj–Zaveršnik reference asserted in tests
+        # oracle-backed since r16: the k-ascending peel replays in a
+        # list-state recursive CTE (coreness is peel-order-invariant);
+        # pure-python Batagelj–Zaveršnik reference still asserted in tests
         "graph_kcore": lambda s, d: dedup.kcore_decomposition(
             *_t(s, d, "documents"), local_threshold=10_000
         ),
@@ -900,8 +901,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_weighted_reservoir": lambda s, d: llm_pipeline.weighted_reservoir_sample(*_t(s, d, "documents")),
         "dedup_url_canonical": lambda s, d: scalars.url_canonical_dedup(*_t(s, d, "orders")),
         "scd2_asof_snapshot": _q_scd2_asof,
-        # rows-only (iterative mode-vote fixpoint — not SQL-expressible):
-        # sync-LPA with total-order tie-break; pure-python replay test
+        # oracle-backed since r16: the synchronous rounds replay in a
+        # list-state recursive CTE (deterministic min-label tie-break,
+        # positional label-vector termination); python replay test kept
         "graph_lpa_communities": lambda s, d: dedup.lpa_communities(
             *_t(s, d, "documents"), local_threshold=20_000
         ),
@@ -1080,6 +1082,42 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ------------------------------------------------------------- oracle SQL
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+#: Shared exact-Jaccard pair feed (doc_id < 100, t = 0.8) as CTE text —
+#: the same inverted-index verifier the dedup_ngram_jaccard oracle
+#: certifies (and dedup._harness_pair_feed computes Spark-side); the
+#: graph fixpoint oracles below replay their driver loops over it.
+_PAIR_FEED_CTES = f"""
+            docs AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents
+                WHERE doc_id < 100
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split(norm, ' ')) AS token
+                FROM docs
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common
+                FROM toks a
+                JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE round(CAST(n_common AS DOUBLE)
+                            / (sa.n + sb.n - n_common), 6) >= 0.8
+            ),
+            edges0 AS (
+                SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION ALL
+                SELECT doc_b AS s, doc_a AS d FROM pairs
+            )
+"""
 
 
 def _holt_winters_oracle_sql() -> str:
@@ -2754,6 +2792,126 @@ def _oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+        """,
+        # r16 rows-only -> oracle conversion (list-state recursive CTE,
+        # the r15 technique applied to a DISTRIBUTED FIXPOINT): the
+        # k-ascending Batagelj-Zaversnik peel replays with state =
+        # (k, live edge list, live node list, assigned corenesses) in
+        # ONE recursive row. Coreness is peel-ORDER-INVARIANT (Seidman
+        # 1983), so the CTE peels one stabilization pass per step and
+        # skips the Spark side's peel-jump optimization without
+        # changing any value; the max_k=20 cap replays exactly (a node
+        # peeled at k gets k-1; survivors past k=20 get 20). The pair
+        # feed is the certified exact-Jaccard verifier — no seeded
+        # state anywhere, so the index AND the fixpoint both red the
+        # row on defect.
+        "graph_kcore": f"""
+            WITH RECURSIVE {_PAIR_FEED_CTES},
+            init AS (
+                SELECT 1 AS k,
+                       list(struct_pack(s := s, d := d)) AS edges,
+                       list_sort(list_distinct(list(s))) AS live,
+                       CAST([] AS STRUCT(id BIGINT, c BIGINT)[]) AS outl
+                FROM edges0
+            ),
+            peel AS (
+                SELECT k, edges, live, outl FROM init
+                UNION ALL
+                SELECT CASE WHEN len(t.weak) > 0 THEN t.k
+                            ELSE t.k + 1 END AS k,
+                       CASE WHEN len(t.weak) > 0
+                            THEN list_filter(t.edges, e ->
+                                     NOT list_contains(t.weak, e.s)
+                                 AND NOT list_contains(t.weak, e.d))
+                            ELSE t.edges END AS edges,
+                       CASE WHEN len(t.weak) > 0
+                            THEN list_filter(t.live, u ->
+                                     NOT list_contains(t.weak, u))
+                            ELSE t.live END AS live,
+                       CASE WHEN len(t.weak) > 0
+                            THEN t.outl || list_transform(t.weak, u ->
+                                     struct_pack(id := u,
+                                         c := CAST(t.k - 1 AS BIGINT)))
+                            ELSE t.outl END AS outl
+                FROM (
+                    SELECT p.k, p.edges, p.live, p.outl,
+                           list_filter(p.live, u ->
+                               len(list_filter(p.edges,
+                                   e -> e.s = u)) < p.k) AS weak
+                    FROM peel p
+                    WHERE p.k <= 20 AND len(p.live) > 0
+                ) t
+            )
+            SELECT struct_extract(u, 'id') AS doc_id,
+                   struct_extract(u, 'c') AS coreness
+            FROM (
+                SELECT unnest(outl || list_transform(live, v ->
+                           struct_pack(id := v,
+                               c := CAST(20 AS BIGINT)))) AS u
+                FROM peel
+                WHERE k > 20 OR len(live) = 0
+            )
+        """,
+        # r16 rows-only -> oracle conversion: synchronous LPA (Raghavan
+        # 2007, the deterministic min-label tie-break variant) replays
+        # with state = the full (id, nbrs, label) list in one recursive
+        # row. Per round the arm computes neighbor-label lists ONCE in
+        # a nested derived table (the recursive ref appears exactly
+        # once), then each node adopts the (count DESC, label ASC)
+        # argmax via list_reduce with the full tie-break in the compare;
+        # termination = label vector unchanged (positional list
+        # equality — both engines iterate a fixed node order) or 10
+        # rounds, exactly the Spark loop's break condition.
+        "graph_lpa_communities": f"""
+            WITH RECURSIVE {_PAIR_FEED_CTES},
+            adj AS (
+                SELECT s AS id, list(d ORDER BY d) AS nbrs
+                FROM edges0 GROUP BY s
+            ),
+            init AS (
+                SELECT 0 AS it, TRUE AS go,
+                       list(struct_pack(id := id, nbrs := nbrs,
+                                        lab := id) ORDER BY id) AS st
+                FROM adj
+            ),
+            rounds AS (
+                SELECT it, go, st FROM init
+                UNION ALL
+                SELECT t.it + 1 AS it, t.newst <> t.st AS go,
+                       t.newst AS st
+                FROM (
+                    SELECT u.it, u.st,
+                           list_transform(u.st, (n, i) -> struct_pack(
+                               id := n.id, nbrs := n.nbrs,
+                               lab := struct_extract(list_reduce(
+                                   list_transform(u.labs[i], c ->
+                                       struct_pack(lab := c,
+                                           cnt := len(list_filter(
+                                               u.labs[i], x -> x = c)))),
+                                   (a, c) -> CASE
+                                       WHEN c.cnt > a.cnt
+                                         OR (c.cnt = a.cnt
+                                             AND c.lab < a.lab)
+                                       THEN c ELSE a END),
+                                   'lab'))) AS newst
+                    FROM (
+                        SELECT r.it, r.st,
+                               list_transform(r.st, n ->
+                                   list_transform(n.nbrs, m ->
+                                       struct_extract(list_filter(r.st,
+                                           l -> l.id = m)[1], 'lab')))
+                                 AS labs
+                        FROM rounds r WHERE r.go AND r.it < 10
+                    ) u
+                ) t
+            )
+            SELECT struct_extract(n, 'lab') AS community_id,
+                   count(*) AS n_members,
+                   min(struct_extract(n, 'id')) AS min_member,
+                   max(struct_extract(n, 'id')) AS max_member
+            FROM (SELECT unnest(st) AS n FROM rounds
+                  WHERE (NOT go) OR it = 10)
+            GROUP BY 1
         """,
         "dedup_containment": f"""
             WITH docs AS (

@@ -1975,8 +1975,11 @@ def kcore_decomposition(
     ``localCheckpoint`` + release keeps the plan flat (the
     duplicate_components fixpoint discipline), and the driver sees one
     count per pass (bounded). Peeling stops when the graph empties or
-    ``max_k`` caps pathological density. Iterative → no SQL oracle;
-    rows-only registration with a pure-python peeling reference test
+    ``max_k`` caps pathological density. Oracle-backed since r16:
+    coreness is peel-ORDER-INVARIANT, so a DuckDB list-state recursive
+    CTE replays the peel over the certified exact-Jaccard pair feed and
+    hash-matches exactly (the peel-jump here is a pure optimization the
+    oracle may skip); the pure-python peeling reference test remains
     (tests/test_llm.py::test_kcore_matches_pure_python_reference).
 
     ``pairs`` is injectable like :func:`pagerank_dup_graph` — at scale,
@@ -2850,9 +2853,11 @@ def lpa_communities(
     Scale shape: per round, one (node,label)-grain count aggregate and
     one ranked pick — all edge/node-grain relations; labels frames are
     localCheckpointed per round with eager release (the pagerank/
-    components lineage discipline). Iterative + mode-based → not
-    SQL-expressible; registered rows-only with a pure-python reference
-    test.
+    components lineage discipline). Oracle-backed since r16: the
+    deterministic variant (synchronous rounds + total-order tie-break
+    + fixed round cap) replays in a DuckDB list-state recursive CTE —
+    all-integer state, so no float-accumulation hazard — and
+    hash-matches exactly; the pure-python reference test remains.
 
     Output: one row per community — label, n_members, min/max member.
 

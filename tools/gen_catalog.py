@@ -67,9 +67,7 @@ ROWS_ONLY_REASONS = {
     "dedup_minhash_lsh": "seeded MinHash signatures (xxhash64 permutations) have no ANSI twin; planted near-dup recall tested",
     "dedup_semantic": "seeded iterative KMeans state (SemDeDup); centroid determinism + planted-cluster behavior tested",
     "dedup_simhash": "fingerprints built on Spark-internal xxhash64; recall pigeonhole bound + planted pairs tested",
-    "graph_kcore": "iterative peel-to-fixpoint (driver loop); peel order invariance + degeneracy bound tested",
-    "graph_lpa_communities": "iterative synchronous label propagation fixpoint; seeded tie-breaks, stability tested",
-    "graph_pagerank": "iterative power method to tolerance; rank-sum conservation + convergence tested",
+    "graph_pagerank": "iterative power method to tolerance: the float recursion is fold-exact in principle but each round's matvec is engine-accumulation-ordered (not a left fold); rank-sum conservation + convergence tested",
     "mm_audio_features": "WAV byte-layout decode inside Arrow kernels; no ANSI binary decode — golden-file parity tested",
     "pipeline_corpus_prep_neardup": "embeds the seeded MinHash near-dup stage; stage-wise funnel counts tested",
     "pipeline_mixture_neardup": "embeds the seeded MinHash near-dup stage; mixture weights + budget invariants tested",
