@@ -523,8 +523,21 @@ def run_streaming_semi_join(
     the batch LEFT SEMI theta-join exactly → hash oracle. State: left
     rows buffer only until matched or expired by the event-time bound;
     same 2-partition two-store sizing as the inner variant
-    (see run_streaming_stream_join for the r12 commit-cost measurements)."""
+    (see run_streaming_stream_join for the r12 commit-cost measurements).
+
+    Because every emission happens in the batch its match arrives in,
+    the trailing NO-DATA micro-batch (whose only job is advancing the
+    watermark to evict state — output-relevant for outer joins and
+    append-mode aggregations, NOT here) is pure overhead on a draining
+    availableNow run: the r16 floor decomposition measured it at
+    ~0.7 s of the 2.1-2.4 s wall (trigger 677 ms: addBatch 495 +
+    planning ~100 + stateCommit 293 on an EMPTY batch). Disabling
+    ``noDataMicroBatches`` in this run's child session halves the
+    machinery floor with an identical result set; long-lived
+    deployments of this query should leave it ON (state eviction is
+    what bounds the stores between restarts)."""
     sub = _stream_session(spark, "2")
+    sub.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     clicks, purchases = _click_purchase_streams(sub, sf_dir)
     joined = clicks.join(
         purchases, _interval_join_cond(within_minutes), "left_semi"
@@ -606,8 +619,15 @@ def run_streaming_stream_join(
     measurement at sf0.1: 4 partitions → 4.1-8.4 s wall / 2.3-3.1 s
     summed commitTimeMs; 2 partitions → 2.8-3.4 s wall / ~0.6 s
     commit. At production scale size to join-state volume instead,
-    and keep it stable under the checkpoint."""
+    and keep it stable under the checkpoint.
+
+    Inner-join emission is match-time, so the trailing no-data
+    micro-batch only evicts state — disabled here for the draining
+    availableNow run (same adjudication as run_streaming_semi_join,
+    r16 floor decomposition in SCALE.md); keep it on in long-lived
+    deployments."""
     sub = _stream_session(spark, "2")
+    sub.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     clicks, purchases = _click_purchase_streams(sub, sf_dir)
     joined = clicks.join(
         purchases, _interval_join_cond(within_minutes)
