@@ -855,6 +855,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seasonal forecasting, daily (period-24) profile; three-state
         # recursive-CTE oracle with the seasonal LIST as state
         "events_holt_winters": lambda s, d: windows.holt_winters_forecast(*_t(s, d, "events")),
+        # NEW r16 (r15 verdict #7): Ljung-Box on the Holt-Winters
+        # one-step residuals — forecast-residual diagnostics closing
+        # the forecasting family; fold-exact over bit-identical
+        # residuals, oracle shares the HW recursion verbatim
+        "events_hw_residual_diag": lambda s, d: quality.hw_residual_ljung_box(*_t(s, d, "events")),
         "dq_theil_sen": lambda s, d: quality.theil_sen_slope(*_t(s, d, "orders")),
         "dq_ks_test": lambda s, d: quality.ks_two_sample(*_t(s, d, "orders")),
         "dq_column_diff": lambda s, d: ivm.column_diff_profile(*_t(s, d, "orders")),
@@ -1120,7 +1125,11 @@ _PAIR_FEED_CTES = f"""
 """
 
 
-def _holt_winters_oracle_sql() -> str:
+def _holt_winters_oracle_sql(
+    final_select: str = (
+        "SELECT event_type, hour, forecast, actual, error FROM steps"
+    ),
+) -> str:
     """Holt-Winters additive replay (windows.holt_winters_forecast):
     a recursive CTE whose state is (level, trend, 24-double seasonal
     LIST) — the seasonal slot is rewritten per step by slice
@@ -1129,7 +1138,11 @@ def _holt_winters_oracle_sql() -> str:
     constant is a COMPUTED double cast (DuckDB literal-only arithmetic
     is DECIMAL; 1.0-x can round to a different neighbor than the
     short literal). The new level is computed once in a nested derived
-    table so trend and season updates reference it."""
+    table so trend and season updates reference it.
+
+    ``final_select`` lets derived oracles (r16: the residual Ljung-Box
+    diagnostics) append their own CTEs after ``steps`` and replace the
+    published projection — the recursion itself is shared verbatim."""
     A = "CAST(0.3 AS DOUBLE)"
     NA = f"(CAST(1.0 AS DOUBLE) - {A})"
     B = "CAST(0.05 AS DOUBLE)"
@@ -1209,7 +1222,7 @@ def _holt_winters_oracle_sql() -> str:
                   ON n.event_type = s.event_type AND n.i = s.i + 1
             ) t
         )
-        SELECT event_type, hour, forecast, actual, error FROM steps
+        {final_select}
     """
 
 
@@ -2081,6 +2094,73 @@ def _oracle_sql() -> dict[str, str]:
         # NEW r15: Holt-Winters additive replay (see
         # _holt_winters_oracle_sql docstring)
         "events_holt_winters": _holt_winters_oracle_sql(),
+        # NEW r16: Ljung-Box over the SAME recursive-CTE residuals the
+        # events_holt_winters oracle replays; every aggregate an
+        # explicit 0.0-init left fold in series order (quality.
+        # hw_residual_ljung_box docstring), rho/Q unrounded, and the
+        # reject cutoff parsed from the identical decimal string
+        # (CAST(str AS DOUBLE) = strtod = python float parse).
+        "events_hw_residual_diag": _holt_winters_oracle_sql(
+            final_select="""
+            , per AS (
+                SELECT event_type, list(error ORDER BY hour) AS errs
+                FROM steps GROUP BY event_type
+            ),
+            base AS (
+                SELECT event_type, errs, len(errs) AS n_obs,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                errs), (a, x) -> a + x)
+                         / CAST(len(errs) AS DOUBLE) AS m
+                FROM per WHERE len(errs) > 6
+            ),
+            devd AS (
+                SELECT event_type, n_obs,
+                       list_transform(errs, x -> x - m) AS devs
+                FROM base
+            ),
+            sums AS (
+                SELECT event_type, n_obs,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(devs, d -> d * d)),
+                           (a, x) -> a + x) AS den,
+                       """
+            + ",\n                       ".join(
+                "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+                f" list_transform(list_zip(devs[1:n_obs - {k}],"
+                f" devs[{k + 1}:n_obs]), z -> z[1] * z[2])),"
+                f" (a, x) -> a + x) AS num_{k}"
+                for k in range(1, 7)
+            )
+            + """
+                FROM devd
+            ),
+            rhos AS (
+                SELECT event_type, n_obs, CAST(n_obs AS DOUBLE) AS nd,
+                       """
+            + ",\n                       ".join(
+                f"num_{k} / den AS rho_{k}" for k in range(1, 7)
+            )
+            + """
+                FROM sums
+            )
+            SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs,
+                   rho_1, rho_2, rho_3, rho_4, rho_5, rho_6,
+                   (nd * (nd + 2)) * (rho_1 * rho_1 / (nd - 1)
+                       + rho_2 * rho_2 / (nd - 2)
+                       + rho_3 * rho_3 / (nd - 3)
+                       + rho_4 * rho_4 / (nd - 4)
+                       + rho_5 * rho_5 / (nd - 5)
+                       + rho_6 * rho_6 / (nd - 6)) AS q_stat,
+                   (nd * (nd + 2)) * (rho_1 * rho_1 / (nd - 1)
+                       + rho_2 * rho_2 / (nd - 2)
+                       + rho_3 * rho_3 / (nd - 3)
+                       + rho_4 * rho_4 / (nd - 4)
+                       + rho_5 * rho_5 / (nd - 5)
+                       + rho_6 * rho_6 / (nd - 6))
+                   > CAST('12.591587243743977' AS DOUBLE) AS lb_reject
+            FROM rhos
+            """
+        ),
         # NEW r15: EWMA chart replay — z_t and the time-varying limit
         # replayed per row by prefix list_reduce (z starts at the
         # burn-in mu via list_prepend; (1-lam)^{2t} is a repeated-

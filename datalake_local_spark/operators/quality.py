@@ -1473,3 +1473,93 @@ def ljung_box_test(orders: DataFrame, h: int = 7) -> DataFrame:
         *[rho[k - 1].alias(f"rho_{k}") for k in range(1, h + 1)],
         (q * terms).alias("q_stat"),
     )
+
+
+#: chi-square 0.95 quantile at 6 dof — the standard Ljung-Box cutoff
+#: for h = 6 lags (Ljung & Box 1978 use the chi2(h) null). Embedded as
+#: the same decimal string in the DuckDB oracle (CAST(str AS DOUBLE) =
+#: strtod = python float parse → identical double), so the reject flag
+#: compares bit-identical statistics against the identical constant.
+_CHI2_95_DOF6 = 12.591587243743977
+
+
+def hw_residual_ljung_box(events: DataFrame, h: int = 6) -> DataFrame:
+    """Forecast-residual diagnostics: the Ljung-Box portmanteau test
+    (Ljung & Box 1978) applied to the ONE-STEP-AHEAD residuals of the
+    Holt-Winters additive fit (windows.holt_winters_forecast) — the
+    textbook "is there structure the seasonal fit missed?" check that
+    closes the forecasting family (EWMA → Holt → Holt-Winters →
+    residual diagnostics). A well-specified fit leaves white-noise
+    residuals: significant lag-k autocorrelation means the smoothing
+    constants or the period are wrong. One row per event_type series:
+    n_obs, rho_1..rho_h, Q, and the chi2(h) 5% reject flag.
+
+    Determinism (the r15/r16 fold toolbox, applied to DOUBLE inputs):
+    the residuals are already bit-identical cross-engine (the
+    events_holt_winters recursion), and every aggregate here is an
+    EXPLICIT LEFT FOLD over the hour-ordered residual list — mean,
+    squared-deviation denominator, and each lag-k cross product
+    (zip_with over aligned slices) start from 0.0 and add in series
+    order, so Spark's aggregate() and DuckDB's list_reduce(prepend)
+    produce the same doubles bit-for-bit; each rho_k is ONE double
+    division, Q is one fixed-shape expression tree, and nothing is
+    rounded (unrounded doubles are the hash-safe form). Engine-ordered
+    float aggregation — the audited hazard — never occurs.
+
+    Scale shape: the fit is the existing applyInPandas recursion (per
+    event_type partitions); the diagnostics collapse each series to
+    ONE row via collect_list over the (bounded-by-calendar) hourly
+    grain — a per-series fold, never a global window. At 100 TB the
+    series count scales, not the series length, and each fold stays
+    a few thousand doubles."""
+    from datalake_local_spark.operators.windows import holt_winters_forecast
+
+    hw = holt_winters_forecast(events)
+    per = (
+        hw.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("hour", "error"))).alias(
+                "pts"
+            )
+        )
+        .select(
+            "event_type", F.expr("transform(pts, p -> p.error)").alias("errs")
+        )
+        .withColumn("n_obs", F.size("errs"))
+        .filter(F.col("n_obs") > h)
+        .withColumn(
+            "m",
+            F.expr("aggregate(errs, 0D, (a, x) -> a + x)")
+            / F.col("n_obs").cast("double"),
+        )
+        .withColumn("devs", F.expr("transform(errs, x -> x - m)"))
+        .withColumn(
+            "den",
+            F.expr(
+                "aggregate(transform(devs, d -> d * d), 0D,"
+                " (a, x) -> a + x)"
+            ),
+        )
+    )
+    for k in range(1, h + 1):
+        per = per.withColumn(
+            f"num_{k}",
+            F.expr(
+                f"aggregate(zip_with(slice(devs, 1, n_obs - {k}),"
+                f" slice(devs, {k + 1}, n_obs - {k}),"
+                " (a, b) -> a * b), 0D, (a, x) -> a + x)"
+            ),
+        )
+    rho = [F.col(f"num_{k}") / F.col("den") for k in range(1, h + 1)]
+    nd = F.col("n_obs").cast("double")
+    terms = rho[0] * rho[0] / (nd - 1)
+    for k in range(2, h + 1):
+        terms = terms + rho[k - 1] * rho[k - 1] / (nd - F.lit(float(k)))
+    q = (nd * (nd + 2)) * terms
+    return per.select(
+        "event_type",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        *[rho[k - 1].alias(f"rho_{k}") for k in range(1, h + 1)],
+        q.alias("q_stat"),
+        (q > F.lit(_CHI2_95_DOF6)).alias("lb_reject"),
+    )
