@@ -272,81 +272,80 @@ def _q_cube_request(spark, sf):
 
 
 # Certification-window rotation: the driver oracle-checks the FIRST 50
-# ``queries()`` entries each round (cap confirmed in r3/r4).  Round 15
-# window per the r14 verdict #2: (a) queries whose code/oracle CHANGED
-# this round at the head (the rows-only -> oracle conversions of r14
-# verdict #3 and any new r15 queries), then (b) the stale cohort the
-# r13/r14 verdicts both named — the 7 r5-cohort names and the 41-name
-# r6 cohort, whose last driver-window rows date to rounds 5/6.  Names
-# that do not fit the 50-slot cap are tracked in the tail comment for
-# the r16 queue and exact-checked locally this round (SWEEP_r15.log).
+# ``queries()`` entries each round (cap confirmed in r3/r4).  Round 16
+# window per the r15 verdict #1: (a) the holt pair at the head (NEW
+# r15 post-window — no driver row yet), then every name whose code or
+# oracle CHANGED in r16 (changed queries outrank rotation per r13-r15),
+# then (b) the 12 names the r15 head displaced (driver rows still
+# r6-era), then (c) the r7 cohort by driver-row age, as many as fit.
+# Names that do not fit the 50-slot cap are tracked in the tail
+# comment for the r17 queue and exact-checked locally this round
+# (SWEEP_r16.log).
 _CERTIFY_FIRST = [
-    # ---- code/oracle CHANGED in round 15 (rows-only -> oracle
-    # conversions; changed queries outrank rotation per r13/r14) ----
-    "events_ewma",  # r15: fixed-order recursion -> closed-form oracle
-    "text_frequent_tokens",  # r15: exact-count panel -> full oracle
-    "sim_random_projection",  # r15: seeded hyperplanes as SQL literals
-    "agg_approx_percentiles",  # r15: GK-bound certificate vs exact quantiles
-    "events_cusum",  # r15: bit-deterministic recursion -> recursive-CTE oracle
-    "events_lttb",  # r15: integer buckets + fold centroids -> CTE replay
-    "agg_approx_distinct",  # r15: exact counts + HLL/GK certificates
-    "agg_hll_sketch_rollup",  # r15: exact rollup + estimate certificate
-    "sim_mmr_diversify",  # r15: fold-exact greedy -> list-state CTE replay
-    "sim_kcenter_coreset",  # r15: farthest-point -> list-state CTE replay
-    "sim_cosine_topk_lsh",  # r15: shared-literal index -> full SQL replay
-    "sim_cosine_topk_lsh_multiprobe",  # r15: xor-probe replay
-    # ---- NEW in round 15 ----
-    "streaming_session_dynamic_gap",  # NEW r15: CASE-gap session_window
-    "streaming_statestore_rocksdb",  # NEW r15: RocksDB state-store parity
-    "dq_ewma_chart",  # NEW r15: EWMA control chart, SPC trio complete
-    # ---- stale r5 cohort: last driver-window certification round 5 ----
-    "agg_argmax",
-    "agg_conditional",
-    "agg_grouping_sets",
-    "null_handling",
-    "window_lag_lead",
-    "window_rank",
-    "window_range_frame",
-    # ---- stale r6 cohort: last driver-window certification round 6
-    # (agg_hll_sketch_rollup moved to the changed-code head above) ----
-    "agg_rollup",
-    "dedup_components_chain",
-    "dedup_cross_source",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_forward_fill",
-    "events_transition_matrix",
-    "flagship_revenue_month_region",
-    "join_asof",
-    "join_asof_merge",
-    "join_broadcast",
-    "join_inner",
-    "join_left_agg",
-    "join_range_bucketized",
-    "join_semi",
-    "join_theta_pairs",
-    "mm_audio_features",
-    "pipeline_corpus_prep",
-    "pipeline_corpus_prep_neardup",
-    "pipeline_mixture_neardup",
-    "pipeline_train_split",
-    "pipeline_weighted_sample",
-    "sim_pca_project",
-    "sql_recursive_spine",
-    "streaming_static_enrich",
-    # r16 queue: events_holt_forecast + events_holt_winters HEAD it
-    # (NEW r15 post-window — 3-SF local certs in SWEEP_r15.log, no
-    # driver row yet, the r12 precedent), then the names displaced from
-    # this 50-slot window by the r15 head slots (each exact-checked
-    # locally — SWEEP_r15.log):
-    # text_bm25_search, text_corpus_qa_report, text_dup_ngrams, text_lang_id,
-    # text_langid_confusion, text_pii_scrub, text_pmi_pairs,
-    # text_quality, text_tfidf_top_terms, text_unigram_logprob,
-    # text_zipf_profile, tpch_rfm_segments. Then the r7 cohort by
-    # driver-row age.
+    # ---- no driver row yet (registered post-window in r15) ----
+    "events_holt_forecast",
+    "events_holt_winters",
+    # ---- NEW in round 16 ----
+    "events_hw_residual_diag",  # Ljung-Box on HW residuals (verdict #7)
+    # ---- code/oracle CHANGED in round 16 ----
+    "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
+    "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
+    "streaming_two_level_agg",  # r16: rows-only -> watermark-replay oracle
+    "streaming_outer_join",  # r16: rows-only -> watermark-replay oracle
+    "graph_kcore",  # r16: rows-only -> list-state peel-replay oracle
+    "graph_lpa_communities",  # r16: rows-only -> list-state LPA oracle
+    "streaming_semi_join",  # r16: no-data micro-batch disabled (drain)
+    "streaming_stream_join",  # r16: no-data micro-batch disabled (drain)
+    "tpch_basket_affinity",  # r16: min-support prune below the pair join
+    # ---- displaced from the r15 window; driver rows r6-era ----
+    "text_bm25_search",
+    "text_corpus_qa_report",
+    "text_dup_ngrams",
+    "text_lang_id",
+    "text_langid_confusion",
+    "text_pii_scrub",
+    "text_pmi_pairs",
+    "text_quality",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "text_zipf_profile",
+    "tpch_rfm_segments",
+    # ---- r7 cohort (driver rows round 7), by name; the 16 that do
+    # not fit are queued for r17 below ----
+    "agg_bitmap_distinct",
+    "agg_boolean_funcs",
+    "dedup_band_index_probe",
+    "dedup_bloom_incremental",
+    "dedup_kmv_overlap",
+    "dedup_semantic",
+    "dq_batch_drift",
+    "dq_join_estimate",
+    "dq_key_skew",
+    "events_interpolate_hourly",
+    "fmt_orc_scan",
+    "fmt_schema_evolution",
+    "mm_audio_metadata",
+    "mm_video_metadata",
+    "pandas_arrow_bytes",
+    "pipeline_decontaminate",
+    "pipeline_global_shuffle",
+    "pipeline_mixture_build",
+    "pipeline_snapshot_diff",
+    "scalar_try_funcs",
+    "semantic_cube_request",
+    "sim_cosine_topk_ivf",
+    "sim_hard_negatives",
+    "sim_ivf_partitioned_probe",
+    "sim_knn_label_transfer",
+    "sim_pq_topk",
+    # r17 queue: the 16 r7-cohort names this 50-slot window could not
+    # hold (each exact-checked locally this round — SWEEP_r16.log):
+    # sim_quantize_dim_minmax, sim_range_search, sql_correlated_exists,
+    # sql_lateral_topn, streaming_trending, text_bpe_encode,
+    # text_bpe_merges, text_compression_ratio, text_encoding_quality,
+    # text_feature_hashing, text_lang_buckets, text_repetition_signals,
+    # text_segment_dedup, text_span_corruption, text_span_coverage,
+    # tpch_min_cost_supplier. Then the r8 cohort by driver-row age.
 ]
 
 
