@@ -297,6 +297,7 @@ _CERTIFY_FIRST = [
     "streaming_semi_join",  # r16: no-data micro-batch disabled (drain)
     "streaming_stream_join",  # r16: no-data micro-batch disabled (drain)
     "tpch_basket_affinity",  # r16: min-support prune below the pair join
+    "graph_pagerank",  # r16: fold-deterministic kernel -> full CTE oracle
     # ---- displaced from the r15 window; driver rows r6-era ----
     "text_bm25_search",
     "text_corpus_qa_report",
@@ -337,15 +338,15 @@ _CERTIFY_FIRST = [
     "sim_hard_negatives",
     "sim_ivf_partitioned_probe",
     "sim_knn_label_transfer",
-    "sim_pq_topk",
-    # r17 queue: the 16 r7-cohort names this 50-slot window could not
+    # r17 queue: the 17 r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
-    # sim_quantize_dim_minmax, sim_range_search, sql_correlated_exists,
-    # sql_lateral_topn, streaming_trending, text_bpe_encode,
-    # text_bpe_merges, text_compression_ratio, text_encoding_quality,
-    # text_feature_hashing, text_lang_buckets, text_repetition_signals,
-    # text_segment_dedup, text_span_corruption, text_span_coverage,
-    # tpch_min_cost_supplier. Then the r8 cohort by driver-row age.
+    # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
+    # sql_correlated_exists, sql_lateral_topn, streaming_trending,
+    # text_bpe_encode, text_bpe_merges, text_compression_ratio,
+    # text_encoding_quality, text_feature_hashing, text_lang_buckets,
+    # text_repetition_signals, text_segment_dedup, text_span_corruption,
+    # text_span_coverage, tpch_min_cost_supplier. Then the r8 cohort by
+    # driver-row age.
 ]
 
 
@@ -2991,6 +2992,89 @@ def _oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(st) AS n FROM rounds
                   WHERE (NOT go) OR it = 10)
             GROUP BY 1
+        """,
+        # r16 rows-only -> oracle conversion (the 6th this round; the
+        # r15 "terminal: distributed fixpoint" adjudication REVISED):
+        # the harness path is the local power method, which r16 made
+        # bit-deterministic — sorted neighbor folds, computed 1-d,
+        # unrounded ranks — so the whole float recursion INCLUDING the
+        # adaptive delta cadence (measure every 3rd round until
+        # last_delta < 10*tol, then every round; stop at delta < tol or
+        # 30 rounds) replays in a list-state recursive CTE. State =
+        # (it, stopped, loc_last, rank vector aligned to sorted ids);
+        # per-node in-mass folds over pre-resolved (rank position,
+        # outdegree) neighbor structs.
+        "graph_pagerank": f"""
+            WITH RECURSIVE {_PAIR_FEED_CTES},
+            deg AS (SELECT s AS id, count(*) AS od FROM edges0 GROUP BY s),
+            idl AS (
+                SELECT list(id ORDER BY id) AS ids, count(*) AS n FROM deg
+            ),
+            nbr AS (
+                SELECT e.d AS id,
+                       list(struct_pack(
+                           pos := list_position(i.ids, e.s),
+                           od := dg.od) ORDER BY e.s) AS ins
+                FROM edges0 e
+                JOIN deg dg ON dg.id = e.s
+                CROSS JOIN idl i
+                GROUP BY e.d
+            ),
+            topo AS (
+                SELECT i.ids, i.n,
+                       list(struct_pack(id := nb.id, ins := nb.ins)
+                            ORDER BY nb.id) AS nodes
+                FROM nbr nb CROSS JOIN idl i GROUP BY i.ids, i.n
+            ),
+            pr AS (
+                SELECT 0 AS it, FALSE AS stopped,
+                       CAST(NULL AS DOUBLE) AS loc_last,
+                       ids, n, nodes,
+                       list_transform(ids, x ->
+                           CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE))
+                         AS ranks
+                FROM topo
+                UNION ALL
+                SELECT t.it + 1,
+                       coalesce(t.measure AND t.delta < 1e-4, FALSE),
+                       CASE WHEN t.measure THEN t.delta
+                            ELSE t.loc_last END,
+                       t.ids, t.n, t.nodes, t.newranks
+                FROM (
+                    SELECT u.it, u.ids, u.n, u.nodes, u.loc_last,
+                           u.measure, u.newranks,
+                           CASE WHEN u.measure THEN
+                               list_reduce(list_prepend(
+                                   CAST(0.0 AS DOUBLE),
+                                   list_transform(
+                                       list_zip(u.newranks, u.ranks),
+                                       z -> abs(z[1] - z[2]))),
+                                   (a, x) -> a + x)
+                           ELSE NULL END AS delta
+                    FROM (
+                        SELECT p.*,
+                               list_transform(p.nodes, nd ->
+                                   (CAST(1.0 AS DOUBLE)
+                                    - CAST(0.85 AS DOUBLE))
+                                   / CAST(p.n AS DOUBLE)
+                                   + CAST(0.85 AS DOUBLE)
+                                     * list_reduce(list_prepend(
+                                           CAST(0.0 AS DOUBLE),
+                                           list_transform(nd.ins, e ->
+                                               p.ranks[e.pos]
+                                               / CAST(e.od AS DOUBLE))),
+                                           (a, x) -> a + x)) AS newranks,
+                               ((p.it % 3) = 2
+                                OR (p.loc_last IS NOT NULL
+                                    AND p.loc_last < 10 * 1e-4)
+                                OR p.it = 29) AS measure
+                        FROM pr p
+                        WHERE NOT p.stopped AND p.it < 30
+                    ) u
+                ) t
+            )
+            SELECT unnest(ids) AS doc_id, unnest(ranks) AS pagerank
+            FROM pr WHERE stopped OR it = 30
         """,
         "dedup_containment": f"""
             WITH docs AS (

@@ -1797,8 +1797,12 @@ def pagerank_dup_graph(
     persisted LSH band index as components (tested); the default is the
     harness-bounded exact-Jaccard verifier.
 
-    Not ANSI-expressible as one statement (iterative) → no oracle
-    entry; registered rows-only."""
+    Oracle-backed since r16: the harness (local) path is
+    bit-deterministic — sorted-neighbor left folds, computed 1−d,
+    unrounded ranks — so a DuckDB list-state recursive CTE replays the
+    whole float recursion INCLUDING the adaptive delta cadence and
+    hash-matches exactly; the distributed path keeps engine-ordered
+    sums (last-ulp nondeterminism, covered by the 2e-6 parity band)."""
     if pairs is None:
         pairs = _harness_pair_feed(documents)
     edges = pairs.select(
@@ -1825,28 +1829,38 @@ def pagerank_dup_graph(
         # micro-data. Identical update rule AND identical stopping
         # CADENCE (delta measured every third round until last_delta
         # < 10·tol, exactly like the distributed loop below) — both
-        # paths therefore run the same number of power iterations, so
-        # the only divergence left is shuffle-order float summation,
-        # bounded by the last ulp — inside the registered query's 6dp
-        # rounding and the parity test's 2e-6 band. The ≥ threshold
-        # path keeps the shuffle-partitioned loop — the 100 TB story
-        # is unchanged.
+        # paths therefore run the same number of power iterations.
+        # BIT-DETERMINISTIC since r16 (the fold toolbox): neighbor
+        # lists are SORTED and every sum is an explicit 0.0-init left
+        # fold in that order, 1-damping stays the computed subtraction,
+        # and ranks publish UNROUNDED — so the DuckDB list-state
+        # recursive CTE replays this path hash-exactly, including the
+        # adaptive delta cadence. The ≥ threshold path keeps the
+        # shuffle-partitioned loop (engine-ordered sums, last-ulp
+        # nondeterminism — the parity test's 2e-6 band covers it); the
+        # 100 TB story is unchanged.
         adj: dict = {}
         outdeg: dict = {}
         for r in edges.collect():  # bounded: < local_threshold nodes
             adj.setdefault(r["dst"], []).append(r["src"])
             outdeg[r["src"]] = outdeg.get(r["src"], 0) + 1
+        for u in adj:
+            adj[u].sort()  # fold order = sorted neighbor ids
         ids = sorted({*outdeg, *adj})
         rank = {u: 1.0 / n_nodes for u in ids}
         loc_last: float | None = None
         for i in range(iterations):
             new = {}
             for u in ids:
-                in_mass = sum(rank[v] / outdeg[v] for v in adj.get(u, ()))
+                in_mass = 0.0
+                for v in adj.get(u, ()):
+                    in_mass = in_mass + rank[v] / outdeg[v]
                 new[u] = (1.0 - damping) / n_nodes + damping * in_mass
             near = loc_last is not None and loc_last < 10 * tol
             if i % 3 == 2 or near or i == iterations - 1:
-                delta = sum(abs(new[u] - rank[u]) for u in ids)
+                delta = 0.0
+                for u in ids:
+                    delta = delta + abs(new[u] - rank[u])
                 loc_last = delta
             else:
                 delta = None
@@ -1854,7 +1868,7 @@ def pagerank_dup_graph(
             if delta is not None and delta < tol:
                 break
         rows = sorted(
-            ((int(u), round(rank[u], 6)) for u in ids), key=lambda t: (-t[1], t[0])
+            ((int(u), rank[u]) for u in ids), key=lambda t: (-t[1], t[0])
         )
         return edges.sparkSession.createDataFrame(
             rows, "doc_id long, pagerank double"

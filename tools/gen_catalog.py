@@ -61,13 +61,12 @@ def family(name: str) -> str:
 ROWS_ONLY_REASONS = {
     "dedup_band_incremental": "seeded persisted MinHash band index; correctness IS the in-row probe≡rebuild zero certificate",
     "dedup_band_index_probe": "probes the seeded persisted band index (engine-side state); probe≡rebuild parity tested",
-    "dedup_components_chain": "iterative star-contraction fixpoint (driver loop, not one ANSI statement); replay parity + round bound asserted",
+    "dedup_components_chain": "its pair feed is SEEDED MinHash-LSH (xxhash64, no DuckDB twin) — the chain-stress variant deliberately exercises the at-scale feed; replay parity + round bound asserted",
     "dedup_keep_policy": "consumes seeded MinHash candidate pairs; keep-policy invariants tested on the realized graph",
     "dedup_minhash_calibration": "seeded MinHash permutations have no ANSI twin; sweep monotonicity + planted-pair recall tested",
     "dedup_minhash_lsh": "seeded MinHash signatures (xxhash64 permutations) have no ANSI twin; planted near-dup recall tested",
     "dedup_semantic": "seeded iterative KMeans state (SemDeDup); centroid determinism + planted-cluster behavior tested",
     "dedup_simhash": "fingerprints built on Spark-internal xxhash64; recall pigeonhole bound + planted pairs tested",
-    "graph_pagerank": "iterative power method to tolerance: the float recursion is fold-exact in principle but each round's matvec is engine-accumulation-ordered (not a left fold); rank-sum conservation + convergence tested",
     "mm_audio_features": "WAV byte-layout decode inside Arrow kernels; no ANSI binary decode — golden-file parity tested",
     "pipeline_corpus_prep_neardup": "embeds the seeded MinHash near-dup stage; stage-wise funnel counts tested",
     "pipeline_mixture_neardup": "embeds the seeded MinHash near-dup stage; mixture weights + budget invariants tested",
