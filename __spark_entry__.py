@@ -298,6 +298,7 @@ _CERTIFY_FIRST = [
     "streaming_stream_join",  # r16: no-data micro-batch disabled (drain)
     "tpch_basket_affinity",  # r16: min-support prune below the pair join
     "graph_pagerank",  # r16: fold-deterministic kernel -> full CTE oracle
+    "dedup_keep_policy",  # r16: components+pagerank composition oracle
     # ---- displaced from the r15 window; driver rows r6-era ----
     "text_bm25_search",
     "text_corpus_qa_report",
@@ -337,9 +338,9 @@ _CERTIFY_FIRST = [
     "sim_cosine_topk_ivf",
     "sim_hard_negatives",
     "sim_ivf_partitioned_probe",
-    "sim_knn_label_transfer",
-    # r17 queue: the 17 r7-cohort names this 50-slot window could not
+    # r17 queue: the 18 r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
+    # sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
     # sql_correlated_exists, sql_lateral_topn, streaming_trending,
     # text_bpe_encode, text_bpe_merges, text_compression_ratio,
@@ -1121,6 +1122,90 @@ _PAIR_FEED_CTES = f"""
                 SELECT doc_a AS s, doc_b AS d FROM pairs
                 UNION ALL
                 SELECT doc_b AS s, doc_a AS d FROM pairs
+            )
+"""
+
+#: Bit-exact replay of the r16 fold-deterministic local power method
+#: (dedup.pagerank_dup_graph local path) as CTE text ending in
+#: ``prout(doc_id, pagerank)`` — shared by the graph_pagerank oracle
+#: and every oracle that consumes ranks (r16: dedup_keep_policy).
+#: State = (it, stopped, loc_last, rank vector aligned to sorted ids);
+#: per-node in-mass folds over pre-resolved (rank position, outdegree)
+#: neighbor structs; the adaptive delta cadence replays exactly
+#: (measure when it%3==2 OR loc_last<10*tol OR it==29; stop at
+#: delta < tol or the 30-round cap).
+_PAGERANK_CTES = f"""
+            {_PAIR_FEED_CTES},
+            deg AS (SELECT s AS id, count(*) AS od FROM edges0 GROUP BY s),
+            idl AS (
+                SELECT list(id ORDER BY id) AS ids, count(*) AS n FROM deg
+            ),
+            nbr AS (
+                SELECT e.d AS id,
+                       list(struct_pack(
+                           pos := list_position(i.ids, e.s),
+                           od := dg.od) ORDER BY e.s) AS ins
+                FROM edges0 e
+                JOIN deg dg ON dg.id = e.s
+                CROSS JOIN idl i
+                GROUP BY e.d
+            ),
+            topo AS (
+                SELECT i.ids, i.n,
+                       list(struct_pack(id := nb.id, ins := nb.ins)
+                            ORDER BY nb.id) AS nodes
+                FROM nbr nb CROSS JOIN idl i GROUP BY i.ids, i.n
+            ),
+            pr AS (
+                SELECT 0 AS it, FALSE AS stopped,
+                       CAST(NULL AS DOUBLE) AS loc_last,
+                       ids, n, nodes,
+                       list_transform(ids, x ->
+                           CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE))
+                         AS ranks
+                FROM topo
+                UNION ALL
+                SELECT t.it + 1,
+                       coalesce(t.measure AND t.delta < 1e-4, FALSE),
+                       CASE WHEN t.measure THEN t.delta
+                            ELSE t.loc_last END,
+                       t.ids, t.n, t.nodes, t.newranks
+                FROM (
+                    SELECT u.it, u.ids, u.n, u.nodes, u.loc_last,
+                           u.measure, u.newranks,
+                           CASE WHEN u.measure THEN
+                               list_reduce(list_prepend(
+                                   CAST(0.0 AS DOUBLE),
+                                   list_transform(
+                                       list_zip(u.newranks, u.ranks),
+                                       z -> abs(z[1] - z[2]))),
+                                   (a, x) -> a + x)
+                           ELSE NULL END AS delta
+                    FROM (
+                        SELECT p.*,
+                               list_transform(p.nodes, nd ->
+                                   (CAST(1.0 AS DOUBLE)
+                                    - CAST(0.85 AS DOUBLE))
+                                   / CAST(p.n AS DOUBLE)
+                                   + CAST(0.85 AS DOUBLE)
+                                     * list_reduce(list_prepend(
+                                           CAST(0.0 AS DOUBLE),
+                                           list_transform(nd.ins, e ->
+                                               p.ranks[e.pos]
+                                               / CAST(e.od AS DOUBLE))),
+                                           (a, x) -> a + x)) AS newranks,
+                               ((p.it % 3) = 2
+                                OR (p.loc_last IS NOT NULL
+                                    AND p.loc_last < 10 * 1e-4)
+                                OR p.it = 29) AS measure
+                        FROM pr p
+                        WHERE NOT p.stopped AND p.it < 30
+                    ) u
+                ) t
+            ),
+            prout AS (
+                SELECT unnest(ids) AS doc_id, unnest(ranks) AS pagerank
+                FROM pr WHERE stopped OR it = 30
             )
 """
 
@@ -3004,77 +3089,45 @@ def _oracle_sql() -> dict[str, str]:
         # (it, stopped, loc_last, rank vector aligned to sorted ids);
         # per-node in-mass folds over pre-resolved (rank position,
         # outdegree) neighbor structs.
-        "graph_pagerank": f"""
-            WITH RECURSIVE {_PAIR_FEED_CTES},
-            deg AS (SELECT s AS id, count(*) AS od FROM edges0 GROUP BY s),
-            idl AS (
-                SELECT list(id ORDER BY id) AS ids, count(*) AS n FROM deg
+        "graph_pagerank": "WITH RECURSIVE "
+        + _PAGERANK_CTES
+        + """
+            SELECT doc_id, pagerank FROM prout
+        """,
+        # r16 rows-only -> oracle conversion (7th this round; the
+        # recorded "seeded MinHash pairs" reason was WRONG — the
+        # harness feed is the exact-Jaccard verifier): components =
+        # min reachable id via a transitive-closure recursive CTE
+        # (order-invariant), winner-per-component = the window argmax
+        # over the now bit-exact pagerank replay, both composed in one
+        # WITH RECURSIVE.
+        "dedup_keep_policy": "WITH RECURSIVE "
+        + _PAGERANK_CTES
+        + """,
+            reach AS (
+                SELECT s AS id, s AS lab FROM edges0
+                UNION
+                SELECT e.d, r.lab
+                FROM reach r JOIN edges0 e ON e.s = r.id
             ),
-            nbr AS (
-                SELECT e.d AS id,
-                       list(struct_pack(
-                           pos := list_position(i.ids, e.s),
-                           od := dg.od) ORDER BY e.s) AS ins
-                FROM edges0 e
-                JOIN deg dg ON dg.id = e.s
-                CROSS JOIN idl i
-                GROUP BY e.d
+            comp AS (
+                SELECT id AS doc_id, min(lab) AS component_id
+                FROM reach GROUP BY id
             ),
-            topo AS (
-                SELECT i.ids, i.n,
-                       list(struct_pack(id := nb.id, ins := nb.ins)
-                            ORDER BY nb.id) AS nodes
-                FROM nbr nb CROSS JOIN idl i GROUP BY i.ids, i.n
-            ),
-            pr AS (
-                SELECT 0 AS it, FALSE AS stopped,
-                       CAST(NULL AS DOUBLE) AS loc_last,
-                       ids, n, nodes,
-                       list_transform(ids, x ->
-                           CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE))
-                         AS ranks
-                FROM topo
-                UNION ALL
-                SELECT t.it + 1,
-                       coalesce(t.measure AND t.delta < 1e-4, FALSE),
-                       CASE WHEN t.measure THEN t.delta
-                            ELSE t.loc_last END,
-                       t.ids, t.n, t.nodes, t.newranks
-                FROM (
-                    SELECT u.it, u.ids, u.n, u.nodes, u.loc_last,
-                           u.measure, u.newranks,
-                           CASE WHEN u.measure THEN
-                               list_reduce(list_prepend(
-                                   CAST(0.0 AS DOUBLE),
-                                   list_transform(
-                                       list_zip(u.newranks, u.ranks),
-                                       z -> abs(z[1] - z[2]))),
-                                   (a, x) -> a + x)
-                           ELSE NULL END AS delta
-                    FROM (
-                        SELECT p.*,
-                               list_transform(p.nodes, nd ->
-                                   (CAST(1.0 AS DOUBLE)
-                                    - CAST(0.85 AS DOUBLE))
-                                   / CAST(p.n AS DOUBLE)
-                                   + CAST(0.85 AS DOUBLE)
-                                     * list_reduce(list_prepend(
-                                           CAST(0.0 AS DOUBLE),
-                                           list_transform(nd.ins, e ->
-                                               p.ranks[e.pos]
-                                               / CAST(e.od AS DOUBLE))),
-                                           (a, x) -> a + x)) AS newranks,
-                               ((p.it % 3) = 2
-                                OR (p.loc_last IS NOT NULL
-                                    AND p.loc_last < 10 * 1e-4)
-                                OR p.it = 29) AS measure
-                        FROM pr p
-                        WHERE NOT p.stopped AND p.it < 30
-                    ) u
-                ) t
+            pick AS (
+                SELECT c.component_id, c.doc_id, p.pagerank,
+                       row_number() OVER (
+                           PARTITION BY c.component_id
+                           ORDER BY p.pagerank DESC, c.doc_id) AS rn
+                FROM comp c JOIN prout p USING (doc_id)
             )
-            SELECT unnest(ids) AS doc_id, unnest(ranks) AS pagerank
-            FROM pr WHERE stopped OR it = 30
+            SELECT component_id,
+                   min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+                   max(CASE WHEN rn = 1 THEN pagerank END) AS keep_rank,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(count(*) - 1 AS BIGINT) AS n_dropped
+            FROM pick GROUP BY 1
+            HAVING count(*) > 1
         """,
         "dedup_containment": f"""
             WITH docs AS (

@@ -2129,8 +2129,11 @@ def canonical_keep_policy(documents: DataFrame) -> DataFrame:
     scale, inject the same ``candidates_from_band_index`` pairs into
     both upstreams), then a component-grain window argmax. Singleton
     docs (no near-dups) never enter the pair graph and are implicitly
-    all-keep; the report covers CLUSTERS. Iterative upstreams → no SQL
-    oracle; rows-only with a planted hub-vs-min-id test."""
+    all-keep; the report covers CLUSTERS. Oracle-backed since r16:
+    components are order-invariant (min reachable id — a transitive-
+    closure recursive CTE) and the pagerank upstream is the r16
+    fold-deterministic replay, so the composition hash-matches
+    exactly; the planted hub-vs-min-id test remains."""
     from pyspark.sql import Window as W
 
     pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(

@@ -62,7 +62,6 @@ ROWS_ONLY_REASONS = {
     "dedup_band_incremental": "seeded persisted MinHash band index; correctness IS the in-row probe≡rebuild zero certificate",
     "dedup_band_index_probe": "probes the seeded persisted band index (engine-side state); probe≡rebuild parity tested",
     "dedup_components_chain": "its pair feed is SEEDED MinHash-LSH (xxhash64, no DuckDB twin) — the chain-stress variant deliberately exercises the at-scale feed; replay parity + round bound asserted",
-    "dedup_keep_policy": "consumes seeded MinHash candidate pairs; keep-policy invariants tested on the realized graph",
     "dedup_minhash_calibration": "seeded MinHash permutations have no ANSI twin; sweep monotonicity + planted-pair recall tested",
     "dedup_minhash_lsh": "seeded MinHash signatures (xxhash64 permutations) have no ANSI twin; planted near-dup recall tested",
     "dedup_semantic": "seeded iterative KMeans state (SemDeDup); centroid determinism + planted-cluster behavior tested",
