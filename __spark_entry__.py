@@ -287,6 +287,7 @@ _CERTIFY_FIRST = [
     "events_holt_winters",
     # ---- NEW in round 16 ----
     "events_hw_residual_diag",  # Ljung-Box on HW residuals (verdict #7)
+    "events_cross_correlation",  # NEW r16: exact five-sum Pearson matrix
     # ---- code/oracle CHANGED in round 16 ----
     "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
     "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
@@ -337,10 +338,9 @@ _CERTIFY_FIRST = [
     "semantic_cube_request",
     "sim_cosine_topk_ivf",
     "sim_hard_negatives",
-    "sim_ivf_partitioned_probe",
-    # r17 queue: the 18 r7-cohort names this 50-slot window could not
+    # r17 queue: the 19 r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
-    # sim_knn_label_transfer,
+    # sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
     # sql_correlated_exists, sql_lateral_topn, streaming_trending,
     # text_bpe_encode, text_bpe_merges, text_compression_ratio,
@@ -861,6 +861,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the forecasting family; fold-exact over bit-identical
         # residuals, oracle shares the HW recursion verbatim
         "events_hw_residual_diag": lambda s, d: quality.hw_residual_ljung_box(*_t(s, d, "events")),
+        # NEW r16: pairwise Pearson of the hourly event-type series in
+        # exact integer arithmetic (five-sum identity; dq_ljung_box
+        # discipline) — the cross-series coupling screen
+        "events_cross_correlation": lambda s, d: quality.cross_series_correlation(*_t(s, d, "events")),
         "dq_theil_sen": lambda s, d: quality.theil_sen_slope(*_t(s, d, "orders")),
         "dq_ks_test": lambda s, d: quality.ks_two_sample(*_t(s, d, "orders")),
         "dq_column_diff": lambda s, d: ivm.column_diff_profile(*_t(s, d, "orders")),
@@ -2185,6 +2189,49 @@ def _oracle_sql() -> dict[str, str]:
         # hw_residual_ljung_box docstring), rho/Q unrounded, and the
         # reject cutoff parsed from the identical decimal string
         # (CAST(str AS DOUBLE) = strtod = python float parse).
+        # NEW r16: exact five-sum Pearson — every sum an exact integer
+        # (HUGEINT here, DECIMAL(38,0) Spark-side, order-invariant);
+        # the three integer->double conversions route through VARCHAR
+        # (strtod, correctly rounded — DuckDB's native hugeint cast
+        # double-rounds via upper*2^64+lower, the dq_ljung_box lesson);
+        # sqrt is IEEE-correctly-rounded, so unrounded r is bit-exact.
+        "events_cross_correlation": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       sum(CAST(CAST(value AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       count(*) AS n_hours,
+                       sum(CAST(a.x AS HUGEINT)) AS sa,
+                       sum(CAST(b.x AS HUGEINT)) AS sb,
+                       sum(CAST(a.x AS HUGEINT) * CAST(b.x AS HUGEINT))
+                         AS sab,
+                       sum(CAST(a.x AS HUGEINT) * CAST(a.x AS HUGEINT))
+                         AS saa,
+                       sum(CAST(b.x AS HUGEINT) * CAST(b.x AS HUGEINT))
+                         AS sbb
+                FROM hourly a
+                JOIN hourly b ON a.hour = b.hour
+                             AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT type_a, type_b, CAST(n_hours AS BIGINT) AS n_hours,
+                       n_hours * sab - sa * sb AS num,
+                       n_hours * saa - sa * sa AS dena,
+                       n_hours * sbb - sb * sb AS denb
+                FROM j
+            )
+            SELECT type_a, type_b, n_hours,
+                   CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                   / (sqrt(CAST(CAST(dena AS VARCHAR) AS DOUBLE))
+                      * sqrt(CAST(CAST(denb AS VARCHAR) AS DOUBLE)))
+                     AS pearson_r
+            FROM t WHERE dena > 0 AND denb > 0
+        """,
         "events_hw_residual_diag": _holt_winters_oracle_sql(
             final_select="""
             , per AS (

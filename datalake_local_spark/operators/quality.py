@@ -1563,3 +1563,89 @@ def hw_residual_ljung_box(events: DataFrame, h: int = 6) -> DataFrame:
         q.alias("q_stat"),
         (q > F.lit(_CHI2_95_DOF6)).alias("lb_reject"),
     )
+
+
+def cross_series_correlation(events: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the hourly event-type
+    series — the cross-SERIES analytic the per-series screens (EWMA,
+    CUSUM, Holt) don't cover: which activity streams move together
+    (clicks ↔ purchases coupling, error bursts anti-correlated with
+    views). One row per unordered type pair over their COMMON hours.
+
+    Determinism (the dq_ljung_box integer discipline, pair-joined):
+    the hourly series are exact integer cents sums; Pearson is the
+    textbook five-sum identity r = (nΣab − ΣaΣb) /
+    (sqrt(nΣa² − (Σa)²)·sqrt(nΣb² − (Σb)²)) with every sum an EXACT
+    integer (DECIMAL(38,0) Spark-side, HUGEINT oracle-side; products
+    ~1e18 at sf1-scale, far inside 38 digits — order-invariant, so the
+    shuffle may aggregate in any order). Three conversions cross to
+    double — num and the two variance terms — each correctly rounded
+    (Spark BigDecimal.doubleValue; the oracle routes DuckDB's HUGEINT
+    through VARCHAR/strtod, whose native cast can land one ulp off);
+    then two correctly-rounded sqrts and one division, identical op
+    shape both engines → bit-identical unrounded r.
+
+    Scale shape: one map-side hourly aggregate, one self-join keyed on
+    the (calendar-bounded) hour spine — pair fanout is types², never
+    data-sized; the five sums reduce map-side. Constant series
+    (zero variance) drop out with an exact integer guard, not a float
+    epsilon."""
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(
+            (F.col("value").cast("decimal(18,6)") * 100).cast("long")
+        ).alias("x")
+    )
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), "hour", F.col("x").alias("xa")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"), "hour", F.col("x").alias("xb")
+    )
+    d38 = "decimal(38,0)"
+    sums = (
+        a.join(b, "hour")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum(F.col("xa").cast(d38)).alias("sa"),
+            F.sum(F.col("xb").cast(d38)).alias("sb"),
+            # multiply IN decimal(38,0): a BIGINT*BIGINT product wraps
+            # silently past 2^63 (hourly cents ~1e10 at sf1000 -> 1e20
+            # products); the oracle mirrors with HUGEINT multiplies
+            F.sum(F.col("xa").cast(d38) * F.col("xb").cast(d38)).alias("sab"),
+            F.sum(F.col("xa").cast(d38) * F.col("xa").cast(d38)).alias("saa"),
+            F.sum(F.col("xb").cast(d38) * F.col("xb").cast(d38)).alias("sbb"),
+        )
+    )
+    n = F.col("n_hours").cast(d38)
+    num = n * F.col("sab") - F.col("sa") * F.col("sb")
+    dena = n * F.col("saa") - F.col("sa") * F.col("sa")
+    denb = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    return (
+        sums.select(
+            "type_a",
+            "type_b",
+            F.col("n_hours").cast("long").alias("n_hours"),
+            num.alias("num"),
+            dena.alias("dena"),
+            denb.alias("denb"),
+        )
+        # exact integer guard: either series constant on the common
+        # spine -> correlation undefined, row dropped
+        .filter((F.col("dena") > 0) & (F.col("denb") > 0))
+        .select(
+            "type_a",
+            "type_b",
+            "n_hours",
+            (
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("dena").cast("double"))
+                    * F.sqrt(F.col("denb").cast("double"))
+                )
+            ).alias("pearson_r"),
+        )
+    )

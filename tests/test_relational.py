@@ -2416,3 +2416,57 @@ def test_hw_residual_ljung_box_matches_fold_reference(spark):
     q = (nd * (nd + 2)) * terms
     assert got["q_stat"] == q
     assert got["lb_reject"] == (q > ops_quality._CHI2_95_DOF6)
+
+
+def test_cross_series_correlation_exact_five_sum(spark):
+    """NEW r16: pairwise Pearson over hourly series matches a
+    pure-python exact-integer five-sum reference bit-exactly; a
+    constant series is dropped by the exact integer variance guard,
+    and a perfectly anti-correlated pair reports r == -1.0 exactly
+    (num == -sqrt(dena)*sqrt(denb) in exact arithmetic)."""
+    import datetime
+    import math
+
+    from datalake_local_spark.operators import quality as ops_quality
+
+    base = datetime.datetime(2024, 6, 1)
+    rows = []
+    eid = [0]
+
+    def ev(t, typ, val):
+        eid[0] += 1
+        rows.append((eid[0], t, 1, typ, val, "{}"))
+
+    # series over 8 common hours: up = 1..8, down = 8..1 (anti),
+    # noisy = something else, const = 5.0 always (zero variance)
+    for h in range(8):
+        t = base + datetime.timedelta(hours=h)
+        ev(t, "up", float(h + 1))
+        ev(t, "down", float(8 - h))
+        ev(t, "noisy", float((h * 3) % 5 + 1))
+        ev(t, "const", 5.0)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in ops_quality.cross_series_correlation(df).collect()
+    }
+    # const pairs dropped by the exact variance guard
+    assert not [k for k in out if "const" in k]
+    assert out[("down", "up")]["pearson_r"] == -1.0
+    assert out[("down", "up")]["n_hours"] == 8
+
+    # pure-python exact five-sum reference for (noisy, up)
+    xa = [((h * 3) % 5 + 1) * 100 for h in range(8)]  # cents
+    xb = [(h + 1) * 100 for h in range(8)]
+    n = 8
+    sa, sb = sum(xa), sum(xb)
+    sab = sum(p * q for p, q in zip(xa, xb))
+    saa = sum(p * p for p in xa)
+    sbb = sum(q * q for q in xb)
+    num = n * sab - sa * sb
+    dena = n * saa - sa * sa
+    denb = n * sbb - sb * sb
+    ref = float(num) / (math.sqrt(float(dena)) * math.sqrt(float(denb)))
+    assert out[("noisy", "up")]["pearson_r"] == ref
