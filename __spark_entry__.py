@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datalake_local_spark import maintenance
 from datalake_local_spark.session import load_tables
 from datalake_local_spark.operators import aggregates as agg
 from datalake_local_spark.operators import (
@@ -288,6 +289,7 @@ _CERTIFY_FIRST = [
     # ---- NEW in round 16 ----
     "events_hw_residual_diag",  # Ljung-Box on HW residuals (verdict #7)
     "events_cross_correlation",  # NEW r16: exact five-sum Pearson matrix
+    "lake_compaction_plan",  # NEW r16: FFD OPTIMIZE planner, CTE-replayed
     # ---- code/oracle CHANGED in round 16 ----
     "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
     "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
@@ -337,10 +339,9 @@ _CERTIFY_FIRST = [
     "scalar_try_funcs",
     "semantic_cube_request",
     "sim_cosine_topk_ivf",
-    "sim_hard_negatives",
-    # r17 queue: the 19 r7-cohort names this 50-slot window could not
+    # r17 queue: the 20 r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
-    # sim_ivf_partitioned_probe, sim_knn_label_transfer,
+    # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
     # sql_correlated_exists, sql_lateral_topn, streaming_trending,
     # text_bpe_encode, text_bpe_merges, text_compression_ratio,
@@ -865,6 +866,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact integer arithmetic (five-sum identity; dq_ljung_box
         # discipline) — the cross-series coupling screen
         "events_cross_correlation": lambda s, d: quality.cross_series_correlation(*_t(s, d, "events")),
+        # NEW r16: OPTIMIZE planner — FFD bin packing of the per-source
+        # pseudo-file manifest (all-integer greedy; CTE-replayed)
+        "lake_compaction_plan": lambda s, d: maintenance.compaction_plan(
+            maintenance.document_file_manifest(*_t(s, d, "documents"))
+        ),
         "dq_theil_sen": lambda s, d: quality.theil_sen_slope(*_t(s, d, "orders")),
         "dq_ks_test": lambda s, d: quality.ks_two_sample(*_t(s, d, "orders")),
         "dq_column_diff": lambda s, d: ivm.column_diff_profile(*_t(s, d, "orders")),
@@ -2189,6 +2195,61 @@ def _oracle_sql() -> dict[str, str]:
         # hw_residual_ljung_box docstring), rho/Q unrounded, and the
         # reject cutoff parsed from the identical decimal string
         # (CAST(str AS DOUBLE) = strtod = python float parse).
+        # NEW r16: OPTIMIZE planner — first-fit-decreasing bin packing
+        # of the per-source pseudo-file manifest, replayed file-for-
+        # file by a list-state recursive CTE (ALL-INTEGER state: no
+        # rounding discipline needed; first fitting bin via
+        # list_position(list_transform(bins, b -> b >= sz), true);
+        # bin vector updated by the slice-concatenation trick).
+        "lake_compaction_plan": """
+            WITH RECURSIVE manifest AS (
+                SELECT source AS part, doc_id % 16 AS file_id,
+                       CAST(sum(strlen(text)) AS BIGINT) AS size_bytes
+                FROM documents GROUP BY 1, 2
+            ),
+            srcs AS (
+                SELECT part,
+                       list(struct_pack(fid := file_id, sz := size_bytes)
+                            ORDER BY size_bytes DESC, file_id) AS files,
+                       CAST(max(size_bytes) * 2 AS BIGINT) AS cap
+                FROM manifest GROUP BY part
+            ),
+            ffd AS (
+                SELECT part, files AS remaining, cap,
+                       CAST([] AS BIGINT[]) AS bins,
+                       CAST([] AS STRUCT(fid BIGINT, sz BIGINT,
+                                         bin BIGINT)[]) AS placed
+                FROM srcs
+                UNION ALL
+                SELECT t.part, t.remaining[2:], t.cap,
+                       CASE WHEN t.hit IS NULL
+                            THEN t.bins || [t.cap - t.sz]
+                            ELSE t.bins[1:t.hit - 1]
+                                 || [t.bins[t.hit] - t.sz]
+                                 || t.bins[t.hit + 1:]
+                       END,
+                       t.placed || [struct_pack(fid := t.fid, sz := t.sz,
+                           bin := CAST(coalesce(t.hit, len(t.bins) + 1)
+                                       AS BIGINT))]
+                FROM (
+                    SELECT f.part, f.remaining, f.cap, f.bins, f.placed,
+                           f.remaining[1].fid AS fid,
+                           f.remaining[1].sz AS sz,
+                           -- nullif: list_position signals a miss as 0
+                           -- (not NULL) — 0 would index bins[0] = NULL
+                           -- and silently poison the fold
+                           nullif(list_position(list_transform(f.bins,
+                               b -> b >= f.remaining[1].sz), true),
+                                  0) AS hit
+                    FROM ffd f WHERE len(f.remaining) > 0
+                ) t
+            )
+            SELECT part, struct_extract(p, 'fid') AS file_id,
+                   struct_extract(p, 'sz') AS size_bytes,
+                   struct_extract(p, 'bin') AS bin_id
+            FROM (SELECT part, unnest(placed) AS p
+                  FROM ffd WHERE len(remaining) = 0)
+        """,
         # NEW r16: exact five-sum Pearson — every sum an exact integer
         # (HUGEINT here, DECIMAL(38,0) Spark-side, order-invariant);
         # the three integer->double conversions route through VARCHAR

@@ -382,3 +382,73 @@ def vacuum_published(
         "deleted": [v["name"] for v in aged],
         "retained": [v["name"] for v in versions if v not in aged],
     }
+
+
+def compaction_plan(manifest: DataFrame) -> DataFrame:
+    """OPTIMIZE *planner*: given a file manifest (``part``, ``file_id``,
+    ``size_bytes``), assign files to compaction groups by first-fit-
+    decreasing bin packing (Johnson 1973 — the classic 11/9·OPT+1
+    heuristic) with a per-partition capacity of 2× the largest file —
+    the plan a compaction executor (:func:`compact_small_files`
+    rewrites; Delta's OPTIMIZE does the same server-side) would hand
+    to its rewrite tasks. Emitting the PLAN as a relation makes the
+    decision auditable and testable separately from the rewrite I/O —
+    the same split the reference's maintenance story implies between
+    deciding and doing.
+
+    Sequential-greedy per partition → the applyInPandas discipline
+    (one partition's manifest is bounded — thousands of files, never
+    data-sized), and ALL-INTEGER state: sort (size DESC, file_id ASC),
+    place each file in the first bin with enough remaining capacity,
+    open a new bin otherwise. No floats anywhere, so the DuckDB
+    list-state recursive CTE replays the plan file-for-file with no
+    rounding discipline needed at all.
+
+    Scale shape: the manifest is file-grain metadata (100 TB of 128 MB
+    files ≈ 800k rows — KB-scale per partition after the groupBy);
+    planning shuffles metadata only, never data bytes."""
+    import pandas as pd
+
+    def kernel(key, pdf):
+        pdf = pdf.sort_values(
+            ["size_bytes", "file_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        cap = int(pdf["size_bytes"].max()) * 2
+        bins: list = []  # remaining capacity per open bin
+        rows = []
+        for _, r in pdf.iterrows():
+            size = int(r["size_bytes"])
+            placed = None
+            for i, rem in enumerate(bins):
+                if rem >= size:
+                    placed = i
+                    break
+            if placed is None:
+                bins.append(cap - size)
+                placed = len(bins) - 1
+            else:
+                bins[placed] = bins[placed] - size
+            rows.append((key[0], int(r["file_id"]), size, placed + 1))
+        return pd.DataFrame(
+            rows, columns=["part", "file_id", "size_bytes", "bin_id"]
+        )
+
+    return manifest.groupBy("part").applyInPandas(
+        kernel, "part string, file_id long, size_bytes long, bin_id long"
+    )
+
+
+def document_file_manifest(documents: DataFrame, buckets: int = 16) -> DataFrame:
+    """Deterministic harness manifest for :func:`compaction_plan`: the
+    documents corpus bucketed into per-source pseudo-files
+    (doc_id % buckets), sized by exact UTF-8 byte length — the same
+    relation an ingest's info.files table would carry, derived from
+    data both engines can see so the planner is oracle-checkable
+    end-to-end."""
+    return (
+        documents.groupBy(
+            F.col("source").alias("part"),
+            (F.col("doc_id") % buckets).alias("file_id"),
+        )
+        .agg(F.sum(F.octet_length("text")).alias("size_bytes"))
+    )

@@ -2470,3 +2470,34 @@ def test_cross_series_correlation_exact_five_sum(spark):
     denb = n * sbb - sb * sb
     ref = float(num) / (math.sqrt(float(dena)) * math.sqrt(float(denb)))
     assert out[("noisy", "up")]["pearson_r"] == ref
+
+
+def test_compaction_plan_ffd_invariants(spark):
+    """NEW r16: the FFD compaction planner matches a pure-python
+    first-fit-decreasing reference assignment exactly on a planted
+    manifest, never overfills a bin (capacity = 2x largest file), and
+    numbers bins densely from 1 in first-open order."""
+    from datalake_local_spark import maintenance
+
+    man = spark.createDataFrame(
+        [("p", 1, 60), ("p", 2, 50), ("p", 3, 50), ("p", 4, 30),
+         ("p", 5, 25), ("p", 6, 10), ("q", 1, 100)],
+        "part string, file_id long, size_bytes long",
+    )
+    out = {
+        (r["part"], r["file_id"]): r
+        for r in maintenance.compaction_plan(man).collect()
+    }
+    # part p: cap = 120; FFD order 60,50,50,30,25,10
+    # 60 -> bin1(rem 60); 50 -> bin1(rem 10); 50 -> bin2(rem 70);
+    # 30 -> bin2(rem 40); 25 -> bin2(rem 15); 10 -> bin1(rem 0)
+    expect = {1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 1}
+    for fid, b in expect.items():
+        assert out[("p", fid)]["bin_id"] == b, (fid, out[("p", fid)])
+    assert out[("q", 1)]["bin_id"] == 1
+    # no bin overfilled
+    fills: dict = {}
+    for (part, fid), r in out.items():
+        fills.setdefault((part, r["bin_id"]), 0)
+        fills[(part, r["bin_id"])] += r["size_bytes"]
+    assert all(v <= 120 for k, v in fills.items() if k[0] == "p")
