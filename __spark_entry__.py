@@ -315,7 +315,7 @@ _CERTIFY_FIRST = [
     "text_unigram_logprob",
     "text_zipf_profile",
     "tpch_rfm_segments",
-    # ---- r7 cohort (driver rows round 7), by name; the 16 that do
+    # ---- r7 cohort (driver rows round 7), by name; the 20 that do
     # not fit are queued for r17 below ----
     "agg_bitmap_distinct",
     "agg_boolean_funcs",
@@ -597,8 +597,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
         # round-8 wave 2
         "dedup_containment": lambda s, d: dedup.token_containment_pairs(*_t(s, d, "documents")),
-        # rows-only: iterative power method (not one ANSI statement);
-        # convergence vs a pure-python reference asserted in tests
+        # oracle-backed since r16: the fold-deterministic local power
+        # method replays in a list-state recursive CTE (adaptive delta
+        # cadence included); python-reference test remains
         "graph_pagerank": lambda s, d: dedup.pagerank_dup_graph(
             *_t(s, d, "documents"), local_threshold=10_000
         ),
@@ -1122,7 +1123,10 @@ _PAIR_FEED_CTES = f"""
                 GROUP BY 1, 2
             ),
             pairs AS (
-                SELECT doc_a, doc_b FROM inter
+                SELECT doc_a, doc_b,
+                       round(CAST(n_common AS DOUBLE)
+                             / (sa.n + sb.n - n_common), 6) AS jaccard
+                FROM inter
                 JOIN sizes sa ON sa.doc_id = doc_a
                 JOIN sizes sb ON sb.doc_id = doc_b
                 WHERE round(CAST(n_common AS DOUBLE)
@@ -2189,12 +2193,6 @@ def _oracle_sql() -> dict[str, str]:
         # NEW r15: Holt-Winters additive replay (see
         # _holt_winters_oracle_sql docstring)
         "events_holt_winters": _holt_winters_oracle_sql(),
-        # NEW r16: Ljung-Box over the SAME recursive-CTE residuals the
-        # events_holt_winters oracle replays; every aggregate an
-        # explicit 0.0-init left fold in series order (quality.
-        # hw_residual_ljung_box docstring), rho/Q unrounded, and the
-        # reject cutoff parsed from the identical decimal string
-        # (CAST(str AS DOUBLE) = strtod = python float parse).
         # NEW r16: OPTIMIZE planner — first-fit-decreasing bin packing
         # of the per-source pseudo-file manifest, replayed file-for-
         # file by a list-state recursive CTE (ALL-INTEGER state: no
@@ -2293,6 +2291,12 @@ def _oracle_sql() -> dict[str, str]:
                      AS pearson_r
             FROM t WHERE dena > 0 AND denb > 0
         """,
+        # NEW r16: Ljung-Box over the SAME recursive-CTE residuals the
+        # events_holt_winters oracle replays; every aggregate an
+        # explicit 0.0-init left fold in series order (quality.
+        # hw_residual_ljung_box docstring), rho/Q unrounded, and the
+        # reject cutoff parsed from the identical decimal string
+        # (CAST(str AS DOUBLE) = strtod = python float parse).
         "events_hw_residual_diag": _holt_winters_oracle_sql(
             final_select="""
             , per AS (
@@ -2336,22 +2340,23 @@ def _oracle_sql() -> dict[str, str]:
             + """
                 FROM sums
             )
+            , qq AS (
+                SELECT event_type, n_obs,
+                       rho_1, rho_2, rho_3, rho_4, rho_5, rho_6,
+                       (nd * (nd + 2)) * (rho_1 * rho_1 / (nd - 1)
+                           + rho_2 * rho_2 / (nd - 2)
+                           + rho_3 * rho_3 / (nd - 3)
+                           + rho_4 * rho_4 / (nd - 4)
+                           + rho_5 * rho_5 / (nd - 5)
+                           + rho_6 * rho_6 / (nd - 6)) AS q_stat
+                FROM rhos
+            )
             SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs,
                    rho_1, rho_2, rho_3, rho_4, rho_5, rho_6,
-                   (nd * (nd + 2)) * (rho_1 * rho_1 / (nd - 1)
-                       + rho_2 * rho_2 / (nd - 2)
-                       + rho_3 * rho_3 / (nd - 3)
-                       + rho_4 * rho_4 / (nd - 4)
-                       + rho_5 * rho_5 / (nd - 5)
-                       + rho_6 * rho_6 / (nd - 6)) AS q_stat,
-                   (nd * (nd + 2)) * (rho_1 * rho_1 / (nd - 1)
-                       + rho_2 * rho_2 / (nd - 2)
-                       + rho_3 * rho_3 / (nd - 3)
-                       + rho_4 * rho_4 / (nd - 4)
-                       + rho_5 * rho_5 / (nd - 5)
-                       + rho_6 * rho_6 / (nd - 6))
-                   > CAST('12.591587243743977' AS DOUBLE) AS lb_reject
-            FROM rhos
+                   q_stat,
+                   q_stat > CAST('12.591587243743977' AS DOUBLE)
+                     AS lb_reject
+            FROM qq
             """
         ),
         # NEW r15: EWMA chart replay — z_t and the time-varying limit
@@ -3046,25 +3051,13 @@ def _oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        # r16 review consolidation: the exact-Jaccard verifier text now
+        # lives ONLY in _PAIR_FEED_CTES — this oracle, containment, and
+        # the graph-fixpoint replays all read the one copy, so a
+        # threshold/normalization tweak cannot desync them
         "dedup_ngram_jaccard": f"""
-            WITH docs AS (
-                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
-            ),
-            toks AS (
-                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
-            inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT doc_a, doc_b,
-                   round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.8
+            WITH {_PAIR_FEED_CTES}
+            SELECT doc_a, doc_b, jaccard FROM pairs
         """,
         # r16 rows-only -> oracle conversion (list-state recursive CTE,
         # the r15 technique applied to a DISTRIBUTED FIXPOINT): the
@@ -3237,19 +3230,11 @@ def _oracle_sql() -> dict[str, str]:
             FROM pick GROUP BY 1
             HAVING count(*) > 1
         """,
+        # r16 review consolidation: shares _PAIR_FEED_CTES's docs/toks/
+        # sizes/inter (the unused pairs/edges0 CTEs are pruned by the
+        # optimizer); only the containment measure is local
         "dedup_containment": f"""
-            WITH docs AS (
-                SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 100
-            ),
-            toks AS (
-                SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
-            inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-                FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
+            WITH {_PAIR_FEED_CTES}
             SELECT doc_a, doc_b,
                    round(CAST(n_common AS DOUBLE) / sa.n, 6) AS cont_a_in_b,
                    round(CAST(n_common AS DOUBLE) / sb.n, 6) AS cont_b_in_a
@@ -6500,11 +6485,18 @@ def _oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'purchase'
             ),
             wm AS (
-                SELECT least(
+                -- both sides must be non-empty: least() IGNORES a NULL
+                -- max, but Spark's global watermark is the MIN over
+                -- both watermark nodes and stays at epoch 0 while one
+                -- side has never carried data — NULL here keeps the
+                -- unmatched branch empty, matching the stream
+                SELECT CASE WHEN cm IS NULL OR pm IS NULL THEN NULL
+                            ELSE least(cm, pm) - 7200000000 END AS wm_us
+                FROM (SELECT
                     (SELECT (epoch_us(max(click_ts)) // 1000) * 1000
-                     FROM clicks),
+                     FROM clicks) AS cm,
                     (SELECT (epoch_us(max(purchase_ts)) // 1000) * 1000
-                     FROM purchases)) - 7200000000 AS wm_us
+                     FROM purchases) AS pm)
             )
             SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id,
                    TRUE AS converted

@@ -1786,9 +1786,12 @@ def pagerank_dup_graph(
     uniform start); ``iterations`` caps the worst case — near-bipartite
     star components contract only at rate ``damping`` per round, and at
     the cap their rank ORDER (what the keep-policy consumes) is settled
-    even though last digits are not. FP caveat: groupBy-sum order
-    makes last-ulp float nondeterminism → rows-only query (ranks
-    rounded to 6dp for stability); convergence vs a pure-python
+    even though last digits are not. Output precision by path: the
+    local (harness) path publishes UNROUNDED bit-deterministic ranks
+    (sorted folds — what the r16 oracle replays); the distributed path
+    rounds to 6dp because its groupBy-sum order makes the last ulp
+    nondeterministic across runs, and an unrounded publication would
+    not even be self-consistent. Convergence vs a pure-python
     power-method reference and the rank-mass ≈ 1 invariant are tested
     (tests/test_llm.py::test_pagerank_matches_pure_python_reference).
 

@@ -1482,6 +1482,12 @@ def ljung_box_test(orders: DataFrame, h: int = 7) -> DataFrame:
 #: compares bit-identical statistics against the identical constant.
 _CHI2_95_DOF6 = 12.591587243743977
 
+#: tabulated chi2 0.95 cutoffs by dof — lb_reject must use the cutoff
+#: matching ``h`` (r16 review find: a parameterized h with a hardcoded
+#: dof-6 cutoff silently mis-flags); untabulated h raises instead of
+#: guessing.
+_CHI2_95 = {6: _CHI2_95_DOF6}
+
 
 def hw_residual_ljung_box(events: DataFrame, h: int = 6) -> DataFrame:
     """Forecast-residual diagnostics: the Ljung-Box portmanteau test
@@ -1514,6 +1520,12 @@ def hw_residual_ljung_box(events: DataFrame, h: int = 6) -> DataFrame:
     a few thousand doubles."""
     from datalake_local_spark.operators.windows import holt_winters_forecast
 
+    if h not in _CHI2_95:
+        raise ValueError(
+            f"no tabulated chi2(0.95) cutoff for h={h}; add it to"
+            " _CHI2_95 (the reject flag must match the lag count)"
+        )
+    crit = _CHI2_95[h]
     hw = holt_winters_forecast(events)
     per = (
         hw.groupBy("event_type")
@@ -1561,7 +1573,7 @@ def hw_residual_ljung_box(events: DataFrame, h: int = 6) -> DataFrame:
         F.col("n_obs").cast("long").alias("n_obs"),
         *[rho[k - 1].alias(f"rho_{k}") for k in range(1, h + 1)],
         q.alias("q_stat"),
-        (q > F.lit(_CHI2_95_DOF6)).alias("lb_reject"),
+        (q > F.lit(crit)).alias("lb_reject"),
     )
 
 
