@@ -146,6 +146,14 @@ BENCH_QUERIES = [
     # session state)
     "text_frequent_tokens",
     "streaming_session_dynamic_gap",
+    # round-16 additions: the forecast-residual diagnostics (HW fit +
+    # per-series Ljung-Box folds), the exact five-sum Pearson matrix
+    # (pair self-join on the hour spine), and the FFD OPTIMIZE planner
+    # (metadata-grain greedy) — each a distinct plan shape the suite
+    # did not yet time
+    "events_hw_residual_diag",
+    "events_cross_correlation",
+    "lake_compaction_plan",
 ]
 
 
