@@ -290,6 +290,7 @@ _CERTIFY_FIRST = [
     "events_hw_residual_diag",  # Ljung-Box on HW residuals (verdict #7)
     "events_cross_correlation",  # NEW r16: exact five-sum Pearson matrix
     "lake_compaction_plan",  # NEW r16: FFD OPTIMIZE planner, CTE-replayed
+    "events_kalman_level",  # NEW r16: optimal-gain state estimation
     # ---- code/oracle CHANGED in round 16 ----
     "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
     "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
@@ -315,7 +316,7 @@ _CERTIFY_FIRST = [
     "text_unigram_logprob",
     "text_zipf_profile",
     "tpch_rfm_segments",
-    # ---- r7 cohort (driver rows round 7), by name; the 20 that do
+    # ---- r7 cohort (driver rows round 7), by name; the 21 that do
     # not fit are queued for r17 below ----
     "agg_bitmap_distinct",
     "agg_boolean_funcs",
@@ -338,9 +339,9 @@ _CERTIFY_FIRST = [
     "pipeline_snapshot_diff",
     "scalar_try_funcs",
     "semantic_cube_request",
-    "sim_cosine_topk_ivf",
-    # r17 queue: the 20 r7-cohort names this 50-slot window could not
+    # r17 queue: the 21 r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
+    # sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
     # sql_correlated_exists, sql_lateral_topn, streaming_trending,
@@ -872,6 +873,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_compaction_plan": lambda s, d: maintenance.compaction_plan(
             maintenance.document_file_manifest(*_t(s, d, "documents"))
         ),
+        # NEW r16: optimal-gain state estimation (Kalman local level) —
+        # the adaptive-gain counterpart of the fixed-gain smoothers;
+        # (x, P) recursion replayed by a recursive-CTE oracle
+        "events_kalman_level": lambda s, d: windows.kalman_level_filter(*_t(s, d, "events")),
         "dq_theil_sen": lambda s, d: quality.theil_sen_slope(*_t(s, d, "orders")),
         "dq_ks_test": lambda s, d: quality.ks_two_sample(*_t(s, d, "orders")),
         "dq_column_diff": lambda s, d: ivm.column_diff_profile(*_t(s, d, "orders")),
@@ -2290,6 +2295,70 @@ def _oracle_sql() -> dict[str, str]:
                       * sqrt(CAST(CAST(denb AS VARCHAR) AS DOUBLE)))
                      AS pearson_r
             FROM t WHERE dena > 0 AND denb > 0
+        """,
+        # NEW r16: Kalman local-level replay — (x, P) recursion with
+        # P-predict computed once in the innermost derived table, the
+        # gain once in the next (repeating an expression would be
+        # bit-identical anyway, but single-site keeps the op shape
+        # auditable); every constant a computed double cast; unrounded.
+        "events_kalman_level": """
+            WITH RECURSIVE hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                     AS BIGINT)) AS DOUBLE)
+                       / CAST(count(*) * 100 AS DOUBLE) AS z
+                FROM events GROUP BY 1, 2
+            ),
+            indexed AS (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                                             ORDER BY hour) AS i
+                FROM hourly
+            ),
+            init AS (
+                SELECT event_type, z AS x0 FROM indexed WHERE i = 1
+            ),
+            steps AS (
+                SELECT u.event_type, u.i, u.hour, u.z AS actual,
+                       u.innov AS innovation, u.k AS gain,
+                       u.x_prev + u.k * u.innov AS x,
+                       (CAST(1.0 AS DOUBLE) - u.k) * u.p_pred AS p
+                FROM (
+                    SELECT t.*,
+                           t.p_pred / (t.p_pred + CAST(1.0 AS DOUBLE))
+                             AS k
+                    FROM (
+                        SELECT n.event_type, n.i, n.hour, n.z,
+                               i0.x0 AS x_prev,
+                               n.z - i0.x0 AS innov,
+                               CAST(1.0 AS DOUBLE)
+                               + CAST(0.01 AS DOUBLE) AS p_pred
+                        FROM indexed n JOIN init i0 USING (event_type)
+                        WHERE n.i = 2
+                    ) t
+                ) u
+                UNION ALL
+                SELECT u.event_type, u.i, u.hour, u.z,
+                       u.innov, u.k,
+                       u.x_prev + u.k * u.innov,
+                       (CAST(1.0 AS DOUBLE) - u.k) * u.p_pred
+                FROM (
+                    SELECT t.*,
+                           t.p_pred / (t.p_pred + CAST(1.0 AS DOUBLE))
+                             AS k
+                    FROM (
+                        SELECT n.event_type, n.i, n.hour, n.z,
+                               s.x AS x_prev,
+                               n.z - s.x AS innov,
+                               s.p + CAST(0.01 AS DOUBLE) AS p_pred
+                        FROM steps s JOIN indexed n
+                          ON n.event_type = s.event_type
+                         AND n.i = s.i + 1
+                    ) t
+                ) u
+            )
+            SELECT event_type, hour, actual, innovation, gain,
+                   x AS filtered, p AS variance
+            FROM steps
         """,
         # NEW r16: Ljung-Box over the SAME recursive-CTE residuals the
         # events_holt_winters oracle replays; every aggregate an

@@ -1344,3 +1344,75 @@ def calendar_heatmap(events: DataFrame) -> DataFrame:
         )
         .orderBy("isodow", "hour")
     )
+
+
+def kalman_level_filter(
+    events: DataFrame, q: float = 0.01, r: float = 1.0
+) -> DataFrame:
+    """1-D Kalman filter on the LOCAL LEVEL state-space model (Kalman
+    1960, "A New Approach to Linear Filtering and Prediction Problems"
+    — public; the random-walk-plus-noise special case Harvey 1989 calls
+    the workhorse of structural time series): per event_type, the
+    hourly mean series is filtered through the predict/update cycle
+    P⁻ = P + Q;  K = P⁻/(P⁻ + R);  x = x + K(z − x);  P = (1 − K)P⁻ —
+    the OPTIMAL-gain counterpart of the fixed-gain exponential
+    smoothers (EWMA is this filter's steady state; here the gain
+    adapts from the diffuse start instead of being a constant), which
+    closes the estimation family: SPC flags, smoothers forecast, the
+    filter carries calibrated uncertainty (P) per step.
+
+    Each row from t=2 on reports the innovation (z − x⁻, the filter's
+    one-step surprise), the gain in effect, the filtered level, and
+    the posterior variance. Init: x₁ = z₁, P₁ = 1.0 (a diffuse-ish
+    prior; the gain sequence from any positive P₁ converges to the
+    same steady state).
+
+    Sequential two-state float recursion per series → the holt/cusum
+    Arrow-kernel discipline, and the same bit-determinism toolbox:
+    exact-integer hourly means, every constant a computed double
+    (1 − K is column arithmetic, not a literal), identical
+    parenthesization, values published UNROUNDED; the DuckDB oracle
+    replays (x, P) with a recursive CTE computing P⁻ and K once in a
+    nested derived table. Series shorter than 2 points emit nothing."""
+    import numpy as np
+    import pandas as pd
+
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(cast(value as decimal(18,2)) * 100 as long)) as double)"
+            " / cast(count(1) * 100 as double)"
+        ).alias("mean_value")
+    )
+
+    def kernel(key, pdf):
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        z = pdf["mean_value"].to_numpy(dtype=np.float64)
+        n = len(z)
+        cols = [
+            "event_type", "hour", "actual", "innovation", "gain",
+            "filtered", "variance",
+        ]
+        if n < 2:
+            return pd.DataFrame(columns=cols)
+        x = z[0]
+        p = 1.0
+        rows = []
+        for t in range(1, n):
+            p_pred = p + q
+            k = p_pred / (p_pred + r)
+            innov = z[t] - x
+            x = x + k * innov
+            p = (1.0 - k) * p_pred
+            rows.append(
+                (key[0], pdf["hour"].iloc[t], float(z[t]), float(innov),
+                 float(k), float(x), float(p))
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    return hourly.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, hour timestamp, actual double, "
+        "innovation double, gain double, filtered double, variance double",
+    )

@@ -2501,3 +2501,43 @@ def test_compaction_plan_ffd_invariants(spark):
         fills.setdefault((part, r["bin_id"]), 0)
         fills[(part, r["bin_id"])] += r["size_bytes"]
     assert all(v <= 120 for k, v in fills.items() if k[0] == "p")
+
+
+def test_kalman_level_matches_recurrence(spark):
+    """NEW r16 (Kalman 1960 local level): filtered level, gain,
+    innovation, and posterior variance match a pure-python
+    predict/update recurrence bit-exactly; the gain decreases
+    monotonically from the diffuse start toward the steady state; a
+    one-point series emits nothing."""
+    import datetime
+
+    from datalake_local_spark.operators import windows as ops_windows
+
+    base = datetime.datetime(2024, 7, 1)
+    rows = []
+    vals = [10.0, 12.5, 11.0, 14.25, 13.0, 15.75, 16.0, 14.5, 15.0, 13.75]
+    for i, v in enumerate(vals):
+        rows.append((i, base + datetime.timedelta(hours=i), 1, "a", v, "{}"))
+    rows.append((100, base, 1, "single", 5.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = ops_windows.kalman_level_filter(df).collect()
+    assert not [r for r in out if r["event_type"] == "single"]
+    got = sorted([r for r in out if r["event_type"] == "a"], key=lambda r: r["hour"])
+    assert len(got) == len(vals) - 1
+    x, p = vals[0], 1.0
+    gains = []
+    for i, r in enumerate(got, start=1):
+        p_pred = p + 0.01
+        k = p_pred / (p_pred + 1.0)
+        innov = vals[i] - x
+        x = x + k * innov
+        p = (1.0 - k) * p_pred
+        assert r["actual"] == vals[i]
+        assert r["innovation"] == innov
+        assert r["gain"] == k
+        assert r["filtered"] == x
+        assert r["variance"] == p
+        gains.append(k)
+    assert all(gains[j] > gains[j + 1] for j in range(len(gains) - 1))
