@@ -190,6 +190,21 @@ SHOWCASE = {
         "broadcast into one labeled-corpus pass; neighbor and vote "
         "windows partition by query_id — never unpartitioned."
     ),
+    "events_cross_correlation": (
+        "Pairwise Pearson (round 16): ONE hourly pre-aggregate feeds "
+        "both join sides; the self-join keys on the calendar-bounded "
+        "hour spine (pair fanout = types^2, never data-sized) and the "
+        "five exact-integer sums partial-aggregate map-side before the "
+        "(type_a, type_b) shuffle. No unpartitioned window, no float "
+        "aggregation anywhere."
+    ),
+    "lake_compaction_plan": (
+        "OPTIMIZE planner (round 16): file-grain METADATA only — the "
+        "documents scan collapses to the (source, bucket) manifest "
+        "before the per-partition FFD kernel; Arrow batches carry "
+        "KB-scale manifests, never data bytes. The single shuffle is "
+        "the manifest groupBy."
+    ),
 }
 
 SKEW_EPILOGUE = """
