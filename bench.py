@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "events_hw_residual_diag",
     "events_cross_correlation",
     "lake_compaction_plan",
+    "events_kalman_level",
 ]
 
 
