@@ -141,6 +141,15 @@ def _q_streaming_semi_join(spark, sf):
     return event_windows.run_streaming_semi_join(spark, sf, query_name=name)
 
 
+def _q_streaming_full_outer_join(spark, sf):
+    """NEW r16: completes the stream-stream join-mode matrix. Fully
+    oracle-backed — per-side eviction bounds under the final watermark
+    (left strict at click_ts + interval, right inclusive at
+    purchase_ts) probed empirically and replayed in SQL."""
+    name = f"stream_fouter_{next(_stream_counter)}"
+    return event_windows.run_streaming_full_outer_join(spark, sf, query_name=name)
+
+
 def _q_streaming_outer_join(spark, sf):
     """Oracle-backed since r16: under this harness the tail emission is
     deterministic (one data micro-batch + the final no-data batch), so
@@ -291,6 +300,7 @@ _CERTIFY_FIRST = [
     "events_cross_correlation",  # NEW r16: exact five-sum Pearson matrix
     "lake_compaction_plan",  # NEW r16: FFD OPTIMIZE planner, CTE-replayed
     "events_kalman_level",  # NEW r16: optimal-gain state estimation
+    "streaming_full_outer_join",  # NEW r16: join-mode matrix complete
     # ---- code/oracle CHANGED in round 16 ----
     "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
     "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
@@ -316,7 +326,7 @@ _CERTIFY_FIRST = [
     "text_unigram_logprob",
     "text_zipf_profile",
     "tpch_rfm_segments",
-    # ---- r7 cohort (driver rows round 7), by name; the 21 that do
+    # ---- r7 cohort (driver rows round 7), by name; the 22 that do
     # not fit are queued for r17 below ----
     "agg_bitmap_distinct",
     "agg_boolean_funcs",
@@ -338,10 +348,9 @@ _CERTIFY_FIRST = [
     "pipeline_mixture_build",
     "pipeline_snapshot_diff",
     "scalar_try_funcs",
-    "semantic_cube_request",
-    # r17 queue: the 21 r7-cohort names this 50-slot window could not
+    # r17 queue: the 22 r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
-    # sim_cosine_topk_ivf,
+    # semantic_cube_request, sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
     # sql_correlated_exists, sql_lateral_topn, streaming_trending,
@@ -1057,6 +1066,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stream_join": _q_streaming_stream_join,
         "streaming_semi_join": _q_streaming_semi_join,
         "streaming_outer_join": _q_streaming_outer_join,
+        "streaming_full_outer_join": _q_streaming_full_outer_join,
         "streaming_static_enrich": _q_streaming_static_enrich,
         "streaming_sliding": _q_streaming_sliding,
         "streaming_foreachbatch_upsert": _q_streaming_fbu,
@@ -6534,6 +6544,62 @@ def _oracle_sql() -> dict[str, str]:
                              - 3600000000 AS wm_us
                       FROM events) wm
             WHERE epoch_us(win_start) + 3600000000 <= wm.wm_us
+        """,
+        # NEW r16: full-outer completes the join-mode matrix — both
+        # sides' unmatched rows replay under the same final watermark,
+        # left STRICT at click_ts + interval (as in the left-outer
+        # oracle below), right INCLUSIVE at purchase_ts (a click at
+        # exactly the watermark cannot match: the join needs
+        # click_ts < purchase_ts; probed empirically at == wm and
+        # wm+1min).
+        "streaming_full_outer_join": """
+            WITH clicks AS (
+                SELECT event_id AS click_id, user_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT event_id AS purchase_id, user_id AS p_user,
+                       ts AS purchase_ts
+                FROM events WHERE event_type = 'purchase'
+            ),
+            wm AS (
+                SELECT CASE WHEN cm IS NULL OR pm IS NULL THEN NULL
+                            ELSE least(cm, pm) - 7200000000 END AS wm_us
+                FROM (SELECT
+                    (SELECT (epoch_us(max(click_ts)) // 1000) * 1000
+                     FROM clicks) AS cm,
+                    (SELECT (epoch_us(max(purchase_ts)) // 1000) * 1000
+                     FROM purchases) AS pm)
+            )
+            SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id,
+                   p.purchase_ts
+            FROM clicks c JOIN purchases p
+              ON c.user_id = p.p_user
+             AND p.purchase_ts > c.click_ts
+             AND epoch_us(p.purchase_ts)
+                 <= epoch_us(c.click_ts) + 3600000000
+            UNION ALL
+            SELECT c.click_id, c.user_id, c.click_ts,
+                   CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+            FROM clicks c, wm
+            WHERE epoch_us(c.click_ts) + 3600000000 < wm.wm_us
+              AND NOT EXISTS (
+                  SELECT 1 FROM purchases p
+                  WHERE p.p_user = c.user_id
+                    AND p.purchase_ts > c.click_ts
+                    AND epoch_us(p.purchase_ts)
+                        <= epoch_us(c.click_ts) + 3600000000)
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT), p.p_user AS user_id,
+                   CAST(NULL AS TIMESTAMP), p.purchase_id, p.purchase_ts
+            FROM purchases p, wm
+            WHERE epoch_us(p.purchase_ts) <= wm.wm_us
+              AND NOT EXISTS (
+                  SELECT 1 FROM clicks c
+                  WHERE c.user_id = p.p_user
+                    AND p.purchase_ts > c.click_ts
+                    AND epoch_us(p.purchase_ts)
+                        <= epoch_us(c.click_ts) + 3600000000)
         """,
         # r16 rows-only -> oracle conversion, same determinism argument
         # as streaming_two_level_agg: matched pairs emit in the data

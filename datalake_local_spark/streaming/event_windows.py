@@ -603,6 +603,51 @@ def run_streaming_outer_join(
     return sub.table(query_name)
 
 
+def run_streaming_full_outer_join(
+    spark: SparkSession, sf_dir: str, within_minutes: int = 60, query_name: str = "stream_fouter"
+) -> DataFrame:
+    """FULL OUTER stream-stream join (supported since Spark 3.1) —
+    completes the stream-stream join-mode matrix (inner / semi /
+    left-outer / full-outer): every conversion pair, every click that
+    never converted, AND every purchase with no preceding click (the
+    attribution blind spot a left join hides). Null-extended rows emit
+    per side when that side's state expires under the global watermark.
+
+    Deterministic under this harness (the r16 watermark-replay
+    argument: one data micro-batch + the final no-data batch), with
+    PER-SIDE eviction bounds probed empirically: an unmatched CLICK
+    emits iff click_ts + interval < watermark (STRICT — the same bound
+    as the left-outer run); an unmatched PURCHASE emits iff
+    purchase_ts <= watermark (INCLUSIVE — a click at exactly the
+    watermark cannot match it because the join needs
+    click_ts < purchase_ts, so the state is already safe). Both
+    boundary cases (== wm and wm ± 1 unit) probed; the oracle replays
+    them exactly."""
+    sub = _stream_session(spark, "2")
+    clicks, purchases = _click_purchase_streams(sub, sf_dir)
+    joined = clicks.join(
+        purchases, _interval_join_cond(within_minutes), "full_outer"
+    ).select(
+        "click_id",
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+    return sub.table(query_name)
+
+
 def run_streaming_stream_join(
     spark: SparkSession, sf_dir: str, within_minutes: int = 60, query_name: str = "stream_join"
 ) -> DataFrame:

@@ -707,3 +707,43 @@ def test_dynamic_gap_merges_event_exactly_at_session_end(spark):
         .collect()
     )
     assert len(out) == 1 and out[0]["n"] == 3
+
+
+def test_streaming_full_outer_join_invariants(spark, tables):
+    """NEW r16: full-outer completes the join-mode matrix. Matched rows
+    equal the inner join; left-unmatched rows are true batch
+    non-matches (strict click_ts + interval < wm bound, subset of the
+    batch anti join); right-unmatched rows are true batch non-matches
+    with purchase_ts <= wm (inclusive bound); no row emitted twice."""
+    out = event_windows.run_streaming_full_outer_join(
+        spark, SF_DIR, query_name="t_sfouter_eq"
+    ).collect()
+    c, p, cond = _batch_click_purchase(tables)
+    inner = {(r["click_id"], r["purchase_id"]) for r in c.join(p, cond).collect()}
+    matched = {
+        (r["click_id"], r["purchase_id"])
+        for r in out
+        if r["click_id"] is not None and r["purchase_id"] is not None
+    }
+    assert matched == inner
+    import datetime
+
+    cmax = c.agg(F.max("cts")).collect()[0][0]
+    pmax = p.agg(F.max("pts")).collect()[0][0]
+    wm = min(cmax, pmax) - datetime.timedelta(hours=2)
+    left_unmatched = {r["click_id"] for r in out if r["purchase_id"] is None}
+    batch_left_anti = {r["click_id"] for r in c.join(p, cond, "left_anti").collect()}
+    assert left_unmatched <= batch_left_anti
+    for r in out:
+        if r["purchase_id"] is None:
+            assert r["click_ts"] + datetime.timedelta(minutes=60) < wm
+    right_unmatched = {r["purchase_id"] for r in out if r["click_id"] is None}
+    batch_right_anti = {
+        r["purchase_id"] for r in p.join(c, cond, "left_anti").collect()
+    }
+    assert right_unmatched <= batch_right_anti
+    for r in out:
+        if r["click_id"] is None:
+            assert r["purchase_ts"] <= wm
+    keys = [(r["click_id"], r["purchase_id"]) for r in out]
+    assert len(keys) == len(set(keys))
