@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "events_cross_correlation",
     "lake_compaction_plan",
     "events_kalman_level",
+    "streaming_full_outer_join",
 ]
 
 
