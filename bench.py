@@ -146,10 +146,12 @@ BENCH_QUERIES = [
     # session state)
     "text_frequent_tokens",
     "streaming_session_dynamic_gap",
-    # round-16 additions: the forecast-residual diagnostics (HW fit +
+    # round-16 additions: forecast-residual diagnostics (HW fit +
     # per-series Ljung-Box folds), the exact five-sum Pearson matrix
-    # (pair self-join on the hour spine), and the FFD OPTIMIZE planner
-    # (metadata-grain greedy) — each a distinct plan shape the suite
+    # (pair self-join on the hour spine), the FFD OPTIMIZE planner
+    # (metadata-grain greedy), the Kalman local-level filter
+    # (adaptive-gain recursion), and the full-outer stream-stream join
+    # (both-side watermark-tail emission) — five plan shapes the suite
     # did not yet time
     "events_hw_residual_diag",
     "events_cross_correlation",

@@ -1292,14 +1292,9 @@ def ewma_control_chart(
     import numpy as np
     import pandas as pd
 
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(
-        F.expr(
-            "cast(sum(cast(cast(value as decimal(18,2)) * 100 as long)) as double)"
-            " / cast(count(1) * 100 as double)"
-        ).alias("mean_value")
-    )
+    from datalake_local_spark.operators.windows import _hourly_exact_mean
+
+    hourly = _hourly_exact_mean(events)
     one_m = 1.0 - lam
     w_step = one_m * one_m
 

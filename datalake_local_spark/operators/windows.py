@@ -110,6 +110,24 @@ def relative_value_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def _hourly_exact_mean(events: DataFrame) -> DataFrame:
+    """(event_type, hour, mean_value): the PARITY-CRITICAL hourly mean
+    every sequential-recursion operator (Holt, Holt-Winters, Kalman,
+    EWMA chart, CUSUM, LTTB) starts from — ONE division of exact
+    integers (cents sum / 100n), so both engines compute the identical
+    double regardless of aggregation order. Single source of truth
+    (r16 review find: four verbatim copies had accreted; a decimal-
+    width change missed at one site would silently red an oracle)."""
+    return events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(cast(value as decimal(18,2)) * 100 as long)) as double)"
+            " / cast(count(1) * 100 as double)"
+        ).alias("mean_value")
+    )
+
+
 def holt_forecast(
     events: DataFrame, alpha: float = 0.3, beta: float = 0.1
 ) -> DataFrame:
@@ -140,14 +158,7 @@ def holt_forecast(
     one_a = 1.0 - alpha
     one_b = 1.0 - beta
 
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(
-        F.expr(
-            "cast(sum(cast(cast(value as decimal(18,2)) * 100 as long)) as double)"
-            " / cast(count(1) * 100 as double)"
-        ).alias("mean_value")
-    )
+    hourly = _hourly_exact_mean(events)
 
     def kernel(key, pdf):
         pdf = pdf.sort_values("hour").reset_index(drop=True)
@@ -215,14 +226,7 @@ def holt_winters_forecast(
     one_b = 1.0 - beta
     one_g = 1.0 - gamma
 
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(
-        F.expr(
-            "cast(sum(cast(cast(value as decimal(18,2)) * 100 as long)) as double)"
-            " / cast(count(1) * 100 as double)"
-        ).alias("mean_value")
-    )
+    hourly = _hourly_exact_mean(events)
 
     def kernel(key, pdf):
         pdf = pdf.sort_values("hour").reset_index(drop=True)
@@ -475,14 +479,7 @@ def cusum_changepoints(
     import numpy as np
     import pandas as pd
 
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(
-        F.expr(
-            "cast(sum(cast(cast(value as decimal(18,2)) * 100 as long)) as double)"
-            " / cast(count(1) * 100 as double)"
-        ).alias("mean_value")
-    )
+    hourly = _hourly_exact_mean(events)
 
     def kernel(key, pdf):
         pdf = pdf.sort_values("hour").reset_index(drop=True)
@@ -1377,14 +1374,7 @@ def kalman_level_filter(
     import numpy as np
     import pandas as pd
 
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(
-        F.expr(
-            "cast(sum(cast(cast(value as decimal(18,2)) * 100 as long)) as double)"
-            " / cast(count(1) * 100 as double)"
-        ).alias("mean_value")
-    )
+    hourly = _hourly_exact_mean(events)
 
     def kernel(key, pdf):
         pdf = pdf.sort_values("hour").reset_index(drop=True)

@@ -747,3 +747,20 @@ def test_streaming_full_outer_join_invariants(spark, tables):
             assert r["purchase_ts"] <= wm
     keys = [(r["click_id"], r["purchase_id"]) for r in out]
     assert len(keys) == len(set(keys))
+    # REVERSE inclusion (r16 review find: subset checks alone pass a
+    # stream that drops all null-extension) — every batch non-match
+    # safely past its eviction bound MUST have emitted; a margin keeps
+    # the bound's own boundary semantics to the oracle hash check
+    must_left = {
+        r["click_id"]
+        for r in c.join(p, cond, "left_anti").collect()
+        if r["cts"] + datetime.timedelta(minutes=61) < wm
+    }
+    assert must_left <= left_unmatched
+    must_right = {
+        r["purchase_id"]
+        for r in p.join(c, cond, "left_anti").collect()
+        if r["pts"] + datetime.timedelta(minutes=1) < wm
+    }
+    assert must_right <= right_unmatched
+    assert must_left and must_right  # non-vacuous on the harness data
