@@ -313,6 +313,7 @@ _CERTIFY_FIRST = [
     "tpch_basket_affinity",  # r16: min-support prune below the pair join
     "graph_pagerank",  # r16: fold-deterministic kernel -> full CTE oracle
     "dedup_keep_policy",  # r16: components+pagerank composition oracle
+    "streaming_anomaly",  # r16: rows-only -> recursive-CTE fold-replay oracle
     # ---- displaced from the r15 window; driver rows r6-era ----
     "text_bm25_search",
     "text_corpus_qa_report",
@@ -347,9 +348,9 @@ _CERTIFY_FIRST = [
     "pipeline_global_shuffle",
     "pipeline_mixture_build",
     "pipeline_snapshot_diff",
-    "scalar_try_funcs",
-    # r17 queue: the 22 r7-cohort names this 50-slot window could not
+    # r17 queue: the r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
+    # scalar_try_funcs (displaced by the streaming_anomaly conversion),
     # semantic_cube_request, sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
@@ -6651,6 +6652,82 @@ def _oracle_sql() -> dict[str, str]:
                     AND p.purchase_ts > c.click_ts
                     AND epoch_us(p.purchase_ts)
                         <= epoch_us(c.click_ts) + 3600000000)
+        """,
+        # r16 rows-only -> oracle conversion: the applyInPandasWithState
+        # expanding z-score fold is DETERMINISTIC under this harness
+        # (single-file source -> ONE data micro-batch, rows sorted
+        # (ts, event_id) inside the kernel), so a recursive CTE carrying
+        # the exact state tuple (n, Σx, Σx², Σcents, Σcents²) replays it
+        # step-for-step: same left-fold double additions in the same
+        # order, the same exact-integer constant-baseline test
+        # (Cauchy-Schwarz equality on cent sums, ±inf on a jump), the
+        # same (s2 - n·mean·mean)/(n-1) op shape. cents mirrors the
+        # kernel's Decimal(repr(v)).quantize(1e-6, HALF_UP)·100
+        # truncation via the proven DECIMAL(18,6) cast (the batch-twin
+        # events_anomaly_zscore mapping). Outputs are the raw fold
+        # doubles — the kernel stopped rounding in r16 precisely so no
+        # Python-round(banker's) vs SQL-round(half-up) seam exists.
+        "streaming_anomaly": """
+            WITH RECURSIVE ev AS (
+                SELECT user_id, event_id, value,
+                       CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS i
+                FROM events
+            ),
+            steps AS (
+                SELECT user_id, i, event_id, value,
+                       FALSE AS flagged,
+                       CAST(NULL AS DOUBLE) AS base_mean,
+                       CAST(NULL AS DOUBLE) AS z,
+                       CAST(1 AS BIGINT) AS n,
+                       value AS s1, value * value AS s2,
+                       cents AS s1c, cents * cents AS s2c
+                FROM ev WHERE i = 1
+                UNION ALL
+                SELECT u.user_id, u.i, u.event_id, u.value,
+                       u.zval IS NOT NULL
+                           AND abs(u.zval) >= CAST(3.0 AS DOUBLE) AS flagged,
+                       CASE WHEN u.zval IS NOT NULL
+                                 AND abs(u.zval) >= CAST(3.0 AS DOUBLE)
+                            THEN u.mean END AS base_mean,
+                       CASE WHEN u.zval IS NOT NULL
+                                 AND abs(u.zval) >= CAST(3.0 AS DOUBLE)
+                            THEN u.zval END AS z,
+                       u.n + 1,
+                       u.s1 + u.value, u.s2 + u.value * u.value,
+                       u.s1c + u.cents, u.s2c + u.cents * u.cents
+                FROM (
+                    SELECT v.*,
+                           CASE WHEN v.n >= 8 AND v.const_base
+                                     AND v.cents * v.n <> v.s1c
+                                THEN CASE WHEN v.cents * v.n > v.s1c
+                                          THEN CAST('infinity' AS DOUBLE)
+                                          ELSE CAST('-infinity' AS DOUBLE) END
+                                WHEN v.n >= 8 AND NOT v.const_base
+                                     AND v.var > CAST(0.0 AS DOUBLE)
+                                THEN (v.value - v.mean) / sqrt(v.var)
+                           END AS zval
+                    FROM (
+                        SELECT m.*,
+                               CASE WHEN m.n >= 8 AND NOT m.const_base
+                                    THEN (m.s2 - CAST(m.n AS DOUBLE)
+                                                 * m.mean * m.mean)
+                                         / CAST(m.n - 1 AS DOUBLE) END AS var
+                        FROM (
+                            SELECT s.n, s.s1, s.s2, s.s1c, s.s2c,
+                                   e.user_id, e.i, e.event_id, e.value,
+                                   e.cents,
+                                   s.s1 / CAST(s.n AS DOUBLE) AS mean,
+                                   s.s2c * s.n = s.s1c * s.s1c AS const_base
+                            FROM steps s JOIN ev e
+                              ON e.user_id = s.user_id AND e.i = s.i + 1
+                        ) m
+                    ) v
+                ) u
+            )
+            SELECT user_id, event_id, value, base_mean, z
+            FROM steps WHERE flagged
         """,
         "streaming_trending": """
             WITH counts AS (

@@ -991,8 +991,12 @@ def run_streaming_anomaly(
     State per key is three numbers → bounded at any volume; at scale it
     lives in the checkpointed state store partitioned by user_id —
     exactly the stateful-counter shape with a per-row decision added.
-    Streaming + stateful → rows-only registration; batch-parity vs a
-    pure-python expanding reference is tested."""
+    r16: ORACLE-backed — the single-file source arrives as ONE
+    micro-batch, so the fold order is the global (ts, event_id) order
+    per user and a DuckDB recursive CTE replays the (n, Σx, Σx²,
+    Σcents, Σcents²) fold bit-exactly (outputs are the raw fold
+    doubles, no rounding); batch-parity vs a pure-python expanding
+    reference is additionally tested."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     sub = _stream_session(spark, "8")
@@ -1059,11 +1063,16 @@ def run_streaming_anomaly(
                         flagged["user_id"].append(key[0])
                         flagged["event_id"].append(row.event_id)
                         flagged["value"].append(v)
-                        # 6dp like the batch twin (4dp sits on exact-half
-                        # rounding boundaries for small-n means of 2dp
-                        # values — the r9 events_anomaly_zscore lesson)
-                        flagged["base_mean"].append(round(mean, 6))
-                        flagged["z"].append(round(z, 4) if math.isfinite(z) else z)
+                        # UNROUNDED doubles (r16): the flag decision
+                        # rides on the raw z anyway, and emitting the
+                        # raw fold values lets the DuckDB oracle replay
+                        # the recursion bit-exactly with no Python-
+                        # round(banker's) vs SQL-round(half-up) hazard
+                        # (the r9 events_anomaly_zscore lesson, taken
+                        # to its conclusion). Consumers round for
+                        # display.
+                        flagged["base_mean"].append(mean)
+                        flagged["z"].append(z)
                 n, s1, s2 = n + 1, s1 + v, s2 + v * v
                 s1c, s2c = s1c + c, s2c + c * c
         state.update((n, s1, s2, s1c, s2c))

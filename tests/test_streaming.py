@@ -535,7 +535,9 @@ def test_streaming_two_level_agg_tail_contract(spark, tables):
 def test_streaming_anomaly_matches_batch_reference(spark):
     """Stateful expanding z-score parity: the streaming flags equal a
     pure-python expanding-baseline replay over the same events in the
-    same (ts, event_id) order — values, baselines, and z to 4dp."""
+    same (ts, event_id) order — raw unrounded baselines and z (r16:
+    the kernel emits the raw fold doubles so the DuckDB oracle can
+    replay them bit-exactly)."""
     import math
 
     from datalake_local_spark.session import load_tables
@@ -570,10 +572,7 @@ def test_streaming_anomaly_matches_batch_reference(spark):
                 elif var > 0:
                     z = (v - mean) / math.sqrt(var)
                 if z is not None and abs(z) >= 3.0:
-                    want[(u, r["event_id"])] = (
-                        round(mean, 6),
-                        round(z, 4) if math.isfinite(z) else z,
-                    )
+                    want[(u, r["event_id"])] = (mean, z)
             n, s1, s2 = n + 1, s1 + v, s2 + v * v
             s1c, s2c = s1c + c, s2c + c * c
     assert got == want

@@ -74,7 +74,6 @@ ROWS_ONLY_REASONS = {
     "sim_ivf_partitioned_probe": "seeded KMeans lists + partitioned disk layout (engine-side state); probe≡full-scan parity tested",
     "sim_pca_project": "driver-side LAPACK eigendecomposition; sign/order conventions are not ANSI-expressible — reconstruction error tested",
     "sim_pq_topk": "driver-trained seeded PQ codebooks; ADC recall vs exact brute force tested",
-    "streaming_anomaly": "custom stateful operator (applyInPandasWithState); batch-replay parity tested",
     "text_bpe_encode": "encodes with iteratively learned merges (driver loop); round-trip decode identity tested",
     "text_bpe_merges": "iterative merge-learning driver loop; r16 re-audit vs the list-state toolbox: per-round pair-count argmax needs aggregates over the recursive ref, and a list-state replay is O(pairs^2) lambda work per round at vocab scale — infeasible; merge determinism tested",
     "text_chunk_rolling_hash": "content-defined boundaries from a per-byte rolling-hash fold (mapInPandas kernel); reassembly identity + boundary-shift tested",
