@@ -314,6 +314,7 @@ _CERTIFY_FIRST = [
     "graph_pagerank",  # r16: fold-deterministic kernel -> full CTE oracle
     "dedup_keep_policy",  # r16: components+pagerank composition oracle
     "streaming_anomaly",  # r16: rows-only -> recursive-CTE fold-replay oracle
+    "text_chunk_rolling_hash",  # r16: rows-only -> closed-form hash + chunk-grain CTE oracle
     # ---- displaced from the r15 window; driver rows r6-era ----
     "text_bm25_search",
     "text_corpus_qa_report",
@@ -347,11 +348,11 @@ _CERTIFY_FIRST = [
     "pipeline_decontaminate",
     "pipeline_global_shuffle",
     "pipeline_mixture_build",
-    "pipeline_snapshot_diff",
     # r17 queue: the r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
     # scalar_try_funcs (displaced by the streaming_anomaly conversion),
-    # semantic_cube_request, sim_cosine_topk_ivf,
+    # pipeline_snapshot_diff (displaced by the text_chunk_rolling_hash
+    # conversion), semantic_cube_request, sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
     # sql_correlated_exists, sql_lateral_topn, streaming_trending,
@@ -4538,6 +4539,75 @@ def _oracle_sql() -> dict[str, str]:
             SELECT *, (n_replacement > 0 OR n_control > 0
                        OR CAST(n_mojibake AS DOUBLE) / greatest(n_chars, 1) > 0.002) AS is_suspect
             FROM scored
+        """,
+        # r16 rows-only -> oracle conversion: the Rabin-Karp rolling hash
+        # at step i covers exactly the trailing min(i+1, 16) bytes mod
+        # 2^61-1, so it has a CLOSED FORM — h_j = Σ_k byte[j-k]·257^k
+        # (k = 0..15, powers precomputed as Python-int literals) — no
+        # per-byte fold needed; the sum peaks at 16·255·2^61 ≈ 2^73,
+        # exact in HUGEINT. Boundary selection (first j with length >= 32
+        # and h ≡ 0 mod 64, else the length-512 cap, else the tail) is
+        # the only sequential part, replayed at CHUNK grain by a
+        # recursive CTE (depth <= ceil(max_doc_len/min_chunk) ~ 18).
+        # Corpus is verified all-ASCII (strlen == length at all 3 SFs),
+        # so char positions ARE byte positions and DuckDB md5(substr)
+        # equals the kernel's hashlib.md5 over the byte slice; the
+        # kernel itself stays byte-correct on arbitrary UTF-8.
+        # MATERIALIZED pins the flag pipeline to one evaluation — the
+        # recursive part would otherwise re-run it per iteration
+        # (56 s -> 4 s at sf0.1, measured).
+        "text_chunk_rolling_hash": """
+            WITH RECURSIVE pows(k, w) AS (VALUES """
+        + ", ".join(f"({k}, {pow(257, k, (1 << 61) - 1)})" for k in range(16))
+        + """),
+            bts AS (
+                SELECT doc_id,
+                       CAST(unnest(range(1, strlen(text) + 1)) AS INT) AS j,
+                       text
+                FROM documents
+            ),
+            byts AS MATERIALIZED (
+                SELECT doc_id, j, unicode(substr(text, j, 1)) AS b FROM bts
+            ),
+            hs AS MATERIALIZED (
+                SELECT p.doc_id, p.j,
+                       (sum(CAST(b2.b AS HUGEINT) * pw.w)
+                        % 2305843009213693951) % 64 = 0 AS flag
+                FROM byts p
+                JOIN pows pw ON pw.k <= 15
+                JOIN byts b2 ON b2.doc_id = p.doc_id AND b2.j = p.j - pw.k
+                GROUP BY p.doc_id, p.j
+            ),
+            fl AS MATERIALIZED (
+                SELECT doc_id, list(flag ORDER BY j) AS flags,
+                       CAST(max(j) AS BIGINT) AS n
+                FROM hs GROUP BY doc_id
+            ),
+            chunks AS (
+                SELECT f.doc_id, CAST(0 AS BIGINT) AS chunk_idx,
+                       CAST(0 AS BIGINT) AS strt,
+                       COALESCE(
+                           list_filter(range(CAST(32 AS BIGINT),
+                                             least(CAST(511 AS BIGINT), f.n) + 1),
+                                       j -> f.flags[j])[1],
+                           least(CAST(512 AS BIGINT), f.n)) AS endp
+                FROM fl f
+                UNION ALL
+                SELECT c.doc_id, c.chunk_idx + 1, c.endp,
+                       COALESCE(
+                           list_filter(range(c.endp + 32,
+                                             least(c.endp + 511, f.n) + 1),
+                                       j -> f.flags[j])[1],
+                           least(c.endp + 512, f.n)) AS endp
+                FROM chunks c JOIN fl f ON f.doc_id = c.doc_id
+                WHERE c.endp < f.n
+            )
+            SELECT c.doc_id, c.chunk_idx,
+                   substr(d.text, CAST(c.strt + 1 AS INT),
+                          CAST(c.endp - c.strt AS INT)) AS chunk_text,
+                   md5(substr(d.text, CAST(c.strt + 1 AS INT),
+                              CAST(c.endp - c.strt AS INT))) AS chunk_hash
+            FROM chunks c JOIN documents d USING (doc_id)
         """,
         "text_segment_dedup": f"""
             WITH toked AS (

@@ -209,7 +209,11 @@ def chunk_documents_rolling_hash(
     Sequential per-document scan → Arrow-batched mapInPandas kernel (the
     sanctioned Python path; a per-character fold is not expressible as an
     efficient column expression). Deterministic; chunks reassemble to the
-    exact document (asserted in tests). Rows-only correctness entry.
+    exact document (asserted in tests). ORACLE-backed (r16): the rolling
+    hash at step i covers exactly the trailing min(i+1, window) bytes mod
+    2^61-1, so it has a closed form the DuckDB twin evaluates exactly in
+    HUGEINT; only boundary selection is sequential, replayed at chunk
+    grain by a recursive CTE (see __spark_entry__ oracle comment).
 
     At 100 TB: this is the map side of chunk-level dedup — chunks flow
     into exact_dedup on chunk_hash; only boundaries + hashes shuffle.
