@@ -301,6 +301,7 @@ _CERTIFY_FIRST = [
     "lake_compaction_plan",  # NEW r16: FFD OPTIMIZE planner, CTE-replayed
     "events_kalman_level",  # NEW r16: optimal-gain state estimation
     "streaming_full_outer_join",  # NEW r16: join-mode matrix complete
+    "tpch_croston_demand",  # NEW r16: intermittent-demand forecast (Croston 1972)
     # ---- code/oracle CHANGED in round 16 ----
     "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
     "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
@@ -347,12 +348,12 @@ _CERTIFY_FIRST = [
     "pandas_arrow_bytes",
     "pipeline_decontaminate",
     "pipeline_global_shuffle",
-    "pipeline_mixture_build",
     # r17 queue: the r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
     # scalar_try_funcs (displaced by the streaming_anomaly conversion),
     # pipeline_snapshot_diff (displaced by the text_chunk_rolling_hash
-    # conversion), semantic_cube_request, sim_cosine_topk_ivf,
+    # conversion), pipeline_mixture_build (displaced by the NEW
+    # tpch_croston_demand), semantic_cube_request, sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
     # sql_correlated_exists, sql_lateral_topn, streaming_trending,
@@ -952,6 +953,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_realized_margin": lambda s, d: tpch.realized_margin(*_t(s, d, "lineitem", "part")),
         "tpch_supplier_hhi": lambda s, d: tpch.supplier_concentration_hhi(*_t(s, d, "lineitem", "part")),
         "tpch_demand_xyz": lambda s, d: tpch.demand_variability_xyz(*_t(s, d, "lineitem", "part")),
+        # NEW r16: Croston intermittent-demand forecast — the companion
+        # forecaster for demand_xyz's erratic "Z" class; two-state SES
+        # recursion per part, replayed bit-exactly by the recursive-CTE
+        # oracle (the holt/kalman toolbox)
+        "tpch_croston_demand": lambda s, d: tpch.croston_demand(*_t(s, d, "lineitem")),
         "tpch_order_aging": lambda s, d: tpch.order_aging(*_t(s, d, "orders")),
         "text_quality_by_source": lambda s, d: text.quality_by_source(*_t(s, d, "documents")),
         "tpch_return_rates": lambda s, d: tpch.return_rates(*_t(s, d, "lineitem", "part")),
@@ -8048,6 +8054,72 @@ def _oracle_sql() -> dict[str, str]:
                                  AS DECIMAL(38,0))) AS BIGINT) AS value_cents
             FROM orders CROSS JOIN book_end
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # NEW r16: Croston two-state recursion replayed by a recursive
+        # CTE (the kalman shape — seed at k=2 from the k=1 init, join
+        # k = s.k + 1). Monthly demand = exact integer quantity sums;
+        # month indexes are exact integers off the global min-month
+        # anchor (date_diff('month') on month-truncated timestamps ==
+        # Spark months_between, both integral); (1 − α) is COMPUTED
+        # (CAST(1.0) − CAST(0.2)) matching the Python one_a = 1.0 − 0.2
+        # — the r15 ADVICE ulp discipline; all outputs unrounded.
+        "tpch_croston_demand": """
+            WITH RECURSIVE monthly AS (
+                SELECT l_partkey AS p_partkey,
+                       date_trunc('month', l_shipdate) AS month,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                FROM lineitem GROUP BY 1, 2
+            ),
+            anchored AS (
+                SELECT m.*,
+                       CAST(date_diff('month',
+                                      (SELECT min(month) FROM monthly),
+                                      m.month) AS BIGINT) AS idx
+                FROM monthly m
+            ),
+            indexed AS (
+                SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                             ORDER BY idx) AS k
+                FROM anchored
+            ),
+            init AS (
+                SELECT p_partkey, CAST(q AS DOUBLE) AS level,
+                       CAST(idx + 1 AS DOUBLE) AS itv, idx
+                FROM indexed WHERE k = 1
+            ),
+            steps AS (
+                SELECT n.p_partkey, n.k, n.month,
+                       n.idx - i.idx AS gap_months,
+                       n.q AS demand_qty,
+                       i.level / i.itv AS rate_forecast,
+                       CAST(0.2 AS DOUBLE) * CAST(n.q AS DOUBLE)
+                         + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                           * i.level AS level,
+                       CAST(0.2 AS DOUBLE) * CAST(n.idx - i.idx AS DOUBLE)
+                         + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                           * i.itv AS itv,
+                       n.idx
+                FROM indexed n JOIN init i
+                  ON n.p_partkey = i.p_partkey AND n.k = 2
+                UNION ALL
+                SELECT n.p_partkey, n.k, n.month,
+                       n.idx - s.idx,
+                       n.q,
+                       s.level / s.itv,
+                       CAST(0.2 AS DOUBLE) * CAST(n.q AS DOUBLE)
+                         + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                           * s.level,
+                       CAST(0.2 AS DOUBLE) * CAST(n.idx - s.idx AS DOUBLE)
+                         + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                           * s.itv,
+                       n.idx
+                FROM steps s JOIN indexed n
+                  ON n.p_partkey = s.p_partkey AND n.k = s.k + 1
+            )
+            SELECT p_partkey, month, CAST(gap_months AS BIGINT) AS gap_months,
+                   demand_qty, rate_forecast, level,
+                   itv AS smoothed_interval
+            FROM steps
         """,
         "tpch_demand_xyz": """
             WITH monthly AS (

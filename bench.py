@@ -158,6 +158,10 @@ BENCH_QUERIES = [
     "lake_compaction_plan",
     "events_kalman_level",
     "streaming_full_outer_join",
+    # round-16 late wave: the Croston intermittent-demand recursion
+    # (20k part-grain applyInPandas folds over the demand-month
+    # pre-aggregate — the widest grouped-pandas fan-out in the suite)
+    "tpch_croston_demand",
 ]
 
 

@@ -1577,3 +1577,101 @@ def discount_elasticity(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("discount_pct")
     )
+
+
+def croston_demand(lineitem: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972,
+    "Forecasting and stock control for intermittent demands", Oper.
+    Res. Quarterly — public; the standard forecaster for the erratic
+    "Z" class that :func:`demand_variability_xyz` flags): per part,
+    smooth the nonzero demand SIZES and the INTER-DEMAND intervals as
+    two separate SES recursions and forecast the demand RATE as their
+    ratio —
+    ``level_k = α·z_k + (1−α)·level_{k−1}``;
+    ``interval_k = α·q_k + (1−α)·interval_{k−1}``;
+    ``rate = level/interval`` (units per month). Plain SES (Holt
+    without trend) applied to sparse series collapses toward zero
+    between demands; Croston's split is the fix inventory systems use.
+
+    Demand = monthly shipped quantity per part; only months WITH
+    shipments appear (the series is intermittent by construction), and
+    ``q_k`` is the calendar-month gap between successive demand months
+    (``q_1`` = months from the global series anchor to the first
+    demand, +1 — a documented deterministic init; ``level_1 = z_1``).
+    Each emitted row carries the one-step-ahead rate forecast made
+    BEFORE that demand arrived (the holt_forecast discipline) plus the
+    post-update state. Parts with a single demand month emit nothing.
+
+    Determinism (the events_cusum/holt toolbox): monthly quantities
+    are exact integer sums (integral l_quantity, the demand_xyz
+    discipline); month indexes are exact integers off one global
+    anchor; the two-state recursion is the same correctly-rounded op
+    sequence on both engines (1−α COMPUTED, never a 0.8 literal — the
+    r15 ADVICE ulp class) and values publish UNROUNDED, so the DuckDB
+    recursive-CTE oracle replays it bit-exactly.
+
+    Scale shape: one (part, month) map-side-combined aggregate, a
+    broadcast scalar anchor, then applyInPandas over BUCKET groups
+    (p_partkey mod 64), NOT part groups: the recursion state is two
+    doubles per part either way, but per-group Arrow/pandas overhead
+    at 20k-parts-×-25-rows grain dominated the fold itself (13.5 s →
+    1.4 s warm at sf0.1, measured) — the kernel walks one
+    (part, idx)-sorted batch and resets state at part boundaries. At
+    1000 executors, raise the bucket count to match parallelism; skew
+    is structurally absent (parts hash-uniform over buckets)."""
+    import numpy as np
+    import pandas as pd
+
+    one_a = 1.0 - alpha
+
+    monthly = lineitem.groupBy(
+        F.col("l_partkey").alias("p_partkey"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    anchor = monthly.agg(F.min("month").alias("m0"))
+    monthly = (
+        monthly.crossJoin(F.broadcast(anchor))
+        .withColumn("idx", F.months_between(F.col("month"), F.col("m0")).cast("long"))
+        .drop("m0")
+        .withColumn("bucket", F.pmod(F.col("p_partkey"), F.lit(64)).cast("int"))
+    )
+
+    def kernel(key, pdf):
+        pdf = pdf.sort_values(["p_partkey", "idx"], ignore_index=True)
+        pk = pdf["p_partkey"].to_numpy()
+        q = pdf["q"].to_numpy()
+        idx = pdf["idx"].to_numpy()
+        sel, gaps, fcs, lvls, itvs = [], [], [], [], []
+        level = itv = 0.0
+        for i in range(len(pdf)):
+            if i == 0 or pk[i] != pk[i - 1]:
+                # first demand of a part: init state, emit nothing
+                level = float(q[i])
+                itv = float(idx[i] + 1)
+                continue
+            fc = level / itv
+            gap = int(idx[i] - idx[i - 1])
+            level = alpha * float(q[i]) + one_a * level
+            itv = alpha * float(gap) + one_a * itv
+            sel.append(i)
+            gaps.append(gap)
+            fcs.append(fc)
+            lvls.append(level)
+            itvs.append(itv)
+        return pd.DataFrame(
+            {
+                "p_partkey": pk[sel],
+                "month": pdf["month"].iloc[sel].to_numpy(),
+                "gap_months": np.asarray(gaps, dtype=np.int64),
+                "demand_qty": q[sel],
+                "rate_forecast": np.asarray(fcs, dtype=np.float64),
+                "level": np.asarray(lvls, dtype=np.float64),
+                "smoothed_interval": np.asarray(itvs, dtype=np.float64),
+            }
+        )
+
+    return monthly.groupBy("bucket").applyInPandas(
+        kernel,
+        "p_partkey long, month timestamp, gap_months long, demand_qty long, "
+        "rate_forecast double, level double, smoothed_interval double",
+    )

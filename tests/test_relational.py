@@ -2541,3 +2541,45 @@ def test_kalman_level_matches_recurrence(spark):
         assert r["variance"] == p
         gains.append(k)
     assert all(gains[j] > gains[j + 1] for j in range(len(gains) - 1))
+
+
+def test_croston_demand_matches_recurrence(spark):
+    """NEW r16 (Croston 1972 intermittent demand): per-part rate
+    forecasts match a pure-python two-state recurrence bit-exactly,
+    gaps are calendar-month integers off the global anchor, and parts
+    with a single demand month emit nothing."""
+    import datetime
+
+    from datalake_local_spark.operators import tpch as ops_tpch
+
+    d = lambda y, m, day: datetime.datetime(y, m, day)  # noqa: E731
+    # part 1: demands in months 0, 2, 3, 7 (gaps 2, 1, 4); two lines in
+    # month 2 must sum; part 2: a single month -> no output. The global
+    # anchor is 1995-01 (part 1's first month), so q1 for part 1 is 1
+    # and part 2's absence is structural, not anchor-dependent.
+    rows = [
+        (1, d(1995, 1, 5), 10.0),
+        (1, d(1995, 3, 9), 4.0),
+        (1, d(1995, 3, 21), 6.0),
+        (1, d(1995, 4, 2), 8.0),
+        (1, d(1995, 8, 30), 20.0),
+        (2, d(1995, 6, 1), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_partkey long, l_shipdate timestamp, l_quantity double"
+    )
+    out = ops_tpch.croston_demand(df).collect()
+    assert not [r for r in out if r["p_partkey"] == 2]
+    got = sorted([r for r in out if r["p_partkey"] == 1], key=lambda r: r["month"])
+    assert [(r["gap_months"], r["demand_qty"]) for r in got] == [
+        (2, 10), (1, 8), (4, 20)
+    ]
+    alpha, one_a = 0.2, 1.0 - 0.2
+    level, itv = 10.0, 1.0  # z1 = 10, q1 = idx0 + 1 = 1
+    zs, gaps = [10.0, 8.0, 20.0], [2, 1, 4]
+    for r, z, gap in zip(got, zs, gaps):
+        assert r["rate_forecast"] == level / itv
+        level = alpha * z + one_a * level
+        itv = alpha * float(gap) + one_a * itv
+        assert r["level"] == level
+        assert r["smoothed_interval"] == itv
