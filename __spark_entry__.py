@@ -302,6 +302,7 @@ _CERTIFY_FIRST = [
     "events_kalman_level",  # NEW r16: optimal-gain state estimation
     "streaming_full_outer_join",  # NEW r16: join-mode matrix complete
     "tpch_croston_demand",  # NEW r16: intermittent-demand forecast (Croston 1972)
+    "graph_closeness",  # NEW r16: all-sources BFS closeness/eccentricity
     # ---- code/oracle CHANGED in round 16 ----
     "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
     "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
@@ -347,13 +348,13 @@ _CERTIFY_FIRST = [
     "mm_video_metadata",
     "pandas_arrow_bytes",
     "pipeline_decontaminate",
-    "pipeline_global_shuffle",
     # r17 queue: the r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
     # scalar_try_funcs (displaced by the streaming_anomaly conversion),
     # pipeline_snapshot_diff (displaced by the text_chunk_rolling_hash
     # conversion), pipeline_mixture_build (displaced by the NEW
-    # tpch_croston_demand), semantic_cube_request, sim_cosine_topk_ivf,
+    # tpch_croston_demand), pipeline_global_shuffle (displaced by the
+    # NEW graph_closeness), semantic_cube_request, sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
     # sql_correlated_exists, sql_lateral_topn, streaming_trending,
@@ -916,6 +917,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_seasonal_index": lambda s, d: tpch.seasonal_index(*_t(s, d, "orders")),
         "dedup_lsh_scurve": lambda s, d: dedup.lsh_scurve(s),
         "graph_triangles": lambda s, d: dedup.dup_graph_triangles(*_t(s, d, "documents")),
+        # NEW r16: all-sources BFS -> closeness + eccentricity; exact
+        # integers until one final division, bounded-CTE oracle replay
+        "graph_closeness": lambda s, d: dedup.closeness_centrality(*_t(s, d, "documents")),
         "graph_assortativity": lambda s, d: dedup.graph_degree_assortativity(*_t(s, d, "documents")),
         "dedup_entity_fuzzy": lambda s, d: dedup.fuzzy_entity_pairs(*_t(s, d, "part")),
         "text_phrase_search": lambda s, d: text.phrase_search(*_t(s, d, "documents")),
@@ -7434,6 +7438,33 @@ def _oracle_sql() -> dict[str, str]:
             SELECT degree, n_docs,
                    round(CAST(n_docs AS DOUBLE) / n_nodes, 6) AS doc_share
             FROM hist, total
+        """,
+        # NEW r16: all-pairs BFS over the bounded pair feed as a
+        # recursive CTE — UNION dedups (src, node, dist) tuples, the
+        # dist < 100 cap bounds cycle walks (V <= 100 by construction,
+        # so every true distance is <= 99), min() per pair recovers the
+        # BFS distance. Exact integers until the single closeness
+        # division (round 6, HALF_UP on both engines).
+        "graph_closeness": f"""
+            WITH RECURSIVE {_PAIR_FEED_CTES},
+            gnodes AS (SELECT DISTINCT s AS id FROM edges0),
+            walk AS (
+                SELECT id AS src, id AS node, 0 AS dist FROM gnodes
+                UNION
+                SELECT w.src, e.d AS node, w.dist + 1
+                FROM walk w JOIN edges0 e ON e.s = w.node
+                WHERE w.dist < 100
+            ),
+            sp AS (
+                SELECT src, node, min(dist) AS dist FROM walk GROUP BY 1, 2
+            )
+            SELECT src AS doc_id,
+                   count(*) AS n_reachable,
+                   CAST(max(dist) AS BIGINT) AS eccentricity,
+                   CAST(sum(dist) AS BIGINT) AS sum_dist,
+                   round(CAST(count(*) - 1 AS DOUBLE)
+                         / CAST(sum(dist) AS DOUBLE), 6) AS closeness
+            FROM sp GROUP BY src
         """,
         "graph_assortativity": f"""
             WITH docs AS (

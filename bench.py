@@ -161,7 +161,11 @@ BENCH_QUERIES = [
     # round-16 late wave: the Croston intermittent-demand recursion
     # (20k part-grain applyInPandas folds over the demand-month
     # pre-aggregate — the widest grouped-pandas fan-out in the suite)
+    # and the all-sources BFS fixpoint (diameter-bounded rounds of
+    # frontier-join + anti-join — the one iterative shape the graph
+    # suite did not yet time)
     "tpch_croston_demand",
+    "graph_closeness",
 ]
 
 

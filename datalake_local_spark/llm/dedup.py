@@ -3105,3 +3105,85 @@ def graph_degree_assortativity(
             "assortativity"
         ),
     )
+
+
+def closeness_centrality(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    max_rounds: int = 128,
+) -> DataFrame:
+    """Closeness centrality + eccentricity of every node in the
+    near-dup graph (Bavelas 1950 / Sabidussi 1966 closeness; Freeman
+    1978's survey is the standard reference — public): how FEW hops a
+    document sits from everything else in its duplication blob. The
+    keep-policy diagnostic pagerank does not give: rank finds the
+    most-linked hub, closeness finds the most CENTRAL copy (minimum
+    total distance), and eccentricity bounds the blob's radius — a
+    2-hop-everywhere quasi-clique and a long drift chain can carry the
+    same pagerank hub but very different eccentricities.
+
+    BFS from EVERY node simultaneously at (src, node) grain: frontier
+    ⋈ edges per round, anti-join against the visited set, fixpoint
+    when no pair is newly reached (rounds = graph diameter; one
+    bounded count per round is all the driver sees — the
+    duplicate_components fixpoint discipline, localCheckpoint +
+    release per round). All-sources BFS is Θ(V·E) work — on the
+    harness feed V ≤ 100 by construction; at scale this runs per
+    bounded component/cluster (the keep-policy consumer's grain, never
+    the whole corpus), with ``pairs=`` wired to the persisted band
+    index like every other graph diagnostic.
+
+    Output per node: reachable-set size, eccentricity (max BFS dist),
+    total distance, and within-component closeness
+    (n_reachable − 1) / sum_dist. Exact integers until the one final
+    division (round 6, HALF_UP on both engines) → the DuckDB oracle
+    replays BFS as a bounded recursive CTE and hash-matches exactly."""
+    if pairs is None:
+        pairs = _harness_pair_feed(documents)
+    edges = (
+        pairs.select(F.col("doc_a").alias("e_src"), F.col("doc_b").alias("e_dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("e_src"), F.col("doc_a").alias("e_dst"))
+        )
+    )
+    nodes = edges.select(F.col("e_src").alias("doc_id")).distinct()
+    if nodes.count() < 10_000:  # bounded-graph locality, the kcore rule
+        edges = edges.coalesce(1)
+        nodes = nodes.coalesce(1)
+    edges = edges.localCheckpoint()
+    nodes = nodes.localCheckpoint()
+
+    dist = nodes.select(
+        F.col("doc_id").alias("src"),
+        F.col("doc_id").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint()
+    frontier = dist
+    d = 0
+    while d < max_rounds:
+        d += 1
+        new = (
+            frontier.join(edges, frontier.node == edges.e_src)
+            .select("src", F.col("e_dst").alias("node"))
+            .distinct()
+            .join(dist.select("src", "node"), ["src", "node"], "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+            .localCheckpoint()
+        )
+        if new.count() == 0:  # bounded: one scalar per round
+            _release_checkpoint(new)
+            break
+        prev_dist, prev_frontier = dist, frontier
+        dist = dist.unionAll(new).localCheckpoint()
+        if prev_frontier is not prev_dist:
+            _release_checkpoint(prev_frontier)
+        _release_checkpoint(prev_dist)
+        frontier = new
+    return dist.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_reachable"),
+        F.max("dist").cast("long").alias("eccentricity"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        F.round(
+            (F.count("*") - F.lit(1)).cast("double") / F.sum("dist").cast("double"), 6
+        ).alias("closeness"),
+    )

@@ -3769,3 +3769,28 @@ def test_census_guard_matryoshka_checkpointed_truth(spark, tables):
     df = similarity.matryoshka_prefix_recall(tables["embeddings"])
     n = _final_plan(df).count("FileScan parquet")
     assert n <= 7, f"matryoshka: {n} parquet scans (bound 7)"
+
+
+def test_closeness_centrality_hand_computed(spark):
+    """NEW r16: BFS closeness on a planted mix — a path 0-1-2-3 (ends:
+    dists 1+2+3=6, ecc 3; middles: 1+1+2=4, ecc 2) and a disjoint
+    triangle (each node: dists 1+1, ecc 1, closeness 1.0). Reachability
+    stays within each component."""
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_reachable"], r["eccentricity"], r["sum_dist"], r["closeness"]
+        )
+        for r in dedup.closeness_centrality(docs, pairs=pairs).collect()
+    }
+    assert got == {
+        0: (4, 3, 6, 0.5),
+        1: (4, 2, 4, 0.75),
+        2: (4, 2, 4, 0.75),
+        3: (4, 3, 6, 0.5),
+        10: (3, 1, 2, 1.0),
+        11: (3, 1, 2, 1.0),
+        12: (3, 1, 2, 1.0),
+    }
