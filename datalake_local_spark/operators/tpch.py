@@ -1624,10 +1624,18 @@ def croston_demand(lineitem: DataFrame, alpha: float = 0.2) -> DataFrame:
 
     one_a = 1.0 - alpha
 
-    monthly = lineitem.groupBy(
-        F.col("l_partkey").alias("p_partkey"),
-        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    monthly = (
+        lineitem.groupBy(
+            F.col("l_partkey").alias("p_partkey"),
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        # materialize once: the anchor branch below would otherwise
+        # re-expand this aggregate and scan lineitem a second time —
+        # at corpus scale that is two full fact scans for one tiny
+        # demand-grain relation (plan-census discipline)
+        .localCheckpoint()
+    )
     anchor = monthly.agg(F.min("month").alias("m0"))
     monthly = (
         monthly.crossJoin(F.broadcast(anchor))
