@@ -919,7 +919,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": lambda s, d: dedup.dup_graph_triangles(*_t(s, d, "documents")),
         # NEW r16: all-sources BFS -> closeness + eccentricity; exact
         # integers until one final division, bounded-CTE oracle replay
-        "graph_closeness": lambda s, d: dedup.closeness_centrality(*_t(s, d, "documents")),
+        "graph_closeness": lambda s, d: dedup.closeness_centrality(
+            *_t(s, d, "documents"), local_threshold=10_000
+        ),
         "graph_assortativity": lambda s, d: dedup.graph_degree_assortativity(*_t(s, d, "documents")),
         "dedup_entity_fuzzy": lambda s, d: dedup.fuzzy_entity_pairs(*_t(s, d, "part")),
         "text_phrase_search": lambda s, d: text.phrase_search(*_t(s, d, "documents")),

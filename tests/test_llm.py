@@ -3779,13 +3779,7 @@ def test_closeness_centrality_hand_computed(spark):
     edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
-    got = {
-        r["doc_id"]: (
-            r["n_reachable"], r["eccentricity"], r["sum_dist"], r["closeness"]
-        )
-        for r in dedup.closeness_centrality(docs, pairs=pairs).collect()
-    }
-    assert got == {
+    want = {
         0: (4, 3, 6, 0.5),
         1: (4, 2, 4, 0.75),
         2: (4, 2, 4, 0.75),
@@ -3794,3 +3788,13 @@ def test_closeness_centrality_hand_computed(spark):
         11: (3, 1, 2, 1.0),
         12: (3, 1, 2, 1.0),
     }
+    # both paths must agree bit-for-bit: the distributed BFS fixpoint
+    # (default) and the opt-in driver-local endpoint
+    for kwargs in ({}, {"local_threshold": 1000}):
+        got = {
+            r["doc_id"]: (
+                r["n_reachable"], r["eccentricity"], r["sum_dist"], r["closeness"]
+            )
+            for r in dedup.closeness_centrality(docs, pairs=pairs, **kwargs).collect()
+        }
+        assert got == want, (kwargs, got)
