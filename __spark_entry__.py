@@ -303,6 +303,7 @@ _CERTIFY_FIRST = [
     "streaming_full_outer_join",  # NEW r16: join-mode matrix complete
     "tpch_croston_demand",  # NEW r16: intermittent-demand forecast (Croston 1972)
     "graph_closeness",  # NEW r16: all-sources BFS closeness/eccentricity
+    "lake_skipping_report",  # NEW r16: min/max file-skipping effectiveness
     # ---- code/oracle CHANGED in round 16 ----
     "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
     "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
@@ -347,14 +348,14 @@ _CERTIFY_FIRST = [
     "mm_audio_metadata",
     "mm_video_metadata",
     "pandas_arrow_bytes",
-    "pipeline_decontaminate",
     # r17 queue: the r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
     # scalar_try_funcs (displaced by the streaming_anomaly conversion),
     # pipeline_snapshot_diff (displaced by the text_chunk_rolling_hash
     # conversion), pipeline_mixture_build (displaced by the NEW
     # tpch_croston_demand), pipeline_global_shuffle (displaced by the
-    # NEW graph_closeness), semantic_cube_request, sim_cosine_topk_ivf,
+    # NEW graph_closeness), pipeline_decontaminate (displaced by the
+    # NEW lake_skipping_report), semantic_cube_request, sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
     # sql_correlated_exists, sql_lateral_topn, streaming_trending,
@@ -936,6 +937,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_bootstrap_ci": lambda s, d: quality.bootstrap_mean_ci(*_t(s, d, "orders")),
         "dq_psi_drift": lambda s, d: quality.psi_drift(*_t(s, d, "orders")),
         "lake_zorder_layout": lambda s, d: layout.zorder_layout(*_t(s, d, "orders")),
+        # NEW r16: min/max file-skipping effectiveness under a predicate
+        # workload — 2 layouts x 2 predicate families, exact integers
+        # until the one skip-rate division
+        "lake_skipping_report": lambda s, d: layout.skipping_report(*_t(s, d, "events")),
         "mm_aspect_buckets": lambda s, d: multimodal.aspect_ratio_buckets(*_t(s, d, "documents")),
         "dedup_entity_clusters": lambda s, d: dedup.fuzzy_entity_clusters(*_t(s, d, "part")),
         "pipeline_weighted_reservoir": lambda s, d: llm_pipeline.weighted_reservoir_sample(*_t(s, d, "documents")),
@@ -7644,6 +7649,75 @@ def _oracle_sql() -> dict[str, str]:
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
+        # NEW r16: statistics-based file pruning quantified — equal-width
+        # file ids, envelopes, predicate bounds and hit tests are exact
+        # integer arithmetic (epoch_us == Spark unix_micros, both
+        # nanos-truncating; // == Spark div); the single skip-rate
+        # division rounds half-up on both engines.
+        "lake_skipping_report": """
+            WITH b AS (
+                SELECT min(epoch_us(ts)) AS min_e, max(epoch_us(ts)) AS max_e,
+                       min(user_id) AS min_u, max(user_id) AS max_u
+                FROM events
+            ),
+            keyed AS (
+                SELECT epoch_us(ts) AS e, user_id AS u,
+                       least(63, (epoch_us(ts) - min_e) * 64
+                                 // (max_e - min_e + 1)) AS f_ts,
+                       least(63, (user_id - min_u) * 64
+                                 // (max_u - min_u + 1)) AS f_user
+                FROM events, b
+            ),
+            env AS (
+                SELECT layout, file_id,
+                       min(e) AS f_emin, max(e) AS f_emax,
+                       min(u) AS f_umin, max(u) AS f_umax
+                FROM (
+                    SELECT 'by_ts' AS layout, f_ts AS file_id, e, u FROM keyed
+                    UNION ALL
+                    SELECT 'by_user', f_user, e, u FROM keyed
+                ) GROUP BY 1, 2
+            ),
+            preds AS (
+                SELECT 'ts_' || CAST(k AS VARCHAR) AS pred, 'ts' AS family,
+                       min_e + CAST(k AS BIGINT) * (max_e - min_e + 1) // 4 AS lo,
+                       min_e + CAST(k AS BIGINT) * (max_e - min_e + 1) // 4
+                           + (max_e - min_e + 1) // 16 AS hi
+                FROM b, (SELECT unnest(range(0, 4)) AS k)
+                UNION ALL
+                SELECT 'user_' || CAST(k AS VARCHAR), 'user',
+                       min_u + CAST(k AS BIGINT) * (max_u - min_u + 1) // 4,
+                       min_u + CAST(k AS BIGINT) * (max_u - min_u + 1) // 4
+                           + (max_u - min_u + 1) // 16
+                FROM b, (SELECT unnest(range(0, 4)) AS k)
+            ),
+            hits AS (
+                SELECT e.layout, p.pred, count(*) AS files_hit
+                FROM env e, preds p
+                WHERE CASE WHEN p.family = 'ts'
+                           THEN e.f_emin < p.hi AND e.f_emax >= p.lo
+                           ELSE e.f_umin < p.hi AND e.f_umax >= p.lo END
+                GROUP BY 1, 2
+            ),
+            nf AS (SELECT layout, count(*) AS n_files FROM env GROUP BY 1),
+            rs AS (
+                SELECT p.pred, count(*) AS rows_selected
+                FROM keyed k2, preds p
+                WHERE CASE WHEN p.family = 'ts'
+                           THEN k2.e >= p.lo AND k2.e < p.hi
+                           ELSE k2.u >= p.lo AND k2.u < p.hi END
+                GROUP BY 1
+            )
+            SELECT g.layout, g.pred, nf.n_files,
+                   coalesce(h.files_hit, 0) AS files_hit,
+                   round(CAST(nf.n_files - coalesce(h.files_hit, 0) AS DOUBLE)
+                         / CAST(nf.n_files AS DOUBLE), 6) AS skip_rate,
+                   coalesce(rs.rows_selected, 0) AS rows_selected
+            FROM (SELECT nf.layout, preds.pred FROM nf, preds) g
+            JOIN nf ON nf.layout = g.layout
+            LEFT JOIN hits h ON h.layout = g.layout AND h.pred = g.pred
+            LEFT JOIN rs ON rs.pred = g.pred
+        """,
         "dedup_shingle_sweep": _shingle_sweep_oracle_sql(),
         "pipeline_leakage_split": _leakage_split_oracle_sql(),
         "pipeline_dataset_card": f"""

@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     # suite did not yet time)
     "tpch_croston_demand",
     "graph_closeness",
+    # metadata-grain lakehouse planning: envelope pruning quantified
+    "lake_skipping_report",
 ]
 
 

@@ -63,3 +63,149 @@ def zorder_layout(orders: DataFrame, bucket_bits: int = 8) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+def skipping_report(events: DataFrame, n_files: int = 64, n_preds: int = 4) -> DataFrame:
+    """File-skipping effectiveness report — the "so what" number next to
+    :func:`zorder_layout`'s envelope areas: given a clustering layout
+    and a predicate workload, what fraction of data files does min/max
+    envelope pruning actually skip? (The statistics-based file pruning
+    every lakehouse scan planner performs — Delta/Iceberg data
+    skipping, public; this quantifies it BEFORE rewriting petabytes.)
+
+    Two candidate layouts of ``n_files`` equal-width files (cluster by
+    event time vs by user id) × two predicate families (``n_preds``
+    time windows and ``n_preds`` user ranges, 1/16th-of-span each,
+    derived from the data bounds so the report is self-calibrating).
+    The diagonal reads ~15/16 skipped; the off-diagonal reads ~0 —
+    users are active across the whole time span, so a user-clustered
+    layout leaves time envelopes at full width and vice versa. One row
+    per (layout, predicate): files hit, skip rate, and the
+    layout-independent selected-row count.
+
+    Determinism: file ids, envelopes, predicate bounds and hit tests
+    are exact integer arithmetic (epoch microseconds, integer div);
+    the single skip-rate division rounds half-up on both engines.
+
+    Scale shape: one scan → per-(layout, file) envelope aggregate
+    (map-side combined, ≤ 2·n_files groups) + one scan → per-predicate
+    row counts (8-row broadcast, map-side predicate evaluation); the
+    hit test joins file-grain metadata against predicate-grain
+    metadata — nothing after the scans exceeds metadata grain."""
+    b = events.agg(
+        F.min(F.unix_micros("ts")).alias("min_e"),
+        F.max(F.unix_micros("ts")).alias("max_e"),
+        F.min("user_id").alias("min_u"),
+        F.max("user_id").alias("max_u"),
+    )
+    keyed = events.crossJoin(F.broadcast(b)).select(
+        F.unix_micros("ts").alias("e"),
+        F.col("user_id").alias("u"),
+        F.expr(
+            f"least({n_files - 1}, (unix_micros(ts) - min_e) * {n_files}"
+            " div (max_e - min_e + 1))"
+        ).cast("long").alias("f_ts"),
+        F.expr(
+            f"least({n_files - 1}, (user_id - min_u) * {n_files}"
+            " div (max_u - min_u + 1))"
+        ).cast("long").alias("f_user"),
+    )
+    env = (
+        keyed.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("by_ts").alias("layout"), F.col("f_ts").alias("file_id")
+                    ),
+                    F.struct(
+                        F.lit("by_user").alias("layout"),
+                        F.col("f_user").alias("file_id"),
+                    ),
+                )
+            ).alias("x"),
+            "e",
+            "u",
+        )
+        .select(F.col("x.layout").alias("layout"), F.col("x.file_id").alias("file_id"), "e", "u")
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("e").alias("f_emin"),
+            F.max("e").alias("f_emax"),
+            F.min("u").alias("f_umin"),
+            F.max("u").alias("f_umax"),
+        )
+    )
+    preds = b.select(
+        F.explode(
+            F.flatten(
+                F.array(
+                    F.expr(
+                        f"""transform(sequence(0, {n_preds - 1}), k -> struct(
+                            'ts' as family, k as k,
+                            min_e + CAST(k AS BIGINT) * (max_e - min_e + 1) div {n_preds} as lo,
+                            min_e + CAST(k AS BIGINT) * (max_e - min_e + 1) div {n_preds}
+                                + (max_e - min_e + 1) div 16 as hi))"""
+                    ),
+                    F.expr(
+                        f"""transform(sequence(0, {n_preds - 1}), k -> struct(
+                            'user' as family, k as k,
+                            min_u + CAST(k AS BIGINT) * (max_u - min_u + 1) div {n_preds} as lo,
+                            min_u + CAST(k AS BIGINT) * (max_u - min_u + 1) div {n_preds}
+                                + (max_u - min_u + 1) div 16 as hi))"""
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(
+        F.concat(F.col("p.family"), F.lit("_"), F.col("p.k")).alias("pred"),
+        F.col("p.family").alias("family"),
+        F.col("p.lo").alias("lo"),
+        F.col("p.hi").alias("hi"),
+    ).localCheckpoint()  # 2·n_preds rows; three consumers below
+    hits = (
+        env.crossJoin(F.broadcast(preds))
+        .where(
+            F.when(
+                F.col("family") == "ts",
+                (F.col("f_emin") < F.col("hi")) & (F.col("f_emax") >= F.col("lo")),
+            ).otherwise(
+                (F.col("f_umin") < F.col("hi")) & (F.col("f_umax") >= F.col("lo"))
+            )
+        )
+        .groupBy("layout", "pred")
+        .agg(F.count("*").cast("long").alias("files_hit"))
+    )
+    nfiles = env.groupBy("layout").agg(F.count("*").cast("long").alias("n_files"))
+    rows_sel = (
+        keyed.crossJoin(F.broadcast(preds))
+        .where(
+            F.when(
+                F.col("family") == "ts",
+                (F.col("e") >= F.col("lo")) & (F.col("e") < F.col("hi")),
+            ).otherwise((F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")))
+        )
+        .groupBy("pred")
+        .agg(F.count("*").cast("long").alias("rows_selected"))
+    )
+    grid = nfiles.select("layout").crossJoin(preds.select("pred"))
+    return (
+        grid.join(nfiles, "layout")
+        .join(hits, ["layout", "pred"], "left")
+        .join(rows_sel, "pred", "left")
+        .select(
+            "layout",
+            "pred",
+            "n_files",
+            F.coalesce(F.col("files_hit"), F.lit(0)).cast("long").alias("files_hit"),
+            F.round(
+                (F.col("n_files") - F.coalesce(F.col("files_hit"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("n_files").cast("double"),
+                6,
+            ).alias("skip_rate"),
+            F.coalesce(F.col("rows_selected"), F.lit(0)).cast("long").alias(
+                "rows_selected"
+            ),
+        )
+    )

@@ -2583,3 +2583,77 @@ def test_croston_demand_matches_recurrence(spark):
         itv = alpha * float(gap) + one_a * itv
         assert r["level"] == level
         assert r["smoothed_interval"] == itv
+
+
+def test_skipping_report_matches_python_replay(spark):
+    """NEW r16: file-skipping report equals a pure-python replay of the
+    integer arithmetic (equal-width file ids, envelopes, half-open
+    predicate windows, hit tests) on a scattered fixture; the clustered
+    diagonal must out-skip the off-diagonal."""
+    import datetime
+
+    from datalake_local_spark.operators import layout as ops_layout
+
+    t0 = datetime.datetime(2024, 3, 1)
+    # ts deliberately NOT monotone in user_id: user = (7 * i) % 13
+    rows = []
+    for i in range(40):
+        rows.append(
+            (i, t0 + datetime.timedelta(minutes=3 * i + (i % 5)), (7 * i) % 13,
+             "view", 1.0, "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["layout"], r["pred"]): (
+            r["n_files"], r["files_hit"], r["skip_rate"], r["rows_selected"]
+        )
+        for r in ops_layout.skipping_report(df).collect()
+    }
+
+    # naive datetimes are session-UTC in Spark; pin the replay to UTC
+    # too (system-TZ independence)
+    es = [
+        int(r[1].replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        for r in rows
+    ]
+    us = [r[2] for r in rows]
+    min_e, max_e, min_u, max_u = min(es), max(es), min(us), max(us)
+    span_e, span_u = max_e - min_e + 1, max_u - min_u + 1
+    fid = {
+        "by_ts": [min(63, (e - min_e) * 64 // span_e) for e in es],
+        "by_user": [min(63, (u - min_u) * 64 // span_u) for u in us],
+    }
+    preds = {}
+    for k in range(4):
+        lo = min_e + k * span_e // 4
+        preds[f"ts_{k}"] = ("ts", lo, lo + span_e // 16)
+        lo_u = min_u + k * span_u // 4
+        preds[f"user_{k}"] = ("user", lo_u, lo_u + span_u // 16)
+    want = {}
+    for lay in ("by_ts", "by_user"):
+        env = {}
+        for i in range(len(rows)):
+            f = fid[lay][i]
+            emin, emax, umin, umax = env.get(f, (es[i], es[i], us[i], us[i]))
+            env[f] = (
+                min(emin, es[i]), max(emax, es[i]),
+                min(umin, us[i]), max(umax, us[i]),
+            )
+        nf = len(env)
+        for pred, (fam, lo, hi) in preds.items():
+            if fam == "ts":
+                hit = sum(1 for (a, b, _, _) in env.values() if a < hi and b >= lo)
+                sel = sum(1 for e in es if lo <= e < hi)
+            else:
+                hit = sum(1 for (_, _, c, d) in env.values() if c < hi and d >= lo)
+                sel = sum(1 for u in us if lo <= u < hi)
+            want[(lay, pred)] = (nf, hit, round((nf - hit) / nf, 6), sel)
+    assert got == want
+    # the layout diagonal prunes, the off-diagonal does not
+    ts_diag = sum(got[("by_ts", f"ts_{k}")][2] for k in range(4))
+    ts_off = sum(got[("by_user", f"ts_{k}")][2] for k in range(4))
+    assert ts_diag > ts_off
