@@ -2651,7 +2651,16 @@ def test_skipping_report_matches_python_replay(spark):
             else:
                 hit = sum(1 for (_, _, c, d) in env.values() if c < hi and d >= lo)
                 sel = sum(1 for u in us if lo <= u < hi)
-            want[(lay, pred)] = (nf, hit, round((nf - hit) / nf, 6), sel)
+            # Spark's round = HALF_UP on the shortest double repr; the
+            # replay must mirror that, not Python's banker's rounding
+            from decimal import ROUND_HALF_UP, Decimal
+
+            rate = float(
+                Decimal(repr((nf - hit) / nf)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            want[(lay, pred)] = (nf, hit, rate, sel)
     assert got == want
     # the layout diagonal prunes, the off-diagonal does not
     ts_diag = sum(got[("by_ts", f"ts_{k}")][2] for k in range(4))
