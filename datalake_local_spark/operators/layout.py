@@ -87,29 +87,39 @@ def skipping_report(events: DataFrame, n_files: int = 64, n_preds: int = 4) -> D
     are exact integer arithmetic (epoch microseconds, integer div);
     the single skip-rate division rounds half-up on both engines.
 
-    Scale shape: one scan → per-(layout, file) envelope aggregate
-    (map-side combined, ≤ 2·n_files groups) + one scan → per-predicate
-    row counts (8-row broadcast, map-side predicate evaluation); the
-    hit test joins file-grain metadata against predicate-grain
-    metadata — nothing after the scans exceeds metadata grain."""
-    b = events.agg(
-        F.min(F.unix_micros("ts")).alias("min_e"),
-        F.max(F.unix_micros("ts")).alias("max_e"),
-        F.min("user_id").alias("min_u"),
-        F.max("user_id").alias("max_u"),
+    Scale shape: ONE scan materializes the narrow (e, u) projection,
+    which feeds the bounds aggregate, the per-(layout, file) envelope
+    aggregate (map-side combined, ≤ 2·n_files groups) and the
+    per-predicate row counts (8-row broadcast, map-side predicate
+    evaluation); the hit test joins file-grain metadata against
+    predicate-grain metadata — nothing after the scan exceeds metadata
+    grain."""
+    # ONE parquet scan: the narrow (e, u) projection is materialized
+    # once and feeds the bounds aggregate, the envelope aggregate and
+    # the per-predicate row counts (uncheckpointed, each consumer
+    # re-expanded the scan — 6 finalized scans, plan census audit);
+    # 16 bytes/row dwarfed by the fact table it profiles
+    base = events.select(
+        F.unix_micros("ts").alias("e"), F.col("user_id").alias("u")
+    ).localCheckpoint()
+    b = base.agg(
+        F.min("e").alias("min_e"),
+        F.max("e").alias("max_e"),
+        F.min("u").alias("min_u"),
+        F.max("u").alias("max_u"),
     )
-    keyed = events.crossJoin(F.broadcast(b)).select(
-        F.unix_micros("ts").alias("e"),
-        F.col("user_id").alias("u"),
+    keyed = base.crossJoin(F.broadcast(b)).select(
+        "e",
+        "u",
         F.expr(
-            f"least({n_files - 1}, (unix_micros(ts) - min_e) * {n_files}"
+            f"least({n_files - 1}, (e - min_e) * {n_files}"
             " div (max_e - min_e + 1))"
         ).cast("long").alias("f_ts"),
         F.expr(
-            f"least({n_files - 1}, (user_id - min_u) * {n_files}"
+            f"least({n_files - 1}, (u - min_u) * {n_files}"
             " div (max_u - min_u + 1))"
         ).cast("long").alias("f_user"),
-    )
+    ).localCheckpoint()
     env = (
         keyed.select(
             F.explode(
