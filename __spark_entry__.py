@@ -318,6 +318,12 @@ _CERTIFY_FIRST = [
     "dedup_keep_policy",  # r16: components+pagerank composition oracle
     "streaming_anomaly",  # r16: rows-only -> recursive-CTE fold-replay oracle
     "text_chunk_rolling_hash",  # r16: rows-only -> closed-form hash + chunk-grain CTE oracle
+    # ---- oracle-fragility fix in r16 (trunc() on the cents cast — a
+    # bare DECIMAL->BIGINT CAST rounds in DuckDB while Spark/int()
+    # truncate; hash-neutral on 2dp testdata, latent off-grid red) ----
+    "events_anomaly_zscore",
+    "agg_trend_regression",
+    "dq_cuped",
     # ---- displaced from the r15 window; driver rows r6-era ----
     "text_bm25_search",
     "text_corpus_qa_report",
@@ -345,9 +351,6 @@ _CERTIFY_FIRST = [
     "events_interpolate_hourly",
     "fmt_orc_scan",
     "fmt_schema_evolution",
-    "mm_audio_metadata",
-    "mm_video_metadata",
-    "pandas_arrow_bytes",
     # r17 queue: the r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
     # scalar_try_funcs (displaced by the streaming_anomaly conversion),
@@ -355,7 +358,10 @@ _CERTIFY_FIRST = [
     # conversion), pipeline_mixture_build (displaced by the NEW
     # tpch_croston_demand), pipeline_global_shuffle (displaced by the
     # NEW graph_closeness), pipeline_decontaminate (displaced by the
-    # NEW lake_skipping_report), semantic_cube_request, sim_cosine_topk_ivf,
+    # NEW lake_skipping_report), mm_video_metadata + pandas_arrow_bytes
+    # + mm_audio_metadata (displaced by the trunc()-fix requeue of
+    # events_anomaly_zscore / agg_trend_regression / dq_cuped),
+    # semantic_cube_request, sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
     # sql_correlated_exists, sql_lateral_topn, streaming_trending,
@@ -5337,7 +5343,7 @@ def _oracle_sql() -> dict[str, str]:
             WITH raw AS (
                 SELECT event_type,
                        epoch_us(ts) // 1000000 - 900000000 AS t,
-                       CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS c
+                       CAST(trunc(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) AS c
                 FROM events
             ),
             s AS (
@@ -6749,15 +6755,21 @@ def _oracle_sql() -> dict[str, str]:
         # order, the same exact-integer constant-baseline test
         # (Cauchy-Schwarz equality on cent sums, ±inf on a jump), the
         # same (s2 - n·mean·mean)/(n-1) op shape. cents mirrors the
-        # kernel's Decimal(repr(v)).quantize(1e-6, HALF_UP)·100
-        # truncation via the proven DECIMAL(18,6) cast (the batch-twin
-        # events_anomaly_zscore mapping). Outputs are the raw fold
+        # kernel's Decimal(repr(v)).quantize(1e-6, HALF_UP)·100 →
+        # int() TRUNCATION: the trunc() is load-bearing — a bare
+        # CAST(decimal AS BIGINT) ROUNDS in DuckDB (2.005 → 201) while
+        # both the kernel's int() and Spark's decimal→long cast
+        # truncate (→ 200), so without it an off-cent-grid value flips
+        # the exact constant-baseline test (r16 review-pass find,
+        # reproduced; fixed across the whole oracle class — the
+        # batch-twin events_anomaly_zscore, agg_trend_regression and
+        # dq_cuped carried the same latent seam). Outputs are the raw fold
         # doubles — the kernel stopped rounding in r16 precisely so no
         # Python-round(banker's) vs SQL-round(half-up) seam exists.
         "streaming_anomaly": """
             WITH RECURSIVE ev AS (
                 SELECT user_id, event_id, value,
-                       CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents,
+                       CAST(trunc(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents,
                        row_number() OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) AS i
                 FROM events
@@ -7338,15 +7350,15 @@ def _oracle_sql() -> dict[str, str]:
         "events_anomaly_zscore": """
             WITH s AS (
                 SELECT user_id, event_id, event_type, value,
-                       CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents,
+                       CAST(trunc(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents,
                        count(value) OVER w AS n_prior,
                        CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
                        CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w
                             AS DOUBLE) AS s2,
-                       CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)) OVER w
+                       CAST(sum(CAST(trunc(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)) OVER w
                             AS BIGINT) AS s1c,
-                       CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)
-                                * CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)) OVER w
+                       CAST(sum(CAST(trunc(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)
+                                * CAST(trunc(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)) OVER w
                             AS BIGINT) AS s2c
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -9661,10 +9673,10 @@ def _oracle_sql() -> dict[str, str]:
                                 AS BIGINT) % 2 = 0
                             THEN 'A' ELSE 'B' END AS arm,
                        coalesce(sum(CASE WHEN epoch_us(ts) < mid_us THEN
-                           CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)
+                           CAST(trunc(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)
                            END), 0) AS x_c,
                        coalesce(sum(CASE WHEN epoch_us(ts) >= mid_us THEN
-                           CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)
+                           CAST(trunc(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)
                            END), 0) AS y_c
                 FROM events, mid
                 GROUP BY user_id, arm

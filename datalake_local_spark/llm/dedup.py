@@ -3178,10 +3178,17 @@ def closeness_centrality(
                         dist[v] = dist[u] + 1
                         dq.append(v)
             n_r, ecc, sd = len(dist), max(dist.values()), sum(dist.values())
-            clo = float(
-                Decimal(repr((n_r - 1) / sd)).quantize(
-                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+            # sd == 0 only for a node whose edges are all self-loops
+            # (impossible from the harness feed, possible via pairs=):
+            # NULL closeness, matching the distributed path's guard
+            clo = (
+                float(
+                    Decimal(repr((n_r - 1) / sd)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
                 )
+                if sd > 0
+                else None
             )
             out.append((int(s0), n_r, ecc, sd, clo))
         return edges.sparkSession.createDataFrame(
@@ -3221,11 +3228,26 @@ def closeness_centrality(
             _release_checkpoint(prev_frontier)
         _release_checkpoint(prev_dist)
         frontier = new
+    # exit-path hygiene (r16 review-pass find): edges, nodes and the
+    # final frontier are dead once the fixpoint closes — release their
+    # blocks now instead of waiting for ContextCleaner GC. `dist`
+    # stays: the returned (lazy) aggregate reads it.
+    _release_checkpoint(edges)
+    _release_checkpoint(nodes)
+    if frontier is not dist:
+        _release_checkpoint(frontier)
     return dist.groupBy(F.col("src").alias("doc_id")).agg(
         F.count("*").cast("long").alias("n_reachable"),
         F.max("dist").cast("long").alias("eccentricity"),
         F.sum("dist").cast("long").alias("sum_dist"),
-        F.round(
-            (F.count("*") - F.lit(1)).cast("double") / F.sum("dist").cast("double"), 6
+        # NULL (not NaN) when sum_dist == 0 — a node whose edges are
+        # all self-loops; mirrors the local path's guard
+        F.when(
+            F.sum("dist") > 0,
+            F.round(
+                (F.count("*") - F.lit(1)).cast("double")
+                / F.sum("dist").cast("double"),
+                6,
+            ),
         ).alias("closeness"),
     )

@@ -144,6 +144,10 @@ def skipping_report(events: DataFrame, n_files: int = 64, n_preds: int = 4) -> D
             F.min("u").alias("f_umin"),
             F.max("u").alias("f_umax"),
         )
+        # ≤ 2·n_files rows feeding two consumers (hits, nfiles) — the
+        # 2x-exploded row-grain aggregate must run once, not per
+        # consumer (r16 review-pass find)
+        .localCheckpoint()
     )
     preds = b.select(
         F.explode(

@@ -3776,7 +3776,9 @@ def test_closeness_centrality_hand_computed(spark):
     dists 1+2+3=6, ecc 3; middles: 1+1+2=4, ecc 2) and a disjoint
     triangle (each node: dists 1+1, ecc 1, closeness 1.0). Reachability
     stays within each component."""
-    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12)]
+    # node 20: a pure self-loop — sum_dist 0, closeness NULL on BOTH
+    # paths (the r16 review-pass divide-by-zero guard)
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 20)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     want = {
@@ -3787,6 +3789,7 @@ def test_closeness_centrality_hand_computed(spark):
         10: (3, 1, 2, 1.0),
         11: (3, 1, 2, 1.0),
         12: (3, 1, 2, 1.0),
+        20: (1, 0, 0, None),
     }
     # both paths must agree bit-for-bit: the distributed BFS fixpoint
     # (default) and the opt-in driver-local endpoint
