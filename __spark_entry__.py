@@ -304,6 +304,7 @@ _CERTIFY_FIRST = [
     "tpch_croston_demand",  # NEW r16: intermittent-demand forecast (Croston 1972)
     "graph_closeness",  # NEW r16: all-sources BFS closeness/eccentricity
     "lake_skipping_report",  # NEW r16: min/max file-skipping effectiveness
+    "tpch_newsvendor_stock",  # NEW r16: critical-ratio order-statistic stock target
     # ---- code/oracle CHANGED in round 16 ----
     "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
     "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
@@ -350,7 +351,6 @@ _CERTIFY_FIRST = [
     "dq_key_skew",
     "events_interpolate_hourly",
     "fmt_orc_scan",
-    "fmt_schema_evolution",
     # r17 queue: the r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
     # scalar_try_funcs (displaced by the streaming_anomaly conversion),
@@ -361,6 +361,7 @@ _CERTIFY_FIRST = [
     # NEW lake_skipping_report), mm_video_metadata + pandas_arrow_bytes
     # + mm_audio_metadata (displaced by the trunc()-fix requeue of
     # events_anomaly_zscore / agg_trend_regression / dq_cuped),
+    # fmt_schema_evolution (displaced by the NEW tpch_newsvendor_stock),
     # semantic_cube_request, sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
@@ -975,6 +976,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recursion per part, replayed bit-exactly by the recursive-CTE
         # oracle (the holt/kalman toolbox)
         "tpch_croston_demand": lambda s, d: tpch.croston_demand(*_t(s, d, "lineitem")),
+        # NEW r16: newsvendor critical-ratio stock target — exact order
+        # statistic (no interpolating percentile kernel), integer-pure
+        # until the two documented divisions
+        "tpch_newsvendor_stock": lambda s, d: tpch.newsvendor_stock(*_t(s, d, "lineitem", "part")),
         "tpch_order_aging": lambda s, d: tpch.order_aging(*_t(s, d, "orders")),
         "text_quality_by_source": lambda s, d: text.quality_by_source(*_t(s, d, "documents")),
         "tpch_return_rates": lambda s, d: tpch.return_rates(*_t(s, d, "lineitem", "part")),
@@ -8173,6 +8178,38 @@ def _oracle_sql() -> dict[str, str]:
                                  AS DECIMAL(38,0))) AS BIGINT) AS value_cents
             FROM orders CROSS JOIN book_end
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # NEW r16: newsvendor order-up-to level — the exact order
+        # statistic k = ceil(3n/4) via row_number (interpolating
+        # percentile kernels differ cross-engine in op order; an order
+        # statistic cannot); integers until the two divisions.
+        "tpch_newsvendor_stock": """
+            WITH monthly AS (
+                SELECT p_brand AS brand,
+                       date_trunc('month', l_shipdate) AS month,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT brand, q,
+                       row_number() OVER (PARTITION BY brand
+                                          ORDER BY q, month) AS rn,
+                       CAST(count(*) OVER (PARTITION BY brand) AS BIGINT)
+                           AS n_months,
+                       CAST(sum(q) OVER (PARTITION BY brand) AS BIGINT)
+                           AS total_qty
+                FROM monthly
+            )
+            SELECT brand, n_months, total_qty,
+                   round(CAST(total_qty AS DOUBLE)
+                         / CAST(n_months AS DOUBLE), 6) AS mean_monthly_qty,
+                   q AS stock_target_qty,
+                   round(CAST(q AS DOUBLE)
+                         - CAST(total_qty AS DOUBLE)
+                           / CAST(n_months AS DOUBLE), 6) AS safety_stock_qty
+            FROM ranked
+            WHERE rn = (3 * n_months + 3) // 4
         """,
         # NEW r16: Croston two-state recursion replayed by a recursive
         # CTE (the kalman shape — seed at k=2 from the k=1 init, join

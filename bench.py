@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "graph_closeness",
     # metadata-grain lakehouse planning: envelope pruning quantified
     "lake_skipping_report",
+    # exact order-statistic stock target (brand-partitioned windows)
+    "tpch_newsvendor_stock",
 ]
 
 

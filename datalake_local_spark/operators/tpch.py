@@ -1683,3 +1683,61 @@ def croston_demand(lineitem: DataFrame, alpha: float = 0.2) -> DataFrame:
         "p_partkey long, month timestamp, gap_months long, demand_qty long, "
         "rate_forecast double, level double, smoothed_interval double",
     )
+
+
+def newsvendor_stock(
+    lineitem: DataFrame, part: DataFrame, cr_num: int = 3, cr_den: int = 4
+) -> DataFrame:
+    """Newsvendor stock target per brand (Arrow 1951 / the classic
+    single-period inventory model, operations-management textbooks —
+    public): stock to the CRITICAL-RATIO quantile of the demand
+    distribution — with CR = cu/(cu+co) = ``cr_num/cr_den`` (default
+    3/4: underage costs 3× overage), the optimal order-up-to level is
+    the smallest demand level whose empirical CDF reaches CR. The
+    planning companion to :func:`croston_demand` (what rate to expect)
+    and :func:`demand_variability_xyz` (how noisy): HOW MUCH to stock.
+
+    Demand = monthly shipped quantity per brand (exact integer sums,
+    the demand_xyz discipline). The quantile is the exact ORDER
+    STATISTIC k = ⌈CR·n⌉ (integer arithmetic, no interpolation — the
+    two engines' interpolating percentile() kernels differ in op
+    order, an order statistic cannot), so every output is exact
+    integers until the two documented single divisions (mean and
+    safety stock, round 6 half-up on both engines).
+
+    Scale shape: one partkey-co-partitioned join, a (brand, month)
+    map-side-combined aggregate, then brand-partitioned windows over
+    ≤ n_months rows per brand — no global window, no driver collect."""
+    from pyspark.sql import Window
+
+    monthly = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    w = Window.partitionBy("brand").orderBy("q", "month")
+    wb = Window.partitionBy("brand")
+    ranked = monthly.select(
+        "brand",
+        "q",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wb).cast("long").alias("n_months"),
+        F.sum("q").over(wb).cast("long").alias("total_qty"),
+    )
+    # ⌈cr_num·n/cr_den⌉ in pure integer arithmetic
+    picked = ranked.where(
+        F.col("rn")
+        == F.expr(f"({cr_num} * n_months + {cr_den - 1}) div {cr_den}")
+    )
+    mean_expr = F.col("total_qty").cast("double") / F.col("n_months").cast("double")
+    return picked.select(
+        "brand",
+        "n_months",
+        "total_qty",
+        F.round(mean_expr, 6).alias("mean_monthly_qty"),
+        F.col("q").alias("stock_target_qty"),
+        F.round(F.col("q").cast("double") - mean_expr, 6).alias("safety_stock_qty"),
+    )

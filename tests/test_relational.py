@@ -2666,3 +2666,30 @@ def test_skipping_report_matches_python_replay(spark):
     ts_diag = sum(got[("by_ts", f"ts_{k}")][2] for k in range(4))
     ts_off = sum(got[("by_user", f"ts_{k}")][2] for k in range(4))
     assert ts_diag > ts_off
+
+
+def test_newsvendor_stock_hand_computed(spark):
+    """NEW r16: the CR=3/4 stock target is the exact order statistic
+    k = ceil(3n/4) of monthly brand demand — hand-checked on a 5-month
+    series (sorted demands 10, 20, 30, 40, 100: k = ceil(15/4) = 4 →
+    target 40; mean 40.0 → safety stock 0.0)."""
+    import datetime
+
+    from datalake_local_spark.operators import tpch as ops_tpch
+
+    d = lambda m: datetime.datetime(1995, m, 10)  # noqa: E731
+    li = spark.createDataFrame(
+        [
+            (1, d(1), 30.0), (1, d(2), 10.0), (1, d(3), 100.0),
+            (1, d(4), 40.0), (1, d(5), 20.0),
+        ],
+        "l_partkey long, l_shipdate timestamp, l_quantity double",
+    )
+    pt = spark.createDataFrame([(1, "B#1")], "p_partkey long, p_brand string")
+    rows = ops_tpch.newsvendor_stock(li, pt).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["brand"], r["n_months"], r["total_qty"]) == ("B#1", 5, 200)
+    assert r["stock_target_qty"] == 40
+    assert r["mean_monthly_qty"] == 40.0
+    assert r["safety_stock_qty"] == 0.0
