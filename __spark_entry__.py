@@ -305,6 +305,7 @@ _CERTIFY_FIRST = [
     "graph_closeness",  # NEW r16: all-sources BFS closeness/eccentricity
     "lake_skipping_report",  # NEW r16: min/max file-skipping effectiveness
     "tpch_newsvendor_stock",  # NEW r16: critical-ratio order-statistic stock target
+    "tpch_return_rate_ci",  # NEW r16: Wilson interval, shared-verbatim expression
     # ---- code/oracle CHANGED in round 16 ----
     "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
     "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
@@ -350,7 +351,6 @@ _CERTIFY_FIRST = [
     "dq_join_estimate",
     "dq_key_skew",
     "events_interpolate_hourly",
-    "fmt_orc_scan",
     # r17 queue: the r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
     # scalar_try_funcs (displaced by the streaming_anomaly conversion),
@@ -362,6 +362,7 @@ _CERTIFY_FIRST = [
     # + mm_audio_metadata (displaced by the trunc()-fix requeue of
     # events_anomaly_zscore / agg_trend_regression / dq_cuped),
     # fmt_schema_evolution (displaced by the NEW tpch_newsvendor_stock),
+    # fmt_orc_scan (displaced by the NEW tpch_return_rate_ci),
     # semantic_cube_request, sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
@@ -980,6 +981,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # statistic (no interpolating percentile kernel), integer-pure
         # until the two documented divisions
         "tpch_newsvendor_stock": lambda s, d: tpch.newsvendor_stock(*_t(s, d, "lineitem", "part")),
+        # NEW r16: Wilson 95% interval on per-brand return rates — ONE
+        # expression string parsed verbatim by both engines
+        "tpch_return_rate_ci": lambda s, d: tpch.return_rate_wilson_ci(*_t(s, d, "lineitem", "part")),
         "tpch_order_aging": lambda s, d: tpch.order_aging(*_t(s, d, "orders")),
         "text_quality_by_source": lambda s, d: text.quality_by_source(*_t(s, d, "documents")),
         "tpch_return_rates": lambda s, d: tpch.return_rates(*_t(s, d, "lineitem", "part")),
@@ -8178,6 +8182,27 @@ def _oracle_sql() -> dict[str, str]:
                                  AS DECIMAL(38,0))) AS BIGINT) AS value_cents
             FROM orders CROSS JOIN book_end
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # NEW r16: the Wilson interval reuses tpch._WILSON_SQL verbatim —
+        # the ONE string both engines parse (identical tree, identical
+        # IEEE op order); only the integer base differs per engine.
+        "tpch_return_rate_ci": f"""
+            WITH base AS (
+                SELECT p_brand AS brand,
+                       CAST(count(*) AS BIGINT) AS n_lines,
+                       CAST(sum(CASE WHEN l_returnflag = 'R'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_returned
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1
+            )
+            SELECT brand, n_lines, n_returned,
+                   {tpch._WILSON_SQL["p"]} AS return_rate,
+                   {tpch._WILSON_SQL["center"]}
+                       - {tpch._WILSON_SQL["half"]} AS wilson_lo,
+                   {tpch._WILSON_SQL["center"]}
+                       + {tpch._WILSON_SQL["half"]} AS wilson_hi
+            FROM base
         """,
         # NEW r16: newsvendor order-up-to level — the exact order
         # statistic k = ceil(3n/4) via row_number (interpolating

@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "lake_skipping_report",
     # exact order-statistic stock target (brand-partitioned windows)
     "tpch_newsvendor_stock",
+    # shared-verbatim Wilson interval (brand-grain scalar math)
+    "tpch_return_rate_ci",
 ]
 
 

@@ -1741,3 +1741,68 @@ def newsvendor_stock(
         F.col("q").alias("stock_target_qty"),
         F.round(F.col("q").cast("double") - mean_expr, 6).alias("safety_stock_qty"),
     )
+
+
+#: Wilson score interval, ONE expression string parsed by BOTH Spark
+#: and DuckDB (the verbatim-SQL discipline: identical parse tree →
+#: identical IEEE op sequence → bit-exact cross-engine). Every literal
+#: is CAST(... AS DOUBLE) — bare decimal literals parse as DECIMAL on
+#: both engines and would promote differently.
+_WILSON_SQL = {
+    "p": "(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE))",
+    "z2n": "(CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)"
+    " / CAST(n_lines AS DOUBLE))",
+}
+_WILSON_SQL["center"] = (
+    f"(({_WILSON_SQL['p']} + {_WILSON_SQL['z2n']} / CAST(2.0 AS DOUBLE))"
+    f" / (CAST(1.0 AS DOUBLE) + {_WILSON_SQL['z2n']}))"
+)
+_WILSON_SQL["half"] = (
+    f"((CAST(1.96 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + {_WILSON_SQL['z2n']}))"
+    f" * sqrt({_WILSON_SQL['p']} * (CAST(1.0 AS DOUBLE) - {_WILSON_SQL['p']})"
+    f" / CAST(n_lines AS DOUBLE)"
+    f" + {_WILSON_SQL['z2n']} * {_WILSON_SQL['z2n']} / CAST(4.0 AS DOUBLE)))"
+)
+
+
+def return_rate_wilson_ci(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Wilson score interval on the per-brand return rate (Wilson 1927,
+    JASA — public; the interval behind every "sort by lower confidence
+    bound" ranking): the point return rate over-ranks low-volume brands
+    — a brand with 1 return in 2 lines reads 50% — while the Wilson
+    LOWER bound shrinks toward the prior exactly as the evidence thins,
+    which is why review systems rank by it. One row per brand: counts,
+    point rate, and the 95% Wilson bounds; consumers rank by
+    ``wilson_lo``.
+
+    Determinism: counts are exact integers; the interval is ONE shared
+    expression string parsed verbatim by Spark and the DuckDB oracle
+    (identical parse tree → identical IEEE op order → bit-exact), with
+    every literal an explicit CAST(... AS DOUBLE) — bare decimal
+    literals are DECIMAL-typed on both engines and would promote
+    differently (the r15 ADVICE literal class). Outputs unrounded.
+
+    Note the half-width uses z²/n (not z²) in the variance term:
+    written as (z²/n)²/4 = z⁴/4n², the standard form — the shared
+    string pins whichever algebra is used to both engines identically.
+
+    Scale shape: one partkey-co-partitioned join + one brand-grain
+    conditional aggregate (map-side combined); the interval math is
+    per-brand scalar expressions on ≤ |brands| rows."""
+    r_flag = (F.col("l_returnflag") == "R").cast("long")
+    base = (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(r_flag).cast("long").alias("n_returned"),
+        )
+    )
+    return base.select(
+        "brand",
+        "n_lines",
+        "n_returned",
+        F.expr(_WILSON_SQL["p"]).alias("return_rate"),
+        F.expr(f"{_WILSON_SQL['center']} - {_WILSON_SQL['half']}").alias("wilson_lo"),
+        F.expr(f"{_WILSON_SQL['center']} + {_WILSON_SQL['half']}").alias("wilson_hi"),
+    )

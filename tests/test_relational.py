@@ -2693,3 +2693,48 @@ def test_newsvendor_stock_hand_computed(spark):
     assert r["stock_target_qty"] == 40
     assert r["mean_monthly_qty"] == 40.0
     assert r["safety_stock_qty"] == 0.0
+
+
+def test_return_rate_wilson_ci_properties(spark):
+    """NEW r16: Wilson interval sanity on a hand-built fixture — the
+    point rate sits inside the interval, bounds sit in [0, 1], the
+    low-volume brand's LOWER bound ranks below the high-volume brand's
+    despite an identical point rate (the reason review systems rank by
+    wilson_lo), and the numbers match an independent python evaluation
+    of the same formula."""
+    import math
+
+    from datalake_local_spark.operators import tpch as ops_tpch
+
+    # brand A: 5 of 10 returned; brand B: 500 of 1000 — same p=0.5
+    import datetime
+    d0 = datetime.datetime(1995, 1, 1)
+    rows = []
+    for i in range(10):
+        rows.append((1, d0, 1.0, "R" if i < 5 else "N"))
+    for i in range(1000):
+        rows.append((2, d0, 1.0, "R" if i < 500 else "N"))
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_shipdate timestamp, l_quantity double, l_returnflag string"
+    )
+    pt = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "p_partkey long, p_brand string"
+    )
+    got = {r["brand"]: r for r in ops_tpch.return_rate_wilson_ci(li, pt).collect()}
+
+    def wilson(r, n, z=1.96):
+        p = r / n
+        z2n = z * z / n
+        center = (p + z2n / 2.0) / (1.0 + z2n)
+        half = (z / (1.0 + z2n)) * math.sqrt(
+            p * (1.0 - p) / n + z2n * z2n / 4.0
+        )
+        return center - half, center + half
+
+    for brand, (r, n) in {"A": (5, 10), "B": (500, 1000)}.items():
+        lo, hi = wilson(r, n)
+        row = got[brand]
+        assert row["return_rate"] == r / n
+        assert abs(row["wilson_lo"] - lo) < 1e-12 and abs(row["wilson_hi"] - hi) < 1e-12
+        assert 0.0 <= row["wilson_lo"] <= row["return_rate"] <= row["wilson_hi"] <= 1.0
+    assert got["A"]["wilson_lo"] < got["B"]["wilson_lo"]
