@@ -306,6 +306,7 @@ _CERTIFY_FIRST = [
     "lake_skipping_report",  # NEW r16: min/max file-skipping effectiveness
     "tpch_newsvendor_stock",  # NEW r16: critical-ratio order-statistic stock target
     "tpch_return_rate_ci",  # NEW r16: Wilson interval, shared-verbatim expression
+    "events_behavior_entropy",  # NEW r16: hour-of-day Shannon entropy bot screen
     # ---- code/oracle CHANGED in round 16 ----
     "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
     "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
@@ -350,7 +351,6 @@ _CERTIFY_FIRST = [
     "dq_batch_drift",
     "dq_join_estimate",
     "dq_key_skew",
-    "events_interpolate_hourly",
     # r17 queue: the r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
     # scalar_try_funcs (displaced by the streaming_anomaly conversion),
@@ -363,6 +363,7 @@ _CERTIFY_FIRST = [
     # events_anomaly_zscore / agg_trend_regression / dq_cuped),
     # fmt_schema_evolution (displaced by the NEW tpch_newsvendor_stock),
     # fmt_orc_scan (displaced by the NEW tpch_return_rate_ci),
+    # events_interpolate_hourly (displaced by the NEW events_behavior_entropy),
     # semantic_cube_request, sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
@@ -1005,6 +1006,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mode_family": lambda s, d: agg.mode_family(*_t(s, d, "lineitem")),
         "events_interarrival": lambda s, d: windows.interarrival_stats(*_t(s, d, "events")),
         "events_burstiness": lambda s, d: windows.user_burstiness(*_t(s, d, "events")),
+        # NEW r16: hour-of-day Shannon entropy per user (bot screen) —
+        # canonical hour-ordered fold, ln kernel, unrounded
+        "events_behavior_entropy": lambda s, d: windows.user_behavior_entropy(*_t(s, d, "events")),
         "events_calendar_heatmap": lambda s, d: windows.calendar_heatmap(*_t(s, d, "events")),
         "events_stl_decompose": lambda s, d: windows.stl_decompose_daily(*_t(s, d, "events")),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
@@ -9597,6 +9601,43 @@ def _oracle_sql() -> dict[str, str]:
                         THEN round((sigma - mu) / (sigma + mu), 6) + 0.0
                         END AS burstiness
             FROM m ORDER BY user_id
+        """,
+        # NEW r16: hour-of-day Shannon entropy — the fold runs over the
+        # HOUR-ORDERED bucket list with an explicit 0.0 init on both
+        # engines (bare SUM over float terms is partial-aggregation-
+        # order dependent); ln (not log2) is the proven cross-engine
+        # kernel; all literals CAST(... AS DOUBLE); outputs 6dp (libm
+        # ln drifts 1 ulp cross-engine — the registry log discipline).
+        "events_behavior_entropy": """
+            WITH hourly AS (
+                SELECT user_id, CAST(hour(ts) AS INT) AS hod,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT user_id,
+                       CAST(sum(cnt) AS BIGINT) AS n_events,
+                       CAST(count(*) AS BIGINT) AS n_active_hours,
+                       list(cnt ORDER BY hod) AS hs
+                FROM hourly GROUP BY 1
+            ),
+            e AS (
+                SELECT user_id, n_events, n_active_hours,
+                       -list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(hs, x ->
+                                   (CAST(x AS DOUBLE)
+                                    / CAST(n_events AS DOUBLE))
+                                   * ln(CAST(x AS DOUBLE)
+                                        / CAST(n_events AS DOUBLE)))),
+                           (a, t) -> a + t) AS entropy_nats
+                FROM g
+            )
+            SELECT user_id, n_events, n_active_hours,
+                   round(entropy_nats, 6) + 0.0 AS entropy_nats,
+                   round(entropy_nats / ln(CAST(24.0 AS DOUBLE)), 6) + 0.0
+                       AS uniformity
+            FROM e
         """,
         "dq_ks_test": """
             WITH bounds AS (

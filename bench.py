@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "tpch_newsvendor_stock",
     # shared-verbatim Wilson interval (brand-grain scalar math)
     "tpch_return_rate_ci",
+    # hour-ordered entropy fold (user-grain bot screen)
+    "events_behavior_entropy",
 ]
 
 

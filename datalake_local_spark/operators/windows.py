@@ -1406,3 +1406,53 @@ def kalman_level_filter(
         "event_type string, hour timestamp, actual double, "
         "innovation double, gain double, filtered double, variance double",
     )
+
+
+def user_behavior_entropy(events: DataFrame) -> DataFrame:
+    """Hour-of-day behavioral entropy per user (Shannon 1948 — public;
+    the bot-vs-human screen a training-data pipeline runs next to
+    ``user_burstiness``): a human's activity concentrates in waking
+    hours (low entropy over the 24 hour-of-day buckets), a scripted
+    agent spreads uniformly (entropy near ln 24). One row per user:
+    event count, active-hour count, Shannon entropy in NATS, and the
+    uniformity ratio H / ln 24 a filter thresholds on.
+
+    Determinism (the events_ewma fold discipline): bucket counts are
+    exact integers; the entropy sum folds over the HOUR-ORDERED bucket
+    list with an explicit 0.0 init on BOTH engines (a bare SUM() over
+    float terms is partial-aggregation-order dependent; a canonical
+    left fold is not), every literal cast to double, and ln (not log2
+    — natural log is the cross-engine-proven kernel here; log2 is
+    ln(x)/ln(2) on one engine and a distinct libm call on the other).
+    Outputs unrounded.
+
+    Scale shape: a (user, hour) map-side-combined count, then a
+    user-grain aggregate carrying a ≤ 24-element list per user — the
+    fold never sees more than 24 terms, and nothing exceeds user
+    grain after the first aggregate."""
+    hourly = events.groupBy(
+        "user_id", F.hour("ts").cast("int").alias("hod")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    g = hourly.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_active_hours"),
+        F.expr("array_sort(collect_list(struct(hod, cnt)))").alias("hs"),
+    )
+    ent = (
+        "-aggregate(hs, CAST(0.0 AS DOUBLE), (a, x) -> a"
+        " + (CAST(x.cnt AS DOUBLE) / CAST(n_events AS DOUBLE))"
+        " * ln(CAST(x.cnt AS DOUBLE) / CAST(n_events AS DOUBLE)))"
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        "n_active_hours",
+        # 6dp like every log-kernel oracle in the registry: ln is NOT
+        # bit-identical across libm implementations (1-ulp drift
+        # observed vs DuckDB), and transcendental outputs essentially
+        # never sit on the 6dp half grid
+        (F.round(F.expr(ent), 6) + F.lit(0.0)).alias("entropy_nats"),
+        (F.round(F.expr(f"({ent}) / ln(CAST(24.0 AS DOUBLE))"), 6) + F.lit(0.0)).alias(
+            "uniformity"
+        ),  # + 0.0 normalizes the single-bucket -0.0 (burstiness idiom)
+    )

@@ -2738,3 +2738,31 @@ def test_return_rate_wilson_ci_properties(spark):
         assert abs(row["wilson_lo"] - lo) < 1e-12 and abs(row["wilson_hi"] - hi) < 1e-12
         assert 0.0 <= row["wilson_lo"] <= row["return_rate"] <= row["wilson_hi"] <= 1.0
     assert got["A"]["wilson_lo"] < got["B"]["wilson_lo"]
+
+
+def test_behavior_entropy_hand_computed(spark):
+    """NEW r16: user 1 splits 4 events over two hours (H = ln 2), user
+    2 concentrates in one hour (H = 0, uniformity 0); the uniform user
+    ranks more bot-like."""
+    import datetime
+    import math
+
+    from datalake_local_spark.operators import windows as ops_windows
+
+    t = lambda h, m: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, t(9, 0), 1), (2, t(9, 30), 1), (3, t(14, 0), 1), (4, t(14, 5), 1),
+            (5, t(9, 1), 2), (6, t(9, 2), 2), (7, t(9, 3), 2),
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    got = {r["user_id"]: r for r in ops_windows.user_behavior_entropy(ev).collect()}
+    assert (got[1]["n_events"], got[1]["n_active_hours"]) == (4, 2)
+    assert got[1]["entropy_nats"] == round(math.log(2), 6)
+    assert got[1]["uniformity"] == round(math.log(2) / math.log(24), 6)
+    assert (got[2]["n_events"], got[2]["n_active_hours"]) == (3, 1)
+    import math as _m
+    assert got[2]["entropy_nats"] == 0.0 and not _m.copysign(1, got[2]["entropy_nats"]) < 0
+    assert got[2]["uniformity"] == 0.0 and not _m.copysign(1, got[2]["uniformity"]) < 0
+    assert got[1]["uniformity"] > got[2]["uniformity"]
