@@ -884,9 +884,16 @@ def basket_affinity(
     parts (the vast majority in a real catalog) never enter it. The
     result is provably unchanged: support/lift still use the
     UNPRUNED part counts."""
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # materialize once: items feeds totals, part_counts and BOTH sides
+    # of the self-join — uncheckpointed, each consumer re-ran the
+    # lineitem scan + distinct (3 finalized scans; r16 plan audit).
+    # (orderkey, partkey) pairs are a fraction of lineitem width.
+    items = lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     totals = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    part_counts = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    # 20k-row aggregate with three consumers (frequent, ca, cb)
+    part_counts = (
+        items.groupBy("l_partkey").agg(F.count("*").alias("cnt")).localCheckpoint()
+    )
     frequent = part_counts.filter(F.col("cnt") >= min_pairs).select("l_partkey")
     pruned = items.join(frequent, "l_partkey", "semi")
     a = pruned.alias("a")
