@@ -307,6 +307,7 @@ _CERTIFY_FIRST = [
     "tpch_newsvendor_stock",  # NEW r16: critical-ratio order-statistic stock target
     "tpch_return_rate_ci",  # NEW r16: Wilson interval, shared-verbatim expression
     "events_behavior_entropy",  # NEW r16: hour-of-day Shannon entropy bot screen
+    "events_max_drawdown",  # NEW r16: exact-integer running-peak drawdown
     # ---- code/oracle CHANGED in round 16 ----
     "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
     "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
@@ -350,7 +351,6 @@ _CERTIFY_FIRST = [
     "dedup_semantic",
     "dq_batch_drift",
     "dq_join_estimate",
-    "dq_key_skew",
     # r17 queue: the r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
     # scalar_try_funcs (displaced by the streaming_anomaly conversion),
@@ -364,6 +364,7 @@ _CERTIFY_FIRST = [
     # fmt_schema_evolution (displaced by the NEW tpch_newsvendor_stock),
     # fmt_orc_scan (displaced by the NEW tpch_return_rate_ci),
     # events_interpolate_hourly (displaced by the NEW events_behavior_entropy),
+    # dq_key_skew (displaced by the NEW events_max_drawdown),
     # semantic_cube_request, sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
@@ -1009,6 +1010,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r16: hour-of-day Shannon entropy per user (bot screen) —
         # canonical hour-ordered fold, ln kernel, unrounded
         "events_behavior_entropy": lambda s, d: windows.user_behavior_entropy(*_t(s, d, "events")),
+        # NEW r16: max drawdown per series — exact integer cents end to
+        # end, argmax with a total tie-break order
+        "events_max_drawdown": lambda s, d: windows.max_drawdown(*_t(s, d, "events")),
         "events_calendar_heatmap": lambda s, d: windows.calendar_heatmap(*_t(s, d, "events")),
         "events_stl_decompose": lambda s, d: windows.stl_decompose_daily(*_t(s, d, "events")),
         "sim_random_projection": lambda s, d: similarity.random_projection_profile(*_t(s, d, "embeddings")),
@@ -9601,6 +9605,39 @@ def _oracle_sql() -> dict[str, str]:
                         THEN round((sigma - mu) / (sigma + mu), 6) + 0.0
                         END AS burstiness
             FROM m ORDER BY user_id
+        """,
+        # NEW r16: the whole statistic is exact integer cents (running
+        # MAX window, integer subtraction, total-order argmax); the one
+        # final ratio divides integers, rounds 6 half-up both engines,
+        # and guards the degenerate all-zero series with NULL.
+        "events_max_drawdown": """
+            WITH scored AS (
+                SELECT event_type, ts, event_id,
+                       CAST(trunc(CAST(value AS DECIMAL(18,6)) * 100)
+                            AS BIGINT) AS value_cents,
+                       max(CAST(trunc(CAST(value AS DECIMAL(18,6)) * 100)
+                                AS BIGINT))
+                           OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS peak_cents
+                FROM events
+            ),
+            ranked AS (
+                SELECT *, peak_cents - value_cents AS drawdown_cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY peak_cents - value_cents
+                                              DESC, ts, event_id) AS rn
+                FROM scored
+            )
+            SELECT event_type, ts AS trough_ts,
+                   event_id AS trough_event_id,
+                   peak_cents, value_cents AS trough_cents, drawdown_cents,
+                   CASE WHEN peak_cents > 0
+                        THEN round(CAST(drawdown_cents AS DOUBLE)
+                                   / CAST(peak_cents AS DOUBLE), 6)
+                   END AS drawdown_ratio
+            FROM ranked WHERE rn = 1
         """,
         # NEW r16: hour-of-day Shannon entropy — the fold runs over the
         # HOUR-ORDERED bucket list with an explicit 0.0 init on both

@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "tpch_return_rate_ci",
     # hour-ordered entropy fold (user-grain bot screen)
     "events_behavior_entropy",
+    # exact-integer running-peak drawdown (shared type-keyed shuffle)
+    "events_max_drawdown",
 ]
 
 

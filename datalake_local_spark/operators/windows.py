@@ -1456,3 +1456,58 @@ def user_behavior_entropy(events: DataFrame) -> DataFrame:
             "uniformity"
         ),  # + 0.0 normalizes the single-bucket -0.0 (burstiness idiom)
     )
+
+
+def max_drawdown(events: DataFrame) -> DataFrame:
+    """Maximum drawdown per event-type series (the classic risk /
+    degradation statistic: largest drop from a running peak — Magdon-
+    Ismail & Atiya 2004 analyze it; the definition itself is
+    textbook-public): treating each event type's ``value`` sequence in
+    (ts, event_id) order as a path, report the deepest
+    peak-to-trough fall, WHERE it bottomed, and the peak it fell from
+    — the SLO/regression view next to the CUSUM/SPC shift detectors
+    (those flag level changes; this measures the worst excursion).
+
+    Determinism: the entire statistic is exact integer cents — the
+    running peak is a MAX window over cents, the drawdown is an
+    integer subtraction, and the reported row is the argmax with a
+    total (dd DESC, ts, event_id) order — no float exists anywhere
+    (the published ratio is one final integer-over-integer division,
+    rounded 6 half-up on both engines).
+
+    Scale shape: one type-partitioned running-max window (the natural
+    event-time order), one ranking window at the same partitioning —
+    both windows share a single (event_type)-keyed shuffle; output is
+    one row per type."""
+    # Spark's decimal->bigint CAST truncates toward zero (the DuckDB
+    # oracle spells the same truncation as trunc(); a bare CAST rounds
+    # there — the r16 cents-cast class)
+    cents = "CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)"
+    w = (
+        f"max({cents}) OVER (PARTITION BY event_type ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    scored = events.selectExpr(
+        "event_type",
+        "ts",
+        "event_id",
+        f"{cents} AS value_cents",
+        f"{w} AS peak_cents",
+        f"{w} - {cents} AS drawdown_cents",
+    )
+    ranked = scored.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY event_type"
+        " ORDER BY drawdown_cents DESC, ts, event_id) AS rn",
+    )
+    return ranked.where(F.col("rn") == 1).selectExpr(
+        "event_type",
+        "ts AS trough_ts",
+        "event_id AS trough_event_id",
+        "peak_cents",
+        "value_cents AS trough_cents",
+        "drawdown_cents",
+        # NULL ratio for the degenerate all-zero series (peak 0)
+        "CASE WHEN peak_cents > 0 THEN round(CAST(drawdown_cents AS DOUBLE)"
+        " / CAST(peak_cents AS DOUBLE), 6) END AS drawdown_ratio",
+    )

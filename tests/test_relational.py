@@ -2766,3 +2766,30 @@ def test_behavior_entropy_hand_computed(spark):
     assert got[2]["entropy_nats"] == 0.0 and not _m.copysign(1, got[2]["entropy_nats"]) < 0
     assert got[2]["uniformity"] == 0.0 and not _m.copysign(1, got[2]["uniformity"]) < 0
     assert got[1]["uniformity"] > got[2]["uniformity"]
+
+
+def test_max_drawdown_hand_computed(spark):
+    """NEW r16: path 10 -> 12 -> 7 -> 11 -> 4: peak 12, trough 4,
+    drawdown 8.00 (800 cents), ratio 800/1200; a second flat series
+    has drawdown 0 with the FIRST row as the tie-broken argmax."""
+    import datetime
+
+    from datalake_local_spark.operators import windows as ops_windows
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, t(0), 1, "a", 10.0), (2, t(1), 1, "a", 12.0),
+            (3, t(2), 1, "a", 7.0), (4, t(3), 1, "a", 11.0),
+            (5, t(4), 1, "a", 4.0),
+            (6, t(0), 1, "b", 5.0), (7, t(1), 1, "b", 5.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {r["event_type"]: r for r in ops_windows.max_drawdown(ev).collect()}
+    a = got["a"]
+    assert (a["peak_cents"], a["trough_cents"], a["drawdown_cents"]) == (1200, 400, 800)
+    assert a["trough_event_id"] == 5
+    assert a["drawdown_ratio"] == round(800 / 1200, 6)
+    b = got["b"]
+    assert (b["drawdown_cents"], b["trough_event_id"]) == (0, 6)
