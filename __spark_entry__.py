@@ -308,6 +308,7 @@ _CERTIFY_FIRST = [
     "tpch_return_rate_ci",  # NEW r16: Wilson interval, shared-verbatim expression
     "events_behavior_entropy",  # NEW r16: hour-of-day Shannon entropy bot screen
     "events_max_drawdown",  # NEW r16: exact-integer running-peak drawdown
+    "tpch_eoq",  # NEW r16: Harris lot size, correctly-rounded sqrt
     # ---- code/oracle CHANGED in round 16 ----
     "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
     "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
@@ -350,7 +351,6 @@ _CERTIFY_FIRST = [
     "dedup_kmv_overlap",
     "dedup_semantic",
     "dq_batch_drift",
-    "dq_join_estimate",
     # r17 queue: the r7-cohort names this 50-slot window could not
     # hold (each exact-checked locally this round — SWEEP_r16.log):
     # scalar_try_funcs (displaced by the streaming_anomaly conversion),
@@ -365,6 +365,7 @@ _CERTIFY_FIRST = [
     # fmt_orc_scan (displaced by the NEW tpch_return_rate_ci),
     # events_interpolate_hourly (displaced by the NEW events_behavior_entropy),
     # dq_key_skew (displaced by the NEW events_max_drawdown),
+    # dq_join_estimate (displaced by the NEW tpch_eoq),
     # semantic_cube_request, sim_cosine_topk_ivf,
     # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
     # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
@@ -986,6 +987,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r16: Wilson 95% interval on per-brand return rates — ONE
         # expression string parsed verbatim by both engines
         "tpch_return_rate_ci": lambda s, d: tpch.return_rate_wilson_ci(*_t(s, d, "lineitem", "part")),
+        # NEW r16: Harris EOQ lot size — exact-integer ratio into a
+        # correctly-rounded sqrt, unrounded outputs
+        "tpch_eoq": lambda s, d: tpch.economic_order_quantity(*_t(s, d, "lineitem", "part")),
         "tpch_order_aging": lambda s, d: tpch.order_aging(*_t(s, d, "orders")),
         "text_quality_by_source": lambda s, d: text.quality_by_source(*_t(s, d, "documents")),
         "tpch_return_rates": lambda s, d: tpch.return_rates(*_t(s, d, "lineitem", "part")),
@@ -8210,6 +8214,25 @@ def _oracle_sql() -> dict[str, str]:
                        - {tpch._WILSON_SQL["half"]} AS wilson_lo,
                    {tpch._WILSON_SQL["center"]}
                        + {tpch._WILSON_SQL["half"]} AS wilson_hi
+            FROM base
+        """,
+        # NEW r16: 2DS/H is ONE exact-integer-ratio double and IEEE sqrt
+        # is correctly rounded on both engines (no libm drift class) —
+        # outputs publish unrounded.
+        "tpch_eoq": """
+            WITH base AS (
+                SELECT p_brand AS brand,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS total_qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1
+            )
+            SELECT brand, total_qty,
+                   sqrt(CAST(2 * total_qty * 100 AS DOUBLE)
+                        / CAST(2 AS DOUBLE)) AS eoq_qty,
+                   CAST(total_qty AS DOUBLE)
+                       / (sqrt(CAST(2 * total_qty * 100 AS DOUBLE)
+                               / CAST(2 AS DOUBLE))) AS orders_per_horizon
             FROM base
         """,
         # NEW r16: newsvendor order-up-to level — the exact order

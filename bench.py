@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "events_behavior_entropy",
     # exact-integer running-peak drawdown (shared type-keyed shuffle)
     "events_max_drawdown",
+    # Harris EOQ lot size (brand-grain scalar math, closes the quartet)
+    "tpch_eoq",
 ]
 
 

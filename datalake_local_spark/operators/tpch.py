@@ -1813,3 +1813,42 @@ def return_rate_wilson_ci(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         F.expr(f"{_WILSON_SQL['center']} - {_WILSON_SQL['half']}").alias("wilson_lo"),
         F.expr(f"{_WILSON_SQL['center']} + {_WILSON_SQL['half']}").alias("wilson_hi"),
     )
+
+
+def economic_order_quantity(
+    lineitem: DataFrame, part: DataFrame, order_cost: int = 100, holding_cost: int = 2
+) -> DataFrame:
+    """Economic order quantity per brand (Harris 1913 — the original
+    lot-size formula, public): EOQ = sqrt(2·D·S / H) with D = observed
+    total demand, S = fixed cost per order, H = holding cost per unit
+    — closing the inventory-planning quartet
+    (:func:`demand_variability_xyz` classifies the noise,
+    :func:`croston_demand` forecasts the rate,
+    :func:`newsvendor_stock` sets the service-level buffer, EOQ sets
+    the REPLENISHMENT LOT SIZE and with it the order cadence).
+
+    Determinism: D is an exact integer quantity sum; S and H are
+    integer parameters, so 2·D·S/H enters sqrt as ONE exact-integer-
+    ratio double, and IEEE-754 sqrt is CORRECTLY ROUNDED on every
+    conforming engine (unlike ln/log2 — no libm drift class exists
+    for it), so eoq_qty publishes unrounded and bit-exact. The order
+    count is one further division of the same exact inputs.
+
+    Scale shape: one partkey-co-partitioned join + one brand-grain
+    aggregate; the formula is per-brand scalar math on ≤ |brands|
+    rows."""
+    base = (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"))
+    )
+    eoq = (
+        f"sqrt(CAST(2 * total_qty * {order_cost} AS DOUBLE)"
+        f" / CAST({holding_cost} AS DOUBLE))"
+    )
+    return base.select(
+        "brand",
+        "total_qty",
+        F.expr(eoq).alias("eoq_qty"),
+        F.expr(f"CAST(total_qty AS DOUBLE) / ({eoq})").alias("orders_per_horizon"),
+    )

@@ -2793,3 +2793,21 @@ def test_max_drawdown_hand_computed(spark):
     assert a["drawdown_ratio"] == round(800 / 1200, 6)
     b = got["b"]
     assert (b["drawdown_cents"], b["trough_event_id"]) == (0, 6)
+
+
+def test_eoq_hand_computed(spark):
+    """NEW r16 (Harris 1913): D=400, S=100, H=2 -> EOQ = sqrt(40000)
+    = 200 exactly; orders_per_horizon = 400/200 = 2.0."""
+    import datetime
+
+    from datalake_local_spark.operators import tpch as ops_tpch
+
+    li = spark.createDataFrame(
+        [(1, datetime.datetime(1995, 1, 1), 400.0)],
+        "l_partkey long, l_shipdate timestamp, l_quantity double",
+    )
+    pt = spark.createDataFrame([(1, "B#1")], "p_partkey long, p_brand string")
+    r = ops_tpch.economic_order_quantity(li, pt).collect()[0]
+    assert (r["brand"], r["total_qty"]) == ("B#1", 400)
+    assert r["eoq_qty"] == 200.0
+    assert r["orders_per_horizon"] == 2.0
