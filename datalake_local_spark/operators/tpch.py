@@ -1768,7 +1768,8 @@ _WILSON_SQL["half"] = (
     f"((CAST(1.96 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + {_WILSON_SQL['z2n']}))"
     f" * sqrt({_WILSON_SQL['p']} * (CAST(1.0 AS DOUBLE) - {_WILSON_SQL['p']})"
     f" / CAST(n_lines AS DOUBLE)"
-    f" + {_WILSON_SQL['z2n']} * {_WILSON_SQL['z2n']} / CAST(4.0 AS DOUBLE)))"
+    f" + {_WILSON_SQL['z2n']}"
+    f" / (CAST(4.0 AS DOUBLE) * CAST(n_lines AS DOUBLE))))"
 )
 
 
@@ -1789,9 +1790,13 @@ def return_rate_wilson_ci(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     literals are DECIMAL-typed on both engines and would promote
     differently (the r15 ADVICE literal class). Outputs unrounded.
 
-    Note the half-width uses z²/n (not z²) in the variance term:
-    written as (z²/n)²/4 = z⁴/4n², the standard form — the shared
-    string pins whichever algebra is used to both engines identically.
+    The half-width's variance term is p(1−p)/n + z²/(4n²), written as
+    (z²/n)/(4n) so the shared string reuses the z2n fragment — r16
+    review-pass fix: the first cut shipped z⁴/(4n²) (z2n squared), a
+    ~38%-too-wide interval the cross-engine gate is structurally blind
+    to (both engines parse the same wrong string); the contract test
+    now pins hand-derived bounds instead of re-evaluating the
+    implementation's own formula.
 
     Scale shape: one partkey-co-partitioned join + one brand-grain
     conditional aggregate (map-side combined); the interval math is

@@ -2696,17 +2696,20 @@ def test_newsvendor_stock_hand_computed(spark):
 
 
 def test_return_rate_wilson_ci_properties(spark):
-    """NEW r16: Wilson interval sanity on a hand-built fixture — the
-    point rate sits inside the interval, bounds sit in [0, 1], the
-    low-volume brand's LOWER bound ranks below the high-volume brand's
-    despite an identical point rate (the reason review systems rank by
-    wilson_lo), and the numbers match an independent python evaluation
-    of the same formula."""
+    """NEW r16: Wilson interval vs INDEPENDENTLY hand-derived bounds
+    (r16 review-pass fix: the first cut of this test re-evaluated the
+    implementation's own formula and so verified nothing — it missed a
+    z^4/(4n^2)-for-z^2/(4n^2) variance-term bug that widened the
+    interval ~38%). For r=5, n=10, z=1.96: p=0.5, z2/n=0.38416,
+    center=0.5, half = (1.96/1.38416)*sqrt(0.025 + 3.8416/400)
+    = 0.2634104... -> (0.2365896, 0.7634104) to 7dp. Also: bounds stay in
+    [0, 1] on a tiny n=2 sample (the buggy formula escaped to
+    (-0.187, 1.187) there), and the low-volume brand's LOWER bound
+    ranks below the high-volume brand's at the same point rate."""
     import math
 
     from datalake_local_spark.operators import tpch as ops_tpch
 
-    # brand A: 5 of 10 returned; brand B: 500 of 1000 — same p=0.5
     import datetime
     d0 = datetime.datetime(1995, 1, 1)
     rows = []
@@ -2714,30 +2717,36 @@ def test_return_rate_wilson_ci_properties(spark):
         rows.append((1, d0, 1.0, "R" if i < 5 else "N"))
     for i in range(1000):
         rows.append((2, d0, 1.0, "R" if i < 500 else "N"))
+    rows.append((3, d0, 1.0, "R"))
+    rows.append((3, d0, 1.0, "N"))
     li = spark.createDataFrame(
         rows, "l_partkey long, l_shipdate timestamp, l_quantity double, l_returnflag string"
     )
     pt = spark.createDataFrame(
-        [(1, "A"), (2, "B")], "p_partkey long, p_brand string"
+        [(1, "A"), (2, "B"), (3, "C")], "p_partkey long, p_brand string"
     )
     got = {r["brand"]: r for r in ops_tpch.return_rate_wilson_ci(li, pt).collect()}
 
+    # hand-derived, NOT the implementation's expression: brand A
+    a = got["A"]
+    assert a["return_rate"] == 0.5
+    assert abs(a["wilson_lo"] - 0.2365896) < 5e-7
+    assert abs(a["wilson_hi"] - 0.7634104) < 5e-7
+    # a second independent spelling of the correct formula
     def wilson(r, n, z=1.96):
         p = r / n
-        z2n = z * z / n
-        center = (p + z2n / 2.0) / (1.0 + z2n)
-        half = (z / (1.0 + z2n)) * math.sqrt(
-            p * (1.0 - p) / n + z2n * z2n / 4.0
-        )
+        denom = 1.0 + z * z / n
+        center = (p + z * z / (2.0 * n)) / denom
+        half = (z / denom) * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
         return center - half, center + half
 
-    for brand, (r, n) in {"A": (5, 10), "B": (500, 1000)}.items():
+    for brand, (r, n) in {"A": (5, 10), "B": (500, 1000), "C": (1, 2)}.items():
         lo, hi = wilson(r, n)
         row = got[brand]
-        assert row["return_rate"] == r / n
         assert abs(row["wilson_lo"] - lo) < 1e-12 and abs(row["wilson_hi"] - hi) < 1e-12
         assert 0.0 <= row["wilson_lo"] <= row["return_rate"] <= row["wilson_hi"] <= 1.0
     assert got["A"]["wilson_lo"] < got["B"]["wilson_lo"]
+    assert got["C"]["wilson_lo"] < got["A"]["wilson_lo"]
 
 
 def test_behavior_entropy_hand_computed(spark):
@@ -2762,9 +2771,8 @@ def test_behavior_entropy_hand_computed(spark):
     assert got[1]["entropy_nats"] == round(math.log(2), 6)
     assert got[1]["uniformity"] == round(math.log(2) / math.log(24), 6)
     assert (got[2]["n_events"], got[2]["n_active_hours"]) == (3, 1)
-    import math as _m
-    assert got[2]["entropy_nats"] == 0.0 and not _m.copysign(1, got[2]["entropy_nats"]) < 0
-    assert got[2]["uniformity"] == 0.0 and not _m.copysign(1, got[2]["uniformity"]) < 0
+    assert got[2]["entropy_nats"] == 0.0 and not math.copysign(1, got[2]["entropy_nats"]) < 0
+    assert got[2]["uniformity"] == 0.0 and not math.copysign(1, got[2]["uniformity"]) < 0
     assert got[1]["uniformity"] > got[2]["uniformity"]
 
 
