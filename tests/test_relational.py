@@ -2819,3 +2819,117 @@ def test_eoq_hand_computed(spark):
     assert (r["brand"], r["total_qty"]) == ("B#1", 400)
     assert r["eoq_qty"] == 200.0
     assert r["orders_per_horizon"] == 2.0
+
+
+def test_croston_random_fixture_matches_recurrence(spark):
+    """r16 hardening: 40 parts with seeded-random intermittent demand
+    (random gaps 1-9 months, random integer quantities) — every emitted
+    row must match the pure-python two-state recurrence bit-exactly,
+    including the global-anchor q1 for parts that start late."""
+    import datetime
+
+    import numpy as np
+
+    from datalake_local_spark.operators import tpch as ops_tpch
+
+    rng = np.random.RandomState(42)
+    rows = []
+    series = {}
+    for pk in range(1, 41):
+        idx = 0 if pk == 1 else int(rng.randint(0, 12))  # part 1 anchors month 0
+        pts = []
+        for _ in range(int(rng.randint(1, 12))):
+            q = int(rng.randint(1, 500))
+            pts.append((idx, q))
+            idx += int(rng.randint(1, 10))
+        series[pk] = pts
+        for m, q in pts:
+            # split quantity across 1-3 lineitems inside the month
+            parts = rng.multinomial(q, [1 / 3] * 3)
+            for j, qq in enumerate(p for p in parts if p > 0):
+                rows.append(
+                    (pk,
+                     datetime.datetime(1995, 1, 1)
+                     + datetime.timedelta(days=30 * 0)  # placeholder
+                     , float(qq), m, j)
+                )
+    # month index -> real calendar month (add m months to 1995-01)
+    def month_ts(m, j):
+        y, mo = divmod(m, 12)
+        return datetime.datetime(1995 + y, mo + 1, min(1 + j * 9, 28))
+
+    rows = [(pk, month_ts(m, j), qq) for (pk, _, qq, m, j) in rows]
+    df = spark.createDataFrame(
+        rows, "l_partkey long, l_shipdate timestamp, l_quantity double"
+    )
+    got = {
+        (r["p_partkey"], r["month"]): (
+            r["gap_months"], r["demand_qty"], r["rate_forecast"],
+            r["level"], r["smoothed_interval"],
+        )
+        for r in ops_tpch.croston_demand(df).collect()
+    }
+    alpha, one_a = 0.2, 1.0 - 0.2
+    n_checked = 0
+    for pk, pts in series.items():
+        if len(pts) < 2:
+            continue
+        level = float(pts[0][1])
+        itv = float(pts[0][0] + 1)
+        prev_idx = pts[0][0]
+        for m, q in pts[1:]:
+            fc = level / itv
+            gap = m - prev_idx
+            level = alpha * float(q) + one_a * level
+            itv = alpha * float(gap) + one_a * itv
+            key = (pk, month_ts(m, 0).replace(day=1))
+            k2 = [k for k in got if k[0] == pk and k[1].year == key[1].year
+                  and k[1].month == key[1].month]
+            assert len(k2) == 1, (pk, m)
+            assert got[k2[0]] == (gap, q, fc, level, itv), (pk, m)
+            prev_idx = m
+            n_checked += 1
+    assert n_checked > 50  # non-vacuous
+
+
+def test_max_drawdown_random_fixture_matches_bruteforce(spark):
+    """r16 hardening: seeded random walks per series — the windowed
+    running-max drawdown must equal an O(n^2) brute-force max over all
+    ordered (peak, trough) pairs, an INDEPENDENT algorithm."""
+    import datetime
+
+    import numpy as np
+
+    from datalake_local_spark.operators import windows as ops_windows
+
+    rng = np.random.RandomState(7)
+    rows, eid = [], 0
+    series = {}
+    for name in ("w1", "w2", "w3"):
+        vals = np.round(
+            np.abs(np.cumsum(rng.randn(60)) * 10 + 100), 2
+        ).tolist()
+        series[name] = vals
+        for i, v in enumerate(vals):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+                 1, name, float(v))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["event_type"]: r for r in ops_windows.max_drawdown(df).collect()}
+    for name, vals in series.items():
+        cents = [int(round(v * 100)) for v in vals]
+        best, best_i = -1, None
+        peak = cents[0]
+        # brute force: for every j, drawdown vs max over prefix
+        for j in range(len(cents)):
+            dd = max(cents[: j + 1]) - cents[j]
+            if dd > best:  # first occurrence wins ties (ts order)
+                best, best_i = dd, j
+        r = got[name]
+        assert r["drawdown_cents"] == best, name
+        assert r["trough_cents"] == cents[best_i], name
+        assert r["peak_cents"] == max(cents[: best_i + 1]), name
