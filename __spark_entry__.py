@@ -7502,8 +7502,10 @@ def _oracle_sql() -> dict[str, str]:
                    count(*) AS n_reachable,
                    CAST(max(dist) AS BIGINT) AS eccentricity,
                    CAST(sum(dist) AS BIGINT) AS sum_dist,
-                   round(CAST(count(*) - 1 AS DOUBLE)
-                         / CAST(sum(dist) AS DOUBLE), 6) AS closeness
+                   CASE WHEN sum(dist) > 0 THEN
+                       round(CAST(count(*) - 1 AS DOUBLE)
+                             / CAST(sum(dist) AS DOUBLE), 6)
+                   END AS closeness
             FROM sp GROUP BY src
         """,
         "graph_assortativity": f"""
@@ -8219,7 +8221,11 @@ def _oracle_sql() -> dict[str, str]:
         # NEW r16: 2DS/H is ONE exact-integer-ratio double and IEEE sqrt
         # is correctly rounded on both engines (no libm drift class) —
         # outputs publish unrounded.
-        "tpch_eoq": """
+        # r17 ADVICE: cost parameters interpolated from the SAME
+        # module constants the Spark function defaults to (_WILSON_SQL
+        # pattern) — formula correctness carried by the independent
+        # hand-computed test, not by this sharing.
+        "tpch_eoq": f"""
             WITH base AS (
                 SELECT p_brand AS brand,
                        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
@@ -8228,18 +8234,21 @@ def _oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             SELECT brand, total_qty,
-                   sqrt(CAST(2 * total_qty * 100 AS DOUBLE)
-                        / CAST(2 AS DOUBLE)) AS eoq_qty,
+                   sqrt(CAST(2 * total_qty * {tpch.EOQ_ORDER_COST} AS DOUBLE)
+                        / CAST({tpch.EOQ_HOLDING_COST} AS DOUBLE)) AS eoq_qty,
                    CAST(total_qty AS DOUBLE)
-                       / (sqrt(CAST(2 * total_qty * 100 AS DOUBLE)
-                               / CAST(2 AS DOUBLE))) AS orders_per_horizon
+                       / (sqrt(CAST(2 * total_qty * {tpch.EOQ_ORDER_COST} AS DOUBLE)
+                               / CAST({tpch.EOQ_HOLDING_COST} AS DOUBLE))) AS orders_per_horizon
             FROM base
         """,
         # NEW r16: newsvendor order-up-to level — the exact order
         # statistic k = ceil(3n/4) via row_number (interpolating
         # percentile kernels differ cross-engine in op order; an order
         # statistic cannot); integers until the two divisions.
-        "tpch_newsvendor_stock": """
+        # r17 ADVICE: critical ratio interpolated from tpch.NEWSVENDOR_CR
+        # (the constants the Spark function defaults to); k = ceil(cr*n)
+        # = (num*n + den - 1) // den in exact integer arithmetic.
+        "tpch_newsvendor_stock": f"""
             WITH monthly AS (
                 SELECT p_brand AS brand,
                        date_trunc('month', l_shipdate) AS month,
@@ -8265,7 +8274,8 @@ def _oracle_sql() -> dict[str, str]:
                          - CAST(total_qty AS DOUBLE)
                            / CAST(n_months AS DOUBLE), 6) AS safety_stock_qty
             FROM ranked
-            WHERE rn = (3 * n_months + 3) // 4
+            WHERE rn = ({tpch.NEWSVENDOR_CR[0]} * n_months
+                        + {tpch.NEWSVENDOR_CR[1] - 1}) // {tpch.NEWSVENDOR_CR[1]}
         """,
         # NEW r16: Croston two-state recursion replayed by a recursive
         # CTE (the kalman shape — seed at k=2 from the k=1 init, join
@@ -8275,7 +8285,7 @@ def _oracle_sql() -> dict[str, str]:
         # Spark months_between, both integral); (1 − α) is COMPUTED
         # (CAST(1.0) − CAST(0.2)) matching the Python one_a = 1.0 − 0.2
         # — the r15 ADVICE ulp discipline; all outputs unrounded.
-        "tpch_croston_demand": """
+        "tpch_croston_demand": f"""
             WITH RECURSIVE monthly AS (
                 SELECT l_partkey AS p_partkey,
                        date_trunc('month', l_shipdate) AS month,
@@ -8304,11 +8314,11 @@ def _oracle_sql() -> dict[str, str]:
                        n.idx - i.idx AS gap_months,
                        n.q AS demand_qty,
                        i.level / i.itv AS rate_forecast,
-                       CAST(0.2 AS DOUBLE) * CAST(n.q AS DOUBLE)
-                         + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                       CAST({tpch.CROSTON_ALPHA} AS DOUBLE) * CAST(n.q AS DOUBLE)
+                         + (CAST(1.0 AS DOUBLE) - CAST({tpch.CROSTON_ALPHA} AS DOUBLE))
                            * i.level AS level,
-                       CAST(0.2 AS DOUBLE) * CAST(n.idx - i.idx AS DOUBLE)
-                         + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                       CAST({tpch.CROSTON_ALPHA} AS DOUBLE) * CAST(n.idx - i.idx AS DOUBLE)
+                         + (CAST(1.0 AS DOUBLE) - CAST({tpch.CROSTON_ALPHA} AS DOUBLE))
                            * i.itv AS itv,
                        n.idx
                 FROM indexed n JOIN init i
@@ -8318,11 +8328,11 @@ def _oracle_sql() -> dict[str, str]:
                        n.idx - s.idx,
                        n.q,
                        s.level / s.itv,
-                       CAST(0.2 AS DOUBLE) * CAST(n.q AS DOUBLE)
-                         + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                       CAST({tpch.CROSTON_ALPHA} AS DOUBLE) * CAST(n.q AS DOUBLE)
+                         + (CAST(1.0 AS DOUBLE) - CAST({tpch.CROSTON_ALPHA} AS DOUBLE))
                            * s.level,
-                       CAST(0.2 AS DOUBLE) * CAST(n.idx - s.idx AS DOUBLE)
-                         + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                       CAST({tpch.CROSTON_ALPHA} AS DOUBLE) * CAST(n.idx - s.idx AS DOUBLE)
+                         + (CAST(1.0 AS DOUBLE) - CAST({tpch.CROSTON_ALPHA} AS DOUBLE))
                            * s.itv,
                        n.idx
                 FROM steps s JOIN indexed n

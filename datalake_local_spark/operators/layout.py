@@ -176,6 +176,13 @@ def skipping_report(events: DataFrame, n_files: int = 64, n_preds: int = 4) -> D
         F.col("p.lo").alias("lo"),
         F.col("p.hi").alias("hi"),
     ).localCheckpoint()  # 2·n_preds rows; three consumers below
+    # base is dead once keyed/env/preds are materialized (preds is its
+    # last reader via the bounds aggregate b); release its blocks
+    # eagerly instead of waiting for ContextCleaner GC — keyed/env/preds
+    # must stay: the returned lazy plan reads them (r17 ADVICE).
+    from datalake_local_spark.llm.dedup import _release_checkpoint
+
+    _release_checkpoint(base)
     hits = (
         env.crossJoin(F.broadcast(preds))
         .where(

@@ -1586,7 +1586,18 @@ def discount_elasticity(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def croston_demand(lineitem: DataFrame, alpha: float = 0.2) -> DataFrame:
+#: Default parameters for the inventory-planning quartet, shared with
+#: the DuckDB oracles in ``__spark_entry__`` (the _WILSON_SQL pattern:
+#: one source of truth so an entry-lambda kwarg change cannot silently
+#: diverge from the oracle-baked literals; formula correctness is
+#: carried by the independent hand-computed tests, not by this sharing).
+CROSTON_ALPHA = 0.2
+NEWSVENDOR_CR = (3, 4)
+EOQ_ORDER_COST = 100
+EOQ_HOLDING_COST = 2
+
+
+def croston_demand(lineitem: DataFrame, alpha: float = CROSTON_ALPHA) -> DataFrame:
     """Croston's method for INTERMITTENT demand (Croston 1972,
     "Forecasting and stock control for intermittent demands", Oper.
     Res. Quarterly — public; the standard forecaster for the erratic
@@ -1693,7 +1704,10 @@ def croston_demand(lineitem: DataFrame, alpha: float = 0.2) -> DataFrame:
 
 
 def newsvendor_stock(
-    lineitem: DataFrame, part: DataFrame, cr_num: int = 3, cr_den: int = 4
+    lineitem: DataFrame,
+    part: DataFrame,
+    cr_num: int = NEWSVENDOR_CR[0],
+    cr_den: int = NEWSVENDOR_CR[1],
 ) -> DataFrame:
     """Newsvendor stock target per brand (Arrow 1951 / the classic
     single-period inventory model, operations-management textbooks —
@@ -1821,7 +1835,10 @@ def return_rate_wilson_ci(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 
 
 def economic_order_quantity(
-    lineitem: DataFrame, part: DataFrame, order_cost: int = 100, holding_cost: int = 2
+    lineitem: DataFrame,
+    part: DataFrame,
+    order_cost: int = EOQ_ORDER_COST,
+    holding_cost: int = EOQ_HOLDING_COST,
 ) -> DataFrame:
     """Economic order quantity per brand (Harris 1913 — the original
     lot-size formula, public): EOQ = sqrt(2·D·S / H) with D = observed

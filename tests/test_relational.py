@@ -2847,18 +2847,14 @@ def test_croston_random_fixture_matches_recurrence(spark):
             # split quantity across 1-3 lineitems inside the month
             parts = rng.multinomial(q, [1 / 3] * 3)
             for j, qq in enumerate(p for p in parts if p > 0):
-                rows.append(
-                    (pk,
-                     datetime.datetime(1995, 1, 1)
-                     + datetime.timedelta(days=30 * 0)  # placeholder
-                     , float(qq), m, j)
-                )
+                rows.append((pk, m, j, float(qq)))
+
     # month index -> real calendar month (add m months to 1995-01)
     def month_ts(m, j):
         y, mo = divmod(m, 12)
         return datetime.datetime(1995 + y, mo + 1, min(1 + j * 9, 28))
 
-    rows = [(pk, month_ts(m, j), qq) for (pk, _, qq, m, j) in rows]
+    rows = [(pk, month_ts(m, j), qq) for (pk, m, j, qq) in rows]
     df = spark.createDataFrame(
         rows, "l_partkey long, l_shipdate timestamp, l_quantity double"
     )
