@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from datalake_local_spark.operators import aggregates as agg
 from datalake_local_spark.operators import flagship, joins, quality, setops, tpch, windows
+from datalake_local_spark.session import load_tables
+
+from tests.conftest import SF_DIR
 
 
 def _physical_plan(df) -> str:
@@ -2929,3 +2932,186 @@ def test_max_drawdown_random_fixture_matches_bruteforce(spark):
         assert r["drawdown_cents"] == best, name
         assert r["trough_cents"] == cents[best_i], name
         assert r["peak_cents"] == max(cents[: best_i + 1]), name
+
+
+# ---------------------------------------------------------------------------
+# r17: shared-text oracle audit — the verbatim sql_* surface.
+#
+# The five sql_* queries execute ONE ANSI string on both engines, so the
+# driver's hash gate certifies engine PARITY but is structurally blind to
+# the string itself computing the wrong thing (the r16 Wilson z^4 lesson).
+# Each test below runs the shared string against a tiny hand-crafted
+# fixture and checks HAND-DERIVED expected rows (computed in pure python
+# from the query's documented intent, never by re-evaluating the SQL).
+# ---------------------------------------------------------------------------
+
+
+def _with_fixture_views(spark, views):
+    """Register fixture temp views (name -> (rows, schema)); caller must
+    re-assert the real testdata views afterwards via load_tables."""
+    for name, (rows, schema) in views.items():
+        spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
+
+
+def test_sql_correlated_exists_hand_computed(spark):
+    """_CORRELATED_SQL intent: customers having at least one order
+    priced above 1.8x the global average order price, ordered by
+    custkey, top 10. Fixture: avg = (100+200+300+1000)/4 = 400,
+    threshold = 720 -> only customer 2 (order 1000) qualifies; customer
+    4 has NO orders and must not appear even though EXISTS's subquery
+    is empty for it."""
+    import __spark_entry__ as em
+
+    try:
+        _with_fixture_views(
+            spark,
+            {
+                "customer": (
+                    [(1, "alice"), (2, "bob"), (3, "carol"), (4, "dave")],
+                    "c_custkey long, c_name string",
+                ),
+                "orders": (
+                    [(10, 1, 100.0), (11, 2, 200.0), (12, 3, 300.0), (13, 2, 1000.0)],
+                    "o_orderkey long, o_custkey long, o_totalprice double",
+                ),
+            },
+        )
+        got = [tuple(r) for r in spark.sql(em._CORRELATED_SQL).collect()]
+        assert got == [(2, "bob")]
+    finally:
+        load_tables(spark, SF_DIR)
+
+
+def test_sql_lateral_topn_hand_computed(spark):
+    """_LATERAL_SQL intent: per customer, the single most expensive
+    order (ties broken by smaller orderkey); customers with no orders
+    are dropped (comma-join LATERAL is inner). Fixture: customer 1 has
+    a price tie at 80 between orderkeys 2 and 3 -> orderkey 2 wins;
+    customer 3 has no orders -> absent."""
+    import __spark_entry__ as em
+
+    try:
+        _with_fixture_views(
+            spark,
+            {
+                "customer": ([(1,), (2,), (3,)], "c_custkey long"),
+                "orders": (
+                    [(1, 1, 50.0), (2, 1, 80.0), (3, 1, 80.0), (4, 2, 10.0)],
+                    "o_orderkey long, o_custkey long, o_totalprice double",
+                ),
+            },
+        )
+        got = {tuple(r) for r in spark.sql(em._LATERAL_SQL).collect()}
+        assert got == {(1, 2, 80.0), (2, 4, 10.0)}
+    finally:
+        load_tables(spark, SF_DIR)
+
+
+def test_sql_named_window_hand_computed(spark):
+    """_NAMED_WINDOW_SQL intent: per priority, rank orders by price
+    desc (orderkey tie-break) and accumulate a running exact-cents sum
+    in that same order; keep rank <= 5. Expectations derived by a pure
+    python sort + cumulative sum over integer cents, including a price
+    tie (70.50 at orderkeys 2 and 5 -> 2 ranks ahead) and a 6th row
+    that must be cut."""
+    import __spark_entry__ as em
+
+    prices = {1: 20.00, 2: 70.50, 3: 60.25, 4: 50.00, 5: 70.50, 6: 40.00}
+    # hand model: sort by (-price, orderkey), rank = position (no peer
+    # ties because orderkey is in the ORDER BY), cents accumulate
+    order = sorted(prices, key=lambda k: (-prices[k], k))
+    assert order == [2, 5, 3, 4, 6, 1]
+    cum, want = 0, []
+    for pos, k in enumerate(order, start=1):
+        cum += int(round(prices[k] * 100))
+        if pos <= 5:
+            want.append(("P", k, pos, cum))
+    try:
+        _with_fixture_views(
+            spark,
+            {
+                "orders": (
+                    [("P", k, v) for k, v in prices.items()],
+                    "o_orderpriority string, o_orderkey long, o_totalprice double",
+                ),
+            },
+        )
+        got = [tuple(r) for r in spark.sql(em._NAMED_WINDOW_SQL).collect()]
+        assert got == want
+    finally:
+        load_tables(spark, SF_DIR)
+
+
+def test_sql_interactive_hand_computed(spark):
+    """_INTERACTIVE_SQL intent: per nation name, distinct ordering
+    customers and the rounded total order value. Fixture: nation X has
+    customers 1 (two orders) and 2 (one order) -> 2 distinct customers,
+    10.10 + 20.20 + 30.05 = 60.35; nation Y's customer 3 never orders
+    -> Y absent (inner join); customer 4 of nation X never orders and
+    must not count."""
+    import __spark_entry__ as em
+
+    try:
+        _with_fixture_views(
+            spark,
+            {
+                "nation": ([(0, "X"), (1, "Y")], "n_nationkey long, n_name string"),
+                "customer": (
+                    [(1, 0), (2, 0), (3, 1), (4, 0)],
+                    "c_custkey long, c_nationkey long",
+                ),
+                "orders": (
+                    [(10, 1, 10.10), (11, 1, 20.20), (12, 2, 30.05)],
+                    "o_orderkey long, o_custkey long, o_totalprice double",
+                ),
+            },
+        )
+        got = [tuple(r) for r in spark.sql(em._INTERACTIVE_SQL).collect()]
+        assert got == [("X", 2, 60.35)]
+    finally:
+        load_tables(spark, SF_DIR)
+
+
+def test_ewma_chart_values_match_roberts_formula(spark):
+    """r17 shared-text audit: the EWMA chart's flagged z and limit
+    VALUES match a replay transcribed independently from Roberts 1959
+    (z_t = (1-l)z_{t-1} + l*x_t from mu0; limits mu0 +/- L*sigma*
+    sqrt(l/(2-l)*(1-(1-l)^{2t}))) — the existing test only checks
+    detection timing/side, which a mis-transcribed variance term could
+    survive (the Wilson z^4 class)."""
+    import datetime
+    import math
+
+    from datalake_local_spark.operators import quality as ops_quality
+
+    base = datetime.datetime(2024, 3, 1)
+    vals = [10.0 + (i % 7) * 0.03 + (1.4 if i >= 50 else 0.0) for i in range(100)]
+    rows = [
+        (i, base + datetime.timedelta(hours=i), 1, "s", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["hour"]: r for r in ops_quality.ewma_control_chart(df).collect()}
+    assert got, "planted shift must alarm"
+
+    lam, L = 0.2, 3.0
+    burn = vals[:24]
+    mu = sum(burn) / len(burn)
+    sd = max(math.sqrt(sum((v - mu) ** 2 for v in burn) / len(burn)), 1e-12)
+    z, want = mu, {}
+    for t, x in enumerate(vals, start=1):
+        z = (1.0 - lam) * z + lam * x
+        hw = L * sd * math.sqrt(lam / (2.0 - lam) * (1.0 - (1.0 - lam) ** (2 * t)))
+        if z > mu + hw or z < mu - hw:
+            want[base + datetime.timedelta(hours=t - 1)] = (
+                z, "high" if z > mu + hw else "low",
+                mu + hw if z > mu + hw else mu - hw,
+            )
+    assert set(got) == set(want)
+    for hour, (wz, wside, wlim) in want.items():
+        r = got[hour]
+        assert r["side"] == wside, hour
+        assert abs(r["ewma_z"] - wz) < 1e-9, hour
+        assert abs(r["violated_limit"] - wlim) < 1e-9, hour
