@@ -249,6 +249,19 @@ def main() -> None:
                 times.get("dedup_components_chain", dt), dt
             )
     total = round(sum(times.values()), 3)
+    # host-drift control pair (r16 verdict #4): two queries whose code
+    # has been stable since r1/r12 — the flagship multi-join agg and the
+    # streaming tumbling-window floor.  Their best-of-2 times move with
+    # the HOST (CPU contention, thermal state), not with plan changes,
+    # so a future round separates host drift from plan drift by the
+    # control ratio (this round's control / last round's control)
+    # mechanically instead of by narrative.  SCALE.md r16 documented a
+    # ~35% host-slowdown window via exactly this evidence, hand-carried.
+    control = {
+        name: times[name]
+        for name in ("flagship_revenue_month_region", "streaming_tumbling")
+        if name in times
+    }
     line = json.dumps(
         {
             "metric": "headline_suite_total",
@@ -257,6 +270,7 @@ def main() -> None:
             "queries": times,
             "sf": sf,
             "components_chain": chain_stats,
+            "control": control,
         }
     )
     # artifact-of-record hygiene (r11 verdict #3 + r12 ADVICE + r13
@@ -303,6 +317,10 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(times),
                 "detail": artifact,
+                # the short line is what the driver's tail-capture
+                # records as BENCH_r{N}.json — the control pair must
+                # ride on it, not only on the (truncatable) full line
+                "control": control,
             }
         )
     )
