@@ -150,6 +150,16 @@ def _q_streaming_full_outer_join(spark, sf):
     return event_windows.run_streaming_full_outer_join(spark, sf, query_name=name)
 
 
+def _q_streaming_right_outer_join(spark, sf):
+    """NEW r17: matrix symmetry — every purchase with its candidate
+    attributing clicks; unmatched purchases null-extend under the
+    INCLUSIVE purchase_ts <= wm eviction bound the full-outer run
+    probed empirically. Same watermark-replay oracle argument as the
+    left-outer conversion."""
+    name = f"stream_router_{next(_stream_counter)}"
+    return event_windows.run_streaming_right_outer_join(spark, sf, query_name=name)
+
+
 def _q_streaming_outer_join(spark, sf):
     """Oracle-backed since r16: under this harness the tail emission is
     deterministic (one data micro-batch + the final no-data batch), so
@@ -1112,6 +1122,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stream_join": _q_streaming_stream_join,
         "streaming_semi_join": _q_streaming_semi_join,
         "streaming_outer_join": _q_streaming_outer_join,
+        "streaming_right_outer_join": _q_streaming_right_outer_join,
         "streaming_full_outer_join": _q_streaming_full_outer_join,
         "streaming_static_enrich": _q_streaming_static_enrich,
         "streaming_sliding": _q_streaming_sliding,
@@ -6707,6 +6718,50 @@ def _oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(NULL AS BIGINT), p.p_user AS user_id,
                    CAST(NULL AS TIMESTAMP), p.purchase_id, p.purchase_ts
+            FROM purchases p, wm
+            WHERE epoch_us(p.purchase_ts) <= wm.wm_us
+              AND NOT EXISTS (
+                  SELECT 1 FROM clicks c
+                  WHERE c.user_id = p.p_user
+                    AND p.purchase_ts > c.click_ts
+                    AND epoch_us(p.purchase_ts)
+                        <= epoch_us(c.click_ts) + 3600000000)
+        """,
+        # NEW r17: matrix symmetry — the right-outer oracle is the
+        # full-outer oracle's matched + right-unmatched branches with
+        # the purchase-side projection; the INCLUSIVE purchase_ts <= wm
+        # eviction bound was probed empirically in r16 (full-outer, at
+        # == wm and wm + 1min) and is unchanged here.
+        "streaming_right_outer_join": """
+            WITH clicks AS (
+                SELECT event_id AS click_id, user_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT event_id AS purchase_id, user_id AS p_user,
+                       ts AS purchase_ts
+                FROM events WHERE event_type = 'purchase'
+            ),
+            wm AS (
+                SELECT CASE WHEN cm IS NULL OR pm IS NULL THEN NULL
+                            ELSE least(cm, pm) - 7200000000 END AS wm_us
+                FROM (SELECT
+                    (SELECT (epoch_us(max(click_ts)) // 1000) * 1000
+                     FROM clicks) AS cm,
+                    (SELECT (epoch_us(max(purchase_ts)) // 1000) * 1000
+                     FROM purchases) AS pm)
+            )
+            SELECT p.purchase_id, p.p_user AS user_id, p.purchase_ts,
+                   c.click_id, c.click_ts, TRUE AS attributed
+            FROM clicks c JOIN purchases p
+              ON c.user_id = p.p_user
+             AND p.purchase_ts > c.click_ts
+             AND epoch_us(p.purchase_ts)
+                 <= epoch_us(c.click_ts) + 3600000000
+            UNION ALL
+            SELECT p.purchase_id, p.p_user AS user_id, p.purchase_ts,
+                   CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+                   FALSE AS attributed
             FROM purchases p, wm
             WHERE epoch_us(p.purchase_ts) <= wm.wm_us
               AND NOT EXISTS (

@@ -648,6 +648,59 @@ def run_streaming_full_outer_join(
     return sub.table(query_name)
 
 
+def run_streaming_right_outer_join(
+    spark: SparkSession, sf_dir: str, within_minutes: int = 60, query_name: str = "stream_router"
+) -> DataFrame:
+    """RIGHT OUTER stream-stream join — the matrix-symmetric partner of
+    the left-outer run (r17: inner / semi / left-outer / right-outer /
+    full-outer all certified): every purchase with each same-user click
+    that could have driven it within the preceding hour, plus purchases
+    with NO such click (the un-attributed revenue a click-side join
+    never surfaces). Matched pairs emit in the data batch; an unmatched
+    purchase null-extends only when its join state expires under the
+    global watermark — the INCLUSIVE ``purchase_ts <= wm`` bound the
+    full-outer run probed empirically (a click AT the watermark cannot
+    match it because the join needs click_ts < purchase_ts), so on this
+    harness (single-file source → one data micro-batch + the final
+    no-data watermark advance) the result is deterministic and fully
+    oracle-backed by the same watermark-replay argument as the
+    left-outer conversion. noDataMicroBatches stays ON: the trailing
+    batch IS what advances the watermark and emits the null-extended
+    tail — the drain optimization of the match-time-emission joins
+    (semi/inner) must NOT be applied here.
+
+    State sizing and scale posture: identical to the other outer
+    variants — both sides keyed by user, expiry driven per side by the
+    event-time bound; at 1000 executors the join parallelism follows
+    ``spark.sql.shuffle.partitions`` and the state store count, and the
+    eviction bound keeps per-key state at O(interval × rate), not
+    O(history)."""
+    sub = _stream_session(spark, "2")
+    clicks, purchases = _click_purchase_streams(sub, sf_dir)
+    joined = clicks.join(
+        purchases, _interval_join_cond(within_minutes), "right_outer"
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        F.col("click_id").isNotNull().alias("attributed"),
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+    return sub.table(query_name)
+
+
 def run_streaming_stream_join(
     spark: SparkSession, sf_dir: str, within_minutes: int = 60, query_name: str = "stream_join"
 ) -> DataFrame:

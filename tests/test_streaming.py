@@ -763,3 +763,38 @@ def test_streaming_full_outer_join_invariants(spark, tables):
     }
     assert must_right <= right_unmatched
     assert must_left and must_right  # non-vacuous on the harness data
+
+
+def test_streaming_right_outer_join_invariants(spark, tables):
+    """NEW r17 (matrix symmetry): matched rows equal the inner join
+    projected to the purchase side; every NULL-click row is a true
+    batch non-match respecting the INCLUSIVE purchase_ts <= wm bound;
+    every batch non-match safely past the bound IS emitted; no
+    (click, purchase) pair emitted twice."""
+    import datetime
+
+    out = event_windows.run_streaming_right_outer_join(
+        spark, SF_DIR, query_name="t_srouter_eq"
+    ).collect()
+    c, p, cond = _batch_click_purchase(tables)
+    inner = {(r["click_id"], r["purchase_id"]) for r in c.join(p, cond).collect()}
+    matched = {(r["click_id"], r["purchase_id"]) for r in out if r["attributed"]}
+    assert matched == inner
+    cmax = c.agg(F.max("cts")).collect()[0][0]
+    pmax = p.agg(F.max("pts")).collect()[0][0]
+    wm = min(cmax, pmax) - datetime.timedelta(hours=2)
+    unattributed = {r["purchase_id"] for r in out if not r["attributed"]}
+    batch_anti = {r["purchase_id"] for r in p.join(c, cond, "left_anti").collect()}
+    assert unattributed <= batch_anti
+    for r in out:
+        if not r["attributed"]:
+            assert r["click_id"] is None and r["click_ts"] is None
+            assert r["purchase_ts"] <= wm  # inclusive eviction bound
+    must_emit = {
+        r["purchase_id"]
+        for r in p.join(c, cond, "left_anti").collect()
+        if r["pts"] + datetime.timedelta(minutes=1) < wm
+    }
+    assert must_emit <= unattributed and must_emit  # non-vacuous
+    keys = [(r["click_id"], r["purchase_id"]) for r in out]
+    assert len(keys) == len(set(keys))
