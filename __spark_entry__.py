@@ -962,6 +962,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # workload — 2 layouts x 2 predicate families, exact integers
         # until the one skip-rate division
         "lake_skipping_report": lambda s, d: layout.skipping_report(*_t(s, d, "events")),
+        "lake_zorder_skipping": lambda s, d: layout.zorder_skipping_report(*_t(s, d, "events")),
         "mm_aspect_buckets": lambda s, d: multimodal.aspect_ratio_buckets(*_t(s, d, "documents")),
         "dedup_entity_clusters": lambda s, d: dedup.fuzzy_entity_clusters(*_t(s, d, "part")),
         "pipeline_weighted_reservoir": lambda s, d: llm_pipeline.weighted_reservoir_sample(*_t(s, d, "documents")),
@@ -1497,6 +1498,81 @@ _SLIDING_ORACLE = """
     SELECT win_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
     FROM w GROUP BY 1
 """
+
+
+def _zorder_skipping_oracle_sql(n_files: int = 64, n_preds: int = 4, bits: int = 16) -> str:
+    """DuckDB twin of layout.zorder_skipping_report (NEW r17): the r16
+    skipping oracle extended with a third layout whose file ids come
+    from the SAME generated Morton-key expression as lake_zorder_layout,
+    rendered with `//` — bit-identical keys by construction (shared-text
+    mech B in the SCALE.md r17 audit; independent coverage =
+    test_zvalue_interleave_hand_computed + the r17 python-replay test)."""
+    from datalake_local_spark.functions.zorder import normalize_sql, zvalue_sql
+
+    ne = normalize_sql("e", "min_e", "max_e", bits, "//")
+    nu = normalize_sql("u", "min_u", "max_u", bits, "//")
+    zv = zvalue_sql(ne, nu, bits, "//")
+    zdiv = (1 << (2 * bits)) // n_files
+    return f"""
+        WITH b AS (
+            SELECT min(epoch_us(ts)) AS min_e, max(epoch_us(ts)) AS max_e,
+                   min(user_id) AS min_u, max(user_id) AS max_u
+            FROM events
+        ),
+        keyed AS (
+            SELECT e, u,
+                   least({n_files - 1}, (e - min_e) * {n_files}
+                             // (max_e - min_e + 1)) AS f_ts,
+                   least({n_files - 1}, (u - min_u) * {n_files}
+                             // (max_u - min_u + 1)) AS f_user,
+                   ({zv}) // {zdiv} AS f_z
+            FROM (SELECT epoch_us(ts) AS e, user_id AS u FROM events), b
+        ),
+        env AS (
+            SELECT layout, file_id,
+                   min(e) AS f_emin, max(e) AS f_emax,
+                   min(u) AS f_umin, max(u) AS f_umax
+            FROM (
+                SELECT 'by_ts' AS layout, f_ts AS file_id, e, u FROM keyed
+                UNION ALL
+                SELECT 'by_user', f_user, e, u FROM keyed
+                UNION ALL
+                SELECT 'by_zorder', f_z, e, u FROM keyed
+            ) GROUP BY 1, 2
+        ),
+        preds AS (
+            SELECT 'ts_' || CAST(k AS VARCHAR) AS pred, 'ts' AS family,
+                   min_e + CAST(k AS BIGINT) * (max_e - min_e + 1) // {n_preds} AS lo,
+                   min_e + CAST(k AS BIGINT) * (max_e - min_e + 1) // {n_preds}
+                       + (max_e - min_e + 1) // 16 AS hi
+            FROM b, (SELECT unnest(range(0, {n_preds})) AS k)
+            UNION ALL
+            SELECT 'user_' || CAST(k AS VARCHAR), 'user',
+                   min_u + CAST(k AS BIGINT) * (max_u - min_u + 1) // {n_preds},
+                   min_u + CAST(k AS BIGINT) * (max_u - min_u + 1) // {n_preds}
+                       + (max_u - min_u + 1) // 16
+            FROM b, (SELECT unnest(range(0, {n_preds})) AS k)
+        ),
+        nfiles AS (
+            SELECT layout, CAST(count(*) AS BIGINT) AS n_files
+            FROM env GROUP BY 1
+        ),
+        hits AS (
+            SELECT layout, pred, CAST(count(*) AS BIGINT) AS files_hit
+            FROM env CROSS JOIN preds
+            WHERE CASE WHEN family = 'ts'
+                       THEN f_emin < hi AND f_emax >= lo
+                       ELSE f_umin < hi AND f_umax >= lo END
+            GROUP BY 1, 2
+        )
+        SELECT g.layout, g.pred, nf.n_files,
+               coalesce(h.files_hit, 0) AS files_hit,
+               round(CAST(nf.n_files - coalesce(h.files_hit, 0) AS DOUBLE)
+                     / CAST(nf.n_files AS DOUBLE), 6) AS skip_rate
+        FROM (SELECT layout, pred FROM nfiles, preds) g
+        JOIN nfiles nf ON nf.layout = g.layout
+        LEFT JOIN hits h ON h.layout = g.layout AND h.pred = g.pred
+    """
 
 
 def _zorder_oracle_sql() -> str:
@@ -7739,6 +7815,7 @@ def _oracle_sql() -> dict[str, str]:
             FROM keyed m JOIN keyed p ON m.mkey = p.mkey + 12
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
+        "lake_zorder_skipping": _zorder_skipping_oracle_sql(),
         # NEW r16: statistics-based file pruning quantified — equal-width
         # file ids, envelopes, predicate bounds and hit tests are exact
         # integer arithmetic (epoch_us == Spark unix_micros, both

@@ -230,3 +230,157 @@ def skipping_report(events: DataFrame, n_files: int = 64, n_preds: int = 4) -> D
             ),
         )
     )
+
+
+def zorder_skipping_report(
+    events: DataFrame, n_files: int = 64, n_preds: int = 4, bits: int = 16
+) -> DataFrame:
+    """The layout trio's closing argument (r17): the
+    :func:`skipping_report` framework with a THIRD candidate layout —
+    ``by_zorder``, files assigned by the top bits of the Morton key over
+    (event time, user id) — so zorder → skipping → compaction reads as
+    one certified narrative: :func:`zorder_layout` shows the interleaved
+    key keeps BOTH envelopes tight, this report converts that into the
+    planner's actual number (files skipped per predicate), and
+    ``maintenance.compaction_plan`` sizes the rewrite. Expected shape:
+    the single-column layouts skip ~15/16 on their own dimension and ~0
+    on the other; ``by_zorder`` skips a large fraction on BOTH families
+    (the √-proportional envelope argument, Morton 1966).
+
+    File assignment is pure integer arithmetic end to end: both
+    dimensions are affine-normalized onto [0, 2^bits) (exact integer
+    div, degenerate-range guard), interleaved with the shared
+    :func:`..functions.zorder.zvalue_sql` term sum, and divided into
+    ``n_files`` equal Z-RANGES (file = zv div (2^(2·bits) / n_files);
+    ``n_files`` must divide 2^(2·bits), true for any power of two) —
+    exactly what OPTIMIZE ZORDER BY produces physically. The DuckDB
+    oracle renders the same expressions with ``//``, so keys and file
+    ids are bit-identical cross-engine.
+
+    Scale shape: identical to :func:`skipping_report` — one scan
+    materializes the narrow (e, u) projection; everything downstream is
+    file-grain (≤ 3·n_files envelope rows) or predicate-grain (2·n_preds
+    broadcast); the 3x explode happens AFTER the projection, at 24
+    bytes/row. The checkpoint-release discipline follows the r17
+    skipping_report fix."""
+    from datalake_local_spark.functions.zorder import normalize_sql, zvalue_sql
+    from datalake_local_spark.llm.dedup import _release_checkpoint
+
+    assert (1 << (2 * bits)) % n_files == 0, "n_files must divide 2^(2*bits)"
+    zdiv = (1 << (2 * bits)) // n_files
+
+    base = events.select(
+        F.unix_micros("ts").alias("e"), F.col("user_id").alias("u")
+    ).localCheckpoint()
+    b = base.agg(
+        F.min("e").alias("min_e"),
+        F.max("e").alias("max_e"),
+        F.min("u").alias("min_u"),
+        F.max("u").alias("max_u"),
+    )
+    ne = normalize_sql("e", "min_e", "max_e", bits=bits)
+    nu = normalize_sql("u", "min_u", "max_u", bits=bits)
+    zv = zvalue_sql(ne, nu, bits=bits)
+    keyed = base.crossJoin(F.broadcast(b)).select(
+        "e",
+        "u",
+        F.expr(
+            f"least({n_files - 1}, (e - min_e) * {n_files}"
+            " div (max_e - min_e + 1))"
+        ).cast("long").alias("f_ts"),
+        F.expr(
+            f"least({n_files - 1}, (u - min_u) * {n_files}"
+            " div (max_u - min_u + 1))"
+        ).cast("long").alias("f_user"),
+        F.expr(f"({zv}) div {zdiv}").cast("long").alias("f_z"),
+    ).localCheckpoint()
+    env = (
+        keyed.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("by_ts").alias("layout"), F.col("f_ts").alias("file_id")
+                    ),
+                    F.struct(
+                        F.lit("by_user").alias("layout"),
+                        F.col("f_user").alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("by_zorder").alias("layout"),
+                        F.col("f_z").alias("file_id"),
+                    ),
+                )
+            ).alias("x"),
+            "e",
+            "u",
+        )
+        .select(F.col("x.layout").alias("layout"), F.col("x.file_id").alias("file_id"), "e", "u")
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("e").alias("f_emin"),
+            F.max("e").alias("f_emax"),
+            F.min("u").alias("f_umin"),
+            F.max("u").alias("f_umax"),
+        )
+        .localCheckpoint()
+    )
+    preds = b.select(
+        F.explode(
+            F.flatten(
+                F.array(
+                    F.expr(
+                        f"""transform(sequence(0, {n_preds - 1}), k -> struct(
+                            'ts' as family, k as k,
+                            min_e + CAST(k AS BIGINT) * (max_e - min_e + 1) div {n_preds} as lo,
+                            min_e + CAST(k AS BIGINT) * (max_e - min_e + 1) div {n_preds}
+                                + (max_e - min_e + 1) div 16 as hi))"""
+                    ),
+                    F.expr(
+                        f"""transform(sequence(0, {n_preds - 1}), k -> struct(
+                            'user' as family, k as k,
+                            min_u + CAST(k AS BIGINT) * (max_u - min_u + 1) div {n_preds} as lo,
+                            min_u + CAST(k AS BIGINT) * (max_u - min_u + 1) div {n_preds}
+                                + (max_u - min_u + 1) div 16 as hi))"""
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(
+        F.concat(F.col("p.family"), F.lit("_"), F.col("p.k")).alias("pred"),
+        F.col("p.family").alias("family"),
+        F.col("p.lo").alias("lo"),
+        F.col("p.hi").alias("hi"),
+    ).localCheckpoint()
+    _release_checkpoint(base)
+    hits = (
+        env.crossJoin(F.broadcast(preds))
+        .where(
+            F.when(
+                F.col("family") == "ts",
+                (F.col("f_emin") < F.col("hi")) & (F.col("f_emax") >= F.col("lo")),
+            ).otherwise(
+                (F.col("f_umin") < F.col("hi")) & (F.col("f_umax") >= F.col("lo"))
+            )
+        )
+        .groupBy("layout", "pred")
+        .agg(F.count("*").cast("long").alias("files_hit"))
+    )
+    nfiles = env.groupBy("layout").agg(F.count("*").cast("long").alias("n_files"))
+    grid = nfiles.select("layout").crossJoin(preds.select("pred"))
+    return (
+        grid.join(nfiles, "layout")
+        .join(hits, ["layout", "pred"], "left")
+        .select(
+            "layout",
+            "pred",
+            "n_files",
+            F.coalesce(F.col("files_hit"), F.lit(0)).cast("long").alias("files_hit"),
+            F.round(
+                (F.col("n_files") - F.coalesce(F.col("files_hit"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("n_files").cast("double"),
+                6,
+            ).alias("skip_rate"),
+        )
+    )

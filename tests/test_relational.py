@@ -3115,3 +3115,97 @@ def test_ewma_chart_values_match_roberts_formula(spark):
         assert r["side"] == wside, hour
         assert abs(r["ewma_z"] - wz) < 1e-9, hour
         assert abs(r["violated_limit"] - wlim) < 1e-9, hour
+
+
+def test_zorder_skipping_matches_python_replay(spark):
+    """NEW r17 (layout-trio closer): the three-layout skipping report
+    matches a pure-python replay whose Morton key is computed with its
+    OWN bit loop (int bit ops, not the generated div/mod term sum the
+    two engines share — the independent derivation the r17 shared-text
+    audit requires), and the narrative invariant holds: by_zorder
+    skips on BOTH predicate families while each single-column layout
+    only skips on its own."""
+    import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datalake_local_spark.operators import layout as ops_layout
+
+    t0 = datetime.datetime(2024, 3, 1)
+    # enough distinct users (>= 64) that the user predicate family is
+    # non-degenerate; ts NOT monotone in user
+    rows = []
+    for i in range(400):
+        rows.append(
+            (i, t0 + datetime.timedelta(minutes=3 * i + (i % 5)),
+             (37 * i) % 101, "view", 1.0, "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["layout"], r["pred"]): (r["n_files"], r["files_hit"], r["skip_rate"])
+        for r in ops_layout.zorder_skipping_report(df).collect()
+    }
+
+    es = [
+        int(r[1].replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        for r in rows
+    ]
+    us = [r[2] for r in rows]
+    min_e, max_e, min_u, max_u = min(es), max(es), min(us), max(us)
+    span_e, span_u = max_e - min_e + 1, max_u - min_u + 1
+
+    def morton(xv, yv):
+        # independent transcription: interleave bit-by-bit with shifts
+        z = 0
+        for b in range(16):
+            z |= ((xv >> b) & 1) << (2 * b)
+            z |= ((yv >> b) & 1) << (2 * b + 1)
+        return z
+
+    fid = {"by_ts": [], "by_user": [], "by_zorder": []}
+    for e, u in zip(es, us):
+        fid["by_ts"].append(min(63, (e - min_e) * 64 // span_e))
+        fid["by_user"].append(min(63, (u - min_u) * 64 // span_u))
+        nx = (e - min_e) * 65535 // max(1, max_e - min_e)
+        ny = (u - min_u) * 65535 // max(1, max_u - min_u)
+        fid["by_zorder"].append(morton(nx, ny) // ((1 << 32) // 64))
+    preds = {}
+    for k in range(4):
+        lo = min_e + k * span_e // 4
+        preds[f"ts_{k}"] = ("ts", lo, lo + span_e // 16)
+        lo_u = min_u + k * span_u // 4
+        preds[f"user_{k}"] = ("user", lo_u, lo_u + span_u // 16)
+    for lay in ("by_ts", "by_user", "by_zorder"):
+        env = {}
+        for i in range(len(rows)):
+            f = fid[lay][i]
+            emin, emax, umin, umax = env.get(f, (es[i], es[i], us[i], us[i]))
+            env[f] = (
+                min(emin, es[i]), max(emax, es[i]),
+                min(umin, us[i]), max(umax, us[i]),
+            )
+        nf = len(env)
+        for pred, (fam, lo, hi) in preds.items():
+            if fam == "ts":
+                hit = sum(1 for (a, b, _, _) in env.values() if a < hi and b >= lo)
+            else:
+                hit = sum(1 for (_, _, c, d) in env.values() if c < hi and d >= lo)
+            sr = float(
+                Decimal(repr((nf - hit) / nf)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            assert got[(lay, pred)] == (nf, hit, sr), (lay, pred)
+
+    # the certified narrative: zorder prunes on BOTH dimensions
+    def mean_skip(lay, fam):
+        vals = [got[(lay, p)][2] for p, (f, _, _) in preds.items() if f == fam]
+        return sum(vals) / len(vals)
+
+    assert mean_skip("by_ts", "ts") > 0.8 and mean_skip("by_ts", "user") < 0.3
+    assert mean_skip("by_user", "user") > 0.8 and mean_skip("by_user", "ts") < 0.3
+    assert mean_skip("by_zorder", "ts") > 0.5
+    assert mean_skip("by_zorder", "user") > 0.5
