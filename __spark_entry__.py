@@ -302,89 +302,72 @@ def _q_cube_request(spark, sf):
 # comment for the r17 queue and exact-checked locally this round
 # (SWEEP_r16.log).
 _CERTIFY_FIRST = [
-    # ---- no driver row yet (registered post-window in r15) ----
-    "events_holt_forecast",
-    "events_holt_winters",
-    # ---- NEW in round 16 ----
-    "events_hw_residual_diag",  # Ljung-Box on HW residuals (verdict #7)
-    "events_cross_correlation",  # NEW r16: exact five-sum Pearson matrix
-    "lake_compaction_plan",  # NEW r16: FFD OPTIMIZE planner, CTE-replayed
-    "events_kalman_level",  # NEW r16: optimal-gain state estimation
-    "streaming_full_outer_join",  # NEW r16: join-mode matrix complete
-    "tpch_croston_demand",  # NEW r16: intermittent-demand forecast (Croston 1972)
-    "graph_closeness",  # NEW r16: all-sources BFS closeness/eccentricity
-    "lake_skipping_report",  # NEW r16: min/max file-skipping effectiveness
-    "tpch_newsvendor_stock",  # NEW r16: critical-ratio order-statistic stock target
-    "tpch_return_rate_ci",  # NEW r16: Wilson interval, shared-verbatim expression
-    "events_behavior_entropy",  # NEW r16: hour-of-day Shannon entropy bot screen
-    "events_max_drawdown",  # NEW r16: exact-integer running-peak drawdown
-    "tpch_eoq",  # NEW r16: Harris lot size, correctly-rounded sqrt
-    # ---- code/oracle CHANGED in round 16 ----
-    "sim_mmr_diversify",  # r16: ADVICE ulp fix (computed 1-lam cast)
-    "dq_ewma_chart",  # r16: ADVICE ulp fix (computed decay coefficient)
-    "streaming_two_level_agg",  # r16: rows-only -> watermark-replay oracle
-    "streaming_outer_join",  # r16: rows-only -> watermark-replay oracle
-    "graph_kcore",  # r16: rows-only -> list-state peel-replay oracle
-    "graph_lpa_communities",  # r16: rows-only -> list-state LPA oracle
-    "streaming_semi_join",  # r16: no-data micro-batch disabled (drain)
-    "streaming_stream_join",  # r16: no-data micro-batch disabled (drain)
-    "tpch_basket_affinity",  # r16: min-support prune below the pair join
-    "graph_pagerank",  # r16: fold-deterministic kernel -> full CTE oracle
-    "dedup_keep_policy",  # r16: components+pagerank composition oracle
-    "streaming_anomaly",  # r16: rows-only -> recursive-CTE fold-replay oracle
-    "text_chunk_rolling_hash",  # r16: rows-only -> closed-form hash + chunk-grain CTE oracle
-    # ---- oracle-fragility fix in r16 (trunc() on the cents cast — a
-    # bare DECIMAL->BIGINT CAST rounds in DuckDB while Spark/int()
-    # truncate; hash-neutral on 2dp testdata, latent off-grid red) ----
-    "events_anomaly_zscore",
-    "agg_trend_regression",
-    "dq_cuped",
-    # ---- displaced from the r15 window; driver rows r6-era ----
-    "text_bm25_search",
-    "text_corpus_qa_report",
-    "text_dup_ngrams",
-    "text_lang_id",
-    "text_langid_confusion",
-    "text_pii_scrub",
-    "text_pmi_pairs",
-    "text_quality",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "text_zipf_profile",
-    "tpch_rfm_segments",
-    # ---- r7 cohort (driver rows round 7), by name; the 22 that do
-    # not fit are queued for r17 below ----
-    "agg_bitmap_distinct",
-    "agg_boolean_funcs",
-    "dedup_band_index_probe",
-    "dedup_bloom_incremental",
-    "dedup_kmv_overlap",
-    "dedup_semantic",
-    "dq_batch_drift",
-    # r17 queue: the r7-cohort names this 50-slot window could not
-    # hold (each exact-checked locally this round — SWEEP_r16.log):
-    # scalar_try_funcs (displaced by the streaming_anomaly conversion),
-    # pipeline_snapshot_diff (displaced by the text_chunk_rolling_hash
-    # conversion), pipeline_mixture_build (displaced by the NEW
-    # tpch_croston_demand), pipeline_global_shuffle (displaced by the
-    # NEW graph_closeness), pipeline_decontaminate (displaced by the
-    # NEW lake_skipping_report), mm_video_metadata + pandas_arrow_bytes
-    # + mm_audio_metadata (displaced by the trunc()-fix requeue of
-    # events_anomaly_zscore / agg_trend_regression / dq_cuped),
-    # fmt_schema_evolution (displaced by the NEW tpch_newsvendor_stock),
-    # fmt_orc_scan (displaced by the NEW tpch_return_rate_ci),
-    # events_interpolate_hourly (displaced by the NEW events_behavior_entropy),
-    # dq_key_skew (displaced by the NEW events_max_drawdown),
-    # dq_join_estimate (displaced by the NEW tpch_eoq),
-    # semantic_cube_request, sim_cosine_topk_ivf,
-    # sim_hard_negatives, sim_ivf_partitioned_probe, sim_knn_label_transfer,
-    # sim_pq_topk, sim_quantize_dim_minmax, sim_range_search,
-    # sql_correlated_exists, sql_lateral_topn, streaming_trending,
-    # text_bpe_encode, text_bpe_merges, text_compression_ratio,
-    # text_encoding_quality, text_feature_hashing, text_lang_buckets,
-    # text_repetition_signals, text_segment_dedup, text_span_corruption,
-    # text_span_coverage, tpch_min_cost_supplier. Then the r8 cohort by
-    # driver-row age.
+    # ---- NEW in round 17 (no driver row yet) ----
+    "streaming_right_outer_join",  # NEW r17: join-mode matrix symmetry
+    "lake_zorder_skipping",  # NEW r17: Morton-layout skipping, trio closer
+    # ---- code/oracle CHANGED in round 17 (changed outranks rotation,
+    # the r13-r16 precedent) ----
+    "graph_closeness",  # r17 ADVICE: sum_dist=0 oracle guard
+    "lake_skipping_report",  # r17 ADVICE: base-checkpoint release on its path
+    "tpch_croston_demand",  # r17 ADVICE: alpha now interpolated (text identical)
+    "tpch_newsvendor_stock",  # r17 ADVICE: CR now interpolated (text identical)
+    "tpch_eoq",  # r17 ADVICE: costs now interpolated (text identical)
+    # ---- the r7 cohort, fully drained this round (r16 verdict #2:
+    # driver rows were 10 rounds old; after r17 no name is older than
+    # r8) ----
+    "scalar_try_funcs",
+    "pipeline_snapshot_diff",
+    "pipeline_mixture_build",
+    "pipeline_global_shuffle",
+    "pipeline_decontaminate",
+    "mm_video_metadata",
+    "pandas_arrow_bytes",
+    "mm_audio_metadata",
+    "fmt_schema_evolution",
+    "fmt_orc_scan",
+    "events_interpolate_hourly",
+    "dq_key_skew",
+    "dq_join_estimate",
+    "semantic_cube_request",
+    "sim_cosine_topk_ivf",
+    "sim_hard_negatives",
+    "sim_ivf_partitioned_probe",
+    "sim_knn_label_transfer",
+    "sim_pq_topk",
+    "sim_quantize_dim_minmax",
+    "sim_range_search",
+    "sql_correlated_exists",
+    "sql_lateral_topn",
+    "streaming_trending",
+    "text_bpe_encode",
+    "text_bpe_merges",
+    "text_compression_ratio",
+    "text_encoding_quality",
+    "text_feature_hashing",
+    "text_lang_buckets",
+    "text_repetition_signals",
+    "text_segment_dedup",
+    "text_span_corruption",
+    "text_span_coverage",
+    "tpch_min_cost_supplier",
+    # ---- r8 cohort by name, as many as fit the 50-slot cap ----
+    "agg_collect_sorted",
+    "agg_equidepth_histogram",
+    "agg_exact_percentiles",
+    "agg_histogram",
+    "agg_statistics",
+    "calendar_spine_daily",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    # r18 queue: the remaining r8-cohort names (each still green in
+    # this round's full-registry exact sweep): dq_benford,
+    # events_retention, events_salted_agg, events_sequence_patterns,
+    # events_sessionize, events_sliding, events_streaks,
+    # events_tumbling, mm_decode_metadata, mm_decode_real_headers,
+    # mm_resize_metadata, pandas_grouped_zscore, pandas_scalar_logistic,
+    # profile_orders, scalar_array_funcs, scalar_bitwise_funcs,
+    # scalar_date_funcs and the rest of the r8 cohort by driver-row
+    # age, then r10.
 ]
 
 
