@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     "events_max_drawdown",
     # Harris EOQ lot size (brand-grain scalar math, closes the quartet)
     "tpch_eoq",
+    # round-17: join-mode matrix symmetry (right-outer watermark replay)
+    # and the Morton-layout skipping report (layout-trio closer)
+    "streaming_right_outer_join",
+    "lake_zorder_skipping",
 ]
 
 
