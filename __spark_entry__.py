@@ -1492,7 +1492,9 @@ def _zorder_skipping_oracle_sql(n_files: int = 64, n_preds: int = 4, bits: int =
     test_zvalue_interleave_hand_computed + the r17 python-replay test)."""
     from datalake_local_spark.functions.zorder import normalize_sql, zvalue_sql
 
-    ne = normalize_sql("e", "min_e", "max_e", bits, "//")
+    # ms-resolution Morton input, mirroring the Spark side (r17
+    # review-pass overflow fix — see layout.zorder_skipping_report)
+    ne = normalize_sql("(e // 1000)", "(min_e // 1000)", "(max_e // 1000)", bits, "//")
     nu = normalize_sql("u", "min_u", "max_u", bits, "//")
     zv = zvalue_sql(ne, nu, bits, "//")
     zdiv = (1 << (2 * bits)) // n_files

@@ -278,7 +278,16 @@ def zorder_skipping_report(
         F.min("u").alias("min_u"),
         F.max("u").alias("max_u"),
     )
-    ne = normalize_sql("e", "min_e", "max_e", bits=bits)
+    # Morton input at MILLISECOND resolution (r17 review-pass find):
+    # normalize_sql multiplies the offset by 2^bits - 1, and a
+    # microsecond span past ~4.4 years overflows BIGINT (Spark wraps
+    # silently, DuckDB raises — a cross-engine seam invisible at test
+    # SFs whose span is ~2 months). Milliseconds keep span × 65535
+    # inside BIGINT for ~4.4 MILLENNIA with zero effect on file
+    # assignment (floor-div of a positive is monotone, so min/max
+    # commute with the rescale). The equal-width f_ts assignment stays
+    # at µs: its factor is only n_files.
+    ne = normalize_sql("(e div 1000)", "(min_e div 1000)", "(max_e div 1000)", bits=bits)
     nu = normalize_sql("u", "min_u", "max_u", bits=bits)
     zv = zvalue_sql(ne, nu, bits=bits)
     keyed = base.crossJoin(F.broadcast(b)).select(

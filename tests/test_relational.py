@@ -3169,7 +3169,10 @@ def test_zorder_skipping_matches_python_replay(spark):
     for e, u in zip(es, us):
         fid["by_ts"].append(min(63, (e - min_e) * 64 // span_e))
         fid["by_user"].append(min(63, (u - min_u) * 64 // span_u))
-        nx = (e - min_e) * 65535 // max(1, max_e - min_e)
+        # ms-resolution Morton input (the r17 overflow fix): floor to
+        # ms BEFORE the offset, as both engines do
+        em, lo_ms, hi_ms = e // 1000, min_e // 1000, max_e // 1000
+        nx = (em - lo_ms) * 65535 // max(1, hi_ms - lo_ms)
         ny = (u - min_u) * 65535 // max(1, max_u - min_u)
         fid["by_zorder"].append(morton(nx, ny) // ((1 << 32) // 64))
     preds = {}
