@@ -359,9 +359,10 @@ _CERTIFY_FIRST = [
     "calendar_spine_daily",
     "dedup_containment",
     "dedup_embedding_cosine",
-    # r18 queue HEAD: text_kn_bigram_logprob (NEW r17, registered
-    # post-window — no driver row yet; 3-SF exact-certified locally,
-    # SWEEP_r17.log). Then the remaining r8-cohort names (each still green in
+    # r18 queue HEAD: text_kn_bigram_logprob + pipeline_dsir_weights
+    # (NEW r17, registered post-window — no driver rows yet; both 3-SF
+    # exact-certified locally, SWEEP_r17.log). Then the remaining
+    # r8-cohort names (each still green in
     # this round's full-registry exact sweep): dq_benford,
     # events_retention, events_salted_agg, events_sequence_patterns,
     # events_sessionize, events_sliding, events_streaks,
@@ -992,6 +993,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_return_rates": lambda s, d: tpch.return_rates(*_t(s, d, "lineitem", "part")),
         "events_slo_burn": lambda s, d: windows.slo_burn_table(*_t(s, d, "events")),
         "events_latency_trend": lambda s, d: windows.latency_percentile_trend(*_t(s, d, "events")),
+        "pipeline_dsir_weights": lambda s, d: llm_pipeline.dsir_importance_weights(*_t(s, d, "documents")),
         "pipeline_leakage_split": lambda s, d: llm_pipeline.leakage_safe_split(
             *_t(s, d, "documents"), local_threshold=20_000
         ),
@@ -7916,6 +7918,62 @@ def _oracle_sql() -> dict[str, str]:
             LEFT JOIN rs ON rs.pred = g.pred
         """,
         "dedup_shingle_sweep": _shingle_sweep_oracle_sql(),
+        # NEW r17: DSIR importance weights (Xie et al. 2023) — exact
+        # integer bucket counts via the portable md5 idiom, same-shape
+        # log-ratios, per-doc sum at 6dp (avg-absorption discipline),
+        # top-k by (rounded weight DESC, doc_id) on both engines.
+        "pipeline_dsir_weights": f"""
+            WITH lists AS (
+                SELECT doc_id, lang, string_split({_NORM}, ' ') AS l
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, lang,
+                       CAST('0x' || substring(md5(l[i] || ' ' || l[i + 1]), 1, 8)
+                            AS BIGINT) % 1024 AS bucket
+                FROM lists,
+                     LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            ),
+            raw_counts AS (
+                SELECT bucket, count(*) AS c_raw FROM grams GROUP BY 1
+            ),
+            tgt_counts AS (
+                SELECT bucket, count(*) AS c_tgt FROM grams
+                WHERE lang = 'en' GROUP BY 1
+            ),
+            totals AS (
+                SELECT count(*) AS raw_total,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_total
+                FROM grams
+            ),
+            ratio AS (
+                SELECT bucket,
+                       log10(CAST(coalesce(c_tgt, 0) + 1 AS DOUBLE)
+                             / CAST(tgt_total + 1024 AS DOUBLE))
+                       - log10(CAST(c_raw + 1 AS DOUBLE)
+                               / CAST(raw_total + 1024 AS DOUBLE)) AS lr
+                FROM raw_counts LEFT JOIN tgt_counts USING (bucket)
+                CROSS JOIN totals
+            ),
+            scored AS (
+                SELECT doc_id, count(*) AS n_bigrams,
+                       round(sum(lr), 6) AS log10_weight
+                FROM grams JOIN ratio USING (bucket) GROUP BY 1
+            ),
+            weights AS (
+                SELECT d.doc_id,
+                       coalesce(s.n_bigrams, 0) AS n_bigrams,
+                       coalesce(s.log10_weight, 0.0) AS log10_weight
+                FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ),
+            topk AS (
+                SELECT doc_id FROM weights
+                ORDER BY log10_weight DESC, doc_id LIMIT 100
+            )
+            SELECT w.doc_id, w.n_bigrams, w.log10_weight,
+                   (t.doc_id IS NOT NULL) AS selected
+            FROM weights w LEFT JOIN topk t ON w.doc_id = t.doc_id
+        """,
         "pipeline_leakage_split": _leakage_split_oracle_sql(),
         "pipeline_dataset_card": f"""
             WITH per_doc AS (

@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "streaming_right_outer_join",
     "lake_zorder_skipping",
     "text_kn_bigram_logprob",
+    "pipeline_dsir_weights",
 ]
 
 

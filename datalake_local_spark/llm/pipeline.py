@@ -1075,3 +1075,122 @@ def dataset_card(documents: DataFrame) -> DataFrame:
             ") AS (metric, value)"
         )
     ).orderBy("metric")
+
+
+def dsir_importance_weights(
+    documents: DataFrame,
+    n_buckets: int = 1024,
+    target_lang: str = "en",
+    top_k: int = 100,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", NeurIPS — public): rank
+    raw-pool documents by how target-like their hashed-bigram profile
+    is. Two bag-of-buckets multinomials — target p (the ``target_lang``
+    slice) and raw q (the whole pool), add-one smoothed — give each
+    document the log importance weight
+
+        log w(doc) = Σ_i  log p[b_i] − log q[b_i]
+
+    summed over the doc's bigram OCCURRENCES hashed into ``n_buckets``
+    buckets. The published DSIR recipe then samples ∝ w; this operator
+    publishes the weights plus the deterministic top-``top_k`` selection
+    (rounded-weight DESC, doc_id tiebreak), which is the resampling's
+    exact-ranking special case and keeps the query hash-certifiable.
+
+    Determinism: buckets use the engine-portable md5 idiom
+    (:func:`..text._md5_bucket` — identical arithmetic in DuckDB); all
+    model counts are exact integers; each log-ratio is the same op
+    shape on both engines; the per-doc sum publishes at 6dp (the
+    bigram_logprob avg-absorption discipline); selection orders by the
+    ROUNDED weight with doc_id tiebreak so both engines rank identical
+    values.
+
+    Scale shape: the bigram stream materializes once (localCheckpoint)
+    and feeds the two bucket-grain count tables (map-side combined,
+    ≤ n_buckets rows each) and the rescoring join (bucket-grain ratio
+    table — broadcastable at ANY corpus size since it is bounded by
+    n_buckets); totals are 1-row broadcasts. The top-k is a
+    TakeOrderedAndProject + left-semi join, not a global sort; at
+    100 TB swap the exact top-k for weighted-reservoir Gumbel sampling
+    (``weighted_sample``) — the weight computation is unchanged."""
+    from datalake_local_spark.llm.text import _md5_bucket
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        "doc_id",
+        F.col("lang"),
+        F.posexplode(F.split(_norm_text(F.col("text")), " ")).alias("pos", "w1"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            "lang",
+            F.col("w1"),
+            F.lead("w1").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            _md5_bucket(
+                F.concat_ws(" ", F.col("w1"), F.col("w2")), n_buckets
+            ).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+    raw_counts = grams.groupBy("bucket").agg(F.count("*").cast("long").alias("c_raw"))
+    tgt_counts = (
+        grams.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("c_tgt"))
+    )
+    totals = grams.agg(
+        F.count("*").cast("long").alias("raw_total"),
+        F.sum((F.col("lang") == target_lang).cast("long")).cast("long").alias("tgt_total"),
+    )
+    ratio = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log10(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tgt_total") + n_buckets).cast("double")
+                )
+                - F.log10(
+                    (F.col("c_raw") + 1).cast("double")
+                    / (F.col("raw_total") + n_buckets).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        grams.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.sum("lr"), 6).alias("log10_weight"),
+        )
+    )
+    weights = (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("log10_weight"), F.lit(0.0)).alias("log10_weight"),
+        )
+        .localCheckpoint()  # two consumers: the top-k probe and the publish join
+    )
+    topk = weights.orderBy(
+        F.col("log10_weight").desc(), F.col("doc_id")
+    ).limit(top_k).select("doc_id")
+    return weights.join(F.broadcast(topk.withColumn("selected", F.lit(True))), "doc_id", "left").select(
+        "doc_id",
+        "n_bigrams",
+        "log10_weight",
+        F.coalesce(F.col("selected"), F.lit(False)).alias("selected"),
+    )

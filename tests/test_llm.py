@@ -3863,3 +3863,62 @@ def test_kn_bigram_logprob_matches_pure_python(spark):
     for i, ts in toks.items():
         for a, b in zip(ts, ts[1:]):
             assert 0.0 < p_kn(a, b) <= 1.0
+
+
+def test_dsir_weights_match_pure_python(spark):
+    """NEW r17 (audit-protocol test): DSIR log weights match an
+    independent pure-python model — hashlib md5 buckets (own
+    transcription of the portable idiom), dict-built add-one
+    multinomials, sum of log ratios — and the selection is exactly the
+    top-k by (rounded weight, doc_id). Semantics: the doc built from
+    target-slice phrases outweighs the off-target doc."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox sleeps near the lazy dog", "en"),
+        (2, "der schnelle braune fuchs springt", "de"),
+        (3, "the quick brown fox jumps again and again", "xx"),   # en-like, non-en label
+        (4, "uber den faulen hund springt der fuchs", "xx"),      # de-like
+        (5, "solo", "xx"),                                        # no bigrams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in
+           llm_pipeline.dsir_importance_weights(df, top_k=3).collect()}
+
+    B = 1024
+
+    def bucket(w1, w2):
+        return int(hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:8], 16) % B
+
+    grams = {}
+    for i, t, lang in docs:
+        ws = t.split()
+        grams[i] = [bucket(a, b) for a, b in zip(ws, ws[1:])]
+    raw = Counter(b for g in grams.values() for b in g)
+    tgt = Counter(
+        b for (i, _, lang), g in zip(docs, grams.values()) if lang == "en" for b in g
+    )
+    raw_total = sum(raw.values())
+    tgt_total = sum(tgt.values())
+    want = {}
+    for i, g in grams.items():
+        lw = sum(
+            math.log10((tgt.get(b, 0) + 1) / (tgt_total + B))
+            - math.log10((raw[b] + 1) / (raw_total + B))
+            for b in g
+        )
+        want[i] = (len(g), round(lw, 6))
+    for i, (n, lw) in want.items():
+        assert got[i]["n_bigrams"] == n, i
+        assert abs(got[i]["log10_weight"] - lw) < 2e-6, i
+    assert got[5]["n_bigrams"] == 0 and got[5]["log10_weight"] == 0.0
+    # selection = exact top-3 by (rounded weight desc, doc_id)
+    order = sorted(want, key=lambda i: (-want[i][1], i))
+    assert {i for i in got if got[i]["selected"]} == set(order[:3])
+    # the en-like unlabeled doc must outweigh the de-like one
+    assert want[3][1] > want[4][1]
