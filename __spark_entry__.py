@@ -359,10 +359,10 @@ _CERTIFY_FIRST = [
     "calendar_spine_daily",
     "dedup_containment",
     "dedup_embedding_cosine",
-    # r18 queue HEAD: text_kn_bigram_logprob + pipeline_dsir_weights
-    # (NEW r17, registered post-window — no driver rows yet; both 3-SF
-    # exact-certified locally, SWEEP_r17.log). Then the remaining
-    # r8-cohort names (each still green in
+    # r18 queue HEAD: text_kn_bigram_logprob + pipeline_dsir_weights +
+    # graph_betweenness (NEW r17, registered post-window — no driver
+    # rows yet; all 3-SF exact-certified locally, SWEEP_r17.log). Then
+    # the remaining r8-cohort names (each still green in
     # this round's full-registry exact sweep): dq_benford,
     # events_retention, events_salted_agg, events_sequence_patterns,
     # events_sessionize, events_sliding, events_streaks,
@@ -928,6 +928,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": lambda s, d: dedup.dup_graph_triangles(*_t(s, d, "documents")),
         # NEW r16: all-sources BFS -> closeness + eccentricity; exact
         # integers until one final division, bounded-CTE oracle replay
+        "graph_betweenness": lambda s, d: dedup.betweenness_centrality(
+            *_t(s, d, "documents"), local_threshold=10_000
+        ),
         "graph_closeness": lambda s, d: dedup.closeness_centrality(
             *_t(s, d, "documents"), local_threshold=10_000
         ),
@@ -7648,6 +7651,66 @@ def _oracle_sql() -> dict[str, str]:
         # so every true distance is <= 99), min() per pair recovers the
         # BFS distance. Exact integers until the single closeness
         # division (round 6, HALF_UP on both engines).
+        # NEW r17: betweenness — σ recomputed INDEPENDENTLY of the
+        # Spark DP by enumerating the per-source shortest-path DAG
+        # (finite: DAG edges strictly increase the BFS level, so the
+        # UNION ALL walk terminates; path counts = σ); the pair-sum is
+        # the Freeman 1977 definition as one triple join, halved for
+        # the undirected double count, 6dp absorption on the sum.
+        "graph_betweenness": f"""
+            WITH RECURSIVE {_PAIR_FEED_CTES},
+            gnodes AS (SELECT DISTINCT s AS id FROM edges0),
+            walk AS (
+                SELECT id AS src, id AS node, 0 AS dist FROM gnodes
+                UNION
+                SELECT w.src, e.d AS node, w.dist + 1
+                FROM walk w JOIN edges0 e ON e.s = w.node
+                WHERE w.dist < 100
+            ),
+            sp AS (
+                SELECT src, node, min(dist) AS dist FROM walk GROUP BY 1, 2
+            ),
+            dag AS (
+                SELECT su.src, e.s AS u, e.d AS v
+                FROM edges0 e
+                JOIN sp su ON su.node = e.s
+                JOIN sp sv ON sv.src = su.src AND sv.node = e.d
+                          AND sv.dist = su.dist + 1
+            ),
+            paths AS (
+                SELECT id AS src, id AS node FROM gnodes
+                UNION ALL
+                SELECT p.src, d.v
+                FROM paths p JOIN dag d ON d.src = p.src AND d.u = p.node
+            ),
+            sig AS (
+                SELECT src, node, CAST(count(*) AS BIGINT) AS sigma
+                FROM paths GROUP BY 1, 2
+            ),
+            spp AS (
+                SELECT sp.src, sp.node, sp.dist, sig.sigma
+                FROM sp JOIN sig USING (src, node)
+            ),
+            mids AS (
+                SELECT sv.node AS v,
+                       CAST(count(*) AS BIGINT) AS n_mid_pairs,
+                       round(sum(CAST(sv.sigma AS DOUBLE)
+                                 * CAST(vt.sigma AS DOUBLE)
+                                 / CAST(st.sigma AS DOUBLE)) / 2.0, 6)
+                           AS betweenness
+                FROM spp sv
+                JOIN spp vt ON vt.src = sv.node
+                JOIN spp st ON st.src = sv.src AND st.node = vt.node
+                WHERE sv.src <> sv.node AND sv.node <> vt.node
+                  AND sv.src <> vt.node
+                  AND sv.dist + vt.dist = st.dist
+                GROUP BY 1
+            )
+            SELECT g.id AS doc_id,
+                   coalesce(m.n_mid_pairs, 0) AS n_mid_pairs,
+                   coalesce(m.betweenness, 0.0) AS betweenness
+            FROM gnodes g LEFT JOIN mids m ON m.v = g.id
+        """,
         "graph_closeness": f"""
             WITH RECURSIVE {_PAIR_FEED_CTES},
             gnodes AS (SELECT DISTINCT s AS id FROM edges0),

@@ -184,6 +184,9 @@ BENCH_QUERIES = [
     "lake_zorder_skipping",
     "text_kn_bigram_logprob",
     "pipeline_dsir_weights",
+    # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component
+    # grain — the widest definitional pair-sum in the graph suite
+    "graph_betweenness",
 ]
 
 

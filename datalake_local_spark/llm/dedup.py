@@ -3251,3 +3251,188 @@ def closeness_centrality(
             ),
         ).alias("closeness"),
     )
+
+
+def betweenness_centrality(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    max_rounds: int = 128,
+    local_threshold: int = 0,
+) -> DataFrame:
+    """Shortest-path betweenness centrality (Freeman 1977; Brandes 2001
+    is the standard algorithm reference — public) of every node in the
+    near-dup graph — closing the centrality family (degree, pagerank,
+    closeness/eccentricity, betweenness): WHICH COPY BRIDGES the blob.
+    High betweenness with low degree marks the "drift pivot" document
+    that chains two otherwise-separate duplicate clusters — exactly the
+    doc a keep-policy should inspect before a component-level delete
+    fuses two topics.
+
+    Two exact stages, both at bounded-component grain:
+
+    1. **σ (shortest-path counts) by level-synchronous DP** riding the
+       closeness BFS fixpoint: the frontier carries (src, node, σ);
+       each round sums σ over DAG predecessors of the newly-reached
+       level (σ(s,v) = Σ σ(s,u) over u → v with dist+1 — Brandes'
+       lemma 3). Exact integers throughout.
+    2. **Pair-sum closed form**: betweenness(v) =
+       ½ Σ_{s≠v≠t} σ(s,v)·σ(v,t)/σ(s,t) over ordered pairs with
+       dist(s,v) + dist(v,t) = dist(s,t) — the definition itself,
+       evaluated as one triple join of the (src, node, dist, σ) table
+       (σ symmetric on an undirected graph). O(V³) pairs bounded by
+       the component cap (V ≤ 100 on the harness feed; at scale this
+       runs per bounded component with ``pairs=`` from the band index,
+       the closeness/keep-policy grain — never the whole corpus).
+
+    Published columns: ``n_mid_pairs`` — the EXACT integer count of
+    ordered (s, t) pairs the node mediates — and ``betweenness`` at
+    6dp (each term is a ratio of exact integers; the sum publishes
+    under the repo's 6dp absorption discipline). The DuckDB oracle
+    recomputes σ independently by enumerating the shortest-path DAG
+    (finite: level-strict edges) and hash-matches both columns."""
+    if pairs is None:
+        pairs = _harness_pair_feed(documents)
+    edges = (
+        pairs.select(F.col("doc_a").alias("e_src"), F.col("doc_b").alias("e_dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("e_src"), F.col("doc_a").alias("e_dst"))
+        )
+    )
+    nodes = edges.select(F.col("e_src").alias("doc_id")).distinct()
+    n_nodes = nodes.count()
+    if local_threshold and n_nodes < local_threshold:
+        # adaptive-locality ENDPOINT (opt-in, the closeness rule):
+        # below the threshold the edge list is driver-bounded BY
+        # CONSTRUCTION; the distributed fixpoint's cost on micro-data
+        # is scheduler rounds, not computation (2.24 s → sub-second on
+        # the sf0.1 harness graph, the closeness measurement class).
+        # Same math by construction: BFS + σ level-DP in exact ints,
+        # then the IDENTICAL pair-sum closed form — the float sum is
+        # the same 6dp-absorption class as the distributed groupBy and
+        # the oracle (no engine sums doubles in a canonical order).
+        from collections import deque
+        from decimal import ROUND_HALF_UP, Decimal
+
+        adj: dict = {}
+        for r in edges.collect():  # bounded: < local_threshold nodes
+            adj.setdefault(r["e_src"], set()).add(r["e_dst"])
+        sp_loc: dict = {}
+        for s0 in adj:
+            dist = {s0: 0}
+            sigma = {s0: 1}
+            dq = deque([s0])
+            while dq:
+                u = dq.popleft()
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        sigma[v] = 0
+                        dq.append(v)
+                    if dist[v] == dist[u] + 1:
+                        sigma[v] += sigma[u]
+            sp_loc[s0] = (dist, sigma)
+        out = []
+        for v in adj:
+            n_mid, acc = 0, 0.0
+            dv, sv_ = sp_loc[v]
+            for s0 in adj:
+                ds, ss = sp_loc[s0]
+                if s0 == v or v not in ds:
+                    continue
+                for t, dst in ds.items():
+                    if t == s0 or t == v or t not in dv:
+                        continue
+                    if ds[v] + dv[t] == dst:
+                        n_mid += 1
+                        acc += ss[v] * sv_[t] / ss[t]
+            bc = float(
+                Decimal(repr(acc / 2.0)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            out.append((int(v), n_mid, bc))
+        return edges.sparkSession.createDataFrame(
+            out, "doc_id long, n_mid_pairs long, betweenness double"
+        )
+    if n_nodes < 10_000:  # bounded-graph locality, the kcore rule
+        edges = edges.coalesce(1)
+        nodes = nodes.coalesce(1)
+    edges = edges.localCheckpoint()
+    nodes = nodes.localCheckpoint()
+
+    # (src, node, dist, sigma): BFS levels with path-count DP
+    sp = nodes.select(
+        F.col("doc_id").alias("src"),
+        F.col("doc_id").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    frontier = sp
+    d = 0
+    while d < max_rounds:
+        d += 1
+        new = (
+            frontier.join(edges, frontier.node == edges.e_src)
+            .select("src", F.col("e_dst").alias("node"), "sigma")
+            .join(sp.select("src", "node"), ["src", "node"], "left_anti")
+            # σ(s, v) = Σ over DAG predecessors' σ — the per-level DP
+            .groupBy("src", "node")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .withColumn("dist", F.lit(d).cast("long"))
+            .select("src", "node", "dist", "sigma")
+            .localCheckpoint()
+        )
+        if new.count() == 0:  # bounded: one scalar per round
+            _release_checkpoint(new)
+            break
+        prev_sp, prev_frontier = sp, frontier
+        sp = sp.unionAll(new).localCheckpoint()
+        if prev_frontier is not prev_sp:
+            _release_checkpoint(prev_frontier)
+        _release_checkpoint(prev_sp)
+        frontier = new
+    _release_checkpoint(edges)
+    if frontier is not sp:
+        _release_checkpoint(frontier)
+
+    # the definition as one triple join: s --d1--> v --d2--> t on a
+    # shortest s-t path iff d1 + d2 = dist(s, t)
+    sv = sp.select(
+        F.col("src").alias("s"), F.col("node").alias("v"),
+        F.col("dist").alias("d1"), F.col("sigma").alias("sig_sv"),
+    )
+    vt = sp.select(
+        F.col("src").alias("v"), F.col("node").alias("t"),
+        F.col("dist").alias("d2"), F.col("sigma").alias("sig_vt"),
+    )
+    st = sp.select(
+        F.col("src").alias("s"), F.col("node").alias("t"),
+        F.col("dist").alias("d_st"), F.col("sigma").alias("sig_st"),
+    )
+    mids = (
+        sv.join(vt, "v")
+        .filter((F.col("s") != F.col("v")) & (F.col("v") != F.col("t"))
+                & (F.col("s") != F.col("t")))
+        .join(st, ["s", "t"])
+        .filter(F.col("d1") + F.col("d2") == F.col("d_st"))
+        .groupBy(F.col("v").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_mid_pairs"),
+            F.round(
+                F.sum(
+                    F.col("sig_sv").cast("double")
+                    * F.col("sig_vt").cast("double")
+                    / F.col("sig_st").cast("double")
+                ) / 2.0,
+                6,
+            ).alias("betweenness"),
+        )
+    )
+    # NOTE: `nodes` and `sp` must NOT be released here — the returned
+    # LAZY plan reads both (the closeness exit-hygiene rule: release
+    # only what the return no longer references)
+    return nodes.join(mids, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_mid_pairs"), F.lit(0)).cast("long").alias("n_mid_pairs"),
+        F.coalesce(F.col("betweenness"), F.lit(0.0)).alias("betweenness"),
+    )

@@ -3922,3 +3922,105 @@ def test_dsir_weights_match_pure_python(spark):
     assert {i for i in got if got[i]["selected"]} == set(order[:3])
     # the en-like unlabeled doc must outweigh the de-like one
     assert want[3][1] > want[4][1]
+
+
+def test_betweenness_matches_brandes_reference(spark):
+    """NEW r17 (audit-protocol test): the pair-sum closed-form
+    betweenness matches a pure-python BRANDES accumulation — a
+    genuinely different algorithm (backward dependency pass, Brandes
+    2001 alg. 1) — on (a) a path graph (interior nodes mediate, ends
+    do not), (b) a diamond (sigma = 2 splits the credit), and (c) two
+    components (no cross-component mediation). Also checks the exact
+    integer n_mid_pairs column against direct triple enumeration."""
+    from collections import deque
+
+    # path 1-2-3-4; diamond 10-(11|12)-13; isolated edge 20-21
+    und = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 13), (12, 13), (20, 21)]
+    pairs = spark.createDataFrame(und, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["n_mid_pairs"], r["betweenness"])
+        for r in dedup.betweenness_centrality(
+            spark.createDataFrame([(0, "x")], "doc_id long, text string"),
+            pairs=pairs,
+        ).collect()
+    }
+
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # Brandes 2001: accumulate dependencies per source
+    bc = {v: 0.0 for v in adj}
+    for s in adj:
+        stack, preds = [], {v: [] for v in adj}
+        sigma = {v: 0 for v in adj}
+        dist = {v: -1 for v in adj}
+        sigma[s], dist[s] = 1, 0
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            stack.append(u)
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    preds[w].append(u)
+        delta = {v: 0.0 for v in adj}
+        while stack:
+            w = stack.pop()
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+        # (Brandes sums over ordered sources; halve at the end)
+    for v in adj:
+        assert abs(got[v][1] - bc[v] / 2.0) < 1e-6, v
+    # hand checks: path interior 2,3 mediate; diamond mids get 0.5 each
+    assert got[1][1] == 0.0 and got[4][1] == 0.0
+    assert got[2][1] == 2.0 and got[3][1] == 2.0
+    assert got[11][1] == 0.5 and got[12][1] == 0.5
+    assert got[20][1] == 0.0 and got[21][1] == 0.0
+    # exact mediation counts by direct triple enumeration
+    def bfs_dist(s):
+        d = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in d:
+                    d[w] = d[u] + 1
+                    q.append(w)
+        return d
+    dists = {s: bfs_dist(s) for s in adj}
+    for v in adj:
+        n_mid = sum(
+            1
+            for s in adj
+            for t in adj
+            if s != t and v not in (s, t)
+            and t in dists[s] and v in dists[s] and t in dists[v]
+            and dists[s][v] + dists[v][t] == dists[s][t]
+        )
+        assert got[v][0] == n_mid, v
+
+
+def test_betweenness_local_matches_distributed(spark):
+    """r17: the opt-in local fast path and the distributed
+    fixpoint+triple-join produce identical rows on the same edge feed
+    (the lpa_local_matches_distributed discipline)."""
+    und = [(1, 2), (2, 3), (3, 4), (2, 5), (5, 4), (10, 11)]
+    pairs = spark.createDataFrame(und, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    dist = {
+        tuple(r)
+        for r in dedup.betweenness_centrality(docs, pairs=pairs).collect()
+    }
+    loc = {
+        tuple(r)
+        for r in dedup.betweenness_centrality(
+            docs, pairs=pairs, local_threshold=10_000
+        ).collect()
+    }
+    assert dist == loc and len(dist) == 7
