@@ -4024,3 +4024,26 @@ def test_betweenness_local_matches_distributed(spark):
         ).collect()
     }
     assert dist == loc and len(dist) == 7
+
+
+def test_census_guard_r17_new_plans(spark, tables):
+    """CI guard for the r17 additions' plan shapes: the KN rescore
+    reads its one real token-stream checkpoint (residual finalized
+    scans <= 1 + headroom), DSIR's bucket model tables and rescore all
+    ride the one materialized bigram stream (0 residual), and the
+    Z-order skipping report stays at its single checkpointed
+    projection (0 residual) — a dropped localCheckpoint regresses a
+    test here, not a bench number."""
+    from datalake_local_spark.llm import pipeline as llm_pipeline
+    from datalake_local_spark.llm import text as llm_text
+    from datalake_local_spark.operators import layout as ops_layout
+
+    docs = tables["documents"]
+    bounds = [
+        ("text_kn_bigram_logprob", llm_text.kn_bigram_logprob(docs), 2),
+        ("pipeline_dsir_weights", llm_pipeline.dsir_importance_weights(docs), 1),
+        ("lake_zorder_skipping", ops_layout.zorder_skipping_report(tables["events"]), 1),
+    ]
+    for name, df, bound in bounds:
+        n = _final_plan(df).count("FileScan parquet")
+        assert n <= bound, f"{name}: {n} parquet scans (bound {bound})"
