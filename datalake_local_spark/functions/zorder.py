@@ -29,7 +29,18 @@ def zvalue_sql(x: str, y: str, bits: int = 16, div: str = "div") -> str:
 def normalize_sql(col: str, mn: str, mx: str, bits: int = 16, div: str = "div") -> str:
     """Affine map of ``col`` from [mn, mx] onto [0, 2**bits − 1] in pure
     integer arithmetic (exact same floor both engines); degenerate
-    ranges (mx = mn) map everything to 0."""
+    ranges (mx = mn) map everything to 0.
+
+    OVERFLOW PRECONDITION (r17 review-pass find): the offset is
+    multiplied by 2**bits − 1 in 64-bit integer arithmetic, so the
+    dimension SPAN (mx − mn) must stay below 2**63 / (2**bits − 1)
+    (≈ 1.4e14 at bits=16) — Spark wraps silently past it while DuckDB
+    raises, a cross-engine seam invisible at small spans. Feed
+    reduced-resolution values when a raw dimension can exceed this
+    (e.g. epoch MICROseconds overflow past a ~4.4-year span — floor to
+    milliseconds first, as lake_zorder_skipping does; floor-div of a
+    non-negative value is monotone, so min/max commute with the
+    rescale and bucketing is unchanged)."""
     top = (1 << bits) - 1
     return (
         f"((({col}) - ({mn})) * {top}) {div} greatest(1, ({mx}) - ({mn}))"
