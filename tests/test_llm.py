@@ -4047,3 +4047,68 @@ def test_census_guard_r17_new_plans(spark, tables):
     for name, df, bound in bounds:
         n = _final_plan(df).count("FileScan parquet")
         assert n <= bound, f"{name}: {n} parquet scans (bound {bound})"
+
+
+def test_betweenness_random_graph_matches_brandes(spark):
+    """r17 hardening (the croston random-fixture pattern): a seeded
+    Erdős–Rényi-ish graph (28 nodes, p≈0.12, plus a planted bridge
+    between two halves so betweenness is non-trivial) — every node's
+    score must match pure-python Brandes within the 6dp publishing
+    grid, and the bridge endpoints must rank in the top 3."""
+    import random
+    from collections import deque
+
+    rng = random.Random(1234)
+    n = 28
+    und = set()
+    # two halves wired internally, joined only through the 13-14 bridge
+    for lo, hi in ((0, 14), (14, 28)):
+        for a in range(lo, hi):
+            for b in range(a + 1, hi):
+                if rng.random() < 0.24:
+                    und.add((a, b))
+        # ensure connectivity within the half: chain fallback
+        for a in range(lo, hi - 1):
+            und.add((a, a + 1))
+    und.add((13, 14))
+    pairs = spark.createDataFrame(sorted(und), "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["betweenness"]
+        for r in dedup.betweenness_centrality(
+            docs, pairs=pairs, local_threshold=10_000
+        ).collect()
+    }
+
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    bc = {v: 0.0 for v in adj}
+    for s in adj:
+        stack, preds = [], {v: [] for v in adj}
+        sigma = {v: 0 for v in adj}
+        dist = {v: -1 for v in adj}
+        sigma[s], dist[s] = 1, 0
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            stack.append(u)
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    preds[w].append(u)
+        delta = {v: 0.0 for v in adj}
+        while stack:
+            w = stack.pop()
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    for v in adj:
+        assert abs(got[v] - bc[v] / 2.0) < 1e-5, (v, got[v], bc[v] / 2.0)
+    top3 = sorted(got, key=lambda v: -got[v])[:3]
+    assert 13 in top3 and 14 in top3  # the planted bridge dominates
