@@ -4112,3 +4112,58 @@ def test_betweenness_random_graph_matches_brandes(spark):
         assert abs(got[v] - bc[v] / 2.0) < 1e-5, (v, got[v], bc[v] / 2.0)
     top3 = sorted(got, key=lambda v: -got[v])[:3]
     assert 13 in top3 and 14 in top3  # the planted bridge dominates
+
+
+def test_kn_bigram_random_fixture_matches_reference(spark):
+    """r17 hardening (the croston random-fixture pattern): 60 docs of
+    seeded-random tokens over a 25-word vocab with skewed context
+    diversity — every doc's KN mean/min must match the dict-built
+    pure-python model within the 6dp grid."""
+    import math
+    import random
+    from collections import Counter
+
+    from datalake_local_spark.llm import pipeline as llm_pipeline  # noqa: F401
+    from datalake_local_spark.llm import text as llm_text
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = []
+    for i in range(60):
+        n = rng.randint(1, 30)
+        # half the docs draw from a narrow slice (low context diversity)
+        pool = vocab[:6] if i % 2 else vocab
+        docs.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in llm_text.kn_bigram_logprob(df).collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    bi = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] += 1
+    cstart, n1fw, n1bw = Counter(), Counter(), Counter()
+    for (a, b), c in bi.items():
+        cstart[a] += c
+        n1fw[a] += 1
+        n1bw[b] += 1
+    T, d = len(bi), 0.75
+
+    def p_kn(a, b):
+        return max(bi[(a, b)] - d, 0.0) / cstart[a] + (
+            d * n1fw[a] / cstart[a]
+        ) * (n1bw[b] / T)
+
+    checked = 0
+    for i, ts in toks.items():
+        prs = list(zip(ts, ts[1:]))
+        r = got[i]
+        assert r["n_bigrams"] == len(prs), i
+        if not prs:
+            assert r["mean_log10_p"] is None
+            continue
+        lps = [math.log10(p_kn(a, b)) for a, b in prs]
+        assert abs(r["mean_log10_p"] - sum(lps) / len(lps)) < 2e-6, i
+        assert abs(r["min_log10_p"] - min(lps)) < 2e-6, i
+        checked += 1
+    assert checked >= 55  # non-vacuous
