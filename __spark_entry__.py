@@ -1501,8 +1501,10 @@ def _zorder_skipping_oracle_sql(n_files: int = 64, n_preds: int = 4, bits: int =
     from datalake_local_spark.functions.zorder import normalize_sql, zvalue_sql
 
     # ms-resolution Morton input, mirroring the Spark side (r17
-    # review-pass overflow fix — see layout.zorder_skipping_report)
-    ne = normalize_sql("(e // 1000)", "(min_e // 1000)", "(max_e // 1000)", bits, "//")
+    # review-pass overflow fix — see layout.zorder_skipping_report);
+    # prescale on the min-offset value, never the raw epoch (r18: a
+    # negative epoch truncates under Spark `div` but floors under `//`)
+    ne = normalize_sql("((e - min_e) // 1000)", "0", "((max_e - min_e) // 1000)", bits, "//")
     nu = normalize_sql("u", "min_u", "max_u", bits, "//")
     zv = zvalue_sql(ne, nu, bits, "//")
     zdiv = (1 << (2 * bits)) // n_files
@@ -7652,11 +7654,15 @@ def _oracle_sql() -> dict[str, str]:
         # BFS distance. Exact integers until the single closeness
         # division (round 6, HALF_UP on both engines).
         # NEW r17: betweenness — σ recomputed INDEPENDENTLY of the
-        # Spark DP by enumerating the per-source shortest-path DAG
-        # (finite: DAG edges strictly increase the BFS level, so the
-        # UNION ALL walk terminates; path counts = σ); the pair-sum is
-        # the Freeman 1977 definition as one triple join, halved for
-        # the undirected double count, 6dp absorption on the sum.
+        # Spark DP over the per-source shortest-path DAG; r18 (r17
+        # ADVICE) replaced the one-row-per-path enumeration (exponential
+        # on braided components) with a per-LEVEL aggregated frontier —
+        # still independent of the Spark side: the DAG here is derived
+        # from the recursive-CTE BFS, not the Spark fixpoint, and the
+        # third-algorithm pytest (pure-python Brandes) covers the shared
+        # recurrence shape. The pair-sum is the Freeman 1977 definition
+        # as one triple join, halved for the undirected double count,
+        # 6dp absorption on the sum.
         "graph_betweenness": f"""
             WITH RECURSIVE {_PAIR_FEED_CTES},
             gnodes AS (SELECT DISTINCT s AS id FROM edges0),
@@ -7677,15 +7683,23 @@ def _oracle_sql() -> dict[str, str]:
                 JOIN sp sv ON sv.src = su.src AND sv.node = e.d
                           AND sv.dist = su.dist + 1
             ),
-            paths AS (
-                SELECT id AS src, id AS node FROM gnodes
-                UNION ALL
-                SELECT p.src, d.v
-                FROM paths p JOIN dag d ON d.src = p.src AND d.u = p.node
-            ),
             sig AS (
-                SELECT src, node, CAST(count(*) AS BIGINT) AS sigma
-                FROM paths GROUP BY 1, 2
+                -- per-level sigma DP (r18, r17 ADVICE): sigma(src, v) =
+                -- sum of predecessor sigmas, one aggregated frontier per
+                -- BFS level (DuckDB's recursive working table holds only
+                -- the previous iteration, and dag edges strictly
+                -- increase the level, so each (src, node) is produced in
+                -- exactly one iteration with all contributions grouped).
+                -- Polynomial — O(V^2) rows per component — where the
+                -- former one-row-per-path enumeration was exponential on
+                -- braided components (2^30 rows at ~60 nodes); sigma
+                -- itself stays <= ~3^(V/3) < 2^63 under the 100-node cap.
+                SELECT id AS src, id AS node, CAST(1 AS BIGINT) AS sigma
+                FROM gnodes
+                UNION ALL
+                SELECT l.src, d.v AS node, CAST(sum(l.sigma) AS BIGINT)
+                FROM sig l JOIN dag d ON d.src = l.src AND d.u = l.node
+                GROUP BY 1, 2
             ),
             spp AS (
                 SELECT sp.src, sp.node, sp.dist, sig.sigma
@@ -7985,6 +7999,9 @@ def _oracle_sql() -> dict[str, str]:
         # integer bucket counts via the portable md5 idiom, same-shape
         # log-ratios, per-doc sum at 6dp (avg-absorption discipline),
         # top-k by (rounded weight DESC, doc_id) on both engines.
+        # r18 (r17 ADVICE): the model knobs interpolate the SAME module
+        # constants the Spark defaults read (llm_pipeline.DSIR_*), so a
+        # default change cannot desync the oracle undetected.
         "pipeline_dsir_weights": f"""
             WITH lists AS (
                 SELECT doc_id, lang, string_split({_NORM}, ' ') AS l
@@ -7993,7 +8010,7 @@ def _oracle_sql() -> dict[str, str]:
             grams AS (
                 SELECT doc_id, lang,
                        CAST('0x' || substring(md5(l[i] || ' ' || l[i + 1]), 1, 8)
-                            AS BIGINT) % 1024 AS bucket
+                            AS BIGINT) % {llm_pipeline.DSIR_N_BUCKETS} AS bucket
                 FROM lists,
                      LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
             ),
@@ -8002,19 +8019,20 @@ def _oracle_sql() -> dict[str, str]:
             ),
             tgt_counts AS (
                 SELECT bucket, count(*) AS c_tgt FROM grams
-                WHERE lang = 'en' GROUP BY 1
+                WHERE lang = '{llm_pipeline.DSIR_TARGET_LANG}' GROUP BY 1
             ),
             totals AS (
                 SELECT count(*) AS raw_total,
-                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_total
+                       sum(CASE WHEN lang = '{llm_pipeline.DSIR_TARGET_LANG}'
+                                THEN 1 ELSE 0 END) AS tgt_total
                 FROM grams
             ),
             ratio AS (
                 SELECT bucket,
                        log10(CAST(coalesce(c_tgt, 0) + 1 AS DOUBLE)
-                             / CAST(tgt_total + 1024 AS DOUBLE))
+                             / CAST(tgt_total + {llm_pipeline.DSIR_N_BUCKETS} AS DOUBLE))
                        - log10(CAST(c_raw + 1 AS DOUBLE)
-                               / CAST(raw_total + 1024 AS DOUBLE)) AS lr
+                               / CAST(raw_total + {llm_pipeline.DSIR_N_BUCKETS} AS DOUBLE)) AS lr
                 FROM raw_counts LEFT JOIN tgt_counts USING (bucket)
                 CROSS JOIN totals
             ),
@@ -8031,7 +8049,7 @@ def _oracle_sql() -> dict[str, str]:
             ),
             topk AS (
                 SELECT doc_id FROM weights
-                ORDER BY log10_weight DESC, doc_id LIMIT 100
+                ORDER BY log10_weight DESC, doc_id LIMIT {llm_pipeline.DSIR_TOP_K}
             )
             SELECT w.doc_id, w.n_bigrams, w.log10_weight,
                    (t.doc_id IS NOT NULL) AS selected

@@ -40,7 +40,12 @@ def normalize_sql(col: str, mn: str, mx: str, bits: int = 16, div: str = "div") 
     (e.g. epoch MICROseconds overflow past a ~4.4-year span — floor to
     milliseconds first, as lake_zorder_skipping does; floor-div of a
     non-negative value is monotone, so min/max commute with the
-    rescale and bucketing is unchanged)."""
+    rescale and bucketing is unchanged). Prescale the min-OFFSET value
+    ((col − mn) div k with mn=0 bounds), never the raw column: the
+    offset is non-negative by construction, where Spark ``div``
+    (truncate toward zero) and DuckDB ``//`` (floor) agree — a raw
+    negative value (pre-1970 epoch) floors differently per engine
+    (r17 ADVICE, fixed r18)."""
     top = (1 << bits) - 1
     return (
         f"((({col}) - ({mn})) * {top}) {div} greatest(1, ({mx}) - ({mn}))"

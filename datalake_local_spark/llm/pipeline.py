@@ -1077,11 +1077,20 @@ def dataset_card(documents: DataFrame) -> DataFrame:
     ).orderBy("metric")
 
 
+#: DSIR defaults, shared with the pipeline_dsir_weights oracle f-string
+#: (the _WILSON_SQL/CROSTON_ALPHA interpolation pattern, r17 audit mech
+#: B): the oracle interpolates THESE names, so a default change here
+#: cannot silently desync the two sides (r17 ADVICE).
+DSIR_N_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+DSIR_TOP_K = 100
+
+
 def dsir_importance_weights(
     documents: DataFrame,
-    n_buckets: int = 1024,
-    target_lang: str = "en",
-    top_k: int = 100,
+    n_buckets: int = DSIR_N_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+    top_k: int = DSIR_TOP_K,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", NeurIPS — public): rank

@@ -284,10 +284,17 @@ def zorder_skipping_report(
     # silently, DuckDB raises — a cross-engine seam invisible at test
     # SFs whose span is ~2 months). Milliseconds keep span × 65535
     # inside BIGINT for ~4.4 MILLENNIA with zero effect on file
-    # assignment (floor-div of a positive is monotone, so min/max
-    # commute with the rescale). The equal-width f_ts assignment stays
-    # at µs: its factor is only n_files.
-    ne = normalize_sql("(e div 1000)", "(min_e div 1000)", "(max_e div 1000)", bits=bits)
+    # assignment (floor-div of a NON-NEGATIVE value is monotone, so
+    # min/max commute with the rescale). The prescale divides the
+    # min-OFFSET value (e - min_e), never the raw epoch (r18, r17
+    # ADVICE): e - min_e >= 0 by construction, so Spark `div`
+    # (truncates toward zero) and DuckDB `//` (floors) agree — raw
+    # pre-1970 epochs are negative, where -1 div 1000 = 0 but
+    # -1 // 1000 = -1 would silently shift keys cross-engine. The
+    # offset form needs no engine-side non-negativity precondition at
+    # all. The equal-width f_ts assignment stays at µs: its factor is
+    # only n_files and it already subtracts min_e first.
+    ne = normalize_sql("((e - min_e) div 1000)", "0", "((max_e - min_e) div 1000)", bits=bits)
     nu = normalize_sql("u", "min_u", "max_u", bits=bits)
     zv = zvalue_sql(ne, nu, bits=bits)
     keyed = base.crossJoin(F.broadcast(b)).select(
@@ -360,7 +367,13 @@ def zorder_skipping_report(
         F.col("p.lo").alias("lo"),
         F.col("p.hi").alias("hi"),
     ).localCheckpoint()
+    # env and preds are eagerly materialized above, so neither base nor
+    # keyed has a remaining consumer (unlike skipping_report, whose
+    # returned plan still reads keyed for rows_selected) — release both
+    # here instead of leaving keyed's full row-grain projection cached
+    # until ContextCleaner GC (r17 ADVICE).
     _release_checkpoint(base)
+    _release_checkpoint(keyed)
     hits = (
         env.crossJoin(F.broadcast(preds))
         .where(

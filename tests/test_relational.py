@@ -3117,20 +3117,18 @@ def test_ewma_chart_values_match_roberts_formula(spark):
         assert abs(r["violated_limit"] - wlim) < 1e-9, hour
 
 
-def test_zorder_skipping_matches_python_replay(spark):
-    """NEW r17 (layout-trio closer): the three-layout skipping report
-    matches a pure-python replay whose Morton key is computed with its
-    OWN bit loop (int bit ops, not the generated div/mod term sum the
-    two engines share — the independent derivation the r17 shared-text
-    audit requires), and the narrative invariant holds: by_zorder
-    skips on BOTH predicate families while each single-column layout
-    only skips on its own."""
+def _zorder_skipping_replay_case(spark, t0):
+    """Shared replay body for the two epochs below: the three-layout
+    skipping report matches a pure-python replay whose Morton key is
+    computed with its OWN bit loop (int bit ops, not the generated
+    div/mod term sum the two engines share — the independent derivation
+    the r17 shared-text audit requires), and the narrative invariant
+    holds: by_zorder skips on BOTH predicate families while each
+    single-column layout only skips on its own."""
     import datetime
     from decimal import ROUND_HALF_UP, Decimal
 
     from datalake_local_spark.operators import layout as ops_layout
-
-    t0 = datetime.datetime(2024, 3, 1)
     # enough distinct users (>= 64) that the user predicate family is
     # non-degenerate; ts NOT monotone in user
     rows = []
@@ -3169,10 +3167,10 @@ def test_zorder_skipping_matches_python_replay(spark):
     for e, u in zip(es, us):
         fid["by_ts"].append(min(63, (e - min_e) * 64 // span_e))
         fid["by_user"].append(min(63, (u - min_u) * 64 // span_u))
-        # ms-resolution Morton input (the r17 overflow fix): floor to
-        # ms BEFORE the offset, as both engines do
-        em, lo_ms, hi_ms = e // 1000, min_e // 1000, max_e // 1000
-        nx = (em - lo_ms) * 65535 // max(1, hi_ms - lo_ms)
+        # ms-resolution Morton input (the r17 overflow fix), offset
+        # BEFORE the ms floor-div (the r18 sign fix: e - min_e >= 0, so
+        # Spark `div` and DuckDB `//` agree even for pre-1970 epochs)
+        nx = ((e - min_e) // 1000) * 65535 // max(1, (max_e - min_e) // 1000)
         ny = (u - min_u) * 65535 // max(1, max_u - min_u)
         fid["by_zorder"].append(morton(nx, ny) // ((1 << 32) // 64))
     preds = {}
@@ -3212,3 +3210,103 @@ def test_zorder_skipping_matches_python_replay(spark):
     assert mean_skip("by_user", "user") > 0.8 and mean_skip("by_user", "ts") < 0.3
     assert mean_skip("by_zorder", "ts") > 0.5
     assert mean_skip("by_zorder", "user") > 0.5
+
+
+def test_zorder_skipping_matches_python_replay(spark):
+    import datetime
+
+    _zorder_skipping_replay_case(spark, datetime.datetime(2024, 3, 1))
+
+
+def test_zorder_skipping_pre1970_epochs_match_replay(spark):
+    """r18 regression (r17 ADVICE): a fixture whose epoch micros are
+    NEGATIVE (pre-1970). Raw-epoch prescale divided a negative value,
+    where Spark `div` truncates toward zero but true floor-div (the
+    replay, and DuckDB `//`) floors — silently shifting Morton keys.
+    The offset-first prescale divides e - min_e >= 0, so both engines
+    and the replay agree regardless of epoch sign."""
+    import datetime
+
+    _zorder_skipping_replay_case(spark, datetime.datetime(1969, 12, 25))
+
+
+def test_betweenness_oracle_sigma_dp_braided_graph():
+    """r18 (r17 ADVICE): the graph_betweenness oracle's sigma stage is
+    now a per-LEVEL aggregated DP over the shortest-path DAG; this
+    exercises it (same CTE shapes, injected edge table) on the exact
+    adversarial structure the advice named — a braid of 30 chained
+    diamonds, where sigma(head → tail) = 2^30, so the former
+    one-row-per-path enumeration would materialize ~10^9 rows while the
+    DP keeps sig at <= V^2 rows. Sigma values are checked per source
+    against an independent pure-python Brandes BFS accumulation
+    (Brandes 2001 alg. 1, a different algorithm)."""
+    from collections import deque
+
+    import duckdb
+
+    K = 30  # diamonds; nodes 0..3K, V = 91
+    und = []
+    for k in range(K):
+        a, b, c, d = 3 * k, 3 * k + 1, 3 * k + 2, 3 * (k + 1)
+        und += [(a, b), (a, c), (b, d), (c, d)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE up(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO up VALUES (?, ?)", und)
+    rows = con.execute(
+        """
+        WITH RECURSIVE edges0 AS (
+            SELECT a AS s, b AS d FROM up UNION ALL SELECT b, a FROM up
+        ),
+        gnodes AS (SELECT DISTINCT s AS id FROM edges0),
+        walk AS (
+            SELECT id AS src, id AS node, 0 AS dist FROM gnodes
+            UNION
+            SELECT w.src, e.d AS node, w.dist + 1
+            FROM walk w JOIN edges0 e ON e.s = w.node
+            WHERE w.dist < 100
+        ),
+        sp AS (SELECT src, node, min(dist) AS dist FROM walk GROUP BY 1, 2),
+        dag AS (
+            SELECT su.src, e.s AS u, e.d AS v
+            FROM edges0 e
+            JOIN sp su ON su.node = e.s
+            JOIN sp sv ON sv.src = su.src AND sv.node = e.d
+                      AND sv.dist = su.dist + 1
+        ),
+        sig AS (
+            SELECT id AS src, id AS node, CAST(1 AS BIGINT) AS sigma
+            FROM gnodes
+            UNION ALL
+            SELECT l.src, d.v AS node, CAST(sum(l.sigma) AS BIGINT)
+            FROM sig l JOIN dag d ON d.src = l.src AND d.u = l.node
+            GROUP BY 1, 2
+        )
+        SELECT src, node, sigma FROM sig
+        """
+    ).fetchall()
+    got = {(s, n): sig for s, n, sig in rows}
+
+    n_nodes = 3 * K + 1
+    assert len(rows) == n_nodes * n_nodes, "one sigma row per reachable pair"
+    assert got[(0, 3 * K)] == 2**K, "braid end-to-end path count"
+
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for s in adj:
+        sigma = {s: 1}
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        for n, sg in sigma.items():
+            assert got[(s, n)] == sg, (s, n)
