@@ -292,85 +292,80 @@ def _q_cube_request(spark, sf):
 
 
 # Certification-window rotation: the driver oracle-checks the FIRST 50
-# ``queries()`` entries each round (cap confirmed in r3/r4).  Round 16
-# window per the r15 verdict #1: (a) the holt pair at the head (NEW
-# r15 post-window — no driver row yet), then every name whose code or
-# oracle CHANGED in r16 (changed queries outrank rotation per r13-r15),
-# then (b) the 12 names the r15 head displaced (driver rows still
-# r6-era), then (c) the r7 cohort by driver-row age, as many as fit.
-# Names that do not fit the 50-slot cap are tracked in the tail
-# comment for the r17 queue and exact-checked locally this round
-# (SWEEP_r16.log).
+# ``queries()`` entries each round (cap confirmed in r3/r4).  Round 18
+# window per the r17 verdict #1: (a) the three r17 post-window names
+# (registered after the r17 window froze — no driver row yet; two of
+# them also carry r18 oracle changes from the ADVICE items), then (b)
+# every other name whose code or oracle CHANGED in r18 (changed
+# outranks rotation, the r13-r17 precedent), then (c) the FULL 35-name
+# r8 cohort (the oldest driver rows in the registry, last checked 10
+# rounds ago), then (d) r10-cohort names by name order, as many as fit.
+# The r10 names that do not fit are tracked in the tail comment for
+# the r19 queue and exact-checked locally this round (SWEEP_r18.log).
 _CERTIFY_FIRST = [
-    # ---- NEW in round 17 (no driver row yet) ----
-    "streaming_right_outer_join",  # NEW r17: join-mode matrix symmetry
-    "lake_zorder_skipping",  # NEW r17: Morton-layout skipping, trio closer
-    # ---- code/oracle CHANGED in round 17 (changed outranks rotation,
-    # the r13-r16 precedent) ----
-    "graph_closeness",  # r17 ADVICE: sum_dist=0 oracle guard
-    "lake_skipping_report",  # r17 ADVICE: base-checkpoint release on its path
-    "tpch_croston_demand",  # r17 ADVICE: alpha now interpolated (text identical)
-    "tpch_newsvendor_stock",  # r17 ADVICE: CR now interpolated (text identical)
-    "tpch_eoq",  # r17 ADVICE: costs now interpolated (text identical)
-    # ---- the r7 cohort, fully drained this round (r16 verdict #2:
-    # driver rows were 10 rounds old; after r17 no name is older than
-    # r8) ----
-    "scalar_try_funcs",
-    "pipeline_snapshot_diff",
-    "pipeline_mixture_build",
-    "pipeline_global_shuffle",
-    "pipeline_decontaminate",
-    "mm_video_metadata",
-    "pandas_arrow_bytes",
-    "mm_audio_metadata",
-    "fmt_schema_evolution",
-    "fmt_orc_scan",
-    "events_interpolate_hourly",
-    "dq_key_skew",
-    "dq_join_estimate",
-    "semantic_cube_request",
-    "sim_cosine_topk_ivf",
-    "sim_hard_negatives",
-    "sim_ivf_partitioned_probe",
-    "sim_knn_label_transfer",
-    "sim_pq_topk",
-    "sim_quantize_dim_minmax",
-    "sim_range_search",
-    "sql_correlated_exists",
-    "sql_lateral_topn",
-    "streaming_trending",
-    "text_bpe_encode",
-    "text_bpe_merges",
-    "text_compression_ratio",
-    "text_encoding_quality",
-    "text_feature_hashing",
-    "text_lang_buckets",
-    "text_repetition_signals",
-    "text_segment_dedup",
-    "text_span_corruption",
-    "text_span_coverage",
-    "tpch_min_cost_supplier",
-    # ---- r8 cohort by name, as many as fit the 50-slot cap ----
-    "agg_collect_sorted",
-    "agg_equidepth_histogram",
-    "agg_exact_percentiles",
-    "agg_histogram",
-    "agg_statistics",
-    "calendar_spine_daily",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    # r18 queue HEAD: text_kn_bigram_logprob + pipeline_dsir_weights +
-    # graph_betweenness (NEW r17, registered post-window — no driver
-    # rows yet; all 3-SF exact-certified locally, SWEEP_r17.log). Then
-    # the remaining r8-cohort names (each still green in
-    # this round's full-registry exact sweep): dq_benford,
-    # events_retention, events_salted_agg, events_sequence_patterns,
-    # events_sessionize, events_sliding, events_streaks,
-    # events_tumbling, mm_decode_metadata, mm_decode_real_headers,
-    # mm_resize_metadata, pandas_grouped_zscore, pandas_scalar_logistic,
-    # profile_orders, scalar_array_funcs, scalar_bitwise_funcs,
-    # scalar_date_funcs and the rest of the r8 cohort by driver-row
-    # age, then r10.
+    # ---- NEW in r17 post-window (no driver row yet) ----
+    "graph_betweenness",  # + r18 oracle change: sigma per-level DP
+    "pipeline_dsir_weights",  # + r18 oracle change: DSIR_* interpolation
+    "text_kn_bigram_logprob",
+    # ---- code/oracle CHANGED in round 18 ----
+    "lake_zorder_skipping",  # r18: offset-first ms prescale (both sides)
+    # ---- the r8 cohort, drained in full (35 names; driver rows were
+    # 10 rounds old) ----
+    "dq_benford",
+    "events_retention",
+    "events_salted_agg",
+    "events_sequence_patterns",
+    "events_sessionize",
+    "events_sliding",
+    "events_streaks",
+    "events_tumbling",
+    "mm_decode_metadata",
+    "mm_decode_real_headers",
+    "mm_resize_metadata",
+    "pandas_grouped_zscore",
+    "pandas_scalar_logistic",
+    "profile_orders",
+    "scalar_array_funcs",
+    "scalar_bitwise_funcs",
+    "scalar_date_funcs",
+    "scalar_json_extract",
+    "scalar_map_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scalar_string_funcs2",
+    "scalar_url_funcs",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "sim_cosine_topk",
+    "sim_cosine_topk_vectorized",
+    "sim_label_centroids",
+    "sort_limit_topn",
+    "text_bigram_logprob",
+    "window_moving_median",
+    "window_relative",
+    "window_running",
+    "window_topk_per_group",
+    # ---- r10 cohort by name order, filling to the 50-slot cap ----
+    "agg_gini_spend",
+    "agg_mode_family",
+    "agg_weighted_median",
+    "dedup_rate_by_source",
+    "events_cumulative_users",
+    "events_interarrival",
+    "events_multigrain_rollup",
+    "events_peak_concurrency",
+    "graph_degree_profile",
+    "pipeline_shard_manifest",
+    "scalar_ip_funcs",
+    # r19 queue HEAD: the remaining r10-cohort names by name order
+    # (each exact-green in this round's full-registry sweep):
+    # semantic_ohlcv_daily, sim_ann_recall_report, sim_quantize_int8,
+    # sql_interactive, streaming_foreachbatch_upsert,
+    # streaming_sessionize, streaming_sliding,
+    # streaming_stateful_counter, text_cm_heavy_hitters,
+    # text_fingerprint, text_rake_keywords, text_vocab_oov, and the
+    # tpch_* r10 names — then the r11 cohort by driver-row age.
 ]
 
 

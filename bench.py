@@ -10,10 +10,12 @@ dedup, cosine top-k, text scoring, sessionization, streaming.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -317,22 +319,39 @@ def main() -> None:
     # driver's tail-capture window, shipping parsed:null — the tail
     # must always end with a complete parseable record).
     print(line)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(times),
-                "detail": artifact,
-                # the short line is what the driver's tail-capture
-                # records as BENCH_r{N}.json — the control pair must
-                # ride on it, not only on the (truncatable) full line
-                "control": control,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "detail": artifact,
+        # the short line is what the driver's tail-capture records as
+        # BENCH_r{N}.json — the control pair must ride on it, not only
+        # on the (truncatable) full line
+        "control": control,
+        # r17 verdict #2: the driver artifact must be SELF-CONTAINED —
+        # cross-round per-query diffs should not depend on the
+        # committed BENCH_local.json. The tail-capture window is 2000
+        # chars (measured across BENCH_r12-r17) and the plain map is
+        # ~2.7 KB, so it rides compressed: queries_z decodes with
+        # json.loads(zlib.decompress(base64.b85decode(s))) — see
+        # tools/bench_decode.py. The guard below keeps the line inside
+        # the window with margin; if the suite ever outgrows even the
+        # compressed form, the map is DROPPED rather than shipping an
+        # unparseable tail (the r12 failure mode), and BENCH_local.json
+        # remains the fallback of record.
+        "codec": "zlib+b85",
+        "queries_z": base64.b85encode(
+            zlib.compress(
+                json.dumps(times, separators=(",", ":")).encode(), 9
+            )
+        ).decode(),
+    }
+    if len(json.dumps(summary, separators=(",", ":"))) > 1900:
+        summary.pop("queries_z")
+        summary["codec"] = "overflow-see-detail-file"
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

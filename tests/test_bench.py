@@ -50,3 +50,42 @@ def test_bench_dry_run_never_writes_artifact():
     summary = json.loads(proc.stdout.splitlines()[-1])
     assert summary["detail"] == "not-written"
     assert os.path.getmtime(os.path.join(REPO, "BENCH_local.json")) == before
+
+
+def test_bench_summary_line_is_self_contained_and_fits_tail_window():
+    """r17 verdict #2: the driver records only a 2000-char stdout tail
+    (measured across BENCH_r12-r17) and parses its LAST JSON line; the
+    summary line must therefore (a) stay under the window with margin
+    and (b) carry the FULL per-query map, compressed, so cross-round
+    per-query diffs never depend on the committed BENCH_local.json."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench_decode import decode_queries_z
+
+    proc = _run("--dry-run")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    full = json.loads(lines[-2])
+    summary = json.loads(lines[-1])
+    assert len(lines[-1]) <= 1900, len(lines[-1])
+    assert summary["codec"] == "zlib+b85"
+    assert decode_queries_z(summary["queries_z"]) == full["queries"]
+
+
+def test_bench_decode_handles_driver_artifact_shape(tmp_path):
+    # the driver wraps the parsed summary as {n, rc, tail, parsed}
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import zlib, base64
+    from bench_decode import load_artifact
+
+    qmap = {"q1": 1.25, "q2": 0.5}
+    qz = base64.b85encode(
+        zlib.compress(json.dumps(qmap, separators=(",", ":")).encode(), 9)
+    ).decode()
+    art = tmp_path / "BENCH_rX.json"
+    art.write_text(json.dumps({
+        "n": 99, "rc": 0,
+        "parsed": {"metric": "headline_suite_total", "value": 1.75,
+                   "codec": "zlib+b85", "queries_z": qz},
+    }))
+    rec = load_artifact(str(art))
+    assert rec["queries"] == qmap and "queries_z" not in rec
