@@ -307,6 +307,8 @@ _CERTIFY_FIRST = [
     "graph_betweenness",  # + r18 oracle change: sigma per-level DP
     "pipeline_dsir_weights",  # + r18 oracle change: DSIR_* interpolation
     "text_kn_bigram_logprob",
+    # ---- NEW in round 18 ----
+    "lake_hilbert_skipping",  # NEW r18: Hilbert vs Morton A/B closer
     # ---- code/oracle CHANGED in round 18 ----
     "lake_zorder_skipping",  # r18: offset-first ms prescale (both sides)
     # ---- the r8 cohort, drained in full (35 names; driver rows were
@@ -357,10 +359,9 @@ _CERTIFY_FIRST = [
     "events_peak_concurrency",
     "graph_degree_profile",
     "pipeline_shard_manifest",
-    "scalar_ip_funcs",
     # r19 queue HEAD: the remaining r10-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
-    # semantic_ohlcv_daily, sim_ann_recall_report, sim_quantize_int8,
+    # scalar_ip_funcs, semantic_ohlcv_daily, sim_ann_recall_report, sim_quantize_int8,
     # sql_interactive, streaming_foreachbatch_upsert,
     # streaming_sessionize, streaming_sliding,
     # streaming_stateful_counter, text_cm_heavy_hitters,
@@ -948,6 +949,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # until the one skip-rate division
         "lake_skipping_report": lambda s, d: layout.skipping_report(*_t(s, d, "events")),
         "lake_zorder_skipping": lambda s, d: layout.zorder_skipping_report(*_t(s, d, "events")),
+        "lake_hilbert_skipping": lambda s, d: layout.hilbert_skipping_report(*_t(s, d, "events")),
         "mm_aspect_buckets": lambda s, d: multimodal.aspect_ratio_buckets(*_t(s, d, "documents")),
         "dedup_entity_clusters": lambda s, d: dedup.fuzzy_entity_clusters(*_t(s, d, "part")),
         "pipeline_weighted_reservoir": lambda s, d: llm_pipeline.weighted_reservoir_sample(*_t(s, d, "documents")),
@@ -1528,6 +1530,98 @@ def _zorder_skipping_oracle_sql(n_files: int = 64, n_preds: int = 4, bits: int =
                 SELECT 'by_user', f_user, e, u FROM keyed
                 UNION ALL
                 SELECT 'by_zorder', f_z, e, u FROM keyed
+            ) GROUP BY 1, 2
+        ),
+        preds AS (
+            SELECT 'ts_' || CAST(k AS VARCHAR) AS pred, 'ts' AS family,
+                   min_e + CAST(k AS BIGINT) * (max_e - min_e + 1) // {n_preds} AS lo,
+                   min_e + CAST(k AS BIGINT) * (max_e - min_e + 1) // {n_preds}
+                       + (max_e - min_e + 1) // 16 AS hi
+            FROM b, (SELECT unnest(range(0, {n_preds})) AS k)
+            UNION ALL
+            SELECT 'user_' || CAST(k AS VARCHAR), 'user',
+                   min_u + CAST(k AS BIGINT) * (max_u - min_u + 1) // {n_preds},
+                   min_u + CAST(k AS BIGINT) * (max_u - min_u + 1) // {n_preds}
+                       + (max_u - min_u + 1) // 16
+            FROM b, (SELECT unnest(range(0, {n_preds})) AS k)
+        ),
+        nfiles AS (
+            SELECT layout, CAST(count(*) AS BIGINT) AS n_files
+            FROM env GROUP BY 1
+        ),
+        hits AS (
+            SELECT layout, pred, CAST(count(*) AS BIGINT) AS files_hit
+            FROM env CROSS JOIN preds
+            WHERE CASE WHEN family = 'ts'
+                       THEN f_emin < hi AND f_emax >= lo
+                       ELSE f_umin < hi AND f_umax >= lo END
+            GROUP BY 1, 2
+        )
+        SELECT g.layout, g.pred, nf.n_files,
+               coalesce(h.files_hit, 0) AS files_hit,
+               round(CAST(nf.n_files - coalesce(h.files_hit, 0) AS DOUBLE)
+                     / CAST(nf.n_files AS DOUBLE), 6) AS skip_rate
+        FROM (SELECT layout, pred FROM nfiles, preds) g
+        JOIN nfiles nf ON nf.layout = g.layout
+        LEFT JOIN hits h ON h.layout = g.layout AND h.pred = g.pred
+    """
+
+
+def _hilbert_skipping_oracle_sql(n_files: int = 64, n_preds: int = 4, bits: int = 16) -> str:
+    """DuckDB twin of layout.hilbert_skipping_report (NEW r18, the
+    "which curve" A/B): the Morton key renders the SAME generated
+    zvalue term sum and the Hilbert index renders the SAME generated
+    per-level rotate/reflect chain (functions.hilbert.hilbert_chain) as
+    chained CTEs with `//` — bit-identical keys by construction
+    (shared-text mech B; independent coverage =
+    test_hilbert_index_matches_pure_python_xy2d +
+    test_hilbert_skipping_matches_python_replay, whose replays compute
+    the index with their OWN bit-op loop)."""
+    from datalake_local_spark.functions.hilbert import hilbert_chain
+    from datalake_local_spark.functions.zorder import normalize_sql, zvalue_sql
+
+    ne = normalize_sql("((e - min_e) // 1000)", "0", "((max_e - min_e) // 1000)", bits, "//")
+    nu = normalize_sql("u", "min_u", "max_u", bits, "//")
+    zv = zvalue_sql(ne, nu, bits, "//")
+    zdiv = (1 << (2 * bits)) // n_files
+    levels = -(-(n_files - 1).bit_length() // 2)  # prefix property, as Spark side
+    lvls = []
+    prev = "keyed"
+    for i, (d_sql, x_sql, y_sql) in enumerate(
+        hilbert_chain(bits=bits, div="//", levels=levels)
+    ):
+        lvls.append(
+            f"lvl{i} AS (SELECT e, u, f_z, {x_sql} AS hx, {y_sql} AS hy,"
+            f" {d_sql} AS hd FROM {prev})"
+        )
+        prev = f"lvl{i}"
+    lvl_ctes = ",\n        ".join(lvls)
+    return f"""
+        WITH b AS (
+            SELECT min(epoch_us(ts)) AS min_e, max(epoch_us(ts)) AS max_e,
+                   min(user_id) AS min_u, max(user_id) AS max_u
+            FROM events
+        ),
+        keyed AS (
+            SELECT e, u,
+                   ({zv}) // {zdiv} AS f_z,
+                   ({ne}) AS hx,
+                   ({nu}) AS hy,
+                   CAST(0 AS BIGINT) AS hd
+            FROM (SELECT epoch_us(ts) AS e, user_id AS u FROM events), b
+        ),
+        {lvl_ctes},
+        hkeyed AS (
+            SELECT e, u, f_z, hd // {zdiv} AS f_h FROM {prev}
+        ),
+        env AS (
+            SELECT layout, file_id,
+                   min(e) AS f_emin, max(e) AS f_emax,
+                   min(u) AS f_umin, max(u) AS f_umax
+            FROM (
+                SELECT 'by_zorder' AS layout, f_z AS file_id, e, u FROM hkeyed
+                UNION ALL
+                SELECT 'by_hilbert', f_h, e, u FROM hkeyed
             ) GROUP BY 1, 2
         ),
         preds AS (
@@ -7920,6 +8014,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "lake_zorder_layout": _zorder_oracle_sql(),
         "lake_zorder_skipping": _zorder_skipping_oracle_sql(),
+        "lake_hilbert_skipping": _hilbert_skipping_oracle_sql(),
         # NEW r16: statistics-based file pruning quantified — equal-width
         # file ids, envelopes, predicate bounds and hit tests are exact
         # integer arithmetic (epoch_us == Spark unix_micros, both

@@ -406,3 +406,169 @@ def zorder_skipping_report(
             ).alias("skip_rate"),
         )
     )
+
+
+def hilbert_skipping_report(
+    events: DataFrame, n_files: int = 64, n_preds: int = 4, bits: int = 16
+) -> DataFrame:
+    """The "which space-filling curve" A/B (r18, r17 verdict #7a):
+    :func:`zorder_skipping_report`'s framework with the two CURVE
+    layouts head-to-head — ``by_zorder`` (Morton interleave) vs
+    ``by_hilbert`` (the rotate/reflect Hilbert index,
+    :mod:`..functions.hilbert`) — over the same self-calibrating
+    predicate workload, so the layout advisor's curve choice is a
+    certified number: Hilbert's unit-step adjacency keeps file
+    envelopes at least as tight as Morton's (no curve jumps across the
+    square), typically buying a few extra skipped files per predicate
+    family at identical write cost.
+
+    Both keys are pure engine-portable integer arithmetic over the SAME
+    normalized inputs (offset-first ms prescale, r18 discipline): the
+    Morton key is the shared :func:`..functions.zorder.zvalue_sql` term
+    sum; the Hilbert index is the shared :func:`..functions.hilbert.
+    hilbert_chain` projection chain (``bits`` chained selects — Spark
+    evaluates each projection against its input row, so every level's
+    simultaneous (x, y, d) update is exact; the DuckDB oracle runs the
+    same text as chained CTEs). File = index div (4^bits / n_files):
+    equal index-ranges, exactly what an OPTIMIZE-by-curve rewrite
+    produces physically.
+
+    Scale shape: identical to the siblings — one scan materializes the
+    narrow (e, u) projection; the chain is row-local projection
+    arithmetic (no shuffle); everything downstream is file-grain
+    (≤ 2·n_files envelope rows) or predicate-grain (2·n_preds
+    broadcast). Checkpoint-release discipline as zorder_skipping_report."""
+    from datalake_local_spark.functions.hilbert import hilbert_chain
+    from datalake_local_spark.functions.zorder import normalize_sql, zvalue_sql
+    from datalake_local_spark.llm.dedup import _release_checkpoint
+
+    assert (1 << (2 * bits)) % n_files == 0, "n_files must divide 4^bits"
+    zdiv = (1 << (2 * bits)) // n_files
+
+    base = events.select(
+        F.unix_micros("ts").alias("e"), F.col("user_id").alias("u")
+    ).localCheckpoint()
+    b = base.agg(
+        F.min("e").alias("min_e"),
+        F.max("e").alias("max_e"),
+        F.min("u").alias("min_u"),
+        F.max("u").alias("max_u"),
+    )
+    ne = normalize_sql("((e - min_e) div 1000)", "0", "((max_e - min_e) div 1000)", bits=bits)
+    nu = normalize_sql("u", "min_u", "max_u", bits=bits)
+    zv = zvalue_sql(ne, nu, bits=bits)
+    cur = base.crossJoin(F.broadcast(b)).select(
+        "e",
+        "u",
+        F.expr(f"({zv}) div {zdiv}").cast("long").alias("f_z"),
+        F.expr(ne).cast("long").alias("hx"),
+        F.expr(nu).cast("long").alias("hy"),
+        F.lit(0).cast("long").alias("hd"),
+        "min_e", "max_e", "min_u", "max_u",
+    )
+    # prefix property: file = index div (4^bits / n_files) only reads
+    # the top log2(n_files) index bits, which the first
+    # ceil(log2(n_files)/2) levels determine exactly (hilbert_chain
+    # docstring) — 3 projection levels for 64 files, not 16
+    levels = -(-(n_files - 1).bit_length() // 2)
+    for d_sql, x_sql, y_sql in hilbert_chain(bits=bits, levels=levels):
+        cur = cur.select(
+            "e", "u", "f_z",
+            F.expr(x_sql).cast("long").alias("hx"),
+            F.expr(y_sql).cast("long").alias("hy"),
+            F.expr(d_sql).cast("long").alias("hd"),
+            "min_e", "max_e", "min_u", "max_u",
+        )
+    keyed = cur.select(
+        "e", "u", "f_z",
+        F.expr(f"hd div {zdiv}").cast("long").alias("f_h"),
+        "min_e", "max_e", "min_u", "max_u",
+    ).localCheckpoint()
+    env = (
+        keyed.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("by_zorder").alias("layout"),
+                        F.col("f_z").alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("by_hilbert").alias("layout"),
+                        F.col("f_h").alias("file_id"),
+                    ),
+                )
+            ).alias("x"),
+            "e",
+            "u",
+        )
+        .select(F.col("x.layout").alias("layout"), F.col("x.file_id").alias("file_id"), "e", "u")
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("e").alias("f_emin"),
+            F.max("e").alias("f_emax"),
+            F.min("u").alias("f_umin"),
+            F.max("u").alias("f_umax"),
+        )
+        .localCheckpoint()
+    )
+    preds = b.select(
+        F.explode(
+            F.flatten(
+                F.array(
+                    F.expr(
+                        f"""transform(sequence(0, {n_preds - 1}), k -> struct(
+                            'ts' as family, k as k,
+                            min_e + CAST(k AS BIGINT) * (max_e - min_e + 1) div {n_preds} as lo,
+                            min_e + CAST(k AS BIGINT) * (max_e - min_e + 1) div {n_preds}
+                                + (max_e - min_e + 1) div 16 as hi))"""
+                    ),
+                    F.expr(
+                        f"""transform(sequence(0, {n_preds - 1}), k -> struct(
+                            'user' as family, k as k,
+                            min_u + CAST(k AS BIGINT) * (max_u - min_u + 1) div {n_preds} as lo,
+                            min_u + CAST(k AS BIGINT) * (max_u - min_u + 1) div {n_preds}
+                                + (max_u - min_u + 1) div 16 as hi))"""
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(
+        F.concat(F.col("p.family"), F.lit("_"), F.col("p.k")).alias("pred"),
+        F.col("p.family").alias("family"),
+        F.col("p.lo").alias("lo"),
+        F.col("p.hi").alias("hi"),
+    ).localCheckpoint()
+    _release_checkpoint(base)
+    _release_checkpoint(keyed)
+    hits = (
+        env.crossJoin(F.broadcast(preds))
+        .where(
+            F.when(
+                F.col("family") == "ts",
+                (F.col("f_emin") < F.col("hi")) & (F.col("f_emax") >= F.col("lo")),
+            ).otherwise(
+                (F.col("f_umin") < F.col("hi")) & (F.col("f_umax") >= F.col("lo"))
+            )
+        )
+        .groupBy("layout", "pred")
+        .agg(F.count("*").cast("long").alias("files_hit"))
+    )
+    nfiles = env.groupBy("layout").agg(F.count("*").cast("long").alias("n_files"))
+    grid = nfiles.select("layout").crossJoin(preds.select("pred"))
+    return (
+        grid.join(nfiles, "layout")
+        .join(hits, ["layout", "pred"], "left")
+        .select(
+            "layout",
+            "pred",
+            "n_files",
+            F.coalesce(F.col("files_hit"), F.lit(0)).cast("long").alias("files_hit"),
+            F.round(
+                (F.col("n_files") - F.coalesce(F.col("files_hit"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("n_files").cast("double"),
+                6,
+            ).alias("skip_rate"),
+        )
+    )

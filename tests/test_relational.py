@@ -3310,3 +3310,203 @@ def test_betweenness_oracle_sigma_dp_braided_graph():
                     sigma[w] += sigma[u]
         for n, sg in sigma.items():
             assert got[(s, n)] == sg, (s, n)
+
+
+def _xy2d_reference(bits, x, y):
+    """Independent pure-python Hilbert index: the public xy2d loop
+    transcribed with OWN bit ops (&, ^, shifts — not the div/mod CASE
+    text the two engines share)."""
+    n = 1 << bits
+    d = 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_index_matches_pure_python_xy2d():
+    """r18 audit-protocol test for the shared hilbert_chain text: the
+    generated div/mod CASE chain, executed over every grid point, must
+    equal an independent bit-op transcription of the public xy2d
+    algorithm — and that reference must itself be a true Hilbert curve
+    (bijective onto [0, 4^bits), consecutive indices grid-adjacent)."""
+    import duckdb
+
+    from datalake_local_spark.functions.hilbert import hilbert_chain
+
+    for bits in (2, 4, 5):
+        n = 1 << bits
+        lvls, prev = [], "grid"
+        for i, (d_sql, x_sql, y_sql) in enumerate(hilbert_chain(bits=bits, div="//")):
+            lvls.append(
+                f"lvl{i} AS (SELECT x0, y0, {x_sql} AS hx, {y_sql} AS hy,"
+                f" {d_sql} AS hd FROM {prev})"
+            )
+            prev = f"lvl{i}"
+        got = dict(
+            duckdb.sql(
+                f"""
+                WITH grid AS (
+                    SELECT a.x AS x0, b.y AS y0, a.x AS hx, b.y AS hy,
+                           CAST(0 AS BIGINT) AS hd
+                    FROM (SELECT unnest(range(0, {n})) AS x) a,
+                         (SELECT unnest(range(0, {n})) AS y) b
+                ),
+                {','.join(lvls)}
+                SELECT (x0, y0), hd FROM {prev}
+                """
+            ).fetchall()
+        )
+        ref = {}
+        for x in range(n):
+            for y in range(n):
+                ref[(x, y)] = _xy2d_reference(bits, x, y)
+        assert got == ref, bits
+        # the reference is a true Hilbert curve
+        inv = {d: xy for xy, d in ref.items()}
+        assert sorted(inv) == list(range(n * n))  # bijective
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, d  # unit steps
+
+
+def test_hilbert_truncated_levels_match_full_prefix():
+    """The prefix property the operator's 100 TB posture rests on: k
+    chained levels produce the full index with its low 2(bits−k) bits
+    zeroed, so file = hd div (4^bits / n_files) is bit-identical to the
+    full chain whenever n_files <= 4^k. Checked against the independent
+    python reference over the whole bits=6 grid."""
+    import duckdb
+
+    from datalake_local_spark.functions.hilbert import hilbert_chain
+
+    bits, levels, n_files = 6, 2, 16  # n_files = 16 <= 4^2
+    n = 1 << bits
+    zdiv = (1 << (2 * bits)) // n_files
+    lvls, prev = [], "grid"
+    for i, (d_sql, x_sql, y_sql) in enumerate(
+        hilbert_chain(bits=bits, div="//", levels=levels)
+    ):
+        lvls.append(
+            f"lvl{i} AS (SELECT x0, y0, {x_sql} AS hx, {y_sql} AS hy,"
+            f" {d_sql} AS hd FROM {prev})"
+        )
+        prev = f"lvl{i}"
+    got = dict(
+        duckdb.sql(
+            f"""
+            WITH grid AS (
+                SELECT a.x AS x0, b.y AS y0, a.x AS hx, b.y AS hy,
+                       CAST(0 AS BIGINT) AS hd
+                FROM (SELECT unnest(range(0, {n})) AS x) a,
+                     (SELECT unnest(range(0, {n})) AS y) b
+            ),
+            {','.join(lvls)}
+            SELECT (x0, y0), hd FROM {prev}
+            """
+        ).fetchall()
+    )
+    mask = 1 << (2 * (bits - levels))
+    for x in range(n):
+        for y in range(n):
+            full = _xy2d_reference(bits, x, y)
+            assert got[(x, y)] == full - full % mask, (x, y)
+            assert got[(x, y)] // zdiv == full // zdiv, (x, y)
+
+
+def test_hilbert_skipping_matches_python_replay(spark):
+    """r18 ("which curve" A/B closer): the two-curve skipping report
+    matches a pure-python replay whose BOTH keys are computed with
+    their own bit loops (shift/mask Morton interleave; bit-op xy2d
+    Hilbert), and the narrative invariant holds: each curve layout
+    skips a large fraction on BOTH predicate families."""
+    import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datalake_local_spark.operators import layout as ops_layout
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (i, t0 + datetime.timedelta(minutes=3 * i + (i % 5)),
+             (37 * i) % 101, "view", 1.0, "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["layout"], r["pred"]): (r["n_files"], r["files_hit"], r["skip_rate"])
+        for r in ops_layout.hilbert_skipping_report(df).collect()
+    }
+
+    es = [
+        int(r[1].replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        for r in rows
+    ]
+    us = [r[2] for r in rows]
+    min_e, max_e, min_u, max_u = min(es), max(es), min(us), max(us)
+    span_e, span_u = max_e - min_e + 1, max_u - min_u + 1
+
+    def morton(xv, yv):
+        z = 0
+        for b in range(16):
+            z |= ((xv >> b) & 1) << (2 * b)
+            z |= ((yv >> b) & 1) << (2 * b + 1)
+        return z
+
+    zdiv = (1 << 32) // 64
+    fid = {"by_zorder": [], "by_hilbert": []}
+    for e, u in zip(es, us):
+        nx = ((e - min_e) // 1000) * 65535 // max(1, (max_e - min_e) // 1000)
+        ny = (u - min_u) * 65535 // max(1, max_u - min_u)
+        fid["by_zorder"].append(morton(nx, ny) // zdiv)
+        # the truncated engine chain == full-index floor-div (the
+        # prefix property asserted above), so the replay uses the FULL
+        # independent reference
+        fid["by_hilbert"].append(_xy2d_reference(16, nx, ny) // zdiv)
+    preds = {}
+    for k in range(4):
+        lo = min_e + k * span_e // 4
+        preds[f"ts_{k}"] = ("ts", lo, lo + span_e // 16)
+        lo_u = min_u + k * span_u // 4
+        preds[f"user_{k}"] = ("user", lo_u, lo_u + span_u // 16)
+    for lay in ("by_zorder", "by_hilbert"):
+        env = {}
+        for i in range(len(rows)):
+            f = fid[lay][i]
+            emin, emax, umin, umax = env.get(f, (es[i], es[i], us[i], us[i]))
+            env[f] = (
+                min(emin, es[i]), max(emax, es[i]),
+                min(umin, us[i]), max(umax, us[i]),
+            )
+        nf = len(env)
+        for pred, (fam, lo, hi) in preds.items():
+            if fam == "ts":
+                hit = sum(1 for (a, b, _, _) in env.values() if a < hi and b >= lo)
+            else:
+                hit = sum(1 for (_, _, c, d) in env.values() if c < hi and d >= lo)
+            sr = float(
+                Decimal(repr((nf - hit) / nf)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            assert got[(lay, pred)] == (nf, hit, sr), (lay, pred)
+
+    def mean_skip(lay, fam):
+        vals = [got[(lay, p)][2] for p, (f, _, _) in preds.items() if f == fam]
+        return sum(vals) / len(vals)
+
+    for lay in ("by_zorder", "by_hilbert"):
+        assert mean_skip(lay, "ts") > 0.5, lay
+        assert mean_skip(lay, "user") > 0.5, lay

@@ -203,6 +203,19 @@ MANIFEST: dict[str, dict] = {
         tests=["test_zvalue_interleave_hand_computed",
                "test_zorder_buckets_are_locally_tight"],
         note="renders the shared zvalue term sum with //"),
+    "hilbert_chain": dict(
+        mech="B", queries=["lake_hilbert_skipping"],
+        tests=["test_hilbert_index_matches_pure_python_xy2d",
+               "test_hilbert_truncated_levels_match_full_prefix",
+               "test_hilbert_skipping_matches_python_replay"],
+        note="same generated rotate/reflect projection chain both "
+             "engines; reference transcribes public xy2d with its own "
+             "bit ops and asserts bijectivity + unit-step adjacency"),
+    "_hilbert_skipping_oracle_sql": dict(
+        mech="B", queries=["lake_hilbert_skipping"],
+        tests=["test_hilbert_skipping_matches_python_replay"],
+        note="renders the shared hilbert/zvalue/normalize text with //; "
+             "replay re-derives file ids, envelopes, hits in pure python"),
     "_zorder_skipping_oracle_sql": dict(
         mech="B", queries=["lake_zorder_skipping"],
         tests=["test_zorder_skipping_matches_python_replay",
