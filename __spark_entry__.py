@@ -309,8 +309,11 @@ _CERTIFY_FIRST = [
     "text_kn_bigram_logprob",
     # ---- NEW in round 18 ----
     "lake_hilbert_skipping",  # NEW r18: Hilbert vs Morton A/B closer
+    "text_pack_bpe",  # NEW r18: tokenizer-aware packing (BPE budget)
     # ---- code/oracle CHANGED in round 18 ----
     "lake_zorder_skipping",  # r18: offset-first ms prescale (both sides)
+    "text_bpe_merges",  # r18: rows-only -> oracle (relational replay)
+    "text_bpe_encode",  # r18: rows-only -> oracle (relational replay)
     # ---- the r8 cohort, drained in full (35 names; driver rows were
     # 10 rounds old) ----
     "dq_benford",
@@ -356,11 +359,10 @@ _CERTIFY_FIRST = [
     "events_cumulative_users",
     "events_interarrival",
     "events_multigrain_rollup",
-    "events_peak_concurrency",
-    "graph_degree_profile",
-    "pipeline_shard_manifest",
     # r19 queue HEAD: the remaining r10-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
+    # events_peak_concurrency, graph_degree_profile,
+    # pipeline_shard_manifest,
     # scalar_ip_funcs, semantic_ohlcv_daily, sim_ann_recall_report, sim_quantize_int8,
     # sql_interactive, streaming_foreachbatch_upsert,
     # streaming_sessionize, streaming_sliding,
@@ -832,6 +834,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_supplier_part_counts": lambda s, d: tpch.supplier_part_counts(*_t(s, d, "lineitem", "part", "supplier")),
         "text_contamination": lambda s, d: text.benchmark_contamination(*_t(s, d, "documents")),
         "text_pack_sequences": lambda s, d: text.pack_sequences(*_t(s, d, "documents")),
+        "text_pack_bpe": lambda s, d: text.pack_sequences_bpe(*_t(s, d, "documents")),
         "text_quality_gate": lambda s, d: text.quality_gate(*_t(s, d, "documents")),
         "pipeline_quality_sweep": lambda s, d: text.quality_threshold_sweep(*_t(s, d, "documents")),
         "pipeline_dataset_card": lambda s, d: llm_pipeline.dataset_card(*_t(s, d, "documents")),
@@ -1565,6 +1568,113 @@ def _zorder_skipping_oracle_sql(n_files: int = 64, n_preds: int = 4, bits: int =
         JOIN nfiles nf ON nf.layout = g.layout
         LEFT JOIN hits h ON h.layout = g.layout AND h.pred = g.pred
     """
+
+
+def _bpe_replay_oracle_ctes(n_merges: int = 20) -> str:
+    """DuckDB replay of the BPE arc (NEW r18 — converts text_bpe_merges
+    / text_bpe_encode from rows-only to oracle-backed and feeds
+    text_pack_bpe): WITH-body CTEs ending in ``merges(rank, left,
+    right, merged, pair_count)`` and ``wordlen(w, n_subtokens)``.
+
+    Same public algorithm (Sennrich et al. 2016), INDEPENDENT mechanism
+    (the audit-protocol point): where the Spark kernel applies each
+    merge as a greedy left-to-right ``aggregate`` fold, this replay is
+    purely relational — candidate positions where (s[i], s[i+1]) equals
+    the round's argmax pair, maximal runs of consecutive candidates via
+    the i − row_number() trick, and the greedy non-overlap choice as
+    odd ranks within each run (overlap only ever ties CONSECUTIVE
+    candidates for a pair merge, so alternation IS greedy); the
+    survivor positions rebuild each word's symbol list with
+    ``list(... ORDER BY j)``. Pair counts are overlapping-adjacent sums
+    weighted by word count; the argmax tie-breaks (count DESC, left,
+    right) — both exactly the Spark semantics. Every per-round CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs, and sym{{r}} has three
+    consumers, so inlining would re-evaluate the chain exponentially
+    (~3^rounds — the prototype hung; materialized it is sub-second).
+
+    The word-grain loop is the same 100 TB shape as the Spark side:
+    rounds touch the vocabulary relation, never the corpus."""
+    parts = [f"""
+            words AS MATERIALIZED (
+                SELECT t.w AS w, count(*) AS n
+                FROM (SELECT string_split({_NORM}, ' ') AS l FROM documents),
+                     LATERAL unnest(l) AS t(w)
+                WHERE length(t.w) > 0
+                GROUP BY 1
+            ),
+            sym0 AS MATERIALIZED (
+                SELECT w, n,
+                       list_transform(range(1, length(w) + 1),
+                                      i -> substring(w, CAST(i AS INTEGER), 1)) AS s
+                FROM words
+            )"""]
+    for r in range(n_merges):
+        parts.append(f"""
+            pairs{r} AS MATERIALIZED (
+                SELECT s[i] AS a, s[i + 1] AS b, sum(n) AS c
+                FROM sym{r}, LATERAL unnest(range(1, len(s))) AS u(i)
+                GROUP BY 1, 2
+            ),
+            best{r} AS MATERIALIZED (
+                SELECT a, b, a || b AS m, CAST(c AS BIGINT) AS c
+                FROM pairs{r} ORDER BY c DESC, a, b LIMIT 1
+            ),
+            cand{r} AS MATERIALIZED (
+                SELECT t.w, t.i
+                FROM (SELECT w, s, i FROM sym{r},
+                      LATERAL unnest(range(1, len(s))) AS u(i)) t, best{r} bb
+                WHERE t.s[i] = bb.a AND t.s[i + 1] = bb.b
+            ),
+            pick{r} AS MATERIALIZED (
+                SELECT w, i FROM (
+                    SELECT w, i,
+                           row_number() OVER (PARTITION BY w, i - rn ORDER BY i) AS rk
+                    FROM (SELECT w, i,
+                                 row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+                          FROM cand{r})
+                ) WHERE rk % 2 = 1
+            ),
+            sym{r + 1} AS MATERIALIZED (
+                SELECT g.w, g.n,
+                       list(CASE WHEN p.i IS NOT NULL THEN g.s[g.j] || g.s[g.j + 1]
+                                 ELSE g.s[g.j] END ORDER BY g.j) AS s
+                FROM (SELECT w, n, s, j FROM sym{r},
+                      LATERAL unnest(range(1, len(s) + 1)) AS u(j)) g
+                LEFT JOIN pick{r} p  ON p.w = g.w AND p.i = g.j
+                LEFT JOIN pick{r} p2 ON p2.w = g.w AND p2.i = g.j - 1
+                WHERE p2.i IS NULL
+                GROUP BY g.w, g.n
+            )""")
+    merges_union = "\n                UNION ALL\n                ".join(
+        f'SELECT CAST({r + 1} AS INTEGER) AS rank, a AS "left", b AS "right",'
+        f" m AS merged, c AS pair_count FROM best{r}"
+        for r in range(n_merges)
+    )
+    parts.append(f"""
+            merges AS (
+                {merges_union}
+            ),
+            wordlen AS MATERIALIZED (
+                SELECT w, CAST(len(s) AS INTEGER) AS n_subtokens FROM sym{n_merges}
+            )""")
+    return ",".join(parts)
+
+
+#: per-doc BPE token counts over the replay's wordlen — the shared tail
+#: of the text_bpe_encode and text_pack_bpe oracles
+_BPE_PERDOC_CTES = f"""
+            btoks AS (
+                SELECT doc_id, t.w AS w
+                FROM (SELECT doc_id, string_split({_NORM}, ' ') AS l FROM documents),
+                     LATERAL unnest(l) AS t(w)
+                WHERE length(t.w) > 0
+            ),
+            per_doc AS (
+                SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+                       CAST(sum(n_subtokens) AS BIGINT) AS n_subword_tokens,
+                       CAST(sum(length(w)) AS BIGINT) AS n_chars
+                FROM btoks JOIN wordlen USING (w) GROUP BY 1
+            )"""
 
 
 def _hilbert_skipping_oracle_sql(n_files: int = 64, n_preds: int = 4, bits: int = 16) -> str:
@@ -5547,6 +5657,62 @@ def _oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM binned GROUP BY 1, 2
+        """,
+        # NEW r18 (r17 verdict #7b): the BPE arc becomes oracle-backed —
+        # the relational greedy-merge replay (_bpe_replay_oracle_ctes,
+        # an independent mechanism from the Spark fold) certifies the
+        # merge table, the per-doc subword counts, and the
+        # tokenizer-aware packing built on them.
+        "text_bpe_merges": f"""
+            WITH {_bpe_replay_oracle_ctes()}
+            SELECT rank, "left", "right", merged, pair_count FROM merges
+        """,
+        "text_bpe_encode": f"""
+            WITH {_bpe_replay_oracle_ctes()},
+            {_BPE_PERDOC_CTES}
+            SELECT d.doc_id,
+                   coalesce(p.n_words, 0) AS n_words,
+                   CAST(coalesce(p.n_subword_tokens, 0) AS BIGINT) AS n_subword_tokens,
+                   CAST(coalesce(p.n_chars, 0) AS BIGINT) AS n_chars,
+                   CASE WHEN p.n_words > 0 THEN
+                       round(CAST(p.n_subword_tokens AS DOUBLE) / p.n_words, 6)
+                   END AS tokens_per_word
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "text_pack_bpe": f"""
+            WITH {_bpe_replay_oracle_ctes()},
+            {_BPE_PERDOC_CTES},
+            enc AS (
+                SELECT d.doc_id,
+                       coalesce(p.n_words, 0) AS n_words,
+                       coalesce(p.n_subword_tokens, 0) AS n_tokens
+                FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ),
+            wsb AS (
+                SELECT doc_id,
+                       CAST(floor(coalesce(sum(n_tokens) OVER (
+                            PARTITION BY doc_id % 8 ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            / 512) AS BIGINT) AS ws_bin_id
+                FROM (SELECT doc_id, len(string_split({_NORM}, ' ')) AS n_tokens
+                      FROM documents)
+            ),
+            binned AS (
+                SELECT doc_id, doc_id % 8 AS shard_id, n_tokens, n_words,
+                       CAST(floor(coalesce(sum(n_tokens) OVER (
+                            PARTITION BY doc_id % 8 ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            / 512) AS BIGINT) AS bin_id
+                FROM enc
+            )
+            SELECT b.shard_id, b.bin_id, count(*) AS n_docs,
+                   CAST(sum(b.n_tokens) AS BIGINT) AS total_bpe_tokens,
+                   CAST(sum(b.n_words) AS BIGINT) AS total_ws_words,
+                   CAST(sum(CASE WHEN b.bin_id <> w.ws_bin_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_moved_vs_ws,
+                   min(b.doc_id) AS first_doc, max(b.doc_id) AS last_doc
+            FROM binned b JOIN wsb w USING (doc_id)
+            GROUP BY 1, 2
         """,
         "text_quality_gate": f"""
             WITH t AS (

@@ -184,8 +184,10 @@ BENCH_QUERIES = [
     # and the Morton-layout skipping report (layout-trio closer)
     "streaming_right_outer_join",
     "lake_zorder_skipping",
-    # round-18: the Hilbert vs Morton A/B (truncated 3-level chain)
+    # round-18: the Hilbert vs Morton A/B (truncated 3-level chain) and
+    # tokenizer-aware packing (BPE encode + two sharded prefix sums)
     "lake_hilbert_skipping",
+    "text_pack_bpe",
     "text_kn_bigram_logprob",
     "pipeline_dsir_weights",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component

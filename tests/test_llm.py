@@ -4167,3 +4167,82 @@ def test_kn_bigram_random_fixture_matches_reference(spark):
         assert abs(r["min_log10_p"] - min(lps)) < 2e-6, i
         checked += 1
     assert checked >= 55  # non-vacuous
+
+
+def test_pack_sequences_bpe_matches_reference(spark):
+    """r18 (tokenizer-aware packing): bin assignments and stats equal a
+    pure-python replay (reference BPE train+encode per word, sharded
+    prefix-sum packing both by subword and by whitespace counts), and
+    the fixture is crafted so at least one document provably lands in a
+    DIFFERENT window than whitespace packing puts it — the number the
+    query exists to certify."""
+    from collections import Counter
+
+    texts = [
+        "low low lower lowest",            # merge-friendly: few subwords
+        "xq zv qj vx",                     # merge-hostile: ~1 subword/char
+        "newest newest newest widest",
+        "zz qq vv xx jj",
+        "low newest low newest",
+        "qjx vzq xjq",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target, shards, merges_n = 8, 2, 4
+    got = {
+        (r["shard_id"], r["bin_id"]): (
+            r["n_docs"], r["total_bpe_tokens"], r["total_ws_words"],
+            r["n_moved_vs_ws"], r["first_doc"], r["last_doc"],
+        )
+        for r in text.pack_sequences_bpe(
+            docs, target_tokens=target, n_shards=shards, n_merges=merges_n
+        ).collect()
+    }
+
+    # reference BPE (Sennrich pseudocode, own transcription)
+    vocab = Counter(w for t in texts for w in t.split())
+    words = {w: list(w) for w in vocab}
+    for _ in range(merges_n):
+        counts = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += vocab[w]
+        if not counts:
+            break
+        a, b = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[w] = out
+
+    def doc_counts(t):
+        ws = t.split()
+        return len(ws), sum(len(words[w]) for w in ws)
+
+    # sharded prefix-sum packing, both budgets
+    bins, ws_bins = {}, {}
+    for shard in range(shards):
+        ids = [i for i, _ in rows if i % shards == shard]
+        run_bpe = run_ws = 0
+        for i in sorted(ids):
+            n_ws, n_bpe = doc_counts(texts[i])
+            bins[i] = run_bpe // target
+            ws_bins[i] = run_ws // target
+            run_bpe += n_bpe
+            run_ws += n_ws
+    want = {}
+    for i, t in rows:
+        key = (i % shards, bins[i])
+        n_ws, n_bpe = doc_counts(texts[i])
+        cur = want.get(key, (0, 0, 0, 0, i, i))
+        want[key] = (
+            cur[0] + 1, cur[1] + n_bpe, cur[2] + n_ws,
+            cur[3] + (1 if bins[i] != ws_bins[i] else 0),
+            min(cur[4], i), max(cur[5], i),
+        )
+    assert got == want
+    assert sum(v[3] for v in want.values()) > 0, "fixture must move a doc"

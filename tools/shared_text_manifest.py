@@ -239,6 +239,21 @@ MANIFEST: dict[str, dict] = {
         tests=["test_pagerank_matches_pure_python_reference",
                "test_keep_policy_prefers_hub_over_min_id"],
         note="pure-python power iteration"),
+    "_bpe_replay_oracle_ctes": dict(
+        mech="C", queries=["text_bpe_merges", "text_bpe_encode", "text_pack_bpe"],
+        tests=["test_bpe_train_matches_reference",
+               "test_bpe_encode_matches_reference",
+               "test_pack_sequences_bpe_matches_reference"],
+        note="transcribes the Spark trainer's counting/tie-break "
+             "semantics but replays the greedy merge RELATIONALLY "
+             "(run-parity picks, not a fold); pure-python Sennrich "
+             "references certify the formula"),
+    "_BPE_PERDOC_CTES": dict(
+        mech="C", queries=["text_bpe_encode", "text_pack_bpe"],
+        tests=["test_bpe_encode_matches_reference",
+               "test_pack_sequences_bpe_matches_reference"],
+        note="per-doc subword counts over the replay's wordlen; "
+             "python reference recomputes from raw text"),
     "_holt_winters_oracle_sql": dict(
         mech="C", queries=["events_holt_winters", "events_hw_residual_diag"],
         tests=["test_holt_winters_matches_recurrence",
