@@ -211,6 +211,56 @@ def write_zordered(
     )
 
 
+def write_hilbert_clustered(
+    df: DataFrame, path: str, col_x: str, col_y: str, n_files: int = 16, bits: int = 8
+) -> None:
+    """Hilbert-curve clustering on TWO dimensions — the write-side
+    companion of :func:`write_zordered` and the physical half of the
+    r18 curve A/B (``layout.hilbert_skipping_report`` measures the
+    read-side skip rates). Same metadata-grade bounds aggregate and
+    bucketization; the cluster key is the Hilbert index computed by the
+    shared :func:`..functions.hilbert.hilbert_chain` projections
+    (simultaneous per-level (x, y, d) updates via ``withColumns``),
+    then range-partition + sort on it. Hilbert's unit-step adjacency
+    keeps every file's (x, y) envelope at least as tight as Morton's —
+    no curve jumps across the square."""
+    from datalake_local_spark.functions.hilbert import hilbert_chain
+
+    lo_hi = df.agg(
+        F.min(col_x).alias("xlo"), F.max(col_x).alias("xhi"),
+        F.min(col_y).alias("ylo"), F.max(col_y).alias("yhi"),
+    ).collect()[0]
+    span = (1 << bits) - 1
+    bx = F.least(
+        F.lit(span),
+        ((F.col(col_x) - lo_hi["xlo"]) * span / max(lo_hi["xhi"] - lo_hi["xlo"], 1)).cast("long"),
+    )
+    by = F.least(
+        F.lit(span),
+        ((F.col(col_y) - lo_hi["ylo"]) * span / max(lo_hi["yhi"] - lo_hi["ylo"], 1)).cast("long"),
+    )
+    cur = (
+        df.withColumn("__hx", bx)
+        .withColumn("__hy", by)
+        .withColumn("__hd", F.lit(0).cast("long"))
+    )
+    for d_sql, x_sql, y_sql in hilbert_chain(bits=bits, x="__hx", y="__hy", d="__hd"):
+        cur = cur.withColumns(
+            {
+                "__hd": F.expr(d_sql).cast("long"),
+                "__hx": F.expr(x_sql).cast("long"),
+                "__hy": F.expr(y_sql).cast("long"),
+            }
+        )
+    (
+        cur.repartitionByRange(n_files, F.col("__hd"))
+        .sortWithinPartitions("__hd")
+        .drop("__hx", "__hy", "__hd")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def publish_with_audit(
     df: DataFrame,
     publish_dir: str,

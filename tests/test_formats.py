@@ -130,6 +130,30 @@ def test_zorder_files_bound_both_dimensions(spark, tmp_path):
     assert min(y_only) > 10_000 * 0.8  # x-clustering leaves y unbounded
 
 
+def test_hilbert_files_bound_both_dimensions(spark, tmp_path):
+    """r18 write-side of the curve A/B: Hilbert-clustered files must
+    cover small rectangles of (x, y) space exactly like the Morton
+    writer's contract — every file's span on BOTH columns well under
+    the domain — and the row set must survive the rewrite intact."""
+    from datalake_local_spark import maintenance
+
+    df = (
+        spark.range(0, 40_000)
+        .withColumn("x", (F.col("id") * 2654435761 % 10_000).cast("long"))
+        .withColumn("y", (F.col("id") * 40503 % 10_000).cast("long"))
+    )
+    hpath = str(tmp_path / "hilbert")
+    maintenance.write_hilbert_clustered(df, hpath, "x", "y", n_files=16)
+    x_spans = [hi - lo for lo, hi in maintenance.clustered_file_ranges(hpath, "x")]
+    y_spans = [hi - lo for lo, hi in maintenance.clustered_file_ranges(hpath, "y")]
+    assert len(x_spans) == 16
+    assert sorted(x_spans)[len(x_spans) // 2] <= 10_000 / 2
+    assert sorted(y_spans)[len(y_spans) // 2] <= 10_000 / 2
+    back = spark.read.parquet(hpath)
+    assert back.count() == 40_000
+    assert set(back.columns) == {"id", "x", "y"}  # helper columns dropped
+
+
 def test_multi_format_roundtrip_orc_json_csv(spark, tmp_path):
     """Source/sink parity beyond parquet: the same frame round-trips
     through ORC (columnar, native), JSON lines, and headered CSV with

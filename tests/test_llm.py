@@ -4246,3 +4246,24 @@ def test_pack_sequences_bpe_matches_reference(spark):
         )
     assert got == want
     assert sum(v[3] for v in want.values()) > 0, "fixture must move a doc"
+
+
+def test_census_guard_r18_new_plans(spark, tables):
+    """CI guard for the r18 additions' plan shapes: the Hilbert
+    skipping report stays at its single checkpointed projection (0
+    residual finalized scans — the 3 truncated chain levels are
+    row-local projections on the checkpoint), and text_pack_bpe rides
+    the vocab-grain encode + two sharded prefix-sum windows over at
+    most the documents scan pair (encode join + ws-bin join)."""
+    from datalake_local_spark.llm import text as llm_text
+    from datalake_local_spark.operators import layout as ops_layout
+
+    bounds = [
+        ("lake_hilbert_skipping",
+         ops_layout.hilbert_skipping_report(tables["events"]), 1),
+        ("text_pack_bpe",
+         llm_text.pack_sequences_bpe(tables["documents"]), 4),
+    ]
+    for name, df, bound in bounds:
+        n = _final_plan(df).count("FileScan parquet")
+        assert n <= bound, f"{name}: {n} parquet scans (bound {bound})"

@@ -205,6 +205,21 @@ SHOWCASE = {
         "KB-scale manifests, never data bytes. The single shuffle is "
         "the manifest groupBy."
     ),
+    "lake_hilbert_skipping": (
+        "Curve A/B (round 18): ONE events scan materializes the narrow "
+        "(e, u) checkpoint; the Hilbert index is 3 chained row-local "
+        "projection levels (truncated by the prefix property — no "
+        "shuffle, no UDF); everything downstream is file-grain "
+        "envelopes (<= 2*n_files rows) joined against an 8-row "
+        "broadcast predicate grid."
+    ),
+    "text_pack_bpe": (
+        "Tokenizer-aware packing (round 18): the BPE encode runs at "
+        "VOCAB grain (distinct words through one Arrow kernel, merge "
+        "table broadcast); per-doc counts re-join the token stream; "
+        "both packing prefix-sums are windows PARTITIONED by shard "
+        "(doc_id % 8) — never a global orderBy window."
+    ),
 }
 
 SKEW_EPILOGUE = """
