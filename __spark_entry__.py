@@ -187,6 +187,18 @@ def _q_streaming_two_level(spark, sf):
     return event_windows.run_streaming_two_level_agg(spark, sf, query_name=name)
 
 
+def _q_streaming_join_window(spark, sf):
+    """Join→window chained stateful query (NEW r18): oracle-backed —
+    matched pairs all emit from the single data batch; a downstream
+    window emits iff its end < the JOIN OUTPUT watermark = global
+    watermark (min side maxima, ms-truncated, − 2 h) further delayed by
+    the join's 60-min interval bound. STRICT bound probed empirically
+    r18: a window ending exactly at the delayed watermark is withheld;
+    1 ms under it emits (boundary fixtures in test_streaming)."""
+    name = f"stream_join_window_{next(_stream_counter)}"
+    return event_windows.run_streaming_join_then_window(spark, sf, query_name=name)
+
+
 def _q_merge_upsert(spark, sf):
     """MERGE: corrected rows (10% of keys, price uplift, status 'U') +
     brand-new rows (shifted keys), upserted into orders, then profiled."""
@@ -310,6 +322,7 @@ _CERTIFY_FIRST = [
     # ---- NEW in round 18 ----
     "lake_hilbert_skipping",  # NEW r18: Hilbert vs Morton A/B closer
     "text_pack_bpe",  # NEW r18: tokenizer-aware packing (BPE budget)
+    "streaming_join_window",  # NEW r18: join->window chained stateful
     # ---- code/oracle CHANGED in round 18 ----
     "lake_zorder_skipping",  # r18: offset-first ms prescale (both sides)
     "text_bpe_merges",  # r18: rows-only -> oracle (relational replay)
@@ -358,10 +371,9 @@ _CERTIFY_FIRST = [
     "dedup_rate_by_source",
     "events_cumulative_users",
     "events_interarrival",
-    "events_multigrain_rollup",
     # r19 queue HEAD: the remaining r10-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
-    # events_peak_concurrency, graph_degree_profile,
+    # events_multigrain_rollup, events_peak_concurrency, graph_degree_profile,
     # pipeline_shard_manifest,
     # scalar_ip_funcs, semantic_ohlcv_daily, sim_ann_recall_report, sim_quantize_int8,
     # sql_interactive, streaming_foreachbatch_upsert,
@@ -1103,6 +1115,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_trending": _q_streaming_trending,
         "streaming_two_level_agg": _q_streaming_two_level,
+        "streaming_join_window": _q_streaming_join_window,
         "streaming_sessionize": _q_streaming_sessionize,
         # NEW r15 (r14 verdict #7): the same sessionize plan on the
         # RocksDB state store (the 100 TB state knob) + the dynamic-gap
@@ -7038,6 +7051,53 @@ def _oracle_sql() -> dict[str, str]:
                              - 3600000000 AS wm_us
                       FROM events) wm
             WHERE epoch_us(win_start) + 3600000000 <= wm.wm_us
+        """,
+        # NEW r18: join→window chained stateful — matched pairs replay
+        # as the batch interval join (match-time emission, single data
+        # batch); the downstream window emits iff win_end < the join
+        # OUTPUT watermark, i.e. the global watermark (min side maxima,
+        # ms-truncated, − 2 h) further delayed by the join's 60-min
+        # interval bound. STRICT (<): probed empirically at the exact
+        # boundary (withheld) and 1 ms under (emits).
+        "streaming_join_window": """
+            WITH clicks AS (
+                SELECT event_id AS click_id, user_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT event_id AS purchase_id, user_id AS p_user,
+                       ts AS purchase_ts
+                FROM events WHERE event_type = 'purchase'
+            ),
+            wm AS (
+                SELECT CASE WHEN cm IS NULL OR pm IS NULL THEN NULL
+                            ELSE least(cm, pm) - 7200000000 - 3600000000
+                       END AS jwm_us
+                FROM (SELECT
+                    (SELECT (epoch_us(max(click_ts)) // 1000) * 1000
+                     FROM clicks) AS cm,
+                    (SELECT (epoch_us(max(purchase_ts)) // 1000) * 1000
+                     FROM purchases) AS pm)
+            ),
+            matched AS (
+                SELECT p.purchase_ts, p.p_user AS user_id
+                FROM clicks c JOIN purchases p
+                  ON c.user_id = p.p_user
+                 AND p.purchase_ts > c.click_ts
+                 AND epoch_us(p.purchase_ts)
+                     <= epoch_us(c.click_ts) + 3600000000
+            ),
+            win AS (
+                SELECT date_trunc('hour', purchase_ts)
+                       + to_minutes(CAST(floor(minute(purchase_ts)/30)*30
+                                         AS BIGINT)) AS win_start,
+                       CAST(user_id % 4 AS BIGINT) AS user_bucket,
+                       CAST(count(*) AS BIGINT) AS n_matches
+                FROM matched GROUP BY 1, 2
+            )
+            SELECT win_start, user_bucket, n_matches
+            FROM win, wm
+            WHERE epoch_us(win_start) + 1800000000 < wm.jwm_us
         """,
         # NEW r16: full-outer completes the join-mode matrix — both
         # sides' unmatched rows replay under the same final watermark,

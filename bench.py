@@ -184,10 +184,13 @@ BENCH_QUERIES = [
     # and the Morton-layout skipping report (layout-trio closer)
     "streaming_right_outer_join",
     "lake_zorder_skipping",
-    # round-18: the Hilbert vs Morton A/B (truncated 3-level chain) and
-    # tokenizer-aware packing (BPE encode + two sharded prefix sums)
+    # round-18: the Hilbert vs Morton A/B (truncated 3-level chain),
+    # tokenizer-aware packing (BPE encode + two sharded prefix sums),
+    # and the join->window chained-stateful pipeline (two state stores
+    # in one streaming query)
     "lake_hilbert_skipping",
     "text_pack_bpe",
+    "streaming_join_window",
     "text_kn_bigram_logprob",
     "pipeline_dsir_weights",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component

@@ -1023,6 +1023,67 @@ def run_streaming_two_level_agg(
     return sub.table(query_name)
 
 
+def run_streaming_join_then_window(
+    spark: SparkSession,
+    sf_dir: str,
+    within_minutes: int = 60,
+    query_name: str = "stream_join_window",
+) -> DataFrame:
+    """Stream-stream JOIN chained into a time-window AGGREGATION — the
+    second multiple-stateful-operator shape (supported since Spark 3.4/
+    3.5; ``run_streaming_two_level_agg`` covers agg→agg): click-to-
+    purchase attribution joined with the event-time interval condition,
+    then purchase volume counted per (30-min window × user bucket)
+    downstream, both stateful operators maintained by ONE engine
+    pipeline with one propagated watermark. The pre-3.4 answer was two
+    queries glued by a sink.
+
+    Append mode is REQUIRED, so windows the final watermark has not
+    closed are withheld. Under this harness the tail is DETERMINISTIC
+    (single data micro-batch, then the no-data batch advances the
+    watermark), so the query is oracle-backed: matched pairs all emit
+    from the data batch (nothing is late within one batch), and a
+    window emits iff its end <= the final JOIN OUTPUT watermark — the
+    global watermark min(side maxima, ms-truncated) − 2 h, further
+    DELAYED by the join's interval bound (the engine subtracts the
+    time-interval span from the left side's state-cleanup watermark, so
+    the join output's purchase_ts watermark is wm − within_minutes;
+    probed empirically in r18, see the oracle comment).
+
+    Scale shape: join state is two per-partition buffers bounded by the
+    2 h watermark; window state is (window × bucket) counts — the raw
+    stream is buffered once in the join, never again downstream."""
+    sub = _stream_session(spark, "2")
+    clicks, purchases = _click_purchase_streams(sub, sf_dir)
+    joined = clicks.join(purchases, _interval_join_cond(within_minutes)).select(
+        "purchase_ts", F.col("c_user").alias("user_id")
+    )
+    agged = (
+        joined.groupBy(
+            F.window("purchase_ts", "30 minutes").alias("w"),
+            F.pmod(F.col("user_id"), F.lit(4)).alias("user_bucket"),
+        )
+        .agg(F.count("*").alias("n_matches"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("user_bucket").cast("long").alias("user_bucket"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+        )
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agged.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+    return sub.table(query_name)
+
+
 def run_streaming_anomaly(
     spark: SparkSession,
     sf_dir: str,

@@ -798,3 +798,104 @@ def test_streaming_right_outer_join_invariants(spark, tables):
     assert must_emit <= unattributed and must_emit  # non-vacuous
     keys = [(r["click_id"], r["purchase_id"]) for r in out]
     assert len(keys) == len(set(keys))
+
+
+def test_join_then_window_boundary_and_subset(spark, tmp_path):
+    """r18 chained stateful (join → time-window agg): pins the oracle's
+    watermark-cut rule with boundary fixtures. The join OUTPUT
+    watermark = global watermark (min side maxima, ms-truncated, − 2 h
+    delay) further delayed by the join's 60-min interval bound, and the
+    downstream window-emit bound is STRICT: a window ending exactly AT
+    the delayed watermark is withheld; shift the anchor 1 ms and it
+    emits. Also asserts streaming ⊆ batch with equal counts (the
+    late-but-correct append contract)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from datalake_local_spark.streaming import event_windows
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def run_fixture(anchor):
+        rows = [
+            (900, anchor, 99, "click", 1.0, "{}"),
+            (901, anchor, 98, "purchase", 1.0, "{}"),
+            # matched pair in the window [08:30, 09:00) — end 09:00
+            (50, dt.datetime(2024, 1, 2, 8, 30, 0), 1, "click", 1.0, "{}"),
+            (51, dt.datetime(2024, 1, 2, 8, 59, 59), 1, "purchase", 1.0, "{}"),
+            # matched pair in [08:00, 08:30) — end 08:30, always closed
+            (40, dt.datetime(2024, 1, 2, 8, 0, 0), 2, "click", 1.0, "{}"),
+            (41, dt.datetime(2024, 1, 2, 8, 29, 59), 2, "purchase", 1.0, "{}"),
+        ]
+        src = tmp_path / f"src_{anchor.microsecond}"
+        src.mkdir()
+        stage = str(tmp_path / f"stage_{anchor.microsecond}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        shutil.move(
+            glob.glob(f"{stage}/part-*.parquet")[0], str(src / "events.parquet")
+        )
+        out = event_windows.run_streaming_join_then_window(spark, str(src))
+        return {
+            (r["win_start"], r["user_bucket"]): r["n_matches"]
+            for r in out.collect()
+        }
+
+    # anchor 12:00:00.000 → global wm 10:00, join-delayed wm 09:00:
+    # the [08:30, 09:00) window ends EXACTLY at the delayed watermark →
+    # withheld (strict bound); only [08:00, 08:30) emits
+    got_at = run_fixture(dt.datetime(2024, 1, 2, 12, 0, 0))
+    w0830 = (dt.datetime(2024, 1, 2, 8, 0, 0), 2)
+    w0900 = (dt.datetime(2024, 1, 2, 8, 30, 0), 1)
+    assert got_at == {w0830: 1}, got_at
+
+    # anchor 12:00:00.001 → delayed wm 09:00:00.001: the same window is
+    # now 1 ms UNDER the bound → emits
+    got_under = run_fixture(dt.datetime(2024, 1, 2, 12, 0, 0, 1000))
+    assert got_under == {w0830: 1, w0900: 1}, got_under
+
+    # streaming ⊆ batch with equal counts on real data
+    from datalake_local_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    stream_rows = {
+        (r["win_start"], r["user_bucket"]): r["n_matches"]
+        for r in event_windows.run_streaming_join_then_window(
+            spark, SF_DIR, query_name="jw_subset"
+        ).collect()
+    }
+    ev = load_tables(spark, SF_DIR)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    batch = {
+        (r["win_start"], r["user_bucket"]): r["n_matches"]
+        for r in clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")
+            ),
+        )
+        .groupBy(
+            F.window("purchase_ts", "30 minutes").alias("w"),
+            F.pmod(F.col("p_user"), F.lit(4)).alias("user_bucket"),
+        )
+        .agg(F.count("*").alias("n_matches"))
+        .select(F.col("w.start").alias("win_start"), "user_bucket", "n_matches")
+        .collect()
+    }
+    assert stream_rows, "streaming output must be non-empty on testdata"
+    for k, v in stream_rows.items():
+        assert batch.get(k) == v, k
