@@ -323,6 +323,7 @@ _CERTIFY_FIRST = [
     "lake_hilbert_skipping",  # NEW r18: Hilbert vs Morton A/B closer
     "text_pack_bpe",  # NEW r18: tokenizer-aware packing (BPE budget)
     "streaming_join_window",  # NEW r18: join->window chained stateful
+    "ivm_join_refresh",  # NEW r18: delta-join view maintenance
     # ---- code/oracle CHANGED in round 18 ----
     "lake_zorder_skipping",  # r18: offset-first ms prescale (both sides)
     "text_bpe_merges",  # r18: rows-only -> oracle (relational replay)
@@ -370,10 +371,10 @@ _CERTIFY_FIRST = [
     "agg_weighted_median",
     "dedup_rate_by_source",
     "events_cumulative_users",
-    "events_interarrival",
     # r19 queue HEAD: the remaining r10-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
-    # events_multigrain_rollup, events_peak_concurrency, graph_degree_profile,
+    # events_interarrival, events_multigrain_rollup,
+    # events_peak_concurrency, graph_degree_profile,
     # pipeline_shard_manifest,
     # scalar_ip_funcs, semantic_ohlcv_daily, sim_ann_recall_report, sim_quantize_int8,
     # sql_interactive, streaming_foreachbatch_upsert,
@@ -577,6 +578,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_monthly_rollup": lambda s, d: agg.monthly_rollup(*_t(s, d, "orders")),
         "ivm_rollup_refresh": lambda s, d: ivm.ivm_rollup_refresh(*_t(s, d, "orders")),
         "ivm_multigrain_refresh": lambda s, d: ivm.ivm_multigrain_refresh(*_t(s, d, "orders")),
+        "ivm_join_refresh": lambda s, d: ivm.ivm_join_refresh(*_t(s, d, "orders", "customer")),
         "ivm_bitmap_distinct": lambda s, d: ivm.ivm_bitmap_distinct(*_t(s, d, "orders")),
         "agg_argmax": lambda s, d: agg.argmax_aggregates(*_t(s, d, "orders")),
         "agg_conditional": lambda s, d: agg.conditional_aggregates(*_t(s, d, "lineitem")),
@@ -3061,6 +3063,35 @@ def _oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / 10000.0 AS avg_price,
                    min_price, max_price
             FROM g
+        """,
+        # NEW r18: join-view IVM — the oracle recomputes the segment ×
+        # month revenue view from scratch over the post-change base
+        # JOIN; a hash match against the O(delta)-refreshed Spark view
+        # certifies refreshed ≡ recomputed (the delta-join rule,
+        # Blakeley et al. 1986).
+        "ivm_join_refresh": """
+            WITH new_base AS (
+                SELECT o_custkey, o_orderdate,
+                       CASE WHEN o_orderkey % 53 = 0
+                            THEN o_totalprice + 100.0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_custkey, o_orderdate, o_totalprice + 55.25
+                FROM orders WHERE o_orderkey % 101 = 0
+            ),
+            j AS (
+                SELECT c.c_mktsegment AS segment,
+                       CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+                           AS order_month,
+                       CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 100
+                            AS BIGINT) AS cents
+                FROM new_base o JOIN customer c ON o.o_custkey = c.c_custkey
+            )
+            SELECT segment, order_month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(cents) / 100.0, 2) AS sum_price
+            FROM j GROUP BY 1, 2
         """,
         "ivm_rollup_refresh": """
             WITH new_base AS (

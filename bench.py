@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "lake_hilbert_skipping",
     "text_pack_bpe",
     "streaming_join_window",
+    # delta-join view maintenance: O(delta) refresh, fact never rescanned
+    "ivm_join_refresh",
     "text_kn_bigram_logprob",
     "pipeline_dsir_weights",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component

@@ -754,3 +754,37 @@ def test_csv_dialect_scan_parity_roundtrip(spark, tables):
         p: os.stat(p).st_mtime_ns
         for p in glob.glob(os.path.join(path, "*.csv"))
     } == state
+
+
+def test_ivm_join_refresh_hand_computed(spark):
+    """r18 join-view IVM: the delta-join refresh (dV = dO join C — the
+    post-change fact table is never rescanned; derive_cdc_states'
+    new_base is deliberately unused) matches a hand-computed view on a
+    fixture exercising every change class: a surviving row, an update
+    (+100), a delete that KILLS its (segment, month) group, and an
+    insert-clone (+55.25) that grows its group to two rows."""
+    import datetime as dt
+
+    from datalake_local_spark.operators import ivm
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, dt.date(2024, 1, 15), 100.0),   # plain: survives as-is
+            (53, 2, dt.date(2024, 1, 20), 200.0),  # update: -> 300.00
+            (97, 1, dt.date(2024, 2, 10), 400.0),  # delete: (A, Feb) dies
+            (101, 2, dt.date(2024, 2, 5), 500.0),  # stays + clone at 555.25
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(1, "SEG_A"), (2, "SEG_B")], "c_custkey long, c_mktsegment string"
+    )
+    got = {
+        (r["segment"], str(r["order_month"])[:7]): (r["n_orders"], r["sum_price"])
+        for r in ivm.ivm_join_refresh(orders, customer).collect()
+    }
+    assert got == {
+        ("SEG_A", "2024-01"): (1, 100.00),
+        ("SEG_B", "2024-01"): (1, 300.00),
+        ("SEG_B", "2024-02"): (2, 1055.25),
+    }, got
