@@ -350,14 +350,22 @@ def main() -> None:
         # compressed form, the map is DROPPED rather than shipping an
         # unparseable tail (the r12 failure mode), and BENCH_local.json
         # remains the fallback of record.
+        # 2dp inside the compressed map (10 ms granularity — an order
+        # under the documented host-variance band; the 3dp record stays
+        # in BENCH_local.json): at 102 queries the 3dp line reached
+        # 1899 chars, one char under the old guard
         "codec": "zlib+b85",
         "queries_z": base64.b85encode(
             zlib.compress(
-                json.dumps(times, separators=(",", ":")).encode(), 9
+                json.dumps(
+                    {k: round(v, 2) for k, v in times.items()},
+                    separators=(",", ":"),
+                ).encode(),
+                9,
             )
         ).decode(),
     }
-    if len(json.dumps(summary, separators=(",", ":"))) > 1900:
+    if len(json.dumps(summary, separators=(",", ":"))) > 1980:
         summary.pop("queries_z")
         summary["codec"] = "overflow-see-detail-file"
     print(json.dumps(summary, separators=(",", ":")))
