@@ -324,6 +324,7 @@ _CERTIFY_FIRST = [
     "text_pack_bpe",  # NEW r18: tokenizer-aware packing (BPE budget)
     "streaming_join_window",  # NEW r18: join->window chained stateful
     "ivm_join_refresh",  # NEW r18: delta-join view maintenance
+    "graph_hits",  # NEW r18: fixed-depth integer HITS walk counts
     # ---- code/oracle CHANGED in round 18 ----
     "lake_zorder_skipping",  # r18: offset-first ms prescale (both sides)
     "text_bpe_merges",  # r18: rows-only -> oracle (relational replay)
@@ -370,10 +371,9 @@ _CERTIFY_FIRST = [
     "agg_mode_family",
     "agg_weighted_median",
     "dedup_rate_by_source",
-    "events_cumulative_users",
     # r19 queue HEAD: the remaining r10-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
-    # events_interarrival, events_multigrain_rollup,
+    # events_cumulative_users, events_interarrival, events_multigrain_rollup,
     # events_peak_concurrency, graph_degree_profile,
     # pipeline_shard_manifest,
     # scalar_ip_funcs, semantic_ohlcv_daily, sim_ann_recall_report, sim_quantize_int8,
@@ -947,6 +947,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closeness": lambda s, d: dedup.closeness_centrality(
             *_t(s, d, "documents"), local_threshold=10_000
         ),
+        "graph_hits": lambda s, d: dedup.hits_walk_centrality(*_t(s, d, "documents")),
         "graph_assortativity": lambda s, d: dedup.graph_degree_assortativity(*_t(s, d, "documents")),
         "dedup_entity_fuzzy": lambda s, d: dedup.fuzzy_entity_pairs(*_t(s, d, "part")),
         "text_phrase_search": lambda s, d: text.phrase_search(*_t(s, d, "documents")),
@@ -8070,6 +8071,76 @@ def _oracle_sql() -> dict[str, str]:
                    coalesce(m.n_mid_pairs, 0) AS n_mid_pairs,
                    coalesce(m.betweenness, 0.0) AS betweenness
             FROM gnodes g LEFT JOIN mids m ON m.v = g.id
+        """,
+        # NEW r18: fixed-depth integer HITS — alternating-walk counts
+        # over the doc_a -> doc_b oriented pair feed (k = 3 double
+        # steps as chained CTEs; exact BIGINTs, one final division per
+        # score). Orientation: dedges is pairs AS-IS, not the
+        # symmetrized edges0 the undirected diagnostics use.
+        "graph_hits": f"""
+            WITH {_PAIR_FEED_CTES},
+            dedges AS (SELECT doc_a AS s, doc_b AS d FROM pairs),
+            gnodes AS (SELECT DISTINCT s AS id FROM edges0),
+            h0 AS (SELECT id, CAST(1 AS BIGINT) AS w FROM gnodes),
+            a1 AS (
+                SELECT g.id, CAST(coalesce(sum(h.w), 0) AS BIGINT) AS w
+                FROM gnodes g
+                LEFT JOIN dedges e ON e.d = g.id
+                LEFT JOIN h0 h ON h.id = e.s
+                GROUP BY g.id
+            ),
+            h1 AS (
+                SELECT g.id, CAST(coalesce(sum(a.w), 0) AS BIGINT) AS w
+                FROM gnodes g
+                LEFT JOIN dedges e ON e.s = g.id
+                LEFT JOIN a1 a ON a.id = e.d
+                GROUP BY g.id
+            ),
+            a2 AS (
+                SELECT g.id, CAST(coalesce(sum(h.w), 0) AS BIGINT) AS w
+                FROM gnodes g
+                LEFT JOIN dedges e ON e.d = g.id
+                LEFT JOIN h1 h ON h.id = e.s
+                GROUP BY g.id
+            ),
+            h2 AS (
+                SELECT g.id, CAST(coalesce(sum(a.w), 0) AS BIGINT) AS w
+                FROM gnodes g
+                LEFT JOIN dedges e ON e.s = g.id
+                LEFT JOIN a2 a ON a.id = e.d
+                GROUP BY g.id
+            ),
+            a3 AS (
+                SELECT g.id, CAST(coalesce(sum(h.w), 0) AS BIGINT) AS w
+                FROM gnodes g
+                LEFT JOIN dedges e ON e.d = g.id
+                LEFT JOIN h2 h ON h.id = e.s
+                GROUP BY g.id
+            ),
+            h3 AS (
+                SELECT g.id, CAST(coalesce(sum(a.w), 0) AS BIGINT) AS w
+                FROM gnodes g
+                LEFT JOIN dedges e ON e.s = g.id
+                LEFT JOIN a3 a ON a.id = e.d
+                GROUP BY g.id
+            ),
+            mx AS (
+                SELECT max(h3.w) AS hmax, max(a3.w) AS amax
+                FROM h3 JOIN a3 USING (id)
+            )
+            SELECT g.id AS doc_id,
+                   h3.w AS hub_walks,
+                   a3.w AS auth_walks,
+                   CASE WHEN mx.hmax > 0
+                        THEN round(CAST(h3.w AS DOUBLE) / mx.hmax, 6)
+                   END AS hub_score,
+                   CASE WHEN mx.amax > 0
+                        THEN round(CAST(a3.w AS DOUBLE) / mx.amax, 6)
+                   END AS auth_score
+            FROM gnodes g
+            JOIN h3 ON h3.id = g.id
+            JOIN a3 ON a3.id = g.id
+            CROSS JOIN mx
         """,
         "graph_closeness": f"""
             WITH RECURSIVE {_PAIR_FEED_CTES},

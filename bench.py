@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "streaming_join_window",
     # delta-join view maintenance: O(delta) refresh, fact never rescanned
     "ivm_join_refresh",
+    # fixed-depth integer HITS: 6 node-grain join+agg rounds on the feed
+    "graph_hits",
     "text_kn_bigram_logprob",
     "pipeline_dsir_weights",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component

@@ -3107,6 +3107,89 @@ def graph_degree_assortativity(
     )
 
 
+def hits_walk_centrality(
+    documents: DataFrame,
+    k: int = 3,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Directed HITS at fixed depth as EXACT integer alternating-walk
+    counts (Kleinberg 1999, "Authoritative Sources in a Hyperlinked
+    Environment", JACM — public): duplicate-graph edges oriented
+    doc_a → doc_b (the pair feed's doc_a < doc_b order — the
+    keep-policy orientation, low-id "source" docs pointing at their
+    higher-id duplicates), iterated h⁰ = 1, aⁱ = Aᵀhⁱ⁻¹, hⁱ = A aⁱ for
+    ``k`` double-steps. The classic HITS fixpoint L2-normalizes every
+    round (floats whose sums are partial-aggregation-order-dependent —
+    the exact class the hash gate cannot certify); TRUNCATING at k and
+    skipping normalization keeps every value an exact BIGINT:
+    ``auth_walks(v)`` / ``hub_walks(u)`` count the alternating
+    forward/backward walks Kleinberg's own convergence argument is
+    built on (normalization only rescales each iterate). Scores
+    publish as ONE final division by the max (6dp) — the closeness
+    single-division discipline.
+
+    Interpretation on the dup graph: a high-authority doc is one many
+    duplicate-SOURCES point at (transitively, weighted by how strong
+    those sources are as hubs) — the doc a keep-policy should prefer
+    as the canonical copy; a high hub is a doc whose content fans out
+    into many strong authorities (a template/boilerplate source).
+
+    Scale shape: 2k node-grain join+groupBy rounds over the edge list
+    (component-local traffic after the feed); exact integers stay in
+    BIGINT with huge margin (the oriented feed is a DAG; each double
+    step multiplies counts by ≤ in-deg·out-deg ≤ ~3.6e3 at the 100-node
+    harness cap → ≤ ~5e10 at k = 3). At scale callers pass ``pairs=``
+    from the persisted band index, as with every graph diagnostic."""
+    if pairs is None:
+        pairs = _harness_pair_feed(documents)
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("s").alias("id"))
+        .union(edges.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.select("id", F.lit(1).cast("long").alias("w"))
+    auth = None
+    for _ in range(k):
+        a_in = (
+            edges.join(hub.withColumnRenamed("id", "sid"), F.col("s") == F.col("sid"))
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.sum("w").alias("w_in"))
+        )
+        auth = nodes.join(a_in, "id", "left").select(
+            "id", F.coalesce("w_in", F.lit(0)).cast("long").alias("w")
+        )
+        h_out = (
+            edges.join(auth.withColumnRenamed("id", "did"), F.col("d") == F.col("did"))
+            .groupBy(F.col("s").alias("id"))
+            .agg(F.sum("w").alias("w_out"))
+        )
+        hub = nodes.join(h_out, "id", "left").select(
+            "id", F.coalesce("w_out", F.lit(0)).cast("long").alias("w")
+        )
+    joined = (
+        nodes.join(hub.withColumnRenamed("w", "hub_walks"), "id")
+        .join(auth.withColumnRenamed("w", "auth_walks"), "id")
+    )
+    mx = joined.agg(
+        F.max("hub_walks").alias("hmax"), F.max("auth_walks").alias("amax")
+    )
+    return joined.crossJoin(F.broadcast(mx)).select(
+        F.col("id").alias("doc_id"),
+        "hub_walks",
+        "auth_walks",
+        F.when(
+            F.col("hmax") > 0, F.round(F.col("hub_walks") / F.col("hmax"), 6)
+        ).alias("hub_score"),
+        F.when(
+            F.col("amax") > 0, F.round(F.col("auth_walks") / F.col("amax"), 6)
+        ).alias("auth_score"),
+    )
+
+
 def closeness_centrality(
     documents: DataFrame,
     pairs: DataFrame | None = None,

@@ -4267,3 +4267,61 @@ def test_census_guard_r18_new_plans(spark, tables):
     for name, df, bound in bounds:
         n = _final_plan(df).count("FileScan parquet")
         assert n <= bound, f"{name}: {n} parquet scans (bound {bound})"
+
+
+def test_hits_walk_centrality_hand_computed_and_random(spark):
+    """r18 integer HITS: exact alternating-walk counts match (a) a
+    hand-folded diamond DAG (1->2, 1->3, 2->4, 3->4: after 3 double
+    steps hubs are 8/8/8/0, authorities 0/4/4/8) and (b) a seeded
+    random DAG against an independent pure-python DP. Scores are the
+    single final division, checked against python round()."""
+    import random
+
+    def reference(edges, k=3):
+        nodes = sorted({x for e in edges for x in e})
+        hub = {n: 1 for n in nodes}
+        auth = {}
+        for _ in range(k):
+            auth = {n: 0 for n in nodes}
+            for s, d in edges:
+                auth[d] += hub[s]
+            hub = {n: 0 for n in nodes}
+            for s, d in edges:
+                hub[s] += auth[d]
+        return hub, auth
+
+    def run(edges):
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        return {
+            r["doc_id"]: (r["hub_walks"], r["auth_walks"],
+                          r["hub_score"], r["auth_score"])
+            for r in dedup.hits_walk_centrality(
+                spark.createDataFrame([(0, "x")], "doc_id long, text string"),
+                pairs=pairs,
+            ).collect()
+        }
+
+    diamond = [(1, 2), (1, 3), (2, 4), (3, 4)]
+    got = run(diamond)
+    assert {n: (v[0], v[1]) for n, v in got.items()} == {
+        1: (8, 0), 2: (8, 4), 3: (8, 4), 4: (0, 8)
+    }
+    assert got[1][2] == 1.0 and got[4][2] == 0.0   # hub scores
+    assert got[2][3] == 0.5 and got[4][3] == 1.0   # auth scores
+
+    rng = random.Random(20260816)
+    nodes = list(range(1, 41))
+    edges = sorted({
+        (a, b)
+        for a in nodes
+        for b in nodes
+        if a < b and rng.random() < 0.08
+    })
+    got = run(edges)
+    hub, auth = reference(edges)
+    hmax, amax = max(hub.values()), max(auth.values())
+    for n in hub:
+        assert got[n][0] == hub[n] and got[n][1] == auth[n], n
+        want_h = round(hub[n] / hmax, 6) if hmax > 0 else None
+        want_a = round(auth[n] / amax, 6) if amax > 0 else None
+        assert got[n][2] == want_h and got[n][3] == want_a, n
