@@ -325,6 +325,7 @@ _CERTIFY_FIRST = [
     "streaming_join_window",  # NEW r18: join->window chained stateful
     "ivm_join_refresh",  # NEW r18: delta-join view maintenance
     "graph_hits",  # NEW r18: fixed-depth integer HITS walk counts
+    "dq_pettitt_changepoint",  # NEW r18: nonparametric changepoint
     # ---- code/oracle CHANGED in round 18 ----
     "lake_zorder_skipping",  # r18: offset-first ms prescale (both sides)
     "text_bpe_merges",  # r18: rows-only -> oracle (relational replay)
@@ -370,10 +371,10 @@ _CERTIFY_FIRST = [
     "agg_gini_spend",
     "agg_mode_family",
     "agg_weighted_median",
-    "dedup_rate_by_source",
     # r19 queue HEAD: the remaining r10-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
-    # events_cumulative_users, events_interarrival, events_multigrain_rollup,
+    # dedup_rate_by_source, events_cumulative_users, events_interarrival,
+    # events_multigrain_rollup,
     # events_peak_concurrency, graph_degree_profile,
     # pipeline_shard_manifest,
     # scalar_ip_funcs, semantic_ohlcv_daily, sim_ann_recall_report, sim_quantize_int8,
@@ -948,6 +949,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *_t(s, d, "documents"), local_threshold=10_000
         ),
         "graph_hits": lambda s, d: dedup.hits_walk_centrality(*_t(s, d, "documents")),
+        "dq_pettitt_changepoint": lambda s, d: quality.pettitt_changepoint(*_t(s, d, "orders")),
         "graph_assortativity": lambda s, d: dedup.graph_degree_assortativity(*_t(s, d, "documents")),
         "dedup_entity_fuzzy": lambda s, d: dedup.fuzzy_entity_pairs(*_t(s, d, "part")),
         "text_phrase_search": lambda s, d: text.phrase_search(*_t(s, d, "documents")),
@@ -10496,6 +10498,79 @@ def _oracle_sql() -> dict[str, str]:
                    quantile_cont(s_c2, 0.25) / 10000.0 AS slope_q1,
                    quantile_cont(s_c2, 0.75) / 10000.0 AS slope_q3
             FROM slopes GROUP BY 1 ORDER BY 1
+        """,
+        # NEW r18: Pettitt changepoint — U_t via the W_t recursion
+        # (value-grain cumulative counts -> day-ordered cumulative sum,
+        # all exact integers); argmax |U_t| over t <= n-1, earliest day
+        # on ties; means publish via the exact-integer HALF_UP idiom.
+        "dq_pettitt_changepoint": """
+            WITH daily AS (
+                SELECT o_orderstatus AS status,
+                       CAST(o_orderdate AS DATE) AS day,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS c
+                FROM orders GROUP BY 1, 2
+            ),
+            nd AS (SELECT status, count(*) AS n FROM daily GROUP BY 1),
+            vals AS (
+                SELECT status, c, count(*) AS cnt FROM daily GROUP BY 1, 2
+            ),
+            cle AS (
+                SELECT status, c, cnt,
+                       sum(cnt) OVER (PARTITION BY status ORDER BY c
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cle
+                FROM vals
+            ),
+            wt AS (
+                SELECT d.status, d.day, nd.n,
+                       (nd.n - e.cle) - (e.cle - e.cnt) AS w
+                FROM daily d
+                JOIN cle e ON e.status = d.status AND e.c = d.c
+                JOIN nd ON nd.status = d.status
+            ),
+            ut AS (
+                SELECT status, day, n,
+                       sum(w) OVER (PARTITION BY status ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS u,
+                       row_number() OVER (PARTITION BY status
+                                          ORDER BY day) AS t
+                FROM wt
+            ),
+            best AS (
+                SELECT status, CAST(abs(u) AS BIGINT) AS k_stat,
+                       CAST(u AS BIGINT) AS u_at_cp,
+                       day AS changepoint_day
+                FROM (SELECT *, row_number() OVER (PARTITION BY status
+                                ORDER BY abs(u) DESC, day) AS rk
+                      FROM ut WHERE t < n)
+                WHERE rk = 1
+            ),
+            seg AS (
+                SELECT d.status,
+                       CAST(sum(CASE WHEN d.day <= b.changepoint_day
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+                       sum(CASE WHEN d.day <= b.changepoint_day
+                                THEN d.c ELSE 0 END) AS c_before,
+                       CAST(sum(CASE WHEN d.day > b.changepoint_day
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+                       sum(CASE WHEN d.day > b.changepoint_day
+                                THEN d.c ELSE 0 END) AS c_after
+                FROM daily d JOIN best b ON b.status = d.status
+                GROUP BY 1
+            )
+            SELECT nd.status, CAST(nd.n AS BIGINT) AS n_days,
+                   coalesce(b.k_stat, 0) AS k_stat,
+                   b.u_at_cp, b.changepoint_day,
+                   s.n_before, s.n_after,
+                   CAST((2 * s.c_before + s.n_before)
+                        // (2 * s.n_before) AS DOUBLE) / 100.0 AS mean_before,
+                   CAST((2 * s.c_after + s.n_after)
+                        // (2 * s.n_after) AS DOUBLE) / 100.0 AS mean_after
+            FROM nd
+            LEFT JOIN best b ON b.status = nd.status
+            LEFT JOIN seg s ON s.status = nd.status
         """,
         "dq_mann_kendall": """
             WITH daily AS (

@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "ivm_join_refresh",
     # fixed-depth integer HITS: 6 node-grain join+agg rounds on the feed
     "graph_hits",
+    # Pettitt changepoint: day-grain windows over the exact-cents spine
+    "dq_pettitt_changepoint",
     "text_kn_bigram_logprob",
     "pipeline_dsir_weights",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component

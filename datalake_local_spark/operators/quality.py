@@ -948,6 +948,125 @@ def mann_kendall_trend(orders: DataFrame) -> DataFrame:
     ).orderBy("status")
 
 
+def pettitt_changepoint(orders: DataFrame) -> DataFrame:
+    """Pettitt nonparametric changepoint test (Pettitt 1979, "A
+    Non-parametric Approach to the Change-point Problem", JRSS-C —
+    public) on the daily-revenue series, per order status: the
+    rank-based statistic U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i), with
+    K = max_t |U_t| over t = 1..n−1 and the changepoint at the argmax
+    (earliest day on ties) — the distribution-free "did the level
+    SHIFT, and when" companion to ``mann_kendall_trend``'s monotone
+    direction test (same exact-cents spine, same sign kernel).
+
+    Computed in O(n log n) rather than the definitional O(n²) pair
+    sum via the standard recursion U_t = U_{t−1} + W_t,
+    W_t = Σ_{j=1..n} sgn(x_j − x_t) = (n − #{x ≤ x_t}) − #{x < x_t}:
+    one value-grain cumulative count per status gives every W_t, one
+    day-ordered cumulative sum gives every U_t — all exact integers
+    (cents in, signs out). The published means before/after the
+    changepoint are the only divisions (2dp, exact-integer-cents
+    numerators). A status with a single day has no admissible t; it
+    still reports a row (K = 0, NULL changepoint — the r12
+    don't-vanish lesson).
+
+    Scale shape: both windows are DAY-grain partitioned by status (a
+    bounded calendar dimension, never table-sized); the fact scan
+    that builds the spine dominates at 100 TB, as with the other
+    spine tests."""
+    from pyspark.sql import Window as W
+
+    daily = _daily_status_cents(orders).localCheckpoint()
+    n_days = daily.groupBy("status").agg(F.count("*").alias("n"))
+    vals = daily.groupBy("status", "c").agg(F.count("*").alias("cnt"))
+    wv = W.partitionBy("status").orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    cle = vals.select(
+        "status",
+        "c",
+        F.sum("cnt").over(wv).alias("cle"),
+        (F.sum("cnt").over(wv) - F.col("cnt")).alias("clt"),
+    )
+    wt = (
+        daily.join(cle, ["status", "c"])
+        .join(n_days, "status")
+        .select(
+            "status",
+            "day",
+            "c",
+            "n",
+            ((F.col("n") - F.col("cle")) - F.col("clt")).alias("w"),
+        )
+    )
+    wd = W.partitionBy("status").orderBy("day")
+    ut = wt.select(
+        "status",
+        "day",
+        "c",
+        "n",
+        F.sum("w").over(wd.rowsBetween(W.unboundedPreceding, 0)).alias("u"),
+        F.row_number().over(wd).alias("t"),
+    ).filter(F.col("t") < F.col("n"))  # U_n = 0 by construction; t <= n-1
+    best = (
+        ut.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("status").orderBy(F.abs("u").desc(), F.col("day"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "status",
+            F.abs("u").cast("long").alias("k_stat"),
+            F.col("u").cast("long").alias("u_at_cp"),
+            F.col("day").alias("changepoint_day"),
+        )
+    )
+    seg = (
+        daily.join(best.select("status", "changepoint_day"), "status")
+        .groupBy("status")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("changepoint_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_before"),
+            F.sum(
+                F.when(F.col("day") <= F.col("changepoint_day"), F.col("c")).otherwise(0)
+            ).alias("c_before"),
+            F.sum(F.when(F.col("day") > F.col("changepoint_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after"),
+            F.sum(
+                F.when(F.col("day") > F.col("changepoint_day"), F.col("c")).otherwise(0)
+            ).alias("c_after"),
+        )
+    )
+    return (
+        n_days.join(best, "status", "left")
+        .join(seg, "status", "left")
+        .select(
+            "status",
+            F.col("n").cast("long").alias("n_days"),
+            F.coalesce("k_stat", F.lit(0)).cast("long").alias("k_stat"),
+            F.col("u_at_cp"),
+            "changepoint_day",
+            "n_before",
+            "n_after",
+            # exact-integer HALF_UP mean in cents, then one /100.0 —
+            # the avg_price idiom: a float mean's 2dp rounding flips
+            # with accumulation order, an integer one cannot
+            (
+                F.expr("(2 * c_before + n_before) div (2 * n_before)")
+                .cast("double")
+                / 100.0
+            ).alias("mean_before"),
+            (
+                F.expr("(2 * c_after + n_after) div (2 * n_after)")
+                .cast("double")
+                / 100.0
+            ).alias("mean_after"),
+        )
+        .orderBy("status")
+    )
+
+
 def theil_sen_slope(orders: DataFrame) -> DataFrame:
     """Theil–Sen robust slope estimator over the daily-revenue series,
     per order status (Theil 1950; Sen 1968 — public): the MEDIAN of

@@ -3510,3 +3510,73 @@ def test_hilbert_skipping_matches_python_replay(spark):
     for lay in ("by_zorder", "by_hilbert"):
         assert mean_skip(lay, "ts") > 0.5, lay
         assert mean_skip(lay, "user") > 0.5, lay
+
+
+def test_pettitt_changepoint_matches_bruteforce(spark):
+    """r18 Pettitt test: the O(n log n) W_t-recursion implementation
+    matches the DEFINITIONAL O(n^2) double sum U_t = sum_{i<=t, j>t}
+    sgn(x_j - x_i) computed in pure python on (a) a planted level
+    shift — detected at the plant day — and (b) a flat series, where
+    every U_t is 0 and the earliest-day tie-break pins the reported
+    changepoint at t = 1."""
+    import datetime as dt
+
+    from datalake_local_spark.operators import quality
+
+    base = dt.date(2024, 1, 1)
+    # status X: level 100.xx for 15 days then 200.xx for 15 days
+    # (deterministic wiggle so values are distinct but the shift
+    # dominates); two orders per day to exercise the cents sum
+    rows = []
+    oid = 1
+    daily = []
+    for t in range(30):
+        level = 100.0 if t < 15 else 200.0
+        a = level + (t * 7 % 13) * 0.25
+        b = level + (t * 11 % 17) * 0.125
+        day = base + dt.timedelta(days=t)
+        rows += [(oid, day, "X", a), (oid + 1, day, "X", b)]
+        oid += 2
+        daily.append((day, round(a * 100) + round(b * 1000) // 10))
+    # status Y: flat (identical value every day, one order)
+    for t in range(10):
+        rows.append((oid, base + dt.timedelta(days=t), "Y", 50.0))
+        oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_orderstatus string, o_totalprice double"
+    )
+    got = {
+        r["status"]: r for r in quality.pettitt_changepoint(orders).collect()
+    }
+
+    # definitional brute force for X over exact integer daily cents
+    xs = [c for _, c in daily]
+    n = len(xs)
+    u = [
+        sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(t + 1)
+            for j in range(t + 1, n)
+        )
+        for t in range(n - 1)
+    ]
+    k = max(abs(v) for v in u)
+    t_star = min(t for t, v in enumerate(u) if abs(v) == k)
+    rx = got["X"]
+    assert rx["n_days"] == 30
+    assert rx["k_stat"] == k
+    assert rx["u_at_cp"] == u[t_star]
+    assert rx["changepoint_day"] == daily[t_star][0]
+    assert t_star == 14  # the plant: last low-level day (0-indexed)
+    assert rx["n_before"] == 15 and rx["n_after"] == 15
+    # daily revenue = two orders/day, so the day-grain means sit at ~2x
+    # the per-order level
+    assert 200.0 <= rx["mean_before"] < 210.0
+    assert 400.0 <= rx["mean_after"] < 410.0
+    # exact-integer HALF_UP mean check
+    cb = sum(xs[:15])
+    assert rx["mean_before"] == ((2 * cb + 15) // 30) / 100.0
+
+    ry = got["Y"]
+    assert ry["k_stat"] == 0
+    assert ry["changepoint_day"] == base  # all-zero U -> earliest day
