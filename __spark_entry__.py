@@ -326,6 +326,7 @@ _CERTIFY_FIRST = [
     "ivm_join_refresh",  # NEW r18: delta-join view maintenance
     "graph_hits",  # NEW r18: fixed-depth integer HITS walk counts
     "dq_pettitt_changepoint",  # NEW r18: nonparametric changepoint
+    "text_good_turing",  # NEW r18: GT count-of-counts + missing mass
     # ---- code/oracle CHANGED in round 18 ----
     "lake_zorder_skipping",  # r18: offset-first ms prescale (both sides)
     "text_bpe_merges",  # r18: rows-only -> oracle (relational replay)
@@ -370,10 +371,10 @@ _CERTIFY_FIRST = [
     # ---- r10 cohort by name order, filling to the 50-slot cap ----
     "agg_gini_spend",
     "agg_mode_family",
-    "agg_weighted_median",
     # r19 queue HEAD: the remaining r10-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
-    # dedup_rate_by_source, events_cumulative_users, events_interarrival,
+    # agg_weighted_median, dedup_rate_by_source,
+    # events_cumulative_users, events_interarrival,
     # events_multigrain_rollup,
     # events_peak_concurrency, graph_degree_profile,
     # pipeline_shard_manifest,
@@ -717,6 +718,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": lambda s, d: text.unigram_logprob(*_t(s, d, "documents")),
         "text_bigram_logprob": lambda s, d: text.bigram_logprob(*_t(s, d, "documents")),
         "text_kn_bigram_logprob": lambda s, d: text.kn_bigram_logprob(*_t(s, d, "documents")),
+        "text_good_turing": lambda s, d: text.good_turing_counts(*_t(s, d, "documents")),
         "text_vocab_oov": lambda s, d: text.vocab_oov_profile(*_t(s, d, "documents")),
         "text_pmi_pairs": lambda s, d: text.token_pmi_pairs(*_t(s, d, "documents")),
         "sample_stratified": lambda s, d: tpch.stratified_sample_stats(*_t(s, d, "orders")),
@@ -3735,6 +3737,33 @@ def _oracle_sql() -> dict[str, str]:
         # pure-python fixture test per the r17 audit protocol). All
         # model tables are exact integer counts; mean/min publish at
         # 6dp (the bigram_logprob avg-absorption discipline).
+        # NEW r18: Good-Turing frequency-of-frequencies — exact integer
+        # type/token counts, one division per published ratio (6dp);
+        # r* NULL where N_{{r+1}} = 0 (raw GT undefined, tail left to a
+        # fitted estimator by design).
+        "text_good_turing": f"""
+            WITH toks AS (
+                SELECT t.w AS w
+                FROM (SELECT string_split({_NORM}, ' ') AS l FROM documents),
+                     LATERAL unnest(l) AS t(w)
+                WHERE length(t.w) > 0
+            ),
+            vocab AS (SELECT w, count(*) AS r FROM toks GROUP BY 1),
+            nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+                   FROM vocab GROUP BY 1),
+            total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+            SELECT CAST(a.r AS BIGINT) AS r,
+                   a.n_r,
+                   CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_plus1,
+                   CASE WHEN b.n_r IS NOT NULL THEN
+                       round((a.r + 1) * b.n_r / CAST(a.n_r AS DOUBLE), 6)
+                   END AS r_star,
+                   round((a.r * a.n_r) / CAST(t.n_total AS DOUBLE), 6)
+                       AS mass_share
+            FROM nr a
+            LEFT JOIN nr b ON b.r = a.r + 1
+            CROSS JOIN total t
+        """,
         "text_kn_bigram_logprob": f"""
             WITH lists AS (
                 SELECT doc_id, string_split({_NORM}, ' ') AS l FROM documents

@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "graph_hits",
     # Pettitt changepoint: day-grain windows over the exact-cents spine
     "dq_pettitt_changepoint",
+    # Good-Turing count-of-counts: one corpus scan -> vocab -> r grain
+    "text_good_turing",
     "text_kn_bigram_logprob",
     "pipeline_dsir_weights",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component

@@ -2483,6 +2483,57 @@ _KN_P_SQL = (
 )
 
 
+def good_turing_counts(documents: DataFrame) -> DataFrame:
+    """Good–Turing frequency-of-frequencies table (Good 1953,
+    "The population frequencies of species and the estimation of
+    population parameters", Biometrika — public): the classic smoother
+    beside Kneser–Ney's absolute discounting
+    (:func:`kn_bigram_logprob`). One row per observed unigram count r:
+    N_r (how many vocabulary types occur exactly r times), N_{r+1},
+    the GT-adjusted count r* = (r+1)·N_{r+1}/N_r, and the share of
+    corpus mass sitting at r. The r = 1 row's mass share IS the
+    Good–Turing missing-mass estimate P₀ = N₁/N — the probability the
+    next token is unseen, the number a vocabulary-coverage decision
+    reads first.
+
+    Determinism: token and type counts are exact integers end-to-end;
+    r* and mass_share are one division each (6dp) — no sums of floats
+    anywhere. r* is NULL where N_{r+1} = 0 (the raw GT estimate is
+    undefined there; the literature switches to a fitted tail —
+    Gale/Sampson simple GT — which would need a regression, so the
+    published table keeps the exact part and leaves the tail NULL).
+
+    Scale shape: token stream → vocab-grain counts (map-side combined)
+    → count-of-counts grain (≤ max r rows, tiny); the corpus is
+    scanned once."""
+    toks = documents.select(
+        F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = toks.groupBy("w").agg(F.count("*").alias("r"))
+    nr = vocab.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    total = toks.agg(F.count("*").cast("long").alias("n_total"))
+    nr1 = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_plus1"))
+    return (
+        nr.join(nr1, "r", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            F.coalesce("n_r_plus1", F.lit(0)).cast("long").alias("n_r_plus1"),
+            F.when(
+                F.col("n_r_plus1").isNotNull(),
+                F.round(
+                    (F.col("r") + 1) * F.col("n_r_plus1") / F.col("n_r"), 6
+                ),
+            ).alias("r_star"),
+            F.round((F.col("r") * F.col("n_r")) / F.col("n_total"), 6).alias(
+                "mass_share"
+            ),
+        )
+        .orderBy("r")
+    )
+
+
 def kn_bigram_logprob(documents: DataFrame) -> DataFrame:
     """Per-document INTERPOLATED KNESER-NEY bigram LM score (Kneser &
     Ney 1995; the fixed-discount formulation of Chen & Goodman 1998,

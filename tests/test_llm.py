@@ -4325,3 +4325,22 @@ def test_hits_walk_centrality_hand_computed_and_random(spark):
         want_h = round(hub[n] / hmax, 6) if hmax > 0 else None
         want_a = round(auth[n] / amax, 6) if amax > 0 else None
         assert got[n][2] == want_h and got[n][3] == want_a, n
+
+
+def test_good_turing_counts_hand_computed(spark):
+    """r18 Good-Turing table: hand-computed count-of-counts on a
+    7-token corpus (a x3, b x2, c, d): N_1=2, N_2=1, N_3=1, so
+    r*=(r+1)N_{r+1}/N_r gives 1.0 and 3.0, the r=3 tail is NULL (raw
+    GT undefined at N_4=0), and the r=1 mass share IS the missing-mass
+    estimate P0 = N_1/N = 2/7."""
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c d")], "doc_id long, text string"
+    )
+    got = {r["r"]: r for r in text.good_turing_counts(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_r"], got[1]["n_r_plus1"]) == (2, 1)
+    assert got[1]["r_star"] == 1.0
+    assert got[1]["mass_share"] == round(2 / 7, 6)  # P0: Good's estimate
+    assert got[2]["r_star"] == 3.0
+    assert got[3]["n_r_plus1"] == 0 and got[3]["r_star"] is None
+    assert got[3]["mass_share"] == round(3 / 7, 6)
