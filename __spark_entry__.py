@@ -327,6 +327,7 @@ _CERTIFY_FIRST = [
     "graph_hits",  # NEW r18: fixed-depth integer HITS walk counts
     "dq_pettitt_changepoint",  # NEW r18: nonparametric changepoint
     "text_good_turing",  # NEW r18: GT count-of-counts + missing mass
+    "dq_mann_whitney",  # NEW r18: exact-midrank rank-sum test
     # ---- code/oracle CHANGED in round 18 ----
     "lake_zorder_skipping",  # r18: offset-first ms prescale (both sides)
     "text_bpe_merges",  # r18: rows-only -> oracle (relational replay)
@@ -370,10 +371,9 @@ _CERTIFY_FIRST = [
     "window_topk_per_group",
     # ---- r10 cohort by name order, filling to the 50-slot cap ----
     "agg_gini_spend",
-    "agg_mode_family",
     # r19 queue HEAD: the remaining r10-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
-    # agg_weighted_median, dedup_rate_by_source,
+    # agg_mode_family, agg_weighted_median, dedup_rate_by_source,
     # events_cumulative_users, events_interarrival,
     # events_multigrain_rollup,
     # events_peak_concurrency, graph_degree_profile,
@@ -952,6 +952,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "graph_hits": lambda s, d: dedup.hits_walk_centrality(*_t(s, d, "documents")),
         "dq_pettitt_changepoint": lambda s, d: quality.pettitt_changepoint(*_t(s, d, "orders")),
+        "dq_mann_whitney": lambda s, d: quality.mann_whitney_u(*_t(s, d, "orders")),
         "graph_assortativity": lambda s, d: dedup.graph_degree_assortativity(*_t(s, d, "documents")),
         "dedup_entity_fuzzy": lambda s, d: dedup.fuzzy_entity_pairs(*_t(s, d, "part")),
         "text_phrase_search": lambda s, d: text.phrase_search(*_t(s, d, "documents")),
@@ -10527,6 +10528,65 @@ def _oracle_sql() -> dict[str, str]:
                    quantile_cont(s_c2, 0.25) / 10000.0 AS slope_q1,
                    quantile_cont(s_c2, 0.75) / 10000.0 AS slope_q3
             FROM slopes GROUP BY 1 ORDER BY 1
+        """,
+        # NEW r18: Mann-Whitney U — midranks kept x2 (exact integers
+        # under ties), tie-corrected variance bracket as an exact
+        # integer, n1*n2 multiplied in doubles (BIGINT overflow past
+        # test scale otherwise), z as one shared IEEE tree (4dp).
+        "dq_mann_whitney": """
+            WITH pooled AS (
+                SELECT CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                            AS BIGINT) AS c,
+                       CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END AS ia
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            ),
+            vals AS (
+                SELECT c, sum(ia) AS na, count(*) - sum(ia) AS nb,
+                       count(*) AS t
+                FROM pooled GROUP BY 1
+            ),
+            ranked AS (
+                SELECT c, na, nb, t,
+                       coalesce(sum(t) OVER (ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS lt
+                FROM vals
+            ),
+            agg AS (
+                SELECT CAST(sum(na) AS BIGINT) AS n1,
+                       CAST(sum(nb) AS BIGINT) AS n2,
+                       CAST(sum(na * (2 * lt + t + 1)) AS BIGINT) AS r1_x2,
+                       CAST(sum(t * t * t - t) AS BIGINT) AS tie_cubes
+                FROM ranked
+            ),
+            stat AS (
+                SELECT n1, n2,
+                       r1_x2 - n1 * (n1 + 1) AS u1_x2,
+                       (n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1)
+                           - tie_cubes AS bracket
+                FROM agg
+            )
+            SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b,
+                   n1, n2,
+                   CAST(u1_x2 AS BIGINT) AS u1_x2,
+                   CAST(2 * n1 * n2 - u1_x2 AS BIGINT) AS u2_x2,
+                   CAST(bracket AS BIGINT) AS var_bracket,
+                   round(CAST(u1_x2 - n1 * n2 AS DOUBLE)
+                         / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)
+                                       * CAST(bracket AS DOUBLE)
+                                       / (12.0 * CAST((n1 + n2)
+                                          * (n1 + n2 - 1) AS DOUBLE)))),
+                         4) + 0.0 AS z,
+                   CASE WHEN abs(round(CAST(u1_x2 - n1 * n2 AS DOUBLE)
+                         / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)
+                                       * CAST(bracket AS DOUBLE)
+                                       / (12.0 * CAST((n1 + n2)
+                                          * (n1 + n2 - 1) AS DOUBLE)))),
+                         4) + 0.0) >= 1.96
+                        THEN 'shift' ELSE 'no_shift' END AS verdict
+            FROM stat
         """,
         # NEW r18: Pettitt changepoint — U_t via the W_t recursion
         # (value-grain cumulative counts -> day-ordered cumulative sum,

@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "dq_pettitt_changepoint",
     # Good-Turing count-of-counts: one corpus scan -> vocab -> r grain
     "text_good_turing",
+    # Mann-Whitney U: distinct-value grain + two-level exact-rank cumsum
+    "dq_mann_whitney",
     "text_kn_bigram_logprob",
     "pipeline_dsir_weights",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component

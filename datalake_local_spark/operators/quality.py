@@ -948,6 +948,111 @@ def mann_kendall_trend(orders: DataFrame) -> DataFrame:
     ).orderBy("status")
 
 
+def mann_whitney_u(
+    orders: DataFrame,
+    group_a: str = "1-URGENT",
+    group_b: str = "5-LOW",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) two-sample test (Mann &
+    Whitney 1947 — public) on order prices between two priority
+    classes: the distribution-free "did the level shift between
+    groups" screen that ``ab_welch_ttest`` answers parametrically.
+    Midranks are kept ×2 so ties stay EXACT integers (midrank of a
+    value with ``lt`` smaller observations and ``t`` ties is
+    lt + (t+1)/2, so 2·midrank = 2·lt + t + 1 — always integral);
+    2·R₁, 2·U₁ and the tie-corrected variance NUMERATOR are integer
+    sums end-to-end, and z is one identical IEEE tree over them
+    (sqrt-derived → safe at 4dp; no continuity correction, stated).
+    Tie-corrected Var(U) = n₁n₂/12 · [(n+1) − Σ(t³−t)/(n(n−1))]: the
+    BRACKET numerator (n+1)n(n−1) − Σ(t³−t) is published as an exact
+    integer (≤ ~n³ — BIGINT-safe to n ≈ 2M; the overflow audit the
+    verify recipe prescribes), while the n₁n₂ factor multiplies in
+    DOUBLES — n₁n₂·n³ would overflow BIGINT right past test scale
+    (~2e23 at sf0.1), the silent-wrap seam the r17 Morton fix chased.
+
+    Scale shape — the distributed exact-rank pattern: the pooled
+    sample collapses to DISTINCT-VALUE grain (map-side combined), and
+    the below-count for every value comes from a TWO-LEVEL cumulative
+    sum — per-bucket totals (``n_buckets`` equal-width integer-cents
+    buckets) prefix-summed at bucket grain (broadcast), plus a
+    within-bucket running sum windowed BY BUCKET — so no global
+    single-partition window ever materializes (the anti-pattern a
+    naive rank() would plan). One row out."""
+    from pyspark.sql import Window as W
+
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+    pooled = orders.filter(
+        F.col("o_orderpriority").isin([group_a, group_b])
+    ).select(
+        cents.alias("c"),
+        (F.col("o_orderpriority") == group_a).cast("long").alias("ia"),
+    )
+    vals = pooled.groupBy("c").agg(
+        F.sum("ia").alias("na"),
+        (F.count("*") - F.sum("ia")).alias("nb"),
+    )
+    b = vals.agg(F.min("c").alias("cmin"), F.max("c").alias("cmax"))
+    keyed = vals.crossJoin(F.broadcast(b)).select(
+        "c",
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("t"),
+        F.expr(
+            f"least({n_buckets - 1}, (c - cmin) * {n_buckets}"
+            " div (cmax - cmin + 1))"
+        ).alias("bkt"),
+    )
+    bucket_tot = keyed.groupBy("bkt").agg(F.sum("t").alias("bn"))
+    woff = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = bucket_tot.select(  # bucket grain: <= n_buckets rows
+        "bkt", F.coalesce(F.sum("bn").over(woff), F.lit(0)).alias("off")
+    )
+    win = W.partitionBy("bkt").orderBy("c").rowsBetween(W.unboundedPreceding, -1)
+    ranked = keyed.join(F.broadcast(offsets), "bkt").select(
+        "c",
+        "na",
+        "nb",
+        "t",
+        (
+            F.col("off") + F.coalesce(F.sum("t").over(win), F.lit(0))
+        ).alias("lt"),
+    )
+    agg = ranked.agg(
+        F.sum("na").cast("long").alias("n1"),
+        F.sum("nb").cast("long").alias("n2"),
+        F.sum(F.col("na") * (2 * F.col("lt") + F.col("t") + 1))
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_cubes"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    bracket = (n + 1) * n * (n - 1) - F.col("tie_cubes")
+    var_u = (
+        (F.col("n1") * F.col("n2")).cast("double")
+        * bracket.cast("double")
+        / (12.0 * (n * (n - 1)).cast("double"))
+    )
+    z = (u1_x2 - F.col("n1") * F.col("n2")).cast("double") / (
+        2.0 * F.sqrt(var_u)
+    )
+    zr = F.round(z, 4) + F.lit(0.0)
+    return agg.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n1",
+        "n2",
+        u1_x2.cast("long").alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1_x2).cast("long").alias("u2_x2"),
+        bracket.cast("long").alias("var_bracket"),
+        zr.alias("z"),
+        F.when(F.abs(zr) >= 1.96, "shift").otherwise("no_shift").alias("verdict"),
+    )
+
+
 def pettitt_changepoint(orders: DataFrame) -> DataFrame:
     """Pettitt nonparametric changepoint test (Pettitt 1979, "A
     Non-parametric Approach to the Change-point Problem", JRSS-C —

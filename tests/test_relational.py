@@ -3580,3 +3580,47 @@ def test_pettitt_changepoint_matches_bruteforce(spark):
     ry = got["Y"]
     assert ry["k_stat"] == 0
     assert ry["changepoint_day"] == base  # all-zero U -> earliest day
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    """r18 Mann-Whitney: the rank-sum implementation matches the
+    DEFINITIONAL pair-count U (U1 = #{a > b} + ties/2, kept x2 as an
+    integer) on a seeded fixture dense with ties, and z matches the
+    tie-corrected formula computed in pure python. A shifted fixture
+    must report 'shift'."""
+    import math
+    import random
+
+    from datalake_local_spark.operators import quality
+
+    rng = random.Random(42)
+    # group A shifted up; coarse grid -> many ties within and across
+    a_vals = [round(100 + rng.randint(0, 19) * 0.25, 2) for _ in range(80)]
+    b_vals = [round(98 + rng.randint(0, 19) * 0.25, 2) for _ in range(70)]
+    rows = [(i, "1-URGENT", v) for i, v in enumerate(a_vals)]
+    rows += [(1000 + i, "5-LOW", v) for i, v in enumerate(b_vals)]
+    rows += [(5000, "3-MEDIUM", 1.0)]  # must be excluded by the filter
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    got = quality.mann_whitney_u(orders).collect()[0]
+
+    ac = [round(v * 100) for v in a_vals]
+    bc = [round(v * 100) for v in b_vals]
+    u1_x2 = sum(
+        2 * (x > y) + (x == y) for x in ac for y in bc
+    )
+    n1, n2 = len(ac), len(bc)
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["u1_x2"] == u1_x2
+    assert got["u2_x2"] == 2 * n1 * n2 - u1_x2
+    from collections import Counter
+    ties = Counter(ac + bc)
+    tie_cubes = sum(t**3 - t for t in ties.values())
+    n = n1 + n2
+    bracket = (n + 1) * n * (n - 1) - tie_cubes
+    assert got["var_bracket"] == bracket
+    var_u = (n1 * n2) * float(bracket) / (12.0 * (n * (n - 1)))
+    z = (u1_x2 - n1 * n2) / (2.0 * math.sqrt(var_u))
+    assert got["z"] == round(z, 4) + 0.0
+    assert got["verdict"] == "shift"  # the planted +2 shift at n=150
