@@ -328,6 +328,7 @@ _CERTIFY_FIRST = [
     "dq_pettitt_changepoint",  # NEW r18: nonparametric changepoint
     "text_good_turing",  # NEW r18: GT count-of-counts + missing mass
     "dq_mann_whitney",  # NEW r18: exact-midrank rank-sum test
+    "dq_runs_test",  # NEW r18: Wald-Wolfowitz randomness screen
     # ---- code/oracle CHANGED in round 18 ----
     "lake_zorder_skipping",  # r18: offset-first ms prescale (both sides)
     "text_bpe_merges",  # r18: rows-only -> oracle (relational replay)
@@ -370,10 +371,9 @@ _CERTIFY_FIRST = [
     "window_running",
     "window_topk_per_group",
     # ---- r10 cohort by name order, filling to the 50-slot cap ----
-    "agg_gini_spend",
     # r19 queue HEAD: the remaining r10-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
-    # agg_mode_family, agg_weighted_median, dedup_rate_by_source,
+    # agg_gini_spend, agg_mode_family, agg_weighted_median, dedup_rate_by_source,
     # events_cumulative_users, events_interarrival,
     # events_multigrain_rollup,
     # events_peak_concurrency, graph_degree_profile,
@@ -953,6 +953,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": lambda s, d: dedup.hits_walk_centrality(*_t(s, d, "documents")),
         "dq_pettitt_changepoint": lambda s, d: quality.pettitt_changepoint(*_t(s, d, "orders")),
         "dq_mann_whitney": lambda s, d: quality.mann_whitney_u(*_t(s, d, "orders")),
+        "dq_runs_test": lambda s, d: quality.runs_test(*_t(s, d, "orders")),
         "graph_assortativity": lambda s, d: dedup.graph_degree_assortativity(*_t(s, d, "documents")),
         "dedup_entity_fuzzy": lambda s, d: dedup.fuzzy_entity_pairs(*_t(s, d, "part")),
         "text_phrase_search": lambda s, d: text.phrase_search(*_t(s, d, "documents")),
@@ -10528,6 +10529,86 @@ def _oracle_sql() -> dict[str, str]:
                    quantile_cont(s_c2, 0.25) / 10000.0 AS slope_q1,
                    quantile_cont(s_c2, 0.75) / 10000.0 AS slope_q3
             FROM slopes GROUP BY 1 ORDER BY 1
+        """,
+        # NEW r18: Wald-Wolfowitz runs test — exact x2-median order
+        # statistic, integer run/alternation counts, shared IEEE z tree
+        # (4dp), median-equal days dropped (standard treatment).
+        "dq_runs_test": """
+            WITH daily AS (
+                SELECT o_orderstatus AS status,
+                       CAST(o_orderdate AS DATE) AS day,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                                AS BIGINT)) AS c
+                FROM orders GROUP BY 1, 2
+            ),
+            nd AS (SELECT status, count(*) AS n_days FROM daily GROUP BY 1),
+            ordered AS (
+                SELECT d.status, d.c, nd.n_days,
+                       row_number() OVER (PARTITION BY d.status
+                                          ORDER BY d.c) AS rk
+                FROM daily d JOIN nd ON nd.status = d.status
+            ),
+            med2 AS (
+                SELECT status,
+                       CASE WHEN count(*) = 1 THEN 2 * sum(c)
+                            ELSE sum(c) END AS m2
+                FROM ordered
+                WHERE rk = CAST(floor((n_days + 1) / 2.0) AS BIGINT)
+                   OR rk = CAST(floor(n_days / 2.0) AS BIGINT) + 1
+                GROUP BY 1
+            ),
+            signed AS (
+                SELECT d.status, d.day,
+                       CASE WHEN 2 * d.c > m.m2 THEN 1
+                            WHEN 2 * d.c < m.m2 THEN -1 ELSE 0 END AS s
+                FROM daily d JOIN med2 m ON m.status = d.status
+            ),
+            kept AS (SELECT * FROM signed WHERE s <> 0),
+            lagged AS (
+                SELECT status, s,
+                       lag(s) OVER (PARTITION BY status ORDER BY day) AS prev
+                FROM kept
+            ),
+            runs AS (
+                SELECT status,
+                       CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n2,
+                       CAST(1 + sum(CASE WHEN prev IS NOT NULL AND s <> prev
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                           AS r_runs
+                FROM lagged GROUP BY 1
+            ),
+            full_r AS (
+                SELECT nd.status,
+                       coalesce(r.n1, 0) AS n1,
+                       coalesce(r.n2, 0) AS n2,
+                       coalesce(r.r_runs, 0) AS r_runs
+                FROM nd LEFT JOIN runs r ON r.status = nd.status
+            ),
+            scored AS (
+                SELECT status, n1, n2, r_runs,
+                       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+                           round((CAST(r_runs AS DOUBLE)
+                                  - (CAST(2 * n1 * n2 AS DOUBLE)
+                                     / CAST(n1 + n2 AS DOUBLE) + 1.0))
+                                 / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                                        * CAST(2 * n1 * n2 - (n1 + n2)
+                                               AS DOUBLE)
+                                        / CAST((n1 + n2) * (n1 + n2)
+                                               AS DOUBLE)
+                                        / CAST(n1 + n2 - 1 AS DOUBLE)),
+                                 4) + 0.0
+                       END AS z
+                FROM full_r
+            )
+            SELECT status, n1, n2, r_runs, z,
+                   CASE WHEN z <= -1.96 THEN 'clustered'
+                        WHEN z >= 1.96 THEN 'alternating'
+                        WHEN z IS NOT NULL THEN 'random'
+                   END AS verdict
+            FROM scored
         """,
         # NEW r18: Mann-Whitney U — midranks kept x2 (exact integers
         # under ties), tie-corrected variance bracket as an exact

@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "text_good_turing",
     # Mann-Whitney U: distinct-value grain + two-level exact-rank cumsum
     "dq_mann_whitney",
+    # runs test: day-grain order statistic + lag over the spine
+    "dq_runs_test",
     "text_kn_bigram_logprob",
     "pipeline_dsir_weights",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component

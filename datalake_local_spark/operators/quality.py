@@ -1172,6 +1172,122 @@ def pettitt_changepoint(orders: DataFrame) -> DataFrame:
     )
 
 
+def runs_test(orders: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs test (Wald & Wolfowitz 1940 — public) on the
+    daily-revenue series, per order status: is the sequence of
+    above/below-median days RANDOM, or does it cluster (fewer runs —
+    regimes, autocorrelation) or alternate (more runs — overdispersion,
+    day-of-week seesaw)? The randomness screen that complements
+    ``mann_kendall_trend`` (monotone drift) and
+    ``pettitt_changepoint`` (single level shift) on the same
+    exact-cents spine.
+
+    Exactness: the median is the exact order statistic kept ×2 as an
+    integer (sum of the two middle values for even n), so every
+    above/below sign is an integer comparison; median-equal days drop
+    (the standard treatment); the run count R and the n₁/n₂ sides are
+    exact integers, and z = (R − μ)/σ with μ = 2n₁n₂/n + 1,
+    σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)) is one shared IEEE tree (4dp,
+    sqrt-safe; 2n₁n₂ ≤ n²/2 keeps every integer term ≤ ~n⁴/4 —
+    BIGINT-safe to n ≈ 10⁴ days, i.e. any calendar). A status whose
+    kept sequence has n₁ = 0 or n₂ = 0 (all-identical days) reports
+    R with a NULL z rather than vanishing.
+
+    Scale shape: day-grain windows partitioned by status, like every
+    spine test — the fact scan dominates at any SF."""
+    from pyspark.sql import Window as W
+
+    daily = _daily_status_cents(orders).localCheckpoint()
+    wd = W.partitionBy("status").orderBy("c")
+    nd = daily.groupBy("status").agg(F.count("*").alias("n_days"))
+    ordered = daily.select(
+        "status", "c", F.row_number().over(wd).alias("rk")
+    ).join(nd, "status")
+    # median x2 as an exact integer: the middle order statistic doubled
+    # (odd n — the two rank predicates coincide, one row) or the sum of
+    # the two middle ones (even n)
+    med2 = (
+        ordered.filter(
+            (F.col("rk") == F.floor((F.col("n_days") + 1) / 2))
+            | (F.col("rk") == F.floor(F.col("n_days") / 2) + 1)
+        )
+        .groupBy("status")
+        .agg(F.sum("c").alias("msum"), F.count("*").alias("mcnt"))
+        .select(
+            "status",
+            F.when(F.col("mcnt") == 1, 2 * F.col("msum"))
+            .otherwise(F.col("msum"))
+            .alias("m2"),
+        )
+    )
+    signed = (
+        daily.join(med2, "status")
+        .select(
+            "status",
+            "day",
+            F.when(2 * F.col("c") > F.col("m2"), 1)
+            .when(2 * F.col("c") < F.col("m2"), -1)
+            .otherwise(0)
+            .alias("s"),
+        )
+        .filter(F.col("s") != 0)
+    )
+    wt = W.partitionBy("status").orderBy("day")
+    runs = (
+        signed.select(
+            "status",
+            "s",
+            F.lag("s").over(wt).alias("prev"),
+        )
+        .groupBy("status")
+        .agg(
+            F.sum((F.col("s") == 1).cast("long")).alias("n1"),
+            F.sum((F.col("s") == -1).cast("long")).alias("n2"),
+            (
+                1
+                + F.sum(
+                    (F.col("prev").isNotNull() & (F.col("s") != F.col("prev")))
+                    .cast("long")
+                )
+            ).cast("long").alias("r_runs"),
+        )
+    )
+    # LEFT join from the status universe: a status whose every day sits
+    # exactly on the median keeps a row (all-zero counts, NULL z) —
+    # the family's don't-vanish rule
+    full = nd.select("status").join(runs, "status", "left").select(
+        "status",
+        F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+        F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+        F.coalesce("r_runs", F.lit(0)).cast("long").alias("r_runs"),
+    )
+    n = F.col("n1") + F.col("n2")
+    two = 2 * F.col("n1") * F.col("n2")
+    mu = two.cast("double") / n.cast("double") + 1.0
+    var = (
+        two.cast("double")
+        * (two - n).cast("double")
+        / (n * n).cast("double")
+        / (n - 1).cast("double")
+    )
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (n > 1),
+        (F.col("r_runs").cast("double") - mu) / F.sqrt(var),
+    )
+    zr = F.round(z, 4) + F.lit(0.0)
+    return full.select(
+        "status",
+        "n1",
+        "n2",
+        "r_runs",
+        zr.alias("z"),
+        F.when(zr <= -1.96, "clustered")
+        .when(zr >= 1.96, "alternating")
+        .when(zr.isNotNull(), "random")
+        .alias("verdict"),
+    ).orderBy("status")
+
+
 def theil_sen_slope(orders: DataFrame) -> DataFrame:
     """Theil–Sen robust slope estimator over the daily-revenue series,
     per order status (Theil 1950; Sen 1968 — public): the MEDIAN of

@@ -3624,3 +3624,52 @@ def test_mann_whitney_matches_bruteforce(spark):
     z = (u1_x2 - n1 * n2) / (2.0 * math.sqrt(var_u))
     assert got["z"] == round(z, 4) + 0.0
     assert got["verdict"] == "shift"  # the planted +2 shift at n=150
+
+
+def test_runs_test_matches_bruteforce(spark):
+    """r18 runs test: R, n1, n2 and z match a pure-python replay on
+    (a) a planted ALTERNATING series (maximal runs -> 'alternating'),
+    (b) a planted two-regime series (2 runs -> 'clustered'), with the
+    exact x2-median (even-n two-middle-sum) and median-equal-day drops
+    exercised."""
+    import datetime as dt
+    import math
+
+    from datalake_local_spark.operators import quality
+
+    base = dt.date(2024, 1, 1)
+    rows, oid = [], 1
+    # status A: alternate 10.00 / 20.00 for 24 days (even n, median 15
+    # -> x2 = 3000, no drops, runs = 24)
+    for t in range(24):
+        rows.append((oid, base + dt.timedelta(days=t), "A",
+                     10.0 if t % 2 == 0 else 20.0))
+        oid += 1
+    # status B: 12 low days then 12 high days + one day ON the median
+    # boundary? -> use 25 days: 12 low (10.00), 1 middle (15.00),
+    # 12 high (20.00); odd n -> median 15.00 -> the middle day drops,
+    # runs = 2 over 24 kept days
+    for t in range(25):
+        v = 10.0 if t < 12 else (15.0 if t == 12 else 20.0)
+        rows.append((oid, base + dt.timedelta(days=t), "B", v))
+        oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_orderstatus string, o_totalprice double"
+    )
+    got = {r["status"]: r for r in quality.runs_test(orders).collect()}
+
+    def zref(n1, n2, r):
+        n = n1 + n2
+        mu = 2 * n1 * n2 / n + 1.0
+        var = (2 * n1 * n2) * (2 * n1 * n2 - n) / (n * n) / (n - 1)
+        return round((r - mu) / math.sqrt(var), 4) + 0.0
+
+    a = got["A"]
+    assert (a["n1"], a["n2"], a["r_runs"]) == (12, 12, 24)
+    assert a["z"] == zref(12, 12, 24)
+    assert a["verdict"] == "alternating"
+
+    b = got["B"]
+    assert (b["n1"], b["n2"], b["r_runs"]) == (12, 12, 2)
+    assert b["z"] == zref(12, 12, 2)
+    assert b["verdict"] == "clustered"
