@@ -10589,7 +10589,8 @@ def _oracle_sql() -> dict[str, str]:
             ),
             scored AS (
                 SELECT status, n1, n2, r_runs,
-                       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+                       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                            AND 2 * n1 * n2 > n1 + n2 THEN
                            round((CAST(r_runs AS DOUBLE)
                                   - (CAST(2 * n1 * n2 AS DOUBLE)
                                      / CAST(n1 + n2 AS DOUBLE) + 1.0))
@@ -10654,13 +10655,15 @@ def _oracle_sql() -> dict[str, str]:
                    CAST(u1_x2 AS BIGINT) AS u1_x2,
                    CAST(2 * n1 * n2 - u1_x2 AS BIGINT) AS u2_x2,
                    CAST(bracket AS BIGINT) AS var_bracket,
+                   CASE WHEN n1 > 0 AND n2 > 0 AND bracket > 0 THEN
                    round(CAST(u1_x2 - n1 * n2 AS DOUBLE)
                          / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)
                                        * CAST(bracket AS DOUBLE)
                                        / (12.0 * CAST((n1 + n2)
                                           * (n1 + n2 - 1) AS DOUBLE)))),
-                         4) + 0.0 AS z,
-                   CASE WHEN abs(round(CAST(u1_x2 - n1 * n2 AS DOUBLE)
+                         4) + 0.0 END AS z,
+                   CASE WHEN n1 > 0 AND n2 > 0 AND bracket > 0
+                        AND abs(round(CAST(u1_x2 - n1 * n2 AS DOUBLE)
                          / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)
                                        * CAST(bracket AS DOUBLE)
                                        / (12.0 * CAST((n1 + n2)

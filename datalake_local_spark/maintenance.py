@@ -165,6 +165,24 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     )
 
 
+def _cluster_bounds(df: DataFrame, col_x: str, col_y: str):
+    """One metadata-grade min/max aggregate shared by the clustering
+    writers, with an explicit guard: an empty (or all-NULL) input
+    yields NULL bounds, which previously surfaced as a TypeError deep
+    inside the bucketizer arithmetic (r18 advice). Raise a clear error
+    at the seam instead."""
+    lo_hi = df.agg(
+        F.min(col_x).alias("xlo"), F.max(col_x).alias("xhi"),
+        F.min(col_y).alias("ylo"), F.max(col_y).alias("yhi"),
+    ).collect()[0]
+    if any(lo_hi[k] is None for k in ("xlo", "xhi", "ylo", "yhi")):
+        raise ValueError(
+            "cannot cluster an empty (or all-NULL) input: min/max bounds "
+            f"of ({col_x!r}, {col_y!r}) are undefined"
+        )
+    return lo_hi
+
+
 def _morton_code(x_col, y_col, bits: int = 8):
     """Bit-interleaved (Morton / Z-order) code of two bucketized columns —
     pure shift/mask expressions, whole-stage-codegen friendly."""
@@ -188,10 +206,7 @@ def write_zordered(
     covers a small SQUARE of (x, y) space, so predicates on EITHER column
     skip most files — single-column clustering gets tight x-envelopes but
     every file spans all of y."""
-    lo_hi = df.agg(
-        F.min(col_x).alias("xlo"), F.max(col_x).alias("xhi"),
-        F.min(col_y).alias("ylo"), F.max(col_y).alias("yhi"),
-    ).collect()[0]
+    lo_hi = _cluster_bounds(df, col_x, col_y)
     span = (1 << bits) - 1
     bx = F.least(
         F.lit(span),
@@ -226,10 +241,7 @@ def write_hilbert_clustered(
     no curve jumps across the square."""
     from datalake_local_spark.functions.hilbert import hilbert_chain
 
-    lo_hi = df.agg(
-        F.min(col_x).alias("xlo"), F.max(col_x).alias("xhi"),
-        F.min(col_y).alias("ylo"), F.max(col_y).alias("yhi"),
-    ).collect()[0]
+    lo_hi = _cluster_bounds(df, col_x, col_y)
     span = (1 << bits) - 1
     bx = F.least(
         F.lit(span),

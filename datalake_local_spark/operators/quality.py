@@ -1036,8 +1036,14 @@ def mann_whitney_u(
         * bracket.cast("double")
         / (12.0 * (n * (n - 1)).cast("double"))
     )
-    z = (u1_x2 - F.col("n1") * F.col("n2")).cast("double") / (
-        2.0 * F.sqrt(var_u)
+    # Degenerate-input guard (r18 advice): when every pooled value is
+    # identical the tie bracket is 0 and var_u vanishes; both engines
+    # must publish NULL z (Spark would NULL via Divide, DuckDB would
+    # produce inf/NaN — a cross-engine seam). Same for an empty group.
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (bracket > 0),
+        (u1_x2 - F.col("n1") * F.col("n2")).cast("double")
+        / (2.0 * F.sqrt(var_u)),
     )
     zr = F.round(z, 4) + F.lit(0.0)
     return agg.select(
@@ -1270,8 +1276,12 @@ def runs_test(orders: DataFrame) -> DataFrame:
         / (n * n).cast("double")
         / (n - 1).cast("double")
     )
+    # Guard also requires 2*n1*n2 > n1+n2 (r18 advice): when
+    # 2*n1*n2 == n (e.g. n1 = n2 = 1) the variance is 0 and z would
+    # divide by zero — NULL on Spark, inf on DuckDB. Both sides now
+    # publish NULL z on zero variance.
     z = F.when(
-        (F.col("n1") > 0) & (F.col("n2") > 0) & (n > 1),
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (n > 1) & (two > n),
         (F.col("r_runs").cast("double") - mu) / F.sqrt(var),
     )
     zr = F.round(z, 4) + F.lit(0.0)

@@ -1043,7 +1043,8 @@ def run_streaming_join_then_window(
     (single data micro-batch, then the no-data batch advances the
     watermark), so the query is oracle-backed: matched pairs all emit
     from the data batch (nothing is late within one batch), and a
-    window emits iff its end <= the final JOIN OUTPUT watermark — the
+    window emits iff its end < the final JOIN OUTPUT watermark (STRICT
+    — end == watermark is withheld, the empirically probed bound) — the
     global watermark min(side maxima, ms-truncated) − 2 h, further
     DELAYED by the join's interval bound (the engine subtracts the
     time-interval span from the left side's state-cleanup watermark, so

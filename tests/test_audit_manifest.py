@@ -62,3 +62,25 @@ def test_shared_rows_name_existing_independent_tests():
         assert row["tests"], f"{member}: mech {row['mech']} requires a test"
         for t in row["tests"]:
             assert t in defs, f"{member}: named test {t} does not exist"
+
+
+def test_discover_flags_lowercase_string_constants(tmp_path):
+    """r19 (r18 advice #5): discover() must flag module-level string
+    constants interpolated into oracle scopes REGARDLESS of case — a
+    future lowercase constant must not silently escape the audit gate.
+    Non-string lowercase module state (counters etc.) stays exempt."""
+    src = '''
+_upper_limit = 5
+shared_sql_fragment = "sum(x) OVER (ORDER BY y)"
+_counter = 0
+
+def my_oracle():
+    return f"SELECT {shared_sql_fragment} FROM t LIMIT {_upper_limit + _counter}"
+'''
+    p = tmp_path / "fake_entry.py"
+    p.write_text(src)
+    found = discover(str(p))
+    assert "shared_sql_fragment" in found  # lowercase, string-bearing
+    assert "my_oracle" in found
+    assert "_counter" not in found  # lowercase non-string stays exempt
+    assert "_upper_limit" not in found

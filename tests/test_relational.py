@@ -3673,3 +3673,89 @@ def test_runs_test_matches_bruteforce(spark):
     assert (b["n1"], b["n2"], b["r_runs"]) == (12, 12, 2)
     assert b["z"] == zref(12, 12, 2)
     assert b["verdict"] == "clustered"
+
+
+def test_mann_whitney_zero_variance_null_z_both_engines(spark):
+    """r19 (r18 advice #1): when every pooled value is identical the
+    tie bracket is 0 and var_u vanishes — both the Spark side and the
+    DuckDB oracle must publish NULL z and 'no_shift' (previously Spark
+    NULLed via Divide while the oracle's double division produced
+    inf/NaN — a cross-engine seam on degenerate input)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from datalake_local_spark.operators import quality
+
+    rows = [(i, "1-URGENT" if i < 5 else "5-LOW", 100.0) for i in range(9)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    got = quality.mann_whitney_u(orders).collect()[0]
+    assert got["var_bracket"] == 0
+    assert got["z"] is None
+    assert got["verdict"] == "no_shift"
+
+    con = duckdb.connect()
+    con.register(
+        "orders",
+        pd.DataFrame(rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]),
+    )
+    oz, ov = con.execute(
+        f"SELECT z, verdict FROM ({em.oracle_sql()['dq_mann_whitney']})"
+    ).fetchall()[0]
+    assert oz is None and ov == "no_shift"
+
+
+def test_runs_test_zero_variance_null_z_both_engines(spark):
+    """r19 (r18 advice #2): n1 = n2 = 1 makes 2*n1*n2 == n, so the
+    runs-test variance is 0 — both engines must publish NULL z and
+    NULL verdict instead of divide-by-zero inf vs NULL."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from datalake_local_spark.operators import quality
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (1, base, "A", 10.0),
+        (2, base + dt.timedelta(days=1), "A", 20.0),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderdate date, o_orderstatus string, o_totalprice double",
+    )
+    got = quality.runs_test(orders).collect()[0]
+    assert (got["n1"], got["n2"], got["r_runs"]) == (1, 1, 2)
+    assert got["z"] is None and got["verdict"] is None
+
+    con = duckdb.connect()
+    con.register(
+        "orders",
+        pd.DataFrame(
+            rows,
+            columns=["o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"],
+        ),
+    )
+    oz, ov = con.execute(
+        f"SELECT z, verdict FROM ({em.oracle_sql()['dq_runs_test']})"
+    ).fetchall()[0]
+    assert oz is None and ov is None
+
+
+def test_cluster_writers_reject_empty_input(spark, tmp_path):
+    """r19 (r18 advice #4): both clustering writers raise a descriptive
+    ValueError on an empty input instead of a TypeError from NULL
+    bounds arithmetic."""
+    import pytest
+
+    from datalake_local_spark import maintenance
+
+    empty = spark.createDataFrame([], "x long, y long")
+    with pytest.raises(ValueError, match="empty"):
+        maintenance.write_zordered(empty, str(tmp_path / "z"), "x", "y")
+    with pytest.raises(ValueError, match="empty"):
+        maintenance.write_hilbert_clustered(empty, str(tmp_path / "h"), "x", "y")

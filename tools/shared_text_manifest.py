@@ -48,13 +48,20 @@ def discover(entry_path: str = ENTRY) -> set[str]:
     tree = ast.parse(open(entry_path).read())
 
     mod_consts: set[str] = set()
+    mod_str_consts: set[str] = set()
     funcs: dict[str, ast.FunctionDef] = {}
     pkg_imports: dict[str, str] = {}
     for node in tree.body:
         if isinstance(node, ast.Assign):
+            has_str = any(
+                isinstance(n, ast.Constant) and isinstance(n.value, str)
+                for n in ast.walk(node.value)
+            )
             for t in node.targets:
                 if isinstance(t, ast.Name):
                     mod_consts.add(t.id)
+                    if has_str:
+                        mod_str_consts.add(t.id)
         elif isinstance(node, ast.FunctionDef):
             funcs[node.name] = node
         elif (
@@ -97,8 +104,14 @@ def discover(entry_path: str = ENTRY) -> set[str]:
                 attr_bases.add(n.value.id)
         for n in ast.walk(f):
             if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load):
-                if n.id in mod_consts and n.id == n.id.upper():
-                    symbols.add(n.id)  # _UPPER module constants
+                if n.id in mod_consts and (
+                    n.id == n.id.upper() or n.id in mod_str_consts
+                ):
+                    # _UPPER module constants, plus ANY-case module
+                    # constants carrying string text (r18 advice: a
+                    # future lowercase string constant interpolated
+                    # into oracle SQL must not escape the gate)
+                    symbols.add(n.id)
                 elif (
                     n.id in local_pkg
                     and n.id not in attr_bases
