@@ -1352,7 +1352,7 @@ def theil_sen_slope(orders: DataFrame) -> DataFrame:
     )
 
 
-def ks_two_sample(orders: DataFrame) -> DataFrame:
+def ks_two_sample(orders: DataFrame, n_buckets: int = 1024) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov drift test between the FIRST
     and LAST order year (Kolmogorov 1933, Smirnov 1939 — public): the
     supremum ECDF distance D, the scaled statistic
@@ -1370,12 +1370,17 @@ def ks_two_sample(orders: DataFrame) -> DataFrame:
     differs across engines in the last ulp; the fixed-critical-value
     decision is the deterministic contract.
 
-    Scale shape: two conditional counts per distinct cents value (one
-    map-side-combined aggregate of the two partition-prunable years),
-    then ONE cumulative window over the merged DISTINCT VALUE domain —
-    unpartitioned, but bounded by the price grid (the calendar-spine
-    exception: a value domain, not a row count; at extreme domains
-    pre-bucket to the sketch grid first). Output is a single row."""
+    Scale shape (r19 — the mann_whitney distributed exact-rank
+    pattern, closing the last data-scaled unpartitioned WindowExec):
+    two conditional counts per distinct cents value (one map-side-
+    combined aggregate of the two partition-prunable years), then the
+    cumulative ECDF counts come from a TWO-LEVEL cumulative sum —
+    per-bucket totals (``n_buckets`` equal-width integer-cents
+    buckets) prefix-summed at BUCKET grain (≤ n_buckets rows,
+    broadcast), plus a within-bucket running sum windowed BY BUCKET —
+    so no single-partition window over the value domain ever
+    materializes. The exact cross-multiplied D statistic is unchanged
+    (prefix sums are associative). Output is a single row."""
     from pyspark.sql import Window as W
 
     cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
@@ -1395,13 +1400,36 @@ def ks_two_sample(orders: DataFrame) -> DataFrame:
     per_value = tagged.groupBy("c").agg(
         F.sum("in1").alias("c1"), F.sum("in2").alias("c2")
     )
-    w = W.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
     totals = per_value.agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )
+    vb = per_value.agg(F.min("c").alias("cmin"), F.max("c").alias("cmax"))
+    keyed = per_value.crossJoin(F.broadcast(vb)).select(
+        "c",
+        "c1",
+        "c2",
+        F.expr(
+            f"least({n_buckets - 1}, (c - cmin) * {n_buckets}"
+            " div (cmax - cmin + 1))"
+        ).alias("bkt"),
+    )
+    bucket_tot = keyed.groupBy("bkt").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    woff = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = bucket_tot.select(  # bucket grain: <= n_buckets rows
+        "bkt",
+        F.coalesce(F.sum("b1").over(woff), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("b2").over(woff), F.lit(0)).alias("off2"),
+    )
+    win = (
+        W.partitionBy("bkt").orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    )
     cum = (
-        per_value.select(
-            F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+        keyed.join(F.broadcast(offsets), "bkt")
+        .select(
+            (F.col("off1") + F.sum("c1").over(win)).alias("cum1"),
+            (F.col("off2") + F.sum("c2").over(win)).alias("cum2"),
         )
         .crossJoin(F.broadcast(totals))
         .select(
