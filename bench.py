@@ -251,10 +251,27 @@ def main() -> None:
     dry_run = "--dry-run" in sys.argv[1:]
     times: dict[str, float] = {}
     chain_stats: dict = {}
+    # in-suite drift bound (r18 verdict #5): the stable control pair
+    # timed right after warmup and AGAIN after the whole suite — a
+    # single JVM session accumulates GC/codegen-cache pressure as the
+    # suite grows, and end/start separates that in-suite drift from
+    # plan changes mechanically. If end/start exceeds ~1.15, split the
+    # suite into per-family sessions.
+    _CONTROL_PAIR = ("flagship_revenue_month_region", "streaming_tumbling")
+    control_start: dict[str, float] = {}
+    control_end: dict[str, float] = {}
+
+    def _time_control(qs, into: dict) -> None:
+        for name in _CONTROL_PAIR:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            into[name] = round(time.perf_counter() - t0, 3)
+
     if dry_run:
         spark = None
         times = {name: 0.0 for name in BENCH_QUERIES}
         times["dedup_components_chain"] = 0.0
+        control_start = control_end = {n: 0.0 for n in _CONTROL_PAIR}
     else:
         spark = get_spark(app_name="datalake-local-spark-bench")
         qs = entrymod.queries()
@@ -262,6 +279,7 @@ def main() -> None:
         # warm the JVM/codegen once with the cheapest query so per-query
         # times measure the plan, not first-call JIT
         qs["agg_order_stats"](spark, sf_dir).count()
+        _time_control(qs, control_start)
 
         # best-of-2 per query: the first pass pays whole-stage-codegen JIT
         # and host noise; the min is the steady-state plan cost
@@ -278,6 +296,7 @@ def main() -> None:
             times["dedup_components_chain"] = min(
                 times.get("dedup_components_chain", dt), dt
             )
+        _time_control(qs, control_end)
     total = round(sum(times.values()), 3)
     # host-drift control pair (r16 verdict #4): two queries whose code
     # has been stable since r1/r12 — the flagship multi-join agg and the
@@ -292,6 +311,35 @@ def main() -> None:
         for name in ("flagship_revenue_month_region", "streaming_tumbling")
         if name in times
     }
+    # self-computing round-over-round comparison (r18 verdict #1): the
+    # normalized ratio ships ON the artifact, derived from the newest
+    # committed BENCH_r{N}.json alone — tools/bench_decode.py --compare
+    # reproduces it from the two committed files, so the SCALE.md
+    # narrative and the artifacts cannot diverge again.
+    nvp: dict | None = None
+    prev_name = None
+    try:
+        import glob
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        import bench_decode
+
+        arts = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        if arts and not dry_run:
+            prev_rec = bench_decode.load_artifact(arts[-1])
+            # only a same-SF pair is comparable (an ad-hoc sf0.001 run
+            # vs the committed sf0.1 artifact is not a regression story)
+            if prev_rec.get("sf") == sf:
+                prev_name = os.path.basename(arts[-1])
+                nvp = bench_decode.compare(
+                    {"queries": times, "control": control}, prev_rec
+                )
+                nvp["prev"] = prev_name
+    except Exception:
+        nvp = None
     line = json.dumps(
         {
             "metric": "headline_suite_total",
@@ -301,6 +349,9 @@ def main() -> None:
             "sf": sf,
             "components_chain": chain_stats,
             "control": control,
+            "control_start": control_start,
+            "control_end": control_end,
+            "vs_prev": nvp,
         }
     )
     # artifact-of-record hygiene (r11 verdict #3 + r12 ADVICE + r13
@@ -349,6 +400,19 @@ def main() -> None:
         # BENCH_r{N}.json — the control pair must ride on it, not only
         # on the (truncatable) full line
         "control": control,
+        # r18 verdict #1+#5: the host-normalized round-over-round ratio
+        # (raw common-query ratio / control-pair ratio vs the newest
+        # committed BENCH_r{N}.json — tools/bench_decode.py --compare
+        # reproduces it) and the in-suite drift pair: the control
+        # queries timed at suite START and END, as [flagship,
+        # streaming_tumbling] in that documented order (compact form —
+        # named dicts ride on the full line).
+        "normalized_vs_prev": (
+            nvp.get("normalized_vs_prev") if nvp else None
+        ),
+        "nvp_prev": prev_name,
+        "control_start": [control_start.get(n) for n in _CONTROL_PAIR],
+        "control_end": [control_end.get(n) for n in _CONTROL_PAIR],
         # r17 verdict #2: the driver artifact must be SELF-CONTAINED —
         # cross-round per-query diffs should not depend on the
         # committed BENCH_local.json. The tail-capture window is 2000
@@ -365,16 +429,26 @@ def main() -> None:
         # in BENCH_local.json): at 102 queries the 3dp line reached
         # 1899 chars, one char under the old guard
         "codec": "zlib+b85",
-        "queries_z": base64.b85encode(
+    }
+
+    def _qz(dp: int) -> str:
+        return base64.b85encode(
             zlib.compress(
                 json.dumps(
-                    {k: round(v, 2) for k, v in times.items()},
+                    {k: round(v, dp) for k, v in times.items()},
                     separators=(",", ":"),
                 ).encode(),
                 9,
             )
-        ).decode(),
-    }
+        ).decode()
+
+    # graceful degrade (r19): try 2dp; if the line outgrows the window,
+    # fall to 1dp (0.1 s granularity — still under the host-variance
+    # band for cross-round diffs) before dropping the map entirely.
+    for dp in (2, 1):
+        summary["queries_z"] = _qz(dp)
+        if len(json.dumps(summary, separators=(",", ":"))) <= 1980:
+            break
     if len(json.dumps(summary, separators=(",", ":"))) > 1980:
         summary.pop("queries_z")
         summary["codec"] = "overflow-see-detail-file"

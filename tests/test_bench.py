@@ -93,3 +93,66 @@ def test_bench_decode_handles_driver_artifact_shape(tmp_path):
     }))
     rec = load_artifact(str(art))
     assert rec["queries"] == qmap and "queries_z" not in rec
+
+
+def test_bench_decode_compare_normalizes_by_control_pair():
+    """r19 (r18 verdict #1): compare() derives the normalized ratio
+    purely from two per-query records — raw common-set ratio over the
+    control-pair host ratio — with movers ranked by |delta|. Hand
+    numbers: common {a, b, ctl}, sums 4.0 vs 2.0 (raw 2.0), control
+    1.0 vs 0.5 (ctl 2.0) -> normalized 1.0."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench_decode import compare
+
+    curr = {
+        "queries": {"a": 2.0, "b": 1.0, "ctl": 1.0, "only_curr": 9.0},
+        "control": {"ctl": 1.0},
+    }
+    prev = {
+        "queries": {"a": 0.5, "b": 1.0, "ctl": 0.5, "only_prev": 9.0},
+        "control": {"ctl": 0.5},
+    }
+    out = compare(curr, prev)
+    assert out["n_common"] == 3
+    assert out["raw_ratio"] == 2.0
+    assert out["control_ratio"] == 2.0
+    assert out["normalized_vs_prev"] == 1.0
+    # movers over the COMMON set only, |delta|-ranked
+    assert out["movers"][0] == {"q": "a", "delta": 1.5}
+    assert all(m["q"] in ("a", "b", "ctl") for m in out["movers"])
+
+
+def test_bench_decode_salvages_pre_r18_tail(tmp_path):
+    """Pre-r18 driver artifacts have no queries_z; load_artifact must
+    salvage per-query pairs from the tail's full-line fragment so
+    --compare against them still yields an honest common-set ratio."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench_decode import load_artifact
+
+    tail = (
+        '"q_alpha": 1.25, "q_beta": 0.5}, "sf": 0.1, '
+        '"control": {"q_alpha": 1.25}}\n'
+        '{"metric":"headline_suite_total","value":1.75,"unit":"sec",'
+        '"sf":0.1,"n_queries":2,"detail":"not-written",'
+        '"control":{"q_alpha":1.25}}'
+    )
+    art = tmp_path / "BENCH_rY.json"
+    art.write_text(json.dumps({
+        "n": 17, "rc": 0, "tail": tail,
+        "parsed": {"metric": "headline_suite_total", "value": 1.75,
+                   "control": {"q_alpha": 1.25}},
+    }))
+    rec = load_artifact(str(art))
+    assert rec["queries_salvaged_from_tail"] is True
+    assert rec["queries"] == {"q_alpha": 1.25, "q_beta": 0.5}
+
+
+def test_bench_summary_carries_normalized_and_control_drift_fields():
+    """r19 (r18 verdict #1+#5): the driver-captured summary line must
+    carry normalized_vs_prev and the suite start/end control pair."""
+    res = _run("--dry-run")
+    assert res.returncode == 0
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    for key in ("normalized_vs_prev", "nvp_prev", "control_start", "control_end"):
+        assert key in rec, key
+    assert len(rec["control_start"]) == 2 and len(rec["control_end"]) == 2

@@ -1,9 +1,13 @@
 """Invariant tests for the LLM-pipeline operators: recall of the LSH paths
 against their exact counterparts, fingerprint determinism, plumbing shapes."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from datalake_local_spark.llm import dedup, multimodal, similarity, text
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_exact_dedup_covers_all_docs(tables):
@@ -4267,6 +4271,75 @@ def test_census_guard_r18_new_plans(spark, tables):
     for name, df, bound in bounds:
         n = _final_plan(df).count("FileScan parquet")
         assert n <= bound, f"{name}: {n} parquet scans (bound {bound})"
+
+
+def test_unpartitioned_window_classifier():
+    """r19 (r18 verdict #3): the census's WindowExec classifier — a
+    spec whose first top-level argument is a sort order or the frame
+    itself is unpartitioned; a leading plain column means PARTITION BY
+    is present. Pure string analysis, pinned on real plan spellings."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(REPO, "tools"))
+    from plan_census import count_unpartitioned_windows
+
+    part = (
+        "   +- Window [sum(c1#72L) windowspecdefinition(bkt#114L, "
+        "c#69L ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS _we0#178L], [bkt#114L]"
+    )
+    unpart_sorted = (
+        "   +- Window [sum(b1#115L) windowspecdefinition(bkt#169L ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), -1)) AS _we0#127L, sum(b2#116L) "
+        "windowspecdefinition(bkt#169L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)) "
+        "AS _we1#128L], [bkt#169L ASC NULLS FIRST]"
+    )
+    unpart_global = (
+        "   +- Window [count(1) windowspecdefinition("
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS n#1L]"
+    )
+    assert count_unpartitioned_windows(part) == 0
+    # one NODE with two functions over the same spec counts ONCE
+    assert count_unpartitioned_windows(unpart_sorted) == 1
+    assert count_unpartitioned_windows(unpart_global) == 1
+    plan = "\n".join([part, unpart_sorted, unpart_global, "+- Exchange"])
+    assert count_unpartitioned_windows(plan) == 2
+
+
+def test_census_guard_r19_unpartitioned_windows(spark, tables):
+    """r19 (r18 verdict #3): pin the unpartitioned-WindowExec counts of
+    the adjudicated benign sites most likely to regress — the two
+    two-level bucket-cumsum tests (exactly ONE bucket-grain offsets
+    frame each; a second one means the data-scaled window came back)
+    and two calendar-spine sites. New entrants across the full registry
+    are caught by the round-end census run against
+    plan_census.UPW_BENIGN."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(REPO, "tools"))
+    from plan_census import UPW_BENIGN, count_unpartitioned_windows
+
+    from datalake_local_spark.operators import quality
+
+    orders = tables["orders"]
+    pinned = {
+        "dq_ks_test": quality.ks_two_sample(orders),
+        "dq_mann_whitney": quality.mann_whitney_u(orders),
+        "dq_pettitt_changepoint": quality.pettitt_changepoint(orders),
+        "dq_runs_test": quality.runs_test(orders),
+    }
+    for name, df in pinned.items():
+        got = count_unpartitioned_windows(_final_plan(df))
+        assert got <= UPW_BENIGN.get(name, 0), (
+            f"{name}: {got} unpartitioned WindowExec nodes "
+            f"(pinned {UPW_BENIGN.get(name, 0)}) — a data-scaled "
+            "single-partition window regressed in"
+        )
 
 
 def test_hits_walk_centrality_hand_computed_and_random(spark):

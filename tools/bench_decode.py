@@ -7,10 +7,19 @@ is 2000 characters and the plain map is ~2.7 KB.
 Usage:
     python tools/bench_decode.py BENCH_r18.json        # driver artifact
     python tools/bench_decode.py BENCH_local.json      # already plain
+    python tools/bench_decode.py --compare BENCH_r19.json BENCH_r18.json
 
 Prints the artifact's summary fields plus the decoded per-query map as
 pretty JSON, sorted by descending time — ready for cross-round diffing
 without any second file.
+
+``--compare`` (r18 verdict #1) reproduces the round-over-round story
+from the two committed artifacts ALONE: the common-query raw ratio, the
+host-drift control ratio (the stable flagship + streaming_tumbling
+pair), the host-normalized ratio ``normalized_vs_prev`` =
+raw / control, and the per-query movers table. bench.py calls the same
+:func:`compare` at artifact-write time, so the number on the summary
+line and the number this tool prints can never diverge.
 """
 
 from __future__ import annotations
@@ -28,7 +37,11 @@ def decode_queries_z(s: str) -> dict[str, float]:
 
 def load_artifact(path: str) -> dict:
     """Accept a driver artifact ({n, rc, tail, parsed}), a raw summary
-    line, or the plain BENCH_local.json full record."""
+    line, or the plain BENCH_local.json full record. Pre-r18 driver
+    artifacts carry no ``queries_z``; for those, salvage whatever
+    per-query pairs survive in the tail's full-line fragment (partial —
+    compare() intersects on common names, so a salvaged prefix still
+    yields an honest common-set ratio)."""
     with open(path) as fh:
         doc = json.load(fh)
     rec = doc.get("parsed", doc) if isinstance(doc, dict) else doc
@@ -37,10 +50,64 @@ def load_artifact(path: str) -> dict:
     out = {k: v for k, v in rec.items() if k != "queries_z"}
     if "queries_z" in rec:
         out["queries"] = decode_queries_z(rec["queries_z"])
+    elif "queries" not in rec and isinstance(doc, dict) and doc.get("tail"):
+        import re
+
+        frag = doc["tail"].rsplit("\n", 1)[0]  # full-line fragment
+        scalar = {"value", "sf", "n_edges", "num_partitions", "rounds"}
+        pairs = {
+            k: float(v)
+            for k, v in re.findall(r'"(\w+)": ([0-9][0-9.]*)', frag)
+            if k not in scalar
+        }
+        if pairs:
+            out["queries"] = pairs
+            out["queries_salvaged_from_tail"] = True
     return out
 
 
+def compare(curr: dict, prev: dict, n_movers: int = 10) -> dict:
+    """Round-over-round comparison from two per-query records: the
+    raw common-query total ratio, the control-pair host ratio, the
+    host-normalized ratio, and the top per-query movers (by |delta|)
+    over the common set. Pure arithmetic over the two records — no
+    narrative inputs."""
+    cq, pq = curr.get("queries") or {}, prev.get("queries") or {}
+    common = sorted(set(cq) & set(pq))
+    sum_c = sum(cq[k] for k in common)
+    sum_p = sum(pq[k] for k in common)
+    raw = sum_c / sum_p if sum_p else None
+    ctl_c, ctl_p = curr.get("control") or {}, prev.get("control") or {}
+    ctl_common = sorted(set(ctl_c) & set(ctl_p))
+    ctl_sum_p = sum(ctl_p[k] for k in ctl_common)
+    ctl = (
+        sum(ctl_c[k] for k in ctl_common) / ctl_sum_p
+        if ctl_common and ctl_sum_p
+        else None
+    )
+    norm = raw / ctl if raw is not None and ctl else raw
+    movers = sorted(
+        ((round(cq[k] - pq[k], 3), k) for k in common),
+        key=lambda t: -abs(t[0]),
+    )[:n_movers]
+    return {
+        "n_common": len(common),
+        "sum_curr": round(sum_c, 3),
+        "sum_prev": round(sum_p, 3),
+        "raw_ratio": round(raw, 4) if raw is not None else None,
+        "control_ratio": round(ctl, 4) if ctl is not None else None,
+        "normalized_vs_prev": round(norm, 4) if norm is not None else None,
+        "movers": [{"q": k, "delta": d} for d, k in movers],
+    }
+
+
 def main() -> None:
+    if len(sys.argv) == 4 and sys.argv[1] == "--compare":
+        curr, prev = load_artifact(sys.argv[2]), load_artifact(sys.argv[3])
+        out = compare(curr, prev)
+        out["curr"], out["prev"] = sys.argv[2], sys.argv[3]
+        print(json.dumps(out, indent=1))
+        return
     if len(sys.argv) != 2:
         raise SystemExit(__doc__)
     rec = load_artifact(sys.argv[1])
