@@ -304,86 +304,85 @@ def _q_cube_request(spark, sf):
 
 
 # Certification-window rotation: the driver oracle-checks the FIRST 50
-# ``queries()`` entries each round (cap confirmed in r3/r4).  Round 18
-# window per the r17 verdict #1: (a) the three r17 post-window names
-# (registered after the r17 window froze — no driver row yet; two of
-# them also carry r18 oracle changes from the ADVICE items), then (b)
-# every other name whose code or oracle CHANGED in r18 (changed
-# outranks rotation, the r13-r17 precedent), then (c) the FULL 35-name
-# r8 cohort (the oldest driver rows in the registry, last checked 10
-# rounds ago), then (d) r10-cohort names by name order, as many as fit.
-# The r10 names that do not fit are tracked in the tail comment for
-# the r19 queue and exact-checked locally this round (SWEEP_r18.log).
+# ``queries()`` entries each round (cap confirmed in r3/r4).  Round 19
+# window per the r18 verdict #4: (a) the one NEW r19 name, then (b)
+# every name whose code or oracle CHANGED in r19 (changed outranks
+# rotation, the r13-r18 precedent), then (c) the FULL 37-name r10
+# cohort (the oldest driver rows in the registry, 8 rounds old), then
+# (d) the r11 cohort by name order, as many as fit. The r11 names that
+# do not fit are tracked in the tail comment for the r20 queue and
+# exact-checked locally this round (SWEEP_r19.log).
 _CERTIFY_FIRST = [
-    # ---- NEW in r17 post-window (no driver row yet) ----
-    "graph_betweenness",  # + r18 oracle change: sigma per-level DP
-    "pipeline_dsir_weights",  # + r18 oracle change: DSIR_* interpolation
-    "text_kn_bigram_logprob",
-    # ---- NEW in round 18 ----
-    "lake_hilbert_skipping",  # NEW r18: Hilbert vs Morton A/B closer
-    "text_pack_bpe",  # NEW r18: tokenizer-aware packing (BPE budget)
-    "streaming_join_window",  # NEW r18: join->window chained stateful
-    "ivm_join_refresh",  # NEW r18: delta-join view maintenance
-    "graph_hits",  # NEW r18: fixed-depth integer HITS walk counts
-    "dq_pettitt_changepoint",  # NEW r18: nonparametric changepoint
-    "text_good_turing",  # NEW r18: GT count-of-counts + missing mass
-    "dq_mann_whitney",  # NEW r18: exact-midrank rank-sum test
-    "dq_runs_test",  # NEW r18: Wald-Wolfowitz randomness screen
-    # ---- code/oracle CHANGED in round 18 ----
-    "lake_zorder_skipping",  # r18: offset-first ms prescale (both sides)
-    "text_bpe_merges",  # r18: rows-only -> oracle (relational replay)
-    "text_bpe_encode",  # r18: rows-only -> oracle (relational replay)
-    # ---- the r8 cohort, drained in full (35 names; driver rows were
-    # 10 rounds old) ----
-    "dq_benford",
-    "events_retention",
-    "events_salted_agg",
-    "events_sequence_patterns",
-    "events_sessionize",
-    "events_sliding",
-    "events_streaks",
-    "events_tumbling",
-    "mm_decode_metadata",
-    "mm_decode_real_headers",
-    "mm_resize_metadata",
-    "pandas_grouped_zscore",
-    "pandas_scalar_logistic",
-    "profile_orders",
-    "scalar_array_funcs",
-    "scalar_bitwise_funcs",
-    "scalar_date_funcs",
-    "scalar_json_extract",
-    "scalar_map_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "scalar_string_funcs2",
-    "scalar_url_funcs",
-    "setop_except",
-    "setop_intersect",
-    "setop_union",
-    "sim_cosine_topk",
-    "sim_cosine_topk_vectorized",
-    "sim_label_centroids",
-    "sort_limit_topn",
-    "text_bigram_logprob",
-    "window_moving_median",
-    "window_relative",
-    "window_running",
-    "window_topk_per_group",
-    # ---- r10 cohort by name order, filling to the 50-slot cap ----
-    # r19 queue HEAD: the remaining r10-cohort names by name order
+    # ---- NEW in round 19 ----
+    "dedup_exact_substring",  # NEW r19: ExactSubstr spans (Lee 2022)
+    # ---- code/oracle CHANGED in round 19 ----
+    "dq_mann_whitney",  # r19: NULL-z guard on zero variance (advice #1)
+    "dq_runs_test",  # r19: guard extended to 2*n1*n2 > n (advice #2)
+    "dq_ks_test",  # r19: two-level bucket cumsum (verdict #2)
+    # ---- the r10 cohort, drained in full (37 names; driver rows were
+    # 8 rounds old) ----
+    "agg_gini_spend",
+    "agg_mode_family",
+    "agg_weighted_median",
+    "dedup_rate_by_source",
+    "events_cumulative_users",
+    "events_interarrival",
+    "events_multigrain_rollup",
+    "events_peak_concurrency",
+    "graph_degree_profile",
+    "pipeline_shard_manifest",
+    "scalar_ip_funcs",
+    "semantic_ohlcv_daily",
+    "sim_ann_recall_report",
+    "sim_quantize_int8",
+    "sql_interactive",
+    "streaming_foreachbatch_upsert",
+    "streaming_sessionize",
+    "streaming_sliding",
+    "streaming_stateful_counter",
+    "text_cm_heavy_hitters",
+    "text_fingerprint",
+    "text_rake_keywords",
+    "text_vocab_oov",
+    "tpch_big_spenders",
+    "tpch_disjunctive_revenue",
+    "tpch_forecast_revenue",
+    "tpch_large_orders",
+    "tpch_local_supplier_volume",
+    "tpch_market_share",
+    "tpch_order_distribution",
+    "tpch_part_promotion",
+    "tpch_promo_revenue",
+    "tpch_returned_items",
+    "tpch_sales_opportunity",
+    "tpch_shipping_priority",
+    "tpch_small_qty_revenue",
+    "tpch_top_supplier",
+    # ---- r11 cohort by name order, filling to the 50-slot cap ----
+    "agg_higher_moments",
+    "agg_regression_funcs",
+    "dedup_cluster_purity",
+    "dedup_components",
+    "dedup_cosine_sweep",
+    "dedup_minhash_calibration",
+    "dedup_shingle_sweep",
+    "dq_ab_ttest",
+    "dq_psi_drift",
+    # r20 queue HEAD: the remaining r11-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
-    # agg_gini_spend, agg_mode_family, agg_weighted_median, dedup_rate_by_source,
-    # events_cumulative_users, events_interarrival,
-    # events_multigrain_rollup,
-    # events_peak_concurrency, graph_degree_profile,
-    # pipeline_shard_manifest,
-    # scalar_ip_funcs, semantic_ohlcv_daily, sim_ann_recall_report, sim_quantize_int8,
-    # sql_interactive, streaming_foreachbatch_upsert,
-    # streaming_sessionize, streaming_sliding,
-    # streaming_stateful_counter, text_cm_heavy_hitters,
-    # text_fingerprint, text_rake_keywords, text_vocab_oov, and the
-    # tpch_* r10 names — then the r11 cohort by driver-row age.
+    # events_attribution, events_autocorrelation,
+    # events_growth_accounting, events_latency_trend,
+    # events_path_trigrams, events_seasonal_anomaly,
+    # events_session_depth, events_slo_burn, events_survival_km,
+    # graph_link_prediction, graph_triangles, join_anti,
+    # join_composite_theta, join_full_outer, lake_zorder_layout,
+    # mm_aspect_buckets, pipeline_dedup_funnel, pipeline_leakage_split,
+    # pipeline_token_budget, pipeline_weighted_reservoir,
+    # scd2_asof_snapshot, sim_pair_geometry, sql_named_window,
+    # text_phrase_search, text_quality_by_source, tpch_cohort_ltv,
+    # tpch_important_stock, tpch_lead_time, tpch_order_aging,
+    # tpch_pareto_abc, tpch_realized_margin, tpch_return_rates,
+    # tpch_yoy_growth — then the r12 cohort by driver-row age.
 ]
 
 
@@ -630,6 +629,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_equidepth_histogram": lambda s, d: agg.equidepth_histogram(*_t(s, d, "orders")),
         # dedup family (north star)
         "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
+        "dedup_exact_substring": lambda s, d: dedup.exact_substring_spans(*_t(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
         # round-8 wave 2
         "dedup_containment": lambda s, d: dedup.token_containment_pairs(*_t(s, d, "documents")),
@@ -3507,6 +3507,77 @@ def _oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_doc_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        # NEW r19 (r18 verdict #6): ExactSubstr dedup (Lee et al. 2022)
+        # — char-grain 30-gram occurrences, canonical = lexicographic
+        # min (doc_id, pos) per gram (spelled two-step here vs Spark's
+        # struct-min: min doc first, then min pos within it — an
+        # independent re-expression, no shared text), duplicated marks
+        # merged into maximal spans via the lag-gap island idiom, one
+        # doc-grain rollup with the don't-vanish LEFT join. All exact
+        # integers; removed_bps is an integer div on non-negatives.
+        "dedup_exact_substring": """
+            WITH grams AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       substr(text, CAST(i + 1 AS INT), 30) AS gram
+                FROM documents,
+                     LATERAL unnest(range(0, greatest(length(text) - 29, 0)))
+                         AS t(i)
+            ),
+            owner_doc AS (
+                SELECT gram, min(doc_id) AS odoc FROM grams GROUP BY 1
+            ),
+            owner AS (
+                SELECT g.gram, o.odoc, min(g.pos) AS opos
+                FROM grams g
+                JOIN owner_doc o ON o.gram = g.gram AND o.odoc = g.doc_id
+                GROUP BY 1, 2
+            ),
+            dup AS (
+                SELECT g.doc_id, g.pos
+                FROM grams g JOIN owner o ON o.gram = g.gram
+                WHERE NOT (g.doc_id = o.odoc AND g.pos = o.opos)
+            ),
+            flagged AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 30
+                            THEN 1 ELSE 0 END AS new_span
+                FROM dup
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            ids AS (
+                SELECT doc_id, pos,
+                       sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS span_id
+                FROM flagged
+            ),
+            spans AS (
+                SELECT doc_id, span_id,
+                       max(pos) - min(pos) + 30 AS span_chars,
+                       count(*) AS n_grams
+                FROM ids GROUP BY 1, 2
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       count(*) AS n_dup_spans,
+                       sum(span_chars) AS chars_removed,
+                       sum(n_grams) AS n_dup_grams
+                FROM spans GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(coalesce(p.chars_removed, 0) AS BIGINT)
+                       AS chars_removed,
+                   CAST(length(d.text) AS BIGINT) AS total_chars,
+                   CAST(CASE WHEN length(d.text) > 0 THEN
+                            coalesce(p.chars_removed, 0) * 10000
+                                // length(d.text)
+                        ELSE 0 END AS BIGINT) AS removed_bps
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         # r16 review consolidation: the exact-Jaccard verifier text now
         # lives ONLY in _PAIR_FEED_CTES — this oracle, containment, and

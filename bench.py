@@ -205,6 +205,10 @@ BENCH_QUERIES = [
     "dq_runs_test",
     "text_kn_bigram_logprob",
     "pipeline_dsir_weights",
+    # round-19: ExactSubstr dedup — char-grain 30-gram canonicalization
+    # (gram-keyed shuffle) + per-doc span merge, the widest explode in
+    # the dedup family (O(corpus chars) gram rows)
+    "dedup_exact_substring",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component
     # grain — the widest definitional pair-sum in the graph suite
     "graph_betweenness",

@@ -3519,3 +3519,121 @@ def betweenness_centrality(
         F.coalesce(F.col("n_mid_pairs"), F.lit(0)).cast("long").alias("n_mid_pairs"),
         F.coalesce(F.col("betweenness"), F.lit(0.0)).alias("betweenness"),
     )
+
+
+def exact_substring_spans(documents: DataFrame, k: int = 30) -> DataFrame:
+    """Exact SUBSTRING-level dedup report (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr modality: remove every duplicated substring of length
+    >= k, keeping one canonical copy corpus-wide). Doc-level
+    (``exact_dedup``), segment-level (``text.segment_dedup``) and
+    n-gram-profile (``text.duplicate_ngrams``) exist; this closes the
+    suffix-grain gap relationally — no suffix array needed:
+
+    1. every char-grain k-gram occurrence ``(doc_id, pos,
+       substr(text, pos+1, k))`` (one generated-column explode, no
+       shuffle yet);
+    2. the CANONICAL occurrence per gram is the lexicographic min
+       (doc_id, pos) struct — one gram-keyed aggregate (the
+       bucketed-by-fingerprint shuffle: candidate volume is O(n·L),
+       never all-pairs);
+    3. every non-canonical occurrence marks chars [pos, pos+k) for
+       removal; overlapping/adjacent marks merge into MAXIMAL spans
+       per doc with one doc-partitioned window (equal-length intervals
+       sorted by pos merge iff gap <= k — a lag test + running flag
+       sum, the sessionize island idiom);
+    4. one doc-grain rollup publishes span count, removed chars, and
+       removal bps — every doc keeps a row (the don't-vanish rule).
+
+    All counts are exact integers; removed_bps is an exact integer
+    ``div`` on min-offset non-negative values.
+
+    Scale shape (100 TB): the only corpus-wide shuffle is gram-keyed
+    (step 2) — at deployment scale group on ``xxhash64(gram)`` instead
+    of the 30-byte string to shrink shuffle width (collisions then
+    over-mark at ~2^-64 rates; re-verify with one equality join, the
+    ngram-Jaccard verify pattern); the span-merge window partitions by
+    doc_id and is bounded by document length, never corpus size."""
+    docs = documents.select("doc_id", "text")
+    npos = F.length("text") - F.lit(k) + 1
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(npos >= 1, F.sequence(F.lit(0), npos - 1))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(f"substring(text, pos + 1, {int(k)})").alias("gram"),
+        )
+    )
+    owner = grams.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "pos")).alias("o")
+    )
+    dup = (
+        grams.join(owner, "gram")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("o.doc_id"))
+                & (F.col("pos") == F.col("o.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > k),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    spans = (
+        flagged.select(
+            "doc_id",
+            "pos",
+            F.sum("new_span")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .alias("span_id"),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            (F.max("pos") - F.min("pos") + k).alias("span_chars"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("span_chars").alias("chars_removed"),
+        F.sum("n_grams").alias("n_dup_grams"),
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("chars_removed", F.lit(0))
+            .cast("long")
+            .alias("chars_removed"),
+            F.length("text").cast("long").alias("total_chars"),
+            F.expr(
+                "CASE WHEN length(text) > 0 THEN"
+                " coalesce(chars_removed, 0) * 10000 div length(text)"
+                " ELSE 0 END"
+            )
+            .cast("long")
+            .alias("removed_bps"),
+        )
+        .orderBy("doc_id")
+    )

@@ -4273,6 +4273,41 @@ def test_census_guard_r18_new_plans(spark, tables):
         assert n <= bound, f"{name}: {n} parquet scans (bound {bound})"
 
 
+def test_exact_substring_spans_hand_computed(spark):
+    """r19 ExactSubstr (Lee et al. 2022): hand-built corpus at k=10 —
+    cross-doc prefix copy (one merged span), full-doc copy (one span
+    covering everything), within-doc repeat (the canonical FIRST
+    occurrence stays), two far-apart copied regions (gap > k -> two
+    spans), and a doc shorter than k (all zeros, don't-vanish row)."""
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"  # 36 unique chars
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base[:20] + "Z" * 10),
+            (2, base),
+            (3, "PQRSTUVWXY" + "0a1b2c3d4e" + "PQRSTUVWXY"),
+            (4, base[:15] + "!@#$%^&*()_+=[]" + base[20:35]),
+            (5, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_dup_grams"], r["n_dup_spans"], r["chars_removed"],
+            r["total_chars"], r["removed_bps"],
+        )
+        for r in dedup.exact_substring_spans(docs, k=10).collect()
+    }
+    assert got == {
+        0: (0, 0, 0, 36, 0),        # owner of everything
+        1: (11, 1, 20, 30, 6666),   # copied prefix, Z-tail unique
+        2: (27, 1, 36, 36, 10000),  # verbatim copy of doc 0
+        3: (1, 1, 10, 30, 3333),    # within-doc repeat, first kept
+        4: (12, 2, 30, 45, 6666),   # two regions, gap > k -> 2 spans
+        5: (0, 0, 0, 4, 0),         # shorter than k
+    }
+
+
 def test_unpartitioned_window_classifier():
     """r19 (r18 verdict #3): the census's WindowExec classifier — a
     spec whose first top-level argument is a sort order or the frame
