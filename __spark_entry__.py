@@ -315,6 +315,7 @@ def _q_cube_request(spark, sf):
 _CERTIFY_FIRST = [
     # ---- NEW in round 19 ----
     "dedup_exact_substring",  # NEW r19: ExactSubstr spans (Lee 2022)
+    "dedup_substring_probe",  # NEW r19: incremental ExactSubstr probe
     # ---- code/oracle CHANGED in round 19 ----
     "dq_mann_whitney",  # r19: NULL-z guard on zero variance (advice #1)
     "dq_runs_test",  # r19: guard extended to 2*n1*n2 > n (advice #2)
@@ -367,10 +368,9 @@ _CERTIFY_FIRST = [
     "dedup_minhash_calibration",
     "dedup_shingle_sweep",
     "dq_ab_ttest",
-    "dq_psi_drift",
     # r20 queue HEAD: the remaining r11-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
-    # events_attribution, events_autocorrelation,
+    # dq_psi_drift, events_attribution, events_autocorrelation,
     # events_growth_accounting, events_latency_trend,
     # events_path_trigrams, events_seasonal_anomaly,
     # events_session_depth, events_slo_burn, events_survival_km,
@@ -630,6 +630,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family (north star)
         "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
         "dedup_exact_substring": lambda s, d: dedup.exact_substring_spans(*_t(s, d, "documents")),
+        "dedup_substring_probe": lambda s, d: dedup.exact_substring_probe(*_t(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
         # round-8 wave 2
         "dedup_containment": lambda s, d: dedup.token_containment_pairs(*_t(s, d, "documents")),
@@ -3577,6 +3578,70 @@ def _oracle_sql() -> dict[str, str]:
                                 // length(d.text)
                         ELSE 0 END AS BIGINT) AS removed_bps
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # NEW r19: incremental ExactSubstr probe — incoming docs
+        # (doc_id >= 250) vs the existing corpus's distinct 30-gram
+        # set, EVERY indexed occurrence marked (no canonical-copy
+        # exemption: the corpus holds the canonical), same island
+        # merge + don't-vanish rollup. Semi join spelled EXISTS here
+        # vs Spark's left_semi.
+        "dedup_substring_probe": """
+            WITH grams AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       substr(text, CAST(i + 1 AS INT), 30) AS gram
+                FROM documents,
+                     LATERAL unnest(range(0, greatest(length(text) - 29, 0)))
+                         AS t(i)
+            ),
+            idx AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id < 250
+            ),
+            hits AS (
+                SELECT g.doc_id, g.pos FROM grams g
+                WHERE g.doc_id >= 250
+                  AND EXISTS (SELECT 1 FROM idx i WHERE i.gram = g.gram)
+            ),
+            flagged AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 30
+                            THEN 1 ELSE 0 END AS new_span
+                FROM hits
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            ids AS (
+                SELECT doc_id, pos,
+                       sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS span_id
+                FROM flagged
+            ),
+            spans AS (
+                SELECT doc_id, span_id,
+                       max(pos) - min(pos) + 30 AS span_chars,
+                       count(*) AS n_grams
+                FROM ids GROUP BY 1, 2
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       count(*) AS n_spans,
+                       sum(span_chars) AS chars_covered,
+                       sum(n_grams) AS n_hit_grams
+                FROM spans GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+                   CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(p.chars_covered, 0) AS BIGINT)
+                       AS chars_covered,
+                   CAST(length(d.text) AS BIGINT) AS total_chars,
+                   CAST(CASE WHEN length(d.text) > 0 THEN
+                            coalesce(p.chars_covered, 0) * 10000
+                                // length(d.text)
+                        ELSE 0 END AS BIGINT) AS covered_bps
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            WHERE d.doc_id >= 250
             ORDER BY d.doc_id
         """,
         # r16 review consolidation: the exact-Jaccard verifier text now

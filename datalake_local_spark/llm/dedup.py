@@ -3637,3 +3637,113 @@ def exact_substring_spans(documents: DataFrame, k: int = 30) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def exact_substring_probe(
+    documents: DataFrame, split_doc_id: int = 250, k: int = 30
+) -> DataFrame:
+    """Incremental ExactSubstr screen — the ingestion-path companion of
+    :func:`exact_substring_spans`: INCOMING documents (doc_id >=
+    ``split_doc_id``) probed against the k-gram set of the EXISTING
+    corpus (doc_id below the split), reporting per incoming doc how
+    much text an exact-substring decontamination pass would cut before
+    admission. Batch-refits nothing: the existing corpus contributes
+    only its DISTINCT gram set, which in production is a persisted
+    index (the ``write_band_index`` precedent — append new grams per
+    ingest batch; this query computes it inline so the oracle can
+    replay it).
+
+    Semantics differ from :func:`exact_substring_spans` on purpose:
+    every incoming occurrence of an indexed gram is marked (there is
+    no canonical-copy exemption — the existing corpus already holds
+    the canonical copy), and incoming docs are NOT probed against each
+    other (that is the full pass's job at the next compaction).
+
+    Scale shape (100 TB): the probe is one LEFT SEMI join at gram
+    grain — index-pruned, never all-pairs; at deployment scale the
+    index side persists bucketed by xxhash64(gram) so the probe
+    co-partitions without a shuffle of the (much larger) incoming
+    gram stream's index side, and AQE handles hot-gram skew. The span
+    merge is the same doc-partitioned lag-gap island window, bounded
+    by document length."""
+    from pyspark.sql import Window as W
+
+    docs = documents.select("doc_id", "text")
+    npos = F.length("text") - F.lit(k) + 1
+
+    def _grams(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.when(npos >= 1, F.sequence(F.lit(0), npos - 1))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+            "text",
+        ).select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(f"substring(text, pos + 1, {int(k)})").alias("gram"),
+        )
+
+    index = (
+        _grams(docs.filter(F.col("doc_id") < split_doc_id))
+        .select("gram")
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") >= split_doc_id)
+    hits = (
+        _grams(incoming)
+        .join(index, "gram", "left_semi")
+        .select("doc_id", "pos")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > k),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_span"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.sum("new_span")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .alias("span_id"),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            (F.max("pos") - F.min("pos") + k).alias("span_chars"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_chars").alias("chars_covered"),
+        F.sum("n_grams").alias("n_hit_grams"),
+    )
+    return (
+        incoming.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("chars_covered", F.lit(0))
+            .cast("long")
+            .alias("chars_covered"),
+            F.length("text").cast("long").alias("total_chars"),
+            F.expr(
+                "CASE WHEN length(text) > 0 THEN"
+                " coalesce(chars_covered, 0) * 10000 div length(text)"
+                " ELSE 0 END"
+            )
+            .cast("long")
+            .alias("covered_bps"),
+        )
+        .orderBy("doc_id")
+    )

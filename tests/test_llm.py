@@ -4308,6 +4308,37 @@ def test_exact_substring_spans_hand_computed(spark):
     }
 
 
+def test_exact_substring_probe_hand_computed(spark):
+    """r19 incremental ExactSubstr probe: only INCOMING docs emit;
+    hits come only from the EXISTING corpus's gram index (two verbatim
+    incoming twins both report just the indexed gram — incoming docs
+    are not probed against each other); a no-overlap doc keeps its
+    don't-vanish zero row."""
+    docs = spark.createDataFrame(
+        [
+            (0, "abcdefghijklmnopqrst"),       # existing corpus
+            (10, "abcdefghij!@#$%^&*()"),      # 1 indexed gram at pos 0
+            (11, "abcdefghij!@#$%^&*()"),      # twin of 10 — same result
+            (12, "no overlap at all 123"),     # zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_hit_grams"], r["n_spans"], r["chars_covered"],
+            r["total_chars"], r["covered_bps"],
+        )
+        for r in dedup.exact_substring_probe(
+            docs, split_doc_id=5, k=10
+        ).collect()
+    }
+    assert got == {
+        10: (1, 1, 10, 20, 5000),
+        11: (1, 1, 10, 20, 5000),
+        12: (0, 0, 0, 21, 0),
+    }
+
+
 def test_unpartitioned_window_classifier():
     """r19 (r18 verdict #3): the census's WindowExec classifier — a
     spec whose first top-level argument is a sort order or the frame
