@@ -207,8 +207,10 @@ BENCH_QUERIES = [
     "pipeline_dsir_weights",
     # round-19: ExactSubstr dedup — char-grain 30-gram canonicalization
     # (gram-keyed shuffle) + per-doc span merge, the widest explode in
-    # the dedup family (O(corpus chars) gram rows)
+    # the dedup family (O(corpus chars) gram rows) — and its
+    # incremental ingestion-path probe (gram-grain left-semi join)
     "dedup_exact_substring",
+    "dedup_substring_probe",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component
     # grain — the widest definitional pair-sum in the graph suite
     "graph_betweenness",
