@@ -416,7 +416,12 @@ def main() -> None:
         "normalized_vs_prev": (
             nvp.get("normalized_vs_prev") if nvp else None
         ),
-        "nvp_prev": prev_name,
+        # short ref ("r18" = BENCH_r18.json), keeping the line compact
+        "nvp_prev": (
+            prev_name.replace("BENCH_", "").replace(".json", "")
+            if prev_name
+            else None
+        ),
         "control_start": [control_start.get(n) for n in _CONTROL_PAIR],
         "control_end": [control_end.get(n) for n in _CONTROL_PAIR],
         # r17 verdict #2: the driver artifact must be SELF-CONTAINED —
