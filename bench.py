@@ -268,10 +268,18 @@ def main() -> None:
     control_end: dict[str, float] = {}
 
     def _time_control(qs, into: dict) -> None:
+        # best-of-2, same as the suite: the first pass of each control
+        # query pays whole-stage-codegen JIT (the generic warmup query
+        # does not warm THESE plans), which would make control_start
+        # read ~3x slow and invert the drift ratio
         for name in _CONTROL_PAIR:
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
-            into[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                dt = round(time.perf_counter() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            into[name] = best
 
     if dry_run:
         spark = None
