@@ -220,6 +220,21 @@ SHOWCASE = {
         "both packing prefix-sums are windows PARTITIONED by shard "
         "(doc_id % 8) — never a global orderBy window."
     ),
+    "dedup_exact_substring": (
+        "ExactSubstr spans (round 19): the ONLY corpus-wide shuffle is "
+        "the gram-keyed canonical aggregate (min (doc_id, pos) struct "
+        "per 30-gram — O(corpus chars) rows, never all-pairs); the "
+        "canonical join comes back BROADCAST at this scale, and the "
+        "span merge is a lag-gap window PARTITIONED by doc_id "
+        "(bounded by document length). Zero unpartitioned windows."
+    ),
+    "dedup_substring_probe": (
+        "Incremental ExactSubstr probe (round 19): incoming grams hit "
+        "the existing corpus's distinct-gram index through one LEFT "
+        "SEMI join (index-pruned; broadcast here, bucketed-by-hash "
+        "co-partition at 100 TB); same doc-partitioned island merge. "
+        "The incoming side is never self-joined."
+    ),
 }
 
 SKEW_EPILOGUE = """
