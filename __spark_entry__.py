@@ -320,6 +320,7 @@ _CERTIFY_FIRST = [
     "dq_mann_whitney",  # r19: NULL-z guard on zero variance (advice #1)
     "dq_runs_test",  # r19: guard extended to 2*n1*n2 > n (advice #2)
     "dq_ks_test",  # r19: two-level bucket cumsum (verdict #2)
+    "dq_cramers_v",  # r19: NULL V on single-level dimension (proactive)
     # ---- the r10 cohort, drained in full (37 names; driver rows were
     # 8 rounds old) ----
     "agg_gini_spend",
@@ -366,11 +367,11 @@ _CERTIFY_FIRST = [
     "dedup_components",
     "dedup_cosine_sweep",
     "dedup_minhash_calibration",
-    "dedup_shingle_sweep",
-    "dq_ab_ttest",
+    "dq_ab_ttest",  # also r19-changed: ANSI-crash guard on degenerate input
     # r20 queue HEAD: the remaining r11-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
-    # dq_psi_drift, events_attribution, events_autocorrelation,
+    # dedup_shingle_sweep, dq_psi_drift,
+    # events_attribution, events_autocorrelation,
     # events_growth_accounting, events_latency_trend,
     # events_path_trigrams, events_seasonal_anomaly,
     # events_session_depth, events_slo_burn, events_survival_km,
@@ -6352,16 +6353,20 @@ def _oracle_sql() -> dict[str, str]:
                    CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
                    CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
                    round(chi2, 6) AS chi2,
-                   round(sqrt(chi2 / CAST(n_total * least(r - 1, c - 1)
-                                          AS DOUBLE)), 6) AS cramers_v
+                   CASE WHEN least(r - 1, c - 1) > 0 THEN
+                       round(sqrt(chi2 / CAST(n_total * least(r - 1, c - 1)
+                                              AS DOUBLE)), 6)
+                   END AS cramers_v
             FROM s1
             UNION ALL
             SELECT 'priority_x_year', CAST(n_total AS BIGINT),
                    CAST(r AS BIGINT), CAST(c AS BIGINT),
                    CAST((r - 1) * (c - 1) AS BIGINT),
                    round(chi2, 6),
-                   round(sqrt(chi2 / CAST(n_total * least(r - 1, c - 1)
-                                          AS DOUBLE)), 6)
+                   CASE WHEN least(r - 1, c - 1) > 0 THEN
+                       round(sqrt(chi2 / CAST(n_total * least(r - 1, c - 1)
+                                              AS DOUBLE)), 6)
+                   END
             FROM s2
             ORDER BY pair
         """,
@@ -11055,12 +11060,19 @@ def _oracle_sql() -> dict[str, str]:
                    n1l AS n_group,
                    CAST((2 * s1c + n1l) // (2 * n1l) AS DOUBLE) / 100.0
                        AS mean_group,
-                   CAST((2 * s2c + n2l) // (2 * n2l) AS DOUBLE) / 100.0
-                       AS mean_rest,
-                   round((m1 - m2) / sqrt(se2), 4) + 0.0 AS t_stat,
-                   round((se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
-                         + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS welch_df,
-                   abs(round((m1 - m2) / sqrt(se2), 4)) >= 1.96 AS nominal_sig
+                   CASE WHEN n2l > 0 THEN
+                       CAST((2 * s2c + n2l) // (2 * n2l) AS DOUBLE) / 100.0
+                   END AS mean_rest,
+                   CASE WHEN n1l >= 2 AND n2l >= 2 AND se2 > 0 THEN
+                       round((m1 - m2) / sqrt(se2), 4) + 0.0
+                   END AS t_stat,
+                   CASE WHEN n1l >= 2 AND n2l >= 2 AND se2 > 0 THEN
+                       round((se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                             + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4)
+                   END AS welch_df,
+                   CASE WHEN n1l >= 2 AND n2l >= 2 AND se2 > 0 THEN
+                       abs(round((m1 - m2) / sqrt(se2), 4)) >= 1.96
+                   END AS nominal_sig
             FROM se
         """,
         "tpch_important_stock": """

@@ -396,18 +396,32 @@ def ab_welch_ttest(events: DataFrame) -> DataFrame:
     )
     m1c = F.expr("(2 * s1c + n1l) div (2 * n1l)")
     m2c = F.expr("(2 * s2c + n2l) div (2 * n2l)")
+    # Degenerate-input guards (r19, the mann_whitney/runs_test class):
+    # a single event type makes the complement empty (n2l = 0), and a
+    # 1-row group zeroes a variance denominator — under Spark 4's
+    # default ANSI mode those divisions RAISE (this query previously
+    # CRASHED on such input; DuckDB NULLs), and two constant sides
+    # zero se2. All must publish NULL t/df/sig (and NULL mean_rest on
+    # an empty complement) identically in both engines. The guards
+    # NEST: the size check must pass before se2's own divisions are
+    # evaluated (CASE WHEN branches are lazy in codegen — evaluating
+    # se2 > 0 inside one flat conjunction still divided by zero).
+    nvalid = (F.col("n1l") >= 2) & (F.col("n2l") >= 2)
+    tg = F.when(nvalid, F.when(se2 > 0, t))
     return j.select(
         "event_type",
         F.col("n1l").alias("n_group"),
         (m1c.cast("double") / F.lit(100.0)).alias("mean_group"),
-        (m2c.cast("double") / F.lit(100.0)).alias("mean_rest"),
+        F.when(F.col("n2l") > 0, m2c.cast("double") / F.lit(100.0)).alias(
+            "mean_rest"
+        ),
         # + 0.0 normalizes IEEE signed zero: a means-tie makes t a tiny
         # negative, DuckDB's multiply-rint round keeps -0.0 while
         # Spark's BigDecimal round emits +0.0 — invisible to float ==,
         # fatal to a string/bit value hash (the r9/r10 red-row cause)
-        (F.round(t, 4) + F.lit(0.0)).alias("t_stat"),
-        F.round(df, 4).alias("welch_df"),
-        (F.abs(F.round(t, 4)) >= 1.96).alias("nominal_sig"),
+        (F.round(tg, 4) + F.lit(0.0)).alias("t_stat"),
+        F.when(nvalid, F.when(se2 > 0, F.round(df, 4))).alias("welch_df"),
+        (F.abs(F.round(tg, 4)) >= 1.96).alias("nominal_sig"),
     ).orderBy("event_type")
 
 
@@ -1539,15 +1553,21 @@ def cramers_v_screen(orders: DataFrame) -> DataFrame:
             F.col("c").cast("long").alias("c"),
             ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
             F.round("chi2", 6).alias("chi2"),
-            F.round(
-                F.sqrt(
-                    F.col("chi2")
-                    / (
-                        F.col("n_total")
-                        * F.least(F.col("r") - 1, F.col("c") - 1)
-                    ).cast("double")
+            # r19 guard: a single-level dimension makes min(r-1, c-1)
+            # zero — chi2 is exactly 0 there but 0/0 is NaN on Spark
+            # and NULL on DuckDB; both engines publish NULL V instead
+            F.when(
+                F.least(F.col("r") - 1, F.col("c") - 1) > 0,
+                F.round(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (
+                            F.col("n_total")
+                            * F.least(F.col("r") - 1, F.col("c") - 1)
+                        ).cast("double")
+                    ),
+                    6,
                 ),
-                6,
             ).alias("cramers_v"),
         )
 

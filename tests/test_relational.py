@@ -3746,6 +3746,96 @@ def test_runs_test_zero_variance_null_z_both_engines(spark):
     assert oz is None and ov is None
 
 
+def test_welch_ttest_degenerate_null_stats_both_engines(spark):
+    """r19 proactive (the mann_whitney guard class): a single event
+    type leaves an EMPTY complement (n2 = 0 — the oracle's integer //
+    divides by zero) and a 1-row group zeroes a variance denominator;
+    both engines must publish NULL mean_rest/t/df/sig, identically."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from datalake_local_spark.operators import quality
+
+    rows = [(i, "only_type", 100.0 + i) for i in range(5)]
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = quality.ab_welch_ttest(events).collect()[0]
+    assert got["n_group"] == 5 and got["mean_group"] == 102.0
+    assert got["mean_rest"] is None and got["t_stat"] is None
+    assert got["welch_df"] is None and got["nominal_sig"] is None
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(rows, columns=["event_id", "event_type", "value"]),
+    )
+    orow = con.execute(
+        f"SELECT mean_rest, t_stat, welch_df, nominal_sig FROM "
+        f"({em.oracle_sql()['dq_ab_ttest']})"
+    ).fetchall()[0]
+    assert orow == (None, None, None, None)
+
+    # two constant sides: se2 = 0 -> NULL t on both engines
+    rows2 = [(i, "a" if i < 4 else "b", 50.0) for i in range(8)]
+    events2 = spark.createDataFrame(
+        rows2, "event_id long, event_type string, value double"
+    )
+    for r in quality.ab_welch_ttest(events2).collect():
+        assert r["t_stat"] is None and r["welch_df"] is None
+    con2 = duckdb.connect()
+    con2.register(
+        "events",
+        pd.DataFrame(rows2, columns=["event_id", "event_type", "value"]),
+    )
+    for oz in con2.execute(
+        f"SELECT t_stat, welch_df FROM ({em.oracle_sql()['dq_ab_ttest']})"
+    ).fetchall():
+        assert oz == (None, None)
+
+
+def test_cramers_v_single_level_dimension_null_both_engines(spark):
+    """r19 proactive: a one-status corpus makes min(r-1, c-1) = 0 for
+    the priority x status pair — chi2 is exactly 0 and V must be NULL
+    (not NaN) on both engines; the year pair in the same run stays
+    well-defined."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from datalake_local_spark.operators import quality
+
+    rows = [
+        (i, "P1" if i % 2 == 0 else "P2", "F",
+         dt.date(2023 + i % 2, 1, 1 + i), 10.0 + i)
+        for i in range(8)
+    ]
+    schema = ("o_orderkey long, o_orderpriority string, o_orderstatus string,"
+              " o_orderdate date, o_totalprice double")
+    orders = spark.createDataFrame(rows, schema)
+    got = {r["pair"]: r for r in quality.cramers_v_screen(orders).collect()}
+    ps = got["priority_x_status"]
+    assert ps["c"] == 1 and ps["chi2"] == 0.0 and ps["cramers_v"] is None
+    py = got["priority_x_year"]
+    assert py["cramers_v"] is not None
+
+    con = duckdb.connect()
+    con.register(
+        "orders",
+        pd.DataFrame(rows, columns=[
+            "o_orderkey", "o_orderpriority", "o_orderstatus",
+            "o_orderdate", "o_totalprice"]),
+    )
+    orows = {r[0]: r for r in con.execute(
+        f"SELECT pair, cramers_v FROM ({em.oracle_sql()['dq_cramers_v']})"
+    ).fetchall()}
+    assert orows["priority_x_status"][1] is None
+    assert orows["priority_x_year"][1] is not None
+
+
 def test_cluster_writers_reject_empty_input(spark, tmp_path):
     """r19 (r18 advice #4): both clustering writers raise a descriptive
     ValueError on an empty input instead of a TypeError from NULL
