@@ -321,6 +321,10 @@ _CERTIFY_FIRST = [
     "dq_runs_test",  # r19: guard extended to 2*n1*n2 > n (advice #2)
     "dq_ks_test",  # r19: two-level bucket cumsum (verdict #2)
     "dq_cramers_v",  # r19: NULL V on single-level dimension (proactive)
+    "dq_ljung_box",  # r19: NULL rho/Q on zero-variance series (proactive)
+    "dq_cuped",  # r19: NULL variance columns on 1-user arm (proactive)
+    "dq_batch_drift",  # r19: NULL ratios on empty split side (proactive)
+    "events_hw_residual_diag",  # r19: NULL rho/Q on zero-den (proactive)
     # ---- the r10 cohort, drained in full (37 names; driver rows were
     # 8 rounds old) ----
     "agg_gini_spend",
@@ -363,14 +367,11 @@ _CERTIFY_FIRST = [
     # ---- r11 cohort by name order, filling to the 50-slot cap ----
     "agg_higher_moments",
     "agg_regression_funcs",
-    "dedup_cluster_purity",
-    "dedup_components",
-    "dedup_cosine_sweep",
-    "dedup_minhash_calibration",
     "dq_ab_ttest",  # also r19-changed: ANSI-crash guard on degenerate input
     # r20 queue HEAD: the remaining r11-cohort names by name order
     # (each exact-green in this round's full-registry sweep):
-    # dedup_shingle_sweep, dq_psi_drift,
+    # dedup_cluster_purity, dedup_components, dedup_cosine_sweep,
+    # dedup_minhash_calibration, dedup_shingle_sweep, dq_psi_drift,
     # events_attribution, events_autocorrelation,
     # events_growth_accounting, events_latency_trend,
     # events_path_trigrams, events_seasonal_anomaly,

@@ -114,10 +114,18 @@ def batch_drift_report(documents: DataFrame, split: int = 250) -> DataFrame:
         F.sum("o_toks").alias("old_toks"),
         F.sum("n_toks").alias("new_toks"),
     )
+    # r19 guard: an empty split side has a 0 (not NULL) count via the
+    # otherwise(0) side sums — under ANSI the share division CRASHED;
+    # NULL d (skipped by the L1 sum) matches the oracle's x/0 -> NULL
     lang_frac = langs.crossJoin(F.broadcast(scal.select("old_n", "new_n"))).select(
         "o",
         "n",
-        F.abs(F.col("o") / F.col("old_n") - F.col("n") / F.col("new_n")).alias("d"),
+        F.when(
+            (F.col("old_n") > 0) & (F.col("new_n") > 0),
+            F.abs(
+                F.col("o") / F.col("old_n") - F.col("n") / F.col("new_n")
+            ),
+        ).alias("d"),
     )
     lang_row = lang_frac.agg(
         F.lit("lang_l1_distance").alias("metric"),
@@ -129,15 +137,17 @@ def batch_drift_report(documents: DataFrame, split: int = 250) -> DataFrame:
     # the four scalar metrics unpivot from the ONE aggregate row via
     # stack() — a union of per-metric selects would replay the aggregate
     # subtree once per metric
+    go = F.col("old_n") > 0  # r19: empty-side guards (ANSI div-by-zero)
+    gn = F.col("new_n") > 0
     derived = scal.select(
         F.col("old_n").cast("double").alias("rc_o"),
         F.col("new_n").cast("double").alias("rc_n"),
-        r6(F.col("old_nulls") / F.col("old_n")).alias("nr_o"),
-        r6(F.col("new_nulls") / F.col("new_n")).alias("nr_n"),
-        r6(F.col("old_chars") / F.col("old_n")).alias("mc_o"),
-        r6(F.col("new_chars") / F.col("new_n")).alias("mc_n"),
-        r6(F.col("old_toks") / F.col("old_n")).alias("mt_o"),
-        r6(F.col("new_toks") / F.col("new_n")).alias("mt_n"),
+        F.when(go, r6(F.col("old_nulls") / F.col("old_n"))).alias("nr_o"),
+        F.when(gn, r6(F.col("new_nulls") / F.col("new_n"))).alias("nr_n"),
+        F.when(go, r6(F.col("old_chars") / F.col("old_n"))).alias("mc_o"),
+        F.when(gn, r6(F.col("new_chars") / F.col("new_n"))).alias("mc_n"),
+        F.when(go, r6(F.col("old_toks") / F.col("old_n"))).alias("mt_o"),
+        F.when(gn, r6(F.col("new_toks") / F.col("new_n"))).alias("mt_n"),
     )
     scal_rows = derived.select(
         F.expr(
@@ -845,6 +855,12 @@ def cuped_adjustment(events: DataFrame) -> DataFrame:
     mean_e6 = F.expr("(2 * sy * 10000 + n) div (2 * n)")
     var_e6 = F.expr("(2 * dyy_d * 100 + n * (n - 1)) div (2 * n * (n - 1))")
     guard = dxx_p > 0
+    # r19: 1-user arms zero the per-arm variance denominator n(n-1) —
+    # the unguarded var_post integer div and the var_y evaluation
+    # inside the var_reduction CONDITION both CRASHED under ANSI. The
+    # n >= 2 check nests OUTSIDE (CASE branches are lazy; a flat
+    # conjunction still evaluates the division — the welch lesson).
+    n2 = F.col("n") >= 2
     j = j.withColumn("dyy_d", (nd * F.col("syy") - F.col("sy") * F.col("sy")))
     return j.select(
         "arm",
@@ -854,10 +870,16 @@ def cuped_adjustment(events: DataFrame) -> DataFrame:
             guard, F.round(my - theta * (mx - mx_pool), 6) + F.lit(0.0)
         ).alias("mean_cuped"),
         F.when(guard, F.round(theta, 6) + F.lit(0.0)).alias("theta"),
-        (var_e6.cast("double") / F.lit(1e6)).alias("var_post"),
-        F.when(guard, F.round(var_adj, 6) + F.lit(0.0)).alias("var_cuped"),
+        F.when(n2, var_e6.cast("double") / F.lit(1e6)).alias("var_post"),
         F.when(
-            guard & (var_y > 0), F.round(1.0 - var_adj / var_y, 6) + F.lit(0.0)
+            n2, F.when(guard, F.round(var_adj, 6) + F.lit(0.0))
+        ).alias("var_cuped"),
+        F.when(
+            n2,
+            F.when(
+                guard & (var_y > 0),
+                F.round(1.0 - var_adj / var_y, 6) + F.lit(0.0),
+            ),
         ).alias("var_reduction"),
     ).orderBy("arm")
 
@@ -1852,8 +1874,15 @@ def ljung_box_test(orders: DataFrame, h: int = 7) -> DataFrame:
             for k in range(1, h + 1)
         ],
     )
+    # r19 guard (ANSI division-by-zero class): a constant daily series
+    # (or a single day) zeroes the deviation denominator — previously a
+    # hard DIVIDE_BY_ZERO under Spark 4's default ANSI mode where the
+    # oracle's x/0 NULLs; both engines now publish NULL rho/Q.
     rho = [
-        (F.col(f"num_{k}").cast("double") / F.col("den").cast("double"))
+        F.when(
+            F.col("den") > 0,
+            F.col(f"num_{k}").cast("double") / F.col("den").cast("double"),
+        )
         for k in range(1, h + 1)
     ]
     nd = F.col("n").cast("double")
@@ -1955,7 +1984,12 @@ def hw_residual_ljung_box(events: DataFrame, h: int = 6) -> DataFrame:
                 " (a, b) -> a * b), 0D, (a, x) -> a + x)"
             ),
         )
-    rho = [F.col(f"num_{k}") / F.col("den") for k in range(1, h + 1)]
+    # r19 guard: perfectly-fit (constant-residual) series zero den —
+    # NULL rho/Q/reject on both engines instead of an ANSI crash
+    rho = [
+        F.when(F.col("den") > 0, F.col(f"num_{k}") / F.col("den"))
+        for k in range(1, h + 1)
+    ]
     nd = F.col("n_obs").cast("double")
     terms = rho[0] * rho[0] / (nd - 1)
     for k in range(2, h + 1):

@@ -3836,6 +3836,72 @@ def test_cramers_v_single_level_dimension_null_both_engines(spark):
     assert orows["priority_x_year"][1] is not None
 
 
+def test_ljung_box_constant_series_null_not_crash(spark):
+    """r19 proactive: a constant daily series zeroes the deviation
+    denominator — previously an ANSI DIVIDE_BY_ZERO; now NULL rho/Q,
+    matching the oracle's x/0 -> NULL."""
+    import datetime as dt
+
+    from datalake_local_spark.operators import quality
+
+    base = dt.date(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(days=i), 100.0) for i in range(10)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    got = quality.ljung_box_test(orders).collect()[0]
+    assert got["n_days"] == 10
+    assert got["rho_1"] is None and got["q_stat"] is None
+
+
+def test_cuped_single_user_arm_null_variance_not_crash(spark):
+    """r19 proactive: a 1-user arm zeroes n(n-1) — the unguarded
+    var_post integer div and the var_y condition evaluation both
+    crashed under ANSI; now the arm publishes NULL variance columns
+    while multi-user arms stay fully populated."""
+    import datetime as dt
+
+    from datalake_local_spark.operators import quality
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # md5-parity arms: users 0/1/3/6 land in arm A, user 2 in arm B
+    # (computed from the operator's own md5 bucket rule) -> arm B has
+    # exactly ONE user
+    for u in (0, 1, 3, 6):
+        rows.append((u, t0, 10.0 + u))
+        rows.append((u, t0 + dt.timedelta(days=40), 20.0 + u))
+    rows.append((2, t0, 5.0))
+    rows.append((2, t0 + dt.timedelta(days=40), 7.0))
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    out = {r["arm"]: r for r in quality.cuped_adjustment(events).collect()}
+    b = out["B"]
+    assert b["n_users"] == 1
+    assert b["var_post"] is None and b["var_cuped"] is None
+    assert b["var_reduction"] is None
+    a = out["A"]
+    assert a["n_users"] == 4 and a["var_post"] is not None
+
+
+def test_batch_drift_empty_side_null_not_crash(spark):
+    """r19 proactive: every doc below the split leaves the new side
+    with COUNT 0 (otherwise(0) side sums) — the share divisions
+    crashed under ANSI; now the ratio metrics publish NULL."""
+    from datalake_local_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [(i, "text here", "en", "s", 9) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["metric"]: r for r in quality.batch_drift_report(
+        docs, split=250
+    ).collect()}
+    assert rows["row_count"]["new_value"] == 0.0
+    assert rows["null_text_rate"]["new_value"] is None
+
+
 def test_cluster_writers_reject_empty_input(spark, tmp_path):
     """r19 (r18 advice #4): both clustering writers raise a descriptive
     ValueError on an empty input instead of a TypeError from NULL
