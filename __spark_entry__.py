@@ -325,6 +325,9 @@ _CERTIFY_FIRST = [
     "dq_cuped",  # r19: NULL variance columns on 1-user arm (proactive)
     "dq_batch_drift",  # r19: NULL ratios on empty split side (proactive)
     "events_hw_residual_diag",  # r19: NULL rho/Q on zero-den (proactive)
+    "agg_regression_funcs",  # r19: NULL slope/r2/covar_s on degenerate groups
+    "agg_higher_moments",  # r19: NULL moments on constant/tiny groups (+oracle)
+    "agg_histogram",  # r19: bin 0 when hi == lo (+oracle)
     # ---- the r10 cohort, drained in full (37 names; driver rows were
     # 8 rounds old) ----
     "agg_gini_spend",
@@ -363,13 +366,15 @@ _CERTIFY_FIRST = [
     "tpch_sales_opportunity",
     "tpch_shipping_priority",
     "tpch_small_qty_revenue",
-    "tpch_top_supplier",
+    # tpch_top_supplier: displaced to the r20 queue by the changed
+    # bucket growing to 12 (changed outranks rotation) — exact-green in
+    # this round's full-registry 3-SF sweep, untouched by the changes
     # ---- r11 cohort by name order, filling to the 50-slot cap ----
-    "agg_higher_moments",
-    "agg_regression_funcs",
     "dq_ab_ttest",  # also r19-changed: ANSI-crash guard on degenerate input
-    # r20 queue HEAD: the remaining r11-cohort names by name order
-    # (each exact-green in this round's full-registry sweep):
+    # r20 queue HEAD: tpch_top_supplier (r10), then the remaining
+    # r11-cohort names by name order (each exact-green in this round's
+    # full-registry sweep; agg_higher_moments / agg_regression_funcs
+    # moved UP into the changed bucket):
     # dedup_cluster_purity, dedup_components, dedup_cosine_sweep,
     # dedup_minhash_calibration, dedup_shingle_sweep, dq_psi_drift,
     # events_attribution, events_autocorrelation,
@@ -3491,7 +3496,10 @@ def _oracle_sql() -> dict[str, str]:
             WITH bounds AS (
                 SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
             )
-            SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10)) AS BIGINT), 9) AS bin,
+            SELECT CASE WHEN hi > lo THEN
+                       least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10))
+                                  AS BIGINT), 9)
+                   ELSE 0 END AS bin,
                    count(*) AS n_orders
             FROM orders, bounds GROUP BY 1
         """,
@@ -8024,19 +8032,25 @@ def _oracle_sql() -> dict[str, str]:
             ),
             g AS (
                 SELECT l_returnflag, nl, s1d, n, mean, m2,
-                       m3 / pow(m2, 1.5) AS g1,
-                       m4 / (m2 * m2) - 3 AS g2
+                       CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END AS g1,
+                       CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END AS g2
                 FROM m
             )
             SELECT l_returnflag,
                    nl AS n_rows,
                    CAST((2 * s1d + nl) // (2 * nl) AS DOUBLE) / 100.0
                        AS mean_price,
-                   round(sqrt(m2) / 100.0, 2) AS stddev_pop,
+                   CASE WHEN m2 >= 0 THEN round(sqrt(m2) / 100.0, 2) END
+                       AS stddev_pop,
                    round(g1, 4) AS skew_pop,
-                   round(g1 * sqrt(n * (n - 1)) / (n - 2), 4) AS skew_samp,
+                   CASE WHEN m2 > 0 AND n > 2 THEN
+                       round(g1 * sqrt(n * (n - 1)) / (n - 2), 4)
+                   END AS skew_samp,
                    round(g2, 4) AS kurt_excess_pop,
-                   round(((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)), 4) AS kurt_excess_samp
+                   CASE WHEN m2 > 0 AND n > 3 THEN
+                       round(((n + 1) * g2 + 6) * (n - 1)
+                             / ((n - 2) * (n - 3)), 4)
+                   END AS kurt_excess_samp
             FROM g
         """,
         "agg_weighted_median": """

@@ -276,14 +276,21 @@ def price_histogram(orders: DataFrame, bins: int = 10) -> DataFrame:
     bounds = orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
+    # r19 guard: an all-identical price column makes hi == lo — the
+    # bin-width division RAISED under ANSI; everything lands in bin 0
     binned = orders.join(F.broadcast(bounds)).select(
-        F.least(
-            F.floor(
-                (F.col("o_totalprice") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / bins)
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / bins)
+                ),
+                F.lit(bins - 1).cast("long"),
             ),
-            F.lit(bins - 1).cast("long"),
-        ).alias("bin")
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bin")
     )
     return binned.groupBy("bin").agg(F.count("*").alias("n_orders"))
 
@@ -632,18 +639,32 @@ def regression_family(lineitem: DataFrame) -> DataFrame:
     slope = dxy / dxx / 100.0
     avg_q4 = F.expr("(2 * sq * 10000 + nl) div (2 * nl)")
     avg_p4 = F.expr("(2 * sc100 + nl) div (2 * nl)")
+    # r19 degenerate guards (ANSI division-by-zero class): a 1-row
+    # group zeroes dxx/dyy AND n-1; a constant-quantity group zeroes
+    # dxx alone; a constant-price group zeroes dyy — each previously
+    # RAISED where the DuckDB oracle NULLs on x/0. Conditions carry no
+    # divisions, so they are safe to evaluate unconditionally.
+    gx = dxx > 0
+    gxy = (dxx > 0) & (dyy > 0)
     return m.select(
         "l_returnflag",
         F.col("nl").alias("n_pairs"),
         (avg_q4.cast("double") / F.lit(10000.0)).alias("avg_qty"),
         (avg_p4.cast("double") / F.lit(10000.0)).alias("avg_price"),
-        F.round(slope, 4).alias("slope"),
-        F.round(
-            F.col("scf") / 100.0 / n - (dxy / dxx / 100.0) * (F.col("sqf") / n), 4
+        F.when(gx, F.round(slope, 4)).alias("slope"),
+        F.when(
+            gx,
+            F.round(
+                F.col("scf") / 100.0 / n
+                - (dxy / dxx / 100.0) * (F.col("sqf") / n),
+                4,
+            ),
         ).alias("intercept"),
-        F.round((dxy * dxy) / (dxx * dyy), 6).alias("r2"),
-        F.round(dxy / F.sqrt(dxx * dyy), 6).alias("pearson_r"),
-        F.round(dxy / (n * (n - 1)) / 100.0, 2).alias("covar_s"),
+        F.when(gxy, F.round((dxy * dxy) / (dxx * dyy), 6)).alias("r2"),
+        F.when(gxy, F.round(dxy / F.sqrt(dxx * dyy), 6)).alias("pearson_r"),
+        F.when(n >= 2, F.round(dxy / (n * (n - 1)) / 100.0, 2)).alias(
+            "covar_s"
+        ),
         F.round(dxy / (n * n) / 100.0, 2).alias("covar_p"),
     ).orderBy("l_returnflag")
 
@@ -709,15 +730,21 @@ def higher_moment_family(lineitem: DataFrame) -> DataFrame:
     big_g1 = g1 * F.sqrt(n * (n - 1)) / (n - 2)
     big_g2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
     mean_c = F.expr("(2 * s1d + nl) div (2 * nl)")
+    # r19 degenerate guards (ANSI division-by-zero class): a constant
+    # group makes m2 exactly 0 (or, float-cancelled, a hair negative)
+    # and tiny groups zero n-2 / n-3 — standardized moments RAISED /
+    # NaN'd there. m2 is the identical double on both engines, so the
+    # CASE branches agree; the oracle carries the same guards.
+    gm = m2 > 0
     return pow_sums.select(
         "l_returnflag",
         F.col("nl").alias("n_rows"),
         (mean_c.cast("double") / F.lit(100.0)).alias("mean_price"),
-        F.round(F.sqrt(m2) / 100.0, 2).alias("stddev_pop"),
-        F.round(g1, 4).alias("skew_pop"),
-        F.round(big_g1, 4).alias("skew_samp"),
-        F.round(g2, 4).alias("kurt_excess_pop"),
-        F.round(big_g2, 4).alias("kurt_excess_samp"),
+        F.when(m2 >= 0, F.round(F.sqrt(m2) / 100.0, 2)).alias("stddev_pop"),
+        F.when(gm, F.round(g1, 4)).alias("skew_pop"),
+        F.when(gm & (n > 2), F.round(big_g1, 4)).alias("skew_samp"),
+        F.when(gm, F.round(g2, 4)).alias("kurt_excess_pop"),
+        F.when(gm & (n > 3), F.round(big_g2, 4)).alias("kurt_excess_samp"),
     ).orderBy("l_returnflag")
 
 

@@ -3902,6 +3902,57 @@ def test_batch_drift_empty_side_null_not_crash(spark):
     assert rows["null_text_rate"]["new_value"] is None
 
 
+def test_regression_family_degenerate_groups_null_not_crash(spark):
+    """r19 proactive: a 1-row group (covar_s n-1 div) and a
+    constant-quantity group (dxx = 0 slope/r2 div) both crashed under
+    ANSI; now NULL stats, matching the oracle's x/0 -> NULL."""
+    from datalake_local_spark.operators import aggregates as agg
+
+    rows = [
+        ("A", 5.0, 100.0),                 # 1-row group
+        ("B", 3.0, 50.0), ("B", 3.0, 60.0),  # constant qty, dxx = 0
+        ("C", 1.0, 10.0), ("C", 2.0, 20.0),  # healthy group
+    ]
+    li = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    out = {r["l_returnflag"]: r for r in agg.regression_family(li).collect()}
+    assert out["A"]["slope"] is None and out["A"]["covar_s"] is None
+    assert out["B"]["slope"] is None and out["B"]["r2"] is None
+    assert out["B"]["pearson_r"] is None
+    assert out["B"]["covar_s"] is not None  # n = 2: defined (zero)
+    assert out["C"]["slope"] is not None and out["C"]["r2"] is not None
+
+
+def test_higher_moments_constant_group_null_not_crash(spark):
+    """r19 proactive: a constant-price group zeroes m2 — standardized
+    moments crashed/NaN'd; now NULL skew/kurt with stddev 0, and tiny
+    groups NULL the sample-corrected variants (n-2 / n-3 guards)."""
+    from datalake_local_spark.operators import aggregates as agg
+
+    rows = [("K", 100.0)] * 6 + [("L", 10.0), ("L", 20.0), ("L", 30.0)]
+    li = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    out = {r["l_returnflag"]: r for r in agg.higher_moment_family(li).collect()}
+    k = out["K"]
+    assert k["stddev_pop"] == 0.0
+    assert k["skew_pop"] is None and k["kurt_excess_samp"] is None
+    l = out["L"]  # noqa: E741
+    assert l["skew_pop"] is not None
+    assert l["kurt_excess_samp"] is None  # n = 3 <= 3
+
+
+def test_price_histogram_constant_prices_single_bin(spark):
+    """r19 proactive: hi == lo zeroed the bin width (ANSI crash); all
+    rows land in bin 0 on both engines."""
+    from datalake_local_spark.operators import aggregates as agg
+
+    orders = spark.createDataFrame(
+        [(i, 42.0) for i in range(7)], "o_orderkey long, o_totalprice double"
+    )
+    out = agg.price_histogram(orders).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n_orders"] == 7
+
+
 def test_cluster_writers_reject_empty_input(spark, tmp_path):
     """r19 (r18 advice #4): both clustering writers raise a descriptive
     ValueError on an empty input instead of a TypeError from NULL
