@@ -371,10 +371,12 @@ _CERTIFY_FIRST = [
     # this round's full-registry 3-SF sweep, untouched by the changes
     # ---- r11 cohort by name order, filling to the 50-slot cap ----
     "dq_ab_ttest",  # also r19-changed: ANSI-crash guard on degenerate input
-    # r20 queue HEAD: tpch_top_supplier (r10), then the remaining
-    # r11-cohort names by name order (each exact-green in this round's
-    # full-registry sweep; agg_higher_moments / agg_regression_funcs
-    # moved UP into the changed bucket):
+    # r20 queue HEAD: text_quality + text_corpus_qa_report (r19-changed
+    # after the window froze — alpha_ratio NULL guard; local 3-SF certs
+    # in SWEEP_r19.log), then tpch_top_supplier (r10), then the
+    # remaining r11-cohort names by name order (each exact-green in
+    # this round's full-registry sweep; agg_higher_moments /
+    # agg_regression_funcs moved UP into the changed bucket):
     # dedup_cluster_purity, dedup_components, dedup_cosine_sweep,
     # dedup_minhash_calibration, dedup_shingle_sweep, dq_psi_drift,
     # events_attribution, events_autocorrelation,

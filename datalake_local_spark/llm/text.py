@@ -77,7 +77,11 @@ def _quality_exprs() -> dict:
         "n_tokens": n_tokens,
         "mean_token_len": F.round((n_chars - n_tokens + 1) / n_tokens, 6),
         "stopword_ratio": F.round(c["n_stop"] / n_tokens, 6),
-        "alpha_ratio": F.round(c["n_alpha"] / n_chars, 6),
+        # r19 guard: an empty/whitespace-only text normalizes to 0
+        # chars — 0/0 RAISED under ANSI where the oracle NULLs
+        "alpha_ratio": F.when(
+            n_chars > 0, F.round(c["n_alpha"] / n_chars, 6)
+        ),
     }
 
 

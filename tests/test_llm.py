@@ -4339,6 +4339,17 @@ def test_exact_substring_probe_hand_computed(spark):
     }
 
 
+def test_quality_scores_empty_text_null_alpha_ratio(spark):
+    """r19 proactive: whitespace-only text normalizes to 0 chars —
+    alpha_ratio's 0/0 raised under ANSI; now NULL (the oracle's x/0)."""
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "real words here")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text.quality_scores(docs).collect()}
+    assert got[1]["alpha_ratio"] is None
+    assert got[2]["alpha_ratio"] is not None
+
+
 def test_unpartitioned_window_classifier():
     """r19 (r18 verdict #3): the census's WindowExec classifier — a
     spec whose first top-level argument is a sort order or the frame
