@@ -1162,7 +1162,13 @@ def run_streaming_anomaly(
                 c = _cents(v)
                 if n >= min_prior:
                     mean = s1 / n
-                    var = (s2 - n * mean * mean) / (n - 1)
+                    # r19: const check FIRST (the batch twin's And
+                    # short-circuit order) — at n == 1 the baseline is
+                    # always exactly constant, and computing var first
+                    # would divide by n - 1 == 0 under min_prior = 1
+                    var = (
+                        (s2 - n * mean * mean) / (n - 1) if n > 1 else 0.0
+                    )
                     z = None
                     if s2c * n == s1c * s1c:
                         # EXACT constant baseline (Cauchy-Schwarz
