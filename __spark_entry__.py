@@ -371,9 +371,12 @@ _CERTIFY_FIRST = [
     # this round's full-registry 3-SF sweep, untouched by the changes
     # ---- r11 cohort by name order, filling to the 50-slot cap ----
     "dq_ab_ttest",  # also r19-changed: ANSI-crash guard on degenerate input
-    # r20 queue HEAD: text_quality + text_corpus_qa_report (r19-changed
-    # after the window froze — alpha_ratio NULL guard; local 3-SF certs
-    # in SWEEP_r19.log), then tpch_top_supplier (r10), then the
+    # r20 queue HEAD: dedup_substring_clean (NEW r19 late wave — the
+    # ExactSubstr rewrite; local 3-SF certs in SWEEP_r19.log),
+    # text_quality + text_corpus_qa_report (r19-changed
+    # after the window froze — alpha_ratio NULL guard; local 3-SF
+    # certs), streaming_anomaly (r19 kernel reorder, 3-SF certs),
+    # then tpch_top_supplier (r10), then the
     # remaining r11-cohort names by name order (each exact-green in
     # this round's full-registry sweep; agg_higher_moments /
     # agg_regression_funcs moved UP into the changed bucket):
@@ -640,6 +643,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
         "dedup_exact_substring": lambda s, d: dedup.exact_substring_spans(*_t(s, d, "documents")),
         "dedup_substring_probe": lambda s, d: dedup.exact_substring_probe(*_t(s, d, "documents")),
+        "dedup_substring_clean": lambda s, d: dedup.exact_substring_clean(*_t(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
         # round-8 wave 2
         "dedup_containment": lambda s, d: dedup.token_containment_pairs(*_t(s, d, "documents")),
@@ -3590,6 +3594,82 @@ def _oracle_sql() -> dict[str, str]:
                                 // length(d.text)
                         ELSE 0 END AS BIGINT) AS removed_bps
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # NEW r19 late wave: the ExactSubstr REWRITE — same dup-span
+        # derivation, complement intervals via one lag, per-doc ordered
+        # string_agg of the kept substring slices; verbatim
+        # pass-through for clean docs.
+        "dedup_substring_clean": """
+            WITH grams AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       substr(text, CAST(i + 1 AS INT), 30) AS gram
+                FROM documents,
+                     LATERAL unnest(range(0, greatest(length(text) - 29, 0)))
+                         AS t(i)
+            ),
+            owner_doc AS (
+                SELECT gram, min(doc_id) AS odoc FROM grams GROUP BY 1
+            ),
+            owner AS (
+                SELECT g.gram, o.odoc, min(g.pos) AS opos
+                FROM grams g
+                JOIN owner_doc o ON o.gram = g.gram AND o.odoc = g.doc_id
+                GROUP BY 1, 2
+            ),
+            dup AS (
+                SELECT g.doc_id, g.pos
+                FROM grams g JOIN owner o ON o.gram = g.gram
+                WHERE NOT (g.doc_id = o.odoc AND g.pos = o.opos)
+            ),
+            flagged AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 30
+                            THEN 1 ELSE 0 END AS new_span
+                FROM dup
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            ids AS (
+                SELECT doc_id, pos,
+                       sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS span_id
+                FROM flagged
+            ),
+            spans AS (
+                SELECT doc_id, span_id,
+                       min(pos) AS s_start,
+                       max(pos) + 30 AS s_end
+                FROM ids GROUP BY 1, 2
+            ),
+            pieces AS (
+                SELECT doc_id,
+                       coalesce(lag(s_end) OVER (PARTITION BY doc_id
+                                                 ORDER BY s_start), 0)
+                           AS p_start,
+                       s_start AS p_end
+                FROM spans
+                UNION ALL
+                SELECT sp.doc_id, max(sp.s_end) AS p_start,
+                       CAST(max(length(d.text)) AS BIGINT) AS p_end
+                FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id
+                GROUP BY 1
+            ),
+            cleaned AS (
+                SELECT p.doc_id,
+                       string_agg(substr(d.text, CAST(p.p_start + 1 AS INT),
+                                         CAST(p.p_end - p.p_start AS INT)),
+                                  '' ORDER BY p.p_start) AS ct
+                FROM pieces p JOIN documents d ON d.doc_id = p.doc_id
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(c.ct, d.text) AS clean_text,
+                   CAST(length(d.text) AS BIGINT) AS total_chars,
+                   CAST(length(d.text) - length(coalesce(c.ct, d.text))
+                        AS BIGINT) AS chars_removed
+            FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
             ORDER BY d.doc_id
         """,
         # NEW r19: incremental ExactSubstr probe — incoming docs

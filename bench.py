@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     # incremental ingestion-path probe (gram-grain left-semi join)
     "dedup_exact_substring",
     "dedup_substring_probe",
+    "dedup_substring_clean",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component
     # grain — the widest definitional pair-sum in the graph suite
     "graph_betweenness",

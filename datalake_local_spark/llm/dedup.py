@@ -3747,3 +3747,132 @@ def exact_substring_probe(
         )
         .orderBy("doc_id")
     )
+
+
+def exact_substring_clean(documents: DataFrame, k: int = 30) -> DataFrame:
+    """The ExactSubstr REWRITE itself — the text that remains after
+    :func:`exact_substring_spans`' removal decision is applied (Lee et
+    al. 2022: cut every duplicated >= k-char span, keeping the
+    corpus-wide canonical occurrence). Where the sibling publishes the
+    AUDIT (span counts and bps), this materializes ``clean_text``:
+
+    1. the same dup-position derivation (char k-grams, canonical =
+       min (doc_id, pos) struct per gram, lag-gap island merge into
+       maximal spans [s_start, s_end));
+    2. the KEPT segments are the complement intervals — one lag over
+       the doc-partitioned span sequence yields [prev_end, s_start)
+       pieces plus one tail piece [max_end, len);
+    3. the rewrite is a per-doc ordered concat of ``substring`` slices
+       (array_sort over (start, piece) structs + array_join — all
+       JVM-side expressions, no UDF); docs with no duplicated spans
+       pass through verbatim via the don't-vanish LEFT join.
+
+    Merged spans are separated by MORE than k chars, so complement
+    pieces are strictly positive-width except the possible empty head
+    (a span starting at 0) — substring(…, 1, 0) is '' on both engines.
+
+    Scale shape: identical to the sibling (one gram-keyed shuffle,
+    doc-bounded windows) plus a doc-grain collect of O(spans-per-doc)
+    pieces — bounded by document length, never corpus size."""
+    from pyspark.sql import Window as W
+
+    docs = documents.select("doc_id", "text")
+    npos = F.length("text") - F.lit(k) + 1
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(npos >= 1, F.sequence(F.lit(0), npos - 1))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(f"substring(text, pos + 1, {int(k)})").alias("gram"),
+        )
+    )
+    owner = grams.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "pos")).alias("o")
+    )
+    dup = (
+        grams.join(owner, "gram")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("o.doc_id"))
+                & (F.col("pos") == F.col("o.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dup.select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > k),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_span"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.sum("new_span")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .alias("span_id"),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("s_start"),
+            (F.max("pos") + k).alias("s_end"),
+        )
+    )
+    ws = W.partitionBy("doc_id").orderBy("s_start")
+    pieces = spans.select(
+        "doc_id",
+        F.coalesce(F.lag("s_end").over(ws), F.lit(0)).alias("p_start"),
+        F.col("s_start").alias("p_end"),
+    )
+    tails = (
+        spans.groupBy("doc_id")
+        .agg(F.max("s_end").alias("p_start"))
+        .join(docs, "doc_id")
+        .select("doc_id", "p_start", F.length("text").cast("long").alias("p_end"))
+    )
+    cleaned = (
+        pieces.unionByName(tails)
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("p_start"),
+                F.expr("substring(text, p_start + 1, p_end - p_start)").alias(
+                    "piece"
+                ),
+            ).alias("seg"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(seg)), x -> x.piece)"),
+                "",
+            ).alias("ct")
+        )
+    )
+    return (
+        docs.join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ct", F.col("text")).alias("clean_text"),
+            F.length("text").cast("long").alias("total_chars"),
+            (F.length("text") - F.length(F.coalesce("ct", F.col("text"))))
+            .cast("long")
+            .alias("chars_removed"),
+        )
+        .orderBy("doc_id")
+    )

@@ -4308,6 +4308,44 @@ def test_exact_substring_spans_hand_computed(spark):
     }
 
 
+def test_exact_substring_clean_hand_computed(spark):
+    """r19 ExactSubstr rewrite: the cleaned text on the same k=10
+    fixture as the spans test — canonical doc unchanged, copied prefix
+    stripped to its unique tail, verbatim copy emptied, within-doc
+    repeat keeps the first occurrence, two-span doc keeps the middle,
+    short doc passes through; chars_removed agrees with the audit
+    sibling on every doc."""
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base[:20] + "Z" * 10),
+            (2, base),
+            (3, "PQRSTUVWXY" + "0a1b2c3d4e" + "PQRSTUVWXY"),
+            (4, base[:15] + "!@#$%^&*()_+=[]" + base[20:35]),
+            (5, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["total_chars"], r["chars_removed"])
+        for r in dedup.exact_substring_clean(docs, k=10).collect()
+    }
+    assert got == {
+        0: (base, 36, 0),
+        1: ("Z" * 10, 30, 20),
+        2: ("", 36, 36),
+        3: ("PQRSTUVWXY0a1b2c3d4e", 30, 10),
+        4: ("!@#$%^&*()_+=[]", 45, 30),
+        5: ("tiny", 4, 0),
+    }
+    audit = {
+        r["doc_id"]: r["chars_removed"]
+        for r in dedup.exact_substring_spans(docs, k=10).collect()
+    }
+    assert audit == {d: c for d, (_, _, c) in got.items()}
+
+
 def test_exact_substring_probe_hand_computed(spark):
     """r19 incremental ExactSubstr probe: only INCOMING docs emit;
     hits come only from the EXISTING corpus's gram index (two verbatim
