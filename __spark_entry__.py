@@ -371,8 +371,9 @@ _CERTIFY_FIRST = [
     # this round's full-registry 3-SF sweep, untouched by the changes
     # ---- r11 cohort by name order, filling to the 50-slot cap ----
     "dq_ab_ttest",  # also r19-changed: ANSI-crash guard on degenerate input
-    # r20 queue HEAD: dedup_substring_clean (NEW r19 late wave — the
-    # ExactSubstr rewrite; local 3-SF certs in SWEEP_r19.log),
+    # r20 queue HEAD: dedup_substring_clean + dq_levene (NEW r19 late
+    # wave — the ExactSubstr rewrite and the Brown-Forsythe variance
+    # screen; local 3-SF certs in SWEEP_r19.log),
     # text_quality + text_corpus_qa_report (r19-changed
     # after the window froze — alpha_ratio NULL guard; local 3-SF
     # certs), streaming_anomaly (r19 kernel reorder, 3-SF certs),
@@ -895,6 +896,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_cuped": lambda s, d: quality.cuped_adjustment(*_t(s, d, "events")),
         "dq_mann_kendall": lambda s, d: quality.mann_kendall_trend(*_t(s, d, "orders")),
         "dq_cramers_v": lambda s, d: quality.cramers_v_screen(*_t(s, d, "orders")),
+        "dq_levene": lambda s, d: quality.levene_variance_screen(*_t(s, d, "orders")),
         "dq_ljung_box": lambda s, d: quality.ljung_box_test(*_t(s, d, "orders")),
         "dq_page_hinkley": lambda s, d: quality.page_hinkley_drift(*_t(s, d, "orders")),
         "dq_control_chart": lambda s, d: quality.control_chart_monthly(*_t(s, d, "orders")),
@@ -10771,6 +10773,75 @@ def _oracle_sql() -> dict[str, str]:
         # NEW r18: Wald-Wolfowitz runs test — exact x2-median order
         # statistic, integer run/alternation counts, shared IEEE z tree
         # (4dp), median-equal days dropped (standard treatment).
+        # NEW r19 late wave: Brown-Forsythe/Levene variance-equality
+        # screen — exact x2-medians (the runs_test order statistic),
+        # integer deviation sums, one IEEE W tree; degenerate guards
+        # mirrored (k >= 2, N > k, SSW > 0); the F(4, inf) 0.95 cutoff
+        # 2.3719 = chi2(.95,4)/4 embedded as the same decimal (the
+        # ljung-box _CHI2_95 precedent), decision only at k = 5.
+        "dq_levene": """
+            WITH base AS (
+                SELECT o_orderpriority AS grp,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                            AS BIGINT) AS c
+                FROM orders
+            ),
+            nd AS (SELECT grp, count(*) AS n FROM base GROUP BY 1),
+            ordered AS (
+                SELECT b.grp, b.c, nd.n,
+                       row_number() OVER (PARTITION BY b.grp
+                                          ORDER BY b.c, b.grp) AS rk
+                FROM base b JOIN nd ON nd.grp = b.grp
+            ),
+            med2 AS (
+                SELECT grp,
+                       CASE WHEN count(*) = 1 THEN 2 * sum(c)
+                            ELSE sum(c) END AS m2
+                FROM ordered
+                WHERE rk = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                   OR rk = CAST(floor(n / 2.0) AS BIGINT) + 1
+                GROUP BY 1
+            ),
+            dev AS (
+                SELECT b.grp,
+                       CAST(abs(2 * b.c - m.m2) AS HUGEINT) AS d
+                FROM base b JOIN med2 m ON m.grp = b.grp
+            ),
+            g AS (
+                SELECT grp, count(*) AS ni, sum(d) AS si,
+                       sum(d * d) AS qi
+                FROM dev GROUP BY 1
+            ),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(ni) AS BIGINT) AS n_total,
+                       sum(CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+                           / CAST(ni AS DOUBLE)) AS ssb_part,
+                       CAST(sum(si) AS DOUBLE) AS s_all,
+                       CAST(sum(qi) AS DOUBLE) AS q_all
+                FROM g
+            ),
+            stat AS (
+                SELECT k, n_total, ssb_part, s_all, q_all,
+                       ssb_part - s_all * s_all / CAST(n_total AS DOUBLE)
+                           AS ssb,
+                       q_all - ssb_part AS ssw
+                FROM agg
+            )
+            SELECT k, n_total,
+                   CASE WHEN k >= 2 AND n_total > k AND ssw > 0 THEN
+                       round(((CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))
+                              / (CAST(k AS DOUBLE) - 1.0)) * (ssb / ssw),
+                             4) + 0.0
+                   END AS w_stat,
+                   CASE WHEN k >= 2 AND n_total > k AND ssw > 0
+                             AND k = 5 THEN
+                       round(((CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))
+                              / (CAST(k AS DOUBLE) - 1.0)) * (ssb / ssw),
+                             4) + 0.0 >= 2.3719
+                   END AS unequal_at_05
+            FROM stat
+        """,
         "dq_runs_test": """
             WITH daily AS (
                 SELECT o_orderstatus AS status,

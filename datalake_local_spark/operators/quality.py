@@ -2088,3 +2088,111 @@ def cross_series_correlation(events: DataFrame) -> DataFrame:
             ).alias("pearson_r"),
         )
     )
+
+
+#: F(dof1=4, dof2=inf) 0.95 cutoff = chi2(0.95, 4) / 4 — derivable
+#: from the published chi-square table (9.487729 / 4; Abramowitz &
+#: Stegun 26.8), pinned at 4dp. Embedded as the same decimal string in
+#: the DuckDB oracle so the decision compares bit-identical statistics
+#: against the identical constant (the _CHI2_95_DOF6 precedent).
+#: dq_levene's orders fixture always yields 5 priority groups -> dof1
+#: = 4; a parameterized group count must extend this table, not reuse
+#: the constant (the r16 ljung-box cutoff lesson).
+_F95 = {4: 2.3719}
+
+
+def levene_variance_screen(orders: DataFrame) -> DataFrame:
+    """Brown–Forsythe / Levene variance-equality screen (Levene 1960;
+    Brown & Forsythe 1974, "Robust Tests for the Equality of
+    Variances", JASA — public) across the order-priority classes on
+    order price: the one-way ANOVA F statistic over MEDIAN-based
+    absolute deviations z_ij = |x_ij − med_i| — the robust "are the
+    group variances even comparable?" gate that belongs in front of
+    ``ab_welch_ttest``'s mean comparison (Welch tolerates unequal
+    variances; Levene tells you HOW unequal, and a pooled-variance
+    consumer whether pooling is defensible at all).
+
+    Exactness: per-group medians use the ×2-median order statistic
+    (the runs_test idiom — one row for odd n, the two-middle sum for
+    even n, all integer cents), so deviations d_ij = |2c_ij − m2_i|
+    are EXACT integers at ×2 scale; n_i, Σd, Σd² are DECIMAL(38,0)/
+    HUGEINT sums (order-invariant), and W = ((N−k)/(k−1)) · SSB/SSW
+    with SSB = Σs_i²/n_i − S²/N, SSW = Q − Σs_i²/n_i is one identical
+    IEEE double tree over those exact integers (4dp — sqrt-free but
+    division-derived, never on a grid half).
+
+    Degenerate guards (built in from the start — the r19 ANSI audit
+    class): k = 1 (single priority class) zeroes k−1; N = k (every
+    group a single row) zeroes both N−k and every SSW term; constant
+    groups zero SSW alone. All publish NULL W/decision through nested
+    lazy whens, with the oracle branching on the same exact-integer
+    conditions.
+
+    Scale shape: one map-side grouped aggregate for counts, one
+    rank-window per group for the median (priority-partitioned — a
+    bounded class dimension, never a global window), one deviation
+    aggregate, a k-row reduce. Nothing rescans orders beyond the two
+    grouped passes."""
+    from pyspark.sql import Window as W
+
+    cents = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+    base = orders.select(F.col("o_orderpriority").alias("grp"), cents.alias("c"))
+    nd = base.groupBy("grp").agg(F.count("*").alias("n"))
+    wd = W.partitionBy("grp").orderBy("c", "grp")
+    ordered = base.select(
+        "grp", "c", F.row_number().over(wd).alias("rk")
+    ).join(nd, "grp")
+    med2 = (
+        ordered.filter(
+            (F.col("rk") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rk") == F.floor(F.col("n") / 2) + 1)
+        )
+        .groupBy("grp")
+        .agg(F.sum("c").alias("msum"), F.count("*").alias("mcnt"))
+        .select(
+            "grp",
+            F.when(F.col("mcnt") == 1, 2 * F.col("msum"))
+            .otherwise(F.col("msum"))
+            .alias("m2"),
+        )
+    )
+    dev = (
+        base.join(med2, "grp")
+        .select("grp", F.abs(2 * F.col("c") - F.col("m2")).alias("d"))
+    )
+    dd = F.col("d").cast("decimal(38,0)")
+    g = dev.groupBy("grp").agg(
+        F.count("*").alias("ni"),
+        F.sum(dd).alias("si"),
+        F.sum(dd * dd).alias("qi"),
+    )
+    agg = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n_total"),
+        F.sum(F.col("si").cast("double") * F.col("si").cast("double")
+              / F.col("ni").cast("double")).alias("ssb_part"),
+        F.sum(F.col("si")).cast("double").alias("s_all"),
+        F.sum(F.col("qi")).cast("double").alias("q_all"),
+    )
+    n_f = F.col("n_total").cast("double")
+    k_f = F.col("k").cast("double")
+    ssb = F.col("ssb_part") - F.col("s_all") * F.col("s_all") / n_f
+    ssw = F.col("q_all") - F.col("ssb_part")
+    w_stat = ((n_f - k_f) / (k_f - 1.0)) * (ssb / ssw)
+    wr = F.round(w_stat, 4) + F.lit(0.0)
+    crit = _F95.get(4)
+    return agg.select(
+        "k",
+        "n_total",
+        # nested lazy guards (the r19 codegen rule): the size checks
+        # must pass before ssw's own derivation divides anything, and
+        # ssw > 0 must gate the final division
+        F.when(
+            (F.col("k") >= 2) & (F.col("n_total") > F.col("k")),
+            F.when(ssw > 0, wr),
+        ).alias("w_stat"),
+        F.when(
+            (F.col("k") >= 2) & (F.col("n_total") > F.col("k")) & (ssw > 0),
+            F.when(F.col("k") == 5, wr >= F.lit(crit)),
+        ).alias("unequal_at_05"),
+    )

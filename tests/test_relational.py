@@ -3953,6 +3953,82 @@ def test_price_histogram_constant_prices_single_bin(spark):
     assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n_orders"] == 7
 
 
+def test_levene_matches_bruteforce_and_flags_unequal(spark):
+    """r19 Brown-Forsythe: W matches a pure-python replay (exact x2
+    medians, integer deviations, ANOVA F) on a seeded 5-group fixture
+    with planted unequal spreads -> 'unequal' decision; the F cutoff
+    is independently derived from the published chi2(0.95, 4) value."""
+    import random
+    from statistics import median
+
+    from datalake_local_spark.operators import quality
+
+    assert quality._F95[4] == round(9.487729 / 4, 4)  # chi2 table pin
+
+    rng = random.Random(7)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"]
+    rows, vals = [], {}
+    for gi, p in enumerate(prios):
+        spread = (gi + 1) * 7  # planted unequal spreads
+        vs = [round(500 + rng.randint(-spread, spread) * 0.25, 2)
+              for _ in range(40 + gi)]
+        vals[p] = [round(v * 100) for v in vs]
+        rows += [(len(rows) + i, p, v) for i, v in enumerate(vs)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    got = quality.levene_variance_screen(orders).collect()[0]
+
+    devs = {
+        p: [abs(2 * c - round(2 * median(cs))) for c in cs]
+        for p, cs in vals.items()
+        for cs in [cs]
+    }
+    k = len(devs)
+    n = sum(len(d) for d in devs.values())
+    s_all = sum(sum(d) for d in devs.values())
+    q_all = sum(sum(x * x for x in d) for d in devs.values())
+    ssb_part = sum(sum(d) ** 2 / len(d) for d in devs.values())
+    ssb = ssb_part - s_all * s_all / n
+    ssw = q_all - ssb_part
+    w = ((n - k) / (k - 1)) * (ssb / ssw)
+    assert (got["k"], got["n_total"]) == (k, n)
+    assert got["w_stat"] == round(w, 4) + 0.0
+    assert got["unequal_at_05"] == (round(w, 4) >= 2.3719)
+    assert got["unequal_at_05"] is True  # the planted spread gradient
+
+
+def test_levene_degenerate_null_both_engines(spark):
+    """r19: single group (k = 1), all-1-row groups (N = k), and
+    all-constant groups (SSW = 0) publish NULL W/decision on BOTH
+    engines — guards built in from the start (the ANSI audit class)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from datalake_local_spark.operators import quality
+
+    fixtures = {
+        "single-group": [(i, "1-URGENT", 100.0 + i) for i in range(5)],
+        "all-1-row": [(i, p, 100.0 + i) for i, p in enumerate(["A", "B", "C"])],
+        "all-constant": [(i, "A" if i < 4 else "B", 77.0) for i in range(8)],
+    }
+    for name, rows in fixtures.items():
+        orders = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+        )
+        got = quality.levene_variance_screen(orders).collect()[0]
+        assert got["w_stat"] is None and got["unequal_at_05"] is None, name
+
+        con = duckdb.connect()
+        con.register("orders", pd.DataFrame(
+            rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]))
+        oz = con.execute(
+            f"SELECT w_stat, unequal_at_05 FROM ({em.oracle_sql()['dq_levene']})"
+        ).fetchall()[0]
+        assert oz == (None, None), name
+
+
 def test_cluster_writers_reject_empty_input(spark, tmp_path):
     """r19 (r18 advice #4): both clustering writers raise a descriptive
     ValueError on an empty input instead of a TypeError from NULL
