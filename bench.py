@@ -212,6 +212,9 @@ BENCH_QUERIES = [
     "dedup_exact_substring",
     "dedup_substring_probe",
     "dedup_substring_clean",
+    # Brown-Forsythe variance screen: two grouped passes + class-
+    # partitioned median windows
+    "dq_levene",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component
     # grain — the widest definitional pair-sum in the graph suite
     "graph_betweenness",
