@@ -4346,6 +4346,112 @@ def test_exact_substring_clean_hand_computed(spark):
     assert audit == {d: c for d, (_, _, c) in got.items()}
 
 
+def test_exact_substring_randomized_against_bruteforce(spark):
+    """r19: the whole ExactSubstr trilogy against an independent
+    pure-python reference on seeded random corpora over a 2-letter
+    alphabet (maximal gram collisions) — audit counts, cleaned text,
+    and probe hits all derived definitionally (dict of gram
+    occurrences, canonical min (doc, pos), char-interval merge with
+    the gap <= k adjacency rule)."""
+    import random
+
+    K = 5
+
+    def reference(texts):
+        occ = {}
+        for d, t in texts:
+            for p in range(max(0, len(t) - K + 1)):
+                occ.setdefault(t[p:p + K], []).append((d, p))
+        dup = {}
+        for g, places in occ.items():
+            canon = min(places)
+            for d, p in places:
+                if (d, p) != canon:
+                    dup.setdefault(d, []).append(p)
+        out = {}
+        for d, t in texts:
+            ps = sorted(dup.get(d, []))
+            spans = []
+            for p in ps:
+                if spans and p - spans[-1][1] <= K:
+                    spans[-1][1] = p
+                else:
+                    spans.append([p, p])
+            n_spans = len(spans)
+            chars = sum(e - s + K for s, e in spans)
+            removed = set()
+            for s, e in spans:
+                removed.update(range(s, e + K))
+            clean = "".join(ch for i, ch in enumerate(t) if i not in removed)
+            out[d] = (len(ps), n_spans, chars, len(t), clean)
+        return out
+
+    rng = random.Random(1234)
+    for trial in range(6):
+        texts = [
+            (d, "".join(rng.choice("ab") for _ in range(rng.randint(0, 25))))
+            for d in range(rng.randint(3, 7))
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        want = reference(texts)
+
+        audit = {
+            r["doc_id"]: (r["n_dup_grams"], r["n_dup_spans"],
+                          r["chars_removed"], r["total_chars"])
+            for r in dedup.exact_substring_spans(docs, k=K).collect()
+        }
+        assert audit == {d: w[:4] for d, w in want.items()}, (trial, texts)
+
+        clean = {
+            r["doc_id"]: (r["clean_text"], r["chars_removed"])
+            for r in dedup.exact_substring_clean(docs, k=K).collect()
+        }
+        assert clean == {d: (w[4], w[2]) for d, w in want.items()}, (
+            trial, texts)
+
+    # probe reference: incoming hits = positions whose gram is in the
+    # existing corpus's gram set, same interval merge
+    def probe_reference(texts, split):
+        idx = {
+            t[p:p + K]
+            for d, t in texts if d < split
+            for p in range(max(0, len(t) - K + 1))
+        }
+        out = {}
+        for d, t in texts:
+            if d < split:
+                continue
+            ps = [
+                p for p in range(max(0, len(t) - K + 1))
+                if t[p:p + K] in idx
+            ]
+            spans = []
+            for p in ps:
+                if spans and p - spans[-1][1] <= K:
+                    spans[-1][1] = p
+                else:
+                    spans.append([p, p])
+            chars = sum(e - s + K for s, e in spans)
+            out[d] = (len(ps), len(spans), chars, len(t))
+        return out
+
+    for trial in range(4):
+        texts = [
+            (d, "".join(rng.choice("ab") for _ in range(rng.randint(0, 25))))
+            for d in range(6)
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        want = probe_reference(texts, split=3)
+        got = {
+            r["doc_id"]: (r["n_hit_grams"], r["n_spans"],
+                          r["chars_covered"], r["total_chars"])
+            for r in dedup.exact_substring_probe(
+                docs, split_doc_id=3, k=K
+            ).collect()
+        }
+        assert got == want, (trial, texts)
+
+
 def test_exact_substring_probe_hand_computed(spark):
     """r19 incremental ExactSubstr probe: only INCOMING docs emit;
     hits come only from the EXISTING corpus's gram index (two verbatim
