@@ -1,0 +1,171 @@
+"""Cross-engine fuzz for the orders-based dq screens (r19).
+
+The ANSI division-by-zero audit proved the hash gate's blind spot:
+benchmark data never produces the degenerate shapes (1-row groups,
+constant columns, single classes, two-day calendars) where an
+unguarded kernel crashes or diverges from its oracle. This fuzzer
+closes the loop mechanically — seeded random TINY orders tables with
+the degeneracy knobs turned way up, each query run through BOTH
+engines (the Spark kernel and the committed oracle SQL over the same
+rows registered in DuckDB) and compared row-for-row. The oracles are
+designed hash-exact, so the comparison is EXACT (same IEEE trees →
+same doubles; the +0.0 normalization already handles signed zero).
+
+Runtime: tiny frames, a handful of seeds — seconds per query."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as em
+from datalake_local_spark.operators import quality
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+STATUSES = ["F", "O", "P"]
+
+#: query name -> kernel callable over the orders DataFrame. Every
+#: entry must also exist in oracle_sql(). Keep to orders-input screens
+#: (one generator serves all).
+DQ_ORDERS = {
+    "dq_benford": quality.benford_profile,
+    "dq_ks_test": quality.ks_two_sample,
+    "dq_mann_whitney": quality.mann_whitney_u,
+    "dq_runs_test": quality.runs_test,
+    "dq_pettitt_changepoint": quality.pettitt_changepoint,
+    "dq_mann_kendall": quality.mann_kendall_trend,
+    "dq_ljung_box": quality.ljung_box_test,
+    "dq_cramers_v": quality.cramers_v_screen,
+    "dq_levene": quality.levene_variance_screen,
+    "dq_control_chart": quality.control_chart_monthly,
+    "dq_theil_sen": quality.theil_sen_slope,
+    "dq_page_hinkley": quality.page_hinkley_drift,
+    "dq_psi_drift": quality.psi_drift,
+    "dq_bootstrap_ci": quality.bootstrap_mean_ci,
+}
+
+#: events-input screens (welch/cuped/chi2/ewma take the events table)
+DQ_EVENTS = {
+    "dq_ab_ttest": quality.ab_welch_ttest,
+    "dq_cuped": quality.cuped_adjustment,
+    "dq_chi_squared": quality.chi_squared_screen,
+    "dq_ewma_chart": quality.ewma_control_chart,
+}
+
+
+def _random_orders(rng: random.Random):
+    """A tiny orders table with degeneracy knobs: tiny row counts,
+    constant-price regimes, collapsed priority/status/date domains."""
+    n = rng.choice([1, 2, 3, 5, 8, 13, 21])
+    const_price = rng.random() < 0.4
+    one_prio = rng.random() < 0.35
+    one_status = rng.random() < 0.35
+    few_days = rng.random() < 0.5
+    base = dt.date(2023, 1, 1)
+    rows = []
+    for i in range(n):
+        price = 250.0 if const_price else round(rng.uniform(1, 5000), 2)
+        prio = PRIORITIES[0] if one_prio else rng.choice(PRIORITIES)
+        status = STATUSES[0] if one_status else rng.choice(STATUSES)
+        day = base + dt.timedelta(days=rng.randint(0, 2 if few_days else 400))
+        rows.append((i + 1, prio, status, day, price))
+    return rows
+
+
+def _norm(rows):
+    """Order-insensitive, NaN-tolerant normal form of a result set."""
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(v + 0.0)  # normalize -0.0
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def _random_events(rng: random.Random):
+    """A tiny events table with the same degeneracy knobs: single
+    event type (empty welch complement), constant values (zero
+    variances), one-user regimes (1-user cuped arms), collapsed
+    timelines."""
+    n = rng.choice([1, 2, 3, 5, 8, 13, 21])
+    const_value = rng.random() < 0.4
+    one_type = rng.random() < 0.35
+    one_user = rng.random() < 0.35
+    t0 = dt.datetime(2024, 3, 1)
+    types = ["click", "view", "purchase"]
+    rows = []
+    for i in range(n):
+        rows.append((
+            i + 1,
+            t0 + dt.timedelta(hours=rng.randint(0, 3 if rng.random() < 0.5 else 200)),
+            7 if one_user else rng.randint(1, 4),
+            types[0] if one_type else rng.choice(types),
+            50.0 if const_value else round(rng.uniform(0, 500), 2),
+            "{}",
+        ))
+    return rows
+
+
+@pytest.mark.parametrize("name", sorted(DQ_EVENTS))
+def test_dq_events_fuzz_cross_engine(spark, name):
+    fn = DQ_EVENTS[name]
+    sql = em.oracle_sql()[name]
+    rng = random.Random(hash(name) & 0xFFFF)
+    for trial in range(5):
+        rows = _random_events(rng)
+        sdf = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        got = _norm(tuple(r) for r in fn(sdf).collect())
+        con = duckdb.connect()
+        con.register(
+            "events",
+            pd.DataFrame(rows, columns=[
+                "event_id", "ts", "user_id", "event_type", "value", "props"]),
+        )
+        want = _norm(con.execute(sql).fetchall())
+        assert got == want, (
+            f"{name} trial {trial}: cross-engine divergence on\n{rows}\n"
+            f"spark={got}\noracle={want}"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(DQ_ORDERS))
+def test_dq_fuzz_cross_engine(spark, name):
+    fn = DQ_ORDERS[name]
+    sql = em.oracle_sql()[name]
+    rng = random.Random(hash(name) & 0xFFFF)
+    for trial in range(5):
+        rows = _random_orders(rng)
+        sdf = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_orderpriority string, o_orderstatus string,"
+            " o_orderdate date, o_totalprice double",
+        )
+        got = _norm(tuple(r) for r in fn(sdf).collect())
+        con = duckdb.connect()
+        con.register(
+            "orders",
+            pd.DataFrame(rows, columns=[
+                "o_orderkey", "o_orderpriority", "o_orderstatus",
+                "o_orderdate", "o_totalprice"]),
+        )
+        want = _norm(con.execute(sql).fetchall())
+        assert got == want, (
+            f"{name} trial {trial}: cross-engine divergence on\n{rows}\n"
+            f"spark={got}\noracle={want}"
+        )
