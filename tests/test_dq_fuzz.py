@@ -144,6 +144,64 @@ def test_dq_events_fuzz_cross_engine(spark, name):
         )
 
 
+#: lineitem-input aggregate screens hardened in r19
+AGG_LINEITEM = {}
+
+
+def _agg_lineitem_registry():
+    from datalake_local_spark.operators import aggregates as agg
+
+    return {
+        "agg_regression_funcs": agg.regression_family,
+        "agg_higher_moments": agg.higher_moment_family,
+        "agg_weighted_median": agg.weighted_median_family,
+    }
+
+
+def _random_lineitem(rng: random.Random):
+    """Tiny lineitem with the degenerate shapes the r19 aggregate
+    guards exist for: 1-row flags, constant quantities (dxx = 0),
+    constant prices (m2 = 0, dyy = 0)."""
+    n = rng.choice([1, 2, 3, 5, 8, 13])
+    const_qty = rng.random() < 0.4
+    const_price = rng.random() < 0.4
+    one_flag = rng.random() < 0.35
+    rows = []
+    for i in range(n):
+        rows.append((
+            "N" if one_flag else rng.choice(["A", "N", "R"]),
+            rng.choice(["F", "O"]),
+            3.0 if const_qty else float(rng.randint(1, 50)),
+            199.0 if const_price else round(rng.uniform(10, 9000), 2),
+        ))
+    return rows
+
+
+@pytest.mark.parametrize("name", ["agg_regression_funcs",
+                                  "agg_higher_moments",
+                                  "agg_weighted_median"])
+def test_agg_fuzz_cross_engine(spark, name):
+    fn = _agg_lineitem_registry()[name]
+    sql = em.oracle_sql()[name]
+    rng = random.Random(hash(name) & 0xFFFF)
+    for trial in range(5):
+        rows = _random_lineitem(rng)
+        sdf = spark.createDataFrame(
+            rows,
+            "l_returnflag string, l_linestatus string, l_quantity double,"
+            " l_extendedprice double",
+        )
+        got = _norm(tuple(r) for r in fn(sdf).collect())
+        con = duckdb.connect()
+        con.register("lineitem", pd.DataFrame(rows, columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]))
+        want = _norm(con.execute(sql).fetchall())
+        assert got == want, (
+            f"{name} trial {trial}: cross-engine divergence on\n{rows}\n"
+            f"spark={got}\noracle={want}"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(DQ_ORDERS))
 def test_dq_fuzz_cross_engine(spark, name):
     fn = DQ_ORDERS[name]
