@@ -371,8 +371,9 @@ _CERTIFY_FIRST = [
     # this round's full-registry 3-SF sweep, untouched by the changes
     # ---- r11 cohort by name order, filling to the 50-slot cap ----
     "dq_ab_ttest",  # also r19-changed: ANSI-crash guard on degenerate input
-    # r20 queue HEAD: dedup_substring_clean + dq_levene (NEW r19 late
-    # wave — the ExactSubstr rewrite and the Brown-Forsythe variance
+    # r20 queue HEAD: dedup_substring_clean + dq_levene +
+    # dq_jarque_bera (NEW r19 late wave — the ExactSubstr rewrite, the
+    # Brown-Forsythe variance screen, and the Jarque-Bera normality
     # screen; local 3-SF certs in SWEEP_r19.log),
     # text_quality + text_corpus_qa_report (r19-changed
     # after the window froze — alpha_ratio NULL guard; local 3-SF
@@ -897,6 +898,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_mann_kendall": lambda s, d: quality.mann_kendall_trend(*_t(s, d, "orders")),
         "dq_cramers_v": lambda s, d: quality.cramers_v_screen(*_t(s, d, "orders")),
         "dq_levene": lambda s, d: quality.levene_variance_screen(*_t(s, d, "orders")),
+        "dq_jarque_bera": lambda s, d: quality.jarque_bera_screen(*_t(s, d, "orders")),
         "dq_ljung_box": lambda s, d: quality.ljung_box_test(*_t(s, d, "orders")),
         "dq_page_hinkley": lambda s, d: quality.page_hinkley_drift(*_t(s, d, "orders")),
         "dq_control_chart": lambda s, d: quality.control_chart_monthly(*_t(s, d, "orders")),
@@ -10779,6 +10781,59 @@ def _oracle_sql() -> dict[str, str]:
         # mirrored (k >= 2, N > k, SSW > 0); the F(4, inf) 0.95 cutoff
         # 2.3719 = chi2(.95,4)/4 embedded as the same decimal (the
         # ljung-box _CHI2_95 precedent), decision only at k = 5.
+        # NEW r19 late wave: Jarque-Bera normality screen — exact
+        # HUGEINT power sums, one IEEE moment/JB tree, m2 > 0 branch on
+        # the identical double, chi2(0.95, 2) = 5.9915 embedded as the
+        # same decimal (the ljung-box precedent).
+        "dq_jarque_bera": """
+            WITH raw AS (
+                SELECT o_orderpriority AS priority,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+                            AS HUGEINT) AS c
+                FROM orders
+            ),
+            s AS (
+                SELECT priority, count(*) AS nl,
+                       sum(c) AS s1, sum(c * c) AS s2,
+                       sum(c * c * c) AS s3, sum(c * c * c * c) AS s4
+                FROM raw GROUP BY 1
+            ),
+            d AS (
+                SELECT priority, nl, CAST(nl AS DOUBLE) AS n,
+                       CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+                       CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+                FROM s
+            ),
+            m AS (
+                SELECT priority, nl, n,
+                       s2 / n - (s1 / n) * (s1 / n) AS m2,
+                       s3 / n - 3 * (s1 / n) * s2 / n
+                           + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                       s4 / n - 4 * (s1 / n) * s3 / n
+                           + 6 * (s1 / n) * (s1 / n) * s2 / n
+                           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+                           AS m4
+                FROM d
+            ),
+            g AS (
+                SELECT priority, nl, n, m2,
+                       CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END AS g1,
+                       CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS g2
+                FROM m
+            )
+            SELECT priority,
+                   CAST(nl AS BIGINT) AS n_orders,
+                   round(g1, 4) + 0.0 AS skew,
+                   round(g2, 4) + 0.0 AS kurt_excess,
+                   round(n * (g1 * g1 / 6.0 + g2 * g2 / 24.0), 4) + 0.0
+                       AS jb_stat,
+                   CASE WHEN m2 > 0 THEN
+                       round(n * (g1 * g1 / 6.0 + g2 * g2 / 24.0), 4) + 0.0
+                           >= 5.9915
+                   END AS non_normal_at_05
+            FROM g
+            ORDER BY priority
+        """,
         "dq_levene": """
             WITH base AS (
                 SELECT o_orderpriority AS grp,

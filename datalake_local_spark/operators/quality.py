@@ -2196,3 +2196,72 @@ def levene_variance_screen(orders: DataFrame) -> DataFrame:
             F.when(F.col("k") == 5, wr >= F.lit(crit)),
         ).alias("unequal_at_05"),
     )
+
+
+#: chi2(0.95, 2) = 5.9915 (4dp; Abramowitz & Stegun 26.8 — the
+#: Jarque-Bera null is asymptotically chi-square with 2 dof). Same
+#: decimal embedded in the oracle (the _CHI2_95_DOF6 precedent).
+_CHI2_95_DOF2 = 5.9915
+
+
+def jarque_bera_screen(orders: DataFrame) -> DataFrame:
+    """Jarque–Bera normality screen (Jarque & Bera 1980, "Efficient
+    tests for normality, homoscedasticity and serial independence of
+    regression residuals", Economics Letters — public) of order price
+    per priority class: JB = n·(g₁²/6 + g₂²/24) over the population
+    skewness g₁ = m₃/m₂^1.5 and excess kurtosis g₂ = m₄/m₂² − 3 —
+    the "is a Gaussian assumption even on the table?" gate in front of
+    every z/t-based screen on this shelf (``ab_welch_ttest``,
+    ``dq_levene`` and the control charts all quietly lean on
+    approximate normality; JB says per class how hard they lean).
+
+    Exactness: the four power sums are DECIMAL(38,0)/HUGEINT sums of
+    integer cents (order-invariant; c⁴ ≤ ~1e28 at test price scales —
+    inside 38 digits), the central-moment/JB chain is ONE identical
+    IEEE double tree over them (4dp — sqrt/ratio-derived, never on a
+    grid half), and the decision compares the bit-identical statistic
+    against the chi²(2) cutoff embedded as the same decimal string in
+    both engines.
+
+    Degenerate guards (built in — the r19 ANSI audit class): a
+    constant class has m₂ exactly 0 (or float-cancelled a hair
+    negative) and a 1-row class trivially so — both publish NULL
+    JB/decision through a branch on the SAME double both engines
+    compute. Nothing else divides by data.
+
+    Scale shape: ONE grouped aggregate (map-side combined power sums)
+    and map-only arithmetic on the k-row result — no window, no
+    second scan, skew-free (the class dimension is bounded)."""
+    c = (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+    cd = c.cast("decimal(38,0)")
+    g = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("nl"),
+        F.sum(cd).alias("s1"),
+        F.sum(cd * cd).alias("s2"),
+        F.sum(cd * cd * cd).alias("s3"),
+        F.sum(cd * cd * cd * cd).alias("s4"),
+    )
+    n = F.col("nl").cast("double")
+    s1, s2, s3, s4 = (F.col(x).cast("double") for x in ("s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * s2 / n + 2 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4 * mean * s3 / n
+        + 6 * mean * mean * s2 / n
+        - 3 * mean * mean * mean * mean
+    )
+    g1 = m3 / F.pow(m2, 1.5)
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = n * (g1 * g1 / 6.0 + g2 * g2 / 24.0)
+    jbr = F.round(jb, 4) + F.lit(0.0)
+    gm = m2 > 0
+    return g.select(
+        "priority",
+        F.col("nl").cast("long").alias("n_orders"),
+        F.when(gm, F.round(g1, 4) + F.lit(0.0)).alias("skew"),
+        F.when(gm, F.round(g2, 4) + F.lit(0.0)).alias("kurt_excess"),
+        F.when(gm, jbr).alias("jb_stat"),
+        F.when(gm, jbr >= F.lit(_CHI2_95_DOF2)).alias("non_normal_at_05"),
+    ).orderBy("priority")

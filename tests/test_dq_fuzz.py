@@ -45,6 +45,7 @@ DQ_ORDERS = {
     "dq_control_chart": quality.control_chart_monthly,
     "dq_theil_sen": quality.theil_sen_slope,
     "dq_page_hinkley": quality.page_hinkley_drift,
+    "dq_jarque_bera": quality.jarque_bera_screen,
     "dq_psi_drift": quality.psi_drift,
     "dq_bootstrap_ci": quality.bootstrap_mean_ci,
 }

@@ -3998,6 +3998,57 @@ def test_levene_matches_bruteforce_and_flags_unequal(spark):
     assert got["unequal_at_05"] is True  # the planted spread gradient
 
 
+def test_jarque_bera_matches_bruteforce(spark):
+    """r19 Jarque-Bera: skew/kurtosis/JB match a pure-python
+    definitional replay (central moments over exact cents) on a seeded
+    two-class fixture — one near-uniform class (platykurtic, JB driven
+    by negative excess kurtosis) and one spiked class (heavy skew ->
+    'non-normal'); a constant class publishes all-NULL stats."""
+    import random
+
+    from datalake_local_spark.operators import quality
+
+    assert quality._CHI2_95_DOF2 == 5.9915  # chi2(0.95, 2) table pin
+
+    rng = random.Random(11)
+    rows = []
+    uni = [round(100 + rng.randint(0, 400) * 0.25, 2) for _ in range(60)]
+    spiked = [10.0] * 55 + [5000.0] * 5
+    for v in uni:
+        rows.append((len(rows), "1-URGENT", v))
+    for v in spiked:
+        rows.append((len(rows), "5-LOW", v))
+    rows.append((len(rows), "3-MEDIUM", 77.0))  # 1-row class -> NULLs
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    got = {r["priority"]: r for r in quality.jarque_bera_screen(orders).collect()}
+
+    def ref(vals):
+        cs = [round(v * 100) for v in vals]
+        n = len(cs)
+        mean = sum(cs) / n
+        m2 = sum(c * c for c in cs) / n - mean * mean
+        m3 = (sum(c**3 for c in cs) / n - 3 * mean * sum(c * c for c in cs) / n
+              + 2 * mean**3)
+        m4 = (sum(c**4 for c in cs) / n - 4 * mean * sum(c**3 for c in cs) / n
+              + 6 * mean * mean * sum(c * c for c in cs) / n - 3 * mean**4)
+        g1 = m3 / m2**1.5
+        g2 = m4 / (m2 * m2) - 3.0
+        return round(g1, 4) + 0.0, round(g2, 4) + 0.0, round(
+            n * (g1 * g1 / 6.0 + g2 * g2 / 24.0), 4) + 0.0
+
+    for prio, vals in (("1-URGENT", uni), ("5-LOW", spiked)):
+        s, k, jb = ref(vals)
+        r = got[prio]
+        assert (r["skew"], r["kurt_excess"], r["jb_stat"]) == (s, k, jb), prio
+        assert r["non_normal_at_05"] == (jb >= 5.9915)
+    assert got["5-LOW"]["non_normal_at_05"] is True  # planted spike
+    m = got["3-MEDIUM"]
+    assert (m["skew"], m["jb_stat"], m["non_normal_at_05"]) == (
+        None, None, None)
+
+
 def test_levene_degenerate_null_both_engines(spark):
     """r19: single group (k = 1), all-1-row groups (N = k), and
     all-constant groups (SSW = 0) publish NULL W/decision on BOTH
