@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     # Brown-Forsythe variance screen: two grouped passes + class-
     # partitioned median windows
     "dq_levene",
+    # Jarque-Bera normality screen: one grouped power-sum aggregate
+    "dq_jarque_bera",
     # sigma-DP BFS fixpoint + O(V^3) triple join at bounded-component
     # grain — the widest definitional pair-sum in the graph suite
     "graph_betweenness",
