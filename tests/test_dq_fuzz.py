@@ -145,6 +145,68 @@ def test_dq_events_fuzz_cross_engine(spark, name):
         )
 
 
+def _docs_registry():
+    from datalake_local_spark.llm import dedup as lm_dedup
+    from datalake_local_spark.llm import text as lm_text
+
+    return {
+        "dedup_exact": lm_dedup.exact_dedup,
+        "dedup_exact_substring": lm_dedup.exact_substring_spans,
+        "dedup_substring_probe": lm_dedup.exact_substring_probe,
+        "dedup_substring_clean": lm_dedup.exact_substring_clean,
+        "text_quality": lm_text.quality_scores,
+        "text_token_stats": lm_text.token_stats,
+        "text_lang_id": lm_text.language_id,
+        "text_fingerprint": lm_text.fingerprints,
+    }
+
+
+def _random_documents(rng: random.Random):
+    """Tiny documents tables stressing the text-family edge shapes:
+    EMPTY strings, whitespace-only, single chars, punctuation-only,
+    NULL text, verbatim duplicates, and ordinary short prose."""
+    shapes = [
+        "", "   ", "\t \n", "a", "!!!", "a b", "the the the the the",
+        "the quick brown fox jumps over the lazy dog",
+        "spark sql window join merge " * 3,
+        None,
+    ]
+    n = rng.choice([1, 2, 4, 7, 12])
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.25 and rows:
+            t = rows[rng.randrange(len(rows))][1]  # verbatim duplicate
+        else:
+            t = rng.choice(shapes)
+        rows.append((i, t, rng.choice(["en", "es", "xx"]),
+                     rng.choice(["web", "books"]),
+                     len(t) if t is not None else None))
+    return rows
+
+
+@pytest.mark.parametrize("name", sorted(_docs_registry()))
+def test_docs_fuzz_cross_engine(spark, name):
+    fn = _docs_registry()[name]
+    sql = em.oracle_sql()[name]
+    rng = random.Random(hash(name) & 0xFFFF)
+    for trial in range(5):
+        rows = _random_documents(rng)
+        sdf = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        got = _norm(tuple(r) for r in fn(sdf).collect())
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=[
+            "doc_id", "text", "lang", "source", "n_chars"]))
+        want = _norm(con.execute(sql).fetchall())
+        assert got == want, (
+            f"{name} trial {trial}: cross-engine divergence on\n{rows}\n"
+            f"spark={got}\noracle={want}"
+        )
+
+
 #: lineitem-input aggregate screens hardened in r19
 AGG_LINEITEM = {}
 
