@@ -462,6 +462,20 @@ _GROUPBY_ALL_SQL = """
 """
 
 
+#: Brown-Forsythe decision cutoff rendered as a CASE chain over the
+#: SAME quality._F95 table the Spark side's when-chain reads (r19
+#: advice #2: look the cutoff up by the computed k-1 on BOTH engines;
+#: one shared table, so the two lookups cannot desync). Outside the
+#: table the CASE yields NULL -> NULL decision on both engines.
+_LEVENE_CRIT_SQL = (
+    "CASE k "
+    + " ".join(
+        f"WHEN {dof + 1} THEN {quality._F95[dof]}" for dof in sorted(quality._F95)
+    )
+    + " END"
+)
+
+
 def _q_sql_groupby_all(spark, sf):
     load_tables(spark, sf)
     return spark.sql(_GROUPBY_ALL_SQL)
@@ -3537,12 +3551,16 @@ def _oracle_sql() -> dict[str, str]:
         # merged into maximal spans via the lag-gap island idiom, one
         # doc-grain rollup with the don't-vanish LEFT join. All exact
         # integers; removed_bps is an integer div on non-negatives.
-        "dedup_exact_substring": """
+        # gram width / span-merge gap rendered from dedup.SUBSTR_K (r19
+        # advice #1: hard-coded 30/29 literals silently diverged from a
+        # kernel called with non-default k; one shared constant now
+        # feeds kernel defaults AND oracle text)
+        "dedup_exact_substring": f"""
             WITH grams AS (
                 SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                       substr(text, CAST(i + 1 AS INT), 30) AS gram
+                       substr(text, CAST(i + 1 AS INT), {dedup.SUBSTR_K}) AS gram
                 FROM documents,
-                     LATERAL unnest(range(0, greatest(length(text) - 29, 0)))
+                     LATERAL unnest(range(0, greatest(length(text) - {dedup.SUBSTR_K - 1}, 0)))
                          AS t(i)
             ),
             owner_doc AS (
@@ -3562,7 +3580,7 @@ def _oracle_sql() -> dict[str, str]:
             flagged AS (
                 SELECT doc_id, pos,
                        CASE WHEN lag(pos) OVER w IS NULL
-                                 OR pos - lag(pos) OVER w > 30
+                                 OR pos - lag(pos) OVER w > {dedup.SUBSTR_K}
                             THEN 1 ELSE 0 END AS new_span
                 FROM dup
                 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
@@ -3576,7 +3594,7 @@ def _oracle_sql() -> dict[str, str]:
             ),
             spans AS (
                 SELECT doc_id, span_id,
-                       max(pos) - min(pos) + 30 AS span_chars,
+                       max(pos) - min(pos) + {dedup.SUBSTR_K} AS span_chars,
                        count(*) AS n_grams
                 FROM ids GROUP BY 1, 2
             ),
@@ -3604,12 +3622,12 @@ def _oracle_sql() -> dict[str, str]:
         # derivation, complement intervals via one lag, per-doc ordered
         # string_agg of the kept substring slices; verbatim
         # pass-through for clean docs.
-        "dedup_substring_clean": """
+        "dedup_substring_clean": f"""
             WITH grams AS (
                 SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                       substr(text, CAST(i + 1 AS INT), 30) AS gram
+                       substr(text, CAST(i + 1 AS INT), {dedup.SUBSTR_K}) AS gram
                 FROM documents,
-                     LATERAL unnest(range(0, greatest(length(text) - 29, 0)))
+                     LATERAL unnest(range(0, greatest(length(text) - {dedup.SUBSTR_K - 1}, 0)))
                          AS t(i)
             ),
             owner_doc AS (
@@ -3629,7 +3647,7 @@ def _oracle_sql() -> dict[str, str]:
             flagged AS (
                 SELECT doc_id, pos,
                        CASE WHEN lag(pos) OVER w IS NULL
-                                 OR pos - lag(pos) OVER w > 30
+                                 OR pos - lag(pos) OVER w > {dedup.SUBSTR_K}
                             THEN 1 ELSE 0 END AS new_span
                 FROM dup
                 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
@@ -3644,7 +3662,7 @@ def _oracle_sql() -> dict[str, str]:
             spans AS (
                 SELECT doc_id, span_id,
                        min(pos) AS s_start,
-                       max(pos) + 30 AS s_end
+                       max(pos) + {dedup.SUBSTR_K} AS s_end
                 FROM ids GROUP BY 1, 2
             ),
             pieces AS (
@@ -3682,26 +3700,27 @@ def _oracle_sql() -> dict[str, str]:
         # exemption: the corpus holds the canonical), same island
         # merge + don't-vanish rollup. Semi join spelled EXISTS here
         # vs Spark's left_semi.
-        "dedup_substring_probe": """
+        "dedup_substring_probe": f"""
             WITH grams AS (
                 SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                       substr(text, CAST(i + 1 AS INT), 30) AS gram
+                       substr(text, CAST(i + 1 AS INT), {dedup.SUBSTR_K}) AS gram
                 FROM documents,
-                     LATERAL unnest(range(0, greatest(length(text) - 29, 0)))
+                     LATERAL unnest(range(0, greatest(length(text) - {dedup.SUBSTR_K - 1}, 0)))
                          AS t(i)
             ),
             idx AS (
-                SELECT DISTINCT gram FROM grams WHERE doc_id < 250
+                SELECT DISTINCT gram FROM grams
+                WHERE doc_id < {dedup.SUBSTR_SPLIT_DOC_ID}
             ),
             hits AS (
                 SELECT g.doc_id, g.pos FROM grams g
-                WHERE g.doc_id >= 250
+                WHERE g.doc_id >= {dedup.SUBSTR_SPLIT_DOC_ID}
                   AND EXISTS (SELECT 1 FROM idx i WHERE i.gram = g.gram)
             ),
             flagged AS (
                 SELECT doc_id, pos,
                        CASE WHEN lag(pos) OVER w IS NULL
-                                 OR pos - lag(pos) OVER w > 30
+                                 OR pos - lag(pos) OVER w > {dedup.SUBSTR_K}
                             THEN 1 ELSE 0 END AS new_span
                 FROM hits
                 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
@@ -3715,7 +3734,7 @@ def _oracle_sql() -> dict[str, str]:
             ),
             spans AS (
                 SELECT doc_id, span_id,
-                       max(pos) - min(pos) + 30 AS span_chars,
+                       max(pos) - min(pos) + {dedup.SUBSTR_K} AS span_chars,
                        count(*) AS n_grams
                 FROM ids GROUP BY 1, 2
             ),
@@ -3737,7 +3756,7 @@ def _oracle_sql() -> dict[str, str]:
                                 // length(d.text)
                         ELSE 0 END AS BIGINT) AS covered_bps
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
-            WHERE d.doc_id >= 250
+            WHERE d.doc_id >= {dedup.SUBSTR_SPLIT_DOC_ID}
             ORDER BY d.doc_id
         """,
         # r16 review consolidation: the exact-Jaccard verifier text now
@@ -10834,7 +10853,7 @@ def _oracle_sql() -> dict[str, str]:
             FROM g
             ORDER BY priority
         """,
-        "dq_levene": """
+        "dq_levene": f"""
             WITH base AS (
                 SELECT o_orderpriority AS grp,
                        CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
@@ -10889,11 +10908,10 @@ def _oracle_sql() -> dict[str, str]:
                               / (CAST(k AS DOUBLE) - 1.0)) * (ssb / ssw),
                              4) + 0.0
                    END AS w_stat,
-                   CASE WHEN k >= 2 AND n_total > k AND ssw > 0
-                             AND k = 5 THEN
+                   CASE WHEN k >= 2 AND n_total > k AND ssw > 0 THEN
                        round(((CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))
                               / (CAST(k AS DOUBLE) - 1.0)) * (ssb / ssw),
-                             4) + 0.0 >= 2.3719
+                             4) + 0.0 >= ({_LEVENE_CRIT_SQL})
                    END AS unequal_at_05
             FROM stat
         """,

@@ -291,7 +291,11 @@ def main() -> None:
         spark = None
         times = {name: 0.0 for name in BENCH_QUERIES}
         times["dedup_components_chain"] = 0.0
-        control_start = control_end = {n: 0.0 for n in _CONTROL_PAIR}
+        # two separate literals: aliasing them to one dict would let a
+        # future mutation of either silently corrupt the other (r19
+        # advice #5)
+        control_start = {n: 0.0 for n in _CONTROL_PAIR}
+        control_end = {n: 0.0 for n in _CONTROL_PAIR}
     else:
         spark = get_spark(app_name="datalake-local-spark-bench")
         qs = entrymod.queries()

@@ -3521,7 +3521,19 @@ def betweenness_centrality(
     )
 
 
-def exact_substring_spans(documents: DataFrame, k: int = 30) -> DataFrame:
+#: ExactSubstr grain shared by the three kernels AND their DuckDB
+#: oracles (r19 advice #1: the cert oracles used to hard-code 30/29/250
+#: as literals, so calling a kernel with a non-default k silently
+#: diverged from the oracle; both sides now render from these one
+#: constants — __spark_entry__ interpolates SUBSTR_K / SUBSTR_K - 1 /
+#: SUBSTR_SPLIT_DOC_ID into the oracle SQL).
+SUBSTR_K = 30
+#: doc_id split between the "existing corpus" and "incoming" halves of
+#: the incremental probe fixture (see :func:`exact_substring_probe`).
+SUBSTR_SPLIT_DOC_ID = 250
+
+
+def exact_substring_spans(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     """Exact SUBSTRING-level dedup report (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" — the
     ExactSubstr modality: remove every duplicated substring of length
@@ -3547,6 +3559,15 @@ def exact_substring_spans(documents: DataFrame, k: int = 30) -> DataFrame:
 
     All counts are exact integers; removed_bps is an exact integer
     ``div`` on min-offset non-negative values.
+
+    Known deviation from Lee et al.'s suffix-array semantics (r19
+    advice #4): for SELF-OVERLAPPING repeats inside one document
+    (periodic runs like ``'ab' * 200``), gram-grain canonicalization
+    keeps only the unmarked prefix character(s) before the first
+    non-canonical gram — less than one full k-char copy of the
+    repeated substring. The randomized brute-force test pins this
+    behavior; inter-document duplicates (the modality's target) always
+    keep the full canonical occurrence.
 
     Scale shape (100 TB): the only corpus-wide shuffle is gram-keyed
     (step 2) — at deployment scale group on ``xxhash64(gram)`` instead
@@ -3640,7 +3661,9 @@ def exact_substring_spans(documents: DataFrame, k: int = 30) -> DataFrame:
 
 
 def exact_substring_probe(
-    documents: DataFrame, split_doc_id: int = 250, k: int = 30
+    documents: DataFrame,
+    split_doc_id: int = SUBSTR_SPLIT_DOC_ID,
+    k: int = SUBSTR_K,
 ) -> DataFrame:
     """Incremental ExactSubstr screen — the ingestion-path companion of
     :func:`exact_substring_spans`: INCOMING documents (doc_id >=
@@ -3749,7 +3772,7 @@ def exact_substring_probe(
     )
 
 
-def exact_substring_clean(documents: DataFrame, k: int = 30) -> DataFrame:
+def exact_substring_clean(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     """The ExactSubstr REWRITE itself — the text that remains after
     :func:`exact_substring_spans`' removal decision is applied (Lee et
     al. 2022: cut every duplicated >= k-char span, keeping the

@@ -2096,9 +2096,24 @@ def cross_series_correlation(events: DataFrame) -> DataFrame:
 #: the DuckDB oracle so the decision compares bit-identical statistics
 #: against the identical constant (the _CHI2_95_DOF6 precedent).
 #: dq_levene's orders fixture always yields 5 priority groups -> dof1
-#: = 4; a parameterized group count must extend this table, not reuse
-#: the constant (the r16 ljung-box cutoff lesson).
-_F95 = {4: 2.3719}
+#: = 4; the full dof1 = 1..9 row covers any other observed group count
+#: (r19 advice #2: look the cutoff up by the COMPUTED k-1, never
+#: hard-wire dof 4). Values are the large-sample asymptote
+#: F(0.95; d, inf) = chi2(0.95, d)/d (Abramowitz & Stegun 26.8 —
+#: exact for the N >> k fixtures this screen runs on); outside the
+#: table the decision publishes NULL rather than a silently-wrong
+#: cutoff (the r16 ljung-box cutoff lesson).
+_F95 = {
+    1: 3.8415,
+    2: 2.9957,
+    3: 2.6049,
+    4: 2.3719,
+    5: 2.2141,
+    6: 2.0986,
+    7: 2.0096,
+    8: 1.9384,
+    9: 1.8799,
+}
 
 
 def levene_variance_screen(orders: DataFrame) -> DataFrame:
@@ -2180,7 +2195,13 @@ def levene_variance_screen(orders: DataFrame) -> DataFrame:
     ssw = F.col("q_all") - F.col("ssb_part")
     w_stat = ((n_f - k_f) / (k_f - 1.0)) * (ssb / ssw)
     wr = F.round(w_stat, 4) + F.lit(0.0)
-    crit = _F95.get(4)
+    # cutoff looked up by the COMPUTED dof1 = k-1 (r19 advice #2); a
+    # when-chain over the shared _F95 table — NULL past the table, so
+    # an unforeseen group count yields a NULL decision, never a wrong
+    # one. The chain mirrors the oracle's CASE chain term-for-term.
+    crit = F.lit(None).cast("double")
+    for dof in sorted(_F95, reverse=True):
+        crit = F.when(F.col("k") == dof + 1, F.lit(_F95[dof])).otherwise(crit)
     return agg.select(
         "k",
         "n_total",
@@ -2193,7 +2214,7 @@ def levene_variance_screen(orders: DataFrame) -> DataFrame:
         ).alias("w_stat"),
         F.when(
             (F.col("k") >= 2) & (F.col("n_total") > F.col("k")) & (ssw > 0),
-            F.when(F.col("k") == 5, wr >= F.lit(crit)),
+            wr >= crit,
         ).alias("unequal_at_05"),
     )
 

@@ -4049,6 +4049,54 @@ def test_jarque_bera_matches_bruteforce(spark):
         None, None, None)
 
 
+def test_levene_cutoff_table_and_k3_decision(spark):
+    """r20 (r19 advice #2): the F cutoff is looked up by the COMPUTED
+    k-1, not hard-wired to dof 4. The _F95 table is independently
+    pinned against published chi2(0.95, d) quantiles (Abramowitz &
+    Stegun 26.8; large-sample F(0.95; d, inf) = chi2(0.95, d)/d), and
+    a 3-group fixture with planted unequal spreads gets the dof-2
+    cutoff — previously a silent NULL — identically on both engines."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from datalake_local_spark.operators import quality
+
+    chi2_95 = {  # published chi2(0.95, d) quantiles, 6dp
+        1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729,
+        5: 11.070498, 6: 12.591587, 7: 14.067140, 8: 15.507313,
+        9: 16.918978,
+    }
+    assert set(quality._F95) == set(chi2_95)
+    for d, q in chi2_95.items():
+        assert quality._F95[d] == round(q / d, 4), d
+
+    rng = random.Random(13)
+    rows = []
+    for gi, p in enumerate(["A", "B", "C"]):
+        spread = (gi + 1) * 9
+        for _ in range(35 + gi):
+            rows.append((len(rows), p,
+                         round(500 + rng.randint(-spread, spread) * 0.25, 2)))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    got = quality.levene_variance_screen(orders).collect()[0]
+    assert got["k"] == 3 and got["w_stat"] is not None
+    assert got["unequal_at_05"] == (got["w_stat"] >= quality._F95[2])
+    assert got["unequal_at_05"] is True  # planted spread gradient
+
+    con = duckdb.connect()
+    con.register("orders", pd.DataFrame(
+        rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]))
+    oz = con.execute(
+        f"SELECT w_stat, unequal_at_05 FROM ({em.oracle_sql()['dq_levene']})"
+    ).fetchall()[0]
+    assert oz == (got["w_stat"], got["unequal_at_05"])
+
+
 def test_levene_degenerate_null_both_engines(spark):
     """r19: single group (k = 1), all-1-row groups (N = k), and
     all-constant groups (SSW = 0) publish NULL W/decision on BOTH

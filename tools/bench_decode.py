@@ -54,10 +54,28 @@ def load_artifact(path: str) -> dict:
         import re
 
         frag = doc["tail"].rsplit("\n", 1)[0]  # full-line fragment
+        # Salvage ONLY the "queries" sub-object (r19 advice #3: a flat
+        # key/number regex over the whole line could sweep nested
+        # non-query numeric keys — components_chain/control scalars —
+        # into the map and skew the common-set ratio). queries is the
+        # FIRST nested object in the summary line and is flat
+        # name -> number, so the first '}' at-or-after its text closes
+        # it. Two fragment shapes: (a) the opener survived the cut —
+        # decode from it to the first '}'; (b) the fragment starts
+        # MID-object (the usual driver truncation) — everything before
+        # the first '}' is queries remainder, and any pre-queries
+        # summary scalars were cut along with the opener. The scalar
+        # exclusion set stays as belt-and-braces for a cut landing
+        # after the queries object closed.
+        m = re.search(r'"queries"\s*:\s*\{', frag)
+        body = frag[m.end():] if m else frag
+        end = body.find("}")
+        if end >= 0:
+            body = body[:end]
         scalar = {"value", "sf", "n_edges", "num_partitions", "rounds"}
         pairs = {
             k: float(v)
-            for k, v in re.findall(r'"(\w+)": ([0-9][0-9.]*)', frag)
+            for k, v in re.findall(r'"(\w+)"\s*:\s*([0-9][0-9.]*)', body)
             if k not in scalar
         }
         if pairs:

@@ -181,6 +181,30 @@ MANIFEST: dict[str, dict] = {
         mech="B", queries=["pipeline_dsir_weights"],
         tests=["test_dsir_weights_match_pure_python"],
         note="see DSIR_N_BUCKETS"),
+    "dedup.SUBSTR_K": dict(
+        mech="B", queries=["dedup_exact_substring", "dedup_substring_probe",
+                           "dedup_substring_clean", "dedup_substring_hashed"],
+        tests=["test_exact_substring_spans_hand_computed",
+               "test_exact_substring_randomized_against_bruteforce"],
+        note="gram width + span-merge gap rendered into the three "
+             "ExactSubstr oracles from the kernel-default constant "
+             "(r19 advice #1); hand-computed + seeded definitional "
+             "brute-force replays certify the formula at k=30 and "
+             "small k"),
+    "dedup.SUBSTR_SPLIT_DOC_ID": dict(
+        mech="B", queries=["dedup_substring_probe"],
+        tests=["test_exact_substring_probe_hand_computed"],
+        note="existing/incoming doc_id split shared by probe kernel "
+             "default and oracle (r19 advice #1); verbatim-twins "
+             "fixture proves incoming never probes incoming"),
+    "_LEVENE_CRIT_SQL": dict(
+        mech="B", queries=["dq_levene"],
+        tests=["test_levene_matches_bruteforce_and_flags_unequal",
+               "test_levene_cutoff_table_and_k3_decision"],
+        note="CASE chain rendered from quality._F95 (both engines read "
+             "the one table; r19 advice #2); cutoffs independently "
+             "pinned against published chi2(0.95, d)/d values and a "
+             "k=3 fixture exercises a non-default dof on both engines"),
     "text._KN_P_SQL": dict(
         mech="B", queries=["text_kn_bigram_logprob"],
         tests=["test_kn_bigram_logprob_matches_pure_python",
