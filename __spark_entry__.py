@@ -476,6 +476,78 @@ _LEVENE_CRIT_SQL = (
 )
 
 
+#: ExactSubstr spans oracle — ONE replay certifies BOTH the
+#: string-keyed kernel (dedup_exact_substring) and the xxhash64-screen
+#: variant (dedup_substring_hashed): the two kernels are
+#: value-identical by construction (see
+#: dedup.exact_substring_spans_hashed's docstring), so the shared text
+#: is the point, not a risk — a kernel divergence reds one row while
+#: the other stays green. Gram width rendered from dedup.SUBSTR_K.
+_EXACT_SUBSTR_SPANS_ORACLE = f"""
+    WITH grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               substr(text, CAST(i + 1 AS INT), {dedup.SUBSTR_K}) AS gram
+        FROM documents,
+             LATERAL unnest(range(0, greatest(length(text) - {dedup.SUBSTR_K - 1}, 0)))
+                 AS t(i)
+    ),
+    owner_doc AS (
+        SELECT gram, min(doc_id) AS odoc FROM grams GROUP BY 1
+    ),
+    owner AS (
+        SELECT g.gram, o.odoc, min(g.pos) AS opos
+        FROM grams g
+        JOIN owner_doc o ON o.gram = g.gram AND o.odoc = g.doc_id
+        GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT g.doc_id, g.pos
+        FROM grams g JOIN owner o ON o.gram = g.gram
+        WHERE NOT (g.doc_id = o.odoc AND g.pos = o.opos)
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos - lag(pos) OVER w > {dedup.SUBSTR_K}
+                    THEN 1 ELSE 0 END AS new_span
+        FROM dup
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    ids AS (
+        SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING)
+                   AS span_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, span_id,
+               max(pos) - min(pos) + {dedup.SUBSTR_K} AS span_chars,
+               count(*) AS n_grams
+        FROM ids GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_dup_spans,
+               sum(span_chars) AS chars_removed,
+               sum(n_grams) AS n_dup_grams
+        FROM spans GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(p.chars_removed, 0) AS BIGINT)
+               AS chars_removed,
+           CAST(length(d.text) AS BIGINT) AS total_chars,
+           CAST(CASE WHEN length(d.text) > 0 THEN
+                    coalesce(p.chars_removed, 0) * 10000
+                        // length(d.text)
+                ELSE 0 END AS BIGINT) AS removed_bps
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
 def _q_sql_groupby_all(spark, sf):
     load_tables(spark, sf)
     return spark.sql(_GROUPBY_ALL_SQL)
@@ -658,6 +730,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family (north star)
         "dedup_exact": lambda s, d: dedup.exact_dedup(*_t(s, d, "documents")),
         "dedup_exact_substring": lambda s, d: dedup.exact_substring_spans(*_t(s, d, "documents")),
+        "dedup_substring_hashed": lambda s, d: dedup.exact_substring_spans_hashed(*_t(s, d, "documents")),
         "dedup_substring_probe": lambda s, d: dedup.exact_substring_probe(*_t(s, d, "documents")),
         "dedup_substring_clean": lambda s, d: dedup.exact_substring_clean(*_t(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_token_jaccard_pairs(*_t(s, d, "documents")),
@@ -3555,69 +3628,13 @@ def _oracle_sql() -> dict[str, str]:
         # advice #1: hard-coded 30/29 literals silently diverged from a
         # kernel called with non-default k; one shared constant now
         # feeds kernel defaults AND oracle text)
-        "dedup_exact_substring": f"""
-            WITH grams AS (
-                SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                       substr(text, CAST(i + 1 AS INT), {dedup.SUBSTR_K}) AS gram
-                FROM documents,
-                     LATERAL unnest(range(0, greatest(length(text) - {dedup.SUBSTR_K - 1}, 0)))
-                         AS t(i)
-            ),
-            owner_doc AS (
-                SELECT gram, min(doc_id) AS odoc FROM grams GROUP BY 1
-            ),
-            owner AS (
-                SELECT g.gram, o.odoc, min(g.pos) AS opos
-                FROM grams g
-                JOIN owner_doc o ON o.gram = g.gram AND o.odoc = g.doc_id
-                GROUP BY 1, 2
-            ),
-            dup AS (
-                SELECT g.doc_id, g.pos
-                FROM grams g JOIN owner o ON o.gram = g.gram
-                WHERE NOT (g.doc_id = o.odoc AND g.pos = o.opos)
-            ),
-            flagged AS (
-                SELECT doc_id, pos,
-                       CASE WHEN lag(pos) OVER w IS NULL
-                                 OR pos - lag(pos) OVER w > {dedup.SUBSTR_K}
-                            THEN 1 ELSE 0 END AS new_span
-                FROM dup
-                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-            ),
-            ids AS (
-                SELECT doc_id, pos,
-                       sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-                                           ROWS UNBOUNDED PRECEDING)
-                           AS span_id
-                FROM flagged
-            ),
-            spans AS (
-                SELECT doc_id, span_id,
-                       max(pos) - min(pos) + {dedup.SUBSTR_K} AS span_chars,
-                       count(*) AS n_grams
-                FROM ids GROUP BY 1, 2
-            ),
-            per_doc AS (
-                SELECT doc_id,
-                       count(*) AS n_dup_spans,
-                       sum(span_chars) AS chars_removed,
-                       sum(n_grams) AS n_dup_grams
-                FROM spans GROUP BY 1
-            )
-            SELECT d.doc_id,
-                   CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
-                   CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-                   CAST(coalesce(p.chars_removed, 0) AS BIGINT)
-                       AS chars_removed,
-                   CAST(length(d.text) AS BIGINT) AS total_chars,
-                   CAST(CASE WHEN length(d.text) > 0 THEN
-                            coalesce(p.chars_removed, 0) * 10000
-                                // length(d.text)
-                        ELSE 0 END AS BIGINT) AS removed_bps
-            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
-            ORDER BY d.doc_id
-        """,
+        "dedup_exact_substring": _EXACT_SUBSTR_SPANS_ORACLE,
+        # the xxhash64-screen variant (r19 verdict #3) is value-
+        # IDENTICAL by construction — hash singletons are provably
+        # unique grams, collisions resolve in the exact string-grain
+        # regroup — so the ONE oracle certifies both kernels; a
+        # divergence between them reds exactly one of the two rows.
+        "dedup_substring_hashed": _EXACT_SUBSTR_SPANS_ORACLE,
         # NEW r19 late wave: the ExactSubstr REWRITE — same dup-span
         # derivation, complement intervals via one lag, per-doc ordered
         # string_agg of the kept substring slices; verbatim

@@ -3899,3 +3899,130 @@ def exact_substring_clean(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def exact_substring_spans_hashed(
+    documents: DataFrame, k: int = SUBSTR_K
+) -> DataFrame:
+    """Deployment-scale variant of :func:`exact_substring_spans` — the
+    xxhash64-gram key path the sibling's docstring prescribed at 100 TB
+    (r19 verdict #3), now code, with output IDENTICAL bit-for-bit (the
+    same DuckDB oracle certifies both). Two phases:
+
+    1. **Hash screen** — the one corpus-wide aggregate groups on
+       ``xxhash64(gram)``: an 8-byte key instead of the k-byte string
+       (k = 30 default -> ~3x narrower shuffle rows on the dominant
+       exchange, and map-side combine ships one (hash, count) pair per
+       distinct gram per task). A hash seen ONCE proves its gram
+       occurs once corpus-wide (no collision can hide a duplicate —
+       equal grams always share a hash), so the singleton population —
+       nearly all of a real corpus — is discarded before any string
+       ever shuffles.
+    2. **Equality re-verify** — occurrences surviving the screen
+       (LEFT SEMI on the 8-byte key) run the sibling's EXACT
+       string-grain owner aggregate. Hash collisions only ADMIT extra
+       occurrences into this phase (~2^-64 rates); grouping on the
+       gram itself then resolves them exactly — a colliding singleton
+       gram becomes its own owner and marks nothing. This is why the
+       naive alternative (owner per hash + verify join against the
+       owner's text) is NOT used: under a collision the min-struct
+       owner of one gram can shadow another, silently UNDER-marking
+       the shadowed gram's duplicates; the semi-join screen + exact
+       regroup has no such case.
+
+    Island merge and rollup are the sibling's, verbatim. Scale shape:
+    phase 1 shuffles O(distinct grams) 8-byte keys; phase 2 shuffles
+    only occurrences of DUPLICATED grams (corpus dup-rate-bounded,
+    not corpus-bounded); the span-merge window stays doc-partitioned.
+    Measured at 1x/3x/10x documents corpora in SCALE.md (r20)."""
+    from pyspark.sql import Window as W
+
+    docs = documents.select("doc_id", "text")
+    npos = F.length("text") - F.lit(k) + 1
+    hashed = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(npos >= 1, F.sequence(F.lit(0), npos - 1))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(f"substring(text, pos + 1, {int(k)})").alias("gram"),
+        )
+        .withColumn("h", F.xxhash64("gram"))
+    )
+    multi = (
+        hashed.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    cand = hashed.join(multi, "h", "left_semi")
+    owner = cand.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "pos")).alias("o")
+    )
+    dup = (
+        cand.join(owner, "gram")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("o.doc_id"))
+                & (F.col("pos") == F.col("o.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > k),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    spans = (
+        flagged.select(
+            "doc_id",
+            "pos",
+            F.sum("new_span")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .alias("span_id"),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            (F.max("pos") - F.min("pos") + k).alias("span_chars"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("span_chars").alias("chars_removed"),
+        F.sum("n_grams").alias("n_dup_grams"),
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("chars_removed", F.lit(0))
+            .cast("long")
+            .alias("chars_removed"),
+            F.length("text").cast("long").alias("total_chars"),
+            F.expr(
+                "CASE WHEN length(text) > 0 THEN"
+                " coalesce(chars_removed, 0) * 10000 div length(text)"
+                " ELSE 0 END"
+            )
+            .cast("long")
+            .alias("removed_bps"),
+        )
+        .orderBy("doc_id")
+    )

@@ -4452,6 +4452,47 @@ def test_exact_substring_randomized_against_bruteforce(spark):
         assert got == want, (trial, texts)
 
 
+def test_exact_substring_hashed_matches_string_kernel(spark):
+    """r20 (r19 verdict #3): the xxhash64-screen variant is
+    value-IDENTICAL to the string-keyed kernel — on the hand fixture
+    (k=10) and on seeded 2-letter random corpora (k=5, maximal gram
+    repetition so the hash screen's >= 2 filter and the exact regroup
+    both carry real load). The string kernel is itself certified
+    against the definitional brute-force reference, so equality here
+    transitively certifies the hashed path; the shared DuckDB oracle
+    then hash-gates both registry rows at every SF."""
+    import random
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    hand = [
+        (0, base),
+        (1, base[:20] + "Z" * 10),
+        (2, base),
+        (3, "PQRSTUVWXY" + "0a1b2c3d4e" + "PQRSTUVWXY"),
+        (4, base[:15] + "!@#$%^&*()_+=[]" + base[20:35]),
+        (5, "tiny"),
+    ]
+    rng = random.Random(4321)
+    fixtures = [(10, hand)]
+    for _ in range(4):
+        fixtures.append(
+            (5, [
+                (d, "".join(rng.choice("ab") for _ in range(rng.randint(0, 25))))
+                for d in range(rng.randint(3, 7))
+            ])
+        )
+    for k, texts in fixtures:
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        want = sorted(
+            tuple(r) for r in dedup.exact_substring_spans(docs, k=k).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in dedup.exact_substring_spans_hashed(docs, k=k).collect()
+        )
+        assert got == want, (k, texts)
+
+
 def test_exact_substring_probe_hand_computed(spark):
     """r19 incremental ExactSubstr probe: only INCOMING docs emit;
     hits come only from the EXISTING corpus's gram index (two verbatim

@@ -181,6 +181,15 @@ MANIFEST: dict[str, dict] = {
         mech="B", queries=["pipeline_dsir_weights"],
         tests=["test_dsir_weights_match_pure_python"],
         note="see DSIR_N_BUCKETS"),
+    "_EXACT_SUBSTR_SPANS_ORACLE": dict(
+        mech="C", queries=["dedup_exact_substring", "dedup_substring_hashed"],
+        tests=["test_exact_substring_spans_hand_computed",
+               "test_exact_substring_randomized_against_bruteforce",
+               "test_exact_substring_hashed_matches_string_kernel"],
+        note="one replay CTE certifies both the string-keyed kernel "
+             "and the value-identical xxhash64-screen variant (r19 "
+             "verdict #3); hand-computed + seeded brute-force + "
+             "cross-kernel equality certify the formula"),
     "dedup.SUBSTR_K": dict(
         mech="B", queries=["dedup_exact_substring", "dedup_substring_probe",
                            "dedup_substring_clean", "dedup_substring_hashed"],
