@@ -304,99 +304,98 @@ def _q_cube_request(spark, sf):
 
 
 # Certification-window rotation: the driver oracle-checks the FIRST 50
-# ``queries()`` entries each round (cap confirmed in r3/r4).  Round 19
-# window per the r18 verdict #4: (a) the one NEW r19 name, then (b)
-# every name whose code or oracle CHANGED in r19 (changed outranks
-# rotation, the r13-r18 precedent), then (c) the FULL 37-name r10
-# cohort (the oldest driver rows in the registry, 8 rounds old), then
-# (d) the r11 cohort by name order, as many as fit. The r11 names that
-# do not fit are tracked in the tail comment for the r20 queue and
-# exact-checked locally this round (SWEEP_r19.log).
+# ``queries()`` entries each round (cap confirmed in r3/r4).  Round 20
+# window per the r19 verdict #1/#2: (a) the one NEW r20 name, then (b)
+# the three names with NO driver row in any round (the r19 post-window
+# late wave), then (c) every name whose code or oracle changed in r20
+# or after the r19 window froze (changed outranks rotation, the
+# r13-r19 precedent), then (d) the oldest cohorts by driver-row age —
+# tpch_top_supplier (r10), the full r11 cohort, and the r12 head as
+# far as the cap allows. ROWS-ONLY names are EXCLUDED from the window
+# (r19 verdict #2: sim_ann_recall_report burned a slot as
+# err:no_oracle in CORRECTNESS_r19 — their gate is pytest invariants,
+# not the driver oracle; the 16 names live in
+# tools/gen_catalog.ROWS_ONLY_REASONS, and dedup_minhash_calibration
+# is skipped below for exactly that reason).
 _CERTIFY_FIRST = [
-    # ---- NEW in round 19 ----
-    "dedup_exact_substring",  # NEW r19: ExactSubstr spans (Lee 2022)
-    "dedup_substring_probe",  # NEW r19: incremental ExactSubstr probe
-    # ---- code/oracle CHANGED in round 19 ----
-    "dq_mann_whitney",  # r19: NULL-z guard on zero variance (advice #1)
-    "dq_runs_test",  # r19: guard extended to 2*n1*n2 > n (advice #2)
-    "dq_ks_test",  # r19: two-level bucket cumsum (verdict #2)
-    "dq_cramers_v",  # r19: NULL V on single-level dimension (proactive)
-    "dq_ljung_box",  # r19: NULL rho/Q on zero-variance series (proactive)
-    "dq_cuped",  # r19: NULL variance columns on 1-user arm (proactive)
-    "dq_batch_drift",  # r19: NULL ratios on empty split side (proactive)
-    "events_hw_residual_diag",  # r19: NULL rho/Q on zero-den (proactive)
-    "agg_regression_funcs",  # r19: NULL slope/r2/covar_s on degenerate groups
-    "agg_higher_moments",  # r19: NULL moments on constant/tiny groups (+oracle)
-    "agg_histogram",  # r19: bin 0 when hi == lo (+oracle)
-    # ---- the r10 cohort, drained in full (37 names; driver rows were
-    # 8 rounds old) ----
-    "agg_gini_spend",
-    "agg_mode_family",
-    "agg_weighted_median",
-    "dedup_rate_by_source",
-    "events_cumulative_users",
-    "events_interarrival",
-    "events_multigrain_rollup",
-    "events_peak_concurrency",
-    "graph_degree_profile",
-    "pipeline_shard_manifest",
-    "scalar_ip_funcs",
-    "semantic_ohlcv_daily",
-    "sim_ann_recall_report",
-    "sim_quantize_int8",
-    "sql_interactive",
-    "streaming_foreachbatch_upsert",
-    "streaming_sessionize",
-    "streaming_sliding",
-    "streaming_stateful_counter",
-    "text_cm_heavy_hitters",
-    "text_fingerprint",
-    "text_rake_keywords",
-    "text_vocab_oov",
-    "tpch_big_spenders",
-    "tpch_disjunctive_revenue",
-    "tpch_forecast_revenue",
-    "tpch_large_orders",
-    "tpch_local_supplier_volume",
-    "tpch_market_share",
-    "tpch_order_distribution",
-    "tpch_part_promotion",
-    "tpch_promo_revenue",
-    "tpch_returned_items",
-    "tpch_sales_opportunity",
-    "tpch_shipping_priority",
-    "tpch_small_qty_revenue",
-    # tpch_top_supplier: displaced to the r20 queue by the changed
-    # bucket growing to 12 (changed outranks rotation) — exact-green in
-    # this round's full-registry 3-SF sweep, untouched by the changes
-    # ---- r11 cohort by name order, filling to the 50-slot cap ----
-    "dq_ab_ttest",  # also r19-changed: ANSI-crash guard on degenerate input
-    # r20 queue HEAD: dedup_substring_clean + dq_levene +
-    # dq_jarque_bera (NEW r19 late wave — the ExactSubstr rewrite, the
-    # Brown-Forsythe variance screen, and the Jarque-Bera normality
-    # screen; local 3-SF certs in SWEEP_r19.log),
-    # text_quality + text_corpus_qa_report (r19-changed
-    # after the window froze — alpha_ratio NULL guard; local 3-SF
-    # certs), streaming_anomaly (r19 kernel reorder, 3-SF certs),
-    # then tpch_top_supplier (r10), then the
-    # remaining r11-cohort names by name order (each exact-green in
-    # this round's full-registry sweep; agg_higher_moments /
-    # agg_regression_funcs moved UP into the changed bucket):
-    # dedup_cluster_purity, dedup_components, dedup_cosine_sweep,
-    # dedup_minhash_calibration, dedup_shingle_sweep, dq_psi_drift,
-    # events_attribution, events_autocorrelation,
-    # events_growth_accounting, events_latency_trend,
-    # events_path_trigrams, events_seasonal_anomaly,
-    # events_session_depth, events_slo_burn, events_survival_km,
-    # graph_link_prediction, graph_triangles, join_anti,
-    # join_composite_theta, join_full_outer, lake_zorder_layout,
-    # mm_aspect_buckets, pipeline_dedup_funnel, pipeline_leakage_split,
-    # pipeline_token_budget, pipeline_weighted_reservoir,
-    # scd2_asof_snapshot, sim_pair_geometry, sql_named_window,
-    # text_phrase_search, text_quality_by_source, tpch_cohort_ltv,
-    # tpch_important_stock, tpch_lead_time, tpch_order_aging,
-    # tpch_pareto_abc, tpch_realized_margin, tpch_return_rates,
-    # tpch_yoy_growth — then the r12 cohort by driver-row age.
+    # ---- NEW in round 20 ----
+    "dedup_substring_hashed",  # NEW r20: xxhash64-screen ExactSubstr
+    # ---- never driver-certified (r19 late wave; 3-SF local certs in
+    # SWEEP_r19.log and re-certified by the r19 judge) ----
+    "dedup_substring_clean",  # ExactSubstr rewrite
+    "dq_levene",  # Brown-Forsythe screen; ALSO r20-changed (dof lookup)
+    "dq_jarque_bera",  # normality screen
+    # ---- code/oracle changed in r20 or after the r19 window froze ----
+    "dedup_exact_substring",  # r20: defaults/oracle render from SUBSTR_K
+    "dedup_substring_probe",  # r20: defaults/oracle render from constants
+    "text_quality",  # r19 post-window: alpha_ratio NULL guard
+    "text_corpus_qa_report",  # r19 post-window: alpha_ratio NULL guard
+    "streaming_anomaly",  # r19 post-window: kernel reorder
+    # ---- oldest driver rows: r10 ----
+    "tpch_top_supplier",
+    # ---- the r11 cohort, drained in full by name order
+    # (dedup_minhash_calibration skipped: rows-only by design) ----
+    "dedup_cluster_purity",
+    "dedup_components",
+    "dedup_cosine_sweep",
+    "dedup_shingle_sweep",
+    # dq_ab_ttest: r11 cohort by name, but its driver row is r19-fresh
+    # (certified in last round's changed bucket) — not re-staged
+    "dq_psi_drift",
+    "events_attribution",
+    "events_autocorrelation",
+    "events_growth_accounting",
+    "events_latency_trend",
+    "events_path_trigrams",
+    "events_seasonal_anomaly",
+    "events_session_depth",
+    "events_slo_burn",
+    "events_survival_km",
+    "graph_link_prediction",
+    "graph_triangles",
+    "join_anti",
+    "join_composite_theta",
+    "join_full_outer",
+    "lake_zorder_layout",
+    "mm_aspect_buckets",
+    "pipeline_dedup_funnel",
+    "pipeline_leakage_split",
+    "pipeline_token_budget",
+    "pipeline_weighted_reservoir",
+    "scd2_asof_snapshot",
+    "sim_pair_geometry",
+    "sql_named_window",
+    "text_phrase_search",
+    "text_quality_by_source",
+    "tpch_cohort_ltv",
+    "tpch_important_stock",
+    "tpch_lead_time",
+    "tpch_order_aging",
+    "tpch_pareto_abc",
+    "tpch_realized_margin",
+    "tpch_return_rates",
+    "tpch_yoy_growth",
+    # ---- r12 cohort head by name order, filling to the 50-slot cap ----
+    "agg_monthly_rollup",
+    "agg_order_stats",
+    # r21 queue HEAD: the remaining r12 cohort by name order
+    # (agg_pricing_summary, dedup_cluster_sizes, dedup_entity_clusters,
+    # dedup_entity_fuzzy, dedup_graph_quality, dedup_lsh_scurve,
+    # dedup_url_canonical, dq_bootstrap_ci, dq_chi_squared,
+    # dq_column_diff, dq_completeness_profile, dq_theil_sen,
+    # events_burstiness, events_stickiness, events_stl_decompose,
+    # graph_assortativity, ivm_rollup_refresh, join_asof_nearest,
+    # mm_payload_profile, pipeline_quality_sweep,
+    # pipeline_temperature_mix, sample_deterministic,
+    # sample_stratified, scalar_json_agg, scalar_variant_funcs,
+    # sim_embedding_dim_profile, sim_label_separation,
+    # text_contamination, text_pack_sequences, text_quality_gate,
+    # text_rrf_fusion, text_source_profile, text_token_stats,
+    # text_top_bigrams, tpch_seasonal_index, tpch_supplier_hhi,
+    # tpch_supplier_part_counts, tpch_volume_shipping,
+    # unpivot_order_measures, window_distribution), then the r14
+    # cohort by driver-row age. Rows-only names NEVER enter the
+    # window.
 ]
 
 
