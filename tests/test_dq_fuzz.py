@@ -265,6 +265,118 @@ def test_agg_fuzz_cross_engine(spark, name):
         )
 
 
+def _streaming_registry():
+    """Streaming kernels drivable from one events.parquet file, each
+    with a committed oracle reading only the events table."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod._all_queries()
+    return {
+        n: q[n]
+        for n in (
+            "streaming_sessionize",
+            "streaming_sliding",
+            "streaming_dedup",
+            "streaming_stream_join",
+            "streaming_stateful_counter",
+            "streaming_foreachbatch_upsert",
+        )
+    }
+
+
+def _random_stream_events(rng: random.Random):
+    """Seeded degenerate micro-batch shapes for the streaming kernels
+    (r19 verdict #4): EMPTY stream, single event, zero-gap sessions
+    (identical timestamps), sub-second gaps, an in-batch late straggler
+    far behind the watermark lag, and multi-day spreads. Event types
+    biased toward click/purchase so the stream-stream join carries
+    real load. Values stay non-NULL (the events-table contract the
+    kernels run on)."""
+    shape = rng.choice(
+        ["empty", "single", "zero_gap", "subsecond", "straggler", "spread"]
+    )
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    types = ["click", "purchase", "view"]
+    rows = []
+    if shape == "empty":
+        n = 0
+    elif shape == "single":
+        n = 1
+    else:
+        n = rng.choice([2, 3, 5, 8, 13])
+    for i in range(n):
+        if shape == "zero_gap":
+            ts = t0  # every event at the same instant
+        elif shape == "subsecond":
+            ts = t0 + dt.timedelta(milliseconds=rng.randint(0, 900))
+        elif shape == "straggler" and i == 0:
+            ts = t0 - dt.timedelta(days=30)  # far behind the watermark
+        elif shape == "spread":
+            ts = t0 + dt.timedelta(minutes=rng.randint(0, 5 * 24 * 60))
+        else:
+            ts = t0 + dt.timedelta(seconds=rng.randint(0, 3600))
+        user = 7 if (shape == "zero_gap" or rng.random() < 0.4) else rng.randint(1, 3)
+        rows.append((
+            i + 1,
+            ts,
+            user,
+            rng.choice(types),
+            50.0 if rng.random() < 0.3 else round(rng.uniform(0, 500), 2),
+            "{}",
+        ))
+    return shape, rows
+
+
+def _stage_events_file(spark, rows, target_dir):
+    """Write rows as the single leaf FILE <target_dir>/events.parquet
+    (the file-source kernels pathGlobFilter the leaf name; a parquet
+    DIRECTORY named events.parquet matches nothing)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).repartition(1)
+    stage = os.path.join(target_dir, "_stage")
+    sdf.write.mode("overwrite").parquet(stage)
+    (part,) = globmod.glob(os.path.join(stage, "part-*.parquet"))
+    shutil.move(part, os.path.join(target_dir, "events.parquet"))
+    shutil.rmtree(stage)
+
+
+@pytest.mark.parametrize("name", sorted(_streaming_registry()))
+def test_streaming_fuzz_cross_engine(spark, name, tmp_path):
+    """r20 (r19 verdict #4): the streaming kernels through the REAL
+    structured-streaming path (file source -> watermark/state operator
+    -> availableNow drain) on seeded degenerate micro-batches, each
+    compared exactly against the committed oracle replayed in DuckDB
+    over the same parquet file."""
+    import os
+
+    fn = _streaming_registry()[name]
+    sql = em.oracle_sql()[name]
+    rng = random.Random(hash(name) & 0xFFFF)
+    for trial in range(4):
+        shape, rows = _random_stream_events(rng)
+        sf_dir = tmp_path / f"{name}_{trial}"
+        sf_dir.mkdir()
+        _stage_events_file(spark, rows, str(sf_dir))
+        got = _norm(tuple(r) for r in fn(spark, str(sf_dir)).collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{os.path.join(str(sf_dir), 'events.parquet')}'"
+        )
+        want = _norm(con.execute(sql).fetchall())
+        assert got == want, (
+            f"{name} trial {trial} shape={shape}: cross-engine divergence"
+            f" on\n{rows}\nspark={got}\noracle={want}"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(DQ_ORDERS))
 def test_dq_fuzz_cross_engine(spark, name):
     fn = DQ_ORDERS[name]
