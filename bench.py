@@ -2,10 +2,23 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
-Queries are forced with ``.count()`` (full plan execution, no driver-side
-result transfer). The suite covers each operator family once: multi-join
-agg, scan-agg, broadcast join, window top-k, as-of join, exact + MinHash
-dedup, cosine top-k, text scoring, sessionization, streaming.
+Queries are forced with a ``noop``-sink write (full plan execution, no
+driver-side result transfer). Rounds 1-19 forced with ``.count()``;
+r20's scaling measurement caught Catalyst ELIMINATING whole subtrees
+under count — a don't-vanish LEFT join to an aggregate with unique
+keys is cardinality-preserving, so count() of dedup_exact_substring
+compiled to a bare parquet metadata scan (0.38 s measured vs 11.9 s
+real), and column pruning under count also drops window functions and
+aggregate value expressions (window_rank 0.21 -> 1.04 s, text_quality
+0.19 -> 1.53 s, agg_pricing_summary 0.63 -> 1.60 s; join shapes were
+honest: join_inner 0.29 -> 0.33 s). The noop sink materializes every
+output column through the full plan with no collect. The artifact
+carries ``force`` so cross-round comparisons know which series a
+number belongs to; SCALE.md r20 documents the break and the measured
+count-vs-noop bridge. The suite covers each operator family once:
+multi-join agg, scan-agg, broadcast join, window top-k, as-of join,
+exact + MinHash dedup, cosine top-k, text scoring, sessionization,
+streaming.
 """
 
 from __future__ import annotations
@@ -223,6 +236,15 @@ BENCH_QUERIES = [
 ]
 
 
+def _force(df) -> None:
+    """Execute the FULL plan: noop-sink write materializes every output
+    column with zero driver-side transfer. count() is NOT a full
+    execution — Catalyst eliminates cardinality-preserving subtrees
+    under it (don't-vanish left joins to unique-key aggregates compile
+    to a bare scan) and prunes window/aggregate value expressions."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _bench_components_chain(spark, sf_dir: str) -> tuple[float, dict]:
     """r4 verdict #5: scale-probe the LSH→components chain over the FULL
     documents table — candidates from MinHash-LSH feeding the star
@@ -282,7 +304,7 @@ def main() -> None:
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).count()
+                _force(qs[name](spark, sf_dir))
                 dt = round(time.perf_counter() - t0, 3)
                 best = dt if best is None else min(best, dt)
             into[name] = best
@@ -302,7 +324,7 @@ def main() -> None:
 
         # warm the JVM/codegen once with the cheapest query so per-query
         # times measure the plan, not first-call JIT
-        qs["agg_order_stats"](spark, sf_dir).count()
+        _force(qs["agg_order_stats"](spark, sf_dir))
         _time_control(qs, control_start)
 
         # best-of-2 per query: the first pass pays whole-stage-codegen JIT
@@ -310,7 +332,7 @@ def main() -> None:
         for _ in range(2):
             for name in BENCH_QUERIES:
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).count()
+                _force(qs[name](spark, sf_dir))
                 dt = round(time.perf_counter() - t0, 3)
                 times[name] = min(times.get(name, dt), dt)
         # LSH→components chain probe (best-of-2 like the suite; the first
@@ -342,6 +364,7 @@ def main() -> None:
     # narrative and the artifacts cannot diverge again.
     nvp: dict | None = None
     prev_name = None
+    prev_rec_force = None
     try:
         import glob
 
@@ -358,12 +381,18 @@ def main() -> None:
             # vs the committed sf0.1 artifact is not a regression story)
             if prev_rec.get("sf") == sf:
                 prev_name = os.path.basename(arts[-1])
+                prev_rec_force = prev_rec.get("force")
                 nvp = bench_decode.compare(
                     {"queries": times, "control": control}, prev_rec
                 )
                 nvp["prev"] = prev_name
     except Exception:
         nvp = None
+    # the prev artifact's force series: absent = the r1-r19 count()
+    # series. A cross-force normalized_vs_prev mostly measures the
+    # forcing change, not plan drift — flag it so nobody reads it as a
+    # regression (SCALE.md r20 has the measured count-vs-noop bridge).
+    force_changed = bool(nvp) and prev_rec_force != "noop"
     line = json.dumps(
         {
             "metric": "headline_suite_total",
@@ -375,6 +404,8 @@ def main() -> None:
             "control": control,
             "control_start": control_start,
             "control_end": control_end,
+            "force": "noop",
+            "force_changed_from_prev": force_changed,
             "vs_prev": nvp,
         }
     )
@@ -442,6 +473,12 @@ def main() -> None:
         ),
         "control_start": [control_start.get(n) for n in _CONTROL_PAIR],
         "control_end": [control_end.get(n) for n in _CONTROL_PAIR],
+        # r20: forcing changed count -> noop (count let Catalyst
+        # eliminate don't-vanish joins and prune window/agg values);
+        # true while the newest committed artifact is a count-series
+        # number — read normalized_vs_prev as a FORCE delta, not drift
+        "force": "noop",
+        "force_changed_from_prev": force_changed,
         # r17 verdict #2: the driver artifact must be SELF-CONTAINED —
         # cross-round per-query diffs should not depend on the
         # committed BENCH_local.json. The tail-capture window is 2000
