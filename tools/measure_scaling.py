@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import string
 import sys
 import time
@@ -47,6 +48,9 @@ def build_session(cpus: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # same driver heap as get_spark — the default 1g broadcast-OOMs
+        # at the 10x corpus (AQE broadcasts the gram-screen side)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
@@ -170,7 +174,7 @@ def main() -> None:
     # 1x/3x on a cold JVM)
     warm = scaled_documents(spark, args.sf_dir, min(scales)).localCheckpoint()
     for fn in kernels.values():
-        fn(warm).count()
+        _force(fn(warm))  # warm the REAL plan — count() warms a pruned one
     warm.unpersist()
     for s in scales:
         docs = scaled_documents(spark, args.sf_dir, s).localCheckpoint()
