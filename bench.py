@@ -225,6 +225,9 @@ BENCH_QUERIES = [
     "dedup_exact_substring",
     "dedup_substring_probe",
     "dedup_substring_clean",
+    # round-20: the xxhash64-screen variant — timed beside the
+    # string-keyed kernel so the suite carries the measured width cut
+    "dedup_substring_hashed",
     # Brown-Forsythe variance screen: two grouped passes + class-
     # partitioned median windows
     "dq_levene",
