@@ -386,7 +386,8 @@ def main() -> None:
                 prev_name = os.path.basename(arts[-1])
                 prev_rec_force = prev_rec.get("force")
                 nvp = bench_decode.compare(
-                    {"queries": times, "control": control}, prev_rec
+                    {"queries": times, "control": control, "force": "noop"},
+                    prev_rec,
                 )
                 nvp["prev"] = prev_name
     except Exception:

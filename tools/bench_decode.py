@@ -108,15 +108,33 @@ def compare(curr: dict, prev: dict, n_movers: int = 10) -> dict:
         ((round(cq[k] - pq[k], 3), k) for k in common),
         key=lambda t: -abs(t[0]),
     )[:n_movers]
-    return {
+    # force-series annotation (r20): an absent "force" field means the
+    # r1-r19 count() series. A ratio spanning count -> noop measures
+    # the forcing change (count let Catalyst eliminate don't-vanish
+    # joins and prune window/agg value expressions), not plan drift —
+    # say so in the comparison itself rather than relying on the
+    # reader to cross-check two artifacts' force fields.
+    f_curr = curr.get("force") or "count"
+    f_prev = prev.get("force") or "count"
+    out = {
         "n_common": len(common),
         "sum_curr": round(sum_c, 3),
         "sum_prev": round(sum_p, 3),
         "raw_ratio": round(raw, 4) if raw is not None else None,
         "control_ratio": round(ctl, 4) if ctl is not None else None,
         "normalized_vs_prev": round(norm, 4) if norm is not None else None,
+        "force_curr": f_curr,
+        "force_prev": f_prev,
+        "cross_force": f_curr != f_prev,
         "movers": [{"q": k, "delta": d} for d, k in movers],
     }
+    if out["cross_force"]:
+        out["cross_force_note"] = (
+            "ratio spans a forcing change ({} -> {}): it measures the "
+            "force delta, not plan drift — read with SCALE.md r20's "
+            "count-vs-noop bridge table".format(f_prev, f_curr)
+        )
+    return out
 
 
 def main() -> None:
