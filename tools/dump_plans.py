@@ -221,12 +221,16 @@ SHOWCASE = {
         "(doc_id % 8) — never a global orderBy window."
     ),
     "dedup_exact_substring": (
-        "ExactSubstr spans (round 19): the ONLY corpus-wide shuffle is "
-        "the gram-keyed canonical aggregate (min (doc_id, pos) struct "
-        "per 30-gram — O(corpus chars) rows, never all-pairs); the "
-        "canonical join comes back BROADCAST at this scale, and the "
-        "span merge is a lag-gap window PARTITIONED by doc_id "
-        "(bounded by document length). Zero unpartitioned windows."
+        "ExactSubstr spans (round 20 shape): the ONLY corpus-wide "
+        "shuffle is one gram-keyed exchange feeding a min-struct "
+        "window over a single pass of the occurrences (O(corpus "
+        "chars) rows, never all-pairs; replaced the r19 "
+        "owner-aggregate + self-join pair, which scanned the explode "
+        "twice — 4.4x wall at the 10x corpus); the span merge is a "
+        "lag-gap window PARTITIONED by doc_id (bounded by document "
+        "length) and the per-doc rollup comes back BROADCAST into the "
+        "don't-vanish left join. Two scans total, zero unpartitioned "
+        "windows."
     ),
     "dedup_substring_probe": (
         "Incremental ExactSubstr probe (round 19): incoming grams hit "
