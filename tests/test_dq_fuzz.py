@@ -154,6 +154,7 @@ def _docs_registry():
         "dedup_exact_substring": lm_dedup.exact_substring_spans,
         "dedup_substring_probe": lm_dedup.exact_substring_probe,
         "dedup_substring_clean": lm_dedup.exact_substring_clean,
+        "dedup_substring_hashed": lm_dedup.exact_substring_spans_hashed,
         "text_quality": lm_text.quality_scores,
         "text_token_stats": lm_text.token_stats,
         "text_lang_id": lm_text.language_id,
@@ -169,6 +170,11 @@ def _random_documents(rng: random.Random):
         "", "   ", "\t \n", "a", "!!!", "a b", "the the the the the",
         "the quick brown fox jumps over the lazy dog",
         "spark sql window join merge " * 3,
+        # r20: self-overlapping periodic runs longer than SUBSTR_K —
+        # the ExactSubstr gram-grain self-overlap semantics must agree
+        # across engines, not only on prose-shaped corpora
+        "ab" * 40,
+        "z" * 80,
         None,
     ]
     n = rng.choice([1, 2, 4, 7, 12])
