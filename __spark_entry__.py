@@ -6160,13 +6160,13 @@ def _oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / 10000.0 AS avg_qty,
                    CAST((2 * sc100 + nl) // (2 * nl) AS DOUBLE) / 10000.0
                         AS avg_price,
-                   round(dxy / dxx / 100.0, 4) AS slope,
-                   round(scf / 100.0 / n - (dxy / dxx / 100.0) * (sqf / n), 4)
+                   round(dxy / dxx / 100.0, 6) AS slope,
+                   round(scf / 100.0 / n - (dxy / dxx / 100.0) * (sqf / n), 6)
                         AS intercept,
                    round((dxy * dxy) / (dxx * dyy), 6) AS r2,
                    round(dxy / sqrt(dxx * dyy), 6) AS pearson_r,
-                   round(dxy / (n * (n - 1)) / 100.0, 2) AS covar_s,
-                   round(dxy / (n * n) / 100.0, 2) AS covar_p
+                   round(dxy / (n * (n - 1)) / 100.0, 6) AS covar_s,
+                   round(dxy / (n * n) / 100.0, 6) AS covar_p
             FROM m ORDER BY 1
         """,
         "sim_pair_geometry": """
@@ -8161,7 +8161,7 @@ def _oracle_sql() -> dict[str, str]:
                    nl AS n_rows,
                    CAST((2 * s1d + nl) // (2 * nl) AS DOUBLE) / 100.0
                        AS mean_price,
-                   CASE WHEN m2 >= 0 THEN round(sqrt(m2) / 100.0, 2) END
+                   CASE WHEN m2 >= 0 THEN round(sqrt(m2) / 100.0, 6) END
                        AS stddev_pop,
                    round(g1, 4) AS skew_pop,
                    CASE WHEN m2 > 0 AND n > 2 THEN

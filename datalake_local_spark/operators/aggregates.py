@@ -651,21 +651,30 @@ def regression_family(lineitem: DataFrame) -> DataFrame:
         F.col("nl").alias("n_pairs"),
         (avg_q4.cast("double") / F.lit(10000.0)).alias("avg_qty"),
         (avg_p4.cast("double") / F.lit(10000.0)).alias("avg_price"),
-        F.when(gx, F.round(slope, 4)).alias("slope"),
+        # r20 rounding-tie class (found by the salted fuzzer on the
+        # sibling moments family): quantities derived as ratios of
+        # EXACT integers (dxy/200 for a 2-row covar_s, dxy/dxx/100 for
+        # slope) land on (d+1)-decimal midpoints, where Spark's round
+        # (half-up on the double's SHORTEST decimal repr) and DuckDB's
+        # (on the true binary value, usually a hair below) flip
+        # opposite ways. 6dp publishes every such small-denominator
+        # rational EXACTLY (the absorption discipline's grid), leaving
+        # only astronomically-unlikely irrational near-boundary cases.
+        F.when(gx, F.round(slope, 6)).alias("slope"),
         F.when(
             gx,
             F.round(
                 F.col("scf") / 100.0 / n
                 - (dxy / dxx / 100.0) * (F.col("sqf") / n),
-                4,
+                6,
             ),
         ).alias("intercept"),
         F.when(gxy, F.round((dxy * dxy) / (dxx * dyy), 6)).alias("r2"),
         F.when(gxy, F.round(dxy / F.sqrt(dxx * dyy), 6)).alias("pearson_r"),
-        F.when(n >= 2, F.round(dxy / (n * (n - 1)) / 100.0, 2)).alias(
+        F.when(n >= 2, F.round(dxy / (n * (n - 1)) / 100.0, 6)).alias(
             "covar_s"
         ),
-        F.round(dxy / (n * n) / 100.0, 2).alias("covar_p"),
+        F.round(dxy / (n * n) / 100.0, 6).alias("covar_p"),
     ).orderBy("l_returnflag")
 
 
@@ -740,7 +749,13 @@ def higher_moment_family(lineitem: DataFrame) -> DataFrame:
         "l_returnflag",
         F.col("nl").alias("n_rows"),
         (mean_c.cast("double") / F.lit(100.0)).alias("mean_price"),
-        F.when(m2 >= 0, F.round(F.sqrt(m2) / 100.0, 2)).alias("stddev_pop"),
+        # r20 rounding-tie fix (the salted fuzzer's find): a 2-row
+        # group's stddev is |a-b|/200 exactly — a 3-decimal rational
+        # ending in 5 whenever |a-b| has an odd hundredths digit, i.e.
+        # a COMMON 2dp midpoint where Spark's repr-based round and
+        # DuckDB's binary-based round flip opposite ways. 6dp is exact
+        # on that grid (absorption discipline).
+        F.when(m2 >= 0, F.round(F.sqrt(m2) / 100.0, 6)).alias("stddev_pop"),
         F.when(gm, F.round(g1, 4)).alias("skew_pop"),
         F.when(gm & (n > 2), F.round(big_g1, 4)).alias("skew_samp"),
         F.when(gm, F.round(g2, 4)).alias("kurt_excess_pop"),

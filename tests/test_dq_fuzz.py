@@ -271,6 +271,36 @@ def test_agg_fuzz_cross_engine(spark, name):
         )
 
 
+def test_agg_rounding_tie_pinned_cross_engine(spark):
+    """The salted fuzzer's r20 find, pinned as a deterministic case:
+    both 2-row groups here have a population stddev of exactly
+    |a-b|/200 — a 3-decimal rational ending in 5 (1246.975, 135.265).
+    At the old 2dp publish, Spark's round (half-up on the double's
+    SHORTEST decimal repr, "…975") went UP while DuckDB's (on the true
+    binary value, a hair below the midpoint) went DOWN. The 6dp
+    publish is exact on that grid; this fixture must stay cross-engine
+    equal for both affected families."""
+    rows = [("N", "F", 12.0, 7754.64), ("A", "O", 27.0, 1939.27),
+            ("R", "F", 18.0, 5966.71), ("N", "O", 3.0, 5260.69),
+            ("R", "F", 41.0, 5696.18)]
+    sdf = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, l_quantity double,"
+        " l_extendedprice double",
+    )
+    con = duckdb.connect()
+    con.register("lineitem", pd.DataFrame(rows, columns=[
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]))
+    reg = _agg_lineitem_registry()
+    for name in ("agg_higher_moments", "agg_regression_funcs"):
+        got = _norm(tuple(r) for r in reg[name](sdf).collect())
+        want = _norm(con.execute(em.oracle_sql()[name]).fetchall())
+        assert got == want, f"{name}: {got} != {want}"
+    moments = {r[0]: r for r in reg["agg_higher_moments"](sdf).collect()}
+    assert moments["N"]["stddev_pop"] == 1246.975
+    assert moments["R"]["stddev_pop"] == 135.265
+
+
 def _streaming_registry():
     """Streaming kernels drivable from one events.parquet file, each
     with a committed oracle reading only the events table."""
