@@ -331,6 +331,8 @@ _CERTIFY_FIRST = [
     "text_quality",  # r19 post-window: alpha_ratio NULL guard
     "text_corpus_qa_report",  # r19 post-window: alpha_ratio NULL guard
     "streaming_anomaly",  # r19 post-window: kernel reorder
+    "agg_regression_funcs",  # r20: rounding-tie fix, 6dp publish
+    "agg_higher_moments",  # r20: rounding-tie fix, 6dp publish
     # ---- oldest driver rows: r10 ----
     "tpch_top_supplier",
     # ---- the r11 cohort, drained in full by name order
@@ -376,9 +378,11 @@ _CERTIFY_FIRST = [
     "tpch_return_rates",
     "tpch_yoy_growth",
     # ---- r12 cohort head by name order, filling to the 50-slot cap ----
-    "agg_monthly_rollup",
-    "agg_order_stats",
-    # r21 queue HEAD: the remaining r12 cohort by name order
+    # agg_monthly_rollup / agg_order_stats: displaced from the 50 by
+    # the two r20 rounding-tie-changed names (changed outranks
+    # rotation) — they move to the queue head below
+    # r21 queue HEAD: agg_monthly_rollup, agg_order_stats, then the
+    # remaining r12 cohort by name order
     # (agg_pricing_summary, dedup_cluster_sizes, dedup_entity_clusters,
     # dedup_entity_fuzzy, dedup_graph_quality, dedup_lsh_scurve,
     # dedup_url_canonical, dq_bootstrap_ci, dq_chi_squared,
