@@ -3533,7 +3533,7 @@ SUBSTR_K = 30
 SUBSTR_SPLIT_DOC_ID = 250
 
 
-def _non_canonical_positions(occ: DataFrame) -> DataFrame:
+def _non_canonical_positions(occ: DataFrame, *extra_keys: str) -> DataFrame:
     """Occurrences minus the corpus-wide CANONICAL (lexicographic-min
     (doc_id, pos) struct) occurrence of each gram — one gram-partitioned
     window over a single pass of ``occ``.
@@ -3550,12 +3550,27 @@ def _non_canonical_positions(occ: DataFrame) -> DataFrame:
     occurrences of one gram in a single task (the aggregate's map-side
     combine never helped the join probe side, which always shuffled
     every occurrence of every gram).
+
+    ``extra_keys`` prepend columns to the window partition key WITHOUT
+    changing the grouping (callers pass a functionally-dependent prefix
+    such as ``xxhash64(gram)``): grouping by ``(h(gram), gram)`` equals
+    grouping by ``gram``, but when the input is ALREADY hash-partitioned
+    by the prefix (the hashed kernel's post-screen shape) the window's
+    ClusteredDistribution is satisfied by the existing partitioning —
+    HashPartitioning([h]) ⊆ cluster keys [h, gram] — so Catalyst inserts
+    NO second corpus-wide exchange, only the in-partition sort.
     """
     from pyspark.sql import Window as W
 
-    wg = W.partitionBy("gram")
+    wg = W.partitionBy(*extra_keys, "gram")
     return (
         occ.select(
+            *extra_keys,
+            "doc_id",
+            "pos",
+            "gram",
+        )
+        .select(
             "doc_id",
             "pos",
             F.min(F.struct("doc_id", "pos")).over(wg).alias("o"),
@@ -3567,6 +3582,44 @@ def _non_canonical_positions(occ: DataFrame) -> DataFrame:
             )
         )
         .select("doc_id", "pos")
+    )
+
+
+def _dup_span_rollup(dup: DataFrame, k: int) -> DataFrame:
+    """Per-doc (n_grams, n_spans, span_chars) totals of the lag-gap span
+    merge, in ONE doc-partitioned window pass + one reused-partitioning
+    aggregate.
+
+    r20 perf (guide §2.4 — remove shuffle passes outright): the prior
+    shape ran lag-window → running-sum window → groupBy(doc, span_id) →
+    groupBy(doc). The span_id cumsum and the span-grain aggregate exist
+    only to compute Σ(max(pos) − min(pos) + k) per doc — but that total
+    is expressible WITHOUT materializing spans: within one span, the
+    consecutive-gap sum telescopes to (last − first), so
+
+        Σ span_chars = Σ gap·[gap ≤ k]  +  k · n_spans
+
+    over the very same lag values the span-start flag already reads.
+    One window pass replaces two, and a whole HashAggregate pair
+    (doc, span_id grain) drops out of the plan; all values stay exact
+    integers. Both doc-grain aggregates reuse the window's
+    hashpartitioning(doc_id) — no further exchange (verified in
+    plans/r20/dedup_exact_substring_{before,after}.txt).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    new_span = F.when(gap.isNull() | (gap > k), 1).otherwise(0)
+    flagged = dup.select(
+        "doc_id",
+        new_span.alias("new_span"),
+        F.when(gap.isNull() | (gap > k), F.lit(0)).otherwise(gap).alias("in_gap"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("new_span").alias("n_spans"),
+        (F.sum("in_gap") + F.lit(int(k)) * F.sum("new_span")).alias("span_chars"),
     )
 
 
@@ -3613,8 +3666,18 @@ def exact_substring_spans(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     of the 30-byte string to shrink shuffle width (collisions then
     over-mark at ~2^-64 rates; re-verify with one equality join, the
     ngram-Jaccard verify pattern); the span-merge window partitions by
-    doc_id and is bounded by document length, never corpus size."""
-    docs = documents.select("doc_id", "text")
+    doc_id and is bounded by document length, never corpus size.
+
+    r20 opt round: ``fan_out`` before the ×(L−k+1) explode (parquet
+    row-group granularity left the whole gram generation in ONE task on
+    small inputs; a multi-row-group 100 TB scan passes through
+    untouched) and the span/rollup stages collapsed into one window
+    pass + one reused-partitioning aggregate (:func:`_dup_span_rollup`
+    — the cumsum window and the (doc, span)-grain HashAggregate pair
+    are gone from the plan)."""
+    from datalake_local_spark.session import fan_out
+
+    docs = fan_out(documents.select("doc_id", "text"), "doc_id")
     npos = F.length("text") - F.lit(k) + 1
     grams = (
         docs.select(
@@ -3632,38 +3695,11 @@ def exact_substring_spans(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         )
     )
     dup = _non_canonical_positions(grams)
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("doc_id").orderBy("pos")
-    flagged = dup.select(
+    per_doc = _dup_span_rollup(dup, k).select(
         "doc_id",
-        "pos",
-        F.when(
-            F.lag("pos").over(w).isNull()
-            | (F.col("pos") - F.lag("pos").over(w) > k),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_span"),
-    )
-    spans = (
-        flagged.select(
-            "doc_id",
-            "pos",
-            F.sum("new_span")
-            .over(w.rowsBetween(W.unboundedPreceding, 0))
-            .alias("span_id"),
-        )
-        .groupBy("doc_id", "span_id")
-        .agg(
-            (F.max("pos") - F.min("pos") + k).alias("span_chars"),
-            F.count("*").alias("n_grams"),
-        )
-    )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_spans"),
-        F.sum("span_chars").alias("chars_removed"),
-        F.sum("n_grams").alias("n_dup_grams"),
+        F.col("n_spans").alias("n_dup_spans"),
+        F.col("span_chars").alias("chars_removed"),
+        F.col("n_grams").alias("n_dup_grams"),
     )
     return (
         docs.join(per_doc, "doc_id", "left")
@@ -3715,10 +3751,14 @@ def exact_substring_probe(
     co-partitions without a shuffle of the (much larger) incoming
     gram stream's index side, and AQE handles hot-gram skew. The span
     merge is the same doc-partitioned lag-gap island window, bounded
-    by document length."""
-    from pyspark.sql import Window as W
+    by document length.
 
-    docs = documents.select("doc_id", "text")
+    r20 opt round: same two changes as the sibling — ``fan_out`` before
+    the explode, and the span/rollup stages collapsed via
+    :func:`_dup_span_rollup`."""
+    from datalake_local_spark.session import fan_out
+
+    docs = fan_out(documents.select("doc_id", "text"), "doc_id")
     npos = F.length("text") - F.lit(k) + 1
 
     def _grams(df):
@@ -3746,36 +3786,11 @@ def exact_substring_probe(
         .join(index, "gram", "left_semi")
         .select("doc_id", "pos")
     )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    spans = (
-        hits.select(
-            "doc_id",
-            "pos",
-            F.when(
-                F.lag("pos").over(w).isNull()
-                | (F.col("pos") - F.lag("pos").over(w) > k),
-                1,
-            )
-            .otherwise(0)
-            .alias("new_span"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.sum("new_span")
-            .over(w.rowsBetween(W.unboundedPreceding, 0))
-            .alias("span_id"),
-        )
-        .groupBy("doc_id", "span_id")
-        .agg(
-            (F.max("pos") - F.min("pos") + k).alias("span_chars"),
-            F.count("*").alias("n_grams"),
-        )
-    )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count("*").alias("n_spans"),
-        F.sum("span_chars").alias("chars_covered"),
-        F.sum("n_grams").alias("n_hit_grams"),
+    per_doc = _dup_span_rollup(hits, k).select(
+        "doc_id",
+        F.col("n_spans").alias("n_spans"),
+        F.col("span_chars").alias("chars_covered"),
+        F.col("n_grams").alias("n_hit_grams"),
     )
     return (
         incoming.join(per_doc, "doc_id", "left")
@@ -3823,10 +3838,17 @@ def exact_substring_clean(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
 
     Scale shape: identical to the sibling (one gram-keyed shuffle,
     doc-bounded windows) plus a doc-grain collect of O(spans-per-doc)
-    pieces — bounded by document length, never corpus size."""
+    pieces — bounded by document length, never corpus size.
+
+    r20 opt round: ``fan_out`` before the explode (the sibling's
+    single-task row-group fix). The span_id cumsum stays here — unlike
+    the audit kernels this one needs the actual [s_start, s_end)
+    intervals to cut the complement pieces."""
     from pyspark.sql import Window as W
 
-    docs = documents.select("doc_id", "text")
+    from datalake_local_spark.session import fan_out
+
+    docs = fan_out(documents.select("doc_id", "text"), "doc_id")
     npos = F.length("text") - F.lit(k) + 1
     grams = (
         docs.select(
@@ -3945,14 +3967,22 @@ def exact_substring_spans_hashed(
        the shadowed gram's duplicates; the semi-join screen + exact
        regroup has no such case.
 
-    Island merge and rollup are the sibling's, verbatim. Scale shape:
-    phase 1 shuffles O(distinct grams) 8-byte keys; phase 2 shuffles
-    only occurrences of DUPLICATED grams (corpus dup-rate-bounded,
-    not corpus-bounded); the span-merge window stays doc-partitioned.
-    Measured at 1x/3x/10x documents corpora in SCALE.md (r20)."""
-    from pyspark.sql import Window as W
+    Island merge and rollup are the sibling's (collapsed via
+    :func:`_dup_span_rollup`, same as the sibling in the r20 opt
+    round). Scale shape: phase 1 shuffles O(distinct grams) 8-byte
+    keys; phase 2 shuffles only occurrences of DUPLICATED grams
+    (corpus dup-rate-bounded, not corpus-bounded) — and that ONE
+    exchange is keyed on ``h``, with the exact-regroup window
+    partitioned by ``(h, gram)`` so the existing hashpartitioning(h)
+    already satisfies its distribution and NO further corpus-wide
+    exchange is planned (the r20 opt round removed the separate
+    gram-string exchange this phase used to pay; see
+    plans/r20/dedup_substring_hashed_{before,after}.txt). The
+    span-merge window stays doc-partitioned. Measured at 1x/3x/10x
+    documents corpora in SCALE.md (r20)."""
+    from datalake_local_spark.session import fan_out
 
-    docs = documents.select("doc_id", "text")
+    docs = fan_out(documents.select("doc_id", "text"), "doc_id")
     npos = F.length("text") - F.lit(k) + 1
     hashed = (
         docs.select(
@@ -3977,37 +4007,14 @@ def exact_substring_spans_hashed(
         .select("h")
     )
     cand = hashed.join(multi, "h", "left_semi")
-    dup = _non_canonical_positions(cand.select("doc_id", "pos", "gram"))
-    w = W.partitionBy("doc_id").orderBy("pos")
-    flagged = dup.select(
+    dup = _non_canonical_positions(
+        cand.select("h", "doc_id", "pos", "gram"), "h"
+    )
+    per_doc = _dup_span_rollup(dup, k).select(
         "doc_id",
-        "pos",
-        F.when(
-            F.lag("pos").over(w).isNull()
-            | (F.col("pos") - F.lag("pos").over(w) > k),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_span"),
-    )
-    spans = (
-        flagged.select(
-            "doc_id",
-            "pos",
-            F.sum("new_span")
-            .over(w.rowsBetween(W.unboundedPreceding, 0))
-            .alias("span_id"),
-        )
-        .groupBy("doc_id", "span_id")
-        .agg(
-            (F.max("pos") - F.min("pos") + k).alias("span_chars"),
-            F.count("*").alias("n_grams"),
-        )
-    )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_spans"),
-        F.sum("span_chars").alias("chars_removed"),
-        F.sum("n_grams").alias("n_dup_grams"),
+        F.col("n_spans").alias("n_dup_spans"),
+        F.col("span_chars").alias("chars_removed"),
+        F.col("n_grams").alias("n_dup_grams"),
     )
     return (
         docs.join(per_doc, "doc_id", "left")
