@@ -355,15 +355,8 @@ def ngram_token_jaccard_pairs(
     jaccard = |∩| / (|A| + |B| - |∩|). Restricted to doc_id < max_doc_id
     for the correctness harness; at scale the candidate set comes from
     MinHash-LSH instead of a full self-join.
-
-    r20 opt: ``fan_out`` after the panel filter — the token explode and
-    inverted-index self-join otherwise run on the one task a
-    single-row-group scan yields (session.fan_out). Every graph
-    diagnostic's default pair feed shares this.
     """
-    from datalake_local_spark.session import fan_out
-
-    docs = fan_out(documents.filter(F.col("doc_id") < max_doc_id), "doc_id")
+    docs = documents.filter(F.col("doc_id") < max_doc_id)
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(_norm_text(F.col("text")), " "))).alias("token")
     )

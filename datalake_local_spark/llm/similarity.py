@@ -1676,14 +1676,7 @@ def ann_recall_report(
     (method × query) spine is a driver-side literal — no distinct over
     exact, no per-method join trio. Checkpoints are lazy: the 15-row
     panel materializes inside the single final action instead of as
-    separate eager jobs.
-
-    r20 opt: ONE ``fan_out`` at the top feeds every method's corpus
-    scan — a single-row-group input ran each method's scoring pass on
-    one task (session.fan_out; measured −31% at sf0.1)."""
-    from datalake_local_spark.session import fan_out
-
-    embeddings = fan_out(embeddings, "vec_id")
+    separate eager jobs."""
     spark = embeddings.sparkSession
     # exact truth now has exactly ONE consumer (the tagged semi-join),
     # so it needs no checkpoint — nothing replays it

@@ -1961,15 +1961,9 @@ def rake_keywords(documents: DataFrame, top_n: int = 25) -> DataFrame:
     the phrase-score join is phrase-word-grain. Top-N via one ungrouped
     window over the phrase-grain aggregate — phrase cardinality is
     corpus-bounded but the top-N window input is ALREADY the aggregated
-    phrase table, not token grain.
-
-    r20 opt: ``fan_out`` before the token posexplode (single-row-group
-    inputs ran the whole tokenization on one task — session.fan_out)."""
+    phrase table, not token grain."""
     from pyspark.sql import Window as W
 
-    from datalake_local_spark.session import fan_out
-
-    documents = fan_out(documents, "doc_id")
     toks = documents.select(
         "doc_id",
         F.posexplode(F.split(_norm_text(F.col("text")), " ")).alias("pos", "token"),

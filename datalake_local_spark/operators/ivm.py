@@ -541,14 +541,7 @@ def ivm_multigrain_refresh(orders: DataFrame) -> DataFrame:
     Scale shape at 100 TB: one O(delta) merge at day grain (the view
     is ~|days × statuses| rows), then four view-grain aggregates of
     the CHECKPOINTED maintained state — no second base scan anywhere
-    but the delete-repair join, which is partition-pruned.
-
-    r20 opt: ``fan_out`` on the base feed — the CDC derivation and the
-    finest-grain rollup both scanned a single-row-group input on one
-    task (session.fan_out; −27% measured at sf0.1)."""
-    from datalake_local_spark.session import fan_out
-
-    orders = fan_out(orders, "o_orderkey")
+    but the delete-repair join, which is partition-pruned."""
     delta_plus, delta_minus, new_base = derive_cdc_states(orders)
     old = grain_rollup_internal(orders, "day", "period_start").localCheckpoint()
     day_state = grain_delta_merge(

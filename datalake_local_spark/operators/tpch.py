@@ -888,16 +888,7 @@ def basket_affinity(
     # of the self-join — uncheckpointed, each consumer re-ran the
     # lineitem scan + distinct (3 finalized scans; r16 plan audit).
     # (orderkey, partkey) pairs are a fraction of lineitem width.
-    # r20 opt: fan_out before the distinct — a single-row-group scan
-    # ran the scan-side partial distinct on one task (guide §2.5 input
-    # skew); a naturally-split 100 TB fact passes through untouched.
-    from datalake_local_spark.session import fan_out
-
-    items = (
-        fan_out(lineitem.select("l_orderkey", "l_partkey"), "l_orderkey")
-        .distinct()
-        .localCheckpoint()
-    )
+    items = lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     totals = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     # 20k-row aggregate with three consumers (frequent, ca, cb)
     part_counts = (
@@ -1651,17 +1642,8 @@ def croston_demand(lineitem: DataFrame, alpha: float = CROSTON_ALPHA) -> DataFra
 
     one_a = 1.0 - alpha
 
-    # r20 opt: fan_out before the fact-wide aggregate — a single-row-
-    # group scan ran the scan-side partial agg on one task (session.
-    # fan_out); a naturally-split 100 TB fact passes through untouched
-    from datalake_local_spark.session import fan_out
-
     monthly = (
-        fan_out(
-            lineitem.select("l_partkey", "l_shipdate", "l_quantity"),
-            "l_partkey",
-        )
-        .groupBy(
+        lineitem.groupBy(
             F.col("l_partkey").alias("p_partkey"),
             F.date_trunc("month", F.col("l_shipdate")).alias("month"),
         )
