@@ -3892,34 +3892,48 @@ def exact_substring_clean(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
             (F.max("pos") + k).alias("s_end"),
         )
     )
+    # r20 opt: pieces AND the tail come out of ONE window pass over the
+    # docs-joined span sequence — the last span's row (lead(s_start)
+    # IS NULL; spans are disjoint and sorted, so its s_end is the doc
+    # max) emits the tail piece alongside its complement piece. The
+    # prior shape ran a separate tails groupBy + docs join + unionByName
+    # + a third docs join; this drops one docs join and the union
+    # (plans/r20/dedup_substring_clean_{before,after}.txt), with the
+    # collect flattening 1-2-element piece arrays instead of rows.
     ws = W.partitionBy("doc_id").orderBy("s_start")
-    pieces = spans.select(
-        "doc_id",
-        F.coalesce(F.lag("s_end").over(ws), F.lit(0)).alias("p_start"),
-        F.col("s_start").alias("p_end"),
+    piece_struct = F.struct(
+        F.col("p_start"),
+        F.expr("substring(text, p_start + 1, p_end - p_start)").alias("piece"),
     )
-    tails = (
-        spans.groupBy("doc_id")
-        .agg(F.max("s_end").alias("p_start"))
-        .join(docs, "doc_id")
-        .select("doc_id", "p_start", F.length("text").cast("long").alias("p_end"))
+    tail_struct = F.struct(
+        F.col("s_end").alias("p_start"),
+        F.expr("substring(text, s_end + 1, length(text) - s_end)").alias(
+            "piece"
+        ),
     )
     cleaned = (
-        pieces.unionByName(tails)
-        .join(docs, "doc_id")
+        spans.join(docs, "doc_id")
         .select(
             "doc_id",
-            F.struct(
-                F.col("p_start"),
-                F.expr("substring(text, p_start + 1, p_end - p_start)").alias(
-                    "piece"
-                ),
-            ).alias("seg"),
+            F.coalesce(F.lag("s_end").over(ws), F.lit(0)).alias("p_start"),
+            F.col("s_start").alias("p_end"),
+            F.lead("s_start").over(ws).isNull().alias("is_last"),
+            "s_end",
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("is_last"), F.array(piece_struct, tail_struct))
+            .otherwise(F.array(piece_struct))
+            .alias("segs"),
         )
         .groupBy("doc_id")
         .agg(
             F.array_join(
-                F.expr("transform(array_sort(collect_list(seg)), x -> x.piece)"),
+                F.expr(
+                    "transform(array_sort(flatten(collect_list(segs))),"
+                    " x -> x.piece)"
+                ),
                 "",
             ).alias("ct")
         )

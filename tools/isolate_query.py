@@ -40,9 +40,19 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
             n_jobs = len(tracker.getJobIdsForGroup(f"iso-{name}-{i}"))
+        # bench-style: the suite re-CALLS the registry callable each
+        # pass, so eager build work (checkpoints, counts) is re-paid —
+        # time (build + force) the way bench.py does, warm
+        bench_style = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            bench_style.append(round(time.perf_counter() - t0, 3))
         print(
             f"{name}: build={t_build:.3f}s runs={runs} "
-            f"jobs_last_run={n_jobs}"
+            f"bench_style={bench_style} jobs_last_run={n_jobs}"
         )
     spark.stop()
 
