@@ -1286,11 +1286,25 @@ def duplicate_span_coverage(documents: DataFrame, k: int = 8) -> DataFrame:
     never widens rows) and is the skew point at 100 TB — AQE skew-join
     splits hot grams, same reasoning as duplicate_ngram_profile. The
     interval-union window partitions by doc_id: per-task state is one
-    doc's dup starts, bounded by doc length."""
+    doc's dup starts, bounded by doc length.
+
+    r20 opt: ``fan_out`` before the gram explode (single-row-group
+    inputs ran the transform+xxhash64 expansion on one task), and the
+    cross-doc screen is now ONE gram-partitioned window —
+    ``min(doc_id) ≠ max(doc_id)`` over the gram partition is exactly
+    ``count(DISTINCT doc_id) >= 2`` — replacing the grouped
+    count-distinct + LEFT SEMI join pair that shuffled the gram rows
+    twice (the _non_canonical_positions lesson from the ExactSubstr
+    family). Values bit-identical; one corpus-wide exchange instead
+    of two."""
     from pyspark.sql import Window as W
 
+    from datalake_local_spark.session import fan_out
+
     t = F.split(_norm_text(F.col("text")), " ")
-    base = documents.select("doc_id", t.alias("t"), F.size(t).alias("n_tokens"))
+    base = fan_out(documents, "doc_id").select(
+        "doc_id", t.alias("t"), F.size(t).alias("n_tokens")
+    )
     empty = "array<struct<i:int,g:bigint>>"
     grams = base.select(
         "doc_id",
@@ -1307,18 +1321,23 @@ def duplicate_span_coverage(documents: DataFrame, k: int = 8) -> DataFrame:
             ).otherwise(F.expr(f"cast(array() as {empty})"))
         ).alias("s"),
     ).select("doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("g"))
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
-    )
+    wg = W.partitionBy("g")
     w = W.partitionBy("doc_id").orderBy("i")
-    starts = grams.join(dup, "g", "left_semi").withColumn(
-        "cov",
-        F.least(
-            F.coalesce(F.lead("i").over(w) - F.col("i"), F.lit(k)), F.lit(k)
-        ),
+    starts = (
+        grams.select(
+            "doc_id",
+            "i",
+            F.min("doc_id").over(wg).alias("dmin"),
+            F.max("doc_id").over(wg).alias("dmax"),
+        )
+        .filter(F.col("dmin") != F.col("dmax"))
+        .select("doc_id", "i")
+        .withColumn(
+            "cov",
+            F.least(
+                F.coalesce(F.lead("i").over(w) - F.col("i"), F.lit(k)), F.lit(k)
+            ),
+        )
     )
     per_doc = starts.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_dup_grams"),
