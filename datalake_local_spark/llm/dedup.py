@@ -3699,10 +3699,14 @@ def exact_substring_spans(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     are gone from the plan)."""
     from datalake_local_spark.session import fan_out
 
-    docs = fan_out(documents.select("doc_id", "text"), "doc_id")
+    docs = documents.select("doc_id", "text")
+    # fan only the EXPLODE branch: the publish join's left side stays
+    # the plain scan (repartitioning those 1-row-per-doc frames bought
+    # nothing and added an exchange + stage per query)
+    fanned = fan_out(docs, "doc_id")
     npos = F.length("text") - F.lit(k) + 1
     grams = (
-        docs.select(
+        fanned.select(
             "doc_id",
             F.explode(
                 F.when(npos >= 1, F.sequence(F.lit(0), npos - 1))
@@ -3780,7 +3784,9 @@ def exact_substring_probe(
     :func:`_dup_span_rollup`."""
     from datalake_local_spark.session import fan_out
 
-    docs = fan_out(documents.select("doc_id", "text"), "doc_id")
+    docs = documents.select("doc_id", "text")
+    # fan only the explode branches (see exact_substring_spans)
+    fanned = fan_out(docs, "doc_id")
     npos = F.length("text") - F.lit(k) + 1
 
     def _grams(df):
@@ -3798,13 +3804,13 @@ def exact_substring_probe(
         )
 
     index = (
-        _grams(docs.filter(F.col("doc_id") < split_doc_id))
+        _grams(fanned.filter(F.col("doc_id") < split_doc_id))
         .select("gram")
         .distinct()
     )
     incoming = docs.filter(F.col("doc_id") >= split_doc_id)
     hits = (
-        _grams(incoming)
+        _grams(fanned.filter(F.col("doc_id") >= split_doc_id))
         .join(index, "gram", "left_semi")
         .select("doc_id", "pos")
     )
@@ -3870,10 +3876,14 @@ def exact_substring_clean(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
 
     from datalake_local_spark.session import fan_out
 
-    docs = fan_out(documents.select("doc_id", "text"), "doc_id")
+    docs = documents.select("doc_id", "text")
+    # fan only the EXPLODE branch: the publish join's left side stays
+    # the plain scan (repartitioning those 1-row-per-doc frames bought
+    # nothing and added an exchange + stage per query)
+    fanned = fan_out(docs, "doc_id")
     npos = F.length("text") - F.lit(k) + 1
     grams = (
-        docs.select(
+        fanned.select(
             "doc_id",
             F.explode(
                 F.when(npos >= 1, F.sequence(F.lit(0), npos - 1))
@@ -4018,10 +4028,12 @@ def exact_substring_spans_hashed(
     documents corpora in SCALE.md (r20)."""
     from datalake_local_spark.session import fan_out
 
-    docs = fan_out(documents.select("doc_id", "text"), "doc_id")
+    docs = documents.select("doc_id", "text")
+    # fan only the explode branch (see exact_substring_spans)
+    fanned = fan_out(docs, "doc_id")
     npos = F.length("text") - F.lit(k) + 1
     hashed = (
-        docs.select(
+        fanned.select(
             "doc_id",
             F.explode(
                 F.when(npos >= 1, F.sequence(F.lit(0), npos - 1))
