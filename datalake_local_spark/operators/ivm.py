@@ -126,18 +126,30 @@ def grain_delta_merge(
     _grain = [period_col, "orderstatus"]
     month = F.date_trunc(unit, F.col("o_orderdate")).alias(period_col)
     status = F.col("o_orderstatus").alias("orderstatus")
-    plus_g = delta_plus.groupBy(month, status).agg(
-        F.count("*").alias("n_plus"),
-        F.sum(_cents()).alias("c_plus"),
-        F.round(F.min("o_totalprice"), 2).alias("min_plus"),
-        F.round(F.max("o_totalprice"), 2).alias("max_plus"),
+    # ONE tagged delta aggregate (r20 optimization): both change
+    # directions ride a single map-side-combined groupBy — the insert
+    # and delete sides used to be two separate aggregates merged by two
+    # consecutive full-outer joins (two delta shuffles + an extra
+    # view-grain join per refresh). Conditional aggregation over the
+    # sign-tagged union yields the identical columns: a group with no
+    # plus rows gets n_plus = 0 / NULL min_plus exactly where the
+    # full-outer join produced NULLs the downstream coalesce()/least()
+    # already absorb. Exact-integer sums and rounded min/max are
+    # order-insensitive, so the merged values are bit-identical.
+    sgn = F.col("sgn")
+    tagged = delta_plus.withColumn("sgn", F.lit(1)).unionByName(
+        delta_minus.withColumn("sgn", F.lit(-1))
     )
-    minus_g = delta_minus.groupBy(month, status).agg(
-        F.count("*").alias("n_minus"), F.sum(_cents()).alias("c_minus")
+    delta_g = tagged.groupBy(month, status).agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).alias("n_plus"),
+        F.sum(F.when(sgn > 0, _cents()).otherwise(0)).alias("c_plus"),
+        F.round(F.min(F.when(sgn > 0, F.col("o_totalprice"))), 2).alias("min_plus"),
+        F.round(F.max(F.when(sgn > 0, F.col("o_totalprice"))), 2).alias("max_plus"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).alias("n_minus"),
+        F.sum(F.when(sgn < 0, _cents()).otherwise(0)).alias("c_minus"),
     )
     merged = (
-        old_internal.join(plus_g, _grain, "full_outer")
-        .join(minus_g, _grain, "full_outer")
+        old_internal.join(delta_g, _grain, "full_outer")
         .select(
             *_grain,
             (
@@ -159,7 +171,24 @@ def grain_delta_merge(
         )
         .filter(F.col("n_orders") > 0)
     )
-    affected = merged.filter(F.col("has_delete")).select(*_grain)
+    # Delete-affected key set straight from the changelog (r20
+    # optimization): has_delete ⟺ the group has ≥1 delta_minus row, so
+    # the distinct minus keys are a superset of merged's surviving
+    # delete-affected groups that differs only by groups whose count
+    # reached zero — and a vanished group has no new_base rows to
+    # aggregate and is dropped by the LEFT merge join below anyway, so
+    # the published rows are identical. Deriving the probe side from
+    # delta_minus instead of from ``merged`` removes the second
+    # consumption of the merge subtree, which the executed plan used to
+    # REPLAY in full for the probe (delta aggregates + full-outer join
+    # twice; 10 finalized base scans → 6 in the r20 plan capture).
+    affected = (
+        delta_minus.select(
+            F.date_trunc(unit, F.col("o_orderdate")).alias(period_col),
+            F.col("o_orderstatus").alias("orderstatus"),
+        )
+        .distinct()
+    )
     recomputed = (
         new_base.select(
             F.date_trunc(unit, F.col("o_orderdate")).alias(period_col),
@@ -215,31 +244,50 @@ def derive_cdc_states(orders: DataFrame, cols=None):
     the price rollups need); the change classes are identical for
     any projection.
 
-    Returns (delta_plus, delta_minus, new_base)."""
+    Returns (delta_plus, delta_minus, new_base).
+
+    Single-scan forms (r20 optimization): each returned relation used
+    to be a unionAll of two filtered base scans, so every consumer paid
+    two fact passes per delta reference. Delete and update pre-images
+    carry UNCHANGED prices, so ``delta_minus`` is one disjunctive
+    filter; ``delta_plus`` and ``new_base`` need per-row VARIANTS (an
+    update post-image and an insert clone can both fire for one row —
+    lcm(53,101) keys), emitted via array_compact + explode over one
+    scan instead of a second scan per class. Row multisets are
+    identical to the two-scan forms (only physical row order differs,
+    which no consumer observes — the deltas feed aggregates/joins)."""
     k = F.col("o_orderkey")
     is_del = k % 97 == 0
     is_upd = (k % 53 == 0) & ~is_del
+    is_ins = k % 101 == 0
     cols = cols or ["o_orderdate", "o_orderstatus", "o_totalprice"]
-    deleted = orders.filter(is_del).select(*cols)
-    upd_pre = orders.filter(is_upd).select(*cols)
-    upd_post = upd_pre.withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
-    inserts = (
-        orders.filter(k % 101 == 0)
-        .select(*cols)
-        .withColumn("o_totalprice", F.col("o_totalprice") + 55.25)
-    )
-    delta_minus = deleted.unionAll(upd_pre)
-    delta_plus = upd_post.unionAll(inserts)
-    new_base = (
-        orders.filter(~is_del)
-        .withColumn(
-            "o_totalprice",
-            F.when(is_upd, F.col("o_totalprice") + 100.0).otherwise(
-                F.col("o_totalprice")
-            ),
+    price = F.col("o_totalprice")
+
+    def _variant(price_expr):
+        return F.struct(
+            *[
+                (price_expr if c == "o_totalprice" else F.col(c)).alias(c)
+                for c in cols
+            ]
         )
-        .select(*cols)
-        .unionAll(inserts)
+
+    def _explode_variants(filtered, *variants):
+        return (
+            filtered.select(
+                F.explode(F.array_compact(F.array(*variants))).alias("_v")
+            ).select("_v.*")
+        )
+
+    delta_minus = orders.filter(is_del | is_upd).select(*cols)
+    delta_plus = _explode_variants(
+        orders.filter(is_upd | is_ins),
+        F.when(is_upd, _variant(price + 100.0)),
+        F.when(is_ins, _variant(price + 55.25)),
+    )
+    new_base = _explode_variants(
+        orders.filter(~is_del | is_ins),
+        F.when(~is_del, _variant(F.when(is_upd, price + 100.0).otherwise(price))),
+        F.when(is_ins, _variant(price + 55.25)),
     )
     return delta_plus, delta_minus, new_base
 

@@ -916,8 +916,15 @@ def mann_kendall_trend(orders: DataFrame) -> DataFrame:
     bounded calendar dimension, ~2.5k days here, never table-sized)
     and co-partitioned on status; daily revenue and tie counts are
     map-side-combined aggregates of the fact table. At 100 TB the
-    fact scan dominates; the pair stage stays O(|days|²·|statuses|)."""
-    daily = _daily_status_cents(orders)
+    fact scan dominates; the pair stage stays O(|days|²·|statuses|).
+
+    Materialized once: daily feeds BOTH self-join sides, n_days and the
+    tie counts — four canonically different consumer subtrees, so
+    without the checkpoint each replayed the fact scan + day aggregate
+    (4 orders scans in the r20 plan capture; ``pettitt_changepoint``
+    already applies the same discipline). The table is day×status
+    grain — calendar-bounded, never fact-sized (guide §2.4)."""
+    daily = _daily_status_cents(orders).localCheckpoint()
     a, b = daily.alias("a"), daily.alias("b")
     s_stat = (
         a.join(
