@@ -486,6 +486,74 @@ def test_ivm_delta_merge_minmax_branches(spark):
     assert (apr["n_orders"], apr["min_price"], apr["max_price"]) == (2, 2.0, 3.0)
 
 
+def test_cdc_states_single_scan_forms_match_definitional(spark, tables):
+    """The r20 single-scan change derivation (array_compact + explode
+    variants / one disjunctive filter) must emit EXACTLY the row
+    multisets of the definitional two-scan unionAll forms, for every
+    returned relation — and each delta relation's executed plan must
+    read the base at most once (the optimization being pinned)."""
+    from pyspark.sql import functions as F
+
+    from datalake_local_spark.operators import ivm
+
+    orders = tables["orders"]
+    k = F.col("o_orderkey")
+    is_del = k % 97 == 0
+    is_upd = (k % 53 == 0) & ~is_del
+    cols = ["o_orderdate", "o_orderstatus", "o_totalprice"]
+    deleted = orders.filter(is_del).select(*cols)
+    upd_pre = orders.filter(is_upd).select(*cols)
+    upd_post = upd_pre.withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+    inserts = (
+        orders.filter(k % 101 == 0)
+        .select(*cols)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 55.25)
+    )
+    want = {
+        "delta_plus": upd_post.unionAll(inserts),
+        "delta_minus": deleted.unionAll(upd_pre),
+        "new_base": orders.filter(~is_del)
+        .withColumn(
+            "o_totalprice",
+            F.when(is_upd, F.col("o_totalprice") + 100.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .select(*cols)
+        .unionAll(inserts),
+    }
+    got = dict(zip(("delta_plus", "delta_minus", "new_base"),
+                   ivm.derive_cdc_states(orders)))
+    for name, g in got.items():
+        w = want[name]
+        assert g.count() == w.count(), name
+        assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0, name
+        g.collect()
+        final = (
+            g._jdf.queryExecution().executedPlan().toString()
+            .split("+- == Initial Plan ==")[0]
+        )
+        assert final.count("FileScan parquet") <= 1, name
+
+
+def test_ivm_rollup_refresh_plan_scan_bound(spark, tables):
+    """Census regression guard for the r20 merge restructure: the
+    refreshed rollup's executed plan reads the base parquet at most 4
+    times (one tagged delta aggregate, one affected-keys probe, one
+    repair scan, slack for AQE variation) — the pre-r20 shape replayed
+    the whole merge subtree for the delete-affected probe and finalized
+    at 10 scans."""
+    from datalake_local_spark.operators import ivm
+
+    df = ivm.ivm_rollup_refresh(tables["orders"])
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert final.count("FileScan parquet") <= 4
+
+
 def test_ivm_refresh_table_untouched_partitions_keep_files(spark, tables):
     """The lakehouse MERGE contract: after the materialized refresh,
     every month partition the delta did not touch keeps its data files

@@ -1692,6 +1692,23 @@ def test_mann_kendall_hand_computed(spark):
     assert (f["s_stat"], f["var_s_x18"], f["z"], f["trend"]) == (0, 0, None, "no_trend")
 
 
+def test_mann_kendall_plan_single_base_pass(spark, tables):
+    """r20 guard: the returned plan's four consumers (both self-join
+    sides, n_days, ties) all ride the MATERIALIZED day×status table —
+    the executed plan must not rescan the orders parquet (the pre-r20
+    shape finalized at 2 scans after partial reuse; the one real scan
+    happens once, inside the localCheckpoint build)."""
+    from datalake_local_spark.operators import quality
+
+    df = quality.mann_kendall_trend(tables["orders"])
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("+- == Initial Plan ==")[0]
+    )
+    assert final.count("FileScan parquet") == 0
+
+
 def test_supplier_hhi_hand_computed(spark):
     """Two brands: one single-sourced (HHI = 10000, 'high'), one with
     an even 4-way split (HHI = 2500² shares → 4·2500² / 10⁴ = 2500,
