@@ -309,8 +309,11 @@ def ivm_join_refresh(orders: DataFrame, customer: DataFrame) -> DataFrame:
 
     Count and sum are self-maintainable, so unlike the min/max rollup
     there is NO delete-recompute path at all: the complete refresh
-    work is two delta-grain joins (Δ⁺O ⋈ C, Δ⁻O ⋈ C), their
-    view-grain aggregates, and a full-outer merge at view grain.
+    work is ONE sign-tagged delta-grain join (Δ⁺O ∪ Δ⁻O) ⋈ C, one
+    conditional view-grain aggregate, and one full-outer merge at view
+    grain (r20: previously two separate delta joins and two
+    consecutive full-outer merges — same values by exact-integer
+    conditional aggregation).
     Scale shape: the deltas are tiny by construction (changelog), the
     dim side broadcasts, and the post-change fact table is NEVER
     rescanned — at 100 TB the refresh cost is O(|ΔO|), which is the
@@ -336,11 +339,29 @@ def ivm_join_refresh(orders: DataFrame, customer: DataFrame) -> DataFrame:
     # the pre-change view is materialized so the refresh plan genuinely
     # starts from a stored view, not a Catalyst-collapsed recompute
     old_internal = view_agg(orders, "n_orders", "sum_cents").localCheckpoint()
-    plus_g = view_agg(delta_plus, "n_plus", "c_plus")
-    minus_g = view_agg(delta_minus, "n_minus", "c_minus")
+    # ONE tagged delta pass (r20 optimization, the grain_delta_merge
+    # shape): both change directions ride a single dim join and a
+    # single conditional view-grain aggregate — previously two
+    # delta joins + two consecutive full-outer merges. A group with
+    # changes in only one direction gets 0 for the other side exactly
+    # where the second full-outer join produced the NULLs coalesce()
+    # absorbs; exact-integer sums make the merged values identical.
+    sgn = F.col("sgn")
+    tagged = delta_plus.withColumn("sgn", F.lit(1)).unionByName(
+        delta_minus.withColumn("sgn", F.lit(-1))
+    )
+    delta_g = (
+        tagged.join(cdim, tagged["o_custkey"] == cdim["c_custkey"])
+        .groupBy(F.col("segment"), month)
+        .agg(
+            F.sum(F.when(sgn > 0, 1).otherwise(0)).alias("n_plus"),
+            F.sum(F.when(sgn > 0, _cents()).otherwise(0)).alias("c_plus"),
+            F.sum(F.when(sgn < 0, 1).otherwise(0)).alias("n_minus"),
+            F.sum(F.when(sgn < 0, _cents()).otherwise(0)).alias("c_minus"),
+        )
+    )
     merged = (
-        old_internal.join(plus_g, grain, "full_outer")
-        .join(minus_g, grain, "full_outer")
+        old_internal.join(delta_g, grain, "full_outer")
         .select(
             *grain,
             (
