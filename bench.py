@@ -440,6 +440,38 @@ def main() -> None:
             "w",
         ) as fh:
             fh.write(line + "\n")
+    # r20 verdict #1: the driver's per-query regression gate was BLIND
+    # for two rounds — the plain per-query map cannot ride the summary
+    # line (the driver's tail-capture window is 2000 chars and the 113
+    # query names alone are 2093 chars), and the driver cannot decode
+    # queries_z. So the FULL plain record is ALWAYS also written to a
+    # driver/judge-readable companion file. Unlike BENCH_local.json
+    # (the committed measurement of record, --write-artifact-gated so a
+    # driver re-run cannot clobber it), this file is REFRESHED ON EVERY
+    # REAL RUN by design: after the driver benches, it holds the
+    # driver's own run's per-query map, matching the BENCH_r{N} total.
+    # Non-canonical envs get suffixed names so the 8-core scaling run
+    # cannot overwrite the 32-core detail (both stay readable).
+    detail_file = "not-written"
+    if not dry_run:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or "32"
+        canonical_env = (
+            os.path.realpath(sf_dir)
+            == os.path.realpath("/root/testdata/sf0.1")
+            and cpus == "32"
+        )
+        detail_file = (
+            "BENCH_detail.json"
+            if canonical_env
+            else f"BENCH_detail_sf{sf}_c{cpus}.json"
+        )
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), detail_file
+            ),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
     if spark is not None:
         spark.stop()
     sys.stdout.flush()
@@ -455,6 +487,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "detail": artifact,
+        # r20 verdict #1: where the plain per-query map lives (always
+        # written on real runs — see the detail_file comment above)
+        "pq_file": detail_file,
         # the short line is what the driver's tail-capture records as
         # BENCH_r{N}.json — the control pair must ride on it, not only
         # on the (truncatable) full line

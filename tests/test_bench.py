@@ -147,6 +147,22 @@ def test_bench_decode_salvages_pre_r18_tail(tmp_path):
     assert rec["queries"] == {"q_alpha": 1.25, "q_beta": 0.5}
 
 
+def test_bench_summary_names_plain_perquery_detail_file():
+    """r20 verdict #1: the driver cannot decode queries_z and the plain
+    map cannot fit the 2000-char tail window (113 names = 2093 chars
+    alone), so real runs ALWAYS write the full plain record to
+    BENCH_detail.json (suffixed off the canonical env) and the summary
+    line names it under pq_file. Dry-run must not write the file."""
+    detail = os.path.join(REPO, "BENCH_detail.json")
+    before = os.path.getmtime(detail) if os.path.exists(detail) else None
+    proc = _run("--dry-run")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["pq_file"] == "not-written"  # dry-run: no file
+    after = os.path.getmtime(detail) if os.path.exists(detail) else None
+    assert before == after
+
+
 def test_bench_summary_carries_normalized_and_control_drift_fields():
     """r19 (r18 verdict #1+#5): the driver-captured summary line must
     carry normalized_vs_prev and the suite start/end control pair."""
