@@ -376,8 +376,18 @@ def main() -> None:
         )
         import bench_decode
 
-        arts = sorted(glob.glob(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        import re
+
+        # canonical driver artifacts only: BENCH_r{N}.json. Suffixed
+        # ones (BENCH_r20_c8.json — the driver's 8-core scaling run)
+        # are a different env and must never be the comparison base
+        # (r21: the plain glob picked r20_c8 over r20, lexically).
+        arts = sorted(
+            p
+            for p in glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+            if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+        )
         if arts and not dry_run:
             prev_rec = bench_decode.load_artifact(arts[-1])
             # only a same-SF pair is comparable (an ad-hoc sf0.001 run
