@@ -1166,21 +1166,25 @@ def segment_dedup(documents: DataFrame, seg_tokens: int = 8) -> DataFrame:
     identity of the text a rewrite stage would emit.
 
     Scale shape: segments are built map-side with slice() over a
-    sequence (no posexplode row blow-up before the shuffle) and keyed by
-    md5 of the segment STRING (string equality is the C4 semantics — and
-    the md5 key is 32 bytes instead of an unbounded segment string on
-    the wire). The corpus-grain groupBy is (count, min) — both
-    partial-aggregating, so a boilerplate segment in a billion docs
-    combines map-side. The occurrence→segment-grain join sits on the
-    same hash(seg_h) distribution as the groupBy, so in the shuffle-join
-    regime (100 TB: the segment relation is NOT broadcastable) the two
-    exchanges are identical subtrees and ReuseExchange serves both from
-    ONE documents scan; at bench SF, AQE instead broadcasts the tiny
-    segment relation and pays a second cheap scan — both regimes'
-    preferred plan. Hot boilerplate keys in the join are AQE
-    skew-split. The final re-aggregation is doc-local (collect_list of
-    a single doc's kept segments — bounded by doc size, never
+    sequence (no posexplode row blow-up before the shuffle). The
+    corpus-wide "occurs more than once / who is first" test is ONE
+    seg_h-partitioned window (count + min(occ_key) over the gram
+    partition) — the r20 `duplicate_span_coverage` lesson applied to
+    the segment grain (r21): the former groupBy-screen + join re-ran
+    the whole tokenize/md5 EXPANSION once per consumer above the
+    reused fan-out exchange (2 Generate in the captured before-plan)
+    and paid a second (narrow) exchange + join; the window form
+    expands once and exchanges once (measured: executed-plan
+    exchanges 5→3, exact-equal output, ~4% local wall at sf0.1 —
+    the structural win is the single expansion, which is the per-row
+    CPU term at corpus scale, and one fewer shuffle in the 100 TB
+    SMJ regime where the segment relation is NOT broadcastable).
+    Hot boilerplate keys cost a skewed window partition instead of a
+    skew-split join — bounded by the same occurrence count either
+    way. The final re-aggregation is doc-local (collect_list of a
+    single doc's kept segments — bounded by doc size, never
     corpus-grain)."""
+    from pyspark.sql import Window as W
     from datalake_local_spark.session import fan_out
 
     # pre-expansion fan-out: the token/element generator below
@@ -1212,10 +1216,12 @@ def segment_dedup(documents: DataFrame, seg_tokens: int = 8) -> DataFrame:
         F.size(F.split(F.col("s.seg"), " ")).alias("seg_n_tokens"),
         (F.col("doc_id") * 1000000000 + F.col("s.seg_id")).alias("occ_key"),
     )
-    groups = segs.groupBy("seg_h").agg(
-        F.count("*").alias("n_occ"), F.min("occ_key").alias("keeper_key")
-    )
-    flagged = segs.join(groups, "seg_h").withColumn(
+    w = W.partitionBy("seg_h")
+    flagged = segs.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_occ"),
+        F.min("occ_key").over(w).alias("keeper_key"),
+    ).withColumn(
         "removed", (F.col("n_occ") >= 2) & (F.col("occ_key") != F.col("keeper_key"))
     )
     per_doc = flagged.groupBy("doc_id").agg(
