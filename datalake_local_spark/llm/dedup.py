@@ -524,6 +524,34 @@ def _raised_shuffle_partitions(spark, P: int):
                 spark.conf.set(conf_key, str(state[1]))
 
 
+def _edge_union_find(edge_rows) -> list[tuple[int, int]]:
+    """Exact union-find over a COLLECTED edge list (rows with doc_a /
+    doc_b): unions toward the smaller root so labels stay min-id, and
+    returns the sorted (node, root) list for every edge-touched node —
+    the shared driver-side kernel of ``duplicate_components``'
+    ``local_threshold`` path and ``duplicate_graph_quality``'s
+    component labels (one implementation, two callers)."""
+    parent: dict = {}
+
+    def _find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    touched: set = set()
+    for r in edge_rows:
+        a_, b_ = r["doc_a"], r["doc_b"]
+        touched.add(a_)
+        touched.add(b_)
+        ra, rb = _find(a_), _find(b_)
+        if ra != rb:
+            # union toward the smaller root → labels stay min-id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return sorted((int(n), int(_find(n))) for n in touched)
+
+
 def duplicate_components(
     documents: DataFrame,
     max_doc_id: int = 100,
@@ -611,30 +639,14 @@ def duplicate_components(
         # gate, never by the node universe — nothing node-grain is
         # collected); singletons get their own id via the broadcast
         # left join below, a map-only stage at any corpus size
-        parent: dict = {}
-
-        def _find(x):
-            while parent.get(x, x) != x:
-                parent[x] = parent.get(parent[x], parent[x])
-                x = parent[x]
-            return x
-
-        touched: set = set()
-        for r in pair_df.collect():  # bounded: < local_threshold edges
-            a_, b_ = r["doc_a"], r["doc_b"]
-            touched.add(a_)
-            touched.add(b_)
-            ra, rb = _find(a_), _find(b_)
-            if ra != rb:
-                # union toward the smaller root → labels stay min-id
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
+        labels = _edge_union_find(
+            pair_df.collect()  # bounded: < local_threshold edges
+        )
         if stats is not None:
             stats["rounds"] = 0
         pair_df.unpersist()
         labels_df = documents.sparkSession.createDataFrame(
-            sorted((int(n), int(_find(n))) for n in touched),
-            "doc_id long, label long",
+            labels, "doc_id long, label long"
         )
         return (
             nodes.select("doc_id")
@@ -1632,14 +1644,32 @@ def duplicate_graph_quality(documents: DataFrame) -> DataFrame:
     components this diagnostic exists to catch. Each triangle {x≺y≺z}
     appears exactly once as the two-path x→y→z closed by the oriented
     edge x→z. Edge-grain shuffles only; component-grain aggregates are
-    map-side combining."""
+    map-side combining.
+
+    Component labels (r21): the full ``duplicate_components`` call
+    replayed its node-universe scan once per consumer — the executed
+    plan finalized at THREE full documents scans per refresh (the
+    2026-08 census), for labels this diagnostic only needs on
+    edge-touched docs: every component it reports has size ≥ 2, and
+    every member of a ≥2 component touches an edge, so the
+    singleton-labelling pass over the corpus contributed nothing but
+    the scans. The labels now come straight from the same driver
+    union-find the fixpoint's ``local_threshold`` path runs
+    (``_edge_union_find`` — one implementation, two callers) over the
+    already-materialized harness pair feed, published as a BROADCAST
+    local relation: documents scans 3 → 0, no component-subtree
+    replays, output identical (verified exact at all three SFs)."""
     pairs = _harness_pair_feed(documents)
-    # the SAME pair relation feeds the component fixpoint (via its pairs=
-    # injection hook) and the edge metrics — the O(n²) token self-join
-    # runs once, not once per consumer
-    comp = duplicate_components(
-        documents, pairs=pairs, local_threshold=20_000
-    ).select("doc_id", "component_id")
+    # the SAME pair relation feeds the component labels and the edge
+    # metrics — the O(n²) token self-join runs once, not per consumer.
+    # The collect is bounded by the harness feed's doc_id < 100 window
+    # (the same bound duplicate_components' local path collects under).
+    comp = F.broadcast(
+        documents.sparkSession.createDataFrame(
+            _edge_union_find(pairs.collect()),
+            "doc_id long, component_id long",
+        )
+    )
     edges = pairs.join(
         comp.select(F.col("doc_id").alias("doc_a"), "component_id"), "doc_a"
     )
