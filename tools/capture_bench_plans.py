@@ -1,7 +1,8 @@
 """Capture .explain("formatted") for every BENCH query into
-plans/r20/<name>_<tag>.txt (tag = before/after). Streaming queries
-execute on .start(), not on explain — for those the BATCH-equivalent
-plan is not captured here; the runner functions are noted instead.
+plans/<round>/<name>_<tag>.txt (tag = before/after; round defaults to
+r21, override with $PLANS_ROUND). Streaming queries execute on
+.start(), not on explain — for those the BATCH-equivalent plan is not
+captured here; the runner functions are noted instead.
 
 Usage: python tools/capture_bench_plans.py <tag> [query ...]
 """
@@ -19,7 +20,7 @@ from datalake_local_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r20")
+                   "plans", os.environ.get("PLANS_ROUND", "r21"))
 
 
 def main() -> None:
