@@ -304,101 +304,80 @@ def _q_cube_request(spark, sf):
 
 
 # Certification-window rotation: the driver oracle-checks the FIRST 50
-# ``queries()`` entries each round (cap confirmed in r3/r4).  Round 20
-# window per the r19 verdict #1/#2: (a) the one NEW r20 name, then (b)
-# the three names with NO driver row in any round (the r19 post-window
-# late wave), then (c) every name whose code or oracle changed in r20
-# or after the r19 window froze (changed outranks rotation, the
-# r13-r19 precedent), then (d) the oldest cohorts by driver-row age —
-# tpch_top_supplier (r10), the full r11 cohort, and the r12 head as
-# far as the cap allows. ROWS-ONLY names are EXCLUDED from the window
-# (r19 verdict #2: sim_ann_recall_report burned a slot as
-# err:no_oracle in CORRECTNESS_r19 — their gate is pytest invariants,
-# not the driver oracle; the 16 names live in
-# tools/gen_catalog.ROWS_ONLY_REASONS, and dedup_minhash_calibration
-# is skipped below for exactly that reason).
+# ``queries()`` entries each round (cap confirmed in r3/r4).  Round 21
+# window per the r20 verdict #7 and the documented r21 queue: (a) the
+# names whose CODE changed this round (changed outranks rotation, the
+# r13-r20 precedent — text_segment_dedup's window rewrite,
+# dedup_graph_quality's broadcast union-find labels, dedup_components'
+# local path sharing the extracted _edge_union_find), then (b) the
+# queue head agg_monthly_rollup / agg_order_stats (displaced from the
+# r20 window by the rounding-tie names), then (c) the full r12 cohort
+# by name order, then (d) the r14 cohort head by driver-row age, to
+# the cap. With this window the union of driver rows across rounds
+# still covers every oracle-backed registry name (verified: zero
+# never-certified names remain). ROWS-ONLY names are EXCLUDED
+# (r19 verdict #2; the 16 names live in
+# tools/gen_catalog.ROWS_ONLY_REASONS).
 _CERTIFY_FIRST = [
-    # ---- NEW in round 20 ----
-    "dedup_substring_hashed",  # NEW r20: xxhash64-screen ExactSubstr
-    # ---- never driver-certified (r19 late wave; 3-SF local certs in
-    # SWEEP_r19.log and re-certified by the r19 judge) ----
-    "dedup_substring_clean",  # ExactSubstr rewrite
-    "dq_levene",  # Brown-Forsythe screen; ALSO r20-changed (dof lookup)
-    "dq_jarque_bera",  # normality screen
-    # ---- code/oracle changed in r20 or after the r19 window froze ----
-    "dedup_exact_substring",  # r20: defaults/oracle render from SUBSTR_K
-    "dedup_substring_probe",  # r20: defaults/oracle render from constants
-    "text_quality",  # r19 post-window: alpha_ratio NULL guard
-    "text_corpus_qa_report",  # r19 post-window: alpha_ratio NULL guard
-    "streaming_anomaly",  # r19 post-window: kernel reorder
-    "agg_regression_funcs",  # r20: rounding-tie fix, 6dp publish
-    "agg_higher_moments",  # r20: rounding-tie fix, 6dp publish
-    # ---- oldest driver rows: r10 ----
-    "tpch_top_supplier",
-    # ---- the r11 cohort, drained in full by name order
-    # (dedup_minhash_calibration skipped: rows-only by design) ----
-    "dedup_cluster_purity",
-    "dedup_components",
-    "dedup_cosine_sweep",
-    "dedup_shingle_sweep",
-    # dq_ab_ttest: r11 cohort by name, but its driver row is r19-fresh
-    # (certified in last round's changed bucket) — not re-staged
-    "dq_psi_drift",
-    "events_attribution",
-    "events_autocorrelation",
-    "events_growth_accounting",
-    "events_latency_trend",
-    "events_path_trigrams",
-    "events_seasonal_anomaly",
-    "events_session_depth",
-    "events_slo_burn",
-    "events_survival_km",
-    "graph_link_prediction",
-    "graph_triangles",
-    "join_anti",
-    "join_composite_theta",
-    "join_full_outer",
-    "lake_zorder_layout",
-    "mm_aspect_buckets",
-    "pipeline_dedup_funnel",
-    "pipeline_leakage_split",
-    "pipeline_token_budget",
-    "pipeline_weighted_reservoir",
-    "scd2_asof_snapshot",
-    "sim_pair_geometry",
-    "sql_named_window",
-    "text_phrase_search",
-    "text_quality_by_source",
-    "tpch_cohort_ltv",
-    "tpch_important_stock",
-    "tpch_lead_time",
-    "tpch_order_aging",
-    "tpch_pareto_abc",
-    "tpch_realized_margin",
-    "tpch_return_rates",
-    "tpch_yoy_growth",
-    # ---- r12 cohort head by name order, filling to the 50-slot cap ----
-    # agg_monthly_rollup / agg_order_stats: displaced from the 50 by
-    # the two r20 rounding-tie-changed names (changed outranks
-    # rotation) — they move to the queue head below
-    # r21 queue HEAD: agg_monthly_rollup, agg_order_stats, then the
-    # remaining r12 cohort by name order
-    # (agg_pricing_summary, dedup_cluster_sizes, dedup_entity_clusters,
-    # dedup_entity_fuzzy, dedup_graph_quality, dedup_lsh_scurve,
-    # dedup_url_canonical, dq_bootstrap_ci, dq_chi_squared,
-    # dq_column_diff, dq_completeness_profile, dq_theil_sen,
-    # events_burstiness, events_stickiness, events_stl_decompose,
-    # graph_assortativity, ivm_rollup_refresh, join_asof_nearest,
-    # mm_payload_profile, pipeline_quality_sweep,
-    # pipeline_temperature_mix, sample_deterministic,
-    # sample_stratified, scalar_json_agg, scalar_variant_funcs,
-    # sim_embedding_dim_profile, sim_label_separation,
-    # text_contamination, text_pack_sequences, text_quality_gate,
-    # text_rrf_fusion, text_source_profile, text_token_stats,
-    # text_top_bigrams, tpch_seasonal_index, tpch_supplier_hhi,
-    # tpch_supplier_part_counts, tpch_volume_shipping,
-    # unpivot_order_measures, window_distribution), then the r14
-    # cohort by driver-row age. Rows-only names NEVER enter the
+    # ---- code changed in r21 ----
+    "text_segment_dedup",  # r21: one-window screen rewrite
+    "dedup_graph_quality",  # r21: broadcast union-find labels (also r12 cohort)
+    "dedup_components",  # r21: local path refactored onto _edge_union_find
+    # ---- r21 queue head (displaced from the r20 window) ----
+    "agg_monthly_rollup",
+    "agg_order_stats",
+    # ---- the r12 cohort, drained in full by name order ----
+    "agg_pricing_summary",
+    "dedup_cluster_sizes",
+    "dedup_entity_clusters",
+    "dedup_entity_fuzzy",
+    "dedup_lsh_scurve",
+    "dedup_url_canonical",
+    "dq_bootstrap_ci",
+    "dq_chi_squared",
+    "dq_column_diff",
+    "dq_completeness_profile",
+    "dq_theil_sen",
+    "events_burstiness",
+    "events_stickiness",
+    "events_stl_decompose",
+    "graph_assortativity",
+    "ivm_rollup_refresh",
+    "join_asof_nearest",
+    "mm_payload_profile",
+    "pipeline_quality_sweep",
+    "pipeline_temperature_mix",
+    "sample_deterministic",
+    "sample_stratified",
+    "scalar_json_agg",
+    "scalar_variant_funcs",
+    "sim_embedding_dim_profile",
+    "sim_label_separation",
+    "text_contamination",
+    "text_pack_sequences",
+    "text_quality_gate",
+    "text_rrf_fusion",
+    "text_source_profile",
+    "text_token_stats",
+    "text_top_bigrams",
+    "tpch_seasonal_index",
+    "tpch_supplier_hhi",
+    "tpch_supplier_part_counts",
+    "tpch_volume_shipping",
+    "unpivot_order_measures",
+    "window_distribution",
+    # ---- r14 cohort head by driver-row age, filling to the cap ----
+    "agg_cube",
+    "agg_mad_outliers",
+    "dedup_jaccard_prefix",
+    "dq_control_chart",
+    "dq_mann_kendall",
+    "dq_orders_integrity",
+    # r22 queue HEAD: dq_page_hinkley, events_calendar_heatmap,
+    # events_funnel, events_hampel_outliers, events_little_law,
+    # events_retention_matrix, fmt_csv_dialect_scan, fmt_json_scan,
+    # ivm_bitmap_distinct, ivm_multigrain_refresh, then the remaining
+    # r14 cohort by driver-row age. Rows-only names NEVER enter the
     # window.
 ]
 
