@@ -85,6 +85,31 @@ def scaled_documents(spark: SparkSession, sf_dir: str, scale: int) -> DataFrame:
     return out
 
 
+def scaled_orders(spark: SparkSession, sf_dir: str, scale: int) -> DataFrame:
+    """Union of `scale` orders replicas with interleaved o_orderkey
+    (base key * S + r — dense, so the CDC change-class partition of the
+    key space keeps the same PROPORTIONS at every scale) and per-replica
+    price jitter (+r cents — keeps replica rows from being value-clones
+    without moving any aggregate materially). r21 (r20 verdict #6): the
+    IVM refresh tier needs a scaled ORDERS corpus the way the gram
+    kernels needed documents."""
+    from datalake_local_spark.session import load_tables
+
+    base = load_tables(spark, sf_dir)["orders"]
+    parts = []
+    for r in range(scale):
+        parts.append(
+            base.select(
+                (F.col("o_orderkey") * scale + F.lit(r)).alias("o_orderkey"),
+                *[c for c in base.columns if c != "o_orderkey"],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def shuffle_totals(spark: SparkSession) -> dict[str, int]:
     """Completed-stage shuffle totals from the UI REST status API."""
     base = spark.sparkContext.uiWebUrl
@@ -155,7 +180,8 @@ def main() -> None:
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
-    from datalake_local_spark.llm import dedup
+    from datalake_local_spark.llm import dedup, text
+    from datalake_local_spark.operators import ivm
 
     spark = build_session(args.cpus)
     kernels = {
@@ -165,9 +191,17 @@ def main() -> None:
             d, split_doc_id=_half_split(d)
         ),
         "minhash_lsh_candidates": lambda d: dedup.minhash_lsh_candidates(d),
+        # r21 next tier (r20 verdict #6): the r20 scan-multiplicity wins
+        # get measured slopes like the gram kernels did
+        "span_coverage": lambda d: text.duplicate_span_coverage(d),
+        "shingle_width_sweep": lambda d: dedup.shingle_width_sweep(d),
     }
-    results: dict[str, dict] = {k: {} for k in kernels}
+    order_kernels = {
+        "ivm_rollup_refresh": lambda o: ivm.ivm_rollup_refresh(o),
+    }
+    results: dict[str, dict] = {k: {} for k in (*kernels, *order_kernels)}
     corpus_chars: dict[int, int] = {}
+    order_rows: dict[int, int] = {}
     # warm whole-stage codegen for every kernel's plan shape once at the
     # smallest scale — without this the smallest scale pays all the JIT
     # and the fitted wall slope comes out NEGATIVE (measured: -0.5 at
@@ -176,6 +210,10 @@ def main() -> None:
     for fn in kernels.values():
         _force(fn(warm))  # warm the REAL plan — count() warms a pruned one
     warm.unpersist()
+    warm_o = scaled_orders(spark, args.sf_dir, min(scales)).localCheckpoint()
+    for fn in order_kernels.values():
+        _force(fn(warm_o))
+    warm_o.unpersist()
     for s in scales:
         docs = scaled_documents(spark, args.sf_dir, s).localCheckpoint()
         corpus_chars[s] = docs.agg(
@@ -184,12 +222,18 @@ def main() -> None:
         for name, fn in kernels.items():
             results[name][s] = measure(spark, name, lambda: fn(docs))
         docs.unpersist()
+        orders = scaled_orders(spark, args.sf_dir, s).localCheckpoint()
+        order_rows[s] = orders.count()
+        for name, fn in order_kernels.items():
+            results[name][s] = measure(spark, name, lambda: fn(orders))
+        orders.unpersist()
 
     doc = {
         "sf_dir": args.sf_dir,
         "cpus": args.cpus,
         "scales": scales,
         "corpus_chars": corpus_chars,
+        "order_rows": order_rows,
         "kernels": results,
         "slopes": {
             name: {
@@ -198,7 +242,7 @@ def main() -> None:
                 )
                 for metric in ("wall_sec", "shuffle_write_bytes")
             }
-            for name in kernels
+            for name in results
         },
     }
     print(json.dumps(doc, indent=1))
