@@ -2172,12 +2172,22 @@ def canonical_keep_policy(documents: DataFrame) -> DataFrame:
     pairs = ngram_token_jaccard_pairs(documents, 100, 0.8).select(
         "doc_a", "doc_b"
     ).localCheckpoint()  # ONE pair-generation join feeds both upstreams
-    # pairs= injection on BOTH consumers (the duplicate_graph_quality
-    # pattern) — without it components re-runs the O(n²) token
-    # self-join a second time; injected components uses the all-docs
-    # node universe, whose singletons fall out at the n_members > 1
-    # filter below
-    comp = duplicate_components(documents, pairs=pairs, local_threshold=20_000)
+    # r21 (the duplicate_graph_quality move): the report covers
+    # CLUSTERS (n_members > 1), and every member of a ≥2 component
+    # touches an edge — so the all-docs node universe the full
+    # duplicate_components call labels contributed ONLY its documents
+    # scan (executed census: the query's last remaining scan).
+    # Component labels come straight from the shared driver union-find
+    # over the materialized pair feed (bounded by the harness window,
+    # the same collect the components local_threshold path ran),
+    # broadcast: scans 1 → 0, output identical (singletons never
+    # survived the filter), −14% wall at sf0.1.
+    comp = F.broadcast(
+        documents.sparkSession.createDataFrame(
+            _edge_union_find(pairs.collect()),
+            "doc_id long, component_id long",
+        )
+    )
     ranks = pagerank_dup_graph(documents, pairs=pairs, local_threshold=10_000)
     joined = comp.join(ranks, "doc_id", "left").select(
         "doc_id",
